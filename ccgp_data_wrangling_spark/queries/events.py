@@ -1,0 +1,149 @@
+"""Event-stream queries on the `events` table (batch expressions).
+
+The reference has no true streaming (SURVEY.md §2.10) — its analogue
+is cron-driven incremental batch. We expose the standard event-time
+operators here as deterministic batch plans (each with a DuckDB
+oracle); `streaming/` wraps the same logic for Structured Streaming
+execution with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ccgp_data_wrangling_spark.catalog import load_table
+from ccgp_data_wrangling_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Tumbling event-time window (batch form of the streaming windowed agg).
+# Scale: group keys (hour, type) are bounded; map-side partial agg makes the
+# shuffle tiny regardless of input size.
+# ---------------------------------------------------------------------------
+
+_TUMBLE_SQL = """
+SELECT DATE_TRUNC('hour', ts)  AS hour,
+       event_type,
+       COUNT(*)                AS n_events,
+       ROUND(SUM(value), 3)    AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("t_hourly_rollup", _TUMBLE_SQL)
+def t_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: lag + gap>30min flag + running sum = session id
+# (the batch dual of streaming session_window; guide "Common OLAP patterns").
+# Scale: one shuffle on user_id; windows evaluate within partitions. Skewed
+# users are bounded by per-user event counts, AQE splits stragglers.
+# ---------------------------------------------------------------------------
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY 1
+"""
+
+
+@register("t_user_sessions", _SESSION_SQL)
+def t_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order_w)
+    # timestamp→double keeps microsecond precision exactly (2024 epoch
+    # micros ≪ 2^53), matching DuckDB's exact interval comparison
+    gap = F.col("ts").cast("double") - prev_ts.cast("double")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(prev_ts.isNull() | (gap > 1800.0), 1).otherwise(0).alias("new_session"),
+    )
+    run_w = order_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = flagged.select(
+        "user_id", F.sum("new_session").over(run_w).alias("session_id")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 within-group proportion + JSON extraction (X-class scalar work on the
+# semi-structured `props` column).
+# ---------------------------------------------------------------------------
+
+_SHARE_SQL = """
+WITH typed AS (
+  SELECT event_type,
+         CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+         value,
+         CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, ROUND(SUM(value), 3) AS day_value,
+         CAST(SUM(k) AS BIGINT) AS day_k
+  FROM typed GROUP BY 1, 2
+)
+SELECT event_type, day, day_value, day_k,
+       ROUND(100.0 * day_value / SUM(day_value) OVER (PARTITION BY event_type), 4)
+         AS pct_of_type
+FROM daily
+"""
+
+
+@register("t_daily_share", _SHARE_SQL)
+def t_daily_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    typed = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    daily = typed.groupBy("event_type", "day").agg(
+        F.round(F.sum("value"), 3).alias("day_value"),
+        F.sum("k").cast("long").alias("day_k"),
+    )
+    w = W.partitionBy("event_type")
+    return daily.select(
+        "event_type",
+        "day",
+        "day_value",
+        "day_k",
+        F.round(100.0 * F.col("day_value") / F.sum("day_value").over(w), 4).alias(
+            "pct_of_type"
+        ),
+    )

@@ -1,0 +1,215 @@
+"""Training-data pipeline queries over `documents` / `embeddings`.
+
+Beyond-reference operators required by BASELINE.json's north star:
+exact dedup, text quality/statistics, language-ID heuristic, and
+brute-force cosine top-k (the ANN baseline). The scale paths (MinHash
+LSH near-dup, LSH-bucketed ANN) live in `operators/dedup.py` and
+`operators/knn.py`; their queries are registered there (rows-only
+checks where not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ccgp_data_wrangling_spark.catalog import load_table
+from ccgp_data_wrangling_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Exact deduplication: content-hash groupBy, canonical row = min key.
+# Scale: hash is computed map-side; shuffle keys are 128-bit digests
+# (uniform, no skew); output is one row per distinct content.
+# ---------------------------------------------------------------------------
+
+_DEDUP_SQL = """
+SELECT MD5(text)            AS content_hash,
+       MIN(doc_id)          AS canonical_doc_id,
+       COUNT(*)             AS n_copies,
+       MIN(n_chars)         AS n_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact_canonical", _DEDUP_SQL)
+def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text statistics / quality scoring: token counts, stopword ratio, unique
+# token ratio, average word length — all JVM-side Column expressions (no
+# Python in the hot path).
+# ---------------------------------------------------------------------------
+
+_STATS_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, source,
+         LENGTH(text)                                          AS n_chars,
+         LEN(STR_SPLIT(text, ' '))                             AS n_tokens,
+         LEN(LIST_DISTINCT(STR_SPLIT(text, ' ')))              AS n_uniq_tokens,
+         LEN(REGEXP_EXTRACT_ALL(text, '\\b(the|a|of|and|in)\\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars,
+       CAST(n_tokens AS BIGINT)                              AS n_tokens,
+       ROUND(CAST(n_uniq_tokens AS DOUBLE) / n_tokens, 4)    AS uniq_ratio,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4)           AS stopword_ratio,
+       ROUND(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS avg_word_len
+FROM base
+"""
+
+
+@register("text_quality_stats", _STATS_SQL)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_tokens = F.size(tokens)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).alias("n_uniq_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"\b(the|a|of|and|in)\b")).alias("n_stop"),
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("n_uniq_tokens").cast("double") / F.col("n_tokens"), 4).alias(
+            "uniq_ratio"
+        ),
+        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 4).alias(
+            "stopword_ratio"
+        ),
+        F.round(
+            (F.col("n_chars") - (F.col("n_tokens") - 1)).cast("double") / F.col("n_tokens"), 4
+        ).alias("avg_word_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: stopword-profile scoring with deterministic
+# argmax. (The synthetic corpus is English-vocabulary throughout, so the
+# interesting part is the operator shape: N scoring expressions + greatest/
+# when argmax, all codegen'd.)
+# ---------------------------------------------------------------------------
+
+_LANGID_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         LEN(REGEXP_EXTRACT_ALL(text, '\\b(the|of|and)\\b'))  AS score_en,
+         LEN(REGEXP_EXTRACT_ALL(text, '\\b(der|und|die)\\b')) AS score_de,
+         LEN(REGEXP_EXTRACT_ALL(text, '\\b(el|de|la)\\b'))    AS score_es
+  FROM documents
+),
+classified AS (
+  SELECT doc_id, labeled_lang,
+         CASE
+           WHEN score_en = 0 AND score_de = 0 AND score_es = 0 THEN 'und'
+           WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+           WHEN score_de >= score_es THEN 'de'
+           ELSE 'es'
+         END AS predicted_lang
+  FROM scored
+)
+SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+FROM classified GROUP BY 1, 2
+"""
+
+
+@register("lang_id_heuristic", _LANGID_SQL)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    score_en = F.regexp_count(F.col("text"), F.lit(r"\b(the|of|and)\b"))
+    score_de = F.regexp_count(F.col("text"), F.lit(r"\b(der|und|die)\b"))
+    score_es = F.regexp_count(F.col("text"), F.lit(r"\b(el|de|la)\b"))
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        score_en.alias("score_en"),
+        score_de.alias("score_de"),
+        score_es.alias("score_es"),
+    )
+    predicted = (
+        F.when(
+            (F.col("score_en") == 0) & (F.col("score_de") == 0) & (F.col("score_es") == 0),
+            "und",
+        )
+        .when(
+            (F.col("score_en") >= F.col("score_de")) & (F.col("score_en") >= F.col("score_es")),
+            "en",
+        )
+        .when(F.col("score_de") >= F.col("score_es"), "de")
+        .otherwise("es")
+    )
+    return (
+        scored.withColumn("predicted_lang", predicted)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (ANN baseline). Query vector = vec_id 0
+# (driver-side point lookup → 64 literals → broadcast into codegen'd
+# expressions; no Python UDF). The LSH-bucketed scale path is
+# operators/knn.py.
+# Scale: embarrassingly parallel scan; top-k via rank over a single
+# ordered reduction of ≤k·partitions candidates.
+# ---------------------------------------------------------------------------
+
+_KNN_SQL = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, cos_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rn FROM scored
+) WHERE rn <= 10
+"""
+
+
+@register("knn_top10_cosine", _KNN_SQL)
+def knn_top10_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in qrow[0]]
+    q = F.array(*[F.lit(x) for x in qv])  # array<double> literal
+    e = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(e, q, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_e = F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x))
+    norm_q = F.sqrt(F.aggregate(q, F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = emb.where(F.col("vec_id") != 0).select(
+        "vec_id",
+        "label",
+        F.round(dot / (norm_e * norm_q), 4).alias("cos_sim"),
+    )
+    w = W.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("vec_id", "label", "cos_sim")
+    )

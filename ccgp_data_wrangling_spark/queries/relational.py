@@ -1,0 +1,577 @@
+"""Relational operator queries (SURVEY.md §2.1-§2.8) on the TPC-H-ish tables.
+
+Each query exercises one or more inventory operators (S1, F1-F9,
+J3-J9, A1-A9, W1-W2, R1, X7/X12/X14, R4-R6) as an idiomatic Spark
+DataFrame plan with a DuckDB oracle. Scale notes per query explain why
+the plan survives a 1000-executor / 100 TB setting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ccgp_data_wrangling_spark.catalog import load_table
+from ccgp_data_wrangling_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# S1 + A-class: scan → filter → wide aggregation (TPC-H Q1 shape).
+# Reference parity: projection/filter pushdown the reference does via Mongo
+# find(query, projection) (create_sheets_ultimate.py:277); aggregation shape
+# of the depth/summary reports (utils/parse.py:294-340).
+# Scale: filter + both group keys are low-cardinality → partial (map-side)
+# aggregation collapses each scan partition to ≤6 rows before the shuffle;
+# no skew possible. Only l_* columns in ReadSchema.
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+  ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+  ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+  COUNT(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_SQL)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/J4-class equi joins + top-k (TPC-H Q3 shape).
+# Reference parity: equi joins on file_name / sample_name
+# (update_readlength_mongo.py:14-26, update_metadata.py:139-151) plus
+# "best rows" ranking. Top-k is rank-based (set semantics), not
+# LIMIT-after-sort, so the result is deterministic and the heavy sort is a
+# single reduction over ≤k·partitions candidates.
+# Scale: customer filter prunes before the join; orders⋈lineitem shuffles
+# on orderkey (AQE handles skew); customer side is broadcastable.
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = """
+WITH rev AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+  GROUP BY 1, 2, 3
+)
+SELECT o_orderkey, o_orderdate, o_orderpriority, revenue
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey) AS rn
+  FROM rev
+) WHERE rn <= 10
+"""
+
+
+@register("q3_top_orders", _Q3_SQL)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = W.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5/J9-class multi-way join + agg (TPC-H Q5 shape): 6-table join through
+# the dimension chain with small-side broadcasts.
+# Scale: region/nation/supplier are tiny → broadcast; the only shuffles are
+# orders⋈lineitem on orderkey and the final 25-group agg (map-side combined).
+# ---------------------------------------------------------------------------
+
+_Q5_SQL = """
+SELECT n.n_name AS nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@register("q5_regional_revenue", _Q5_SQL)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1-class summary report (project dashboard, utils/parse.py:294-340):
+# per-group count(*), conditional counts, sum, percent-done, and a
+# DETERMINISTIC mode (reference uses pd.Series.mode; we pin tie-break to
+# lexicographic min so the oracle agrees — SURVEY.md §7.4 note 6).
+# Scale: two-phase agg (custkey → priority) keeps both shuffles on keys
+# with bounded cardinality; deterministic mode is a tiny second agg.
+# ---------------------------------------------------------------------------
+
+_A1_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey,
+         c.c_mktsegment,
+         COUNT(o.o_orderkey)                            AS n_orders,
+         COALESCE(SUM(o.o_totalprice), 0.0)             AS spend
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+seg AS (
+  SELECT c_mktsegment,
+         COUNT(*)                                       AS n_customers,
+         CAST(SUM(CASE WHEN n_orders > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+         ROUND(SUM(spend), 2)                           AS total_spend,
+         ROUND(100.0 * SUM(CASE WHEN n_orders > 0 THEN 1 ELSE 0 END) / COUNT(*), 2) AS pct_active
+  FROM per_cust GROUP BY 1
+),
+status_counts AS (
+  SELECT c.c_mktsegment, o.o_orderstatus, COUNT(*) AS n
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+modal AS (
+  SELECT c_mktsegment, o_orderstatus AS modal_status
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY n DESC, o_orderstatus) AS rn
+    FROM status_counts
+  ) WHERE rn = 1
+)
+SELECT seg.c_mktsegment AS segment, n_customers, n_active, total_spend,
+       pct_active, modal_status
+FROM seg JOIN modal USING (c_mktsegment)
+"""
+
+
+@register("a1_segment_summary", _A1_SQL)
+def a1_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"),
+        )
+    )
+    seg = per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") > 0, 1).otherwise(0)).cast("long").alias("n_active"),
+        F.round(F.sum("spend"), 2).alias("total_spend"),
+        F.round(
+            100.0 * F.sum(F.when(F.col("n_orders") > 0, 1).otherwise(0)) / F.count(F.lit(1)), 2
+        ).alias("pct_active"),
+    )
+    status_counts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("n"), F.asc("o_orderstatus"))
+    modal = (
+        status_counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("o_orderstatus").alias("modal_status"))
+    )
+    return seg.join(modal, "c_mktsegment").withColumnRenamed("c_mktsegment", "segment")
+
+
+# ---------------------------------------------------------------------------
+# J6 anti-join (set difference): customers with no orders.
+# Reference parity: drive-files-not-parsed / mongo-files-missing-from-S3
+# (update_metadata.py:27-44, check_if_mongo_files_in_aws.py:49-63).
+# Scale: left_anti shuffles both sides on the key once; no data explosion.
+# ---------------------------------------------------------------------------
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'
+)
+"""
+
+
+@register("j6_customers_without_orders", _ANTI_SQL)
+def j6_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-07-01 00:00:00").cast("timestamp")
+    )
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 semi-join + membership filter: customers having an urgent open order.
+# Reference parity: $in membership filters (update_projectID_reads_col.py:38-40).
+# ---------------------------------------------------------------------------
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND o.o_orderstatus = 'O'
+)
+"""
+
+
+@register("f4_urgent_customers", _SEMI_SQL)
+def f4_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") & (F.col("o_orderstatus") == "O")
+    )
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 lookup-join-with-fallback (utils/parse.py:108-142): exact key else
+# coarser key else literal default, plus a match flag. Re-expressed over
+# documents.lang with two inline dimensions.
+# Scale: both dimensions are broadcast; zero shuffles beyond the final agg.
+# ---------------------------------------------------------------------------
+
+_J7_SQL = """
+WITH exact_dim AS (
+  SELECT * FROM (VALUES ('en', 'English'), ('fr', 'French')) AS t(code, family)
+),
+fallback_dim AS (
+  SELECT * FROM (VALUES ('de', 'Germanic'), ('es', 'Romance'), ('fr', 'Romance')) AS t(code, family)
+),
+resolved AS (
+  SELECT d.doc_id,
+         COALESCE(e.family, f.family, 'Unknown family') AS family,
+         CASE WHEN e.family IS NOT NULL THEN 1 ELSE 0 END AS exact_match
+  FROM documents d
+  LEFT JOIN exact_dim e ON d.lang = e.code
+  LEFT JOIN fallback_dim f ON d.lang = f.code
+)
+SELECT family, COUNT(*) AS n_docs, CAST(SUM(exact_match) AS BIGINT) AS n_exact
+FROM resolved GROUP BY 1
+"""
+
+
+@register("j7_lang_family_lookup", _J7_SQL)
+def j7_lang_family_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact_dim = spark.createDataFrame([("en", "English"), ("fr", "French")], ["code", "family"])
+    fallback_dim = spark.createDataFrame(
+        [("de", "Germanic"), ("es", "Romance"), ("fr", "Romance")], ["code", "family"]
+    )
+    e = F.broadcast(exact_dim).alias("e")
+    f = F.broadcast(fallback_dim).alias("f")
+    resolved = (
+        docs.alias("d")
+        .join(e, F.col("d.lang") == F.col("e.code"), "left")
+        .join(f, F.col("d.lang") == F.col("f.code"), "left")
+        .select(
+            F.col("d.doc_id"),
+            F.coalesce(F.col("e.family"), F.col("f.family"), F.lit("Unknown family")).alias(
+                "family"
+            ),
+            F.when(F.col("e.family").isNotNull(), 1).otherwise(0).alias("exact_match"),
+        )
+    )
+    return resolved.groupBy("family").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("exact_match").cast("long").alias("n_exact"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 best-per-group rank (update_reads.py:340-359 conflict resolution
+# shape): top order per customer by value, deterministic tie-break.
+# ---------------------------------------------------------------------------
+
+_W2_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+@register("w2_top_order_per_customer", _W2_SQL)
+def w2_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/W1 lane-yield analog (workflows/summary_lane.py:4-17): per-group sum,
+# conditional sum, percent, and windowed within-group proportion.
+# ---------------------------------------------------------------------------
+
+_A2_SQL = """
+WITH flag_status AS (
+  SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS qty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+       ROUND(qty, 2) AS qty,
+       ROUND(100.0 * qty / SUM(qty) OVER (PARTITION BY l_returnflag), 4) AS pct_of_flag
+FROM flag_status
+"""
+
+
+@register("a2_flag_share", _A2_SQL)
+def a2_flag_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    flag_status = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    w = W.partitionBy("l_returnflag")
+    return flag_status.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("qty"), 2).alias("qty"),
+        F.round(100.0 * F.col("qty") / F.sum("qty").over(w), 4).alias("pct_of_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R1 adjacent-pair explode (create_sheets_ultimate.py:387-423 read-pair
+# expansion): per order, sort lines, pair adjacent, one row per pair with
+# a nullable second element for odd counts.
+# Spark side uses the array primitive the real operator uses
+# (collect_list → array_sort → transform(sequence(...)) → explode) rather
+# than a window trick, because that is the shape that reuses the `files`
+# array already stored on `samples` at production scale (no re-shuffle).
+# ---------------------------------------------------------------------------
+
+_R1_SQL = """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+  FROM lineitem
+)
+SELECT l_orderkey,
+       CAST((rn - 1) // 2 AS INT)                              AS pair_idx,
+       MAX(CASE WHEN rn % 2 = 1 THEN l_linenumber END)         AS first_ln,
+       MAX(CASE WHEN rn % 2 = 0 THEN l_linenumber END)         AS second_ln
+FROM s GROUP BY 1, 2
+"""
+
+
+@register("r1_adjacent_pairs", _R1_SQL)
+def r1_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("lines")
+    )
+    # try_element_at: 1-based, null past the end (ANSI-safe odd counts)
+    pairs = grouped.select(
+        "l_orderkey",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.floor((F.size("lines") - 1) / 2).cast("int")),
+                lambda i: F.struct(
+                    F.try_element_at(F.col("lines"), i * 2 + 1).alias("first_ln"),
+                    F.try_element_at(F.col("lines"), i * 2 + 2).alias("second_ln"),
+                ),
+            )
+        ).alias("pair_idx", "pair"),
+    )
+    return pairs.select(
+        "l_orderkey",
+        F.col("pair_idx").cast("int").alias("pair_idx"),
+        F.col("pair.first_ln").alias("first_ln"),
+        F.col("pair.second_ln").alias("second_ln"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X12/J2 fuzzy best-match (update_reads.py:166-181 solve_conflict):
+# Levenshtein-ratio argmax with deterministic tie-break. Small dimension ×
+# dimension here; the large-scale variant is operators/linkage.py which
+# avoids the cartesian entirely.
+# ---------------------------------------------------------------------------
+
+_X12_SQL = """
+WITH scored AS (
+  SELECT s.s_name, c.c_name,
+         ROUND(100.0 * (LENGTH(s.s_name) + LENGTH(c.c_name)
+                        - LEVENSHTEIN(s.s_name, c.c_name))
+               / (LENGTH(s.s_name) + LENGTH(c.c_name)), 3) AS ratio
+  FROM supplier s CROSS JOIN customer c
+)
+SELECT s_name, c_name AS best_customer, ratio
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY s_name ORDER BY ratio DESC, c_name) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@register("x12_fuzzy_best_match", _X12_SQL)
+def x12_fuzzy_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier").select("s_name")
+    cust = load_table(spark, sf_dir, "customer").select("c_name")
+    lev = F.levenshtein("s_name", "c_name")
+    total_len = F.length("s_name") + F.length("c_name")
+    scored = supp.crossJoin(F.broadcast(cust)).select(
+        "s_name",
+        "c_name",
+        F.round(100.0 * (total_len - lev) / total_len, 3).alias("ratio"),
+    )
+    w = W.partitionBy("s_name").orderBy(F.desc("ratio"), F.asc("c_name"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("s_name", F.col("c_name").alias("best_customer"), "ratio")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X7/X14/X15 derived-string functions (create_sheets_ultimate.py:331-332,
+# batch_extract.py:4-9): substring_index, concat_ws, upper, regexp_extract.
+# ---------------------------------------------------------------------------
+
+_X7_SQL = """
+SELECT p_partkey,
+       SPLIT_PART(p_name, ' ', 1)                                   AS first_word,
+       UPPER(CONCAT(SPLIT_PART(p_name, ' ', 1), '_', p_type))       AS label,
+       CAST(REGEXP_EXTRACT(p_brand, 'Brand#(\\d+)', 1) AS INT)      AS brand_num,
+       CONCAT(p_brand, ':', CAST(p_size AS VARCHAR))                AS brand_size
+FROM part
+"""
+
+
+@register("x7_part_labels", _X7_SQL)
+def x7_part_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    first_word = F.substring_index("p_name", " ", 1)
+    return part.select(
+        "p_partkey",
+        first_word.alias("first_word"),
+        F.upper(F.concat(first_word, F.lit("_"), F.col("p_type"))).alias("label"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num"),
+        F.concat_ws(":", "p_brand", F.col("p_size").cast("string")).alias("brand_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R4/R6 distinct + set ops: distinct (brand, type) pairs present in ASIA
+# minus those present in EUROPE (exceptAll→except distinct semantics).
+# Reference parity: drop_duplicates (create_sheets.py:113) and set
+# differences (update_projectID_reads_col.py:56).
+# ---------------------------------------------------------------------------
+
+_R6_SQL = """
+WITH sold AS (
+  SELECT DISTINCT p.p_brand, p.p_type, DATE_TRUNC('month', l.l_shipdate) AS ship_month
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1995-03-01 00:00:00'
+)
+SELECT p_brand, p_type FROM sold WHERE ship_month = TIMESTAMP '1995-01-01 00:00:00'
+EXCEPT
+SELECT p_brand, p_type FROM sold WHERE ship_month = TIMESTAMP '1995-02-01 00:00:00'
+"""
+
+
+@register("r6_jan_only_products", _R6_SQL)
+def r6_jan_only_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-03-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    sold = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("p_brand", "p_type", F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .distinct()
+    )
+    jan = sold.where(F.col("ship_month") == F.lit("1995-01-01 00:00:00").cast("timestamp")).select(
+        "p_brand", "p_type"
+    )
+    feb = sold.where(F.col("ship_month") == F.lit("1995-02-01 00:00:00").cast("timestamp")).select(
+        "p_brand", "p_type"
+    )
+    return jan.subtract(feb)
