@@ -490,7 +490,11 @@ FROM (
 
 @register("x12_fuzzy_best_match", _X12_SQL)
 def x12_fuzzy_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    supp = load_table(spark, sf_dir, "supplier").select("s_name")
+    # repartition the streamed side: a broadcast cross join otherwise
+    # inherits the small side's single input partition and the O(S×C)
+    # levenshtein work runs on one core
+    par = spark.sparkContext.defaultParallelism
+    supp = load_table(spark, sf_dir, "supplier").select("s_name").repartition(par)
     cust = load_table(spark, sf_dir, "customer").select("c_name")
     lev = F.levenshtein("s_name", "c_name")
     total_len = F.length("s_name") + F.length("c_name")
