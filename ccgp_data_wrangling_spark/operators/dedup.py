@@ -1,0 +1,241 @@
+"""Deduplication operator family for training-data pipelines
+(BASELINE.json north star; beyond the reference's own surface).
+
+All stages are native Column expressions / DataFrame joins — no
+Python in any hot path, no driver materialization:
+
+* exact dedup         — content-hash groupBy (queries/llm_ops.py)
+* MinHash + LSH       — shingle → signature (HOF min over seeded
+                        affine permutations) → band → bucket join →
+                        exact-Jaccard verify
+* SimHash             — 64-bit sign-aggregated token hashes, banded
+                        bucket join + Hamming verify (bit_count/xor)
+
+Scale notes: the only shuffles are (a) the band-bucket groupBy-join,
+whose keys are uniform hashes (no skew), and (b) the verify join,
+which touches candidate pairs only — never the O(n²) pair space.
+Signatures are fixed-width arrays (n_hashes·8 bytes), so the widest
+shuffled row is bounded. Runaway buckets (pathological duplicate
+explosion) should be capped with a per-bucket count guard at 100 TB;
+see ``max_bucket`` parameter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _affine_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a·x + b) mod 2^31-1.
+
+    A simple seeded LCG keeps this dependency-free and reproducible.
+    The modulus must be SMALL relative to a·x so the product wraps the
+    modulus many times — with a 2^61-1 modulus and 32-bit inputs the
+    map is piecewise-monotone (≈4 linear segments), which destroys the
+    min-hash uniformity property entirely (observed: 5/64 signature
+    agreement on sets with Jaccard 0.98). With p = 2^31-1 and
+    a, x < 2^31 the product is < 2^62 (no int64 overflow under ANSI
+    mode) yet wraps p ~2^31 times, giving a proper universal family.
+    """
+    state = seed & 0x7FFFFFFF or 1
+    out = []
+    for _ in range(n_hashes):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = state % (_MERSENNE31 - 1) + 1
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state % _MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def word_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-word shingles of ``text`` (whitespace-tokenized).
+
+    Tokenization is ``trim`` + split-on-``\\s+`` so runs of whitespace
+    and edge whitespace can never produce empty tokens — the oracle
+    SQL must use REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') to agree.
+    """
+    tokens = F.split(F.trim(text), r"\s+")
+    n = F.size(tokens)
+    spans = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+    )
+    return F.array_distinct(spans)
+
+
+def shingle_hashes(text: Column, k: int = 5) -> Column:
+    """Distinct 32-bit murmur hashes of the k-word shingles (as long)."""
+    return F.array_distinct(
+        F.transform(word_shingles(text, k), lambda s: F.hash(s).cast("long"))
+    )
+
+
+def minhash_signature(
+    hashes: Column, n_hashes: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature: per permutation, min over shingle hashes."""
+    params = _affine_params(n_hashes, seed)
+    perms = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in params
+        ]
+    )
+    return F.transform(
+        perms,
+        lambda p: F.array_min(
+            F.transform(
+                hashes,
+                lambda x: F.pmod(
+                    p["a"] * F.pmod(x, F.lit(_MERSENNE31)) + p["b"],
+                    F.lit(_MERSENNE31),
+                ),
+            )
+        ),
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.7,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, exact_jaccard ≥ threshold).
+
+    Pipeline: signature → band buckets → within-bucket self-join for
+    candidates → exact Jaccard verify on shingle-hash sets. The verify
+    step makes output exact w.r.t. the shingle representation (LSH
+    only controls recall), so results are deterministic and
+    order-independent.
+    """
+    rows = n_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes, seed))
+
+    band_hashes = F.array(
+        *[F.hash(F.slice(F.col("sig"), b * rows + 1, rows)) for b in range(bands)]
+    )
+    banded = base.select(
+        "id",
+        "sh",
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+    )
+
+    # guard: drop pathological buckets (skew control at scale)
+    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    banded = banded.join(
+        bucket_sizes.where(F.col("n") <= max_bucket).select("band_idx", "band_hash"),
+        ["band_idx", "band_hash"],
+    )
+
+    left = banded.select(
+        "band_idx", "band_hash", F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    right = banded.select(
+        "band_idx", "band_hash", F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    cands = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens.
+
+    For each bit j: sum over tokens of ±1 by bit j of the token's
+    xxhash64; bit set iff the sum is positive. Expressed as HOF
+    aggregation — O(64·|tokens|) JVM-side work per row.
+    """
+    token_hashes = F.transform(
+        F.split(F.trim(text), r"\s+"), lambda t: F.xxhash64(t)
+    )
+    def _merge(j: int):
+        # factory closure: keeps the HOF lambda 2-ary (acc, h) — a
+        # default arg would make PySpark treat it as a 3-arg lambda
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for j in range(64):
+        margin = F.aggregate(token_hashes, F.lit(0), _merge(j))
+        bit = F.when(margin > 0, F.lit(1)).otherwise(F.lit(0))
+        out = out.bitwiseOR(F.shiftleft(bit.cast("long"), j))
+    return out
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into ``bands``
+    chunks (pigeonhole: hamming ≤ bands-1 guarantees an equal chunk),
+    bucket-join, verify with bit_count(xor) ≤ max_hamming.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    base = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
+    )
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sim"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = base.select(
+        "id",
+        "sim",
+        F.posexplode(chunks).alias("band_idx", "chunk"),
+    )
+    left = banded.select(
+        "band_idx", "chunk", F.col("id").alias("id_a"), F.col("sim").alias("sim_a")
+    )
+    right = banded.select(
+        "band_idx", "chunk", F.col("id").alias("id_b"), F.col("sim").alias("sim_b")
+    )
+    return (
+        left.join(right, ["band_idx", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline
+  (queries/llm_ops.py:knn_top10_cosine carries the DuckDB oracle)
+* SRP-LSH (signed random projections) bucketed search — the scale
+  path: hash each vector to ``n_bits`` sign bits per table; a query
+  probes only its buckets, turning a full-scan re-rank into a
+  candidate re-rank.
+
+Dot products / norms are ``zip_with``+``aggregate`` Column
+expressions (JVM-side). Projection planes are seeded and embedded as
+nested array literals — deterministic across runs.
+
+Scale notes: corpus signatures are computed in ONE narrow scan (all
+tables at once), no shuffle; the probe filter prunes before the
+exact re-rank, and the final top-k is a rank over ≤ candidates.
+For a persisted 100 TB corpus you'd write the bucketed table
+partitioned by (table, bucket) so a query is partition-pruned I/O,
+and periodically rebuild signatures as vectors churn.
+"""
+
+from __future__ import annotations
+
+import random
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _seeded_planes(
+    n_tables: int, n_bits: int, dim: int, seed: int
+) -> list[list[list[float]]]:
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
+
+
+def _planes_lit(planes: list[list[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(w)) for w in p]) for p in planes]
+    )
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bucket id (one sign bit per plane)."""
+    bits = F.transform(
+        _planes_lit(planes),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(vec, p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    out = F.lit(0).cast("long")
+    for j in range(len(planes)):
+        out = out.bitwiseOR(
+            F.shiftleft(F.element_at(bits, F.lit(j + 1)).cast("long"), j)
+        )
+    return out
+
+
+def _py_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
+    b = 0
+    for j, plane in enumerate(planes):
+        if sum(x * w for x, w in zip(query_vec, plane)) >= 0:
+            b |= 1 << j
+    return b
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_bits: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k by cosine.
+
+    One scan computes every table's bucket for each vector; a vector
+    is a candidate if ANY table agrees with the query's bucket; exact
+    cosine re-ranks candidates. Recall grows with n_tables, candidate
+    count shrinks with n_bits.
+    """
+    tables = _seeded_planes(n_tables, n_bits, len(query_vec), seed)
+    q_buckets = [_py_bucket(query_vec, t) for t in tables]
+    v = F.col(vec_col).cast("array<double>")
+
+    hit = reduce(
+        lambda a, b: a | b,
+        [srp_bucket(v, planes) == qb for planes, qb in zip(tables, q_buckets)],
+    )
+    cand = emb.where(hit)
+
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        id_col,
+        F.round(cosine_sim(v, qcol), 4).alias("cos_sim"),
+    )
+    w = W.orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k (the recall baseline for ann_topk)."""
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        id_col,
+        F.round(cosine_sim(F.col(vec_col).cast("array<double>"), qcol), 4).alias(
+            "cos_sim"
+        ),
+    )
+    w = W.orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,94 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched pandas iterators
+(``mapInPandas``) — the pattern a 100 TB training-data pipeline uses
+for decode / feature-extract / resize / frame-sample.
+
+The decode libraries (PIL, torchaudio, decord, …) are NOT in this
+container, so the actual decoders are stubs that raise
+``NotImplementedError``; a deterministic fake decoder keeps the
+Spark-side plumbing — schema, Arrow batch shape, partitioning —
+real and testable end-to-end. Swap ``fake_decode`` for a real decoder
+without touching any plumbing.
+
+Scale notes: mapInPandas streams Arrow batches — payload bytes never
+materialize as one driver object; per-batch memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``. Media tables should
+be partitioned by media_type (decoder affinity) and bucketed by id
+for joins back to captions/labels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "id long, media_type string, n_bytes long, content_md5 string, "
+    "fake_width int, fake_height int, byte_mean double"
+)
+
+
+def real_decode(payload: bytes, media_type: str) -> Any:
+    """Placeholder for the real decoder (PIL/librosa/decord)."""
+    raise NotImplementedError(
+        "media decode libraries are not available in this environment; "
+        "use fake_decode for deterministic tests"
+    )
+
+
+def fake_decode(payload: bytes) -> dict[str, Any]:
+    """Deterministic stand-in for an image decoder: derives a plausible
+    (width, height) and a byte-level feature from the payload alone.
+    """
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "content_md5": hashlib.md5(payload).hexdigest(),
+        "fake_width": n % 640 + 1,
+        "fake_height": n % 480 + 1,
+        "byte_mean": float(sum(payload)) / n if n else 0.0,
+    }
+
+
+def extract_media_features(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    media_type_col: str = "media_type",
+) -> DataFrame:
+    """Decode-and-featurize every payload via Arrow-batched pandas.
+
+    Input: (id, payload binary, media_type). Output: FEATURE_SCHEMA.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_decode(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_type", pdf[media_type_col].values)
+            out.insert(0, "id", pdf[id_col].values)
+            yield out[
+                [
+                    "id",
+                    "media_type",
+                    "n_bytes",
+                    "content_md5",
+                    "fake_width",
+                    "fake_height",
+                    "byte_mean",
+                ]
+            ]
+
+    narrow = df.select(
+        F.col(id_col).alias(id_col),
+        F.col(payload_col).alias(payload_col),
+        F.col(media_type_col).alias(media_type_col),
+    )
+    return narrow.mapInPandas(op, schema=FEATURE_SCHEMA)

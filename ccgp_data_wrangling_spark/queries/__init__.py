@@ -59,6 +59,7 @@ def _load_all() -> None:
         domain,
         events,
         llm_ops,
+        llm_scale,
         relational,
     )
 
