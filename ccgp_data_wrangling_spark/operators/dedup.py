@@ -166,6 +166,78 @@ def minhash_neardup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct n-word grams (same trim+\\s+ tokenization as shingles)."""
+    return word_shingles(text, n)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 10_000,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard near-dup pairs (no approximation).
+
+    Candidate generation is an inverted-index equi-join: explode each
+    doc's distinct n-grams, join on the gram, count shared grams per
+    pair, then Jaccard = shared / (|A| + |B| - shared) from full set
+    sizes — no second pass over the sets is needed, so the verify is
+    free compared to MinHash's array_intersect.
+
+    ``max_df`` drops grams appearing in more than that many docs from
+    the INDEX ONLY (classic prefix-filter skew guard: a gram shared by
+    d docs contributes d² join rows). Set sizes and the shared-count
+    still use all grams below the cap; a pair is only missed if every
+    single shared gram is ultra-common, which at ``threshold`` ≥ 0.5
+    implies near-spam docs. Oracles must mirror the cap exactly.
+
+    Scale: the shuffles are the gram equi-join (key = 64-bit gram
+    hash, uniform) and the per-pair count groupBy. Never materializes
+    the O(n²) pair space — only pairs sharing an indexed gram.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(word_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g))
+        ).alias("grams"),
+    )
+    sizes = base.select("id", F.size("grams").alias("n_grams"))
+    ex = base.select("id", F.explode("grams").alias("g"))
+
+    doc_freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    indexed = ex.join(
+        doc_freq.where(F.col("df") <= max_df).select("g"), "g"
+    )
+
+    shared = (
+        indexed.alias("a")
+        .join(indexed.alias("b"), "g")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
@@ -238,4 +310,67 @@ def simhash_neardup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.99,
+    n_tables: int = 8,
+    n_bits: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ ``threshold``.
+
+    Candidates come from SRP-LSH self-buckets (a pair is a candidate
+    if ANY of the ``n_tables`` signed-random-projection tables puts
+    both vectors in the same ``n_bits``-bit bucket); exact cosine
+    verifies. At near-dup thresholds (≥ 0.99, angle ≤ 8°) the
+    per-table collision probability is (1 - θ/π)^n_bits ≈ 0.69 and
+    a miss across 8 independent tables has probability ≈ 1e-4 per
+    pair at the default parameters — recall rises with ``n_tables``.
+
+    Scale: bucket keys are (table, bucket_id) — a shuffle on uniform
+    small keys; the exact-cosine verify touches only within-bucket
+    pairs. This is the embedding analogue of MinHash-LSH for text.
+    """
+    from ccgp_data_wrangling_spark.operators.knn import (
+        _seeded_planes,
+        cosine_sim,
+        srp_bucket,
+    )
+
+    dim = len(df.select(vec_col).head()[0])
+    tables = _seeded_planes(n_tables, n_bits, dim, seed)
+    v = F.col(vec_col).cast("array<double>")
+    buckets = F.array(*[srp_bucket(v, planes) for planes in tables])
+    base = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("vec"),
+        F.posexplode(buckets).alias("table_idx", "bucket"),
+    )
+    left = base.select(
+        "table_idx", "bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    right = base.select(
+        "table_idx", "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    return (
+        left.join(right, ["table_idx", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "cos_sim", F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")), 4)
+        )
+        # filter on the ROUNDED value — oracles must round identically
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
     )

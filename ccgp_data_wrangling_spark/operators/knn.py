@@ -139,3 +139,84 @@ def brute_force_topk(
     )
     w = W.orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k by cosine.
+
+    Coarse quantizer: ``n_centroids`` centroids drawn deterministically
+    from the corpus itself (rows minimizing xxhash64(id, seed) — a
+    seeded uniform sample with no RNG state). Every vector is assigned
+    to its nearest centroid by cosine; a query probes the ``n_probe``
+    centroids nearest to IT and exact-cosine re-ranks only vectors
+    assigned there.
+
+    Scale: the centroid table is tiny and rides into the executors as
+    expression literals (broadcast-equivalent, no shuffle). At 100 TB
+    the assignment is precomputed once and the corpus PERSISTED
+    partitioned by ``centroid_id`` so a query's scan is partition-pruned
+    to n_probe/n_centroids of the data; here the assignment is computed
+    inline in the same scan. Assignment cost is O(n_centroids·dim) per
+    row of JVM codegen arithmetic, shuffle-free.
+    """
+    # deterministic centroid sample, collected once (tiny)
+    cent_rows = (
+        emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("hk", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("hk")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r.v] for r in cent_rows]
+
+    def _py_cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda c: (-_py_cos(query_vec, centroids[c]), c),
+    )[:n_probe]
+
+    v = F.col(vec_col).cast("array<double>")
+    # argmax over centroids as a fold: struct(best_sim, best_idx)
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("idx"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("cv"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    assigned = F.aggregate(
+        cent_lit,
+        F.struct(F.lit(-2.0).alias("sim"), F.lit(-1).alias("idx")),
+        lambda acc, c: F.when(
+            cosine_sim(v, c["cv"]) > acc["sim"],
+            F.struct(cosine_sim(v, c["cv"]).alias("sim"), c["idx"].alias("idx")),
+        ).otherwise(acc),
+    )["idx"]
+
+    cand = emb.withColumn("centroid_id", assigned).where(
+        F.col("centroid_id").isin(*probe)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        id_col,
+        F.round(cosine_sim(v, qcol), 4).alias("cos_sim"),
+    )
+    w = W.orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

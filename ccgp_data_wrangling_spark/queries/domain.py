@@ -74,3 +74,492 @@ def j1_linkage_fileset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("filesize_sum").cast("long").alias("filesize_sum"),
         "received",
     )
+
+
+# ---------------------------------------------------------------------------
+# A3 depth model (variance_sheets_new.py:104-165, variance_files.py:104-156):
+# reads = round(filesize_sum · 0.013534218984527578), depth =
+# round(reads·150/genome_size, 3); per project: mean depth, counts
+# depth<5 / depth<8, samples considered. Fixture: customers as samples
+# (project = nation), filesize_sum from acctbal, genome size from the
+# nation dimension (broadcast join).
+# ---------------------------------------------------------------------------
+
+_READS_CONST = 0.013534218984527578
+
+_A3_SQL = f"""
+WITH samples AS (
+  SELECT c_custkey, c_nationkey AS project,
+         CAST(ROUND((c_acctbal + 1000) * 1e6) AS BIGINT) AS filesize_sum
+  FROM customer
+),
+dims AS (
+  SELECT n_nationkey AS project, (n_nationkey + 1) * 5e8 AS genome_size
+  FROM nation
+),
+derived AS (
+  SELECT s.project,
+         ROUND(s.filesize_sum * {_READS_CONST}) AS reads,
+         ROUND(ROUND(s.filesize_sum * {_READS_CONST}) * 150 / d.genome_size, 3) AS depth
+  FROM samples s JOIN dims d ON s.project = d.project
+)
+SELECT project,
+       ROUND(AVG(depth), 4)                                   AS mean_depth,
+       CAST(SUM(CASE WHEN depth < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_5,
+       CAST(SUM(CASE WHEN depth < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_8,
+       COUNT(*)                                               AS n_considered
+FROM derived GROUP BY project
+"""
+
+
+@register("a3_depth_model", _A3_SQL)
+def a3_depth_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    samples = cust.select(
+        F.col("c_nationkey").alias("project"),
+        F.round((F.col("c_acctbal") + 1000) * 1e6).cast("long").alias("filesize_sum"),
+    )
+    dims = nation.select(
+        F.col("n_nationkey").alias("project"),
+        ((F.col("n_nationkey") + 1) * 5e8).alias("genome_size"),
+    )
+    reads = F.round(F.col("filesize_sum") * _READS_CONST)
+    derived = samples.join(F.broadcast(dims), "project").select(
+        "project",
+        F.round(reads * 150 / F.col("genome_size"), 3).alias("depth"),
+    )
+    return derived.groupBy("project").agg(
+        F.round(F.avg("depth"), 4).alias("mean_depth"),
+        F.sum(F.when(F.col("depth") < 5, 1).otherwise(0)).cast("long").alias("n_below_5"),
+        F.sum(F.when(F.col("depth") < 8, 1).otherwise(0)).cast("long").alias("n_below_8"),
+        F.count(F.lit(1)).alias("n_considered"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 array-membership join (update_projectID_reads_col.py:34-54):
+# samples carry a files ARRAY; propagate the project id onto each read
+# row via explode(files) + equi-join — never a contains() theta-join.
+# The samples fixture builds real array columns with collect_list.
+# ---------------------------------------------------------------------------
+
+_J5_SQL = """
+WITH reads AS (
+  SELECT 'F' || CAST(o_orderkey AS VARCHAR) || '.fastq.gz' AS file_name,
+         o_custkey
+  FROM orders
+),
+samples AS (
+  SELECT c_custkey, c_nationkey AS project FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT r.file_name, s.project
+FROM reads r JOIN samples s ON r.o_custkey = s.c_custkey
+"""
+
+
+@register("j5_array_membership_join", _J5_SQL)
+def j5_array_membership_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    reads = orders.select(
+        F.concat(F.lit("F"), F.col("o_orderkey").cast("string"), F.lit(".fastq.gz")).alias("file_name"),
+        "o_custkey",
+    )
+    # build the ARRAY column for real (sample rows carry files[]), then
+    # explode back — the operator under test is the explode+equi-join
+    samples = (
+        reads.join(
+            cust.where(F.col("c_custkey") % 3 == 0).select("c_custkey", "c_nationkey"),
+            reads.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.collect_list("file_name").alias("files"))
+    )
+    exploded = samples.select(
+        F.col("c_nationkey").alias("project"),
+        F.explode("files").alias("file_name"),
+    )
+    return reads.join(exploded, "file_name").select("file_name", "project")
+
+
+# ---------------------------------------------------------------------------
+# J8 coalescing dimension join (variance_files.py:24-57): genome size
+# from a primary range, else a backup range — full outer + coalesce.
+# ---------------------------------------------------------------------------
+
+_J8_SQL = """
+WITH primary_dim AS (
+  SELECT n_nationkey AS project, (n_nationkey + 1) * 1e9 AS gsize
+  FROM nation WHERE n_nationkey % 2 = 0
+),
+backup_dim AS (
+  SELECT n_nationkey AS project, (n_nationkey + 1) * 2e9 AS gsize
+  FROM nation WHERE n_nationkey % 3 <> 0
+)
+SELECT COALESCE(p.project, b.project) AS project,
+       COALESCE(p.gsize, b.gsize)     AS genome_size,
+       CASE WHEN p.project IS NOT NULL THEN 'primary' ELSE 'backup' END AS source
+FROM primary_dim p FULL OUTER JOIN backup_dim b ON p.project = b.project
+"""
+
+
+@register("j8_coalescing_dim_join", _J8_SQL)
+def j8_coalescing_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    primary = nation.where(F.col("n_nationkey") % 2 == 0).select(
+        F.col("n_nationkey").alias("project"),
+        ((F.col("n_nationkey") + 1) * 1e9).alias("gsize"),
+    )
+    backup = nation.where(F.col("n_nationkey") % 3 != 0).select(
+        F.col("n_nationkey").alias("p2"),
+        ((F.col("n_nationkey") + 1) * 2e9).alias("g2"),
+    )
+    return primary.join(
+        backup, primary.project == backup.p2, "full_outer"
+    ).select(
+        F.coalesce("project", "p2").alias("project"),
+        F.coalesce("gsize", "g2").alias("genome_size"),
+        F.when(F.col("project").isNotNull(), "primary").otherwise("backup").alias("source"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 index-aligned outer join (utils/parse.py:323-336): the dashboard
+# summary assembled from independent per-project series — a chain of
+# full-outer joins on the project key with coalesced counts.
+# ---------------------------------------------------------------------------
+
+_J9_SQL = """
+WITH c AS (SELECT c_nationkey AS project, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS project, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1),
+o AS (SELECT c_nationkey AS project, COUNT(*) AS n_orders,
+             CAST(SUM(ROUND(o_totalprice)) AS BIGINT) AS total_spend
+      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+SELECT COALESCE(c.project, s.project, o.project) AS project,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers,
+       COALESCE(n_orders, 0)    AS n_orders,
+       COALESCE(total_spend, 0) AS total_spend
+FROM c
+FULL OUTER JOIN s ON c.project = s.project
+FULL OUTER JOIN o ON COALESCE(c.project, s.project) = o.project
+"""
+
+
+@register("j9_summary_assembly", _J9_SQL)
+def j9_summary_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    c = cust.groupBy(F.col("c_nationkey").alias("project")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("p_s")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    o = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("p_o"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round("o_totalprice")).cast("long").alias("total_spend"),
+        )
+    )
+    j = c.join(s, c.project == s.p_s, "full_outer")
+    j = j.withColumn("k1", F.coalesce("project", "p_s"))
+    j = j.join(o, j.k1 == o.p_o, "full_outer")
+    return j.select(
+        F.coalesce("project", "p_s", "p_o").alias("project"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spend", F.lit(0)).alias("total_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5/F9 file-count audits (check_files_field_count.py:26-46,
+# project_missing_files.py:18-24): suspicious samples (≥ 11 files,
+# project not excluded) and empty-files report, over REAL array
+# columns built with collect_list on a left join (childless customers
+# get empty arrays, exercising the size()=0-or-null branch).
+# ---------------------------------------------------------------------------
+
+_F5_SQL = """
+WITH counts AS (
+  SELECT c.c_name AS sample_name, c.c_nationkey AS project,
+         COUNT(o.o_orderkey) AS n_files
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT sample_name, CAST(n_files AS INT) AS n_files,
+       CASE WHEN n_files = 0 THEN 'empty'
+            WHEN n_files >= 11 AND project NOT IN (3, 7) THEN 'suspicious'
+            ELSE 'ok' END AS status
+FROM counts
+"""
+
+
+@register("f5_file_count_audit", _F5_SQL)
+def f5_file_count_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.select(
+        "o_custkey",
+        F.concat(F.lit("F"), F.col("o_orderkey").cast("string")).alias("f"),
+    )
+    samples = (
+        cust.join(files, cust.c_custkey == files.o_custkey, "left")
+        .groupBy("c_name", "c_nationkey")
+        .agg(F.collect_list("f").alias("files"))
+    )
+    n_files = F.size("files")
+    return samples.select(
+        F.col("c_name").alias("sample_name"),
+        n_files.alias("n_files"),
+        F.when((n_files == 0) | F.col("files").isNull(), "empty")
+        .when((n_files >= 11) & ~F.col("c_nationkey").isin(3, 7), "suspicious")
+        .otherwise("ok")
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X9 geo_loc_name merge + required-column imputation
+# (create_sheets_ultimate.py:295-329) over a deterministic dirty
+# fixture: every combination of blank/present geo, locality, county,
+# state appears (keyed off c_custkey residues).
+# ---------------------------------------------------------------------------
+
+_X9_FIXTURE_SQL = """
+  SELECT c_name AS sample_name,
+         CASE c_custkey % 4 WHEN 1 THEN '' WHEN 2 THEN 'Point Reyes' ELSE NULL END AS geo0,
+         CASE c_custkey % 3 WHEN 1 THEN 'Creek bank' WHEN 2 THEN '' ELSE NULL END  AS loc,
+         CASE c_custkey % 5 WHEN 1 THEN 'Marin' WHEN 3 THEN 'Kern' WHEN 2 THEN '' ELSE NULL END AS county,
+         CASE c_custkey % 7 WHEN 1 THEN 'California' WHEN 2 THEN 'Oregon' WHEN 3 THEN '' ELSE NULL END AS state
+  FROM customer
+"""
+
+_X9_SQL = f"""
+WITH fx AS ({_X9_FIXTURE_SQL}),
+merged AS (
+  SELECT sample_name,
+         CASE
+           WHEN (geo0 IS NULL OR geo0 = '') AND (loc IS NULL OR loc = '') THEN
+             CASE
+               WHEN (county IS NULL OR county = '') AND (state IS NULL OR state = '') THEN 'missing'
+               WHEN (state IS NULL OR state = '') AND NOT (county IS NULL OR county = '') THEN 'missing'
+               WHEN NOT (county IS NULL OR county = '') AND NOT (state IS NULL OR state = '')
+                 THEN 'USA: ' || state || ': ' || county
+               ELSE NULL
+             END
+           WHEN NOT (geo0 IS NULL OR geo0 = '') AND (loc IS NULL OR loc = '') THEN geo0
+           WHEN (geo0 IS NULL OR geo0 = '') AND NOT (loc IS NULL OR loc = '') THEN loc
+           ELSE geo0 || ':' || loc
+         END AS g
+  FROM fx
+)
+SELECT sample_name, COALESCE(NULLIF(g, ''), 'not provided') AS geo_loc_name
+FROM merged
+"""
+
+
+@register("x9_geo_loc_merge", _X9_SQL)
+def x9_geo_loc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.operators.sheets import (
+        impute_required,
+        merge_geo_loc_name,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    fx = cust.select(
+        F.col("c_name").alias("sample_name"),
+        F.when(k % 4 == 1, "").when(k % 4 == 2, "Point Reyes").alias("geo0"),
+        F.when(k % 3 == 1, "Creek bank").when(k % 3 == 2, "").alias("loc"),
+        F.when(k % 5 == 1, "Marin").when(k % 5 == 3, "Kern").when(k % 5 == 2, "").alias("county"),
+        F.when(k % 7 == 1, "California").when(k % 7 == 2, "Oregon").when(k % 7 == 3, "").alias("state"),
+    )
+    merged = merge_geo_loc_name(
+        F.col("geo0"), F.col("loc"), F.col("county"), F.col("state")
+    )
+    return fx.select(
+        "sample_name", impute_required(merged).alias("geo_loc_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X10 coordinate masking policy (create_sheets_ultimate.py:452-520)
+# over a fixture covering every flag combination, incl. the unhandled
+# ones the reference leaves untouched.
+# ---------------------------------------------------------------------------
+
+_X10_FIXTURE_SQL = """
+  SELECT c_name AS sample_name,
+         CASE c_custkey % 4 WHEN 0 THEN 'TRUE' WHEN 1 THEN 'TRUE' WHEN 2 THEN 'FALSE' ELSE NULL END AS protected,
+         CASE c_custkey % 2 WHEN 0 THEN 'TRUE' ELSE 'FALSE' END AS exclude,
+         CASE c_custkey % 4 WHEN 0 THEN 'missing' WHEN 1 THEN 'not provided'
+              WHEN 2 THEN 'Point Reyes' ELSE '' END AS existing_geo,
+         CASE WHEN c_custkey % 11 = 0 THEN 'NaN'
+              ELSE printf('%.2f', CAST(((c_acctbal % 90) + 90) AS DOUBLE) % 90) END AS lat_str,
+         CASE WHEN c_custkey % 11 = 0 THEN 'NaN'
+              ELSE printf('%.2f', -(CAST(((c_acctbal % 180) + 180) AS DOUBLE) % 180)) END AS long_str,
+         CAST(c_custkey % 36 + 1 AS VARCHAR) AS township,
+         CAST(c_custkey % 24 + 1 AS VARCHAR) AS range,
+         CAST(c_custkey % 16 + 1 AS VARCHAR) AS section,
+         CASE WHEN c_custkey % 5 = 0 THEN 'not provided' ELSE 'USA:California' END AS geocoded
+  FROM customer
+"""
+
+_X10_SQL = f"""
+WITH fx AS ({_X10_FIXTURE_SQL})
+SELECT sample_name,
+       CASE
+         WHEN protected = 'TRUE' AND exclude = 'FALSE'
+           THEN geocoded || ', ' || township || '-' || range || '-' || section
+         WHEN (COALESCE(protected,'') = 'FALSE' AND exclude = 'FALSE')
+              OR (COALESCE(protected,'') = '' AND COALESCE(exclude,'') = '')
+           THEN CASE
+                  WHEN NOT (existing_geo IS NULL OR existing_geo = '') AND geocoded <> 'not provided'
+                    THEN CASE WHEN existing_geo = 'missing' THEN geocoded
+                              ELSE geocoded || ', ' || existing_geo END
+                  ELSE geocoded
+                END
+         ELSE existing_geo
+       END AS geo_loc_name,
+       CASE
+         WHEN protected = 'TRUE' AND exclude = 'TRUE' THEN 'not provided'
+         WHEN (COALESCE(protected,'') = 'FALSE' AND exclude = 'FALSE')
+              OR (COALESCE(protected,'') = '' AND COALESCE(exclude,'') = '')
+           THEN CASE WHEN lat_str = 'NaN' AND long_str = 'NaN' THEN 'not provided'
+                     ELSE lat_str || ',' || long_str END
+         ELSE NULL
+       END AS lat_lon
+FROM fx
+"""
+
+
+@register("x10_coordinate_masking", _X10_SQL)
+def x10_coordinate_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.operators.sheets import mask_coordinates
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    bal = F.col("c_acctbal").cast("double")
+    fx = cust.select(
+        F.col("c_name").alias("sample_name"),
+        F.when(k % 4 == 0, "TRUE").when(k % 4 == 1, "TRUE").when(k % 4 == 2, "FALSE").alias("protected"),
+        F.when(k % 2 == 0, "TRUE").otherwise("FALSE").alias("exclude"),
+        F.when(k % 4 == 0, "missing").when(k % 4 == 1, "not provided")
+         .when(k % 4 == 2, "Point Reyes").otherwise("").alias("existing_geo"),
+        F.when(k % 11 == 0, "NaN")
+         .otherwise(F.format_string("%.2f", F.pmod(bal % 90 + 90, F.lit(90.0)))).alias("lat_str"),
+        F.when(k % 11 == 0, "NaN")
+         .otherwise(F.format_string("%.2f", -F.pmod(bal % 180 + 180, F.lit(180.0)))).alias("long_str"),
+        (k % 36 + 1).cast("string").alias("township"),
+        (k % 24 + 1).cast("string").alias("range"),
+        (k % 16 + 1).cast("string").alias("section"),
+        F.when(k % 5 == 0, "not provided").otherwise("USA:California").alias("geocoded"),
+    )
+    geo_out, lat_lon_out = mask_coordinates(
+        existing_geo=F.col("existing_geo"),
+        protected=F.col("protected"),
+        exclude=F.col("exclude"),
+        lat_str=F.col("lat_str"),
+        long_str=F.col("long_str"),
+        township=F.col("township"),
+        range_=F.col("range"),
+        section=F.col("section"),
+        geocoded=F.col("geocoded"),
+    )
+    return fx.select(
+        "sample_name",
+        geo_out.alias("geo_loc_name"),
+        lat_lon_out.alias("lat_lon"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1-X6 cleaning pipeline: dirty composite coordinate/date/name strings
+# built deterministically from customer+orders numerics, then parsed by
+# the cleaning library. The oracle recomputes the EXPECTED values from
+# the SOURCE numbers independently — it never re-parses the strings —
+# so the parse logic is genuinely exercised.
+# ---------------------------------------------------------------------------
+
+_X_CLEAN_SQL = """
+WITH src AS (
+  SELECT c_custkey AS k, c_name,
+         CAST(c_custkey % 90 AS DOUBLE) + 0.25  AS latn,
+         CAST(c_custkey % 180 AS DOUBLE) + 0.5  AS lonn,
+         c_custkey % 90   AS deg,
+         c_custkey % 60   AS mins,
+         (c_custkey % 600) / 10.0 AS secs
+  FROM customer
+)
+SELECT k,
+       ROUND(latn, 6)  AS lat_parsed,
+       ROUND(-lonn, 6) AS long_parsed,
+       ROUND(-(deg + mins/60.0 + secs/3600.0), 6) + 0.0 AS dms_parsed,
+       CASE WHEN k % 3 = 0 THEN '2021/2022'
+            WHEN k % 3 = 1 THEN '2021-03-07'
+            ELSE '2021-' || lpad(CAST(k % 12 + 1 AS VARCHAR), 2, '0')
+                 || '-' || lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0') END AS date_norm,
+       replace(replace(c_name || '.tag A', '.', '_'), ' ', '_') AS name_clean,
+       CASE WHEN k % 4 = 3 THEN c_name ELSE NULL END AS scrubbed
+FROM src
+"""
+
+
+@register("x_cleaning_pipeline", _X_CLEAN_SQL)
+def x_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.functions.cleaning import (
+        check_date,
+        check_lat,
+        check_long,
+        clean_name,
+        dms2dd,
+        scrub_sentinels,
+        split_lat,
+        split_long,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    latn = (k % 90).cast("double") + 0.25
+    lonn = (k % 180).cast("double") + 0.5
+    deg = k % 90
+    mins = k % 60
+    secs = (k % 600) / 10.0
+    # dirty composite strings, three X1 shapes by residue
+    coord_str = (
+        F.when(k % 3 == 0, F.format_string("%.2f N %.2f W", latn, lonn))
+        .when(k % 3 == 1, F.format_string("%.2f,%.2f", latn, lonn))
+        .otherwise(F.format_string("%.2f_%.2f", latn, lonn))
+    )
+    dms_str = F.format_string("%d°%d'%.1f\"S", deg, mins, secs)
+    date_str = (
+        F.when(k % 3 == 0, F.lit("2021,2022"))
+        .when(k % 3 == 1, F.lit("2021-03-07"))  # passthrough branch
+        .otherwise(
+            F.format_string("%d/%d/2021", k % 12 + 1, k % 28 + 1)
+        )
+    )
+    dirty_name = F.concat(F.col("c_name"), F.lit(".tag A"))  # dots + space
+    sentinel = (
+        F.when(k % 4 == 0, F.lit(""))
+        .when(k % 4 == 1, F.lit("NaN"))
+        .when(k % 4 == 2, F.lit("Not determined yet"))
+        .otherwise(F.col("c_name"))
+    )
+    return cust.select(
+        k.alias("k"),
+        F.round(check_lat(split_lat(coord_str)), 6).alias("lat_parsed"),
+        F.round(check_long(split_long(coord_str)), 6).alias("long_parsed"),
+        # + 0.0 canonicalizes IEEE -0.0 → 0.0 (k=0 yields -(0°0'0"S))
+        (F.round(dms2dd(dms_str), 6) + 0.0).alias("dms_parsed"),
+        check_date(date_str).alias("date_norm"),
+        clean_name(dirty_name).alias("name_clean"),
+        scrub_sentinels(sentinel).alias("scrubbed"),
+    )

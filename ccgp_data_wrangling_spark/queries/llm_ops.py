@@ -213,3 +213,73 @@ def knn_top10_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("vec_id", "label", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish pretokenizer regex
+# (functions/text.py). Both counts are single regexp passes, JVM-side.
+# ---------------------------------------------------------------------------
+
+_TOKEN_SQL = r"""
+SELECT doc_id,
+       CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(LENGTH(text) AS DOUBLE)
+             / LEN(REGEXP_EXTRACT_ALL(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')), 4) AS chars_per_token
+FROM documents
+"""
+
+
+@register("token_counts", _TOKEN_SQL)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.functions.text import (
+        bpe_ish_token_count,
+        ws_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ws_token_count(t).cast("long").alias("n_ws_tokens"),
+        bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.length(t).cast("double") / bpe_ish_token_count(t), 4
+        ).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: polynomial rolling hash (Horner over char
+# codes mod 2^31-1) as a cheap content fingerprint; grouped to show the
+# dedup use (identical content → identical fingerprint).
+# ---------------------------------------------------------------------------
+
+_FP_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         LIST_REDUCE(
+           LIST_PREPEND(CAST(0 AS BIGINT),
+             LIST_TRANSFORM(RANGE(LENGTH(text)),
+                            i -> CAST(ASCII(SUBSTR(text, CAST(i+1 AS INT), 1)) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs
+FROM fp GROUP BY 1
+"""
+
+
+@register("fingerprint_rolling_hash", _FP_SQL)
+def fingerprint_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.functions.text import rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", rolling_hash(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

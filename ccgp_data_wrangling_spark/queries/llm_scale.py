@@ -19,10 +19,16 @@ from pyspark.sql import functions as F
 
 from ccgp_data_wrangling_spark.catalog import load_table
 from ccgp_data_wrangling_spark.operators.dedup import (
+    embedding_neardup_pairs,
     minhash_neardup_pairs,
+    ngram_jaccard_pairs,
     simhash_neardup_pairs,
 )
-from ccgp_data_wrangling_spark.operators.knn import ann_topk, brute_force_topk
+from ccgp_data_wrangling_spark.operators.knn import (
+    ann_topk,
+    brute_force_topk,
+    ivf_topk,
+)
 from ccgp_data_wrangling_spark.operators.multimodal import extract_media_features
 from ccgp_data_wrangling_spark.queries import register
 
@@ -138,28 +144,207 @@ def simhash_dup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SRP-LSH ANN vs brute force: rows-only (approximate recall is
-# parameter-dependent); reports per-rank agreement for inspection.
+# ANN vs brute force on the NATURAL corpus: rows-only (recall on
+# weakly-similar data is parameter-dependent, honest number reported
+# per rank). The corpus's nearest neighbors sit at cosine ≈ 0.37 —
+# near-random — so LSH runs wide-and-shallow (6 bits × 16 tables);
+# `hit` = exact neighbor recovered anywhere in the approximate top-k.
 # ---------------------------------------------------------------------------
+
+
+def _query_vec(emb: DataFrame) -> list[float]:
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in qrow[0]]
 
 
 @register("ann_lsh_vs_exact", None)
 def ann_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
-    qv = [float(x) for x in qrow[0]]
+    qv = _query_vec(emb)
     corpus = emb.where(F.col("vec_id") != 0)
     exact = brute_force_topk(corpus, qv, 10).select(
-        F.col("vec_id").alias("exact_id"), F.col("rank")
+        F.col("vec_id").alias("exact_id"), "rank"
     )
-    approx = ann_topk(corpus, qv, 10).select(
-        F.col("vec_id").alias("ann_id"), F.col("rank")
+    approx = ann_topk(corpus, qv, 10, n_tables=16, n_bits=6).select(
+        F.col("vec_id").alias("ann_id")
     )
-    return exact.join(approx, "rank", "left").select(
-        "rank",
-        "exact_id",
-        "ann_id",
-        (F.col("exact_id") == F.col("ann_id")).alias("agree"),
+    return exact.join(
+        approx, exact.exact_id == approx.ann_id, "left"
+    ).select(
+        "rank", "exact_id", F.col("ann_id").isNotNull().alias("hit")
+    )
+
+
+@register("ann_ivf_vs_exact", None)
+def ann_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(emb)
+    corpus = emb.where(F.col("vec_id") != 0)
+    exact = brute_force_topk(corpus, qv, 10).select(
+        F.col("vec_id").alias("exact_id"), "rank"
+    )
+    approx = ivf_topk(corpus, qv, 10, n_centroids=32, n_probe=8).select(
+        F.col("vec_id").alias("ivf_id")
+    )
+    return exact.join(
+        approx, exact.exact_id == approx.ivf_id, "left"
+    ).select(
+        "rank", "exact_id", F.col("ivf_id").isNotNull().alias("hit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Planted-neighbor ANN, oracle-checked: 5 copies of the query vector
+# with coordinate 0 nudged by 0.01·j sit at cosine ≈ 1 (the natural
+# corpus tops out at ≈ 0.37), so the exact top-5 IS the planted set and
+# any sound ANN must return it. LSH at 12 bits × 8 tables misses a
+# cos ≈ 1 neighbor with P ≈ 1e-15; IVF assigns a near-copy of the query
+# to the query's own probe set by construction.
+# ---------------------------------------------------------------------------
+
+_PLANT_BASE = 2_000_000
+
+_ANN_PLANTED_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+planted AS (
+  SELECT {_PLANT_BASE} + j AS vec_id,
+         [qv[1] + 0.01 * j] || qv[2:64] AS v
+  FROM q, RANGE(1, 6) t(j)
+),
+corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id <> 0
+  UNION ALL SELECT vec_id, v FROM planted
+),
+scored AS (
+  SELECT c.vec_id,
+         ROUND(LIST_COSINE_SIMILARITY(c.v, q.qv), 4) AS cos_sim
+  FROM corpus c CROSS JOIN q
+)
+SELECT vec_id, cos_sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _planted_corpus(spark: SparkSession, emb: DataFrame, qv: list[float]) -> DataFrame:
+    planted = spark.createDataFrame(
+        [
+            (_PLANT_BASE + j, [qv[0] + 0.01 * j] + qv[1:])
+            for j in range(1, 6)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(planted)
+    )
+
+
+@register("ann_lsh_planted", _ANN_PLANTED_SQL)
+def ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(emb)
+    corpus = _planted_corpus(spark, emb, qv)
+    return ann_topk(corpus, qv, 5, n_tables=8, n_bits=12).select(
+        "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register("ann_ivf_planted", _ANN_PLANTED_SQL)
+def ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(emb)
+    corpus = _planted_corpus(spark, emb, qv)
+    return ivf_topk(corpus, qv, 5, n_centroids=32, n_probe=8).select(
+        "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup on the NATURAL corpus (the generator
+# plants near-dup families): inverted-index candidates + exact Jaccard,
+# no LSH approximation anywhere, so the oracle is a direct mirror.
+# ---------------------------------------------------------------------------
+
+_NGRAM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks FROM documents
+),
+gr AS (
+  SELECT doc_id,
+         LIST_DISTINCT(
+           LIST_TRANSFORM(RANGE(GREATEST(LEN(toks) - 2, 1)),
+                          i -> ARRAY_TO_STRING(toks[i + 1 : i + 3], ' '))
+         ) AS grams
+  FROM tok
+),
+sizes AS (SELECT doc_id, LEN(grams) AS n FROM gr),
+ex AS (SELECT doc_id, UNNEST(grams) AS g FROM gr),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5
+"""
+
+
+@register("ngram_jaccard_neardup", _NGRAM_SQL)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: planted +0.05-perturbed copies sit at
+# cosine ≈ 0.9988 (unit-norm corpus; natural pairs top out at ≈ 0.37).
+# SRP-LSH candidates + exact-cosine verify; at these parameters a
+# planted pair escapes all 8 tables with P ≈ 8e-7, so the planted set
+# is recovered exactly. Oracle: brute-force pair scan.
+# ---------------------------------------------------------------------------
+
+_EMB_BASE = 3_000_000
+
+_EMB_NEARDUP_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT {_EMB_BASE} + vec_id,
+         [CAST(embedding AS DOUBLE[])[1] + 0.05] || CAST(embedding AS DOUBLE[])[2:64]
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 4) AS cos_sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 4) >= 0.99
+"""
+
+
+@register("embedding_cosine_neardup", _EMB_NEARDUP_SQL)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + _EMB_BASE).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + 0.05),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(pert)
+    return embedding_neardup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.99
     )
 
 
