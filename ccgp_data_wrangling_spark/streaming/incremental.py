@@ -1,0 +1,141 @@
+"""Incremental processing: the reference's cron-driven ledger pattern
+(T1/T2) and a Structured Streaming bridge over the same MERGE sinks.
+
+* T1 processed-file ledger — reference ``update_metadata.py:24-44,
+  97-105,176-183``: skip files already recorded in the ledger, force
+  flag reprocesses, per-file errors are recorded (with message) so a
+  bad file never blocks the rest and never silently retries forever.
+* T2 insert-only discovery — reference ``update_reads.py:44-56``:
+  new object-store listings land with ``WHEN NOT MATCHED INSERT``
+  semantics; re-running is a no-op (idempotent by M2).
+* Streaming bridge — ``merge_stream`` runs any readStream source into
+  a :class:`ParquetTable` MERGE inside ``foreachBatch``; with
+  ``Trigger.AvailableNow`` it is exactly the reference's daily-cron
+  incremental batch (T3), with checkpointed exactly-once progress.
+
+Scale notes: the ledger is keyed metadata (one row per file), always
+tiny next to the data; its anti-join broadcasts. Each micro-batch
+MERGE inherits ParquetTable's copy-on-write cost — at 100 TB,
+partition the target and let the MERGE rewrite only touched
+partitions (see operators/merge.py header).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ccgp_data_wrangling_spark.operators.merge import ParquetTable
+
+
+class LedgerIngest:
+    """T1: ledger-gated per-file ingest.
+
+    ``ledger`` rows: (file_name, error, processed_at). A file is
+    reprocessed only under ``force``; files that previously FAILED are
+    retried by default (matching the reference, which upserts an error
+    doc and picks the file up again next run only with ``-f`` — we
+    take the stricter choice of retrying errors automatically since
+    the error record preserves the audit trail).
+    """
+
+    def __init__(self, spark: SparkSession, ledger: ParquetTable):
+        self.spark = spark
+        self.ledger = ledger
+
+    def pending(self, discovered: DataFrame, *, force: bool = False) -> DataFrame:
+        """Anti-join the ledger: discovered files not yet processed OK.
+
+        ``discovered`` needs a ``file_name`` column (S7 drive listing /
+        S3 listing shape).
+        """
+        if force:
+            return discovered
+        done = self.ledger.read().where(F.col("error").isNull()).select("file_name")
+        return discovered.join(done, "file_name", "left_anti")
+
+    def run(
+        self,
+        discovered: DataFrame,
+        process_fn: Callable[[str], DataFrame],
+        *,
+        force: bool = False,
+    ) -> tuple[DataFrame | None, int, int]:
+        """Process every pending file; record successes and failures.
+
+        ``process_fn(file_name)`` returns the parsed DataFrame for one
+        file (e.g. ``read_submitted_sheet``); failures are caught per
+        file and recorded in the ledger with the error message
+        (reference update_metadata.py:97-105). Returns (union of
+        parsed frames or None, n_ok, n_failed).
+
+        The per-file loop is driver-side by design: submitted
+        spreadsheets arrive as individual small files through an API
+        boundary (Drive), exactly like the reference; the OUTPUT is a
+        distributed DataFrame.
+        """
+        files = [r.file_name for r in self.pending(discovered, force=force).collect()]
+        parsed: list[DataFrame] = []
+        entries: list[tuple[str, str | None]] = []
+        for fname in files:
+            try:
+                parsed.append(process_fn(fname))
+                entries.append((fname, None))
+            except Exception as exc:  # noqa: BLE001 — quarantine, don't abort
+                entries.append((fname, f"{type(exc).__name__}: {exc}"))
+        if entries:
+            ledger_rows = self.spark.createDataFrame(
+                entries, "file_name string, error string"
+            ).withColumn("processed_at", F.current_timestamp())
+            self.ledger.upsert(ledger_rows)
+        out = None
+        if parsed:
+            out = parsed[0]
+            for p in parsed[1:]:
+                out = out.unionByName(p, allowMissingColumns=True)
+        return out, sum(1 for _, e in entries if e is None), sum(
+            1 for _, e in entries if e is not None
+        )
+
+
+def merge_stream(
+    stream: DataFrame,
+    target: ParquetTable,
+    *,
+    checkpoint_dir: str,
+    mode: str = "insert_only",
+    available_now: bool = True,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+):
+    """Run a streaming source into a ParquetTable MERGE (T2/T3).
+
+    ``mode``: ``insert_only`` (M2, discovery streams) or ``upsert``
+    (M1). Each micro-batch is deduplicated on the target key before
+    merging — a batch may contain the same key twice, and set-oriented
+    MERGE requires unique sources. With ``available_now`` the query
+    drains everything available then stops — the scheduled-cron
+    execution model (T3) with streaming checkpoints.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+
+    def _sink(batch: DataFrame, _epoch: int) -> None:
+        b = transform(batch) if transform is not None else batch
+        b = b.dropDuplicates(target.keys)
+        if mode == "insert_only":
+            target.insert_only(b)
+        elif mode == "upsert":
+            target.upsert(b)
+        else:
+            raise ValueError(f"unknown merge_stream mode: {mode}")
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

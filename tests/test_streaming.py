@@ -1,0 +1,118 @@
+"""T1 ledger ingest + T2 streaming MERGE (idempotency included)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from ccgp_data_wrangling_spark.operators.merge import ParquetTable
+from ccgp_data_wrangling_spark.sources import read_submitted_sheet
+from ccgp_data_wrangling_spark.streaming import LedgerIngest, merge_stream
+
+
+def _ledger(spark, tmp_path) -> ParquetTable:
+    led = ParquetTable(spark, str(tmp_path / "ledger"), "file_name")
+    led.init(
+        spark.createDataFrame(
+            [], "file_name string, error string, processed_at timestamp"
+        )
+    )
+    return led
+
+
+def _write_sheet(path, names):
+    path.write_text(
+        "junk preamble\n*sample_name\tlat\n"
+        + "".join(f"{n}\t1.0\n" for n in names)
+    )
+
+
+def test_ledger_ingest_skips_processed_and_quarantines(spark, tmp_path):
+    ok1 = tmp_path / "ok1.tsv"
+    ok2 = tmp_path / "ok2.tsv"
+    bad = tmp_path / "bad.tsv"
+    _write_sheet(ok1, ["A1", "A2"])
+    _write_sheet(ok2, ["B1"])
+    bad.write_text("no header at all\n1\t2\n")
+
+    ing = LedgerIngest(spark, _ledger(spark, tmp_path))
+    discovered = spark.createDataFrame(
+        [(str(ok1),), (str(ok2),), (str(bad),)], ["file_name"]
+    )
+    parsed, n_ok, n_fail = ing.run(
+        discovered, lambda f: read_submitted_sheet(spark, f)
+    )
+    assert (n_ok, n_fail) == (2, 1)
+    assert parsed.count() == 3  # A1, A2, B1
+
+    led = ing.ledger.read()
+    assert led.count() == 3
+    assert led.where(F.col("error").isNotNull()).count() == 1
+
+    # second run: the two OK files are skipped; the failed one retries
+    parsed2, n_ok2, n_fail2 = ing.run(
+        discovered, lambda f: read_submitted_sheet(spark, f)
+    )
+    assert (n_ok2, n_fail2) == (0, 1)
+    assert parsed2 is None
+    # force reprocesses everything
+    assert ing.pending(discovered, force=True).count() == 3
+
+
+def test_merge_stream_insert_only_idempotent(spark, tmp_path):
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    (src_dir / "batch1.csv").write_text("file_name,filesize\nf1,10\nf2,20\n")
+
+    target = ParquetTable(spark, str(tmp_path / "reads"), "file_name")
+    target.init(
+        spark.createDataFrame([("f1", 99)], "file_name string, filesize long")
+    )
+
+    stream = (
+        spark.readStream.schema("file_name string, filesize long")
+        .option("header", True)
+        .csv(str(src_dir))
+    )
+    q = merge_stream(
+        stream, target, checkpoint_dir=str(tmp_path / "ckpt"), mode="insert_only"
+    )
+    q.awaitTermination(60)
+
+    rows = {r.file_name: r.filesize for r in target.read().collect()}
+    # f1 existed → untouched ($setOnInsert); f2 inserted
+    assert rows == {"f1": 99, "f2": 20}
+
+    # drop a new file containing an already-seen key + a new key;
+    # restart from the same checkpoint → only the new file is read
+    (src_dir / "batch2.csv").write_text("file_name,filesize\nf2,77\nf3,30\n")
+    stream2 = (
+        spark.readStream.schema("file_name string, filesize long")
+        .option("header", True)
+        .csv(str(src_dir))
+    )
+    q2 = merge_stream(
+        stream2, target, checkpoint_dir=str(tmp_path / "ckpt"), mode="insert_only"
+    )
+    q2.awaitTermination(60)
+    rows = {r.file_name: r.filesize for r in target.read().collect()}
+    assert rows == {"f1": 99, "f2": 20, "f3": 30}
+
+
+def test_merge_stream_upsert(spark, tmp_path):
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    (src_dir / "b.csv").write_text("k,v\na,1\na,1\nb,2\n")
+    target = ParquetTable(spark, str(tmp_path / "t"), "k")
+    target.init(spark.createDataFrame([("a", 0)], "k string, v long"))
+    stream = (
+        spark.readStream.schema("k string, v long").option("header", True)
+        .csv(str(src_dir))
+    )
+    q = merge_stream(
+        stream, target, checkpoint_dir=str(tmp_path / "ck"), mode="upsert"
+    )
+    q.awaitTermination(60)
+    rows = {r.k: r.v for r in target.read().collect()}
+    assert rows == {"a": 1, "b": 2}
