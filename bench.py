@@ -33,9 +33,20 @@ HEADLINE = [
     "r1_adjacent_pairs",
     "t_user_sessions",
     "t_hourly_rollup",
+    "j1_linkage_fileset",
+    "j9_summary_assembly",
+    "a3_depth_model",
     "dedup_exact_canonical",
     "text_quality_stats",
+    "token_counts",
+    "fingerprint_rolling_hash",
+    "minhash_neardup_planted",
+    "ngram_jaccard_neardup",
+    "simhash_dup_planted",
+    "embedding_cosine_neardup",
     "knn_top10_cosine",
+    "ann_lsh_planted",
+    "multimodal_features",
     "x12_fuzzy_best_match",
 ]
 

@@ -120,17 +120,28 @@ def minhash_neardup_pairs(
     order-independent.
     """
     rows = n_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(F.col(text_col), shingle_k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes, seed))
+    # persist the signature table: HOF lambdas are interpreted (not
+    # codegen'd), and without a materialization boundary Catalyst's
+    # projection collapse would INLINE the signature expression into
+    # all `bands` band-hash expressions and into every join branch —
+    # observed 10-100× blowup. At 100 TB the signature table is
+    # likewise materialized once (it's 1000× smaller than the corpus).
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(F.col(text_col), shingle_k).alias("sh"),
+        )
+        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes, seed))
+        .persist()
+    )
 
     band_hashes = F.array(
         *[F.hash(F.slice(F.col("sig"), b * rows + 1, rows)) for b in range(bands)]
     )
+    # banding carries IDS ONLY — the sh arrays are re-attached after
+    # candidate dedup so wide rows never ride the bucket/dedup shuffles
     banded = base.select(
         "id",
-        "sh",
         F.posexplode(band_hashes).alias("band_idx", "band_hash"),
     )
 
@@ -143,23 +154,23 @@ def minhash_neardup_pairs(
         ["band_idx", "band_hash"],
     )
 
-    left = banded.select(
-        "band_idx", "band_hash", F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
-    )
-    right = banded.select(
-        "band_idx", "band_hash", F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
-    )
+    left = banded.select("band_idx", "band_hash", F.col("id").alias("id_a"))
+    right = banded.select("band_idx", "band_hash", F.col("id").alias("id_b"))
     cands = (
         left.join(right, ["band_idx", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verify = cands.join(sh_a, "id_a").join(sh_b, "id_b")
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cands.withColumn("jaccard", inter.cast("double") / union)
+        verify.withColumn("jaccard", inter.cast("double") / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -203,12 +214,15 @@ def ngram_jaccard_pairs(
     hash, uniform) and the per-pair count groupBy. Never materializes
     the O(n²) pair space — only pairs sharing an indexed gram.
     """
+    # persist: the gram array feeds three branches (doc-freq, index
+    # self-join sides, sizes) — materialize once instead of recomputing
+    # the interpreted shingle HOFs per branch
     base = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.transform(word_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g))
         ).alias("grams"),
-    )
+    ).persist()
     sizes = base.select("id", F.size("grams").alias("n_grams"))
     ex = base.select("id", F.explode("grams").alias("g"))
 
@@ -246,25 +260,47 @@ def simhash64(text: Column) -> Column:
     """64-bit SimHash over whitespace tokens.
 
     For each bit j: sum over tokens of ±1 by bit j of the token's
-    xxhash64; bit set iff the sum is positive. Expressed as HOF
-    aggregation — O(64·|tokens|) JVM-side work per row.
+    xxhash64; bit set iff the sum is positive.
+
+    ONE pass over the tokens with a 64-element margin accumulator
+    (``zip_with`` add), then one fold packs the margins into the
+    64-bit result — HOF lambdas are interpreted, so traversal count
+    dominates; the per-bit formulation would scan the token array 64
+    times and is an order of magnitude slower.
     """
     token_hashes = F.transform(
         F.split(F.trim(text), r"\s+"), lambda t: F.xxhash64(t)
     )
-    def _merge(j: int):
-        # factory closure: keeps the HOF lambda 2-ary (acc, h) — a
-        # default arg would make PySpark treat it as a 3-arg lambda
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    zeros = F.array_repeat(F.lit(0), 64)
 
-    out = F.lit(0).cast("long")
-    for j in range(64):
-        margin = F.aggregate(token_hashes, F.lit(0), _merge(j))
-        bit = F.when(margin > 0, F.lit(1)).otherwise(F.lit(0))
-        out = out.bitwiseOR(F.shiftleft(bit.cast("long"), j))
-    return out
+    def token_bits(h: Column) -> Column:
+        # unrolled: shiftright requires a literal int bit count
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+                for j in range(64)
+            ]
+        )
+
+    margins = F.aggregate(
+        token_hashes,
+        zeros,
+        lambda acc, h: F.zip_with(acc, token_bits(h), lambda a, b: a + b),
+    )
+    powers = F.array(
+        *[F.shiftleft(F.lit(1).cast("long"), j) for j in range(64)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            margins,
+            powers,
+            lambda m, p: F.when(m > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_neardup_pairs(
@@ -281,9 +317,11 @@ def simhash_neardup_pairs(
     """
     width = 64 // bands
     mask = (1 << width) - 1
+    # persist: prevents projection collapse from inlining the simhash
+    # expression into every chunk extraction / join branch
     base = df.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
-    )
+    ).persist()
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("sim"), b * width).bitwiseAND(F.lit(mask))
@@ -351,22 +389,30 @@ def embedding_neardup_pairs(
     dim = len(df.select(vec_col).head()[0])
     tables = _seeded_planes(n_tables, n_bits, dim, seed)
     v = F.col(vec_col).cast("array<double>")
-    buckets = F.array(*[srp_bucket(v, planes) for planes in tables])
+    # persist the (id, vec, buckets) table: the n_tables·n_bits·dim
+    # projection arithmetic is interpreted HOF work — materialize once
+    # instead of once per join branch / chunk expression
     base = df.select(
         F.col(id_col).alias("id"),
         v.alias("vec"),
-        F.posexplode(buckets).alias("table_idx", "bucket"),
+        F.array(*[srp_bucket(v, planes) for planes in tables]).alias("buckets"),
+    ).persist()
+    banded = base.select(
+        "id", F.posexplode("buckets").alias("table_idx", "bucket")
     )
-    left = base.select(
-        "table_idx", "bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
-    )
-    right = base.select(
-        "table_idx", "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
-    )
-    return (
+    left = banded.select("table_idx", "bucket", F.col("id").alias("id_a"))
+    right = banded.select("table_idx", "bucket", F.col("id").alias("id_b"))
+    cands = (
         left.join(right, ["table_idx", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn(
             "cos_sim", F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")), 4)
         )

@@ -46,7 +46,14 @@ def _planes_lit(planes: list[list[float]]) -> Column:
 
 
 def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Signed-random-projection bucket id (one sign bit per plane)."""
+    """Signed-random-projection bucket id (one sign bit per plane).
+
+    The sign bits and the bit-packing are ONE expression pass: packing
+    via per-plane powers inside the same transform, then a single sum
+    fold. (Referencing a bits-array subexpression once per bit would
+    let projection collapse duplicate the n_bits dot products n_bits
+    times — interpreted HOFs make that an O(n_bits²·dim) per-row cost.)
+    """
     bits = F.transform(
         _planes_lit(planes),
         lambda p: F.when(
@@ -56,22 +63,22 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
                 lambda acc, x: acc + x,
             )
             >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
     )
-    out = F.lit(0).cast("long")
-    for j in range(len(planes)):
-        out = out.bitwiseOR(
-            F.shiftleft(F.element_at(bits, F.lit(j + 1)).cast("long"), j)
-        )
-    return out
+    # positional fold: first plane = most-significant bit; _py_bucket
+    # mirrors this convention for the query side
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
 
 
 def _py_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side twin of :func:`srp_bucket` (same MSB-first fold)."""
     b = 0
-    for j, plane in enumerate(planes):
-        if sum(x * w for x, w in zip(query_vec, plane)) >= 0:
-            b |= 1 << j
+    for plane in planes:
+        bit = 1 if sum(x * w for x, w in zip(query_vec, plane)) >= 0 else 0
+        b = b * 2 + bit
     return b
 
 
@@ -191,7 +198,10 @@ def ivf_topk(
     )[:n_probe]
 
     v = F.col(vec_col).cast("array<double>")
-    # argmax over centroids as a fold: struct(best_sim, best_idx)
+    # argmax over centroids: score each centroid ONCE (transform), then
+    # array_max on (sim, -idx) structs — lexicographic max gives the
+    # highest sim with lowest-index tie-break. (A when/otherwise fold
+    # would evaluate each cosine twice: condition + selected value.)
     cent_lit = F.array(
         *[
             F.struct(
@@ -201,14 +211,15 @@ def ivf_topk(
             for i, c in enumerate(centroids)
         ]
     )
-    assigned = F.aggregate(
-        cent_lit,
-        F.struct(F.lit(-2.0).alias("sim"), F.lit(-1).alias("idx")),
-        lambda acc, c: F.when(
-            cosine_sim(v, c["cv"]) > acc["sim"],
-            F.struct(cosine_sim(v, c["cv"]).alias("sim"), c["idx"].alias("idx")),
-        ).otherwise(acc),
-    )["idx"]
+    best = F.array_max(
+        F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                cosine_sim(v, c["cv"]).alias("sim"), (-c["idx"]).alias("nidx")
+            ),
+        )
+    )
+    assigned = -best["nidx"]
 
     cand = emb.withColumn("centroid_id", assigned).where(
         F.col("centroid_id").isin(*probe)

@@ -67,33 +67,49 @@ def candidate_spans(file_col: Column, max_span: int = 6) -> Column:
 
     Example: ``"AB_C-1.fq.gz"`` → spans over tokens [AB, C, 1, fq]
     include ``AB``, ``AB_C``, ``AB_C-1``, ``C``, ``C-1``, ``1``, ...
+
+    Implementation: one O(n) fold computes each token's 1-based start
+    offset in the original string; every span is then a single
+    ``substring`` (separators are preserved for free). The token and
+    offset arrays are bound through a one-element transform lambda so
+    they are evaluated ONCE per row — HOF lambdas are interpreted, and
+    inlining the split/fold into each of the O(n·max_span) span
+    expressions (what projection collapse otherwise does) multiplies
+    the per-row cost by the span count.
     """
     tokens = F.split(file_col, _SEP_CLASS)
-    seps = F.regexp_extract_all(file_col, F.lit(_SEP_CLASS), 0)
     n = F.size(tokens)
-
-    def span_text(i: Column, j: Column) -> Column:
-        # concat tokens i..j (0-based) with their trailing separators,
-        # then drop the final separator; element_at is 1-based and every
-        # k ≤ n-2 has a separator, so indices stay in bounds under ANSI
-        full = F.aggregate(
-            F.sequence(i, j),
-            F.lit(""),
-            lambda acc, k: F.concat(
-                acc, F.element_at(tokens, k + 1), F.element_at(seps, k + 1)
-            ),
-        )
-        return F.substring(full, 1, F.length(full) - 1)
-
-    spans = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.transform(
-                F.sequence(i, F.least(i + max_span - 1, n - 2)),
-                lambda j: span_text(i, j),
-            ),
-        )
+    # starts[k] = 1-based position of token k-1 (0-based k-1)
+    starts = F.aggregate(
+        F.slice(tokens, 1, F.greatest(n - 1, F.lit(0))),
+        F.array(F.lit(1)),
+        lambda acc, t: F.concat(
+            acc, F.array(F.element_at(acc, -1) + F.length(t) + 1)
+        ),
     )
+
+    def spans_of(p: Column) -> Column:
+        toks = p["toks"]
+        st = p["st"]
+        m = F.size(toks)
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), m - 2),
+                lambda i: F.transform(
+                    F.sequence(i, F.least(i + max_span - 1, m - 2)),
+                    lambda j: F.substring(
+                        file_col,
+                        F.element_at(st, i + 1),
+                        F.element_at(st, j + 1)
+                        + F.length(F.element_at(toks, j + 1))
+                        - F.element_at(st, i + 1),
+                    ),
+                ),
+            )
+        )
+
+    prep = F.array(F.struct(tokens.alias("toks"), starts.alias("st")))
+    spans = F.flatten(F.transform(prep, spans_of))
     return F.when(n >= 2, F.array_distinct(spans)).otherwise(
         F.array().cast("array<string>")
     )
