@@ -60,6 +60,7 @@ def _load_all() -> None:
         events,
         llm_ops,
         llm_scale,
+        merge_queries,
         relational,
     )
 

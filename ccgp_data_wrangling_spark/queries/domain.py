@@ -563,3 +563,155 @@ def x_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean_name(dirty_name).alias("name_clean"),
         scrub_sentinels(sentinel).alias("scrubbed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X11 offline reverse geocode (create_sheets_ultimate.py:641-732, made
+# deterministic): coordinates derived from customer numerics; nulls and
+# out-of-region points → 'not provided'.
+# ---------------------------------------------------------------------------
+
+_X11_SQL = """
+WITH pts AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 13 = 0 THEN NULL
+              ELSE 32.0 + CAST(c_custkey % 180 AS DOUBLE) / 10.0 END AS lat,
+         CASE WHEN c_custkey % 13 = 0 THEN NULL
+              ELSE -125.0 + CAST(c_custkey % 160 AS DOUBLE) / 10.0 END AS long
+  FROM customer
+)
+SELECT k, lat, long,
+       CASE
+         WHEN lat BETWEEN 32.5 AND 42.0 AND long BETWEEN -124.5 AND -114.1 THEN 'USA:California'
+         WHEN lat BETWEEN 42.0 AND 46.3 AND long BETWEEN -124.6 AND -116.5 THEN 'USA:Oregon'
+         WHEN lat BETWEEN 35.0 AND 42.0 AND long BETWEEN -120.0 AND -114.0 THEN 'USA:Nevada'
+         WHEN lat BETWEEN 31.3 AND 37.0 AND long BETWEEN -114.8 AND -109.0 THEN 'USA:Arizona'
+         WHEN lat BETWEEN 45.5 AND 49.0 AND long BETWEEN -124.8 AND -116.9 THEN 'USA:Washington'
+         ELSE 'not provided'
+       END AS geocoded
+FROM pts
+"""
+
+
+@register("x11_reverse_geocode", _X11_SQL)
+def x11_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.operators.geocode import reverse_geocode_expr
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lat = F.when(k % 13 != 0, 32.0 + (k % 180).cast("double") / 10.0)
+    long = F.when(k % 13 != 0, -125.0 + (k % 160).cast("double") / 10.0)
+    pts = cust.select(k.alias("k"), lat.alias("lat"), long.alias("long"))
+    return pts.select(
+        "k", "lat", "long",
+        reverse_geocode_expr(F.col("lat"), F.col("long")).alias("geocoded"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 regex filter (update_reads_by_lane.py:191: lane-name contains) +
+# X15 batch-id extraction (workflows/batch_extract.py:4-9).
+# ---------------------------------------------------------------------------
+
+_F2_SQL = r"""
+SELECT o_orderkey,
+       'L' || CAST(o_orderkey % 8 AS VARCHAR) || '_multiqc_data' AS folder,
+       REGEXP_EXTRACT('L' || CAST(o_orderkey % 8 AS VARCHAR) || '_multiqc_data',
+                      '([\w-]+)_multiqc_data', 1) AS batch_id
+FROM orders
+WHERE o_orderpriority LIKE '%URGENT%' AND REGEXP_MATCHES(o_orderstatus, '^[OF]$')
+"""
+
+
+@register("f2_regex_filter", _F2_SQL)
+def f2_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    folder = F.concat(
+        F.lit("L"), (F.col("o_orderkey") % 8).cast("string"), F.lit("_multiqc_data")
+    )
+    return (
+        orders.where(
+            F.col("o_orderpriority").contains("URGENT")
+            & F.col("o_orderstatus").rlike(r"^[OF]$")
+        )
+        .select(
+            "o_orderkey",
+            folder.alias("folder"),
+            F.regexp_extract(folder, r"([\w-]+)_multiqc_data", 1).alias("batch_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R2 filenameN pivot (create_sheets_ultimate.py:260-263,432-436): the
+# per-sample sorted file array pivoted into fixed filename1..filename4
+# columns (missing → NULL).
+# ---------------------------------------------------------------------------
+
+_R2_SQL = """
+WITH files AS (
+  SELECT o_custkey,
+         LIST_SORT(LIST('F' || CAST(o_orderkey AS VARCHAR) || '.fastq.gz')) AS fs
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey AS sample_key,
+       CAST(LEN(fs) AS INT) AS n_files,
+       fs[1] AS filename1, fs[2] AS filename2, fs[3] AS filename3, fs[4] AS filename4
+FROM files
+"""
+
+
+@register("r2_filename_pivot", _R2_SQL)
+def r2_filename_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    files = (
+        orders.select(
+            "o_custkey",
+            F.concat(
+                F.lit("F"), F.col("o_orderkey").cast("string"), F.lit(".fastq.gz")
+            ).alias("f"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_list("f")).alias("fs"))
+    )
+    return files.select(
+        F.col("o_custkey").alias("sample_key"),
+        F.size("fs").alias("n_files"),
+        *[
+            F.try_element_at("fs", F.lit(i)).alias(f"filename{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# R3 document flatten (update_gsheet.py:14 json_normalize): nested
+# struct built then flattened with select("s.*") — the Spark-native
+# equivalent of Mongo-document normalization.
+# ---------------------------------------------------------------------------
+
+_R3_SQL = """
+SELECT n_nationkey AS key,
+       n_name      AS name,
+       r_name      AS region_name,
+       CAST(LENGTH(n_name) AS INT) AS name_len
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+@register("r3_struct_flatten", _R3_SQL)
+def r3_struct_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nested = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+        F.struct(
+            F.col("n_nationkey").alias("key"),
+            F.col("n_name").alias("name"),
+            F.struct(
+                F.col("r_name").alias("region_name"),
+                F.length("n_name").alias("name_len"),
+            ).alias("meta"),
+        ).alias("doc")
+    )
+    # flatten the nested document: doc.* then meta.*
+    return nested.select("doc.*").select("key", "name", "meta.*")

@@ -1,0 +1,194 @@
+"""Driver-checkable MERGE queries (SURVEY.md §2.9).
+
+Each query runs a REAL ParquetTable maintenance cycle (init → merge →
+read back) in a per-call temp directory, so the copy-on-write MERGE
+machinery itself — not a simulation of it — is what the DuckDB oracle
+checks. The oracle states the set-oriented equivalent (FULL/LEFT JOIN
++ COALESCE / array semantics) directly over the benchmark tables.
+
+Array columns are sorted in the projected output: array_union's
+element order is an implementation detail, membership is the
+semantics (update_reads.py:255-272 "$addToSet").
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ccgp_data_wrangling_spark.catalog import load_table
+from ccgp_data_wrangling_spark.operators.merge import ParquetTable
+from ccgp_data_wrangling_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# M1 $set upsert: target = even-key customers, source = keys % 3 == 0
+# with refreshed balance → overlap updated, new keys inserted, the
+# rest untouched.
+# ---------------------------------------------------------------------------
+
+_M1_SQL = """
+WITH target AS (
+  SELECT c_custkey AS k, c_name AS name, ROUND(c_acctbal, 2) AS bal
+  FROM customer WHERE c_custkey % 2 = 0
+),
+source AS (
+  SELECT c_custkey AS k, ROUND(c_acctbal + 1000, 2) AS bal
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT COALESCE(t.k, s.k) AS k,
+       t.name             AS name,
+       COALESCE(s.bal, t.bal) AS bal
+FROM target t FULL OUTER JOIN source s ON t.k = s.k
+"""
+
+
+@register("m1_upsert", _M1_SQL)
+def m1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    target = cust.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    source = cust.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") + 1000, 2).alias("bal"),
+    )
+    tmp = tempfile.mkdtemp(prefix="m1_upsert_")
+    try:
+        tbl = ParquetTable(spark, f"{tmp}/t", "k")
+        tbl.init(target)
+        tbl.upsert(source)
+        return spark.createDataFrame(
+            tbl.read().collect(), tbl.read().schema
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# M2+M6 insert-only then delete: discovery inserts never clobber
+# existing rows; the delete pass purges keys absent from the listing
+# (delete_mongo_file_if_not_in_aws.py:34).
+# ---------------------------------------------------------------------------
+
+_M2_SQL = """
+WITH existing AS (
+  SELECT 'F' || CAST(o_orderkey AS VARCHAR) AS file_name,
+         CAST(0 AS BIGINT) AS filesize
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+listing AS (
+  SELECT 'F' || CAST(o_orderkey AS VARCHAR) AS file_name,
+         CAST(o_orderkey AS BIGINT) AS filesize
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+after_insert AS (
+  SELECT file_name, filesize FROM existing
+  UNION ALL
+  SELECT l.file_name, l.filesize FROM listing l
+  WHERE l.file_name NOT IN (SELECT file_name FROM existing)
+)
+SELECT a.file_name, a.filesize
+FROM after_insert a
+WHERE a.file_name IN (SELECT file_name FROM listing)
+"""
+
+
+@register("m2_insert_only_then_delete", _M2_SQL)
+def m2_insert_only_then_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    fname = F.concat(F.lit("F"), F.col("o_orderkey").cast("string"))
+    existing = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        fname.alias("file_name"), F.lit(0).cast("long").alias("filesize")
+    )
+    listing = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        fname.alias("file_name"), F.col("o_orderkey").cast("long").alias("filesize")
+    )
+    tmp = tempfile.mkdtemp(prefix="m2_reads_")
+    try:
+        tbl = ParquetTable(spark, f"{tmp}/t", "file_name")
+        tbl.init(existing)
+        tbl.insert_only(listing)  # M2: existing rows keep filesize=0
+        missing = tbl.read().join(listing.select("file_name"), "file_name", "left_anti")
+        tbl.delete_keys(missing)  # M6: purge keys absent from listing
+        return spark.createDataFrame(tbl.read().collect(), tbl.read().schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# M3+M4 array union then pull: $addToSet new file names per sample,
+# then $pull one specific file from flagged samples.
+# ---------------------------------------------------------------------------
+
+_M3_SQL = """
+WITH target AS (
+  SELECT o_custkey AS k,
+         LIST_SORT(LIST('F' || CAST(o_orderkey AS VARCHAR))
+                   FILTER (WHERE o_orderkey % 2 = 0)) AS files
+  FROM orders WHERE o_custkey % 5 = 0 GROUP BY o_custkey
+),
+source AS (
+  SELECT o_custkey AS k,
+         LIST_SORT(LIST('F' || CAST(o_orderkey AS VARCHAR))) AS files
+  FROM orders WHERE o_custkey % 5 = 0 AND o_custkey % 2 = 0 GROUP BY o_custkey
+),
+merged AS (
+  SELECT t.k,
+         CASE WHEN s.k IS NULL THEN COALESCE(t.files, [])
+              ELSE LIST_DISTINCT(COALESCE(t.files, []) || COALESCE(s.files, []))
+         END AS files
+  FROM target t LEFT JOIN source s ON t.k = s.k
+),
+pulled AS (
+  SELECT k,
+         CASE WHEN k % 10 = 0
+              THEN LIST_FILTER(files, f -> f <> 'F' || CAST(k * 3 AS VARCHAR))
+              ELSE files END AS files
+  FROM merged
+)
+SELECT k, LIST_SORT(files) AS files, CAST(LEN(files) AS INT) AS n_files
+FROM pulled
+"""
+
+
+@register("m3_array_union_pull", _M3_SQL)
+def m3_array_union_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    fname = F.concat(F.lit("F"), F.col("o_orderkey").cast("string"))
+    base = orders.where(F.col("o_custkey") % 5 == 0).select(
+        F.col("o_custkey").alias("k"), fname.alias("f"), "o_orderkey"
+    )
+    target = base.groupBy("k").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("o_orderkey") % 2 == 0, F.col("f")))
+        ).alias("files")
+    )
+    source = (
+        base.where(F.col("k") % 2 == 0)
+        .groupBy("k")
+        .agg(F.array_sort(F.collect_list("f")).alias("files"))
+    )
+    pulls = (
+        target.select("k")
+        .where(F.col("k") % 10 == 0)
+        .select("k", F.concat(F.lit("F"), (F.col("k") * 3).cast("string")).alias("f"))
+    )
+    tmp = tempfile.mkdtemp(prefix="m3_files_")
+    try:
+        tbl = ParquetTable(spark, f"{tmp}/t", "k")
+        tbl.init(target)
+        tbl.array_union_set(source, "files")  # M3 $addToSet $each
+        tbl.array_pull(pulls, "files", "f")  # M4 $pull
+        out = tbl.read().select(
+            "k",
+            F.array_sort("files").alias("files"),
+            F.size("files").alias("n_files"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
