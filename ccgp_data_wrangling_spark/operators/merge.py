@@ -111,6 +111,7 @@ class ParquetTable:
         source: DataFrame,
         array_col: str,
         set_exprs: dict[str, Column] | None = None,
+        target_array_prep=None,
     ) -> None:
         """MERGE: matched → ``array_col = array_union(t.arr, s.arr)``
         (set semantics, append-distinct) plus optional ``$set`` columns
@@ -119,7 +120,10 @@ class ParquetTable:
         only updates known samples).
 
         ``set_exprs`` maps column name → expression over the joined
-        ("t"/"s"-aliased) frame.
+        ("t"/"s"-aliased) frame. ``target_array_prep`` (Column →
+        Column) is applied to the MATCHED target array before the
+        union — the reference's ""/"NaN" pollution scrub
+        (update_reads.py:190-193) plugs in here.
         """
         tgt = self.read()
         t = tgt.alias("t")
@@ -135,8 +139,11 @@ class ParquetTable:
         for c in tgt.columns:
             if c == array_col:
                 empty = F.array().cast(tgt.schema[c].dataType.simpleString())
+                t_arr = F.coalesce(F.col(f"t.{c}"), empty)
+                if target_array_prep is not None:
+                    t_arr = target_array_prep(t_arr)
                 merged = F.array_union(
-                    F.coalesce(F.col(f"t.{c}"), empty),
+                    t_arr,
                     F.coalesce(F.col(f"s.{c}"), empty),
                 )
                 out_cols.append(
