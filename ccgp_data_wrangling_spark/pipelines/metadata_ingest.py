@@ -111,3 +111,32 @@ def run_metadata_ingest(
     n_rows = cleaned.count()
     samples_tbl.upsert(cleaned)
     return {"files_ok": n_ok, "files_failed": n_failed, "rows_upserted": n_rows}
+
+
+def attach_accessions(
+    samples_tbl: ParquetTable, attributes: DataFrame
+) -> int:
+    """J4 + M1: attach BioSample accessions from the NCBI round-trip
+    attributes.tsv (reference ``update_metadata.py:137-151``,
+    ``workflows/update_biosample_accessions.py:15-40``).
+
+    The NCBI-side sample names arrive in pre-cleaning form — the same
+    X5 cleaning is applied at join time (update_metadata.py:144-147),
+    so 'HYLA 01' matches sample 'HYLA_01'. Returns rows updated.
+    """
+    src = attributes.select(
+        clean_name(F.col("sample_name")).alias("sample_name"),
+        F.col("accession").alias("ncbi_accession_id"),
+        F.col("bioproject_accession").alias("ncbi_bioproject"),
+    ).dropDuplicates(["sample_name"])
+    n = src.join(
+        samples_tbl.read().select("sample_name"), "sample_name", "left_semi"
+    ).count()
+    samples_tbl.update_where_in(
+        src,
+        {
+            "ncbi_accession_id": F.col("s.ncbi_accession_id"),
+            "ncbi_bioproject": F.col("s.ncbi_bioproject"),
+        },
+    )
+    return n

@@ -139,3 +139,32 @@ def merge_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window event counts with a late-data watermark.
+
+    Works identically on a batch DataFrame and a streaming one (the
+    watermark is a no-op in batch) — the engine's windowed-rollup
+    building block for streaming the ``events`` table. In streaming
+    mode, state for windows older than ``watermark_delay`` is evicted
+    and later-arriving rows are dropped — bounded state at any scale.
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark_delay)
+    return src.groupBy(
+        F.window(F.col(ts_col), window_duration).alias("w"),
+        F.col(user_col),
+    ).agg(F.count(F.lit(1)).alias("n_events")).select(
+        F.col("w.start").alias("window_start"),
+        user_col,
+        "n_events",
+    )

@@ -69,8 +69,10 @@ def samples(spark: SparkSession) -> DataFrame:
         "geo_loc_name string, township string, range string, section string, "
         "project_type string, filesize_sum long, received timestamp"
     )
-    return spark.createDataFrame(rows, schema).withColumn(
-        "collection_date", F.lit("2021-03-07")
+    return (
+        spark.createDataFrame(rows, schema)
+        .withColumn("collection_date", F.lit("2021-03-07"))
+        .withColumn("ncbi_bioproject", F.lit(None).cast("string"))
     )
 
 

@@ -160,3 +160,20 @@ def test_project_summary(spark, tables):
     seb = rows["55-Sebastes"]
     assert seb.pct_done == 0.0 and seb.expected_n is None
     assert rows["93-Brachycybe"].project_type == "Non-Minicore"
+
+
+def test_attach_accessions(spark, tables):
+    from ccgp_data_wrangling_spark.pipelines.metadata_ingest import (
+        attach_accessions,
+    )
+
+    samples_tbl, _ = tables
+    n = attach_accessions(samples_tbl, fx.biosample_attributes(spark))
+    assert n == 2  # 'HYLA 01' → HYLA_01 (X5 at join), 'SEB.01' → SEB_01
+    by_name = {r.sample_name: r for r in samples_tbl.read().collect()}
+    assert by_name["HYLA_01"].ncbi_accession_id == "SAMN101"
+    assert by_name["HYLA_01"].ncbi_bioproject == "PRJNA1"
+    assert by_name["SEB_01"].ncbi_accession_id == "SAMN102"
+    # untouched rows keep their values (RANA_01 had one already)
+    assert by_name["RANA_01"].ncbi_accession_id == "SAMN001"
+    assert by_name["HYLA_02"].ncbi_accession_id is None

@@ -116,3 +116,40 @@ def test_merge_stream_upsert(spark, tmp_path):
     q.awaitTermination(60)
     rows = {r.k: r.v for r in target.read().collect()}
     assert rows == {"a": 1, "b": 2}
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
+    """Streaming windowed rollup (watermark + tumbling window) equals
+    the batch computation over the same data."""
+    from ccgp_data_wrangling_spark.catalog import load_table
+    from ccgp_data_wrangling_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src_dir = tmp_path / "events_stream"
+    events.limit(2000).write.parquet(str(src_dir))
+    schema = spark.read.parquet(str(src_dir)).schema
+
+    batch = windowed_event_counts(spark.read.parquet(str(src_dir)))
+    expected = {
+        (r.window_start, r.user_id): r.n_events for r in batch.collect()
+    }
+
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    out_rows = []
+
+    def sink(b, _epoch):
+        out_rows.extend(b.collect())
+
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.window_start, r.user_id): r.n_events for r in out_rows}
+    assert got == expected
