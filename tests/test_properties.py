@@ -1,0 +1,140 @@
+"""Property tests (SURVEY.md §5.4): linkage recall/conflict invariants,
+MERGE idempotency, and similarity-function correctness against pure
+Python reference implementations.
+
+Each property runs a bounded number of hypothesis examples — every
+example executes Spark jobs, so examples are few and data is small;
+the value is in the generated shapes, not the volume.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from ccgp_data_wrangling_spark.functions.similarity import fuzz_ratio
+from ccgp_data_wrangling_spark.operators.linkage import link_reads_to_samples
+from ccgp_data_wrangling_spark.operators.merge import ParquetTable
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+TS = datetime(2023, 5, 1)
+
+# prefix-free ids: a unique leading token per sample makes matches exact
+_token = st.text(alphabet="ABCDEFGHJKMNPQRSTUVWXYZ", min_size=2, max_size=5)
+_sep = st.sampled_from(["_", "-", "."])
+
+
+@st.composite
+def _id_lists(draw):
+    n = draw(st.integers(min_value=1, max_value=5))
+    ids = []
+    for i in range(n):
+        parts = draw(st.lists(_token, min_size=1, max_size=3))
+        seps = [draw(_sep) for _ in range(len(parts) - 1)]
+        uid = f"U{i}" + "".join(
+            s + p for s, p in zip([""] + seps, [parts[0]] + parts[1:])
+        )
+        ids.append(uid)
+    return ids
+
+
+@given(_id_lists())
+@SETTINGS
+def test_linkage_recall_property(spark, ids):
+    """Every file named ``<id><sep>...`` links back to its sample when
+    ids are prefix-free (unique leading token)."""
+    samples = spark.createDataFrame(
+        [(f"S{i}", uid, "YES") for i, uid in enumerate(ids)],
+        "sample_name string, minicore_seq_id string, minicore_sequenced string",
+    )
+    reads = spark.createDataFrame(
+        [
+            (f"{uid}_L001_R{r}_001.fastq.gz", 10 + i, TS)
+            for i, uid in enumerate(ids)
+            for r in (1, 2)
+        ],
+        "file_name string, filesize long, mdate timestamp",
+    )
+    linked = {
+        r.sample_name: r for r in link_reads_to_samples(samples, reads).collect()
+    }
+    assert set(linked) == {f"S{i}" for i in range(len(ids))}
+    for i in range(len(ids)):
+        row = linked[f"S{i}"]
+        assert row.n_files == 2
+        assert all(f.startswith(ids[i]) for f in row.files_found)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 100)),
+        min_size=0,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_merge_upsert_idempotent_property(spark, tmp_path_factory, src_rows):
+    """upsert(upsert(T, S), S) == upsert(T, S) for arbitrary sources
+    (including duplicate-key-free random overlaps with the target)."""
+    tmp = tmp_path_factory.mktemp("m")
+    tbl = ParquetTable(spark, str(tmp / "t"), "k")
+    tbl.init(
+        spark.createDataFrame([(k, -1) for k in range(4)], "k long, v long")
+    )
+    src = spark.createDataFrame(
+        list({k: (k, v) for k, v in src_rows}.values()) or [],
+        "k long, v long",
+    )
+    tbl.upsert(src)
+    once = sorted(map(tuple, tbl.read().collect()))
+    tbl.upsert(src)
+    twice = sorted(map(tuple, tbl.read().collect()))
+    assert once == twice
+    # upsert semantics: every source key present with source value
+    got = dict(once)
+    for k, v in dict(src_rows).items():
+        assert got[k] == v
+
+
+def _py_lcs(a: str, b: str) -> int:
+    prev = [0] * (len(a) + 1)
+    for cb in b:
+        cur = [0]
+        for i, ca in enumerate(a, 1):
+            cur.append(prev[i - 1] + 1 if ca == cb else max(prev[i], cur[-1]))
+        prev = cur
+    return prev[len(a)]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcXYZ_-.0123456789", max_size=12),
+            st.text(alphabet="abcXYZ_-.0123456789", max_size=12),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_fuzz_ratio_matches_reference(spark, pairs):
+    """fuzz_ratio == 100·2·LCS/(|a|+|b|) per the pure-Python DP, with
+    100.0 for the empty-empty pair — one Spark job for all examples."""
+    df = spark.createDataFrame(pairs, "a string, b string")
+    rows = df.select("a", "b", fuzz_ratio(F.col("a"), F.col("b")).alias("r")).collect()
+    for row in rows:
+        a, b = row.a, row.b
+        expected = (
+            100.0 if not a and not b else 200.0 * _py_lcs(a, b) / (len(a) + len(b))
+        )
+        assert row.r == pytest.approx(expected, abs=1e-9), (a, b)
