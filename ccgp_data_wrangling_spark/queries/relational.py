@@ -579,3 +579,41 @@ def r6_jan_only_products(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand", "p_type"
     )
     return jan.subtract(feb)
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe two-phase aggregation (operators/skew.py): l_returnflag is a
+# 3-value key — the degenerate heavy-hitter shape — so the salted
+# pre-aggregate spreads each key over 16 partials before the final
+# combine. Result must equal the plain GROUP BY.
+# ---------------------------------------------------------------------------
+
+_SKEW_SQL = """
+SELECT l_returnflag,
+       COUNT(*)                            AS n_rows,
+       CAST(SUM(l_quantity) AS BIGINT)     AS sum_qty,
+       MAX(l_extendedprice)                AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("skew_salted_agg", _SKEW_SQL)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n_rows": F.count(F.lit(1)),
+            "sum_qty": F.sum("l_quantity"),
+            "max_price": F.max("l_extendedprice"),
+        },
+        {
+            "n_rows": F.sum("n_rows"),
+            "sum_qty": F.sum("sum_qty").cast("long"),
+            "max_price": F.max("max_price"),
+        },
+    )
