@@ -617,3 +617,83 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_price": F.max("max_price"),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-join EXISTS (TPC-H Q4 shape): orders with at least one returned
+# line, counted per priority bucket.
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_exists_semi_join", _Q4_SQL)
+def q4_exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: top customers by returned-revenue, 4-way join +
+# agg + rank. Revenue rounded identically on both sides before ranking
+# so the top-20 cut is deterministic.
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM customer c
+  JOIN orders o   ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, n_name, revenue
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rn
+  FROM rev
+) WHERE rn <= 20
+"""
+
+
+@register("q10_returned_revenue", _Q10_SQL)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject: each partition
+    # keeps its local top-20, the driver merges — no single-partition
+    # global window (WindowExec would move every customer to one task).
+    return (
+        rev.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )

@@ -88,3 +88,26 @@ def export_rows(
         )
     push(list(df.columns), [list(r) for r in rows])
     return len(rows)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    *,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed managed table (co-located join scale path).
+
+    Two tables bucketed on the same key with the same bucket count
+    join WITHOUT a shuffle exchange — the physical win the reference's
+    per-project access pattern wants at 100 TB (bucket samples and
+    reads by project/sample key once; every later join/agg on that key
+    is exchange-free). Requires saveAsTable (bucket metadata lives in
+    the session catalog / metastore).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

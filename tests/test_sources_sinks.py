@@ -6,6 +6,8 @@ from datetime import datetime
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from ccgp_data_wrangling_spark.sources import (
     lookup_csv_dim,
     read_delimited,
@@ -110,3 +112,33 @@ def test_export_rows_pushes_and_guards(spark):
     big = spark.range(30).select("id")
     with pytest.raises(ValueError, match="refuses"):
         export_rows(big, push, max_rows=10)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketed-by-key tables join without an Exchange (co-location)."""
+    import contextlib
+    import io
+
+    from ccgp_data_wrangling_spark.sources.sinks import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+        )
+        right = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+        )
+        write_bucketed_table(left, "bk_left", ["k"], 4)
+        write_bucketed_table(right, "bk_right", ["k"], 4)
+        joined = spark.table("bk_left").join(spark.table("bk_right"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
