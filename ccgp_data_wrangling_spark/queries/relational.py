@@ -503,11 +503,20 @@ def x12_fuzzy_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         F.round(100.0 * (total_len - lev) / total_len, 3).alias("ratio"),
     )
-    w = W.partitionBy("s_name").orderBy(F.desc("ratio"), F.asc("c_name"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("s_name", F.col("c_name").alias("best_customer"), "ratio")
+    # argmax as min_by over struct(-ratio, c_name): lexicographic struct
+    # ordering gives max ratio then min c_name (same tiebreak as the
+    # window), but aggregates map-side — only one row per supplier
+    # reaches the shuffle instead of all S×C scored pairs.
+    best = scored.groupBy("s_name").agg(
+        F.min_by(
+            F.struct("c_name", "ratio"),
+            F.struct((-F.col("ratio")).alias("o1"), F.col("c_name").alias("o2")),
+        ).alias("best")
+    )
+    return best.select(
+        "s_name",
+        F.col("best.c_name").alias("best_customer"),
+        F.col("best.ratio").alias("ratio"),
     )
 
 
