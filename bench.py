@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_lsh_planted",
     "multimodal_features",
     "x12_fuzzy_best_match",
+    "asof_last_click",
 ]
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ccgp_data_wrangling_spark.catalog import load_table
+from ccgp_data_wrangling_spark.operators.asof import asof_join
 from ccgp_data_wrangling_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -146,4 +147,41 @@ def t_daily_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(100.0 * F.col("day_value") / F.sum("day_value").over(w), 4).alias(
             "pct_of_type"
         ),
+    )
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase gets the latest click at-or-before it by the
+# same user (operators/asof.py — union + one keyed window; the oracle is
+# DuckDB's native ASOF LEFT JOIN). No (user_id, ts) duplicates exist in
+# the data, so the match is deterministic on both sides.
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, ROUND(value, 3) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts AS click_ts, ROUND(value, 3) AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts, p.purchase_value, c.click_ts, c.click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+
+@register("asof_last_click", _ASOF_SQL)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 3).alias("purchase_value")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.round("value", 3).alias("click_value"),
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts"
     )

@@ -706,3 +706,42 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "n_name", "revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP hierarchy profile (SURVEY §2.5 notes the reference has no
+# grouping sets — the engine exposes Spark's rollup/cube built-ins;
+# GROUPING() distinguishes subtotal rows from real values).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+            ELSE o_orderstatus END                        AS status,
+       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+            ELSE o_orderpriority END                      AS priority,
+       COUNT(*)                                           AS n_orders,
+       ROUND(SUM(o_totalprice), 2)                        AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+@register("rollup_order_profile", _ROLLUP_SQL)
+def rollup_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.grouping("o_orderstatus").alias("g_status"),
+        F.grouping("o_orderpriority").alias("g_priority"),
+    )
+    return agg.select(
+        F.when(F.col("g_status") == 1, "ALL")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(F.col("g_priority") == 1, "ALL")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+        "n_orders",
+        "total_price",
+    )
