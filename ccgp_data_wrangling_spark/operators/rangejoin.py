@@ -1,0 +1,73 @@
+"""Range (point-in-interval) join — bucketed to avoid the cross product.
+
+Spark plans an inequality-only join condition (``p BETWEEN start AND
+end``) as BroadcastNestedLoopJoin or CartesianProduct — O(P×I) pair
+evaluations. This operator applies the standard bucketing inversion:
+chop the number line into fixed-width buckets, explode each interval
+to the buckets it covers, map each point to its single bucket, then
+equi-join on bucket id and refine with the exact predicate. Each
+matching pair is produced exactly once (a point lives in one bucket).
+
+Cost: shuffle keyed on (keys…, bucket) — uniform if ``bucket_width``
+is chosen near the typical interval length, so each interval explodes
+to O(1) buckets. This is how Databricks' range-join hint and
+bioinformatics interval joins (e.g. chromosome-binned BED joins) work;
+100 TB-safe because no executor ever sees the pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["range_join"]
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    on: list[str] | None = None,
+    bucket_width: float,
+) -> DataFrame:
+    """Inner join each point row to every interval row with
+    ``start_col <= point_col <= end_col`` (and equal ``on`` keys, if
+    given). Numeric columns only — cast timestamps to epoch seconds
+    first. Pick ``bucket_width`` near the typical interval length so
+    each interval covers O(1) buckets.
+
+    Output columns: keys, then point payload, then interval payload;
+    clashing non-key names raise (rename before joining).
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    keys = list(on or [])
+    p_payload = [c for c in points.columns if c not in keys]
+    i_payload = [c for c in intervals.columns if c not in keys]
+    clash = set(p_payload) & set(i_payload)
+    if clash:
+        raise ValueError(f"rename clashing columns: {sorted(clash)}")
+
+    w = float(bucket_width)
+    pts = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / F.lit(w)).cast("long")
+    )
+    # drop inverted intervals: Spark's sequence() would count DOWN for
+    # start > stop and explode them to spurious buckets
+    ivs = intervals.where(F.col(start_col) <= F.col(end_col)).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(w)).cast("long"),
+                F.floor(F.col(end_col) / F.lit(w)).cast("long"),
+            )
+        ),
+    )
+    joined = pts.join(ivs, keys + ["__bucket"])
+    return joined.where(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col))
+    ).select(*keys, *p_payload, *i_payload)

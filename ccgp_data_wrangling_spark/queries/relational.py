@@ -745,3 +745,41 @@ def rollup_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "total_price",
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join (operators/rangejoin.py): customers whose balance falls in a
+# +/-50 band around each supplier's balance. Spark would plan the raw
+# BETWEEN condition as a nested-loop cross product; the operator buckets
+# the number line and equi-joins. The DuckDB oracle runs the plain
+# inequality join (its IEJoin handles it at this scale).
+# ---------------------------------------------------------------------------
+
+_RANGE_SQL = """
+SELECT s.s_suppkey, c.c_custkey,
+       ROUND(c.c_acctbal - s.s_acctbal, 2) AS bal_diff
+FROM supplier s
+JOIN customer c
+  ON c.c_acctbal >= s.s_acctbal - 50 AND c.c_acctbal <= s.s_acctbal + 50
+"""
+
+
+@register("range_balance_band", _RANGE_SQL)
+def range_balance_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.operators.rangejoin import range_join
+
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 50).alias("lo"),
+        (F.col("s_acctbal") + 50).alias("hi"),
+        "s_acctbal",
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = range_join(
+        cust, supp, "c_acctbal", "lo", "hi", bucket_width=100.0
+    )
+    return out.select(
+        "s_suppkey",
+        "c_custkey",
+        F.round(F.col("c_acctbal") - F.col("s_acctbal"), 2).alias("bal_diff"),
+    )

@@ -111,3 +111,18 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], *, mode: str = "overwrite"
+) -> None:
+    """Write parquet partitioned by the given columns (hive layout).
+
+    The scale-path layout for the reference's tables: every access in
+    SURVEY.md §2.3 filters on project / sample / file key, so
+    partitioning on `ccgp-project-id` turns those filters into
+    partition pruning — the scan never opens non-matching directories
+    (PartitionFilters in the physical plan, vs row-group skipping for
+    non-partition predicates).
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -1,0 +1,110 @@
+"""Unit tests for the bucketed range join (operators/rangejoin.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ccgp_data_wrangling_spark.operators.rangejoin import range_join
+
+
+@pytest.fixture()
+def pts_ivs(spark):
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 99.0), (4, 250.0)],
+        "pid int, x double",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("a", 0.0, 10.0),     # catches 5.0 and 10.0 (inclusive ends)
+            ("b", 9.0, 120.0),    # catches 10.0 and 99.0, spans buckets
+            ("c", 300.0, 400.0),  # catches nothing
+            ("d", 50.0, 40.0),    # inverted → dropped, not exploded
+        ],
+        "iid string, lo double, hi double",
+    )
+    return points, intervals
+
+
+def test_matches_inclusive_bounds_exactly_once(spark, pts_ivs):
+    points, intervals = pts_ivs
+    out = range_join(points, intervals, "x", "lo", "hi", bucket_width=25.0)
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    assert got == [(1, "a"), (2, "a"), (2, "b"), (3, "b")]
+
+
+def test_matches_brute_force_on_random_data(spark):
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(0, 1000)) for i in range(200)]
+    ivs = []
+    for i in range(60):
+        lo = rng.uniform(0, 1000)
+        ivs.append((i, lo, lo + rng.uniform(0, 80)))
+    points = spark.createDataFrame(pts, "pid int, x double")
+    intervals = spark.createDataFrame(ivs, "iid int, lo double, hi double")
+    out = range_join(points, intervals, "x", "lo", "hi", bucket_width=50.0)
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    want = sorted(
+        (pid, iid) for pid, x in pts for iid, lo, hi in ivs if lo <= x <= hi
+    )
+    assert got == want
+
+
+def test_keyed_range_join_restricts_to_key(spark):
+    points = spark.createDataFrame(
+        [("u1", 1, 5.0), ("u2", 2, 5.0)], "k string, pid int, x double"
+    )
+    intervals = spark.createDataFrame(
+        [("u1", 10, 0.0, 10.0)], "k string, iid int, lo double, hi double"
+    )
+    out = range_join(
+        points, intervals, "x", "lo", "hi", on=["k"], bucket_width=10.0
+    )
+    assert [(r.k, r.pid, r.iid) for r in out.collect()] == [("u1", 1, 10)]
+
+
+def test_plan_has_no_nested_loop(spark, pts_ivs):
+    import contextlib
+    import io
+
+    points, intervals = pts_ivs
+    out = range_join(points, intervals, "x", "lo", "hi", bucket_width=25.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bad_width_raises(spark, pts_ivs):
+    points, intervals = pts_ivs
+    with pytest.raises(ValueError, match="positive"):
+        range_join(points, intervals, "x", "lo", "hi", bucket_width=0)
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """write_partitioned layout turns an equality filter into partition
+    pruning (PartitionFilters in the scan, not a post-scan Filter)."""
+    import contextlib
+    import io
+
+    from ccgp_data_wrangling_spark.sources.sinks import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, ["red", "green", "blue"][i % 3]) for i in range(90)],
+        "id long, color string",
+    )
+    path = str(tmp_path / "bycolor")
+    write_partitioned(df, path, ["color"])
+    back = spark.read.parquet(path).where(F.col("color") == "green")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "color" in plan.split("PartitionFilters", 1)[1][:200]
+    assert back.count() == 30
