@@ -185,3 +185,45 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-grain rollup (hypertable-style continuous aggregate): hour and
+# day grains computed in ONE scan via GROUPING SETS (the grain column
+# is null for the other set's rows). At scale this halves the input
+# passes vs two separate rollups; both grains partial-aggregate
+# map-side before one shuffle.
+# ---------------------------------------------------------------------------
+
+_MULTIGRAIN_SQL = """
+SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+       CAST(DATE_TRUNC('day', ts)  AS TIMESTAMP) AS day,
+       event_type,
+       COUNT(*)             AS n_events,
+       ROUND(SUM(value), 3) AS total_value
+FROM events
+GROUP BY GROUPING SETS (
+  (DATE_TRUNC('hour', ts), event_type),
+  (DATE_TRUNC('day', ts), event_type)
+)
+"""
+
+
+@register("t_multigrain_rollup", _MULTIGRAIN_SQL)
+def t_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        "value",
+    ).createOrReplaceTempView("__events_grains")
+    return spark.sql(
+        """
+        SELECT hour, day, event_type,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(value), 3) AS total_value
+        FROM __events_grains
+        GROUP BY GROUPING SETS ((hour, event_type), (day, event_type))
+        """
+    )

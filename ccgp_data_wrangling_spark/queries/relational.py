@@ -783,3 +783,40 @@ def range_balance_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.round(F.col("c_acctbal") - F.col("s_acctbal"), 2).alias("bal_diff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (operators/profile.py): one-pass per-column QC stats.
+# The oracle is a UNION ALL of per-column aggregates.
+# ---------------------------------------------------------------------------
+
+_PROFILE_SQL = """
+SELECT 'o_orderstatus' AS column, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderstatus) AS VARCHAR) AS min_value,
+       CAST(MAX(o_orderstatus) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*),
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+"""
+
+
+@register("profile_orders", _PROFILE_SQL)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.operators.profile import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    )
