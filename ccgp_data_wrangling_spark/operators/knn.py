@@ -91,6 +91,19 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def _ranked_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Deterministic top-k with a rank column, scale-safe.
+
+    orderBy+limit compiles to TakeOrderedAndProject (each partition
+    keeps a local top-k, the driver merges) — a global row_number
+    window would instead move EVERY scored row to one partition. The
+    rank window afterwards only ever sees k rows.
+    """
+    order = [F.desc("cos_sim"), F.asc(id_col)]
+    top = scored.orderBy(*order).limit(k)
+    return top.withColumn("rank", F.row_number().over(W.orderBy(*order)))
+
+
 def ann_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -124,8 +137,7 @@ def ann_topk(
         id_col,
         F.round(cosine_sim(v, qcol), 4).alias("cos_sim"),
     )
-    w = W.orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _ranked_topk(scored, k, id_col)
 
 
 def brute_force_topk(
@@ -144,8 +156,7 @@ def brute_force_topk(
             "cos_sim"
         ),
     )
-    w = W.orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _ranked_topk(scored, k, id_col)
 
 
 def ivf_topk(
@@ -229,5 +240,4 @@ def ivf_topk(
         id_col,
         F.round(cosine_sim(v, qcol), 4).alias("cos_sim"),
     )
-    w = W.orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _ranked_topk(scored, k, id_col)

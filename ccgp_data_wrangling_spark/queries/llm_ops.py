@@ -207,10 +207,11 @@ def knn_top10_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(dot / (norm_e * norm_q), 4).alias("cos_sim"),
     )
-    w = W.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    # TakeOrderedAndProject (distributed local top-k + driver merge),
+    # not a single-partition global row_number window
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 10)
+        scored.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
         .select("vec_id", "label", "cos_sim")
     )
 

@@ -109,12 +109,9 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
-    w = W.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-    return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 10)
-        .drop("rn")
-    )
+    # TakeOrderedAndProject (distributed local top-k + driver merge),
+    # not a single-partition global row_number window
+    return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
 
 
 # ---------------------------------------------------------------------------
