@@ -92,3 +92,104 @@ def extract_media_features(
         F.col(media_type_col).alias(media_type_col),
     )
     return narrow.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+RESIZE_SCHEMA = (
+    "id long, media_type string, payload binary, out_width int, "
+    "out_height int, n_bytes_out long"
+)
+
+FRAME_SCHEMA = (
+    "id long, frame_idx int, frame_ts_sec double, frame_payload binary"
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize kernel: resamples the
+    byte stream to width*height bytes (nearest-index). A real kernel
+    (PIL ``Image.resize``) drops in with the same signature."""
+    n = max(1, width * height)
+    src = payload or b"\x00"
+    return bytes(src[(i * len(src)) // n] for i in range(n))
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    media_type_col: str = "media_type",
+) -> DataFrame:
+    """Resize every image payload to (width, height) via Arrow batches.
+
+    Output keeps payload as ``binary`` (RESIZE_SCHEMA) so downstream
+    stages keep streaming; 1 row in → 1 row out preserves partitioning.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [fake_resize(bytes(p), width, height) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values,
+                    "media_type": pdf[media_type_col].values,
+                    "payload": resized,
+                    "out_width": width,
+                    "out_height": height,
+                    "n_bytes_out": [len(r) for r in resized],
+                }
+            )
+
+    narrow = df.select(id_col, payload_col, media_type_col)
+    return narrow.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_sec: float,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    duration_col: str = "duration_sec",
+    frame_bytes: int = 64,
+) -> DataFrame:
+    """Sample one frame per ``every_sec`` from each video payload —
+    the 1→N expansion shape (UDTF-like) of a video pipeline.
+
+    Deterministic fake: frame k's payload is the byte window at the
+    proportional offset. A real decoder (decord/ffmpeg) replaces
+    ``_fake_frame`` only. Output rows carry (id, frame_idx, ts) so
+    frames join back to labels without re-reading the video.
+    """
+    if every_sec <= 0:
+        raise ValueError("every_sec must be positive")
+
+    def _fake_frame(payload: bytes, k: int, n_frames: int) -> bytes:
+        if not payload:
+            return b""
+        start = (k * len(payload)) // max(1, n_frames)
+        return payload[start : start + frame_bytes]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col])
+                n_frames = max(1, int(float(row[duration_col]) // every_sec) + 1)
+                for k in range(n_frames):
+                    ids.append(row[id_col])
+                    idxs.append(k)
+                    tss.append(k * every_sec)
+                    frames.append(_fake_frame(payload, k, n_frames))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "frame_idx": idxs,
+                    "frame_ts_sec": tss,
+                    "frame_payload": frames,
+                }
+            )
+
+    narrow = df.select(id_col, payload_col, duration_col)
+    return narrow.mapInPandas(op, schema=FRAME_SCHEMA)

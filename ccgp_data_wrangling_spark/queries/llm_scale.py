@@ -379,3 +379,35 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "id", "media_type", "n_bytes", "content_md5", "fake_width", "fake_height"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling: the 1→N expansion (UDTF shape) of a video
+# pipeline, plumbing-checked — duration derives from n_chars so the
+# oracle can regenerate the (id, frame_idx, ts) grid with
+# generate_series; frame payloads are engine-side only.
+# ---------------------------------------------------------------------------
+
+_FRAMES_SQL = """
+SELECT d.doc_id AS id,
+       CAST(t.k AS INT) AS frame_idx,
+       ROUND(CAST(t.k * 2.5 AS DOUBLE), 2) AS frame_ts_sec
+FROM documents d,
+     UNNEST(GENERATE_SERIES(0, CAST(FLOOR((d.n_chars / 100.0) / 2.5) AS INT))) AS t(k)
+"""
+
+
+@register("multimodal_frame_sample", _FRAMES_SQL)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.col("n_chars") / 100.0).alias("duration_sec"),
+    )
+    frames = sample_frames(media, every_sec=2.5)
+    return frames.select(
+        "id", "frame_idx", F.round("frame_ts_sec", 2).alias("frame_ts_sec")
+    )
