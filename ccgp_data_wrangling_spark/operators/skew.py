@@ -55,3 +55,40 @@ def salted_aggregate(
     return phase1.groupBy(*keys).agg(
         *[expr.alias(name) for name, expr in final_aggs.items()]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    *,
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_col: str = "__salt",
+) -> DataFrame:
+    """Skew-safe fact⋈dim equi-join by explicit salting.
+
+    The fact side gets a deterministic salt in [0, n_salts); the dim
+    side is replicated once per salt value; the join runs on
+    (keys…, salt). A hot key's fact rows spread over ``n_salts``
+    reducer tasks instead of one, at the cost of dim×n_salts shuffle
+    volume — use when the dim is too big to broadcast AND AQE's
+    runtime skew split can't apply (e.g. the skewed side feeds a
+    co-partitioned downstream op). Supports inner and left joins
+    (each fact row still matches exactly its key's dim rows; right/
+    full would see the replicated dim side and are refused).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    fact_s = fact.withColumn(
+        salt_col,
+        F.pmod(
+            F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        ),
+    )
+    dim_s = dim.withColumn(
+        salt_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>")),
+    )
+    return fact_s.join(dim_s, list(on) + [salt_col], how).drop(salt_col)

@@ -192,3 +192,95 @@ def m3_array_union_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# M7/SCD2: audited attribute migration as a type-2 dimension update
+# (operators/scd2.py). Fixture: the customer dim as an all-open
+# snapshot; one change batch moves every 5th customer's segment,
+# re-asserts every 7th unchanged (no-op path), and adds new keys for
+# every 11th. The oracle rebuilds the same snapshot with set logic.
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH cur AS (
+  SELECT c_custkey, c_mktsegment, c_nationkey,
+         TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to,
+         TRUE AS is_current
+  FROM customer
+),
+chg AS (
+  SELECT c_custkey, 'MOVED' AS c_mktsegment, c_nationkey,
+         TIMESTAMP '2024-06-01 00:00:00' AS ts
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_nationkey,
+         TIMESTAMP '2024-06-01 00:00:00'
+  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 5 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEWSEG', CAST(0 AS INT),
+         TIMESTAMP '2024-06-01 00:00:00'
+  FROM customer WHERE c_custkey % 11 = 0
+)
+SELECT cur.c_custkey, cur.c_mktsegment, cur.c_nationkey,
+       cur.valid_from, chg.ts AS valid_to, FALSE AS is_current
+FROM cur JOIN chg ON cur.c_custkey = chg.c_custkey
+WHERE cur.c_mktsegment <> chg.c_mktsegment OR cur.c_nationkey <> chg.c_nationkey
+UNION ALL
+SELECT chg.c_custkey, chg.c_mktsegment, chg.c_nationkey,
+       chg.ts, CAST(NULL AS TIMESTAMP), TRUE
+FROM chg JOIN cur ON cur.c_custkey = chg.c_custkey
+WHERE cur.c_mktsegment <> chg.c_mktsegment OR cur.c_nationkey <> chg.c_nationkey
+UNION ALL
+SELECT cur.c_custkey, cur.c_mktsegment, cur.c_nationkey,
+       cur.valid_from, CAST(NULL AS TIMESTAMP), TRUE
+FROM cur LEFT JOIN chg ON cur.c_custkey = chg.c_custkey
+WHERE chg.c_custkey IS NULL
+   OR (cur.c_mktsegment = chg.c_mktsegment AND cur.c_nationkey = chg.c_nationkey)
+UNION ALL
+SELECT chg.c_custkey, chg.c_mktsegment, chg.c_nationkey,
+       chg.ts, CAST(NULL AS TIMESTAMP), TRUE
+FROM chg LEFT JOIN cur ON cur.c_custkey = chg.c_custkey
+WHERE cur.c_custkey IS NULL
+"""
+
+
+@register("m7_scd2_segment_migration", _SCD2_SQL)
+def m7_scd2_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.operators.scd2 import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    t0 = F.lit("2020-01-01 00:00:00").cast("timestamp")
+    t1 = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    current = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    moved = cust.where(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("MOVED").alias("c_mktsegment"),
+        "c_nationkey",
+        t1.alias("ts"),
+    )
+    noop = cust.where(
+        (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 5 != 0)
+    ).select("c_custkey", "c_mktsegment", "c_nationkey", t1.alias("ts"))
+    fresh = cust.where(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        t1.alias("ts"),
+    )
+    changes = moved.unionByName(noop).unionByName(fresh)
+    return scd2_apply(
+        current,
+        changes,
+        "c_custkey",
+        ["c_mktsegment", "c_nationkey"],
+        change_ts_col="ts",
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ccgp_data_wrangling_spark.operators.skew import salted_aggregate
@@ -111,3 +113,46 @@ def test_salted_aggregate_matches_plain_groupby(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_salted_join_matches_plain_join(spark):
+    from ccgp_data_wrangling_spark.operators.skew import salted_join
+
+    # heavy-hitter key "hot": 5000 of 5200 fact rows
+    fact = spark.range(5200).select(
+        F.when(F.col("id") < 5000, "hot")
+        .otherwise(F.concat(F.lit("k"), F.col("id") % 40))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k1", 2), ("k3", 3)], "k string, tag int"
+    )
+    got = salted_join(fact, dim, ["k"], n_salts=8)
+    want = fact.join(dim, "k")
+    assert got.count() == want.count()
+    assert (
+        got.groupBy("k").count().orderBy("k").collect()
+        == want.groupBy("k").count().orderBy("k").collect()
+    )
+
+
+def test_salted_left_join_keeps_unmatched_once(spark):
+    from ccgp_data_wrangling_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", 3)], "k string, v int"
+    )
+    dim = spark.createDataFrame([("a", 10)], "k string, tag int")
+    got = sorted(
+        (r.k, r.v, r.tag) for r in salted_join(fact, dim, ["k"], how="left").collect()
+    )
+    assert got == [("a", 1, 10), ("b", 2, None), ("b", 3, None)]
+
+
+def test_salted_join_rejects_right_join(spark):
+    from ccgp_data_wrangling_spark.operators.skew import salted_join
+
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="inner|left"):
+        salted_join(df, df, ["k"], how="right")
