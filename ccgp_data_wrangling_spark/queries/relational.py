@@ -817,3 +817,33 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         orders, ["o_orderstatus", "o_orderpriority", "o_custkey"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentile aggregation (order statistics): median and p95 per
+# return flag. Spark's percentile and DuckDB's quantile_cont both use
+# linear interpolation, so exact results hash-match. At 100 TB swap in
+# approx_percentile (t-digest) — same call shape, mergeable sketches.
+# ---------------------------------------------------------------------------
+
+_PCTL_SQL = """
+SELECT l_returnflag,
+       QUANTILE_CONT(l_extendedprice, 0.5)  AS p50_price,
+       QUANTILE_CONT(l_extendedprice, 0.95) AS p95_price,
+       QUANTILE_CONT(l_quantity, 0.5)       AS p50_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("percentiles_by_flag", _PCTL_SQL)
+def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # no ROUND: median of 2-decimal prices sits exactly on .xx5, where a
+    # 1-ulp interpolation difference between engines flips round(.., 2)
+    # either way; the driver's %.6f canonicalization absorbs ulp noise
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_price"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95_price"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50_qty"),
+    )
