@@ -168,3 +168,36 @@ def windowed_event_counts(
         user_col,
         "n_events",
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream equi+interval join: pair each left event with
+    right events by the same key that happened within ``lookback``
+    BEFORE it (``left_ts - lookback <= right_ts <= left_ts``).
+
+    Both sides are watermarked so the state store can evict right rows
+    older than watermark + lookback — without the time bound Spark
+    (correctly) refuses the inner stream-stream join as unbounded
+    state. Works identically on batch frames (watermarks no-op), so
+    the batch dual is its own oracle.
+    """
+    lf, rf = left, right
+    if lf.isStreaming:
+        lf = lf.withWatermark(left_ts, watermark_delay)
+    if rf.isStreaming:
+        rf = rf.withWatermark(right_ts, watermark_delay)
+    cond = (
+        (lf[on] == rf[on])
+        & (rf[right_ts] <= lf[left_ts])
+        & (rf[right_ts] >= lf[left_ts] - F.expr(f"INTERVAL {lookback}"))
+    )
+    return lf.join(rf, cond, "inner")

@@ -153,3 +153,50 @@ def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.window_start, r.user_id): r.n_events for r in out_rows}
     assert got == expected
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream time-bounded join (watermarked) produces exactly
+    the rows of the identical batch join."""
+    from ccgp_data_wrangling_spark.catalog import load_table
+    from ccgp_data_wrangling_spark.streaming.incremental import (
+        interval_join_streams,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    p_dir, c_dir = tmp_path / "p", tmp_path / "c"
+    purchases.write.parquet(str(p_dir))
+    clicks.write.parquet(str(c_dir))
+
+    kw = dict(on="user_id", left_ts="p_ts", right_ts="c_ts", lookback="2 hours")
+    batch = interval_join_streams(
+        spark.read.parquet(str(p_dir)), spark.read.parquet(str(c_dir)), **kw
+    )
+    expected = sorted((r.p_id, r.c_id) for r in batch.collect())
+    assert expected, "fixture must produce at least one joined pair"
+
+    ps = spark.readStream.schema(
+        spark.read.parquet(str(p_dir)).schema
+    ).parquet(str(p_dir))
+    cs = spark.readStream.schema(
+        spark.read.parquet(str(c_dir)).schema
+    ).parquet(str(c_dir))
+    out_rows = []
+
+    q = (
+        interval_join_streams(ps, cs, **kw)
+        .writeStream.foreachBatch(lambda b, _e: out_rows.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.p_id, r.c_id) for r in out_rows)
+    assert got == expected
