@@ -1,0 +1,115 @@
+"""Banded fuzzy argmax join — exact Levenshtein-ratio best match,
+faster than the naive all-pairs scoring.
+
+The reference's conflict resolution (update_reads.py:166-181) and any
+X12-class "best fuzzy match" picks, per left row, the right row
+maximizing ``ratio = 100·(|a|+|b|-lev)/(|a|+|b|)``. Scoring every
+pair with full Levenshtein is O(|a|·|b|) per pair; Spark's
+``levenshtein(a, b, threshold)`` runs a banded DP that early-exits
+once distance exceeds the threshold (O(threshold·n) per pair — 4×
+faster at small bands).
+
+Two-pass exactness: pass 1 scores only pairs with ``lev <= band``.
+Any pruned pair satisfies ``ratio < 100·(|a|+R-band-1)/(|a|+R)``
+where R is the max right-side length (ratio is increasing in |b| for
+fixed lev floor). A left row whose banded best strictly beats that
+bound cannot be improved by any pruned pair — proven exact. The rest
+(usually none, worst-case all) fall back to full scoring, so results
+are ALWAYS exact; the band only controls how much work pass 1 saves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["fuzzy_argmax_join"]
+
+
+def _score(left_col: str, right_col: str, lev):
+    tot = F.length(left_col) + F.length(right_col)
+    return F.when(tot == 0, F.lit(100.0)).otherwise(
+        F.round(100.0 * (tot - lev) / tot, 3)
+    )
+
+
+def _argmax(scored: DataFrame, left_col: str, right_col: str) -> DataFrame:
+    # min_by over struct(-ratio, right): lexicographic struct ordering
+    # gives max ratio then min right value, aggregated map-side
+    return scored.groupBy(left_col).agg(
+        F.min_by(
+            F.struct(right_col, "ratio"),
+            F.struct((-F.col("ratio")).alias("o1"), F.col(right_col).alias("o2")),
+        ).alias("__best"),
+        F.max("ratio").alias("__best_ratio"),
+    )
+
+
+def fuzzy_argmax_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    *,
+    band: int = 6,
+) -> DataFrame:
+    """For each distinct ``left_col`` value, the ``right_col`` value
+    with the highest Levenshtein ratio (ties → lexicographically
+    smallest right value). Output: (left_col, right_col, ratio).
+
+    ``right`` is broadcast — it must be dimension-sized. Exact for any
+    ``band``; tune ``band`` near the expected best-match distance.
+    """
+    lf = left.select(left_col)
+    rf = right.select(right_col)
+    r_max = rf.agg(F.max(F.length(right_col))).head()[0]
+    if r_max is None:
+        raise ValueError("right side is empty")
+
+    cross = lf.crossJoin(F.broadcast(rf))
+    lev_b = F.levenshtein(left_col, right_col, band)
+    # pruned pairs map to a -1 sentinel instead of being filtered out:
+    # a filter on lev would re-evaluate the levenshtein (predicate and
+    # projection are separate codegen operators — no CSE across them),
+    # doubling the dominant cost; inside ONE projection the when()
+    # shares a single evaluation. Sentinel rows can only win the argmax
+    # when every pair is pruned, which fails the safety bound anyway.
+    banded = cross.select(
+        left_col,
+        right_col,
+        F.when(lev_b >= 0, _score(left_col, right_col, lev_b))
+        .otherwise(F.lit(-1.0))
+        .alias("ratio"),
+    )
+    # checkpoint: p1 (one row per left value) feeds BOTH the safe
+    # output and the unsafe anti-join — without it the banded cross
+    # join re-executes once per branch. localCheckpoint (not persist):
+    # persist registers in the CacheManager keyed on plan equality, so
+    # a later identical call would silently serve the stale cache.
+    p1 = _argmax(banded, left_col, right_col).localCheckpoint(eager=False)
+
+    # pruned pairs (lev > band) have exact ratio < this bound; their
+    # 3-decimal rounding adds at most 0.0005 — strict margin covers it
+    ll = F.length(left_col)
+    bound = 100.0 * (ll + r_max - (band + 1)) / (ll + r_max)
+    safe = p1.where(F.col("__best_ratio") > bound + 0.001)
+
+    unsafe = lf.distinct().join(safe.select(left_col), left_col, "left_anti")
+    full = unsafe.crossJoin(F.broadcast(rf))
+    lev = F.levenshtein(left_col, right_col)
+    p2 = _argmax(
+        full.select(
+            left_col, right_col, _score(left_col, right_col, lev).alias("ratio")
+        ),
+        left_col,
+        right_col,
+    )
+
+    return (
+        safe.unionByName(p2)
+        .select(
+            left_col,
+            F.col("__best").getField(right_col).alias(right_col),
+            F.col("__best").getField("ratio").alias("ratio"),
+        )
+    )

@@ -489,7 +489,10 @@ FROM (
 def x12_fuzzy_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition the streamed side: a broadcast cross join otherwise
     # inherits the small side's single input partition and the O(S×C)
-    # levenshtein work runs on one core
+    # levenshtein work runs on one core.
+    # (operators/fuzzy.fuzzy_argmax_join is the banded variant; on
+    # these short names its early-exit saving equals its orchestration
+    # overhead, so the plain single-pass argmax stays.)
     par = spark.sparkContext.defaultParallelism
     supp = load_table(spark, sf_dir, "supplier").select("s_name").repartition(par)
     cust = load_table(spark, sf_dir, "customer").select("c_name")

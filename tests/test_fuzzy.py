@@ -1,0 +1,68 @@
+"""Tests for the banded fuzzy argmax join (operators/fuzzy.py)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ccgp_data_wrangling_spark.operators.fuzzy import fuzzy_argmax_join
+
+
+def _brute(spark, left, right):
+    cross = left.crossJoin(right)
+    tot = F.length("l") + F.length("r")
+    ratio = F.when(tot == 0, F.lit(100.0)).otherwise(
+        F.round(100.0 * (tot - F.levenshtein("l", "r")) / tot, 3)
+    )
+    scored = cross.select("l", "r", ratio.alias("ratio"))
+    w = W.partitionBy("l").orderBy(F.desc("ratio"), F.asc("r"))
+    return {
+        (row.l): (row.r, row.ratio)
+        for row in scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("band", [1, 4, 20])
+def test_matches_brute_force_any_band(spark, band):
+    """Exact for every band: tiny bands force the fallback path, large
+    bands stay entirely in pass 1."""
+    rng = random.Random(11)
+    alphabet = "abcxyz_-019"
+
+    def name(n):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    lvals = [name(rng.randint(3, 14)) for _ in range(40)]
+    rvals = list({name(rng.randint(3, 14)) for _ in range(25)})
+    # plant near-duplicates so some best matches are close
+    rvals += [v[:-1] + "Q" for v in lvals[:10]]
+    left = spark.createDataFrame([(v,) for v in lvals], "l string")
+    right = spark.createDataFrame([(v,) for v in rvals], "r string")
+
+    got = {
+        row.l: (row.r, row.ratio)
+        for row in fuzzy_argmax_join(left, right, "l", "r", band=band).collect()
+    }
+    assert got == _brute(spark, left, right)
+
+
+def test_duplicate_left_values_collapse(spark):
+    left = spark.createDataFrame([("aa",), ("aa",), ("bb",)], "l string")
+    right = spark.createDataFrame([("ab",), ("bb",)], "r string")
+    out = fuzzy_argmax_join(left, right, "l", "r", band=3).collect()
+    assert len(out) == 2
+    got = {r.l: r.r for r in out}
+    assert got == {"aa": "ab", "bb": "bb"}
+
+
+def test_empty_right_raises(spark):
+    left = spark.createDataFrame([("x",)], "l string")
+    right = spark.createDataFrame([], "r string")
+    with pytest.raises(ValueError, match="empty"):
+        fuzzy_argmax_join(left, right, "l", "r")
