@@ -51,13 +51,52 @@ class ParquetTable:
         df.write.mode("overwrite").parquet(self.path)
 
     def _swap_in(self, df: DataFrame) -> None:
-        """Copy-on-write: materialize to a tmp dir, atomically swap."""
+        """Copy-on-write: materialize to a tmp dir, atomically swap.
+
+        Failure handling: a failed tmp write removes the tmp dir and
+        leaves the table untouched; if the second rename fails after the
+        first succeeded, the old dir is restored to ``path`` so a table
+        always exists at ``path``. A crash (not an exception) between
+        the two renames can still strand ``path`` — recover by renaming
+        the newest ``.old-*`` sibling back to ``path``.
+        """
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
         old = f"{self.path}.old-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(tmp)
+        try:
+            df.write.mode("overwrite").parquet(tmp)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         os.rename(self.path, old)
-        os.rename(tmp, self.path)
+        try:
+            os.rename(tmp, self.path)
+        except BaseException:
+            os.rename(old, self.path)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         shutil.rmtree(old)
+
+    def _assert_unique(self, source: DataFrame) -> None:
+        """Raise if ``source`` has more than one row for any key.
+
+        One extra map-side-combined aggregate over the source (limit 1,
+        so it short-circuits) — cheap next to the full table rewrite
+        that follows, and it protects the documented idempotency
+        invariant from silent fan-out.
+        """
+        dup = (
+            source.groupBy(*self.keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_repr = {k: dup[0][k] for k in self.keys}
+            raise ValueError(
+                f"MERGE source is not unique per key {self.keys}: "
+                f"{key_repr} appears {dup[0]['__n']} times"
+            )
 
     # -- M1: $set upsert --------------------------------------------------
 
@@ -66,19 +105,22 @@ class ParquetTable:
         matched → insert. (update_metadata.py:71-77 semantics.)
 
         ``set_cols`` defaults to every non-key source column. Source
-        must be unique per key (enforced — Mongo applies UpdateOne per
-        document; set-oriented MERGE requires unique match).
+        must be unique per key (enforced below — Mongo applies UpdateOne
+        per document; set-oriented MERGE requires unique match, else the
+        full-outer join fans out target rows and breaks idempotency).
         """
         tgt = self.read()
         set_cols = set_cols or [c for c in source.columns if c not in self.keys]
         src = source.select(*self.keys, *set_cols)
+        self._assert_unique(src)
+        src = src.withColumn("__s_present", F.lit(1))
         t, s = tgt.alias("t"), src.alias("s")
         cond = reduce(
             lambda a, b: a & b,
             [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in self.keys],
         )
         joined = t.join(s, cond, "full_outer")
-        matched = F.col(f"s.{self.keys[0]}").isNotNull()
+        matched = F.col("s.__s_present").isNotNull()
         out_cols: list[Column] = []
         for k in self.keys:
             out_cols.append(F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k))
@@ -127,13 +169,15 @@ class ParquetTable:
         """
         tgt = self.read()
         t = tgt.alias("t")
-        s = source.alias("s")
+        # Non-nullable presence marker: testing s.<key> IS NOT NULL would
+        # misclassify a NULL-key source row that null-safely matched.
+        s = source.withColumn("__s_present", F.lit(1)).alias("s")
         cond = reduce(
             lambda a, b: a & b,
             [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in self.keys],
         )
         joined = t.join(s, cond, "left")
-        matched = F.col(f"s.{self.keys[0]}").isNotNull()
+        matched = F.col("s.__s_present").isNotNull()
         set_exprs = set_exprs or {}
         out_cols: list[Column] = []
         for c in tgt.columns:
@@ -199,13 +243,14 @@ class ParquetTable:
         via "s.".
         """
         tgt = self.read()
-        t, s = tgt.alias("t"), keys_df.alias("s")
+        t = tgt.alias("t")
+        s = keys_df.withColumn("__s_present", F.lit(1)).alias("s")
         cond = reduce(
             lambda a, b: a & b,
             [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in self.keys],
         )
         joined = t.join(s, cond, "left")
-        matched = F.col(f"s.{self.keys[0]}").isNotNull()
+        matched = F.col("s.__s_present").isNotNull()
         out_cols = [
             (
                 F.when(matched, set_exprs[c]).otherwise(F.col(f"t.{c}")).alias(c)

@@ -144,53 +144,21 @@ def simhash_dup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ANN vs brute force on the NATURAL corpus: rows-only (recall on
-# weakly-similar data is parameter-dependent, honest number reported
-# per rank). The corpus's nearest neighbors sit at cosine ≈ 0.37 —
-# near-random — so LSH runs wide-and-shallow (6 bits × 16 tables);
-# `hit` = exact neighbor recovered anywhere in the approximate top-k.
+# ANN recall vs brute force, oracle-checked on the PLANTED corpus: the
+# exact top-5 is the planted set (cos ≈ 1 vs a 0.37 natural ceiling),
+# and at these parameters a planted neighbor escapes LSH with
+# P ≈ 8e-7 per pair (seeded, so the run is deterministic either way)
+# while IVF assigns a near-copy of the query to the query's own probe
+# set by construction — so `hit` is provably TRUE on every rank and
+# the exact-vs-approx join harness itself gets a DuckDB oracle.
+# Recall on the NATURAL corpus (parameter-dependent, not
+# oracle-expressible) stays a pytest concern: tests/test_properties.py.
 # ---------------------------------------------------------------------------
 
 
 def _query_vec(emb: DataFrame) -> list[float]:
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
     return [float(x) for x in qrow[0]]
-
-
-@register("ann_lsh_vs_exact", None)
-def ann_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(emb)
-    corpus = emb.where(F.col("vec_id") != 0)
-    exact = brute_force_topk(corpus, qv, 10).select(
-        F.col("vec_id").alias("exact_id"), "rank"
-    )
-    approx = ann_topk(corpus, qv, 10, n_tables=16, n_bits=6).select(
-        F.col("vec_id").alias("ann_id")
-    )
-    return exact.join(
-        approx, exact.exact_id == approx.ann_id, "left"
-    ).select(
-        "rank", "exact_id", F.col("ann_id").isNotNull().alias("hit")
-    )
-
-
-@register("ann_ivf_vs_exact", None)
-def ann_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(emb)
-    corpus = emb.where(F.col("vec_id") != 0)
-    exact = brute_force_topk(corpus, qv, 10).select(
-        F.col("vec_id").alias("exact_id"), "rank"
-    )
-    approx = ivf_topk(corpus, qv, 10, n_centroids=32, n_probe=8).select(
-        F.col("vec_id").alias("ivf_id")
-    )
-    return exact.join(
-        approx, exact.exact_id == approx.ivf_id, "left"
-    ).select(
-        "rank", "exact_id", F.col("ivf_id").isNotNull().alias("hit")
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -262,6 +230,70 @@ def ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _planted_corpus(spark, emb, qv)
     return ivf_topk(corpus, qv, 5, n_centroids=32, n_probe=8).select(
         "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+_ANN_VS_EXACT_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+planted AS (
+  SELECT {_PLANT_BASE} + j AS vec_id,
+         [qv[1] + 0.01 * j] || qv[2:64] AS v
+  FROM q, RANGE(1, 6) t(j)
+),
+corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id <> 0
+  UNION ALL SELECT vec_id, v FROM planted
+),
+scored AS (
+  SELECT c.vec_id,
+         ROUND(LIST_COSINE_SIMILARITY(c.v, q.qv), 4) AS cos_sim
+  FROM corpus c CROSS JOIN q
+),
+ranked AS (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+  FROM scored
+)
+SELECT rank, vec_id AS exact_id, TRUE AS hit FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_lsh_vs_exact", _ANN_VS_EXACT_SQL)
+def ann_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(emb)
+    corpus = _planted_corpus(spark, emb, qv)
+    exact = brute_force_topk(corpus, qv, 5).select(
+        F.col("vec_id").alias("exact_id"), "rank"
+    )
+    approx = ann_topk(corpus, qv, 5, n_tables=8, n_bits=12).select(
+        F.col("vec_id").alias("ann_id")
+    )
+    return exact.join(
+        approx, exact.exact_id == approx.ann_id, "left"
+    ).select(
+        "rank", "exact_id", F.col("ann_id").isNotNull().alias("hit")
+    )
+
+
+@register("ann_ivf_vs_exact", _ANN_VS_EXACT_SQL)
+def ann_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(emb)
+    corpus = _planted_corpus(spark, emb, qv)
+    exact = brute_force_topk(corpus, qv, 5).select(
+        F.col("vec_id").alias("exact_id"), "rank"
+    )
+    approx = ivf_topk(corpus, qv, 5, n_centroids=32, n_probe=8).select(
+        F.col("vec_id").alias("ivf_id")
+    )
+    return exact.join(
+        approx, exact.exact_id == approx.ivf_id, "left"
+    ).select(
+        "rank", "exact_id", F.col("ivf_id").isNotNull().alias("hit")
     )
 
 

@@ -13,6 +13,7 @@ semantics (update_reads.py:255-272 "$addToSet").
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 
@@ -22,6 +23,19 @@ from pyspark.sql import functions as F
 from ccgp_data_wrangling_spark.catalog import load_table
 from ccgp_data_wrangling_spark.operators.merge import ParquetTable
 from ccgp_data_wrangling_spark.queries import register
+
+
+def _cleanup_at_exit(path: str) -> None:
+    """Defer temp-dir removal to interpreter exit.
+
+    The merged table must outlive this function: the returned DataFrame
+    is LAZY, and the caller (driver / bench) collects it later. Deleting
+    the backing parquet in ``finally`` forced an eager whole-table
+    ``collect()`` + ``createDataFrame`` round-trip through the driver —
+    a scale hazard. Session-lifetime temp dirs keep the query path fully
+    distributed; the handful of sf0.01-sized dirs are reclaimed at exit.
+    """
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
 
 # ---------------------------------------------------------------------------
 # M1 $set upsert: target = even-key customers, source = keys % 3 == 0
@@ -62,11 +76,9 @@ def m1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl = ParquetTable(spark, f"{tmp}/t", "k")
         tbl.init(target)
         tbl.upsert(source)
-        return spark.createDataFrame(
-            tbl.read().collect(), tbl.read().schema
-        )
+        return tbl.read()
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        _cleanup_at_exit(tmp)
 
 
 # ---------------------------------------------------------------------------
@@ -115,9 +127,9 @@ def m2_insert_only_then_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.insert_only(listing)  # M2: existing rows keep filesize=0
         missing = tbl.read().join(listing.select("file_name"), "file_name", "left_anti")
         tbl.delete_keys(missing)  # M6: purge keys absent from listing
-        return spark.createDataFrame(tbl.read().collect(), tbl.read().schema)
+        return tbl.read()
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        _cleanup_at_exit(tmp)
 
 
 # ---------------------------------------------------------------------------
@@ -151,7 +163,10 @@ pulled AS (
               ELSE files END AS files
   FROM merged
 )
-SELECT k, LIST_SORT(files) AS files, CAST(LEN(files) AS INT) AS n_files
+SELECT k,
+       -- ARRAY_TO_STRING([]) is NULL in DuckDB; Spark array_join([]) is ''
+       COALESCE(ARRAY_TO_STRING(LIST_SORT(files), ','), '') AS files,
+       CAST(LEN(files) AS INT) AS n_files
 FROM pulled
 """
 
@@ -184,14 +199,18 @@ def m3_array_union_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.init(target)
         tbl.array_union_set(source, "files")  # M3 $addToSet $each
         tbl.array_pull(pulls, "files", "f")  # M4 $pull
+        # The array is projected to a sorted comma-joined STRING: the
+        # driver's canonicalizer hashes scalar cells (a raw list cell is
+        # unhashable), and membership — not element order — is the
+        # $addToSet semantics (update_reads.py:255-272).
         out = tbl.read().select(
             "k",
-            F.array_sort("files").alias("files"),
+            F.array_join(F.array_sort("files"), ",").alias("files"),
             F.size("files").alias("n_files"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        _cleanup_at_exit(tmp)
 
 
 # ---------------------------------------------------------------------------

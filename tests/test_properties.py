@@ -138,3 +138,36 @@ def test_fuzz_ratio_matches_reference(spark, pairs):
             100.0 if not a and not b else 200.0 * _py_lcs(a, b) / (len(a) + len(b))
         )
         assert row.r == pytest.approx(expected, abs=1e-9), (a, b)
+
+
+def test_ann_natural_corpus_recall(spark):
+    """Wide-and-shallow LSH (16 tables x 6 bits) and IVF keep useful
+    recall of the exact top-10 even on the natural corpus, whose
+    nearest neighbors sit at cosine ~ 0.37 (near-random — the hard
+    case LSH theory promises least about). Deterministic: seeded
+    planes / seeded centroid sample. Complements the planted-corpus
+    driver oracles (queries/llm_scale.py), which prove exact recovery
+    of true near-duplicates.
+    """
+    from ccgp_data_wrangling_spark.catalog import load_table
+    from ccgp_data_wrangling_spark.operators.knn import (
+        ann_topk,
+        brute_force_topk,
+        ivf_topk,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in qrow[0]]
+    corpus = emb.where(F.col("vec_id") != 0)
+
+    exact = {r.vec_id for r in brute_force_topk(corpus, qv, 10).collect()}
+    lsh = {r.vec_id for r in ann_topk(corpus, qv, 10, n_tables=16, n_bits=6).collect()}
+    ivf = {r.vec_id for r in ivf_topk(corpus, qv, 10, n_centroids=32, n_probe=8).collect()}
+
+    lsh_recall = len(exact & lsh) / 10
+    ivf_recall = len(exact & ivf) / 10
+    print(f"natural-corpus recall: lsh={lsh_recall} ivf={ivf_recall}")
+    assert lsh_recall >= 0.5
+    assert ivf_recall >= 0.5
