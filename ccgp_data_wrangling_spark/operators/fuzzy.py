@@ -16,6 +16,20 @@ fixed lev floor). A left row whose banded best strictly beats that
 bound cannot be improved by any pruned pair — proven exact. The rest
 (usually none, worst-case all) fall back to full scoring, so results
 are ALWAYS exact; the band only controls how much work pass 1 saves.
+
+Blocking (``length_window=L``): pass 1 considers only pairs with
+``abs(len(a) - len(b)) <= L``, generated as an EQUI-join (left rows
+explode to the 2L+1 length keys they accept; right rows carry their
+length as the key) instead of a cross join. The proof extends: an
+out-of-window pair has ``lev >= |Δlen| > L``, an in-window pruned
+pair has ``lev > band``, so every pruned pair has
+``lev > min(band, L)`` and the same bound applies with
+``min(band, L)``. At scale this turns the candidate stage into a
+shuffle equi-join whose size tracks the length histogram overlap —
+superlinear shrinkage on realistic name corpora. On fixed-width
+corpora (all lengths equal, e.g. zero-padded ids) the window keeps
+every pair and only adds overhead: leave it off there (measured on
+x12: see queries/relational.py).
 """
 
 from __future__ import annotations
@@ -52,6 +66,7 @@ def fuzzy_argmax_join(
     right_col: str,
     *,
     band: int = 6,
+    length_window: int | None = None,
 ) -> DataFrame:
     """For each distinct ``left_col`` value, the ``right_col`` value
     with the highest Levenshtein ratio (ties → lexicographically
@@ -59,6 +74,9 @@ def fuzzy_argmax_join(
 
     ``right`` is broadcast — it must be dimension-sized. Exact for any
     ``band``; tune ``band`` near the expected best-match distance.
+    ``length_window=L`` additionally blocks pass-1 candidates to pairs
+    within L of each other in length via an equi-join on length keys
+    (see module docstring for the proof); exact for any L.
     """
     lf = left.select(left_col)
     rf = right.select(right_col)
@@ -66,7 +84,27 @@ def fuzzy_argmax_join(
     if r_max is None:
         raise ValueError("right side is empty")
 
-    cross = lf.crossJoin(F.broadcast(rf))
+    if length_window is None:
+        cand = lf.crossJoin(F.broadcast(rf))
+        eff = band
+    else:
+        # equi-join blocking: each left row accepts 2L+1 length keys,
+        # each right row carries one — candidate volume tracks the
+        # length-histogram overlap instead of |L|×|R|
+        lw = int(length_window)
+        lkeys = lf.select(
+            left_col,
+            F.explode(
+                F.sequence(
+                    F.greatest(F.length(left_col) - lw, F.lit(0)),
+                    F.length(left_col) + lw,
+                )
+            ).alias("__blk"),
+        )
+        rkeys = rf.select(right_col, F.length(right_col).alias("__blk"))
+        cand = lkeys.join(F.broadcast(rkeys), "__blk").drop("__blk")
+        eff = min(band, lw)
+
     lev_b = F.levenshtein(left_col, right_col, band)
     # pruned pairs map to a -1 sentinel instead of being filtered out:
     # a filter on lev would re-evaluate the levenshtein (predicate and
@@ -74,7 +112,7 @@ def fuzzy_argmax_join(
     # doubling the dominant cost; inside ONE projection the when()
     # shares a single evaluation. Sentinel rows can only win the argmax
     # when every pair is pruned, which fails the safety bound anyway.
-    banded = cross.select(
+    banded = cand.select(
         left_col,
         right_col,
         F.when(lev_b >= 0, _score(left_col, right_col, lev_b))
@@ -88,10 +126,11 @@ def fuzzy_argmax_join(
     # a later identical call would silently serve the stale cache.
     p1 = _argmax(banded, left_col, right_col).localCheckpoint(eager=False)
 
-    # pruned pairs (lev > band) have exact ratio < this bound; their
-    # 3-decimal rounding adds at most 0.0005 — strict margin covers it
+    # pruned pairs (lev > eff, whether banded-out or out-of-window)
+    # have exact ratio < this bound; their 3-decimal rounding adds at
+    # most 0.0005 — strict margin covers it
     ll = F.length(left_col)
-    bound = 100.0 * (ll + r_max - (band + 1)) / (ll + r_max)
+    bound = 100.0 * (ll + r_max - (eff + 1)) / (ll + r_max)
     safe = p1.where(F.col("__best_ratio") > bound + 0.001)
 
     unsafe = lf.distinct().join(safe.select(left_col), left_col, "left_anti")

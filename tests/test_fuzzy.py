@@ -52,6 +52,33 @@ def test_matches_brute_force_any_band(spark, band):
     assert got == _brute(spark, left, right)
 
 
+@pytest.mark.parametrize("band,window", [(1, 1), (4, 2), (4, 30), (20, 0)])
+def test_blocked_matches_brute_force(spark, band, window):
+    """length_window blocking stays exact for any (band, window) combo:
+    window 0 blocks everything but equal lengths (max fallback), 30
+    blocks nothing, and mid values exercise the mixed path."""
+    rng = random.Random(23)
+    alphabet = "abcxyz_-019"
+
+    def name(n):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    lvals = [name(rng.randint(3, 18)) for _ in range(40)]
+    rvals = list({name(rng.randint(3, 18)) for _ in range(25)})
+    rvals += [v[:-1] + "Q" for v in lvals[:10]]
+    rvals += [v + "xy" for v in lvals[10:16]]  # best match at Δlen 2
+    left = spark.createDataFrame([(v,) for v in lvals], "l string")
+    right = spark.createDataFrame([(v,) for v in rvals], "r string")
+
+    got = {
+        row.l: (row.r, row.ratio)
+        for row in fuzzy_argmax_join(
+            left, right, "l", "r", band=band, length_window=window
+        ).collect()
+    }
+    assert got == _brute(spark, left, right)
+
+
 def test_duplicate_left_values_collapse(spark):
     left = spark.createDataFrame([("aa",), ("aa",), ("bb",)], "l string")
     right = spark.createDataFrame([("ab",), ("bb",)], "r string")

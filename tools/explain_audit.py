@@ -26,8 +26,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from ccgp_data_wrangling_spark.queries import all_queries
 from ccgp_data_wrangling_spark.session import get_spark
 
-# quadratic by design (stress variants of small-dimension fuzzy ops)
-CARTESIAN_OK = {"x12_fuzzy_best_match", "knn_top10_cosine"}
+# quadratic by design (stress variants of small-dimension fuzzy ops).
+# x12: uniform fixed-width ids defeat every generic exact blocking
+# scheme (length keys, q-grams, PassJoin segments all keep ~all pairs —
+# measured 61 s blocked vs 2.5 s banded cross at sf0.1), so the banded
+# broadcast nested-loop IS the right plan there. x12b's pass-1
+# candidates ARE an equi-join; the nested-loop node in its plan is the
+# exactness-fallback branch, ~empty at runtime.
+CARTESIAN_OK = {
+    "x12_fuzzy_best_match",
+    "x12b_blocked_fuzzy_match",
+    "knn_top10_cosine",
+}
 
 
 def audit_plan(name: str, plan: str) -> list[str]:
