@@ -715,3 +715,210 @@ def r3_struct_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # flatten the nested document: doc.* then meta.*
     return nested.select("doc.*").select("key", "name", "meta.*")
+
+
+# ---------------------------------------------------------------------------
+# R1-legacy prefix pairing (create_sheets.py:22-64): per-sample file
+# sets paired by regex prefix derivation + per-prefix fuzzy top-2.
+# Fixture: each order contributes an R1/R2 file pair named
+# "S<custkey>_L<orderkey%4>_R{1,2}_001.fastq.gz"; samples with many
+# orders get ≥4 files (multi-lane branch), single-order samples get
+# exactly 2 (simple branch). The oracle replicates prefix derivation,
+# scoring, and the rank-ordered pair assembly in SQL.
+# ---------------------------------------------------------------------------
+
+_R1_LEGACY_SQL = r"""
+WITH f0 AS (
+  SELECT o_custkey AS sample_id,
+         'S' || CAST(o_custkey AS VARCHAR) || '_L'
+             || CAST(o_orderkey % 4 AS VARCHAR) AS prefix
+  FROM orders WHERE o_custkey % 11 = 0
+),
+files AS (
+  SELECT DISTINCT sample_id, prefix || suffix AS file_name
+  FROM f0, (VALUES ('_R1_001.fastq.gz'), ('_R2_001.fastq.gz')) t(suffix)
+),
+counts AS (SELECT sample_id, COUNT(*) AS n FROM files GROUP BY 1),
+two AS (
+  SELECT f.sample_id, MIN(f.file_name) AS filename, MAX(f.file_name) AS filename2
+  FROM files f JOIN counts c USING (sample_id)
+  WHERE c.n = 2 GROUP BY f.sample_id
+),
+multi AS (
+  SELECT f.sample_id, f.file_name FROM files f JOIN counts c USING (sample_id)
+  WHERE c.n >= 4
+),
+prefixes AS (
+  SELECT DISTINCT sample_id,
+         REGEXP_SPLIT_TO_ARRAY(file_name, '_R\d[._]')[1] AS pfx
+  FROM multi
+),
+scored AS (
+  SELECT p.sample_id, p.pfx, f.file_name,
+         ROUND(100.0 * (LENGTH(p.pfx) + LENGTH(f.file_name)
+                        - LEVENSHTEIN(p.pfx, f.file_name))
+               / (LENGTH(p.pfx) + LENGTH(f.file_name)), 3) AS ratio
+  FROM prefixes p JOIN multi f USING (sample_id)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY sample_id, pfx
+                               ORDER BY ratio DESC, file_name) AS rn
+  FROM scored
+),
+pairs AS (
+  SELECT sample_id,
+         MAX(CASE WHEN rn = 1 THEN file_name END) AS filename,
+         MAX(CASE WHEN rn = 2 THEN file_name END) AS filename2
+  FROM ranked WHERE rn <= 2 GROUP BY sample_id, pfx
+),
+unioned AS (
+  SELECT * FROM two UNION ALL SELECT * FROM pairs
+)
+SELECT sample_id, SPLIT_PART(filename, '_R1', 1) AS library_id,
+       filename, filename2
+FROM unioned
+"""
+
+
+@register("r1_legacy_prefix_pairs", _R1_LEGACY_SQL)
+def r1_legacy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.operators.readpairs import legacy_prefix_pairs
+
+    orders = load_table(spark, sf_dir, "orders")
+    prefix = F.concat(
+        F.lit("S"),
+        F.col("o_custkey").cast("string"),
+        F.lit("_L"),
+        (F.col("o_orderkey") % 4).cast("string"),
+    )
+    f0 = orders.where(F.col("o_custkey") % 11 == 0).select(
+        F.col("o_custkey").alias("sample_id"), prefix.alias("prefix")
+    )
+    files = f0.select(
+        "sample_id",
+        F.explode(
+            F.array(
+                F.concat("prefix", F.lit("_R1_001.fastq.gz")),
+                F.concat("prefix", F.lit("_R2_001.fastq.gz")),
+            )
+        ).alias("file_name"),
+    )
+    samples = files.groupBy("sample_id").agg(
+        F.collect_set("file_name").alias("files")
+    )
+    return legacy_prefix_pairs(samples, "sample_id", "files")
+
+
+# ---------------------------------------------------------------------------
+# P1 per-taxon projection policy (create_sheets_ultimate.py:102-264 via
+# operators/taxon_policy.py): one fixture frame carrying a subset of
+# the policy fields (plus a decoy column in no policy), projected per
+# (sheet_type, taxon) and rendered as a '|'-joined row in policy order.
+# The oracle states each taxon's EFFECTIVE column list explicitly, so a
+# bug in the ordered intersection (wrong order, leaked decoy, missing
+# vertebrate '*tissue' variant) breaks the hash.
+# ---------------------------------------------------------------------------
+
+_P1_SQL = """
+WITH meta AS (
+  SELECT c_name                                        AS sample_name,
+         'Genus sp. ' || CAST(c_nationkey AS VARCHAR)  AS organism,
+         'iso-' || CAST(c_custkey % 7 AS VARCHAR)      AS isolate,
+         'cv-' || CAST(c_custkey % 3 AS VARCHAR)       AS cultivar,
+         'br-' || CAST(c_custkey % 4 AS VARCHAR)       AS breed,
+         'host-' || CAST(c_custkey % 2 AS VARCHAR)     AS host,
+         'st-' || CAST(c_custkey % 5 AS VARCHAR)       AS strain,
+         CASE WHEN c_custkey % 2 = 0 THEN 'male' ELSE 'female' END AS sex,
+         'muscle'                                      AS tissue,
+         'liver'                                       AS tissue_req,
+         'D' || CAST(c_custkey % 12 AS VARCHAR)        AS collection_date,
+         'USA: CA'                                     AS geo_loc_name,
+         'County' || CAST(c_nationkey AS VARCHAR)      AS county,
+         'CA'                                          AS state,
+         CAST(c_custkey % 100 AS VARCHAR)              AS depth,
+         CAST(c_custkey % 4000 AS VARCHAR)             AS altitude,
+         CAST(c_custkey % 90 AS VARCHAR) || ' N'       AS lat_lon,
+         'lib' || CAST(c_custkey AS VARCHAR)           AS library_id,
+         'ILLUMINA'                                    AS platform,
+         'f' || CAST(c_custkey AS VARCHAR) || '_R1.fq.gz' AS filename,
+         'f' || CAST(c_custkey AS VARCHAR) || '_R2.fq.gz' AS filename2
+  FROM customer WHERE c_custkey % 13 = 0
+)
+SELECT 'biosample' AS sheet_type, 'plant' AS taxon, sample_name,
+       CONCAT_WS('|', sample_name, organism, isolate, cultivar,
+                 collection_date, geo_loc_name, county, state, tissue,
+                 lat_lon, sex) AS rendered,
+       11 AS n_cols
+FROM meta
+UNION ALL
+SELECT 'biosample', 'vertebrate', sample_name,
+       CONCAT_WS('|', sample_name, organism, strain, isolate, breed,
+                 cultivar, collection_date, geo_loc_name, county, state,
+                 sex, tissue_req, lat_lon),
+       13
+FROM meta
+UNION ALL
+SELECT 'biosample', 'invertebrate', sample_name,
+       CONCAT_WS('|', sample_name, organism, isolate, breed, host,
+                 collection_date, geo_loc_name, county, state, tissue,
+                 altitude, depth, lat_lon, sex),
+       14
+FROM meta
+UNION ALL
+SELECT 'sra', 'vertebrate', sample_name,
+       CONCAT_WS('|', sample_name, library_id, organism, platform,
+                 filename, filename2),
+       6
+FROM meta
+"""
+
+
+@register("p1_taxon_projection", _P1_SQL)
+def p1_taxon_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.operators.taxon_policy import apply_column_policy
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    meta = cust.where(k % 13 == 0).select(
+        F.col("c_name").alias("*sample_name"),
+        F.concat(F.lit("Genus sp. "), F.col("c_nationkey").cast("string")).alias(
+            "*organism"
+        ),
+        F.concat(F.lit("iso-"), (k % 7).cast("string")).alias("isolate"),
+        F.concat(F.lit("cv-"), (k % 3).cast("string")).alias("cultivar"),
+        F.concat(F.lit("br-"), (k % 4).cast("string")).alias("breed"),
+        F.concat(F.lit("host-"), (k % 2).cast("string")).alias("host"),
+        F.concat(F.lit("st-"), (k % 5).cast("string")).alias("strain"),
+        F.when(k % 2 == 0, F.lit("male")).otherwise(F.lit("female")).alias("sex"),
+        F.lit("muscle").alias("tissue"),
+        F.lit("liver").alias("*tissue"),
+        F.concat(F.lit("D"), (k % 12).cast("string")).alias("collection_date"),
+        F.lit("USA: CA").alias("*geo_loc_name"),
+        F.concat(F.lit("County"), F.col("c_nationkey").cast("string")).alias("County"),
+        F.lit("CA").alias("State"),
+        (k % 100).cast("string").alias("depth"),
+        (k % 4000).cast("string").alias("altitude"),
+        F.concat((k % 90).cast("string"), F.lit(" N")).alias("lat_lon"),
+        F.concat(F.lit("lib"), k.cast("string")).alias("library_ID"),
+        F.lit("ILLUMINA").alias("platform"),
+        F.concat(F.lit("f"), k.cast("string"), F.lit("_R1.fq.gz")).alias("filename"),
+        F.concat(F.lit("f"), k.cast("string"), F.lit("_R2.fq.gz")).alias("filename2"),
+        F.lit("decoy").alias("internal_note"),  # in NO policy — must not leak
+    )
+
+    def sheet(sheet_type: str, taxon: str) -> DataFrame:
+        proj = apply_column_policy(meta, sheet_type, taxon)
+        return proj.select(
+            F.lit(sheet_type).alias("sheet_type"),
+            F.lit(taxon).alias("taxon"),
+            F.col("`*sample_name`").alias("sample_name"),
+            F.concat_ws("|", *[f"`{c}`" for c in proj.columns]).alias("rendered"),
+            F.lit(len(proj.columns)).cast("int").alias("n_cols"),
+        )
+
+    return (
+        sheet("biosample", "plant")
+        .unionByName(sheet("biosample", "vertebrate"))
+        .unionByName(sheet("biosample", "invertebrate"))
+        .unionByName(sheet("sra", "vertebrate"))
+    )

@@ -303,3 +303,90 @@ def m7_scd2_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_mktsegment", "c_nationkey"],
         change_ts_col="ts",
     )
+
+
+# ---------------------------------------------------------------------------
+# M3-struct: $addToSet of (file, count) STRUCT tuples with upsert=True
+# (update_metadata.py:78-85 "Metadata recieved" on workflow_progress).
+# insert_only + array_union_set compose to Mongo's upsert semantics:
+# new project keys are inserted with their tuple sets, existing keys
+# get the set union; element equality is full-struct equality. The
+# engine carries array<struct> end-to-end; only the final projection
+# flattens tuples to "file:n" strings so the driver can hash them.
+# ---------------------------------------------------------------------------
+
+_M3_STRUCT_SQL = """
+WITH base AS (
+  SELECT o_custkey % 50 AS p,
+         'F' || CAST(o_orderkey % 97 AS VARCHAR) || ':'
+             || CAST(o_orderkey % 5 AS VARCHAR) AS e
+  FROM orders
+),
+t AS (
+  SELECT p, LIST(DISTINCT e) AS entries FROM base
+  WHERE p % 3 <> 2 GROUP BY p
+),
+s AS (
+  SELECT b.p, LIST(DISTINCT b.e) AS entries
+  FROM (SELECT o_custkey % 50 AS p,
+               'F' || CAST(o_orderkey % 97 AS VARCHAR) || ':'
+                   || CAST(o_orderkey % 5 AS VARCHAR) AS e
+        FROM orders WHERE o_orderkey % 3 = 0) b
+  GROUP BY b.p
+),
+merged AS (
+  SELECT COALESCE(t.p, s.p) AS p,
+         CASE WHEN t.p IS NULL THEN s.entries
+              WHEN s.p IS NULL THEN t.entries
+              ELSE LIST_DISTINCT(t.entries || s.entries) END AS entries
+  FROM t FULL OUTER JOIN s ON t.p = s.p
+)
+SELECT p AS project_id,
+       COALESCE(ARRAY_TO_STRING(LIST_SORT(entries), ','), '') AS entries,
+       CAST(LEN(entries) AS INT) AS n_entries
+FROM merged
+"""
+
+
+@register("m3_struct_tuple_union", _M3_STRUCT_SQL)
+def m3_struct_tuple_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    tup = F.struct(
+        F.concat(F.lit("F"), (F.col("o_orderkey") % 97).cast("string")).alias("file"),
+        (F.col("o_orderkey") % 5).cast("int").alias("n"),
+    )
+    base = orders.select((F.col("o_custkey") % 50).alias("p"), tup.alias("e"))
+    target = (
+        base.where(F.col("p") % 3 != 2)
+        .groupBy("p")
+        .agg(F.collect_set("e").alias("entries"))
+    )
+    source = (
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .select((F.col("o_custkey") % 50).alias("p"), tup.alias("e"))
+        .groupBy("p")
+        .agg(F.collect_set("e").alias("entries"))
+    )
+    tmp = tempfile.mkdtemp(prefix="m3s_progress_")
+    try:
+        tbl = ParquetTable(spark, f"{tmp}/t", "p")
+        tbl.init(target)
+        tbl.insert_only(source)  # upsert=True: new projects inserted
+        tbl.array_union_set(source, "entries")  # $addToSet on structs
+        return tbl.read().select(
+            F.col("p").alias("project_id"),
+            F.array_join(
+                F.array_sort(
+                    F.transform(
+                        "entries",
+                        lambda e: F.concat(
+                            e["file"], F.lit(":"), e["n"].cast("string")
+                        ),
+                    )
+                ),
+                ",",
+            ).alias("entries"),
+            F.size("entries").alias("n_entries"),
+        )
+    finally:
+        _cleanup_at_exit(tmp)

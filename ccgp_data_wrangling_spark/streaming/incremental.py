@@ -62,6 +62,7 @@ class LedgerIngest:
         process_fn: Callable[[str], DataFrame],
         *,
         force: bool = False,
+        max_files: int | None = 10_000,
     ) -> tuple[DataFrame | None, int, int]:
         """Process every pending file; record successes and failures.
 
@@ -74,9 +75,16 @@ class LedgerIngest:
         The per-file loop is driver-side by design: submitted
         spreadsheets arrive as individual small files through an API
         boundary (Drive), exactly like the reference; the OUTPUT is a
-        distributed DataFrame.
+        distributed DataFrame. ``max_files`` bounds one run — only the
+        pending file NAMES (not payloads) ever reach the driver, capped
+        and streamed per-partition, so a pathological backlog cannot
+        blow driver memory; the excess stays pending for the next cron
+        run, which is the ledger's natural catch-up semantics.
         """
-        files = [r.file_name for r in self.pending(discovered, force=force).collect()]
+        pend = self.pending(discovered, force=force).select("file_name")
+        if max_files is not None:
+            pend = pend.limit(max_files)
+        files = [r.file_name for r in pend.toLocalIterator()]
         parsed: list[DataFrame] = []
         entries: list[tuple[str, str | None]] = []
         for fname in files:
@@ -200,4 +208,13 @@ def interval_join_streams(
         & (rf[right_ts] <= lf[left_ts])
         & (rf[right_ts] >= lf[left_ts] - F.expr(f"INTERVAL {lookback}"))
     )
-    return lf.join(rf, cond, "inner")
+    joined = lf.join(rf, cond, "inner")
+    # unambiguous output: one key column (left's), left payload as-is,
+    # right payload with any colliding name prefixed "right_" — a raw
+    # join would carry `on` twice and break name-based selection
+    out = [lf[c].alias(c) for c in left.columns]
+    for c in right.columns:
+        if c == on:
+            continue
+        out.append(rf[c].alias(c if c not in left.columns else f"right_{c}"))
+    return joined.select(*out)

@@ -103,3 +103,40 @@ def test_delete_keys(spark, tbl):
     assert set(rows) == {"S1", "S3"}
     tbl.delete_keys(keys)
     assert set(_rows(tbl)) == {"S1", "S3"}
+
+
+def test_array_union_set_struct_elements(spark, tmp_path):
+    """$addToSet of (file, ts) STRUCT tuples (update_metadata.py:78-85
+    workflow_progress): element equality is full-struct equality —
+    same file with a different count is a distinct element, identical
+    tuples dedup."""
+    schema = (
+        "project_id string, "
+        "entries array<struct<file:string,n:int>>"
+    )
+    tbl = ParquetTable(spark, str(tmp_path / "wp"), "project_id")
+    tbl.init(
+        spark.createDataFrame(
+            [("p1", [("a.xlsx", 1), ("b.xlsx", 2)]), ("p2", [("c.xlsx", 1)])],
+            schema,
+        )
+    )
+    src = spark.createDataFrame(
+        # p1: one duplicate tuple, one same-file-new-count, one new file
+        [("p1", [("a.xlsx", 1), ("a.xlsx", 3), ("d.xlsx", 1)])],
+        schema,
+    )
+    tbl.array_union_set(src, "entries")
+    rows = {
+        r.project_id: sorted((e.file, e.n) for e in r.entries)
+        for r in tbl.read().collect()
+    }
+    assert rows["p1"] == [("a.xlsx", 1), ("a.xlsx", 3), ("b.xlsx", 2), ("d.xlsx", 1)]
+    assert rows["p2"] == [("c.xlsx", 1)]
+    # idempotent
+    tbl.array_union_set(src, "entries")
+    rows2 = {
+        r.project_id: sorted((e.file, e.n) for e in r.entries)
+        for r in tbl.read().collect()
+    }
+    assert rows2 == rows

@@ -200,3 +200,35 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r.p_id, r.c_id) for r in out_rows)
     assert got == expected
+
+
+def test_ledger_run_bounded_backlog(spark, tmp_path):
+    """A pathological 10k-file backlog cannot blow the driver: one run
+    touches at most max_files names (names only — no payloads), the
+    rest stay pending for the next cron run."""
+    from ccgp_data_wrangling_spark.operators.merge import ParquetTable
+    from ccgp_data_wrangling_spark.streaming.incremental import LedgerIngest
+
+    ledger = ParquetTable(spark, str(tmp_path / "ledger"), "file_name")
+    ledger.init(
+        spark.createDataFrame(
+            [], "file_name string, error string, processed_at timestamp"
+        )
+    )
+    ing = LedgerIngest(spark, ledger)
+    discovered = spark.range(10_000).select(
+        F.concat(F.lit("sheet_"), F.col("id")).alias("file_name")
+    )
+
+    ok_files = {"sheet_0", "sheet_1", "sheet_2"}
+
+    def process(fname: str):
+        if fname in ok_files:
+            return spark.createDataFrame([(fname,)], "src string")
+        raise RuntimeError("corrupt sheet")
+
+    out, n_ok, n_failed = ing.run(discovered, process, max_files=500)
+    assert (n_ok, n_failed) == (3, 497)
+    assert out is not None and out.count() == 3
+    # successes are off the pending list; failures stay retryable
+    assert ing.pending(discovered).count() == 10_000 - 3
