@@ -48,6 +48,8 @@ HEADLINE = [
     "ann_lsh_planted",
     "multimodal_features",
     "x12_fuzzy_best_match",
+    "x12b_blocked_fuzzy_match",
+    "r1_legacy_prefix_pairs",
     "asof_last_click",
 ]
 

@@ -152,10 +152,19 @@ def linkage_pairs(
     sample_key: str = "sample_name",
     file_key: str = "file_name",
     max_span: int = 6,
+    broadcast_variants: bool = True,
 ) -> DataFrame:
     """Candidate (sample, file) matches with tier metadata, before
     conflict resolution. One row per matched pair at the sample's
     winning (id_idx, tier), ``.gz``-filtered.
+
+    ``broadcast_variants`` (default on) broadcasts the exploded
+    (id-variant, tier) side of the span join — samples are the
+    dimension here (a few rows per sample), so the span side, which is
+    tokens×max_span larger than the file listing, is never shuffled.
+    Disable only if the sample dimension itself outgrows broadcast
+    size (tens of millions of ids), which falls back to a shuffle
+    hash join on the span strings.
     """
     eligible = samples.where(F.col("minicore_sequenced") == "YES").where(
         F.col(id_col).isNotNull() & (F.lower(F.col(id_col)) != "nan")
@@ -190,14 +199,27 @@ def linkage_pairs(
             acc, F.array(F.element_at(acc, -1) + F.length(t) + 1)
         ),
     )
-    base = reads.select(
-        file_key,
-        "filesize",
-        "mdate",
-        toks.alias("__toks"),
-        starts.alias("__st"),
-        F.size(toks).alias("__n"),
-    ).where(F.col("__n") >= 2)
+    # decouple span-generation parallelism from the input layout: a
+    # compact file listing (one parquet file locally; few dense files
+    # at scale) otherwise pins the tokens×max_span explode and the
+    # join probe to its handful of input partitions. The shuffle moved
+    # here is the pre-explosion listing — the cheapest place to pay it.
+    # repartition BEFORE the projection: the shuffle then carries only
+    # the raw (file, size, mdate) listing, and the tokenization + the
+    # interpreted offset fold + the explodes all run at full width
+    par = reads.sparkSession.sparkContext.defaultParallelism
+    base = (
+        reads.repartition(par)
+        .select(
+            file_key,
+            "filesize",
+            "mdate",
+            toks.alias("__toks"),
+            starts.alias("__st"),
+            F.size(toks).alias("__n"),
+        )
+        .where(F.col("__n") >= 2)
+    )
     spans = (
         base.select(
             file_key,
@@ -236,7 +258,8 @@ def linkage_pairs(
         )
     )
 
-    matched = variants.join(spans, "variant")
+    v_side = F.broadcast(variants) if broadcast_variants else variants
+    matched = v_side.join(spans, "variant")
 
     # per-sample winning (id_idx, tier): the cascade stops at the first
     # id/tier that matched anything — BEFORE the .gz filter

@@ -519,27 +519,28 @@ def x12_fuzzy_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # X12 scale path: the same best-fuzzy-match semantics through the
 # BLOCKED banded argmax operator (operators/fuzzy.py length_window) on
-# a variable-length corpus, where length blocking actually discriminates.
-# Left = part labels seen only under even partkeys, right = labels of
-# odd partkeys; exact-match pairs are anti-joined away so every best
-# match is a true fuzzy neighbor. The pass-1 candidate stage is an
-# equi-join on length keys — no CartesianProduct — and the fallback
-# proof keeps the result exact (verified against the all-pairs oracle).
+# a variable-length corpus, where length blocking actually
+# discriminates. Left = "name type" part labels, right = the
+# word-swapped "type name" forms (the classic field-order-variant
+# matching case) — disjoint by construction at every SF (types are
+# uppercase, names lowercase), so every best match is a true fuzzy
+# neighbor. The pass-1 candidate stage is an equi-join on length keys —
+# no CartesianProduct — and the fallback proof keeps the result exact
+# (verified against the all-pairs oracle).
 # ---------------------------------------------------------------------------
 
 _X12B_SQL = """
-WITH lab AS (
-  SELECT p_partkey, p_name || ' ' || p_type AS label FROM part
+WITH l AS (
+  SELECT DISTINCT p_name || ' ' || p_type AS left_label FROM part
 ),
-l0 AS (SELECT DISTINCT label FROM lab WHERE p_partkey % 2 = 0),
-r0 AS (SELECT DISTINCT label FROM lab WHERE p_partkey % 2 = 1),
-l AS (SELECT label FROM l0 WHERE label NOT IN (SELECT label FROM r0)),
-r AS (SELECT label FROM r0 WHERE label NOT IN (SELECT label FROM l0)),
+r AS (
+  SELECT DISTINCT p_type || ' ' || p_name AS right_label FROM part
+),
 scored AS (
-  SELECT l.label AS left_label, r.label AS right_label,
-         ROUND(100.0 * (LENGTH(l.label) + LENGTH(r.label)
-                        - LEVENSHTEIN(l.label, r.label))
-               / (LENGTH(l.label) + LENGTH(r.label)), 3) AS ratio
+  SELECT l.left_label, r.right_label,
+         ROUND(100.0 * (LENGTH(l.left_label) + LENGTH(r.right_label)
+                        - LEVENSHTEIN(l.left_label, r.right_label))
+               / (LENGTH(l.left_label) + LENGTH(r.right_label)), 3) AS ratio
   FROM l CROSS JOIN r
 )
 SELECT left_label, right_label AS best_label, ratio
@@ -556,17 +557,12 @@ def x12b_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ccgp_data_wrangling_spark.operators.fuzzy import fuzzy_argmax_join
 
     part = load_table(spark, sf_dir, "part")
-    lab = part.select(
-        "p_partkey", F.concat_ws(" ", "p_name", "p_type").alias("label")
-    )
-    even = lab.where(F.col("p_partkey") % 2 == 0).select("label").distinct()
-    odd = lab.where(F.col("p_partkey") % 2 == 1).select("label").distinct()
-    left = even.join(odd, "label", "left_anti").select(
-        F.col("label").alias("left_label")
-    )
-    right = odd.join(even, "label", "left_anti").select(
-        F.col("label").alias("best_label")
-    )
+    left = part.select(
+        F.concat_ws(" ", "p_name", "p_type").alias("left_label")
+    ).distinct()
+    right = part.select(
+        F.concat_ws(" ", "p_type", "p_name").alias("best_label")
+    ).distinct()
     return fuzzy_argmax_join(
         left, right, "left_label", "best_label", band=8, length_window=4
     )
