@@ -11,9 +11,9 @@
   is found by probing for a marker column (``*sample_name``). The
   sniff reads only the file head driver-side; the full parse is a
   normal ``spark.read.csv`` with ``skipRows``.
-* Excel (xlsx) — gated behind an import-try: the decode library is
-  not in this container, so the xlsx branch raises with a clear
-  message; TSV/CSV cover the same semantics.
+* Excel (xlsx) — parsed by the stdlib OOXML reader in ``xlsx.py``
+  (zipfile + ElementTree; no openpyxl), then run through the same
+  header probe loop as TSV. Legacy binary ``.xls`` still raises.
 * TSV/CSV scan (S5) — ``spark.read.csv`` wrapper with the reference's
   dialect defaults (reference ``update_metadata.py:137``).
 * Lookup-CSV dimension (S8) — reference ``utils/parse.py:111-121``:
@@ -27,6 +27,7 @@ from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ccgp_data_wrangling_spark.catalog import S3_LISTING_SCHEMA
 
@@ -101,25 +102,35 @@ def read_submitted_sheet(
     """S4 submitted-spreadsheet scan: header discovery + full read.
 
     TSV path mirrors the reference's find_header_line_num + read_csv
-    (utils/parse.py:145-151, 223-236). The xlsx probe loop needs an
-    Excel decoder, which this environment does not ship — it raises
-    with guidance rather than silently mis-parsing.
+    (utils/parse.py:145-151, 223-236). The xlsx path runs the same
+    probe loop (utils/parse.py:223-236: re-read with header=i until
+    the marker column appears) over the stdlib OOXML reader — no
+    openpyxl required. ``.xls`` (the legacy BIFF binary) still needs a
+    real decoder and raises.
     """
-    if path.endswith((".xlsx", ".xls")):
-        try:
-            import openpyxl  # noqa: F401
-            import pandas as pd
-        except ImportError as exc:  # pragma: no cover
-            raise NotImplementedError(
-                "xlsx ingestion requires openpyxl, which is not installed; "
-                "convert the sheet to TSV or install openpyxl"
-            ) from exc
-        pdf = pd.read_excel(path, header=0, dtype=str)
-        i = 0
-        while marker not in pdf.columns:
-            i += 1
-            pdf = pd.read_excel(path, header=i, dtype=str)
-        return spark.createDataFrame(pdf)
+    if path.endswith(".xls"):
+        raise NotImplementedError(
+            "legacy .xls (BIFF) needs xlrd, which is not installed; "
+            "save as .xlsx or TSV"
+        )
+    if path.endswith(".xlsx"):
+        from ccgp_data_wrangling_spark.sources.xlsx import xlsx_rows
+
+        rows = xlsx_rows(path)
+        header_at = next(
+            (i for i, r in enumerate(rows) if marker in r), None
+        )
+        if header_at is None:
+            raise ValueError(f"could not find header (marker {marker!r}) in {path}")
+        header, seen = [], {}
+        for i, name in enumerate(rows[header_at]):
+            base = name if name not in (None, "") else f"col{i}"
+            n = seen.get(base, 0)
+            seen[base] = n + 1
+            header.append(base if n == 0 else f"{base}.{n}")  # pandas-style dedup
+        data = [tuple(r[: len(header)]) for r in rows[header_at + 1 :]]
+        schema = T.StructType([T.StructField(c, T.StringType()) for c in header])
+        return spark.createDataFrame(data, schema)
     header_at = sniff_header_row(path, marker=marker, sep=sep)
     return read_delimited(spark, path, sep=sep, skip_rows=header_at)
 

@@ -1,0 +1,170 @@
+"""S4 xlsx ingestion — stdlib OOXML reader + header probe loop.
+
+Fixtures are built by a minimal in-test xlsx writer (a ZIP of
+SpreadsheetML XML parts), so the test exercises the real container
+format end-to-end with no Excel library anywhere.
+
+Reference semantics: utils/parse.py:223-236 (re-read with header=i
+until the ``*sample_name`` marker column appears), :167 (dtype=str).
+"""
+
+import zipfile
+
+import pytest
+
+from ccgp_data_wrangling_spark.sources.ingest import read_submitted_sheet
+from ccgp_data_wrangling_spark.sources.xlsx import xlsx_rows
+
+_WB = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets>{sheets}</sheets></workbook>"""
+_RELS = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+{rels}</Relationships>"""
+_SHEET = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<sheetData>{rows}</sheetData></worksheet>"""
+
+
+def _col_ref(i: int) -> str:
+    out = ""
+    i += 1
+    while i:
+        i, rem = divmod(i - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def write_xlsx(path, sheets: dict[str, list[list]]) -> None:
+    """Minimal xlsx writer: str cells → shared strings, numbers → n,
+    None → cell omitted (Excel's own sparse serialization)."""
+    strings: list[str] = []
+    sidx: dict[str, int] = {}
+
+    def cell_xml(r, c, v):
+        ref = f"{_col_ref(c)}{r + 1}"
+        if v is None:
+            return ""
+        if isinstance(v, str):
+            if v not in sidx:
+                sidx[v] = len(strings)
+                strings.append(v)
+            return f'<c r="{ref}" t="s"><v>{sidx[v]}</v></c>'
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    sheet_xml = {}
+    for name, rows in sheets.items():
+        rx = "".join(
+            f'<row r="{r + 1}">'
+            + "".join(cell_xml(r, c, v) for c, v in enumerate(row))
+            + "</row>"
+            for r, row in enumerate(rows)
+            if row  # empty list → row skipped entirely
+        )
+        sheet_xml[name] = _SHEET.format(rows=rx)
+
+    with zipfile.ZipFile(path, "w") as zf:
+        names = list(sheets)
+        zf.writestr(
+            "xl/workbook.xml",
+            _WB.format(
+                sheets="".join(
+                    f'<sheet name="{n}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+                    for i, n in enumerate(names)
+                )
+            ),
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            _RELS.format(
+                rels="".join(
+                    f'<Relationship Id="rId{i + 1}" Type="x" '
+                    f'Target="worksheets/sheet{i + 1}.xml"/>'
+                    for i in range(len(names))
+                )
+            ),
+        )
+        for i, n in enumerate(names):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", sheet_xml[n])
+        ss = "".join(f"<si><t>{s}</t></si>" for s in strings)
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/'
+            f'spreadsheetml/2006/main">{ss}</sst>',
+        )
+
+
+def test_xlsx_rows_types_and_gaps(tmp_path):
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(
+        p,
+        {
+            "Sheet1": [
+                ["a", "b", "c"],
+                ["x", None, 3],  # gap cell omitted from the XML
+                [None, "y"],  # short row → padded
+            ]
+        },
+    )
+    rows = xlsx_rows(p)
+    assert rows == [
+        ["a", "b", "c"],
+        ["x", None, "3"],
+        [None, "y", None],
+    ]
+
+
+def test_xlsx_rows_sheet_selection(tmp_path):
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(p, {"first": [["f"]], "second": [["s"]]})
+    assert xlsx_rows(p)[0] == ["f"]
+    assert xlsx_rows(p, sheet="second")[0] == ["s"]
+    assert xlsx_rows(p, sheet=1)[0] == ["s"]
+    with pytest.raises(ValueError, match="no sheet named"):
+        xlsx_rows(p, sheet="missing")
+
+
+def test_read_submitted_sheet_xlsx_probe(spark, tmp_path):
+    """Junk preamble rows before the marker header, exactly the shape
+    utils/parse.py:223-236 probes through."""
+    p = str(tmp_path / "submitted.xlsx")
+    write_xlsx(
+        p,
+        {
+            "Sheet1": [
+                ["CCGP metadata template", None],
+                ["fill in below"],
+                ["*sample_name", "lat", "lon"],
+                ["s1", "36.1", "-121.9"],
+                ["s2", None, "-120.0"],
+            ]
+        },
+    )
+    df = read_submitted_sheet(spark, p)
+    assert df.columns == ["*sample_name", "lat", "lon"]
+    got = {r["*sample_name"]: (r["lat"], r["lon"]) for r in df.collect()}
+    assert got == {"s1": ("36.1", "-121.9"), "s2": (None, "-120.0")}
+
+
+def test_read_submitted_sheet_xlsx_dedup_columns(spark, tmp_path):
+    p = str(tmp_path / "dup.xlsx")
+    write_xlsx(
+        p, {"Sheet1": [["*sample_name", "x", "x", None], ["s1", "1", "2", "3"]]}
+    )
+    df = read_submitted_sheet(spark, p)
+    assert df.columns == ["*sample_name", "x", "x.1", "col3"]
+
+
+def test_read_submitted_sheet_xlsx_no_marker(spark, tmp_path):
+    p = str(tmp_path / "bad.xlsx")
+    write_xlsx(p, {"Sheet1": [["nope"]]})
+    with pytest.raises(ValueError, match="could not find header"):
+        read_submitted_sheet(spark, p)
+
+
+def test_read_submitted_sheet_xls_raises(spark, tmp_path):
+    p = tmp_path / "legacy.xls"
+    p.write_bytes(b"\xd0\xcf\x11\xe0")
+    with pytest.raises(NotImplementedError, match="BIFF"):
+        read_submitted_sheet(spark, str(p))
