@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ccgp_data_wrangling_spark.catalog import load_table
+from ccgp_data_wrangling_spark.operators.components import neardup_clusters
 from ccgp_data_wrangling_spark.operators.dedup import (
     embedding_neardup_pairs,
     minhash_neardup_pairs,
@@ -91,6 +92,89 @@ def minhash_neardup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "text", threshold=0.7, n_hashes=64, bands=32
     )
     return pairs.select(F.col("id_a"), F.col("id_b"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster canonicalization: the pair set above, grouped into
+# connected components with one canonical survivor per cluster.
+# ---------------------------------------------------------------------------
+
+# Ground truth: transitive closure (recursive CTE) over the exact
+# Jaccard-pair set; cluster id = smallest doc id reachable. The Spark
+# side must produce the identical clustering via alternating
+# large-star/small-star contraction — a completely different algorithm
+# arriving at the same fixpoint, which is what makes this a strong
+# oracle for the iterative operator.
+_CLUSTER_SQL = rf"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_OFFSET}, text || ' zzqxj' FROM documents
+),
+tok AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks FROM corpus),
+sh AS (
+  SELECT doc_id,
+         LIST_DISTINCT(
+           LIST_TRANSFORM(RANGE(GREATEST(LEN(toks) - 4, 1)),
+                          i -> ARRAY_TO_STRING(toks[i + 1 : i + 5], ' '))
+         ) AS shingles
+  FROM tok
+),
+sizes AS (SELECT doc_id, LEN(shingles) AS n FROM sh),
+ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter) >= 0.7
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a AS node, b AS r FROM sym
+  UNION
+  SELECT w.node, e.b FROM reach w JOIN sym e ON w.r = e.a
+),
+comp AS (
+  SELECT node, LEAST(node, MIN(r)) AS cluster_id FROM reach GROUP BY node
+),
+csizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT comp.node AS doc_id,
+       comp.cluster_id,
+       csizes.cluster_size,
+       comp.node = comp.cluster_id AS is_canonical
+FROM comp JOIN csizes USING (cluster_id)
+"""
+
+
+@register("neardup_cluster_canonical", _CLUSTER_SQL)
+def neardup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs → large-star/small-star components → canonical
+    doc per cluster (operators/components.py). The scale step the
+    reference pipeline lacks entirely: pair lists alone can't answer
+    "which copy do we keep" once dup families are transitive.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.select(
+        (F.col("doc_id") + _OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqxj")).alias("text"),
+    )
+    corpus = docs.unionByName(perturbed)
+    pairs = minhash_neardup_pairs(
+        corpus, "doc_id", "text", threshold=0.7, n_hashes=64, bands=32
+    )
+    return neardup_clusters(pairs)
 
 
 # ---------------------------------------------------------------------------
