@@ -56,6 +56,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from ccgp_data_wrangling_spark.queries import (  # noqa: F401
+        connector_queries,
         domain,
         events,
         llm_ops,

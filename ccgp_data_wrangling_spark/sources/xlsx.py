@@ -129,3 +129,105 @@ def xlsx_rows(path: str, *, sheet: str | int = 0) -> list[list[str | None]]:
         rows.append(cells)
         width = max(width, len(cells))
     return [r + [None] * (width - len(r)) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# Writer — the export dual of the reader (and the fixture builder the
+# driver-verified S4 queries use to exercise the xlsx probe loop on a
+# real OOXML container). Same stdlib-only stance: an xlsx is a ZIP of
+# SpreadsheetML parts. Small report-sized sheets only (driver-side by
+# design, like every submitted-sheet surface in the reference).
+# ---------------------------------------------------------------------------
+
+_WB_XML = (
+    '<?xml version="1.0"?>'
+    '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+    "<sheets>{sheets}</sheets></workbook>"
+)
+_RELS_XML = (
+    '<?xml version="1.0"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'relationships">{rels}</Relationships>'
+)
+_SHEET_XML = (
+    '<?xml version="1.0"?>'
+    '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+    "<sheetData>{rows}</sheetData></worksheet>"
+)
+
+
+def _col_ref(i: int) -> str:
+    """0→'A', 25→'Z', 26→'AA' (inverse of :func:`_col_index`)."""
+    out = ""
+    i += 1
+    while i:
+        i, rem = divmod(i - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _xml_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def write_xlsx(path: str, sheets: dict[str, list[list]]) -> None:
+    """Write a minimal valid xlsx: str cells → shared strings, numbers
+    → inline ``t="n"``, None → cell omitted (Excel's own sparse
+    serialization). Round-trips through :func:`xlsx_rows`.
+    """
+    strings: list[str] = []
+    sidx: dict[str, int] = {}
+
+    def cell_xml(r: int, c: int, v) -> str:
+        ref = f"{_col_ref(c)}{r + 1}"
+        if v is None:
+            return ""
+        if isinstance(v, str):
+            if v not in sidx:
+                sidx[v] = len(strings)
+                strings.append(v)
+            return f'<c r="{ref}" t="s"><v>{sidx[v]}</v></c>'
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    sheet_xml = {}
+    for name, rows in sheets.items():
+        rx = "".join(
+            f'<row r="{r + 1}">'
+            + "".join(cell_xml(r, c, v) for c, v in enumerate(row))
+            + "</row>"
+            for r, row in enumerate(rows)
+            if row  # empty list → row skipped entirely
+        )
+        sheet_xml[name] = _SHEET_XML.format(rows=rx)
+
+    with zipfile.ZipFile(path, "w") as zf:
+        names = list(sheets)
+        zf.writestr(
+            "xl/workbook.xml",
+            _WB_XML.format(
+                sheets="".join(
+                    f'<sheet name="{_xml_escape(n)}" sheetId="{i + 1}" '
+                    f'r:id="rId{i + 1}"/>'
+                    for i, n in enumerate(names)
+                )
+            ),
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            _RELS_XML.format(
+                rels="".join(
+                    f'<Relationship Id="rId{i + 1}" Type="x" '
+                    f'Target="worksheets/sheet{i + 1}.xml"/>'
+                    for i in range(len(names))
+                )
+            ),
+        )
+        for i, n in enumerate(names):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", sheet_xml[n])
+        ss = "".join(f"<si><t>{_xml_escape(s)}</t></si>" for s in strings)
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/'
+            f'spreadsheetml/2006/main">{ss}</sst>',
+        )

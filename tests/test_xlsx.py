@@ -8,92 +8,10 @@ Reference semantics: utils/parse.py:223-236 (re-read with header=i
 until the ``*sample_name`` marker column appears), :167 (dtype=str).
 """
 
-import zipfile
-
 import pytest
 
 from ccgp_data_wrangling_spark.sources.ingest import read_submitted_sheet
-from ccgp_data_wrangling_spark.sources.xlsx import xlsx_rows
-
-_WB = """<?xml version="1.0"?>
-<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
- xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
- <sheets>{sheets}</sheets></workbook>"""
-_RELS = """<?xml version="1.0"?>
-<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-{rels}</Relationships>"""
-_SHEET = """<?xml version="1.0"?>
-<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
-<sheetData>{rows}</sheetData></worksheet>"""
-
-
-def _col_ref(i: int) -> str:
-    out = ""
-    i += 1
-    while i:
-        i, rem = divmod(i - 1, 26)
-        out = chr(ord("A") + rem) + out
-    return out
-
-
-def write_xlsx(path, sheets: dict[str, list[list]]) -> None:
-    """Minimal xlsx writer: str cells → shared strings, numbers → n,
-    None → cell omitted (Excel's own sparse serialization)."""
-    strings: list[str] = []
-    sidx: dict[str, int] = {}
-
-    def cell_xml(r, c, v):
-        ref = f"{_col_ref(c)}{r + 1}"
-        if v is None:
-            return ""
-        if isinstance(v, str):
-            if v not in sidx:
-                sidx[v] = len(strings)
-                strings.append(v)
-            return f'<c r="{ref}" t="s"><v>{sidx[v]}</v></c>'
-        return f'<c r="{ref}"><v>{v}</v></c>'
-
-    sheet_xml = {}
-    for name, rows in sheets.items():
-        rx = "".join(
-            f'<row r="{r + 1}">'
-            + "".join(cell_xml(r, c, v) for c, v in enumerate(row))
-            + "</row>"
-            for r, row in enumerate(rows)
-            if row  # empty list → row skipped entirely
-        )
-        sheet_xml[name] = _SHEET.format(rows=rx)
-
-    with zipfile.ZipFile(path, "w") as zf:
-        names = list(sheets)
-        zf.writestr(
-            "xl/workbook.xml",
-            _WB.format(
-                sheets="".join(
-                    f'<sheet name="{n}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
-                    for i, n in enumerate(names)
-                )
-            ),
-        )
-        zf.writestr(
-            "xl/_rels/workbook.xml.rels",
-            _RELS.format(
-                rels="".join(
-                    f'<Relationship Id="rId{i + 1}" Type="x" '
-                    f'Target="worksheets/sheet{i + 1}.xml"/>'
-                    for i in range(len(names))
-                )
-            ),
-        )
-        for i, n in enumerate(names):
-            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", sheet_xml[n])
-        ss = "".join(f"<si><t>{s}</t></si>" for s in strings)
-        zf.writestr(
-            "xl/sharedStrings.xml",
-            '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/'
-            f'spreadsheetml/2006/main">{ss}</sst>',
-        )
-
+from ccgp_data_wrangling_spark.sources.xlsx import write_xlsx, xlsx_rows
 
 def test_xlsx_rows_types_and_gaps(tmp_path):
     p = str(tmp_path / "t.xlsx")
