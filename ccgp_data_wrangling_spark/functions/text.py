@@ -53,3 +53,31 @@ def rolling_hash(text: Column, base: int = 31, mod: int = _MERSENNE31) -> Column
         F.lit(0).cast("long"),
         lambda acc, x: F.pmod(acc * base + x, F.lit(mod)),
     )
+
+
+#: PII patterns kept to the regex subset Java regex and RE2 share (no
+#: backreferences, no lookaround) so the DuckDB oracle can apply the
+#: identical expressions. Ordering matters: emails first (an email
+#: contains digit runs a later pattern would half-redact).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}", "[PHONE]"),
+    (r"[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "[PHONE]"),
+    (r"[0-9]{13,19}", "[NUM]"),  # card-length digit runs
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact email / phone / long-digit-run spans with typed
+    sentinels — the standard pre-training privacy scrub. A chain of
+    JVM ``regexp_replace`` passes (one per pattern), whole-stage
+    codegen'd; at 100 TB this is a map-only stage with zero shuffle.
+
+    DuckDB oracle: the same chain via nested
+    ``REGEXP_REPLACE(..., 'g')`` (DuckDB replaces only the first
+    match unless the 'g' flag is given; Spark is global by default).
+    """
+    out = text
+    for pattern, sentinel in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, sentinel)
+    return out

@@ -62,6 +62,7 @@ def _load_all() -> None:
         llm_ops,
         llm_scale,
         merge_queries,
+        pipeline_ops,
         relational,
     )
 
