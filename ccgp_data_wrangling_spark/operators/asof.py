@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ccgp_data_wrangling_spark.functions.temporal import epoch_seconds
+
 __all__ = ["asof_join"]
 
 
@@ -100,8 +102,8 @@ def asof_join(
     out = u.withColumn("__m", matched).where(F.col("__is_left") == 1)
     if tolerance_sec is not None:
         gap = F.abs(
-            F.col("__ts").cast("double")
-            - F.col("__m").getField(right_ts).cast("double")
+            epoch_seconds(F.col("__ts"))
+            - epoch_seconds(F.col("__m").getField(right_ts))
         )
         out = out.withColumn(
             "__m", F.when(gap <= F.lit(float(tolerance_sec)), F.col("__m"))

@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ccgp_data_wrangling_spark.catalog import load_table
+from ccgp_data_wrangling_spark.functions.temporal import epoch_seconds
 from ccgp_data_wrangling_spark.operators.asof import asof_join
 from ccgp_data_wrangling_spark.queries import register
 
@@ -83,7 +84,7 @@ def t_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ts = F.lag("ts").over(order_w)
     # timestamp→double keeps microsecond precision exactly (2024 epoch
     # micros ≪ 2^53), matching DuckDB's exact interval comparison
-    gap = F.col("ts").cast("double") - prev_ts.cast("double")
+    gap = epoch_seconds(F.col("ts")) - epoch_seconds(prev_ts)
     flagged = ev.select(
         "user_id",
         "ts",

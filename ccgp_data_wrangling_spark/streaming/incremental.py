@@ -27,6 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ccgp_data_wrangling_spark.functions.temporal import ensure_ltz
 from ccgp_data_wrangling_spark.operators.merge import ParquetTable
 
 
@@ -165,7 +166,7 @@ def windowed_event_counts(
     mode, state for windows older than ``watermark_delay`` is evicted
     and later-arriving rows are dropped — bounded state at any scale.
     """
-    src = events
+    src = ensure_ltz(events, ts_col)
     if src.isStreaming:
         src = src.withWatermark(ts_col, watermark_delay)
     return src.groupBy(
@@ -198,7 +199,7 @@ def interval_join_streams(
     state. Works identically on batch frames (watermarks no-op), so
     the batch dual is its own oracle.
     """
-    lf, rf = left, right
+    lf, rf = ensure_ltz(left, left_ts), ensure_ltz(right, right_ts)
     if lf.isStreaming:
         lf = lf.withWatermark(left_ts, watermark_delay)
     if rf.isStreaming:
