@@ -57,6 +57,7 @@ def _load_all() -> None:
         return
     from ccgp_data_wrangling_spark.queries import (  # noqa: F401
         connector_queries,
+        corpus_quality,
         domain,
         events,
         llm_ops,

@@ -1,0 +1,144 @@
+"""Corpus-quality queries: repetition filtering, bigram-LM scoring,
+TF-IDF top terms (operators/corpus_stats.py) over ``documents``.
+
+Beyond-reference training-data-pipeline surface; each query has a
+full DuckDB oracle. Float discipline: per-term logs are rounded to
+6 dp on both sides BEFORE any aggregation (identical doubles in both
+engines), final averages to 4 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ccgp_data_wrangling_spark.catalog import load_table
+from ccgp_data_wrangling_spark.operators.corpus_stats import (
+    bigram_cross_entropy,
+    repetition_stats,
+    tfidf_top_terms,
+)
+from ccgp_data_wrangling_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter (word-2-gram fractions + keep flag)
+# ---------------------------------------------------------------------------
+
+_REP_SQL = """
+WITH toks AS (
+  SELECT doc_id, LENGTH(text) AS n_chars, STR_SPLIT(text, ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, n_chars,
+         t[i] || ' ' || t[i + 1] AS gram
+  FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t), 1))) AS u(i)
+),
+counts AS (
+  SELECT doc_id, ANY_VALUE(n_chars) AS n_chars, gram, COUNT(*) AS cnt
+  FROM grams GROUP BY doc_id, gram
+),
+ranked AS (
+  SELECT doc_id, n_chars, gram, cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram ASC) AS rk,
+         SUM(CASE WHEN cnt > 1 THEN cnt * LENGTH(gram) ELSE 0 END)
+           OVER (PARTITION BY doc_id) AS dup_chars
+  FROM counts
+),
+per_doc AS (
+  SELECT doc_id, n_chars, gram AS top_gram, cnt AS top_cnt, dup_chars
+  FROM ranked WHERE rk = 1
+)
+SELECT doc_id, top_gram, CAST(top_cnt AS BIGINT) AS top_cnt,
+       ROUND(CAST(top_cnt * LENGTH(top_gram) AS DOUBLE) / n_chars, 4) AS top_frac,
+       ROUND(CAST(dup_chars AS DOUBLE) / n_chars, 4) AS dup_frac,
+       ROUND(CAST(top_cnt * LENGTH(top_gram) AS DOUBLE) / n_chars, 4) <= 0.20
+         AND ROUND(CAST(dup_chars AS DOUBLE) / n_chars, 4) <= 0.60 AS keep
+FROM per_doc
+"""
+
+
+@register("repetition_filter_gopher", _REP_SQL)
+def repetition_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=2)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM cross entropy (bits per token, add-0.5 smoothing)
+# ---------------------------------------------------------------------------
+
+_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg, t[i] AS w1
+  FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t), 1))) AS u(i)
+),
+doc_bg AS (
+  SELECT doc_id, bg, ANY_VALUE(w1) AS w1, COUNT(*) AS m
+  FROM pairs GROUP BY doc_id, bg
+),
+model AS (SELECT bg, COUNT(*) AS c12 FROM pairs GROUP BY bg),
+ctx   AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT UNNEST(t) AS w FROM toks)
+),
+scored AS (
+  SELECT d.doc_id, d.m,
+         ROUND(LOG2((model.c12 + 0.5) / (ctx.c1 + 0.5 * vocab.v)), 6) AS lp
+  FROM doc_bg d
+  JOIN model USING (bg)
+  JOIN ctx ON d.w1 = ctx.w1
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       ROUND(-SUM(m * lp) / SUM(m), 4) AS bits_per_token,
+       CAST(SUM(m) AS BIGINT) AS n_bigrams
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("bigram_lm_score", _LM_SQL)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_cross_entropy(docs)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-3 characteristic terms per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n  AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ROUND(LN((n.n + 1.0) / (df.df + 1.0)) + 1.0, 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id,
+       ARRAY_TO_STRING(LIST_SORT(LIST(CAST(rk AS VARCHAR) || ':' || term)), ',')
+         AS top_terms,
+       ROUND(MAX(score), 4) AS best_score
+FROM ranked WHERE rk <= 3 GROUP BY doc_id
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_SQL)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_k=3)
