@@ -51,6 +51,9 @@ HEADLINE = [
     "x12b_blocked_fuzzy_match",
     "r1_legacy_prefix_pairs",
     "asof_last_click",
+    "repetition_filter_gopher",
+    "bigram_lm_score",
+    "tfidf_top_terms",
 ]
 
 

@@ -143,9 +143,14 @@ def bigram_cross_entropy(
     rounded to 6 dp so the Spark and DuckDB oracles agree bit-for-bit.
     """
     tokens = F.split(F.col(text_col), " ")
+    # persist: the exploded bigram relation feeds four subtrees
+    # (doc counts, bigram model, context counts, vocabulary); without
+    # the boundary each recomputes the split+explode from the scan.
+    # At full scale this is the "tokenize once, reuse" materialization
+    # a real pipeline would write to storage.
     pairs = docs.select(
         id_col, F.explode(_grams(tokens, 2)).alias("bg")
-    )
+    ).persist()
     # doc-side multiplicities (one row per distinct (doc, bigram))
     doc_bg = pairs.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("m"))
     # corpus model
@@ -154,22 +159,23 @@ def bigram_cross_entropy(
     ctx = pairs.select(w1.alias("w1")).groupBy("w1").agg(
         F.count(F.lit(1)).alias("c1")
     )
-    vocab = (
+    # scalar subquery (DataFrame.scalar, Spark 4): the vocabulary size
+    # is evaluated once and inlined — no join node in the plan at all
+    v = (
         docs.select(F.explode(tokens).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
+        .scalar()
     )
     scored = (
         doc_bg.join(model, "bg")
         .withColumn("w1", w1)
         .join(F.broadcast(ctx), "w1")
-        .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
             "m",
             F.round(
                 F.log2(
-                    (F.col("c12") + F.lit(k))
-                    / (F.col("c1") + F.lit(k) * F.col("v"))
+                    (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * v)
                 ),
                 6,
             ).alias("lp"),
@@ -203,18 +209,15 @@ def tfidf_top_terms(
     """
     tf = word_ngram_counts(docs, 1, id_col=id_col, text_col=text_col)
     df_tbl = tf.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    # corpus size as a scalar subquery — evaluated once, no join node
+    n = docs.agg(F.count(F.lit(1)).alias("n")).scalar()
     idf = F.round(
-        F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + 1.0, 6
+        F.log((n + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + 1.0, 6
     )
-    scored = (
-        tf.join(F.broadcast(df_tbl), "gram")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            id_col,
-            F.col("gram").alias("term"),
-            (F.col("cnt") * idf).alias("score"),
-        )
+    scored = tf.join(F.broadcast(df_tbl), "gram").select(
+        id_col,
+        F.col("gram").alias("term"),
+        (F.col("cnt") * idf).alias("score"),
     )
     w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
     return (
