@@ -13,14 +13,16 @@ Every operation is **idempotent** (running twice == running once),
 matching the reference's own invariant ("DOESN'T OVERRIDE EXISTING
 FILES!", update_reads.py:19); property-tested in tests/test_merge.py.
 
-Scale notes: each MERGE is one full-outer (or left) shuffle join on
-the key plus a full rewrite of the table — the same cost profile as
-a Delta MERGE that touches all files. At 100 TB you'd partition the
-table (e.g. by ccgp_project_id), derive the touched-partition set
-from the source keys, and rewrite only those partitions; the
-``partition_filter`` hook supports that pattern. The swap is
-atomic on a POSIX filesystem (rename); object stores need a commit
-protocol (kept out of scope, as in vanilla-parquet Spark).
+Scale notes: each :class:`ParquetTable` MERGE is one full-outer (or
+left) shuffle join on the key plus a full rewrite of the table — the
+same cost profile as a Delta MERGE that touches all files. At 100 TB
+you partition the table (e.g. by ccgp_project_id) and use
+:class:`PartitionedParquetTable`: it derives the touched-partition
+set from the source, reads ONLY those partitions (static partition
+pruning at the file listing), and rewrites only their directories —
+merge cost scales with the update's footprint, not the table. The
+swap is atomic on a POSIX filesystem (rename); object stores need a
+commit protocol (kept out of scope, as in vanilla-parquet Spark).
 """
 
 from __future__ import annotations
@@ -49,6 +51,15 @@ class ParquetTable:
 
     def init(self, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(self.path)
+
+    def _target_for(self, source: DataFrame) -> DataFrame:
+        """The slice of the table an op must read to merge ``source``.
+
+        The base table has no pruning structure, so this is the whole
+        table; :class:`PartitionedParquetTable` narrows it to the
+        partitions the source touches.
+        """
+        return self.read()
 
     def _swap_in(self, df: DataFrame) -> None:
         """Copy-on-write: materialize to a tmp dir, atomically swap.
@@ -109,10 +120,10 @@ class ParquetTable:
         per document; set-oriented MERGE requires unique match, else the
         full-outer join fans out target rows and breaks idempotency).
         """
-        tgt = self.read()
         set_cols = set_cols or [c for c in source.columns if c not in self.keys]
         src = source.select(*self.keys, *set_cols)
         self._assert_unique(src)
+        tgt = self._target_for(src)
         src = src.withColumn("__s_present", F.lit(1))
         t, s = tgt.alias("t"), src.alias("s")
         cond = reduce(
@@ -142,7 +153,7 @@ class ParquetTable:
         existing rows (update_reads.py:44-56 "$setOnInsert").
         Missing target columns are filled with NULL via unionByName.
         """
-        tgt = self.read()
+        tgt = self._target_for(source)
         new_rows = source.join(tgt.select(*self.keys), self.keys, "left_anti")
         self._swap_in(tgt.unionByName(new_rows, allowMissingColumns=True))
 
@@ -167,7 +178,7 @@ class ParquetTable:
         union — the reference's ""/"NaN" pollution scrub
         (update_reads.py:190-193) plugs in here.
         """
-        tgt = self.read()
+        tgt = self._target_for(source)
         t = tgt.alias("t")
         # Non-nullable presence marker: testing s.<key> IS NOT NULL would
         # misclassify a NULL-key source row that null-safely matched.
@@ -211,7 +222,7 @@ class ParquetTable:
         agg = pulls.groupBy(*self.keys).agg(
             F.collect_set(value_col).alias("__pull_vals")
         )
-        tgt = self.read()
+        tgt = self._target_for(agg)
         t, p = tgt.alias("t"), agg.alias("p")
         cond = reduce(
             lambda a, b: a & b,
@@ -242,7 +253,7 @@ class ParquetTable:
         reference "t." columns and any extra columns of ``keys_df``
         via "s.".
         """
-        tgt = self.read()
+        tgt = self._target_for(keys_df)
         t = tgt.alias("t")
         s = keys_df.withColumn("__s_present", F.lit(1)).alias("s")
         cond = reduce(
@@ -267,5 +278,147 @@ class ParquetTable:
         """Delete rows whose key appears in ``keys_df`` (anti-join
         rewrite of delete_mongo_file_if_not_in_aws.py:34).
         """
-        tgt = self.read()
+        tgt = self._target_for(keys_df)
         self._swap_in(tgt.join(keys_df.select(*self.keys), self.keys, "left_anti"))
+
+
+class PartitionedParquetTable(ParquetTable):
+    """A hive-partitioned :class:`ParquetTable` whose MERGE ops touch
+    only the partitions the source addresses.
+
+    Every op (a) collects the source's distinct partition values — a
+    bounded driver round-trip, partition counts are small by design,
+    exactly Delta's touched-file discovery — (b) reads the target WITH
+    a partition-value ``isin`` filter, which Spark applies at the file
+    listing (``PartitionFilters``: untouched partitions are never even
+    listed), and (c) writes and atomically swaps only the touched
+    ``col=value`` directories. Untouched partition directories are not
+    read, written, or renamed — merge cost follows the update
+    footprint, not table size.
+
+    Constraints (documented, asserted where cheap):
+
+    * ``partition_by`` must be one of the merge keys — keys are
+      immutable under every op, so a row can never change partition.
+    * partition values must be non-null and render to filesystem-safe
+      strings via ``str()`` (ints / simple tokens; the common case).
+      Exotic values would need Hive's escapePathName.
+    * ``partition_type``: hive partition-column type inference re-types
+      values read back from directory names (e.g. a BIGINT key column
+      re-infers as INT); pass the original Spark type name to pin the
+      read schema.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str | list[str],
+        partition_by: str,
+        partition_type: str | None = None,
+    ):
+        super().__init__(spark, path, key)
+        if partition_by not in self.keys:
+            raise ValueError(
+                f"partition_by {partition_by!r} must be a merge key "
+                f"(keys={self.keys}) so rows cannot change partition"
+            )
+        self.partition_by = partition_by
+        self.partition_type = partition_type
+        self._touched: list | None = None
+
+    # -- IO ---------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        df = self.spark.read.parquet(self.path)
+        if self.partition_type is not None:
+            df = df.withColumn(
+                self.partition_by,
+                F.col(self.partition_by).cast(self.partition_type),
+            )
+        return df
+
+    def init(self, df: DataFrame) -> None:
+        df.write.mode("overwrite").partitionBy(self.partition_by).parquet(
+            self.path
+        )
+
+    def _target_for(self, source: DataFrame) -> DataFrame:
+        vals = [
+            r[0]
+            for r in source.select(self.partition_by).distinct().collect()
+        ]
+        if any(v is None for v in vals):
+            raise ValueError(
+                f"NULL {self.partition_by} in MERGE source: null partition "
+                "values are not supported"
+            )
+        self._touched = vals
+        # static partition pruning: the isin over the partition column
+        # becomes PartitionFilters — only touched directories are listed
+        return self.read().where(F.col(self.partition_by).isin(vals))
+
+    def _swap_in(self, df: DataFrame) -> None:
+        """Swap only the touched ``col=value`` partition directories.
+
+        The merged frame contains rows of touched partitions only (the
+        target side was pruned, the source defines the touched set), so
+        the tmp write materializes exactly the directories to swap. A
+        touched value with no surviving rows (a delete emptied it) has
+        no tmp directory and its live directory is removed.
+        """
+        vals, self._touched = self._touched, None
+        if vals is None:  # full-table op — behave like the base class
+            tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
+            try:
+                df.write.mode("overwrite").partitionBy(
+                    self.partition_by
+                ).parquet(tmp)
+            except BaseException:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+            old = f"{self.path}.old-{uuid.uuid4().hex}"
+            os.rename(self.path, old)
+            try:
+                os.rename(tmp, self.path)
+            except BaseException:
+                os.rename(old, self.path)
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+            shutil.rmtree(old)
+            return
+
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
+        try:
+            df.write.mode("overwrite").partitionBy(self.partition_by).parquet(
+                tmp
+            )
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        try:
+            written = {
+                d
+                for d in os.listdir(tmp)
+                if d.startswith(f"{self.partition_by}=")
+            }
+            for v in vals:
+                dirname = f"{self.partition_by}={v}"
+                live = os.path.join(self.path, dirname)
+                fresh = os.path.join(tmp, dirname)
+                if dirname in written:
+                    if os.path.exists(live):
+                        old = f"{live}.old-{uuid.uuid4().hex}"
+                        os.rename(live, old)
+                        try:
+                            os.rename(fresh, live)
+                        except BaseException:
+                            os.rename(old, live)
+                            raise
+                        shutil.rmtree(old)
+                    else:
+                        os.rename(fresh, live)
+                elif os.path.exists(live):
+                    shutil.rmtree(live)  # partition emptied by a delete
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

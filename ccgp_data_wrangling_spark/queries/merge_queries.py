@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ccgp_data_wrangling_spark.catalog import load_table
-from ccgp_data_wrangling_spark.operators.merge import ParquetTable
+from ccgp_data_wrangling_spark.operators.merge import (
+    ParquetTable,
+    PartitionedParquetTable,
+)
 from ccgp_data_wrangling_spark.queries import register
 
 
@@ -388,5 +391,60 @@ def m3_struct_tuple_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entries"),
             F.size("entries").alias("n_entries"),
         )
+    finally:
+        _cleanup_at_exit(tmp)
+
+
+# ---------------------------------------------------------------------------
+# M8: partition-pruned MERGE — the 100 TB path. The table is hive-
+# partitioned on a key prefix; the upsert's source touches 2 of the 8
+# partitions and only those directories are read or rewritten
+# (tests/test_partitioned_merge.py pins the physical behavior; this
+# query pins the results against the set-oriented oracle).
+# ---------------------------------------------------------------------------
+
+_M8_SQL = """
+WITH target AS (
+  SELECT CAST(o_custkey % 8 AS BIGINT) AS pk, o_orderkey AS k,
+         ROUND(o_totalprice, 2) AS total
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+source AS (
+  SELECT CAST(o_custkey % 8 AS BIGINT) AS pk, o_orderkey AS k,
+         ROUND(o_totalprice + 1000, 2) AS total
+  FROM orders WHERE o_orderkey % 3 = 0 AND o_custkey % 8 IN (1, 3)
+)
+SELECT COALESCE(t.pk, s.pk) AS pk,
+       COALESCE(t.k, s.k)   AS k,
+       COALESCE(s.total, t.total) AS total
+FROM target t FULL OUTER JOIN source s ON t.pk = s.pk AND t.k = s.k
+"""
+
+
+@register("m8_partitioned_upsert", _M8_SQL)
+def m8_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pk = (F.col("o_custkey") % 8).cast("long").alias("pk")
+    target = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        pk, F.col("o_orderkey").alias("k"), F.round("o_totalprice", 2).alias("total")
+    )
+    source = (
+        orders.where(
+            (F.col("o_orderkey") % 3 == 0) & (F.col("o_custkey") % 8).isin(1, 3)
+        )
+        .select(
+            pk,
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") + 1000, 2).alias("total"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="m8_part_")
+    try:
+        tbl = PartitionedParquetTable(
+            spark, f"{tmp}/t", ["pk", "k"], "pk", partition_type="long"
+        )
+        tbl.init(target)
+        tbl.upsert(source)
+        return tbl.read().select("pk", "k", "total")
     finally:
         _cleanup_at_exit(tmp)

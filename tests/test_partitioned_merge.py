@@ -1,0 +1,165 @@
+"""PartitionedParquetTable: merge ops equal the unpartitioned table's
+results, while physically touching only the partitions the source
+addresses (the 100 TB property: merge cost ∝ update footprint).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ccgp_data_wrangling_spark.operators.merge import (
+    ParquetTable,
+    PartitionedParquetTable,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _files(root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[p] = os.stat(p).st_mtime_ns
+    return out
+
+
+def _mk(spark, tmp_path, name, partitioned):
+    base = spark.createDataFrame(
+        [(p, i, float(p * 100 + i)) for p in range(4) for i in range(5)],
+        "p int, k int, v double",
+    )
+    if partitioned:
+        t = PartitionedParquetTable(
+            spark, str(tmp_path / name), ["p", "k"], "p", partition_type="int"
+        )
+    else:
+        t = ParquetTable(spark, str(tmp_path / name), ["p", "k"])
+    t.init(base)
+    return t
+
+
+def test_partitioned_results_equal_unpartitioned(spark, tmp_path):
+    flat = _mk(spark, tmp_path, "flat", False)
+    part = _mk(spark, tmp_path, "part", True)
+    src = spark.createDataFrame(
+        [(1, 2, -1.0), (1, 99, -2.0), (3, 0, -3.0), (5, 1, -4.0)],
+        "p int, k int, v double",
+    )
+    pulls = spark.createDataFrame([(1, 2)], "p int, k int")
+    for t in (flat, part):
+        t.upsert(src)
+        t.delete_keys(pulls)
+    assert _rows(flat.read().select("p", "k", "v")) == _rows(
+        part.read().select("p", "k", "v")
+    )
+
+
+def test_untouched_partitions_not_rewritten(spark, tmp_path):
+    part = _mk(spark, tmp_path, "part", True)
+    root = str(tmp_path / "part")
+    before = _files(root)
+    untouched_before = {
+        p: m for p, m in before.items() if "/p=1/" not in p and "/p=5/" not in p
+    }
+    src = spark.createDataFrame(
+        [(1, 2, -1.0), (5, 0, -2.0)], "p int, k int, v double"
+    )
+    part.upsert(src)
+    after = _files(root)
+    untouched_after = {
+        p: m for p, m in after.items() if "/p=1/" not in p and "/p=5/" not in p
+    }
+    # byte-for-byte identical files (same paths, same mtimes) outside
+    # the two touched partitions; p=1 rewritten, p=5 created
+    assert untouched_before == untouched_after
+    assert any("/p=5/" in p for p in after)
+    assert {p for p in after if "/p=1/" in p} != {
+        p for p in before if "/p=1/" in p
+    }
+
+
+def test_delete_empties_partition_directory(spark, tmp_path):
+    part = _mk(spark, tmp_path, "part", True)
+    root = str(tmp_path / "part")
+    keys = spark.createDataFrame(
+        [(2, i) for i in range(5)], "p int, k int"
+    )
+    part.delete_keys(keys)
+    assert not os.path.exists(os.path.join(root, "p=2"))
+    assert _rows(part.read().select("p").distinct()) == [(0,), (1,), (3,)]
+
+
+def test_partitioned_array_union_and_pull(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(p, i, ["a"]) for p in range(3) for i in range(3)],
+        "p int, k int, files array<string>",
+    )
+    t = PartitionedParquetTable(
+        spark, str(tmp_path / "arr"), ["p", "k"], "p", partition_type="int"
+    )
+    t.init(base)
+    src = spark.createDataFrame(
+        [(0, 1, ["b", "a"])], "p int, k int, files array<string>"
+    )
+    t.array_union_set(src, "files")
+    pulls = spark.createDataFrame([(0, 1, "a")], "p int, k int, f string")
+    t.array_pull(pulls, "files", "f")
+    got = {
+        (r.p, r.k): sorted(r.files) for r in t.read().collect()
+    }
+    assert got[(0, 1)] == ["b"]
+    assert got[(1, 1)] == ["a"]
+
+
+def test_partition_key_constraint_enforced(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        PartitionedParquetTable(spark, str(tmp_path / "x"), "k", "p")
+
+
+def test_null_partition_value_rejected(spark, tmp_path):
+    import pytest
+
+    part = _mk(spark, tmp_path, "part", True)
+    src = spark.createDataFrame(
+        [(None, 1, 0.0)], "p int, k int, v double"
+    )
+    with pytest.raises(ValueError, match="null partition"):
+        part.upsert(src)
+
+
+def test_partitioned_insert_only_is_idempotent(spark, tmp_path):
+    part = _mk(spark, tmp_path, "part", True)
+    src = spark.createDataFrame(
+        [(0, 0, -9.0), (7, 0, -8.0)], "p int, k int, v double"
+    )
+    part.insert_only(src)
+    part.insert_only(src)
+    got = {(r.p, r.k): r.v for r in part.read().collect()}
+    assert got[(0, 0)] == 0.0  # existing row untouched
+    assert got[(7, 0)] == -8.0  # inserted once
+    assert len(got) == 21
+
+
+def test_touched_partition_filter_reaches_scan(spark, tmp_path):
+    """_target_for's isin becomes PartitionFilters — untouched
+    partition directories are excluded at the file listing."""
+    import contextlib
+    import io
+
+    part = _mk(spark, tmp_path, "part", True)
+    src = spark.createDataFrame([(1, 2, -1.0)], "p int, k int, v double")
+    tgt = part._target_for(src)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tgt.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "p" in plan.split("PartitionFilters", 1)[1][:120]
+    assert _rows(tgt.select("p").distinct()) == [(1,)]
