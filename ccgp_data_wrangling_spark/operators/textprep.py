@@ -207,3 +207,61 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def domain_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    token_col: str = "n_tok",
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Materialize a weighted domain mixture with replacement.
+
+    Classic trainer-side mixing (fixed domain weights à la The
+    Pile / Gopher): each group g should contribute
+    ``weights[g] / Σweights × token_budget`` tokens. With repeat
+    factor r_g = target_g / actual_g, every doc gets ``floor(r_g)``
+    full copies plus one more iff its deterministic hash bucket (of
+    ``precision``) falls below ``round(frac(r_g) · precision)`` — so
+    up-sampling (r > 1: epoch repetition) and down-sampling (r < 1)
+    come out of the same arithmetic, reproducibly on any engine, any
+    partitioning, any retry. Groups absent from ``weights`` are
+    dropped.
+
+    Output: one row per materialized copy — (id, group, copy_idx
+    1-based). Shape: one map-side-combined aggregate for the group
+    totals (a domains-sized dim, broadcast back), then a pure
+    projection + explode; no window, no rand(), no driver state.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    wsum = float(sum(weights.values()))
+    w = F.lit(0.0)
+    for g, wt in sorted(weights.items()):
+        w = F.when(F.col(group_col) == g, F.lit(float(wt))).otherwise(w)
+    totals = df.groupBy(group_col).agg(
+        F.sum(F.col(token_col)).cast("double").alias("__tok")
+    )
+    r = (w / F.lit(wsum)) * F.lit(float(token_budget)) / F.col("__tok")
+    dim = totals.select(
+        group_col,
+        F.floor(r).cast("long").alias("__full"),
+        F.round((r - F.floor(r)) * precision, 0).alias("__thresh"),
+    )
+    n_copies = F.col("__full") + (
+        F.pmod(mult_hash(F.col(id_col)), F.lit(precision)) < F.col("__thresh")
+    ).cast("long")
+    return (
+        df.join(F.broadcast(dim), group_col)
+        .withColumn("__n", n_copies)
+        .where(F.col("__n") > 0)
+        .select(
+            id_col,
+            group_col,
+            F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("copy_idx"),
+        )
+    )

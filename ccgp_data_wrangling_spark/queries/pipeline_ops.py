@@ -243,3 +243,55 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("train_id"), F.col("bench_id"), F.col("n_shared").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted domain mixture with replacement: fixed source weights, a
+# 500k-token budget; per-source repeat factor floor+fractional via the
+# deterministic hash bucket. Up- and down-sampling from one formula.
+# ---------------------------------------------------------------------------
+
+_MIX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+weighted AS (
+  SELECT source, CAST(SUM(n_tok) AS DOUBLE) AS tok,
+         CASE source WHEN 'src0' THEN 6.0 WHEN 'src1' THEN 3.0
+                     WHEN 'src2' THEN 1.0 ELSE 0.0 END AS w
+  FROM toks GROUP BY source
+),
+dim AS (
+  SELECT source,
+         CAST(FLOOR(w / 10.0 * 500000.0 / tok) AS BIGINT) AS nfull,
+         ROUND((w / 10.0 * 500000.0 / tok
+                - FLOOR(w / 10.0 * 500000.0 / tok)) * 1000000, 0) AS thresh
+  FROM weighted
+),
+copies AS (
+  SELECT t.doc_id, t.source,
+         d.nfull + CASE WHEN {_HASH_A} % 1000000 < d.thresh
+                        THEN 1 ELSE 0 END AS n
+  FROM toks t JOIN dim d USING (source)
+)
+SELECT doc_id, source, CAST(u.i AS BIGINT) AS copy_idx
+FROM copies, UNNEST(GENERATE_SERIES(1, CAST(n AS BIGINT))) AS u(i)
+WHERE n > 0
+"""
+
+
+@register("domain_mixture_weighted", _MIX_SQL)
+def domain_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.functions.text import ws_token_count
+    from ccgp_data_wrangling_spark.operators.textprep import domain_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ws_token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return domain_mixture(
+        docs, {"src0": 6.0, "src1": 3.0, "src2": 1.0}, 500_000
+    ).select("doc_id", "source", F.col("copy_idx").cast("long").alias("copy_idx"))

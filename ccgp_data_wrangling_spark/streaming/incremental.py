@@ -219,3 +219,28 @@ def interval_join_streams(
             continue
         out.append(rf[c].alias(c if c not in left.columns else f"right_{c}"))
     return joined.select(*out)
+
+
+def dedup_stream(
+    events: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Exact streaming deduplication with bounded state.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — the first arrival
+    per key is emitted, re-arrivals inside the watermark window are
+    dropped, and per-key state is evicted once the watermark passes it
+    (without the watermark bound, streaming dedup state grows forever —
+    the operator every streaming ingest-dedup pipeline needs). Batch:
+    plain ``dropDuplicates`` over the same keys, which is the oracle
+    when every duplicate pair lands within the watermark window.
+    """
+    src = ensure_ltz(events, ts_col)
+    if src.isStreaming:
+        return src.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return src.dropDuplicates(key_cols)

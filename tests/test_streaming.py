@@ -232,3 +232,43 @@ def test_ledger_run_bounded_backlog(spark, tmp_path):
     assert out is not None and out.count() == 3
     # successes are off the pending list; failures stay retryable
     assert ing.pending(discovered).count() == 10_000 - 3
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) keeps
+    exactly one row per key when duplicates land inside the watermark
+    window — same key set as the batch dual."""
+    from ccgp_data_wrangling_spark.catalog import load_table
+    from ccgp_data_wrangling_spark.streaming.incremental import dedup_stream
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(1000)
+    # plant duplicates: every event twice (identical content hash key)
+    doubled = events.unionByName(events)
+    src_dir = tmp_path / "dedup_stream"
+    doubled.write.parquet(str(src_dir))
+    schema = spark.read.parquet(str(src_dir)).schema
+
+    batch_keys = {
+        r.event_id
+        for r in dedup_stream(
+            spark.read.parquet(str(src_dir)), key_cols=["event_id"]
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    out = []
+
+    def sink(b, _epoch):
+        out.extend(b.collect())
+
+    q = (
+        dedup_stream(stream, key_cols=["event_id"], watermark_delay="365 days")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.event_id for r in out]
+    assert sorted(got) == sorted(batch_keys)  # one emission per key

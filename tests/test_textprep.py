@@ -134,3 +134,52 @@ def test_scrub_pii_patterns(spark):
     assert out[2] == "call [PHONE] or [PHONE]"
     assert out[3] == "card [NUM] but keep 1234 and year 2024"
     assert out[4] == "clean text stays clean"
+
+
+def test_domain_mixture_exact_integer_factors(spark):
+    # budget 600, weights a:2 b:1 → targets a=400, b=200.
+    # a has 100 tokens total → r=4.0 exactly (4 copies each, no
+    # fractional draw); b has 200 → r=1.0 (1 copy each).
+    from ccgp_data_wrangling_spark.operators.textprep import domain_mixture
+
+    df = spark.createDataFrame(
+        [(1, "a", 60), (2, "a", 40), (3, "b", 120), (4, "b", 80)],
+        "doc_id long, source string, n_tok long",
+    )
+    out = domain_mixture(df, {"a": 2.0, "b": 1.0}, 600)
+    got = {
+        (r.doc_id, r.copy_idx) for r in out.collect()
+    }
+    assert got == {(1, 1), (1, 2), (1, 3), (1, 4),
+                   (2, 1), (2, 2), (2, 3), (2, 4),
+                   (3, 1), (4, 1)}
+
+
+def test_domain_mixture_hits_token_budget(spark):
+    # fractional factors: realized token mass per source lands within
+    # one max-doc of its target share
+    from ccgp_data_wrangling_spark.operators.textprep import domain_mixture
+
+    rows = [(i, "a" if i % 3 else "b", 50 + (i * 37) % 100) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    budget = 30_000
+    out = domain_mixture(df, {"a": 3.0, "b": 1.0}, budget)
+    realized = {
+        r.source: r.tok
+        for r in out.join(df, ["doc_id", "source"])
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("tok"))
+        .collect()
+    }
+    assert abs(realized["a"] - budget * 0.75) < 2500  # hash-draw noise band
+    assert abs(realized["b"] - budget * 0.25) < 2500
+
+
+def test_domain_mixture_drops_unweighted_groups(spark):
+    from ccgp_data_wrangling_spark.operators.textprep import domain_mixture
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "zz", 10)], "doc_id long, source string, n_tok long"
+    )
+    out = domain_mixture(df, {"a": 1.0}, 10)
+    assert {r.source for r in out.collect()} == {"a"}
