@@ -23,9 +23,15 @@ from ccgp_data_wrangling_spark.queries import all_oracles, all_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    j1 is the engine's flagship custom operator: the reference's
+    O(samples × files) fuzzy-substring nested loop re-expressed as a
+    candidate-span equi-join with tier-precedence and conflict
+    windows (operators/linkage.py).
+    """
     qs = all_queries()
-    return qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    return qs["j1_linkage_fileset"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
