@@ -54,6 +54,7 @@ HEADLINE = [
     "repetition_filter_gopher",
     "bigram_lm_score",
     "tfidf_top_terms",
+    "curation_pipeline_e2e",
 ]
 
 

@@ -58,6 +58,7 @@ def _load_all() -> None:
     from ccgp_data_wrangling_spark.queries import (  # noqa: F401
         connector_queries,
         corpus_quality,
+        curation_e2e,
         domain,
         events,
         llm_ops,
