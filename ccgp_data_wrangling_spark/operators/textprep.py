@@ -265,3 +265,51 @@ def domain_mixture(
             F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("copy_idx"),
         )
     )
+
+
+def length_bucket_summary(
+    df: DataFrame,
+    *,
+    n_buckets: int = 4,
+    id_col: str = "doc_id",
+    token_col: str = "n_tok",
+) -> DataFrame:
+    """Quantile length buckets + per-bucket padding waste.
+
+    Batching docs of similar length is the classic padding-efficiency
+    lever: a batch pads every sequence to its longest member, so
+    mixing a 10-token doc into a 2000-token bucket wastes 1990 slots.
+    Bucket boundaries are EXACT percentiles of ``token_col`` delivered
+    as a scalar subquery — no global sort, no NTILE window over the
+    corpus (the single-partition trap); assignment is a pure
+    projection, and the summary is one hash aggregate.
+
+    Returns (bucket 1-based, n_docs, min_tok, max_tok, sum_tok,
+    padded_slots = max_tok·n_docs, waste_ratio).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    probs = F.array(
+        *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+    )
+    bounds = df.agg(F.percentile(F.col(token_col), probs).alias("q")).scalar()
+    bucket = F.lit(1)
+    for i in range(1, n_buckets):
+        bucket = bucket + (
+            F.col(token_col) > F.element_at(bounds, i)
+        ).cast("int")
+    assigned = df.select(
+        id_col, token_col, bucket.alias("bucket")
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(token_col).alias("min_tok"),
+        F.max(token_col).alias("max_tok"),
+        F.sum(token_col).cast("long").alias("sum_tok"),
+        (F.max(token_col) * F.count(F.lit(1))).cast("long").alias("padded_slots"),
+        F.round(
+            (F.max(token_col) * F.count(F.lit(1)) - F.sum(token_col)).cast("double")
+            / (F.max(token_col) * F.count(F.lit(1))),
+            4,
+        ).alias("waste_ratio"),
+    )

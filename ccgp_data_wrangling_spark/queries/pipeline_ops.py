@@ -295,3 +295,47 @@ def domain_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mixture(
         docs, {"src0": 6.0, "src1": 3.0, "src2": 1.0}, 500_000
     ).select("doc_id", "source", F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: exact-quartile boundaries (scalar
+# subquery), projection-only assignment, padding-waste accounting.
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+q AS (
+  SELECT QUANTILE_CONT(n_tok, 0.25) AS q1,
+         QUANTILE_CONT(n_tok, 0.50) AS q2,
+         QUANTILE_CONT(n_tok, 0.75) AS q3
+  FROM toks
+),
+assigned AS (
+  SELECT doc_id, n_tok,
+         1 + CAST(n_tok > q.q1 AS INT) + CAST(n_tok > q.q2 AS INT)
+           + CAST(n_tok > q.q3 AS INT) AS bucket
+  FROM toks CROSS JOIN q
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(MAX(n_tok) * COUNT(*) AS BIGINT) AS padded_slots,
+       ROUND(CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS DOUBLE)
+             / (MAX(n_tok) * COUNT(*)), 4) AS waste_ratio
+FROM assigned GROUP BY bucket
+"""
+
+
+@register("length_bucket_batching", _BUCKET_SQL)
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.functions.text import ws_token_count
+    from ccgp_data_wrangling_spark.operators.textprep import length_bucket_summary
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    return length_bucket_summary(docs, n_buckets=4)

@@ -183,3 +183,28 @@ def test_domain_mixture_drops_unweighted_groups(spark):
     )
     out = domain_mixture(df, {"a": 1.0}, 10)
     assert {r.source for r in out.collect()} == {"a"}
+
+
+def test_length_bucket_summary_quartiles(spark):
+    from ccgp_data_wrangling_spark.operators.textprep import length_bucket_summary
+
+    # 1..8 tokens: quartile bounds 2.75/4.5/6.25 → buckets of 2 each
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 9)], "doc_id long, n_tok long"
+    )
+    df = df.withColumn("n_tok", F.col("n_tok") / 10)
+    out = {r.bucket: r for r in length_bucket_summary(df, n_buckets=4).collect()}
+    assert {b: out[b].n_docs for b in sorted(out)} == {1: 2, 2: 2, 3: 2, 4: 2}
+    assert out[4].max_tok == 8
+    # waste: bucket 4 holds 7,8 → padded 16, sum 15
+    assert abs(out[4].waste_ratio - round(1 / 16, 4)) < 1e-9
+
+
+def test_length_bucket_rejects_single_bucket(spark):
+    import pytest
+
+    from ccgp_data_wrangling_spark.operators.textprep import length_bucket_summary
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError):
+        length_bucket_summary(df, n_buckets=1)
