@@ -286,27 +286,30 @@ class PartitionedParquetTable(ParquetTable):
     """A hive-partitioned :class:`ParquetTable` whose MERGE ops touch
     only the partitions the source addresses.
 
-    Every op (a) collects the source's distinct partition values — a
+    Every op (a) collects the source's distinct partition tuples — a
     bounded driver round-trip, partition counts are small by design,
     exactly Delta's touched-file discovery — (b) reads the target WITH
-    a partition-value ``isin`` filter, which Spark applies at the file
-    listing (``PartitionFilters``: untouched partitions are never even
+    a partition-tuple filter, which Spark applies at the file listing
+    (``PartitionFilters``: untouched partitions are never even
     listed), and (c) writes and atomically swaps only the touched
-    ``col=value`` directories. Untouched partition directories are not
-    read, written, or renamed — merge cost follows the update
-    footprint, not table size.
+    ``col=value[/col2=value2...]`` leaf directories. Untouched
+    partition directories are not read, written, or renamed — merge
+    cost follows the update footprint, not table size.
 
-    Constraints (documented, asserted where cheap):
+    ``partition_by`` may be one column or a list (multi-level layout,
+    e.g. project/date). Constraints (documented, asserted where
+    cheap):
 
-    * ``partition_by`` must be one of the merge keys — keys are
-      immutable under every op, so a row can never change partition.
+    * every partition column must be a merge key — keys are immutable
+      under every op, so a row can never change partition.
     * partition values must be non-null and render to filesystem-safe
       strings via ``str()`` (ints / simple tokens; the common case).
       Exotic values would need Hive's escapePathName.
     * ``partition_type``: hive partition-column type inference re-types
       values read back from directory names (e.g. a BIGINT key column
-      re-infers as INT); pass the original Spark type name to pin the
-      read schema.
+      re-infers as INT); pass the original Spark type name (or a
+      {column: type} map for multi-level layouts) to pin the read
+      schema.
     """
 
     def __init__(
@@ -314,69 +317,86 @@ class PartitionedParquetTable(ParquetTable):
         spark: SparkSession,
         path: str,
         key: str | list[str],
-        partition_by: str,
-        partition_type: str | None = None,
+        partition_by: str | list[str],
+        partition_type: str | dict[str, str] | None = None,
     ):
         super().__init__(spark, path, key)
-        if partition_by not in self.keys:
+        self.partition_cols = (
+            [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        )
+        missing = [c for c in self.partition_cols if c not in self.keys]
+        if missing:
             raise ValueError(
-                f"partition_by {partition_by!r} must be a merge key "
+                f"partition columns {missing} must be merge keys "
                 f"(keys={self.keys}) so rows cannot change partition"
             )
-        self.partition_by = partition_by
-        self.partition_type = partition_type
-        self._touched: list | None = None
+        if isinstance(partition_type, str):
+            partition_type = {self.partition_cols[0]: partition_type}
+        self.partition_type = partition_type or {}
+        self._touched: list[tuple] | None = None
 
     # -- IO ---------------------------------------------------------------
 
     def read(self) -> DataFrame:
         df = self.spark.read.parquet(self.path)
-        if self.partition_type is not None:
-            df = df.withColumn(
-                self.partition_by,
-                F.col(self.partition_by).cast(self.partition_type),
-            )
+        for c, t in self.partition_type.items():
+            df = df.withColumn(c, F.col(c).cast(t))
         return df
 
     def init(self, df: DataFrame) -> None:
-        df.write.mode("overwrite").partitionBy(self.partition_by).parquet(
+        df.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(
             self.path
         )
 
     def _target_for(self, source: DataFrame) -> DataFrame:
-        vals = [
-            r[0]
-            for r in source.select(self.partition_by).distinct().collect()
+        tuples = [
+            tuple(r)
+            for r in source.select(*self.partition_cols).distinct().collect()
         ]
-        if any(v is None for v in vals):
+        if any(v is None for t in tuples for v in t):
             raise ValueError(
-                f"NULL {self.partition_by} in MERGE source: null partition "
-                "values are not supported"
+                f"NULL in partition columns {self.partition_cols} of MERGE "
+                "source: null partition values are not supported"
             )
-        self._touched = vals
-        # static partition pruning: the isin over the partition column
-        # becomes PartitionFilters — only touched directories are listed
-        return self.read().where(F.col(self.partition_by).isin(vals))
+        self._touched = tuples
+        # static partition pruning: literal equality filters over the
+        # partition columns become PartitionFilters — only touched
+        # directories are listed
+        if len(self.partition_cols) == 1:
+            cond = F.col(self.partition_cols[0]).isin([t[0] for t in tuples])
+        else:
+            cond = F.lit(False)
+            for t in tuples:
+                conj = F.lit(True)
+                for c, v in zip(self.partition_cols, t):
+                    conj = conj & (F.col(c) == F.lit(v))
+                cond = cond | conj
+        return self.read().where(cond)
+
+    def _leaf(self, t: tuple) -> str:
+        return os.path.join(
+            *[f"{c}={v}" for c, v in zip(self.partition_cols, t)]
+        )
 
     def _swap_in(self, df: DataFrame) -> None:
-        """Swap only the touched ``col=value`` partition directories.
+        """Swap only the touched partition leaf directories.
 
         The merged frame contains rows of touched partitions only (the
         target side was pruned, the source defines the touched set), so
         the tmp write materializes exactly the directories to swap. A
-        touched value with no surviving rows (a delete emptied it) has
+        touched tuple with no surviving rows (a delete emptied it) has
         no tmp directory and its live directory is removed.
         """
-        vals, self._touched = self._touched, None
-        if vals is None:  # full-table op — behave like the base class
-            tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
-            try:
-                df.write.mode("overwrite").partitionBy(
-                    self.partition_by
-                ).parquet(tmp)
-            except BaseException:
-                shutil.rmtree(tmp, ignore_errors=True)
-                raise
+        touched, self._touched = self._touched, None
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
+        try:
+            df.write.mode("overwrite").partitionBy(
+                *self.partition_cols
+            ).parquet(tmp)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        if touched is None:  # full-table op — whole-directory swap
             old = f"{self.path}.old-{uuid.uuid4().hex}"
             os.rename(self.path, old)
             try:
@@ -387,26 +407,13 @@ class PartitionedParquetTable(ParquetTable):
                 raise
             shutil.rmtree(old)
             return
-
-        tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
         try:
-            df.write.mode("overwrite").partitionBy(self.partition_by).parquet(
-                tmp
-            )
-        except BaseException:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
-        try:
-            written = {
-                d
-                for d in os.listdir(tmp)
-                if d.startswith(f"{self.partition_by}=")
-            }
-            for v in vals:
-                dirname = f"{self.partition_by}={v}"
-                live = os.path.join(self.path, dirname)
-                fresh = os.path.join(tmp, dirname)
-                if dirname in written:
+            for t in touched:
+                leaf = self._leaf(t)
+                live = os.path.join(self.path, leaf)
+                fresh = os.path.join(tmp, leaf)
+                if os.path.isdir(fresh):
+                    os.makedirs(os.path.dirname(live), exist_ok=True)
                     if os.path.exists(live):
                         old = f"{live}.old-{uuid.uuid4().hex}"
                         os.rename(live, old)

@@ -163,3 +163,55 @@ def test_touched_partition_filter_reaches_scan(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "p" in plan.split("PartitionFilters", 1)[1][:120]
     assert _rows(tgt.select("p").distinct()) == [(1,)]
+
+
+def test_multilevel_partitioning(spark, tmp_path):
+    """Two-level layout (p/q): merge touches only the addressed leaf
+    directories; other leaves — including siblings under the same
+    top-level dir — are byte-identical."""
+    from ccgp_data_wrangling_spark.operators.merge import (
+        PartitionedParquetTable,
+    )
+
+    base = spark.createDataFrame(
+        [(p, q, i, float(p * 100 + q * 10 + i))
+         for p in range(2) for q in range(3) for i in range(4)],
+        "p int, q int, k int, v double",
+    )
+    root = str(tmp_path / "ml")
+    t = PartitionedParquetTable(
+        spark, root, ["p", "q", "k"], ["p", "q"],
+        partition_type={"p": "int", "q": "int"},
+    )
+    t.init(base)
+    before = _files(root)
+    src = spark.createDataFrame(
+        [(0, 1, 2, -1.0), (1, 9, 0, -2.0)], "p int, q int, k int, v double"
+    )
+    t.upsert(src)
+    after = _files(root)
+
+    def leafless(files, *leaves):
+        return {
+            p: m for p, m in files.items()
+            if not any(l in p for l in leaves)
+        }
+    assert leafless(before, "/p=0/q=1/", "/p=1/q=9/") == leafless(
+        after, "/p=0/q=1/", "/p=1/q=9/"
+    )
+    assert any("/p=1/q=9/" in p for p in after)  # new leaf created
+    got = {(r.p, r.q, r.k): r.v for r in t.read().collect()}
+    assert got[(0, 1, 2)] == -1.0
+    assert got[(1, 9, 0)] == -2.0
+    assert got[(0, 0, 0)] == 0.0
+    assert len(got) == 25
+
+    # emptying one leaf removes only that directory
+    keys = spark.createDataFrame(
+        [(0, 2, i) for i in range(4)], "p int, q int, k int"
+    )
+    t.delete_keys(keys)
+    import os as _os
+    assert not _os.path.exists(_os.path.join(root, "p=0", "q=2"))
+    assert _os.path.exists(_os.path.join(root, "p=0", "q=1"))
+    assert len(t.read().collect()) == 21
