@@ -37,14 +37,75 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# The external verifier samples the FIRST 50 registry entries in order,
+# so ordering is part of the driver contract: queries that have never
+# been driver-verified must come first.  ``_PRIORITY`` pins those names
+# to the head of the dict (in list order); everything else follows in
+# registration order.  Keep every name that still lacks a green
+# CORRECTNESS row — plus any newly added query — inside the first 50.
+_PRIORITY: list[str] = [
+    # --- never driver-verified as of r02 (all locally oracle-green) ---
+    "m3_array_union_pull",
+    "m3_struct_tuple_union",
+    "m8_partitioned_upsert",
+    "sample_stratified_lang",
+    "pack_context_windows",
+    "chunk_documents_windowed",
+    "pii_scrub_sentinels",
+    "train_order_shuffle",
+    "contamination_ngram_overlap",
+    "domain_mixture_weighted",
+    "length_bucket_batching",
+    "x12b_blocked_fuzzy_match",
+    "r6_jan_only_products",
+    "skew_salted_agg",
+    "q4_exists_semi_join",
+    "q10_returned_revenue",
+    "rollup_order_profile",
+    "range_balance_band",
+    "profile_orders",
+    "percentiles_by_flag",
+    # --- new in round 3 (never driver-verified by definition) ---
+    "x11b_service_geocode",
+    "s4_sheet_probe_xls",
+    "url_normalize_dedup",
+    "ngram_repeat_scrub",
+    "winsorize_quality",
+    "doc_topic_cluster",
+    "cross_lingual_ratio",
+    "anchor_text_agg",
+    "robots_policy_filter",
+    "session_dedup_window",
+    # --- green only in r1: re-verify before the rest ---
+    "a1_segment_summary",
+    "a2_flag_share",
+    "f4_urgent_customers",
+    "j6_customers_without_orders",
+    "j7_lang_family_lookup",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_regional_revenue",
+    "r1_adjacent_pairs",
+    "w2_top_order_per_customer",
+    "x12_fuzzy_best_match",
+    "x7_part_labels",
+]
+
+
+def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
+    head = {n: _REGISTRY[n] for n in _PRIORITY if n in _REGISTRY}
+    tail = {n: v for n, v in _REGISTRY.items() if n not in head}
+    return {**head, **tail}
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_all()
-    return {k: v[0] for k, v in _REGISTRY.items()}
+    return {k: v[0] for k, v in _ordered().items()}
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+    return {k: v[1] for k, v in _ordered().items() if v[1] is not None}
 
 
 _LOADED = False

@@ -1,0 +1,64 @@
+"""Registry-ordering contract.
+
+The external verifier samples the FIRST 50 entries of ``all_queries()``
+in iteration order, so ordering is part of the driver contract:
+every query that has never received a green driver CORRECTNESS row —
+and every newly added query — must sit inside that window.
+"""
+
+from ccgp_data_wrangling_spark.queries import _PRIORITY, all_oracles, all_queries
+
+# Names green in CORRECTNESS_r01 ∪ CORRECTNESS_r02 (rows+schema+hash, no err).
+DRIVER_GREEN = {
+    "a1_segment_summary", "a2_flag_share", "a3_depth_model",
+    "ann_ivf_planted", "ann_ivf_vs_exact", "ann_lsh_planted",
+    "ann_lsh_vs_exact", "asof_last_click", "bigram_lm_score",
+    "curation_pipeline_e2e", "dedup_exact_canonical",
+    "embedding_cosine_neardup", "f2_regex_filter", "f4_urgent_customers",
+    "f5_file_count_audit", "fingerprint_rolling_hash", "j1_linkage_fileset",
+    "j5_array_membership_join", "j6_customers_without_orders",
+    "j7_lang_family_lookup", "j8_coalescing_dim_join", "j9_summary_assembly",
+    "k1_s5_tsv_roundtrip", "k6_text_report_roundtrip", "knn_top10_cosine",
+    "lang_id_heuristic", "m1_upsert", "m2_insert_only_then_delete",
+    "m5_update_where_in", "m7_scd2_segment_migration",
+    "minhash_neardup_planted", "multimodal_features",
+    "multimodal_frame_sample", "neardup_cluster_canonical",
+    "ngram_jaccard_neardup", "p1_taxon_projection", "q1_pricing_summary",
+    "q3_top_orders", "q5_regional_revenue", "r1_adjacent_pairs",
+    "r1_legacy_prefix_pairs", "r2_filename_pivot", "r3_struct_flatten",
+    "repetition_filter_gopher", "s3_t2_discovery_merge",
+    "s4_sheet_probe_tsv", "s4_sheet_probe_xlsx", "simhash_dup_planted",
+    "t1_ledger_ingest", "t3_stream_merge_availablenow", "t_daily_share",
+    "t_hourly_rollup", "t_multigrain_rollup", "t_user_sessions",
+    "text_quality_stats", "tfidf_top_terms", "token_counts",
+    "w2_top_order_per_customer", "x10_coordinate_masking",
+    "x11_reverse_geocode", "x12_fuzzy_best_match", "x7_part_labels",
+    "x9_geo_loc_merge", "x_cleaning_pipeline",
+}
+
+
+def test_never_green_queries_fit_in_driver_window():
+    names = list(all_queries())
+    window = set(names[:50])
+    never_green = [n for n in names if n not in DRIVER_GREEN]
+    outside = [n for n in never_green if n not in window]
+    assert not outside, f"never-driver-green queries outside first 50: {outside}"
+
+
+def test_priority_names_all_registered():
+    names = set(all_queries())
+    missing = [n for n in _PRIORITY if n not in names]
+    assert not missing, f"_PRIORITY names with no registered query: {missing}"
+
+
+def test_priority_prefix_is_respected():
+    names = list(all_queries())
+    expected = [n for n in _PRIORITY if n in set(names)]
+    assert names[: len(expected)] == expected
+
+
+def test_every_query_has_oracle_or_is_known_exception():
+    # rows-only checks are weaker; keep the no-oracle set explicit.
+    no_oracle_ok = set()
+    missing = set(all_queries()) - set(all_oracles()) - no_oracle_ok
+    assert not missing, f"queries without oracle SQL: {missing}"
