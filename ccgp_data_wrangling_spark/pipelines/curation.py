@@ -22,8 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ccgp_data_wrangling_spark.caching import CacheScope, active_scope
 from ccgp_data_wrangling_spark.operators.components import neardup_clusters
-from ccgp_data_wrangling_spark.operators.corpus_stats import repetition_stats
+from ccgp_data_wrangling_spark.operators.corpus_stats import (
+    corpus_tokens,
+    repetition_stats,
+)
 from ccgp_data_wrangling_spark.operators.dedup import ngram_jaccard_pairs
 from ccgp_data_wrangling_spark.operators.textprep import contamination_pairs
 
@@ -44,6 +48,9 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
     contam_n: int = 5,
     contam_min_shared: int = 2,
+    max_df: int | None = None,
+    max_gram_df: int | None = None,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Run the four curation stages; return surviving docs with
     per-stage provenance.
@@ -51,8 +58,21 @@ def curate_corpus(
     Output: (id, source, n_tok) of survivors. Keep policy is
     deterministic end to end: exact and near-dup families keep the
     smallest doc id; quality and contamination are pure predicates.
+
+    ``max_df`` / ``max_gram_df`` are the document-frequency skew guards
+    of the near-dup and contamination stages (see
+    :func:`...dedup.ngram_jaccard_pairs` /
+    :func:`...textprep.contamination_pairs`). They default to ``None``
+    here — oracle-exact semantics, every gram indexed — because the e2e
+    correctness contract models no caps. A production run at corpus
+    scale should set them (10_000 / 1_000 are the operators' own
+    standalone defaults): an n-gram shared by d docs costs d² candidate
+    rows, and the only pairs a cap can lose are those sharing ONLY
+    ultra-common grams, which a 0.5 Jaccard threshold rejects anyway.
     """
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    if scope is None:
+        scope = active_scope("curate_corpus")
+    tokens = corpus_tokens(text_col)
     base = docs.select(
         id_col,
         "source",
@@ -75,12 +95,10 @@ def curate_corpus(
     # feature build); without them every stage re-derives the whole
     # upstream pipeline from the scan. At 100 TB these are the
     # checkpoints a production pipeline writes to storage.
-    quality = (
+    quality = scope.persist(
         base.where(
             (F.col("n_tok") >= min_tokens) & (F.col("__uniq") >= min_uniq_ratio)
-        )
-        .join(rep, id_col)
-        .persist()
+        ).join(rep, id_col)
     )
 
     # 2. exact dedup: one survivor per byte-identical text —
@@ -90,19 +108,25 @@ def curate_corpus(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    exact = quality.join(canon, id_col).persist()
+    exact = scope.persist(quality.join(canon, id_col))
 
     # 3. near-dup: exact n-gram Jaccard pairs → components → drop
     #    non-canonical members
     pairs = ngram_jaccard_pairs(
-        exact, id_col, text_col, n=jaccard_n, threshold=jaccard_threshold
+        exact,
+        id_col,
+        text_col,
+        n=jaccard_n,
+        threshold=jaccard_threshold,
+        max_df=max_df,
+        scope=scope,
     )
     losers = (
         neardup_clusters(pairs)
         .where(~F.col("is_canonical"))
         .select(F.col("doc_id").alias(id_col))
     )
-    deduped = exact.join(losers, id_col, "left_anti").persist()
+    deduped = scope.persist(exact.join(losers, id_col, "left_anti"))
 
     # 4. decontamination: drop training docs sharing n-grams with the
     #    benchmark set
@@ -113,6 +137,7 @@ def curate_corpus(
         text_col,
         n=contam_n,
         min_shared=contam_min_shared,
+        max_gram_df=max_gram_df,
     ).select(F.col("train_id").alias(id_col)).distinct()
     clean = deduped.join(contaminated, id_col, "left_anti")
 

@@ -25,7 +25,8 @@ from ccgp_data_wrangling_spark.queries import register
 
 _REP_SQL = """
 WITH toks AS (
-  SELECT doc_id, LENGTH(text) AS n_chars, STR_SPLIT(text, ' ') AS t
+  SELECT doc_id, LENGTH(text) AS n_chars,
+         REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS t
   FROM documents
 ),
 grams AS (
@@ -70,7 +71,7 @@ def repetition_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LM_SQL = """
 WITH toks AS (
-  SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS t FROM documents
 ),
 pairs AS (
   SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg, t[i] AS w1
@@ -114,7 +115,9 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TFIDF_SQL = """
 WITH tf AS (
   SELECT doc_id, w AS term, COUNT(*) AS tf
-  FROM (SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS w FROM documents)
+  FROM (SELECT doc_id,
+               UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS w
+        FROM documents)
   GROUP BY doc_id, w
 ),
 df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),

@@ -459,8 +459,10 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = emb.unionByName(pert)
+    # dim passed explicitly (testdata embeddings are 64-wide) so the
+    # operator stays fully lazy — no single-row sniff job
     return embedding_neardup_pairs(
-        corpus, "vec_id", "embedding", threshold=0.99
+        corpus, "vec_id", "embedding", threshold=0.99, dim=64
     )
 
 

@@ -89,3 +89,27 @@ def test_tfidf_top_terms_rare_term_wins(spark):
     out = {r.doc_id: r.top_terms for r in tfidf_top_terms(df, top_k=1).collect()}
     assert out[1] == "1:rare"
     assert out[2] == "1:common"
+
+
+def test_whitespace_variants_tokenize_identically(spark):
+    # Tabs, newlines, repeated spaces, and leading/trailing whitespace
+    # must produce the same n-grams as the single-spaced form — the
+    # shared corpus_tokens tokenizer guarantees every curation stage
+    # (and the DuckDB oracles' REGEXP_SPLIT_TO_ARRAY(TRIM(..), '\s+'))
+    # sees the same token stream.
+    messy = "  a\tb\na  b\t\tc "
+    clean = "a b a b c"
+    df = _docs(spark, [(1, messy), (2, clean)])
+    got = {
+        (r.doc_id, r.gram): r.cnt
+        for r in word_ngram_counts(df, 2).collect()
+    }
+    for doc in (1, 2):
+        assert got[(doc, "a b")] == 2
+        assert got[(doc, "b a")] == 1
+        assert got[(doc, "b c")] == 1
+
+    # repetition_stats keeps the messy doc in its join (the single-space
+    # split used to yield zero bigrams and silently drop it)
+    rep = {r.doc_id for r in repetition_stats(df, n=2).collect()}
+    assert rep == {1, 2}
