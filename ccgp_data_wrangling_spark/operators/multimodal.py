@@ -23,6 +23,7 @@ import hashlib
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -173,21 +174,33 @@ def sample_frames(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, tss, frames = [], [], [], []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col])
-                n_frames = max(1, int(float(row[duration_col]) // every_sec) + 1)
-                for k in range(n_frames):
-                    ids.append(row[id_col])
-                    idxs.append(k)
-                    tss.append(k * every_sec)
-                    frames.append(_fake_frame(payload, k, n_frames))
+            if pdf.empty:
+                continue
+            # vectorized 1→N expansion: per-row frame counts, then one
+            # numpy repeat/arange pass builds the (row, frame_idx)
+            # index — only the byte slicing itself is a comprehension
+            n_frames = np.maximum(
+                1,
+                (
+                    pdf[duration_col].to_numpy(dtype=np.float64) // every_sec
+                ).astype(np.int64)
+                + 1,
+            )
+            row_pos = np.repeat(np.arange(len(pdf)), n_frames)
+            # frame_idx k = position within each row's run
+            offsets = np.concatenate(([0], np.cumsum(n_frames)[:-1]))
+            idxs = np.arange(n_frames.sum()) - np.repeat(offsets, n_frames)
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            per_row_n = n_frames[row_pos]
             yield pd.DataFrame(
                 {
-                    "id": ids,
+                    "id": pdf[id_col].to_numpy()[row_pos],
                     "frame_idx": idxs,
-                    "frame_ts_sec": tss,
-                    "frame_payload": frames,
+                    "frame_ts_sec": idxs * every_sec,
+                    "frame_payload": [
+                        _fake_frame(payloads[r], int(k), int(n))
+                        for r, k, n in zip(row_pos, idxs, per_row_n)
+                    ],
                 }
             )
 

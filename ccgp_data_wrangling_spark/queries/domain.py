@@ -609,6 +609,59 @@ def x11_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X11b service-backed reverse geocode: the same contract as x11, but
+# through the injected-service path (create_sheets_ultimate.py:643
+# Nominatim loop re-shaped as distinct-coords → rate-limited lookup →
+# broadcast join). The injected service is the deterministic offline
+# box lookup; out-of-box points exercise the reference's literal
+# 'USA:California,' miss fallback (:717), null coords 'not provided'.
+# ---------------------------------------------------------------------------
+
+_X11B_SQL = """
+WITH pts AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 13 = 0 THEN NULL
+              ELSE 32.0 + CAST(c_custkey % 180 AS DOUBLE) / 10.0 END AS lat,
+         CASE WHEN c_custkey % 13 = 0 THEN NULL
+              ELSE -125.0 + CAST(c_custkey % 160 AS DOUBLE) / 10.0 END AS long
+  FROM customer
+)
+SELECT k, lat, long,
+       CASE
+         WHEN lat IS NULL OR long IS NULL THEN 'not provided'
+         WHEN lat BETWEEN 32.5 AND 42.0 AND long BETWEEN -124.5 AND -114.1 THEN 'USA:California'
+         WHEN lat BETWEEN 42.0 AND 46.3 AND long BETWEEN -124.6 AND -116.5 THEN 'USA:Oregon'
+         WHEN lat BETWEEN 35.0 AND 42.0 AND long BETWEEN -120.0 AND -114.0 THEN 'USA:Nevada'
+         WHEN lat BETWEEN 31.3 AND 37.0 AND long BETWEEN -114.8 AND -109.0 THEN 'USA:Arizona'
+         WHEN lat BETWEEN 45.5 AND 49.0 AND long BETWEEN -124.8 AND -116.9 THEN 'USA:Washington'
+         ELSE 'USA:California,'
+       END AS geo_loc
+FROM pts
+"""
+
+
+@register("x11b_service_geocode", _X11B_SQL)
+def x11b_service_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.operators.geocode import (
+        offline_box_service,
+        service_reverse_geocode,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lat = F.when(k % 13 != 0, 32.0 + (k % 180).cast("double") / 10.0)
+    long = F.when(k % 13 != 0, -125.0 + (k % 160).cast("double") / 10.0)
+    pts = cust.select(k.alias("k"), lat.alias("lat"), long.alias("long"))
+    return service_reverse_geocode(
+        pts,
+        "lat",
+        "long",
+        service=offline_box_service,
+        max_calls_per_sec=None,  # injected in-process service: no budget
+    ).select("k", "lat", "long", "geo_loc")
+
+
+# ---------------------------------------------------------------------------
 # F2 regex filter (update_reads_by_lane.py:191: lane-name contains) +
 # X15 batch-id extraction (workflows/batch_extract.py:4-9).
 # ---------------------------------------------------------------------------
