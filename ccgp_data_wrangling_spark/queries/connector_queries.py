@@ -166,6 +166,48 @@ def s4_sheet_probe_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S4 (legacy .xls): the same probe-loop semantics over a real BIFF8 /
+# CFB container written by the stdlib writer (sources/xls.py). Nation
+# table keeps the fixture small; numeric cells exercise the NUMBER
+# record path, repeated names the SST dedup path.
+# ---------------------------------------------------------------------------
+
+_S4_XLS_SQL = """
+SELECT n_name AS sample_name, CAST(n_nationkey AS INT) AS nation_key,
+       CAST(n_regionkey AS INT) AS region_key
+FROM nation
+"""
+
+
+@register("s4_sheet_probe_xls", _S4_XLS_SQL)
+def s4_sheet_probe_xls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.sources.xls import write_xls
+
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_name", "n_nationkey", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+    rows = nation.collect()  # 25 rows — .xls fixture is driver-side by design
+    tmp = _tmpdir("s4_xls_")
+    path = os.path.join(tmp, "submitted.xls")
+    body: list[list] = [
+        ["CCGP metadata submission", None],
+        [],
+        ["version", 3],
+        ["*sample_name", "nation_key", "region_key"],
+    ]
+    body += [[r.n_name, int(r.n_nationkey), int(r.n_regionkey)] for r in rows]
+    write_xls(path, {"Sheet1": body})
+    sheet = read_submitted_sheet(spark, path)
+    return sheet.select(
+        F.col("*sample_name").alias("sample_name"),
+        F.col("nation_key").try_cast("int").alias("nation_key"),
+        F.col("region_key").try_cast("int").alias("region_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S3 + F6 + T2/M2: object-listing scan → .gz suffix filter →
 # insert-only discovery MERGE. The listing is synthetic (the boto3
 # iterable is injected in production too); 1/3 of the keys are

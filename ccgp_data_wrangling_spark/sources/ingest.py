@@ -105,34 +105,44 @@ def read_submitted_sheet(
     (utils/parse.py:145-151, 223-236). The xlsx path runs the same
     probe loop (utils/parse.py:223-236: re-read with header=i until
     the marker column appears) over the stdlib OOXML reader — no
-    openpyxl required. ``.xls`` (the legacy BIFF binary) still needs a
-    real decoder and raises.
+    openpyxl required; the legacy ``.xls`` path runs it over the
+    stdlib BIFF8 reader (``xls.py``) — no xlrd required.
     """
     if path.endswith(".xls"):
-        raise NotImplementedError(
-            "legacy .xls (BIFF) needs xlrd, which is not installed; "
-            "save as .xlsx or TSV"
-        )
+        from ccgp_data_wrangling_spark.sources.xls import xls_rows
+
+        return _sheet_rows_to_frame(spark, xls_rows(path), marker, path)
     if path.endswith(".xlsx"):
         from ccgp_data_wrangling_spark.sources.xlsx import xlsx_rows
 
-        rows = xlsx_rows(path)
-        header_at = next(
-            (i for i, r in enumerate(rows) if marker in r), None
-        )
-        if header_at is None:
-            raise ValueError(f"could not find header (marker {marker!r}) in {path}")
-        header, seen = [], {}
-        for i, name in enumerate(rows[header_at]):
-            base = name if name not in (None, "") else f"col{i}"
-            n = seen.get(base, 0)
-            seen[base] = n + 1
-            header.append(base if n == 0 else f"{base}.{n}")  # pandas-style dedup
-        data = [tuple(r[: len(header)]) for r in rows[header_at + 1 :]]
-        schema = T.StructType([T.StructField(c, T.StringType()) for c in header])
-        return spark.createDataFrame(data, schema)
+        return _sheet_rows_to_frame(spark, xlsx_rows(path), marker, path)
     header_at = sniff_header_row(path, marker=marker, sep=sep)
     return read_delimited(spark, path, sep=sep, skip_rows=header_at)
+
+
+def _sheet_rows_to_frame(
+    spark: SparkSession,
+    rows: list[list[str | None]],
+    marker: str,
+    path: str,
+) -> DataFrame:
+    """Shared Excel probe loop: find the marker header row, dedup
+    column names pandas-style, land the remainder as a string frame."""
+    header_at = next((i for i, r in enumerate(rows) if marker in r), None)
+    if header_at is None:
+        raise ValueError(f"could not find header (marker {marker!r}) in {path}")
+    header, seen = [], {}
+    for i, name in enumerate(rows[header_at]):
+        base = name if name not in (None, "") else f"col{i}"
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        header.append(base if n == 0 else f"{base}.{n}")  # pandas-style dedup
+    data = [
+        tuple(r[: len(header)]) + (None,) * max(0, len(header) - len(r))
+        for r in rows[header_at + 1 :]
+    ]
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in header])
+    return spark.createDataFrame(data, schema)
 
 
 def lookup_csv_dim(spark: SparkSession, path: str, *, sep: str = ",") -> DataFrame:

@@ -1,0 +1,83 @@
+"""Legacy .xls (BIFF8) ingestion — stdlib CFB + BIFF reader.
+
+Fixtures are built by the module's own minimal BIFF8 writer, so the
+test exercises the real container format (CFB header, FAT, directory,
+Workbook stream, SST, LABELSST/NUMBER records) end to end with no
+Excel library anywhere.
+
+Reference semantics: utils/parse.py:167 reads submitted sheets with
+``pd.read_excel(dtype=str)``, which accepts legacy .xls via xlrd; the
+probe loop (utils/parse.py:223-236) is shared with the xlsx path.
+"""
+
+import pytest
+
+from ccgp_data_wrangling_spark.sources.ingest import read_submitted_sheet
+from ccgp_data_wrangling_spark.sources.xls import write_xls, xls_rows
+
+
+def test_xls_roundtrip_strings_numbers_gaps(tmp_path):
+    p = str(tmp_path / "t.xls")
+    write_xls(
+        p,
+        {
+            "Sheet1": [
+                ["a", "b", "c"],
+                ["x", None, 3],       # gap cell omitted from the stream
+                [None, "y"],          # short row → padded
+                [1.5, "x", 2000000],  # float repr + integral float
+            ]
+        },
+    )
+    assert xls_rows(p) == [
+        ["a", "b", "c"],
+        ["x", None, "3"],
+        [None, "y", None],
+        ["1.5", "x", "2000000"],
+    ]
+
+
+def test_xls_sheet_selection(tmp_path):
+    p = str(tmp_path / "t.xls")
+    write_xls(p, {"first": [["f"]], "second": [["s"]]})
+    assert xls_rows(p)[0] == ["f"]
+    assert xls_rows(p, sheet="second")[0] == ["s"]
+    assert xls_rows(p, sheet=1)[0] == ["s"]
+    with pytest.raises(ValueError, match="no sheet named"):
+        xls_rows(p, sheet="missing")
+
+
+def test_xls_shared_string_dedup(tmp_path):
+    # repeated strings share one SST entry; distinct cells still read back
+    p = str(tmp_path / "t.xls")
+    write_xls(p, {"s": [["dup", "dup"], ["dup", "other"]]})
+    assert xls_rows(p) == [["dup", "dup"], ["dup", "other"]]
+
+
+def test_read_submitted_sheet_xls_probe(spark, tmp_path):
+    """Junk preamble rows before the marker header — the same probe
+    loop as the xlsx/TSV paths, over the BIFF container."""
+    p = str(tmp_path / "submitted.xls")
+    write_xls(
+        p,
+        {
+            "Sheet1": [
+                ["CCGP submission", None],
+                [None, "instructions blah"],
+                ["*sample_name", "lat", "lat"],  # dup col → pandas-style .1
+                ["s1", "36.1", "x"],
+                ["s2", None, "y"],
+            ]
+        },
+    )
+    df = read_submitted_sheet(spark, p)
+    assert df.columns == ["*sample_name", "lat", "lat.1"]
+    got = {r["*sample_name"]: (r["lat"], r["lat.1"]) for r in df.collect()}
+    assert got == {"s1": ("36.1", "x"), "s2": (None, "y")}
+
+
+def test_not_a_cfb_file_raises(tmp_path):
+    p = tmp_path / "junk.xls"
+    p.write_bytes(b"this is not an xls file at all, just bytes")
+    with pytest.raises(ValueError, match="bad magic"):
+        xls_rows(str(p))

@@ -81,8 +81,10 @@ def test_read_submitted_sheet_xlsx_no_marker(spark, tmp_path):
         read_submitted_sheet(spark, p)
 
 
-def test_read_submitted_sheet_xls_raises(spark, tmp_path):
+def test_read_submitted_sheet_truncated_xls_raises(spark, tmp_path):
+    # .xls is now served by the stdlib BIFF reader (tests/test_xls.py);
+    # a truncated/garbage container still fails loudly
     p = tmp_path / "legacy.xls"
     p.write_bytes(b"\xd0\xcf\x11\xe0")
-    with pytest.raises(NotImplementedError, match="BIFF"):
+    with pytest.raises(ValueError, match="bad magic"):
         read_submitted_sheet(spark, str(p))
