@@ -379,13 +379,23 @@ class PartitionedParquetTable(ParquetTable):
         )
 
     def _swap_in(self, df: DataFrame) -> None:
-        """Swap only the touched partition leaf directories.
+        """Swap only the touched partition leaf directories (two-phase).
 
         The merged frame contains rows of touched partitions only (the
         target side was pruned, the source defines the touched set), so
         the tmp write materializes exactly the directories to swap. A
         touched tuple with no surviving rows (a delete emptied it) has
         no tmp directory and its live directory is removed.
+
+        Commit protocol: phase 1 moves every touched live directory
+        aside; phase 2 renames the fresh leaves into place. Any
+        exception in either phase rolls the table back to its exact
+        pre-merge state (installed leaves are un-renamed, asides
+        restored) before the tmp directory is discarded — a failed
+        merge is never partially applied. Renames are same-filesystem
+        metadata ops, so the exposed window is minimal; a hard process
+        kill mid-swap can still strand ``*.old-*`` asides, and recovery
+        is "restore the asides, rerun the idempotent merge".
         """
         touched, self._touched = self._touched, None
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
@@ -407,25 +417,40 @@ class PartitionedParquetTable(ParquetTable):
                 raise
             shutil.rmtree(old)
             return
+        moved: list[tuple[str, str]] = []  # (live, aside)
+        installed: list[tuple[str, str]] = []  # (fresh, live)
         try:
+            # phase 1: stage — move all touched live directories aside
+            for t in touched:
+                live = os.path.join(self.path, self._leaf(t))
+                if os.path.exists(live):
+                    aside = f"{live}.old-{uuid.uuid4().hex}"
+                    os.rename(live, aside)
+                    moved.append((live, aside))
+            # phase 2: commit — install every fresh leaf
             for t in touched:
                 leaf = self._leaf(t)
                 live = os.path.join(self.path, leaf)
                 fresh = os.path.join(tmp, leaf)
                 if os.path.isdir(fresh):
                     os.makedirs(os.path.dirname(live), exist_ok=True)
-                    if os.path.exists(live):
-                        old = f"{live}.old-{uuid.uuid4().hex}"
-                        os.rename(live, old)
-                        try:
-                            os.rename(fresh, live)
-                        except BaseException:
-                            os.rename(old, live)
-                            raise
-                        shutil.rmtree(old)
-                    else:
-                        os.rename(fresh, live)
-                elif os.path.exists(live):
-                    shutil.rmtree(live)  # partition emptied by a delete
-        finally:
+                    os.rename(fresh, live)
+                    installed.append((fresh, live))
+        except BaseException:
+            # roll back to the exact pre-merge state: uninstall fresh
+            # leaves first (free the live slots), then restore asides
+            for fresh, live in reversed(installed):
+                try:
+                    os.rename(live, fresh)
+                except OSError:
+                    pass
+            for live, aside in reversed(moved):
+                try:
+                    os.rename(aside, live)
+                except OSError:
+                    pass
             shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        for _, aside in moved:
+            shutil.rmtree(aside, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -215,3 +215,51 @@ def test_multilevel_partitioning(spark, tmp_path):
     assert not _os.path.exists(_os.path.join(root, "p=0", "q=2"))
     assert _os.path.exists(_os.path.join(root, "p=0", "q=1"))
     assert len(t.read().collect()) == 21
+
+
+def test_failed_swap_rolls_back_every_partition(spark, tmp_path, monkeypatch):
+    """A rename failure mid-commit restores the exact pre-merge table:
+    no partition may be left updated while others are not."""
+    import ccgp_data_wrangling_spark.operators.merge as merge_mod
+
+    t = _mk(spark, tmp_path, "rollback", True)
+    before = _rows(t.read().select("p", "k", "v"))
+
+    real_rename = os.rename
+    state = {"installs": 0}
+
+    def failing_rename(src, dst):
+        # fail on the SECOND fresh-leaf install (dst is a live leaf and
+        # src comes from the tmp directory)
+        if ".tmp-" in src and ".tmp-" not in dst:
+            state["installs"] += 1
+            if state["installs"] == 2:
+                raise OSError("injected rename failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(merge_mod.os, "rename", failing_rename)
+    src = spark.createDataFrame(
+        [(0, 0, -10.0), (1, 0, -11.0), (2, 0, -12.0)], "p int, k int, v double"
+    )
+    try:
+        t.upsert(src)
+        raised = False
+    except OSError:
+        raised = True
+    assert raised
+    monkeypatch.setattr(merge_mod.os, "rename", real_rename)
+    assert _rows(t.read().select("p", "k", "v")) == before
+    # no stranded aside/tmp dirs after rollback (tmp is a sibling of
+    # the table root; leaf asides live inside it)
+    leftovers = [
+        os.path.join(dirpath, d)
+        for root in (os.path.dirname(t.path), t.path)
+        for dirpath, dirs, _files in os.walk(root)
+        for d in dirs
+        if ".tmp-" in d or ".old-" in d
+    ]
+    assert leftovers == []
+    # the idempotent rerun then applies cleanly
+    t.upsert(src)
+    after = dict(((r[0], r[1]), r[2]) for r in t.read().select("p", "k", "v").collect())
+    assert after[(0, 0)] == -10.0 and after[(1, 0)] == -11.0 and after[(2, 0)] == -12.0
