@@ -127,6 +127,7 @@ def _load_all() -> None:
         merge_queries,
         pipeline_ops,
         relational,
+        web_curation,
     )
 
     _LOADED = True

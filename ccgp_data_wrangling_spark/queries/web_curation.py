@@ -1,0 +1,437 @@
+"""Web-corpus curation queries (round-3 additions): URL canonical
+dedup, in-document repeat scrubbing, robust winsorization, seeded
+topic clustering, language-mix diagnostics, anchor-text aggregation,
+robots-policy filtering, and session-level event dedup.
+
+Beyond-reference training-data-pipeline surface (brief: "operations a
+large-scale training-data pipeline would need"), in the spirit of the
+published CommonCrawl/C4/RefinedWeb preparation steps. Every query has
+a full DuckDB oracle; float discipline follows the repo rules (round
+identically on both sides; no rounding where interpolation ulp noise
+is absorbed by the driver's %.6f canonicalization).
+
+Scale notes: every query is explode → hash-agg / broadcast-dim join /
+per-key window — no corpus-wide windows, no driver collects beyond
+bounded seed sets (topic centroids: 8 rows, same bound class as
+knn.py's IVF sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ccgp_data_wrangling_spark.catalog import load_table
+from ccgp_data_wrangling_spark.functions.temporal import epoch_seconds
+from ccgp_data_wrangling_spark.operators.corpus_stats import corpus_tokens
+from ccgp_data_wrangling_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup: the CommonCrawl-style first dedup pass.
+# Synthetic URLs derive from doc_id; canonicalization lowercases the
+# authority, strips default ports, fragments, utm_* tracking params and
+# trailing slashes — then exact-dedup on the canonical form keeps the
+# smallest doc_id. All string ops are identical regexes on both
+# engines (DuckDB needs the 'g' flag to match Spark's replace-all).
+# ---------------------------------------------------------------------------
+
+_URL_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         'https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443/path/'
+           || CAST(doc_id % 211 AS VARCHAR)
+           || CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN '?utm_source=feed&id=7'
+                WHEN 1 THEN '/'
+                WHEN 2 THEN '#sec2'
+                ELSE '?id=9&utm_campaign=x' END AS url
+  FROM documents
+),
+step1 AS (
+  SELECT doc_id,
+         REGEXP_REPLACE(
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(url, '#.*', '', 'g'),
+             'utm_[a-z]+=[^&#]*&?', '', 'g'),
+           '[?&]$', '', 'g') AS u
+  FROM raw
+),
+canon AS (
+  SELECT doc_id,
+         REGEXP_REPLACE(
+           REGEXP_REPLACE(LOWER(REGEXP_EXTRACT(u, '^(https?://[^/?#]+)', 1)),
+                          ':(443|80)$', '', 'g')
+           || REGEXP_REPLACE(u, '^https?://[^/?#]+', '', 'g'),
+           '/$', '', 'g') AS url_canon
+  FROM step1
+)
+SELECT url_canon, MIN(doc_id) AS canonical_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM canon GROUP BY url_canon
+"""
+
+
+@register("url_normalize_dedup", _URL_SQL)
+def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://WWW.Site"),
+        (d % 7).cast("string"),
+        F.lit(".COM:443/path/"),
+        (d % 211).cast("string"),
+        F.when(d % 4 == 0, F.lit("?utm_source=feed&id=7"))
+        .when(d % 4 == 1, F.lit("/"))
+        .when(d % 4 == 2, F.lit("#sec2"))
+        .otherwise(F.lit("?id=9&utm_campaign=x")),
+    )
+    u = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(url, "#.*", ""), r"utm_[a-z]+=[^&#]*&?", ""
+        ),
+        r"[?&]$",
+        "",
+    )
+    head = F.regexp_replace(
+        F.lower(F.regexp_extract(u, r"^(https?://[^/?#]+)", 1)),
+        r":(443|80)$",
+        "",
+    )
+    canon = F.regexp_replace(
+        F.concat(head, F.regexp_replace(u, r"^https?://[^/?#]+", "")), "/$", ""
+    )
+    return (
+        docs.select(d.alias("doc_id"), canon.alias("url_canon"))
+        .groupBy("url_canon")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-document consecutive-repeat scrub: collapse immediately repeated
+# tokens (stutter artifacts of OCR/scraping). Pure array HOF — the
+# filter lambda's index argument makes this a single O(tokens) pass
+# with no explode, no shuffle at all beyond the scan.
+# ---------------------------------------------------------------------------
+
+_SCRUB_SQL = """
+WITH tok AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS toks
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, toks,
+         LIST_FILTER(toks, (x, i) -> i = 1 OR x <> toks[i - 1]) AS kept
+  FROM tok
+)
+SELECT doc_id,
+       CAST(LEN(toks) AS INT) AS n_tok,
+       CAST(LEN(kept) AS INT) AS n_kept,
+       ARRAY_TO_STRING(kept, ' ') AS scrubbed_text
+FROM scrubbed
+"""
+
+
+@register("ngram_repeat_scrub", _SCRUB_SQL)
+def ngram_repeat_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = corpus_tokens("text")
+    # previous element sits at 1-based position i for 0-based index i;
+    # greatest(i, 1) keeps ANSI element_at happy at i = 0, where the
+    # i == 0 arm of the OR keeps the token anyway
+    kept = F.filter(
+        toks,
+        lambda x, i: (i == F.lit(0))
+        | (x != F.element_at(toks, F.greatest(i, F.lit(1)))),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, " ").alias("scrubbed_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized quality score: per-source exact p05/p95 of n_chars, clip
+# to the band, flag the outliers. Percentile dim is source-sized
+# (tiny) and broadcast back; F.percentile ↔ QUANTILE_CONT use the same
+# linear interpolation (see percentiles_by_flag).
+# ---------------------------------------------------------------------------
+
+_WINSOR_SQL = """
+WITH bands AS (
+  SELECT source,
+         QUANTILE_CONT(n_chars, 0.05) AS p05,
+         QUANTILE_CONT(n_chars, 0.95) AS p95
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       GREATEST(LEAST(CAST(d.n_chars AS DOUBLE), b.p95), b.p05) AS clipped,
+       d.n_chars < b.p05 OR d.n_chars > b.p95 AS is_outlier
+FROM documents d JOIN bands b USING (source)
+"""
+
+
+@register("winsorize_quality", _WINSOR_SQL)
+def winsorize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bands = docs.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("p05"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95"),
+    )
+    n = F.col("n_chars").cast("double")
+    return (
+        docs.join(F.broadcast(bands), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.greatest(F.least(n, F.col("p95")), F.col("p05")).alias("clipped"),
+            ((n < F.col("p05")) | (n > F.col("p95"))).alias("is_outlier"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seeded topic clustering: assign every embedding to its nearest of 8
+# deterministic seed centroids (vec_id 0..7) by cosine; report cluster
+# populations. The centroid set is a bounded 8-row collect (same bound
+# class as knn.py's IVF sample); assignment is a broadcast-literal
+# array — no join, no shuffle until the final tiny groupBy.
+# ---------------------------------------------------------------------------
+
+_TOPIC_SQL = """
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), c.cv) AS sim
+  FROM embeddings e CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, cid, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cid ASC) AS rk
+  FROM sims
+)
+SELECT cid AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(AVG(sim), 4) AS avg_sim
+FROM best WHERE rk = 1 GROUP BY cid
+"""
+
+
+@register("doc_topic_cluster", _TOPIC_SQL)
+def doc_topic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.operators.knn import cosine_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.where(F.col("vec_id") < 8)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    v = F.col("embedding").cast("array<double>")
+    sims = F.array(
+        *[cosine_sim(v, F.lit(r.v).cast("array<double>")) for r in cents]
+    )
+    # first position of the max = smallest cluster id on ties
+    cluster = F.array_position(sims, F.array_max(sims)) - 1
+    assigned = emb.select(
+        cluster.cast("bigint").alias("cluster"),
+        F.element_at(sims, F.array_position(sims, F.array_max(sims)).cast("int"))
+        .alias("sim"),
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("sim"), 4).alias("avg_sim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-mix diagnostics per source: language counts, majority share
+# and Shannon entropy of the language distribution — the standard
+# mixture dashboard before setting sampling weights. Two chained hash
+# aggregates; the per-source relation is vocabulary-tiny.
+# ---------------------------------------------------------------------------
+
+_XLING_SQL = """
+WITH by_lang AS (
+  SELECT source, lang, COUNT(*) AS n
+  FROM documents GROUP BY source, lang
+),
+tot AS (
+  SELECT source, SUM(n) AS n_docs FROM by_lang GROUP BY source
+)
+SELECT b.source,
+       CAST(ANY_VALUE(t.n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS INT) AS n_langs,
+       ROUND(MAX(b.n) * 1.0 / ANY_VALUE(t.n_docs), 4) AS majority_share,
+       ROUND(-SUM((b.n * 1.0 / t.n_docs) * LN(b.n * 1.0 / t.n_docs)), 4)
+         AS lang_entropy
+FROM by_lang b JOIN tot t USING (source)
+GROUP BY b.source
+"""
+
+
+@register("cross_lingual_ratio", _XLING_SQL)
+def cross_lingual_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    by_lang = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = by_lang.groupBy("source").agg(F.sum("n").alias("n_docs"))
+    p = F.col("n") / F.col("n_docs")
+    return (
+        by_lang.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.any_value("n_docs").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("int").alias("n_langs"),
+            F.round(F.max("n") / F.any_value("n_docs"), 4).alias(
+                "majority_share"
+            ),
+            F.round(-F.sum(p * F.log(p)), 4).alias("lang_entropy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation: the web-graph enrichment step — collect the
+# anchor strings of all links pointing at each target page. Links are
+# synthesized from doc_id; anchors are each source doc's first three
+# tokens. Explode-free: one row per doc already IS one link; the
+# aggregation is a hash groupBy on the target key.
+# ---------------------------------------------------------------------------
+
+_ANCHOR_SQL = """
+WITH links AS (
+  SELECT (doc_id * 7 + 3) % 997 AS target_id,
+         ARRAY_TO_STRING(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')[1:3], ' ')
+           AS anchor
+  FROM documents
+)
+SELECT target_id,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_uniq_anchors,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT anchor)), '|') AS anchors
+FROM links GROUP BY target_id
+"""
+
+
+@register("anchor_text_agg", _ANCHOR_SQL)
+def anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = corpus_tokens("text")
+    return (
+        docs.select(
+            ((F.col("doc_id") * 7 + 3) % 997).alias("target_id"),
+            F.array_join(F.slice(toks, 1, 3), " ").alias("anchor"),
+        )
+        .groupBy("target_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("anchor").alias("n_uniq_anchors"),
+            F.array_join(F.array_sort(F.collect_set("anchor")), "|").alias(
+                "anchors"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robots-policy filter: apply a per-host crawl policy (a tiny dim) to
+# the corpus — the compliance gate every web pipeline runs before
+# training. The policy dim is broadcast; the filter is a pure
+# predicate after the join, so the corpus is scanned once and never
+# shuffled.
+# ---------------------------------------------------------------------------
+
+_ROBOTS_SQL = """
+WITH policy AS (
+  SELECT source, LENGTH(source) % 4 AS deny_below
+  FROM (SELECT DISTINCT source FROM documents)
+),
+tagged AS (
+  SELECT d.doc_id, d.source, d.doc_id % 10 AS path_bucket, p.deny_below
+  FROM documents d JOIN policy p USING (source)
+)
+SELECT source,
+       CAST(ANY_VALUE(deny_below) AS INT) AS deny_below,
+       CAST(SUM(CASE WHEN path_bucket >= deny_below THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN path_bucket < deny_below THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM tagged GROUP BY source
+"""
+
+
+@register("robots_policy_filter", _ROBOTS_SQL)
+def robots_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    policy = (
+        docs.select("source")
+        .distinct()
+        .select("source", (F.length("source") % 4).alias("deny_below"))
+    )
+    tagged = docs.join(F.broadcast(policy), "source").select(
+        "source",
+        "deny_below",
+        (F.col("doc_id") % 10).alias("path_bucket"),
+    )
+    keep = F.col("path_bucket") >= F.col("deny_below")
+    return tagged.groupBy("source").agg(
+        F.any_value("deny_below").cast("int").alias("deny_below"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum((~keep).cast("long")).alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session-level event dedup: drop an event when the same user fired
+# the same event type within 60 s of the previous one (double-click /
+# retry artifacts). Per-(user, type) window — millions of small
+# partitions, the scalable direction; ts arithmetic via epoch_seconds
+# keeps microsecond precision exactly on both engines.
+# ---------------------------------------------------------------------------
+
+_SESSION_DEDUP_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 60.0
+              THEN 1 ELSE 0 END AS kept
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(kept) AS BIGINT) AS n_kept
+FROM flagged GROUP BY user_id, event_type
+"""
+
+
+@register("session_dedup_window", _SESSION_DEDUP_SQL)
+def session_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    kept = F.when(
+        prev.isNull() | (epoch_seconds(F.col("ts")) - epoch_seconds(prev) > 60.0),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("user_id", "event_type", kept.alias("kept"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+    )
