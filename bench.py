@@ -56,6 +56,9 @@ HEADLINE = [
     "bigram_lm_score",
     "tfidf_top_terms",
     "curation_pipeline_e2e",
+    "url_normalize_dedup",
+    "ngram_repeat_scrub",
+    "session_dedup_window",
 ]
 
 

@@ -37,7 +37,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fuzzy_argmax_join"]
+__all__ = ["fuzzy_argmax_join", "resolve_length_window"]
+
+
+def resolve_length_window(
+    l_min: int, l_max: int, r_min: int, r_max: int, band: int
+) -> int | None:
+    """The "auto" blocking decision, as a pure function of the length
+    ranges. Blocking prunes exactly the pairs whose length gap exceeds
+    the window; with window = band the pass-1 safety bound is
+    unchanged (eff = min(band, window) = band). So: block iff some
+    pair's length gap CAN exceed band, else the window would prune
+    nothing and the banded broadcast cross join is strictly cheaper.
+    """
+    some_pair_prunable = (r_max - l_min > band) or (l_max - r_min > band)
+    return band if some_pair_prunable else None
 
 
 def _score(left_col: str, right_col: str, lev):
@@ -66,7 +80,7 @@ def fuzzy_argmax_join(
     right_col: str,
     *,
     band: int = 6,
-    length_window: int | None = None,
+    length_window: int | None | str = "auto",
 ) -> DataFrame:
     """For each distinct ``left_col`` value, the ``right_col`` value
     with the highest Levenshtein ratio (ties → lexicographically
@@ -77,12 +91,35 @@ def fuzzy_argmax_join(
     ``length_window=L`` additionally blocks pass-1 candidates to pairs
     within L of each other in length via an equi-join on length keys
     (see module docstring for the proof); exact for any L.
+
+    ``length_window="auto"`` (the default) picks the blocking strategy
+    from a cheap length sniff — min/max of ``length(col)`` on each
+    side (the right agg is needed for the exactness bound anyway; the
+    left adds one column-pruned scan). Blocking can only prune a pair
+    whose length gap exceeds the window, so if the joint length-gap
+    range never exceeds ``band`` (e.g. both sides fixed-width — the
+    uniform zero-padded-id corpus where every generic blocking scheme
+    degenerates), blocking is pure overhead and the banded broadcast
+    cross join is kept; otherwise the window is set to ``band``
+    itself, which maximizes pruning WITHOUT weakening the pass-1
+    safety bound (eff = min(band, L) stays = band). One code path
+    serves both corpus shapes.
     """
     lf = left.select(left_col)
     rf = right.select(right_col)
-    r_max = rf.agg(F.max(F.length(right_col))).head()[0]
+    r_min, r_max = rf.agg(
+        F.min(F.length(right_col)), F.max(F.length(right_col))
+    ).head()
     if r_max is None:
         raise ValueError("right side is empty")
+
+    if length_window == "auto":
+        l_min, l_max = lf.agg(
+            F.min(F.length(left_col)), F.max(F.length(left_col))
+        ).head()
+        if l_max is None:
+            raise ValueError("left side is empty")
+        length_window = resolve_length_window(l_min, l_max, r_min, r_max, band)
 
     if length_window is None:
         cand = lf.crossJoin(F.broadcast(rf))

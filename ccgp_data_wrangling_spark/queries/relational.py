@@ -493,15 +493,17 @@ def x12_fuzzy_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1's banded Levenshtein (O(band·n) per pair) certifies nearly every
     # supplier and the full-DP fallback is ~empty. Measured at sf0.1 on
     # local[32], warm: banded 2.5 s vs plain cross join 3.2 s.
-    # length_window blocking is deliberately OFF: these names are all
-    # fixed-width 18 chars, so every row shares one length key and the
-    # candidate equi-join degenerates into a single-task hot bucket
-    # (measured 61 s). The pair space itself is irreducible here — the
-    # corpus is uniform zero-padded ids where every generic exact
-    # blocking scheme (q-grams collapse on '000…', PassJoin segments
-    # ditto) keeps all pairs — so the broadcast nested-loop stays, with
-    # the banded early-exit cutting per-pair cost. On variable-length
-    # corpora use length_window (x12b_blocked_fuzzy_match below).
+    # length_window="auto" (the operator default) sniffs the length
+    # histograms and keeps blocking OFF here: these names are all
+    # fixed-width 18 chars, so every row would share one length key
+    # and the candidate equi-join degenerates into a single-task hot
+    # bucket (measured 61 s explicit-window vs 2.5 s banded). The pair
+    # space itself is irreducible on this corpus — uniform zero-padded
+    # ids defeat every generic exact blocking scheme (q-grams collapse
+    # on '000…', PassJoin segments ditto) — so the broadcast
+    # nested-loop stays, with the banded early-exit cutting per-pair
+    # cost. The SAME call on a variable-length corpus auto-selects the
+    # equi-join (x12b_blocked_fuzzy_match below).
     # repartition the streamed side: the cross join otherwise inherits
     # the small side's single input partition.
     from ccgp_data_wrangling_spark.operators.fuzzy import fuzzy_argmax_join
@@ -563,9 +565,10 @@ def x12b_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = part.select(
         F.concat_ws(" ", "p_type", "p_name").alias("best_label")
     ).distinct()
-    return fuzzy_argmax_join(
-        left, right, "left_label", "best_label", band=8, length_window=4
-    )
+    # length_window="auto" sniffs the variable length histogram here
+    # and selects the equi-join blocking path (window = band) — the
+    # same one-code-path call as x12, opposite physical plan
+    return fuzzy_argmax_join(left, right, "left_label", "best_label", band=8)
 
 
 # ---------------------------------------------------------------------------

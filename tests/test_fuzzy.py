@@ -93,3 +93,50 @@ def test_empty_right_raises(spark):
     right = spark.createDataFrame([], "r string")
     with pytest.raises(ValueError, match="empty"):
         fuzzy_argmax_join(left, right, "l", "r")
+
+
+def _physical_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_auto_keeps_banded_cross_on_fixed_width_corpora(spark):
+    # both sides fixed-width: blocking can't prune a single pair, so
+    # "auto" must keep the broadcast cross (no length-key equi-join)
+    left = spark.createDataFrame([(f"id{i:05d}",) for i in range(30)], "l string")
+    right = spark.createDataFrame([(f"id{i:05d}",) for i in range(0, 60, 2)], "r string")
+    df = fuzzy_argmax_join(left, right, "l", "r", band=4, length_window="auto")
+    plan = _physical_plan(df)
+    assert "__blk" not in plan
+    got = {row.l: (row.r, row.ratio) for row in df.collect()}
+    assert got == _brute(spark, left, right)
+
+
+def test_auto_selects_blocking_on_variable_corpora(spark):
+    rng = random.Random(7)
+    alphabet = "abcxyz_-019"
+
+    def name(n):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    left = spark.createDataFrame(
+        [(name(rng.randint(3, 20)),) for _ in range(40)], "l string"
+    )
+    right = spark.createDataFrame(
+        [(name(rng.randint(3, 20)),) for _ in range(25)], "r string"
+    )
+    df = fuzzy_argmax_join(left, right, "l", "r", band=4, length_window="auto")
+    got = {row.l: (row.r, row.ratio) for row in df.collect()}
+    assert got == _brute(spark, left, right)
+
+
+def test_resolve_length_window_decision_table():
+    from ccgp_data_wrangling_spark.operators.fuzzy import resolve_length_window
+
+    # fixed-width both sides → no gap can exceed the band → no blocking
+    assert resolve_length_window(18, 18, 18, 18, band=6) is None
+    # narrow joint spread (max gap 4 ≤ band) → still no blocking
+    assert resolve_length_window(8, 10, 6, 10, band=6) is None
+    # variable corpus: some gap exceeds the band → block with window=band
+    assert resolve_length_window(3, 20, 3, 20, band=4) == 4
+    # one-sided spread is enough (left fixed, right wide)
+    assert resolve_length_window(10, 10, 3, 30, band=6) == 6
