@@ -180,6 +180,9 @@ class _SstReader:
         return out
 
     def chars(self, cch: int, high: bool) -> str:
+        # cch counts UTF-16 CODE UNITS (a non-BMP char is 2 units);
+        # surrogatepass keeps pair halves split across CONTINUE
+        # boundaries, and the final re-encode/decode merges them
         out = ""
         while cch:
             self._advance()
@@ -190,13 +193,18 @@ class _SstReader:
             if n_here == 0:
                 raise ValueError("SST char split inside a code unit")
             raw = self.take(n_here * width)
-            out += raw.decode("utf-16-le" if high else "latin-1")
+            if high:
+                out += raw.decode("utf-16-le", "surrogatepass")
+            else:
+                out += raw.decode("latin-1")
             cch -= n_here
             if cch and self._avail() == 0:
                 # split mid-string: continuation re-declares encoding
                 self._advance()
                 high = bool(self.take(1)[0] & 0x01)
-        return out
+        return out.encode("utf-16-le", "surrogatepass").decode(
+            "utf-16-le", "surrogatepass"
+        )
 
     def string(self) -> str:
         cch = struct.unpack("<H", self.take(2))[0]
@@ -335,8 +343,13 @@ def _rec(op: int, data: bytes) -> bytes:
 
 
 def _biff_string(s: str) -> bytes:
-    """SST-style unicode string, always uncompressed UTF-16LE."""
-    return struct.pack("<HB", len(s), 0x01) + s.encode("utf-16-le")
+    """SST-style unicode string, always uncompressed UTF-16LE.
+
+    cch is the UTF-16 CODE-UNIT count (non-BMP chars take two), not
+    ``len(s)`` — the property round-trip test caught that one.
+    """
+    enc = s.encode("utf-16-le")
+    return struct.pack("<HB", len(enc) // 2, 0x01) + enc
 
 
 def write_xls(path: str, sheets: dict[str, list[list]]) -> None:
@@ -386,7 +399,9 @@ def write_xls(path: str, sheets: dict[str, list[list]]) -> None:
         nm = name.encode("utf-16-le")
         return _rec(
             _BOUNDSHEET,
-            struct.pack("<IBB", pos, 0, 0) + struct.pack("<BB", len(name), 1) + nm,
+            struct.pack("<IBB", pos, 0, 0)
+            + struct.pack("<BB", len(nm) // 2, 1)
+            + nm,
         )
 
     # two-pass: sizes of BOUNDSHEET records don't depend on offsets

@@ -81,3 +81,65 @@ def test_not_a_cfb_file_raises(tmp_path):
     p.write_bytes(b"this is not an xls file at all, just bytes")
     with pytest.raises(ValueError, match="bad magic"):
         xls_rows(str(p))
+
+
+# ---------------------------------------------------------------------------
+# Property: write_xls → xls_rows round-trips arbitrary small sheets.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_cell = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",), exclude_characters="\x00"
+        ),
+        max_size=12,
+    ),
+    st.integers(min_value=-(10**9), max_value=10**9),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+
+
+def _expected(v):
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return v
+    f = float(v)
+    return str(int(f)) if f == int(f) and abs(f) < 1e16 else repr(f)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(st.lists(_cell, min_size=1, max_size=6), min_size=1, max_size=8)
+)
+def test_xls_roundtrip_property(tmp_path, rows):
+    p = str(tmp_path / "prop.xls")
+    write_xls(p, {"s": rows})
+    got = xls_rows(p)
+    width = max(len(r) for r in rows)
+    want = [
+        [_expected(v) for v in r] + [None] * (width - len(r)) for r in rows
+    ]
+    # an all-None tail column has no serialized cells — trailing None
+    # columns are trimmed to the widest OCCUPIED cell, as Excel does
+    occupied = 0
+    any_cell = False
+    for r in want:
+        for i, v in enumerate(r):
+            if v is not None:
+                occupied = max(occupied, i + 1)
+                any_cell = True
+    if not any_cell:
+        assert got == []
+        return
+    want = [r[:occupied] for r in want]
+    n_rows = max(i for i, r in enumerate(want) if any(v is not None for v in r)) + 1
+    assert got == want[:n_rows]
