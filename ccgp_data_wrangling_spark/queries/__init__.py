@@ -76,6 +76,7 @@ _PRIORITY: list[str] = [
     "anchor_text_agg",
     "robots_policy_filter",
     "session_dedup_window",
+    "t_session_window_native",
     # --- green only in r1: re-verify before the rest ---
     "a1_segment_summary",
     "a2_flag_share",

@@ -228,3 +228,45 @@ def t_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((hour, event_type), (day, event_type))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session_window sessionization: the engine's streaming
+# session operator (streaming/incremental.session_window_rollup) run
+# in batch mode, verified against the classic gaps-and-islands SQL.
+# Spark merges an event into a session while ts < last_ts + gap, so a
+# new island starts exactly when the gap is >= 10 minutes.
+# ---------------------------------------------------------------------------
+
+_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) >= 600.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) + INTERVAL 10 MINUTE AS TIMESTAMP) AS session_end,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM islands GROUP BY user_id, sid
+"""
+
+
+@register("t_session_window_native", _SESSION_WINDOW_SQL)
+def t_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.streaming.incremental import (
+        session_window_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_window_rollup(ev, gap="10 minutes")

@@ -179,6 +179,50 @@ def windowed_event_counts(
     )
 
 
+def session_window_rollup(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user session aggregates via ``F.session_window`` — the
+    native dynamic-gap analogue of the batch ``t_user_sessions`` query
+    (events.py): a session closes after ``gap`` of inactivity.
+
+    Works identically on batch and streaming inputs. In streaming
+    mode the watermark bounds session state: a session window is
+    emitted (and its state dropped) once the watermark passes its
+    close — Spark's session-window state store merges adjacent
+    windows incrementally, so per-user state is O(open sessions),
+    never O(events). At 100 TB-scale ingest this is the correct
+    operator for sessionization: the groupBy keys are
+    (user, session_window) — hash-partitioned by user, millions of
+    small groups, no global ordering anywhere.
+    """
+    src = ensure_ltz(events, ts_col)
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark_delay)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            user_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

@@ -272,3 +272,56 @@ def test_dedup_stream_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = [r.event_id for r in out]
     assert sorted(got) == sorted(batch_keys)  # one emission per key
+
+
+def test_session_window_rollup_stream_matches_batch(spark, tmp_path):
+    """Streaming session-window aggregation (dynamic gap + watermark)
+    equals the batch computation over the same data, and the session
+    boundaries obey the gap rule."""
+    from ccgp_data_wrangling_spark.catalog import load_table
+    from ccgp_data_wrangling_spark.streaming.incremental import (
+        session_window_rollup,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src_dir = tmp_path / "events_sessions"
+    events.limit(2000).write.parquet(str(src_dir))
+    schema = spark.read.parquet(str(src_dir)).schema
+
+    batch = session_window_rollup(
+        spark.read.parquet(str(src_dir)), gap="10 minutes"
+    )
+    rows = batch.collect()
+    expected = {
+        (r.session_start, r.session_end, r.user_id): (r.n_events, r.total_value)
+        for r in rows
+    }
+    # gap rule: same user's sessions are separated by > gap
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 < s2  # session_window end already includes the gap
+
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    out_rows = []
+
+    def sink(b, _epoch):
+        out_rows.extend(b.collect())
+
+    q = (
+        session_window_rollup(stream, gap="10 minutes")
+        .writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.session_start, r.session_end, r.user_id): (r.n_events, r.total_value)
+        for r in out_rows
+    }
+    assert got == expected
