@@ -77,6 +77,7 @@ _PRIORITY: list[str] = [
     "robots_policy_filter",
     "session_dedup_window",
     "t_session_window_native",
+    "pagerank_link_graph",
     # --- green only in r1: re-verify before the rest ---
     "a1_segment_summary",
     "a2_flag_share",

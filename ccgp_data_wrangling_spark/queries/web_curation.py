@@ -441,3 +441,51 @@ def session_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("kept").cast("long").alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Link-graph PageRank (document-quality prior): 10 synchronous rounds
+# of the iterative join+agg operator (operators/pagerank.py) on a
+# synthetic doc-derived graph, verified against a DuckDB recursive
+# CTE running the identical rounds. The graph (src = doc_id mod 211,
+# dst = (7·doc_id + 3) mod 211; 7 invertible mod 211) covers every
+# node with both out- and in-edges at sf >= 0.01, so the oracle needs
+# no dangling-mass term and the recursive table is referenced once.
+# ---------------------------------------------------------------------------
+
+_PAGERANK_SQL = """
+WITH RECURSIVE
+edges AS (
+  SELECT doc_id % 211 AS src, (doc_id * 7 + 3) % 211 AS dst FROM documents
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+n AS (SELECT COUNT(DISTINCT src) AS n FROM edges),
+pr(iter, node, rank) AS (
+  SELECT 0, src, 1.0 / (SELECT n FROM n) FROM (SELECT DISTINCT src FROM edges)
+  UNION ALL
+  SELECT m.iter + 1, m.dst,
+         0.15 / (SELECT n FROM n) + 0.85 * m.mass
+  FROM (
+    SELECT ANY_VALUE(pr.iter) AS iter, e.dst,
+           SUM(pr.rank / deg.deg) AS mass
+    FROM pr
+    JOIN edges e ON pr.node = e.src
+    JOIN deg ON e.src = deg.src
+    WHERE pr.iter < 10
+    GROUP BY e.dst
+  ) m
+)
+SELECT node, ROUND(rank, 4) AS rank FROM pr WHERE iter = 10
+"""
+
+
+@register("pagerank_link_graph", _PAGERANK_SQL)
+def pagerank_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.operators.pagerank import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 211).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 211).alias("dst"),
+    )
+    return pagerank(edges, n_iter=10)
