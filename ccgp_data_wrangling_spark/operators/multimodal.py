@@ -36,11 +36,59 @@ FEATURE_SCHEMA = (
 
 
 def real_decode(payload: bytes, media_type: str) -> Any:
-    """Placeholder for the real decoder (PIL/librosa/decord)."""
-    raise NotImplementedError(
-        "media decode libraries are not available in this environment; "
-        "use fake_decode for deterministic tests"
+    """Real decode for the formats the stdlib can parse (WAV PCM,
+    netpbm P5/P6 — see ``media_codecs.py``); raises for codecs this
+    environment genuinely lacks (JPEG/PNG/MP3/MP4 need PIL/librosa/
+    decord)."""
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        real_decode as _rd,
     )
+
+    return _rd(payload, media_type)
+
+
+REAL_FEATURE_SCHEMA = (
+    "id long, media_type string, kind string, sample_rate int, "
+    "n_channels int, duration_sec double, rms double, peak double, "
+    "width int, height int, luma_mean double"
+)
+
+
+def extract_real_features(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    media_type_col: str = "media_type",
+) -> DataFrame:
+    """Decode-and-featurize with the REAL stdlib kernels (WAV / netpbm).
+
+    One wide nullable schema covers both kinds (audio rows leave image
+    columns null and vice versa) so mixed media tables stream through
+    one mapInPandas pass. Rows whose media_type has no stdlib decoder
+    raise — filter or route them to the fake path upstream.
+    """
+
+    cols = [
+        "kind", "sample_rate", "n_channels", "duration_sec",
+        "rms", "peak", "width", "height", "luma_mean",
+    ]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                real_decode(bytes(p), m)
+                for p, m in zip(pdf[payload_col], pdf[media_type_col])
+            ]
+            out = pd.DataFrame(
+                [{c: f.get(c) for c in cols} for f in feats]
+            )
+            out.insert(0, "media_type", pdf[media_type_col].values)
+            out.insert(0, "id", pdf[id_col].values)
+            yield out
+
+    narrow = df.select(id_col, payload_col, media_type_col)
+    return narrow.mapInPandas(op, schema=REAL_FEATURE_SCHEMA)
 
 
 def fake_decode(payload: bytes) -> dict[str, Any]:
@@ -121,16 +169,28 @@ def resize_images(
     id_col: str = "id",
     payload_col: str = "payload",
     media_type_col: str = "media_type",
+    kernel: str = "fake",
 ) -> DataFrame:
     """Resize every image payload to (width, height) via Arrow batches.
 
     Output keeps payload as ``binary`` (RESIZE_SCHEMA) so downstream
     stages keep streaming; 1 row in → 1 row out preserves partitioning.
+    ``kernel="netpbm"`` uses the REAL nearest-neighbor resize for
+    P5/P6 payloads (media_codecs.resize_netpbm); the default fake
+    byte-resampler serves formats whose codecs aren't installed.
     """
+    if kernel == "netpbm":
+        from ccgp_data_wrangling_spark.operators.media_codecs import (
+            resize_netpbm as _resize,
+        )
+    elif kernel == "fake":
+        _resize = fake_resize
+    else:
+        raise ValueError(f"unknown resize kernel {kernel!r}")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [fake_resize(bytes(p), width, height) for p in pdf[payload_col]]
+            resized = [_resize(bytes(p), width, height) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].values,
