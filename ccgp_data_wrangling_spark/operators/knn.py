@@ -241,3 +241,42 @@ def ivf_topk(
         F.round(cosine_sim(v, qcol), 4).alias("cos_sim"),
     )
     return _ranked_topk(scored, k, id_col)
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    dim: int,
+    out_dim: int = 16,
+    seed: int = 7,
+) -> list[Column]:
+    """Johnson–Lindenstrauss random projection: ``out_dim`` Columns
+    ``y00..`` projecting ``vec_col`` (width ``dim``) onto seeded
+    Gaussian directions, scaled by 1/√out_dim.
+
+    The cheap, distribution-free dimensionality reduction an embedding
+    pipeline runs before clustering / dedup at scale: distances are
+    preserved within (1±ε) w.h.p., and the projection is a pure
+    per-row Column expression — O(out_dim·dim) arithmetic, no shuffle,
+    no model state beyond the seeded literal matrix (out_dim·dim
+    doubles, inlined into the plan exactly like the SRP planes).
+
+    Returns the projection Columns (rounded to 6 dp) so callers
+    compose them into their own select.
+    """
+    import math
+
+    planes = _seeded_planes(1, out_dim, dim, seed)[0]
+    v = F.col(vec_col).cast("array<double>")
+    scale = 1.0 / math.sqrt(out_dim)
+    out = []
+    for i, row in enumerate(planes):
+        r = F.array(*[F.lit(float(w)) for w in row])
+        dot = F.aggregate(
+            F.zip_with(v, r, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out.append(F.round(dot * scale, 6).alias(f"y{i:02d}"))
+    return out

@@ -78,6 +78,7 @@ _PRIORITY: list[str] = [
     "session_dedup_window",
     "t_session_window_native",
     "pagerank_link_graph",
+    "jl_projection_16d",
     # --- green only in r1: re-verify before the rest ---
     "a1_segment_summary",
     "a2_flag_share",

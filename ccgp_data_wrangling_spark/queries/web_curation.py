@@ -489,3 +489,40 @@ def pagerank_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") * 7 + 3) % 211).alias("dst"),
     )
     return pagerank(edges, n_iter=10)
+
+
+# ---------------------------------------------------------------------------
+# JL random projection (embedding dimensionality reduction, 64 → 16):
+# the oracle inlines the SAME seeded Gaussian matrix as SQL literals
+# (repr() round-trips doubles exactly), so both engines compute the
+# identical projection — generated programmatically below.
+# ---------------------------------------------------------------------------
+
+
+def _jl_oracle() -> str:
+    import math
+
+    from ccgp_data_wrangling_spark.operators.knn import _seeded_planes
+
+    planes = _seeded_planes(1, 16, 64, 7)[0]
+    scale = repr(1.0 / math.sqrt(16))
+    terms = ",\n       ".join(
+        f"ROUND(LIST_DOT_PRODUCT(v, [{', '.join(repr(w) for w in row)}])"
+        f" * {scale}, 6) AS y{i:02d}"
+        for i, row in enumerate(planes)
+    )
+    return (
+        "WITH src AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)\n"
+        f"SELECT vec_id,\n       {terms}\nFROM src"
+    )
+
+
+@register("jl_projection_16d", _jl_oracle())
+def jl_projection_16d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.operators.knn import jl_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", *jl_project(emb, "embedding", dim=64, out_dim=16, seed=7)
+    )
