@@ -79,6 +79,10 @@ _PRIORITY: list[str] = [
     "t_session_window_native",
     "pagerank_link_graph",
     "jl_projection_16d",
+    "kmv_distinct_users",
+    "cms_token_frequency",
+    "hist_quantile_by_type",
+    "span_dedup_crossdoc",
     # --- green only in r1: re-verify before the rest ---
     "a1_segment_summary",
     "a2_flag_share",
@@ -130,6 +134,7 @@ def _load_all() -> None:
         merge_queries,
         pipeline_ops,
         relational,
+        sketches,
         web_curation,
     )
 

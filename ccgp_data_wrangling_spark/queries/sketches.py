@@ -1,0 +1,205 @@
+"""Sketch-family queries: mergeable approximate aggregates with exact
+deterministic oracles.
+
+Every estimator here is seeded-hash deterministic, so the DuckDB
+oracle replays the identical arithmetic and the value hashes match
+bit-for-bit — the approximation error is *modeled*, not fuzzed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ccgp_data_wrangling_spark.catalog import load_table
+from ccgp_data_wrangling_spark.queries import register
+
+# DuckDB rendering of operators.sketches._element_hash: first 15 hex
+# digits of md5 as a 60-bit integer, +1.
+_DUCK_HASH = "(CAST(('0x' || SUBSTR(md5({v}), 1, 15)) AS BIGINT) + 1)"
+
+# ---------------------------------------------------------------------------
+# KMV distinct-cardinality sketch: distinct users per event type
+# ---------------------------------------------------------------------------
+
+_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS g,
+         {_DUCK_HASH.format(v="CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+), ranked AS (
+  SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+  FROM h
+), agg AS (
+  SELECT g, COUNT(*) AS sketch_size,
+         MAX(CASE WHEN rn = 64 THEN h END) AS h64
+  FROM ranked WHERE rn <= 64 GROUP BY g
+)
+SELECT g AS event_type,
+       CASE WHEN sketch_size < 64 THEN sketch_size
+            ELSE CAST(FLOOR({float(63 * (1 << 60))!r} / h64) AS BIGINT)
+            END AS distinct_est,
+       CAST(sketch_size AS INT) AS sketch_size,
+       CASE WHEN sketch_size < 64 THEN NULL ELSE h64 END AS kth_hash
+FROM agg
+"""
+
+
+@register("kmv_distinct_users", _KMV_SQL)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k=64 minimum hash values) estimate of distinct users per
+    event type — the mergeable 100 TB substitute for
+    ``COUNT(DISTINCT user_id)`` (operators/sketches.kmv_distinct).
+    """
+    from ccgp_data_wrangling_spark.operators.sketches import kmv_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    return kmv_distinct(events, "event_type", "user_id", k=64)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: heavy-hitter token frequency estimates
+# ---------------------------------------------------------------------------
+
+_CMS_SEEDS = "(VALUES (0, 1299709, 104729), (1, 15485863, 1299721), " \
+             "(2, 32452843, 7919), (3, 49979687, 611953)) AS s(r, a, b)"
+
+_CMS_SQL = f"""
+WITH toks AS (
+  SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS token
+  FROM documents
+), cnts AS (
+  SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY token
+), hashed AS (
+  SELECT token, exact_cnt,
+         {_DUCK_HASH.format(v="token")} % 2147483647 AS hc
+  FROM cnts
+), cells AS (
+  SELECT s.r, ((hc * s.a + s.b) % 2147483647) % 256 AS col,
+         SUM(exact_cnt) AS cell
+  FROM hashed CROSS JOIN {_CMS_SEEDS}
+  GROUP BY 1, 2
+), top AS (
+  SELECT token, exact_cnt, hc FROM hashed
+  ORDER BY exact_cnt DESC, token LIMIT 20
+)
+SELECT t.token, t.exact_cnt, MIN(c.cell) AS cms_est
+FROM top t
+CROSS JOIN {_CMS_SEEDS}
+JOIN cells c
+  ON c.r = s.r AND c.col = ((t.hc * s.a + s.b) % 2147483647) % 256
+GROUP BY t.token, t.exact_cnt
+"""
+
+
+@register("cms_token_frequency", _CMS_SQL)
+def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 × width 256) over corpus tokens,
+    point-queried for the 20 exact heavy hitters. Demonstrates the
+    one-sided overestimate: ``cms_est >= exact_cnt`` always
+    (operators/sketches.cms_sketch / cms_estimate).
+    """
+    from ccgp_data_wrangling_spark.operators.corpus_stats import corpus_tokens
+    from ccgp_data_wrangling_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(corpus_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    sketch = cms_sketch(counts, "token", "exact_cnt")
+    top = counts.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(20)
+    est = cms_estimate(sketch, top.select("token"), "token")
+    return top.join(F.broadcast(est), "token").select(
+        "token", "exact_cnt", "cms_est"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram quantiles per event type
+# ---------------------------------------------------------------------------
+
+_HIST_SQL = """
+WITH bins AS (
+  SELECT event_type AS g, FLOOR(value / 10.0) AS bin, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT g, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY g) AS total
+  FROM bins
+)
+SELECT g AS event_type,
+       ROUND(MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bin * 10.0 END), 4)
+         AS approx_p50,
+       ROUND(MIN(CASE WHEN cum >= CEIL(0.9 * total) THEN bin * 10.0 END), 4)
+         AS approx_p90,
+       MAX(total) AS n
+FROM cum GROUP BY g
+"""
+
+
+@register("hist_quantile_by_type", _HIST_SQL)
+def hist_quantile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch p50/p90 of event value per type (bin width 10):
+    the mergeable replacement for an exact global-sort percentile
+    (operators/sketches.binned_quantiles). Error bound = bin width.
+    """
+    from ccgp_data_wrangling_spark.operators.sketches import binned_quantiles
+
+    events = load_table(spark, sf_dir, "events")
+    return binned_quantiles(
+        events, "event_type", "value", width=10.0, quantiles=(0.5, 0.9)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-level (substring) cross-document duplication
+# ---------------------------------------------------------------------------
+
+_SPAN_SQL = """
+WITH toks AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS t
+  FROM documents
+), raw AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(GREATEST(LEN(t) - 7, 0)),
+                i -> ARRAY_TO_STRING(t[i+1:i+8], ' '))) AS span
+  FROM toks
+), spans AS (
+  SELECT DISTINCT doc_id, span FROM raw
+), dup AS (
+  SELECT span FROM spans GROUP BY span HAVING COUNT(*) >= 2
+), perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_dup FROM spans
+  JOIN dup USING (span) GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_windows FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(t.n_windows, 0) AS n_windows,
+       COALESCE(p.n_dup, 0) AS n_dup_windows,
+       CASE WHEN COALESCE(t.n_windows, 0) > 0
+            THEN ROUND(COALESCE(p.n_dup, 0) / t.n_windows, 4)
+            ELSE 0.0 END AS dup_ratio
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+@register("span_dedup_crossdoc", _SPAN_SQL)
+def span_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated 8-token spans across documents (Lee et al. 2022
+    substring dedup, Spark-shaped): per-doc duplicated-window counts
+    and ratio (operators/spandedup.span_duplication_stats).
+    """
+    from ccgp_data_wrangling_spark.operators.spandedup import (
+        span_duplication_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_duplication_stats(docs, window=8)

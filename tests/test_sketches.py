@@ -1,0 +1,152 @@
+"""Operator-level tests for the mergeable sketch family
+(operators/sketches.py, operators/spandedup.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ccgp_data_wrangling_spark.operators.sketches import (
+    HASH_MOD,
+    binned_quantiles,
+    cms_estimate,
+    cms_sketch,
+    kmv_distinct,
+)
+from ccgp_data_wrangling_spark.operators.spandedup import (
+    span_duplication_stats,
+)
+
+
+def test_kmv_exact_branch_below_k(spark):
+    """With fewer than k distinct values the sketch is exact."""
+    df = spark.createDataFrame(
+        [("a", i % 10) for i in range(100)] + [("b", i) for i in range(3)],
+        "g string, v int",
+    )
+    out = {
+        r["g"]: r.asDict()
+        for r in kmv_distinct(df, "g", "v", k=64).collect()
+    }
+    assert out["a"]["distinct_est"] == 10
+    assert out["a"]["kth_hash"] is None
+    assert out["b"]["distinct_est"] == 3
+
+
+def test_kmv_estimator_branch_accuracy(spark):
+    """Above k the estimate lands within the expected ~1/sqrt(k) band."""
+    n = 5000
+    df = spark.createDataFrame(
+        [("g", f"user-{i}") for i in range(n)], "g string, v string"
+    )
+    row = kmv_distinct(df, "g", "v", k=64).collect()[0]
+    assert row["sketch_size"] == 64
+    assert row["kth_hash"] is not None
+    # 3 standard errors at k=64 is ~37%; deterministic, so this is a
+    # fixed regression bound, not a flaky statistical one.
+    assert n * 0.63 < row["distinct_est"] < n * 1.37
+
+
+def test_kmv_merge_invariance(spark):
+    """The estimate must not depend on the input partitioning."""
+    rows = [("g", f"u{i}") for i in range(1000)]
+    a = spark.createDataFrame(rows, "g string, v string").repartition(1)
+    b = spark.createDataFrame(rows, "g string, v string").repartition(17)
+    ra = kmv_distinct(a, "g", "v", k=32).collect()[0]["distinct_est"]
+    rb = kmv_distinct(b, "g", "v", k=32).collect()[0]["distinct_est"]
+    assert ra == rb
+
+
+def test_cms_never_underestimates(spark):
+    items = spark.createDataFrame(
+        [(f"tok{i}", (i % 7) + 1) for i in range(500)], "token string, w long"
+    )
+    sketch = cms_sketch(items, "token", "w")
+    est = cms_estimate(sketch, items.select("token"), "token")
+    joined = items.join(est, "token").collect()
+    assert len(joined) == 500
+    assert all(r["cms_est"] >= r["w"] for r in joined)
+
+
+def test_cms_exact_when_sparse(spark):
+    """Few items → no cell collisions → estimates are exact."""
+    items = spark.createDataFrame(
+        [("alpha", 5), ("beta", 7), ("gamma", 11)], "token string, w long"
+    )
+    sketch = cms_sketch(items, "token", "w")
+    est = {
+        r["token"]: r["cms_est"]
+        for r in cms_estimate(sketch, items.select("token"), "token").collect()
+    }
+    assert est == {"alpha": 5, "beta": 7, "gamma": 11}
+
+
+def test_cms_sketch_is_bounded(spark):
+    items = spark.createDataFrame(
+        [(f"t{i}", 1) for i in range(10_000)], "token string, w long"
+    )
+    assert cms_sketch(items, "token", "w").count() <= 4 * 256
+
+
+def test_binned_quantiles_error_bound(spark):
+    vals = [("g", float(v)) for v in range(1, 1001)]  # 1..1000
+    df = spark.createDataFrame(vals, "g string, v double")
+    row = binned_quantiles(df, "g", "v", width=10.0).collect()[0]
+    # exact p50 = 500, p90 = 900; histogram answers the bin lower edge
+    assert abs(row["approx_p50"] - 500.0) <= 10.0
+    assert abs(row["approx_p90"] - 900.0) <= 10.0
+    assert row["n"] == 1000
+
+
+def test_span_dedup_short_docs_kept(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "too short"),
+            (2, "a b c d e f g h tail one"),
+            (3, "a b c d e f g h tail two"),
+            (4, "completely different words with no shared span here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in span_duplication_stats(docs, window=8).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["n_windows"] == 0 and out[1]["dup_ratio"] == 0.0
+    # docs 2 and 3 share the spans fully inside "a b c d e f g h tail"
+    assert out[2]["n_dup_windows"] >= 1
+    assert out[3]["n_dup_windows"] >= 1
+    assert out[4]["n_dup_windows"] == 0
+
+
+def test_span_dedup_hashed_matches_exact(spark):
+    """hash_spans shuffles 8-byte keys but must agree with the string
+    grouping absent collisions."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(30)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    exact = sorted(
+        map(tuple, span_duplication_stats(docs, window=5).collect())
+    )
+    hashed = sorted(
+        map(
+            tuple,
+            span_duplication_stats(docs, window=5, hash_spans=True).collect(),
+        )
+    )
+    assert exact == hashed
+
+
+def test_span_dedup_df_cap_drops_boilerplate(spark):
+    """max_window_df removes ultra-common spans from both the dup set
+    and the denominator-eligible dup counts."""
+    boiler = "x x x x x x x x"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(50)] + [(99, "unique words only here")],
+        "doc_id long, text string",
+    )
+    capped = span_duplication_stats(docs, window=8, max_window_df=10)
+    assert capped.agg(F.sum("n_dup_windows")).collect()[0][0] == 0
