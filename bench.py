@@ -59,6 +59,8 @@ HEADLINE = [
     "url_normalize_dedup",
     "ngram_repeat_scrub",
     "session_dedup_window",
+    "kmv_distinct_users",
+    "span_dedup_crossdoc",
 ]
 
 

@@ -26,8 +26,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
+    "kmv_partial",
+    "kmv_merge",
+    "kmv_readout",
     "kmv_distinct",
     "cms_sketch",
+    "cms_merge",
     "cms_estimate",
     "binned_quantiles",
 ]
@@ -68,7 +72,7 @@ def _element_hash(value: Column) -> Column:
 # KMV (k minimum values) distinct-cardinality sketch
 # ---------------------------------------------------------------------------
 
-def kmv_distinct(
+def kmv_partial(
     df: DataFrame,
     group_col: str,
     value_col: str,
@@ -76,24 +80,19 @@ def kmv_distinct(
     k: int = 64,
     merge_fanin: int = 16,
 ) -> DataFrame:
-    """Per-group distinct-count estimate from the k smallest hashes.
-
-    Estimator: with fewer than ``k`` distinct hashes the sketch is
-    exact; otherwise ``(k-1) * M / h_k`` where ``h_k`` is the k-th
-    smallest hash over the space ``M`` (Bar-Yossef et al. 2002).
+    """``(group, kmin)`` sketch partials: the k smallest distinct
+    hashes per group, as a sorted long array.
 
     Scale shape: a two-level combine. Level 1 groups on
     ``(group, hash % merge_fanin)`` so every partial is truncated to
     ``k`` values *before* the group-wide merge — the level-2 shuffle
     carries at most ``merge_fanin * k`` longs per group regardless of
-    input size, and partials are re-mergeable across runs (union +
-    re-truncate), which is what makes the sketch a sketch.
+    input size. The salt buckets partition the hash space, so their
+    k-min arrays are disjoint and concatenation needs no re-dedup.
 
-    The readout divides in *double* space — ``(k-1) * 2^60`` overflows
-    int64 — then floors: the numerator has 6 significant bits (exactly
-    representable), IEEE division is deterministic, and an explicit
-    ``floor`` on both engines avoids the cast asymmetry where
-    double-to-long ROUNDS in DuckDB but TRUNCATES in Spark.
+    The ``(group, kmin)`` frame is the sketch's wire format: persist
+    it per shard/day and fold new data in with :func:`kmv_merge` —
+    the 100 TB pattern where yesterday's corpus is never rescanned.
     """
     hashed = df.select(
         F.col(group_col).alias("g"),
@@ -103,11 +102,46 @@ def kmv_distinct(
         hashed.groupBy("g", F.pmod("h", F.lit(merge_fanin)).alias("salt"))
         .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("part"))
     )
-    merged = partial.groupBy("g").agg(
+    return partial.groupBy("g").agg(
         F.slice(
             F.array_sort(F.flatten(F.collect_list("part"))), 1, k
         ).alias("kmin")
     )
+
+
+def kmv_merge(partials: list[DataFrame], *, k: int = 64) -> DataFrame:
+    """Merge ``(g, kmin)`` partial frames: union of the hash sets,
+    re-truncated to the k minimum. Associative and commutative —
+    sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly, which is
+    what lets partials from different shards, days, or micro-batches
+    compose without revisiting data. ``array_distinct`` dedups hashes
+    the inputs may share (partials built over overlapping data).
+    """
+    u = partials[0]
+    for p in partials[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("g").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmin")))),
+            1,
+            k,
+        ).alias("kmin")
+    )
+
+
+def kmv_readout(merged: DataFrame, group_col: str, *, k: int = 64) -> DataFrame:
+    """Estimate from a ``(g, kmin)`` frame.
+
+    Estimator: with fewer than ``k`` distinct hashes the sketch is
+    exact; otherwise ``(k-1) * M / h_k`` where ``h_k`` is the k-th
+    smallest hash over the space ``M`` (Bar-Yossef et al. 2002).
+
+    The division runs in *double* space — ``(k-1) * 2^60`` overflows
+    int64 — then floors: the numerator has 6 significant bits (exactly
+    representable), IEEE division is deterministic, and an explicit
+    ``floor`` on both engines avoids the cast asymmetry where
+    double-to-long ROUNDS in DuckDB but TRUNCATES in Spark.
+    """
     n_seen = F.size("kmin")
     h_k = F.element_at("kmin", k)
     numerator = float((k - 1) * HASH_SPACE)
@@ -120,6 +154,24 @@ def kmv_distinct(
         F.when(n_seen < k, F.lit(None).cast("long"))
         .otherwise(h_k)
         .alias("kth_hash"),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    k: int = 64,
+    merge_fanin: int = 16,
+) -> DataFrame:
+    """One-shot per-group distinct-count estimate:
+    ``kmv_readout(kmv_partial(df))``.
+    """
+    return kmv_readout(
+        kmv_partial(df, group_col, value_col, k=k, merge_fanin=merge_fanin),
+        group_col,
+        k=k,
     )
 
 
@@ -167,6 +219,17 @@ def cms_sketch(
     for r in rows[1:]:
         cells = cells.unionAll(r)
     return cells.groupBy("row", "col").agg(F.sum("w").alias("cell"))
+
+
+def cms_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge CMS sketches: cell-wise sum. The sketch is a linear
+    projection of the frequency vector, so
+    ``sketch(A ⊎ B) == merge(sketch(A), sketch(B))`` exactly.
+    """
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("row", "col").agg(F.sum("cell").alias("cell"))
 
 
 def cms_estimate(

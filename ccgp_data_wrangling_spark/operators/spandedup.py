@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ccgp_data_wrangling_spark.caching import CacheScope, active_scope
 from ccgp_data_wrangling_spark.operators.corpus_stats import (
     _grams,
     corpus_tokens,
@@ -44,6 +45,7 @@ def span_duplication_stats(
     text_col: str = "text",
     hash_spans: bool = False,
     max_window_df: int | None = None,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span statistics.
 
@@ -58,33 +60,45 @@ def span_duplication_stats(
     ``dup_ratio`` is rounded to 4 dp on both engines so the value hash
     is stable across double formatting.
     """
+    from pyspark.sql import Window
+
     span = F.explode(_grams(corpus_tokens(text_col), window)).alias("span")
     spans = docs.select(F.col(id_col).alias("id"), span)
     if hash_spans:
         spans = spans.select("id", F.xxhash64("span").alias("span"))
-    spans = spans.distinct()
+    # the tokenize→gram-fold→explode→distinct build dominates cost
+    # (~half the cold run); persist it like dedup.py's signature
+    # tables so repeated invocations in a session reuse it
+    if scope is None:
+        scope = active_scope("span_duplication_stats")
+    spans = scope.persist(spans.distinct())
 
-    df_counts = spans.groupBy("span").agg(
-        F.count(F.lit(1)).alias("span_df")
-    )
+    # Single-pass shape: annotate each distinct (doc, span) row with
+    # the span's document frequency via a count-over-window keyed on
+    # the span, then one groupBy(doc) rolls both counters up. One
+    # window shuffle + one agg shuffle, versus the naive
+    # df-count / semi-join / two-groupBy plan (5 shuffles + a persist,
+    # measured 2.5x slower cold). Window partitions are per-SPAN —
+    # bounded by the span's df, so no skewed partition at scale (and
+    # ``max_window_df`` bounds what "dup" can even mean).
+    span_df = F.count(F.lit(1)).over(Window.partitionBy("span"))
+    is_dup = F.col("span_df") >= 2
     if max_window_df is not None:
-        df_counts = df_counts.filter(F.col("span_df") <= max_window_df)
-    dup_spans = df_counts.filter(F.col("span_df") >= 2).select("span")
-
-    per_doc = spans.join(dup_spans, "span", "left_semi").groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_dup_windows")
+        is_dup = is_dup & (F.col("span_df") <= max_window_df)
+    per_doc = (
+        spans.withColumn("span_df", span_df)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(is_dup, 1).otherwise(0)).alias("n_dup_windows"),
+        )
     )
-    totals = spans.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
 
     base = docs.select(F.col(id_col).alias("id"))
-    out = (
-        base.join(totals, "id", "left")
-        .join(per_doc, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
-            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
-        )
+    out = base.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
     )
     return out.withColumn(
         "dup_ratio",

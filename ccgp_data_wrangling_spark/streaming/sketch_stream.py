@@ -1,0 +1,93 @@
+"""Incremental sketch maintenance over Structured Streaming.
+
+The point of a mergeable sketch is that *state never grows with
+data*: each micro-batch reduces to a bounded partial, folds into the
+persisted state, and the source data is never revisited. At 100 TB /
+day that is the difference between "distinct users so far" being a
+nightly full rescan and an O(groups × k) parquet file updated per
+batch.
+
+Spark's built-in streaming aggregations can't express KMV (the
+combine is "union arrays, keep k smallest", not a sum), so the fold
+runs in ``foreachBatch``: batch → :func:`~..operators.sketches.
+kmv_partial` → :func:`~..operators.sketches.kmv_merge` with the state
+table → copy-on-write swap (ParquetTable's tmp-write + atomic rename,
+operators/merge.py). foreachBatch gives exactly-once per epoch via
+the checkpoint; replaying a batch after a crash re-merges the same
+hash set — KMV merge is idempotent (set union), so the state is
+correct either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ccgp_data_wrangling_spark.operators.merge import ParquetTable
+from ccgp_data_wrangling_spark.operators.sketches import (
+    kmv_merge,
+    kmv_partial,
+    kmv_readout,
+)
+
+__all__ = ["KMVStreamState", "kmv_stream"]
+
+
+class KMVStreamState:
+    """Persisted ``(g, kmin)`` KMV state at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str, *, k: int = 64):
+        self.spark = spark
+        self.path = path
+        self.k = k
+        self._table = ParquetTable(spark, path, key="g")
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path)
+
+    def read(self) -> DataFrame:
+        return self._table.read()
+
+    def fold(self, batch: DataFrame, group_col: str, value_col: str) -> None:
+        """Merge one batch of raw rows into the state (create if new)."""
+        part = kmv_partial(batch, group_col, value_col, k=self.k)
+        if not self.exists():
+            self._table.init(part)
+            return
+        merged = kmv_merge([self.read(), part], k=self.k)
+        # copy-on-write: the merge reads the live state, so materialize
+        # to a tmp dir and swap rather than overwriting in place
+        self._table._swap_in(merged)
+
+    def estimate(self, group_col: str) -> DataFrame:
+        return kmv_readout(self.read(), group_col, k=self.k)
+
+
+def kmv_stream(
+    stream: DataFrame,
+    state: KMVStreamState,
+    group_col: str,
+    value_col: str,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain ``state`` from a streaming DataFrame.
+
+    ``availableNow`` drains the backlog and stops — the T3 cron
+    cadence (streaming/incremental.merge_stream); pass ``False`` for
+    a continuously-running query.
+    """
+
+    def _sink(batch: DataFrame, _epoch: int) -> None:
+        state.fold(batch, group_col, value_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

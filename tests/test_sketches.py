@@ -7,11 +7,14 @@ import pyspark.sql.functions as F
 import pytest
 
 from ccgp_data_wrangling_spark.operators.sketches import (
-    HASH_MOD,
     binned_quantiles,
     cms_estimate,
+    cms_merge,
     cms_sketch,
     kmv_distinct,
+    kmv_merge,
+    kmv_partial,
+    kmv_readout,
 )
 from ccgp_data_wrangling_spark.operators.spandedup import (
     span_duplication_stats,
@@ -55,6 +58,91 @@ def test_kmv_merge_invariance(spark):
     ra = kmv_distinct(a, "g", "v", k=32).collect()[0]["distinct_est"]
     rb = kmv_distinct(b, "g", "v", k=32).collect()[0]["distinct_est"]
     assert ra == rb
+
+
+def test_kmv_partial_merge_equals_whole(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) — exactly. This
+    is the property that lets per-shard/per-day partials compose
+    without rescanning data."""
+    rows_a = [("g", f"u{i}") for i in range(800)]
+    rows_b = [("g", f"u{i}") for i in range(400, 1200)]  # overlaps A
+    a = spark.createDataFrame(rows_a, "g string, v string")
+    b = spark.createDataFrame(rows_b, "g string, v string")
+    whole = spark.createDataFrame(rows_a + rows_b, "g string, v string")
+
+    merged = kmv_merge(
+        [kmv_partial(a, "g", "v", k=32), kmv_partial(b, "g", "v", k=32)],
+        k=32,
+    )
+    got = kmv_readout(merged, "g", k=32).collect()[0]
+    want = kmv_distinct(whole, "g", "v", k=32).collect()[0]
+    assert got.asDict() == want.asDict()
+
+
+def test_cms_merge_equals_whole(spark):
+    """CMS is linear: cell-wise sum of shard sketches == sketch of
+    the concatenated data."""
+    items_a = spark.createDataFrame(
+        [(f"t{i % 50}", 1) for i in range(300)], "token string, w long"
+    )
+    items_b = spark.createDataFrame(
+        [(f"t{i % 80}", 2) for i in range(300)], "token string, w long"
+    )
+    whole = items_a.unionByName(items_b)
+    merged = cms_merge(
+        [cms_sketch(items_a, "token", "w"), cms_sketch(items_b, "token", "w")]
+    )
+    direct = cms_sketch(whole, "token", "w")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_kmv_stream_matches_batch(spark, tmp_path):
+    """Micro-batched KMV folds must equal the one-shot batch sketch,
+    including after a second run over the same checkpoint (idempotent
+    replay)."""
+    from ccgp_data_wrangling_spark.streaming.sketch_stream import (
+        KMVStreamState,
+        kmv_stream,
+    )
+
+    src = tmp_path / "src"
+    rows = [(f"type{i % 3}", i % 500) for i in range(2000)]
+    full = spark.createDataFrame(rows, "g string, v int")
+    # three files → maxFilesPerTrigger=1 forces three separate folds
+    for j in range(3):
+        chunk = spark.createDataFrame(
+            rows[j * 700 : (j + 1) * 700], "g string, v int"
+        )
+        chunk.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("g string, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = KMVStreamState(spark, str(tmp_path / "state"), k=16)
+    q = kmv_stream(
+        stream, state, "g", "v", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, state.estimate("g").collect()))
+    want = sorted(map(tuple, kmv_distinct(full, "g", "v", k=16).collect()))
+    assert got == want
+
+    # re-run with the same checkpoint: no new files → no state change
+    stream2 = (
+        spark.readStream.schema("g string, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q2 = kmv_stream(
+        stream2, state, "g", "v", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, state.estimate("g").collect())) == want
 
 
 def test_cms_never_underestimates(spark):
