@@ -83,6 +83,8 @@ _PRIORITY: list[str] = [
     "cms_token_frequency",
     "hist_quantile_by_type",
     "span_dedup_crossdoc",
+    "priority_sample_weights",
+    "token_budget_select",
     # --- green only in r1: re-verify before the rest ---
     "a1_segment_summary",
     "a2_flag_share",

@@ -203,3 +203,107 @@ def span_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return span_duplication_stats(docs, window=8)
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (Duffield-Lund-Thorup): weighted sample + unbiased
+# subset-sum estimate
+# ---------------------------------------------------------------------------
+
+_PRIO_SQL = f"""
+WITH base AS (
+  SELECT source AS g, doc_id AS id, CAST(n_chars AS DOUBLE) AS wt,
+         CAST(n_chars AS DOUBLE) * 1152921504606846976.0
+           / {_DUCK_HASH.format(v="CAST(doc_id AS VARCHAR)")} AS priority
+  FROM documents
+), ranked AS (
+  SELECT g, id, wt, priority,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY priority DESC, id) AS rn,
+         LEAD(priority, 5) OVER (PARTITION BY g ORDER BY priority DESC, id)
+           AS tau_raw
+  FROM base
+), tau AS (
+  SELECT g, COALESCE(MAX(CASE WHEN rn = 1 THEN tau_raw END), 0.0) AS tau
+  FROM ranked GROUP BY g
+), est AS (
+  SELECT r.g, ROUND(SUM(GREATEST(r.wt, t.tau)), 4) AS est_total_weight,
+         COUNT(*) AS sample_size
+  FROM ranked r JOIN tau t USING (g)
+  WHERE r.rn <= 5
+  GROUP BY r.g
+)
+SELECT e.g AS source, e.est_total_weight, e.sample_size,
+       x.exact_total
+FROM est e
+JOIN (
+  SELECT source AS g, CAST(SUM(n_chars) AS BIGINT) AS exact_total
+  FROM documents GROUP BY source
+) x USING (g)
+"""
+
+
+@register("priority_sample_weights", _PRIO_SQL)
+def priority_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (k=5 per source) of documents weighted by
+    n_chars, with the unbiased sum(max(w, tau)) subset-sum estimate
+    next to the exact total (operators/sampling.priority_sample).
+    Deterministic: u derives from md5(doc_id), no rand()."""
+    from ccgp_data_wrangling_spark.operators.sampling import (
+        priority_sample,
+        priority_sum_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = priority_sample(docs, "source", "doc_id", "n_chars", k=5)
+    est = priority_sum_estimate(sample, "source", "n_chars")
+    exact = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("exact_total")
+    )
+    return est.join(exact, "source").select(
+        "source", "est_total_weight", "sample_size", "exact_total"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection: fill each domain best-first
+# ---------------------------------------------------------------------------
+
+_BUDGET_SQL = """
+WITH toks AS (
+  SELECT source, doc_id,
+         LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS n_tokens,
+         n_chars
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS cum_tokens
+  FROM toks
+)
+SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens, cum_tokens
+FROM ranked
+WHERE cum_tokens - n_tokens < 600
+"""
+
+
+@register("token_budget_select", _BUDGET_SQL)
+def token_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source best-first selection until a 600-token budget
+    (operators/sampling.token_budget_select): docs ordered by n_chars
+    (quality proxy) descending; the doc that crosses the budget is
+    admitted, so every source reaches >= budget when it can."""
+    from ccgp_data_wrangling_spark.operators.sampling import (
+        token_budget_select,
+    )
+    from ccgp_data_wrangling_spark.operators.corpus_stats import corpus_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(corpus_tokens("text")).alias("n_tokens"),
+        "n_chars",
+    )
+    return token_budget_select(
+        docs, budget_tokens=600, quality_col="n_chars"
+    )
