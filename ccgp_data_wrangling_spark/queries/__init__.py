@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     "span_dedup_crossdoc",
     "priority_sample_weights",
     "token_budget_select",
+    "zorder_cluster_stats",
     # --- green only in r1: re-verify before the rest ---
     "a1_segment_summary",
     "a2_flag_share",

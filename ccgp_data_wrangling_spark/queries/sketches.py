@@ -307,3 +307,68 @@ def token_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(
         docs, budget_tokens=600, quality_col="n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering: per-bucket rectangles of the (user, value) space
+# ---------------------------------------------------------------------------
+
+def _duck_quant(expr: str, lo: float, hi: float, bits: int) -> str:
+    cells = (1 << bits) - 1
+    return (
+        f"CAST(LEAST(GREATEST(FLOOR((CAST({expr} AS DOUBLE) - {lo!r})"
+        f" * {float(cells)!r} / {float(hi - lo)!r}), 0), {cells}) AS BIGINT)"
+    )
+
+
+def _duck_morton2(x: str, y: str, bits: int) -> str:
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(parts)
+
+
+_Z_SQL = f"""
+WITH q AS (
+  SELECT {_duck_quant("user_id", 0.0, 2000.0, 8)} AS qx,
+         {_duck_quant("value", 0.0, 500.0, 8)} AS qy,
+         user_id, value
+  FROM events
+), z AS (
+  SELECT ({_duck_morton2("qx", "qy", 8)}) >> 10 AS z_bucket,
+         user_id, value
+  FROM q
+)
+SELECT z_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+       ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value
+FROM z GROUP BY z_bucket
+"""
+
+
+@register("zorder_cluster_stats", _Z_SQL)
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-interleave (user_id, value) into 8+8 bits, bucket by the
+    top 6 z-bits, and report each bucket's (user, value) bounding box
+    (operators/zorder.quantize/morton2): tight per-bucket rectangles
+    are exactly what makes min/max row-group pruning work for 2-D box
+    predicates on a z-ordered layout.
+    """
+    from ccgp_data_wrangling_spark.operators.zorder import morton2, quantize
+
+    events = load_table(spark, sf_dir, "events")
+    qx = quantize(F.col("user_id"), 0.0, 2000.0, 8)
+    qy = quantize(F.col("value"), 0.0, 500.0, 8)
+    z = events.select(
+        F.shiftright(morton2(qx, qy, 8), 10).alias("z_bucket"),
+        "user_id",
+        "value",
+    )
+    return z.groupBy("z_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
