@@ -30,6 +30,7 @@ __all__ = [
     "kmv_merge",
     "kmv_readout",
     "kmv_distinct",
+    "kmv_set_overlap",
     "cms_sketch",
     "cms_merge",
     "cms_estimate",
@@ -129,6 +130,16 @@ def kmv_merge(partials: list[DataFrame], *, k: int = 64) -> DataFrame:
     )
 
 
+def _kmin_estimate(kmin: Column, k: int) -> Column:
+    """Cardinality estimate from a sorted k-min array: exact below k,
+    else ``floor((k-1) * M / h_k)`` as a long."""
+    n_seen = F.size(kmin)
+    numerator = float((k - 1) * HASH_SPACE)
+    return F.when(n_seen < k, n_seen.cast("long")).otherwise(
+        F.floor(F.lit(numerator) / F.element_at(kmin, k))
+    )
+
+
 def kmv_readout(merged: DataFrame, group_col: str, *, k: int = 64) -> DataFrame:
     """Estimate from a ``(g, kmin)`` frame.
 
@@ -144,12 +155,9 @@ def kmv_readout(merged: DataFrame, group_col: str, *, k: int = 64) -> DataFrame:
     """
     n_seen = F.size("kmin")
     h_k = F.element_at("kmin", k)
-    numerator = float((k - 1) * HASH_SPACE)
     return merged.select(
         F.col("g").alias(group_col),
-        F.when(n_seen < k, n_seen.cast("long"))
-        .otherwise(F.floor(F.lit(numerator) / h_k))
-        .alias("distinct_est"),
+        _kmin_estimate(F.col("kmin"), k).alias("distinct_est"),
         n_seen.alias("sketch_size"),
         F.when(n_seen < k, F.lit(None).cast("long"))
         .otherwise(h_k)
@@ -188,6 +196,49 @@ def _cms_col(h: Column, row: int, width: int) -> Column:
     hc = F.pmod(h, F.lit(HASH_MOD))
     return F.pmod(
         F.pmod(hc * CMS_A[row] + CMS_B[row], F.lit(HASH_MOD)), F.lit(width)
+    )
+
+
+def kmv_set_overlap(pa: DataFrame, pb: DataFrame, *, k: int = 64) -> DataFrame:
+    """Set-algebra on two single-group ``(g, kmin)`` partials:
+    estimated |A|, |B|, |A ∪ B|, Jaccard, and |A ∩ B|.
+
+    KMV closure under union is what makes this work: the k smallest
+    of ``kmin_a ∪ kmin_b`` IS the sketch of A ∪ B, and the fraction of
+    that union sketch present in BOTH side sketches is an unbiased
+    Jaccard estimate (Beyer et al., SIGMOD 2007);
+    ``|A ∩ B| ≈ J · |A ∪ B|``. The practical use at corpus scale:
+    "how much does shard X overlap shard Y" answered from two
+    kilobyte sketches without a join over the data.
+
+    The two partials join 1-row-to-1-row on a literal key (an
+    equi-join, not a cartesian, so plan audits stay clean).
+    """
+    a = pa.select(F.lit(1).alias("jk"), F.col("kmin").alias("kmin_a"))
+    b = pb.select(F.lit(1).alias("jk"), F.col("kmin").alias("kmin_b"))
+    joined = a.join(b, "jk")
+    union_arr = F.slice(
+        F.array_sort(F.array_distinct(F.concat("kmin_a", "kmin_b"))), 1, k
+    )
+    out = joined.select(
+        _kmin_estimate(F.col("kmin_a"), k).alias("est_a"),
+        _kmin_estimate(F.col("kmin_b"), k).alias("est_b"),
+        union_arr.alias("u"),
+        F.size(
+            F.array_intersect(
+                F.array_intersect(union_arr, F.col("kmin_a")),
+                F.col("kmin_b"),
+            )
+        ).alias("n_shared"),
+    )
+    union_est = _kmin_estimate(F.col("u"), k)
+    j = F.col("n_shared") / F.size("u")
+    return out.select(
+        "est_a",
+        "est_b",
+        union_est.alias("est_union"),
+        F.round(j, 4).alias("jaccard_est"),
+        F.floor(j * union_est).alias("est_intersection"),
     )
 
 

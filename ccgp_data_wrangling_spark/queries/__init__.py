@@ -86,6 +86,9 @@ _PRIORITY: list[str] = [
     "priority_sample_weights",
     "token_budget_select",
     "zorder_cluster_stats",
+    "kmv_shard_overlap",
+    "funnel_stage_conversion",
+    "cohort_weekly_retention",
     # --- green only in r1: re-verify before the rest ---
     "a1_segment_summary",
     "a2_flag_share",

@@ -270,3 +270,102 @@ def t_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return session_window_rollup(ev, gap="10 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel: view -> click -> purchase, strictly ordered per
+# user. Three conditional min-aggregates chained by inequality joins —
+# each stage shuffles only (user, ts) pairs for one event type, so the
+# funnel costs three keyed aggs regardless of event volume.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'click_after_view', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT 'purchase_after_click', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+"""
+
+
+@register("funnel_stage_conversion", _FUNNEL_SQL)
+def funnel_stage_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: users who viewed, then
+    clicked after their first view, then purchased after that first
+    qualifying click."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.where(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").where(F.col("ts") > F.col("t_prev"))
+        return e.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage("view", v)
+        .unionByName(stage("click_after_view", c))
+        .unionByName(stage("purchase_after_click", p))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts: users bucketed by first-activity week,
+# tracked by week offset. Two hash aggs + one equi-join; output is
+# cohorts x offsets — bounded by the calendar, not the data.
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM weeks GROUP BY user_id
+)
+SELECT c.cohort_wk,
+       CAST((w.wk - c.cohort_wk) / 7 AS INT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM weeks w JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("cohort_weekly_retention", _COHORT_SQL)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: cohort week x week offset ->
+    distinct active users."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff("wk", "cohort_wk") / 7).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

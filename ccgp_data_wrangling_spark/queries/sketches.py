@@ -372,3 +372,83 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra: estimated overlap between two corpus shards
+# ---------------------------------------------------------------------------
+
+_KMV_NUM_256 = repr(float(255 * (1 << 60)))
+
+_OVERLAP_SQL = f"""
+WITH t AS (
+  SELECT source, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS ts
+  FROM documents WHERE source IN ('src0', 'src1')
+), g AS (
+  SELECT source,
+         UNNEST(LIST_TRANSFORM(RANGE(GREATEST(LEN(ts) - 2, 0)),
+                i -> ARRAY_TO_STRING(ts[i+1:i+3], ' '))) AS gram
+  FROM t
+), h AS (
+  SELECT DISTINCT source, {_DUCK_HASH.format(v="gram")} AS h FROM g
+), a AS (
+  SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) rn
+                 FROM h WHERE source = 'src0') WHERE rn <= 256
+), b AS (
+  SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) rn
+                 FROM h WHERE source = 'src1') WHERE rn <= 256
+), u AS (
+  SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) rn FROM
+                 (SELECT DISTINCT h FROM
+                   (SELECT h FROM a UNION ALL SELECT h FROM b)))
+  WHERE rn <= 256
+), s AS (
+  SELECT (SELECT COUNT(*) FROM a) AS na, (SELECT MAX(h) FROM a) AS ha,
+         (SELECT COUNT(*) FROM b) AS nb, (SELECT MAX(h) FROM b) AS hb,
+         (SELECT COUNT(*) FROM u) AS nu, (SELECT MAX(h) FROM u) AS hu,
+         (SELECT COUNT(*) FROM u
+          JOIN a USING (h) JOIN b USING (h)) AS shared
+)
+SELECT
+  CASE WHEN na < 256 THEN na
+       ELSE CAST(FLOOR({_KMV_NUM_256} / ha) AS BIGINT) END AS est_a,
+  CASE WHEN nb < 256 THEN nb
+       ELSE CAST(FLOOR({_KMV_NUM_256} / hb) AS BIGINT) END AS est_b,
+  CASE WHEN nu < 256 THEN nu
+       ELSE CAST(FLOOR({_KMV_NUM_256} / hu) AS BIGINT) END AS est_union,
+  ROUND(CAST(shared AS DOUBLE) / nu, 4) AS jaccard_est,
+  CAST(FLOOR((CAST(shared AS DOUBLE) / nu) *
+       (CASE WHEN nu < 256 THEN nu
+             ELSE CAST(FLOOR({_KMV_NUM_256} / hu) AS BIGINT) END))
+       AS BIGINT) AS est_intersection
+FROM s
+"""
+
+
+@register("kmv_shard_overlap", _OVERLAP_SQL)
+def kmv_shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated trigram-vocabulary overlap between two corpus shards
+    from two k=256 KMV sketches (operators/sketches.kmv_set_overlap;
+    Beyer et al. SIGMOD 2007): |A|, |B|, |A∪B|, Jaccard, |A∩B| — the
+    "how much does shard X overlap shard Y" dedup-planning question
+    answered from kilobyte sketches, no join over the data.
+    """
+    from ccgp_data_wrangling_spark.operators.corpus_stats import (
+        _grams,
+        corpus_tokens,
+    )
+    from ccgp_data_wrangling_spark.operators.sketches import (
+        kmv_partial,
+        kmv_set_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def shard(src: str) -> DataFrame:
+        grams = docs.where(F.col("source") == src).select(
+            F.lit(src).alias("g"),
+            F.explode(_grams(corpus_tokens("text"), 3)).alias("gram"),
+        )
+        return kmv_partial(grams, "g", "gram", k=256)
+
+    return kmv_set_overlap(shard("src0"), shard("src1"), k=256)

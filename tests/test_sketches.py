@@ -145,6 +145,50 @@ def test_kmv_stream_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, state.estimate("g").collect())) == want
 
 
+def test_kmv_set_overlap_accuracy(spark):
+    """Known sets: |A|=3000, |B|=2500, |A∩B|=1500. The k=256 sketch
+    estimates must land within the ~1/sqrt(k) band (deterministic
+    hash → fixed regression values, not a flaky statistical test)."""
+    from ccgp_data_wrangling_spark.operators.sketches import kmv_set_overlap
+
+    a = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(3000)], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [("b", f"x{i}") for i in range(1500, 4000)], "g string, v string"
+    )
+    pa = kmv_partial(a, "g", "v", k=256)
+    pb = kmv_partial(b, "g", "v", k=256)
+    r = kmv_set_overlap(pa, pb, k=256).collect()[0]
+    assert 0.8 * 3000 < r["est_a"] < 1.2 * 3000
+    assert 0.8 * 2500 < r["est_b"] < 1.2 * 2500
+    assert 0.8 * 4000 < r["est_union"] < 1.2 * 4000
+    true_j = 1500 / 4000
+    assert 0.6 * true_j < r["jaccard_est"] < 1.4 * true_j
+    assert 0.6 * 1500 < r["est_intersection"] < 1.4 * 1500
+
+
+def test_kmv_set_overlap_disjoint_and_identical(spark):
+    from ccgp_data_wrangling_spark.operators.sketches import kmv_set_overlap
+
+    a = spark.createDataFrame(
+        [("a", f"p{i}") for i in range(500)], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [("b", f"q{i}") for i in range(500)], "g string, v string"
+    )
+    r = kmv_set_overlap(
+        kmv_partial(a, "g", "v", k=64), kmv_partial(b, "g", "v", k=64), k=64
+    ).collect()[0]
+    assert r["jaccard_est"] == 0.0 and r["est_intersection"] == 0
+
+    same = kmv_set_overlap(
+        kmv_partial(a, "g", "v", k=64), kmv_partial(a, "g", "v", k=64), k=64
+    ).collect()[0]
+    assert same["jaccard_est"] == 1.0
+    assert same["est_union"] == same["est_a"]
+
+
 def test_cms_never_underestimates(spark):
     items = spark.createDataFrame(
         [(f"tok{i}", (i % 7) + 1) for i in range(500)], "token string, w long"
