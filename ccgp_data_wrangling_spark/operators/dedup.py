@@ -282,6 +282,97 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard pairs via positional prefix filtering
+    (PPJoin family — Xiao et al., WWW 2008 / Chaudhuri et al., ICDE
+    2006).
+
+    Same result set as :func:`ngram_jaccard_pairs` (with
+    ``max_df=None``), different candidate generator: order every
+    doc's grams by a global total order (document frequency
+    ascending, gram id tie-break — rarest first), index only the
+    first ``|A| - ceil(t * |A|) + 1`` grams per doc. Two sets with
+    Jaccard ≥ t must share at least one PREFIX gram under any
+    consistent order (if they shared none, the overlap is confined to
+    the ≤ ceil(t|A|)-1 / ceil(t|B|)-1 suffixes, too small to reach
+    t), so candidates come only from prefix collisions — the
+    df-ascending order makes those collisions the rarest grams, which
+    is what collapses the d² join fan-out that dominates the plain
+    inverted index. Verification computes the exact overlap with one
+    ``array_intersect`` over the persisted gram arrays per surviving
+    candidate — no second explode, no per-pair groupBy.
+
+    Scale: the df table is gram-keyed (uniform 64-bit hashes); the
+    per-doc prefix cut is a window over the doc's own grams (bounded
+    by tokens-per-doc); the candidate join fans out only on prefix
+    grams, and the verify is Jaccard-exact so the operator never
+    returns an approximation regardless of parameters.
+
+    When to use which: at t = 0.5 the prefix keeps |A|/2 + 1 grams —
+    only a 2× index cut — and this path's extra df-join + per-doc
+    window + array-carrying verify measured ~1.2× SLOWER than the
+    plain inverted index on the near-uniform benchmark corpus
+    (sf0.1: 2.0 s vs 1.7 s steady-state, identical 256 pairs). It
+    wins when the prefix is short (t ≥ 0.8 keeps ~|A|/5) and/or the
+    gram df distribution is zipfian (web text), where the plain
+    index's d² fan-out on common grams explodes; the registered
+    benchmark query therefore stays on :func:`ngram_jaccard_pairs`.
+    """
+    if scope is None:
+        scope = active_scope("ngram_jaccard_pairs_prefix")
+    base = scope.persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(F.col(text_col), n).alias("grams"),
+        )
+    )
+    ex = base.select("id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g"))
+    doc_freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("g"))
+    prefix_len = F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
+    prefix = (
+        ex.join(doc_freq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= prefix_len)
+        .select("id", "g")
+    )
+
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "g")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = base.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = base.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn(
+            "n_shared", F.size(F.array_intersect("grams_a", "grams_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.size("grams_a") + F.size("grams_b") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
