@@ -89,6 +89,9 @@ _PRIORITY: list[str] = [
     "kmv_shard_overlap",
     "funnel_stage_conversion",
     "cohort_weekly_retention",
+    "event_transition_matrix",
+    "mad_outlier_flags",
+    "decayed_user_value",
     # --- green only in r1: re-verify before the rest ---
     "a1_segment_summary",
     "a2_flag_share",

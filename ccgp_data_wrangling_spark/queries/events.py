@@ -369,3 +369,135 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (per-user Markov bigrams): lag window
+# per user, then a bounded (from, to) hash agg — path analytics whose
+# output is |types|^2 regardless of event volume.
+# ---------------------------------------------------------------------------
+
+_TRANSITION_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ordered WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("event_transition_matrix", _TRANSITION_SQL)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD outlier flags: median absolute deviation per event type — the
+# robust QC gate (mean/stddev break under the very outliers being
+# hunted). Two grouped exact percentiles over a bounded group count.
+# ---------------------------------------------------------------------------
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, ANY_VALUE(m.med) AS med,
+         QUANTILE_CONT(ABS(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, ROUND(e.value, 4) AS value,
+       ROUND(m.med, 4) AS med, ROUND(m.mad, 4) AS mad
+FROM events e JOIN mad m USING (event_type)
+WHERE ABS(e.value - m.med) > 3 * m.mad
+"""
+
+
+@register("mad_outlier_flags", _MAD_SQL)
+def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            ),
+        )
+    )
+    return (
+        ev.join(mad, "event_type")
+        .where(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recency-decayed user value: half-life weighting with power-of-two
+# decay — 2^-days is EXACT in doubles, so the score is deterministic
+# cross-engine (exp()/pow() rounding is libm-dependent; 1/(1<<d) is
+# not). One hash agg; the decay is a pure Column expression.
+# ---------------------------------------------------------------------------
+
+_DECAY_SQL = """
+WITH anchor AS (
+  SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events
+)
+SELECT user_id,
+       ROUND(SUM(value / (1 << LEAST(CAST(a.d0 - CAST(ts AS DATE) AS INT), 52))), 4)
+         AS decayed_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events, anchor a
+GROUP BY user_id
+"""
+
+
+@register("decayed_user_value", _DECAY_SQL)
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value with a 1-day half-life: each event contributes
+    ``value / 2^age_days`` (capped at 52 doublings — beyond that the
+    contribution is below double epsilon anyway)."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.max(F.col("ts").cast("date")).alias("d0"))
+    age = F.least(
+        F.datediff(F.col("d0"), F.col("ts").cast("date")), F.lit(52)
+    )
+    return (
+        ev.join(F.broadcast(d0))
+        .withColumn("age", age)
+        # python F.shiftleft only takes a literal shift; the SQL form
+        # shifts by a column
+        .withColumn("decay", F.expr("value / shiftleft(CAST(1 AS BIGINT), age)"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("decay"), 4).alias("decayed_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
