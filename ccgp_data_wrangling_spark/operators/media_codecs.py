@@ -30,6 +30,8 @@ __all__ = [
     "decode_wav",
     "decode_netpbm",
     "resize_netpbm",
+    "decode_gif",
+    "encode_gif",
     "real_decode",
 ]
 
@@ -131,10 +133,207 @@ def resize_netpbm(payload: bytes, width: int, height: int) -> bytes:
     return header + out.tobytes()
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: LSB-first variable-width codes, CLEAR resets
+    the dictionary, widths grow at dictionary size 2^w (cap 12)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    dictionary: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out: list[int] = []
+    prev: bytes | None = None
+    acc = n_bits = 0
+    for byte in data:
+        acc |= byte << n_bits
+        n_bits += 8
+        while n_bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n_bits -= width
+            if code == clear:
+                dictionary = dictionary[: clear + 2]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(dictionary) and code not in (clear, eoi):
+                entry = dictionary[code]
+            elif code == len(dictionary) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            out.extend(entry)
+            if prev is not None and len(dictionary) < 4096:
+                dictionary.append(prev + entry[:1])
+                if len(dictionary) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> dict[str, Any]:
+    """REAL GIF87a/89a decode of the first image frame: header +
+    color tables + sub-block reassembly + LZW (variable-width,
+    CLEAR/EOI, KwKwK, 12-bit cap) + optional deinterlace. Returns the
+    same feature shape as decode_netpbm, plus the frame count.
+    """
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+
+    n_frames = 0
+    first_px = None
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        # image descriptor
+        iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        ipacked = payload[pos + 9]
+        pos += 10
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(
+                payload[pos : pos + 3 * n], np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        n_frames += 1
+        if first_px is None:
+            if table is None:
+                raise ValueError("GIF frame without a color table")
+            idx = np.array(_lzw_decode(b"".join(chunks), min_code), np.int64)
+            if idx.size != iw * ih:
+                raise ValueError(
+                    f"LZW yielded {idx.size} pixels for {iw}x{ih}"
+                )
+            grid = idx.reshape(ih, iw)
+            if ipacked & 0x40:  # deinterlace
+                de = np.empty_like(grid)
+                src = 0
+                for start, step in _INTERLACE_PASSES:
+                    rows = range(start, ih, step)
+                    for r in rows:
+                        de[r] = grid[src]
+                        src += 1
+                grid = de
+            first_px = table[grid]  # (h, w, 3) uint8
+
+    if first_px is None:
+        raise ValueError("GIF contains no image frame")
+    means = first_px.astype(np.float64).mean(axis=(0, 1))
+    return {
+        "kind": "image",
+        "width": int(first_px.shape[1]),
+        "height": int(first_px.shape[0]),
+        "n_channels": 3,
+        "channel_means": [round(float(m), 4) for m in means],
+        "luma_mean": round(
+            float(means @ np.array([0.299, 0.587, 0.114])), 4
+        ),
+        "n_frames": n_frames,
+    }
+
+
+def encode_gif(px: np.ndarray, *, interlace: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a single-frame GIF89a
+    (fixture writer for round-trip tests; ≤256 distinct colors).
+
+    The LZW stream uses the literal-codes-plus-periodic-CLEAR form:
+    emitting only root codes and resetting before the decoder's
+    dictionary would force a width increase keeps the encoder tiny
+    while remaining a fully conformant stream for any decoder.
+    """
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("fixture encoder supports <= 256 colors")
+    table = np.zeros((256, 3), np.uint8)
+    table[: len(colors)] = colors
+    grid = idx.reshape(h, w)
+    if interlace:
+        order = []
+        for start, step in _INTERLACE_PASSES:
+            order.extend(range(start, h, step))
+        grid = grid[order]
+    seq = grid.reshape(-1)
+
+    min_code = 8
+    clear, eoi = 256, 257
+    width_bits = 9
+    codes: list[int] = [clear]
+    budget = (1 << width_bits) - (clear + 2) - 2  # literals before widen
+    since_clear = 0
+    for v in seq:
+        if since_clear >= budget:
+            codes.append(clear)
+            since_clear = 0
+        codes.append(int(v))
+        since_clear += 1
+    codes.append(eoi)
+
+    acc = n_bits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << n_bits
+        n_bits += width_bits
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        out.append(acc & 0xFF)
+
+    buf = bytearray()
+    buf += b"GIF89a"
+    buf += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    buf += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    buf += table.tobytes()
+    buf += b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    buf += bytes([0x40 if interlace else 0x00])
+    buf += bytes([min_code])
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        buf += bytes([len(chunk)]) + chunk
+    buf += b"\x00\x3b"
+    return bytes(buf)
+
+
 _DISPATCH = {
     "audio/wav": decode_wav,
     "image/ppm": decode_netpbm,
     "image/pgm": decode_netpbm,
+    "image/gif": decode_gif,
 }
 
 

@@ -26,12 +26,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ccgp_data_wrangling_spark.operators.merge import ParquetTable
 from ccgp_data_wrangling_spark.operators.sketches import (
+    cms_merge,
+    cms_sketch,
     kmv_merge,
     kmv_partial,
     kmv_readout,
 )
 
-__all__ = ["KMVStreamState", "kmv_stream"]
+__all__ = ["KMVStreamState", "kmv_stream", "CMSStreamState", "cms_stream"]
 
 
 class KMVStreamState:
@@ -62,6 +64,65 @@ class KMVStreamState:
 
     def estimate(self, group_col: str) -> DataFrame:
         return kmv_readout(self.read(), group_col, k=self.k)
+
+
+class CMSStreamState:
+    """Persisted ``(row, col, cell)`` count-min state at ``path``.
+
+    CMS is linear, so the fold is just cell-wise addition — but NOT
+    idempotent under batch replay (unlike KMV's set union), so the
+    exactly-once guarantee leans entirely on foreachBatch's epoch
+    checkpointing; a duplicated fold would double-count. The state
+    stays ≤ depth·width rows forever.
+    """
+
+    def __init__(
+        self, spark: SparkSession, path: str, *, depth: int = 4, width: int = 256
+    ):
+        self.spark = spark
+        self.path = path
+        self.depth = depth
+        self.width = width
+        self._table = ParquetTable(spark, path, key=["row", "col"])
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path)
+
+    def read(self) -> DataFrame:
+        return self._table.read()
+
+    def fold(self, batch: DataFrame, item_col: str, weight_col: str) -> None:
+        part = cms_sketch(
+            batch, item_col, weight_col, depth=self.depth, width=self.width
+        )
+        if not self.exists():
+            self._table.init(part)
+            return
+        self._table._swap_in(cms_merge([self.read(), part]))
+
+
+def cms_stream(
+    stream: DataFrame,
+    state: CMSStreamState,
+    item_col: str,
+    weight_col: str,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain a count-min sketch from a streaming DataFrame."""
+
+    def _sink(batch: DataFrame, _epoch: int) -> None:
+        state.fold(batch, item_col, weight_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def kmv_stream(

@@ -104,3 +104,65 @@ def test_resize_images_netpbm_kernel(spark):
     f = decode_netpbm(bytes(out.payload))
     assert (f["width"], f["height"]) == (4, 2)
     assert out.n_bytes_out == len(bytes(out.payload))
+
+
+def _gif_px(h, w, levels=4, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, levels, (h, w, 3)) * (256 // levels)).astype(
+        np.uint8
+    )
+
+
+def test_gif_roundtrip_plain_and_interlaced():
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    for (h, w), interlace in [((13, 17), False), ((32, 9), True)]:
+        px = _gif_px(h, w)
+        d = decode_gif(encode_gif(px, interlace=interlace))
+        means = px.astype(np.float64).mean(axis=(0, 1))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["channel_means"] == [round(float(m), 4) for m in means]
+        assert d["n_frames"] == 1
+
+
+def test_gif_full_palette_and_lzw_clear_cycles():
+    """A 2560-pixel 256-color image forces multiple CLEAR resets in
+    the encoder and exercises every root code in the decoder."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    px = np.zeros((10, 256, 3), np.uint8)
+    px[:, :, 0] = np.arange(256, dtype=np.uint8)
+    d = decode_gif(encode_gif(px))
+    assert d["channel_means"][0] == round(float(np.arange(256).mean()), 4)
+    assert d["channel_means"][1] == 0.0
+
+
+def test_gif_rejects_garbage():
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import decode_gif
+
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + bytes(20))
+
+
+def test_gif_through_real_decode_dispatch():
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        encode_gif,
+        real_decode,
+    )
+
+    d = real_decode(encode_gif(_gif_px(6, 6)), "image/gif")
+    assert d["kind"] == "image" and d["n_channels"] == 3

@@ -189,6 +189,37 @@ def test_kmv_set_overlap_disjoint_and_identical(spark):
     assert same["est_union"] == same["est_a"]
 
 
+def test_cms_stream_matches_batch(spark, tmp_path):
+    """Micro-batched cell-sum folds must equal the one-shot sketch."""
+    from ccgp_data_wrangling_spark.streaming.sketch_stream import (
+        CMSStreamState,
+        cms_stream,
+    )
+
+    src = tmp_path / "src"
+    rows = [(f"tok{i % 40}", (i % 5) + 1) for i in range(900)]
+    for j in range(3):
+        spark.createDataFrame(
+            rows[j * 300 : (j + 1) * 300], "token string, w long"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("token string, w long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = CMSStreamState(spark, str(tmp_path / "state"))
+    q = cms_stream(
+        stream, state, "token", "w", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    whole = spark.createDataFrame(rows, "token string, w long")
+    want = sorted(map(tuple, cms_sketch(whole, "token", "w").collect()))
+    got = sorted(map(tuple, state.read().collect()))
+    assert got == want
+
+
 def test_cms_never_underestimates(spark):
     items = spark.createDataFrame(
         [(f"tok{i}", (i % 7) + 1) for i in range(500)], "token string, w long"
