@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "event_transition_matrix",
     "mad_outlier_flags",
     "decayed_user_value",
+    "cube_event_value",
     # --- green only in r1: re-verify before the rest ---
     "a1_segment_summary",
     "a2_flag_share",

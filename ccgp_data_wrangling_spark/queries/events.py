@@ -501,3 +501,49 @@ def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all grouping combinations of (event_type, day) in ONE pass —
+# Spark expands the grouping sets map-side, so the cube costs one
+# shuffle regardless of how many subtotal grains it emits.
+# ---------------------------------------------------------------------------
+
+_CUBE_SQL = """
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+            ELSE event_type END AS event_type,
+       CASE WHEN GROUPING(d) = 1 THEN 'ALL'
+            ELSE CAST(d AS VARCHAR) END AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 3) AS total_value
+FROM (SELECT event_type, CAST(ts AS DATE) AS d, value FROM events)
+GROUP BY CUBE (event_type, d)
+"""
+
+
+@register("cube_event_value", _CUBE_SQL)
+def cube_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d"), "value"
+    )
+    # grouping() is only legal inside the agg, so surface the flags
+    # there and translate them in a post-projection
+    return (
+        ev.cube("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+            F.grouping("event_type").alias("_g1"),
+            F.grouping("d").alias("_g2"),
+        )
+        .select(
+            F.when(F.col("_g1") == 1, F.lit("ALL"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.col("_g2") == 1, F.lit("ALL"))
+            .otherwise(F.col("d").cast("string"))
+            .alias("day"),
+            "n",
+            "total_value",
+        )
+    )
