@@ -93,6 +93,8 @@ _PRIORITY: list[str] = [
     "mad_outlier_flags",
     "decayed_user_value",
     "cube_event_value",
+    "moving_avg_user_value",
+    "q6_forecast_revenue",
     # --- green only in r1: re-verify before the rest ---
     "a1_segment_summary",
     "a2_flag_share",

@@ -547,3 +547,34 @@ def cube_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding moving average per user (7-row trailing frame): ROWS frames
+# are the streaming-friendly window shape — state per user is the
+# frame, not the history.
+# ---------------------------------------------------------------------------
+
+_MOVAVG_SQL = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 4) AS value_ma7
+FROM events
+"""
+
+
+@register("moving_avg_user_value", _MOVAVG_SQL)
+def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("value_ma7"),
+    )

@@ -901,3 +901,41 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.95)).alias("p95_price"),
         F.percentile("l_quantity", F.lit(0.5)).alias("p50_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6: the canonical pushdown probe — every predicate must reach
+# the parquet scan (PushedFilters), the agg is a single map-side
+# partial. Reference parity: the reference's pandas boolean-mask
+# filters (utils/ summary helpers) are this, minus the pushdown.
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 3) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.08
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 3
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
