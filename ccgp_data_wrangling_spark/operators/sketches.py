@@ -211,12 +211,14 @@ def kmv_set_overlap(pa: DataFrame, pb: DataFrame, *, k: int = 64) -> DataFrame:
     "how much does shard X overlap shard Y" answered from two
     kilobyte sketches without a join over the data.
 
-    The two partials join 1-row-to-1-row on a literal key (an
-    equi-join, not a cartesian, so plan audits stay clean).
+    ``pa`` rides along as a lazy scalar subquery (DataFrame.scalar,
+    Spark 4) rather than a 1×1 join — no join node in the plan at
+    all.
     """
-    a = pa.select(F.lit(1).alias("jk"), F.col("kmin").alias("kmin_a"))
-    b = pb.select(F.lit(1).alias("jk"), F.col("kmin").alias("kmin_b"))
-    joined = a.join(b, "jk")
+    joined = pb.select(
+        pa.select(F.col("kmin")).scalar().alias("kmin_a"),
+        F.col("kmin").alias("kmin_b"),
+    )
     union_arr = F.slice(
         F.array_sort(F.array_distinct(F.concat("kmin_a", "kmin_b"))), 1, k
     )

@@ -485,13 +485,12 @@ def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``value / 2^age_days`` (capped at 52 doublings — beyond that the
     contribution is below double epsilon anyway)."""
     ev = load_table(spark, sf_dir, "events")
-    d0 = ev.agg(F.max(F.col("ts").cast("date")).alias("d0"))
-    age = F.least(
-        F.datediff(F.col("d0"), F.col("ts").cast("date")), F.lit(52)
-    )
+    # the corpus anchor date rides along as a lazy scalar subquery —
+    # no 1-row cross join in the plan
+    d0 = ev.agg(F.max(F.col("ts").cast("date"))).scalar()
+    age = F.least(F.datediff(d0, F.col("ts").cast("date")), F.lit(52))
     return (
-        ev.join(F.broadcast(d0))
-        .withColumn("age", age)
+        ev.withColumn("age", age)
         # python F.shiftleft only takes a literal shift; the SQL form
         # shifts by a column
         .withColumn("decay", F.expr("value / shiftleft(CAST(1 AS BIGINT), age)"))
