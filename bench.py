@@ -61,6 +61,9 @@ HEADLINE = [
     "session_dedup_window",
     "kmv_distinct_users",
     "span_dedup_crossdoc",
+    "zorder_cluster_stats",
+    "funnel_stage_conversion",
+    "decayed_user_value",
 ]
 
 

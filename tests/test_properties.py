@@ -171,3 +171,60 @@ def test_ann_natural_corpus_recall(spark):
     print(f"natural-corpus recall: lsh={lsh_recall} ivf={ivf_recall}")
     assert lsh_recall >= 0.5
     assert ivf_recall >= 0.5
+
+
+# ---------------------------------------------------------------------------
+# Sketch merge laws over arbitrary inputs
+# ---------------------------------------------------------------------------
+
+_vals = st.lists(
+    st.integers(min_value=0, max_value=500), min_size=1, max_size=120
+)
+
+
+@given(_vals, _vals)
+@SETTINGS
+def test_kmv_merge_law_property(spark, xs, ys):
+    """merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B) for arbitrary
+    multisets, including heavy overlap and duplicates."""
+    from ccgp_data_wrangling_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_merge,
+        kmv_partial,
+        kmv_readout,
+    )
+
+    a = spark.createDataFrame([("g", v) for v in xs], "g string, v int")
+    b = spark.createDataFrame([("g", v) for v in ys], "g string, v int")
+    whole = spark.createDataFrame(
+        [("g", v) for v in xs + ys], "g string, v int"
+    )
+    merged = kmv_merge(
+        [kmv_partial(a, "g", "v", k=16), kmv_partial(b, "g", "v", k=16)],
+        k=16,
+    )
+    got = kmv_readout(merged, "g", k=16).collect()[0].asDict()
+    want = kmv_distinct(whole, "g", "v", k=16).collect()[0].asDict()
+    assert got == want
+    # below k the sketch must be EXACT
+    true_distinct = len(set(xs + ys))
+    if true_distinct < 16:
+        assert got["distinct_est"] == true_distinct
+
+
+@given(_vals)
+@SETTINGS
+def test_priority_sample_invariance_property(spark, xs):
+    """The sample is a pure function of the data — identical under
+    any partitioning and any input row order."""
+    from ccgp_data_wrangling_spark.operators.sampling import priority_sample
+
+    rows = [("g", i, v + 1) for i, v in enumerate(xs)]
+    df1 = spark.createDataFrame(rows, "src string, id long, w long").repartition(1)
+    df2 = spark.createDataFrame(
+        list(reversed(rows)), "src string, id long, w long"
+    ).repartition(7)
+    s1 = sorted(map(tuple, priority_sample(df1, "src", "id", "w", k=5).collect()))
+    s2 = sorted(map(tuple, priority_sample(df2, "src", "id", "w", k=5).collect()))
+    assert s1 == s2
+    assert len(s1) == min(5, len(rows))
