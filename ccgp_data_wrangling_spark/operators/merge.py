@@ -119,6 +119,13 @@ class ParquetTable:
         must be unique per key (enforced below — Mongo applies UpdateOne
         per document; set-oriented MERGE requires unique match, else the
         full-outer join fans out target rows and breaks idempotency).
+
+        Schema evolution: a ``set_col`` the target has never seen is
+        ADDED to the table (existing rows get NULL) — the parquet
+        rendering of Mongo's schemaless ``$set`` with a new field
+        (reference utils/db.py update paths add fields freely).
+        ``insert_only`` evolves the same way via its
+        ``unionByName(allowMissingColumns=True)``.
         """
         set_cols = set_cols or [c for c in source.columns if c not in self.keys]
         src = source.select(*self.keys, *set_cols)
@@ -144,6 +151,14 @@ class ParquetTable:
                 )
             else:
                 out_cols.append(F.col(f"t.{c}").alias(c))
+        for c in set_cols:
+            if c not in tgt.columns:
+                # new column: source rows (updates AND inserts are both
+                # "matched" = source-present) carry the value, rows the
+                # source never mentioned get NULL
+                out_cols.append(
+                    F.when(matched, F.col(f"s.{c}")).alias(c)
+                )
         self._swap_in(joined.select(*out_cols))
 
     # -- M2: $setOnInsert -------------------------------------------------

@@ -140,3 +140,29 @@ def test_array_union_set_struct_elements(spark, tmp_path):
         for r in tbl.read().collect()
     }
     assert rows2 == rows
+
+
+def test_upsert_schema_evolution_adds_new_column(spark, tmp_path):
+    """A set_col the target has never seen is ADDED (Mongo's
+    schemaless $set with a new field): updated and inserted rows carry
+    it, untouched rows get NULL."""
+    from ccgp_data_wrangling_spark.operators.merge import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"), key="k")
+    t.init(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.upsert(
+        spark.createDataFrame(
+            [(2, "B", "tag2"), (3, "C", "tag3")],
+            "k long, v string, tag string",
+        )
+    )
+    got = {r["k"]: (r["v"], r["tag"]) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("B", "tag2"), 3: ("C", "tag3")}
+    # idempotent replay with the evolved schema
+    t.upsert(
+        spark.createDataFrame(
+            [(2, "B", "tag2"), (3, "C", "tag3")],
+            "k long, v string, tag string",
+        )
+    )
+    assert {r["k"]: (r["v"], r["tag"]) for r in t.read().collect()} == got
