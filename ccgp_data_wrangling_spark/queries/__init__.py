@@ -95,6 +95,7 @@ _PRIORITY: list[str] = [
     "cube_event_value",
     "moving_avg_user_value",
     "q6_forecast_revenue",
+    "leakage_safe_splits",
     # --- green only in r1: re-verify before the rest ---
     "a1_segment_summary",
     "a2_flag_share",

@@ -452,3 +452,62 @@ def kmv_shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         return kmv_partial(grams, "g", "gram", k=256)
 
     return kmv_set_overlap(shard("src0"), shard("src1"), k=256)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splits: near-dup clusters never straddle train/val/test
+# ---------------------------------------------------------------------------
+
+_SPLIT_BASE = 90_000
+
+_SPLIT_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_SPLIT_BASE}, text FROM documents WHERE doc_id < 50
+), canon AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS cluster_id
+  FROM corpus
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN u < 0.1 THEN 'test'
+            WHEN u < 0.2 THEN 'val'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, cluster_id,
+         CAST({_DUCK_HASH.format(v="'split-v1:' || CAST(cluster_id AS VARCHAR)")}
+              AS DOUBLE) / 1152921504606846976.0 AS u
+  FROM canon
+)
+"""
+
+
+@register("leakage_safe_splits", _SPLIT_SQL)
+def leakage_safe_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test assignment
+    (operators/splits.leakage_safe_splits): planted exact-duplicate
+    copies must land in their original's split. The Spark side runs
+    the REAL star-contraction connected components over the duplicate
+    pairs; the oracle exploits that components of an equality relation
+    are just the per-text minimum id — a closed-form cross-check of
+    the iterative algorithm.
+    """
+    from ccgp_data_wrangling_spark.operators.splits import (
+        leakage_safe_splits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + _SPLIT_BASE).alias("doc_id"), "text"
+        )
+    )
+    pairs = (
+        corpus.alias("a")
+        .join(corpus.alias("b"), F.col("a.text") == F.col("b.text"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    return leakage_safe_splits(corpus, pairs, "doc_id")
