@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     "moving_avg_user_value",
     "q6_forecast_revenue",
     "leakage_safe_splits",
+    "bm25_topk_retrieval",
     # --- green only in r1: re-verify before the rest ---
     "a1_segment_summary",
     "a2_flag_share",

@@ -511,3 +511,56 @@ def leakage_safe_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return leakage_safe_splits(corpus, pairs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: top-10 documents for a literal term query
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "hash", "filter")
+
+_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS t
+  FROM documents
+), tf AS (
+  SELECT id, t, COUNT(*) AS tf FROM toks GROUP BY id, t
+), dl AS (
+  SELECT id, COUNT(*) AS dl FROM toks GROUP BY id
+), consts AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         (SELECT AVG(dl) FROM dl) AS avgdl
+), qtf AS (
+  SELECT * FROM tf WHERE t IN {_BM25_TERMS!r}
+), idf AS (
+  SELECT t, ROUND(LN((c.n - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
+  FROM (SELECT t, COUNT(*) AS df FROM qtf GROUP BY t), consts c
+), contrib AS (
+  SELECT q.id, q.t,
+         i.idf * q.tf / (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl))
+           AS contrib
+  FROM qtf q JOIN idf i USING (t) JOIN dl d USING (id), consts c
+), scored AS (
+  SELECT id AS doc_id,
+         ROUND(LIST_REDUCE(
+           LIST_PREPEND(0.0, LIST(contrib ORDER BY t)),
+           (acc, x) -> acc + x), 4) AS bm25
+  FROM contrib GROUP BY id
+)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
+@register("bm25_topk_retrieval", _BM25_SQL)
+def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the literal query ('join','hash',
+    'filter') — operators/bm25.bm25_topk. idf rounded to 6 dp before
+    use (libm-proof), per-doc contributions folded in term order
+    (float addition isn't associative), score rounded to 4 dp with
+    id tie-breaks: bit-identical across engines.
+    """
+    from ccgp_data_wrangling_spark.operators.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, list(_BM25_TERMS), k=10)

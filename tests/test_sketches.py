@@ -313,3 +313,37 @@ def test_span_dedup_df_cap_drops_boilerplate(spark):
     )
     capped = span_duplication_stats(docs, window=8, max_window_df=10)
     assert capped.agg(F.sum("n_dup_windows")).collect()[0][0] == 0
+
+
+def test_bm25_ranking_sanity(spark):
+    """A document stuffed with the query terms outranks everything;
+    documents without any query term never appear."""
+    from ccgp_data_wrangling_spark.operators.bm25 import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta alpha"),
+            (2, "alpha gamma delta epsilon zeta eta theta iota"),
+            (3, "gamma delta epsilon zeta eta theta iota kappa"),
+            (4, "beta beta beta unrelated words here padding tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(docs, ["alpha", "beta"], k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids[0] == 1  # both terms, high tf, short doc
+    assert 3 not in ids  # no query terms
+    assert all(got[i]["bm25"] >= got[i + 1]["bm25"] for i in range(len(got) - 1))
+
+
+def test_bm25_rare_term_weighs_more(spark):
+    """idf: matching the rare term beats matching the common one at
+    equal tf and length."""
+    from ccgp_data_wrangling_spark.operators.bm25 import bm25_topk
+
+    rows = [(i, "common filler text " + ("pad " * 5).strip()) for i in range(20)]
+    rows += [(100, "rareword filler text pad pad pad pad pad")]
+    rows += [(101, "common filler text pad pad pad pad pad")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, ["rareword", "common"], k=30).collect()}
+    assert got[100] > got[101]
