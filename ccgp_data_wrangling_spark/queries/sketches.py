@@ -1,9 +1,11 @@
-"""Sketch-family queries: mergeable approximate aggregates with exact
-deterministic oracles.
+"""Deterministic-approximation queries: sketches (KMV / CMS /
+histogram / set algebra), weighted sampling, z-order layout stats,
+span-level dedup, leakage-safe splits, and BM25 retrieval.
 
-Every estimator here is seeded-hash deterministic, so the DuckDB
-oracle replays the identical arithmetic and the value hashes match
-bit-for-bit — the approximation error is *modeled*, not fuzzed.
+Every estimator here is seeded-hash deterministic — no ``rand()``, no
+bare libm transcendentals — so the DuckDB oracle replays the
+identical arithmetic and the value hashes match bit-for-bit: the
+approximation error is *modeled*, not fuzzed.
 """
 
 from __future__ import annotations

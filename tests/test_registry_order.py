@@ -37,12 +37,23 @@ DRIVER_GREEN = {
 }
 
 
-def test_never_green_queries_fit_in_driver_window():
+def test_never_green_queries_fill_driver_window():
+    """All never-green queries fit in the 50-slot window — or, when
+    there are more than 50 of them (round 3 added 31 new queries on
+    top of the 20 never-verified carryovers), the window must be
+    filled ENTIRELY with never-green queries: a slot spent re-checking
+    an already-green query while a never-green one waits outside would
+    waste the driver's budget."""
     names = list(all_queries())
-    window = set(names[:50])
+    window = names[:50]
     never_green = [n for n in names if n not in DRIVER_GREEN]
-    outside = [n for n in never_green if n not in window]
-    assert not outside, f"never-driver-green queries outside first 50: {outside}"
+    outside = [n for n in never_green if n not in set(window)]
+    if outside:
+        wasted = [n for n in window if n in DRIVER_GREEN]
+        assert not wasted, (
+            f"green queries {wasted} occupy window slots while "
+            f"never-green {outside} wait outside"
+        )
 
 
 def test_priority_names_all_registered():
