@@ -97,6 +97,16 @@ _PRIORITY: list[str] = [
     "q6_forecast_revenue",
     "leakage_safe_splits",
     "bm25_topk_retrieval",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
     # --- green only in r1: re-verify before the rest ---
     "a1_segment_summary",
     "a2_flag_share",
@@ -149,6 +159,7 @@ def _load_all() -> None:
         pipeline_ops,
         relational,
         sketches,
+        tpch_extra,
         web_curation,
     )
 
