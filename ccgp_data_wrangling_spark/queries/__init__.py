@@ -107,6 +107,7 @@ _PRIORITY: list[str] = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    "bloom_prefilter_revenue",
     # --- green only in r1: re-verify before the rest ---
     "a1_segment_summary",
     "a2_flag_share",

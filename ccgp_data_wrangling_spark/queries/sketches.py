@@ -566,3 +566,57 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bm25_topk(docs, list(_BM25_TERMS), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered join reduction: revenue of lineitems belonging to
+# urgent Q1-1996 orders. The Spark plan probes lineitem through a
+# 16 KiB Bloom digest of the qualifying orderkeys BEFORE the shuffle
+# join — the oracle runs the plain join, proving the prefilter never
+# drops a matching row (no false negatives by construction).
+# ---------------------------------------------------------------------------
+
+_BLOOM_SQL = """
+SELECT CAST(DATE_TRUNC('month', o.o_orderdate) AS TIMESTAMP) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@register("bloom_prefilter_revenue", _BLOOM_SQL)
+def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/bloomjoin.bloom_prefilter_join over orders⋈lineitem.
+
+    The build side (urgent orders in one quarter) is ~5% of orders, so
+    the Bloom predicate drops ~95% of lineitem rows at the scan stage
+    and the shuffle carries only candidate rows. Result is identical
+    to the plain join — the digest has no false negatives, and any
+    false positive fails the real equi-join afterwards.
+    """
+    from ccgp_data_wrangling_spark.operators.bloomjoin import bloom_prefilter_join
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+            & (F.col("o_orderdate") < "1996-04-01 00:00:00")
+        )
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    joined = bloom_prefilter_join(li, orders, "l_orderkey", "o_orderkey")
+    return joined.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
