@@ -1,0 +1,105 @@
+"""SemDeDup: semantic (embedding-space) deduplication, cluster-then-prune.
+
+SemDeDup (Abbas et al., 2023, arXiv:2303.09540) removes *semantic*
+duplicates — documents whose embeddings are nearly identical even when
+their text is not — by (1) clustering the embedding space and (2)
+pruning, within each cluster only, every pair above a cosine
+threshold, keeping one representative per duplicate group.
+
+Why cluster first: the all-pairs cosine matrix is O(n²); restricting
+pairs to same-cluster members caps the quadratic blow-up at
+O(Σ|cluster|²), and the cluster count is a free parallelism knob —
+each cluster's pair search is independent. This is the same
+candidate-restriction discipline as the LSH families in
+operators/dedup.py, with centroids instead of hash bands.
+
+Determinism / oracle-ability: centroids are seed rows (lowest ids),
+assignment is argmax cosine with smallest-id tie-break, the in-cluster
+pair predicate uses cosine rounded to 6 dp, and the keep policy is
+"smallest id in the duplicate pair graph survives" — evaluated as
+"drop any row that duplicates a SMALLER-id row", which needs no
+iterative connected components: within a cluster, every dropped row
+names a smaller keeper, and chains terminate at the cluster's minimum
+id. The whole operator is plain DataFrame algebra (no UDFs).
+
+Scale notes: the centroid set is a bounded collect (default 8 rows —
+the same bound class as knn.py's IVF seed sample; at 100 TB you'd
+raise it to √n and persist it as a table instead). The self-join
+shuffles on cluster id; a ``max_cluster`` guard caps degenerate
+clusters the same way dedup.py caps hot LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ccgp_data_wrangling_spark.operators.knn import cosine_sim
+
+__all__ = ["assign_seed_clusters", "semantic_dedup"]
+
+
+def assign_seed_clusters(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_clusters: int = 8,
+) -> DataFrame:
+    """(id, cluster, v): nearest seed centroid by cosine.
+
+    Centroids = the ``num_clusters`` lowest-id rows — deterministic on
+    any layout. Assignment is a broadcast-literal argmax: no join, no
+    shuffle; ties go to the smallest cluster id via array_position.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    cents = (
+        emb.select(F.col(id_col), v.alias("cv"))
+        .orderBy(id_col)
+        .limit(num_clusters)
+        .collect()
+    )
+    sims = F.array(
+        *[F.round(cosine_sim(v, F.lit(r.cv).cast("array<double>")), 6) for r in cents]
+    )
+    cluster = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    return emb.select(
+        F.col(id_col).alias("id"), cluster.alias("cluster"), v.alias("v")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_clusters: int = 8,
+    threshold: float = 0.999,
+) -> DataFrame:
+    """(id, cluster, keep): SemDeDup keep/drop decisions.
+
+    A row is dropped iff some same-cluster row with a smaller id has
+    cosine ≥ threshold with it. The pair join is ordered (small id ⨝
+    large id) so each unordered pair is evaluated once, and the
+    shuffle key is the cluster id.
+    """
+    assigned = assign_seed_clusters(
+        emb, id_col=id_col, vec_col=vec_col, num_clusters=num_clusters
+    )
+    left = assigned.select(
+        F.col("cluster"), F.col("id").alias("a"), F.col("v").alias("va")
+    )
+    right = assigned.select(
+        F.col("cluster"), F.col("id").alias("b"), F.col("v").alias("vb")
+    )
+    dropped = (
+        left.join(right, "cluster")
+        .where(F.col("a") < F.col("b"))
+        .where(F.round(cosine_sim(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("b").alias("id"))
+        .distinct()
+    )
+    return assigned.join(dropped.withColumn("dup", F.lit(True)), "id", "left").select(
+        "id",
+        "cluster",
+        F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
+    )

@@ -108,6 +108,9 @@ _PRIORITY: list[str] = [
     "q19_disjunctive_revenue",
     "q22_idle_customers",
     "bloom_prefilter_revenue",
+    "dsir_target_select",
+    "semantic_dedup_planted",
+    "psi_value_drift",
     # --- green only in r1: re-verify before the rest ---
     "a1_segment_summary",
     "a2_flag_share",

@@ -577,3 +577,72 @@ def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.avg("value").over(w), 4).alias("value_ma7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PSI value-drift monitor (operators/drift.psi_drift): per event type,
+# how far the value distribution moved between the first and second
+# half of January. Decile bounds come from the reference half only
+# (exact percentiles, rounded 6 dp); both halves are binned in ONE
+# conditional aggregate. PSI terms use 6-dp-rounded LN (libm-proof).
+# Bins observed in neither period contribute nothing on either engine
+# (the sum runs over observed (group, bin) rows — documented in the
+# operator).
+# ---------------------------------------------------------------------------
+
+_PSI_SQL = """
+WITH bounds AS (
+  SELECT event_type AS g,
+         LIST_TRANSFORM(QUANTILE_CONT(value,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           b -> ROUND(b, 6)) AS bounds
+  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+  GROUP BY 1
+),
+binned AS (
+  SELECT e.event_type AS g,
+         e.ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref,
+         LEN(LIST_FILTER(b.bounds, x -> x <= e.value)) AS bin
+  FROM events e JOIN bounds b ON b.g = e.event_type
+),
+counts AS (
+  SELECT g, bin,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+         SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c_cmp
+  FROM binned GROUP BY 1, 2
+),
+totals AS (
+  SELECT g, SUM(c_ref) AS n_ref, SUM(c_cmp) AS n_cmp FROM counts GROUP BY 1
+),
+psi AS (
+  SELECT c.g, ANY_VALUE(t.n_ref) AS n_ref, ANY_VALUE(t.n_cmp) AS n_cmp,
+         ROUND(SUM(
+           ((c.c_cmp + 0.5) / (t.n_cmp + 5.0)
+            - (c.c_ref + 0.5) / (t.n_ref + 5.0))
+           * ROUND(LN(((c.c_cmp + 0.5) / (t.n_cmp + 5.0))
+                      / ((c.c_ref + 0.5) / (t.n_ref + 5.0))), 6)), 4) AS psi
+  FROM counts c JOIN totals t USING (g) GROUP BY c.g
+)
+SELECT g AS event_type,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cmp AS BIGINT) AS n_cmp,
+       psi,
+       CASE WHEN psi < 0.1 THEN 'stable'
+            WHEN psi < 0.25 THEN 'drifting'
+            ELSE 'action' END AS drift_band
+FROM psi
+"""
+
+
+@register("psi_value_drift", _PSI_SQL)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.operators.drift import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return psi_drift(
+        ev,
+        group_col="event_type",
+        value_col="value",
+        ts_col="ts",
+        split_ts="2024-01-16 00:00:00",
+    )

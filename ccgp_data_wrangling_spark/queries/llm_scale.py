@@ -529,3 +529,73 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "id", "frame_idx", F.round("frame_ts_sec", 2).alias("frame_ts_sec")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup.
+# Planted near-copies (vec_id 10..19 nudged by +0.001 on coordinate 0,
+# cos ≈ 1 vs the 0.51 natural ceiling) must be dropped; everything
+# else survives. Assignment/pair cosines are rounded to 6 dp on both
+# engines, so the clustering and the keep set are bit-deterministic.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_SQL = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT 3000000 + vec_id, [v[1] + 0.001] || v[2:64]
+  FROM base WHERE vec_id BETWEEN 10 AND 19
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY vec_id LIMIT 8
+),
+sims AS (
+  SELECT c.vec_id, ct.cid,
+         ROUND(LIST_COSINE_SIMILARITY(c.v, ct.cv), 6) AS sim
+  FROM corpus c CROSS JOIN cent ct
+),
+best AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cid ASC) AS rk
+  FROM sims
+),
+assigned AS (
+  SELECT c.vec_id, b.cid AS cluster, c.v
+  FROM corpus c JOIN best b ON b.vec_id = c.vec_id AND b.rk = 1
+),
+dropped AS (
+  SELECT DISTINCT hi.vec_id
+  FROM assigned lo JOIN assigned hi
+    ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
+   AND ROUND(LIST_COSINE_SIMILARITY(lo.v, hi.v), 6) >= 0.99
+)
+SELECT a.vec_id AS id, CAST(a.cluster AS INT) AS cluster,
+       d.vec_id IS NULL AS keep
+FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
+@register("semantic_dedup_planted", _SEMDEDUP_SQL)
+def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/semdedup.semantic_dedup on embeddings ∪ planted
+    near-copies. Cluster-restricted pair search caps the quadratic
+    cost at Σ|cluster|²; the keep policy needs no iterative
+    components (every dropped row names a smaller-id keeper)."""
+    from ccgp_data_wrangling_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    v = F.col("embedding")
+    planted = emb.where(F.col("vec_id").between(10, 19)).select(
+        (F.col("vec_id") + 3_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(v, 1) + 0.001), F.slice(v, 2, 63)
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    return semantic_dedup(corpus, num_clusters=8, threshold=0.99)

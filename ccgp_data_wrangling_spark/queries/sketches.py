@@ -620,3 +620,72 @@ def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al., NeurIPS 2023): select the 50
+# raw documents whose hashed uni+bigram distribution best matches the
+# src18 target slice, via Gumbel-top-k over the log-likelihood-ratio
+# scores. Buckets and Gumbel noise are md5-deterministic; every LN rounded to 6 dp
+# before use.
+# ---------------------------------------------------------------------------
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source, UNNEST(t) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS gram
+  FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t), 1))) AS u(i)
+),
+bucketed AS (
+  SELECT doc_id, source,
+         {_DUCK_HASH.format(v="gram")} % 256 AS bucket
+  FROM feats
+),
+doc_m AS (
+  SELECT doc_id, bucket, COUNT(*) AS m FROM bucketed GROUP BY 1, 2
+),
+raw_c AS (SELECT bucket, COUNT(*) AS cr FROM bucketed GROUP BY 1),
+tgt_c AS (SELECT bucket, COUNT(*) AS ct FROM bucketed
+          WHERE source = 'src18' GROUP BY 1),
+tot AS (
+  SELECT (SELECT SUM(cr) FROM raw_c) AS t_raw,
+         (SELECT COALESCE(SUM(ct), 0) FROM tgt_c) AS t_tgt
+),
+dim AS (
+  SELECT COALESCE(r.bucket, g.bucket) AS bucket,
+         ROUND(LN((COALESCE(g.ct, 0) + 0.5) / (t.t_tgt + 128.0)), 6)
+       - ROUND(LN((COALESCE(r.cr, 0) + 0.5) / (t.t_raw + 128.0)), 6) AS lr
+  FROM raw_c r FULL OUTER JOIN tgt_c g USING (bucket), tot t
+),
+llr AS (
+  SELECT d.doc_id, ROUND(SUM(d.m * dim.lr), 4) AS llr
+  FROM doc_m d JOIN dim USING (bucket) GROUP BY 1
+),
+scored AS (
+  SELECT doc_id, llr,
+         ROUND(llr + ROUND(-LN(-LN(
+           ({_DUCK_HASH.format(v="'dsir-v1:' || CAST(doc_id AS VARCHAR)")})
+             / 1152921504606846976.0)), 6), 4) AS score
+  FROM llr
+)
+SELECT doc_id, llr, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 50
+"""
+
+
+@register("dsir_target_select", _DSIR_SQL)
+def dsir_target_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dsir.dsir_select: raw = all documents, target = the
+    src18 slice. Fixed 256-bucket feature space → both distribution
+    estimates are ≤256-row broadcast dims no matter the corpus size;
+    selection is a TakeOrderedAndProject top-50.
+    """
+    from ccgp_data_wrangling_spark.operators.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return dsir_select(docs, docs.where(F.col("source") == "src18"), k=50)

@@ -1,0 +1,76 @@
+"""SemDeDup cluster-then-prune semantics on a controlled corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ccgp_data_wrangling_spark.operators.semdedup import (
+    assign_seed_clusters,
+    semantic_dedup,
+)
+
+
+def _axes_corpus(spark):
+    """Two tight groups near orthogonal axes + exact/near copies.
+
+    ids 0-1: the seeds (axis-x-ish, axis-y-ish) → the 2 centroids.
+    ids 2-4: near-axis-x vectors, id 3 = copy of id 2.
+    ids 5-7: near-axis-y vectors, id 7 = near-copy of id 5.
+    """
+    rows = [
+        (0, [1.0, 0.05, 0.0]),
+        (1, [0.05, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.01]),
+        (3, [0.9, 0.1, 0.01]),        # exact duplicate of 2
+        (4, [0.95, 0.02, 0.2]),       # same cluster, not a dup
+        (5, [0.1, 0.9, 0.02]),
+        (6, [0.02, 0.95, 0.15]),      # same cluster, not a dup
+        (7, [0.1001, 0.9001, 0.02]),  # near-copy of 5
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_duplicates_dropped_originals_kept(spark):
+    out = {
+        r.id: (r.cluster, r.keep)
+        for r in semantic_dedup(
+            _axes_corpus(spark), num_clusters=2, threshold=0.999
+        ).collect()
+    }
+    assert len(out) == 8
+    assert out[3][1] is False          # exact copy of 2 dropped
+    assert out[7][1] is False          # near-copy of 5 dropped
+    kept = [i for i, (_, k) in out.items() if k]
+    assert sorted(kept) == [0, 1, 2, 4, 5, 6]
+
+
+def test_cluster_assignment_follows_axes(spark):
+    assigned = {
+        r.id: r.cluster for r in assign_seed_clusters(
+            _axes_corpus(spark), num_clusters=2
+        ).collect()
+    }
+    # centroid 0 = axis-x seed, centroid 1 = axis-y seed
+    assert {assigned[i] for i in (0, 2, 3, 4)} == {0}
+    assert {assigned[i] for i in (1, 5, 6, 7)} == {1}
+
+
+def test_cross_cluster_near_pairs_not_compared(spark):
+    """Pairs straddling clusters are outside SemDeDup's candidate set
+    by design — both survive even at a permissive threshold."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.72, 0.69]),   # assigns to cluster 0 (barely)
+        (3, [0.69, 0.72]),   # assigns to cluster 1 (barely); cos(2,3)≈0.995
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.id: r.keep for r in semantic_dedup(df, num_clusters=2, threshold=0.99).collect()}
+    assert out[2] and out[3]
+
+
+def test_deterministic(spark):
+    corpus = _axes_corpus(spark)
+    a = sorted(tuple(r) for r in semantic_dedup(corpus, num_clusters=2).collect())
+    b = sorted(tuple(r) for r in semantic_dedup(corpus, num_clusters=2).collect())
+    assert a == b
