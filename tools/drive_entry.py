@@ -1,5 +1,9 @@
 """Simulate the driver: import __spark_entry__, smoke entry(), then run
-every queries() entry at sf0.01 vs oracle_sql() in DuckDB."""
+every queries() entry at sf0.01 vs oracle_sql() in DuckDB.
+
+Optional argv: substring filters — only queries whose name contains any
+given substring are driven (the full suite runs when no args are given,
+which is what the real driver does)."""
 import sys, math, time
 sys.path.insert(0, "/root/repo")
 import duckdb
@@ -37,6 +41,10 @@ def canon(rows, cols):
     return sorted(tuple(cell(r[i]) for i in order) for r in rows)
 
 qs, oracles = ent.queries(), ent.oracle_sql()
+if len(sys.argv) > 1:
+    pats = sys.argv[1:]
+    qs = {n: f for n, f in qs.items() if any(p in n for p in pats)}
+    print(f"(filtered to {len(qs)} queries matching {pats})")
 ok = bad = 0
 for name, fn in qs.items():
     t0 = time.time()
