@@ -35,6 +35,11 @@ __all__ = [
     "cms_merge",
     "cms_estimate",
     "binned_quantiles",
+    "hll_partial",
+    "hll_merge",
+    "hll_readout",
+    "hll_distinct",
+    "heavy_hitters",
 ]
 
 #: KMV hash space: 60 bits of md5 (15 hex digits), see _element_hash.
@@ -373,4 +378,181 @@ def binned_quantiles(
         )
     return cum.groupBy(F.col("g").alias(group_col)).agg(
         *aggs, F.max("total").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-cardinality sketch
+# ---------------------------------------------------------------------------
+
+#: register-index bits: m = 2^HLL_P registers per group (m=256 → ~6.5%
+#: standard error, 256 rows of mergeable state per group).
+HLL_P = 8
+
+#: rho cap. Capping the leading-zero rank at 40 keeps every 2^-rho
+#: term exactly representable in the 2^40-scaled INTEGER zsum (terms
+#: become 1 << (40-rho), ≤ 2^39; 256 of them < 2^48), making the
+#: register sum order-independent — a bare double Σ2^-rho would be
+#: partition-order-dependent at the ulp. A cap of 40 biases nothing
+#: real: reaching rho=40 honestly needs ~2^40 distinct values PER
+#: REGISTER (~10^14 total), far past the sketch's useful range.
+HLL_RHO_CAP = 40
+
+#: slots for the register index + value inside the packed merge key.
+_HLL_VALUE_BITS = 60 - HLL_P
+
+
+def _hll_rho(rest: Column) -> Column:
+    """Leading-zero rank of a ``_HLL_VALUE_BITS``-wide value: position
+    of the highest set bit from the top, + 1. ``bin()`` (minimal
+    binary string, identical semantics in Spark and DuckDB — bin(0) =
+    '0') gives the bit length; rest == 0 means all bits zero, rank =
+    width + 1."""
+    bitlen = F.when(rest == 0, F.lit(0)).otherwise(F.length(F.bin(rest)))
+    return F.least(
+        F.lit(_HLL_VALUE_BITS) - bitlen + 1, F.lit(HLL_RHO_CAP)
+    )
+
+
+def hll_partial(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group HLL register table: ≤ 2^HLL_P rows per group of
+    ``(group, register, rho)``.
+
+    The 60-bit md5 hash splits into a register index (low HLL_P bits)
+    and a value (high 60-HLL_P bits) whose leading-zero rank is the
+    register's candidate; MAX(rho) per register is the whole state.
+    The aggregate is a map-side-combining groupBy on (group,
+    register) — fixed ≤ m·|groups| rows out of every executor
+    regardless of input size, the defining property of the sketch.
+
+    Merging across shards/days is ``hll_merge``: the same MAX over the
+    unioned register tables. Reference parity: the reference counts
+    distincts exactly in pandas (utils/ summary helpers); this is the
+    beyond-reference scale path.
+    """
+    h = _element_hash(F.col(value_col)) - 1  # 0 .. 2^60-1 uniform
+    # bit ops, not arithmetic: h exceeds 2^53, so any double-typed
+    # division would silently round the register payload
+    return (
+        df.select(
+            F.col(group_col).alias("g"),
+            h.bitwiseAND(F.lit((1 << HLL_P) - 1)).cast("int").alias("register"),
+            F.shiftright(h, HLL_P).alias("rest"),
+        )
+        .withColumn("rho", _hll_rho(F.col("rest")))
+        .groupBy("g", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(partials: list[DataFrame]) -> DataFrame:
+    """Merge register tables from shards: MAX(rho) per (g, register)."""
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("g", "register").agg(F.max("rho").alias("rho"))
+
+
+def hll_readout(partial: DataFrame, group_col: str) -> DataFrame:
+    """Cardinality estimate per group from a register table.
+
+    Standard HLL estimator with the small-range (linear counting)
+    correction: raw = α_m · m² / Z where Z = Σ_j 2^-rho_j over all m
+    registers (absent registers contribute 2^0 = 1); if raw ≤ 2.5m
+    and empty registers exist, use m·ln(m/V) instead (V = empty
+    count). Z is accumulated as an exact 2^40-scaled integer (see
+    HLL_RHO_CAP) so the estimate is bit-identical on any partition
+    layout; ln is rounded to 6 dp before use (libm-proof, repo-wide
+    policy) and the estimate to 2 dp.
+    """
+    m = 1 << HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # standard bias constant, m ≥ 128
+    scaled = F.expr(f"shiftleft(1L, {HLL_RHO_CAP} - rho)")
+    agg = partial.groupBy(F.col("g").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(scaled).alias("z_present_s"),
+    )
+    zeros = F.lit(m) - F.col("n_present")
+    z_s = F.col("z_present_s") + F.shiftleft(zeros.cast("long"), HLL_RHO_CAP)
+    raw = F.lit(alpha * m * m * float(1 << HLL_RHO_CAP)) / z_s
+    linear = F.lit(m) * F.round(
+        F.log(F.lit(float(m)) / zeros.cast("double")), 6
+    )
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(group_col, F.round(est, 2).alias("est_distinct"))
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-shot per-group approximate COUNT DISTINCT via HLL."""
+    return hll_readout(hll_partial(df, group_col, value_col), group_col)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: deterministic sampled prefilter + exact verify
+# ---------------------------------------------------------------------------
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    row_key_col: str,
+    *,
+    threshold_frac: float = 0.0075,
+    sample_mod: int = 4,
+    slack: float = 0.5,
+) -> DataFrame:
+    """Values appearing in ≥ ``threshold_frac`` of rows, with exact
+    final counts — via a deterministic row-sample prefilter.
+
+    The classic streaming answers (Misra-Gries, SpaceSaving) keep
+    per-partition state whose content depends on arrival order —
+    unusable under this engine's layout-independence policy. Instead:
+
+    1. **Prefilter**: count values over the deterministic row sample
+       ``hash(row_key) % sample_mod == 0`` (md5 — layout-independent,
+       unlike rand() or per-partition reservoirs). A true heavy
+       hitter with t·N rows has binomial-concentrated sample count
+       ≈ t·N/mod; candidates keep everything above ``slack``× the
+       scaled threshold, so the pass-2 miss probability decays
+       exponentially in t·N/mod (Chernoff: < exp(-t·N/8/mod) per
+       value at slack=0.5).
+    2. **Verify**: exact groupBy count restricted (semi-join) to
+       candidate values; filter at the true threshold.
+
+    Scale: pass 1 shuffles N/mod rows of partial counts; pass 2
+    shuffles only rows belonging to candidates (≤ 2/(t·slack) values
+    by a counting bound). The full-table groupBy it replaces shuffles
+    a partial count for every distinct value — the long tail this
+    operator exists to drop.
+
+    Oracle-able: every step (md5 sample, scaled threshold, semi-join,
+    exact count) replays verbatim in SQL, so parity holds even for
+    the (never observed at these parameters) prefilter-miss case.
+    """
+    total = df.count()  # one lightweight count job, parquet-stat fast
+    threshold = max(1, int(threshold_frac * total))
+    sampled_floor = int(slack * threshold / sample_mod)
+    sampled = df.where(
+        F.pmod(_element_hash(F.col(row_key_col)), F.lit(sample_mod)) == 0
+    )
+    cands = (
+        sampled.groupBy(F.col(value_col).alias("__hh_cand"))
+        .agg(F.count(F.lit(1)).alias("c_sample"))
+        .where(F.col("c_sample") >= sampled_floor)
+        .select("__hh_cand")
+    )
+    return (
+        df.join(
+            F.broadcast(cands),
+            F.col(value_col) == F.col("__hh_cand"),
+            "left_semi",
+        )
+        .groupBy(F.col(value_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= threshold)
     )

@@ -689,3 +689,102 @@ def dsir_target_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     return dsir_select(docs, docs.where(F.col("source") == "src18"), k=50)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct users per event type. The oracle replays the
+# exact register arithmetic: 60-bit md5 hash, low-8-bit register
+# index, leading-zero rank via bin() string length (identical minimal
+# binary semantics in both engines), 2^40-scaled exact integer
+# register sum, 6-dp-rounded ln in the linear-counting branch.
+# ---------------------------------------------------------------------------
+
+_HLL_SQL = f"""
+WITH h AS (
+  SELECT event_type AS g,
+         ({_DUCK_HASH.format(v="CAST(user_id AS VARCHAR)")} - 1) AS hv
+  FROM events
+), regs AS (
+  SELECT g, CAST(hv & 255 AS INT) AS register, hv >> 8 AS rest FROM h
+), rho_t AS (
+  SELECT g, register,
+         MAX(LEAST(52 - (CASE WHEN rest = 0 THEN 0
+                          ELSE LENGTH(bin(rest)) END) + 1, 40)) AS rho
+  FROM regs GROUP BY 1, 2
+), agg AS (
+  SELECT g, COUNT(*) AS n_present,
+         SUM(1::BIGINT << CAST(40 - rho AS INT)) AS z_present_s
+  FROM rho_t GROUP BY 1
+), est AS (
+  SELECT g, 256 - n_present AS zeros,
+         0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * POWER(2.0, 40)
+           / (z_present_s + ((256 - n_present)::BIGINT << 40)) AS raw
+  FROM agg
+)
+SELECT g AS event_type,
+       ROUND(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                  THEN 256 * ROUND(LN(256.0 / zeros), 6)
+                  ELSE raw END, 2) AS est_distinct
+FROM est
+"""
+
+
+@register("hll_distinct_users", _HLL_SQL)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via HyperLogLog.
+
+    Companion to kmv_distinct_users: HLL keeps ≤256 register rows per
+    group (vs KMV's k=64 hash values) and merges across shards with a
+    plain MAX — the canonical production sketch for 100 TB distinct
+    counts. Estimator arithmetic is exact-integer + 6-dp-rounded ln,
+    so the result is layout-independent (operators/sketches.py
+    hll_readout docstring).
+    """
+    from ccgp_data_wrangling_spark.operators.sketches import hll_distinct
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return hll_distinct(events, "event_type", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: users with ≥0.75% of all events, found via a
+# deterministic md5 row-sample prefilter then exact verify. The
+# oracle replays the identical two-phase logic — including the
+# prefilter — so parity holds even if the sample were ever to miss.
+# ---------------------------------------------------------------------------
+
+_HH_SQL = f"""
+WITH total AS (SELECT COUNT(*) AS n FROM events),
+sampled AS (
+  SELECT user_id AS v, COUNT(*) AS c_sample
+  FROM events
+  WHERE {_DUCK_HASH.format(v="CAST(event_id AS VARCHAR)")} % 4 = 0
+  GROUP BY 1
+),
+cands AS (
+  SELECT v FROM sampled, total
+  WHERE c_sample >= CAST(FLOOR(0.5 * GREATEST(1, CAST(FLOOR(0.0075 * n) AS BIGINT)) / 4) AS BIGINT)
+)
+SELECT e.user_id AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events e JOIN cands c ON c.v = e.user_id, total
+GROUP BY 1, total.n
+HAVING COUNT(*) >= GREATEST(1, CAST(FLOOR(0.0075 * total.n) AS BIGINT))
+"""
+
+
+@register("heavy_hitters_users", _HH_SQL)
+def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users owning ≥0.75% of the event stream, exact counts.
+
+    Misra-Gries-class problem under this engine's determinism policy:
+    per-partition reservoir state is arrival-order-dependent, so the
+    scale path is a deterministic hash row-sample prefilter (shuffles
+    N/4 partial counts, not the full long tail) + exact verify over
+    candidates only (operators/sketches.heavy_hitters).
+    """
+    from ccgp_data_wrangling_spark.operators.sketches import heavy_hitters
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    return heavy_hitters(
+        events, "user_id", "event_id", threshold_frac=0.0075, sample_mod=4
+    )

@@ -347,3 +347,99 @@ def test_bm25_rare_term_weighs_more(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, ["rareword", "common"], k=30).collect()}
     assert got[100] > got[101]
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_accuracy_within_rse(spark):
+    """Estimate within ~3 standard errors (3·1.04/√256 ≈ 20%)."""
+    from ccgp_data_wrangling_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [("g1", f"u{i}") for i in range(5000)]
+        + [("g2", f"u{i % 40}") for i in range(400)],
+        "g string, v string",
+    )
+    out = {
+        r["g"]: r["est_distinct"]
+        for r in hll_distinct(df, "g", "v").collect()
+    }
+    assert abs(out["g1"] - 5000) / 5000 < 0.20
+    assert abs(out["g2"] - 40) / 40 < 0.20
+
+
+def test_hll_merge_equals_union(spark):
+    """merge(partial(A), partial(B)) == partial(A ∪ B) exactly —
+    the property that lets shard/day partials compose."""
+    from ccgp_data_wrangling_spark.operators.sketches import (
+        hll_merge,
+        hll_partial,
+        hll_readout,
+    )
+
+    a = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(0, 600)], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(300, 900)], "g string, v string"
+    )
+    merged = hll_readout(
+        hll_merge([hll_partial(a, "g", "v"), hll_partial(b, "g", "v")]), "g"
+    ).collect()[0]
+    direct = hll_readout(
+        hll_partial(a.unionByName(b), "g", "v"), "g"
+    ).collect()[0]
+    assert merged["est_distinct"] == direct["est_distinct"]
+
+
+def test_hll_layout_independent(spark):
+    """Same input, different partitioning → identical estimate."""
+    from ccgp_data_wrangling_spark.operators.sketches import hll_distinct
+
+    rows = [("g", f"u{i}") for i in range(2000)]
+    df1 = spark.createDataFrame(rows, "g string, v string").repartition(1)
+    df17 = spark.createDataFrame(rows, "g string, v string").repartition(17)
+    assert (
+        hll_distinct(df1, "g", "v").collect()[0]["est_distinct"]
+        == hll_distinct(df17, "g", "v").collect()[0]["est_distinct"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_on_skew(spark):
+    """Finds exactly the values above threshold, with exact counts."""
+    from ccgp_data_wrangling_spark.operators.sketches import heavy_hitters
+
+    rows = (
+        [(i, "whale") for i in range(400)]
+        + [(1000 + i, "shark") for i in range(150)]
+        + [(2000 + i, f"minnow{i % 200}") for i in range(450)]
+    )
+    df = spark.createDataFrame(rows, "rk int, v string")
+    out = {
+        r["value"]: r["cnt"]
+        for r in heavy_hitters(
+            df, "v", "rk", threshold_frac=0.10, sample_mod=4
+        ).collect()
+    }
+    # threshold = 100 of 1000 rows: whale(400) and shark(150) qualify,
+    # every minnow has ≤3 rows
+    assert out == {"whale": 400, "shark": 150}
+
+
+def test_heavy_hitters_layout_independent(spark):
+    from ccgp_data_wrangling_spark.operators.sketches import heavy_hitters
+
+    rows = [(i, "hot" if i % 3 == 0 else f"cold{i}") for i in range(900)]
+    a = spark.createDataFrame(rows, "rk int, v string").repartition(2)
+    b = spark.createDataFrame(rows, "rk int, v string").repartition(23)
+    ra = sorted(map(tuple, heavy_hitters(a, "v", "rk", threshold_frac=0.2).collect()))
+    rb = sorted(map(tuple, heavy_hitters(b, "v", "rk", threshold_frac=0.2).collect()))
+    assert ra == rb and ra == [("hot", 300)]
