@@ -164,6 +164,7 @@ def _load_all() -> None:
         relational,
         sketches,
         tpch_extra,
+        versioning,
         web_curation,
     )
 
