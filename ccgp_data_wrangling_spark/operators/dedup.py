@@ -559,3 +559,133 @@ def embedding_neardup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash: new batch vs a persisted signature index
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """``(id, sh, sig)`` signature index for a corpus snapshot.
+
+    This frame IS the dedup state: write it to parquet alongside the
+    snapshot and fold tomorrow's batch in with
+    :func:`minhash_neardup_incremental` — the historical corpus is
+    never re-tokenized. At 100 TB the index is ~1000× smaller than
+    the text it summarizes (64 longs + the shingle-hash set per doc).
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes, seed))
+
+
+def _band_table(sig_table: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """Explode a ``(id, sig)`` frame into ``(id, band_idx, band_hash)``."""
+    rows = n_hashes // bands
+    band_hashes = F.array(
+        *[
+            F.hash(F.slice(F.col("sig"), b * rows + 1, rows))
+            for b in range(bands)
+        ]
+    )
+    return sig_table.select(
+        "id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
+
+
+def minhash_neardup_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.7,
+    n_hashes: int = 64,
+    bands: int = 32,
+    shingle_k: int = 5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """New-batch near-dups against a historical index:
+    ``(new_id, old_id, jaccard ≥ threshold)`` pairs ONLY across the
+    boundary — old×old was settled when the index was built, new×new
+    belongs to a subsequent self-dedup of the deduplicated batch.
+
+    Scale shape (why this exists): a naive daily dedup re-runs LSH
+    over old ∪ new — O(corpus) work per day. Here the old side
+    contributes only its (id, band) rows (recomputed from the stored
+    64-long signature — ~bands array-hashes per row, no tokenize) and
+    the equi-join keys are band buckets, so daily cost is
+    O(new batch + matched buckets). The ``max_bucket`` guard drops
+    pathological buckets ON THE INDEX SIDE (the big side) exactly as
+    the batch operator does.
+
+    ``index`` is a frame from :func:`minhash_index` (typically read
+    back from parquet); parameters must match those the index was
+    built with — n_hashes is validated against the stored signature
+    width, shingle_k/seed cannot be checked and are the caller's
+    contract.
+    """
+    if scope is None:
+        scope = active_scope("minhash_neardup_incremental")
+    new_sig = scope.persist(
+        minhash_index(
+            new_df, id_col, text_col,
+            n_hashes=n_hashes, shingle_k=shingle_k, seed=seed,
+        )
+    )
+    # the index is consumed twice (band build + sh verify re-attach);
+    # persisting is a no-op when it's already a materialized parquet
+    # read, and prevents double signature recompute when a caller
+    # passes the lazy minhash_index() expression directly
+    old_sig = scope.persist(index)
+    new_bands = _band_table(new_sig, n_hashes, bands)
+    old_bands = _band_table(old_sig, n_hashes, bands)
+
+    # skew guard on the index side: drop buckets that would fan out
+    bucket_sizes = old_bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    old_bands = old_bands.join(
+        bucket_sizes.where(F.col("n") <= max_bucket).select(
+            "band_idx", "band_hash"
+        ),
+        ["band_idx", "band_hash"],
+    )
+
+    cands = (
+        new_bands.select(
+            "band_idx", "band_hash", F.col("id").alias("new_id")
+        )
+        .join(
+            old_bands.select(
+                "band_idx", "band_hash", F.col("id").alias("old_id")
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("new_id", "old_id")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+
+    sh_new = new_sig.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_n"))
+    sh_old = old_sig.select(F.col("id").alias("old_id"), F.col("sh").alias("sh_o"))
+    inter = F.size(F.array_intersect("sh_n", "sh_o"))
+    union = F.size(F.array_union("sh_n", "sh_o"))
+    return (
+        cands.join(sh_new, "new_id")
+        .join(sh_old, "old_id")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", F.round("jaccard", 4).alias("jaccard"))
+    )

@@ -599,3 +599,75 @@ def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(planted)
     return semantic_dedup(corpus, num_clusters=8, threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup: yesterday's corpus is indexed once; the
+# new batch (planted perturbed copies) is deduped against the index
+# without re-tokenizing history. Ground truth: exact 5-shingle
+# Jaccard ≥ 0.7 across the new×old boundary ONLY.
+# ---------------------------------------------------------------------------
+
+_INCR_SQL = rf"""
+WITH old_tok AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks
+  FROM documents
+),
+new_tok AS (
+  SELECT doc_id + {_OFFSET} AS doc_id,
+         REGEXP_SPLIT_TO_ARRAY(TRIM(text || ' zzqxj'), '\s+') AS toks
+  FROM documents WHERE doc_id % 4 = 0
+),
+old_sh AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(toks) - 4, 1)),
+                       i -> ARRAY_TO_STRING(toks[i + 1 : i + 5], ' '))) AS shingles
+  FROM old_tok
+),
+new_sh AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(toks) - 4, 1)),
+                       i -> ARRAY_TO_STRING(toks[i + 1 : i + 5], ' '))) AS shingles
+  FROM new_tok
+),
+old_ex AS (SELECT doc_id, LEN(shingles) AS n, UNNEST(shingles) AS s FROM old_sh),
+new_ex AS (SELECT doc_id, LEN(shingles) AS n, UNNEST(shingles) AS s FROM new_sh),
+inter AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         ANY_VALUE(n.n) AS nn, ANY_VALUE(o.n) AS nold, COUNT(*) AS ninter
+  FROM new_ex n JOIN old_ex o ON n.s = o.s
+  GROUP BY 1, 2
+)
+SELECT new_id, old_id,
+       ROUND(CAST(ninter AS DOUBLE) / (nn + nold - ninter), 4) AS jaccard
+FROM inter
+WHERE CAST(ninter AS DOUBLE) / (nn + nold - ninter) >= 0.7
+"""
+
+
+@register("minhash_incremental_newbatch", _INCR_SQL)
+def minhash_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a new batch against a historical signature index.
+
+    The index (operators/dedup.minhash_index) summarizes the old
+    corpus as (id, shingle-hashes, 64-long signature); the new batch
+    — every 4th document, perturbed — joins the index through band
+    buckets only, so history is never re-tokenized. 32 bands × 2
+    rows makes fixed-seed recall complete at the planted ≥0.7
+    threshold; the exact-Jaccard verify keeps precision exact.
+    """
+    from ccgp_data_wrangling_spark.operators.dedup import (
+        minhash_index,
+        minhash_neardup_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index = minhash_index(docs, "doc_id", "text")
+    new_batch = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + _OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqxj")).alias("text"),
+    )
+    return minhash_neardup_incremental(
+        new_batch, index, "doc_id", "text",
+        threshold=0.7, n_hashes=64, bands=32,
+    )

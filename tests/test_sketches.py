@@ -443,3 +443,43 @@ def test_heavy_hitters_layout_independent(spark):
     ra = sorted(map(tuple, heavy_hitters(a, "v", "rk", threshold_frac=0.2).collect()))
     rb = sorted(map(tuple, heavy_hitters(b, "v", "rk", threshold_frac=0.2).collect()))
     assert ra == rb and ra == [("hot", 300)]
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_incremental_boundary_only(spark):
+    """Pairs cross the new×old boundary only — old×old dups (settled
+    at index build) and new×new dups (next self-dedup) never appear."""
+    from ccgp_data_wrangling_spark.operators.dedup import (
+        minhash_index,
+        minhash_neardup_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    old = spark.createDataFrame(
+        [
+            (1, base * 3),
+            (2, base * 3 + "tail"),          # old×old near-dup of 1
+            (3, "completely different words about spark partitions " * 4),
+        ],
+        "id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, base * 3 + "zz"),           # dup of old 1 and 2
+            (102, base * 3 + "zz yy"),        # new×new dup of 101 (and old)
+            (103, "unrelated fresh content nothing shared here at all " * 4),
+        ],
+        "id long, text string",
+    )
+    idx = minhash_index(old, "id", "text")
+    pairs = {
+        (r["new_id"], r["old_id"])
+        for r in minhash_neardup_incremental(
+            new, idx, "id", "text", threshold=0.5
+        ).collect()
+    }
+    assert pairs == {(101, 1), (101, 2), (102, 1), (102, 2)}
