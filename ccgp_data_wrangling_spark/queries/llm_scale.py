@@ -671,3 +671,88 @@ def minhash_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_batch, index, "doc_id", "text",
         threshold=0.7, n_hashes=64, bands=32,
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitext margin mining: the target side is a planted "translation" of
+# every source vector (+0.05 on coordinate 0). Mutual margin-best
+# pairs must recover exactly the 500 planted alignments. The oracle
+# replays the identical arithmetic: 4-dp cosine scaled to integers,
+# exact integer k-NN sums, one double division rounded to 6 dp.
+# ---------------------------------------------------------------------------
+
+_BITEXT_SQL = f"""
+WITH a AS (
+  SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings
+),
+b AS (
+  SELECT {_EMB_BASE} + vec_id AS b_id,
+         [CAST(embedding AS DOUBLE[])[1] + 0.05] || CAST(embedding AS DOUBLE[])[2:64] AS vb
+  FROM embeddings
+),
+scored AS (
+  SELECT a_id, b_id,
+         CAST(ROUND(LIST_COSINE_SIMILARITY(va, vb) * 10000, 0) AS BIGINT) AS cos_s
+  FROM a CROSS JOIN b
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos_s DESC, b_id) AS rk_a,
+         ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos_s DESC, a_id) AS rk_b
+  FROM scored
+),
+avg_a AS (
+  SELECT a_id, SUM(cos_s) AS sum_a, COUNT(*) AS n_a
+  FROM ranked WHERE rk_a <= 4 GROUP BY 1
+),
+avg_b AS (
+  SELECT b_id, SUM(cos_s) AS sum_b, COUNT(*) AS n_b
+  FROM ranked WHERE rk_b <= 4 GROUP BY 1
+),
+margined AS (
+  SELECT s.a_id, s.b_id,
+         ROUND(s.cos_s / (0.5 * (CAST(sum_a AS DOUBLE) / n_a
+                                 + CAST(sum_b AS DOUBLE) / n_b)), 6) AS margin
+  FROM scored s JOIN avg_a USING (a_id) JOIN avg_b USING (b_id)
+),
+best_a AS (
+  SELECT a_id, b_id AS best_b FROM (
+    SELECT a_id, b_id,
+           ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS r
+    FROM margined) WHERE r = 1
+),
+best_b AS (
+  SELECT b_id, a_id AS best_a FROM (
+    SELECT b_id, a_id,
+           ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY margin DESC, a_id) AS r
+    FROM margined) WHERE r = 1
+)
+SELECT m.a_id, m.b_id, m.margin
+FROM margined m JOIN best_a USING (a_id) JOIN best_b USING (b_id)
+WHERE m.b_id = best_b AND m.a_id = best_a AND m.margin >= 1.5
+"""
+
+
+@register("bitext_margin_mine", _BITEXT_SQL)
+def bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-best margin pairs between a source embedding set and its
+    planted translations (operators/bitext.margin_mine).
+
+    The brute-force candidate set is the exact baseline (allowlisted
+    cartesian, same role as knn_top10_cosine); the production path
+    passes LSH/IVF candidates into the same operator — covered by
+    tests/test_bitext.py.
+    """
+    from ccgp_data_wrangling_spark.operators.bitext import margin_mine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    tgt = emb.select(
+        (F.col("vec_id") + _EMB_BASE).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + 0.05),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return margin_mine(emb, tgt, "vec_id", "embedding", k=4, tau=1.5)

@@ -37,6 +37,9 @@ CARTESIAN_OK = {
     "x12_fuzzy_best_match",
     "x12b_blocked_fuzzy_match",
     "knn_top10_cosine",
+    # exact all-pairs baseline by design; the production path feeds
+    # LSH/IVF candidates into the same operator (tests/test_bitext.py)
+    "bitext_margin_mine",
 }
 
 
