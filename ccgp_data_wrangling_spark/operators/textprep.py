@@ -313,3 +313,45 @@ def length_bucket_summary(
             4,
         ).alias("waste_ratio"),
     )
+
+
+def quantile_bucket_sample(
+    df: DataFrame,
+    score_col: str,
+    keep_pcts: list[int],
+    *,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Quantile-bucket the corpus on ``score_col`` and keep a
+    deterministic hash-sample of each bucket at ``keep_pcts[bucket]``
+    percent — the mixing primitive behind perplexity-curriculum
+    sampling (down-weight the degenerate tails, keep the middle).
+
+    Buckets are equi-probability: boundaries are EXACT percentiles
+    delivered as one scalar subquery (no NTILE / global sort);
+    assignment is a projection. The sample is ``md5(key) % 100 <
+    pct`` — reproducible on any partitioning, stable under corpus
+    growth for surviving keys (a doc's fate never depends on other
+    docs' arrival), and stratified by construction.
+
+    Returns every row with ``bucket`` (1-based) and ``kept`` so
+    callers can audit rates; filter on ``kept`` for the sample.
+    """
+    from ccgp_data_wrangling_spark.operators.sketches import _element_hash
+
+    n_buckets = len(keep_pcts)
+    if n_buckets < 2:
+        raise ValueError("need at least 2 buckets")
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    bounds = df.agg(F.percentile(F.col(score_col), probs).alias("q")).scalar()
+    bucket = F.lit(1)
+    for i in range(1, n_buckets):
+        bucket = bucket + (F.col(score_col) > F.element_at(bounds, i)).cast(
+            "int"
+        )
+    pct = F.element_at(
+        F.array(*[F.lit(p) for p in keep_pcts]), F.col("bucket")
+    )
+    return df.withColumn("bucket", bucket).withColumn(
+        "kept", F.pmod(_element_hash(F.col(key_col)), F.lit(100)) < pct
+    )

@@ -145,3 +145,89 @@ FROM ranked WHERE rk <= 3 GROUP BY doc_id
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, top_k=3)
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-curriculum mixing: quartile-bucket the corpus on
+# bigram-LM bits/token and keep a deterministic per-bucket hash
+# sample — 50% of the most-predictable quartile (repetitive text),
+# all of the middle, 25% of the least-predictable (garbled). The
+# oracle extends the bigram-LM SQL with QUANTILE_CONT cutpoints and
+# the md5 keep rule.
+# ---------------------------------------------------------------------------
+
+_PPL_MIX_SQL = """
+WITH toks AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS t FROM documents
+),
+pairs AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg, t[i] AS w1
+  FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t), 1))) AS u(i)
+),
+doc_bg AS (
+  SELECT doc_id, bg, ANY_VALUE(w1) AS w1, COUNT(*) AS m
+  FROM pairs GROUP BY doc_id, bg
+),
+model AS (SELECT bg, COUNT(*) AS c12 FROM pairs GROUP BY bg),
+ctx   AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT UNNEST(t) AS w FROM toks)
+),
+scored AS (
+  SELECT d.doc_id, d.m,
+         ROUND(LOG2((model.c12 + 0.5) / (ctx.c1 + 0.5 * vocab.v)), 6) AS lp
+  FROM doc_bg d
+  JOIN model USING (bg)
+  JOIN ctx ON d.w1 = ctx.w1
+  CROSS JOIN vocab
+),
+ppl AS (
+  SELECT doc_id, ROUND(-SUM(m * lp) / SUM(m), 4) AS bits_per_token
+  FROM scored GROUP BY doc_id
+),
+cuts AS (
+  SELECT QUANTILE_CONT(bits_per_token, 0.25) AS q1,
+         QUANTILE_CONT(bits_per_token, 0.50) AS q2,
+         QUANTILE_CONT(bits_per_token, 0.75) AS q3
+  FROM ppl
+),
+bucketed AS (
+  SELECT doc_id, bits_per_token,
+         1 + CAST(bits_per_token > q1 AS INT)
+           + CAST(bits_per_token > q2 AS INT)
+           + CAST(bits_per_token > q3 AS INT) AS bucket
+  FROM ppl, cuts
+)
+SELECT doc_id, bits_per_token, bucket,
+       (CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+         % 100 < CASE bucket WHEN 1 THEN 50 WHEN 2 THEN 100
+                             WHEN 3 THEN 100 ELSE 25 END AS kept
+FROM bucketed
+"""
+
+
+@register("perplexity_bucket_mix", _PPL_MIX_SQL)
+def perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum mixing by LM perplexity quartile
+    (operators/textprep.quantile_bucket_sample over
+    operators/corpus_stats.bigram_cross_entropy).
+
+    Scale: the LM scoring is the dominant cost (tokenize-once persist,
+    bigram-model equi-join); bucketing adds ONE scalar-subquery
+    percentile and a pure projection — no NTILE, no global sort, and
+    the sample is layout-independent md5, so the mixed corpus is
+    reproducible bit-for-bit on any cluster.
+    """
+    from ccgp_data_wrangling_spark.operators.corpus_stats import (
+        bigram_cross_entropy,
+    )
+    from ccgp_data_wrangling_spark.operators.textprep import (
+        quantile_bucket_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = bigram_cross_entropy(docs).select("doc_id", "bits_per_token")
+    return quantile_bucket_sample(
+        scores, "bits_per_token", [50, 100, 100, 25], key_col="doc_id"
+    )

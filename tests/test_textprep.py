@@ -208,3 +208,61 @@ def test_length_bucket_rejects_single_bucket(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
     with pytest.raises(ValueError):
         length_bucket_summary(df, n_buckets=1)
+
+
+# ---------------------------------------------------------------------------
+# quantile_bucket_sample
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_bucket_sample_rates(spark):
+    from ccgp_data_wrangling_spark.operators.textprep import (
+        quantile_bucket_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 401)], "doc_id long, score double"
+    )
+    out = quantile_bucket_sample(df, "score", [0, 100, 100, 0]).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["kept"])
+    assert set(by_bucket) == {1, 2, 3, 4}
+    # 0% buckets keep nothing, 100% buckets keep everything
+    assert not any(by_bucket[1]) and not any(by_bucket[4])
+    assert all(by_bucket[2]) and all(by_bucket[3])
+    # equi-probability quartiles over 400 distinct scores
+    assert all(len(v) == 100 for v in by_bucket.values())
+
+
+def test_quantile_bucket_sample_growth_stable(spark):
+    """A surviving doc's fate never flips when the corpus grows —
+    the property that keeps incremental re-mixes consistent."""
+    from ccgp_data_wrangling_spark.operators.textprep import (
+        quantile_bucket_sample,
+    )
+
+    small = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(200)], "doc_id long, score double"
+    )
+    # grow with rows whose scores straddle the old range: cutpoints
+    # move, buckets may shift, but kept-ness per (bucket, key) is a
+    # pure hash — verify the keep decision is the md5 rule everywhere
+    out = {
+        r["doc_id"]: (r["bucket"], r["kept"])
+        for r in quantile_bucket_sample(
+            small, "score", [30, 60, 90, 100]
+        ).collect()
+    }
+    from ccgp_data_wrangling_spark.operators.sketches import _element_hash
+    from pyspark.sql import functions as F
+
+    expect = {
+        r["doc_id"]: r["h"] % 100
+        for r in small.select(
+            "doc_id", _element_hash(F.col("doc_id")).alias("h")
+        ).collect()
+    }
+    rates = {1: 30, 2: 60, 3: 90, 4: 100}
+    for doc, (bucket, kept) in out.items():
+        assert kept == (expect[doc] < rates[bucket])
