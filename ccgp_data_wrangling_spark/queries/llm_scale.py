@@ -756,3 +756,117 @@ def bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     return margin_mine(emb, tgt, "vec_id", "embedding", k=4, tau=1.5)
+
+
+# ---------------------------------------------------------------------------
+# RAG retrieval end-to-end: chunk the corpus, hash-embed every chunk,
+# retrieve the top-10 chunks for a query document by cosine. The
+# embedding is the deterministic hashing trick (operators/embed.py)
+# so the oracle rebuilds identical vectors; ranking tiebreaks on
+# (doc_id, chunk_id) for a total order.
+# ---------------------------------------------------------------------------
+
+# DuckDB hash helper for this module (mirrors operators/sketches.
+# _element_hash: first 15 md5 hex digits + 1).
+_DUCK_HASH = "(CAST(('0x' || SUBSTR(md5({v}), 1, 15)) AS BIGINT) + 1)"
+
+_RAG_SQL = f"""
+WITH chunks AS (
+  SELECT doc_id,
+         CAST(i AS INT) AS chunk_id,
+         SUBSTR(text, CAST(i * 200 + 1 AS INT), 200) AS chunk
+  FROM documents,
+       UNNEST(RANGE(0, CAST(CEIL(GREATEST(LENGTH(text) - 200, 0) / 200.0) AS BIGINT) + 1)) AS u(i)
+  WHERE doc_id != 42
+),
+ctok AS (
+  SELECT doc_id, chunk_id,
+         UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(chunk), '\\s+')) AS w
+  FROM chunks
+),
+ccnt AS (
+  SELECT doc_id, chunk_id,
+         {_DUCK_HASH.format(v="w")} % 64 AS b, COUNT(*) AS c
+  FROM ctok GROUP BY 1, 2, 3
+),
+keys AS (SELECT DISTINCT doc_id, chunk_id FROM chunks),
+cvec AS (
+  SELECT k.doc_id, k.chunk_id,
+         LIST(COALESCE(c.c, 0) ORDER BY r.range) AS vec
+  FROM keys k
+  CROSS JOIN RANGE(0, 64) r
+  LEFT JOIN ccnt c ON c.doc_id = k.doc_id AND c.chunk_id = k.chunk_id
+                  AND c.b = r.range
+  GROUP BY 1, 2
+),
+qtok AS (
+  SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS w
+  FROM documents WHERE doc_id = 42
+),
+qcnt AS (
+  SELECT {_DUCK_HASH.format(v="w")} % 64 AS b, COUNT(*) AS c FROM qtok GROUP BY 1
+),
+qvec AS (
+  SELECT LIST(COALESCE(c.c, 0) ORDER BY r.range) AS vec
+  FROM RANGE(0, 64) r LEFT JOIN qcnt c ON c.b = r.range
+),
+scored AS (
+  SELECT c.doc_id, c.chunk_id,
+         ROUND(LIST_COSINE_SIMILARITY(
+           LIST_TRANSFORM(c.vec, x -> CAST(x AS DOUBLE)),
+           LIST_TRANSFORM(q.vec, x -> CAST(x AS DOUBLE))), 4) AS cos_sim
+  FROM cvec c CROSS JOIN qvec q
+)
+SELECT doc_id, chunk_id, cos_sim,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id, chunk_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
+@register("rag_retrieve_chunks", _RAG_SQL)
+def rag_retrieve_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → embed → retrieve: top-10 corpus chunks for a query doc.
+
+    Composition of chunk_text (codegen fan-out), hashed_embedding
+    (integer feature hashing — the engine-side stand-in for a neural
+    encoder, operators/embed.py docstring), one-row broadcast of the
+    query vector, and TakeOrderedAndProject top-k (no global sort
+    materialization). At 100 TB the chunk embeddings are written once
+    partitioned by IVF centroid and probed per query
+    (knn.ivf_topk); this query keeps the exact path as the oracle-
+    checkable baseline.
+    """
+    from ccgp_data_wrangling_spark.operators.embed import hashed_embedding
+    from ccgp_data_wrangling_spark.operators.knn import cosine_sim
+    from ccgp_data_wrangling_spark.operators.textprep import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_text(
+        docs.where(F.col("doc_id") != 42), "doc_id", "text",
+        size=200, stride=200,
+    )
+    cvec = hashed_embedding(chunks, "chunk", ["doc_id", "chunk_id"], dim=64)
+    qvec = hashed_embedding(
+        docs.where(F.col("doc_id") == 42), "text", ["doc_id"], dim=64
+    ).select(F.col("vec").alias("qv"))
+    scored = cvec.join(F.broadcast(qvec)).select(
+        "doc_id",
+        "chunk_id",
+        F.round(
+            cosine_sim(
+                F.col("vec").cast("array<double>"),
+                F.col("qv").cast("array<double>"),
+            ),
+            4,
+        ).alias("cos_sim"),
+    )
+    ranked = scored.orderBy(
+        F.col("cos_sim").desc(), "doc_id", "chunk_id"
+    ).limit(10)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cos_sim").desc(), "doc_id", "chunk_id")
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
