@@ -64,6 +64,22 @@ HEADLINE = [
     "zorder_cluster_stats",
     "funnel_stage_conversion",
     "decayed_user_value",
+    # round 3: completed TPC-H, mergeable sketches, versioning,
+    # incremental dedup, mining/retrieval pipelines
+    "q2_min_cost_supplier",
+    "q12_priority_lateness",
+    "q16_supplier_count",
+    "q21_waiting_supplier",
+    "hll_distinct_users",
+    "heavy_hitters_users",
+    "snapshot_diff_documents",
+    "minhash_incremental_newbatch",
+    "perplexity_bucket_mix",
+    # bitext_margin_mine is NOT benched: its registered form is the
+    # deliberate all-pairs exact baseline (quadratic — 163 s at
+    # sf0.1), correctness-checked at sf0.01; the production path
+    # feeds LSH/IVF candidates into the same operator.
+    "rag_retrieve_chunks",
 ]
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 from ccgp_data_wrangling_spark.operators.corpus_stats import corpus_tokens
 from ccgp_data_wrangling_spark.operators.sketches import _element_hash
 
-__all__ = ["hashed_embedding"]
+__all__ = ["hashed_embedding", "linear_text_score"]
 
 
 def hashed_embedding(
@@ -68,4 +68,62 @@ def hashed_embedding(
             ).alias("__m")
         )
         .select(*key_cols, dense.alias("vec"))
+    )
+
+
+def linear_text_score(
+    df: DataFrame,
+    text_col: str,
+    key_cols: list[str],
+    *,
+    dim: int = 256,
+    seed: int = 11,
+    bias: float = 0.0,
+) -> DataFrame:
+    """fastText-shaped linear classifier scoring:
+    ``sigmoid(mean_b w[bucket(token)] + bias)`` per row.
+
+    The weight table stands in for trained parameters (this offline
+    container trains nothing): ``w[b] = (md5(seed:b) % 2001 − 1000) /
+    1000`` — a deterministic dense vector in [−1, 1] that exercises
+    the REAL production plumbing (hashed features, weight broadcast,
+    mean-pool, sigmoid, threshold) and is replayable in SQL. Swapping
+    in learned weights is a one-column change.
+
+    Shape: tokens explode to (keys, bucket) rows; the dim-sized
+    weight table is generated as a broadcast literal RELATION (not a
+    dim-wide expression — at dim=10^6 an expression tree would choke
+    the optimizer, a relation join stays O(1) plan size); one
+    map-side-combining aggregate computes the mean. The sigmoid input
+    and output are rounded to 6 dp (libm-proof policy).
+    """
+    tokens = corpus_tokens(text_col)
+    # weights stay INTEGER (millis in [-1000, 1000]) until after the
+    # aggregate: the per-row sum is exact, so the score is independent
+    # of partition order — a double-typed Σw would drift at the ulp
+    w_milli = F.pmod(
+        _element_hash(
+            F.concat_ws(":", F.lit(str(seed)), F.col("b").cast("string"))
+        ),
+        F.lit(2001),
+    ) - 1000
+    spark = df.sparkSession
+    weights = spark.range(dim).select(
+        F.col("id").cast("int").alias("b"), w_milli.alias("w_m")
+    )
+    bucket = F.pmod(_element_hash(F.col("__w")), F.lit(dim)).cast("int")
+    feats = df.select(*key_cols, F.explode(tokens).alias("__w")).select(
+        *key_cols, bucket.alias("b")
+    )
+    x = F.round(
+        F.sum("w_m") / (1000.0 * F.count(F.lit(1))) + F.lit(bias), 6
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("x"))), 6)
+    return (
+        feats.join(F.broadcast(weights), "b")
+        .groupBy(*key_cols)
+        .agg(x.alias("x"))
+        .select(*key_cols, "x")
+        .withColumn("score", score)
+        .withColumn("keep", F.col("score") >= 0.5)
     )

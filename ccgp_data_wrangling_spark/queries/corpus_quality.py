@@ -219,6 +219,7 @@ def perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sample is layout-independent md5, so the mixed corpus is
     reproducible bit-for-bit on any cluster.
     """
+    from ccgp_data_wrangling_spark.caching import active_scope
     from ccgp_data_wrangling_spark.operators.corpus_stats import (
         bigram_cross_entropy,
     )
@@ -227,7 +228,62 @@ def perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    scores = bigram_cross_entropy(docs).select("doc_id", "bits_per_token")
+    # persist the scored frame: it is consumed twice (the percentile
+    # scalar subquery and the bucket-assignment projection), and the
+    # LM scoring behind it is the dominant cost
+    scores = active_scope("perplexity_bucket_mix").persist(
+        bigram_cross_entropy(docs).select("doc_id", "bits_per_token")
+    )
     return quantile_bucket_sample(
         scores, "bits_per_token", [50, 100, 100, 25], key_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-shaped): deterministic
+# weight table, integer-exact feature sum, 6-dp sigmoid. Oracle
+# replays the weight generation and pooling arithmetic.
+# ---------------------------------------------------------------------------
+
+_CLS_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST((CAST(('0x' || SUBSTR(md5(w), 1, 15)) AS BIGINT) + 1) % 256 AS INT) AS b
+  FROM toks
+),
+weights AS (
+  SELECT CAST(r.range AS INT) AS b,
+         (CAST(('0x' || SUBSTR(md5('11:' || CAST(r.range AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+           % 2001 - 1000 AS w_m
+  FROM RANGE(0, 256) r
+),
+pooled AS (
+  SELECT doc_id, ROUND(SUM(w_m) / (1000.0 * COUNT(*)), 6) AS x
+  FROM feats JOIN weights USING (b) GROUP BY 1
+)
+SELECT doc_id, x,
+       ROUND(1.0 / (1.0 + EXP(-x)), 6) AS score,
+       ROUND(1.0 / (1.0 + EXP(-x)), 6) >= 0.5 AS keep
+FROM pooled
+"""
+
+
+@register("quality_classifier_linear", _CLS_SQL)
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality scoring over documents
+    (operators/embed.linear_text_score).
+
+    The weights are a deterministic stand-in for a trained fastText
+    head (nothing trains offline); the Spark plumbing — explode →
+    broadcast weight join → one map-side-combining aggregate → sigmoid
+    threshold — is exactly the production scoring plan and carries no
+    UDF.
+    """
+    from ccgp_data_wrangling_spark.operators.embed import linear_text_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return linear_text_score(docs, "text", ["doc_id"], dim=256, seed=11)

@@ -35,3 +35,25 @@ def test_shard_vectors_add(spark):
     )
     out = {r["id"]: r["vec"] for r in hashed_embedding(df, "text", ["id"], dim=8).collect()}
     assert [x + y for x, y in zip(out[1], out[2])] == out[3]
+
+
+def test_linear_score_layout_independent(spark):
+    from ccgp_data_wrangling_spark.operators.embed import linear_text_score
+
+    rows = [(i, f"alpha tok{i % 11} beta tok{i % 5}") for i in range(200)]
+    a = spark.createDataFrame(rows, "id long, text string").repartition(1)
+    b = spark.createDataFrame(rows, "id long, text string").repartition(13)
+    ra = sorted(map(tuple, linear_text_score(a, "text", ["id"]).collect()))
+    rb = sorted(map(tuple, linear_text_score(b, "text", ["id"]).collect()))
+    assert ra == rb
+
+
+def test_linear_score_bounds_and_threshold(spark):
+    from ccgp_data_wrangling_spark.operators.embed import linear_text_score
+
+    df = spark.createDataFrame(
+        [(1, "hello world foo bar baz")], "id long, text string"
+    )
+    r = linear_text_score(df, "text", ["id"]).collect()[0]
+    assert 0.0 < r["score"] < 1.0
+    assert r["keep"] == (r["score"] >= 0.5)
