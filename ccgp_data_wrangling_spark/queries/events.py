@@ -646,3 +646,96 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         split_ts="2024-01-16 00:00:00",
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS: explicit aggregation lattice — (type, month),
+# (type), (month) — without CUBE's unwanted grand total. One pass,
+# one expand node; the oracle lists the identical sets.
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(DATE_TRUNC('month', ts) AS VARCHAR) || '', 'ALL') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 3) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, DATE_TRUNC('month', ts)),
+                        (event_type), (DATE_TRUNC('month', ts)))
+"""
+
+
+@register("grouping_sets_events", _GSETS_SQL)
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-set aggregation lattice over events in ONE scan.
+
+    CUBE/ROLLUP cousins are covered by cube_event_value /
+    rollup_order_profile; GROUPING SETS is the general form users
+    reach for when only specific cells are wanted — Spark expands all
+    sets in a single Expand node (rows × |sets| before partial agg),
+    still one shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("month", "ts").alias("m"), "value"
+    )
+    return (
+        ev.groupingSets(
+            [["event_type", "m"], ["event_type"], ["m"]],
+            "event_type",
+            "m",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("m").cast("date").cast("string"), F.lit("ALL")).alias(
+                "month"
+            ),
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot/melt: wide per-type daily counts back to long form. The
+# inverse of r2_filename_pivot's PIVOT; Spark's native unpivot
+# (Expand node, no join, no UDF).
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
+  FROM events GROUP BY 1
+)
+SELECT d, metric, n FROM wide
+UNPIVOT (n FOR metric IN (click, view, purchase))
+"""
+
+
+@register("unpivot_daily_counts", _UNPIVOT_SQL)
+def unpivot_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot wide → melt long round trip over daily event counts.
+
+    The conditional-aggregate pivot is one hash aggregate; unpivot is
+    a pure Expand projection (3 rows out per input row, no shuffle).
+    DuckDB's UNPIVOT drops NULL cells by default and Spark's unpivot
+    does the same — counts here are never NULL, so the duals agree.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    )
+    wide = ev.groupBy("d").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+            for t in ("click", "view", "purchase")
+        ]
+    )
+    return wide.unpivot(
+        ["d"], ["click", "view", "purchase"], "metric", "n"
+    )

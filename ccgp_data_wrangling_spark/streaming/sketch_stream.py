@@ -28,12 +28,22 @@ from ccgp_data_wrangling_spark.operators.merge import ParquetTable
 from ccgp_data_wrangling_spark.operators.sketches import (
     cms_merge,
     cms_sketch,
+    hll_merge,
+    hll_partial,
+    hll_readout,
     kmv_merge,
     kmv_partial,
     kmv_readout,
 )
 
-__all__ = ["KMVStreamState", "kmv_stream", "CMSStreamState", "cms_stream"]
+__all__ = [
+    "KMVStreamState",
+    "kmv_stream",
+    "CMSStreamState",
+    "cms_stream",
+    "HLLStreamState",
+    "hll_stream",
+]
 
 
 class KMVStreamState:
@@ -140,6 +150,61 @@ def kmv_stream(
     cadence (streaming/incremental.merge_stream); pass ``False`` for
     a continuously-running query.
     """
+
+    def _sink(batch: DataFrame, _epoch: int) -> None:
+        state.fold(batch, group_col, value_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+class HLLStreamState:
+    """Persisted ``(g, register, rho)`` HyperLogLog state at ``path``.
+
+    The fold is MAX per (g, register) — idempotent like KMV's set
+    union, so a replayed batch after a crash re-maxes the same
+    registers and the state stays correct regardless of epoch
+    replay. State is ≤ 2^HLL_P rows per group forever.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._table = ParquetTable(spark, path, key=["g", "register"])
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path)
+
+    def read(self) -> DataFrame:
+        return self._table.read()
+
+    def fold(self, batch: DataFrame, group_col: str, value_col: str) -> None:
+        part = hll_partial(batch, group_col, value_col)
+        if not self.exists():
+            self._table.init(part)
+            return
+        self._table._swap_in(hll_merge([self.read(), part]))
+
+    def estimate(self, group_col: str) -> DataFrame:
+        return hll_readout(self.read(), group_col)
+
+
+def hll_stream(
+    stream: DataFrame,
+    state: HLLStreamState,
+    group_col: str,
+    value_col: str,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain a HyperLogLog register table from a streaming frame."""
 
     def _sink(batch: DataFrame, _epoch: int) -> None:
         state.fold(batch, group_col, value_col)

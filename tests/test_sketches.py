@@ -483,3 +483,35 @@ def test_minhash_incremental_boundary_only(spark):
         ).collect()
     }
     assert pairs == {(101, 1), (101, 2), (102, 1), (102, 2)}
+
+
+def test_hll_stream_matches_batch(spark, tmp_path):
+    """Micro-batched HLL register folds == one-shot batch sketch."""
+    from ccgp_data_wrangling_spark.operators.sketches import hll_distinct
+    from ccgp_data_wrangling_spark.streaming.sketch_stream import (
+        HLLStreamState,
+        hll_stream,
+    )
+
+    src = tmp_path / "src"
+    rows = [(f"type{i % 3}", i % 700) for i in range(2100)]
+    full = spark.createDataFrame(rows, "g string, v int")
+    for j in range(3):
+        spark.createDataFrame(
+            rows[j * 700 : (j + 1) * 700], "g string, v int"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("g string, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = HLLStreamState(spark, str(tmp_path / "state"))
+    q = hll_stream(
+        stream, state, "g", "v", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, state.estimate("g").collect()))
+    want = sorted(map(tuple, hll_distinct(full, "g", "v").collect()))
+    assert got == want
