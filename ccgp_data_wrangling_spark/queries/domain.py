@@ -975,3 +975,81 @@ def p1_taxon_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sheet("biosample", "invertebrate"))
         .unionByName(sheet("sra", "vertebrate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Geo radius join: nearby specimen-collection points (coordinates
+# derived deterministically from customer ids — the testdata schema
+# carries no lat/long). The Spark side runs the 3×3 grid-blocked
+# join (operators/geojoin.py); the oracle brute-forces ALL pairs, so
+# a grid recall miss would fail the parity check — the oracle is
+# strictly stronger than the implementation.
+# ---------------------------------------------------------------------------
+
+_GEO_SQL = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         ((CAST(('0x' || SUBSTR(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+           % 120000) / 1000.0 - 60 AS lat,
+         ((CAST(('0x' || SUBSTR(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+           % 360000) / 1000.0 - 180 AS lon
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(2 * 6371.0088 * ATAN2(
+         SQRT(POWER(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+              + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                * POWER(SIN(RADIANS(b.lon - a.lon) / 2), 2)),
+         SQRT(1 - (POWER(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+              + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                * POWER(SIN(RADIANS(b.lon - a.lon) / 2), 2)))), 3) AS dist_km
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE ROUND(2 * 6371.0088 * ATAN2(
+         SQRT(POWER(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+              + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                * POWER(SIN(RADIANS(b.lon - a.lon) / 2), 2)),
+         SQRT(1 - (POWER(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+              + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                * POWER(SIN(RADIANS(b.lon - a.lon) / 2), 2)))), 3) <= 25.0
+"""
+
+
+@register("geo_radius_pairs", _GEO_SQL)
+def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Specimen points within 25 km of each other via the 3×3
+    grid-blocked self-join (operators/geojoin.geo_radius_join).
+
+    Reference parity: coordinate handling is the reference's bread
+    and butter (utils/parse.py lat/long cleaning,
+    create_sheets_ultimate.py masking/geocoding); proximity pairing
+    is the locality-clustering query that follows. The brute-force
+    oracle makes grid recall part of the checked contract.
+    """
+    from ccgp_data_wrangling_spark.operators.geojoin import geo_radius_join
+    from ccgp_data_wrangling_spark.operators.sketches import _element_hash
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    lat = (
+        F.pmod(
+            _element_hash(
+                F.concat(F.lit("lat:"), F.col("c_custkey").cast("string"))
+            ),
+            F.lit(120000),
+        )
+        / 1000.0
+        - 60
+    )
+    lon = (
+        F.pmod(
+            _element_hash(
+                F.concat(F.lit("lon:"), F.col("c_custkey").cast("string"))
+            ),
+            F.lit(360000),
+        )
+        / 1000.0
+        - 180
+    )
+    pts = cust.select(
+        F.col("c_custkey").alias("id"), lat.alias("lat"), lon.alias("lon")
+    )
+    return geo_radius_join(pts, "id", "lat", "lon", radius_km=25.0)
