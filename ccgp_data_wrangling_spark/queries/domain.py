@@ -1053,3 +1053,98 @@ def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id"), lat.alias("lat"), lon.alias("lon")
     )
     return geo_radius_join(pts, "id", "lat", "lon", radius_km=25.0)
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end: customer records + planted "re-entry"
+# variants resolved into golden records (pipelines/resolution.py).
+# The oracle replays blocking/scoring and closes the match graph
+# with a recursive CTE — a different clustering algorithm arriving
+# at the same fixpoint as the large-star/small-star operator.
+# ---------------------------------------------------------------------------
+
+_RESOLVE_SQL = """
+WITH RECURSIVE recs AS (
+  SELECT c_custkey AS rid, c_name AS nm, c_acctbal AS bal FROM customer
+  UNION ALL
+  SELECT c_custkey + 10000000, c_name || ' jr', c_acctbal
+  FROM customer WHERE c_custkey % 3 = 0
+),
+base AS (
+  SELECT rid, nm, bal,
+         REGEXP_REPLACE(LOWER(TRIM(nm)), '[^0-9]', '', 'g') AS blk
+  FROM recs
+),
+bsizes AS (SELECT blk, COUNT(*) AS n FROM base GROUP BY 1),
+blocked AS (
+  SELECT base.* FROM base JOIN bsizes USING (blk)
+  WHERE n <= 50 AND blk != ''
+),
+toks AS (
+  SELECT rid, blk, bal,
+         LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(nm)), '\\s+')) AS tok
+  FROM blocked
+),
+cand AS (
+  SELECT a.rid AS rid_a, b.rid AS rid_b,
+         ROUND(ROUND(CAST(LEN(LIST_INTERSECT(a.tok, b.tok)) AS DOUBLE)
+               / LEN(LIST_DISTINCT(a.tok || b.tok)), 4) * 0.8
+               + CAST(a.bal = b.bal AS INT) * 0.2, 4) AS score
+  FROM toks a JOIN toks b ON a.blk = b.blk AND a.rid < b.rid
+),
+edges AS (SELECT DISTINCT rid_a, rid_b FROM cand WHERE score >= 0.4),
+sym AS (
+  SELECT rid_a AS a, rid_b AS b FROM edges
+  UNION
+  SELECT rid_b, rid_a FROM edges
+),
+reach AS (
+  SELECT a AS node, b AS r FROM sym
+  UNION
+  SELECT w.node, e.b FROM reach w JOIN sym e ON w.r = e.a
+),
+comp AS (SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node),
+assigned AS (
+  SELECT base.rid, base.nm, base.bal,
+         COALESCE(comp.component, base.rid) AS entity_id
+  FROM base LEFT JOIN comp ON comp.node = base.rid
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY entity_id
+                               ORDER BY LENGTH(nm) DESC, nm DESC) AS rk
+  FROM assigned
+)
+SELECT entity_id,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       ANY_VALUE(CASE WHEN rk = 1 THEN nm END ORDER BY rk) AS canonical_name,
+       MAX(bal) AS max_balance
+FROM ranked GROUP BY entity_id
+"""
+
+
+@register("entity_resolution_golden", _RESOLVE_SQL)
+def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden records from dirty customer rows
+    (pipelines/resolution.resolve_entities).
+
+    Plants a re-entered variant (' jr' suffix, same balance) for
+    every third customer; the pipeline must block on the name's digit
+    key, score token-Jaccard + balance agreement, cluster matches,
+    and elect one canonical record per entity — singletons included.
+    """
+    from ccgp_data_wrangling_spark.pipelines.resolution import (
+        resolve_entities,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    variants = cust.where(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("rec_id"),
+        F.concat(F.col("c_name"), F.lit(" jr")).alias("name"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    return resolve_entities(base.unionByName(variants))

@@ -40,6 +40,10 @@ CARTESIAN_OK = {
     # exact all-pairs baseline by design; the production path feeds
     # LSH/IVF candidates into the same operator (tests/test_bitext.py)
     "bitext_margin_mine",
+    # the nested-loop node is the ONE-ROW query-vector broadcast
+    # (cvec × 1-row qvec) — the correct plan for attaching a scalar
+    # vector to every row; nothing quadratic exists in the query
+    "rag_retrieve_chunks",
 }
 
 
