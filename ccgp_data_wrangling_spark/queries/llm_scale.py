@@ -870,3 +870,72 @@ def rag_retrieve_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy(F.col("cos_sim").desc(), "doc_id", "chunk_id")
     return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunk dedup: prefix-shifted copies must re-align
+# after the insertion (the property fixed-width chunking lacks). The
+# oracle replays the anchor rule, segment slicing, and hash rollup.
+# ---------------------------------------------------------------------------
+
+_CDC_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_OFFSET}, 'XYZSHIFT ' || text FROM documents
+),
+anch AS (
+  SELECT doc_id, text,
+         LIST_FILTER(RANGE(8, GREATEST(LENGTH(text), 8) + 1),
+           p -> p <= LENGTH(text)
+            AND CAST(('0x' || SUBSTR(md5(SUBSTR(text, CAST(p - 7 AS INT), 8)), 1, 15))
+                AS BIGINT) % 64 = 0) AS a
+  FROM corpus
+),
+seg AS (
+  SELECT doc_id, text,
+         [1] || LIST_TRANSFORM(a, x -> x + 1) AS starts,
+         a || [CAST(LENGTH(text) AS BIGINT)] AS ends
+  FROM anch
+),
+ex AS (
+  SELECT doc_id,
+         SUBSTR(text, CAST(starts[CAST(i AS INT)] AS INT),
+                CAST(ends[CAST(i AS INT)] - starts[CAST(i AS INT)] + 1 AS INT)) AS s
+  FROM seg, UNNEST(RANGE(1, LEN(starts) + 1)) AS u(i)
+)
+SELECT md5(s) AS seg_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_sites,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MAX(LENGTH(s)) AS INT) AS seg_len
+FROM ex WHERE s != ''
+GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+@register("cdc_chunk_dedup_shifted", _CDC_SQL)
+def cdc_chunk_dedup_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-store dedup over prefix-shifted copies
+    (operators/cdc.cdc_chunk_dedup).
+
+    Content-defined boundaries re-align one k-gram window after the
+    planted 9-char insertion, so nearly every original segment dedups
+    against its shifted twin — the insertion-robustness fixed-width
+    chunking cannot deliver. Per-doc anchor scan is pure JVM HOF
+    hashing; the only shuffle is the final segment-hash rollup.
+    """
+    from ccgp_data_wrangling_spark.operators.cdc import cdc_chunk_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select(
+        (F.col("doc_id") + _OFFSET).alias("doc_id"),
+        F.concat(F.lit("XYZSHIFT "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionByName(shifted)
+    out = cdc_chunk_dedup(corpus, "doc_id", "text", k=8, divisor=64)
+    return out.select(
+        "seg_md5",
+        "n_sites",
+        "n_docs",
+        F.col("seg_len").cast("int").alias("seg_len"),
+    )
