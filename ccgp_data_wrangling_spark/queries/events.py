@@ -739,3 +739,86 @@ def unpivot_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["d"], ["click", "view", "purchase"], "metric", "n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance: fold a delta (late-arriving rows +
+# retractions of error events) into a stored per-type aggregate
+# without touching the base period (operators/matview.py). Oracle
+# replays state-build + fold arithmetic.
+# ---------------------------------------------------------------------------
+
+_MV_SQL = """
+WITH base AS (
+  SELECT event_type, value FROM events WHERE ts < TIMESTAMP '2024-02-15 00:00:00'
+),
+state AS (
+  SELECT event_type AS g,
+         CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS total,
+         MIN(value) AS vmin, MAX(value) AS vmax,
+         FALSE AS has_retract
+  FROM base GROUP BY 1
+),
+delta AS (
+  SELECT event_type, value, 1 AS w FROM events
+  WHERE ts >= TIMESTAMP '2024-02-15 00:00:00'
+  UNION ALL
+  SELECT event_type, value, -1 FROM events
+  WHERE ts < TIMESTAMP '2024-02-15 00:00:00' AND event_type = 'error'
+    AND value > 90
+),
+dstate AS (
+  SELECT event_type AS g,
+         CAST(SUM(w) AS BIGINT) AS n, SUM(w * value) AS total,
+         MIN(CASE WHEN w > 0 THEN value END) AS vmin,
+         MAX(CASE WHEN w > 0 THEN value END) AS vmax,
+         MAX(w < 0) AS has_retract
+  FROM delta GROUP BY 1
+),
+merged AS (
+  SELECT g, CAST(SUM(n) AS BIGINT) AS n, SUM(total) AS total,
+         MIN(vmin) AS vmin, MAX(vmax) AS vmax,
+         MAX(has_retract) AS needs_rescan
+  FROM (SELECT * FROM state UNION ALL SELECT * FROM dstate)
+  GROUP BY g HAVING SUM(n) > 0
+)
+SELECT g, n, ROUND(total, 4) AS total, vmin, vmax,
+       ROUND(total / n, 4) AS avg, needs_rescan
+FROM merged
+"""
+
+
+@register("incremental_rollup_fold", _MV_SQL)
+def incremental_rollup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized per-type rollup folded forward by one delta batch
+    (operators/matview.rollup_state / rollup_fold).
+
+    The delta carries the new period's insertions plus retractions of
+    bad base-period rows (error events with value > 90); counts/sums
+    absorb retractions exactly, min/max groups are flagged
+    ``needs_rescan`` — cost is delta-sized, the base period is never
+    rescanned.
+    """
+    from ccgp_data_wrangling_spark.operators.matview import (
+        rollup_fold,
+        rollup_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts"
+    )
+    cutoff = "2024-02-15 00:00:00"
+    base = ev.where(F.col("ts") < cutoff)
+    state = rollup_state(base, "event_type", "value").drop("has_retract")
+    late = ev.where(F.col("ts") >= cutoff).select(
+        "event_type", "value", F.lit(1).alias("w")
+    )
+    retract = ev.where(
+        (F.col("ts") < cutoff)
+        & (F.col("event_type") == "error")
+        & (F.col("value") > 90)
+    ).select("event_type", "value", F.lit(-1).alias("w"))
+    dstate = rollup_state(
+        late.unionByName(retract), "event_type", "value", weight_col="w"
+    )
+    return rollup_fold(state, dstate)
