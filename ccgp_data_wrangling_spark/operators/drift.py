@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["psi_drift"]
+__all__ = ["psi_drift", "reference_bins", "bin_counts", "psi_readout"]
 
 #: add-k mass so empty bins never divide by zero.
 SMOOTHING = 0.5
@@ -97,4 +97,105 @@ def psi_drift(
         F.col("n_cmp").cast("long").alias("n_cmp"),
         "psi",
         band.alias("drift_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decomposed pieces for incremental / streaming monitoring
+# ---------------------------------------------------------------------------
+
+
+def reference_bins(
+    ref: DataFrame, *, group_col: str, value_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Frozen reference state for drift monitoring:
+    ``(g, bounds, bin, c_ref)`` — decile bounds over the reference
+    slice plus its own per-bin counts. Computed ONCE; every future
+    comparison bins against these bounds.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = ref.groupBy(g.alias("g")).agg(
+        F.transform(
+            F.percentile(v, F.array(*[F.lit(q) for q in qs])),
+            lambda b: F.round(b, 6),
+        ).alias("bounds")
+    )
+    counts = bin_counts(ref, bounds, group_col=group_col, value_col=value_col)
+    return bounds.join(
+        counts.withColumnRenamed("c", "c_ref"), "g"
+    ).select("g", "bounds", "bin", "c_ref")
+
+
+def bin_counts(
+    df: DataFrame,
+    bounds: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """``(g, bin, c)`` histogram of ``df`` against frozen bounds.
+
+    Additive and mergeable — fold micro-batch histograms by summing
+    ``c`` per (g, bin); the state stays ≤ groups × n_bins rows.
+    """
+    return (
+        df.select(
+            F.col(group_col).alias("g"), F.col(value_col).alias("v")
+        )
+        .join(F.broadcast(bounds.select("g", "bounds").dropDuplicates(["g"])), "g")
+        .select(
+            "g",
+            F.size(
+                F.filter(F.col("bounds"), lambda b: b <= F.col("v"))
+            ).alias("bin"),
+        )
+        .groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def psi_readout(ref_state: DataFrame, cmp_counts: DataFrame, *, n_bins: int = 10) -> DataFrame:
+    """PSI per group from frozen reference state + comparison counts.
+
+    Same smoothing/rounding arithmetic as :func:`psi_drift` (add-0.5
+    mass, 6-dp ln, 4-dp PSI), so a one-shot batch split and a folded
+    stream of micro-batches produce identical numbers over identical
+    data.
+    """
+    joined = (
+        ref_state.select("g", "bin", "c_ref")
+        .join(
+            cmp_counts.select("g", "bin", F.col("c").alias("c_cmp")),
+            ["g", "bin"],
+            "full_outer",
+        )
+        .select(
+            "g",
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cmp", F.lit(0)).alias("c_cmp"),
+        )
+    )
+    totals = joined.groupBy("g").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cmp").alias("n_cmp")
+    )
+    smooth_tot = F.lit(SMOOTHING * n_bins)
+    p_ref = (F.col("c_ref") + SMOOTHING) / (F.col("n_ref") + smooth_tot)
+    p_cmp = (F.col("c_cmp") + SMOOTHING) / (F.col("n_cmp") + smooth_tot)
+    term = (p_cmp - p_ref) * F.round(F.ln(p_cmp / p_ref), 6)
+    band = (
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "drifting")
+        .otherwise("action")
+    )
+    return (
+        joined.join(F.broadcast(totals), "g")
+        .groupBy("g")
+        .agg(
+            F.any_value("n_ref").cast("long").alias("n_ref"),
+            F.any_value("n_cmp").cast("long").alias("n_cmp"),
+            F.round(F.sum(term), 4).alias("psi"),
+        )
+        .withColumn("drift_band", band)
     )

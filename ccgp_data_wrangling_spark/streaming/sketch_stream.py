@@ -43,6 +43,8 @@ __all__ = [
     "cms_stream",
     "HLLStreamState",
     "hll_stream",
+    "DriftStreamState",
+    "drift_stream",
 ]
 
 
@@ -208,6 +210,90 @@ def hll_stream(
 
     def _sink(batch: DataFrame, _epoch: int) -> None:
         state.fold(batch, group_col, value_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+class DriftStreamState:
+    """Streaming drift monitor: frozen reference bins + additive
+    comparison histogram at ``path``.
+
+    ``init_reference`` computes decile bounds + reference counts ONCE
+    (operators/drift.reference_bins); each micro-batch fold bins the
+    batch against the frozen bounds and ADDS histogram counts —
+    state stays ≤ groups × n_bins rows. ``psi()`` reads the monitor
+    out at any time. Additive fold = CMS-class replay caveat: epoch
+    checkpointing (foreachBatch) provides the exactly-once.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, *, n_bins: int = 10):
+        self.spark = spark
+        self.path = path
+        self.n_bins = n_bins
+        self._ref = ParquetTable(spark, os.path.join(path, "ref"), key=["g", "bin"])
+        self._cmp = ParquetTable(spark, os.path.join(path, "cmp"), key=["g", "bin"])
+
+    def init_reference(
+        self, ref: DataFrame, *, group_col: str, value_col: str
+    ) -> None:
+        from ccgp_data_wrangling_spark.operators.drift import reference_bins
+
+        self._ref.init(
+            reference_bins(
+                ref, group_col=group_col, value_col=value_col, n_bins=self.n_bins
+            )
+        )
+
+    def fold(self, batch: DataFrame, *, group_col: str, value_col: str) -> None:
+        from pyspark.sql import functions as F
+
+        from ccgp_data_wrangling_spark.operators.drift import bin_counts
+
+        part = bin_counts(
+            batch,
+            self._ref.read().select("g", "bounds"),
+            group_col=group_col,
+            value_col=value_col,
+        )
+        if not os.path.isdir(self._cmp.path):
+            self._cmp.init(part)
+            return
+        merged = (
+            self._cmp.read()
+            .unionByName(part)
+            .groupBy("g", "bin")
+            .agg(F.sum("c").alias("c"))
+        )
+        self._cmp._swap_in(merged)
+
+    def psi(self) -> DataFrame:
+        from ccgp_data_wrangling_spark.operators.drift import psi_readout
+
+        return psi_readout(
+            self._ref.read(), self._cmp.read(), n_bins=self.n_bins
+        )
+
+
+def drift_stream(
+    stream: DataFrame,
+    state: DriftStreamState,
+    *,
+    group_col: str,
+    value_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain a PSI drift monitor from a streaming frame."""
+
+    def _sink(batch: DataFrame, _epoch: int) -> None:
+        state.fold(batch, group_col=group_col, value_col=value_col)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
