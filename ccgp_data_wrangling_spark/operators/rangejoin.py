@@ -17,7 +17,7 @@ bioinformatics interval joins (e.g. chromosome-binned BED joins) work;
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["range_join"]
@@ -71,3 +71,58 @@ def range_join(
         (F.col(point_col) >= F.col(start_col))
         & (F.col(point_col) <= F.col(end_col))
     ).select(*keys, *p_payload, *i_payload)
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping/adjacent intervals per key →
+    ``(key, n_merged, covered, n_intervals)``: merged-island count,
+    total covered length, input count.
+
+    The genomics coverage primitive (BED merge): per key, sort
+    intervals by start, open a new island whenever a start exceeds
+    the running max end so far. The running max is ONE window
+    function partitioned by key (millions of small per-key windows —
+    the scalable direction, same shape as the sessionization family);
+    islands are then flat aggregates, no self-join, no explode of
+    positions.
+
+    Interval semantics: half-open [start, end); touching intervals
+    (a.end == b.start) merge.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_end = F.max(end_col).over(w)
+    island_start = (
+        F.when(run_end.isNull() | (F.col(start_col) > run_end), 1).otherwise(0)
+    )
+    w2 = (
+        Window.partitionBy(key_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = df.select(
+        F.col(key_col).alias("k"),
+        F.col(start_col).alias("s"),
+        F.col(end_col).alias("e"),
+        F.sum(island_start).over(w2).alias("island"),
+    )
+    per_island = islands.groupBy("k", "island").agg(
+        F.min("s").alias("is_"), F.max("e").alias("ie")
+    )
+    return per_island.groupBy(F.col("k").alias(key_col)).agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.sum(F.col("ie") - F.col("is_")).cast("long").alias("covered"),
+    ).join(
+        df.groupBy(F.col(key_col).alias(key_col)).agg(
+            F.count(F.lit(1)).alias("n_intervals")
+        ),
+        key_col,
+    )

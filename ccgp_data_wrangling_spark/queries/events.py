@@ -822,3 +822,73 @@ def incremental_rollup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         late.unionByName(retract), "event_type", "value", weight_col="w"
     )
     return rollup_fold(state, dstate)
+
+
+# ---------------------------------------------------------------------------
+# Interval coverage merge (BED-merge primitive): per user, events
+# open [epoch_min, epoch_min + ceil(value)) activity intervals;
+# merge overlaps, report island count + covered minutes. Oracle
+# replays the running-max island construction with a window.
+# ---------------------------------------------------------------------------
+
+_COVER_SQL = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(FLOOR(EPOCH(ts) / 60) AS BIGINT) AS s,
+         CAST(FLOOR(EPOCH(ts) / 60) AS BIGINT)
+           + CAST(CEIL(value / 10.0) AS BIGINT) AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islanded AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+per_island AS (
+  SELECT user_id, island, MIN(s) AS is_, MAX(e) AS ie
+  FROM islanded GROUP BY 1, 2
+)
+SELECT p.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_merged,
+       CAST(SUM(ie - is_) AS BIGINT) AS covered,
+       ANY_VALUE(n.n) AS n_intervals
+FROM per_island p
+JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM iv GROUP BY 1) n
+  ON n.user_id = p.user_id
+GROUP BY 1
+"""
+
+
+@register("interval_coverage_users", _COVER_SQL)
+def interval_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user merged activity coverage
+    (operators/rangejoin.interval_coverage).
+
+    The BED-merge primitive the reference's sequencing domain
+    ultimately needs (read-coverage islands); one running-max window
+    per key, no self-join, no position explode.
+    """
+    from ccgp_data_wrangling_spark.operators.rangejoin import (
+        interval_coverage,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_timestamp("ts") / 60).cast("long").alias("s"),
+        (
+            (F.unix_timestamp("ts") / 60).cast("long")
+            + F.ceil(F.col("value") / 10.0).cast("long")
+        ).alias("e"),
+    )
+    return interval_coverage(ev, "user_id", "s", "e")

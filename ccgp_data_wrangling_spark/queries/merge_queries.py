@@ -448,3 +448,69 @@ def m8_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return tbl.read().select("pk", "k", "total")
     finally:
         _cleanup_at_exit(tmp)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (as-of) join against SCD2 history: each order picks
+# the segment version valid AT ITS ORDER DATE. The consumer side of
+# m7's history builder — the query every SCD2 dimension exists for.
+# ---------------------------------------------------------------------------
+
+_PIT_SQL = """
+WITH hist AS (
+  SELECT c_custkey, c_mktsegment,
+         TIMESTAMP '1992-01-01 00:00:00' AS valid_from,
+         CASE WHEN c_custkey % 5 = 0 THEN TIMESTAMP '1996-06-01 00:00:00' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'MOVED', TIMESTAMP '1996-06-01 00:00:00', NULL
+  FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT o.o_orderkey, h.c_mktsegment AS segment_at_order,
+       CAST(o.o_orderdate >= TIMESTAMP '1996-06-01 00:00:00' AS BOOLEAN) AS after_move
+FROM orders o
+JOIN hist h ON h.c_custkey = o.o_custkey
+           AND o.o_orderdate >= h.valid_from
+           AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+"""
+
+
+@register("pit_scd2_segment_at_order", _PIT_SQL)
+def pit_scd2_segment_at_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined to the SCD2 segment version valid at order time.
+
+    Plan shape: the history table is dimension-sized (≤ versions ×
+    customers) so it BROADCASTS; the interval predicate rides the
+    broadcast hash join on the equi-key (custkey) with the validity
+    window as a residual filter — never a range/cartesian join. At
+    100 TB the fact side streams through unshuffled.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    t0 = F.lit("1992-01-01 00:00:00").cast("timestamp")
+    t1 = F.lit("1996-06-01 00:00:00").cast("timestamp")
+    hist = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        t0.alias("valid_from"),
+        F.when(F.col("c_custkey") % 5 == 0, t1).alias("valid_to"),
+    ).unionByName(
+        cust.where(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey",
+            F.lit("MOVED").alias("c_mktsegment"),
+            t1.alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cond = (
+        (orders.o_custkey == hist.c_custkey)
+        & (orders.o_orderdate >= hist.valid_from)
+        & (hist.valid_to.isNull() | (orders.o_orderdate < hist.valid_to))
+    )
+    return orders.join(F.broadcast(hist), cond).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment_at_order"),
+        (F.col("o_orderdate") >= t1).alias("after_move"),
+    )

@@ -108,3 +108,38 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "color" in plan.split("PartitionFilters", 1)[1][:200]
     assert back.count() == 30
+
+
+# ---------------------------------------------------------------------------
+# interval_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_interval_coverage_merges_overlaps(spark):
+    from ccgp_data_wrangling_spark.operators.rangejoin import (
+        interval_coverage,
+    )
+
+    rows = [
+        ("a", 0, 10), ("a", 5, 15), ("a", 15, 20),  # one island [0,20)
+        ("a", 30, 35),                               # second island
+        ("b", 0, 1), ("b", 2, 3),                    # two islands
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {
+        r["k"]: (r["n_merged"], r["covered"], r["n_intervals"])
+        for r in interval_coverage(df, "k", "s", "e").collect()
+    }
+    assert out == {"a": (2, 25, 4), "b": (2, 2, 2)}
+
+
+def test_interval_coverage_touching_merge_and_containment(spark):
+    from ccgp_data_wrangling_spark.operators.rangejoin import (
+        interval_coverage,
+    )
+
+    rows = [("k", 0, 100), ("k", 10, 20), ("k", 100, 101)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    r = interval_coverage(df, "k", "s", "e").collect()[0]
+    # contained interval absorbed; touching [100,101) merges
+    assert (r["n_merged"], r["covered"]) == (1, 101)
