@@ -44,7 +44,6 @@ def register(name: str, oracle: str | None):
 # registration order.  Keep every name that still lacks a green
 # CORRECTNESS row — plus any newly added query — inside the first 50.
 _PRIORITY: list[str] = [
-    # --- never driver-verified as of r02 (all locally oracle-green) ---
     "m3_array_union_pull",
     "m3_struct_tuple_union",
     "m8_partitioned_upsert",
@@ -65,7 +64,6 @@ _PRIORITY: list[str] = [
     "range_balance_band",
     "profile_orders",
     "percentiles_by_flag",
-    # --- new in round 3 (never driver-verified by definition) ---
     "x11b_service_geocode",
     "s4_sheet_probe_xls",
     "url_normalize_dedup",
@@ -111,7 +109,28 @@ _PRIORITY: list[str] = [
     "dsir_target_select",
     "semantic_dedup_planted",
     "psi_value_drift",
-    # --- green only in r1: re-verify before the rest ---
+    "perplexity_bucket_mix",
+    "quality_classifier_linear",
+    "geo_radius_pairs",
+    "entity_resolution_golden",
+    "grouping_sets_events",
+    "unpivot_daily_counts",
+    "incremental_rollup_fold",
+    "interval_coverage_users",
+    "minhash_incremental_newbatch",
+    "bitext_margin_mine",
+    "rag_retrieve_chunks",
+    "cdc_chunk_dedup_shifted",
+    "pit_scd2_segment_at_order",
+    "hll_distinct_users",
+    "heavy_hitters_users",
+    "q2_min_cost_supplier",
+    "q11_important_value",
+    "q12_priority_lateness",
+    "q16_supplier_count",
+    "q20_excess_supply",
+    "q21_waiting_supplier",
+    "snapshot_diff_documents",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",
@@ -124,6 +143,58 @@ _PRIORITY: list[str] = [
     "w2_top_order_per_customer",
     "x12_fuzzy_best_match",
     "x7_part_labels",
+    "m2_insert_only_then_delete",
+    "m7_scd2_segment_migration",
+    "k1_s5_tsv_roundtrip",
+    "s4_sheet_probe_tsv",
+    "s4_sheet_probe_xlsx",
+    "s3_t2_discovery_merge",
+    "t1_ledger_ingest",
+    "m5_update_where_in",
+    "k6_text_report_roundtrip",
+    "t3_stream_merge_availablenow",
+    "repetition_filter_gopher",
+    "bigram_lm_score",
+    "tfidf_top_terms",
+    "curation_pipeline_e2e",
+    "j1_linkage_fileset",
+    "a3_depth_model",
+    "j5_array_membership_join",
+    "j8_coalescing_dim_join",
+    "j9_summary_assembly",
+    "f5_file_count_audit",
+    "x9_geo_loc_merge",
+    "x10_coordinate_masking",
+    "x_cleaning_pipeline",
+    "x11_reverse_geocode",
+    "f2_regex_filter",
+    "r2_filename_pivot",
+    "r3_struct_flatten",
+    "r1_legacy_prefix_pairs",
+    "p1_taxon_projection",
+    "t_hourly_rollup",
+    "t_user_sessions",
+    "t_daily_share",
+    "asof_last_click",
+    "t_multigrain_rollup",
+    "dedup_exact_canonical",
+    "text_quality_stats",
+    "lang_id_heuristic",
+    "knn_top10_cosine",
+    "token_counts",
+    "fingerprint_rolling_hash",
+    "minhash_neardup_planted",
+    "neardup_cluster_canonical",
+    "simhash_dup_planted",
+    "ann_lsh_planted",
+    "ann_ivf_planted",
+    "ann_lsh_vs_exact",
+    "ann_ivf_vs_exact",
+    "ngram_jaccard_neardup",
+    "embedding_cosine_neardup",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "m1_upsert",
 ]
 
 
