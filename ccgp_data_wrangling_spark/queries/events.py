@@ -892,3 +892,112 @@ def interval_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e"),
     )
     return interval_coverage(ev, "user_id", "s", "e")
+
+
+# ---------------------------------------------------------------------------
+# Click-path trigrams: most common 3-step event-type sequences.
+# Per-user window (millions of tiny partitions) + hash rollup.
+# ---------------------------------------------------------------------------
+
+_PATH_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS nxt1,
+         LEAD(event_type, 2) OVER w AS nxt2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || nxt1 || '>' || nxt2 AS path,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ordered
+WHERE nxt2 IS NOT NULL
+GROUP BY 1
+HAVING COUNT(*) >= 50
+"""
+
+
+@register("event_path_trigrams", _PATH_SQL)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step user journeys (sequence mining, n=3).
+
+    lead() windows partition per user — no global sort; the trigram
+    rollup is one map-side-combining aggregate. The (ts, event_id)
+    ordering key makes simultaneous events deterministic.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = ev.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    ).where(F.col("nxt2").isNotNull())
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew profile: distribution diagnostics a planner (or an engineer
+# choosing a salt factor) needs before a big join/agg on a key.
+# ---------------------------------------------------------------------------
+
+_SKEWPROF_SQL = """
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+               MAX(c) AS cmax FROM counts)
+SELECT n AS n_rows, k AS n_keys, cmax AS max_key_rows,
+       ROUND(CAST(cmax AS DOUBLE) * k / n, 4) AS skew_factor,
+       ROUND(CAST(n AS DOUBLE) / k, 4) AS mean_key_rows,
+       CAST((SELECT COUNT(*) FROM counts, tot
+             WHERE c > 2.0 * n / k) AS BIGINT) AS n_hot_keys
+FROM tot
+"""
+
+
+@register("skew_profile_events", _SKEWPROF_SQL)
+def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostics for events.user_id: max/mean key
+    size, skew factor (max/mean ratio), hot-key count (> 2× mean).
+
+    One hash aggregate + one tiny rollup — the measurement that
+    decides whether a downstream join needs salting (operators/skew)
+    BEFORE it runs. Everything rides scalar subqueries; no window,
+    no sort.
+    """
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").alias("max_key_rows"),
+    )
+    n = tot.select("n_rows").scalar()
+    k = tot.select("n_keys").scalar()
+    hot = counts.where(F.col("c") > 2.0 * n / k).agg(
+        F.count(F.lit(1)).cast("long")
+    ).scalar()
+    return tot.select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round(F.col("max_key_rows").cast("double") * k / n, 4).alias(
+            "skew_factor"
+        ),
+        F.round(F.col("n_rows").cast("double") / k, 4).alias("mean_key_rows"),
+        F.lit(hot).cast("long").alias("n_hot_keys"),
+    )
