@@ -526,3 +526,58 @@ def jl_projection_16d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", *jl_project(emb, "embedding", dim=64, out_dim=16, seed=7)
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities over the synthetic link graph. The
+# oracle unrolls the three synchronous rounds as explicit CTE stages
+# (round t+1 reads only round t) with the same (count DESC, label
+# ASC) winner rule — a fixed-round pure function of the edge set.
+# ---------------------------------------------------------------------------
+
+def _lpa_oracle() -> str:
+    stage = """
+r{t} AS (
+  SELECT s.a AS node, l.label, COUNT(*) AS c
+  FROM sym s JOIN l{p} l ON l.node = s.b GROUP BY 1, 2
+),
+l{t} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM r{t}) WHERE rn = 1
+)"""
+    rounds = ",".join(stage.format(t=t, p=t - 1) for t in (1, 2, 3))
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT doc_id % 211 AS a, (doc_id * 7 + 3) % 211 AS b
+  FROM documents WHERE doc_id % 211 != (doc_id * 7 + 3) % 211
+),
+sym AS (
+  SELECT DISTINCT a, b FROM (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)
+),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),{rounds}
+SELECT node, label FROM l3
+"""
+
+
+@register("label_propagation_communities", _lpa_oracle())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities on the link graph via 3-round deterministic LPA
+    (operators/labelprop.py).
+
+    Complements pagerank (importance) and connected components
+    (reachability): LPA finds dense regions. One shuffle join + one
+    argmax aggregate per round, constant plan size via checkpoint
+    truncation.
+    """
+    from ccgp_data_wrangling_spark.operators.labelprop import (
+        label_propagation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 211).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 211).alias("dst"),
+    )
+    return label_propagation(edges, n_rounds=3)
