@@ -80,6 +80,12 @@ HEADLINE = [
     # sf0.1), correctness-checked at sf0.01; the production path
     # feeds LSH/IVF candidates into the same operator.
     "rag_retrieve_chunks",
+    "entity_resolution_golden",
+    "cdc_chunk_dedup_shifted",
+    "interval_coverage_users",
+    "label_propagation_communities",
+    "pit_scd2_segment_at_order",
+    "event_path_trigrams",
 ]
 
 

@@ -939,3 +939,65 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-contract expectations over orders: every rule folds into ONE
+# aggregate pass (operators/profile.check_expectations). The oracle
+# computes the same conditional sums; null predicate results count
+# as violations on both sides.
+# ---------------------------------------------------------------------------
+
+_EXPECT_SQL = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_price_positive,
+         CAST(SUM(CASE WHEN NOT COALESCE(o_orderdate BETWEEN TIMESTAMP '1992-01-01 00:00:00'
+                                          AND TIMESTAMP '1998-12-31 23:59:59', FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_date_in_range,
+         CAST(SUM(CASE WHEN NOT COALESCE(o_orderpriority IN
+                       ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'), FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_priority_domain,
+         CAST(SUM(CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_custkey_present,
+         CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_status_domain
+  FROM orders
+)
+SELECT r.rule, a.n_rows, r.n_violations,
+       ROUND(CAST(r.n_violations AS DOUBLE) / GREATEST(a.n_rows, 1), 6) AS violation_rate,
+       r.n_violations = 0 AS passed
+FROM agg a, (
+  SELECT 'price_positive' AS rule, v_price_positive AS n_violations FROM agg
+  UNION ALL SELECT 'date_in_range', v_date_in_range FROM agg
+  UNION ALL SELECT 'priority_domain', v_priority_domain FROM agg
+  UNION ALL SELECT 'custkey_present', v_custkey_present FROM agg
+  UNION ALL SELECT 'status_domain', v_status_domain FROM agg
+) r
+"""
+
+
+@register("data_expectations_orders", _EXPECT_SQL)
+def data_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate contract checks on orders — five rules, one pass."""
+    from ccgp_data_wrangling_spark.operators.profile import (
+        check_expectations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        ("price_positive", F.col("o_totalprice") > 0),
+        (
+            "date_in_range",
+            F.col("o_orderdate").between(
+                "1992-01-01 00:00:00", "1998-12-31 23:59:59"
+            ),
+        ),
+        (
+            "priority_domain",
+            F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        ),
+        ("custkey_present", F.col("o_custkey").isNotNull()),
+        ("status_domain", F.col("o_orderstatus").isin("O", "F", "P")),
+    ]
+    return check_expectations(orders, rules)

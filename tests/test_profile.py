@@ -38,3 +38,44 @@ def test_approx_profile_within_rsd(spark):
     }
     for c, ex in exact.items():
         assert abs(approx[c] - ex) <= max(1, 0.15 * ex), (c, ex, approx[c])
+
+
+# ---------------------------------------------------------------------------
+# check_expectations
+# ---------------------------------------------------------------------------
+
+
+def test_expectations_null_counts_as_violation(spark):
+    from pyspark.sql import functions as F
+
+    from ccgp_data_wrangling_spark.operators.profile import (
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id int, v double"
+    )
+    out = {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in check_expectations(
+            df, [("v_positive", F.col("v") > 0), ("id_present", F.col("id").isNotNull())]
+        ).collect()
+    }
+    # NULL v fails v_positive (3-valued logic coalesced to violation)
+    assert out == {"v_positive": (2, False), "id_present": (0, True)}
+
+
+def test_expectations_single_pass_plan(spark):
+    """All rules fold into one aggregate — no per-rule scan."""
+    from pyspark.sql import functions as F
+
+    from ccgp_data_wrangling_spark.operators.profile import (
+        check_expectations,
+    )
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    plan = check_expectations(
+        df,
+        [(f"r{i}", F.col("v") > i) for i in range(10)],
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("range") == 1
