@@ -142,3 +142,32 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A dim-side filter prunes fact PARTITIONS at runtime (DPP):
+    the fact scan must carry a dynamicpruning subquery filter, so at
+    100 TB only the matching partition directories are read."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("int").alias("part"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    fact.write.mode("overwrite").partitionBy("part").parquet(
+        str(tmp_path / "fact")
+    )
+    dim = spark.createDataFrame(
+        [(3, "keep"), (7, "keep")], "part int, tag string"
+    )
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    joined = f.join(dim.where(F.col("tag") == "keep"), "part").agg(
+        F.sum("v").alias("s")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the answer is right
+    got = joined.collect()[0]["s"]
+    want = sum(i * 2.0 for i in range(10_000) if i % 10 in (3, 7))
+    assert got == want
