@@ -939,3 +939,141 @@ def cdc_chunk_dedup_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.col("seg_len").cast("int").alias("seg_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL media decode through the driver gate: synthesize valid PCM WAV
+# payloads per event (wave module, inside the Arrow batch), decode
+# them with the real stdlib kernel (operators/media_codecs.decode_wav
+# via multimodal.extract_real_features), and check the features
+# against their closed-form values. Constant-amplitude dyadic samples
+# (m/64) make rms/peak EXACT at 6 dp in both engines.
+# ---------------------------------------------------------------------------
+
+_WAV_SQL = """
+SELECT event_id AS id,
+       'audio' AS kind,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       ROUND(((event_id % 50) + 10) / 8000.0, 6) AS duration_sec,
+       ROUND((event_id % 50) / 64.0, 6) AS rms,
+       ROUND((event_id % 50) / 64.0, 6) AS peak
+FROM events WHERE event_id % 20 = 0
+"""
+
+
+@register("multimodal_wav_real_decode", _WAV_SQL)
+def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode end-to-end: synth payload → stdlib kernel →
+    features, driver-checked against closed-form values.
+
+    This is NOT the fake-decoder path: the bytes are genuine RIFF/PCM
+    produced by ``wave`` and parsed back by
+    operators/media_codecs.decode_wav (frombuffer → float → rms/peak).
+    Arrow batches carry the payloads; no Python touches rows outside
+    the two mapInPandas stages.
+    """
+    import io
+    import wave
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.multimodal import (
+        extract_real_features,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 0
+    ).select(F.col("event_id").alias("id"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                n = int(eid % 50) + 10
+                byte = 128 + 2 * int(eid % 50)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(1)
+                    wf.setframerate(8000)
+                    wf.writeframes(bytes([byte]) * n)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    media = ev.mapInPandas(
+        synth, schema="id long, payload binary, media_type string"
+    )
+    feats = extract_real_features(media)
+    return feats.select(
+        "id", "kind", "sample_rate", "n_channels",
+        "duration_sec", "rms", "peak",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real netpbm (P5) decode through the driver gate — valid headers
+# (with a comment line, exercising the tokenizer) + constant-luma
+# pixel planes whose features have closed forms.
+# ---------------------------------------------------------------------------
+
+_PGM_SQL = """
+SELECT event_id AS id,
+       'image' AS kind,
+       CAST((event_id % 5) + 2 AS INT) AS width,
+       CAST((event_id % 7) + 2 AS INT) AS height,
+       CAST(1 AS INT) AS n_channels,
+       ROUND(CAST((event_id % 200) + 10 AS DOUBLE), 4) AS luma_mean
+FROM events WHERE event_id % 20 = 1
+"""
+
+
+@register("multimodal_pgm_real_decode", _PGM_SQL)
+def multimodal_pgm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real P5 image decode end-to-end (media_codecs._parse_netpbm):
+    header tokenizing (incl. comment lines), raster parse, channel
+    means — driver-checked against the construction's closed form.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.multimodal import (
+        extract_real_features,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 1
+    ).select(F.col("event_id").alias("id"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                w = int(eid % 5) + 2
+                h = int(eid % 7) + 2
+                v = int(eid % 200) + 10
+                header = f"P5\n# synthetic {eid}\n{w} {h}\n255\n".encode()
+                payloads.append(header + bytes([v]) * (w * h))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "payload": payloads,
+                    "media_type": "image/pgm",
+                }
+            )
+
+    media = ev.mapInPandas(
+        synth, schema="id long, payload binary, media_type string"
+    )
+    feats = extract_real_features(media)
+    return feats.select(
+        "id", "kind", "width", "height", "n_channels", "luma_mean"
+    )
