@@ -133,6 +133,7 @@ def minhash_neardup_pairs(
     shingle_k: int = 5,
     seed: int = 42,
     max_bucket: int = 1000,
+    shuffle_input: bool = False,
     scope: CacheScope | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact_jaccard ≥ threshold).
@@ -142,6 +143,13 @@ def minhash_neardup_pairs(
     step makes output exact w.r.t. the shingle representation (LSH
     only controls recall), so results are deterministic and
     order-independent.
+
+    ``shuffle_input`` repartitions (id, text) ahead of the signature
+    build. Measured NEUTRAL-TO-NEGATIVE on this corpus (the persist
+    bounds the build to one pass and downstream bucket shuffles
+    dominate; A/B at sf0.1: 2.5 s raw vs 4.4 s shuffled median) —
+    reach for it only when a huge dense-file corpus makes the
+    signature stage itself the bottleneck.
     """
     rows = n_hashes // bands
     # persist the signature table: HOF lambdas are interpreted (not
@@ -152,6 +160,8 @@ def minhash_neardup_pairs(
     # likewise materialized once (it's 1000× smaller than the corpus).
     if scope is None:
         scope = active_scope("minhash_neardup_pairs")
+    if shuffle_input:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     base = scope.persist(
         df.select(
             F.col(id_col).alias("id"),
@@ -218,6 +228,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 10_000,
+    shuffle_input: bool = False,
     scope: CacheScope | None = None,
 ) -> DataFrame:
     """EXACT word-n-gram Jaccard near-dup pairs (no approximation).
@@ -245,6 +256,8 @@ def ngram_jaccard_pairs(
     # the interpreted shingle HOFs per branch
     if scope is None:
         scope = active_scope("ngram_jaccard_pairs")
+    if shuffle_input:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     base = scope.persist(
         df.select(
             F.col(id_col).alias("id"),
@@ -432,6 +445,7 @@ def simhash_neardup_pairs(
     *,
     max_hamming: int = 3,
     bands: int = 4,
+    shuffle_input: bool = False,
     scope: CacheScope | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into ``bands``
@@ -444,6 +458,8 @@ def simhash_neardup_pairs(
     # expression into every chunk extraction / join branch
     if scope is None:
         scope = active_scope("simhash_neardup_pairs")
+    if shuffle_input:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     base = scope.persist(
         df.select(
             F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
