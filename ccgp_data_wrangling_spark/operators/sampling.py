@@ -31,7 +31,7 @@ from ccgp_data_wrangling_spark.operators.sketches import (
     _element_hash,
 )
 
-__all__ = ["priority_sample", "priority_sum_estimate", "token_budget_select"]
+__all__ = ["priority_sample", "priority_sum_estimate", "token_budget_select", "negative_samples"]
 
 
 def _priority(weight: F.Column, id_col: F.Column) -> F.Column:
@@ -133,4 +133,65 @@ def token_budget_select(
         docs.withColumn("cum_tokens", F.sum(token_col).over(w))
         .where(F.col("cum_tokens") - F.col(token_col) < budget_tokens)
         .select(group_col, id_col, token_col, "cum_tokens")
+    )
+
+
+def negative_samples(
+    anchors: DataFrame,
+    item_col: str,
+    class_col: str,
+    *,
+    k: int = 4,
+    seed: int = 17,
+    pool: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training:
+    for each anchor item, ``k`` items from OTHER classes —
+    ``(anchor, negative, neg_rank 1..k)``.
+
+    The classic implementation draws rand() negatives per anchor —
+    irreproducible across layouts and a full shuffle of the item
+    table per epoch. Here each anchor's negatives are the k smallest
+    ``md5(seed, anchor, candidate)`` values among out-of-class
+    candidates, which is (a) layout-independent, (b) a per-anchor
+    uniform sample without replacement, and (c) re-derivable for any
+    single anchor without touching the corpus (auditable lineage).
+
+    ``pool`` is the candidate relation (same ``item_col``/
+    ``class_col`` schema); default is the anchors themselves.
+    Scale contract: anchors × pool is the join size — callers keep
+    the pool BOUNDED (in-batch negatives, a per-class hash-ranked
+    head, a reservoir), which is standard contrastive practice; the
+    rank is a per-anchor window over k·|pool| candidate rows, never
+    a global sort.
+    """
+    if pool is None:
+        pool = anchors
+    a = anchors.select(
+        F.col(item_col).alias("anchor"), F.col(class_col).alias("a_cls")
+    )
+    c = pool.select(
+        F.col(item_col).alias("negative"), F.col(class_col).alias("n_cls")
+    )
+    scored = a.join(c, F.col("a_cls") != F.col("n_cls")).withColumn(
+        "h",
+        _element_hash(
+            F.concat_ws(
+                ":",
+                F.lit(str(seed)),
+                F.col("anchor").cast("string"),
+                F.col("negative").cast("string"),
+            )
+        ),
+    )
+    # ordering by the raw 60-bit hash IS ordering by u = h / 2^60
+    w = Window.partitionBy("anchor").orderBy("h", "negative")
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select(
+            "anchor",
+            "negative",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
     )

@@ -788,3 +788,68 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(
         events, "user_id", "event_id", threshold_frac=0.0075, sample_mod=4
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling for contrastive training: per anchor embedding,
+# 4 deterministic out-of-class negatives. The candidate pool here is
+# the label-stratified head of each class (hash-ranked ≤ 8 per
+# class) — the bounded-pool contract the operator documents.
+# ---------------------------------------------------------------------------
+
+_NEG_SQL = f"""
+WITH pool AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           ROW_NUMBER() OVER (PARTITION BY label
+             ORDER BY {_DUCK_HASH.format(v="'pool:' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+    FROM embeddings) WHERE rn <= 8
+),
+anchors AS (SELECT vec_id, label FROM embeddings WHERE vec_id % 10 = 0),
+scored AS (
+  SELECT a.vec_id AS anchor, p.vec_id AS negative,
+         {_DUCK_HASH.format(v="'17:' || CAST(a.vec_id AS VARCHAR) || ':' || CAST(p.vec_id AS VARCHAR)")} AS h
+  FROM anchors a JOIN pool p ON a.label != p.label
+)
+SELECT anchor, negative, CAST(rk AS INT) AS neg_rank
+FROM (
+  SELECT anchor, negative,
+         ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY h, negative) AS rk
+  FROM scored)
+WHERE rk <= 4
+"""
+
+
+@register("negative_samples_contrastive", _NEG_SQL)
+def negative_samples_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 deterministic out-of-class negatives per anchor embedding
+    (operators/sampling.negative_samples over a hash-ranked per-class
+    pool).
+
+    Layout-independent (md5-ranked, no rand()), re-derivable per
+    anchor, and the anchor×pool join is bounded by the pool contract
+    — never anchors × corpus.
+    """
+    from pyspark.sql import Window
+
+    from ccgp_data_wrangling_spark.operators.sampling import (
+        negative_samples,
+    )
+    from ccgp_data_wrangling_spark.operators.sketches import _element_hash
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    wp = Window.partitionBy("label").orderBy(
+        _element_hash(
+            F.concat(F.lit("pool:"), F.col("vec_id").cast("string"))
+        ),
+        "vec_id",
+    )
+    pool = (
+        emb.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= 8)
+        .select("vec_id", "label")
+    )
+    anchors = emb.where(F.col("vec_id") % 10 == 0)
+    return negative_samples(
+        anchors, "vec_id", "label", k=4, seed=17, pool=pool
+    )

@@ -93,3 +93,61 @@ def test_token_budget_orders_by_quality(spark):
     )
     out = token_budget_select(docs, budget_tokens=100, quality_col="q")
     assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# negative_samples
+# ---------------------------------------------------------------------------
+
+
+def test_negative_samples_out_of_class_and_k(spark):
+    from ccgp_data_wrangling_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    items = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, cls int"
+    )
+    out = negative_samples(items, "id", "cls", k=4).collect()
+    by_anchor = {}
+    cls = {i: i % 3 for i in range(30)}
+    for r in out:
+        by_anchor.setdefault(r["anchor"], []).append(r)
+        assert cls[r["negative"]] != cls[r["anchor"]]
+    assert all(len(v) == 4 for v in by_anchor.values())
+    assert all(
+        sorted(x["neg_rank"] for x in v) == [1, 2, 3, 4]
+        for v in by_anchor.values()
+    )
+
+
+def test_negative_samples_layout_independent(spark):
+    from ccgp_data_wrangling_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    rows = [(i, i % 4) for i in range(50)]
+    a = spark.createDataFrame(rows, "id long, cls int").repartition(1)
+    b = spark.createDataFrame(rows, "id long, cls int").repartition(13)
+    ra = sorted(map(tuple, negative_samples(a, "id", "cls").collect()))
+    rb = sorted(map(tuple, negative_samples(b, "id", "cls").collect()))
+    assert ra == rb
+
+
+def test_negative_samples_bounded_pool(spark):
+    from ccgp_data_wrangling_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    anchors = spark.createDataFrame([(1, 0), (2, 1)], "id long, cls int")
+    pool = spark.createDataFrame(
+        [(100, 0), (101, 1), (102, 2)], "id long, cls int"
+    )
+    out = {
+        (r["anchor"], r["negative"])
+        for r in negative_samples(
+            anchors, "id", "cls", k=5, pool=pool
+        ).collect()
+    }
+    # negatives come from the pool only, out-of-class only
+    assert out == {(1, 101), (1, 102), (2, 100), (2, 102)}
