@@ -9,7 +9,7 @@ engines), final averages to 4 dp.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ccgp_data_wrangling_spark.catalog import load_table
 from ccgp_data_wrangling_spark.operators.corpus_stats import (
@@ -287,3 +287,50 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return linear_text_score(docs, "text", ["doc_id"], dim=256, seed=11)
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota cap: at most N docs per source, chosen by a
+# deterministic hash rank (not arrival order, not doc id — so the
+# kept set is unbiased w.r.t. crawl ordering and stable under
+# corpus growth of OTHER sources).
+# ---------------------------------------------------------------------------
+
+_QUOTA_SQL = """
+SELECT source, doc_id, CAST(rk AS INT) AS quota_rank
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY (CAST(('0x' || SUBSTR(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1),
+                    doc_id) AS rk
+  FROM documents)
+WHERE rk <= 15
+"""
+
+
+@register("quota_cap_per_source", _QUOTA_SQL)
+def quota_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard cap of 15 docs per source via deterministic hash rank.
+
+    The anti-monopoly lever domain mixtures need: stratified samplers
+    keep proportions, a quota clamps absolute dominance. Per-source
+    windows only (no global sort); a doc's rank within its source
+    never changes as other sources grow.
+    """
+    from pyspark.sql import Window
+
+    from ccgp_data_wrangling_spark.operators.sketches import _element_hash
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        _element_hash(
+            F.concat(F.lit("quota:"), F.col("doc_id").cast("string"))
+        ),
+        "doc_id",
+    )
+    return (
+        docs.withColumn("quota_rank", F.row_number().over(w))
+        .where(F.col("quota_rank") <= 15)
+        .select("source", "doc_id", F.col("quota_rank").cast("int").alias("quota_rank"))
+    )
