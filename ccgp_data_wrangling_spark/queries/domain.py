@@ -1148,3 +1148,52 @@ def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("balance"),
     )
     return resolve_entities(base.unionByName(variants))
+
+
+# ---------------------------------------------------------------------------
+# Privacy pair: tokenized export + k-anonymity audit
+# (operators/privacy.py — the generic companions of the reference's
+# coordinate masking).
+# ---------------------------------------------------------------------------
+
+_TOKENIZE_SQL = """
+SELECT c_custkey,
+       md5('v1:' || c_name) AS c_name,
+       c_nationkey, c_mktsegment
+FROM customer
+"""
+
+
+@register("tokenize_customer_names", _TOKENIZE_SQL)
+def tokenize_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted deterministic tokenization of the identifying column —
+    joins on c_name still work post-export, raw names are gone."""
+    from ccgp_data_wrangling_spark.operators.privacy import tokenize_columns
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    return tokenize_columns(cust, ["c_name"], salt="v1")
+
+
+_KANON_SQL = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(8 - COUNT(*) AS INT) AS deficit
+FROM customer
+GROUP BY 1, 2
+HAVING COUNT(*) < 8
+"""
+
+
+@register("k_anonymity_customer", _KANON_SQL)
+def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier (nation, segment) groups below k=8 — the
+    re-identifiable cells a de-identified export must suppress or
+    generalize before publication."""
+    from ccgp_data_wrangling_spark.operators.privacy import (
+        k_anonymity_audit,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment"], k=8)
