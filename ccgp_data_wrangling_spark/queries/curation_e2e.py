@@ -152,3 +152,111 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = docs.where(F.col("doc_id") % 25 == 0).select("doc_id", "text")
     return curate_corpus(train, bench)
+
+
+# ---------------------------------------------------------------------------
+# Daily refresh end-to-end (pipelines/refresh.py): yesterday's store,
+# today's batch (new docs + re-crawled near-dups + contract
+# violations), one refresh, metric rows out. The oracle recomputes
+# every stage: the gate predicate, the exact-Jaccard boundary dedup,
+# insert-only arithmetic, and the diff counts.
+# ---------------------------------------------------------------------------
+
+_REFRESH_OFFSET = 5_000_000
+
+_REFRESH_SQL = rf"""
+WITH store AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 6 != 0
+),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id + {_REFRESH_OFFSET}, text || ' zzqxj'
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 6 != 0
+  UNION ALL
+  SELECT doc_id + {2 * _REFRESH_OFFSET}, ''
+  FROM documents WHERE doc_id % 50 = 0
+),
+good AS (SELECT * FROM batch WHERE TRIM(text) != ''),
+s_tok AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS t FROM store),
+g_tok AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS t FROM good),
+s_sh AS (
+  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(t) - 4, 1)),
+                 i -> ARRAY_TO_STRING(t[i + 1 : i + 5], ' '))) AS sh
+  FROM s_tok
+),
+g_sh AS (
+  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(t) - 4, 1)),
+                 i -> ARRAY_TO_STRING(t[i + 1 : i + 5], ' '))) AS sh
+  FROM g_tok
+),
+s_ex AS (SELECT doc_id, LEN(sh) AS n, UNNEST(sh) AS s FROM s_sh),
+g_ex AS (SELECT doc_id, LEN(sh) AS n, UNNEST(sh) AS s FROM g_sh),
+inter AS (
+  SELECT g.doc_id AS new_id, s.doc_id AS old_id,
+         ANY_VALUE(g.n) AS ng, ANY_VALUE(s.n) AS ns, COUNT(*) AS ni
+  FROM g_ex g JOIN s_ex s ON g.s = s.s
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT DISTINCT new_id FROM inter
+  WHERE CAST(ni AS DOUBLE) / (ng + ns - ni) >= 0.7
+),
+m AS (
+  SELECT (SELECT COUNT(*) FROM batch) AS batch_rows,
+         (SELECT COUNT(*) FROM batch) - (SELECT COUNT(*) FROM good) AS gate_dropped,
+         (SELECT COUNT(*) FROM dups) AS dup_dropped,
+         (SELECT COUNT(*) FROM good) - (SELECT COUNT(*) FROM dups) AS inserted,
+         (SELECT COUNT(*) FROM store) AS n_store
+)
+SELECT 'batch_rows' AS metric, CAST(batch_rows AS BIGINT) AS n FROM m
+UNION ALL SELECT 'gate_dropped', CAST(gate_dropped AS BIGINT) FROM m
+UNION ALL SELECT 'dup_dropped', CAST(dup_dropped AS BIGINT) FROM m
+UNION ALL SELECT 'inserted', CAST(inserted AS BIGINT) FROM m
+UNION ALL SELECT 'store_added', CAST(inserted AS BIGINT) FROM m
+UNION ALL SELECT 'store_unchanged', CAST(n_store AS BIGINT) FROM m
+"""
+
+
+@register("daily_refresh_e2e", _REFRESH_SQL)
+def daily_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One T+1 corpus refresh: contract gate → incremental dedup vs
+    the store's signature index → insert-only MERGE → snapshot-diff
+    audit (pipelines/refresh.daily_refresh). The oracle recomputes
+    all four stages including the exact-Jaccard dedup boundary, so
+    the composition — not just the pieces — is hash-verified.
+    """
+    import tempfile
+
+    from ccgp_data_wrangling_spark.operators.merge import ParquetTable
+    from ccgp_data_wrangling_spark.pipelines.refresh import daily_refresh
+    from ccgp_data_wrangling_spark.queries.merge_queries import (
+        _cleanup_at_exit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store_rows = docs.where(F.col("doc_id") % 6 != 0)
+    batch = (
+        docs.where(F.col("doc_id") % 6 == 0)
+        .unionByName(
+            docs.where(
+                (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 6 != 0)
+            ).select(
+                (F.col("doc_id") + _REFRESH_OFFSET).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzqxj")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 2 * _REFRESH_OFFSET).alias("doc_id"),
+                F.lit("").alias("text"),
+            )
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="daily_refresh_")
+    try:
+        store = ParquetTable(spark, f"{tmp}/store", "doc_id")
+        store.init(store_rows)
+        return daily_refresh(spark, store, batch)
+    finally:
+        _cleanup_at_exit(tmp)

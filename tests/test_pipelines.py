@@ -177,3 +177,46 @@ def test_attach_accessions(spark, tables):
     # untouched rows keep their values (RANA_01 had one already)
     assert by_name["RANA_01"].ncbi_accession_id == "SAMN001"
     assert by_name["HYLA_02"].ncbi_accession_id is None
+
+
+# ---------------------------------------------------------------------------
+# daily_refresh (pipelines/refresh.py)
+# ---------------------------------------------------------------------------
+
+
+def test_daily_refresh_metrics_and_store_state(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ccgp_data_wrangling_spark.operators.merge import ParquetTable
+    from ccgp_data_wrangling_spark.pipelines.refresh import daily_refresh
+
+    base = "the quick brown fox jumps over the lazy dog once more today "
+    store = ParquetTable(spark, str(tmp_path / "store"), "doc_id")
+    store.init(
+        spark.createDataFrame(
+            [(1, base * 3), (2, "completely different content here " * 5)],
+            "doc_id long, text string",
+        )
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "genuinely new text nothing like the others " * 5),
+            (101, base * 3 + "tail"),   # near-dup of store doc 1
+            (102, "   "),               # contract violation
+        ],
+        "doc_id long, text string",
+    )
+    metrics = {
+        r["metric"]: r["n"] for r in daily_refresh(spark, store, batch).collect()
+    }
+    assert metrics == {
+        "batch_rows": 3,
+        "gate_dropped": 1,
+        "dup_dropped": 1,
+        "inserted": 1,
+        "store_added": 1,
+        "store_unchanged": 2,
+    }
+    # the store now holds exactly old ∪ survivors
+    ids = sorted(r["doc_id"] for r in store.read().select("doc_id").collect())
+    assert ids == [1, 2, 100]
