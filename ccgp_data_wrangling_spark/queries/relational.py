@@ -1001,3 +1001,50 @@ def data_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("status_domain", F.col("o_orderstatus").isin("O", "F", "P")),
     ]
     return check_expectations(orders, rules)
+
+
+# ---------------------------------------------------------------------------
+# Window-function breadth: rank / dense_rank / percent_rank /
+# cume_dist / lag in ONE window pass over per-customer order history.
+# All five share a single (customer, orderdate, orderkey) window, so
+# the plan sorts each partition once.
+# ---------------------------------------------------------------------------
+
+_WINSUITE_SQL = """
+SELECT o_orderkey,
+       o_custkey,
+       CAST(RANK() OVER w AS INT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+       ROUND(o_totalprice - LAG(o_totalprice, 1, 0.0) OVER w, 2) AS price_delta
+FROM orders
+WHERE o_custkey % 10 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("window_suite_orders", _WINSUITE_SQL)
+def window_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five ranking/distribution window functions in one per-customer
+    pass. One sort per partition (all functions share the window
+    spec); partitions are customer-sized — the scalable direction, no
+    global window anywhere.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") % 10 == 0
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
+        ).alias("price_delta"),
+    )
