@@ -131,6 +131,18 @@ _PRIORITY: list[str] = [
     "q20_excess_supply",
     "q21_waiting_supplier",
     "snapshot_diff_documents",
+    "quota_cap_per_source",
+    "daily_refresh_e2e",
+    "tokenize_customer_names",
+    "k_anonymity_customer",
+    "event_path_trigrams",
+    "skew_profile_events",
+    "multimodal_wav_real_decode",
+    "multimodal_pgm_real_decode",
+    "data_expectations_orders",
+    "window_suite_orders",
+    "negative_samples_contrastive",
+    "label_propagation_communities",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",
