@@ -220,3 +220,29 @@ def test_daily_refresh_metrics_and_store_state(spark, tmp_path):
     # the store now holds exactly old ∪ survivors
     ids = sorted(r["doc_id"] for r in store.read().select("doc_id").collect())
     assert ids == [1, 2, 100]
+
+
+def test_daily_refresh_rerun_is_idempotent(spark, tmp_path):
+    """Re-delivering the same batch inserts nothing: survivors'
+    keys already exist (insert-only) and near-dups still drop."""
+    from ccgp_data_wrangling_spark.operators.merge import ParquetTable
+    from ccgp_data_wrangling_spark.pipelines.refresh import daily_refresh
+
+    store = ParquetTable(spark, str(tmp_path / "store"), "doc_id")
+    store.init(
+        spark.createDataFrame(
+            [(1, "original corpus content sits here quietly " * 4)],
+            "doc_id long, text string",
+        )
+    )
+    batch = spark.createDataFrame(
+        [(100, "brand new document with fresh words " * 4)],
+        "doc_id long, text string",
+    )
+    m1 = {r["metric"]: r["n"] for r in daily_refresh(spark, store, batch).collect()}
+    assert m1["store_added"] == 1
+    m2 = {r["metric"]: r["n"] for r in daily_refresh(spark, store, batch).collect()}
+    # second delivery: doc 100 now near-dups ITSELF in the store
+    # (jaccard 1.0), so the dedup stage drops it; nothing is added
+    assert m2["dup_dropped"] == 1 and m2["store_added"] == 0
+    assert store.read().count() == 2
