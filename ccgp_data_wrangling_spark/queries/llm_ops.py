@@ -284,3 +284,53 @@ def fingerprint_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-containment join (boolean AND retrieval): queries are the
+# first three tokens of every 20th document; matches are ALL docs
+# containing those three words. The oracle brute-forces containment
+# over every (query, doc) pair, so the rarest-token index's recall
+# is part of the checked contract (operators/containment.py).
+# ---------------------------------------------------------------------------
+
+_CONTAIN_SQL = r"""
+WITH q AS (
+  SELECT doc_id AS query_id,
+         LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')[1:3]) AS q_toks
+  FROM documents WHERE doc_id % 20 = 0
+),
+d AS (
+  SELECT doc_id,
+         LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS d_toks
+  FROM documents
+)
+SELECT q.query_id, d.doc_id
+FROM q CROSS JOIN d
+WHERE NOT EXISTS (
+  SELECT 1 FROM UNNEST(q.q_toks) AS u(t)
+  WHERE NOT LIST_CONTAINS(d.d_toks, t)
+)
+"""
+
+
+@register("containment_join_retrieval", _CONTAIN_SQL)
+def containment_join_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-retrieval as a containment join: rarest-token posting probe
+    + exact verify — candidates bounded by min-df, recall structural
+    (a match must contain the rarest term), verified here against a
+    brute-force oracle.
+    """
+    from ccgp_data_wrangling_spark.operators.containment import (
+        containment_join,
+    )
+    from ccgp_data_wrangling_spark.operators.corpus_stats import (
+        corpus_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(corpus_tokens("text"), 1, 3)).alias("query"),
+    )
+    return containment_join(queries, docs)
