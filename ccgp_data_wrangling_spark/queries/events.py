@@ -1001,3 +1001,95 @@ def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_rows").cast("double") / k, 4).alias("mean_key_rows"),
         F.lit(hot).cast("long").alias("n_hot_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-gap detection: days with ZERO events per type, via a
+# generated date scaffold anti-joined against observed days. The
+# scaffold is sequence()+explode — no driver-side date loop.
+# ---------------------------------------------------------------------------
+
+_GAPS_SQL = """
+WITH hi AS (SELECT event_type, ts FROM events WHERE value > 95),
+bounds AS (
+  SELECT event_type,
+         CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+  FROM hi GROUP BY 1
+),
+scaffold AS (
+  SELECT event_type, CAST(UNNEST(RANGE(d0, d1 + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+),
+observed AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS d FROM hi
+)
+SELECT s.event_type, s.d AS missing_day
+FROM scaffold s
+LEFT JOIN observed o ON o.event_type = s.event_type AND o.d = s.d
+WHERE o.d IS NULL
+"""
+
+
+@register("calendar_gap_days", _GAPS_SQL)
+def calendar_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days with zero HIGH-VALUE (value > 95) events per type inside
+    each type's active range — the SLA-gap probe.
+
+    The scaffold (all days per type) is sequence()+explode off a
+    per-type MIN/MAX aggregate — rows ∝ types × days, never a driver
+    loop; the gap test is one anti-join on (type, day).
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value") > 95
+    ).select("event_type", F.col("ts").cast("date").alias("d"))
+    bounds = ev.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    scaffold = bounds.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("d"),
+    )
+    observed = ev.dropDuplicates()
+    return (
+        scaffold.join(observed, ["event_type", "d"], "left_anti")
+        .select("event_type", F.col("d").alias("missing_day"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-rate per user: events in the trailing hour at each event —
+# a RANGE (time-interval) window frame, the frame family the
+# ROWS-based moving average cannot express.
+# ---------------------------------------------------------------------------
+
+_RATE_SQL = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY EPOCH(ts)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_1h
+FROM events
+WHERE user_id % 25 = 0
+"""
+
+
+@register("sliding_rate_per_user", _RATE_SQL)
+def sliding_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour event count at every event (burst/rate probe).
+
+    RANGE frame over epoch seconds, partitioned per user — state is
+    the frame, partitions are user-sized; the streaming dual is a
+    watermarked sliding window.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+    )
