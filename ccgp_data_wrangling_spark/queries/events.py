@@ -1010,7 +1010,7 @@ def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _GAPS_SQL = """
-WITH hi AS (SELECT event_type, ts FROM events WHERE value > 95),
+WITH hi AS (SELECT event_type, ts FROM events WHERE value > 300),
 bounds AS (
   SELECT event_type,
          CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
@@ -1032,7 +1032,7 @@ WHERE o.d IS NULL
 
 @register("calendar_gap_days", _GAPS_SQL)
 def calendar_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Days with zero HIGH-VALUE (value > 95) events per type inside
+    """Days with zero HIGH-VALUE (value > 300) events per type inside
     each type's active range — the SLA-gap probe.
 
     The scaffold (all days per type) is sequence()+explode off a
@@ -1040,7 +1040,7 @@ def calendar_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop; the gap test is one anti-join on (type, day).
     """
     ev = load_table(spark, sf_dir, "events").where(
-        F.col("value") > 95
+        F.col("value") > 300
     ).select("event_type", F.col("ts").cast("date").alias("d"))
     bounds = ev.groupBy("event_type").agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")
