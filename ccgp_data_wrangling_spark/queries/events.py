@@ -1093,3 +1093,91 @@ def sliding_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# First/last-touch attribution: each purchase credits 50% of its
+# value to the user's FIRST and LAST non-purchase touch inside the
+# trailing 24 h. Two argmin/argmax aggregates per purchase over a
+# bounded interval join — no window over the fact table.
+# ---------------------------------------------------------------------------
+
+_ATTR_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, ts, event_type FROM events WHERE event_type != 'purchase'
+),
+joined AS (
+  SELECT p.event_id, p.value, t.event_type, t.ts
+  FROM purchases p
+  JOIN touches t
+    ON t.user_id = p.user_id
+   AND t.ts <= p.ts
+   AND t.ts >= p.ts - INTERVAL 24 HOURS
+),
+per_purchase AS (
+  SELECT event_id, ANY_VALUE(value) AS value,
+         ARG_MIN(event_type, LPAD(CAST(CAST(EPOCH(ts) AS BIGINT) AS VARCHAR), 12, '0') || event_type) AS first_touch,
+         ARG_MAX(event_type, LPAD(CAST(CAST(EPOCH(ts) AS BIGINT) AS VARCHAR), 12, '0') || event_type) AS last_touch
+  FROM joined GROUP BY 1
+),
+credits AS (
+  SELECT first_touch AS channel, 0.5 * value AS credit FROM per_purchase
+  UNION ALL
+  SELECT last_touch, 0.5 * value FROM per_purchase
+)
+SELECT channel, ROUND(SUM(credit), 2) AS credited_value,
+       CAST(COUNT(*) AS BIGINT) AS n_credits
+FROM credits GROUP BY 1
+"""
+
+
+@register("attribution_first_last", _ATTR_SQL)
+def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50/50 first/last-touch attribution of purchase value to the
+    preceding 24 h of non-purchase touches.
+
+    The touch join is an equi-key (user) + bounded-interval condition
+    — the same shape as the as-of/interval family, state bounded by
+    the window; first/last picks are min_by/max_by aggregates (the
+    pick key is zero-padded-epoch + channel — a total order, so
+    same-second ties resolve identically in both engines).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("t_ts"), F.col("event_type").alias("ch")
+    )
+    joined = purchases.join(
+        touches,
+        (purchases.user_id == touches.user_id)
+        & (touches.t_ts <= purchases.p_ts)
+        & (touches.t_ts >= purchases.p_ts - F.expr("INTERVAL 24 HOURS")),
+    )
+    # total order for the first/last pick: zero-padded epoch + channel
+    # (ties at the same second resolve identically in both engines)
+    _touch_key = F.concat(
+        F.lpad(F.unix_timestamp("t_ts").cast("string"), 12, "0"), F.col("ch")
+    )
+    per_purchase = joined.groupBy("event_id").agg(
+        F.any_value("value").alias("value"),
+        F.min_by("ch", _touch_key).alias("first_touch"),
+        F.max_by("ch", _touch_key).alias("last_touch"),
+    )
+    credits = per_purchase.select(
+        F.col("first_touch").alias("channel"),
+        (0.5 * F.col("value")).alias("credit"),
+    ).unionByName(
+        per_purchase.select(
+            F.col("last_touch").alias("channel"),
+            (0.5 * F.col("value")).alias("credit"),
+        )
+    )
+    return credits.groupBy("channel").agg(
+        F.round(F.sum("credit"), 2).alias("credited_value"),
+        F.count(F.lit(1)).alias("n_credits"),
+    )
