@@ -1048,3 +1048,84 @@ def window_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
         ).alias("price_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market basket: part pairs co-purchased in the same order, with
+# support and lift. The pair join is a self-join on orderkey —
+# bounded by order size (≈4 lines), never all-parts × all-parts.
+# ---------------------------------------------------------------------------
+
+_BASKET_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem),
+part_orders AS (
+  SELECT l_partkey, COUNT(*) AS n_part FROM items GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p.part_a, p.part_b, CAST(p.support AS BIGINT) AS support,
+       ROUND(CAST(p.support AS DOUBLE) * n.n / (pa.n_part * pb.n_part), 4) AS lift
+FROM pairs p
+JOIN part_orders pa ON pa.l_partkey = p.part_a
+JOIN part_orders pb ON pb.l_partkey = p.part_b
+CROSS JOIN n_orders n
+WHERE p.support >= 3
+"""
+
+
+@register("market_basket_pairs", _BASKET_SQL)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchased part pairs (support ≥ 3) with lift.
+
+    The pair generator is a same-order self-join — Σ order_size²
+    pairs (orders average ~4 lines), shuffled on orderkey; per-part
+    marginals broadcast. At 100 TB the support filter belongs BEFORE
+    the marginal joins (done here): only surviving pairs pay the
+    dimension lookups.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    n_orders = items.select("l_orderkey").distinct().count()
+    part_orders = items.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 3)
+    )
+    pa = part_orders.withColumnRenamed("pk", "part_a").withColumnRenamed(
+        "n_part", "n_a"
+    )
+    pb = part_orders.withColumnRenamed("pk", "part_b").withColumnRenamed(
+        "n_part", "n_b"
+    )
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                * n_orders
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )

@@ -53,3 +53,17 @@ def test_mass_conserved_with_dangling_nodes(spark):
     assert abs(sum(got.values()) - 1.0) < 5e-4
     # sink receives from both → highest rank
     assert got[2] == max(got.values())
+
+
+def test_triangle_count_shapes(spark):
+    from ccgp_data_wrangling_spark.operators.pagerank import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    star = [(100, i) for i in range(101, 110)]  # hub, no triangles
+    df = spark.createDataFrame(k4 + star, "src long, dst long")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+    # duplicate/reversed edges don't inflate the count
+    df2 = spark.createDataFrame(
+        k4 + [(b, a) for a, b in k4], "src long, dst long"
+    )
+    assert triangle_count(df2).collect()[0]["n_triangles"] == 4
