@@ -1129,3 +1129,150 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join: a deliberately skewed fact (every lineitem of
+# the hottest-selling part mapped to one key) joined to a dim
+# through operators/skew.salted_join. Salting is an EXECUTION
+# strategy — results must equal the plain join, which is exactly
+# what the oracle states.
+# ---------------------------------------------------------------------------
+
+_SALTJOIN_SQL = """
+WITH fact AS (
+  SELECT CASE WHEN l_partkey % 10 = 0 THEN 0 ELSE l_partkey END AS k,
+         l_extendedprice
+  FROM lineitem
+),
+dim AS (
+  SELECT DISTINCT CASE WHEN p_partkey % 10 = 0 THEN 0 ELSE p_partkey END AS k,
+         MIN(p_brand) AS brand
+  FROM part GROUP BY 1
+)
+SELECT d.brand, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(f.l_extendedprice), 2) AS revenue
+FROM fact f JOIN dim d ON d.k = f.k
+GROUP BY 1
+"""
+
+
+@register("skew_salted_join_revenue", _SALTJOIN_SQL)
+def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by brand through a salted join on a hot-key fact.
+
+    10% of part keys collapse onto key 0 (a planted hot key holding
+    ~10% of all lineitems); salted_join spreads that key across 16
+    reducer tasks. Semantics are join-identical — the oracle is the
+    plain join — while the physical plan avoids the one-task straggler
+    AQE can't always split (operators/skew.salted_join docstring).
+    """
+    from ccgp_data_wrangling_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_partkey") % 10 == 0, 0)
+        .otherwise(F.col("l_partkey"))
+        .alias("k"),
+        "l_extendedprice",
+    )
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            F.when(F.col("p_partkey") % 10 == 0, 0)
+            .otherwise(F.col("p_partkey"))
+            .alias("k"),
+            "p_brand",
+        )
+        .groupBy("k")
+        .agg(F.min("p_brand").alias("brand"))
+    )
+    return (
+        salted_join(li, dim, ["k"], n_salts=16)
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B test readout: user-parity assignment, purchase-rate z-test.
+# sqrt is IEEE-deterministic; the z-score rounds to 4 dp.
+# ---------------------------------------------------------------------------
+
+_ABTEST_SQL = """
+WITH assign AS (
+  SELECT user_id, user_id % 2 AS grp,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2
+),
+arms AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM assign GROUP BY 1
+),
+wide AS (
+  SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+         MAX(CASE WHEN grp = 0 THEN conv END) AS c0,
+         MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+         MAX(CASE WHEN grp = 1 THEN conv END) AS c1
+  FROM arms
+)
+SELECT n0, c0, n1, c1,
+       ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate_control,
+       ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate_treatment,
+       ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 4) AS z_score
+FROM wide
+"""
+
+
+@register("ab_test_conversion", _ABTEST_SQL)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on high-value-purchase conversion
+    (value > 200 — every user makes SOME purchase in this synthetic
+    corpus, which would zero the pooled variance), arms by user
+    parity. One per-user aggregate + one 2-row rollup; the pooled-
+    variance z formula is plain arithmetic + one IEEE sqrt, rounded
+    4 dp on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("grp")
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    arms = assign.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (p1 - p0) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return wide.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("c0").cast("long").alias("c0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("c1").cast("long").alias("c1"),
+        F.round(p0, 6).alias("rate_control"),
+        F.round(p1, 6).alias("rate_treatment"),
+        F.round(z, 4).alias("z_score"),
+    )
