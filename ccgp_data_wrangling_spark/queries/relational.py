@@ -1276,3 +1276,62 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("rate_treatment"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week revenue growth: weekly rollup (fact-sized shuffle)
+# then lag/pct-change over the TINY aggregated relation — the window
+# runs on weeks, not orders.
+# ---------------------------------------------------------------------------
+
+_WOW_SQL = """
+WITH weekly AS (
+  SELECT CAST(DATE_TRUNC('week', o_orderdate) AS DATE) AS wk,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY 1
+)
+SELECT wk, revenue,
+       ROUND(LAG(revenue) OVER (ORDER BY wk), 2) AS prev_revenue,
+       CASE WHEN LAG(revenue) OVER (ORDER BY wk) IS NULL THEN NULL
+            ELSE ROUND((revenue - LAG(revenue) OVER (ORDER BY wk))
+                       / LAG(revenue) OVER (ORDER BY wk), 6) END AS wow_growth
+FROM weekly
+"""
+
+
+@register("wow_revenue_growth", _WOW_SQL)
+def wow_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly revenue with week-over-week growth rate (H1 1996).
+
+    The global-ordered lag window is legal here because it runs over
+    the ~26-row weekly rollup, not the fact table — the aggregate
+    collapses BEFORE the single-partition window, which is the rule
+    that makes 'small window after big shuffle' scale-safe.
+    """
+    from pyspark.sql import Window
+
+    weekly = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").between(
+                "1996-01-01 00:00:00", "1996-06-30 23:59:59"
+            )
+        )
+        .groupBy(
+            F.date_trunc("week", "o_orderdate").cast("date").alias("wk")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("wk")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "wk",
+        "revenue",
+        F.round(prev, 2).alias("prev_revenue"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.round((F.col("revenue") - prev) / prev, 6))
+        .alias("wow_growth"),
+    )

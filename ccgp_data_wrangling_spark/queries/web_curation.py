@@ -628,3 +628,67 @@ def triangle_count_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = docs.select(hid("ta").alias("src"), hid("tb").alias("dst"))
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop reachability: nodes within ≤3 directed hops of the
+# seed set, with minimal hop distance. Three unrolled join rounds
+# (frontier ⋈ edges, min-combine) — the bounded-depth BFS whose
+# per-round shuffle is frontier-sized; the oracle is a depth-capped
+# recursive CTE arriving at the same fixpoint.
+# ---------------------------------------------------------------------------
+
+_REACH_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT doc_id % 211 AS src, (doc_id * 7 + 3) % 211 AS dst
+  FROM documents WHERE doc_id % 211 != (doc_id * 7 + 3) % 211
+),
+reach(node, hops) AS (
+  SELECT src, 0 FROM edges WHERE src % 50 = 0
+  UNION
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.hops < 3
+)
+SELECT node, CAST(MIN(hops) AS INT) AS hops FROM reach GROUP BY 1
+"""
+
+
+@register("reachability_3hops", _REACH_SQL)
+def reachability_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal hop distance (≤3) from seed nodes over the link graph.
+
+    Frontier BFS, one equi-join + min-combine per round; rounds are
+    bounded by the hop cap so the plan is static. At 100 TB the
+    frontier rides hash-partitioned joins against a bucketed edge
+    table — per-round cost ∝ frontier out-degree, never |V|.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 211).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 211).alias("dst"),
+    ).where(F.col("src") != F.col("dst")).dropDuplicates()
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.col("node") % 50 == 0)
+        .dropDuplicates()
+        .withColumn("hops", F.lit(0))
+    )
+    best = seeds
+    frontier = seeds
+    for _ in range(3):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(
+                F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
+            )
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+        best = (
+            best.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+        frontier = nxt
+    return best.select("node", F.col("hops").cast("int").alias("hops"))
