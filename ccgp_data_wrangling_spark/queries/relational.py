@@ -1335,3 +1335,55 @@ def wow_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((F.col("revenue") - prev) / prev, 6))
         .alias("wow_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi-join (<=> / IS NOT DISTINCT FROM): dirty keys where
+# NULL means "unknown segment" and must MATCH the dim's NULL row
+# instead of silently dropping — the semantics plain equi-joins get
+# wrong in every cleanup pipeline.
+# ---------------------------------------------------------------------------
+
+_NULLSAFE_SQL = """
+WITH fact AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+  FROM customer
+),
+dim AS (
+  SELECT DISTINCT c_mktsegment AS seg, 'known:' || c_mktsegment AS label
+  FROM customer
+  UNION ALL
+  SELECT NULL, 'unknown-segment'
+)
+SELECT f.c_custkey, d.label
+FROM fact f JOIN dim d ON f.seg IS NOT DISTINCT FROM d.seg
+"""
+
+
+@register("nullsafe_join_segments", _NULLSAFE_SQL)
+def nullsafe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe dim join: every seventh customer's segment is NULL
+    (unknown) and must land on the dim's sentinel row — eqNullSafe
+    keeps the join a broadcast hash join (null-safe keys still hash).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    fact = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("seg"),
+    )
+    dim = (
+        cust.select(F.col("c_mktsegment").alias("seg"))
+        .dropDuplicates()
+        .select("seg", F.concat(F.lit("known:"), F.col("seg")).alias("label"))
+        .unionByName(
+            cust.sparkSession.createDataFrame(
+                [(None, "unknown-segment")], "seg string, label string"
+            )
+        )
+    )
+    return fact.join(
+        F.broadcast(dim), fact.seg.eqNullSafe(dim.seg)
+    ).select("c_custkey", "label")
