@@ -143,6 +143,17 @@ _PRIORITY: list[str] = [
     "window_suite_orders",
     "negative_samples_contrastive",
     "label_propagation_communities",
+    "calendar_gap_days",
+    "sliding_rate_per_user",
+    "attribution_first_last",
+    "containment_join_retrieval",
+    "market_basket_pairs",
+    "skew_salted_join_revenue",
+    "ab_test_conversion",
+    "wow_revenue_growth",
+    "nullsafe_join_segments",
+    "triangle_count_links",
+    "reachability_3hops",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",
