@@ -1124,11 +1124,18 @@ per_purchase AS (
   FROM joined GROUP BY 1
 ),
 credits AS (
-  SELECT first_touch AS channel, 0.5 * value AS credit FROM per_purchase
+  -- credits in exact integer milli-units (value has 2 dp → value*100
+  -- is integral; ×5 = half the value in thousandths): the channel
+  -- SUM is then order-independent, unlike a double Σ(0.5·value)
+  -- whose partition order can flip a half-cent rounding boundary
+  SELECT first_touch AS channel,
+         CAST(ROUND(value * 100, 0) AS BIGINT) * 5 AS credit_m
+  FROM per_purchase
   UNION ALL
-  SELECT last_touch, 0.5 * value FROM per_purchase
+  SELECT last_touch, CAST(ROUND(value * 100, 0) AS BIGINT) * 5
+  FROM per_purchase
 )
-SELECT channel, ROUND(SUM(credit), 2) AS credited_value,
+SELECT channel, CAST(SUM(credit_m) AS BIGINT) AS credited_milli,
        CAST(COUNT(*) AS BIGINT) AS n_credits
 FROM credits GROUP BY 1
 """
@@ -1168,16 +1175,21 @@ def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("ch", _touch_key).alias("first_touch"),
         F.max_by("ch", _touch_key).alias("last_touch"),
     )
-    credits = per_purchase.select(
-        F.col("first_touch").alias("channel"),
-        (0.5 * F.col("value")).alias("credit"),
-    ).unionByName(
-        per_purchase.select(
-            F.col("last_touch").alias("channel"),
-            (0.5 * F.col("value")).alias("credit"),
-        )
+    # exact integer milli-credits (see oracle comment): Σ is
+    # order-independent, the single division happens after the sum
+    credit_m = (F.round(F.col("value") * 100, 0).cast("long") * 5).alias(
+        "credit_m"
     )
+    credits = per_purchase.select(
+        F.col("first_touch").alias("channel"), credit_m
+    ).unionByName(
+        per_purchase.select(F.col("last_touch").alias("channel"), credit_m)
+    )
+    # output stays in exact integer milli-units: a /1000.0 display
+    # division can land exactly on a .005 boundary where Spark's
+    # BigDecimal-of-shortest-string HALF_UP and DuckDB's binary
+    # rounding disagree — integers have no such boundary
     return credits.groupBy("channel").agg(
-        F.round(F.sum("credit"), 2).alias("credited_value"),
+        F.sum("credit_m").cast("long").alias("credited_milli"),
         F.count(F.lit(1)).alias("n_credits"),
     )
