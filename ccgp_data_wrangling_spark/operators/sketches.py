@@ -40,6 +40,9 @@ __all__ = [
     "hll_readout",
     "hll_distinct",
     "heavy_hitters",
+    "vhist_partial",
+    "vhist_merge",
+    "vhist_quantiles",
 ]
 
 #: KMV hash space: 60 bits of md5 (15 hex digits), see _element_hash.
@@ -556,3 +559,87 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Value-keyed histogram digest (mergeable quantiles without a range)
+# ---------------------------------------------------------------------------
+
+def vhist_partial(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """``(g, v_s, cnt)`` digest: counts per value rounded to
+    1/``scale`` (scaled to exact integers).
+
+    The mergeable quantile state for bounded-resolution metrics:
+    unlike ``binned_quantiles`` it needs NO a-priori range (keys are
+    the values themselves), merges by summing counts, and reads out
+    EXACT quantiles of the rounded distribution. State size is the
+    number of distinct rounded values — bounded for anything
+    physically bounded (latencies, prices, scores), which is when to
+    use it; unbounded-cardinality values belong in binned/KLL
+    territory.
+    """
+    v_s = F.round(F.col(value_col) * scale, 0).cast("long")
+    return (
+        df.select(F.col(group_col).alias("g"), v_s.alias("v_s"))
+        .groupBy("g", "v_s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def vhist_merge(partials: list[DataFrame]) -> DataFrame:
+    """Merge digests: sum counts per (g, v_s)."""
+    u = partials[0]
+    for p in partials[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("g", "v_s").agg(F.sum("cnt").alias("cnt"))
+
+
+def vhist_quantiles(
+    digest: DataFrame,
+    group_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Exact lower-quantiles of the rounded distribution per group:
+    smallest v with cum(v) ≥ ceil(q·n). One window over the digest
+    (distinct values per group — digest-sized, not data-sized).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("g")
+    cum = digest.select(
+        "g",
+        "v_s",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    out_cols = [F.col("g").alias(group_col), F.max("total").alias("n")]
+    aggs = []
+    for q in qs:
+        name = f"p{int(q * 100)}"
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("total")),
+                    F.col("v_s"),
+                )
+            ).alias(name)
+        )
+    res = cum.groupBy("g").agg(F.max("total").alias("n"), *aggs)
+    sel = [F.col("g").alias(group_col), F.col("n").cast("long").alias("n")]
+    for q in qs:
+        name = f"p{int(q * 100)}"
+        sel.append((F.col(name) / float(scale)).alias(name))
+    return res.select(*sel)

@@ -853,3 +853,50 @@ def negative_samples_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(
         anchors, "vec_id", "label", k=4, seed=17, pool=pool
     )
+
+
+# ---------------------------------------------------------------------------
+# Value-keyed histogram digest: exact p50/p90/p99 of the 2-dp-rounded
+# event value per type, via the range-free mergeable digest. The
+# oracle replays the digest (counts per rounded value) and the
+# cumulative readout.
+# ---------------------------------------------------------------------------
+
+_VHIST_SQL = """
+WITH digest AS (
+  SELECT event_type AS g,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS v_s,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, v_s,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY v_s) AS cum,
+         SUM(cnt) OVER (PARTITION BY g) AS total
+  FROM digest
+)
+SELECT g AS event_type,
+       CAST(MAX(total) AS BIGINT) AS n,
+       MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN v_s END) / 100.0 AS p50,
+       MIN(CASE WHEN cum >= CEIL(0.9 * total) THEN v_s END) / 100.0 AS p90,
+       MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN v_s END) / 100.0 AS p99
+FROM cum GROUP BY 1
+"""
+
+
+@register("vhist_quantiles_by_type", _VHIST_SQL)
+def vhist_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-free mergeable quantiles: exact p50/p90/p99 of the
+    rounded value distribution (operators/sketches.vhist_*). The
+    digest merges across shards by count addition and needs no
+    a-priori bin range — the complement of hist_quantile_by_type's
+    fixed-width bins.
+    """
+    from ccgp_data_wrangling_spark.operators.sketches import (
+        vhist_partial,
+        vhist_quantiles,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    digest = vhist_partial(events, "event_type", "value", scale=100)
+    return vhist_quantiles(digest, "event_type", (0.5, 0.9, 0.99), scale=100)

@@ -515,3 +515,28 @@ def test_hll_stream_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, state.estimate("g").collect()))
     want = sorted(map(tuple, hll_distinct(full, "g", "v").collect()))
     assert got == want
+
+
+def test_vhist_merge_equals_direct_and_quantiles_exact(spark):
+    from ccgp_data_wrangling_spark.operators.sketches import (
+        vhist_merge,
+        vhist_partial,
+        vhist_quantiles,
+    )
+
+    rows = [("g", float(i % 100) / 3) for i in range(3000)]
+    full = spark.createDataFrame(rows, "g string, v double")
+    a = spark.createDataFrame(rows[:1300], "g string, v double")
+    b = spark.createDataFrame(rows[1300:], "g string, v double")
+    merged = vhist_merge(
+        [vhist_partial(a, "g", "v"), vhist_partial(b, "g", "v")]
+    )
+    got = vhist_quantiles(merged, "g").collect()[0]
+    want = vhist_quantiles(vhist_partial(full, "g", "v"), "g").collect()[0]
+    assert tuple(got) == tuple(want)
+    # exact lower-quantile of the rounded values
+    import math
+
+    vals = sorted(round(v * 100) / 100 for _, v in rows)
+    assert got["p50"] == vals[math.ceil(0.5 * len(vals)) - 1]
+    assert got["p99"] == vals[math.ceil(0.99 * len(vals)) - 1]
