@@ -44,6 +44,11 @@ CARTESIAN_OK = {
     # (cvec × 1-row qvec) — the correct plan for attaching a scalar
     # vector to every row; nothing quadratic exists in the query
     "rag_retrieve_chunks",
+    # anchors × candidate-pool under a "different class" NON-equi
+    # predicate: the build side is the BOUNDED pool (≤8 per class by
+    # construction — operators/sampling.negative_samples contract),
+    # so the nested loop is anchors × O(classes·8), not quadratic
+    "negative_samples_contrastive",
 }
 
 
