@@ -900,3 +900,84 @@ def vhist_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     digest = vhist_partial(events, "event_type", "value", scale=100)
     return vhist_quantiles(digest, "event_type", (0.5, 0.9, 0.99), scale=100)
+
+
+# ---------------------------------------------------------------------------
+# Time-bucketed HLL partials + rolling merge: daily register tables,
+# then a 7-day rolling DISTINCT user estimate per day — the pattern
+# that makes range distinct-counts possible at all (distinct doesn't
+# sum; registers MAX-merge). The oracle replays registers per day
+# and the window-max merge.
+# ---------------------------------------------------------------------------
+
+_HLL_ROLLING_SQL = f"""
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS d,
+         ({_DUCK_HASH.format(v="CAST(user_id AS VARCHAR)")} - 1) AS hv
+  FROM events
+),
+regs AS (
+  SELECT d, CAST(hv & 255 AS INT) AS register,
+         MAX(LEAST(52 - (CASE WHEN hv >> 8 = 0 THEN 0
+                          ELSE LENGTH(bin(hv >> 8)) END) + 1, 40)) AS rho
+  FROM h GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT d FROM regs),
+win AS (
+  SELECT dy.d, r.register, MAX(r.rho) AS rho
+  FROM days dy
+  JOIN regs r ON r.d BETWEEN dy.d - INTERVAL 6 DAY AND dy.d
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT d, COUNT(*) AS n_present,
+         SUM(1::BIGINT << CAST(40 - rho AS INT)) AS z_s
+  FROM win GROUP BY 1
+),
+est AS (
+  SELECT d, 256 - n_present AS zeros,
+         0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * POWER(2.0, 40)
+           / (z_s + ((256 - n_present)::BIGINT << 40)) AS raw
+  FROM agg
+)
+SELECT d AS day,
+       ROUND(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                  THEN 256 * ROUND(LN(256.0 / zeros), 6)
+                  ELSE raw END, 2) AS est_7d_users
+FROM est
+"""
+
+
+@register("hll_rolling_7d_users", _HLL_ROLLING_SQL)
+def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from DAILY HLL partials.
+
+    Daily register tables are the stored artifact (≤256 rows/day);
+    any range readout is a MAX-merge of the covered days — no
+    re-scan of events, and the same partials serve 7-day, 30-day, or
+    month-to-date windows. This is the production shape for "unique
+    users over [range]" dashboards at 100 TB: the raw data is
+    touched once, ever (operators/sketches.hll_partial/hll_merge/
+    hll_readout).
+    """
+    from ccgp_data_wrangling_spark.operators.sketches import (
+        hll_partial,
+        hll_readout,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    daily = hll_partial(ev, "d", "user_id").withColumnRenamed("g", "d")
+    days = daily.select("d").dropDuplicates().withColumnRenamed("d", "day")
+    windowed = (
+        days.join(
+            daily,
+            (daily.d <= days.day) & (daily.d >= F.date_sub(days.day, 6)),
+        )
+        .groupBy("day", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return hll_readout(
+        windowed.withColumnRenamed("day", "g"), "day"
+    ).withColumnRenamed("est_distinct", "est_7d_users")
