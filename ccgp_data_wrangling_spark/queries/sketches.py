@@ -969,12 +969,16 @@ def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("d"), "user_id"
     )
     daily = hll_partial(ev, "d", "user_id").withColumnRenamed("g", "d")
+    # each daily register contributes to the 7 window-ending days it
+    # covers: explode + groupBy — no range join, pure equi-shape
+    # (register rows × 7 is the entire fan-out; a days×daily interval
+    # join would be a nested loop the audit rightly flags)
     days = daily.select("d").dropDuplicates().withColumnRenamed("d", "day")
+    contrib = daily.withColumn(
+        "day", F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
+    )
     windowed = (
-        days.join(
-            daily,
-            (daily.d <= days.day) & (daily.d >= F.date_sub(days.day, 6)),
-        )
+        contrib.join(F.broadcast(days), "day")  # clip to observed days
         .groupBy("day", "register")
         .agg(F.max("rho").alias("rho"))
     )
