@@ -154,6 +154,8 @@ _PRIORITY: list[str] = [
     "nullsafe_join_segments",
     "triangle_count_links",
     "reachability_3hops",
+    "vhist_quantiles_by_type",
+    "hll_rolling_7d_users",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",
