@@ -705,3 +705,90 @@ def minhash_neardup_incremental(
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "old_id", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF sparse cosine similarity join
+# ---------------------------------------------------------------------------
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    max_df: int | None = 10_000,
+    idf_scale: int = 1000,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Document pairs with TF-IDF cosine ≥ ``threshold``
+    (id_a < id_b, cos_sim rounded 4 dp).
+
+    The weighted companion of the Jaccard/MinHash families: rare
+    terms dominate the score, so boilerplate-sharing documents stop
+    matching while topically-identical ones still do. Candidates come
+    from the inverted index (docs sharing ≥1 term), the dot product
+    accumulates per shared term — never a dense |V|-dim vector.
+
+    Determinism: tf is integral; idf = round(ln((N+1)/(df+1))+1, 3)
+    carried as an exact integer in 1/``idf_scale`` units, so every
+    per-term weight product and both norms' squared sums are EXACT
+    integer arithmetic (bounded: idf_s ≤ ~10·scale, tf ≤ doc length —
+    products stay far under 2^63 at these scales); the only floats
+    are the two final sqrt/divide ops, rounded to 4 dp. Partition
+    order cannot move the result.
+
+    ``max_df`` drops stop-terms from CANDIDATE GENERATION and the
+    dot product alike (their idf ≈ low anyway); it is a documented
+    semantic cap exactly like ngram_jaccard_pairs' guard.
+    """
+    from ccgp_data_wrangling_spark.operators.corpus_stats import (
+        corpus_tokens,
+    )
+
+    if scope is None:
+        scope = active_scope("tfidf_cosine_pairs")
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(corpus_tokens(text_col)).alias("t"),
+        )
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("df") <= max_df)
+    idf_s = F.round(
+        (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0) * idf_scale, 0
+    ).cast("long")
+    weights = scope.persist(
+        tf.join(dfreq.select("t", idf_s.alias("idf_s")), "t").select(
+            "id", "t", (F.col("tf") * F.col("idf_s")).alias("w_s")
+        )
+    )
+    norms = weights.groupBy("id").agg(
+        F.sum(F.col("w_s") * F.col("w_s")).alias("norm_sq_s")
+    )
+    wa = weights.select("t", F.col("id").alias("id_a"), F.col("w_s").alias("wa"))
+    wb = weights.select("t", F.col("id").alias("id_b"), F.col("w_s").alias("wb"))
+    dots = (
+        wa.join(wb, "t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot_s"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm_sq_s").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm_sq_s").alias("nb"))
+    cos = F.round(
+        F.col("dot_s") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 4
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cos_sim", cos)
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1077,3 +1077,55 @@ def multimodal_pgm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "id", "kind", "width", "height", "n_channels", "luma_mean"
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF sparse cosine near-dup: exact-integer weights, inverted-
+# index dot products. Oracle replays idf scaling, integer sums, and
+# the final sqrt/divide at 4 dp.
+# ---------------------------------------------------------------------------
+
+_TFIDF_COS_SQL = r"""
+WITH tf AS (
+  SELECT doc_id AS id, w AS t, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+weights AS (
+  SELECT tf.id, tf.t,
+         tf.tf * CAST(ROUND((LN((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) * 1000, 0) AS BIGINT) AS w_s
+  FROM tf JOIN dfreq USING (t) CROSS JOIN n
+  WHERE dfreq.df <= 10000
+),
+norms AS (SELECT id, SUM(w_s * w_s) AS norm_sq_s FROM weights GROUP BY 1),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, SUM(a.w_s * b.w_s) AS dot_s
+  FROM weights a JOIN weights b ON a.t = b.t AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT d.id_a, d.id_b,
+       ROUND(d.dot_s / (SQRT(na.norm_sq_s) * SQRT(nb.norm_sq_s)), 4) AS cos_sim
+FROM dots d
+JOIN norms na ON na.id = d.id_a
+JOIN norms nb ON nb.id = d.id_b
+WHERE ROUND(d.dot_s / (SQRT(na.norm_sq_s) * SQRT(nb.norm_sq_s)), 4) >= 0.9
+"""
+
+
+@register("tfidf_cosine_neardup", _TFIDF_COS_SQL)
+def tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with TF-IDF cosine ≥ 0.9
+    (operators/dedup.tfidf_cosine_pairs) — the weighted similarity
+    family: rare terms dominate, boilerplate overlap stops matching.
+    Exact-integer weight arithmetic end-to-end; only the final
+    sqrt/divide is floating point, rounded 4 dp.
+    """
+    from ccgp_data_wrangling_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.9)
