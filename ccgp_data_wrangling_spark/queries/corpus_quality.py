@@ -334,3 +334,82 @@ def quota_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("quota_rank") <= 15)
         .select("source", "doc_id", F.col("quota_rank").cast("int").alias("quota_rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card metrics: the release-notes numbers for a corpus drop,
+# in one pass over documents (plus one tiny distinct).
+# ---------------------------------------------------------------------------
+
+_CARD_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars,
+         LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS n_tok,
+         md5(text) AS h
+  FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS exact_dup_docs,
+         CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+         CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+  FROM t
+)
+SELECT 'n_docs' AS metric, n_docs AS value FROM agg
+UNION ALL SELECT 'n_langs', n_langs FROM agg
+UNION ALL SELECT 'n_sources', n_sources FROM agg
+UNION ALL SELECT 'total_chars', total_chars FROM agg
+UNION ALL SELECT 'total_tokens', total_tokens FROM agg
+UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM agg
+UNION ALL SELECT 'min_tokens', min_tokens FROM agg
+UNION ALL SELECT 'max_tokens', max_tokens FROM agg
+"""
+
+
+@register("dataset_card_metrics", _CARD_SQL)
+def dataset_card_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-card numbers for the corpus — doc/lang/source counts,
+    token totals, exact-dup count, length extremes — ONE aggregate
+    pass (count-distincts ride Spark's expand-based multi-distinct;
+    at extreme scale swap in the HLL family per SCALING.md).
+    """
+    from ccgp_data_wrangling_spark.operators.corpus_stats import (
+        corpus_tokens,
+    )
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(corpus_tokens("text")).alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct("h"))
+        .cast("long")
+        .alias("exact_dup_docs"),
+        F.min("n_tok").cast("long").alias("min_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+    )
+    metrics = [
+        "n_docs", "n_langs", "n_sources", "total_chars",
+        "total_tokens", "exact_dup_docs", "min_tokens", "max_tokens",
+    ]
+    pairs = F.array(
+        *[
+            F.struct(F.lit(m).alias("metric"), F.col(m).alias("value"))
+            for m in metrics
+        ]
+    )
+    return agg.select(F.explode(pairs).alias("p")).select(
+        F.col("p.metric").alias("metric"), F.col("p.value").alias("value")
+    )
