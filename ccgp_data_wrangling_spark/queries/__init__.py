@@ -156,6 +156,8 @@ _PRIORITY: list[str] = [
     "reachability_3hops",
     "vhist_quantiles_by_type",
     "hll_rolling_7d_users",
+    "dataset_card_metrics",
+    "tfidf_cosine_neardup",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",
