@@ -1,0 +1,64 @@
+"""Empty-input robustness: every operator family must return an
+empty result — never raise — on empty frames (production pipelines
+hit empty batches, empty partitions, and zero-row filters daily)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ccgp_data_wrangling_spark.operators.cdc import cdc_chunk_dedup
+from ccgp_data_wrangling_spark.operators.dedup import (
+    minhash_neardup_pairs,
+    tfidf_cosine_pairs,
+)
+from ccgp_data_wrangling_spark.operators.diff import snapshot_diff_summary
+from ccgp_data_wrangling_spark.operators.geojoin import geo_radius_join
+from ccgp_data_wrangling_spark.operators.rangejoin import interval_coverage
+from ccgp_data_wrangling_spark.operators.sketches import (
+    heavy_hitters,
+    hll_distinct,
+    kmv_distinct,
+)
+from ccgp_data_wrangling_spark.operators.textprep import (
+    quantile_bucket_sample,
+)
+from ccgp_data_wrangling_spark.pipelines.resolution import resolve_entities
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "hll", "kmv", "heavy", "diff", "interval", "qbucket",
+        "minhash", "tfidf_cos", "cdc", "geo", "resolve",
+    ],
+)
+def test_empty_input_returns_empty(spark, name):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    kv = spark.createDataFrame([], "g string, v double")
+    runs = {
+        "hll": lambda: hll_distinct(kv, "g", "v"),
+        "kmv": lambda: kmv_distinct(kv, "g", "v"),
+        "heavy": lambda: heavy_hitters(
+            spark.createDataFrame([], "rk long, v string"), "v", "rk"
+        ),
+        "diff": lambda: snapshot_diff_summary(docs, docs, ["doc_id"]),
+        "interval": lambda: interval_coverage(
+            spark.createDataFrame([], "k string, s long, e long"),
+            "k", "s", "e",
+        ),
+        "qbucket": lambda: quantile_bucket_sample(
+            spark.createDataFrame([], "doc_id long, score double"),
+            "score", [50, 100, 100, 25],
+        ),
+        "minhash": lambda: minhash_neardup_pairs(docs, "doc_id", "text"),
+        "tfidf_cos": lambda: tfidf_cosine_pairs(docs, "doc_id", "text"),
+        "cdc": lambda: cdc_chunk_dedup(docs, "doc_id", "text"),
+        "geo": lambda: geo_radius_join(
+            spark.createDataFrame([], "id long, lat double, lon double"),
+            "id", "lat", "lon", radius_km=25.0,
+        ),
+        "resolve": lambda: resolve_entities(
+            spark.createDataFrame([], "rec_id long, name string, balance double")
+        ),
+    }
+    assert runs[name]().collect() == []
