@@ -45,6 +45,8 @@ __all__ = [
     "hll_stream",
     "DriftStreamState",
     "drift_stream",
+    "VHistStreamState",
+    "vhist_stream",
 ]
 
 
@@ -294,6 +296,71 @@ def drift_stream(
 
     def _sink(batch: DataFrame, _epoch: int) -> None:
         state.fold(batch, group_col=group_col, value_col=value_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+class VHistStreamState:
+    """Persisted ``(g, v_s, cnt)`` value-keyed histogram digest at
+    ``path`` — streaming quantiles without a pre-declared range.
+
+    Additive fold (cnt sums), so like CMS the exactly-once guarantee
+    leans on foreachBatch epoch checkpointing. State is bounded by
+    the distinct rounded values per group.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, *, scale: int = 100):
+        self.spark = spark
+        self.path = path
+        self.scale = scale
+        self._table = ParquetTable(spark, path, key=["g", "v_s"])
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path)
+
+    def read(self) -> DataFrame:
+        return self._table.read()
+
+    def fold(self, batch: DataFrame, group_col: str, value_col: str) -> None:
+        from ccgp_data_wrangling_spark.operators.sketches import (
+            vhist_merge,
+            vhist_partial,
+        )
+
+        part = vhist_partial(batch, group_col, value_col, scale=self.scale)
+        if not self.exists():
+            self._table.init(part)
+            return
+        self._table._swap_in(vhist_merge([self.read(), part]))
+
+    def quantiles(self, group_col: str, qs=(0.5, 0.9, 0.99)) -> DataFrame:
+        from ccgp_data_wrangling_spark.operators.sketches import (
+            vhist_quantiles,
+        )
+
+        return vhist_quantiles(self.read(), group_col, qs, scale=self.scale)
+
+
+def vhist_stream(
+    stream: DataFrame,
+    state: VHistStreamState,
+    group_col: str,
+    value_col: str,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain a value-keyed histogram digest from a streaming frame."""
+
+    def _sink(batch: DataFrame, _epoch: int) -> None:
+        state.fold(batch, group_col, value_col)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

@@ -540,3 +540,39 @@ def test_vhist_merge_equals_direct_and_quantiles_exact(spark):
     vals = sorted(round(v * 100) / 100 for _, v in rows)
     assert got["p50"] == vals[math.ceil(0.5 * len(vals)) - 1]
     assert got["p99"] == vals[math.ceil(0.99 * len(vals)) - 1]
+
+
+def test_vhist_stream_matches_batch(spark, tmp_path):
+    """Micro-batched digest folds == one-shot digest quantiles."""
+    from ccgp_data_wrangling_spark.operators.sketches import (
+        vhist_partial,
+        vhist_quantiles,
+    )
+    from ccgp_data_wrangling_spark.streaming.sketch_stream import (
+        VHistStreamState,
+        vhist_stream,
+    )
+
+    src = tmp_path / "src"
+    rows = [("t", float(i % 250) / 7) for i in range(2100)]
+    full = spark.createDataFrame(rows, "g string, v double")
+    for j in range(3):
+        spark.createDataFrame(
+            rows[j * 700 : (j + 1) * 700], "g string, v double"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = VHistStreamState(spark, str(tmp_path / "state"))
+    q = vhist_stream(
+        stream, state, "g", "v", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, state.quantiles("g").collect()))
+    want = sorted(
+        map(tuple, vhist_quantiles(vhist_partial(full, "g", "v"), "g").collect())
+    )
+    assert got == want
