@@ -1387,3 +1387,37 @@ def nullsafe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.join(
         F.broadcast(dim), fact.seg.eqNullSafe(dim.seg)
     ).select("c_custkey", "label")
+
+
+# ---------------------------------------------------------------------------
+# Pure-SQL interface: the engine's queries are DataFrame-built, but
+# users also get the textual surface — temp views + spark.sql, same
+# Catalyst plan underneath. The statement is deliberately identical
+# to the DuckDB oracle (both are ANSI SQL over the same views).
+# ---------------------------------------------------------------------------
+
+_SQLAPI_SQL = """
+SELECT n.n_name AS nation,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_buyers,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY 1
+HAVING COUNT(*) >= 10
+"""
+
+
+@register("sql_api_nation_revenue", _SQLAPI_SQL)
+def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finished-order revenue by nation through the TEXTUAL SQL
+    surface: temp views + ``spark.sql`` with the byte-identical
+    statement the oracle runs. Catalyst plans it exactly like the
+    DataFrame twin queries (broadcast dims, partial aggs) — the API
+    is syntax, not semantics.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_SQLAPI_SQL)
