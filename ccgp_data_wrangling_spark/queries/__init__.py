@@ -158,6 +158,7 @@ _PRIORITY: list[str] = [
     "hll_rolling_7d_users",
     "dataset_card_metrics",
     "tfidf_cosine_neardup",
+    "sql_api_nation_revenue",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",
