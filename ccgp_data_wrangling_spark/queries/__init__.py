@@ -159,6 +159,7 @@ _PRIORITY: list[str] = [
     "dataset_card_metrics",
     "tfidf_cosine_neardup",
     "sql_api_nation_revenue",
+    "classifier_decile_profile",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",

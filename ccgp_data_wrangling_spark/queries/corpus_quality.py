@@ -413,3 +413,95 @@ def dataset_card_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.explode(pairs).alias("p")).select(
         F.col("p.metric").alias("metric"), F.col("p.value").alias("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier decile profile: the model-evaluation lift table — dock
+# documents into score deciles (exact percentile cutpoints, scalar
+# subquery) and profile doc length + keep share per decile.
+# ---------------------------------------------------------------------------
+
+_DECILE_SQL = """
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, ANY_VALUE(n_chars) AS n_chars,
+         CAST((CAST(('0x' || SUBSTR(md5(w), 1, 15)) AS BIGINT) + 1) % 256 AS INT) AS b,
+         COUNT(*) AS m
+  FROM toks GROUP BY doc_id, b
+),
+weights AS (
+  SELECT CAST(r.range AS INT) AS b,
+         (CAST(('0x' || SUBSTR(md5('11:' || CAST(r.range AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+           % 2001 - 1000 AS w_m
+  FROM RANGE(0, 256) r
+),
+pooled AS (
+  SELECT doc_id, ANY_VALUE(n_chars) AS n_chars,
+         ROUND(SUM(m * w_m) / (1000.0 * SUM(m)), 6) AS x
+  FROM feats JOIN weights USING (b) GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, n_chars, ROUND(1.0 / (1.0 + EXP(-x)), 6) AS score FROM pooled
+),
+cuts AS (
+  SELECT [QUANTILE_CONT(score, 0.1), QUANTILE_CONT(score, 0.2), QUANTILE_CONT(score, 0.3), QUANTILE_CONT(score, 0.4), QUANTILE_CONT(score, 0.5), QUANTILE_CONT(score, 0.6), QUANTILE_CONT(score, 0.7), QUANTILE_CONT(score, 0.8), QUANTILE_CONT(score, 0.9)] AS qs FROM scored
+),
+bucketed AS (
+  SELECT s.*, 1 + LEN(LIST_FILTER(c.qs, q -> q < s.score)) AS decile
+  FROM scored s CROSS JOIN cuts c
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(n_chars), 2) AS avg_chars,
+       ROUND(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS keep_share
+FROM bucketed GROUP BY 1
+"""
+
+
+@register("classifier_decile_profile", _DECILE_SQL)
+def classifier_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-decile lift table for the hashed linear classifier:
+    per decile, doc counts, mean length, and keep share.
+
+    Deciles come from ONE exact-percentile scalar subquery; bucket
+    assignment counts cutpoints strictly below the score (ties land
+    in the lower decile identically on both engines). The scored
+    relation persists across the cutpoint and bucket passes.
+    """
+    from ccgp_data_wrangling_spark.caching import active_scope
+    from ccgp_data_wrangling_spark.operators.embed import linear_text_score
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    scored = active_scope("classifier_decile_profile").persist(
+        linear_text_score(docs, "text", ["doc_id"], dim=256, seed=11)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id", "n_chars", "score")
+    )
+    qs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    cuts = scored.agg(F.percentile("score", qs)).scalar()
+    # scalar subqueries may not appear inside higher-order functions —
+    # accumulate the bucket with 9 explicit element_at comparisons
+    # (same pattern as textprep.length_bucket_summary)
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + (F.element_at(cuts, i) < F.col("score")).cast("int")
+    return (
+        scored.withColumn("decile", decile.cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(
+                F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("keep_share"),
+        )
+    )
