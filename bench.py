@@ -94,6 +94,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # machine-state capture: BENCH_r03's recorded total disagreed ~30%
+    # with idle-box reruns because the driver box was contended. A
+    # loadavg stamp at start/end makes a contaminated run detectable.
+    load_start = os.getloadavg()
+
     spark = get_spark(app_name="ccgp-bench")
     qs = all_queries()
 
@@ -126,6 +131,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "ncpu": os.cpu_count(),
             }
         )
     )

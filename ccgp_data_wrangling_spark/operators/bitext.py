@@ -116,14 +116,17 @@ def margin_mine(
     )
     # mutual best by margin: two argmax aggregates (map-side
     # combining), tiebroken on the partner id — no global window
+    # min_by over (-margin, id): highest margin, ties to the smallest
+    # partner id — struct ordering handles string ids, where a unary
+    # -id would fail under ANSI negation.
     best_a = margined.groupBy("a_id").agg(
-        F.max_by(
-            F.col("b_id"), F.struct(F.col("margin"), -F.col("b_id"))
+        F.min_by(
+            F.col("b_id"), F.struct((-F.col("margin")), F.col("b_id"))
         ).alias("best_b")
     )
     best_b = margined.groupBy("b_id").agg(
-        F.max_by(
-            F.col("a_id"), F.struct(F.col("margin"), -F.col("a_id"))
+        F.min_by(
+            F.col("a_id"), F.struct((-F.col("margin")), F.col("a_id"))
         ).alias("best_a")
     )
     return (

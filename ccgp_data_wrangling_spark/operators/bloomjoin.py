@@ -164,7 +164,19 @@ def bloom_prefilter_join(
     shuffle carries only probe rows whose key *might* be in build —
     for a 1%-selective build side that is a ~99% shuffle reduction at
     the cost of one 16 KiB broadcast-equivalent literal.
+
+    Only ``inner`` and ``left_semi`` are accepted: those are the join
+    types where dropping never-matching probe rows is semantics-
+    preserving. For left/full/anti joins the prefilter would remove
+    probe rows that must survive with nulls (or satisfy the anti
+    condition), so they are rejected rather than silently wrong.
     """
+    if how not in ("inner", "left_semi", "semi", "leftsemi"):
+        raise ValueError(
+            "bloom_prefilter_join preserves semantics only for "
+            f"inner/left_semi joins, got how={how!r}; use a plain join "
+            "for outer/anti types"
+        )
     sketch = bloom_sketch(build, build_key, num_bits=num_bits, num_hashes=num_hashes)
     words = bloom_words(sketch, num_bits=num_bits)
     pre = probe.where(

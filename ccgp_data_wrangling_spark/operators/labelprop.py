@@ -61,9 +61,12 @@ def label_propagation(
         counted = nbr.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("c")
         )
+        # min_by over (-count, label): most-frequent first, ties to the
+        # SMALLEST label — struct ordering works for string node ids
+        # too, where the previous unary -label only handled numerics.
         labels = counted.groupBy("node").agg(
-            F.max_by(
-                F.col("label"), F.struct(F.col("c"), (-F.col("label")))
+            F.min_by(
+                F.col("label"), F.struct((-F.col("c")), F.col("label"))
             ).alias("label")
         )
         labels = labels.localCheckpoint(eager=False)

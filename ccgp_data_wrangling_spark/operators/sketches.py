@@ -536,12 +536,22 @@ def heavy_hitters(
     Oracle-able: every step (md5 sample, scaled threshold, semi-join,
     exact count) replays verbatim in SQL, so parity holds even for
     the (never observed at these parameters) prefilter-miss case.
+
+    NULL-safe: a NULL heavy-hitter *value* survives (the semi-join is
+    ``eqNullSafe``, matching the full groupBy this operator replaces),
+    and NULL *row keys* still enter the sample (hash input coalesced
+    to a sentinel) rather than silently falling out of pass 1.
     """
     total = df.count()  # one lightweight count job, parquet-stat fast
     threshold = max(1, int(threshold_frac * total))
     sampled_floor = int(slack * threshold / sample_mod)
     sampled = df.where(
-        F.pmod(_element_hash(F.col(row_key_col)), F.lit(sample_mod)) == 0
+        F.pmod(
+            _element_hash(F.coalesce(F.col(row_key_col).cast("string"),
+                                     F.lit("<NULL>"))),
+            F.lit(sample_mod),
+        )
+        == 0
     )
     cands = (
         sampled.groupBy(F.col(value_col).alias("__hh_cand"))
@@ -552,7 +562,7 @@ def heavy_hitters(
     return (
         df.join(
             F.broadcast(cands),
-            F.col(value_col) == F.col("__hh_cand"),
+            F.col(value_col).eqNullSafe(F.col("__hh_cand")),
             "left_semi",
         )
         .groupBy(F.col(value_col).alias("value"))

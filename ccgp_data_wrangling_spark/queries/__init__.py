@@ -43,63 +43,25 @@ def register(name: str, oracle: str | None):
 # to the head of the dict (in list order); everything else follows in
 # registration order.  Keep every name that still lacks a green
 # CORRECTNESS row — plus any newly added query — inside the first 50.
+#
+# r4 rotation (tools/rotate_registry.py --write over CORRECTNESS_r01-03):
+# slots 0-2 = the three r3 reds (oracle HUGEINT typing, now cast), then
+# 47 of the 66 never-driver-verified names. One manual swap inside the
+# never-verified block: label_propagation_communities moved into the
+# window (its tie-break code changed this round — needs a driver row)
+# in place of q14_promo_share (conditional-share shape already proven
+# by green siblings a2_flag_share/q12-class joins). The 19 never-
+# verified names left for round 5 are enumerated in CHANGELOG_r4.md.
 _PRIORITY: list[str] = [
-    "m3_array_union_pull",
-    "m3_struct_tuple_union",
-    "m8_partitioned_upsert",
-    "sample_stratified_lang",
-    "pack_context_windows",
-    "chunk_documents_windowed",
-    "pii_scrub_sentinels",
-    "train_order_shuffle",
-    "contamination_ngram_overlap",
-    "domain_mixture_weighted",
-    "length_bucket_batching",
-    "x12b_blocked_fuzzy_match",
-    "r6_jan_only_products",
-    "skew_salted_agg",
-    "q4_exists_semi_join",
-    "q10_returned_revenue",
-    "rollup_order_profile",
-    "range_balance_band",
-    "profile_orders",
-    "percentiles_by_flag",
-    "x11b_service_geocode",
-    "s4_sheet_probe_xls",
-    "url_normalize_dedup",
-    "ngram_repeat_scrub",
-    "winsorize_quality",
-    "doc_topic_cluster",
-    "cross_lingual_ratio",
-    "anchor_text_agg",
-    "robots_policy_filter",
-    "session_dedup_window",
-    "t_session_window_native",
-    "pagerank_link_graph",
-    "jl_projection_16d",
-    "kmv_distinct_users",
     "cms_token_frequency",
     "hist_quantile_by_type",
-    "span_dedup_crossdoc",
-    "priority_sample_weights",
     "token_budget_select",
-    "zorder_cluster_stats",
-    "kmv_shard_overlap",
-    "funnel_stage_conversion",
-    "cohort_weekly_retention",
-    "event_transition_matrix",
-    "mad_outlier_flags",
-    "decayed_user_value",
-    "cube_event_value",
-    "moving_avg_user_value",
-    "q6_forecast_revenue",
-    "leakage_safe_splits",
     "bm25_topk_retrieval",
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
     "q13_order_distribution",
-    "q14_promo_share",
+    "label_propagation_communities",
     "q15_top_supplier",
     "q17_small_quantity",
     "q18_large_orders",
@@ -142,7 +104,7 @@ _PRIORITY: list[str] = [
     "data_expectations_orders",
     "window_suite_orders",
     "negative_samples_contrastive",
-    "label_propagation_communities",
+    "q14_promo_share",
     "calendar_gap_days",
     "sliding_rate_per_user",
     "attribution_first_last",
@@ -224,6 +186,53 @@ _PRIORITY: list[str] = [
     "multimodal_features",
     "multimodal_frame_sample",
     "m1_upsert",
+    "m3_array_union_pull",
+    "m3_struct_tuple_union",
+    "m8_partitioned_upsert",
+    "sample_stratified_lang",
+    "pack_context_windows",
+    "chunk_documents_windowed",
+    "pii_scrub_sentinels",
+    "train_order_shuffle",
+    "contamination_ngram_overlap",
+    "domain_mixture_weighted",
+    "length_bucket_batching",
+    "x12b_blocked_fuzzy_match",
+    "r6_jan_only_products",
+    "skew_salted_agg",
+    "q4_exists_semi_join",
+    "q10_returned_revenue",
+    "rollup_order_profile",
+    "range_balance_band",
+    "profile_orders",
+    "percentiles_by_flag",
+    "x11b_service_geocode",
+    "s4_sheet_probe_xls",
+    "url_normalize_dedup",
+    "ngram_repeat_scrub",
+    "winsorize_quality",
+    "doc_topic_cluster",
+    "cross_lingual_ratio",
+    "anchor_text_agg",
+    "robots_policy_filter",
+    "session_dedup_window",
+    "t_session_window_native",
+    "pagerank_link_graph",
+    "jl_projection_16d",
+    "kmv_distinct_users",
+    "span_dedup_crossdoc",
+    "priority_sample_weights",
+    "zorder_cluster_stats",
+    "kmv_shard_overlap",
+    "funnel_stage_conversion",
+    "cohort_weekly_retention",
+    "event_transition_matrix",
+    "mad_outlier_flags",
+    "decayed_user_value",
+    "cube_event_value",
+    "moving_avg_user_value",
+    "q6_forecast_revenue",
+    "leakage_safe_splits",
 ]
 
 

@@ -84,7 +84,7 @@ WITH toks AS (
   SELECT token, exact_cnt, hc FROM hashed
   ORDER BY exact_cnt DESC, token LIMIT 20
 )
-SELECT t.token, t.exact_cnt, MIN(c.cell) AS cms_est
+SELECT t.token, t.exact_cnt, CAST(MIN(c.cell) AS BIGINT) AS cms_est
 FROM top t
 CROSS JOIN {_CMS_SEEDS}
 JOIN cells c
@@ -139,7 +139,7 @@ SELECT g AS event_type,
          AS approx_p50,
        ROUND(MIN(CASE WHEN cum >= CEIL(0.9 * total) THEN bin * 10.0 END), 4)
          AS approx_p90,
-       MAX(total) AS n
+       CAST(MAX(total) AS BIGINT) AS n
 FROM cum GROUP BY g
 """
 
@@ -283,7 +283,8 @@ WITH toks AS (
          ) AS cum_tokens
   FROM toks
 )
-SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens, cum_tokens
+SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM ranked
 WHERE cum_tokens - n_tokens < 600
 """

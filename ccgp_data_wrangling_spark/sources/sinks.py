@@ -44,16 +44,6 @@ def write_single_tsv(df: DataFrame, path: str, *, sep: str = "\t") -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def write_partitioned(
-    df: DataFrame, path: str, *, partition_by: list[str] | None = None
-) -> None:
-    """Scale-path parquet sink: partitioned, no coalescing."""
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(path)
-
-
 def append_rows(df: DataFrame, path: str) -> None:
     """K3: append sink (snapshot/audit tables, update_gsheet.py:25)."""
     df.write.mode("append").parquet(path)

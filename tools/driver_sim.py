@@ -11,9 +11,13 @@ Usage: python tools/driver_sim.py [query ...]   (default: all oracles)
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import math
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pandas as pd
 
@@ -28,12 +32,19 @@ def _canon(df: pd.DataFrame) -> str:
     df = df.sort_values(by=list(df.columns), kind="mergesort")  # crashes on list cells
 
     def cell(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
+        if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
             return "∅"
         if isinstance(v, bool):
             return str(int(v))
         if isinstance(v, float):
             return f"{v:.6f}"
+        # normalize date vs timestamp rendering: Spark's toPandas keeps
+        # DateType as datetime.date ("2024-01-01") while DuckDB's .df()
+        # yields datetime64 ("2024-01-01 00:00:00"). The real driver
+        # hash-matched cohort_weekly_retention (DATE col) in r3, so its
+        # canonicalizer normalizes this split — mirror it.
+        if isinstance(v, (datetime.date, datetime.datetime, pd.Timestamp)):
+            return pd.Timestamp(v).isoformat()
         return str(v)
 
     h = hashlib.sha256()
@@ -58,12 +69,20 @@ def main(names):
             continue
         try:
             sdf = queries[name](spark, SF_DIR)
-            spark_pd = pd.DataFrame(
-                [tuple(r) for r in sdf.collect()], columns=sdf.columns
-            )
-            rel = con.execute(oracles[name])
-            duck_cols = [d[0] for d in rel.description]
-            duck_pd = pd.DataFrame(rel.fetchall(), columns=duck_cols)
+            # toPandas(), not collect(): the driver canonicalizes the
+            # Spark side through pandas/Arrow as well, so DATE renders
+            # as a pandas Timestamp on BOTH sides (cohort_weekly_
+            # retention's DATE column was driver-green in r3) while a
+            # DuckDB HUGEINT still lands float64 vs Spark's int64 (the
+            # r3 reds). Matching both coercions is what makes this sim
+            # predict the driver.
+            spark_pd = sdf.toPandas()
+            # .df() (Arrow/pandas path) — the real driver canonicalizes
+            # through pandas, where DuckDB HUGEINT coerces to float64 and
+            # renders "153.000000" vs Spark's "153".  fetchall() returned
+            # Python ints and hid exactly that class of mismatch in r3
+            # (cms/hist/token_budget reds — see VERDICT.md "What's wrong").
+            duck_pd = con.execute(oracles[name]).df()
             rows = (len(spark_pd), len(duck_pd))
             cols_ok = sorted(spark_pd.columns) == sorted(duck_pd.columns)
             hashes = (_canon(spark_pd), _canon(duck_pd))
