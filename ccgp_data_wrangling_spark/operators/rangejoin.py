@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["range_join"]
+__all__ = ["range_join", "interval_intersect_join", "interval_coverage"]
 
 
 def range_join(
@@ -71,6 +71,84 @@ def range_join(
         (F.col(point_col) >= F.col(start_col))
         & (F.col(point_col) <= F.col(end_col))
     ).select(*keys, *p_payload, *i_payload)
+
+
+def interval_intersect_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    *,
+    on: list[str] | None = None,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval × interval overlap join (BED-intersect): every
+    ``(left, right)`` pair with ``l.start < r.end AND r.start < l.end``
+    (half-open ``[start, end)`` semantics; empty and touching intervals
+    do not match), plus an ``overlap_len`` column
+    (``least(ends) - greatest(starts)``).
+
+    The sibling of :func:`range_join` for the interval-vs-interval
+    shape (bedtools intersect, variant-vs-annotation joins): BOTH sides
+    explode to the fixed-width grid cells they span and equi-join on
+    ``(keys…, cell)``. The **emit-once rule** avoids the dedup shuffle a
+    naive grid join needs: a pair is kept only in the cell containing
+    ``greatest(l.start, r.start)`` — a position inside both intervals
+    whenever they overlap, so each pair survives in exactly one cell
+    and never needs a distinct().
+
+    Scale: shuffle keyed on (keys…, cell), each interval explodes to
+    O(len/bucket_width) cells — pick ``bucket_width`` near the typical
+    interval length for O(1) duplication. No executor ever sees the
+    |L|×|R| pair space, and per-cell skew is bounded by cell occupancy
+    (genomics practice: per-chromosome binning at read length).
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    keys = list(on or [])
+    l_payload = [c for c in left.columns if c not in keys]
+    r_payload = [c for c in right.columns if c not in keys]
+    clash = set(l_payload) & set(r_payload)
+    if clash:
+        raise ValueError(f"rename clashing columns: {sorted(clash)}")
+
+    w = float(bucket_width)
+
+    def cells(df: DataFrame, start: str, end: str) -> DataFrame:
+        # half-open: drop empty intervals (they overlap nothing); the
+        # end cell may overshoot by one for boundary-aligned ends —
+        # harmless, the emit-cell equality below discards it
+        return df.where(F.col(start) < F.col(end)).withColumn(
+            "__cell",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start) / F.lit(w)).cast("long"),
+                    F.floor(F.col(end) / F.lit(w)).cast("long"),
+                )
+            ),
+        )
+
+    joined = cells(left, left_start, left_end).join(
+        cells(right, right_start, right_end), keys + ["__cell"]
+    )
+    ls, le = F.col(left_start), F.col(left_end)
+    rs, re_ = F.col(right_start), F.col(right_end)
+    return (
+        joined.where(
+            (ls < re_)
+            & (rs < le)
+            # emit-once: keep the pair only in max(starts)'s cell
+            & (F.floor(F.greatest(ls, rs) / F.lit(w)).cast("long") == F.col("__cell"))
+        )
+        .select(
+            *keys,
+            *l_payload,
+            *r_payload,
+            (F.least(le, re_) - F.greatest(ls, rs)).alias("overlap_len"),
+        )
+    )
 
 
 def interval_coverage(

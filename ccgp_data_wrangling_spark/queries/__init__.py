@@ -46,12 +46,14 @@ def register(name: str, oracle: str | None):
 #
 # r4 rotation (tools/rotate_registry.py --write over CORRECTNESS_r01-03):
 # slots 0-2 = the three r3 reds (oracle HUGEINT typing, now cast), then
-# 47 of the 66 never-driver-verified names. One manual swap inside the
-# never-verified block: label_propagation_communities moved into the
-# window (its tie-break code changed this round — needs a driver row)
-# in place of q14_promo_share (conditional-share shape already proven
-# by green siblings a2_flag_share/q12-class joins). The 19 never-
-# verified names left for round 5 are enumerated in CHANGELOG_r4.md.
+# never-driver-verified names. Two manual swaps inside the never-
+# verified block, both trading a low-risk TPC-H shape (already proven
+# by green siblings: a2_flag_share conditional shares, j6/a7 join+
+# histogram) for code that changed or landed this round and needs a
+# driver row: label_propagation_communities in for q14_promo_share,
+# multimodal_gif_real_decode (new) in for q13_order_distribution. The
+# 20 never-verified names left for round 5 start at q14_promo_share
+# below and are enumerated in CHANGELOG_r4.md.
 _PRIORITY: list[str] = [
     "cms_token_frequency",
     "hist_quantile_by_type",
@@ -60,7 +62,7 @@ _PRIORITY: list[str] = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
-    "q13_order_distribution",
+    "multimodal_gif_real_decode",
     "label_propagation_communities",
     "q15_top_supplier",
     "q17_small_quantity",
@@ -105,6 +107,7 @@ _PRIORITY: list[str] = [
     "window_suite_orders",
     "negative_samples_contrastive",
     "q14_promo_share",
+    "q13_order_distribution",
     "calendar_gap_days",
     "sliding_rate_per_user",
     "attribution_first_last",

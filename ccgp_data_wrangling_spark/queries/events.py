@@ -895,6 +895,82 @@ def interval_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interval INTERSECTION join (BED-intersect): click activity windows ×
+# error windows per user — every overlapping pair with its overlap
+# length. Grid-bucketed with the emit-once rule (pair kept only in the
+# cell of max(starts)), so the oracle's plain overlap join must match
+# row-for-row with no dedup on either side.
+# ---------------------------------------------------------------------------
+
+_ISECT_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id, event_type,
+         CAST(FLOOR(EPOCH(ts) / 60) AS BIGINT) AS s,
+         CAST(FLOOR(EPOCH(ts) / 60) AS BIGINT)
+           + CAST(CEIL(value * 3) AS BIGINT) AS e
+  FROM events
+)
+SELECT a.user_id,
+       a.event_id AS click_id,
+       b.event_id AS error_id,
+       CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT) AS overlap_len
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'error'
+ AND a.s < b.e AND b.s < a.e
+ AND a.s < a.e AND b.s < b.e
+"""
+
+
+@register("interval_intersect_click_error", _ISECT_SQL)
+def interval_intersect_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (click, error) activity-window pairs per user
+    (operators/rangejoin.interval_intersect_join).
+
+    The interval-vs-interval shape interval_coverage (BED merge)
+    doesn't cover: bedtools-intersect semantics, half-open intervals.
+    Both sides explode to 256-minute grid cells and equi-join on
+    (user_id, cell); the emit-once rule replaces the dedup shuffle.
+    The oracle is the naive overlap join — any double-emit or missed
+    boundary pair breaks the row-level hash.
+    """
+    from ccgp_data_wrangling_spark.operators.rangejoin import (
+        interval_intersect_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.unix_timestamp("ts") / 60).cast("long").alias("s"),
+        (
+            (F.unix_timestamp("ts") / 60).cast("long")
+            + F.ceil(F.col("value") * 3).cast("long")
+        ).alias("e"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("s").alias("cs"),
+        F.col("e").alias("ce"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("s").alias("es"),
+        F.col("e").alias("ee"),
+    )
+    pairs = interval_intersect_join(
+        clicks, errors, "cs", "ce", "es", "ee",
+        on=["user_id"], bucket_width=256.0,
+    )
+    return pairs.select(
+        "user_id", "click_id", "error_id",
+        F.col("overlap_len").cast("long").alias("overlap_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Click-path trigrams: most common 3-step event-type sequences.
 # Per-user window (millions of tiny partitions) + hash rollup.
 # ---------------------------------------------------------------------------

@@ -1080,6 +1080,93 @@ def multimodal_pgm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real GIF87a/89a decode through the driver gate — the third real
+# codec (after WAV and netpbm). Payloads are genuine single-frame
+# GIF89a streams from the fixture encoder (media_codecs.encode_gif:
+# global color table + variable-width LZW with periodic CLEAR), with
+# interlacing on alternate rows to exercise the deinterlace pass; the
+# kernel reassembles sub-blocks, runs the real LZW decoder, maps the
+# color table, and reports channel stats.
+#
+# Closed-form oracle: pixels are constant per channel except red,
+# which increases by 1 per image row, so mean(red) = base_r + (h-1)/2
+# exactly (integer sums / exact dyadic division), and luma has at
+# most 4 true decimal digits — ROUND(.,4) never sits on a rounding
+# boundary, so Python round vs DuckDB ROUND cannot disagree.
+# ---------------------------------------------------------------------------
+
+_GIF_SQL = """
+SELECT event_id AS id,
+       'image' AS kind,
+       CAST((event_id % 5) + 2 AS INT) AS width,
+       CAST((event_id % 7) + 2 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       ROUND(
+         0.299 * ((event_id % 150) + 20 + ((event_id % 7) + 1) / 2.0)
+         + 0.587 * ((event_id % 90) + 40)
+         + 0.114 * ((event_id % 60) + 50), 4) AS luma_mean
+FROM events WHERE event_id % 20 = 2
+"""
+
+
+@register("multimodal_gif_real_decode", _GIF_SQL)
+def multimodal_gif_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF decode end-to-end: encode_gif fixture payloads →
+    sub-block reassembly → variable-width LZW (CLEAR/EOI, KwKwK) →
+    color-table mapping → channel means, driver-checked against the
+    construction's closed form (operators/media_codecs.decode_gif).
+
+    Alternate rows are interlaced (GIF four-pass row order), so the
+    deinterlace path runs inside the gate too. Arrow batches carry
+    payloads; Python touches rows only inside the two mapInPandas
+    stages — the synthesizer and the decode kernel.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import encode_gif
+    from ccgp_data_wrangling_spark.operators.multimodal import (
+        extract_real_features,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 2
+    ).select(F.col("event_id").alias("id"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                w = int(eid % 5) + 2
+                h = int(eid % 7) + 2
+                base_r = int(eid % 150) + 20
+                g = int(eid % 90) + 40
+                b = int(eid % 60) + 50
+                px = np.zeros((h, w, 3), np.uint8)
+                px[:, :, 0] = (base_r + np.arange(h))[:, None]
+                px[:, :, 1] = g
+                px[:, :, 2] = b
+                payloads.append(encode_gif(px, interlace=bool(eid % 2)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "payload": payloads,
+                    "media_type": "image/gif",
+                }
+            )
+
+    media = ev.mapInPandas(
+        synth, schema="id long, payload binary, media_type string"
+    )
+    feats = extract_real_features(media)
+    return feats.select(
+        "id", "kind", "width", "height", "n_channels", "luma_mean"
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF sparse cosine near-dup: exact-integer weights, inverted-
 # index dot products. Oracle replays idf scaling, integer sums, and
 # the final sqrt/divide at 4 dp.

@@ -91,3 +91,24 @@ def test_sparse_sketch_bounded_size(spark):
     big = _keys(spark, 0, 100_000)
     sk = bloom_sketch(big, "key")
     assert sk.count() <= DEFAULT_NUM_BITS // 64
+
+
+def test_prefilter_join_rejects_outer_and_anti(spark):
+    """left/full/anti joins would lose probe rows to the prefilter —
+    the operator must refuse rather than return silently wrong rows."""
+    import pytest
+
+    from ccgp_data_wrangling_spark.operators.bloomjoin import (
+        bloom_prefilter_join,
+    )
+
+    probe = spark.createDataFrame([(1,), (2,)], "k int")
+    build = spark.createDataFrame([(1,)], "bk int")
+    for how in ("left", "left_outer", "full", "left_anti", "anti", "right"):
+        with pytest.raises(ValueError, match="inner/left_semi"):
+            bloom_prefilter_join(probe, build, "k", "bk", how=how)
+    # the accepted types still work
+    assert bloom_prefilter_join(probe, build, "k", "bk", how="inner").count() == 1
+    assert (
+        bloom_prefilter_join(probe, build, "k", "bk", how="left_semi").count() == 1
+    )

@@ -37,3 +37,19 @@ def test_deterministic_across_layouts(spark):
 def test_self_loops_ignored(spark):
     out = _labels(spark, [(1, 1), (1, 2)], n_rounds=2)
     assert set(out) == {1, 2}
+
+
+def test_label_propagation_string_node_ids(spark):
+    """String ids must work: the tie-break is struct ordering, not
+    numeric negation (two disjoint triangles, ties to smallest id)."""
+    from ccgp_data_wrangling_spark.operators.labelprop import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("z", "x")],
+        "src string, dst string",
+    )
+    out = {r.node: r.label for r in label_propagation(edges, n_rounds=4).collect()}
+    assert {out[n] for n in "abc"} == {"a"}
+    assert {out[n] for n in "xyz"} == {"x"}

@@ -143,3 +143,99 @@ def test_interval_coverage_touching_merge_and_containment(spark):
     r = interval_coverage(df, "k", "s", "e").collect()[0]
     # contained interval absorbed; touching [100,101) merges
     assert (r["n_merged"], r["covered"]) == (1, 101)
+
+
+# ---------------------------------------------------------------------------
+# interval_intersect_join (BED-intersect, emit-once grid join)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_intersect_basic_and_halfopen(spark):
+    from ccgp_data_wrangling_spark.operators.rangejoin import (
+        interval_intersect_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            ("L1", 0, 10),    # overlaps R1, R2
+            ("L2", 10, 10),   # empty → never matches
+            ("L3", 20, 30),   # touches R2 at 20 → NOT a match (half-open)
+            ("L4", 100, 300), # spans many cells, overlaps R3
+        ],
+        "lid string, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("R1", 5, 7),
+            ("R2", 9, 20),
+            ("R3", 250, 260),
+        ],
+        "rid string, rs long, re long",
+    )
+    out = interval_intersect_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=8.0
+    )
+    got = sorted((r.lid, r.rid, r.overlap_len) for r in out.collect())
+    assert got == [("L1", "R1", 2), ("L1", "R2", 1), ("L4", "R3", 10)]
+
+
+def test_interval_intersect_emits_each_pair_once(spark):
+    """A pair whose shared span crosses many grid cells must still
+    appear exactly once (the emit-once rule replaces dedup)."""
+    from ccgp_data_wrangling_spark.operators.rangejoin import (
+        interval_intersect_join,
+    )
+
+    left = spark.createDataFrame([("L", 0, 1000)], "lid string, ls long, le long")
+    right = spark.createDataFrame([("R", 1, 999)], "rid string, rs long, re long")
+    out = interval_intersect_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=10.0
+    ).collect()
+    assert len(out) == 1 and out[0].overlap_len == 998
+
+
+def test_interval_intersect_matches_brute_force_keyed(spark):
+    import random
+
+    from ccgp_data_wrangling_spark.operators.rangejoin import (
+        interval_intersect_join,
+    )
+
+    rng = random.Random(11)
+    lrows = [
+        (i, rng.choice("ab"), (s := rng.randrange(0, 500)), s + rng.randrange(0, 40))
+        for i in range(60)
+    ]
+    rrows = [
+        (i, rng.choice("ab"), (s := rng.randrange(0, 500)), s + rng.randrange(0, 40))
+        for i in range(60)
+    ]
+    left = spark.createDataFrame(lrows, "lid int, k string, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid int, k string, rs long, re long")
+    out = interval_intersect_join(
+        left, right, "ls", "le", "rs", "re", on=["k"], bucket_width=16.0
+    )
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    want = sorted(
+        (l[0], r[0])
+        for l in lrows
+        for r in rrows
+        if l[1] == r[1] and l[2] < r[3] and r[2] < l[3] and l[2] < l[3] and r[2] < r[3]
+    )
+    assert got == want
+
+
+def test_interval_intersect_plan_is_equi_join(spark):
+    """The physical plan must be a hash/sort-merge equi-join on the
+    grid cell — no BroadcastNestedLoopJoin / CartesianProduct."""
+    from ccgp_data_wrangling_spark.operators.rangejoin import (
+        interval_intersect_join,
+    )
+
+    left = spark.createDataFrame([("L", 0, 10)], "lid string, ls long, le long")
+    right = spark.createDataFrame([("R", 5, 7)], "rid string, rs long, re long")
+    plan = interval_intersect_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=8.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -576,3 +576,23 @@ def test_vhist_stream_matches_batch(spark, tmp_path):
         map(tuple, vhist_quantiles(vhist_partial(full, "g", "v"), "g").collect())
     )
     assert got == want
+
+
+def test_heavy_hitters_keeps_null_values(spark):
+    """A NULL heavy-hitter value must be reported with its exact count,
+    like the full groupBy the operator replaces (eqNullSafe semi-join;
+    NULL row keys still enter the sample)."""
+    from ccgp_data_wrangling_spark.operators.sketches import heavy_hitters
+
+    rows = [(i, None if i % 2 == 0 else "hot") for i in range(400)]
+    rows += [(1000 + i, f"tail{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "rk int, v string")
+    out = {
+        r.value: r.cnt
+        for r in heavy_hitters(
+            df, "v", "rk", threshold_frac=0.1, sample_mod=4
+        ).collect()
+    }
+    assert out.get("hot") == 200
+    assert out.get(None) == 200
+    assert all(k in (None, "hot") for k in out)
