@@ -159,6 +159,54 @@ def brute_force_topk(
     return _ranked_topk(scored, k, id_col)
 
 
+def _sample_centroids(
+    emb: DataFrame, id_col: str, vec_col: str, n_centroids: int, seed: int
+) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids: the corpus rows
+    minimizing ``xxhash64(id, seed)`` — a seeded uniform sample with
+    no RNG state, bounded collect (n_centroids rows)."""
+    rows = (
+        emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("hk", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("hk")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r.v] for r in rows]
+
+
+def _centroid_lit(centroids: list[list[float]]) -> Column:
+    """(idx, vector) struct-array literal — rides into executors inside
+    the plan, broadcast-equivalent, no shuffle."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("idx"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("cv"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def _assign_centroid(v: Column, cent_lit: Column) -> Column:
+    """Nearest-centroid index by cosine, lowest-index tie-break.
+
+    argmax via array_max over (sim, -idx) structs: each centroid's
+    cosine is evaluated ONCE inside the transform (a when/otherwise
+    fold would evaluate it twice — condition + selected value).
+    """
+    best = F.array_max(
+        F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                cosine_sim(v, c["cv"]).alias("sim"), (-c["idx"]).alias("nidx")
+            ),
+        )
+    )
+    return -best["nidx"]
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -187,15 +235,7 @@ def ivf_topk(
     inline in the same scan. Assignment cost is O(n_centroids·dim) per
     row of JVM codegen arithmetic, shuffle-free.
     """
-    # deterministic centroid sample, collected once (tiny)
-    cent_rows = (
-        emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-        .withColumn("hk", F.xxhash64(F.col(id_col), F.lit(seed)))
-        .orderBy("hk")
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = [[float(x) for x in r.v] for r in cent_rows]
+    centroids = _sample_centroids(emb, id_col, vec_col, n_centroids, seed)
 
     def _py_cos(a: list[float], b: list[float]) -> float:
         dot = sum(x * y for x, y in zip(a, b))
@@ -209,28 +249,8 @@ def ivf_topk(
     )[:n_probe]
 
     v = F.col(vec_col).cast("array<double>")
-    # argmax over centroids: score each centroid ONCE (transform), then
-    # array_max on (sim, -idx) structs — lexicographic max gives the
-    # highest sim with lowest-index tie-break. (A when/otherwise fold
-    # would evaluate each cosine twice: condition + selected value.)
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("idx"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("cv"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    best = F.array_max(
-        F.transform(
-            cent_lit,
-            lambda c: F.struct(
-                cosine_sim(v, c["cv"]).alias("sim"), (-c["idx"]).alias("nidx")
-            ),
-        )
-    )
-    assigned = -best["nidx"]
+    cent_lit = _centroid_lit(centroids)
+    assigned = _assign_centroid(v, cent_lit)
 
     cand = emb.withColumn("centroid_id", assigned).where(
         F.col("centroid_id").isin(*probe)
@@ -241,6 +261,88 @@ def ivf_topk(
         F.round(cosine_sim(v, qcol), 4).alias("cos_sim"),
     )
     return _ranked_topk(scored, k, id_col)
+
+
+def ivf_topk_multi(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Batch IVF retrieval: top-k corpus neighbors for EVERY row of a
+    query DataFrame, in one distributed plan — the multi-query layout
+    the single-query :func:`ivf_topk` docstring promises at 100 TB,
+    with no per-query driver loop.
+
+    Shape:
+
+    1. coarse quantizer = the same deterministic corpus sample as
+       ``ivf_topk`` (tiny, inlined as literals);
+    2. corpus rows assign to their nearest centroid (pure codegen
+       arithmetic, shuffle-free);
+    3. each QUERY row computes its ``n_probe`` nearest centroids as an
+       array Column (sorted (−sim, idx) structs — same ordering as the
+       single-query driver-side probe) and explodes to
+       ``(query_id, centroid)`` probe rows;
+    4. probes equi-join the assigned corpus on the centroid id —
+       candidate volume per query is the occupancy of its probed
+       cells, never |corpus|;
+    5. exact cosine re-rank per query via a per-key window (millions
+       of small ``query_id`` partitions — the scalable direction; no
+       global sort).
+
+    At 100 TB the assigned corpus is PERSISTED partitioned by
+    ``centroid_id`` (write once), making step 4 a partition-pruned
+    scan; here assignment runs inline in the same job. Output:
+    ``(query_id, id, cos_sim, rank)`` with rank 1..k per query.
+    """
+    centroids = _sample_centroids(emb, id_col, vec_col, n_centroids, seed)
+    cent_lit = _centroid_lit(centroids)
+
+    v = F.col(vec_col).cast("array<double>")
+    corpus = emb.select(
+        id_col, v.alias("__v"), _assign_centroid(v, cent_lit).alias("__centroid")
+    )
+
+    qv = F.col(query_vec_col).cast("array<double>")
+    # per-query probe list: ascending sort on (−sim, idx) structs ==
+    # descending sim with lowest-index tie-break, then keep n_probe
+    probe_arr = F.slice(
+        F.array_sort(
+            F.transform(
+                cent_lit,
+                lambda c: F.struct(
+                    (-cosine_sim(qv, c["cv"])).alias("nsim"),
+                    c["idx"].alias("idx"),
+                ),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    qp = queries.select(
+        query_id_col,
+        qv.alias("__qv"),
+        F.explode(F.transform(probe_arr, lambda p: p["idx"])).alias("__centroid"),
+    )
+
+    scored = qp.join(corpus, "__centroid").select(
+        query_id_col,
+        id_col,
+        F.round(cosine_sim(F.col("__v"), F.col("__qv")), 4).alias("cos_sim"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
 
 
 def jl_project(

@@ -382,6 +382,83 @@ def ann_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MULTI-query IVF retrieval (knn.ivf_topk_multi): ten query vectors
+# retrieve their top-2 in one distributed plan — probes explode to
+# (query, centroid) rows and equi-join the assigned corpus; no
+# per-query driver loop. Planted oracle: each query gets two nudged
+# near-copies (cos ≈ 1 vs a ≈ 0.37 natural ceiling), so the exact
+# per-query top-2 IS its planted pair, and a near-copy's nearest
+# centroid sits inside the query's 8-probe set by construction —
+# the approximate path must reproduce the exact answer.
+# ---------------------------------------------------------------------------
+
+_MULTI_IVF_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+planted AS (
+  SELECT {_PLANT_BASE} + query_id * 10 + j AS vec_id,
+         [qv[1] + 0.01 * j] || qv[2:64] AS v
+  FROM q, RANGE(1, 3) t(j)
+),
+corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 10
+  UNION ALL SELECT vec_id, v FROM planted
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND(LIST_COSINE_SIMILARITY(c.v, q.qv), 4) AS cos_sim
+  FROM corpus c CROSS JOIN q
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 2
+"""
+
+
+@register("ann_ivf_multiquery_planted", _MULTI_IVF_SQL)
+def ann_ivf_multiquery_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval for 10 queries at once via ivf_topk_multi —
+    the persisted-IVF-layout probe path rag_retrieve_chunks and
+    ivf_topk only documented. Scale shape: centroid literals, codegen
+    corpus assignment, (query, centroid) equi-join, per-query window
+    top-k; candidate volume per query = probed-cell occupancy."""
+    from ccgp_data_wrangling_spark.operators.knn import ivf_topk_multi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    planted = qdf.select(
+        F.col("query_id"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("j"),
+        F.col("qvec"),
+    ).select(
+        (F.lit(_PLANT_BASE) + F.col("query_id") * 10 + F.col("j")).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("qvec", 1) + 0.01 * F.col("j")),
+            F.slice("qvec", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = (
+        emb.where(F.col("vec_id") >= 10)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(planted)
+    )
+    out = ivf_topk_multi(
+        corpus, qdf, 2, n_centroids=32, n_probe=8
+    )
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dup on the NATURAL corpus (the generator
 # plants near-dup families): inverted-index candidates + exact Jaccard,
 # no LSH approximation anywhere, so the oracle is a direct mirror.
@@ -599,6 +676,42 @@ def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(planted)
     return semantic_dedup(corpus, num_clusters=8, threshold=0.99)
+
+
+@register("semantic_dedup_lsh_planted", _SEMDEDUP_SQL)
+def semantic_dedup_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-cluster LSH refinement semdedup's scale notes promised
+    (operators/semdedup.semantic_dedup_lsh), checked against the SAME
+    exact-replay oracle as semantic_dedup_planted: candidate pairs
+    must share a (cluster, SRP bucket) cell, so the in-cluster pair
+    join is near-linear instead of O(|cluster|²).
+
+    Why the exact oracle is valid here: the corpus has ZERO natural
+    pairs ≥ 0.99 (verified all-pairs at sf0.01), so the drop set is
+    exactly the ten planted near-copies at cos ≈ 0.9999995 — an angle
+    where a seeded 2-table × 8-bit SRP miss has probability ≈ 6e-6
+    and the outcome is deterministic (fixed planes, fixed data):
+    LSH-refined output == exact output, bit for bit.
+    """
+    from ccgp_data_wrangling_spark.operators.semdedup import (
+        semantic_dedup_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    v = F.col("embedding")
+    planted = emb.where(F.col("vec_id").between(10, 19)).select(
+        (F.col("vec_id") + 3_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(v, 1) + 0.001), F.slice(v, 2, 63)
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    return semantic_dedup_lsh(
+        corpus, dim=64, num_clusters=8, threshold=0.99,
+        n_tables=2, n_bits=8,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -228,3 +228,59 @@ def test_priority_sample_invariance_property(spark, xs):
     s2 = sorted(map(tuple, priority_sample(df2, "src", "id", "w", k=5).collect()))
     assert s1 == s2
     assert len(s1) == min(5, len(rows))
+
+
+def test_ivf_topk_multi_full_probe_equals_brute_force(spark):
+    """Probing every centroid makes ivf_topk_multi exact: per query it
+    must equal brute_force_topk (same ids, same rounded cosines, same
+    ranks)."""
+    import random
+
+    from ccgp_data_wrangling_spark.operators.knn import (
+        brute_force_topk,
+        ivf_topk_multi,
+    )
+
+    rng = random.Random(3)
+    corpus_rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(80)
+    ]
+    emb = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(100 + j, [rng.gauss(0, 1) for _ in range(8)]) for j in range(5)],
+        "query_id long, qvec array<double>",
+    )
+    multi = {
+        (r.query_id, r.rank): (r.vec_id, r.cos_sim)
+        for r in ivf_topk_multi(
+            emb, queries, 3, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    for qrow in queries.collect():
+        exact = brute_force_topk(emb, list(qrow.qvec), 3).collect()
+        for e in exact:
+            assert multi[(qrow.query_id, e.rank)] == (e.vec_id, e.cos_sim)
+
+
+def test_ivf_topk_multi_never_crosses_queries(spark):
+    """Each query's results rank 1..k with no leakage between query
+    ids, even when queries share probe cells."""
+    from ccgp_data_wrangling_spark.operators.knn import ivf_topk_multi
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4 == j) + 0.01 for j in range(4)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.01, 0.01, 0.01]), (1, [0.01, 1.0, 0.01, 0.01])],
+        "query_id long, qvec array<double>",
+    )
+    out = ivf_topk_multi(emb, queries, 5, n_centroids=4, n_probe=4).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(per_q) == {0, 1}
+    for ranks in per_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]

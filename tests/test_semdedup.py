@@ -74,3 +74,42 @@ def test_deterministic(spark):
     a = sorted(tuple(r) for r in semantic_dedup(corpus, num_clusters=2).collect())
     b = sorted(tuple(r) for r in semantic_dedup(corpus, num_clusters=2).collect())
     assert a == b
+
+
+def test_lsh_refinement_matches_exact(spark):
+    """semantic_dedup_lsh must reproduce semantic_dedup exactly on the
+    controlled corpus: exact/near copies share SRP buckets (tiny
+    angles), non-dups that land in the same bucket are removed by the
+    exact verify."""
+    from ccgp_data_wrangling_spark.operators.semdedup import (
+        semantic_dedup_lsh,
+    )
+
+    corpus = _axes_corpus(spark)
+    exact = {
+        (r.id, r.cluster, r.keep)
+        for r in semantic_dedup(corpus, num_clusters=2, threshold=0.999).collect()
+    }
+    lsh = {
+        (r.id, r.cluster, r.keep)
+        for r in semantic_dedup_lsh(
+            corpus, dim=3, num_clusters=2, threshold=0.999,
+            n_tables=4, n_bits=2,
+        ).collect()
+    }
+    assert lsh == exact
+
+
+def test_lsh_max_bucket_guard_skips_hot_buckets(spark):
+    """With max_bucket=1 every bucket is 'hot', so no candidate pairs
+    form and everything is kept — the guard degrades recall, never
+    correctness of the keep-at-least-one invariant."""
+    from ccgp_data_wrangling_spark.operators.semdedup import (
+        semantic_dedup_lsh,
+    )
+
+    out = semantic_dedup_lsh(
+        _axes_corpus(spark), dim=3, num_clusters=2, threshold=0.999,
+        n_tables=2, n_bits=2, max_bucket=1,
+    )
+    assert all(r.keep for r in out.collect())
