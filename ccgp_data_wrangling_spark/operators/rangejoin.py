@@ -45,6 +45,11 @@ def range_join(
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     keys = list(on or [])
+    if "__bucket" in points.columns or "__bucket" in intervals.columns:
+        raise ValueError("__bucket is reserved: rename it before range_join")
+    bad_keys = {point_col, start_col, end_col} & set(keys)
+    if bad_keys:
+        raise ValueError(f"point/start/end columns cannot be join keys: {sorted(bad_keys)}")
     p_payload = [c for c in points.columns if c not in keys]
     i_payload = [c for c in intervals.columns if c not in keys]
     clash = set(p_payload) & set(i_payload)
@@ -108,6 +113,11 @@ def interval_intersect_join(
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     keys = list(on or [])
+    if "__cell" in left.columns or "__cell" in right.columns:
+        raise ValueError("__cell is reserved: rename it before interval_intersect_join")
+    bad_keys = {left_start, left_end, right_start, right_end} & set(keys)
+    if bad_keys:
+        raise ValueError(f"start/end columns cannot be join keys: {sorted(bad_keys)}")
     l_payload = [c for c in left.columns if c not in keys]
     r_payload = [c for c in right.columns if c not in keys]
     clash = set(l_payload) & set(r_payload)

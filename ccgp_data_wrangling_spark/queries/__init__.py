@@ -44,67 +44,14 @@ def register(name: str, oracle: str | None):
 # registration order.  Keep every name that still lacks a green
 # CORRECTNESS row — plus any newly added query — inside the first 50.
 #
-# r4 rotation (tools/rotate_registry.py --write over CORRECTNESS_r01-03):
-# slots 0-2 = the three r3 reds (oracle HUGEINT typing, now cast), then
-# never-driver-verified names. Two manual swaps inside the never-
-# verified block, both trading a low-risk TPC-H shape (already proven
-# by green siblings: a2_flag_share conditional shares, j6/a7 join+
-# histogram) for code that changed or landed this round and needs a
-# driver row: label_propagation_communities in for q14_promo_share,
-# multimodal_gif_real_decode (new) in for q13_order_distribution. The
-# 20 never-verified names left for round 5 start at q14_promo_share
-# below and are enumerated in CHANGELOG_r4.md.
+# r5 rotation (tools/rotate_registry.py --write over CORRECTNESS_r01-04):
+# slots 0-22 = the 23 queries that had never received a driver row
+# after round 4 (CHANGELOG_r4.md's queue, verbatim), followed by the
+# greens ordered stalest-verification-first.  With all 23 in the
+# window, every registered query has been driver-submitted; queries
+# added during round 5 are inserted right after slot 22 (still inside
+# the 50-slot window) so they get their first driver row this round.
 _PRIORITY: list[str] = [
-    "cms_token_frequency",
-    "hist_quantile_by_type",
-    "token_budget_select",
-    "bm25_topk_retrieval",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "multimodal_gif_real_decode",
-    "label_propagation_communities",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "bloom_prefilter_revenue",
-    "dsir_target_select",
-    "semantic_dedup_planted",
-    "psi_value_drift",
-    "perplexity_bucket_mix",
-    "quality_classifier_linear",
-    "geo_radius_pairs",
-    "entity_resolution_golden",
-    "grouping_sets_events",
-    "unpivot_daily_counts",
-    "incremental_rollup_fold",
-    "interval_coverage_users",
-    "minhash_incremental_newbatch",
-    "bitext_margin_mine",
-    "rag_retrieve_chunks",
-    "cdc_chunk_dedup_shifted",
-    "pit_scd2_segment_at_order",
-    "hll_distinct_users",
-    "heavy_hitters_users",
-    "q2_min_cost_supplier",
-    "q11_important_value",
-    "q12_priority_lateness",
-    "q16_supplier_count",
-    "q20_excess_supply",
-    "q21_waiting_supplier",
-    "snapshot_diff_documents",
-    "quota_cap_per_source",
-    "daily_refresh_e2e",
-    "tokenize_customer_names",
-    "k_anonymity_customer",
-    "event_path_trigrams",
-    "skew_profile_events",
-    "multimodal_wav_real_decode",
-    "multimodal_pgm_real_decode",
-    "data_expectations_orders",
-    "window_suite_orders",
     "negative_samples_contrastive",
     "q14_promo_share",
     "q13_order_distribution",
@@ -125,6 +72,9 @@ _PRIORITY: list[str] = [
     "tfidf_cosine_neardup",
     "sql_api_nation_revenue",
     "classifier_decile_profile",
+    "interval_intersect_click_error",
+    "ann_ivf_multiquery_planted",
+    "semantic_dedup_lsh_planted",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",
@@ -236,6 +186,56 @@ _PRIORITY: list[str] = [
     "moving_avg_user_value",
     "q6_forecast_revenue",
     "leakage_safe_splits",
+    "cms_token_frequency",
+    "hist_quantile_by_type",
+    "token_budget_select",
+    "bm25_topk_retrieval",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "multimodal_gif_real_decode",
+    "label_propagation_communities",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "bloom_prefilter_revenue",
+    "dsir_target_select",
+    "semantic_dedup_planted",
+    "psi_value_drift",
+    "perplexity_bucket_mix",
+    "quality_classifier_linear",
+    "geo_radius_pairs",
+    "entity_resolution_golden",
+    "grouping_sets_events",
+    "unpivot_daily_counts",
+    "incremental_rollup_fold",
+    "interval_coverage_users",
+    "minhash_incremental_newbatch",
+    "bitext_margin_mine",
+    "rag_retrieve_chunks",
+    "cdc_chunk_dedup_shifted",
+    "pit_scd2_segment_at_order",
+    "hll_distinct_users",
+    "heavy_hitters_users",
+    "q2_min_cost_supplier",
+    "q11_important_value",
+    "q12_priority_lateness",
+    "q16_supplier_count",
+    "q20_excess_supply",
+    "q21_waiting_supplier",
+    "snapshot_diff_documents",
+    "quota_cap_per_source",
+    "daily_refresh_e2e",
+    "tokenize_customer_names",
+    "k_anonymity_customer",
+    "event_path_trigrams",
+    "skew_profile_events",
+    "multimodal_wav_real_decode",
+    "multimodal_pgm_real_decode",
+    "data_expectations_orders",
+    "window_suite_orders",
 ]
 
 

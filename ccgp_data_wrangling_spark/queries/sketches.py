@@ -759,7 +759,7 @@ WITH total AS (SELECT COUNT(*) AS n FROM events),
 sampled AS (
   SELECT user_id AS v, COUNT(*) AS c_sample
   FROM events
-  WHERE {_DUCK_HASH.format(v="CAST(event_id AS VARCHAR)")} % 4 = 0
+  WHERE {_DUCK_HASH.format(v="COALESCE(CAST(event_id AS VARCHAR), '<NULL>')")} % 4 = 0
   GROUP BY 1
 ),
 cands AS (
@@ -767,7 +767,7 @@ cands AS (
   WHERE c_sample >= CAST(FLOOR(0.5 * GREATEST(1, CAST(FLOOR(0.0075 * n) AS BIGINT)) / 4) AS BIGINT)
 )
 SELECT e.user_id AS value, CAST(COUNT(*) AS BIGINT) AS cnt
-FROM events e JOIN cands c ON c.v = e.user_id, total
+FROM events e JOIN cands c ON c.v IS NOT DISTINCT FROM e.user_id, total
 GROUP BY 1, total.n
 HAVING COUNT(*) >= GREATEST(1, CAST(FLOOR(0.0075 * total.n) AS BIGINT))
 """

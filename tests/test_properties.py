@@ -284,3 +284,78 @@ def test_ivf_topk_multi_never_crosses_queries(spark):
     assert set(per_q) == {0, 1}
     for ranks in per_q.values():
         assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_ivf_multiquery_planted_probe_inclusion(spark):
+    """The ann_ivf_multiquery_planted oracle claims each planted
+    near-copy is FOUND by the 8-probe IVF path.  That holds only if
+    the near-copy's assigned centroid lands in its query's probe set
+    for the fixed (seed=42, n_centroids=32, n_probe=8) parameters —
+    an empirical fact of this corpus, not a structural guarantee.
+    Assert it with the plan's own JVM arithmetic (same _assign_centroid
+    / probe-sort expressions ivf_topk_multi compiles), so any future
+    seed/parameter change that breaks the oracle fails HERE first."""
+    from ccgp_data_wrangling_spark.catalog import load_table
+    from ccgp_data_wrangling_spark.operators.knn import (
+        _assign_centroid,
+        _centroid_lit,
+        _sample_centroids,
+        cosine_sim,
+    )
+
+    PLANT_BASE = 2_000_000  # queries/llm_scale.py _PLANT_BASE
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qdf = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    planted = qdf.select(
+        "query_id",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("j"),
+        "qvec",
+    ).select(
+        "query_id",
+        (F.lit(PLANT_BASE) + F.col("query_id") * 10 + F.col("j")).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("qvec", 1) + 0.01 * F.col("j")),
+            F.slice("qvec", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = (
+        emb.where(F.col("vec_id") >= 10)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(planted.select("vec_id", "embedding"))
+    )
+    centroids = _sample_centroids(corpus, "vec_id", "embedding", 32, 42)
+    cent_lit = _centroid_lit(centroids)
+
+    qv = F.col("qvec")
+    probe_arr = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    cent_lit,
+                    lambda c: F.struct(
+                        (-cosine_sim(qv, c["cv"])).alias("nsim"),
+                        c["idx"].alias("idx"),
+                    ),
+                )
+            ),
+            1,
+            8,
+        ),
+        lambda p: p["idx"],
+    )
+    probes = qdf.select("query_id", probe_arr.alias("probes"))
+    assigned = planted.select(
+        "query_id",
+        "vec_id",
+        _assign_centroid(F.col("embedding"), cent_lit).alias("centroid"),
+    )
+    rows = assigned.join(probes, "query_id").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.centroid in r.probes, (
+            f"planted vec {r.vec_id} assigned to centroid {r.centroid} "
+            f"outside query {r.query_id}'s probe set {r.probes}"
+        )

@@ -239,3 +239,38 @@ def test_interval_intersect_plan_is_equi_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_reserved_and_key_column_guards(spark, pts_ivs):
+    """Inputs carrying the internal __bucket/__cell columns, or join
+    keys that shadow the point/start/end columns, are rejected with an
+    explicit ValueError instead of being silently overwritten."""
+    from ccgp_data_wrangling_spark.operators.rangejoin import (
+        interval_intersect_join,
+    )
+
+    points, intervals = pts_ivs
+    with pytest.raises(ValueError, match="__bucket is reserved"):
+        range_join(
+            points.withColumn("__bucket", F.lit(0)),
+            intervals, "x", "lo", "hi", bucket_width=10,
+        )
+    with pytest.raises(ValueError, match="cannot be join keys"):
+        range_join(
+            points.withColumn("lo", F.lit(0.0)),
+            intervals.select("lo", "hi"),
+            "x", "lo", "hi", on=["lo"], bucket_width=10,
+        )
+
+    left = spark.createDataFrame([(1, 0.0, 5.0)], "lid int, ls double, le double")
+    right = spark.createDataFrame([(2, 1.0, 4.0)], "rid int, rs double, re double")
+    with pytest.raises(ValueError, match="__cell is reserved"):
+        interval_intersect_join(
+            left.withColumn("__cell", F.lit(3)),
+            right, "ls", "le", "rs", "re", bucket_width=10,
+        )
+    with pytest.raises(ValueError, match="cannot be join keys"):
+        interval_intersect_join(
+            left, right.withColumn("ls", F.lit(0.0)).select("ls", "rs", "re"),
+            "ls", "le", "rs", "re", on=["ls"], bucket_width=10,
+        )
