@@ -74,6 +74,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     num_clusters: int = 8,
     threshold: float = 0.999,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """(id, cluster, keep): SemDeDup keep/drop decisions.
 
@@ -81,14 +82,27 @@ def semantic_dedup(
     cosine ≥ threshold with it. The pair join is ordered (small id ⨝
     large id) so each unordered pair is evaluated once, and the
     shuffle key is the cluster id.
+
+    ``max_cluster`` mirrors the LSH variant's ``max_bucket``: a cluster
+    with more members than the cap is EXCLUDED from pair generation
+    (its rows all stay keep=True — conservative, never drops on partial
+    evidence), bounding the worst per-cluster self-join at
+    O(max_cluster²) even when the centroid seeding degenerates and one
+    cluster swallows the corpus.
     """
     assigned = assign_seed_clusters(
         emb, id_col=id_col, vec_col=vec_col, num_clusters=num_clusters
     )
-    left = assigned.select(
+    pairable = assigned
+    if max_cluster is not None:
+        sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
+        pairable = assigned.join(
+            sizes.where(F.col("__n") <= max_cluster).drop("__n"), "cluster"
+        )
+    left = pairable.select(
         F.col("cluster"), F.col("id").alias("a"), F.col("v").alias("va")
     )
-    right = assigned.select(
+    right = pairable.select(
         F.col("cluster"), F.col("id").alias("b"), F.col("v").alias("vb")
     )
     dropped = (

@@ -75,6 +75,8 @@ _PRIORITY: list[str] = [
     "interval_intersect_click_error",
     "ann_ivf_multiquery_planted",
     "semantic_dedup_lsh_planted",
+    # added in round 5 — inside the window for a first driver row
+    "biosample_sheet_e2e",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",

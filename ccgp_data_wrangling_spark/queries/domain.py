@@ -1197,3 +1197,158 @@ def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment"], k=8)
+
+
+# ---------------------------------------------------------------------------
+# §3.3 biosample-sheet E2E: the FULL create_sheets_ultimate.py policy
+# chain in one query — X11 reverse geocode → X9 geo_loc_name merge →
+# X8 required fill → X10 coordinate masking (J10 flags) → X8 final
+# fill — over a dirty fixture covering every policy branch (blank/
+# present geo fields × protected/exclude flag combos × NaN coords).
+# The component queries (x9/x10/x11) each verify one stage; this one
+# verifies their COMPOSITION, where a wrong stage ordering (e.g.
+# imputing before the merge) changes downstream branches.
+# Reference: create_sheets_ultimate.py:280-533.
+# ---------------------------------------------------------------------------
+
+_E2E_FIXTURE_SQL = """
+  SELECT c_name AS sample_name, c_custkey AS k,
+         CASE c_custkey % 4 WHEN 1 THEN '' WHEN 2 THEN 'Point Reyes' ELSE NULL END AS geo0,
+         CASE c_custkey % 3 WHEN 1 THEN 'Creek bank' WHEN 2 THEN '' ELSE NULL END  AS loc,
+         CASE c_custkey % 5 WHEN 1 THEN 'Marin' WHEN 3 THEN 'Kern' WHEN 2 THEN '' ELSE NULL END AS county,
+         CASE c_custkey % 7 WHEN 1 THEN 'California' WHEN 2 THEN 'Oregon' WHEN 3 THEN '' ELSE NULL END AS state,
+         CASE c_custkey % 4 WHEN 0 THEN 'TRUE' WHEN 1 THEN 'TRUE' WHEN 2 THEN 'FALSE' ELSE NULL END AS protected,
+         CASE c_custkey % 2 WHEN 0 THEN 'TRUE' ELSE 'FALSE' END AS exclude,
+         CASE WHEN c_custkey % 13 = 0 THEN NULL
+              ELSE 32.0 + CAST(c_custkey % 180 AS DOUBLE) / 10.0 END AS lat,
+         CASE WHEN c_custkey % 13 = 0 THEN NULL
+              ELSE -125.0 + CAST(c_custkey % 160 AS DOUBLE) / 10.0 END AS long,
+         CAST(c_custkey % 36 + 1 AS VARCHAR) AS township,
+         CAST(c_custkey % 24 + 1 AS VARCHAR) AS range,
+         CAST(c_custkey % 16 + 1 AS VARCHAR) AS section
+  FROM customer
+"""
+
+_E2E_SQL = f"""
+WITH fx AS ({_E2E_FIXTURE_SQL}),
+staged AS (
+  SELECT *,
+         CASE WHEN lat IS NULL THEN 'NaN' ELSE printf('%.2f', lat) END AS lat_str,
+         CASE WHEN long IS NULL THEN 'NaN' ELSE printf('%.2f', long) END AS long_str,
+         CASE
+           WHEN lat BETWEEN 32.5 AND 42.0 AND long BETWEEN -124.5 AND -114.1 THEN 'USA:California'
+           WHEN lat BETWEEN 42.0 AND 46.3 AND long BETWEEN -124.6 AND -116.5 THEN 'USA:Oregon'
+           WHEN lat BETWEEN 35.0 AND 42.0 AND long BETWEEN -120.0 AND -114.0 THEN 'USA:Nevada'
+           WHEN lat BETWEEN 31.3 AND 37.0 AND long BETWEEN -114.8 AND -109.0 THEN 'USA:Arizona'
+           WHEN lat BETWEEN 45.5 AND 49.0 AND long BETWEEN -124.8 AND -116.9 THEN 'USA:Washington'
+           ELSE 'not provided'
+         END AS geocoded,
+         COALESCE(NULLIF(
+           CASE
+             WHEN (geo0 IS NULL OR geo0 = '') AND (loc IS NULL OR loc = '') THEN
+               CASE
+                 WHEN (county IS NULL OR county = '') AND (state IS NULL OR state = '') THEN 'missing'
+                 WHEN (state IS NULL OR state = '') AND NOT (county IS NULL OR county = '') THEN 'missing'
+                 WHEN NOT (county IS NULL OR county = '') AND NOT (state IS NULL OR state = '')
+                   THEN 'USA: ' || state || ': ' || county
+                 ELSE NULL
+               END
+             WHEN NOT (geo0 IS NULL OR geo0 = '') AND (loc IS NULL OR loc = '') THEN geo0
+             WHEN (geo0 IS NULL OR geo0 = '') AND NOT (loc IS NULL OR loc = '') THEN loc
+             ELSE geo0 || ':' || loc
+           END, ''), 'not provided') AS existing_geo
+  FROM fx
+)
+SELECT sample_name,
+       COALESCE(NULLIF(
+         CASE
+           WHEN protected = 'TRUE' AND exclude = 'FALSE'
+             THEN geocoded || ', ' || township || '-' || range || '-' || section
+           WHEN (COALESCE(protected,'') = 'FALSE' AND exclude = 'FALSE')
+                OR (COALESCE(protected,'') = '' AND COALESCE(exclude,'') = '')
+             THEN CASE
+                    WHEN NOT (existing_geo IS NULL OR existing_geo = '') AND geocoded <> 'not provided'
+                      THEN CASE WHEN existing_geo = 'missing' THEN geocoded
+                                ELSE geocoded || ', ' || existing_geo END
+                    ELSE geocoded
+                  END
+           ELSE existing_geo
+         END, ''), 'not provided') AS geo_loc_name,
+       COALESCE(NULLIF(
+         CASE
+           WHEN protected = 'TRUE' AND exclude = 'TRUE' THEN 'not provided'
+           WHEN (COALESCE(protected,'') = 'FALSE' AND exclude = 'FALSE')
+                OR (COALESCE(protected,'') = '' AND COALESCE(exclude,'') = '')
+             THEN CASE WHEN lat_str = 'NaN' AND long_str = 'NaN' THEN 'not provided'
+                       ELSE lat_str || ',' || long_str END
+           ELSE NULL
+         END, ''), 'not provided') AS lat_lon
+FROM staged
+"""
+
+
+@register("biosample_sheet_e2e", _E2E_SQL)
+def biosample_sheet_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole §3.3 biosample-sheet policy chain composed end-to-end
+    (reference create_sheets_ultimate.py:280-533): X11 reverse geocode
+    feeds X10 masking, whose existing-geo input is the X9 merge after
+    the X8 required fill, and both outputs get the final X8 fill. Pure
+    when/otherwise codegen — zero shuffles, zero UDFs, scan → project."""
+    from ccgp_data_wrangling_spark.operators.geocode import reverse_geocode_expr
+    from ccgp_data_wrangling_spark.operators.sheets import (
+        impute_required,
+        mask_coordinates,
+        merge_geo_loc_name,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lat = F.when(k % 13 != 0, 32.0 + (k % 180).cast("double") / 10.0)
+    long = F.when(k % 13 != 0, -125.0 + (k % 160).cast("double") / 10.0)
+    fx = cust.select(
+        F.col("c_name").alias("sample_name"),
+        F.when(k % 4 == 1, "").when(k % 4 == 2, "Point Reyes").alias("geo0"),
+        F.when(k % 3 == 1, "Creek bank").when(k % 3 == 2, "").alias("loc"),
+        F.when(k % 5 == 1, "Marin").when(k % 5 == 3, "Kern").when(k % 5 == 2, "").alias("county"),
+        F.when(k % 7 == 1, "California").when(k % 7 == 2, "Oregon").when(k % 7 == 3, "").alias("state"),
+        F.when(k % 4 == 0, "TRUE").when(k % 4 == 1, "TRUE").when(k % 4 == 2, "FALSE").alias("protected"),
+        F.when(k % 2 == 0, "TRUE").otherwise("FALSE").alias("exclude"),
+        lat.alias("lat"),
+        long.alias("long"),
+        (k % 36 + 1).cast("string").alias("township"),
+        (k % 24 + 1).cast("string").alias("range"),
+        (k % 16 + 1).cast("string").alias("section"),
+    )
+    lat_str = F.when(F.col("lat").isNull(), "NaN").otherwise(
+        F.format_string("%.2f", F.col("lat"))
+    )
+    long_str = F.when(F.col("long").isNull(), "NaN").otherwise(
+        F.format_string("%.2f", F.col("long"))
+    )
+    staged = fx.select(
+        "*",
+        lat_str.alias("lat_str"),
+        long_str.alias("long_str"),
+        reverse_geocode_expr(F.col("lat"), F.col("long")).alias("geocoded"),
+        impute_required(
+            merge_geo_loc_name(
+                F.col("geo0"), F.col("loc"), F.col("county"), F.col("state")
+            )
+        ).alias("existing_geo"),
+    )
+    geo_out, lat_lon_out = mask_coordinates(
+        existing_geo=F.col("existing_geo"),
+        protected=F.col("protected"),
+        exclude=F.col("exclude"),
+        lat_str=F.col("lat_str"),
+        long_str=F.col("long_str"),
+        township=F.col("township"),
+        range_=F.col("range"),
+        section=F.col("section"),
+        geocoded=F.col("geocoded"),
+    )
+    return staged.select(
+        "sample_name",
+        impute_required(geo_out).alias("geo_loc_name"),
+        impute_required(lat_lon_out).alias("lat_lon"),
+    )

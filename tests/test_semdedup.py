@@ -113,3 +113,39 @@ def test_lsh_max_bucket_guard_skips_hot_buckets(spark):
         n_tables=2, n_bits=2, max_bucket=1,
     )
     assert all(r.keep for r in out.collect())
+
+
+def test_max_cluster_guard_skips_degenerate_cluster(spark):
+    """One degenerate cluster swallowing most of the corpus is excluded
+    from pair generation under max_cluster, keeping all its rows
+    (conservative), while small clusters still dedup normally."""
+    # cluster 0 (x-axis): 6 members incl. an exact dup pair → degenerate
+    # cluster 1 (y-axis): 2 members incl. an exact dup pair → small
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.9, 0.1, 0.0]),     # dup of 2 (cluster 0)
+        (4, [0.95, 0.05, 0.1]),
+        (5, [0.92, 0.08, 0.05]),
+        (6, [0.05, 0.9, 0.0]),
+        (7, [0.05, 0.9, 0.0]),    # dup of 6 (cluster 1)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.id: r.keep
+        for r in semantic_dedup(
+            corpus, num_clusters=2, threshold=0.999, max_cluster=4
+        ).collect()
+    }
+    assert len(out) == 8
+    # cluster 0 has 6 > 4 members: its dup (id 3) is NOT dropped
+    assert out[3] is True
+    # cluster 1 has 2 <= 4 members: dedup still applies there
+    assert out[7] is False and out[6] is True
+    # uncapped run drops both dups — the guard is the only difference
+    uncapped = {
+        r.id: r.keep
+        for r in semantic_dedup(corpus, num_clusters=2, threshold=0.999).collect()
+    }
+    assert uncapped[3] is False and uncapped[7] is False
