@@ -153,6 +153,7 @@ def linkage_pairs(
     file_key: str = "file_name",
     max_span: int = 6,
     broadcast_variants: bool = True,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Candidate (sample, file) matches with tier metadata, before
     conflict resolution. One row per matched pair at the sample's
@@ -165,6 +166,19 @@ def linkage_pairs(
     Disable only if the sample dimension itself outgrows broadcast
     size (tens of millions of ids), which falls back to a shuffle
     hash join on the span strings.
+
+    The fallback join is **salted** (``salt_buckets``): span strings
+    are a natural hot key — a shared prefix across 10⁵ file names puts
+    all its copies under ONE span value, so an unsalted shuffle would
+    send them to one task. The span side gets
+    ``salt = xxhash64(file) % salt_buckets`` and the (small) variants
+    side replicates across all buckets, so the join key becomes
+    ``(variant, salt)`` and a hot span's rows spread over
+    ``salt_buckets`` tasks. Replication multiplies only the dimension
+    side — exactly the side already small enough to consider
+    broadcasting. The broadcast path needs no salting (no shuffle on
+    the span key exists there; per-task work is proportional to its
+    input split regardless of span skew).
     """
     eligible = samples.where(F.col("minicore_sequenced") == "YES").where(
         F.col(id_col).isNotNull() & (F.lower(F.col(id_col)) != "nan")
@@ -258,8 +272,19 @@ def linkage_pairs(
         )
     )
 
-    v_side = F.broadcast(variants) if broadcast_variants else variants
-    matched = v_side.join(spans, "variant")
+    if broadcast_variants:
+        matched = F.broadcast(variants).join(spans, "variant")
+    else:
+        spans_salted = spans.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(file_key)), F.lit(salt_buckets)).cast("int"),
+        )
+        variants_salted = variants.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        )
+        matched = variants_salted.join(spans_salted, ["variant", "__salt"]).drop(
+            "__salt"
+        )
 
     # per-sample winning (id_idx, tier): the cascade stops at the first
     # id/tier that matched anything — BEFORE the .gz filter

@@ -288,3 +288,104 @@ def dedup_stream(
             key_cols
         )
     return src.dropDuplicates(key_cols)
+
+
+def interval_intersect_stream(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_sec: int = 600,
+    max_len_sec: int = 3600,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval×interval overlap join — the streaming
+    dual of :func:`operators.rangejoin.interval_intersect_join`, with
+    the SAME grid-cell + emit-once construction so a pair is produced
+    exactly once without any dedup state.
+
+    Semantics: every (left, right) pair sharing ``on`` whose half-open
+    time intervals ``[start, end)`` overlap, with ``overlap_sec``.
+    Both sides must carry intervals no longer than ``max_len_sec``
+    (longer rows are filtered out — an explicit contract, because the
+    bound is what makes streaming state finite).
+
+    Construction:
+
+    1. watermark each side on its START timestamp;
+    2. explode each interval to the ``bucket_sec`` grid cells it spans
+       (≤ max_len/bucket + 1 per row — bounded fan-out);
+    3. inner-join on ``(on, cell)`` PLUS a start-vs-start range bound
+       (``|l.start − r.start| ≤ max_len``, implied by overlap under the
+       length cap) — the watermark range condition Spark uses to evict
+       buffered rows from both state stores;
+    4. refine with the exact overlap predicate and keep the pair only
+       in the cell containing ``greatest(starts)`` — the emit-once rule,
+       so no streaming dropDuplicates (which would be MORE state) is
+       ever needed.
+
+    Works identically on batch frames (watermarks no-op), so the batch
+    run over the same data is the oracle for the streaming run.
+    """
+    if max_len_sec <= 0 or bucket_sec <= 0:
+        raise ValueError("bucket_sec and max_len_sec must be positive")
+    lf, rf = ensure_ltz(left, left_start), ensure_ltz(right, right_start)
+    lf = ensure_ltz(lf, left_end)
+    rf = ensure_ltz(rf, right_end)
+    if lf.isStreaming:
+        lf = lf.withWatermark(left_start, watermark_delay)
+    if rf.isStreaming:
+        rf = rf.withWatermark(right_start, watermark_delay)
+
+    def cells(df: DataFrame, start: str, end: str) -> DataFrame:
+        s, e = F.unix_timestamp(F.col(start)), F.unix_timestamp(F.col(end))
+        return (
+            df.where((F.col(start) < F.col(end)))
+            .where(e - s <= max_len_sec)
+            .withColumn(
+                "__cell",
+                F.explode(
+                    F.sequence(
+                        F.floor(s / bucket_sec).cast("long"),
+                        F.floor(e / bucket_sec).cast("long"),
+                    )
+                ),
+            )
+        )
+
+    lc, rc = cells(lf, left_start, left_end), cells(rf, right_start, right_end)
+    max_iv = F.expr(f"INTERVAL {max_len_sec} SECONDS")
+    ls, le = lc[left_start], lc[left_end]
+    rs, re_ = rc[right_start], rc[right_end]
+    cond = (
+        (lc[on] == rc[on])
+        & (lc["__cell"] == rc["__cell"])
+        # state bound: start-vs-start range on the two watermarked cols
+        & (rs >= ls - max_iv)
+        & (rs <= ls + max_iv)
+        # exact half-open overlap
+        & (ls < re_)
+        & (rs < le)
+        # emit-once: only the cell containing greatest(starts) keeps it
+        & (
+            F.floor(F.unix_timestamp(F.greatest(ls, rs)) / bucket_sec).cast("long")
+            == lc["__cell"]
+        )
+    )
+    joined = lc.join(rc, cond, "inner")
+    out = [lc[c].alias(c) for c in left.columns]
+    for c in right.columns:
+        if c == on:
+            continue
+        out.append(rc[c].alias(c if c not in left.columns else f"right_{c}"))
+    out.append(
+        (
+            F.unix_timestamp(F.least(le, re_))
+            - F.unix_timestamp(F.greatest(ls, rs))
+        ).alias("overlap_sec")
+    )
+    return joined.select(*out)

@@ -143,3 +143,54 @@ def test_no_nan_ids(spark):
     s = _samples(spark, [("S1", "nan", "YES"), ("S2", None, "YES")])
     r = _reads(spark, ["nan_R1.fastq.gz"])
     assert linkage_pairs(s, r).collect() == []
+
+
+def test_salted_fallback_matches_broadcast_on_hot_span_corpus(spark):
+    """A planted hot span (one shared prefix across the whole file
+    listing) must not change results under the salted non-broadcast
+    fallback, and the salt must actually spread the hot key: max rows
+    per (variant, salt) shuffle key is ~1/salt_buckets of the hot
+    span's unsalted key size."""
+    n_files = 2000
+    # every file shares the 'HOTPREFIX' leading token → the span
+    # 'HOTPREFIX' (and several composites) appear in all 2000 names
+    names = [f"HOTPREFIX_S{i % 40}_L{i}_R1.fq.gz" for i in range(n_files)]
+    reads = _reads(spark, names)
+    samples = _samples(
+        spark, [(f"samp{j}", f"S{j}", "YES") for j in range(40)]
+    )
+
+    bcast = {
+        (r.sample_name, r.file_name)
+        for r in linkage_pairs(samples, reads).collect()
+    }
+    salted = {
+        (r.sample_name, r.file_name)
+        for r in linkage_pairs(
+            samples, reads, broadcast_variants=False, salt_buckets=16
+        ).collect()
+    }
+    assert salted == bcast
+    assert len(salted) == n_files  # every file links to its S-token sample
+
+    # skew bound: replay the span+salt generation and measure key widths
+    from ccgp_data_wrangling_spark.operators.linkage import candidate_spans
+
+    spans = reads.select(
+        "file_name",
+        F.explode(candidate_spans(F.col("file_name"))).alias("variant"),
+    ).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("file_name")), F.lit(16)).cast("int")
+    )
+    unsalted_max = (
+        spans.groupBy("variant").count().agg(F.max("count")).collect()[0][0]
+    )
+    salted_max = (
+        spans.groupBy("variant", "__salt")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert unsalted_max == n_files  # the planted hot key is real
+    # xxhash64 spreads uniformly; allow 2x headroom over the ideal n/16
+    assert salted_max <= 2 * n_files / 16

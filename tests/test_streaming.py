@@ -325,3 +325,106 @@ def test_session_window_rollup_stream_matches_batch(spark, tmp_path):
         for r in out_rows
     }
     assert got == expected
+
+
+def test_interval_intersect_stream_matches_batch(spark, tmp_path):
+    """Streaming interval×interval overlap join (grid cells + emit-once)
+    equals the identical batch computation AND a brute-force overlap
+    join — each pair exactly once, no dedup state."""
+    from ccgp_data_wrangling_spark.catalog import load_table
+    from ccgp_data_wrangling_spark.streaming.incremental import (
+        interval_intersect_stream,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("p_end"),
+            F.col("event_id").alias("p_id"),
+        )
+        .limit(400)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("c_start"),
+            (F.col("ts") + F.expr("INTERVAL 20 MINUTES")).alias("c_end"),
+            F.col("event_id").alias("c_id"),
+        )
+        .limit(400)
+    )
+    p_dir, c_dir = tmp_path / "pi", tmp_path / "ci"
+    purchases.write.parquet(str(p_dir))
+    clicks.write.parquet(str(c_dir))
+    pb, cb = spark.read.parquet(str(p_dir)), spark.read.parquet(str(c_dir))
+
+    kw = dict(
+        on="user_id",
+        left_start="p_start", left_end="p_end",
+        right_start="c_start", right_end="c_end",
+        bucket_sec=600, max_len_sec=3600,
+    )
+    batch = interval_intersect_stream(pb, cb, **kw)
+    got_batch = sorted((r.p_id, r.c_id, r.overlap_sec) for r in batch.collect())
+
+    # brute force half-open overlap on the same batch frames
+    brute = pb.join(cb, "user_id").where(
+        (F.col("p_start") < F.col("c_end")) & (F.col("c_start") < F.col("p_end"))
+    ).select(
+        "p_id", "c_id",
+        (
+            F.unix_timestamp(F.least("p_end", "c_end"))
+            - F.unix_timestamp(F.greatest("p_start", "c_start"))
+        ).alias("ov"),
+    )
+    expected = sorted((r.p_id, r.c_id, r.ov) for r in brute.collect())
+    assert expected, "fixture must produce overlapping pairs"
+    assert got_batch == expected
+
+    ps = spark.readStream.schema(pb.schema).parquet(str(p_dir))
+    cs = spark.readStream.schema(cb.schema).parquet(str(c_dir))
+    out_rows = []
+    q = (
+        interval_intersect_stream(ps, cs, **kw)
+        .writeStream.foreachBatch(lambda b, _e: out_rows.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_iis"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = sorted((r.p_id, r.c_id, r.overlap_sec) for r in out_rows)
+    assert got_stream == expected
+
+
+def test_interval_intersect_stream_drops_overlong_intervals(spark):
+    """Rows longer than max_len_sec are excluded by contract — the
+    length cap is what bounds streaming state."""
+    from datetime import datetime
+
+    from ccgp_data_wrangling_spark.streaming.incremental import (
+        interval_intersect_stream,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t1 = datetime(2024, 1, 1, 0, 10, 0)
+    t_far = datetime(2024, 1, 1, 6, 0, 0)
+    left = spark.createDataFrame(
+        [("u", t0, t_far, "long"), ("u", t0, t1, "short")],
+        "user_id string, s timestamp, e timestamp, lid string",
+    )
+    right = spark.createDataFrame(
+        [("u", t0, t1, "r1")],
+        "user_id string, rs timestamp, re timestamp, rid string",
+    )
+    got = interval_intersect_stream(
+        left, right,
+        on="user_id", left_start="s", left_end="e",
+        right_start="rs", right_end="re",
+        bucket_sec=300, max_len_sec=3600,
+    ).collect()
+    assert {r.lid for r in got} == {"short"}
