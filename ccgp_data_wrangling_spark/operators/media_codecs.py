@@ -2,9 +2,9 @@
 parse — no PIL/librosa/decord required.
 
 The multimodal layer (multimodal.py) keeps deterministic fakes for
-container formats whose codecs aren't in this environment (JPEG, MP3,
-MP4 …). But two families need nothing beyond the stdlib + numpy, so
-their kernels are real:
+container formats whose codecs aren't in this environment (PNG, MP3,
+MP4 …). But several families need nothing beyond the stdlib + numpy,
+so their kernels are real:
 
 * **WAV / PCM audio** (``wave`` + numpy): sample rate, channels,
   duration, and real signal features (RMS, peak) from the decoded
@@ -32,6 +32,8 @@ __all__ = [
     "resize_netpbm",
     "decode_gif",
     "encode_gif",
+    "decode_jpeg",
+    "encode_jpeg",
     "real_decode",
 ]
 
@@ -335,11 +337,12 @@ _DISPATCH = {
     "image/pgm": decode_netpbm,
     "image/gif": decode_gif,
 }
+# "image/jpeg" registers below, after decode_jpeg is defined
 
 
 def real_decode(payload: bytes, media_type: str) -> dict[str, Any]:
     """Dispatch to a real stdlib kernel; raise for codecs this
-    environment genuinely cannot decode (JPEG/PNG/MP3/MP4 …)."""
+    environment genuinely cannot decode (PNG/MP3/MP4 …)."""
     fn = _DISPATCH.get(media_type)
     if fn is None:
         raise NotImplementedError(
@@ -347,3 +350,502 @@ def real_decode(payload: bytes, media_type: str) -> dict[str, Any]:
             f"{sorted(_DISPATCH)} (PIL/librosa/decord absent here)"
         )
     return fn(payload)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT) — decoder + fixture encoder,
+# stdlib + numpy only. The biggest "real corpus always has it" format:
+# marker parse, DQT/DHT tables, canonical Huffman entropy decode with
+# byte-stuffing and restart markers, dequantize, 8x8 IDCT (orthonormal
+# matrix form), chroma upsampling, YCbCr->RGB. Progressive (SOF2),
+# arithmetic coding, and 12-bit precision raise NotImplementedError —
+# honestly, like the other kernels' unsupported branches.
+# ---------------------------------------------------------------------------
+
+# zigzag[i] = natural (row-major) index of the i-th coefficient in
+# zigzag scan order
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal DCT-II matrix: F = _DCT_T @ f @ _DCT_T.T, f = T.T @ F @ T
+_DCT_T = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1.0 / 8.0) ** 0.5 if _u == 0 else (2.0 / 8.0) ** 0.5
+    for _x in range(8):
+        _DCT_T[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _huff_canonical(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """JPEG canonical Huffman: {(length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.d):
+            raise ValueError("truncated entropy-coded segment")
+        b = (self.d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def receive_extend(self, s: int) -> int:
+        """T.81 EXTEND: s magnitude bits -> signed amplitude."""
+        if s == 0:
+            return 0
+        v = self.read_bits(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy segment")
+
+
+def _decode_block(
+    r: _BitReader,
+    dc_table: dict[tuple[int, int], int],
+    ac_table: dict[tuple[int, int], int],
+    qtable: np.ndarray,
+    dc_pred: int,
+) -> tuple[np.ndarray, int]:
+    """One 8x8 block: Huffman -> dequant -> dezigzag -> IDCT.
+    Returns (spatial block float64 pre-level-shift-undo, new dc_pred)."""
+    s = _huff_decode(r, dc_table)
+    dc_pred += r.receive_extend(s)
+    zz = np.zeros(64, dtype=np.float64)
+    zz[0] = dc_pred * qtable[0]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(r, ac_table)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        zz[k] = r.receive_extend(size) * qtable[k]
+        k += 1
+    m = np.zeros(64, dtype=np.float64)
+    m[_ZIGZAG] = zz
+    return _DCT_T.T @ m.reshape(8, 8) @ _DCT_T, dc_pred
+
+
+def decode_jpeg(payload: bytes) -> dict[str, Any]:
+    """REAL baseline JPEG decode: header/DQT/DHT/SOF0/SOS parse,
+    canonical-Huffman entropy decode (byte-stuffing, DRI/RST resets),
+    dequantize, 8x8 IDCT, chroma upsample, BT.601 YCbCr->RGB. Returns
+    the same feature shape as decode_netpbm.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict[tuple[int, int], int]] = {}
+    ac_tables: dict[int, dict[tuple[int, int], int]] = {}
+    frame = None  # (H, W, comps) comps: (cid, h, v, tq)
+    restart_interval = 0
+    planes: dict[int, np.ndarray] | None = None
+
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        seglen = int.from_bytes(payload[pos : pos + 2], "big")
+        seg = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT — possibly several tables
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                qtables[tq] = np.frombuffer(
+                    seg[sp + 1 : sp + 65], np.uint8
+                ).astype(np.float64)
+                sp += 65
+        elif marker == 0xC4:  # DHT — possibly several tables
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0x0F
+                counts = list(seg[sp + 1 : sp + 17])
+                n = sum(counts)
+                symbols = seg[sp + 17 : sp + 17 + n]
+                tbl = _huff_canonical(counts, symbols)
+                (dc_tables if tc == 0 else ac_tables)[th] = tbl
+                sp += 17 + n
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            H = int.from_bytes(seg[1:3], "big")
+            W = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid = seg[6 + 3 * i]
+                hv = seg[7 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * i]))
+            frame = (H, W, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG SOF 0x{marker:02x} not supported")
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS + entropy-coded data
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []  # (cid, dc_id, ac_id)
+            for i in range(ns):
+                cid = seg[1 + 2 * i]
+                tt = seg[2 + 2 * i]
+                scan.append((cid, tt >> 4, tt & 0x0F))
+            # extract de-stuffed entropy segments, split at RSTn
+            segments: list[bytearray] = [bytearray()]
+            while pos + 1 < len(payload):
+                b = payload[pos]
+                if b == 0xFF:
+                    nxt = payload[pos + 1]
+                    if nxt == 0x00:
+                        segments[-1].append(0xFF)
+                        pos += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        segments.append(bytearray())
+                        pos += 2
+                        continue
+                    break  # real marker (EOI …)
+                segments[-1].append(b)
+                pos += 1
+
+            H, W, comps = frame
+            h_max = max(c[1] for c in comps)
+            v_max = max(c[2] for c in comps)
+            by_id = {c[0]: c for c in comps}
+            # full sampling-grid plane per scanned component
+            planes = {}
+            shapes: dict[int, tuple[int, int]] = {}
+            if ns > 1:
+                mcux = -(-W // (8 * h_max))
+                mcuy = -(-H // (8 * v_max))
+                for cid, _, _ in scan:
+                    _, h, v, _ = by_id[cid]
+                    shapes[cid] = (mcuy * v * 8, mcux * h * 8)
+                n_mcus = mcux * mcuy
+            else:
+                cid, _, _ = scan[0]
+                _, h, v, _ = by_id[cid]
+                bw = -(-(-(-W * h // h_max)) // 8)
+                bh = -(-(-(-H * v // v_max)) // 8)
+                shapes[cid] = (bh * 8, bw * 8)
+                n_mcus = bw * bh
+            for cid in shapes:
+                planes[cid] = np.zeros(shapes[cid], dtype=np.float64)
+
+            seg_iter = iter(segments)
+            r = _BitReader(bytes(next(seg_iter)))
+            dc_pred = {cid: 0 for cid, _, _ in scan}
+            for mcu in range(n_mcus):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    r = _BitReader(bytes(next(seg_iter)))
+                    dc_pred = {cid: 0 for cid, _, _ in scan}
+                if ns > 1:
+                    my, mx = divmod(mcu, mcux)
+                    for cid, dci, aci in scan:
+                        _, h, v, tq = by_id[cid]
+                        for byi in range(v):
+                            for bxi in range(h):
+                                blk, dc_pred[cid] = _decode_block(
+                                    r, dc_tables[dci], ac_tables[aci],
+                                    qtables[tq], dc_pred[cid],
+                                )
+                                y0 = (my * v + byi) * 8
+                                x0 = (mx * h + bxi) * 8
+                                planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
+                else:
+                    cid, dci, aci = scan[0]
+                    tq = by_id[cid][3]
+                    bw = shapes[cid][1] // 8
+                    my, mx = divmod(mcu, bw)
+                    blk, dc_pred[cid] = _decode_block(
+                        r, dc_tables[dci], ac_tables[aci],
+                        qtables[tq], dc_pred[cid],
+                    )
+                    planes[cid][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = blk
+
+    if frame is None or planes is None:
+        raise ValueError("JPEG contains no decoded scan")
+    H, W, comps = frame
+    h_max = max(c[1] for c in comps)
+    v_max = max(c[2] for c in comps)
+    full = []
+    for cid, h, v, _ in comps:
+        p = planes[cid] + 128.0
+        p = np.repeat(np.repeat(p, v_max // v, axis=0), h_max // h, axis=1)
+        full.append(p[:H, :W])
+    if len(full) == 1:
+        px = np.clip(np.round(full[0]), 0, 255)[..., None]
+    elif len(full) == 3:
+        y, cb, cr = full
+        r_ = y + 1.402 * (cr - 128.0)
+        g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b_ = y + 1.772 * (cb - 128.0)
+        px = np.clip(np.round(np.stack([r_, g_, b_], axis=-1)), 0, 255)
+    else:
+        raise NotImplementedError(f"{len(full)}-component JPEG not supported")
+    means = px.mean(axis=(0, 1))
+    return {
+        "kind": "image",
+        "width": int(W),
+        "height": int(H),
+        "n_channels": int(px.shape[2]),
+        "channel_means": [round(float(m), 4) for m in means],
+        "luma_mean": round(
+            float(
+                means @ np.array([0.299, 0.587, 0.114])
+                if px.shape[2] == 3
+                else means[0]
+            ),
+            4,
+        ),
+    }
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte-stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = self.acc << (8 - self.n) | ((1 << (8 - self.n)) - 1)
+            self.out.append(pad)
+            if pad == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+# fixture Huffman layout: DC categories 0..11 all at code length 4;
+# every baseline AC symbol (EOB, ZRL, run 0-15 × size 1-10) at length 8
+_FIX_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_FIX_DC_SYMBOLS = bytes(range(12))
+_FIX_AC_SYMBOLS = bytes(
+    [0x00, 0xF0] + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_FIX_AC_COUNTS = [0] * 7 + [len(_FIX_AC_SYMBOLS)] + [0] * 8
+
+
+def _huff_encode_map(counts: list[int], symbols: bytes) -> dict[int, tuple[int, int]]:
+    return {
+        sym: (code, length)
+        for (length, code), sym in _huff_canonical(counts, symbols).items()
+    }
+
+
+def _size_cat(v: int) -> int:
+    s = 0
+    a = abs(v)
+    while a:
+        a >>= 1
+        s += 1
+    return s
+
+
+def _write_coeff(bw: _BitWriter, huff: dict[int, tuple[int, int]], run: int, v: int) -> None:
+    s = _size_cat(v)
+    if s > 10:
+        raise ValueError("fixture encoder: AC amplitude exceeds size 10")
+    code, length = huff[(run << 4) | s]
+    bw.write(code, length)
+    if s:
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def encode_jpeg(
+    px: np.ndarray,
+    *,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Fixture baseline-JPEG encoder: grayscale ``(h, w)`` or RGB
+    ``(h, w, 3)`` uint8 → a conformant SOF0 stream with an all-ones
+    quantization table (so flat 8×8 tiles round-trip EXACTLY — only
+    the DC coefficient is nonzero and it quantizes losslessly) and the
+    fixed-length canonical Huffman layout above (exercises real DHT
+    parsing). RGB converts BT.601 to YCbCr; ``subsample`` emits 4:2:0
+    (2×2-averaged chroma, 4 luma blocks per MCU); ``restart_interval``
+    emits DRI + RSTn resets every n MCUs.
+    """
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        comps_px = [px.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        pf = px.astype(np.float64)
+        r_, g_, b_ = pf[..., 0], pf[..., 1], pf[..., 2]
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+        cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+        comps_px = [np.round(y), np.round(cb), np.round(cr)]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1), (1, 1), (1, 1)]
+    h_max = max(s[0] for s in samp)
+    v_max = max(s[1] for s in samp)
+
+    # pad each component plane to its MCU-aligned sampling-grid size
+    # (edge-replicate), downsampling chroma by block mean if needed
+    mcux = -(-w // (8 * h_max))
+    mcuy = -(-h // (8 * v_max))
+    planes = []
+    for p, (sh, sv) in zip(comps_px, samp):
+        if (sh, sv) != (h_max, v_max):
+            fy, fx = v_max // sv, h_max // sh
+            py, pxw = p.shape
+            ey, ex = -(-py // fy) * fy, -(-pxw // fx) * fx
+            pp = np.pad(p, ((0, ey - py), (0, ex - pxw)), mode="edge")
+            p = pp.reshape(ey // fy, fy, ex // fx, fx).mean(axis=(1, 3))
+        ty, tx = mcuy * sv * 8, mcux * sh * 8
+        p = np.pad(
+            p, ((0, ty - p.shape[0]), (0, tx - p.shape[1])), mode="edge"
+        )
+        planes.append(p - 128.0)
+
+    dc_map = _huff_encode_map(_FIX_DC_COUNTS, _FIX_DC_SYMBOLS)
+    ac_map = _huff_encode_map(_FIX_AC_COUNTS, _FIX_AC_SYMBOLS)
+
+    def encode_block(bw: _BitWriter, plane: np.ndarray, y0: int, x0: int, pred: int) -> int:
+        f = _DCT_T @ plane[y0 : y0 + 8, x0 : x0 + 8] @ _DCT_T.T
+        zz = np.round(f.reshape(-1)[_ZIGZAG]).astype(np.int64)
+        diff = int(zz[0]) - pred
+        s = _size_cat(diff)
+        if s > 11:
+            raise ValueError("fixture encoder: DC difference exceeds size 11")
+        code, length = dc_map[s]
+        bw.write(code, length)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                c, ln = ac_map[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            _write_coeff(bw, ac_map, run, v)
+            run = 0
+        if run:
+            c, ln = ac_map[0x00]
+            bw.write(c, ln)
+        return int(zz[0])
+
+    chunks: list[bytes] = []
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    n_mcus = mcux * mcuy
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            chunks.append(bw.flush())
+            bw = _BitWriter()
+            preds = [0] * len(planes)
+        my, mx = divmod(mcu, mcux)
+        for ci, (p, (sh, sv)) in enumerate(zip(planes, samp)):
+            for byi in range(sv):
+                for bxi in range(sh):
+                    preds[ci] = encode_block(
+                        bw, p, (my * sv + byi) * 8, (mx * sh + bxi) * 8, preds[ci]
+                    )
+    chunks.append(bw.flush())
+
+    buf = bytearray(b"\xff\xd8")
+    buf += b"\xff\xdb" + (2 + 65).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    nc = len(planes)
+    buf += b"\xff\xc0" + (8 + 3 * nc).to_bytes(2, "big") + bytes([8])
+    buf += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for i, (sh, sv) in enumerate(samp):
+        buf += bytes([i + 1, (sh << 4) | sv, 0])
+    for cls, counts, syms in (
+        (0, _FIX_DC_COUNTS, _FIX_DC_SYMBOLS),
+        (1, _FIX_AC_COUNTS, _FIX_AC_SYMBOLS),
+    ):
+        buf += b"\xff\xc4" + (2 + 1 + 16 + len(syms)).to_bytes(2, "big")
+        buf += bytes([cls << 4]) + bytes(counts) + syms
+    if restart_interval:
+        buf += b"\xff\xdd" + (4).to_bytes(2, "big") + restart_interval.to_bytes(2, "big")
+    buf += b"\xff\xda" + (6 + 2 * nc).to_bytes(2, "big") + bytes([nc])
+    for i in range(nc):
+        buf += bytes([i + 1, 0x00])
+    buf += b"\x00\x3f\x00"  # Ss/Se/AhAl for baseline
+    for i, ch in enumerate(chunks):
+        if i:
+            buf += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+        buf += ch
+    buf += b"\xff\xd9"
+    return bytes(buf)
+
+
+_DISPATCH["image/jpeg"] = decode_jpeg

@@ -77,6 +77,7 @@ _PRIORITY: list[str] = [
     "semantic_dedup_lsh_planted",
     # added in round 5 — inside the window for a first driver row
     "biosample_sheet_e2e",
+    "multimodal_jpeg_real_decode",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",

@@ -1331,3 +1331,90 @@ def tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Real baseline-JPEG decode through the driver gate — the fourth real
+# codec (WAV, netpbm, GIF, now JPEG). Payloads are conformant SOF0
+# streams from the fixture encoder (media_codecs.encode_jpeg: custom
+# DQT/DHT, canonical Huffman, byte-stuffed entropy data); the kernel
+# re-parses the tables, Huffman-decodes every block, dequantizes,
+# runs the 8x8 IDCT, and reports features.
+#
+# Closed-form oracle: images are flat 8x8 tiles with value
+# base + 8*ty + 4*tx. Under the all-ones quantization table a flat
+# tile has ONLY a DC coefficient, which quantizes losslessly, so
+# decode is bit-exact and the mean is the exact tile-value mean:
+# base + 4*(n_tile_rows-1) + 2*(n_tile_cols-1) — integer or .5/.0
+# dyadic, so ROUND(.,4) can never disagree between engines.
+# ---------------------------------------------------------------------------
+
+_JPEG_SQL = """
+SELECT event_id AS id,
+       'image' AS kind,
+       CAST(8 * ((event_id % 3) + 1) AS INT) AS width,
+       CAST(8 * ((event_id % 4) + 1) AS INT) AS height,
+       CAST(1 AS INT) AS n_channels,
+       ROUND(CAST((event_id % 180) + 20
+                  + 4.0 * (event_id % 4)
+                  + 2.0 * (event_id % 3) AS DOUBLE), 4) AS luma_mean
+FROM events WHERE event_id % 20 = 3
+"""
+
+
+@register("multimodal_jpeg_real_decode", _JPEG_SQL)
+def multimodal_jpeg_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline JPEG decode end-to-end: encode_jpeg fixture
+    payloads → marker/DQT/DHT parse → canonical-Huffman entropy decode
+    (with DC prediction across blocks) → dequant → IDCT → features,
+    driver-checked against the construction's closed form
+    (operators/media_codecs.decode_jpeg). Alternate images set a
+    restart interval so the DRI/RSTn reset path runs inside the gate
+    too. Arrow batches carry payloads; Python touches rows only inside
+    the two mapInPandas stages — the synthesizer and the kernel.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import encode_jpeg
+    from ccgp_data_wrangling_spark.operators.multimodal import (
+        extract_real_features,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 3
+    ).select(F.col("event_id").alias("id"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                ntx = int(eid % 3) + 1
+                nty = int(eid % 4) + 1
+                base = int(eid % 180) + 20
+                px = np.zeros((8 * nty, 8 * ntx), np.uint8)
+                for ty in range(nty):
+                    for tx in range(ntx):
+                        px[8 * ty : 8 * ty + 8, 8 * tx : 8 * tx + 8] = (
+                            base + 8 * ty + 4 * tx
+                        )
+                payloads.append(
+                    encode_jpeg(px, restart_interval=int(eid % 2))
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "payload": payloads,
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    media = ev.mapInPandas(
+        synth, schema="id long, payload binary, media_type string"
+    )
+    feats = extract_real_features(media)
+    return feats.select(
+        "id", "kind", "width", "height", "n_channels", "luma_mean"
+    )

@@ -76,8 +76,10 @@ def test_resize_netpbm_roundtrips():
 def test_real_decode_dispatch_and_honest_gate():
     assert real_decode(_wav_bytes(), "audio/wav")["kind"] == "audio"
     assert real_decode(_ppm_bytes(2, 2, (5, 5, 5)), "image/ppm")["kind"] == "image"
+    # JPEG gained a real stdlib decoder (decode_jpeg); PNG remains an
+    # honest NotImplementedError
     with pytest.raises(NotImplementedError, match="no stdlib decoder"):
-        real_decode(b"\xff\xd8\xff", "image/jpeg")
+        real_decode(b"\x89PNG\r\n", "image/png")
 
 
 def test_extract_real_features_mixed_media(spark):
@@ -166,3 +168,100 @@ def test_gif_through_real_decode_dispatch():
 
     d = real_decode(encode_gif(_gif_px(6, 6)), "image/gif")
     assert d["kind"] == "image" and d["n_channels"] == 3
+
+
+def _flat_tiles(h, w, base=50, dy=8, dx=4):
+    import numpy as np
+
+    px = np.zeros((h, w), np.uint8)
+    for ty in range(h // 8):
+        for tx in range(w // 8):
+            px[ty * 8 : (ty + 1) * 8, tx * 8 : (tx + 1) * 8] = base + dy * ty + dx * tx
+    return px
+
+
+def test_jpeg_flat_tiles_roundtrip_exact():
+    """With the all-ones quant table, flat 8x8 tiles carry only a DC
+    coefficient, which quantizes losslessly — decode is EXACT."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    px = _flat_tiles(24, 16)
+    d = decode_jpeg(encode_jpeg(px))
+    assert (d["width"], d["height"], d["n_channels"]) == (16, 24, 1)
+    assert d["luma_mean"] == round(float(np.mean(px)), 4)
+
+
+def test_jpeg_gradient_close_and_ac_path():
+    """A noisy gradient exercises AC coefficients (runs, ZRL, EOB) —
+    decode must agree with the source within DCT rounding noise."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    g = (
+        np.linspace(0, 200, 32 * 24).reshape(24, 32)
+        + rng.integers(0, 10, (24, 32))
+    ).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(g))
+    assert abs(d["luma_mean"] - float(g.mean())) < 0.5
+
+
+def test_jpeg_color_444_420_and_restart():
+    """RGB 4:4:4 and subsampled 4:2:0 with restart markers both decode;
+    flat color is exact up to the YCbCr<->RGB double rounding (±1)."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    c = np.zeros((16, 16, 3), np.uint8)
+    c[..., 0], c[..., 1], c[..., 2] = 100, 150, 200
+    for kw in ({}, {"subsample": True, "restart_interval": 1}):
+        d = decode_jpeg(encode_jpeg(c, **kw))
+        assert d["n_channels"] == 3
+        for got, want in zip(d["channel_means"], (100.0, 150.0, 200.0)):
+            assert abs(got - want) <= 1.0
+
+
+def test_jpeg_odd_dimensions_and_dispatch():
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        encode_jpeg,
+        real_decode,
+    )
+
+    o = np.full((10, 13), 77, np.uint8)
+    d = real_decode(encode_jpeg(o), "image/jpeg")
+    assert (d["width"], d["height"]) == (13, 10)
+    assert d["luma_mean"] == 77.0
+
+
+def test_jpeg_honest_gates():
+    import numpy as np
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"NOTAJPEG" + bytes(20))
+    # progressive (SOF2) raises NotImplementedError, not garbage output
+    good = bytearray(encode_jpeg(np.full((8, 8), 9, np.uint8)))
+    i = good.find(b"\xff\xc0")
+    good[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(good))
