@@ -2,9 +2,11 @@
 parse — no PIL/librosa/decord required.
 
 The multimodal layer (multimodal.py) keeps deterministic fakes for
-container formats whose codecs aren't in this environment (PNG, MP3,
+container formats whose codecs aren't in this environment (MP3,
 MP4 …). But several families need nothing beyond the stdlib + numpy,
-so their kernels are real:
+so their kernels are real: WAV/PCM, netpbm, GIF (LZW), baseline JPEG
+(Huffman + IDCT), and PNG (zlib inflate + unfilter). Two are detailed
+below; JPEG/PNG live at the end of this module:
 
 * **WAV / PCM audio** (``wave`` + numpy): sample rate, channels,
   duration, and real signal features (RMS, peak) from the decoded
@@ -34,6 +36,8 @@ __all__ = [
     "encode_gif",
     "decode_jpeg",
     "encode_jpeg",
+    "decode_png",
+    "encode_png",
     "real_decode",
 ]
 
@@ -849,3 +853,179 @@ def encode_jpeg(
 
 
 _DISPATCH["image/jpeg"] = decode_jpeg
+
+
+# ---------------------------------------------------------------------------
+# PNG (RFC 2083) — decoder + fixture encoder, stdlib zlib + numpy.
+# Chunk walk, IHDR validation, IDAT concat + inflate, per-scanline
+# unfilter (None/Sub/Up/Average/Paeth), palette expansion. Lossless,
+# so decode reproduces source pixels EXACTLY — the easiest closed-form
+# oracle of all the image kernels. Adam7 interlace, 16-bit depth, and
+# sub-byte depths raise NotImplementedError honestly.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> dict[str, Any]:
+    """REAL PNG decode: chunk parse, zlib inflate, scanline unfilter
+    (all five filter types), palette expansion. Returns the same
+    feature shape as decode_netpbm."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, comp, filt, ilace = data[8:13]
+            if depth != 8:
+                raise NotImplementedError(f"{depth}-bit PNG not supported")
+            if ctype not in _PNG_CHANNELS:
+                raise ValueError(f"invalid PNG color type {ctype}")
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid PNG compression/filter method")
+            if ilace != 0:
+                raise NotImplementedError("Adam7 interlaced PNG not supported")
+            ihdr = (w, h, ctype)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ctype = ihdr
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prev = bytearray(stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = line
+        prev = line
+    px = out.reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = plte[px[..., 0]]
+        ch = 3
+    means = px.astype(np.float64).mean(axis=(0, 1))
+    luma = (
+        float(means[:3] @ np.array([0.299, 0.587, 0.114]))
+        if ch >= 3
+        else float(means[0])
+    )
+    return {
+        "kind": "image",
+        "width": int(w),
+        "height": int(h),
+        "n_channels": int(px.shape[2]),
+        "channel_means": [round(float(m), 4) for m in means],
+        "luma_mean": round(luma, 4),
+    }
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Fixture PNG encoder: gray ``(h, w)``, RGB ``(h, w, 3)`` or RGBA
+    ``(h, w, 4)`` uint8. Scanlines cycle through all five filter types
+    (row % 5) so a decoder must implement every unfilter path; the
+    stream stays losslessly exact regardless of filter choice."""
+    import zlib
+
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, ch = px.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        line = flat[y]
+        ftype = y % 5
+        enc = bytearray(stride)
+        if ftype == 0:
+            enc = bytearray(int(v) & 0xFF for v in line)
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                enc[i] = int(line[i] - a) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                enc[i] = int(line[i] - prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                enc[i] = int(line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        else:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = int(prev[i - ch]) if i >= ch else 0
+                enc[i] = int(line[i] - _paeth(int(a), int(prev[i]), c)) & 0xFF
+        raw.append(ftype)
+        raw += enc
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+_DISPATCH["image/png"] = decode_png

@@ -78,6 +78,7 @@ _PRIORITY: list[str] = [
     # added in round 5 — inside the window for a first driver row
     "biosample_sheet_e2e",
     "multimodal_jpeg_real_decode",
+    "multimodal_png_real_decode",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",

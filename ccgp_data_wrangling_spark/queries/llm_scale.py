@@ -1418,3 +1418,81 @@ def multimodal_jpeg_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "id", "kind", "width", "height", "n_channels", "luma_mean"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real PNG decode through the driver gate — the fifth real codec.
+# Payloads are conformant PNG streams from the fixture encoder
+# (media_codecs.encode_png: zlib IDAT, scanlines cycling ALL FIVE
+# filter types), so the kernel's inflate + unfilter paths
+# (None/Sub/Up/Average/Paeth) all run inside the gate. PNG is
+# lossless, so the oracle is the exact source construction: red rises
+# 1/row, green/blue flat — same closed form as the GIF gate.
+# ---------------------------------------------------------------------------
+
+_PNG_SQL = """
+SELECT event_id AS id,
+       'image' AS kind,
+       CAST((event_id % 5) + 2 AS INT) AS width,
+       CAST((event_id % 7) + 2 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       ROUND(
+         0.299 * ((event_id % 150) + 20 + ((event_id % 7) + 1) / 2.0)
+         + 0.587 * ((event_id % 90) + 40)
+         + 0.114 * ((event_id % 60) + 50), 4) AS luma_mean
+FROM events WHERE event_id % 20 = 4
+"""
+
+
+@register("multimodal_png_real_decode", _PNG_SQL)
+def multimodal_png_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG decode end-to-end: encode_png fixture payloads →
+    chunk walk → zlib inflate → per-scanline unfilter (all five
+    filter types cycle by row) → channel means, driver-checked against
+    the construction's closed form (operators/media_codecs.decode_png).
+    Arrow batches carry payloads; Python touches rows only inside the
+    two mapInPandas stages — the synthesizer and the kernel.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import encode_png
+    from ccgp_data_wrangling_spark.operators.multimodal import (
+        extract_real_features,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 4
+    ).select(F.col("event_id").alias("id"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                w = int(eid % 5) + 2
+                h = int(eid % 7) + 2
+                base_r = int(eid % 150) + 20
+                g = int(eid % 90) + 40
+                b = int(eid % 60) + 50
+                px = np.zeros((h, w, 3), np.uint8)
+                px[:, :, 0] = (base_r + np.arange(h))[:, None]
+                px[:, :, 1] = g
+                px[:, :, 2] = b
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "payload": payloads,
+                    "media_type": "image/png",
+                }
+            )
+
+    media = ev.mapInPandas(
+        synth, schema="id long, payload binary, media_type string"
+    )
+    feats = extract_real_features(media)
+    return feats.select(
+        "id", "kind", "width", "height", "n_channels", "luma_mean"
+    )

@@ -76,10 +76,10 @@ def test_resize_netpbm_roundtrips():
 def test_real_decode_dispatch_and_honest_gate():
     assert real_decode(_wav_bytes(), "audio/wav")["kind"] == "audio"
     assert real_decode(_ppm_bytes(2, 2, (5, 5, 5)), "image/ppm")["kind"] == "image"
-    # JPEG gained a real stdlib decoder (decode_jpeg); PNG remains an
-    # honest NotImplementedError
+    # JPEG/PNG gained real stdlib decoders; MP4 remains an honest
+    # NotImplementedError
     with pytest.raises(NotImplementedError, match="no stdlib decoder"):
-        real_decode(b"\x89PNG\r\n", "image/png")
+        real_decode(b"\x00\x00\x00 ftypmp4", "video/mp4")
 
 
 def test_extract_real_features_mixed_media(spark):
@@ -265,3 +265,63 @@ def test_jpeg_honest_gates():
     good[i + 1] = 0xC2
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(good))
+
+
+def test_png_roundtrip_exact_all_filters():
+    """PNG is lossless and the fixture encoder cycles every filter
+    type (row % 5): gray, RGB, RGBA, and palette-free paths must all
+    reproduce the source pixels exactly."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(7, 5), (9, 4, 3), (6, 6, 4), (1, 1), (12, 3, 3)]:
+        px = rng.integers(0, 256, shape).astype(np.uint8)
+        d = decode_png(encode_png(px))
+        want = px if px.ndim == 3 else px[..., None]
+        exp = [
+            round(float(m), 4)
+            for m in want.astype(np.float64).mean(axis=(0, 1))
+        ]
+        assert d["channel_means"] == exp
+        assert (d["width"], d["height"]) == (want.shape[1], want.shape[0])
+
+
+def test_png_honest_gates():
+    import numpy as np
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_png(b"NOTPNG" + bytes(20))
+    # 16-bit depth and Adam7 interlace raise NotImplementedError
+    good = bytearray(encode_png(np.full((4, 4), 3, np.uint8)))
+    deep = bytearray(good)
+    deep[8 + 8 + 8] = 16  # IHDR bit-depth byte
+    with _pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png(bytes(deep))
+    laced = bytearray(good)
+    laced[8 + 8 + 12] = 1  # IHDR interlace byte
+    with _pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(bytes(laced))
+
+
+def test_png_through_real_decode_dispatch():
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        encode_png,
+        real_decode,
+    )
+
+    d = real_decode(encode_png(np.full((3, 3, 3), 10, np.uint8)), "image/png")
+    assert d["kind"] == "image" and d["n_channels"] == 3
+    assert d["luma_mean"] == 10.0

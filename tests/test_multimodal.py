@@ -66,5 +66,6 @@ def test_sample_frames_rejects_bad_interval(spark, media):
 
 
 def test_real_decode_is_explicit_stub():
+    # PNG gained a real stdlib decoder; MP4 remains the honest stub
     with pytest.raises(NotImplementedError):
-        real_decode(b"abc", "image/png")
+        real_decode(b"abc", "video/mp4")

@@ -4,52 +4,52 @@ The external verifier samples the FIRST 50 entries of ``all_queries()``
 in iteration order, so ordering is part of the driver contract:
 every query that has never received a green driver CORRECTNESS row —
 and every newly added query — must sit inside that window.
+
+Green-ness is computed from the recorded CORRECTNESS_r*.json files
+with the same rules as tools/rotate_registry.py (a hardcoded name set
+went stale the first time a new round landed — this stays current by
+construction).
 """
+
+import glob
+import json
+import re
 
 from ccgp_data_wrangling_spark.queries import _PRIORITY, all_oracles, all_queries
 
-# Names green in CORRECTNESS_r01 ∪ CORRECTNESS_r02 (rows+schema+hash, no err).
-DRIVER_GREEN = {
-    "a1_segment_summary", "a2_flag_share", "a3_depth_model",
-    "ann_ivf_planted", "ann_ivf_vs_exact", "ann_lsh_planted",
-    "ann_lsh_vs_exact", "asof_last_click", "bigram_lm_score",
-    "curation_pipeline_e2e", "dedup_exact_canonical",
-    "embedding_cosine_neardup", "f2_regex_filter", "f4_urgent_customers",
-    "f5_file_count_audit", "fingerprint_rolling_hash", "j1_linkage_fileset",
-    "j5_array_membership_join", "j6_customers_without_orders",
-    "j7_lang_family_lookup", "j8_coalescing_dim_join", "j9_summary_assembly",
-    "k1_s5_tsv_roundtrip", "k6_text_report_roundtrip", "knn_top10_cosine",
-    "lang_id_heuristic", "m1_upsert", "m2_insert_only_then_delete",
-    "m5_update_where_in", "m7_scd2_segment_migration",
-    "minhash_neardup_planted", "multimodal_features",
-    "multimodal_frame_sample", "neardup_cluster_canonical",
-    "ngram_jaccard_neardup", "p1_taxon_projection", "q1_pricing_summary",
-    "q3_top_orders", "q5_regional_revenue", "r1_adjacent_pairs",
-    "r1_legacy_prefix_pairs", "r2_filename_pivot", "r3_struct_flatten",
-    "repetition_filter_gopher", "s3_t2_discovery_merge",
-    "s4_sheet_probe_tsv", "s4_sheet_probe_xlsx", "simhash_dup_planted",
-    "t1_ledger_ingest", "t3_stream_merge_availablenow", "t_daily_share",
-    "t_hourly_rollup", "t_multigrain_rollup", "t_user_sessions",
-    "text_quality_stats", "tfidf_top_terms", "token_counts",
-    "w2_top_order_per_customer", "x10_coordinate_masking",
-    "x11_reverse_geocode", "x12_fuzzy_best_match", "x7_part_labels",
-    "x9_geo_loc_merge", "x_cleaning_pipeline",
-}
+
+def _driver_green() -> set[str]:
+    """Names whose LATEST driver row is green (rows+schema+hash, no err)."""
+    last: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        for name, rec in json.load(open(path)).items():
+            ok = (
+                isinstance(rec, dict)
+                and not rec.get("err")
+                and rec.get("rows_match") is not False
+                and rec.get("schema_match") is not False
+                and rec.get("hash_match") is not False
+            )
+            if name not in last or rnd >= last[name][0]:
+                last[name] = (rnd, ok)
+    return {n for n, (_, ok) in last.items() if ok}
 
 
 def test_never_green_queries_fill_driver_window():
     """All never-green queries fit in the 50-slot window — or, when
-    there are more than 50 of them (round 3 added 31 new queries on
-    top of the 20 never-verified carryovers), the window must be
-    filled ENTIRELY with never-green queries: a slot spent re-checking
-    an already-green query while a never-green one waits outside would
-    waste the driver's budget."""
+    there are more than 50, the window must be filled ENTIRELY with
+    never-green queries: a slot spent re-checking an already-green
+    query while a never-green one waits outside would waste the
+    driver's budget."""
+    green = _driver_green()
     names = list(all_queries())
     window = names[:50]
-    never_green = [n for n in names if n not in DRIVER_GREEN]
+    never_green = [n for n in names if n not in green]
     outside = [n for n in never_green if n not in set(window)]
     if outside:
-        wasted = [n for n in window if n in DRIVER_GREEN]
+        wasted = [n for n in window if n in green]
         assert not wasted, (
             f"green queries {wasted} occupy window slots while "
             f"never-green {outside} wait outside"
