@@ -1,0 +1,194 @@
+"""Byte-pair-encoding tokenizer: distributed merge training + pure
+JVM-expression encoding.
+
+The reference's pipelines only count tokens (functions/text.py's
+BPE-ish regex proxy); a training-data engine needs the real thing —
+learn a merge table from the corpus (Sennrich et al., 2016,
+arXiv:1508.07909) and tokenize with it.
+
+The load-bearing representation choice: a word's symbol sequence is a
+single string with every symbol wrapped in DISTINCT open/close
+markers, ``\\x1f s \\x1e`` per symbol. Then applying the merge
+``(a, b) → ab`` is exactly the builtin ``replace`` of
+``\\x1f a \\x1e \\x1f b \\x1e`` with ``\\x1f ab \\x1e``:
+
+* the markers make symbol boundaries explicit on BOTH sides, so a
+  pair can never match inside larger symbols;
+* distinct open/close markers make pattern occurrences DISJOINT
+  (adjacent pairs share no characters — unlike a single-separator
+  encoding, where two occurrences share the middle separator and the
+  second is silently skipped), so builtin left-to-right
+  non-overlapping ``replace`` applies greedy BPE in ONE pass:
+  ``aaaa`` + merge (a,a) → ``[aa, aa]``, ``aaaaa`` → ``[aa, aa, a]``;
+* ``replace`` is a whole-stage-codegen JVM builtin on the Spark side
+  and replays verbatim as ``REPLACE`` in DuckDB — which is what makes
+  the ITERATIVE training loop oracle-able round by round, a property
+  none of the fold/UDF formulations have.
+
+Training (``bpe_train``) runs one distributed job per merge round:
+explode adjacent symbol pairs from the word VOCAB (distinct words ×
+counts — vastly smaller than the corpus), argmax with a deterministic
+(count desc, pair asc) tie-break, apply the winner via ``replace``.
+The per-round result is a bounded 1-row collect (same class as
+knn.py's centroid sample); ``n_merges`` rounds = ``n_merges`` small
+shuffles over the vocab, never the corpus. Lineage is truncated with
+localCheckpoint every few rounds so the chained-replace plan stays
+shallow.
+
+Scale: the corpus-sized work is ONE scan + word groupBy (the vocab
+build); every training round then touches only the vocab table
+(|distinct words|, Zipf-small next to the corpus). At 100 TB you
+persist the vocab once and the rounds are sub-second; this is how
+industrial BPE trainers (HuggingFace tokenizers, SentencePiece on
+preprocessed counts) structure the loop too.
+
+Encoding (``bpe_encode_expr``) applies a LEARNED merge list in
+training order — which replays training exactly, so encoding the
+training corpus reproduces the final training vocab (tested) — as a
+chain of ``replace`` calls inside one Column expression: zero UDFs,
+zero shuffles, tokenization at full codegen speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bpe_train",
+    "bpe_encode_expr",
+    "bpe_token_count_expr",
+    "END_WORD",
+    "OPEN",
+    "CLOSE",
+]
+
+OPEN = "\x1f"  # symbol-open marker (ASCII unit separator)
+CLOSE = "\x1e"  # symbol-close marker (ASCII record separator)
+END_WORD = "</w>"
+
+
+def _word_state(text: Column) -> Column:
+    """array<string> of per-word marker-wrapped symbol states for one
+    document: ``\\x1fc\\x1e\\x1fh\\x1e…\\x1f</w>\\x1e`` per word. The
+    reserved marker bytes are stripped from input words first."""
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    return F.transform(
+        words,
+        lambda w: F.concat(
+            F.regexp_replace(
+                F.replace(F.replace(w, F.lit(OPEN), F.lit("")), F.lit(CLOSE), F.lit("")),
+                F.lit("(.)"),
+                F.lit(OPEN + "$1" + CLOSE),
+            ),
+            F.lit(OPEN + END_WORD + CLOSE),
+        ),
+    )
+
+
+def _symbols(state: Column) -> Column:
+    """Symbol array from a marker-wrapped state string."""
+    return F.filter(
+        F.split(F.replace(state, F.lit(OPEN), F.lit("")), CLOSE),
+        lambda x: x != "",
+    )
+
+
+def _vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    """(s: wrapped symbol state, n: corpus frequency) per distinct word."""
+    return (
+        docs.select(F.explode(_word_state(F.col(text_col))).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(l, r, cnt): adjacent-symbol pair frequencies over the vocab,
+    weighted by word count — every occurrence counts, like Sennrich's
+    reference counter."""
+    syms = _symbols(F.col("s"))
+    # guard: sequence(1, 0) counts DOWN in Spark, so a fully-merged
+    # single-symbol word would index past the array under ANSI mode
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("l"),
+                F.element_at(syms, i + 1).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        vocab.select("n", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def _merge_expr(state: Column, left: str, right: str) -> Column:
+    return F.replace(
+        state,
+        F.lit(OPEN + left + CLOSE + OPEN + right + CLOSE),
+        F.lit(OPEN + left + right + CLOSE),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 8,
+    min_count: int = 2,
+    checkpoint_every: int = 4,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from a text column.
+
+    Returns ``[(left, right, pair_count_at_selection)]`` in merge
+    order. Stops early when the best remaining pair's count falls
+    below ``min_count``. Deterministic on any layout: the winner is
+    (count desc, left asc, right asc).
+    """
+    vocab = _vocab(docs, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for i in range(n_merges):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0].cnt < min_count:
+            break
+        l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
+        merges.append((l, r, cnt))
+        vocab = vocab.withColumn("s", _merge_expr(F.col("s"), l, r))
+        if (i + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode_expr(
+    text: Column, merges: list[tuple[str, str] | tuple[str, str, int]]
+) -> Column:
+    """array<string> of BPE tokens for ``text`` under a learned merge
+    list, applied in training order (training replay semantics). One
+    pure-codegen Column expression: char wrap → chained ``replace``
+    per merge → unwrap — no UDFs anywhere."""
+    state = _word_state(text)
+
+    def enc(word_state: Column) -> Column:
+        out = word_state
+        for m in merges:
+            out = _merge_expr(out, m[0], m[1])
+        return _symbols(out)
+
+    return F.flatten(F.transform(state, enc))
+
+
+def bpe_token_count_expr(
+    text: Column, merges: list[tuple[str, str] | tuple[str, str, int]]
+) -> Column:
+    """Token count under the learned merges (bigint)."""
+    return F.size(bpe_encode_expr(text, merges)).cast("long")

@@ -79,6 +79,8 @@ _PRIORITY: list[str] = [
     "biosample_sheet_e2e",
     "multimodal_jpeg_real_decode",
     "multimodal_png_real_decode",
+    "bpe_train_merges",
+    "bpe_encode_token_count",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",
@@ -268,6 +270,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from ccgp_data_wrangling_spark.queries import (  # noqa: F401
+        bpe_queries,
         connector_queries,
         corpus_quality,
         curation_e2e,

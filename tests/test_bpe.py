@@ -1,0 +1,133 @@
+"""BPE tokenizer: distributed training vs a pure-Python Sennrich
+reference, training-replay encoding, and the operator's edge gates."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from ccgp_data_wrangling_spark.operators.bpe import (
+    bpe_encode_expr,
+    bpe_token_count_expr,
+    bpe_train,
+)
+
+
+def _ref_train(texts, n, min_count):
+    """Pure-Python Sennrich BPE: count all adjacent pairs weighted by
+    word frequency, merge argmax (count desc, pair asc), greedy
+    left-to-right application."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            vocab[tuple(list(w) + ["</w>"])] += 1
+    out = []
+    for _ in range(n):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        out.append((a, b, cnt))
+        nv = Counter()
+        for syms, c in vocab.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            nv[tuple(ns)] += c
+        vocab = nv
+    return out, vocab
+
+
+def _ref_encode(text, merges):
+    toks = []
+    for w in text.split():
+        syms = list(w) + ["</w>"]
+        for a, b, *_ in merges:
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            syms = ns
+        toks.extend(syms)
+    return toks
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new lower",
+    "the newest of the new low lows",
+]
+
+
+def test_train_matches_python_reference(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, "text", n_merges=10, min_count=2)
+    exp, _ = _ref_train(TEXTS, 10, 2)
+    assert got == exp
+
+
+def test_encode_is_training_replay(spark):
+    """Encoding any text with the learned merges applies them in
+    training order — on the training corpus itself this reproduces the
+    reference tokenization exactly."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, "text", n_merges=6, min_count=2)
+    rows = docs.select(
+        "doc_id",
+        bpe_encode_expr(F.col("text"), merges).alias("toks"),
+        bpe_token_count_expr(F.col("text"), merges).alias("n"),
+    ).collect()
+    for r in rows:
+        exp = _ref_encode(TEXTS[r.doc_id], merges)
+        assert list(r.toks) == exp
+        assert r.n == len(exp)
+
+
+def test_overlapping_pair_is_greedy_left_to_right(spark):
+    """'aaa' under merge (a,a) must tokenize [aa, a] — the replace
+    representation's non-overlapping guarantee."""
+    docs = spark.createDataFrame([(1, "aaa aaaa")], "doc_id long, text string")
+    toks = docs.select(
+        bpe_encode_expr(F.col("text"), [("a", "a")]).alias("t")
+    ).collect()[0].t
+    assert list(toks) == ["aa", "a", "</w>", "aa", "aa", "</w>"]
+
+
+def test_min_count_stops_training(spark):
+    docs = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    # every pair occurs once; min_count=2 stops immediately
+    assert bpe_train(docs, "text", n_merges=5, min_count=2) == []
+    # min_count=1 learns deterministically: ties break (l, r) ascending
+    got = bpe_train(docs, "text", n_merges=2, min_count=1)
+    exp, _ = _ref_train(["ab cd"], 2, 1)
+    assert got == exp
+
+
+def test_separator_bytes_in_input_are_stripped(spark):
+    """The reserved \\x1f separator cannot forge symbol boundaries:
+    it is stripped from input words before symbolization."""
+    docs = spark.createDataFrame(
+        [(1, "a\x1fb a\x1fb ab")], "doc_id long, text string"
+    )
+    got = bpe_train(docs, "text", n_merges=1, min_count=1)
+    exp, _ = _ref_train(["ab ab ab"], 1, 1)
+    assert got == exp
