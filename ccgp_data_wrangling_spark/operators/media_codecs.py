@@ -858,14 +858,20 @@ _DISPATCH["image/jpeg"] = decode_jpeg
 # ---------------------------------------------------------------------------
 # PNG (RFC 2083) — decoder + fixture encoder, stdlib zlib + numpy.
 # Chunk walk, IHDR validation, IDAT concat + inflate, per-scanline
-# unfilter (None/Sub/Up/Average/Paeth), palette expansion. Lossless,
-# so decode reproduces source pixels EXACTLY — the easiest closed-form
-# oracle of all the image kernels. Adam7 interlace, 16-bit depth, and
-# sub-byte depths raise NotImplementedError honestly.
+# unfilter (None/Sub/Up/Average/Paeth), palette expansion, Adam7
+# interlace (each pass is its own filtered sub-image). Lossless, so
+# decode reproduces source pixels EXACTLY — the easiest closed-form
+# oracle of all the image kernels. 16-bit and sub-byte depths raise
+# NotImplementedError honestly.
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -874,6 +880,77 @@ def _paeth(a: int, b: int, c: int) -> int:
     if pa <= pb and pa <= pc:
         return a
     return b if pb <= pc else c
+
+
+def _unfilter_lines(
+    raw: bytes, offset: int, h: int, stride: int, ch: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter ``h`` scanlines of ``stride`` bytes starting at
+    ``offset`` in the inflated stream; returns (rows[h, stride], next
+    offset)."""
+    out = np.zeros((h, stride), np.uint8)
+    prev = bytearray(stride)
+    pos = offset
+    for y in range(h):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = line
+        prev = line
+    return out, pos
+
+
+def _filter_lines(flat: np.ndarray, ch: int) -> bytearray:
+    """Filter scanlines (rows of a [h, stride] int array), cycling all
+    five filter types by row — the encoder half of _unfilter_lines."""
+    h, stride = flat.shape
+    raw = bytearray()
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        line = flat[y]
+        ftype = y % 5
+        enc = bytearray(stride)
+        if ftype == 0:
+            enc = bytearray(int(v) & 0xFF for v in line)
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                enc[i] = int(line[i] - a) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                enc[i] = int(line[i] - prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                enc[i] = int(line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        else:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = int(prev[i - ch]) if i >= ch else 0
+                enc[i] = int(line[i] - _paeth(int(a), int(prev[i]), c)) & 0xFF
+        raw.append(ftype)
+        raw += enc
+        prev = line
+    return raw
 
 
 def decode_png(payload: bytes) -> dict[str, Any]:
@@ -903,9 +980,9 @@ def decode_png(payload: bytes) -> dict[str, Any]:
                 raise ValueError(f"invalid PNG color type {ctype}")
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
-            if ilace != 0:
-                raise NotImplementedError("Adam7 interlaced PNG not supported")
-            ihdr = (w, h, ctype)
+            if ilace not in (0, 1):
+                raise ValueError(f"invalid PNG interlace method {ilace}")
+            ihdr = (w, h, ctype, ilace)
         elif typ == b"PLTE":
             plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
@@ -914,37 +991,26 @@ def decode_png(payload: bytes) -> dict[str, Any]:
             break
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
-    w, h, ctype = ihdr
+    w, h, ctype, ilace = ihdr
     ch = _PNG_CHANNELS[ctype]
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    out = np.zeros((h, stride), np.uint8)
-    prev = bytearray(stride)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"invalid PNG filter type {ftype}")
-        out[y] = line
-        prev = line
-    px = out.reshape(h, w, ch)
+    if ilace == 0:
+        rows, pos = _unfilter_lines(raw, 0, h, w * ch, ch)
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        px = rows.reshape(h, w, ch)
+    else:  # Adam7: seven independently-filtered sub-images
+        px = np.zeros((h, w, ch), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, pos = _unfilter_lines(raw, pos, ph, pw * ch, ch)
+            px[y0::dy, x0::dx] = rows.reshape(ph, pw, ch)
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -966,46 +1032,29 @@ def decode_png(payload: bytes) -> dict[str, Any]:
     }
 
 
-def encode_png(px: np.ndarray) -> bytes:
+def encode_png(px: np.ndarray, *, interlace: bool = False) -> bytes:
     """Fixture PNG encoder: gray ``(h, w)``, RGB ``(h, w, 3)`` or RGBA
     ``(h, w, 4)`` uint8. Scanlines cycle through all five filter types
     (row % 5) so a decoder must implement every unfilter path; the
-    stream stays losslessly exact regardless of filter choice."""
+    stream stays losslessly exact regardless of filter choice.
+    ``interlace`` writes Adam7 (seven independently-filtered passes)."""
     import zlib
 
     if px.ndim == 2:
         px = px[..., None]
     h, w, ch = px.shape
     ctype = {1: 0, 3: 2, 4: 6}[ch]
-    stride = w * ch
-    flat = px.reshape(h, stride).astype(np.int64)
-    raw = bytearray()
-    prev = np.zeros(stride, np.int64)
-    for y in range(h):
-        line = flat[y]
-        ftype = y % 5
-        enc = bytearray(stride)
-        if ftype == 0:
-            enc = bytearray(int(v) & 0xFF for v in line)
-        elif ftype == 1:  # Sub
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                enc[i] = int(line[i] - a) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                enc[i] = int(line[i] - prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                enc[i] = int(line[i] - ((a + prev[i]) >> 1)) & 0xFF
-        else:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                c = int(prev[i - ch]) if i >= ch else 0
-                enc[i] = int(line[i] - _paeth(int(a), int(prev[i]), c)) & 0xFF
-        raw.append(ftype)
-        raw += enc
-        prev = line
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += _filter_lines(
+                sub.reshape(sub.shape[0], sub.shape[1] * ch).astype(np.int64), ch
+            )
+    else:
+        raw = _filter_lines(px.reshape(h, w * ch).astype(np.int64), ch)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -1018,7 +1067,7 @@ def encode_png(px: np.ndarray) -> bytes:
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, ctype, 0, 0, 0])
+        + bytes([8, ctype, 0, 0, 1 if interlace else 0])
     )
     return (
         _PNG_SIG

@@ -1448,8 +1448,9 @@ FROM events WHERE event_id % 20 = 4
 def multimodal_png_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real PNG decode end-to-end: encode_png fixture payloads →
     chunk walk → zlib inflate → per-scanline unfilter (all five
-    filter types cycle by row) → channel means, driver-checked against
-    the construction's closed form (operators/media_codecs.decode_png).
+    filter types cycle by row; alternate images Adam7-interlaced, so
+    the seven-pass reassembly runs too) → channel means, checked
+    against the construction's closed form (media_codecs.decode_png).
     Arrow batches carry payloads; Python touches rows only inside the
     two mapInPandas stages — the synthesizer and the kernel.
     """
@@ -1480,7 +1481,9 @@ def multimodal_png_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px[:, :, 0] = (base_r + np.arange(h))[:, None]
                 px[:, :, 1] = g
                 px[:, :, 2] = b
-                payloads.append(encode_png(px))
+                # alternate images are Adam7-interlaced, so the
+                # seven-pass reassembly runs inside the gate too
+                payloads.append(encode_png(px, interlace=bool(eid % 2)))
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].values,

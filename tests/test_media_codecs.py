@@ -302,16 +302,41 @@ def test_png_honest_gates():
 
     with _pytest.raises(ValueError):
         decode_png(b"NOTPNG" + bytes(20))
-    # 16-bit depth and Adam7 interlace raise NotImplementedError
+    # 16-bit depth raises NotImplementedError
     good = bytearray(encode_png(np.full((4, 4), 3, np.uint8)))
     deep = bytearray(good)
     deep[8 + 8 + 8] = 16  # IHDR bit-depth byte
     with _pytest.raises(NotImplementedError, match="16-bit"):
         decode_png(bytes(deep))
+    # a sequential stream mislabeled as Adam7 fails loudly, not garbage
     laced = bytearray(good)
     laced[8 + 8 + 12] = 1  # IHDR interlace byte
-    with _pytest.raises(NotImplementedError, match="Adam7"):
+    with _pytest.raises(ValueError, match="length mismatch"):
         decode_png(bytes(laced))
+
+
+def test_png_adam7_interlace_roundtrip_exact():
+    """Adam7: seven independently-filtered passes reassemble to the
+    exact source — including dimensions smaller than the pass grid
+    (empty passes) and non-multiple-of-8 sizes."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(5)
+    for shape in [(16, 16, 3), (13, 7), (3, 2, 4), (1, 9), (8, 1, 3)]:
+        px = rng.integers(0, 256, shape).astype(np.uint8)
+        d = decode_png(encode_png(px, interlace=True))
+        want = px if px.ndim == 3 else px[..., None]
+        exp = [
+            round(float(m), 4)
+            for m in want.astype(np.float64).mean(axis=(0, 1))
+        ]
+        assert d["channel_means"] == exp
+        assert (d["width"], d["height"]) == (want.shape[1], want.shape[0])
 
 
 def test_png_through_real_decode_dispatch():
