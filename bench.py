@@ -86,6 +86,16 @@ HEADLINE = [
     "label_propagation_communities",
     "pit_scd2_segment_at_order",
     "event_path_trigrams",
+    # round 5: policy-chain E2E, interval intersect, multi-query IVF,
+    # LSH-refined semdedup, real JPEG/PNG decode gates, BPE encode
+    "biosample_sheet_e2e",
+    "interval_intersect_click_error",
+    "ann_ivf_multiquery_planted",
+    "semantic_dedup_lsh_planted",
+    "multimodal_jpeg_real_decode",
+    "multimodal_png_real_decode",
+    "bpe_encode_token_count",
+    "multimodal_wav_spectral",
 ]
 
 

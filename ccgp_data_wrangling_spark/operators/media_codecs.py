@@ -1078,3 +1078,43 @@ def encode_png(px: np.ndarray, *, interlace: bool = False) -> bytes:
 
 
 _DISPATCH["image/png"] = decode_png
+
+
+def wav_spectral_features(payload: bytes) -> dict[str, Any]:
+    """REAL DSP features from a PCM WAV payload: zero-crossing count
+    (sign changes between consecutive mono samples) and the dominant
+    frequency via an actual numpy rFFT bin argmax (DC excluded,
+    lowest-bin tie-break). For a square wave whose period divides the
+    sample count both are CLOSED FORMS of the construction — the
+    fundamental strictly dominates the 1/k-decaying harmonics and the
+    energy sits exactly on the harmonic bins — which is what makes
+    the driver-gate oracle possible.
+    """
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_channels = wf.getnchannels()
+        rate = wf.getframerate()
+        sampwidth = wf.getsampwidth()
+        n_frames = wf.getnframes()
+        raw = wf.readframes(n_frames)
+    if sampwidth != 2:
+        raise NotImplementedError("spectral features expect 16-bit PCM")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    if n_channels > 1:
+        x = x.reshape(-1, n_channels).mean(axis=1)
+    x = x / 32768.0
+    zc = int(np.sum(np.sign(x[1:]) != np.sign(x[:-1]))) if x.size > 1 else 0
+    if x.size >= 2:
+        mag = np.abs(np.fft.rfft(x))
+        k = int(np.argmax(mag[1:])) + 1  # DC excluded; argmax = lowest tie
+        dom = k * rate / x.size
+    else:
+        dom = 0.0
+    return {
+        "kind": "audio",
+        "sample_rate": rate,
+        "n_samples": int(x.size),
+        "zero_crossings": zc,
+        "dominant_freq_hz": round(float(dom), 4),
+        "rms": round(float(np.sqrt(np.mean(x**2))) if x.size else 0.0, 6),
+        "peak": round(float(np.max(np.abs(x))) if x.size else 0.0, 6),
+    }

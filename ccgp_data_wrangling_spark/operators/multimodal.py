@@ -266,3 +266,39 @@ def sample_frames(
 
     narrow = df.select(id_col, payload_col, duration_col)
     return narrow.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+SPECTRAL_SCHEMA = (
+    "id long, kind string, sample_rate int, n_samples int, "
+    "zero_crossings int, dominant_freq_hz double, rms double, peak double"
+)
+
+
+def audio_spectral_features(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Real DSP features per audio payload — zero-crossing count and
+    FFT dominant frequency (media_codecs.wav_spectral_features) — in
+    one Arrow mapInPandas pass. Same plumbing discipline as
+    extract_real_features: payload bytes stream per batch, never as a
+    driver object."""
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        wav_spectral_features,
+    )
+
+    cols = [
+        "kind", "sample_rate", "n_samples", "zero_crossings",
+        "dominant_freq_hz", "rms", "peak",
+    ]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [wav_spectral_features(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame([{c: f.get(c) for c in cols} for f in feats])
+            out.insert(0, "id", pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(op, schema=SPECTRAL_SCHEMA)

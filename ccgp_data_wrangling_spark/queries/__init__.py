@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     "multimodal_png_real_decode",
     "bpe_train_merges",
     "bpe_encode_token_count",
+    "multimodal_wav_spectral",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",

@@ -1499,3 +1499,76 @@ def multimodal_png_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "id", "kind", "width", "height", "n_channels", "luma_mean"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real FFT spectral features through the driver gate: square-wave PCM
+# payloads (half-period m samples, c full cycles at 8 kHz) make every
+# reported feature a CLOSED FORM — zero crossings = 2c − 1 (one sign
+# flip per half-period after the first), dominant FFT bin = the
+# fundamental (square-wave harmonics decay 1/k and the period divides
+# the sample count, so energy sits exactly on harmonic bins) at
+# 8000/(2m) Hz, and |x| is constant so rms = peak = a/32768 exactly
+# (a is a multiple of 256 → dyadic at 6 dp).
+# ---------------------------------------------------------------------------
+
+_SPECTRAL_SQL = """
+SELECT event_id AS id,
+       'audio' AS kind,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(2 * ((event_id % 9) + 2) * ((event_id % 20) + 10) AS INT) AS n_samples,
+       CAST(2 * ((event_id % 20) + 10) - 1 AS INT) AS zero_crossings,
+       ROUND(8000.0 / (2 * ((event_id % 9) + 2)), 4) AS dominant_freq_hz,
+       ROUND(((event_id % 40) + 20) * 512 / 32768.0, 6) AS rms,
+       ROUND(((event_id % 40) + 20) * 512 / 32768.0, 6) AS peak
+FROM events WHERE event_id % 20 = 5
+"""
+
+
+@register("multimodal_wav_spectral", _SPECTRAL_SQL)
+def multimodal_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real DSP end-to-end: synth square-wave PCM → numpy rFFT bin
+    argmax + sign-change count (media_codecs.wav_spectral_features via
+    multimodal.audio_spectral_features), driver-checked against the
+    construction's closed forms. Arrow batches carry payloads; Python
+    touches rows only inside the two mapInPandas stages."""
+    import io
+    import wave
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.multimodal import (
+        audio_spectral_features,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 5
+    ).select(F.col("event_id").alias("id"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                half = int(eid % 9) + 2
+                cycles = int(eid % 20) + 10
+                a = (int(eid % 40) + 20) * 512
+                pattern = np.concatenate(
+                    [np.full(half, a), np.full(half, -a)]
+                )
+                x = np.tile(pattern, cycles).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(x.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    media = ev.mapInPandas(synth, schema="id long, payload binary")
+    return audio_spectral_features(media).select(
+        "id", "kind", "sample_rate", "n_samples",
+        "zero_crossings", "dominant_freq_hz", "rms", "peak",
+    )

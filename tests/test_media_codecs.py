@@ -350,3 +350,44 @@ def test_png_through_real_decode_dispatch():
     d = real_decode(encode_png(np.full((3, 3, 3), 10, np.uint8)), "image/png")
     assert d["kind"] == "image" and d["n_channels"] == 3
     assert d["luma_mean"] == 10.0
+
+
+def test_wav_spectral_features_square_wave_closed_forms():
+    """Square wave with half-period m, c cycles: zero crossings are
+    2c-1, the FFT dominant bin is the fundamental at sr/(2m), and
+    |x| is constant so rms == peak == a/32768."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        wav_spectral_features,
+    )
+
+    def square_wav(a, half, cycles, sr=8000):
+        pattern = np.concatenate([np.full(half, a), np.full(half, -a)])
+        x = np.tile(pattern, cycles).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(sr)
+            wf.writeframes(x.tobytes())
+        return buf.getvalue()
+
+    for a, half, cycles in [(5120, 2, 10), (10240, 3, 17), (2560, 11, 13)]:
+        f = wav_spectral_features(square_wav(a, half, cycles))
+        assert f["n_samples"] == 2 * half * cycles
+        assert f["zero_crossings"] == 2 * cycles - 1
+        assert f["dominant_freq_hz"] == round(8000 / (2 * half), 4)
+        assert f["rms"] == f["peak"] == round(a / 32768.0, 6)
+
+    # stereo: channels average; 8-bit raises honestly
+    import pytest as _pytest
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(bytes([200, 60] * 20))
+    with _pytest.raises(NotImplementedError, match="16-bit"):
+        wav_spectral_features(buf.getvalue())
