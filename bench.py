@@ -96,6 +96,7 @@ HEADLINE = [
     "multimodal_png_real_decode",
     "bpe_encode_token_count",
     "multimodal_wav_spectral",
+    "warc_ingest_extract",
 ]
 
 

@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     "bpe_train_merges",
     "bpe_encode_token_count",
     "multimodal_wav_spectral",
+    "warc_ingest_extract",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",

@@ -692,3 +692,106 @@ def reachability_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frontier = nxt
     return best.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+# ---------------------------------------------------------------------------
+# WARC ingest through the driver gate (sources/warc.py): per event a
+# REAL gzipped 3-record web archive (request + 200 response + 404
+# response, one gzip member each — the Common Crawl layout) is
+# synthesized inside the Arrow batch, parsed back by the real parser
+# (multi-member gunzip → header walk → Content-Length slicing → HTTP
+# split → tag-strip), and every output field is a closed form of the
+# construction. The request record must be filtered by the parser
+# (response_only), so each event yields exactly two rows.
+# ---------------------------------------------------------------------------
+
+_WARC_SQL = """
+WITH ev AS (
+  SELECT event_id AS id, (event_id % 12) + 3 AS k
+  FROM events WHERE event_id % 20 = 6
+),
+w AS (
+  SELECT id, k,
+         array_to_string(
+           list_transform(range(0, k), i -> 'tok' || CAST((id + i) % 7 AS VARCHAR)),
+           ' ') AS words
+  FROM ev
+)
+SELECT id,
+       'http://site' || CAST(id % 50 AS VARCHAR) || '.test/page' || CAST(id % 10 AS VARCHAR) AS target_uri,
+       CAST(200 AS INT) AS http_status,
+       words AS text,
+       CAST(LENGTH('<html><body>' || words || '</body></html>') AS BIGINT) AS n_body_bytes
+FROM w
+UNION ALL
+SELECT id,
+       'http://site' || CAST(id % 50 AS VARCHAR) || '.test/missing',
+       CAST(404 AS INT),
+       'gone',
+       CAST(LENGTH('<html>gone</html>') AS BIGINT)
+FROM ev
+"""
+
+
+@register("warc_ingest_extract", _WARC_SQL)
+def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WARC ingest end-to-end: build_warc fixture archives →
+    sources/warc.warc_records (gunzip members, record walk, HTTP
+    split, tag-strip text) → per-record rows, driver-checked against
+    the construction's closed forms. Request records are dropped by
+    the response_only gate, so row count doubles the event filter."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.warc import build_warc, warc_records
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 6
+    ).select(F.col("event_id").alias("archive_id"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["archive_id"]:
+                eid = int(eid)
+                k = (eid % 12) + 3
+                words = " ".join(f"tok{(eid + i) % 7}" for i in range(k))
+                page = f"http://site{eid % 50}.test/page{eid % 10}"
+                payloads.append(
+                    build_warc(
+                        [
+                            {
+                                "warc_type": "request",
+                                "target_uri": page,
+                                "payload": b"GET / HTTP/1.1\r\n\r\n",
+                            },
+                            {
+                                "warc_type": "response",
+                                "target_uri": page,
+                                "http_status": 200,
+                                "body": (
+                                    "<html><body>" + words + "</body></html>"
+                                ).encode(),
+                            },
+                            {
+                                "warc_type": "response",
+                                "target_uri": f"http://site{eid % 50}.test/missing",
+                                "http_status": 404,
+                                "body": b"<html>gone</html>",
+                            },
+                        ]
+                    )
+                )
+            yield pd.DataFrame(
+                {"archive_id": pdf["archive_id"].values, "payload": payloads}
+            )
+
+    archives = ev.mapInPandas(synth, schema="archive_id long, payload binary")
+    return warc_records(archives).select(
+        F.col("archive_id").alias("id"),
+        "target_uri",
+        "http_status",
+        "text",
+        "n_body_bytes",
+    )
