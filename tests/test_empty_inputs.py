@@ -62,3 +62,58 @@ def test_empty_input_returns_empty(spark, name):
         ),
     }
     assert runs[name]().collect() == []
+
+
+def test_empty_input_round5_operators(spark):
+    """Round-5 operators: BPE training returns no merges (and encoding
+    with an empty merge list is char-level), WARC explode yields no
+    records, interval-intersect streams yield no pairs, spectral
+    features yield no rows."""
+    from ccgp_data_wrangling_spark.operators.bpe import (
+        bpe_encode_expr,
+        bpe_train,
+    )
+    from ccgp_data_wrangling_spark.operators.rangejoin import (
+        interval_intersect_join,
+    )
+    from ccgp_data_wrangling_spark.sources.warc import warc_records
+    from ccgp_data_wrangling_spark.streaming.incremental import (
+        interval_intersect_stream,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train(docs, "text", n_merges=3) == []
+    one = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    assert one.select(
+        bpe_encode_expr(F.col("text"), []).alias("t")
+    ).collect()[0].t == ["a", "b", "</w>"]
+
+    archives = spark.createDataFrame([], "archive_id long, payload binary")
+    assert warc_records(archives).collect() == []
+
+    iv = spark.createDataFrame([], "k string, s double, e double")
+    assert (
+        interval_intersect_join(
+            iv, iv.select(
+                F.col("k"), F.col("s").alias("s2"), F.col("e").alias("e2")
+            ),
+            "s", "e", "s2", "e2", on=["k"], bucket_width=10,
+        ).collect()
+        == []
+    )
+
+    ts = spark.createDataFrame(
+        [], "u string, a timestamp, b timestamp"
+    )
+    ts2 = spark.createDataFrame(
+        [], "u string, c timestamp, d timestamp"
+    )
+    assert (
+        interval_intersect_stream(
+            ts, ts2, on="u",
+            left_start="a", left_end="b", right_start="c", right_end="d",
+        ).collect()
+        == []
+    )
