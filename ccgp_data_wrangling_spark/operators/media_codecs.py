@@ -790,8 +790,14 @@ def encode_jpeg(
         bw.write(code, length)
         if s:
             bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        nz = np.nonzero(zz[1:])[0]
+        if nz.size == 0:  # DC-only block (flat tile): straight to EOB
+            c, ln = ac_map[0x00]
+            bw.write(c, ln)
+            return int(zz[0])
         run = 0
-        for k in range(1, 64):
+        last = int(nz[-1]) + 1  # last nonzero AC index in zz
+        for k in range(1, last + 1):
             v = int(zz[k])
             if v == 0:
                 run += 1
@@ -802,7 +808,7 @@ def encode_jpeg(
                 run -= 16
             _write_coeff(bw, ac_map, run, v)
             run = 0
-        if run:
+        if last < 63:
             c, ln = ac_map[0x00]
             bw.write(c, ln)
         return int(zz[0])

@@ -1098,9 +1098,14 @@ def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_real_features,
     )
 
+    # repartition BEFORE the Python stages: the filtered scan is one
+    # task on a compact events file, which would serialize the synth +
+    # decode mapInPandas work; the shuffle moves only the id column
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_id") % 20 == 0
-    ).select(F.col("event_id").alias("id"))
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1164,9 +1169,14 @@ def multimodal_pgm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_real_features,
     )
 
+    # repartition BEFORE the Python stages: the filtered scan is one
+    # task on a compact events file, which would serialize the synth +
+    # decode mapInPandas work; the shuffle moves only the id column
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_id") % 20 == 1
-    ).select(F.col("event_id").alias("id"))
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1246,9 +1256,14 @@ def multimodal_gif_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_real_features,
     )
 
+    # repartition BEFORE the Python stages: the filtered scan is one
+    # task on a compact events file, which would serialize the synth +
+    # decode mapInPandas work; the shuffle moves only the id column
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_id") % 20 == 2
-    ).select(F.col("event_id").alias("id"))
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1383,9 +1398,14 @@ def multimodal_jpeg_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_real_features,
     )
 
+    # repartition BEFORE the Python stages: the filtered scan is one
+    # task on a compact events file, which would serialize the synth +
+    # decode mapInPandas work; the shuffle moves only the id column
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_id") % 20 == 3
-    ).select(F.col("event_id").alias("id"))
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1464,9 +1484,14 @@ def multimodal_png_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_real_features,
     )
 
+    # repartition BEFORE the Python stages: the filtered scan is one
+    # task on a compact events file, which would serialize the synth +
+    # decode mapInPandas work; the shuffle moves only the id column
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_id") % 20 == 4
-    ).select(F.col("event_id").alias("id"))
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1543,9 +1568,14 @@ def multimodal_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_spectral_features,
     )
 
+    # repartition BEFORE the Python stages: the filtered scan is one
+    # task on a compact events file, which would serialize the synth +
+    # decode mapInPandas work; the shuffle moves only the id column
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_id") % 20 == 5
-    ).select(F.col("event_id").alias("id"))
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

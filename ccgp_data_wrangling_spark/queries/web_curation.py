@@ -746,9 +746,12 @@ def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ccgp_data_wrangling_spark.sources.warc import build_warc, warc_records
 
+    # repartition BEFORE the Python stages (see llm_scale gate queries)
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_id") % 20 == 6
-    ).select(F.col("event_id").alias("archive_id"))
+    ).select(F.col("event_id").alias("archive_id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
