@@ -131,3 +131,45 @@ def test_separator_bytes_in_input_are_stripped(spark):
     got = bpe_train(docs, "text", n_merges=1, min_count=1)
     exp, _ = _ref_train(["ab ab ab"], 1, 1)
     assert got == exp
+
+
+def test_property_random_corpora_match_reference(spark):
+    """Randomized corpora — including '<', '/', 'w', '>' so merged
+    symbols can collide with the '</w>' terminal spelling, and
+    repeated-char runs exercising greedy overlap — train and encode
+    exactly like the pure-Python reference."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.text(alphabet="ab</w>x", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+    corpora = st.lists(words, min_size=1, max_size=3)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(corpora)
+    def run(corpus):
+        texts = [" ".join(ws) for ws in corpus]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = bpe_train(docs, "text", n_merges=4, min_count=1)
+        exp, _ = _ref_train(texts, 4, 1)
+        assert got == exp
+        if got:
+            rows = docs.select(
+                "doc_id", bpe_encode_expr(F.col("text"), got).alias("t")
+            ).collect()
+            for r in rows:
+                assert list(r.t) == _ref_encode(texts[r.doc_id], got)
+
+    run()
