@@ -97,6 +97,7 @@ HEADLINE = [
     "bpe_encode_token_count",
     "multimodal_wav_spectral",
     "warc_ingest_extract",
+    "trajectory_hausdorff_pairs",
 ]
 
 

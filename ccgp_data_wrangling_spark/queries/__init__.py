@@ -83,6 +83,7 @@ _PRIORITY: list[str] = [
     "bpe_encode_token_count",
     "multimodal_wav_spectral",
     "warc_ingest_extract",
+    "trajectory_hausdorff_pairs",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",

@@ -1269,3 +1269,88 @@ def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("credit_m").cast("long").alias("credited_milli"),
         F.count(F.lit(1)).alias("n_credits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trajectory similarity (PAPERS.md: REPOSE, ICDE 2021 family):
+# grid-pruned exact-Hausdorff pairs over per-user trajectories.
+# Coordinates are synthesized deterministically with per-user home
+# regions — x = (uid%12)*8 + eid%7, y = (uid%9)*8 + eid%5 — so each
+# trajectory occupies exactly one grid cell at cell_size=8 and only
+# same/adjacent-home users become candidates (the pruning is real,
+# not vacuous). All arithmetic is exact small integers in doubles;
+# the borderline adjacent-home pairs land on hausdorff_sq == 64
+# exactly, deterministic on both engines.
+# ---------------------------------------------------------------------------
+
+_TRAJ_SQL = """
+WITH pts AS (
+  SELECT user_id AS k,
+         CAST((user_id % 12) * 8 + (event_id % 7) AS DOUBLE) AS x,
+         CAST((user_id % 9) * 8 + (event_id % 5) AS DOUBLE) AS y,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+),
+kept AS (SELECT k, x, y FROM pts WHERE rn <= 30),
+cells AS (
+  SELECT DISTINCT k, CAST(FLOOR(x / 8) AS BIGINT) AS cx, CAST(FLOOR(y / 8) AS BIGINT) AS cy
+  FROM kept
+),
+lcells AS (
+  SELECT DISTINCT k AS ka, cx + dx AS cx, cy + dy AS cy
+  FROM cells, UNNEST(range(-1, 2)) AS ox(dx), UNNEST(range(-1, 2)) AS oy(dy)
+),
+cand AS (
+  SELECT DISTINCT l.ka, c.k AS kb
+  FROM lcells l JOIN cells c ON l.cx = c.cx AND l.cy = c.cy
+  WHERE l.ka < c.k
+),
+pp AS (
+  SELECT cand.ka, cand.kb, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM cand
+  JOIN kept a ON a.k = cand.ka
+  JOIN kept b ON b.k = cand.kb
+),
+dir_a AS (
+  SELECT ka, kb, MAX(m) AS h_ab FROM (
+    SELECT ka, kb, ax, ay, MIN(d2) AS m FROM pp GROUP BY 1, 2, 3, 4
+  ) GROUP BY 1, 2
+),
+dir_b AS (
+  SELECT ka, kb, MAX(m) AS h_ba FROM (
+    SELECT ka, kb, bx, by, MIN(d2) AS m FROM pp GROUP BY 1, 2, 3, 4
+  ) GROUP BY 1, 2
+)
+SELECT dir_a.ka AS key_a, dir_a.kb AS key_b,
+       ROUND(GREATEST(h_ab, h_ba), 4) AS hausdorff_sq
+FROM dir_a JOIN dir_b ON dir_a.ka = dir_b.ka AND dir_a.kb = dir_b.kb
+WHERE ROUND(GREATEST(h_ab, h_ba), 4) <= 64.0
+"""
+
+
+@register("trajectory_hausdorff_pairs", _TRAJ_SQL)
+def trajectory_hausdorff_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-trajectory pairs within Hausdorff distance 8 of each other
+    (operators/trajectory.trajectory_hausdorff_pairs): 30-vertex
+    simplification, 3×3 grid-cell candidates (complete at threshold ≤
+    cell_size — proof in the operator docstring), exact squared
+    verify. The pair space never materializes; verify cost is bounded
+    by cell co-occupancy × max_points²."""
+    from ccgp_data_wrangling_spark.operators.trajectory import (
+        trajectory_hausdorff_pairs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("user_id").alias("uid"),
+        ((F.col("user_id") % 12) * 8 + F.col("event_id") % 7)
+        .cast("double").alias("x"),
+        ((F.col("user_id") % 9) * 8 + F.col("event_id") % 5)
+        .cast("double").alias("y"),
+        F.col("event_id"),
+    )
+    return trajectory_hausdorff_pairs(
+        pts, "uid", "x", "y", "event_id",
+        cell_size=8.0, threshold=8.0, max_points=30,
+    )
