@@ -23,6 +23,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
 
 from ccgp_data_wrangling_spark.operators.merge import ParquetTable
 from ccgp_data_wrangling_spark.operators.sketches import (
@@ -47,6 +49,8 @@ __all__ = [
     "drift_stream",
     "VHistStreamState",
     "vhist_stream",
+    "TopKStreamState",
+    "topk_stream",
 ]
 
 
@@ -361,6 +365,108 @@ def vhist_stream(
 
     def _sink(batch: DataFrame, _epoch: int) -> None:
         state.fold(batch, group_col, value_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+class TopKStreamState:
+    """Persisted per-query retrieval top-k — incremental top-k
+    similarity search (the PAPERS.md EDBT-2020 interactive-session
+    family): as corpus batches arrive, each query's stored top-k is
+    challenged only by the NEW rows; the already-seen corpus is never
+    rescanned.
+
+    State = ``(query_id, id, score)``, ≤ k rows per query forever.
+    Fold: score the batch against the (small, broadcast) query set,
+    union with the stored top-k, keep the per-query k best
+    (score desc, id asc — deterministic). Replay-idempotent: scores
+    are pure functions of (query, row) and the union dedups on
+    (query_id, id), so re-folding a crashed batch reproduces the same
+    state, like KMV's set union and unlike CMS's counter add.
+
+    Scale: per batch one broadcast nested-loop score over |batch|×|Q|
+    (exact brute force — LSH/IVF candidate generation composes
+    upstream of the fold, exactly as in knn.py), then a per-query
+    window over ≤ k + |batch hits| rows. The state readout is always
+    instant — the interactive-session property.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        queries: DataFrame,
+        *,
+        k: int = 10,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qvec",
+    ):
+        self.spark = spark
+        self.path = path
+        self.k = k
+        self.queries = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).cast("array<double>").alias("__qv"),
+        )
+        self._table = ParquetTable(spark, path, key=["query_id", "id"])
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path)
+
+    def read(self) -> DataFrame:
+        return self._table.read()
+
+    def fold(self, batch: DataFrame, id_col: str, vec_col: str) -> None:
+        from ccgp_data_wrangling_spark.operators.knn import cosine_sim
+
+        scored = batch.crossJoin(F.broadcast(self.queries)).select(
+            "query_id",
+            F.col(id_col).alias("id"),
+            F.round(
+                cosine_sim(F.col(vec_col).cast("array<double>"), F.col("__qv")), 4
+            ).alias("score"),
+        )
+        if self.exists():
+            scored = self.read().unionByName(scored).dropDuplicates(
+                ["query_id", "id"]
+            )
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+        new_state = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= self.k)
+            .drop("__rn")
+        )
+        if not os.path.isdir(self.path):
+            self._table.init(new_state)
+        else:
+            self._table._swap_in(new_state)
+
+    def topk(self) -> DataFrame:
+        """(query_id, id, score, rank) — the live per-query top-k."""
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+        return self.read().withColumn("rank", F.row_number().over(w))
+
+
+def topk_stream(
+    stream: DataFrame,
+    state: TopKStreamState,
+    id_col: str,
+    vec_col: str,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain per-query retrieval top-k from a streaming corpus."""
+
+    def _sink(batch: DataFrame, _epoch: int) -> None:
+        state.fold(batch, id_col, vec_col)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

@@ -596,3 +596,57 @@ def test_heavy_hitters_keeps_null_values(spark):
     assert out.get("hot") == 200
     assert out.get(None) == 200
     assert all(k in (None, "hot") for k in out)
+
+
+def test_topk_stream_matches_batch(spark, tmp_path):
+    """Incremental per-query top-k folds over corpus chunks must equal
+    the one-shot brute-force top-k over the full corpus — including a
+    replayed fold (idempotent: scores are pure, union dedups)."""
+    import random
+
+    from ccgp_data_wrangling_spark.operators.knn import brute_force_topk
+    from ccgp_data_wrangling_spark.streaming.sketch_stream import (
+        TopKStreamState,
+        topk_stream,
+    )
+
+    rng = random.Random(23)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(120)]
+    full = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100 + j, [rng.gauss(0, 1) for _ in range(8)]) for j in range(4)],
+        "query_id long, qvec array<double>",
+    )
+
+    src = tmp_path / "corpus"
+    for j in range(3):
+        spark.createDataFrame(
+            rows[j * 40 : (j + 1) * 40], "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = TopKStreamState(spark, str(tmp_path / "tk_state"), queries, k=5)
+    q = topk_stream(
+        stream, state, "vec_id", "embedding",
+        checkpoint_dir=str(tmp_path / "tk_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.query_id, r.rank): (r.id, r.score) for r in state.topk().collect()
+    }
+    for qrow in queries.collect():
+        for e in brute_force_topk(full, list(qrow.qvec), 5).collect():
+            assert got[(qrow.query_id, e.rank)] == (e.vec_id, e.cos_sim)
+
+    # replay the SAME chunk manually: state must not change
+    before = sorted(map(tuple, state.read().collect()))
+    chunk0 = spark.createDataFrame(
+        rows[:40], "vec_id long, embedding array<double>"
+    )
+    state.fold(chunk0, "vec_id", "embedding")
+    assert sorted(map(tuple, state.read().collect())) == before
