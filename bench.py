@@ -98,6 +98,7 @@ HEADLINE = [
     "multimodal_wav_spectral",
     "warc_ingest_extract",
     "trajectory_hausdorff_pairs",
+    "image_phash_dedup",
 ]
 
 

@@ -38,6 +38,8 @@ __all__ = [
     "encode_jpeg",
     "decode_png",
     "encode_png",
+    "phash64",
+    "phash_for_payload",
     "real_decode",
 ]
 
@@ -475,12 +477,9 @@ def _decode_block(
     return _DCT_T.T @ m.reshape(8, 8) @ _DCT_T, dc_pred
 
 
-def decode_jpeg(payload: bytes) -> dict[str, Any]:
-    """REAL baseline JPEG decode: header/DQT/DHT/SOF0/SOS parse,
-    canonical-Huffman entropy decode (byte-stuffing, DRI/RST resets),
-    dequantize, 8x8 IDCT, chroma upsample, BT.601 YCbCr->RGB. Returns
-    the same feature shape as decode_netpbm.
-    """
+def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Baseline JPEG decode to a ``(h, w, channels)`` uint8 pixel
+    array (the full pipeline decode_jpeg's docstring describes)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -643,11 +642,21 @@ def decode_jpeg(payload: bytes) -> dict[str, Any]:
         px = np.clip(np.round(np.stack([r_, g_, b_], axis=-1)), 0, 255)
     else:
         raise NotImplementedError(f"{len(full)}-component JPEG not supported")
+    return px.astype(np.uint8)
+
+
+def decode_jpeg(payload: bytes) -> dict[str, Any]:
+    """REAL baseline JPEG decode: header/DQT/DHT/SOF0/SOS parse,
+    canonical-Huffman entropy decode (byte-stuffing, DRI/RST resets),
+    dequantize, 8x8 IDCT, chroma upsample, BT.601 YCbCr->RGB. Returns
+    the same feature shape as decode_netpbm.
+    """
+    px = _decode_jpeg_pixels(payload).astype(np.float64)
     means = px.mean(axis=(0, 1))
     return {
         "kind": "image",
-        "width": int(W),
-        "height": int(H),
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
         "n_channels": int(px.shape[2]),
         "channel_means": [round(float(m), 4) for m in means],
         "luma_mean": round(
@@ -1124,3 +1133,61 @@ def wav_spectral_features(payload: bytes) -> dict[str, Any]:
         "rms": round(float(np.sqrt(np.mean(x**2))) if x.size else 0.0, 6),
         "peak": round(float(np.max(np.abs(x))) if x.size else 0.0, 6),
     }
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash (pHash, DCT variant) — the industry-standard
+# image near-dup primitive: resize to 32×32 grayscale, 2-D DCT, keep
+# the 8×8 low-frequency block, threshold each AC coefficient against
+# the block median → a 63-bit fingerprint that survives re-encoding
+# and resizing (what byte-level hashing cannot do for images).
+# ---------------------------------------------------------------------------
+
+_DCT_T32 = np.zeros((32, 32))
+for _u in range(32):
+    _c32 = (1.0 / 32.0) ** 0.5 if _u == 0 else (2.0 / 32.0) ** 0.5
+    for _x in range(32):
+        _DCT_T32[_u, _x] = _c32 * np.cos((2 * _x + 1) * _u * np.pi / 64.0)
+
+
+def phash64(px: np.ndarray) -> int:
+    """63-bit perceptual hash of a grayscale/RGB uint8 pixel array.
+
+    Nearest-neighbor resize to 32×32 (same index arithmetic as
+    resize_netpbm), BT.601 luma for color inputs, orthonormal 2-D DCT,
+    8×8 low-frequency block, DC dropped, bit i set iff coefficient i
+    exceeds the 63-coefficient median. Identical pixels → identical
+    hash on any platform (pure float64 arithmetic, no RNG)."""
+    if px.ndim == 3 and px.shape[2] >= 3:
+        g = (
+            0.299 * px[..., 0].astype(np.float64)
+            + 0.587 * px[..., 1].astype(np.float64)
+            + 0.114 * px[..., 2].astype(np.float64)
+        )
+    else:
+        g = px.reshape(px.shape[0], px.shape[1], -1)[..., 0].astype(np.float64)
+    h0, w0 = g.shape
+    rows = (np.arange(32) * h0) // 32
+    cols = (np.arange(32) * w0) // 32
+    small = g[rows][:, cols]
+    dct = _DCT_T32 @ small @ _DCT_T32.T
+    coeffs = dct[:8, :8].reshape(-1)[1:]  # drop DC
+    med = float(np.median(coeffs))
+    bits = 0
+    for i, c in enumerate(coeffs):
+        if c > med:
+            bits |= 1 << i
+    return bits
+
+
+def phash_for_payload(payload: bytes, media_type: str) -> int:
+    """pHash via the real pixel decoders: netpbm P5/P6 and baseline
+    JPEG (other media types raise like real_decode does)."""
+    if media_type in ("image/pgm", "image/ppm"):
+        _, _, _, _, px = _parse_netpbm(payload)
+        return phash64(px)
+    if media_type == "image/jpeg":
+        return phash64(_decode_jpeg_pixels(payload))
+    raise NotImplementedError(
+        f"no pixel decoder for {media_type!r} (pgm/ppm/jpeg supported)"
+    )

@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "multimodal_wav_spectral",
     "warc_ingest_extract",
     "trajectory_hausdorff_pairs",
+    "image_phash_dedup",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",

@@ -15,6 +15,7 @@ probabilistic).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ccgp_data_wrangling_spark.catalog import load_table
@@ -1601,4 +1602,82 @@ def multimodal_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_spectral_features(media).select(
         "id", "kind", "sample_rate", "n_samples",
         "zero_crossings", "dominant_freq_hz", "rms", "peak",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup through the driver gate: PGM payloads
+# whose pixel content depends ONLY on event_id % 30 (30 deterministic
+# gradient/moire patterns), so images of the same class are
+# pixel-identical and share a pHash, and the 30 class hashes are
+# pairwise distinct for these fixed patterns (asserted by
+# test_media_codecs — a kernel change that collides classes fails
+# there first). Duplicate groups are therefore a pure closed form of
+# event_id arithmetic: rep = min id of the class, size = class count.
+# ---------------------------------------------------------------------------
+
+_PHASH_SQL = """
+SELECT event_id AS id,
+       MIN(event_id) OVER (PARTITION BY event_id % 30) AS rep_id,
+       CAST(COUNT(*) OVER (PARTITION BY event_id % 30) AS BIGINT) AS group_size
+FROM events WHERE event_id % 20 = 7
+"""
+
+
+@register("image_phash_dedup", _PHASH_SQL)
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by DCT perceptual hash (media_codecs.phash64): synth
+    PGM payloads → 32×32 resize + 2-D DCT + median-threshold 63-bit
+    fingerprint per image → per-hash duplicate groups (rep = min id).
+    The scale shape for exact-pHash dedup is a plain hash groupBy on
+    the 8-byte fingerprint — byte-level hashing can't group re-encoded
+    images, pHash can (JPEG round-trip invariance unit-tested)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        phash_for_payload,
+    )
+
+    # repartition BEFORE the Python stages (see the other gate queries)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 7
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                c = int(eid % 30)
+                i, j = np.mgrid[0:16, 0:16]
+                px = (
+                    (c * 7 + i * 3 + j * 5 + (i * j * (c % 5)) // 3) % 256
+                ).astype(np.uint8)
+                payloads.append(b"P5\n16 16\n255\n" + px.tobytes())
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def hash_op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "ph": [
+                        phash_for_payload(bytes(p), "image/pgm")
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    hashed = ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(hash_op, schema="id long, ph long")
+    w = W.partitionBy("ph")
+    return hashed.select(
+        "id",
+        F.min("id").over(w).alias("rep_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
     )

@@ -391,3 +391,54 @@ def test_wav_spectral_features_square_wave_closed_forms():
         wf.writeframes(bytes([200, 60] * 20))
     with _pytest.raises(NotImplementedError, match="16-bit"):
         wav_spectral_features(buf.getvalue())
+
+
+def _phash_pattern(c, n=16):
+    px_i, px_j = np.mgrid[0:n, 0:n]
+    return (
+        (c * 7 + px_i * 3 + px_j * 5 + (px_i * px_j * (c % 5)) // 3) % 256
+    ).astype(np.uint8)
+
+
+def test_phash_identity_distinctness_and_invariances():
+    """pHash contract the image_phash_dedup oracle leans on: identical
+    pixels → identical hash; the 30 fixed gate-query patterns hash
+    pairwise DISTINCT (a kernel change colliding classes fails here
+    before the driver gate); nearest upscaling is hash-invariant; a
+    JPEG re-encode stays within a small Hamming radius (and is
+    bit-identical for most patterns — that's the point of perceptual
+    over byte hashing)."""
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        encode_jpeg,
+        phash64,
+        phash_for_payload,
+    )
+
+    hashes = [phash64(_phash_pattern(c)) for c in range(30)]
+    assert len(set(hashes)) == 30
+    assert phash64(_phash_pattern(3)) == hashes[3]
+    up = np.repeat(np.repeat(_phash_pattern(7), 2, 0), 2, 1)
+    assert phash64(up) == hashes[7]
+
+    exact = 0
+    for c in range(30):
+        hj = phash_for_payload(encode_jpeg(_phash_pattern(c)), "image/jpeg")
+        d = bin(hj ^ hashes[c]).count("1")
+        assert d <= 20
+        exact += d == 0
+    assert exact >= 25  # most classes survive re-encoding bit-identically
+
+    # color input uses BT.601 luma. The weights sum to 1 only up to
+    # one ulp, so a pure-gray RGB twin is a ~1e-16 uniform scaling of
+    # its grayscale original — sign-stable for spectrum-rich patterns
+    # (class 7 has the i·j term) but NOT for degenerate planes whose
+    # coefficients are ±1e-14 noise; assert a tight Hamming bound, not
+    # bit equality
+    g = _phash_pattern(7)
+    rgb = np.stack([g, g, g], axis=-1)
+    assert bin(phash64(rgb) ^ hashes[7]).count("1") <= 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="no pixel decoder"):
+        phash_for_payload(b"GIF89a", "image/gif")
