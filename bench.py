@@ -99,6 +99,7 @@ HEADLINE = [
     "warc_ingest_extract",
     "trajectory_hausdorff_pairs",
     "image_phash_dedup",
+    "fingerprint_hamming_neardup",
 ]
 
 

@@ -792,3 +792,78 @@ def tfidf_cosine_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    bits_col: str,
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 8,
+    band_width: int = 8,
+    max_band: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs over fixed-width bit fingerprints
+    (pHash/simhash-class longs): ``(id_a, id_b, hamming)`` for every
+    pair with ``popcount(a XOR b) <= max_hamming``.
+
+    Pigeonhole banding, the simhash discipline applied to an existing
+    fingerprint column: split the fingerprint into ``n_bands``
+    contiguous ``band_width``-bit bands; two fingerprints differing in
+    at most ``max_hamming < n_bands`` bits agree EXACTLY on some band,
+    so candidates = pairs equal on (band index, band value) — an
+    ids-only equi-join, never the pair space. Verify is a single
+    ``bit_count(a ^ b)`` per candidate pair (pure codegen, replayable
+    verbatim in SQL). ``max_band`` drops degenerate band buckets (the
+    all-zeros band every near-blank fingerprint shares) — the
+    hot-bucket cap the other dedup families carry; as everywhere, the
+    cap trades recall, never correctness.
+
+    Raises when ``max_hamming >= n_bands`` — banding completeness
+    would be lost silently otherwise.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("completeness requires max_hamming < n_bands")
+    mask = (1 << band_width) - 1
+    src = df.select(F.col(id_col).alias("id"), F.col(bits_col).alias("bits"))
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("bits"), i * band_width).bitwiseAND(F.lit(mask))
+            for i in range(n_bands)
+        ]
+    )
+    bands = src.select(
+        "id", F.posexplode(band_vals).alias("band", "bval")
+    )
+    if max_band is not None:
+        sizes = bands.groupBy("band", "bval").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        bands = bands.join(
+            sizes.where(F.col("__n") <= max_band).drop("__n"), ["band", "bval"]
+        )
+    cand = (
+        bands.select("band", "bval", F.col("id").alias("id_a"))
+        .join(
+            bands.select("band", "bval", F.col("id").alias("id_b")),
+            ["band", "bval"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = src.select(F.col("id").alias("id_a"), F.col("bits").alias("__ba"))
+    b = src.select(F.col("id").alias("id_b"), F.col("bits").alias("__bb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__ba").bitwiseXOR(F.col("__bb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

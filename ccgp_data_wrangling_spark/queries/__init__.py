@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     "warc_ingest_extract",
     "trajectory_hausdorff_pairs",
     "image_phash_dedup",
+    "fingerprint_hamming_neardup",
     "a1_segment_summary",
     "a2_flag_share",
     "f4_urgent_customers",

@@ -1681,3 +1681,90 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").over(w).alias("rep_id"),
         F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hamming near-dup join over 60-bit fingerprints: md5-derived base
+# fingerprints (the engine's oracle-parity uniform hash) + planted
+# twins with 1-3 deterministically flipped bits. The operator finds
+# pairs via pigeonhole banding (8x8-bit bands — complete for
+# max_hamming 3 < 8 bands); the oracle is the INDEPENDENT brute-force
+# all-pairs bit_count(xor) <= 3, so it checks completeness rather
+# than replaying the banding construction.
+# ---------------------------------------------------------------------------
+
+_HAMMING_SQL = f"""
+WITH base AS (
+  SELECT event_id AS id,
+         {_DUCK_HASH.format(v="'fp:' || CAST(event_id AS VARCHAR)")} AS bits
+  FROM events WHERE event_id % 20 = 8
+),
+tw1 AS (
+  SELECT id + 10000000 AS id, xor(bits, 1::BIGINT << CAST(id % 60 AS INT)) AS bits,
+         id AS src
+  FROM base WHERE id % 3 = 0
+),
+tw2 AS (
+  SELECT id,
+         CASE WHEN src % 4 >= 1
+              THEN xor(bits, 1::BIGINT << CAST((src + 13) % 60 AS INT))
+              ELSE bits END AS bits,
+         src
+  FROM tw1
+),
+tw3 AS (
+  SELECT id,
+         CASE WHEN src % 4 >= 2
+              THEN xor(bits, 1::BIGINT << CAST((src + 26) % 60 AS INT))
+              ELSE bits END AS bits
+  FROM tw2
+),
+fp AS (SELECT id, bits FROM base UNION ALL SELECT id, bits FROM tw3)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.bits, b.bits)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE bit_count(xor(a.bits, b.bits)) <= 3
+"""
+
+
+@register("fingerprint_hamming_neardup", _HAMMING_SQL)
+def fingerprint_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint pairs within Hamming distance 3
+    (operators/dedup.hamming_neardup_pairs): pigeonhole banding makes
+    candidates an ids-only equi-join on (band, value); the brute-force
+    oracle independently verifies banding completeness. This is the
+    near-dup layer pHash/simhash fingerprints plug into."""
+    from ccgp_data_wrangling_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+    from ccgp_data_wrangling_spark.operators.sketches import _element_hash
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 8
+    ).select(F.col("event_id").alias("id"))
+    base = ev.select(
+        "id",
+        _element_hash(
+            F.concat(F.lit("fp:"), F.col("id").cast("string"))
+        ).alias("bits"),
+    )
+    shift = lambda off: F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST((id + {off}) % 60 AS INT))"
+    )
+    tw = base.where(F.col("id") % 3 == 0).select(
+        (F.col("id") + 10_000_000).alias("id"),
+        F.when(
+            F.col("id") % 4 >= 2,
+            F.col("bits").bitwiseXOR(shift(0)).bitwiseXOR(shift(13)).bitwiseXOR(shift(26)),
+        )
+        .when(
+            F.col("id") % 4 >= 1,
+            F.col("bits").bitwiseXOR(shift(0)).bitwiseXOR(shift(13)),
+        )
+        .otherwise(F.col("bits").bitwiseXOR(shift(0)))
+        .alias("bits"),
+    )
+    fp = base.unionByName(tw)
+    return hamming_neardup_pairs(
+        fp, "id", "bits", max_hamming=3, n_bands=8, band_width=8
+    )

@@ -442,3 +442,42 @@ def test_phash_identity_distinctness_and_invariances():
 
     with _pytest.raises(NotImplementedError, match="no pixel decoder"):
         phash_for_payload(b"GIF89a", "image/gif")
+
+
+def test_hamming_neardup_pairs_on_real_phashes(spark):
+    """The banding Hamming join finds exactly the brute-force pairs —
+    fed with REAL pHash fingerprints of base patterns and 1/2-bit
+    perturbed twins."""
+    import itertools
+
+    from ccgp_data_wrangling_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+    from ccgp_data_wrangling_spark.operators.media_codecs import phash64
+
+    rows = []
+    for c in range(12):
+        h = phash64(_phash_pattern(c))
+        rows.append((c * 10, h))
+        if c % 3 == 0:  # planted near-twins: 1 or 2 flipped bits
+            rows.append((c * 10 + 1, h ^ (1 << (c % 60))))
+            rows.append((c * 10 + 2, h ^ (1 << (c % 60)) ^ (1 << ((c + 9) % 60))))
+    df = spark.createDataFrame(rows, "id long, ph long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_neardup_pairs(
+            df, "id", "ph", max_hamming=3, n_bands=8, band_width=8
+        ).collect()
+    }
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 3:
+            want[(min(ia, ib), max(ia, ib))] = d
+    assert got == want
+    assert want  # planted twins guarantee non-empty ground truth
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="completeness"):
+        hamming_neardup_pairs(df, "id", "ph", max_hamming=8, n_bands=8)
