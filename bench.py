@@ -100,6 +100,8 @@ HEADLINE = [
     "trajectory_hausdorff_pairs",
     "image_phash_dedup",
     "fingerprint_hamming_neardup",
+    # round 6
+    "multimodal_jpeg_progressive_decode",
 ]
 
 
@@ -109,25 +111,27 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     # machine-state capture: BENCH_r03's recorded total disagreed ~30%
-    # with idle-box reruns because the driver box was contended. A
-    # loadavg stamp at start/end makes a contaminated run detectable —
-    # and now ACTED on: if the 1-min loadavg exceeds ncpu/4 we warn on
-    # stderr and wait (up to 4×30 s) for the box to quiet down before
-    # timing anything; if it never does, the run proceeds but the JSON
-    # carries "contended": true so the artifact self-reports.
+    # with idle-box reruns because the driver box was contended, and
+    # BENCH_r05 passed the old ncpu/4 gate at loadavg 7.34 yet still
+    # showed phantom 1.6x regressions that vanished on an idle box.
+    # Gate tightened to ncpu/8 with a longer wait budget (8×30 s): if
+    # the 1-min loadavg exceeds it we warn on stderr and wait; if the
+    # box never quiets, the run proceeds but the JSON carries
+    # "contended": true so the artifact self-reports.
     ncpu = os.cpu_count() or 1
+    gate = ncpu / 8
     load_start = os.getloadavg()
-    for _ in range(4):
-        if load_start[0] <= ncpu / 4:
+    for _ in range(8):
+        if load_start[0] <= gate:
             break
         print(
-            f"bench: loadavg {load_start[0]:.2f} > ncpu/4 ({ncpu / 4:.1f}) — "
+            f"bench: loadavg {load_start[0]:.2f} > ncpu/8 ({gate:.1f}) — "
             "contended box, waiting 30s before timing",
             file=sys.stderr,
         )
         time.sleep(30)
         load_start = os.getloadavg()
-    contended = load_start[0] > ncpu / 4
+    contended = load_start[0] > gate
 
     spark = get_spark(app_name="ccgp-bench")
     qs = all_queries()
@@ -153,21 +157,27 @@ def main() -> None:
         timings[name] = round(sorted(samples)[1], 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                "ncpu": ncpu,
-                "contended": contended,
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "ncpu": ncpu,
+        "contended": contended,
+    }
+    # BENCH_r05's per-query timings outgrew the driver's stdout tail
+    # capture and truncated the artifact mid-JSON ("parsed": null), so
+    # the full result ALWAYS lands in a file too — the durable copy —
+    # while stdout keeps the driver's one-JSON-line contract.
+    with open(
+        os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"), "w"
+    ) as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(result, separators=(",", ":")))
     spark.stop()
 
 

@@ -825,6 +825,15 @@ def hamming_neardup_pairs(
     """
     if max_hamming >= n_bands:
         raise ValueError("completeness requires max_hamming < n_bands")
+    if n_bands * band_width > 64:
+        # bands past bit 63 are degenerate (shiftright saturates into a
+        # constant sign-extension value), silently creating one giant
+        # candidate bucket per sign class — a perf trap, not a
+        # correctness bug, so reject the configuration outright
+        raise ValueError(
+            f"n_bands*band_width = {n_bands * band_width} exceeds the "
+            "64-bit fingerprint width — bands past bit 63 are degenerate"
+        )
     mask = (1 << band_width) - 1
     src = df.select(F.col(id_col).alias("id"), F.col(bits_col).alias("bits"))
     band_vals = F.array(

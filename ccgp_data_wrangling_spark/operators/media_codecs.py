@@ -445,19 +445,19 @@ def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code in entropy segment")
 
 
-def _decode_block(
+def _decode_block_seq(
     r: _BitReader,
     dc_table: dict[tuple[int, int], int],
     ac_table: dict[tuple[int, int], int],
-    qtable: np.ndarray,
+    blk: np.ndarray,
     dc_pred: int,
-) -> tuple[np.ndarray, int]:
-    """One 8x8 block: Huffman -> dequant -> dezigzag -> IDCT.
-    Returns (spatial block float64 pre-level-shift-undo, new dc_pred)."""
+) -> int:
+    """One sequential 8x8 block: Huffman decode the quantized
+    coefficients into ``blk`` (zigzag order). Dequant/IDCT happen once
+    for all blocks at final assembly. Returns the new dc_pred."""
     s = _huff_decode(r, dc_table)
     dc_pred += r.receive_extend(s)
-    zz = np.zeros(64, dtype=np.float64)
-    zz[0] = dc_pred * qtable[0]
+    blk[0] = dc_pred
     k = 1
     while k < 64:
         rs = _huff_decode(r, ac_table)
@@ -470,16 +470,137 @@ def _decode_block(
         k += run
         if k > 63:
             raise ValueError("AC run past end of block")
-        zz[k] = r.receive_extend(size) * qtable[k]
+        blk[k] = r.receive_extend(size)
         k += 1
-    m = np.zeros(64, dtype=np.float64)
-    m[_ZIGZAG] = zz
-    return _DCT_T.T @ m.reshape(8, 8) @ _DCT_T, dc_pred
+    return dc_pred
+
+
+def _decode_dc_prog(
+    r: _BitReader,
+    dc_table: dict[tuple[int, int], int] | None,
+    blk: np.ndarray,
+    dc_pred: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Progressive DC scan for one block (T.81 G.2): first pass
+    (Ah=0) decodes the DC difference at precision Al; refinement
+    passes OR in one more magnitude bit (two's complement, so a plain
+    bitwise OR is exact for negatives too — same as libjpeg)."""
+    if ah == 0:
+        if dc_table is None:
+            raise ValueError("DC scan without a DC Huffman table")
+        s = _huff_decode(r, dc_table)
+        dc_pred += r.receive_extend(s)
+        blk[0] = dc_pred << al
+    elif r.read_bit():
+        blk[0] |= 1 << al
+    return dc_pred
+
+
+def _decode_ac_prog_first(
+    r: _BitReader,
+    ac_table: dict[tuple[int, int], int],
+    blk: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC first pass (Ah=0) for one block's spectral band
+    [ss, se]: run/size symbols as in sequential, plus EOBn symbols
+    ((r<<4)|0, r<15) coding a run of 2^r + r-extra-bits all-zero-band
+    blocks. Returns the remaining eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, ac_table)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += r.read_bits(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("AC run past end of spectral band")
+        blk[k] = r.receive_extend(size) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_prog_refine(
+    r: _BitReader,
+    ac_table: dict[tuple[int, int], int],
+    blk: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC refinement (Ah>0, T.81 G.2 / figure G.7): every
+    already-nonzero coefficient visited consumes one correction bit;
+    newly-nonzero coefficients arrive as run/1 symbols with a sign
+    bit; EOBn runs still consume correction bits for the nonzero
+    history inside the band. Returns the remaining eobrun."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def refine(k: int) -> None:
+        if r.read_bit() and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, ac_table)
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size == 0:
+                if run < 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                # run == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("refinement symbol with size != 1")
+                newval = p1 if r.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    refine(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if size != 0:
+                if k > se:
+                    raise ValueError("refinement run past end of band")
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                refine(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
-    """Baseline JPEG decode to a ``(h, w, channels)`` uint8 pixel
-    array (the full pipeline decode_jpeg's docstring describes)."""
+    """Sequential-baseline AND progressive (SOF2) JPEG decode to a
+    ``(h, w, channels)`` uint8 pixel array. Every scan accumulates
+    quantized coefficients (zigzag order, per-component block grids);
+    dequantization and a single vectorized IDCT over all blocks run
+    once at final assembly — which is also what makes multi-scan
+    sequential and multi-pass progressive streams decode correctly
+    (nothing is lost between SOS segments)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -487,12 +608,20 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     dc_tables: dict[int, dict[tuple[int, int], int]] = {}
     ac_tables: dict[int, dict[tuple[int, int], int]] = {}
     frame = None  # (H, W, comps) comps: (cid, h, v, tq)
+    progressive = False
     restart_interval = 0
-    planes: dict[int, np.ndarray] | None = None
+    # cid -> (blocks_y, blocks_x, 64) int32 quantized coefficients,
+    # allocated at SOF on the MCU-padded sampling grid
+    coeffs: dict[int, np.ndarray] | None = None
+    any_scan = False
 
     while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
+        # marker; real encoders emit them for alignment
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -522,9 +651,10 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 tbl = _huff_canonical(counts, symbols)
                 (dc_tables if tc == 0 else ac_tables)[th] = tbl
                 sp += 17 + n
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit precision supported")
+            progressive = marker == 0xC2
             H = int.from_bytes(seg[1:3], "big")
             W = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
@@ -534,8 +664,14 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 hv = seg[7 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * i]))
             frame = (H, W, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+            h_max = max(c[1] for c in comps)
+            v_max = max(c[2] for c in comps)
+            mcux = -(-W // (8 * h_max))
+            mcuy = -(-H // (8 * v_max))
+            coeffs = {
+                cid: np.zeros((mcuy * v, mcux * h, 64), dtype=np.int32)
+                for cid, h, v, _ in comps
+            }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF 0x{marker:02x} not supported")
         elif marker == 0xDD:
@@ -543,12 +679,22 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS + entropy-coded data
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if coeffs is None:
+                raise ValueError("SOS before SOF")  # pragma: no cover
             ns = seg[0]
             scan = []  # (cid, dc_id, ac_id)
             for i in range(ns):
                 cid = seg[1 + 2 * i]
                 tt = seg[2 + 2 * i]
                 scan.append((cid, tt >> 4, tt & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0  # sequential ignores these
+            elif ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be non-interleaved")
+            elif (ss == 0) != (se == 0):
+                raise ValueError("progressive scan mixes DC and AC bands")
             # extract de-stuffed entropy segments, split at RSTn
             segments: list[bytearray] = [bytearray()]
             while pos + 1 < len(payload):
@@ -558,6 +704,9 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                     if nxt == 0x00:
                         segments[-1].append(0xFF)
                         pos += 2
+                        continue
+                    if nxt == 0xFF:  # fill byte before a marker
+                        pos += 1
                         continue
                     if 0xD0 <= nxt <= 0xD7:
                         segments.append(bytearray())
@@ -571,65 +720,84 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             h_max = max(c[1] for c in comps)
             v_max = max(c[2] for c in comps)
             by_id = {c[0]: c for c in comps}
-            # full sampling-grid plane per scanned component
-            planes = {}
-            shapes: dict[int, tuple[int, int]] = {}
             if ns > 1:
                 mcux = -(-W // (8 * h_max))
-                mcuy = -(-H // (8 * v_max))
-                for cid, _, _ in scan:
-                    _, h, v, _ = by_id[cid]
-                    shapes[cid] = (mcuy * v * 8, mcux * h * 8)
-                n_mcus = mcux * mcuy
+                n_units = mcux * -(-H // (8 * v_max))
             else:
-                cid, _, _ = scan[0]
-                _, h, v, _ = by_id[cid]
-                bw = -(-(-(-W * h // h_max)) // 8)
-                bh = -(-(-(-H * v // v_max)) // 8)
-                shapes[cid] = (bh * 8, bw * 8)
-                n_mcus = bw * bh
-            for cid in shapes:
-                planes[cid] = np.zeros(shapes[cid], dtype=np.float64)
+                # non-interleaved: the component's own ceil(dim/8) block
+                # grid, a (possibly strict) top-left subgrid of the
+                # MCU-padded coefficient array
+                cid0, _, _ = scan[0]
+                _, h, v, _ = by_id[cid0]
+                cbw = -(-(-(-W * h // h_max)) // 8)
+                cbh = -(-(-(-H * v // v_max)) // 8)
+                n_units = cbw * cbh
 
             seg_iter = iter(segments)
             r = _BitReader(bytes(next(seg_iter)))
             dc_pred = {cid: 0 for cid, _, _ in scan}
-            for mcu in range(n_mcus):
-                if restart_interval and mcu and mcu % restart_interval == 0:
+            eobrun = 0
+            for unit in range(n_units):
+                if restart_interval and unit and unit % restart_interval == 0:
                     r = _BitReader(bytes(next(seg_iter)))
                     dc_pred = {cid: 0 for cid, _, _ in scan}
+                    eobrun = 0
                 if ns > 1:
-                    my, mx = divmod(mcu, mcux)
+                    my, mx = divmod(unit, mcux)
                     for cid, dci, aci in scan:
-                        _, h, v, tq = by_id[cid]
+                        _, h, v, _ = by_id[cid]
                         for byi in range(v):
                             for bxi in range(h):
-                                blk, dc_pred[cid] = _decode_block(
-                                    r, dc_tables[dci], ac_tables[aci],
-                                    qtables[tq], dc_pred[cid],
-                                )
-                                y0 = (my * v + byi) * 8
-                                x0 = (mx * h + bxi) * 8
-                                planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
+                                blk = coeffs[cid][my * v + byi, mx * h + bxi]
+                                if progressive:  # interleaved => DC scan
+                                    dc_pred[cid] = _decode_dc_prog(
+                                        r, dc_tables.get(dci), blk,
+                                        dc_pred[cid], ah, al,
+                                    )
+                                else:
+                                    dc_pred[cid] = _decode_block_seq(
+                                        r, dc_tables[dci], ac_tables[aci],
+                                        blk, dc_pred[cid],
+                                    )
                 else:
                     cid, dci, aci = scan[0]
-                    tq = by_id[cid][3]
-                    bw = shapes[cid][1] // 8
-                    my, mx = divmod(mcu, bw)
-                    blk, dc_pred[cid] = _decode_block(
-                        r, dc_tables[dci], ac_tables[aci],
-                        qtables[tq], dc_pred[cid],
-                    )
-                    planes[cid][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = blk
+                    my, mx = divmod(unit, cbw)
+                    blk = coeffs[cid][my, mx]
+                    if not progressive:
+                        dc_pred[cid] = _decode_block_seq(
+                            r, dc_tables[dci], ac_tables[aci],
+                            blk, dc_pred[cid],
+                        )
+                    elif ss == 0:
+                        dc_pred[cid] = _decode_dc_prog(
+                            r, dc_tables.get(dci), blk, dc_pred[cid], ah, al
+                        )
+                    elif ah == 0:
+                        eobrun = _decode_ac_prog_first(
+                            r, ac_tables[aci], blk, ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _decode_ac_prog_refine(
+                            r, ac_tables[aci], blk, ss, se, al, eobrun
+                        )
+            any_scan = True
 
-    if frame is None or planes is None:
+    if frame is None or coeffs is None or not any_scan:
         raise ValueError("JPEG contains no decoded scan")
     H, W, comps = frame
     h_max = max(c[1] for c in comps)
     v_max = max(c[2] for c in comps)
     full = []
-    for cid, h, v, _ in comps:
-        p = planes[cid] + 128.0
+    for cid, h, v, tq in comps:
+        # dequantize (zigzag order), dezigzag, then one vectorized IDCT
+        # over every block of the component at once
+        zz = coeffs[cid].astype(np.float64) * qtables[tq][None, None, :]
+        nat = np.empty_like(zz)
+        nat[..., _ZIGZAG] = zz
+        bh_, bw_ = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(bh_, bw_, 8, 8)
+        spatial = np.einsum("ua,ijuv,vb->ijab", _DCT_T, blocks, _DCT_T)
+        p = spatial.transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8) + 128.0
         p = np.repeat(np.repeat(p, v_max // v, axis=0), h_max // h, axis=1)
         full.append(p[:H, :W])
     if len(full) == 1:
@@ -646,10 +814,12 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
 
 
 def decode_jpeg(payload: bytes) -> dict[str, Any]:
-    """REAL baseline JPEG decode: header/DQT/DHT/SOF0/SOS parse,
-    canonical-Huffman entropy decode (byte-stuffing, DRI/RST resets),
-    dequantize, 8x8 IDCT, chroma upsample, BT.601 YCbCr->RGB. Returns
-    the same feature shape as decode_netpbm.
+    """REAL JPEG decode — sequential baseline (SOF0/1, multi-scan
+    included) and progressive (SOF2, spectral selection + successive
+    approximation): header/DQT/DHT parse, canonical-Huffman entropy
+    decode (byte-stuffing, fill bytes, DRI/RST resets, EOB runs),
+    dequantize, vectorized 8x8 IDCT, chroma upsample, BT.601
+    YCbCr->RGB. Returns the same feature shape as decode_netpbm.
     """
     px = _decode_jpeg_pixels(payload).astype(np.float64)
     means = px.mean(axis=(0, 1))
@@ -741,6 +911,7 @@ def encode_jpeg(
     *,
     subsample: bool = False,
     restart_interval: int = 0,
+    scan_per_component: bool = False,
 ) -> bytes:
     """Fixture baseline-JPEG encoder: grayscale ``(h, w)`` or RGB
     ``(h, w, 3)`` uint8 → a conformant SOF0 stream with an all-ones
@@ -749,8 +920,15 @@ def encode_jpeg(
     fixed-length canonical Huffman layout above (exercises real DHT
     parsing). RGB converts BT.601 to YCbCr; ``subsample`` emits 4:2:0
     (2×2-averaged chroma, 4 luma blocks per MCU); ``restart_interval``
-    emits DRI + RSTn resets every n MCUs.
+    emits DRI + RSTn resets every n MCUs. ``scan_per_component`` emits
+    one non-interleaved SOS per component — a legal multi-scan
+    SEQUENTIAL stream (T.81 permits it and real encoders emit it),
+    which the decoder must accumulate across SOS segments.
     """
+    if scan_per_component and (subsample or restart_interval):
+        raise ValueError(
+            "scan_per_component fixture requires subsample=False and no DRI"
+        )
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if gray:
@@ -822,23 +1000,33 @@ def encode_jpeg(
             bw.write(c, ln)
         return int(zz[0])
 
+    comp_scans: list[bytes] = []  # one entropy chunk per comp (multi-scan)
     chunks: list[bytes] = []
-    bw = _BitWriter()
-    preds = [0] * len(planes)
-    n_mcus = mcux * mcuy
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            chunks.append(bw.flush())
+    if scan_per_component:
+        for p in planes:
             bw = _BitWriter()
-            preds = [0] * len(planes)
-        my, mx = divmod(mcu, mcux)
-        for ci, (p, (sh, sv)) in enumerate(zip(planes, samp)):
-            for byi in range(sv):
-                for bxi in range(sh):
-                    preds[ci] = encode_block(
-                        bw, p, (my * sv + byi) * 8, (mx * sh + bxi) * 8, preds[ci]
-                    )
-    chunks.append(bw.flush())
+            pred = 0
+            for y0 in range(0, p.shape[0], 8):
+                for x0 in range(0, p.shape[1], 8):
+                    pred = encode_block(bw, p, y0, x0, pred)
+            comp_scans.append(bw.flush())
+    else:
+        bw = _BitWriter()
+        preds = [0] * len(planes)
+        n_mcus = mcux * mcuy
+        for mcu in range(n_mcus):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                chunks.append(bw.flush())
+                bw = _BitWriter()
+                preds = [0] * len(planes)
+            my, mx = divmod(mcu, mcux)
+            for ci, (p, (sh, sv)) in enumerate(zip(planes, samp)):
+                for byi in range(sv):
+                    for bxi in range(sh):
+                        preds[ci] = encode_block(
+                            bw, p, (my * sv + byi) * 8, (mx * sh + bxi) * 8, preds[ci]
+                        )
+        chunks.append(bw.flush())
 
     buf = bytearray(b"\xff\xd8")
     buf += b"\xff\xdb" + (2 + 65).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
@@ -855,14 +1043,235 @@ def encode_jpeg(
         buf += bytes([cls << 4]) + bytes(counts) + syms
     if restart_interval:
         buf += b"\xff\xdd" + (4).to_bytes(2, "big") + restart_interval.to_bytes(2, "big")
-    buf += b"\xff\xda" + (6 + 2 * nc).to_bytes(2, "big") + bytes([nc])
+    if scan_per_component:
+        for ci, entropy in enumerate(comp_scans):
+            buf += b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, ci + 1, 0x00])
+            buf += b"\x00\x3f\x00"
+            buf += entropy
+    else:
+        buf += b"\xff\xda" + (6 + 2 * nc).to_bytes(2, "big") + bytes([nc])
+        for i in range(nc):
+            buf += bytes([i + 1, 0x00])
+        buf += b"\x00\x3f\x00"  # Ss/Se/AhAl for baseline
+        for i, ch in enumerate(chunks):
+            if i:
+                buf += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+            buf += ch
+    buf += b"\xff\xd9"
+    return bytes(buf)
+
+
+# progressive fixture AC table: EOBn (r<15), ZRL, and every run/size —
+# all at code length 8 (176 codes, prefix-valid)
+_FIX_ACP_SYMBOLS = bytes(
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_FIX_ACP_COUNTS = [0] * 7 + [len(_FIX_ACP_SYMBOLS)] + [0] * 8
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray, *, dc_al: int = 1, ac_al: int = 2, split: int = 5
+) -> bytes:
+    """Fixture PROGRESSIVE JPEG encoder (SOF2): grayscale ``(h, w)``
+    or RGB ``(h, w, 3)`` uint8, no chroma subsampling, all-ones
+    quantization — so the quantized coefficients are byte-identical to
+    :func:`encode_jpeg`'s and the two decodes must agree EXACTLY.
+
+    Scan script exercises the full T.81 G.2 machinery: an interleaved
+    DC first scan at precision ``dc_al``, per-component AC first scans
+    over the split spectral bands [1, split] and [split+1, 63] at
+    precision ``ac_al`` (EOB runs across blocks), then successive-
+    approximation refinement scans (DC bit planes down to 0; AC
+    refinement with correction bits + EOBRUN-carried bits) — the bit
+    discipline mirrors libjpeg's encoder, which is the de-facto
+    reading of figure G.7.
+    """
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        comps_px = [px.astype(np.float64)]
+    else:
+        pf = px.astype(np.float64)
+        r_, g_, b_ = pf[..., 0], pf[..., 1], pf[..., 2]
+        comps_px = [
+            np.round(0.299 * r_ + 0.587 * g_ + 0.114 * b_),
+            np.round(128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_),
+            np.round(128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_),
+        ]
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    # quantized zigzag coefficients per component: (bh, bw, 64) int64
+    coefs = []
+    for p in comps_px:
+        p = np.pad(p, ((0, bh * 8 - h), (0, bw_ * 8 - w)), mode="edge") - 128.0
+        blocks = p.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3)
+        f = np.einsum("au,ijuv,bv->ijab", _DCT_T, blocks, _DCT_T)
+        coefs.append(
+            np.round(f.reshape(bh, bw_, 64)[..., _ZIGZAG]).astype(np.int64)
+        )
+
+    dc_map = _huff_encode_map(_FIX_DC_COUNTS, _FIX_DC_SYMBOLS)
+    acp_map = _huff_encode_map(_FIX_ACP_COUNTS, _FIX_ACP_SYMBOLS)
+    nc = len(coefs)
+    scans: list[tuple[bytes, bytes]] = []  # (SOS header bytes, entropy)
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        hdr = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            hdr += bytes([cid, 0x00])
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    # --- DC first scan: interleaved, precision dc_al -----------------
+    bw = _BitWriter()
+    preds = [0] * nc
+    for my in range(bh):
+        for mx in range(bw_):
+            for ci in range(nc):
+                t = int(coefs[ci][my, mx, 0]) >> dc_al
+                diff = t - preds[ci]
+                preds[ci] = t
+                s = _size_cat(diff)
+                code, ln = dc_map[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    scans.append((sos_header(list(range(1, nc + 1)), 0, 0, 0, dc_al), bw.flush()))
+
+    # --- AC first scans: per component, split bands, precision ac_al -
+    def ac_first(ci: int, ss: int, se: int) -> None:
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                rb = eobrun.bit_length() - 1
+                code, ln = acp_map[rb << 4]
+                bw.write(code, ln)
+                if rb:
+                    bw.write(eobrun - (1 << rb), rb)
+                eobrun = 0
+
+        for my in range(bh):
+            for mx in range(bw_):
+                band = coefs[ci][my, mx, ss : se + 1]
+                t = np.sign(band) * (np.abs(band) >> ac_al)
+                nz = np.nonzero(t)[0]
+                if nz.size == 0:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for idx in range(int(nz[-1]) + 1):
+                    v = int(t[idx])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = acp_map[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    _write_coeff(bw, acp_map, run, v)
+                    run = 0
+                if int(nz[-1]) < se - ss:
+                    eobrun += 1
+        flush_eob()
+        scans.append((sos_header([ci + 1], ss, se, 0, ac_al), bw.flush()))
+
+    for ci in range(nc):
+        ac_first(ci, 1, split)
+        ac_first(ci, split + 1, 63)
+
+    # --- DC refinement scans: one bit plane at a time ----------------
+    for al in range(dc_al - 1, -1, -1):
+        bw = _BitWriter()
+        for my in range(bh):
+            for mx in range(bw_):
+                for ci in range(nc):
+                    bw.write((int(coefs[ci][my, mx, 0]) >> al) & 1, 1)
+        scans.append((sos_header(list(range(1, nc + 1)), 0, 0, al + 1, al), bw.flush()))
+
+    # --- AC refinement scans (libjpeg bit discipline) -----------------
+    def ac_refine(ci: int, ss: int, se: int, al: int) -> None:
+        bw = _BitWriter()
+        eobrun = 0
+        be: list[int] = []  # correction bits owned by the pending EOB run
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                rb = eobrun.bit_length() - 1
+                code, ln = acp_map[rb << 4]
+                bw.write(code, ln)
+                if rb:
+                    bw.write(eobrun - (1 << rb), rb)
+                for b in be:
+                    bw.write(b, 1)
+                be.clear()
+            eobrun = 0
+
+        for my in range(bh):
+            for mx in range(bw_):
+                band = [int(v) for v in coefs[ci][my, mx, ss : se + 1]]
+                absv = [abs(v) >> al for v in band]
+                eobk = max((i for i, a in enumerate(absv) if a == 1), default=-1)
+                run = 0
+                br: list[int] = []  # bits since the last emitted symbol
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eobk:
+                        flush_eob()
+                        code, ln = acp_map[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                        for b in br:
+                            bw.write(b, 1)
+                        br = []
+                    if a > 1:  # previously nonzero: one correction bit
+                        br.append(a & 1)
+                        continue
+                    flush_eob()
+                    code, ln = acp_map[(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if band[i] >= 0 else 0, 1)
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    eobrun += 1
+                    be.extend(br)
+                    if eobrun == 32767:
+                        flush_eob()
+        flush_eob()
+        scans.append((sos_header([ci + 1], ss, se, al + 1, al), bw.flush()))
+
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(nc):
+            ac_refine(ci, 1, split, al)
+            ac_refine(ci, split + 1, 63, al)
+
+    # --- assemble stream ---------------------------------------------
+    buf = bytearray(b"\xff\xd8")
+    buf += b"\xff\xdb" + (2 + 65).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    buf += b"\xff\xc2" + (8 + 3 * nc).to_bytes(2, "big") + bytes([8])
+    buf += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
     for i in range(nc):
-        buf += bytes([i + 1, 0x00])
-    buf += b"\x00\x3f\x00"  # Ss/Se/AhAl for baseline
-    for i, ch in enumerate(chunks):
-        if i:
-            buf += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
-        buf += ch
+        buf += bytes([i + 1, 0x11, 0])
+    for cls, counts, syms in (
+        (0, _FIX_DC_COUNTS, _FIX_DC_SYMBOLS),
+        (1, _FIX_ACP_COUNTS, _FIX_ACP_SYMBOLS),
+    ):
+        buf += b"\xff\xc4" + (2 + 1 + 16 + len(syms)).to_bytes(2, "big")
+        buf += bytes([cls << 4]) + bytes(counts) + syms
+    for hdr, entropy in scans:
+        buf += b"\xff\xda" + (2 + len(hdr)).to_bytes(2, "big") + hdr
+        buf += entropy
     buf += b"\xff\xd9"
     return bytes(buf)
 

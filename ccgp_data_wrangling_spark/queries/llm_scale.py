@@ -1442,6 +1442,98 @@ def multimodal_jpeg_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PROGRESSIVE JPEG (SOF2) decode through the driver gate — the
+# dominant variant in real crawled corpora. Payloads come from the
+# progressive fixture encoder (spectral-selection bands + successive
+# approximation, per-eid scan scripts), so the gate runs the full
+# G.2 machinery: interleaved DC first/refine scans, AC first scans
+# with EOB runs and ZRL, AC refinement with correction bits.
+#
+# Closed-form oracle: each 8x8 tile is c ± d where the ± follows the
+# u=4 DCT basis sign pattern along rows ([+,-,-,+,+,-,-,+]) — the
+# tile's DCT is EXACTLY two integer coefficients (DC = 8(c-128),
+# (4,0) = 8d), so the all-ones quantizer is lossless, reconstruction
+# is integer-exact, and the stripe cancels out of the mean: luma_mean
+# is the same closed form as the baseline JPEG gate. The nonzero AC
+# coefficient sits at zigzag index 10, deliberately PAST the default
+# spectral split, so both AC bands carry real work.
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_jpeg_progressive_decode", _JPEG_SQL.replace(
+    "event_id % 20 = 3", "event_id % 20 = 7"))
+def multimodal_jpeg_progressive_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Progressive JPEG decode end-to-end: encode_jpeg_progressive
+    fixture payloads (per-eid dc_al/ac_al/split so successive-
+    approximation depths and band splits vary inside one run) →
+    multi-scan coefficient accumulation → dequant → vectorized IDCT →
+    features, driver-checked against the striped-tile closed form
+    (operators/media_codecs.encode_jpeg_progressive docstring has the
+    bit discipline). Same two-Arrow-stage shape as the baseline gate.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        encode_jpeg_progressive,
+    )
+    from ccgp_data_wrangling_spark.operators.multimodal import (
+        extract_real_features,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 7
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    stripe = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                ntx = int(eid % 3) + 1
+                nty = int(eid % 4) + 1
+                base = int(eid % 180) + 20
+                d = int(eid % 5)
+                px = np.zeros((8 * nty, 8 * ntx), np.int64)
+                for ty in range(nty):
+                    for tx in range(ntx):
+                        c = base + 8 * ty + 4 * tx
+                        px[8 * ty : 8 * ty + 8, 8 * tx : 8 * tx + 8] = (
+                            c + d * stripe[:, None]
+                        )
+                payloads.append(
+                    encode_jpeg_progressive(
+                        px.astype(np.uint8),
+                        dc_al=1 + int(eid % 2),
+                        ac_al=1 + int(eid % 3),
+                        split=(5, 1, 20)[int(eid % 3)],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "payload": payloads,
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    media = ev.mapInPandas(
+        synth, schema="id long, payload binary, media_type string"
+    )
+    feats = extract_real_features(media)
+    return feats.select(
+        "id", "kind", "width", "height", "n_channels", "luma_mean"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Real PNG decode through the driver gate — the fifth real codec.
 # Payloads are conformant PNG streams from the fixture encoder
 # (media_codecs.encode_png: zlib IDAT, scanlines cycling ALL FIVE

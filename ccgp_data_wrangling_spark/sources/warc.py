@@ -88,7 +88,12 @@ def parse_warc(payload: bytes) -> list[dict[str, Any]]:
             he = he if he >= 0 else len(raw)
             status_line = raw[: raw.find(_CRLF)].decode("utf-8", "replace")
             parts = status_line.split(" ", 2)
-            rec["http_status"] = int(parts[1]) if len(parts) > 1 else None
+            # real crawls contain malformed status lines; one bad record
+            # must not fail the whole archive's task
+            try:
+                rec["http_status"] = int(parts[1]) if len(parts) > 1 else None
+            except ValueError:
+                rec["http_status"] = None
             for line in raw[:he].split(_CRLF)[1:]:
                 k, _, v = line.decode("utf-8", "replace").partition(":")
                 if k.strip().lower() == "content-type":

@@ -248,6 +248,82 @@ def test_jpeg_odd_dimensions_and_dispatch():
     assert d["luma_mean"] == 77.0
 
 
+def _smooth_image(rng, h, w, channels=0):
+    """Block-upsampled random grid: smooth enough that quantized DCT
+    amplitudes stay inside the fixture Huffman size categories."""
+    import numpy as np
+
+    if channels:
+        coarse = rng.integers(40, 216, size=(-(-h // 8) + 1, -(-w // 8) + 1, channels))
+        return np.stack(
+            [np.kron(coarse[..., c], np.ones((8, 8)))[:h, :w] for c in range(channels)],
+            axis=-1,
+        ).astype(np.uint8)
+    coarse = rng.integers(40, 216, size=(-(-h // 8) + 1, -(-w // 8) + 1))
+    return np.kron(coarse, np.ones((8, 8)))[:h, :w].astype(np.uint8)
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Progressive (SOF2) reorganizes the SAME quantized coefficients,
+    so its decode must equal the baseline decode bit-for-bit — across
+    spectral splits, successive-approximation depths, gray/RGB, and
+    odd dimensions (EOB runs, ZRL-in-refinement, correction bits)."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    for h, w, ch in [(16, 24, 0), (19, 21, 0), (17, 9, 3), (30, 18, 3)]:
+        img = _smooth_image(rng, h, w, ch)
+        base = _decode_jpeg_pixels(encode_jpeg(img))
+        prog = _decode_jpeg_pixels(encode_jpeg_progressive(img))
+        assert np.array_equal(base, prog), (h, w, ch)
+
+    g = (np.add.outer(np.arange(24) * 3, np.arange(40) * 2) % 200 + 20).astype(
+        np.uint8
+    )
+    base = _decode_jpeg_pixels(encode_jpeg(g))
+    for kw in (
+        {"dc_al": 2, "ac_al": 3, "split": 1},
+        {"dc_al": 1, "ac_al": 1, "split": 20},
+        {"dc_al": 3, "ac_al": 4, "split": 35},
+    ):
+        assert np.array_equal(
+            base, _decode_jpeg_pixels(encode_jpeg_progressive(g, **kw))
+        ), kw
+
+
+def test_jpeg_multiscan_sequential_and_fill_bytes():
+    """T.81 allows one SOS per component in a sequential stream, and
+    any number of 0xFF fill bytes before a marker — both appear in
+    real crawled corpora and must decode identically to the
+    single-scan interleaved stream."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    img = _smooth_image(rng, 18, 26, 3)
+    one_scan = _decode_jpeg_pixels(encode_jpeg(img))
+    multi = _decode_jpeg_pixels(encode_jpeg(img, scan_per_component=True))
+    assert np.array_equal(one_scan, multi)
+
+    # inject fill bytes before SOF and EOI markers
+    blob = bytearray(encode_jpeg(img))
+    i = blob.find(b"\xff\xc0")
+    blob[i:i] = b"\xff\xff"
+    j = blob.rfind(b"\xff\xd9")
+    blob[j:j] = b"\xff"
+    assert np.array_equal(one_scan, _decode_jpeg_pixels(bytes(blob)))
+
+
 def test_jpeg_honest_gates():
     import numpy as np
     import pytest as _pytest
@@ -259,12 +335,18 @@ def test_jpeg_honest_gates():
 
     with _pytest.raises(ValueError):
         decode_jpeg(b"NOTAJPEG" + bytes(20))
-    # progressive (SOF2) raises NotImplementedError, not garbage output
+    # arithmetic coding (SOF9) raises NotImplementedError, not garbage
     good = bytearray(encode_jpeg(np.full((8, 8), 9, np.uint8)))
     i = good.find(b"\xff\xc0")
-    good[i + 1] = 0xC2
+    good[i + 1] = 0xC9
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(good))
+    # a baseline stream relabeled SOF2 is an INVALID progressive stream
+    # (its single scan mixes the DC and AC bands) — clean ValueError
+    bad = bytearray(encode_jpeg(np.full((8, 8), 9, np.uint8)))
+    bad[bad.find(b"\xff\xc0") + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
 
 
 def test_png_roundtrip_exact_all_filters():
