@@ -45,8 +45,12 @@ def _planes_lit(planes: list[list[float]]) -> Column:
     )
 
 
-def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def srp_bucket(vec: Column, planes: list[list[float]] | Column) -> Column:
     """Signed-random-projection bucket id (one sign bit per plane).
+
+    ``planes`` may be a Python plane list (inlined as literals) or a
+    Column already carrying ``array<array<double>>`` — the broadcast
+    table carrier that avoids codegen blowup for large plane sets.
 
     The sign bits and the bit-packing are ONE expression pass: packing
     via per-plane powers inside the same transform, then a single sum
@@ -55,7 +59,7 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     times — interpreted HOFs make that an O(n_bits²·dim) per-row cost.)
     """
     bits = F.transform(
-        _planes_lit(planes),
+        planes if isinstance(planes, Column) else _planes_lit(planes),
         lambda p: F.when(
             F.aggregate(
                 F.zip_with(vec, p, lambda x, y: x * y),
@@ -189,6 +193,158 @@ def _centroid_lit(centroids: list[list[float]]) -> Column:
     )
 
 
+#: doubles above which centroid/plane carriers switch from expression
+#: literals to a broadcast one-row table. Literals bake every value
+#: into the generated code: at sf0.1 the 32x64 IVF centroid set cost
+#: ~1.3 MiB task binaries and 2.4-3.5 s of CONSTANT codegen compile —
+#: the two slowest bench entries of round 5 — and at the sqrt(n)
+#: centroid counts a 100 TB corpus needs, the literal plan stops
+#: compiling outright. A one-row broadcast keeps the same per-row
+#: arithmetic (the HOF transform is interpreted either way) with a
+#: KB-scale plan. 256 doubles ≈ the point where measured compile cost
+#: starts to beat the kernel's Python-worker round trip at sf0.1.
+_LITERAL_BUDGET = 256
+
+
+def _resolve_carrier(n_values: int, carrier: str) -> str:
+    """Pick how a centroid/plane constant reaches the executors.
+
+    ``literal``: inline expression literals — fine below
+    ``_LITERAL_BUDGET`` doubles, codegen-toxic above it.
+    ``table``: one-row broadcast frame + the same Column arithmetic —
+    KB-scale plan, demonstrates the pure-DataFrame shape, but Spark
+    evaluates array HOFs interpreted, so per-row cost is high.
+    ``kernel``: Arrow ``mapInPandas`` with the constant captured as a
+    numpy matrix — one BLAS matmul per batch, the FAISS-style form
+    that holds at √n centroids on a 100 TB corpus.
+    ``auto`` = literal when small, kernel when large.
+    """
+    if carrier not in ("auto", "literal", "table", "kernel"):
+        raise ValueError(
+            f"carrier must be auto|literal|table|kernel, got {carrier!r}"
+        )
+    if carrier == "auto":
+        return "kernel" if n_values > _LITERAL_BUDGET else "literal"
+    return carrier
+
+
+def _use_table_carrier(n_values: int, carrier: str) -> bool:
+    return _resolve_carrier(n_values, carrier) == "table"
+
+
+def _centroid_frame(spark, centroids: list[list[float]]) -> DataFrame:
+    """One-row DataFrame carrying the centroid set as data
+    (``__cents: array<struct<idx,cv>>``) — crossJoin(broadcast(...))
+    attaches it to every row with no shuffle and no codegen blowup."""
+    rows = [([(i, [float(x) for x in c]) for i, c in enumerate(centroids)],)]
+    return spark.createDataFrame(
+        rows, "__cents array<struct<idx:int, cv:array<double>>>"
+    )
+
+
+def assign_centroids_kernel(
+    src: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str,
+    out_col: str = "__centroid",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Nearest-centroid-by-cosine assignment as ONE Arrow kernel:
+    normalize the batch, one BLAS matmul against the (pre-normalized)
+    centroid matrix, row-wise argmax (numpy argmax keeps the FIRST
+    maximum — the same lowest-index tie-break as the Column-expression
+    argmax). ``round_dp`` rounds similarities before the argmax, for
+    callers whose oracle replays a rounded comparison.
+
+    Output = input columns + ``out_col`` int. This is the carrier that
+    survives 100 TB: at √n centroids the similarity pass is a dense
+    (batch × dim) @ (dim × n_centroids) product per Arrow batch —
+    microseconds where interpreted array HOFs take seconds — and the
+    centroid matrix ships once per executor in the task closure.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    schema = StructType(src.schema.fields + [StructField(out_col, IntegerType())])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf):
+                V = np.stack(pdf[vec_col].to_numpy())
+                Vn = V / np.maximum(
+                    np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+                )
+                sims = Vn @ Cn.T
+                if round_dp is not None:
+                    sims = np.round(sims, round_dp)
+                pdf[out_col] = np.argmax(sims, axis=1).astype("int32")
+            else:
+                pdf[out_col] = np.array([], dtype="int32")
+            yield pdf
+
+    return src.mapInPandas(op, schema=schema)
+
+
+def srp_buckets_kernel(
+    src: DataFrame,
+    tables: list[list[list[float]]],
+    *,
+    vec_col: str,
+    drop_vec: bool = False,
+) -> DataFrame:
+    """All SRP tables' buckets in ONE Arrow kernel, exploded to
+    ``(input columns [minus vec if drop_vec], t int, bkt long)`` —
+    the vectorized twin of ``posexplode(array(srp_bucket(...)))``:
+    one matmul computes every sign bit, MSB-first packing matches
+    :func:`srp_bucket` / :func:`_py_bucket` exactly.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    n_tables = len(tables)
+    n_bits = len(tables[0]) if tables else 0
+    P = np.asarray(
+        [plane for table in tables for plane in table], dtype=np.float64
+    )  # (n_tables*n_bits, dim)
+    weights = (2 ** np.arange(n_bits - 1, -1, -1)).astype(np.int64)
+
+    keep = [f for f in src.schema.fields if not (drop_vec and f.name == vec_col)]
+    schema = StructType(
+        keep + [StructField("t", IntegerType()), StructField("bkt", LongType())]
+    )
+    keep_names = [f.name for f in keep]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(columns=keep_names + ["t", "bkt"])
+                continue
+            V = np.stack(pdf[vec_col].to_numpy())
+            bits = (V @ P.T >= 0).reshape(n, n_tables, n_bits)
+            bkts = bits @ weights  # (n, n_tables) int64
+            out = pdf[keep_names].loc[
+                np.repeat(pdf.index, n_tables)
+            ].reset_index(drop=True)
+            out["t"] = np.tile(
+                np.arange(n_tables, dtype="int32"), n
+            )
+            out["bkt"] = bkts.reshape(-1)
+            yield out
+
+    return src.mapInPandas(op, schema=schema)
+
+
 def _assign_centroid(v: Column, cent_lit: Column) -> Column:
     """Nearest-centroid index by cosine, lowest-index tie-break.
 
@@ -275,6 +431,7 @@ def ivf_topk_multi(
     n_centroids: int = 32,
     n_probe: int = 8,
     seed: int = 42,
+    carrier: str = "auto",
 ) -> DataFrame:
     """Batch IVF retrieval: top-k corpus neighbors for EVERY row of a
     query DataFrame, in one distributed plan — the multi-query layout
@@ -300,38 +457,101 @@ def ivf_topk_multi(
 
     At 100 TB the assigned corpus is PERSISTED partitioned by
     ``centroid_id`` (write once), making step 4 a partition-pruned
-    scan; here assignment runs inline in the same job. Output:
-    ``(query_id, id, cos_sim, rank)`` with rank 1..k per query.
+    scan; here assignment runs inline in the same job.
+
+    ``carrier`` picks how the centroid set reaches the executors
+    (see :func:`_resolve_carrier`): expression ``literal``, broadcast
+    one-row ``table`` (same Column arithmetic, KB-scale plan), or the
+    Arrow+BLAS ``kernel`` (the form that holds at √n centroids).
+    Every carrier computes the IDENTICAL argmax/probe decisions —
+    argmax ties break to the lowest centroid index in all three.
+
+    Output: ``(query_id, id, cos_sim, rank)`` with rank 1..k/query.
     """
     centroids = _sample_centroids(emb, id_col, vec_col, n_centroids, seed)
-    cent_lit = _centroid_lit(centroids)
+    dim = len(centroids[0]) if centroids else 0
+    mode = _resolve_carrier(n_centroids * dim, carrier)
 
     v = F.col(vec_col).cast("array<double>")
-    corpus = emb.select(
-        id_col, v.alias("__v"), _assign_centroid(v, cent_lit).alias("__centroid")
-    )
-
     qv = F.col(query_vec_col).cast("array<double>")
-    # per-query probe list: ascending sort on (−sim, idx) structs ==
-    # descending sim with lowest-index tie-break, then keep n_probe
-    probe_arr = F.slice(
-        F.array_sort(
-            F.transform(
-                cent_lit,
-                lambda c: F.struct(
-                    (-cosine_sim(qv, c["cv"])).alias("nsim"),
-                    c["idx"].alias("idx"),
-                ),
-            )
-        ),
-        1,
-        n_probe,
-    )
-    qp = queries.select(
-        query_id_col,
-        qv.alias("__qv"),
-        F.explode(F.transform(probe_arr, lambda p: p["idx"])).alias("__centroid"),
-    )
+    if mode == "kernel":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        corpus = assign_centroids_kernel(
+            emb.select(id_col, v.alias("__v")), centroids, vec_col="__v"
+        )
+
+        C = np.asarray(centroids, dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        q_src = queries.select(query_id_col, qv.alias("__qv"))
+        q_schema = StructType(
+            q_src.schema.fields + [StructField("__centroid", IntegerType())]
+        )
+
+        def probe_op(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    yield pd.DataFrame(
+                        columns=[query_id_col, "__qv", "__centroid"]
+                    )
+                    continue
+                V = np.stack(pdf["__qv"].to_numpy())
+                Vn = V / np.maximum(
+                    np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+                )
+                # stable argsort of -sim == descending sim with the
+                # lowest-index tie-break of the Column-expression path
+                order = np.argsort(-(Vn @ Cn.T), axis=1, kind="stable")[
+                    :, :n_probe
+                ]
+                out = pdf.loc[np.repeat(pdf.index, n_probe)].reset_index(
+                    drop=True
+                )
+                out["__centroid"] = order.reshape(-1).astype("int32")
+                yield out
+
+        qp = q_src.mapInPandas(probe_op, schema=q_schema)
+    else:
+        if mode == "table":
+            cents_df = F.broadcast(_centroid_frame(emb.sparkSession, centroids))
+            cent_src = emb.crossJoin(cents_df)
+            query_src = queries.crossJoin(cents_df)
+            cent_arr = F.col("__cents")
+        else:
+            cent_src, query_src = emb, queries
+            cent_arr = _centroid_lit(centroids)
+
+        corpus = cent_src.select(
+            id_col,
+            v.alias("__v"),
+            _assign_centroid(v, cent_arr).alias("__centroid"),
+        )
+
+        # per-query probe list: ascending sort on (−sim, idx) structs
+        # == descending sim with lowest-index tie-break, keep n_probe
+        probe_arr = F.slice(
+            F.array_sort(
+                F.transform(
+                    cent_arr,
+                    lambda c: F.struct(
+                        (-cosine_sim(qv, c["cv"])).alias("nsim"),
+                        c["idx"].alias("idx"),
+                    ),
+                )
+            ),
+            1,
+            n_probe,
+        )
+        qp = query_src.select(
+            query_id_col,
+            qv.alias("__qv"),
+            F.explode(F.transform(probe_arr, lambda p: p["idx"])).alias(
+                "__centroid"
+            ),
+        )
 
     scored = qp.join(corpus, "__centroid").select(
         query_id_col,

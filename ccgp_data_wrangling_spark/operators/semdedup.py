@@ -44,13 +44,22 @@ def assign_seed_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_clusters: int = 8,
+    carrier: str = "auto",
 ) -> DataFrame:
     """(id, cluster, v): nearest seed centroid by cosine.
 
     Centroids = the ``num_clusters`` lowest-id rows — deterministic on
-    any layout. Assignment is a broadcast-literal argmax: no join, no
-    shuffle; ties go to the smallest cluster id via array_position.
+    any layout. Assignment is a shuffle-free argmax over similarities
+    ROUNDED to 6 dp; ties go to the smallest cluster id. ``carrier``
+    switches the centroid set between plan literals, a one-row
+    broadcast table, and the Arrow+BLAS kernel
+    (see knn._resolve_carrier) — identical decisions in all three.
     """
+    from ccgp_data_wrangling_spark.operators.knn import (
+        _resolve_carrier,
+        assign_centroids_kernel,
+    )
+
     v = F.col(vec_col).cast("array<double>")
     cents = (
         emb.select(F.col(id_col), v.alias("cv"))
@@ -58,11 +67,35 @@ def assign_seed_clusters(
         .limit(num_clusters)
         .collect()
     )
-    sims = F.array(
-        *[F.round(cosine_sim(v, F.lit(r.cv).cast("array<double>")), 6) for r in cents]
-    )
+    dim = len(cents[0].cv) if cents else 0
+    mode = _resolve_carrier(num_clusters * dim, carrier)
+    if mode == "kernel":
+        return assign_centroids_kernel(
+            emb.select(F.col(id_col).alias("id"), v.alias("v")),
+            [[float(x) for x in r.cv] for r in cents],
+            vec_col="v",
+            out_col="cluster",
+            round_dp=6,
+        ).select("id", "cluster", "v")
+    if mode == "table":
+        cdf = emb.sparkSession.createDataFrame(
+            [([[float(x) for x in r.cv] for r in cents],)],
+            "__cents array<array<double>>",
+        )
+        sims = F.transform(
+            F.col("__cents"), lambda c: F.round(cosine_sim(v, c), 6)
+        )
+        src = emb.crossJoin(F.broadcast(cdf))
+    else:
+        sims = F.array(
+            *[
+                F.round(cosine_sim(v, F.lit(r.cv).cast("array<double>")), 6)
+                for r in cents
+            ]
+        )
+        src = emb
     cluster = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
-    return emb.select(
+    return src.select(
         F.col(id_col).alias("id"), cluster.alias("cluster"), v.alias("v")
     )
 
@@ -75,6 +108,7 @@ def semantic_dedup(
     num_clusters: int = 8,
     threshold: float = 0.999,
     max_cluster: int | None = None,
+    carrier: str = "auto",
 ) -> DataFrame:
     """(id, cluster, keep): SemDeDup keep/drop decisions.
 
@@ -91,7 +125,11 @@ def semantic_dedup(
     cluster swallows the corpus.
     """
     assigned = assign_seed_clusters(
-        emb, id_col=id_col, vec_col=vec_col, num_clusters=num_clusters
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_clusters=num_clusters,
+        carrier=carrier,
     )
     pairable = assigned
     if max_cluster is not None:
@@ -131,6 +169,7 @@ def semantic_dedup_lsh(
     n_bits: int = 8,
     seed: int = 99,
     max_bucket: int | None = None,
+    carrier: str = "auto",
 ) -> DataFrame:
     """SemDeDup with the per-cluster LSH refinement the base operator's
     scale notes promise: instead of the full O(|cluster|²) in-cluster
@@ -154,21 +193,51 @@ def semantic_dedup_lsh(
     the r2 ADVICE contract for embedding ops).
     """
     from ccgp_data_wrangling_spark.operators.knn import (
+        _resolve_carrier,
         _seeded_planes,
         srp_bucket,
+        srp_buckets_kernel,
     )
 
     assigned = assign_seed_clusters(
-        emb, id_col=id_col, vec_col=vec_col, num_clusters=num_clusters
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_clusters=num_clusters,
+        carrier=carrier,
     )
     tables = _seeded_planes(n_tables, n_bits, dim, seed)
-    buckets = assigned.select(
-        "cluster",
-        "id",
-        F.posexplode(
-            F.array(*[srp_bucket(F.col("v"), planes) for planes in tables])
-        ).alias("t", "bkt"),
-    )
+    mode = _resolve_carrier(n_tables * n_bits * dim, carrier)
+    if mode == "kernel":
+        buckets = srp_buckets_kernel(
+            assigned.select("cluster", "id", "v"),
+            tables,
+            vec_col="v",
+            drop_vec=True,
+        )
+    else:
+        if mode == "table":
+            # one-row broadcast table carries every plane set: bucket
+            # arithmetic unchanged, plan stays KB-scale instead of
+            # baking n_tables*n_bits*dim doubles into generated code
+            tdf = emb.sparkSession.createDataFrame(
+                [(tables,)], "__tables array<array<array<double>>>"
+            )
+            bucket_arr = F.transform(
+                F.col("__tables"),
+                lambda planes: srp_bucket(F.col("v"), planes),
+            )
+            bucket_src = assigned.crossJoin(F.broadcast(tdf))
+        else:
+            bucket_arr = F.array(
+                *[srp_bucket(F.col("v"), planes) for planes in tables]
+            )
+            bucket_src = assigned
+        buckets = bucket_src.select(
+            "cluster",
+            "id",
+            F.posexplode(bucket_arr).alias("t", "bkt"),
+        )
     if max_bucket is not None:
         sizes = buckets.groupBy("cluster", "t", "bkt").agg(
             F.count(F.lit(1)).alias("__n")
