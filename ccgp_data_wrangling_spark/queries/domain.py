@@ -1352,3 +1352,108 @@ def biosample_sheet_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         impute_required(geo_out).alias("geo_loc_name"),
         impute_required(lat_lon_out).alias("lat_lon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §3.3 SRA-sheet E2E — the OTHER half of create_sheets_ultimate.py,
+# composed as one driver-gated query (the biosample chain above is its
+# twin): R1 adjacent read-pairing over the sorted .gz fileset → J3
+# per-pair instrument lookup as a LEFT JOIN (the reference does a
+# find_one per row, :387-447) → F8 uploaded filter → X8 SRA defaults.
+# The fixture derives samples AND reads from customer arithmetic, with
+# the .gz entries deliberately emitted R2-before-R1 plus a non-.gz
+# distractor so the F6 suffix filter and the sort both carry weight;
+# the oracle replays the pairing closed-form (pair j of sample k
+# exists iff j < k % 3) and mirrors the join/filter/defaults in SQL.
+# ---------------------------------------------------------------------------
+
+_SRA_E2E_SQL = """
+WITH pairs AS (
+  SELECT c_name AS sample_name,
+         c_custkey AS k,
+         CASE c_custkey % 2 WHEN 0 THEN 'Neotoma fuscipes'
+                            ELSE 'Rana draytonii' END AS organism,
+         j
+  FROM customer, (VALUES (0), (1)) AS t(j)
+  WHERE j < c_custkey % 3
+),
+named AS (
+  SELECT *,
+         sample_name || '_L' || CAST(j AS VARCHAR) || '_R1.fastq.gz' AS filename,
+         sample_name || '_L' || CAST(j AS VARCHAR) || '_R2.fastq.gz' AS filename2
+  FROM pairs
+)
+SELECT sample_name AS "*sample_name",
+       sample_name || '_L' || CAST(j AS VARCHAR) AS library_ID,
+       'Whole genome sequencing of ' || organism AS title,
+       CASE WHEN k % 4 = 0 THEN 'Illumina HiSeq X'
+            ELSE 'Illumina NovaSeq 6000' END AS instrument_model,
+       filename,
+       filename2,
+       'CCGP-' || CAST(k % 9 AS VARCHAR) AS ccgp_project_id,
+       'WGS' AS library_strategy,
+       'GENOMIC' AS library_source,
+       'RANDOM' AS library_selection,
+       'PAIRED' AS library_layout,
+       'ILLUMINA' AS platform,
+       'fastq' AS filetype
+FROM named
+WHERE NOT (k % 5 = 0 AND j = 0)
+"""
+
+
+@register("sra_sheet_e2e", _SRA_E2E_SQL)
+def sra_sheet_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole §3.3 SRA-sheet chain composed end-to-end via
+    pipelines/sheets.sra_sheet (reference create_sheets_ultimate.py:
+    387-447): F6 .gz filter → array_sort → R1 adjacent pairing →
+    J3 instrument left join → F8 uploaded filter → X8 SRA defaults.
+    Samples with zero read pairs (k % 3 = 0) prove the fileset gate;
+    reads rows exist for EVERY R1 so the join always participates,
+    with instrument NULL for 3/4 of them so the X8 default coalesce
+    fires on real rows."""
+    from ccgp_data_wrangling_spark.pipelines.sheets import sra_sheet
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    name = F.col("c_name")
+    organism = F.when(k % 2 == 0, "Neotoma fuscipes").otherwise(
+        "Rana draytonii"
+    )
+    nf = (k % 3).cast("int")
+    gz_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), nf - 1),
+            # R2 first on purpose — sra_sheet's array_sort must fix it
+            lambda j: F.array(
+                F.concat(name, F.lit("_L"), j.cast("string"), F.lit("_R2.fastq.gz")),
+                F.concat(name, F.lit("_L"), j.cast("string"), F.lit("_R1.fastq.gz")),
+            ),
+        )
+    )
+    distractor = F.array(F.concat(name, F.lit("_report.txt")))
+    files = F.when(nf > 0, F.concat(distractor, gz_pairs)).otherwise(distractor)
+    samples = cust.select(
+        name.alias("sample_name"),
+        organism.alias("organism"),
+        F.concat(F.lit("CCGP-"), (k % 9).cast("string")).alias("ccgp_project_id"),
+        files.alias("files"),
+    )
+    reads = (
+        cust.where(k % 3 > 0)
+        .select(name.alias("__n"), k.alias("__k"),
+                F.explode(F.sequence(F.lit(0), nf - 1)).alias("__j"))
+        .select(
+            F.concat(
+                F.col("__n"), F.lit("_L"), F.col("__j").cast("string"),
+                F.lit("_R1.fastq.gz"),
+            ).alias("file_name"),
+            F.when(F.col("__k") % 4 == 0, "Illumina HiSeq X").alias(
+                "instrument_model"
+            ),
+            F.when((F.col("__k") % 5 == 0) & (F.col("__j") == 0), "yes")
+            .otherwise("no")
+            .alias("uploaded_to_NCBI"),
+        )
+    )
+    return sra_sheet(samples, reads)
