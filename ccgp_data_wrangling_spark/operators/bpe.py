@@ -142,6 +142,7 @@ def bpe_train(
     n_merges: int = 8,
     min_count: int = 2,
     checkpoint_every: int = 4,
+    delta: bool = True,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from a text column.
 
@@ -149,12 +150,29 @@ def bpe_train(
     order. Stops early when the best remaining pair's count falls
     below ``min_count``. Deterministic on any layout: the winner is
     (count desc, left asc, right asc).
+
+    ``delta=True`` (default) maintains a PERSISTED pair-count table
+    the way industrial trainers do (HuggingFace tokenizers' trainer,
+    SentencePiece): after merge ``(l, r)`` only the words whose state
+    CONTAINS the merged pattern change, so the round recounts pairs
+    for that affected subset only and folds ``new − old`` into the
+    count table. Identical selections to the full recount (the delta
+    is computed with the same counter over the same words — exact
+    arithmetic, not an approximation; property-tested against the
+    recount path and the pure-Python Sennrich reference), but per
+    round the explode touches |affected| words instead of |vocab| —
+    on real Zipf corpora a vanishing fraction after the first few
+    merges. ``delta=False`` keeps the simple full-recount loop (the
+    form the DuckDB oracle unrolls verbatim).
     """
     vocab = _vocab(docs, text_col).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
+    counts = (
+        _pair_counts(vocab).localCheckpoint(eager=True) if delta else None
+    )
     for i in range(n_merges):
         best = (
-            _pair_counts(vocab)
+            (counts if delta else _pair_counts(vocab))
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
             .limit(1)
             .collect()
@@ -163,7 +181,30 @@ def bpe_train(
             break
         l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
         merges.append((l, r, cnt))
-        vocab = vocab.withColumn("s", _merge_expr(F.col("s"), l, r))
+        if delta:
+            pattern = OPEN + l + CLOSE + OPEN + r + CLOSE
+            hit = F.col("s").contains(F.lit(pattern))
+            # small by construction: only words containing the winning
+            # pair change state; checkpoint so old/new both read one
+            # materialized copy instead of re-filtering the vocab
+            affected = vocab.where(hit).localCheckpoint(eager=True)
+            merged_words = affected.withColumn(
+                "s", _merge_expr(F.col("s"), l, r)
+            )
+            removed = _pair_counts(affected).withColumn(
+                "cnt", -F.col("cnt")
+            )
+            delta_counts = _pair_counts(merged_words).unionByName(removed)
+            counts = (
+                counts.unionByName(delta_counts)
+                .groupBy("l", "r")
+                .agg(F.sum("cnt").alias("cnt"))
+                .where(F.col("cnt") > 0)
+                .localCheckpoint(eager=True)
+            )
+            vocab = vocab.where(~hit).unionByName(merged_words)
+        else:
+            vocab = vocab.withColumn("s", _merge_expr(F.col("s"), l, r))
         if (i + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
     return merges

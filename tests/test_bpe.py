@@ -173,3 +173,48 @@ def test_property_random_corpora_match_reference(spark):
                 assert list(r.t) == _ref_encode(texts[r.doc_id], got)
 
     run()
+
+
+def test_bpe_delta_equals_full_recount_and_touches_few_words(spark):
+    """The delta-maintained pair-count table must reproduce the full
+    recount's merges exactly, and on a planted Zipf-ish corpus the
+    affected set (words containing the winning pattern) is a small
+    fraction of the vocab — the property that makes the round cost
+    sublinear in vocab size."""
+    # many distinct filler words, one tiny planted family carrying the
+    # two most frequent pairs: (z,q) x3 per occurrence, then (zq,zq)
+    texts = []
+    for i in range(300):
+        texts.append(f"unique{i}x word{i % 7}")  # broad vocab
+    texts += ["zqzqzq"] * 200
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    fast = bpe_train(df, "text", n_merges=6, min_count=2, delta=True)
+    slow = bpe_train(df, "text", n_merges=6, min_count=2, delta=False)
+    ref, _ = _ref_train(texts, 6, 2)
+    assert fast == slow == ref
+
+    # sublinearity witness: after the first merge, words containing the
+    # winning pattern are a small slice of the distinct-word vocab
+    from ccgp_data_wrangling_spark.operators.bpe import (
+        CLOSE,
+        OPEN,
+        _merge_expr,
+        _vocab,
+    )
+
+    vocab = _vocab(df, "text")
+    n_vocab = vocab.count()
+    l, r, _ = fast[0]
+    pattern = OPEN + l + CLOSE + OPEN + r + CLOSE
+    state = F.col("s")
+    for m in fast[:1]:
+        state = _merge_expr(state, m[0], m[1])
+    l2, r2, _ = fast[1]
+    pattern2 = OPEN + l2 + CLOSE + OPEN + r2 + CLOSE
+    affected2 = vocab.select(state.alias("s")).where(
+        F.col("s").contains(pattern2)
+    ).count()
+    assert n_vocab > 300
+    assert affected2 <= 5
+    assert (l, r) == ("z", "q") and (l2, r2) == ("zq", "zq")
