@@ -102,6 +102,8 @@ HEADLINE = [
     "fingerprint_hamming_neardup",
     # round 6
     "multimodal_jpeg_progressive_decode",
+    "sra_sheet_e2e",
+    "image_phash_neardup_dedup",
 ]
 
 

@@ -1860,3 +1860,100 @@ def fingerprint_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_neardup_pairs(
         fp, "id", "bits", max_hamming=3, n_bands=8, band_width=8
     )
+
+
+# ---------------------------------------------------------------------------
+# pHash near-dup dedup at corpus scale — the full keep/drop chain:
+# REAL DCT perceptual hashes (media_codecs.phash64 over synthesized
+# images) → pigeonhole Hamming candidate join (max_hamming 3 < 8
+# bands, provably complete) → connected components → canonical-min
+# keep rule (operators/components.neardup_clusters' policy).
+#
+# Closed-form oracle: ten pattern classes chosen so their REAL pHashes
+# are pairwise ≥ 20 bits apart (regression-guarded in
+# test_media_codecs); per class the rows are a base image, a 2×
+# nearest-upscale (pHash-invariant, bit-identical), and arithmetic
+# "re-encode drift" twins at XOR distance 1-3. Intra-class rows all
+# sit ≤ 3 bits from the base hash → one component; cross-class pairs
+# are ≥ 20−3−3 = 14 bits apart → never candidates. So the clusters
+# are exactly the classes, and the keep set is the min id per class —
+# pure event_id arithmetic for DuckDB, while the Spark side computes
+# every fingerprint from real pixel decodes.
+# ---------------------------------------------------------------------------
+
+#: pattern classes with pairwise pHash Hamming distance >= 20
+_PHASH_ND_CLASSES = [0, 1, 2, 3, 4, 5, 7, 9, 10, 12]
+
+_PHASH_ND_SQL = """
+SELECT event_id AS id,
+       MIN(event_id) OVER (PARTITION BY (event_id - 9) // 20 % 10) AS cluster_id,
+       event_id = MIN(event_id) OVER (PARTITION BY (event_id - 9) // 20 % 10) AS keep
+FROM events WHERE event_id % 20 = 9
+"""
+
+
+@register("image_phash_neardup_dedup", _PHASH_ND_SQL)
+def image_phash_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash near-duplicate IMAGE dedup end-to-end: real perceptual
+    hashes, banded Hamming join (ids-only candidates, one
+    bit_count(xor) verify), alternating-algorithm components, keep =
+    canonical minimum — the image twin of the text dedup families'
+    keep/drop shape. Scale: every stage is the scale-safe form its
+    operator docstring proves (hash groupBy, pigeonhole bands, star
+    contraction); nothing here is quadratic in the corpus."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.components import (
+        neardup_clusters,
+    )
+    from ccgp_data_wrangling_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+    from ccgp_data_wrangling_spark.operators.media_codecs import phash64
+
+    classes = _PHASH_ND_CLASSES
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 9
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i, j = np.mgrid[0:16, 0:16]
+        for pdf in batches:
+            fps = []
+            for eid in pdf["id"]:
+                g = int(eid) // 20
+                c = classes[g % 10]
+                role = g % 3
+                px = (
+                    (c * 7 + i * 3 + j * 5 + (i * j * (c % 5)) // 3) % 256
+                ).astype(np.uint8)
+                if role == 1:  # nearest-neighbor 2x upscale: hash-invariant
+                    px = np.repeat(np.repeat(px, 2, 0), 2, 1)
+                h = phash64(px)
+                if role == 2:  # re-encode drift: 1-3 flipped bits
+                    k = int(eid) % 3 + 1
+                    pos = {int(eid) * m % 63 for m in (7, 11, 13)}
+                    for p in sorted(pos)[:k]:
+                        h ^= 1 << p
+                fps.append(h)
+            yield pd.DataFrame({"id": pdf["id"].values, "fp": fps})
+
+    fps = ev.mapInPandas(kernel, schema="id long, fp long")
+    pairs = hamming_neardup_pairs(
+        fps, "id", "fp", max_hamming=3, n_bands=8, band_width=8
+    )
+    clus = neardup_clusters(pairs).select(
+        F.col("doc_id").alias("id"), "cluster_id"
+    )
+    rep = F.coalesce(F.col("cluster_id"), F.col("id"))
+    return fps.join(clus, "id", "left").select(
+        "id",
+        rep.alias("cluster_id"),
+        (F.col("id") == rep).alias("keep"),
+    )

@@ -563,3 +563,32 @@ def test_hamming_neardup_pairs_on_real_phashes(spark):
 
     with _pytest.raises(ValueError, match="completeness"):
         hamming_neardup_pairs(df, "id", "ph", max_hamming=8, n_bands=8)
+
+
+def test_phash_neardup_gate_classes_well_separated():
+    """image_phash_neardup_dedup's oracle needs its ten pattern
+    classes pairwise >= 20 Hamming bits apart (twins drift <= 3 bits
+    from their base, so components can only merge across classes if
+    two classes come within 3+3 bits). A phash64 kernel change that
+    collapses this margin must fail HERE before the driver gate."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import phash64
+    from ccgp_data_wrangling_spark.queries.llm_scale import (
+        _PHASH_ND_CLASSES,
+    )
+
+    i, j = np.mgrid[0:16, 0:16]
+    hs = []
+    for c in _PHASH_ND_CLASSES:
+        px = ((c * 7 + i * 3 + j * 5 + (i * j * (c % 5)) // 3) % 256).astype(
+            np.uint8
+        )
+        hs.append(phash64(px))
+        # the 2x nearest upscale used for role-1 rows is hash-invariant
+        up = np.repeat(np.repeat(px, 2, 0), 2, 1)
+        assert phash64(up) == hs[-1]
+    dists = [
+        bin(a ^ b).count("1") for x, a in enumerate(hs) for b in hs[x + 1 :]
+    ]
+    assert min(dists) >= 20
