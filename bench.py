@@ -104,6 +104,7 @@ HEADLINE = [
     "multimodal_jpeg_progressive_decode",
     "sra_sheet_e2e",
     "image_phash_neardup_dedup",
+    "multimodal_png16_decode",
 ]
 
 

@@ -1379,8 +1379,11 @@ def _filter_lines(flat: np.ndarray, ch: int) -> bytearray:
 
 def decode_png(payload: bytes) -> dict[str, Any]:
     """REAL PNG decode: chunk parse, zlib inflate, scanline unfilter
-    (all five filter types), palette expansion. Returns the same
-    feature shape as decode_netpbm."""
+    (all five filter types, byte-distance = bytes-per-pixel per RFC
+    2083 §6.2 — which is what makes the same unfilter code exact for
+    8- AND 16-bit depths), palette expansion, big-endian 16-bit sample
+    reassembly. Returns the same feature shape as decode_netpbm;
+    means are in NATIVE sample units (0..255 or 0..65535)."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
@@ -1398,15 +1401,17 @@ def decode_png(payload: bytes) -> dict[str, Any]:
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
             depth, ctype, comp, filt, ilace = data[8:13]
-            if depth != 8:
+            if depth not in (8, 16):
                 raise NotImplementedError(f"{depth}-bit PNG not supported")
             if ctype not in _PNG_CHANNELS:
                 raise ValueError(f"invalid PNG color type {ctype}")
+            if ctype == 3 and depth == 16:
+                raise ValueError("palette PNG cannot be 16-bit")
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
             if ilace not in (0, 1):
                 raise ValueError(f"invalid PNG interlace method {ilace}")
-            ihdr = (w, h, ctype, ilace)
+            ihdr = (w, h, ctype, ilace, depth)
         elif typ == b"PLTE":
             plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
@@ -1415,24 +1420,35 @@ def decode_png(payload: bytes) -> dict[str, Any]:
             break
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
-    w, h, ctype, ilace = ihdr
+    w, h, ctype, ilace, depth = ihdr
     ch = _PNG_CHANNELS[ctype]
+    nb = depth // 8  # bytes per sample
+    bpp = ch * nb  # filter byte-distance (RFC 2083 §6.2: ≥ 1 byte)
+
+    def to_px(rows: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        """Unfiltered byte rows → (ph, pw, ch) sample array (uint8 or,
+        for depth 16, big-endian pairs combined into uint16)."""
+        if nb == 1:
+            return rows.reshape(ph, pw, ch)
+        wide = (rows[:, 0::2].astype(np.uint16) << 8) | rows[:, 1::2]
+        return wide.reshape(ph, pw, ch)
+
     raw = zlib.decompress(bytes(idat))
     if ilace == 0:
-        rows, pos = _unfilter_lines(raw, 0, h, w * ch, ch)
+        rows, pos = _unfilter_lines(raw, 0, h, w * bpp, bpp)
         if pos != len(raw):
             raise ValueError("PNG pixel data length mismatch")
-        px = rows.reshape(h, w, ch)
+        px = to_px(rows, h, w)
     else:  # Adam7: seven independently-filtered sub-images
-        px = np.zeros((h, w, ch), np.uint8)
+        px = np.zeros((h, w, ch), np.uint8 if nb == 1 else np.uint16)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            rows, pos = _unfilter_lines(raw, pos, ph, pw * ch, ch)
-            px[y0::dy, x0::dx] = rows.reshape(ph, pw, ch)
+            rows, pos = _unfilter_lines(raw, pos, ph, pw * bpp, bpp)
+            px[y0::dy, x0::dx] = to_px(rows, ph, pw)
         if pos != len(raw):
             raise ValueError("PNG pixel data length mismatch")
     if ctype == 3:
@@ -1458,9 +1474,11 @@ def decode_png(payload: bytes) -> dict[str, Any]:
 
 def encode_png(px: np.ndarray, *, interlace: bool = False) -> bytes:
     """Fixture PNG encoder: gray ``(h, w)``, RGB ``(h, w, 3)`` or RGBA
-    ``(h, w, 4)`` uint8. Scanlines cycle through all five filter types
-    (row % 5) so a decoder must implement every unfilter path; the
-    stream stays losslessly exact regardless of filter choice.
+    ``(h, w, 4)``; uint8 writes depth 8, uint16 writes depth 16
+    (big-endian sample bytes, filters over the byte stream with the
+    bytes-per-pixel distance). Scanlines cycle through all five filter
+    types (row % 5) so a decoder must implement every unfilter path;
+    the stream stays losslessly exact regardless of filter choice.
     ``interlace`` writes Adam7 (seven independently-filtered passes)."""
     import zlib
 
@@ -1468,17 +1486,26 @@ def encode_png(px: np.ndarray, *, interlace: bool = False) -> bytes:
         px = px[..., None]
     h, w, ch = px.shape
     ctype = {1: 0, 3: 2, 4: 6}[ch]
+    depth = 16 if px.dtype == np.uint16 else 8
+    bpp = ch * (depth // 8)
+
+    def byte_rows(sub: np.ndarray) -> np.ndarray:
+        """(ph, pw, ch) samples → (ph, pw*bpp) filter-input bytes."""
+        ph, pw = sub.shape[0], sub.shape[1]
+        if depth == 8:
+            return sub.reshape(ph, pw * ch).astype(np.int64)
+        b = np.ascontiguousarray(sub.astype(">u2")).view(np.uint8)
+        return b.reshape(ph, pw * bpp).astype(np.int64)
+
     if interlace:
         raw = bytearray()
         for x0, y0, dx, dy in _ADAM7:
             sub = px[y0::dy, x0::dx]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
-            raw += _filter_lines(
-                sub.reshape(sub.shape[0], sub.shape[1] * ch).astype(np.int64), ch
-            )
+            raw += _filter_lines(byte_rows(sub), bpp)
     else:
-        raw = _filter_lines(px.reshape(h, w * ch).astype(np.int64), ch)
+        raw = _filter_lines(byte_rows(px), bpp)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -1491,7 +1518,7 @@ def encode_png(px: np.ndarray, *, interlace: bool = False) -> bytes:
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, ctype, 0, 0, 1 if interlace else 0])
+        + bytes([depth, ctype, 0, 0, 1 if interlace else 0])
     )
     return (
         _PNG_SIG

@@ -1957,3 +1957,156 @@ def image_phash_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep.alias("cluster_id"),
         (F.col("id") == rep).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 16-bit PNG decode through the driver gate: same chunk/inflate/
+# unfilter machinery as the 8-bit gate but with big-endian sample
+# pairs and the bytes-per-pixel filter distance — the high-bit-depth
+# variant scientific/archival corpora carry. Lossless, so the oracle
+# is the exact 16-bit source construction (red 16-bit gradient,
+# green/blue flat, all scaled by 257 into the 16-bit range).
+# ---------------------------------------------------------------------------
+
+_PNG16_SQL = """
+SELECT event_id AS id,
+       'image' AS kind,
+       CAST((event_id % 5) + 2 AS INT) AS width,
+       CAST((event_id % 7) + 2 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       ROUND(
+         0.299 * (((event_id % 150) + 20) * 257 + 1000.0 * ((event_id % 7) + 1) / 2.0)
+         + 0.587 * (((event_id % 90) + 40) * 257)
+         + 0.114 * (((event_id % 60) + 50) * 257), 4) AS luma_mean
+FROM events WHERE event_id % 20 = 11
+"""
+
+
+@register("multimodal_png16_decode", _PNG16_SQL)
+def multimodal_png16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-16 PNG decode end-to-end: uint16 fixture payloads (all
+    five filters cycling, alternate images Adam7-interlaced) →
+    big-endian pair reassembly → channel means in native 16-bit
+    units, driver-checked against the construction's closed form.
+    Same two-Arrow-stage shape as the other media gates."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import encode_png
+    from ccgp_data_wrangling_spark.operators.multimodal import (
+        extract_real_features,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 11
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                w = int(eid % 5) + 2
+                h = int(eid % 7) + 2
+                base_r = (int(eid % 150) + 20) * 257
+                g = (int(eid % 90) + 40) * 257
+                b = (int(eid % 60) + 50) * 257
+                px = np.zeros((h, w, 3), np.uint16)
+                px[:, :, 0] = (base_r + 1000 * np.arange(h))[:, None]
+                px[:, :, 1] = g
+                px[:, :, 2] = b
+                payloads.append(encode_png(px, interlace=bool(eid % 2)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "payload": payloads,
+                    "media_type": "image/png",
+                }
+            )
+
+    media = ev.mapInPandas(
+        synth, schema="id long, payload binary, media_type string"
+    )
+    feats = extract_real_features(media)
+    return feats.select(
+        "id", "kind", "width", "height", "n_channels", "luma_mean"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction through the driver gate: documents are laced with
+# constructed emails / phones / IPs / SSNs (presence keyed on doc_id
+# arithmetic); the engine runs the real regexp_count/regexp_replace
+# chain (operators/privacy.pii_redact) while the oracle builds the
+# EXPECTED redacted string and counts directly from the construction
+# — an independent check that the regex layer matches exactly what it
+# should and nothing else. The natural-text prefix is stripped of
+# digits and '@' so no accidental pattern can fire outside the plant.
+# ---------------------------------------------------------------------------
+
+_PII_SQL = """
+SELECT doc_id,
+       1 AS n_email,
+       CAST(doc_id % 5 = 2 AS INT) AS n_ssn,
+       CAST(doc_id % 3 = 0 AS INT) AS n_phone,
+       CAST(doc_id % 4 = 1 AS INT) AS n_ip,
+       regexp_replace(substr(text, 1, 30), '[0-9@]', '', 'g')
+         || ' mail [EMAIL]'
+         || CASE WHEN doc_id % 3 = 0 THEN ' tel [PHONE]' ELSE '' END
+         || CASE WHEN doc_id % 4 = 1 THEN ' host [IP]' ELSE '' END
+         || CASE WHEN doc_id % 5 = 2 THEN ' id [SSN]' ELSE '' END
+         AS redacted
+FROM documents
+"""
+
+
+@register("pii_redaction_stats", _PII_SQL)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub end-to-end: lace each document with constructed PII,
+    run the chained regexp_count/regexp_replace scrub
+    (operators/privacy.pii_redact — pure codegen, the only form that
+    holds over a full-corpus pass), return per-doc counts + redacted
+    text. The oracle reconstructs the expected output without running
+    any regex, so a pattern that over- or under-matches fails the
+    hash."""
+    from ccgp_data_wrangling_spark.operators.privacy import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    prefix = F.regexp_replace(F.substring("text", 1, 30), "[0-9@]", "")
+    laced = F.concat(
+        prefix,
+        F.lit(" mail "),
+        F.concat(F.lit("u"), d.cast("string"), F.lit("@ex.com")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" tel 415-555-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+        F.when(
+            d % 4 == 1,
+            F.concat(F.lit(" host 10.0."), (d % 256).cast("string"), F.lit(".7")),
+        ).otherwise(""),
+        F.when(
+            d % 5 == 2,
+            F.concat(
+                F.lit(" id 123-45-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    staged = docs.select("doc_id", laced.alias("__laced"))
+    redacted, counts = pii_redact(F.col("__laced"))
+    return staged.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_ssn"].alias("n_ssn"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ip"].alias("n_ip"),
+        redacted.alias("redacted"),
+    )

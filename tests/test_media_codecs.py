@@ -384,17 +384,42 @@ def test_png_honest_gates():
 
     with _pytest.raises(ValueError):
         decode_png(b"NOTPNG" + bytes(20))
-    # 16-bit depth raises NotImplementedError
+    # sub-byte depths still raise NotImplementedError
     good = bytearray(encode_png(np.full((4, 4), 3, np.uint8)))
-    deep = bytearray(good)
-    deep[8 + 8 + 8] = 16  # IHDR bit-depth byte
-    with _pytest.raises(NotImplementedError, match="16-bit"):
-        decode_png(bytes(deep))
+    shallow = bytearray(good)
+    shallow[8 + 8 + 8] = 4  # IHDR bit-depth byte
+    with _pytest.raises(NotImplementedError, match="4-bit"):
+        decode_png(bytes(shallow))
     # a sequential stream mislabeled as Adam7 fails loudly, not garbage
     laced = bytearray(good)
     laced[8 + 8 + 12] = 1  # IHDR interlace byte
     with _pytest.raises(ValueError, match="length mismatch"):
         decode_png(bytes(laced))
+
+
+def test_png_16bit_roundtrip_exact_all_filters_and_adam7():
+    """Depth-16 PNG (big-endian sample pairs, filter byte-distance =
+    bytes-per-pixel) round-trips EXACTLY through both codec
+    directions, plain and interlaced, gray/RGB/RGBA, full 0..65535
+    range."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(13, 7), (16, 16, 3), (3, 2, 4), (1, 9, 3)]:
+        px = rng.integers(0, 65536, shape).astype(np.uint16)
+        for il in (False, True):
+            d = decode_png(encode_png(px, interlace=il))
+            want = px if px.ndim == 3 else px[..., None]
+            assert d["channel_means"] == [
+                round(float(m), 4)
+                for m in want.astype(np.float64).mean(axis=(0, 1))
+            ], (shape, il)
+            assert (d["width"], d["height"]) == (want.shape[1], want.shape[0])
 
 
 def test_png_adam7_interlace_roundtrip_exact():
