@@ -105,6 +105,8 @@ HEADLINE = [
     "sra_sheet_e2e",
     "image_phash_neardup_dedup",
     "multimodal_png16_decode",
+    "pii_redaction_stats",
+    "multimodal_gif_frame_sample",
 ]
 
 

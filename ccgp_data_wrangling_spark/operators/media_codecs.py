@@ -183,17 +183,27 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(payload: bytes) -> dict[str, Any]:
-    """REAL GIF87a/89a decode of the first image frame: header +
-    color tables + sub-block reassembly + LZW (variable-width,
-    CLEAR/EOI, KwKwK, 12-bit cap) + optional deinterlace. Returns the
-    same feature shape as decode_netpbm, plus the frame count.
+def decode_gif_frames(
+    payload: bytes,
+) -> tuple[list[np.ndarray], list[int]]:
+    """REAL GIF87a/89a decode of EVERY frame with animation
+    compositing: header + color tables + Graphic Control Extensions
+    (delay, transparency, disposal) + sub-block reassembly + LZW
+    (variable-width, CLEAR/EOI, KwKwK, 12-bit cap) + optional
+    deinterlace, frame rects pasted onto the logical-screen canvas.
+
+    Returns ``(frames, delays_cs)``: one full-canvas ``(sh, sw, 3)``
+    uint8 array per frame and its delay in centiseconds (0 when no
+    GCE). Disposal methods 0/1 (leave) and 2 (restore rect to the
+    background color) are implemented; 3 (restore to previous) raises
+    honestly — it is rare and needs a frame-history stack.
     """
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw = int.from_bytes(payload[6:8], "little")
     sh = int.from_bytes(payload[8:10], "little")
     packed = payload[10]
+    bg_index = payload[11]
     pos = 13
     gct = None
     if packed & 0x80:
@@ -201,21 +211,43 @@ def decode_gif(payload: bytes) -> dict[str, Any]:
         gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
         pos += 3 * n
 
-    n_frames = 0
-    first_px = None
+    bg_rgb = (
+        gct[bg_index] if gct is not None and bg_index < len(gct)
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    # pending GCE state for the NEXT image descriptor
+    delay_cs = 0
+    transparent: int | None = None
+    disposal = 0
     while pos < len(payload):
         block = payload[pos]
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension: label + sub-blocks
+            label = payload[pos + 1]
             pos += 2
+            if label == 0xF9:  # Graphic Control Extension
+                blen = payload[pos]
+                gce = payload[pos + 1 : pos + 1 + blen]
+                disposal = (gce[0] >> 2) & 0x07
+                delay_cs = int.from_bytes(gce[1:3], "little")
+                transparent = gce[3] if gce[0] & 0x01 else None
+                if disposal == 3:
+                    raise NotImplementedError(
+                        "GIF disposal method 3 (restore to previous)"
+                    )
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
-        # image descriptor
+        # image descriptor: left, top, width, height, packed
+        ix = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+        iy = int.from_bytes(payload[pos + 3 : pos + 5], "little")
         iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
         ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
         ipacked = payload[pos + 9]
@@ -227,6 +259,8 @@ def decode_gif(payload: bytes) -> dict[str, Any]:
                 payload[pos : pos + 3 * n], np.uint8
             ).reshape(n, 3)
             pos += 3 * n
+        if table is None:
+            raise ValueError("GIF frame without a color table")
         min_code = payload[pos]
         pos += 1
         chunks = []
@@ -235,29 +269,41 @@ def decode_gif(payload: bytes) -> dict[str, Any]:
             chunks.append(payload[pos + 1 : pos + 1 + ln])
             pos += 1 + ln
         pos += 1
-        n_frames += 1
-        if first_px is None:
-            if table is None:
-                raise ValueError("GIF frame without a color table")
-            idx = np.array(_lzw_decode(b"".join(chunks), min_code), np.int64)
-            if idx.size != iw * ih:
-                raise ValueError(
-                    f"LZW yielded {idx.size} pixels for {iw}x{ih}"
-                )
-            grid = idx.reshape(ih, iw)
-            if ipacked & 0x40:  # deinterlace
-                de = np.empty_like(grid)
-                src = 0
-                for start, step in _INTERLACE_PASSES:
-                    rows = range(start, ih, step)
-                    for r in rows:
-                        de[r] = grid[src]
-                        src += 1
-                grid = de
-            first_px = table[grid]  # (h, w, 3) uint8
+        idx = np.array(_lzw_decode(b"".join(chunks), min_code), np.int64)
+        if idx.size != iw * ih:
+            raise ValueError(f"LZW yielded {idx.size} pixels for {iw}x{ih}")
+        grid = idx.reshape(ih, iw)
+        if ipacked & 0x40:  # deinterlace
+            de = np.empty_like(grid)
+            src = 0
+            for start, step in _INTERLACE_PASSES:
+                for r in range(start, ih, step):
+                    de[r] = grid[src]
+                    src += 1
+            grid = de
+        rect = canvas[iy : iy + ih, ix : ix + iw]
+        if transparent is not None:
+            mask = grid != transparent
+            rect[mask] = table[grid[mask]]
+        else:
+            rect[...] = table[grid]
+        frames.append(canvas.copy())
+        delays.append(delay_cs)
+        if disposal == 2:  # restore the frame rect to background
+            canvas[iy : iy + ih, ix : ix + iw] = bg_rgb
+        delay_cs, transparent, disposal = 0, None, 0
 
-    if first_px is None:
+    if not frames:
         raise ValueError("GIF contains no image frame")
+    return frames, delays
+
+
+def decode_gif(payload: bytes) -> dict[str, Any]:
+    """First-frame features + frame count of a (possibly animated)
+    GIF — the :func:`decode_netpbm` feature shape. Full per-frame
+    access is :func:`decode_gif_frames`."""
+    frames, _ = decode_gif_frames(payload)
+    first_px = frames[0]
     means = first_px.astype(np.float64).mean(axis=(0, 1))
     return {
         "kind": "image",
@@ -268,7 +314,7 @@ def decode_gif(payload: bytes) -> dict[str, Any]:
         "luma_mean": round(
             float(means @ np.array([0.299, 0.587, 0.114])), 4
         ),
-        "n_frames": n_frames,
+        "n_frames": len(frames),
     }
 
 
@@ -282,17 +328,43 @@ def encode_gif(px: np.ndarray, *, interlace: bool = False) -> bytes:
     while remaining a fully conformant stream for any decoder.
     """
     h, w = px.shape[:2]
-    flat = px.reshape(-1, 3)
-    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    table, grid = _gif_quantize(px)
+    buf = bytearray()
+    buf += b"GIF89a"
+    buf += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    buf += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    buf += table.tobytes()
+    buf += _gif_image_block(grid, 0, 0, interlace=interlace)
+    buf += b"\x3b"
+    return bytes(buf)
+
+
+def _gif_quantize(px: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(256-entry color table, index grid) for an (h, w, 3) array."""
+    h, w = px.shape[:2]
+    colors, idx = np.unique(px.reshape(-1, 3), axis=0, return_inverse=True)
     if len(colors) > 256:
         raise ValueError("fixture encoder supports <= 256 colors")
     table = np.zeros((256, 3), np.uint8)
     table[: len(colors)] = colors
-    grid = idx.reshape(h, w)
+    return table, idx.reshape(h, w)
+
+
+def _gif_image_block(
+    grid: np.ndarray,
+    ix: int,
+    iy: int,
+    *,
+    interlace: bool = False,
+    local_table: np.ndarray | None = None,
+) -> bytes:
+    """Image descriptor (+ optional local color table) + LZW data
+    sub-blocks for one frame's index grid at offset (ix, iy)."""
+    ih, iw = grid.shape
     if interlace:
         order = []
         for start, step in _INTERLACE_PASSES:
-            order.extend(range(start, h, step))
+            order.extend(range(start, ih, step))
         grid = grid[order]
     seq = grid.reshape(-1)
 
@@ -323,17 +395,71 @@ def encode_gif(px: np.ndarray, *, interlace: bool = False) -> bytes:
         out.append(acc & 0xFF)
 
     buf = bytearray()
-    buf += b"GIF89a"
-    buf += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    buf += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
-    buf += table.tobytes()
-    buf += b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    buf += bytes([0x40 if interlace else 0x00])
+    buf += b"\x2c"
+    buf += ix.to_bytes(2, "little") + iy.to_bytes(2, "little")
+    buf += iw.to_bytes(2, "little") + ih.to_bytes(2, "little")
+    packed = 0x40 if interlace else 0x00
+    if local_table is not None:
+        packed |= 0x80 | 0x07
+    buf += bytes([packed])
+    if local_table is not None:
+        buf += local_table.tobytes()
     buf += bytes([min_code])
     for i in range(0, len(out), 255):
         chunk = out[i : i + 255]
         buf += bytes([len(chunk)]) + chunk
-    buf += b"\x00\x3b"
+    buf += b"\x00"
+    return bytes(buf)
+
+
+def encode_gif_animated(
+    frames: list[np.ndarray],
+    *,
+    delays_cs: list[int] | None = None,
+    offsets: list[tuple[int, int]] | None = None,
+    disposals: list[int] | None = None,
+    transparent_color: tuple[int, int, int] | None = None,
+    screen: tuple[int, int] | None = None,
+) -> bytes:
+    """Fixture ANIMATED GIF89a writer: one Graphic Control Extension +
+    image block per frame, each with its own LOCAL color table (so
+    frames quantize independently). ``offsets[k]`` places frame k's
+    rect on the logical screen; ``transparent_color`` pixels are
+    written as the transparent index (they show through to the prior
+    canvas); ``disposals[k]`` is the GCE disposal method (0/1/2).
+    ``screen`` overrides the inferred logical-screen size.
+    """
+    if not frames:
+        raise ValueError("animated GIF needs at least one frame")
+    offsets = offsets or [(0, 0)] * len(frames)
+    delays_cs = delays_cs or [10] * len(frames)
+    disposals = disposals or [0] * len(frames)
+    sw = max(ox + f.shape[1] for f, (ox, _) in zip(frames, offsets))
+    sh = max(oy + f.shape[0] for f, (_, oy) in zip(frames, offsets))
+    if screen is not None:
+        sw, sh = screen
+
+    buf = bytearray()
+    buf += b"GIF89a"
+    buf += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    buf += bytes([0x00, 0, 0])  # no global color table
+    for f, (ox, oy), delay, disp in zip(frames, offsets, delays_cs, disposals):
+        table, grid = _gif_quantize(f)
+        tindex = None
+        if transparent_color is not None:
+            hit = np.nonzero(
+                (table == np.array(transparent_color, np.uint8)).all(axis=1)
+            )[0]
+            if hit.size:
+                tindex = int(hit[0])
+        gce_packed = (disp & 0x07) << 2
+        if tindex is not None:
+            gce_packed |= 0x01
+        buf += bytes([0x21, 0xF9, 0x04, gce_packed])
+        buf += int(delay).to_bytes(2, "little")
+        buf += bytes([tindex or 0, 0x00])
+        buf += _gif_image_block(grid, ox, oy, local_table=table)
+    buf += b"\x3b"
     return bytes(buf)
 
 

@@ -302,3 +302,76 @@ def audio_spectral_features(
             yield out
 
     return df.select(id_col, payload_col).mapInPandas(op, schema=SPECTRAL_SCHEMA)
+
+
+GIF_FRAME_SCHEMA = (
+    "id long, frame_idx int, frame_ts_sec double, width int, "
+    "height int, luma_mean double"
+)
+
+
+def sample_frames_gif(
+    df: DataFrame,
+    every_sec: float,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL frame sampling from animated-GIF payloads — the concrete
+    instance of the video frame-sample shape (sample_frames) with an
+    actual stdlib decoder behind it: every frame is LZW-decoded and
+    composited (media_codecs.decode_gif_frames), the per-frame delays
+    build the timeline, and one frame is kept per ``every_sec`` window
+    (the first frame whose start time falls in the window — a real
+    video sampler's keyframe rule). Emitted rows carry per-frame
+    features (native luma mean) rather than raw pixels, the usual
+    shape when frames feed a filter or an embedding stage.
+
+    1→N expansion inside one Arrow pass; payloads never leave the
+    executors, and output size is bounded by duration/every_sec
+    regardless of frame rate.
+    """
+    if every_sec <= 0:
+        raise ValueError("every_sec must be positive")
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_gif_frames,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames, delays = decode_gif_frames(bytes(payload))
+                t = 0.0
+                next_emit = 0.0
+                for k, (px, d_cs) in enumerate(zip(frames, delays)):
+                    if t >= next_emit:
+                        m = px.astype(np.float64).mean(axis=(0, 1))
+                        rows.append(
+                            {
+                                "id": rid,
+                                "frame_idx": k,
+                                "frame_ts_sec": round(t, 6),
+                                "width": px.shape[1],
+                                "height": px.shape[0],
+                                "luma_mean": round(
+                                    float(
+                                        m @ np.array([0.299, 0.587, 0.114])
+                                    ),
+                                    4,
+                                ),
+                            }
+                        )
+                        next_emit += every_sec
+                    t += d_cs / 100.0
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "frame_idx", "frame_ts_sec",
+                    "width", "height", "luma_mean",
+                ],
+            )
+
+    narrow = df.select(id_col, payload_col)
+    return narrow.mapInPandas(op, schema=GIF_FRAME_SCHEMA)

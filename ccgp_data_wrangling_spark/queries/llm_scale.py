@@ -2110,3 +2110,75 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_ip"].alias("n_ip"),
         redacted.alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL video-style frame sampling through the driver gate, with
+# animated GIF as the container (the one multi-frame format the
+# stdlib codec family covers end-to-end): synth animations with
+# (eid%4)+2 flat frames at 10 cs each → full LZW decode + timeline
+# from the Graphic Control delays → keep one frame per 0.2 s window.
+# Closed form: emitted frame indices are exactly {0, 2, 4} ∩ range(n)
+# (the 0.1 s accumulation crosses each 0.2 s boundary on even
+# frames), and a flat frame's luma is the BT.601 sum both engines
+# evaluate in the same left-to-right float64 order.
+# ---------------------------------------------------------------------------
+
+_GIF_FRAMES_SQL = """
+SELECT event_id AS id,
+       CAST(k AS INT) AS frame_idx,
+       ROUND(CAST(k AS DOUBLE) * 0.1, 6) AS frame_ts_sec,
+       CAST(8 AS INT) AS width,
+       CAST(6 AS INT) AS height,
+       ROUND(0.299 * CAST((event_id % 180) + 20 + 7 * k AS DOUBLE)
+           + 0.587 * CAST((event_id % 180) + 20 + 7 * k AS DOUBLE)
+           + 0.114 * CAST((event_id % 180) + 20 + 7 * k AS DOUBLE), 4)
+         AS luma_mean
+FROM events, (VALUES (0), (2), (4)) AS t(k)
+WHERE event_id % 20 = 13 AND k < (event_id % 4) + 2
+"""
+
+
+@register("multimodal_gif_frame_sample", _GIF_FRAMES_SQL)
+def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real frame sampling end-to-end: encode_gif_animated fixtures
+    (per-frame GCE delays + local color tables) → decode_gif_frames
+    compositing decode → delay-driven timeline → one frame per 0.2 s
+    (operators/multimodal.sample_frames_gif). The 1→N expansion runs
+    inside one Arrow pass; output is bounded by duration/every_sec,
+    not frame rate."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        encode_gif_animated,
+    )
+    from ccgp_data_wrangling_spark.operators.multimodal import (
+        sample_frames_gif,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 13
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                n = int(eid % 4) + 2
+                base = int(eid % 180) + 20
+                frames = [
+                    np.full((6, 8, 3), base + 7 * k, np.uint8)
+                    for k in range(n)
+                ]
+                payloads.append(
+                    encode_gif_animated(frames, delays_cs=[10] * n)
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    media = ev.mapInPandas(synth, schema="id long, payload binary")
+    return sample_frames_gif(media, 0.2)

@@ -617,3 +617,92 @@ def test_phash_neardup_gate_classes_well_separated():
         bin(a ^ b).count("1") for x, a in enumerate(hs) for b in hs[x + 1 :]
     ]
     assert min(dists) >= 20
+
+
+def test_gif_animated_roundtrip_compositing_transparency_disposal():
+    """Animated GIF: every frame LZW-round-trips exactly; partial
+    rects composite onto the canvas; transparent pixels show the
+    prior canvas through; disposal 2 restores the rect to background;
+    disposal 3 raises honestly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [np.full((6, 8, 3), 20 * k + 10, np.uint8) for k in range(4)]
+    frames[2] = (rng.integers(0, 4, (6, 8, 3)) * 60).astype(np.uint8)
+    got, delays = decode_gif_frames(
+        encode_gif_animated(frames, delays_cs=[5, 10, 15, 20])
+    )
+    assert delays == [5, 10, 15, 20]
+    assert all(np.array_equal(a, b) for a, b in zip(frames, got))
+    assert decode_gif(encode_gif_animated(frames))["n_frames"] == 4
+
+    base = np.full((5, 7, 3), 100, np.uint8)
+    patch = np.full((2, 3, 3), 200, np.uint8)
+    got, _ = decode_gif_frames(
+        encode_gif_animated([base, patch], offsets=[(0, 0), (2, 1)])
+    )
+    want = base.copy()
+    want[1:3, 2:5] = 200
+    assert np.array_equal(got[1], want)
+
+    holey = patch.copy()
+    holey[0, 0] = (7, 7, 7)
+    got, _ = decode_gif_frames(
+        encode_gif_animated(
+            [base, holey],
+            offsets=[(0, 0), (2, 1)],
+            transparent_color=(7, 7, 7),
+        )
+    )
+    want_t = want.copy()
+    want_t[1, 2] = 100  # transparent pixel kept the base color
+    assert np.array_equal(got[1], want_t)
+
+    got, _ = decode_gif_frames(
+        encode_gif_animated(
+            [base, patch, patch],
+            offsets=[(0, 0), (2, 1), (2, 1)],
+            disposals=[0, 2, 0],
+        )
+    )
+    assert np.array_equal(got[2][1:3, 2:5], patch)
+
+    blob = bytearray(
+        encode_gif_animated([base, patch], disposals=[0, 0])
+    )
+    i = blob.find(b"\x21\xf9\x04")
+    blob[i + 3] = 3 << 2  # disposal 3 in the first GCE
+    with _pytest.raises(NotImplementedError, match="disposal method 3"):
+        decode_gif_frames(bytes(blob))
+
+
+def test_sample_frames_gif_timeline(spark):
+    """The real GIF frame sampler keeps one frame per window using
+    the GCE delays: 5 frames at 0.1 s sampled every 0.2 s emit
+    indices 0/2/4 with their composited luma."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        encode_gif_animated,
+    )
+    from ccgp_data_wrangling_spark.operators.multimodal import (
+        sample_frames_gif,
+    )
+
+    frames = [np.full((4, 4, 3), 10 + k, np.uint8) for k in range(5)]
+    blob = encode_gif_animated(frames, delays_cs=[10] * 5)
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, payload binary")
+    rows = sorted(
+        (r.frame_idx, r.frame_ts_sec, r.luma_mean)
+        for r in sample_frames_gif(df, 0.2).collect()
+    )
+    assert [r[0] for r in rows] == [0, 2, 4]
+    assert [r[1] for r in rows] == [0.0, 0.2, 0.4]
+    assert rows[0][2] == 10.0 and rows[2][2] == 14.0
