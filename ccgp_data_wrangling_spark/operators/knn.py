@@ -181,7 +181,11 @@ def _sample_centroids(
 
 def _centroid_lit(centroids: list[list[float]]) -> Column:
     """(idx, vector) struct-array literal — rides into executors inside
-    the plan, broadcast-equivalent, no shuffle."""
+    the plan, broadcast-equivalent, no shuffle. An empty centroid set
+    (empty corpus) yields a TYPED empty array so downstream
+    transform/array_max still analyze."""
+    if not centroids:
+        return F.array().cast("array<struct<idx:int, cv:array<double>>>")
     return F.array(
         *[
             F.struct(
@@ -269,6 +273,8 @@ def assign_centroids_kernel(
     import pandas as pd
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    if not centroids:  # empty corpus sample: nothing to assign to
+        return src.withColumn(out_col, F.lit(None).cast("int"))
     C = np.asarray(centroids, dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     schema = StructType(src.schema.fields + [StructField(out_col, IntegerType())])

@@ -87,11 +87,16 @@ def assign_seed_clusters(
         )
         src = emb.crossJoin(F.broadcast(cdf))
     else:
-        sims = F.array(
-            *[
-                F.round(cosine_sim(v, F.lit(r.cv).cast("array<double>")), 6)
-                for r in cents
-            ]
+        sims = (
+            F.array(
+                *[
+                    F.round(cosine_sim(v, F.lit(r.cv).cast("array<double>")), 6)
+                    for r in cents
+                ]
+            )
+            if cents
+            # empty corpus: typed empty array keeps the argmax analyzable
+            else F.array().cast("array<double>")
         )
         src = emb
     cluster = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")

@@ -117,3 +117,57 @@ def test_empty_input_round5_operators(spark):
         ).collect()
         == []
     )
+
+
+def test_empty_input_round6_operators(spark):
+    """Round-6 operators: empty embedding corpora flow through every
+    carrier path (incl. an empty centroid sample), the Hamming join
+    and pHash components yield no pairs, WARC curation yields no
+    rows, and PII redaction of an empty frame stays empty."""
+    from pyspark.sql import functions as F
+
+    from ccgp_data_wrangling_spark.operators.components import (
+        neardup_clusters,
+    )
+    from ccgp_data_wrangling_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+    from ccgp_data_wrangling_spark.operators.knn import (
+        assign_centroids_kernel,
+        ivf_topk_multi,
+    )
+    from ccgp_data_wrangling_spark.operators.privacy import pii_redact
+    from ccgp_data_wrangling_spark.operators.semdedup import (
+        semantic_dedup,
+        semantic_dedup_lsh,
+    )
+    from ccgp_data_wrangling_spark.streaming.warc_stream import (
+        curate_warc_records,
+    )
+    from ccgp_data_wrangling_spark.sources.warc import WARC_RECORD_SCHEMA
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([], "query_id long, qvec array<double>")
+    assert semantic_dedup(emb).collect() == []
+    assert semantic_dedup_lsh(emb, dim=4).collect() == []
+    assert ivf_topk_multi(emb, q, 3).collect() == []
+    assert (
+        assign_centroids_kernel(
+            emb.select("vec_id", F.col("embedding").alias("__v")),
+            [],
+            vec_col="__v",
+        ).collect()
+        == []
+    )
+
+    fp = spark.createDataFrame([], "id long, bits long")
+    pairs = hamming_neardup_pairs(fp, "id", "bits")
+    assert pairs.collect() == []
+    assert neardup_clusters(pairs).collect() == []
+
+    recs = spark.createDataFrame([], WARC_RECORD_SCHEMA)
+    assert curate_warc_records(recs).collect() == []
+
+    docs = spark.createDataFrame([], "doc_id long, t string")
+    red, counts = pii_redact(F.col("t"))
+    assert docs.select(red.alias("r"), *counts.values()).collect() == []
