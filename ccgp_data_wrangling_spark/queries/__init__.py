@@ -44,65 +44,19 @@ def register(name: str, oracle: str | None):
 # registration order.  Keep every name that still lacks a green
 # CORRECTNESS row — plus any newly added query — inside the first 50.
 #
-# r5 rotation (tools/rotate_registry.py --write over CORRECTNESS_r01-04):
-# slots 0-22 = the 23 queries that had never received a driver row
-# after round 4 (CHANGELOG_r4.md's queue, verbatim), followed by the
-# greens ordered stalest-verification-first.  With all 23 in the
-# window, every registered query has been driver-submitted; queries
-# added during round 5 are inserted right after slot 22 (still inside
-# the 50-slot window) so they get their first driver row this round.
+# r6 rotation (tools/rotate_registry.py --write over CORRECTNESS_r01-05):
+# every previously registered query is cumulatively green, so slots
+# 0-5 are the six queries ADDED this round (first driver rows), and
+# the rest of the window holds greens ordered by OLDEST last driver
+# row — the stalest-first re-verification cycle the round-5 verdict
+# prescribed (regression freshness, not new coverage).
 _PRIORITY: list[str] = [
-    "negative_samples_contrastive",
-    "q14_promo_share",
-    "q13_order_distribution",
-    "calendar_gap_days",
-    "sliding_rate_per_user",
-    "attribution_first_last",
-    "containment_join_retrieval",
-    "market_basket_pairs",
-    "skew_salted_join_revenue",
-    "ab_test_conversion",
-    "wow_revenue_growth",
-    "nullsafe_join_segments",
-    "triangle_count_links",
-    "reachability_3hops",
-    "vhist_quantiles_by_type",
-    "hll_rolling_7d_users",
-    "dataset_card_metrics",
-    "tfidf_cosine_neardup",
-    "sql_api_nation_revenue",
-    "classifier_decile_profile",
-    "interval_intersect_click_error",
-    "ann_ivf_multiquery_planted",
-    "semantic_dedup_lsh_planted",
-    # added in round 5 — inside the window for a first driver row
-    "biosample_sheet_e2e",
-    "multimodal_jpeg_real_decode",
-    "multimodal_png_real_decode",
-    "bpe_train_merges",
-    "bpe_encode_token_count",
-    "multimodal_wav_spectral",
-    "warc_ingest_extract",
-    "trajectory_hausdorff_pairs",
-    "image_phash_dedup",
-    "fingerprint_hamming_neardup",
-    "a1_segment_summary",
-    "a2_flag_share",
-    "f4_urgent_customers",
-    "j6_customers_without_orders",
-    "j7_lang_family_lookup",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_regional_revenue",
-    "r1_adjacent_pairs",
-    "w2_top_order_per_customer",
-    "x12_fuzzy_best_match",
-    "x7_part_labels",
-    "m2_insert_only_then_delete",
-    "m7_scd2_segment_migration",
-    "k1_s5_tsv_roundtrip",
-    "s4_sheet_probe_tsv",
-    "s4_sheet_probe_xlsx",
+    "sra_sheet_e2e",
+    "multimodal_jpeg_progressive_decode",
+    "image_phash_neardup_dedup",
+    "multimodal_png16_decode",
+    "pii_redaction_stats",
+    "multimodal_gif_frame_sample",
     "s3_t2_discovery_merge",
     "t1_ledger_ingest",
     "m5_update_where_in",
@@ -247,6 +201,56 @@ _PRIORITY: list[str] = [
     "multimodal_pgm_real_decode",
     "data_expectations_orders",
     "window_suite_orders",
+    "negative_samples_contrastive",
+    "q14_promo_share",
+    "q13_order_distribution",
+    "calendar_gap_days",
+    "sliding_rate_per_user",
+    "attribution_first_last",
+    "containment_join_retrieval",
+    "market_basket_pairs",
+    "skew_salted_join_revenue",
+    "ab_test_conversion",
+    "wow_revenue_growth",
+    "nullsafe_join_segments",
+    "triangle_count_links",
+    "reachability_3hops",
+    "vhist_quantiles_by_type",
+    "hll_rolling_7d_users",
+    "dataset_card_metrics",
+    "tfidf_cosine_neardup",
+    "sql_api_nation_revenue",
+    "classifier_decile_profile",
+    "interval_intersect_click_error",
+    "ann_ivf_multiquery_planted",
+    "semantic_dedup_lsh_planted",
+    "biosample_sheet_e2e",
+    "multimodal_jpeg_real_decode",
+    "multimodal_png_real_decode",
+    "bpe_train_merges",
+    "bpe_encode_token_count",
+    "multimodal_wav_spectral",
+    "warc_ingest_extract",
+    "trajectory_hausdorff_pairs",
+    "image_phash_dedup",
+    "fingerprint_hamming_neardup",
+    "a1_segment_summary",
+    "a2_flag_share",
+    "f4_urgent_customers",
+    "j6_customers_without_orders",
+    "j7_lang_family_lookup",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_regional_revenue",
+    "r1_adjacent_pairs",
+    "w2_top_order_per_customer",
+    "x12_fuzzy_best_match",
+    "x7_part_labels",
+    "m2_insert_only_then_delete",
+    "m7_scd2_segment_migration",
+    "k1_s5_tsv_roundtrip",
+    "s4_sheet_probe_tsv",
+    "s4_sheet_probe_xlsx",
 ]
 
 
