@@ -107,6 +107,8 @@ HEADLINE = [
     "multimodal_png16_decode",
     "pii_redaction_stats",
     "multimodal_gif_frame_sample",
+    "pdf_text_extract",
+    "wds_shard_ingest",
 ]
 
 

@@ -46,7 +46,7 @@ def register(name: str, oracle: str | None):
 #
 # r6 rotation (tools/rotate_registry.py --write over CORRECTNESS_r01-05):
 # every previously registered query is cumulatively green, so slots
-# 0-5 are the six queries ADDED this round (first driver rows), and
+# 0-7 are the eight queries ADDED this round (first driver rows), and
 # the rest of the window holds greens ordered by OLDEST last driver
 # row — the stalest-first re-verification cycle the round-5 verdict
 # prescribed (regression freshness, not new coverage).
@@ -57,6 +57,8 @@ _PRIORITY: list[str] = [
     "multimodal_png16_decode",
     "pii_redaction_stats",
     "multimodal_gif_frame_sample",
+    "pdf_text_extract",
+    "wds_shard_ingest",
     "s3_t2_discovery_merge",
     "t1_ledger_ingest",
     "m5_update_where_in",

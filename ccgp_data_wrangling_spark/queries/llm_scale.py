@@ -2182,3 +2182,172 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ev.mapInPandas(synth, schema="id long, payload binary")
     return sample_frames_gif(media, 0.2)
+
+
+# ---------------------------------------------------------------------------
+# PDF text extraction through the driver gate — the second document
+# container (after WARC): conformant PDF 1.4 fixtures (Flate content
+# streams, literal-string escapes, TJ kern arrays, hex strings,
+# multi-page) → full object-scan + inflate + BT/ET text
+# reconstruction (sources/pdf.py). Oracle rebuilds the expected text
+# closed-form: segments become lines (Td positioning), TJ kerns below
+# -100 become spaces — the documented reconstruction rules.
+# ---------------------------------------------------------------------------
+
+_PDF_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         'doc ' || CAST(doc_id AS VARCHAR) || ' title' || chr(10)
+           || regexp_replace(substr(text, 1, 40), '[^ -~]', '', 'g')
+           AS page0
+  FROM documents
+)
+SELECT doc_id, 0 AS page, page0 AS text,
+       CAST(length(page0) AS INT) AS n_chars
+FROM base
+UNION ALL
+SELECT doc_id, 1 AS page,
+       'part A' || CAST(doc_id AS VARCHAR) || chr(10)
+         || 'HX' || CAST(doc_id % 7 AS VARCHAR) AS text,
+       CAST(length('part A' || CAST(doc_id AS VARCHAR)) + 1
+            + length('HX' || CAST(doc_id % 7 AS VARCHAR)) AS INT) AS n_chars
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+@register("pdf_text_extract", _PDF_SQL)
+def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF corpus ingest end-to-end: build_pdf fixtures carrying the
+    documents table's (ASCII-cleaned) text plus TJ/hex/multi-page
+    constructs → object scan → zlib inflate → text-operator
+    reconstruction → one row per page (sources/pdf.pdf_documents).
+    Escapes are exercised on every page via the parens/backslash the
+    fixture writer must escape and the extractor must unescape."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, 40), "[^ -~]", "").alias(
+            "__prefix"
+        ),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, prefix in zip(pdf["doc_id"], pdf["__prefix"]):
+                pages = [[f"doc {did} title", str(prefix)]]
+                if did % 3 == 0:
+                    pages.append(
+                        [
+                            ["part", -200, f"A{did}"],
+                            ("hex", f"HX{int(did) % 7}"),
+                        ]
+                    )
+                payloads.append(build_pdf(pages))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    from ccgp_data_wrangling_spark.sources.pdf import pdf_documents
+
+    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return pdf_documents(media)
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar-shard ingest through the driver gate — the de-facto
+# multimodal training layout: per-event tar shards of (pgm image +
+# cls label + txt caption) samples → tarfile walk + first-dot key
+# grouping → map<ext, binary> parts → REAL pgm decode of the image
+# part. Closed form: flat 8×8 images make luma == the constructed
+# value; labels/keys are event_id arithmetic.
+# ---------------------------------------------------------------------------
+
+_WDS_SQL = """
+SELECT event_id AS shard_id,
+       CAST(event_id AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS sample_key,
+       CAST(3 AS INT) AS n_parts,
+       CAST((event_id + j) % 10 AS INT) AS label,
+       CAST((event_id % 200) + 10 + 5 * j AS DOUBLE) AS luma_mean
+FROM events, (VALUES (0), (1), (2)) AS t(j)
+WHERE event_id % 20 = 17 AND j < ((event_id - 17) // 20) % 2 + 2
+"""
+
+
+@register("wds_shard_ingest", _WDS_SQL)
+def wds_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset ingest end-to-end: build_wds_shard fixtures → one
+    Arrow explode into samples with map<extension, binary> parts
+    (sources/webdataset.wds_samples) → label parse from the cls part
+    (pure casts) + real netpbm decode of the image part. The shape a
+    multimodal trainer's data layer runs: shards are the parallelism
+    unit, parts stay binary until a kernel needs them."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_netpbm,
+    )
+    from ccgp_data_wrangling_spark.sources.webdataset import (
+        build_wds_shard,
+        wds_samples,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 17
+    ).select(F.col("event_id").alias("shard_id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["shard_id"]:
+                n = (int(eid) // 20) % 2 + 2
+                samples = []
+                for j in range(n):
+                    v = int(eid % 200) + 10 + 5 * j
+                    pgm = b"P5\n8 8\n255\n" + bytes([v] * 64)
+                    samples.append(
+                        (
+                            f"{eid}-{j}",
+                            {
+                                "pgm": pgm,
+                                "cls": str((int(eid) + j) % 10).encode(),
+                                "txt": f"caption {eid} {j}".encode(),
+                            },
+                        )
+                    )
+                payloads.append(build_wds_shard(samples))
+            yield pd.DataFrame(
+                {"shard_id": pdf["shard_id"].values, "payload": payloads}
+            )
+
+    shards = ev.mapInPandas(synth, schema="shard_id long, payload binary")
+    samples = wds_samples(shards)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lumas, labels = [], []
+            for parts in pdf["parts"]:
+                d = dict(parts)
+                lumas.append(decode_netpbm(bytes(d["pgm"]))["luma_mean"])
+                labels.append(int(bytes(d["cls"]).decode()))
+            out = pdf[["shard_id", "sample_key", "n_parts"]].copy()
+            out["label"] = pd.array(labels, dtype="int32")
+            out["luma_mean"] = lumas
+            yield out
+
+    return samples.mapInPandas(
+        decode,
+        schema=(
+            "shard_id long, sample_key string, n_parts int, "
+            "label int, luma_mean double"
+        ),
+    )

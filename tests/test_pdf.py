@@ -1,0 +1,77 @@
+"""PDF text extraction (sources/pdf.py): fixture writer ↔ extractor
+round trips, escape/TJ/hex handling, honest gates, Spark explode."""
+
+from __future__ import annotations
+
+import pytest
+
+from ccgp_data_wrangling_spark.sources.pdf import (
+    build_pdf,
+    extract_pdf_pages,
+    pdf_documents,
+)
+
+
+def test_pdf_roundtrip_escapes_tj_hex_multipage():
+    pdf = build_pdf(
+        [
+            ["hello world", "line with (parens) and \\ backslash"],
+            [["kerned", -250, "words", -50, "close"], ("hex", "HEXED"), "tail"],
+        ]
+    )
+    pages = extract_pdf_pages(pdf)
+    assert pages == [
+        "hello world\nline with (parens) and \\ backslash",
+        # -250 < -100 kern => space; -50 => glued; Td newlines between
+        "kerned wordsclose\nHEXED\ntail",
+    ]
+
+
+def test_pdf_uncompressed_and_octal_escape():
+    assert extract_pdf_pages(build_pdf([["plain"]], compress=False)) == [
+        "plain"
+    ]
+    # hand-built content with an octal escape: \101 == 'A'
+    pdf = bytearray(build_pdf([["X"]], compress=False))
+    assert extract_pdf_pages(bytes(pdf.replace(b"(X)", b"(\\101)"))) == ["A"]
+
+
+def test_pdf_honest_gates():
+    with pytest.raises(ValueError, match="not a PDF"):
+        extract_pdf_pages(b"NOTAPDF")
+    good = build_pdf([["x"]])
+    with pytest.raises(NotImplementedError, match="filter"):
+        extract_pdf_pages(good.replace(b"/FlateDecode", b"/LZWDecode "))
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        extract_pdf_pages(good + b"/Encrypt")
+
+
+def test_pdf_xref_offsets_are_correct():
+    """The fixture writer's xref table must point at the real object
+    offsets — a conformant reader (not just our lexical scanner) can
+    navigate the file."""
+    pdf = build_pdf([["a"], ["b"]])
+    xref_at = int(pdf.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0])
+    assert pdf[xref_at : xref_at + 4] == b"xref"
+    lines = pdf[xref_at:].split(b"\n")
+    n = int(lines[1].split()[1])
+    for i, line in enumerate(lines[3 : 2 + n], start=1):
+        off = int(line.split()[0])
+        assert pdf[off:].startswith(b"%d 0 obj" % i)
+
+
+def test_pdf_documents_spark_explode(spark):
+    rows = [
+        (1, bytearray(build_pdf([["one"], ["two"]]))),
+        (2, bytearray(build_pdf([["solo page"]]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r.doc_id, r.page): (r.text, r.n_chars)
+        for r in pdf_documents(df).collect()
+    }
+    assert got == {
+        (1, 0): ("one", 3),
+        (1, 1): ("two", 3),
+        (2, 0): ("solo page", 9),
+    }
