@@ -109,6 +109,7 @@ HEADLINE = [
     "multimodal_gif_frame_sample",
     "pdf_text_extract",
     "wds_shard_ingest",
+    "tfidf_cosine_neardup",
 ]
 
 

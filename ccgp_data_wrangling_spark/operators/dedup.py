@@ -712,6 +712,110 @@ def minhash_neardup_incremental(
 # ---------------------------------------------------------------------------
 
 
+def _dense_tfidf_dots(
+    weights: DataFrame, n_terms: int, threshold: float, scope
+) -> DataFrame:
+    """All-pairs integer dot products for a SMALL vocabulary via
+    blocked dense BLAS (see tfidf_cosine_pairs docstring): docs →
+    fixed-term-order integer vectors; rows hash into B blocks; each
+    of the B(B+1)/2 block pairs computes one float64 matmul (exact on
+    these integer magnitudes) and emits candidate pairs above a
+    1e-6-margin provisional cosine as ``(id_a, id_b, dot_s)``. Every
+    unordered pair lands in exactly one block pair, so no distinct is
+    needed. O(n²) work is inherent to a corpus where everything
+    overlaps; the blocking makes it B(B+1)/2-way parallel BLAS
+    instead of a shuffle join over Σ df² rows."""
+    from collections.abc import Iterator  # noqa: F401  (doc parity)
+
+    import numpy as np
+    import pandas as pd
+
+    spark = weights.sparkSession
+    terms = [r.t for r in weights.select("t").distinct().orderBy("t").collect()]
+    terms_lit = F.array(*[F.lit(t) for t in terms])
+    dense = (
+        weights.groupBy("id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("t", "w_s"))
+            ).alias("m")
+        )
+        .select(
+            "id",
+            F.transform(
+                terms_lit,
+                lambda tt: F.coalesce(
+                    F.element_at(F.col("m"), tt), F.lit(0)
+                ).cast("double"),
+            ).alias("v"),
+        )
+    )
+    # persisted: the count below materializes it once; both join sides
+    # of the block fan-out then reuse the cached vectors
+    dense = scope.persist(dense)
+    n_docs = dense.count()
+    # enough block pairs to feed the cluster (B(B+1)/2 tasks), blocks
+    # small enough that a pair's matmul stays cache-friendly
+    n_blocks = int(max(8, min(64, -(-n_docs // 2000))))
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    db = dense.withColumn(
+        "b", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int")
+    )
+    side_a = db.join(bp, F.col("b") == F.col("bi")).select(
+        "bi", "bj", "id", "v", F.lit(0).alias("side")
+    )
+    side_b = db.join(bp, F.col("b") == F.col("bj")).select(
+        "bi", "bj", "id", "v", F.lit(1).alias("side")
+    )
+    both = side_a.unionByName(side_b)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "dot_s": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "dot_s": "int64"}
+        )
+        a = pdf[pdf["side"] == 0]
+        if not len(a):
+            return empty
+        diag = bool(pdf["bi"].iat[0] == pdf["bj"].iat[0])
+        ids_a = a["id"].to_numpy()
+        Va = np.stack(a["v"].to_numpy())
+        if diag:
+            ids_b, Vb = ids_a, Va
+        else:
+            b = pdf[pdf["side"] == 1]
+            if not len(b):
+                return empty
+            ids_b = b["id"].to_numpy()
+            Vb = np.stack(b["v"].to_numpy())
+        dots = Va @ Vb.T  # exact: integer-valued float64, sums < 2^53
+        na = np.sqrt((Va * Va).sum(axis=1))
+        nb = np.sqrt((Vb * Vb).sum(axis=1))
+        cos = dots / np.maximum(np.outer(na, nb), 1e-300)
+        ii, jj = np.nonzero(cos >= threshold - 1e-6)
+        id_a, id_b = ids_a[ii], ids_b[jj]
+        if diag:
+            keep = id_a < id_b
+        else:
+            keep = np.ones(len(id_a), dtype=bool)
+            lo = np.minimum(id_a, id_b)
+            hi = np.maximum(id_a, id_b)
+            id_a, id_b = lo, hi
+        return pd.DataFrame(
+            {
+                "id_a": id_a[keep].astype("int64"),
+                "id_b": id_b[keep].astype("int64"),
+                "dot_s": dots[ii, jj][keep].astype("int64"),
+            }
+        )
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        kernel, schema="id_a long, id_b long, dot_s long"
+    )
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     id_col: str,
@@ -720,6 +824,7 @@ def tfidf_cosine_pairs(
     threshold: float = 0.5,
     max_df: int | None = 10_000,
     idf_scale: int = 1000,
+    dense_vocab: int = 512,
     scope: CacheScope | None = None,
 ) -> DataFrame:
     """Document pairs with TF-IDF cosine ≥ ``threshold``
@@ -742,6 +847,33 @@ def tfidf_cosine_pairs(
     ``max_df`` drops stop-terms from CANDIDATE GENERATION and the
     dot product alike (their idf ≈ low anyway); it is a documented
     semantic cap exactly like ngram_jaccard_pairs' guard.
+
+    Candidate restriction picks one of two COMPLETE strategies, so
+    results are bit-identical to the naive index × index join either
+    way:
+
+    * **Sparse (Zipf) corpora** — the cosine prefix filter (Bayardo,
+      Ma & Srikant, WWW 2007 "Scaling Up All Pairs Similarity
+      Search"): terms get one global order (corpus-max unit weight
+      descending); each document's SUFFIX in that order is the
+      maximal tail whose ``Σ u_i · umax_i`` stays below the
+      threshold, and a pair at cosine ≥ t provably shares its
+      order-earliest common term inside BOTH prefixes — candidates =
+      prefix × prefix (Σ prefix_df² ≪ Σ df²), float bound padded
+      1e-6 toward permissiveness.
+    * **Dense (small-vocabulary) corpora** — when the post-cap
+      vocabulary is ≤ ``dense_vocab`` terms, no sparse index can
+      prune (every pair shares terms; measured 20 s at sf0.1 on the
+      31-term benchmark corpus, 28× superlinear vs sf0.01). The
+      all-pairs dot products then run as BLOCKED dense matmuls inside
+      an Arrow kernel: docs → fixed-order integer vectors, block-pair
+      fan-out, one float64 BLAS product per block pair. EXACT because
+      every value is an integer: weights ≤ ~2.4e6, per-term products
+      ≤ 6e12, 31-term sums ≤ 2e14 < 2^53 — all representable, so the
+      matmul equals the integer dot bit-for-bit, and the kernel emits
+      integer ``dot_s`` with a 1e-6-margin provisional filter while
+      the FINAL cosine/round/threshold runs in the same JVM
+      expression as the sparse path.
     """
     from ccgp_data_wrangling_spark.operators.corpus_stats import (
         corpus_tokens,
@@ -769,17 +901,57 @@ def tfidf_cosine_pairs(
             "id", "t", (F.col("tf") * F.col("idf_s")).alias("w_s")
         )
     )
-    norms = weights.groupBy("id").agg(
-        F.sum(F.col("w_s") * F.col("w_s")).alias("norm_sq_s")
+    norms = scope.persist(
+        weights.groupBy("id").agg(
+            F.sum(F.col("w_s") * F.col("w_s")).alias("norm_sq_s")
+        )
     )
-    wa = weights.select("t", F.col("id").alias("id_a"), F.col("w_s").alias("wa"))
-    wb = weights.select("t", F.col("id").alias("id_b"), F.col("w_s").alias("wb"))
-    dots = (
-        wa.join(wb, "t")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot_s"))
-    )
+    n_terms = dfreq.count()
+    if n_terms <= dense_vocab:
+        dots = _dense_tfidf_dots(weights, n_terms, threshold, scope)
+    else:
+        # cosine prefix filter: global term order = umax desc (tie:
+        # term asc); per doc, accumulate u·umax from the order's TAIL
+        # — rows whose inclusive running sum reaches the threshold
+        # form the prefix. The earliest shared term of any pair at
+        # cos ≥ t lies in both prefixes (see docstring), so
+        # prefix × prefix is complete.
+        u = weights.join(norms, "id").select(
+            "id",
+            "t",
+            (F.col("w_s") / F.sqrt(F.col("norm_sq_s").cast("double"))).alias("u"),
+        )
+        umax = u.groupBy("t").agg(F.max("u").alias("umax"))
+        uu = u.join(umax, "t").select(
+            "id", "t", "umax", (F.col("u") * F.col("umax")).alias("c")
+        )
+        from pyspark.sql import Window
+
+        rev_order = Window.partitionBy("id").orderBy(F.asc("umax"), F.desc("t"))
+        pref = scope.persist(
+            uu.withColumn("run", F.sum("c").over(rev_order))
+            .where(F.col("run") >= threshold - 1e-6)
+            .select("id", "t")
+        )
+        cand = (
+            pref.select("t", F.col("id").alias("id_a"))
+            .join(pref.select("t", F.col("id").alias("id_b")), "t")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        wa = weights.select(
+            F.col("id").alias("id_a"), "t", F.col("w_s").alias("wa")
+        )
+        wb = weights.select(
+            F.col("id").alias("id_b"), "t", F.col("w_s").alias("wb")
+        )
+        dots = (
+            cand.join(wa, "id_a")
+            .join(wb, ["id_b", "t"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot_s"))
+        )
     na = norms.select(F.col("id").alias("id_a"), F.col("norm_sq_s").alias("na"))
     nb = norms.select(F.col("id").alias("id_b"), F.col("norm_sq_s").alias("nb"))
     cos = F.round(
