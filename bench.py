@@ -110,6 +110,7 @@ HEADLINE = [
     "pdf_text_extract",
     "wds_shard_ingest",
     "tfidf_cosine_neardup",
+    "audio_fingerprint_dedup",
 ]
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "encode_png",
     "phash64",
     "phash_for_payload",
+    "audio_fingerprint64",
     "real_decode",
 ]
 
@@ -1695,6 +1696,48 @@ def wav_spectral_features(payload: bytes) -> dict[str, Any]:
         "rms": round(float(np.sqrt(np.mean(x**2))) if x.size else 0.0, 6),
         "peak": round(float(np.max(np.abs(x))) if x.size else 0.0, 6),
     }
+
+
+def audio_fingerprint64(payload: bytes, *, n_peaks: int = 8) -> int:
+    """63-bit audio content fingerprint from the spectral-peak
+    constellation (the Shazam-family idea reduced to a whole-clip
+    signature): rFFT magnitudes → the ``n_peaks`` strongest non-DC
+    bins (ties to the lower bin) → their frequencies in Hz rounded to
+    the nearest integer → md5 of the sorted frequency list, folded to
+    63 bits.
+
+    Invariances that make it a DEDUP key where byte hashing fails:
+    amplitude scaling (peak RANKING is scale-free), clip length /
+    repetition count (frequencies, not bin indices, enter the hash —
+    a clip looped twice doubles every bin index but keeps every
+    frequency), and phase shifts (magnitude spectrum only). Distinct
+    pitch classes produce distinct peak sets and therefore distinct
+    fingerprints (pinned by test for the gate-query classes).
+    """
+    import hashlib
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_channels = wf.getnchannels()
+        rate = wf.getframerate()
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("fingerprint expects 16-bit PCM")
+        raw = wf.readframes(wf.getnframes())
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    if n_channels > 1:
+        x = x.reshape(-1, n_channels).mean(axis=1)
+    if x.size < 2:
+        return 0
+    mag = np.abs(np.fft.rfft(x))[1:]  # DC excluded
+    # only REAL peaks may enter the hash: bins below 0.1% of the max
+    # are numeric noise whose ranking flips with amplitude/length/
+    # phase — exactly the instability a fingerprint must not have
+    mag = np.where(mag >= mag.max() * 1e-3, mag, 0.0)
+    k = min(n_peaks, mag.size)
+    # argsort descending with lower-bin tie-break: stable sort on -mag
+    order = [b for b in np.argsort(-mag, kind="stable")[:k] if mag[b] > 0]
+    freqs = sorted(round(float((b + 1) * rate / x.size)) for b in order)
+    digest = hashlib.md5(",".join(map(str, freqs)).encode()).digest()
+    return int.from_bytes(digest[:8], "big") >> 1  # 63 bits, like phash
 
 
 # ---------------------------------------------------------------------------

@@ -45,8 +45,8 @@ def register(name: str, oracle: str | None):
 # CORRECTNESS row — plus any newly added query — inside the first 50.
 #
 # r6 rotation (tools/rotate_registry.py --write over CORRECTNESS_r01-05):
-# every previously registered query is cumulatively green, so slots
-# 0-7 are the eight queries ADDED this round (first driver rows), and
+# every previously registered query is cumulatively green, so the
+# head slots are the queries ADDED this round (first driver rows) and
 # the rest of the window holds greens ordered by OLDEST last driver
 # row — the stalest-first re-verification cycle the round-5 verdict
 # prescribed (regression freshness, not new coverage).
@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     "multimodal_gif_frame_sample",
     "pdf_text_extract",
     "wds_shard_ingest",
+    "audio_fingerprint_dedup",
     "s3_t2_discovery_merge",
     "t1_ledger_ingest",
     "m5_update_where_in",

@@ -2351,3 +2351,92 @@ def wds_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label int, luma_mean double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint dedup through the driver gate — the audio twin of
+# image_phash_dedup: square-wave clips whose PITCH CLASS depends only
+# on (event_id//20) % 9, while amplitude, length and phase all vary
+# per id. The spectral-peak fingerprint (media_codecs.
+# audio_fingerprint64) is invariant to exactly those three (peak
+# ranking is scale-free, frequencies not bins enter the hash,
+# magnitudes ignore phase) — pinned by test — so duplicate groups are
+# a pure closed form of event_id arithmetic and the dedup itself is a
+# hash groupBy on 8 bytes.
+# ---------------------------------------------------------------------------
+
+_AUDIO_FP_SQL = """
+SELECT event_id AS id,
+       MIN(event_id) OVER (PARTITION BY (event_id - 19) // 20 % 9) AS rep_id,
+       CAST(COUNT(*) OVER (PARTITION BY (event_id - 19) // 20 % 9) AS BIGINT)
+         AS group_size
+FROM events WHERE event_id % 20 = 19
+"""
+
+
+@register("audio_fingerprint_dedup", _AUDIO_FP_SQL)
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio content dedup end-to-end: synth PCM square waves (pitch
+    class fixed per group; amp/length/phase vary) → rFFT peak
+    constellation → 63-bit fingerprint → per-fingerprint duplicate
+    groups (rep = min id). Byte-level hashing groups NONE of these
+    (every payload differs); the content fingerprint groups them all."""
+    from collections.abc import Iterator
+
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        audio_fingerprint64,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 19
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                m = (int(eid) // 20) % 9 + 2
+                cycles = 20 + int(eid % 25)
+                amp = (int(eid % 40) + 10) * 500
+                phase = int(eid % 13)
+                pattern = np.concatenate(
+                    [np.full(m, amp), np.full(m, -amp)]
+                )
+                x = np.roll(np.tile(pattern, cycles), phase).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(x.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "fp": [
+                        audio_fingerprint64(bytes(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    hashed = ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(fp, schema="id long, fp long")
+    w = W.partitionBy("fp")
+    return hashed.select(
+        "id",
+        F.min("id").over(w).alias("rep_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+    )

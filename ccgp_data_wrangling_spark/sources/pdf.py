@@ -105,12 +105,16 @@ _TOKEN_RE = re.compile(
 def _content_text(content: bytes, *, kern_space: float = 100.0) -> str:
     """Reconstruct text from one content stream: strings shown by
     Tj/TJ/'/\" inside BT..ET, newlines for Td/TD/T*/'/\", spaces for
-    TJ kerns more negative than ``kern_space``."""
+    TJ kerns more negative than ``kern_space``.
+
+    The token walk parses strings IN PLACE (the scan index jumps past
+    each string body), so brackets/parens/operator names inside
+    string data can never confuse the operator stream, and TJ arrays
+    are collected incrementally in operand order — no re-scanning."""
     out: list[str] = []
     in_text = False
-    pending: list[bytes] = []  # operand stack of parsed strings
-    nums: list[float] = []
-    in_array = False
+    pending: list[bytes] = []  # string operands since the last operator
+    arr_items: list[Any] | None = None  # open TJ array, in order
     i = 0
     while i < len(content):
         m = _TOKEN_RE.search(content, i)
@@ -120,65 +124,50 @@ def _content_text(content: bytes, *, kern_space: float = 100.0) -> str:
         i = m.end()
         if tok == b"(":
             s, i = _parse_literal(content, m.start())
-            if in_text:
+            if arr_items is not None:
+                arr_items.append(s)
+            elif in_text:
                 pending.append(s)
             continue
         if tok == b"<":
             s, i = _parse_hex(content, m.start())
-            if in_text:
+            if arr_items is not None:
+                arr_items.append(s)
+            elif in_text:
                 pending.append(s)
             continue
         if m.group(1) is not None:  # number
-            nums.append(float(m.group(1)))
+            if arr_items is not None:
+                arr_items.append(float(m.group(1)))
             continue
         if tok == b"BT":
             in_text = True
         elif tok == b"ET":
             in_text = False
         elif tok == b"[":
-            in_array = True
-            pending, nums = [], []
+            arr_items = []
         elif tok == b"]":
-            in_array = False
+            pass  # keep arr_items until the TJ that consumes it
         elif tok == b"Tj" and pending:
             out.append(pending[-1].decode("latin-1"))
-            pending, nums = [], []
+            pending = []
         elif tok in (b"'", b'"') and in_text:
             out.append("\n")
             if pending:
                 out.append(pending[-1].decode("latin-1"))
-            pending, nums = [], []
+            pending = []
         elif tok == b"TJ":
-            # replay the array: strings emit, kerns < -kern_space space
-            j = 0
-            # reparse the bracketed array for exact interleaving
-            # (pending/nums above lose order) — find the matching [
-            k = content.rfind(b"[", 0, m.start())
-            arr = content[k + 1 : content.index(b"]", k)]
-            p = 0
-            while p < len(arr):
-                c = arr[p : p + 1]
-                if c == b"(":
-                    s, p = _parse_literal(arr, p)
-                    out.append(s.decode("latin-1"))
-                    continue
-                if c == b"<":
-                    s, p = _parse_hex(arr, p)
-                    out.append(s.decode("latin-1"))
-                    continue
-                mnum = re.match(rb"-?\d+(?:\.\d+)?", arr[p:])
-                if mnum:
-                    if float(mnum.group(0)) < -kern_space:
-                        out.append(" ")
-                    p += mnum.end()
-                    continue
-                p += 1
-            pending, nums = [], []
-            _ = j
+            for el in arr_items or []:
+                if isinstance(el, bytes):
+                    out.append(el.decode("latin-1"))
+                elif el < -kern_space:
+                    out.append(" ")
+            arr_items = None
+            pending = []
         elif tok in (b"Td", b"TD", b"T*"):
             if in_text and out:
                 out.append("\n")
-            pending, nums = [], []
+            pending = []
     return "".join(out)
 
 

@@ -132,3 +132,36 @@ def test_gif_animated_roundtrip_random(n_frames, h, w, rnd):
     got, gdel = decode_gif_frames(encode_gif_animated(frames, delays_cs=delays))
     assert gdel == delays
     assert all(np.array_equal(a, b) for a, b in zip(frames, got))
+
+
+@FAST
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                _PDF_TEXT,
+                st.integers(min_value=-500, max_value=-101),
+                st.integers(min_value=-100, max_value=0),
+            ),
+            min_size=1,
+            max_size=6,
+        ).filter(lambda seg: any(isinstance(e, str) for e in seg)),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_pdf_tj_arrays_random(segments):
+    """Random TJ arrays (strings mixed with kern amounts): strings
+    concatenate, kerns < -100 become spaces, anything milder glues —
+    regardless of brackets/parens/operator names inside the data."""
+    pdf = build_pdf([[list(seg) for seg in segments]])
+    want_lines = []
+    for seg in segments:
+        parts = []
+        for el in seg:
+            if isinstance(el, str):
+                parts.append(el)
+            elif el < -100:
+                parts.append(" ")
+        want_lines.append("".join(parts))
+    assert extract_pdf_pages(pdf) == ["\n".join(want_lines)]

@@ -706,3 +706,44 @@ def test_sample_frames_gif_timeline(spark):
     assert [r[0] for r in rows] == [0, 2, 4]
     assert [r[1] for r in rows] == [0.0, 0.2, 0.4]
     assert rows[0][2] == 10.0 and rows[2][2] == 14.0
+
+
+def test_audio_fingerprint_invariances_and_distinctness():
+    """audio_fingerprint_dedup's oracle leans on: same pitch class →
+    same fingerprint under amplitude/length/phase changes; the nine
+    gate classes are pairwise distinct; 8-bit PCM raises."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        audio_fingerprint64,
+    )
+
+    def square_wav(half, cycles, amp, phase=0, sampwidth=2):
+        pattern = np.concatenate([np.full(half, amp), np.full(half, -amp)])
+        x = np.roll(np.tile(pattern, cycles), phase).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(sampwidth)
+            wf.setframerate(8000)
+            wf.writeframes(x.tobytes() if sampwidth == 2 else bytes(len(x)))
+        return buf.getvalue()
+
+    fps = {}
+    for m in range(2, 11):
+        base = audio_fingerprint64(square_wav(m, 30, 8000))
+        for variant in (
+            square_wav(m, 60, 12000),
+            square_wav(m, 30, 8000, phase=3),
+            square_wav(m, 45, 3000, phase=7),
+        ):
+            assert audio_fingerprint64(variant) == base, m
+        fps[m] = base
+    assert len(set(fps.values())) == 9
+
+    with _pytest.raises(NotImplementedError, match="16-bit"):
+        audio_fingerprint64(square_wav(3, 10, 100, sampwidth=1))

@@ -75,3 +75,14 @@ def test_pdf_documents_spark_explode(spark):
         (1, 1): ("two", 3),
         (2, 0): ("solo page", 9),
     }
+
+
+def test_pdf_tj_strings_with_brackets_and_operator_lookalikes():
+    """Strings containing ], [, parens, and operator names must never
+    confuse the operator walk — the scan parses strings in place."""
+    pdf = build_pdf(
+        [
+            [["a]b", -200, "[c", -50, "(d) Tj BT"], "tail ] text"],
+        ]
+    )
+    assert extract_pdf_pages(pdf) == ["a]b [c(d) Tj BT\ntail ] text"]
