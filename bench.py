@@ -111,6 +111,7 @@ HEADLINE = [
     "wds_shard_ingest",
     "tfidf_cosine_neardup",
     "audio_fingerprint_dedup",
+    "multimodal_curation_e2e",
 ]
 
 

@@ -60,6 +60,7 @@ _PRIORITY: list[str] = [
     "pdf_text_extract",
     "wds_shard_ingest",
     "audio_fingerprint_dedup",
+    "multimodal_curation_e2e",
     "s3_t2_discovery_merge",
     "t1_ledger_ingest",
     "m5_update_where_in",

@@ -2440,3 +2440,118 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").over(w).alias("rep_id"),
         F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal curation E2E — the round-6 pieces composed the way a
+# real image-text pipeline runs them: WebDataset shards → sample
+# explode → REAL image decode + pHash → caption quality gate →
+# perceptual dedup with the canonical-min keep rule. Image content
+# class (one of the ten well-separated pHash patterns) and caption
+# quality are both event_id arithmetic, so the surviving set and
+# every group representative are closed-form; the engine side
+# computes them from actual tar bytes and pixel decodes.
+# ---------------------------------------------------------------------------
+
+_MM_E2E_SQL = """
+WITH samples AS (
+  SELECT event_id * 10 + j AS sample_id,
+         ((event_id - 17) // 20 + j) % 10 AS cls,
+         j
+  FROM events, (VALUES (0), (1), (2)) AS t(j)
+  WHERE event_id % 20 = 17 AND j < ((event_id - 17) // 20) % 2 + 2
+),
+kept AS (SELECT * FROM samples WHERE j <> 1)
+SELECT sample_id,
+       MIN(sample_id) OVER (PARTITION BY cls) AS rep_id,
+       sample_id = MIN(sample_id) OVER (PARTITION BY cls) AS keep
+FROM kept
+"""
+
+
+@register("multimodal_curation_e2e", _MM_E2E_SQL)
+def multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset → curation composed end-to-end: build_wds_shard
+    fixtures (pattern-class pgm + caption per sample; every j==1
+    caption is a one-word runt) → wds_samples tar explode → one Arrow
+    kernel decoding the image part to its pHash and counting caption
+    words → quality gate (≥ 2 words) → per-fingerprint dedup groups
+    with the canonical-min keep rule. Ordering matters (quality gate
+    BEFORE dedup — a runt canonical would otherwise swallow its
+    group), which is exactly what the composed oracle checks."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        phash_for_payload,
+    )
+    from ccgp_data_wrangling_spark.sources.webdataset import (
+        build_wds_shard,
+        wds_samples,
+    )
+
+    classes = _PHASH_ND_CLASSES
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 17
+    ).select(F.col("event_id").alias("shard_id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i, j_ = np.mgrid[0:16, 0:16]
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["shard_id"]:
+                g = (int(eid) - 17) // 20
+                n = g % 2 + 2
+                samples = []
+                for j in range(n):
+                    c = classes[(g + j) % 10]
+                    px = (
+                        (c * 7 + i * 3 + j_ * 5 + (i * j_ * (c % 5)) // 3)
+                        % 256
+                    ).astype(np.uint8)
+                    caption = "cap" if j == 1 else f"caption {eid} {j}"
+                    samples.append(
+                        (
+                            f"{int(eid) * 10 + j:012d}",
+                            {
+                                "pgm": b"P5\n16 16\n255\n" + px.tobytes(),
+                                "txt": caption.encode(),
+                            },
+                        )
+                    )
+                payloads.append(build_wds_shard(samples))
+            yield pd.DataFrame(
+                {"shard_id": pdf["shard_id"].values, "payload": payloads}
+            )
+
+    shards = ev.mapInPandas(synth, schema="shard_id long, payload binary")
+    samples = wds_samples(shards)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sids, phs, words = [], [], []
+            for key, parts in zip(pdf["sample_key"], pdf["parts"]):
+                d = dict(parts)
+                sids.append(int(key))
+                phs.append(phash_for_payload(bytes(d["pgm"]), "image/pgm"))
+                words.append(len(bytes(d["txt"]).decode().split()))
+            yield pd.DataFrame(
+                {"sample_id": sids, "ph": phs, "n_words": words}
+            )
+
+    scored = samples.mapInPandas(
+        feats, schema="sample_id long, ph long, n_words int"
+    )
+    kept = scored.where(F.col("n_words") >= 2)
+    w = W.partitionBy("ph")
+    rep = F.min("sample_id").over(w)
+    return kept.select(
+        "sample_id",
+        rep.alias("rep_id"),
+        (F.col("sample_id") == rep).alias("keep"),
+    )
