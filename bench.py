@@ -112,6 +112,7 @@ HEADLINE = [
     "tfidf_cosine_neardup",
     "audio_fingerprint_dedup",
     "multimodal_curation_e2e",
+    "audio_clip_match",
 ]
 
 

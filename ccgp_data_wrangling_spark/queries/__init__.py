@@ -61,6 +61,7 @@ _PRIORITY: list[str] = [
     "wds_shard_ingest",
     "audio_fingerprint_dedup",
     "multimodal_curation_e2e",
+    "audio_clip_match",
     "s3_t2_discovery_merge",
     "t1_ledger_ingest",
     "m5_update_where_in",

@@ -2555,3 +2555,108 @@ def multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep.alias("rep_id"),
         (F.col("sample_id") == rep).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio clip-in-track search through the driver gate — the actual
+# constellation MATCHING (operators/audiomatch.py), not just a
+# whole-clip fingerprint: 9 synthetic tracks of 12 frames whose
+# per-frame pitch class is (t*7 + i*i) % 9; clips are 6-frame
+# excerpts at per-id offsets with per-id amplitudes. The quadratic
+# class schedule makes the oracle PROVABLE: a pair-hash vote at
+# offset d for track t' requires two consecutive frame-class
+# equalities, whose difference forces 2d ≡ 0 (mod 9) and then
+# Δt·7 ≡ 0 (mod 9) — with |d| ≤ 11 < 9 impossible unless
+# (t', d) = (true track, true offset). Wrong candidates therefore
+# get ZERO votes, the winner gets exactly W−1 = 5, and the match
+# table is pure event_id arithmetic.
+# ---------------------------------------------------------------------------
+
+_AUDIO_MATCH_SQL = """
+SELECT event_id AS clip_id,
+       CAST(event_id % 9 AS BIGINT) AS track_id,
+       CAST((event_id - 14) // 20 % 7 AS INT) AS offset,
+       CAST(5 AS BIGINT) AS votes
+FROM events WHERE event_id % 20 = 14
+"""
+
+
+def _square_frame(cls: int, amp: int, frame: int = 256):
+    import numpy as np
+
+    m = cls + 2
+    pattern = np.concatenate([np.full(m, amp), np.full(m, -amp)])
+    reps = -(-frame // (2 * m))
+    return np.tile(pattern, reps)[:frame]
+
+
+@register("audio_clip_match", _AUDIO_MATCH_SQL)
+def audio_clip_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shazam-style retrieval end-to-end: track catalog → landmark
+    pair-hash index (broadcast); clips → same hashing; hash equi-join
+    → offset voting → per-clip argmax. Amplitude varies per clip and
+    never moves a vote (landmarks are argmax bins). The scale story
+    is the join shape: candidates come from hash equality, and the
+    heaviest shuffle carries (id, frame, hash) triples only."""
+    from collections.abc import Iterator
+
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.audiomatch import (
+        audio_clip_match,
+    )
+
+    def wav_of(frames_signal) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(frames_signal.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    def track_synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["id"]:
+                sig = np.concatenate(
+                    [
+                        _square_frame((int(t) * 7 + i * i) % 9, 8000)
+                        for i in range(12)
+                    ]
+                )
+                payloads.append(wav_of(sig))
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    tracks = spark.range(9).mapInPandas(
+        track_synth, schema="id long, payload binary"
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 14
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def clip_synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                t = int(eid) % 9
+                o = (int(eid) - 14) // 20 % 7
+                amp = (int(eid) % 40 + 10) * 300
+                sig = np.concatenate(
+                    [
+                        _square_frame((t * 7 + i * i) % 9, amp)
+                        for i in range(o, o + 6)
+                    ]
+                )
+                payloads.append(wav_of(sig))
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    clips = ev.mapInPandas(clip_synth, schema="id long, payload binary")
+    return audio_clip_match(tracks, clips)

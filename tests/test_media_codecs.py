@@ -747,3 +747,69 @@ def test_audio_fingerprint_invariances_and_distinctness():
 
     with _pytest.raises(NotImplementedError, match="16-bit"):
         audio_fingerprint64(square_wav(3, 10, 100, sampwidth=1))
+
+
+def test_audio_constellation_and_clip_match(spark):
+    """Constellation landmarks: the 9 gate pitch classes map to 9
+    DISTINCT peak bins (the oracle's zero-votes proof needs frame
+    classes to be recoverable from bins); matching finds the planted
+    (track, offset) with exactly W-1 votes and survives amplitude
+    changes; a clip from an unknown track matches nothing."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.audiomatch import (
+        audio_clip_match,
+        frame_peak_bins,
+    )
+    from ccgp_data_wrangling_spark.queries.llm_scale import _square_frame
+
+    def wav_of(sig):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(sig.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    # distinct peak bin per class, amplitude-invariant
+    bins = [
+        frame_peak_bins(wav_of(_square_frame(c, 8000)))[0] for c in range(9)
+    ]
+    assert len(set(bins)) == 9
+    assert bins == [
+        frame_peak_bins(wav_of(_square_frame(c, 1700)))[0] for c in range(9)
+    ]
+
+    def track_sig(t):
+        return np.concatenate(
+            [_square_frame((t * 7 + i * i) % 9, 8000) for i in range(12)]
+        )
+
+    tracks = spark.createDataFrame(
+        [(t, bytearray(wav_of(track_sig(t)))) for t in range(9)],
+        "id long, payload binary",
+    )
+    clips = spark.createDataFrame(
+        [
+            # clip of track 4 at offset 3, different amplitude
+            (100, bytearray(wav_of(np.concatenate(
+                [_square_frame((4 * 7 + i * i) % 9, 900) for i in range(3, 9)]
+            )))),
+            # constant-class clip matching no track's schedule
+            (101, bytearray(wav_of(np.concatenate(
+                [_square_frame(0, 900) for _ in range(6)]
+            )))),
+        ],
+        "id long, payload binary",
+    )
+    got = {r.clip_id: (r.track_id, r.offset, r.votes)
+           for r in audio_clip_match(tracks, clips).collect()}
+    assert got[100] == (4, 3, 5)
+    # the constant clip's self-pairs may collide with single track
+    # transitions only by luck of the schedule; it must never reach
+    # the coherent-vote count of a true match
+    assert 101 not in got or got[101][2] < 5
