@@ -171,21 +171,56 @@ def _content_text(content: bytes, *, kern_space: float = 100.0) -> str:
     return "".join(out)
 
 
+_OBJ_START_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+# direct /Length only: '/Length 6 0 R' (indirect reference) must NOT
+# half-match its first number
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s*R)\b")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+
+
 def extract_pdf_pages(payload: bytes) -> list[str]:
     """Extract per-page text from a PDF byte blob (one string per
     content stream, in object order — the fixture writer emits one
-    content stream per page in page order)."""
+    content stream per page in page order).
+
+    Stream bodies are sliced by the dict's ``/Length`` when present —
+    compressed bytes may legally contain ``endobj``/``endstream``, so
+    the lexical ``.*?endobj`` scan alone would truncate such objects;
+    only length-less streams fall back to the lexical boundary.
+    Indirect ``/Length N 0 R`` references raise honestly (resolving
+    them needs the xref this extractor deliberately doesn't trust).
+    """
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
     if b"/Encrypt" in payload:
         raise NotImplementedError("encrypted PDF")
     pages: list[str] = []
-    for m in _OBJ_RE.finditer(payload):
-        body = m.group(3)
-        sm = _STREAM_RE.match(body)
-        if not sm:
+    pos = 0
+    while True:
+        om = _OBJ_START_RE.search(payload, pos)
+        if not om:
+            break
+        sm = _STREAM_START_RE.search(payload, om.end())
+        em = payload.find(b"endobj", om.end())
+        if em < 0:
+            em = len(payload)
+        if sm is None or sm.start() > em:
+            pos = em + 6  # no stream in this object
             continue
-        head, data = sm.group(1), sm.group(2)
+        head = payload[om.end() : sm.start()]
+        lm = _LENGTH_RE.search(head)
+        if lm:
+            data = payload[sm.end() : sm.end() + int(lm.group(1))]
+            pos = payload.find(b"endobj", sm.end() + int(lm.group(1)))
+            pos = pos + 6 if pos >= 0 else len(payload)
+        else:
+            if re.search(rb"/Length\s+\d+\s+\d+\s*R", head):
+                raise NotImplementedError("indirect /Length reference")
+            end = payload.find(b"\nendstream", sm.end())
+            if end < 0:
+                raise ValueError("unterminated PDF stream")
+            data = payload[sm.end() : end]
+            pos = end + len(b"\nendstream")
         if b"/ObjStm" in head or b"/XRef" in head:
             raise NotImplementedError("PDF 1.5 object/xref streams")
         if b"/FlateDecode" in head:

@@ -86,3 +86,36 @@ def test_pdf_tj_strings_with_brackets_and_operator_lookalikes():
         ]
     )
     assert extract_pdf_pages(pdf) == ["a]b [c(d) Tj BT\ntail ] text"]
+
+
+def test_pdf_stream_bytes_containing_endobj_magic():
+    """Compressed stream data may legally contain 'endobj'/'endstream'
+    byte sequences — /Length slicing must keep the object intact
+    (stored-deflate makes the magic words literal in the stream)."""
+    import zlib
+
+    content = b"BT\n/F1 12 Tf\n72 720 Td\n(endobj endstream inside) Tj\nET"
+    data = zlib.compress(content, 0)  # stored blocks: bytes pass through
+    assert b"endobj" in data and b"endstream" in data
+    buf = bytearray(b"%PDF-1.4\n")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+        + data
+        + b"\nendstream",
+    ]
+    for i, body in enumerate(objs, start=1):
+        buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    buf += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    assert extract_pdf_pages(bytes(buf)) == ["endobj endstream inside"]
+    # indirect /Length raises honestly instead of guessing
+    bad = bytes(buf).replace(
+        b"/Length %d" % len(data), b"/Length 6 0 R", 1
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="indirect /Length"):
+        extract_pdf_pages(bad)
