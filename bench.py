@@ -113,6 +113,7 @@ HEADLINE = [
     "audio_fingerprint_dedup",
     "multimodal_curation_e2e",
     "audio_clip_match",
+    "multimodal_mp4_metadata",
 ]
 
 

@@ -1796,3 +1796,142 @@ def phash_for_payload(payload: bytes, media_type: str) -> int:
     raise NotImplementedError(
         f"no pixel decoder for {media_type!r} (pgm/ppm/jpeg supported)"
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (ISO 14496-12) CONTAINER parsing — the metadata
+# layer a video pipeline reads BEFORE any expensive decode: duration,
+# track count, codec fourccs, visual dimensions. Box walk only; the
+# codec payloads themselves still raise honestly (no decoder here).
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for sibling boxes in
+    data[start:end]; 64-bit largesize and size==0 (to-end) handled."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"invalid MP4 box size at byte {pos}")
+        yield typ, body, pos + size
+        pos += size
+
+
+def parse_mp4_meta(payload: bytes) -> dict[str, Any]:
+    """REAL ISO-BMFF box walk: ftyp brand, mvhd timescale/duration,
+    per-track tkhd dimensions (16.16 fixed point) and stsd codec
+    fourccs. Fragmented files (moof) and encrypted tracks (enc*)
+    raise honestly; so does a missing moov."""
+    top = list(_mp4_boxes(payload, 0, len(payload)))
+    if not any(t == b"ftyp" for t, _, _ in top):
+        raise ValueError("not an ISO-BMFF payload (no ftyp)")
+    if any(t == b"moof" for t, _, _ in top):
+        raise NotImplementedError("fragmented MP4 (moof)")
+
+    brand = ""
+    duration_sec = None
+    tracks: list[dict[str, Any]] = []
+
+    def walk(data: bytes, start: int, end: int, path: tuple[bytes, ...]):
+        nonlocal brand, duration_sec
+        for typ, b0, b1 in _mp4_boxes(data, start, end):
+            if typ == b"ftyp":
+                brand = data[b0 : b0 + 4].decode("latin-1")
+            elif typ == b"mvhd":
+                version = data[b0]
+                if version == 1:
+                    ts = int.from_bytes(data[b0 + 20 : b0 + 24], "big")
+                    dur = int.from_bytes(data[b0 + 24 : b0 + 32], "big")
+                else:
+                    ts = int.from_bytes(data[b0 + 12 : b0 + 16], "big")
+                    dur = int.from_bytes(data[b0 + 16 : b0 + 20], "big")
+                duration_sec = round(dur / ts, 4) if ts else None
+            elif typ == b"tkhd":
+                version = data[b0]
+                off = b1 - 8  # width/height are the LAST 8 body bytes
+                w = int.from_bytes(data[off : off + 4], "big") / 65536
+                h = int.from_bytes(data[off + 4 : off + 8], "big") / 65536
+                tracks.append({"width": round(w, 2), "height": round(h, 2)})
+                _ = version
+            elif typ == b"stsd":
+                n = int.from_bytes(data[b0 + 4 : b0 + 8], "big")
+                fourccs = []
+                pos = b0 + 8
+                for _ in range(n):
+                    esize = int.from_bytes(data[pos : pos + 4], "big")
+                    fourcc = data[pos + 4 : pos + 8].decode("latin-1")
+                    if fourcc.startswith("enc"):
+                        raise NotImplementedError("encrypted MP4 track")
+                    fourccs.append(fourcc)
+                    pos += esize
+                if tracks:
+                    tracks[-1]["codecs"] = fourccs
+            if typ in _MP4_CONTAINERS:
+                walk(data, b0, b1, path + (typ,))
+
+    walk(payload, 0, len(payload), ())
+    if duration_sec is None:
+        raise ValueError("MP4 missing moov/mvhd")
+    return {
+        "kind": "video",
+        "brand": brand,
+        "duration_sec": duration_sec,
+        "n_tracks": len(tracks),
+        "tracks": tracks,
+    }
+
+
+def build_mp4(
+    *,
+    brand: str = "isom",
+    timescale: int = 1000,
+    duration_ms: int,
+    tracks: list[dict[str, Any]],
+) -> bytes:
+    """Fixture writer: minimal conformant ISO-BMFF with ftyp + moov
+    (mvhd + one trak(tkhd + mdia(minf(stbl(stsd)))) per track).
+    Track dicts: {"width", "height", "codec"}.
+    """
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+    def full(typ: bytes, version: int, body: bytes) -> bytes:
+        return box(typ, bytes([version, 0, 0, 0]) + body)
+
+    mvhd = full(
+        b"mvhd",
+        0,
+        (0).to_bytes(8, "big")  # creation/modification
+        + timescale.to_bytes(4, "big")
+        + duration_ms.to_bytes(4, "big")
+        + b"\x00" * 80,  # rate/volume/matrix/next-track boilerplate
+    )
+    traks = b""
+    for t in tracks:
+        tkhd = full(
+            b"tkhd",
+            0,
+            b"\x00" * 72
+            + (int(t["width"] * 65536)).to_bytes(4, "big")
+            + (int(t["height"] * 65536)).to_bytes(4, "big"),
+        )
+        entry = (16).to_bytes(4, "big") + t["codec"].encode("latin-1") + b"\x00" * 8
+        stsd = full(b"stsd", 0, (1).to_bytes(4, "big") + entry)
+        stbl = box(b"stbl", stsd)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", minf)
+        traks += box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + traks)
+    ftyp = box(b"ftyp", brand.encode("latin-1") + (0).to_bytes(4, "big"))
+    return ftyp + moov

@@ -62,6 +62,7 @@ _PRIORITY: list[str] = [
     "audio_fingerprint_dedup",
     "multimodal_curation_e2e",
     "audio_clip_match",
+    "multimodal_mp4_metadata",
     "s3_t2_discovery_merge",
     "t1_ledger_ingest",
     "m5_update_where_in",

@@ -2660,3 +2660,103 @@ def audio_clip_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clips = ev.mapInPandas(clip_synth, schema="id long, payload binary")
     return audio_clip_match(tracks, clips)
+
+
+# ---------------------------------------------------------------------------
+# MP4 container metadata through the driver gate — the filter-before-
+# decode stage of a video pipeline (duration/track/codec/dimension
+# screening costs a box walk, not a decode). Payloads are conformant
+# ISO-BMFF from the fixture writer; every field is event_id
+# arithmetic. Codec payloads still raise honestly elsewhere — this is
+# the metadata layer, and says so.
+# ---------------------------------------------------------------------------
+
+_MP4_SQL = """
+SELECT event_id AS id,
+       'isom' AS brand,
+       ROUND(CAST((event_id % 5000) + 100 AS DOUBLE) / 1000, 4) AS duration_sec,
+       CAST((event_id % 2) + 1 AS INT) AS n_tracks,
+       ROUND(CAST(160 + (event_id % 8) * 80 AS DOUBLE), 2) AS width,
+       ROUND(CAST(120 + (event_id % 8) * 60 AS DOUBLE), 2) AS height,
+       CASE event_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+                         ELSE 'vp09' END AS codec0
+FROM events WHERE event_id % 20 = 10
+"""
+
+
+@register("multimodal_mp4_metadata", _MP4_SQL)
+def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real ISO-BMFF box walk end-to-end: build_mp4 fixtures (ftyp +
+    moov/mvhd/trak/tkhd/stsd trees, 16.16 fixed-point dimensions,
+    some ids two-track) → parse_mp4_meta → screening columns. One
+    Arrow pass; the container layer is real, the codec layer raises
+    honestly elsewhere."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp4,
+        parse_mp4_meta,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 10
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                codec = ("avc1", "hvc1", "vp09")[int(eid) % 3]
+                tracks = [
+                    {
+                        "width": 160 + int(eid % 8) * 80,
+                        "height": 120 + int(eid % 8) * 60,
+                        "codec": codec,
+                    }
+                ]
+                if eid % 2 == 1:
+                    tracks.append({"width": 0, "height": 0, "codec": "mp4a"})
+                payloads.append(
+                    build_mp4(
+                        duration_ms=int(eid % 5000) + 100, tracks=tracks
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                m = parse_mp4_meta(bytes(blob))
+                rows.append(
+                    {
+                        "id": rid,
+                        "brand": m["brand"],
+                        "duration_sec": m["duration_sec"],
+                        "n_tracks": m["n_tracks"],
+                        "width": m["tracks"][0]["width"],
+                        "height": m["tracks"][0]["height"],
+                        "codec0": m["tracks"][0]["codecs"][0],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "brand", "duration_sec", "n_tracks",
+                    "width", "height", "codec0",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        meta,
+        schema=(
+            "id long, brand string, duration_sec double, n_tracks int, "
+            "width double, height double, codec0 string"
+        ),
+    )

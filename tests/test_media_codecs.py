@@ -813,3 +813,40 @@ def test_audio_constellation_and_clip_match(spark):
     # transitions only by luck of the schedule; it must never reach
     # the coherent-vote count of a true match
     assert 101 not in got or got[101][2] < 5
+
+
+def test_mp4_container_parse_and_honest_gates():
+    """ISO-BMFF box walk: brand/duration/tracks/codecs/16.16 dims
+    round-trip through the fixture writer; garbage, fragmented, and
+    encrypted payloads raise honestly."""
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp4,
+        parse_mp4_meta,
+    )
+
+    blob = build_mp4(
+        duration_ms=90500,
+        tracks=[
+            {"width": 1920, "height": 1080, "codec": "avc1"},
+            {"width": 0, "height": 0, "codec": "mp4a"},
+        ],
+    )
+    m = parse_mp4_meta(blob)
+    assert m["kind"] == "video" and m["brand"] == "isom"
+    assert m["duration_sec"] == 90.5 and m["n_tracks"] == 2
+    assert m["tracks"][0] == {
+        "width": 1920.0, "height": 1080.0, "codecs": ["avc1"]
+    }
+    assert m["tracks"][1]["codecs"] == ["mp4a"]
+
+    with _pytest.raises(ValueError, match="no ftyp"):
+        parse_mp4_meta(b"\x00\x00\x00\x10free" + bytes(8) + blob[16:])
+    frag = blob + (8).to_bytes(4, "big") + b"moof"
+    with _pytest.raises(NotImplementedError, match="fragmented"):
+        parse_mp4_meta(frag)
+    with _pytest.raises(NotImplementedError, match="encrypted"):
+        parse_mp4_meta(blob.replace(b"avc1", b"encv"))
+    with _pytest.raises(ValueError, match="box size"):
+        parse_mp4_meta(blob[:8] + b"\x00\x00\x00\x03bad" + blob[8:])
