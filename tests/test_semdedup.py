@@ -149,3 +149,62 @@ def test_max_cluster_guard_skips_degenerate_cluster(spark):
         for r in semantic_dedup(corpus, num_clusters=2, threshold=0.999).collect()
     }
     assert uncapped[3] is False and uncapped[7] is False
+
+
+def test_all_three_carriers_identical_decisions(spark):
+    """literal / broadcast-table / Arrow-kernel carriers must produce
+    IDENTICAL clusters and keep decisions (same rounded-argmax, same
+    tie-breaks) — on semdedup, semdedup-LSH, and multi-query IVF."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ccgp_data_wrangling_spark.operators.knn import ivf_topk_multi
+    from ccgp_data_wrangling_spark.operators.semdedup import (
+        semantic_dedup,
+        semantic_dedup_lsh,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(80):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+    # planted near-copies of ids 0-4
+    for i in range(5):
+        v = list(rows[i][1])
+        v[0] += 0.001
+        rows.append((500 + i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    outs = {}
+    for carrier in ("literal", "table", "kernel"):
+        sd = sorted(
+            (r.id, r.cluster, r.keep)
+            for r in semantic_dedup(
+                emb, num_clusters=4, threshold=0.999, carrier=carrier
+            ).collect()
+        )
+        lsh = sorted(
+            (r.id, r.cluster, r.keep)
+            for r in semantic_dedup_lsh(
+                emb, dim=16, num_clusters=4, threshold=0.999,
+                n_tables=2, n_bits=6, carrier=carrier,
+            ).collect()
+        )
+        q = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        ivf = sorted(
+            (r.query_id, r.vec_id, r.cos_sim, r.rank)
+            for r in ivf_topk_multi(
+                emb, q, 5, n_centroids=6, n_probe=3, carrier=carrier
+            ).collect()
+        )
+        outs[carrier] = (sd, lsh, ivf)
+        assert any(not k for _, _, k in sd)  # planted copies dropped
+
+    assert outs["literal"] == outs["table"] == outs["kernel"]
+    _ = math
