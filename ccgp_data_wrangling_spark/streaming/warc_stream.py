@@ -39,6 +39,7 @@ __all__ = [
     "curate_warc_records",
     "warc_archive_records",
     "warc_curation_stream",
+    "wds_landing_stream",
 ]
 
 _BINARYFILE_SCHEMA = (
@@ -122,4 +123,46 @@ def warc_curation_stream(
         mode="insert_only",
         available_now=available_now,
         transform=lambda b: curate_warc_records(b, min_words=min_words),
+    )
+
+
+def wds_landing_stream(
+    spark: SparkSession,
+    shard_dir: str,
+    target: ParquetTable,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """WebDataset landing directory → sample table: the tar-shard
+    twin of :func:`warc_curation_stream`. New ``*.tar`` shards drain
+    through the ``wds_samples`` explode into an insert-only MERGE
+    keyed on ``(shard_id, sample_key)``; parts stay
+    ``map<string, binary>`` for downstream kernels. Checkpoint = the
+    processed-shard ledger; re-drains are no-ops."""
+    import os
+
+    from ccgp_data_wrangling_spark.sources.webdataset import (
+        WDS_SAMPLE_SCHEMA,
+        wds_samples,
+    )
+
+    if not os.path.exists(target.path):
+        target.init(spark.createDataFrame([], WDS_SAMPLE_SCHEMA))
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.tar")
+        .load(shard_dir)
+    )
+    shards = raw.select(
+        F.xxhash64("path").alias("shard_id"),
+        F.col("content").alias("payload"),
+    )
+    return merge_stream(
+        wds_samples(shards, id_col="shard_id"),
+        target,
+        checkpoint_dir=checkpoint_dir,
+        mode="insert_only",
+        available_now=available_now,
     )

@@ -106,3 +106,45 @@ def test_stream_equals_batch_and_incremental(spark, tmp_path):
         (r.fingerprint, r.n_words, r.text) for r in target.read().collect()
     }
     assert got3 == got2
+
+
+def test_wds_landing_stream_incremental(spark, tmp_path):
+    """Tar shards landing over time drain into the sample table once
+    each; re-drains are no-ops."""
+    from ccgp_data_wrangling_spark.sources.webdataset import build_wds_shard
+    from ccgp_data_wrangling_spark.streaming.warc_stream import (
+        wds_landing_stream,
+    )
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "a.tar").write_bytes(
+        build_wds_shard([("k0", {"txt": b"x"}), ("k1", {"txt": b"y", "cls": b"3"})])
+    )
+    target = ParquetTable(
+        spark, str(tmp_path / "samples"), ["shard_id", "sample_key"]
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    wds_landing_stream(
+        spark, str(d), target, checkpoint_dir=ckpt
+    ).awaitTermination(120)
+    rows = {
+        r.sample_key: (r.n_parts, {k: bytes(v) for k, v in r.parts.items()})
+        for r in target.read().collect()
+    }
+    assert rows == {
+        "k0": (1, {"txt": b"x"}),
+        "k1": (2, {"txt": b"y", "cls": b"3"}),
+    }
+
+    (d / "b.tar").write_bytes(build_wds_shard([("k2", {"txt": b"z"})]))
+    wds_landing_stream(
+        spark, str(d), target, checkpoint_dir=ckpt
+    ).awaitTermination(120)
+    assert target.read().count() == 3
+    # immediate re-drain: no change
+    wds_landing_stream(
+        spark, str(d), target, checkpoint_dir=ckpt
+    ).awaitTermination(120)
+    assert target.read().count() == 3
