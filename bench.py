@@ -114,6 +114,10 @@ HEADLINE = [
     "multimodal_curation_e2e",
     "audio_clip_match",
     "multimodal_mp4_metadata",
+    # round 6 continuation: sub-byte PNG, MP3 frame walk, PDF 1.5
+    "multimodal_png_subbyte_decode",
+    "multimodal_mp3_metadata",
+    "pdf15_text_extract",
 ]
 
 

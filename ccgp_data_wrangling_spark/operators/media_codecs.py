@@ -42,6 +42,10 @@ __all__ = [
     "phash_for_payload",
     "audio_fingerprint64",
     "real_decode",
+    "parse_mp4_meta",
+    "build_mp4",
+    "parse_mp3_meta",
+    "build_mp3",
 ]
 
 
@@ -58,6 +62,11 @@ def decode_wav(payload: bytes) -> dict[str, Any]:
         x = (x - 128.0) / 128.0
     elif sampwidth == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sampwidth == 3:  # 24-bit little-endian two's complement
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v >> 23) << 24  # sign-extend bit 23
+        x = v.astype(np.float64) / 8388608.0
     elif sampwidth == 4:
         x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
     else:
@@ -99,15 +108,21 @@ def _parse_netpbm(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
     if magic not in ("P5", "P6"):
         raise NotImplementedError(f"netpbm magic {magic!r} not supported")
     width, height, maxval = (int(t) for t in tokens[1:4])
-    if maxval > 255:
-        raise NotImplementedError("16-bit netpbm not supported")
+    if not 0 < maxval < 65536:
+        raise ValueError(f"invalid netpbm maxval {maxval}")
     ch = 3 if magic == "P6" else 1
-    need = width * height * ch
+    # maxval > 255 → two bytes per sample, most significant first
+    # (netpbm raw-format spec)
+    nb = 2 if maxval > 255 else 1
+    need = width * height * ch * nb
     data = payload[pos : pos + need]
     if len(data) != need:
         raise ValueError("truncated netpbm pixel data")
-    px = np.frombuffer(data, dtype=np.uint8).reshape(height, width, ch)
-    return magic, width, height, maxval, px
+    if nb == 1:
+        px = np.frombuffer(data, dtype=np.uint8)
+    else:
+        px = np.frombuffer(data, dtype=">u2").astype(np.uint16)
+    return magic, width, height, maxval, px.reshape(height, width, ch)
 
 
 def decode_netpbm(payload: bytes) -> dict[str, Any]:
@@ -139,7 +154,7 @@ def resize_netpbm(payload: bytes, width: int, height: int) -> bytes:
     cols = (np.arange(width) * w0) // width
     out = px[rows][:, cols]
     header = f"{magic}\n{width} {height}\n{maxval}\n".encode("ascii")
-    return header + out.tobytes()
+    return header + out.astype(">u2" if maxval > 255 else np.uint8).tobytes()
 
 
 def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
@@ -195,9 +210,10 @@ def decode_gif_frames(
 
     Returns ``(frames, delays_cs)``: one full-canvas ``(sh, sw, 3)``
     uint8 array per frame and its delay in centiseconds (0 when no
-    GCE). Disposal methods 0/1 (leave) and 2 (restore rect to the
-    background color) are implemented; 3 (restore to previous) raises
-    honestly — it is rare and needs a frame-history stack.
+    GCE). All four disposal methods are implemented: 0/1 (leave),
+    2 (restore rect to the background color) and 3 (restore to
+    previous — the frame rect reverts to its pre-render content,
+    GIF89a §23).
     """
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
@@ -236,9 +252,9 @@ def decode_gif_frames(
                 disposal = (gce[0] >> 2) & 0x07
                 delay_cs = int.from_bytes(gce[1:3], "little")
                 transparent = gce[3] if gce[0] & 0x01 else None
-                if disposal == 3:
-                    raise NotImplementedError(
-                        "GIF disposal method 3 (restore to previous)"
+                if disposal > 3:
+                    raise ValueError(
+                        f"invalid GIF disposal method {disposal}"
                     )
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
@@ -283,6 +299,9 @@ def decode_gif_frames(
                     src += 1
             grid = de
         rect = canvas[iy : iy + ih, ix : ix + iw]
+        # disposal 3: after display, the overwritten area reverts to
+        # what was there BEFORE this graphic rendered (GIF89a §23)
+        saved = rect.copy() if disposal == 3 else None
         if transparent is not None:
             mask = grid != transparent
             rect[mask] = table[grid[mask]]
@@ -292,6 +311,8 @@ def decode_gif_frames(
         delays.append(delay_cs)
         if disposal == 2:  # restore the frame rect to background
             canvas[iy : iy + ih, ix : ix + iw] = bg_rgb
+        elif disposal == 3:  # restore to previous
+            canvas[iy : iy + ih, ix : ix + iw] = saved
         delay_cs, transparent, disposal = 0, None, 0
 
     if not frames:
@@ -1412,8 +1433,9 @@ _DISPATCH["image/jpeg"] = decode_jpeg
 # unfilter (None/Sub/Up/Average/Paeth), palette expansion, Adam7
 # interlace (each pass is its own filtered sub-image). Lossless, so
 # decode reproduces source pixels EXACTLY — the easiest closed-form
-# oracle of all the image kernels. 16-bit and sub-byte depths raise
-# NotImplementedError honestly.
+# oracle of all the image kernels. Every legal depth is implemented:
+# 8/16-bit for all color types plus 1/2/4-bit grayscale and palette
+# (MSB-first packed scanlines, filter distance one byte).
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -1528,10 +1550,17 @@ def decode_png(payload: bytes) -> dict[str, Any]:
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
             depth, ctype, comp, filt, ilace = data[8:13]
-            if depth not in (8, 16):
-                raise NotImplementedError(f"{depth}-bit PNG not supported")
             if ctype not in _PNG_CHANNELS:
                 raise ValueError(f"invalid PNG color type {ctype}")
+            if depth in (1, 2, 4):
+                # RFC 2083 §4.1.1: sub-byte depths are legal only for
+                # grayscale and palette images
+                if ctype not in (0, 3):
+                    raise ValueError(
+                        f"{depth}-bit PNG invalid for color type {ctype}"
+                    )
+            elif depth not in (8, 16):
+                raise ValueError(f"invalid PNG bit depth {depth}")
             if ctype == 3 and depth == 16:
                 raise ValueError("palette PNG cannot be 16-bit")
             if comp != 0 or filt != 0:
@@ -1549,32 +1578,43 @@ def decode_png(payload: bytes) -> dict[str, Any]:
         raise ValueError("PNG missing IHDR")
     w, h, ctype, ilace, depth = ihdr
     ch = _PNG_CHANNELS[ctype]
-    nb = depth // 8  # bytes per sample
-    bpp = ch * nb  # filter byte-distance (RFC 2083 §6.2: ≥ 1 byte)
+    # filter byte-distance (RFC 2083 §6.2): ch * depth / 8 rounded UP
+    # to 1 — sub-byte depths filter at distance one whole byte
+    bpp = max(1, (ch * depth) // 8)
+
+    def rowbytes(pw: int) -> int:
+        """Packed scanline length: ceil(pw * ch * depth / 8)."""
+        return (pw * ch * depth + 7) // 8
 
     def to_px(rows: np.ndarray, ph: int, pw: int) -> np.ndarray:
-        """Unfiltered byte rows → (ph, pw, ch) sample array (uint8 or,
-        for depth 16, big-endian pairs combined into uint16)."""
-        if nb == 1:
+        """Unfiltered byte rows → (ph, pw, ch) sample array: uint8
+        passthrough, big-endian pair reassembly at depth 16, MSB-first
+        bit unpack at depths 1/2/4 (native 0..2^depth−1 units)."""
+        if depth < 8:
+            bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            vals = bits.reshape(ph, pw, depth) @ weights
+            return vals.astype(np.uint8).reshape(ph, pw, 1)
+        if depth == 8:
             return rows.reshape(ph, pw, ch)
         wide = (rows[:, 0::2].astype(np.uint16) << 8) | rows[:, 1::2]
         return wide.reshape(ph, pw, ch)
 
     raw = zlib.decompress(bytes(idat))
     if ilace == 0:
-        rows, pos = _unfilter_lines(raw, 0, h, w * bpp, bpp)
+        rows, pos = _unfilter_lines(raw, 0, h, rowbytes(w), bpp)
         if pos != len(raw):
             raise ValueError("PNG pixel data length mismatch")
         px = to_px(rows, h, w)
     else:  # Adam7: seven independently-filtered sub-images
-        px = np.zeros((h, w, ch), np.uint8 if nb == 1 else np.uint16)
+        px = np.zeros((h, w, ch), np.uint8 if depth <= 8 else np.uint16)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            rows, pos = _unfilter_lines(raw, pos, ph, pw * bpp, bpp)
+            rows, pos = _unfilter_lines(raw, pos, ph, rowbytes(pw), bpp)
             px[y0::dy, x0::dx] = to_px(rows, ph, pw)
         if pos != len(raw):
             raise ValueError("PNG pixel data length mismatch")
@@ -1599,26 +1639,52 @@ def decode_png(payload: bytes) -> dict[str, Any]:
     }
 
 
-def encode_png(px: np.ndarray, *, interlace: bool = False) -> bytes:
+def encode_png(
+    px: np.ndarray,
+    *,
+    interlace: bool = False,
+    depth: int | None = None,
+    palette: np.ndarray | None = None,
+) -> bytes:
     """Fixture PNG encoder: gray ``(h, w)``, RGB ``(h, w, 3)`` or RGBA
     ``(h, w, 4)``; uint8 writes depth 8, uint16 writes depth 16
     (big-endian sample bytes, filters over the byte stream with the
-    bytes-per-pixel distance). Scanlines cycle through all five filter
-    types (row % 5) so a decoder must implement every unfilter path;
-    the stream stays losslessly exact regardless of filter choice.
-    ``interlace`` writes Adam7 (seven independently-filtered passes)."""
+    bytes-per-pixel distance). ``depth`` of 1/2/4 packs grayscale or
+    palette samples MSB-first into scanline bytes (RFC 2083 §2.3);
+    ``palette`` (n, 3) switches to color type 3 with ``px`` holding
+    indices. Scanlines cycle through all five filter types (row % 5)
+    so a decoder must implement every unfilter path; the stream stays
+    losslessly exact regardless of filter choice. ``interlace`` writes
+    Adam7 (seven independently-filtered passes)."""
     import zlib
 
     if px.ndim == 2:
         px = px[..., None]
     h, w, ch = px.shape
-    ctype = {1: 0, 3: 2, 4: 6}[ch]
-    depth = 16 if px.dtype == np.uint16 else 8
-    bpp = ch * (depth // 8)
+    if palette is not None:
+        if ch != 1:
+            raise ValueError("palette PNG needs (h, w) index input")
+        ctype = 3
+    else:
+        ctype = {1: 0, 3: 2, 4: 6}[ch]
+    if depth is None:
+        depth = 16 if px.dtype == np.uint16 else 8
+    if depth < 8 and ch != 1:
+        raise ValueError(f"{depth}-bit PNG invalid for {ch} channels")
+    if depth < 8 and int(px.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"sample out of range for {depth}-bit PNG")
+    bpp = max(1, (ch * depth) // 8)
 
     def byte_rows(sub: np.ndarray) -> np.ndarray:
-        """(ph, pw, ch) samples → (ph, pw*bpp) filter-input bytes."""
+        """(ph, pw, ch) samples → (ph, rowbytes) filter-input bytes."""
         ph, pw = sub.shape[0], sub.shape[1]
+        if depth < 8:
+            shifts = np.arange(depth - 1, -1, -1)
+            bits = (sub.reshape(ph, pw, 1) >> shifts) & 1
+            packed = np.packbits(
+                bits.reshape(ph, pw * depth).astype(np.uint8), axis=1
+            )  # pads the final byte with zero bits, per spec
+            return packed.astype(np.int64)
         if depth == 8:
             return sub.reshape(ph, pw * ch).astype(np.int64)
         b = np.ascontiguousarray(sub.astype(">u2")).view(np.uint8)
@@ -1647,9 +1713,15 @@ def encode_png(px: np.ndarray, *, interlace: bool = False) -> bytes:
         + h.to_bytes(4, "big")
         + bytes([depth, ctype, 0, 0, 1 if interlace else 0])
     )
+    plte = (
+        chunk(b"PLTE", np.ascontiguousarray(palette, np.uint8).tobytes())
+        if palette is not None
+        else b""
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
@@ -1935,3 +2007,252 @@ def build_mp4(
     moov = box(b"moov", mvhd + traks)
     ftyp = box(b"ftyp", brand.encode("latin-1") + (0).to_bytes(4, "big"))
     return ftyp + moov
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1/2/2.5 audio, ISO/IEC 11172-3 / 13818-3) — frame-header
+# metadata walk, the filter-before-decode screening layer for audio
+# corpora (the MP4 twin above does it for video). Every frame header
+# is parsed (sync, version, layer, bitrate/samplerate indices,
+# padding, channel mode), frame lengths are computed from the spec
+# formulas and the walk counts frames exactly — so VBR duration is
+# exact, not estimated. ID3v2 (syncsafe size + optional footer) and
+# trailing ID3v1 tags are recognized and skipped. A Xing/Info VBR
+# header in the first frame's side-info region is read and
+# cross-checked against the walked frame count. Only the audio
+# DECODE (subband synthesis / MDCT) is out of scope and raises via
+# real_decode's honest gate; free-format bitrate (index 0) raises
+# NotImplementedError.
+# Reference behavior parity: cademirch/ccgp-data-wrangling has no
+# media layer; this extends the engine's multimodal screening family.
+# ---------------------------------------------------------------------------
+
+_MP3_BITRATES = {  # kbps by (version_group, layer); index 0 = free-format
+    ("MPEG1", 1): (0, 32, 64, 96, 128, 160, 192, 224,
+                   256, 288, 320, 352, 384, 416, 448),
+    ("MPEG1", 2): (0, 32, 48, 56, 64, 80, 96, 112,
+                   128, 160, 192, 224, 256, 320, 384),
+    ("MPEG1", 3): (0, 32, 40, 48, 56, 64, 80, 96,
+                   112, 128, 160, 192, 224, 256, 320),
+    ("MPEG2", 1): (0, 32, 48, 56, 64, 80, 96, 112,
+                   128, 144, 160, 176, 192, 224, 256),
+    ("MPEG2", 2): (0, 8, 16, 24, 32, 40, 48, 56,
+                   64, 80, 96, 112, 128, 144, 160),
+    ("MPEG2", 3): (0, 8, 16, 24, 32, 40, 48, 56,
+                   64, 80, 96, 112, 128, 144, 160),
+}
+
+_MP3_RATES = {
+    "MPEG1": (44100, 48000, 32000),
+    "MPEG2": (22050, 24000, 16000),
+    "MPEG2.5": (11025, 12000, 8000),
+}
+
+_MP3_VERSIONS = {0: "MPEG2.5", 2: "MPEG2", 3: "MPEG1"}
+
+
+def _mp3_spf(version: str, layer: int) -> int:
+    """Samples per frame (11172-3 §2.4.2.1 / 13818-3)."""
+    if layer == 1:
+        return 384
+    if layer == 2:
+        return 1152
+    return 1152 if version == "MPEG1" else 576
+
+
+def _mp3_frame_len(
+    version: str, layer: int, bitrate_kbps: int, rate: int, padding: int
+) -> int:
+    """Frame length in bytes from the spec formulas (slot = 4 bytes
+    for layer I, 1 byte otherwise)."""
+    if layer == 1:
+        return (12 * bitrate_kbps * 1000 // rate + padding) * 4
+    return _mp3_spf(version, layer) // 8 * bitrate_kbps * 1000 // rate + padding
+
+
+def _mp3_side_info_len(version: str, mono: bool) -> int:
+    """Layer III side-info bytes (before which a Xing tag cannot sit)."""
+    if version == "MPEG1":
+        return 17 if mono else 32
+    return 9 if mono else 17
+
+
+def parse_mp3_meta(payload: bytes) -> dict[str, Any]:
+    """REAL MP3 metadata walk: every frame header parsed, frame count
+    and VBR-exact duration from the walk itself, Xing/Info header
+    read and cross-checked. See the section comment for scope."""
+    id3v2 = False
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        id3v2 = True
+        flags = payload[5]
+        size = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                raise ValueError("invalid ID3v2 syncsafe size")
+            size = (size << 7) | b
+        pos = 10 + size + (10 if flags & 0x10 else 0)  # bit4 = footer
+    end = len(payload)
+    if end - pos >= 128 and payload[end - 128 : end - 125] == b"TAG":
+        end -= 128  # trailing ID3v1 tag
+
+    first: dict[str, Any] | None = None
+    n_frames = 0
+    bitrates: set[int] = set()
+    xing_frames = None
+    vbr_tag = False
+    while pos < end:
+        if end - pos < 4:
+            raise ValueError(f"truncated MP3 frame header at byte {pos}")
+        hdr = int.from_bytes(payload[pos : pos + 4], "big")
+        if hdr >> 21 != 0x7FF:
+            raise ValueError(f"lost MP3 frame sync at byte {pos}")
+        vbits = (hdr >> 19) & 0x3
+        if vbits == 1:
+            raise ValueError("reserved MPEG version id")
+        version = _MP3_VERSIONS[vbits]
+        lbits = (hdr >> 17) & 0x3
+        if lbits == 0:
+            raise ValueError("reserved MPEG layer")
+        layer = 4 - lbits  # 01→III, 10→II, 11→I
+        crc = not (hdr >> 16) & 0x1  # protection bit 0 = CRC present
+        bidx = (hdr >> 12) & 0xF
+        if bidx == 0:
+            raise NotImplementedError("free-format MP3 bitrate")
+        if bidx == 15:
+            raise ValueError("invalid MP3 bitrate index")
+        ridx = (hdr >> 10) & 0x3
+        if ridx == 3:
+            raise ValueError("invalid MP3 sampling rate index")
+        if (hdr & 0x3) == 2:
+            raise ValueError("reserved MP3 emphasis")
+        group = "MPEG1" if version == "MPEG1" else "MPEG2"
+        bitrate = _MP3_BITRATES[(group, layer)][bidx]
+        rate = _MP3_RATES[version][ridx]
+        padding = (hdr >> 9) & 0x1
+        mono = ((hdr >> 6) & 0x3) == 3
+        if first is None:
+            first = {
+                "version": version,
+                "layer": layer,
+                "sample_rate": rate,
+                "n_channels": 1 if mono else 2,
+                "bitrate_kbps": bitrate,
+            }
+            # Xing/Info sits after the layer III side info
+            if layer == 3:
+                xoff = pos + 4 + (2 if crc else 0) + _mp3_side_info_len(
+                    version, mono
+                )
+                tag = payload[xoff : xoff + 4]
+                if tag in (b"Xing", b"Info"):
+                    vbr_tag = tag == b"Xing"
+                    xflags = int.from_bytes(
+                        payload[xoff + 4 : xoff + 8], "big"
+                    )
+                    if xflags & 0x1:  # frame count present
+                        xing_frames = int.from_bytes(
+                            payload[xoff + 8 : xoff + 12], "big"
+                        )
+        elif (version, layer, rate) != (
+            first["version"],
+            first["layer"],
+            first["sample_rate"],
+        ):
+            raise ValueError(f"MP3 stream parameters change at byte {pos}")
+        n_frames += 1
+        bitrates.add(bitrate)
+        flen = _mp3_frame_len(version, layer, bitrate, rate, padding)
+        if flen <= 4:
+            raise ValueError("degenerate MP3 frame length")
+        pos += flen
+    if first is None:
+        raise ValueError("MP3 contains no audio frame")
+    if xing_frames is not None and xing_frames != n_frames:
+        raise ValueError(
+            f"Xing frame count {xing_frames} != walked {n_frames}"
+        )
+    # stream parameters are enforced constant across the walk, so the
+    # VBR-exact duration is the closed form n_frames · spf / rate
+    spf = _mp3_spf(first["version"], first["layer"])
+    return {
+        "kind": "audio",
+        **first,
+        "n_frames": n_frames,
+        "duration_sec": round(n_frames * spf / first["sample_rate"], 4),
+        "vbr": vbr_tag or len(bitrates) > 1,
+        "id3v2": id3v2,
+    }
+
+
+def build_mp3(
+    *,
+    version: str = "MPEG1",
+    layer: int = 3,
+    bitrate_kbps: int | list[int] = 128,
+    sample_rate: int = 44100,
+    n_frames: int = 4,
+    mono: bool = False,
+    pad_every: int = 0,
+    xing: bool = False,
+    id3v2_bytes: int = 0,
+    id3v1: bool = False,
+    crc: bool = False,
+) -> bytes:
+    """Fixture writer: a conformant MP3 frame sequence (headers +
+    spec-exact frame lengths; payload slots are deterministic filler —
+    this layer never decodes audio). ``bitrate_kbps`` may be a
+    per-frame list (VBR). ``pad_every`` sets the padding bit on every
+    k-th frame. ``xing`` writes a Xing tag (flags=frames|bytes) into
+    the first frame's post-side-info slot."""
+    group = "MPEG1" if version == "MPEG1" else "MPEG2"
+    rates = _MP3_RATES[version]
+    ridx = rates.index(sample_rate)
+    vbits = {v: k for k, v in _MP3_VERSIONS.items()}[version]
+    brs = (
+        list(bitrate_kbps)
+        if isinstance(bitrate_kbps, list)
+        else [bitrate_kbps] * n_frames
+    )
+    out = bytearray()
+    if id3v2_bytes:
+        size = id3v2_bytes
+        ss = bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F]
+        )
+        out += b"ID3" + bytes([3, 0, 0]) + ss + bytes(size)
+    for i, kbps in enumerate(brs):
+        bidx = _MP3_BITRATES[(group, layer)].index(kbps)
+        padding = 1 if pad_every and (i + 1) % pad_every == 0 else 0
+        hdr = (
+            (0x7FF << 21)
+            | (vbits << 19)
+            | ((4 - layer) << 17)
+            | ((0 if crc else 1) << 16)
+            | (bidx << 12)
+            | (ridx << 10)
+            | (padding << 9)
+            | ((3 if mono else 0) << 6)
+        )
+        flen = _mp3_frame_len(version, layer, kbps, sample_rate, padding)
+        frame = bytearray(flen)
+        frame[0:4] = hdr.to_bytes(4, "big")
+        body = 4
+        if crc:
+            frame[4:6] = b"\x00\x00"
+            body = 6
+        for j in range(body, flen):
+            frame[j] = (i * 37 + j * 11) % 251
+        if xing and i == 0 and layer == 3:
+            xoff = body + _mp3_side_info_len(version, mono)
+            tag = b"Xing" + (0x3).to_bytes(4, "big") + len(brs).to_bytes(
+                4, "big"
+            ) + (0).to_bytes(4, "big")
+            if xoff + len(tag) > flen:
+                raise ValueError("frame too small for a Xing tag")
+            frame[xoff : xoff + len(tag)] = tag
+        out += frame
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return bytes(out)

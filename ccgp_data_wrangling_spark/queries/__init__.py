@@ -51,6 +51,9 @@ def register(name: str, oracle: str | None):
 # row — the stalest-first re-verification cycle the round-5 verdict
 # prescribed (regression freshness, not new coverage).
 _PRIORITY: list[str] = [
+    "multimodal_mp3_metadata",
+    "multimodal_png_subbyte_decode",
+    "pdf15_text_extract",
     "sra_sheet_e2e",
     "multimodal_jpeg_progressive_decode",
     "image_phash_neardup_dedup",

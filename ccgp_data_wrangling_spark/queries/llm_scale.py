@@ -2760,3 +2760,321 @@ def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             "width double, height double, codec0 string"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-walk metadata through the driver gate — the audio twin of
+# the MP4 screening stage: duration / bitrate / channel / VBR
+# screening costs a header walk, not a decode. Fixtures are
+# conformant frame sequences from build_mp3 (spec-exact frame
+# lengths, ID3 wrappers, Xing tags, CRC and padding variants); every
+# output column is event_id arithmetic, so the oracle replays the
+# construction with no parser at all.
+# ---------------------------------------------------------------------------
+
+_MP3_SQL = """
+SELECT event_id AS id,
+       CASE event_id % 3 WHEN 0 THEN 'MPEG1' WHEN 1 THEN 'MPEG2'
+                         ELSE 'MPEG2.5' END AS version,
+       CAST(CASE event_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 24000
+                              ELSE 11025 END AS INT) AS sample_rate,
+       CAST(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 2 END AS INT)
+         AS n_channels,
+       CAST(CASE WHEN event_id % 3 = 0 THEN 128 ELSE 64 END AS INT)
+         AS bitrate_kbps,
+       CAST((event_id % 9) + 2 AS INT) AS n_frames,
+       ROUND(
+         CAST(((event_id % 9) + 2)
+              * (CASE WHEN event_id % 3 = 0 THEN 1152 ELSE 576 END)
+              AS DOUBLE)
+         / (CASE event_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 24000
+                              ELSE 11025 END), 4) AS duration_sec,
+       (event_id % 4 = 1 OR event_id % 5 = 0) AS vbr,
+       (event_id % 7 = 0) AS id3v2
+FROM events WHERE event_id % 20 = 12
+"""
+
+
+@register("multimodal_mp3_metadata", _MP3_SQL)
+def multimodal_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MP3 frame-header walk end-to-end: build_mp3 fixtures
+    (three MPEG versions, VBR bitrate schedules, Xing tags with
+    cross-checked frame counts, ID3v2/ID3v1 wrappers, CRC + padding
+    variants) → parse_mp3_meta → screening columns. One Arrow pass;
+    the frame-walk layer is real, the audio decode raises honestly
+    elsewhere (media_codecs section comment)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3,
+        parse_mp3_meta,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 12
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                version = ("MPEG1", "MPEG2", "MPEG2.5")[e % 3]
+                rate = (44100, 24000, 11025)[e % 3]
+                base = 128 if e % 3 == 0 else 64
+                n = e % 9 + 2
+                # VBR schedule alternates base and the next table step
+                up = 160 if e % 3 == 0 else 80
+                kbps: int | list[int] = (
+                    [base if i % 2 == 0 else up for i in range(n)]
+                    if e % 4 == 1
+                    else base
+                )
+                payloads.append(
+                    build_mp3(
+                        version=version,
+                        layer=3,
+                        bitrate_kbps=kbps,
+                        sample_rate=rate,
+                        n_frames=n,
+                        mono=e % 2 == 1,
+                        pad_every=2 if e % 3 == 0 else 0,
+                        xing=e % 5 == 0,
+                        id3v2_bytes=40 if e % 7 == 0 else 0,
+                        id3v1=e % 7 == 3,
+                        crc=e % 6 == 2,
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                m = parse_mp3_meta(bytes(blob))
+                rows.append(
+                    {
+                        "id": rid,
+                        "version": m["version"],
+                        "sample_rate": m["sample_rate"],
+                        "n_channels": m["n_channels"],
+                        "bitrate_kbps": m["bitrate_kbps"],
+                        "n_frames": m["n_frames"],
+                        "duration_sec": m["duration_sec"],
+                        "vbr": m["vbr"],
+                        "id3v2": m["id3v2"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "version", "sample_rate", "n_channels",
+                    "bitrate_kbps", "n_frames", "duration_sec", "vbr",
+                    "id3v2",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        meta,
+        schema=(
+            "id long, version string, sample_rate int, n_channels int, "
+            "bitrate_kbps int, n_frames int, duration_sec double, "
+            "vbr boolean, id3v2 boolean"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sub-byte PNG decode through the driver gate: depths 1/2/4 pack
+# multiple samples per scanline byte (MSB-first, RFC 2083 §2.3) —
+# the bilevel/low-color variant scanned-document and icon corpora
+# carry. Even-width checkerboards of two adjacent sample values make
+# every mean a closed form; odd ids route through a PLTE palette so
+# both sub-byte color types run inside the gate. Lossless, so the
+# oracle replays the construction exactly.
+# ---------------------------------------------------------------------------
+
+_PNG_SUBBYTE_SQL = """
+SELECT event_id AS id,
+       'image' AS kind,
+       CAST(2 * ((event_id % 3) + 2) AS INT) AS width,
+       CAST(((event_id // 20) % 5) + 2 AS INT) AS height,
+       CAST(CASE WHEN (event_id // 20) % 2 = 1 THEN 3 ELSE 1 END AS INT)
+         AS n_channels,
+       ROUND(CASE WHEN (event_id // 20) % 2 = 1 THEN
+           ((event_id % (CASE event_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                         ELSE 15 END)) * 37 + event_id % 7) % 256 / 2.0
+         + (((event_id % (CASE event_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                          ELSE 15 END)) + 1) * 37 + event_id % 7) % 256 / 2.0
+       ELSE
+           (event_id % (CASE event_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                        ELSE 15 END)) + 0.5
+       END, 4) AS mean0
+FROM events WHERE event_id % 20 = 15
+"""
+
+
+@register("multimodal_png_subbyte_decode", _PNG_SUBBYTE_SQL)
+def multimodal_png_subbyte_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Depth-1/2/4 PNG decode end-to-end: packed-scanline fixtures
+    (all five filters cycling, alternate images Adam7-interlaced,
+    odd ids palette-typed) → MSB-first bit unpack → channel means in
+    native units, driver-checked against the checkerboard's closed
+    form. Same two-Arrow-stage shape as the other media gates."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 15
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                depth = (1, 2, 4)[e % 3]
+                a = e % ((1 << depth) - 1)
+                w = 2 * (e % 3 + 2)
+                h = (e // 20) % 5 + 2
+                i, j = np.mgrid[0:h, 0:w]
+                px = (a + (i + j) % 2).astype(np.uint8)
+                il = bool((e >> 1) & 1)
+                if (e // 20) % 2 == 1:  # palette via PLTE
+                    pal = np.zeros((1 << depth, 3), np.uint8)
+                    pal[:, 0] = (
+                        np.arange(1 << depth) * 37 + e % 7
+                    ) % 256
+                    pal[:, 1] = (np.arange(1 << depth) * 11 + 3) % 256
+                    pal[:, 2] = (np.arange(1 << depth) * 5 + 1) % 256
+                    payloads.append(
+                        encode_png(px, depth=depth, palette=pal,
+                                   interlace=il)
+                    )
+                else:
+                    payloads.append(
+                        encode_png(px, depth=depth, interlace=il)
+                    )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                m = decode_png(bytes(blob))
+                rows.append(
+                    {
+                        "id": rid,
+                        "kind": m["kind"],
+                        "width": m["width"],
+                        "height": m["height"],
+                        "n_channels": m["n_channels"],
+                        "mean0": m["channel_means"][0],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "kind", "width", "height", "n_channels", "mean0",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        meta,
+        schema=(
+            "id long, kind string, width int, height int, "
+            "n_channels int, mean0 double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5 extraction through the driver gate: the SAME text must come
+# out of the modern layout real files use — dicts packed in an
+# object stream, content streams with INDIRECT /Length references,
+# and a predictor-encoded cross-reference STREAM as the only trailer
+# (sources/pdf.build_pdf15). Predictor rotates per doc (none / TIFF /
+# PNG-Up) so all three decode paths run inside the gate. The oracle
+# replays the construction, so any mis-slice or mis-resolution
+# breaks the hash.
+# ---------------------------------------------------------------------------
+
+_PDF15_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         'v15 doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+           || regexp_replace(substr(text, 41, 40), '[^ -~]', '', 'g')
+           AS page0
+  FROM documents
+)
+SELECT doc_id, 0 AS page, page0 AS text,
+       CAST(length(page0) AS INT) AS n_chars
+FROM base
+UNION ALL
+SELECT doc_id, 1 AS page,
+       'obj stream page' || chr(10) || 'K' || CAST(doc_id % 11 AS VARCHAR)
+         AS text,
+       CAST(17 + length(CAST(doc_id % 11 AS VARCHAR)) AS INT) AS n_chars
+FROM documents WHERE doc_id % 4 = 1
+"""
+
+
+@register("pdf15_text_extract", _PDF15_SQL)
+def pdf15_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF 1.5 ingest end-to-end: build_pdf15 fixtures (ObjStm-packed
+    document dicts, indirect /Length content streams, xref-stream
+    trailer, per-doc predictor rotation) → the same lexical+resolve
+    extraction → one row per page. Twin of pdf_text_extract; together
+    they pin both container generations."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.pdf import (
+        build_pdf15,
+        pdf_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 41, 40), "[^ -~]", "").alias(
+            "__mid"
+        ),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, mid in zip(pdf["doc_id"], pdf["__mid"]):
+                pages = [[f"v15 doc {did}", str(mid)]]
+                if did % 4 == 1:
+                    pages.append(
+                        ["obj stream page", f"K{int(did) % 11}"]
+                    )
+                pred = (1, 2, 12)[int(did) % 3]
+                payloads.append(build_pdf15(pages, predictor=pred))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return pdf_documents(media)

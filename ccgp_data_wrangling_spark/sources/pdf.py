@@ -18,9 +18,23 @@ What this parser implements (and tests):
   large negative TJ kerns become spaces — the standard heuristic
   reconstruction every extractor performs (text in PDF has no
   logical structure, only placements);
-* encryption, xref streams, object streams (1.5+), CIDFont/ToUnicode
-  remapping and non-Latin encodings raise ``NotImplementedError``
-  honestly — the fixture writer emits none of them.
+* PDF 1.5 cross-reference streams (``/Type /XRef``: ``/W`` field
+  widths, ``/Index`` subsections, Flate + PNG predictors 10–15 via
+  the SAME scanline unfilter the PNG codec uses, TIFF predictor 2,
+  ``/Prev`` chains with newest-wins merge — :func:`pdf_xref`) and
+  object streams (``/Type /ObjStm``: ``/N``/``/First`` member table,
+  member bodies addressable through type-2 xref entries —
+  :func:`read_object`). Content streams can never live inside an
+  ObjStm (streams don't nest, ISO 32000 §7.5.7), so the lexical text
+  scan stays complete on 1.5 files; the xref layer exists for
+  conformant navigation and indirect-reference resolution;
+* indirect ``/Length N G R`` on stream dicts is resolved (the
+  referenced integer object is located lexically — the extractor
+  still never TRUSTS offsets for text, it only reads plain integer
+  objects through them);
+* encryption, CIDFont/ToUnicode remapping and non-Latin encodings
+  raise ``NotImplementedError`` honestly — the fixture writer emits
+  none of them.
 
 Scale shape: identical to WARC — PDFs land as binary blobs, the
 extraction runs inside one Arrow ``mapInPandas`` pass
@@ -42,6 +56,9 @@ __all__ = [
     "extract_pdf_pages",
     "pdf_documents",
     "build_pdf",
+    "build_pdf15",
+    "pdf_xref",
+    "read_object",
     "PDF_PAGE_SCHEMA",
 ]
 
@@ -209,27 +226,232 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
             continue
         head = payload[om.end() : sm.start()]
         lm = _LENGTH_RE.search(head)
-        if lm:
-            data = payload[sm.end() : sm.end() + int(lm.group(1))]
-            pos = payload.find(b"endobj", sm.end() + int(lm.group(1)))
+        im = _IND_LENGTH_RE.search(head)
+        if lm or im:
+            ln = (
+                int(lm.group(1))
+                if lm
+                else _resolve_int_object(payload, int(im.group(1)))
+            )
+            data = payload[sm.end() : sm.end() + ln]
+            pos = payload.find(b"endobj", sm.end() + ln)
             pos = pos + 6 if pos >= 0 else len(payload)
         else:
-            if re.search(rb"/Length\s+\d+\s+\d+\s*R", head):
-                raise NotImplementedError("indirect /Length reference")
             end = payload.find(b"\nendstream", sm.end())
             if end < 0:
                 raise ValueError("unterminated PDF stream")
             data = payload[sm.end() : end]
             pos = end + len(b"\nendstream")
-        if b"/ObjStm" in head or b"/XRef" in head:
-            raise NotImplementedError("PDF 1.5 object/xref streams")
         if b"/FlateDecode" in head:
             data = zlib.decompress(data)
         elif b"/Filter" in head:
             raise NotImplementedError("non-Flate PDF stream filter")
+        if b"/ObjStm" in head:
+            # members are dict objects (streams never nest, §7.5.7) —
+            # no text inside; validate the member table and move on
+            _objstm_members(head, data)
+            continue
+        if b"/XRef" in head:
+            continue  # cross-reference metadata; see pdf_xref
         if b"BT" in data:
             pages.append(_content_text(data))
     return pages
+
+
+_IND_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s*R\b")
+_INT_OBJ_RE_T = rb"(?<![0-9])%d\s+\d+\s+obj\s*(\d+)\s*endobj"
+
+
+def _resolve_int_object(payload: bytes, num: int) -> int:
+    """Resolve an indirect reference that must point at a plain
+    integer object (the only indirect target stream dicts use here:
+    ``/Length N G R``). Located lexically, like everything else."""
+    m = re.search(_INT_OBJ_RE_T % num, payload)
+    if not m:
+        raise ValueError(f"unresolvable integer object {num}")
+    return int(m.group(1))
+
+
+def _objstm_members(head: bytes, data: bytes) -> list[tuple[int, bytes]]:
+    """Split an inflated object stream into ``[(objnum, body)]`` via
+    its ``/N`` (member count) and ``/First`` (body offset) fields."""
+    nm = re.search(rb"/N\s+(\d+)", head)
+    fm = re.search(rb"/First\s+(\d+)", head)
+    if not nm or not fm:
+        raise ValueError("ObjStm missing /N or /First")
+    n, first = int(nm.group(1)), int(fm.group(1))
+    pairs = data[:first].split()
+    if len(pairs) < 2 * n:
+        raise ValueError("ObjStm member table shorter than /N")
+    nums = [int(x) for x in pairs[0 : 2 * n : 2]]
+    offs = [int(x) for x in pairs[1 : 2 * n : 2]]
+    out: list[tuple[int, bytes]] = []
+    for k in range(n):
+        end = first + offs[k + 1] if k + 1 < n else len(data)
+        out.append((nums[k], data[first + offs[k] : end].strip()))
+    return out
+
+
+def _unpredict(data: bytes, head: bytes, row_bytes: int) -> bytes:
+    """Undo a ``/DecodeParms`` predictor on an inflated xref stream.
+    Predictors 10–15 are the PNG row filters — applied with the SAME
+    unfilter kernel the PNG codec uses (media_codecs._unfilter_lines;
+    the predictor prefixes each row with a PNG filter-type byte).
+    Predictor 2 is TIFF horizontal differencing; 1/absent is none."""
+    pm = re.search(rb"/Predictor\s+(\d+)", head)
+    pred = int(pm.group(1)) if pm else 1
+    if pred == 1:
+        return data
+    cm = re.search(rb"/Columns\s+(\d+)", head)
+    columns = int(cm.group(1)) if cm else 1
+    colm = re.search(rb"/Colors\s+(\d+)", head)
+    bpcm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
+    colors = int(colm.group(1)) if colm else 1
+    bpc = int(bpcm.group(1)) if bpcm else 8
+    bpp = max(1, colors * bpc // 8)
+    if columns != row_bytes:
+        raise ValueError(
+            f"/Columns {columns} != xref row width {row_bytes}"
+        )
+    if pred == 2:  # TIFF horizontal differencing
+        out = bytearray(data)
+        for r0 in range(0, len(out), columns):
+            for i in range(bpp, min(columns, len(out) - r0)):
+                out[r0 + i] = (out[r0 + i] + out[r0 + i - bpp]) & 0xFF
+        return bytes(out)
+    if 10 <= pred <= 15:
+        from ccgp_data_wrangling_spark.operators.media_codecs import (
+            _unfilter_lines,
+        )
+
+        h = len(data) // (columns + 1)
+        rows, endpos = _unfilter_lines(data, 0, h, columns, bpp)
+        if endpos != len(data):
+            raise ValueError("xref predictor data length mismatch")
+        return rows.astype("uint8").tobytes()
+    raise NotImplementedError(f"predictor {pred}")
+
+
+def pdf_xref(payload: bytes) -> dict[int, tuple]:
+    """Parse the cross-reference the way a conformant reader does:
+    follow ``startxref`` to the newest section (classic table or 1.5
+    xref stream), then the ``/Prev`` chain, newest entry winning.
+    Returns ``{objnum: ("free",) | ("offset", byte_off, gen) |
+    ("objstm", container_objnum, index)}``."""
+    tail = payload.rsplit(b"startxref", 1)
+    if len(tail) != 2:
+        raise ValueError("PDF missing startxref")
+    entries: dict[int, tuple] = {}
+    off: int | None = int(tail[1].split()[0])
+    seen: set[int] = set()
+    while off is not None and off not in seen:
+        seen.add(off)
+        if payload[off : off + 4] == b"xref":  # classic table
+            p = off + 4
+            while True:
+                m = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", payload[p:])
+                if not m:
+                    break
+                start, count = int(m.group(1)), int(m.group(2))
+                p += m.end()
+                for k in range(count):
+                    line = payload[p : p + 20]
+                    f1, f2, typ = (
+                        int(line[0:10]), int(line[11:16]),
+                        line[17:18],
+                    )
+                    entries.setdefault(
+                        start + k,
+                        ("free",) if typ == b"f" else ("offset", f1, f2),
+                    )
+                    p += 20
+            tm = re.search(rb"trailer\s*<<(.*?)>>", payload[p:], re.S)
+            pm = (
+                re.search(rb"/Prev\s+(\d+)", tm.group(1)) if tm else None
+            )
+            off = int(pm.group(1)) if pm else None
+            continue
+        # 1.5 xref stream object at this offset
+        om = _OBJ_START_RE.match(payload, off)
+        if not om:
+            raise ValueError(f"no xref section at byte {off}")
+        sm = _STREAM_START_RE.search(payload, om.end())
+        head = payload[om.end() : sm.start()]
+        if b"/XRef" not in head:
+            raise ValueError("startxref target is not an XRef stream")
+        lm = _LENGTH_RE.search(head)
+        data = payload[sm.end() : sm.end() + int(lm.group(1))]
+        if b"/FlateDecode" in head:
+            data = zlib.decompress(data)
+        wm = re.search(
+            rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", head
+        )
+        if not wm:
+            raise ValueError("XRef stream missing /W")
+        w = [int(wm.group(i)) for i in (1, 2, 3)]
+        row = sum(w)
+        data = _unpredict(data, head, row)
+        sz = re.search(rb"/Size\s+(\d+)", head)
+        im = re.search(rb"/Index\s*\[([^\]]*)\]", head)
+        idx = (
+            [int(x) for x in im.group(1).split()]
+            if im
+            else [0, int(sz.group(1))]
+        )
+        p = 0
+        for s in range(0, len(idx), 2):
+            start, count = idx[s], idx[s + 1]
+            for k in range(count):
+                fields = []
+                for pos_i, width in enumerate(w):
+                    if width:
+                        v = int.from_bytes(data[p : p + width], "big")
+                        p += width
+                    else:  # §7.5.8.2: zero-width type defaults to 1
+                        v = 1 if pos_i == 0 else 0
+                    fields.append(v)
+                typ, f2, f3 = fields
+                entries.setdefault(
+                    start + k,
+                    ("free",)
+                    if typ == 0
+                    else ("offset", f2, f3)
+                    if typ == 1
+                    else ("objstm", f2, f3),
+                )
+        pm = re.search(rb"/Prev\s+(\d+)", head)
+        off = int(pm.group(1)) if pm else None
+    return entries
+
+
+def read_object(payload: bytes, num: int) -> bytes:
+    """Fetch object ``num``'s body bytes through the cross-reference:
+    type-1 entries parse at their byte offset, type-2 entries open the
+    containing object stream and return the member body."""
+    ent = pdf_xref(payload).get(num)
+    if ent is None or ent[0] == "free":
+        raise ValueError(f"object {num} not in xref (or free)")
+    if ent[0] == "offset":
+        om = _OBJ_START_RE.match(payload, ent[1])
+        if not om or int(om.group(1)) != num:
+            raise ValueError(f"xref offset for object {num} is wrong")
+        em = payload.find(b"endobj", om.end())
+        return payload[om.end() : em].strip()
+    container = ent[1]
+    m = re.search(rb"(?<![0-9])%d\s+\d+\s+obj\b" % container, payload)
+    if not m:
+        raise ValueError(f"ObjStm {container} not found")
+    sm = _STREAM_START_RE.search(payload, m.end())
+    head = payload[m.end() : sm.start()]
+    lm = _LENGTH_RE.search(head)
+    data = payload[sm.end() : sm.end() + int(lm.group(1))]
+    if b"/FlateDecode" in head:
+        data = zlib.decompress(data)
+    members = _objstm_members(head, data)
+    for onum, body in members:
+        if onum == num:
+            return body
+    raise ValueError(f"object {num} not in ObjStm {container}")
 
 
 PDF_PAGE_SCHEMA = "doc_id long, page int, text string, n_chars int"
@@ -270,6 +492,32 @@ def _escape_literal(s: str) -> bytes:
     )
 
 
+def _content_for(segs: list[Any]) -> bytes:
+    """Build one page's content stream from fixture segments."""
+    lines = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+    first = True
+    for seg in segs:
+        if not first:
+            lines.append(b"0 -14 Td")
+        first = False
+        if isinstance(seg, str):
+            lines.append(b"(" + _escape_literal(seg) + b") Tj")
+        elif isinstance(seg, tuple) and seg[0] == "hex":
+            lines.append(
+                b"<" + seg[1].encode("latin-1").hex().encode() + b"> Tj"
+            )
+        else:  # TJ array
+            parts = []
+            for el in seg:
+                if isinstance(el, str):
+                    parts.append(b"(" + _escape_literal(el) + b")")
+                else:
+                    parts.append(str(el).encode())
+            lines.append(b"[" + b" ".join(parts) + b"] TJ")
+    lines.append(b"ET")
+    return b"\n".join(lines)
+
+
 def build_pdf(pages: list[list[Any]], *, compress: bool = True) -> bytes:
     """Fixture writer: a conformant single-font PDF 1.4 with a correct
     xref table. Each page is a list of segments: a plain string →
@@ -279,30 +527,7 @@ def build_pdf(pages: list[list[Any]], *, compress: bool = True) -> bytes:
     ``compress`` Flate-encodes the content streams (the common case).
     """
     objects: list[bytes] = []
-
-    def content_for(segs: list[Any]) -> bytes:
-        lines = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
-        first = True
-        for seg in segs:
-            if not first:
-                lines.append(b"0 -14 Td")
-            first = False
-            if isinstance(seg, str):
-                lines.append(b"(" + _escape_literal(seg) + b") Tj")
-            elif isinstance(seg, tuple) and seg[0] == "hex":
-                lines.append(
-                    b"<" + seg[1].encode("latin-1").hex().encode() + b"> Tj"
-                )
-            else:  # TJ array
-                parts = []
-                for el in seg:
-                    if isinstance(el, str):
-                        parts.append(b"(" + _escape_literal(el) + b")")
-                    else:
-                        parts.append(str(el).encode())
-                lines.append(b"[" + b" ".join(parts) + b"] TJ")
-        lines.append(b"ET")
-        return b"\n".join(lines)
+    content_for = _content_for
 
     n_pages = len(pages)
     # object layout: 1 catalog, 2 pages, 3 font, then per page:
@@ -346,4 +571,128 @@ def build_pdf(pages: list[list[Any]], *, compress: bool = True) -> bytes:
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objects) + 1, xref_at)
     )
+    return bytes(buf)
+
+
+def build_pdf15(
+    pages: list[list[Any]], *, predictor: int = 12
+) -> bytes:
+    """Fixture writer for the PDF 1.5 layout real files use: the
+    document dicts (catalog / pages / font / page dicts) packed into
+    one Flate ``/ObjStm``, content streams top-level with INDIRECT
+    ``/Length`` references, and a Flate ``/Type /XRef`` cross-
+    reference stream (``/W [1 4 2]``, type-2 entries pointing into
+    the ObjStm) as the only trailer. ``predictor``: 1 (none),
+    2 (TIFF) or 10–15 (PNG row filters; 12 = Up, what real encoders
+    emit) applied to the xref rows.
+
+    Same segment vocabulary as :func:`build_pdf`, and extraction
+    output is identical between the two writers — pinned by tests.
+    """
+    n = len(pages)
+    objstm_nums = [1, 2, 3] + [4 + k for k in range(n)]
+    c0 = 4 + n  # first content object
+    l0 = 4 + 2 * n  # first length object
+    o_num = 4 + 3 * n  # ObjStm
+    x_num = 5 + 3 * n  # XRef stream
+    size = x_num + 1
+
+    kids = b" ".join(b"%d 0 R" % (4 + k) for k in range(n))
+    member_bodies = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ] + [
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> "
+        b"/Contents %d 0 R >>" % (c0 + k)
+        for k in range(n)
+    ]
+    offs = []
+    at = 0
+    for b in member_bodies:
+        offs.append(at)
+        at += len(b) + 1
+    table = b" ".join(
+        b"%d %d" % (num, off) for num, off in zip(objstm_nums, offs)
+    ) + b"\n"
+    stm_raw = table + b"\n".join(member_bodies) + b"\n"
+    first = len(table)
+    stm_z = zlib.compress(stm_raw)
+
+    buf = bytearray(b"%PDF-1.5\n")
+    top_offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        top_offsets[num] = len(buf)
+        buf.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    for k, segs in enumerate(pages):
+        data = zlib.compress(_content_for(segs))
+        emit(
+            c0 + k,
+            b"<< /Filter /FlateDecode /Length %d 0 R >>" % (l0 + k)
+            + b"\nstream\n" + data + b"\nendstream",
+        )
+        emit(l0 + k, b"%d" % len(data))
+    emit(
+        o_num,
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+        b"/Length %d >>" % (len(objstm_nums), first, len(stm_z))
+        + b"\nstream\n" + stm_z + b"\nendstream",
+    )
+
+    # xref rows: W = [1, 4, 2]
+    xref_at = len(buf)
+    top_offsets[x_num] = xref_at
+    rows = [bytes([0]) + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")]
+    for i, num in enumerate(objstm_nums):
+        rows.append(
+            bytes([2]) + o_num.to_bytes(4, "big") + i.to_bytes(2, "big")
+        )
+    for num in (
+        list(range(c0, c0 + n)) + list(range(l0, l0 + n)) + [o_num, x_num]
+    ):
+        rows.append(
+            bytes([1])
+            + top_offsets[num].to_bytes(4, "big")
+            + (0).to_bytes(2, "big")
+        )
+    row_w = 7
+    if predictor == 1:
+        enc = b"".join(rows)
+        parms = b""
+    elif predictor == 2:
+        out = bytearray()
+        for r in rows:
+            e = bytearray(r)
+            for i in range(len(e) - 1, 0, -1):
+                e[i] = (e[i] - e[i - 1]) & 0xFF
+            out += e
+        enc = bytes(out)
+        parms = (
+            b" /DecodeParms << /Predictor 2 /Columns %d >>" % row_w
+        )
+    elif 10 <= predictor <= 15:
+        out = bytearray()
+        prev = bytes(row_w)
+        for r in rows:  # PNG filter type 2 (Up) on every row
+            out.append(2)
+            out += bytes((a - b) & 0xFF for a, b in zip(r, prev))
+            prev = r
+        enc = bytes(out)
+        parms = (
+            b" /DecodeParms << /Predictor 12 /Columns %d >>" % row_w
+        )
+    else:
+        raise ValueError(f"unsupported predictor {predictor}")
+    enc_z = zlib.compress(enc)
+    buf.extend(
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d] "
+        b"/Root 1 0 R /Filter /FlateDecode%s /Length %d >>"
+        b"\nstream\n" % (x_num, size, size, parms, len(enc_z))
+        + enc_z
+        + b"\nendstream\nendobj\n"
+    )
+    buf.extend(b"startxref\n%d\n%%%%EOF\n" % xref_at)
     return bytes(buf)

@@ -65,6 +65,50 @@ def test_decode_netpbm_and_comments():
     assert abs(f["luma_mean"] - 18.15) < 1e-9
 
 
+def test_decode_wav_24bit_pcm():
+    """24-bit PCM: little-endian 3-byte two's complement, sign bit
+    extended — a constant −0.25 full-scale signal has exact RMS/peak."""
+    import io
+    import wave
+
+    val = -(1 << 21)  # −2^21 / 2^23 = −0.25 of full scale
+    frame = int(val & 0xFFFFFF).to_bytes(3, "little")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(8000)
+        wf.writeframes(frame * 800)
+    f = decode_wav(buf.getvalue())
+    assert f["n_samples"] == 800
+    assert abs(f["rms"] - 0.25) < 1e-9
+    assert abs(f["peak"] - 0.25) < 1e-9
+
+
+def test_decode_netpbm_16bit_and_resize():
+    """maxval > 255 switches to two-byte big-endian samples (netpbm
+    raw spec); decode means are native 16-bit units and resize
+    re-emits valid big-endian bytes."""
+    import numpy as np
+
+    px = np.array(
+        [[[1000, 2000, 3000], [40000, 50000, 60000]]], dtype=">u2"
+    )
+    payload = b"P6\n2 1\n65535\n" + px.tobytes()
+    f = decode_netpbm(payload)
+    assert (f["width"], f["height"], f["n_channels"]) == (2, 1, 3)
+    assert f["channel_means"] == [20500.0, 26000.0, 31500.0]
+    out = resize_netpbm(payload, 4, 2)
+    g = decode_netpbm(out)
+    assert (g["width"], g["height"]) == (4, 2)
+    assert g["channel_means"] == [20500.0, 26000.0, 31500.0]
+    # 16-bit P5 grayscale
+    gray = b"P5\n1 2\n65535\n" + np.array([[300], [700]], ">u2").tobytes()
+    assert decode_netpbm(gray)["channel_means"] == [500.0]
+    with pytest.raises(ValueError, match="invalid netpbm maxval"):
+        decode_netpbm(b"P5\n1 1\n70000\n" + bytes(2))
+
+
 def test_resize_netpbm_roundtrips():
     src = _ppm_bytes(4, 4, (100, 150, 200))
     out = resize_netpbm(src, 2, 8)
@@ -384,12 +428,26 @@ def test_png_honest_gates():
 
     with _pytest.raises(ValueError):
         decode_png(b"NOTPNG" + bytes(20))
-    # sub-byte depths still raise NotImplementedError
     good = bytearray(encode_png(np.full((4, 4), 3, np.uint8)))
+    # mislabeling an 8-bit stream as 4-bit shrinks the expected
+    # scanline budget — fails loudly, never silently reinterprets
     shallow = bytearray(good)
     shallow[8 + 8 + 8] = 4  # IHDR bit-depth byte
-    with _pytest.raises(NotImplementedError, match="4-bit"):
+    with _pytest.raises(ValueError, match="length mismatch"):
         decode_png(bytes(shallow))
+    # spec-invalid depth value
+    bad_depth = bytearray(good)
+    bad_depth[8 + 8 + 8] = 3
+    with _pytest.raises(ValueError, match="bit depth"):
+        decode_png(bytes(bad_depth))
+    # sub-byte depths are grayscale/palette-only per RFC 2083 §4.1.1
+    with _pytest.raises(ValueError, match="invalid for 3 channels"):
+        encode_png(np.zeros((2, 2, 3), np.uint8), depth=4)
+    rgb4 = bytearray(good)
+    rgb4[8 + 8 + 8] = 4  # depth 4 ...
+    rgb4[8 + 8 + 9] = 2  # ... on truecolor
+    with _pytest.raises(ValueError, match="invalid for color type"):
+        decode_png(bytes(rgb4))
     # a sequential stream mislabeled as Adam7 fails loudly, not garbage
     laced = bytearray(good)
     laced[8 + 8 + 12] = 1  # IHDR interlace byte
@@ -420,6 +478,50 @@ def test_png_16bit_roundtrip_exact_all_filters_and_adam7():
                 for m in want.astype(np.float64).mean(axis=(0, 1))
             ], (shape, il)
             assert (d["width"], d["height"]) == (want.shape[1], want.shape[0])
+
+
+def test_png_subbyte_roundtrip_exact_gray_and_palette():
+    """Depths 1/2/4 (MSB-first packed scanlines, filter distance one
+    byte, final byte zero-padded per RFC 2083 §2.3) round-trip
+    EXACTLY: grayscale in native 0..2^d−1 units and palette indices
+    expanded through PLTE — plain and Adam7, widths chosen so packed
+    rows land on and off byte boundaries."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(23)
+    for depth in (1, 2, 4):
+        for h, w in [(1, 1), (3, 5), (7, 11), (16, 16), (5, 8)]:
+            px = rng.integers(0, 1 << depth, (h, w), dtype=np.uint8)
+            for il in (False, True):
+                d = decode_png(encode_png(px, depth=depth, interlace=il))
+                assert (d["width"], d["height"]) == (w, h), (depth, h, w)
+                assert d["n_channels"] == 1
+                assert d["channel_means"] == [
+                    round(float(px.mean()), 4)
+                ], (depth, h, w, il)
+        # palette at the same depth: indices expand through PLTE
+        n = 1 << depth
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (9, 6), dtype=np.uint8)
+        for il in (False, True):
+            d = decode_png(
+                encode_png(idx, depth=depth, palette=pal, interlace=il)
+            )
+            assert d["n_channels"] == 3
+            assert d["channel_means"] == [
+                round(float(m), 4)
+                for m in pal[idx].astype(np.float64).mean(axis=(0, 1))
+            ], (depth, il)
+    # out-of-range samples are rejected at encode time, not wrapped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out of range"):
+        encode_png(np.full((2, 2), 4, np.uint8), depth=2)
 
 
 def test_png_adam7_interlace_roundtrip_exact():
@@ -674,12 +776,27 @@ def test_gif_animated_roundtrip_compositing_transparency_disposal():
     )
     assert np.array_equal(got[2][1:3, 2:5], patch)
 
+    # disposal 3: the patch shows while its frame displays, then the
+    # rect reverts to its pre-render content before the next frame
+    other = np.full((2, 2, 3), 40, np.uint8)
+    got, _ = decode_gif_frames(
+        encode_gif_animated(
+            [base, patch, other],
+            offsets=[(0, 0), (2, 1), (4, 0)],
+            disposals=[0, 3, 0],
+        )
+    )
+    assert np.array_equal(got[1][1:3, 2:5], patch)  # visible on display
+    want3 = base.copy()
+    want3[0:2, 4:6] = 40
+    assert np.array_equal(got[2], want3)  # patch rect reverted to base
+    # an out-of-spec disposal value fails loudly
     blob = bytearray(
         encode_gif_animated([base, patch], disposals=[0, 0])
     )
     i = blob.find(b"\x21\xf9\x04")
-    blob[i + 3] = 3 << 2  # disposal 3 in the first GCE
-    with _pytest.raises(NotImplementedError, match="disposal method 3"):
+    blob[i + 3] = 4 << 2  # reserved disposal value in the first GCE
+    with _pytest.raises(ValueError, match="disposal method 4"):
         decode_gif_frames(bytes(blob))
 
 
@@ -850,3 +967,88 @@ def test_mp4_container_parse_and_honest_gates():
         parse_mp4_meta(blob.replace(b"avc1", b"encv"))
     with _pytest.raises(ValueError, match="box size"):
         parse_mp4_meta(blob[:8] + b"\x00\x00\x00\x03bad" + blob[8:])
+
+
+def test_mp3_frame_walk_metadata():
+    """Every frame header parsed; duration is the exact walked sum of
+    samples-per-frame / rate — closed forms per (version, layer)."""
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3,
+        parse_mp3_meta,
+    )
+
+    m = parse_mp3_meta(build_mp3())  # MPEG1 L3 128k 44100 stereo x4
+    assert (m["version"], m["layer"], m["sample_rate"]) == ("MPEG1", 3, 44100)
+    assert (m["n_channels"], m["n_frames"]) == (2, 4)
+    assert m["duration_sec"] == round(4 * 1152 / 44100, 4)
+    assert not m["vbr"] and not m["id3v2"]
+
+    # layer I uses 384 samples/frame and 4-byte slots
+    m1 = parse_mp3_meta(
+        build_mp3(layer=1, bitrate_kbps=384, sample_rate=48000, n_frames=5)
+    )
+    assert m1["duration_sec"] == round(5 * 384 / 48000, 4)
+    assert m1["bitrate_kbps"] == 384
+
+    # MPEG2.5 L3 = 576 samples/frame; padding + CRC + ID3 wrappers
+    m2 = parse_mp3_meta(
+        build_mp3(
+            version="MPEG2.5",
+            bitrate_kbps=64,
+            sample_rate=8000,
+            n_frames=7,
+            mono=True,
+            pad_every=3,
+            id3v2_bytes=50,
+            id3v1=True,
+            crc=True,
+        )
+    )
+    assert (m2["version"], m2["sample_rate"], m2["n_channels"]) == (
+        "MPEG2.5", 8000, 1,
+    )
+    assert m2["n_frames"] == 7
+    assert m2["duration_sec"] == round(7 * 576 / 8000, 4)
+    assert m2["id3v2"]
+
+    # layer II MPEG2
+    m3 = parse_mp3_meta(
+        build_mp3(version="MPEG2", layer=2, bitrate_kbps=80,
+                  sample_rate=24000, n_frames=3)
+    )
+    assert m3["duration_sec"] == round(3 * 1152 / 24000, 4)
+
+
+def test_mp3_vbr_xing_and_honest_gates():
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3,
+        parse_mp3_meta,
+    )
+
+    # per-frame bitrate list → vbr, duration still exact
+    v = parse_mp3_meta(build_mp3(bitrate_kbps=[128, 160, 192, 128]))
+    assert v["vbr"] and v["n_frames"] == 4
+
+    # Xing frame count is read and must agree with the walk
+    x = parse_mp3_meta(build_mp3(xing=True, n_frames=6))
+    assert x["vbr"] and x["n_frames"] == 6
+    blob = bytearray(build_mp3(xing=True, n_frames=6))
+    i = blob.find(b"Xing")
+    blob[i + 11] = 9  # corrupt the stored frame count
+    with _pytest.raises(ValueError, match="Xing frame count"):
+        parse_mp3_meta(bytes(blob))
+
+    # free-format bitrate raises honestly; garbage loses sync loudly
+    free = bytearray(build_mp3(n_frames=1))
+    free[2] &= 0x0F  # zero the bitrate index
+    with _pytest.raises(NotImplementedError, match="free-format"):
+        parse_mp3_meta(bytes(free))
+    with _pytest.raises(ValueError, match="lost MP3 frame sync"):
+        parse_mp3_meta(b"\x00\x01\x02\x03" + bytes(40))
+    # mid-stream parameter change is an error, not silent drift
+    a = build_mp3(sample_rate=44100, n_frames=2)
+    b = build_mp3(sample_rate=32000, n_frames=1)
+    with _pytest.raises(ValueError, match="parameters change"):
+        parse_mp3_meta(a + b)

@@ -111,11 +111,95 @@ def test_pdf_stream_bytes_containing_endobj_magic():
         buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
     buf += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
     assert extract_pdf_pages(bytes(buf)) == ["endobj endstream inside"]
-    # indirect /Length raises honestly instead of guessing
+    # indirect /Length resolves through the referenced integer object
+    ind = bytes(buf).replace(
+        b"/Length %d" % len(data), b"/Length 6 0 R", 1
+    ) + b"6 0 obj\n%d\nendobj\n" % len(data)
+    assert extract_pdf_pages(ind) == ["endobj endstream inside"]
+    # ... and fails loudly when the target object does not exist
     bad = bytes(buf).replace(
         b"/Length %d" % len(data), b"/Length 6 0 R", 1
     )
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="indirect /Length"):
+    with _pytest.raises(ValueError, match="unresolvable integer object"):
         extract_pdf_pages(bad)
+
+
+def test_pdf15_extraction_matches_pdf14():
+    """The 1.5 layout (ObjStm-packed dicts, indirect /Length content
+    streams, xref stream trailer) extracts IDENTICAL text to the 1.4
+    writer, for every supported predictor."""
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf15
+
+    pages = [
+        ["hello (world)", ["kerned", -250, "text"]],
+        [("hex", "HXY"), "p2 \\ line"],
+    ]
+    want = extract_pdf_pages(build_pdf(pages))
+    for pred in (1, 2, 10, 12, 14):
+        got = extract_pdf_pages(build_pdf15(pages, predictor=pred))
+        assert got == want, pred
+
+
+def test_pdf15_xref_navigation_and_read_object():
+    """pdf_xref follows startxref into the xref STREAM, decodes the
+    /W rows through the predictor, and read_object resolves both
+    type-1 (offset) and type-2 (ObjStm member) entries — conformant
+    navigation, not just lexical scanning."""
+    from ccgp_data_wrangling_spark.sources.pdf import (
+        build_pdf15,
+        pdf_xref,
+        read_object,
+    )
+
+    blob = build_pdf15([["a"], ["b"]])
+    xr = pdf_xref(blob)
+    assert xr[0] == ("free",)
+    # type-1 entries point at the true object headers
+    for num, ent in xr.items():
+        if ent[0] == "offset":
+            assert blob[ent[1] :].startswith(b"%d 0 obj" % num), num
+    # dict objects live in the ObjStm (type 2) and read back correctly
+    assert xr[1][0] == "objstm"
+    assert read_object(blob, 1) == b"<< /Type /Catalog /Pages 2 0 R >>"
+    assert b"/Type /Page" in read_object(blob, 4)
+    assert b"/Contents" in read_object(blob, 5)
+    # content stream head resolves through its type-1 offset
+    assert read_object(blob, 6).startswith(b"<< /Filter /FlateDecode")
+
+
+def test_pdf14_classic_xref_through_pdf_xref():
+    """The classic-table path of pdf_xref: every in-use entry points
+    at its object, entry 0 is free."""
+    from ccgp_data_wrangling_spark.sources.pdf import pdf_xref
+
+    blob = build_pdf([["x"], ["y"]])
+    xr = pdf_xref(blob)
+    assert xr[0] == ("free",)
+    in_use = [n for n, e in xr.items() if e[0] == "offset"]
+    assert len(in_use) == 7  # catalog, pages, font, 2×(page, content)
+    for num in in_use:
+        assert blob[xr[num][1] :].startswith(b"%d 0 obj" % num)
+
+
+def test_pdf15_honest_gates_and_corruption():
+    from ccgp_data_wrangling_spark.sources.pdf import (
+        build_pdf15,
+        extract_pdf_pages as extract,
+        pdf_xref,
+    )
+
+    blob = build_pdf15([["z"]])
+    # unresolvable indirect /Length fails loudly (content obj 5
+    # references length obj 6 in the one-page layout)
+    broken = blob.replace(b"/Length 6 0 R", b"/Length 99 0 R")
+    with pytest.raises(ValueError, match="unresolvable integer object"):
+        extract(broken)
+    # an unsupported predictor value raises honestly in pdf_xref
+    assert b"/Predictor 12" in blob
+    with pytest.raises(NotImplementedError, match="predictor 7"):
+        pdf_xref(blob.replace(b"/Predictor 12", b"/Predictor 7 "))
+    # encryption still gates the whole file
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        extract(blob + b"/Encrypt")
