@@ -114,10 +114,15 @@ HEADLINE = [
     "multimodal_curation_e2e",
     "audio_clip_match",
     "multimodal_mp4_metadata",
-    # round 6 continuation: sub-byte PNG, MP3 frame walk, PDF 1.5
+    # round 6 continuation: sub-byte PNG, MP3 frame walk, PDF 1.5,
+    # JSONL + ORC connectors
     "multimodal_png_subbyte_decode",
     "multimodal_mp3_metadata",
     "pdf15_text_extract",
+    "jsonl_roundtrip_ingest",
+    "orc_roundtrip_scan",
+    "unicode_nfc_normalize",
+    "mojibake_repair_stats",
 ]
 
 

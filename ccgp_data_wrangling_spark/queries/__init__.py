@@ -54,6 +54,11 @@ _PRIORITY: list[str] = [
     "multimodal_mp3_metadata",
     "multimodal_png_subbyte_decode",
     "pdf15_text_extract",
+    "jsonl_roundtrip_ingest",
+    "jsonl_corrupt_records",
+    "orc_roundtrip_scan",
+    "unicode_nfc_normalize",
+    "mojibake_repair_stats",
     "sra_sheet_e2e",
     "multimodal_jpeg_progressive_decode",
     "image_phash_neardup_dedup",

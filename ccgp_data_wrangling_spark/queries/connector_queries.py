@@ -433,3 +433,140 @@ def t3_stream_merge_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()
     run_once()  # same checkpoint: fully caught up, must be a no-op
     return tbl.read()
+
+
+# ---------------------------------------------------------------------------
+# S-family extension: JSONL — the de-facto LLM corpus interchange
+# format. The round trip writes REAL gzip shards (one file per
+# partition — the per-file parallelism unit gzip imposes), reads
+# them back with the REQUIRED explicit schema, and aggregates; the
+# oracle states the same relation over the source parquet, so a
+# value lost or retyped anywhere in the JSON round trip breaks the
+# hash (dates/floats exercise the serialization corners).
+# ---------------------------------------------------------------------------
+
+_JSONL_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       MIN(doc_id) AS first_doc
+FROM documents GROUP BY lang
+"""
+
+
+@register("jsonl_roundtrip_ingest", _JSONL_SQL)
+def jsonl_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    tmp = _tmpdir("jsonl_rt_")
+    path = os.path.join(tmp, "docs")
+    write_jsonl(docs, path, compression="gzip", shards=4)
+    back = read_jsonl(
+        spark, path,
+        "doc_id bigint, text string, lang string, n_chars bigint",
+        mode="FAILFAST",
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSONL corrupt-record quarantine: real crawled JSONL always carries
+# a malformed tail. The fixture lays down text shards where every
+# doc_id % 5 == 2 line is truncated mid-object; the PERMISSIVE read
+# must capture EXACTLY those lines in _corrupt_record (parsed columns
+# null) and parse every other line fully. The oracle replays the
+# plant arithmetic — over- or under-quarantining breaks the hash.
+# ---------------------------------------------------------------------------
+
+_JSONL_CORRUPT_SQL = """
+SELECT CAST(COUNT(*) FILTER (WHERE doc_id % 5 <> 2) AS BIGINT)
+         AS n_parsed,
+       CAST(COUNT(*) FILTER (WHERE doc_id % 5 = 2) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(doc_id) FILTER (WHERE doc_id % 5 <> 2) AS BIGINT)
+         AS id_sum
+FROM documents
+"""
+
+
+@register("jsonl_corrupt_records", _JSONL_CORRUPT_SQL)
+def jsonl_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccgp_data_wrangling_spark.sources.jsonl import read_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 5 == 2,
+            # truncated mid-object: unterminated string, no brace
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id"),
+                     F.lit(', "lang": "')),
+        ).otherwise(
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id"),
+                     F.lit(', "lang": "'), F.col("lang"), F.lit('"}')),
+        ).alias("value")
+    )
+    tmp = _tmpdir("jsonl_bad_")
+    path = os.path.join(tmp, "shards")
+    lines.repartition(4).write.mode("overwrite").text(path)
+    back = read_jsonl(
+        spark, path, "doc_id bigint, lang string", keep_corrupt=True
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias(
+            "n_parsed"
+        ),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("doc_id"))
+        ).alias("id_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S-family extension: ORC — Spark's other native columnar format
+# (Hive-ecosystem interchange). The round trip writes a partitioned
+# ORC table (partition column = order priority), reads it back and
+# aggregates WITH a partition-pruning filter — the scan must read
+# only the matching directories, which .explain checks in tests.
+# ---------------------------------------------------------------------------
+
+_ORC_SQL = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
+@register("orc_roundtrip_scan", _ORC_SQL)
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    tmp = _tmpdir("orc_rt_")
+    path = os.path.join(tmp, "orders_orc")
+    orders.write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -505,3 +505,99 @@ def classifier_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization — checked against an INDEPENDENT
+# implementation: the engine normalizes with Python's unicodedata
+# (UCD), the oracle with DuckDB's nfc_normalize (ICU). NFC is
+# stability-guaranteed across Unicode versions, so the two must be
+# byte-identical; a planted decomposed suffix (e+COMBINING ACUTE,
+# A+COMBINING GRAVE) guarantees every row actually changes.
+# ---------------------------------------------------------------------------
+
+_NFC_PLANT = "éÀ nfc"  # decomposes: é as e+́ , À as A+̀
+
+_NFC_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         substr(text, 1, 20) || 'e' || chr(769) || 'A' || chr(768)
+           || ' nfc' AS raw
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(raw) AS norm_text,
+       CAST(length(raw) AS INT) AS len_before,
+       CAST(length(nfc_normalize(raw)) AS INT) AS len_after
+FROM planted
+"""
+
+
+@register("unicode_nfc_normalize", _NFC_SQL)
+def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization end-to-end: planted combining sequences →
+    Arrow unicodedata kernel (functions/unicode_norm.nfc_normalize)
+    vs DuckDB's ICU normalizer. Combining marks collapse, so
+    len_after < len_before on every row."""
+    from ccgp_data_wrangling_spark.functions.unicode_norm import (
+        nfc_normalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 20), F.lit(_NFC_PLANT)
+    )
+    norm = nfc_normalize(raw)
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(raw).alias("len_before"),
+        F.length(norm).alias("len_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair — the constructed corruption is the classic
+# UTF-8-bytes-read-as-cp1252 double encoding; the repair re-encodes
+# through the wrong codec and decodes as UTF-8
+# (functions/unicode_norm.fix_mojibake). The oracle never sees the
+# corruption: it states the CLEAN text directly from the
+# construction, so an under- or over-eager repair breaks the hash.
+# ---------------------------------------------------------------------------
+
+_MOJI_PRE = 'cafÃ© '    # "café " mis-decoded
+_MOJI_SUF = ' naÃ¯ve â€” ok'    # " naïve — ok" mis-decoded
+
+_MOJI_SQL = """
+SELECT doc_id,
+       'café ' || CAST(doc_id % 7 AS VARCHAR) || ' naïve — ok'
+         AS text_fixed,
+       TRUE AS was_repaired,
+       CAST(20 + 1 AS INT) AS len_bad,
+       CAST(16 + 1 AS INT) AS len_fixed
+FROM documents
+"""
+
+
+@register("mojibake_repair_stats", _MOJI_SQL)
+def mojibake_repair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair end-to-end: corrupted column assembled from
+    pre-mangled constant fragments + a per-doc digit → Arrow repair
+    kernel → clean text, flagged rows, code-point lengths both
+    sides. len_bad = 6 + 1 + 14 mangled code points; len_fixed =
+    5 + 1 + 11 clean ones."""
+    from ccgp_data_wrangling_spark.functions.unicode_norm import (
+        fix_mojibake,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    digit = (F.col("doc_id") % 7).cast("string")
+    mangled = F.concat(F.lit(_MOJI_PRE), digit, F.lit(_MOJI_SUF))
+    fixed = fix_mojibake(mangled)
+    return docs.select(
+        "doc_id",
+        fixed.alias("text_fixed"),
+        (mangled != fixed).alias("was_repaired"),
+        F.length(mangled).alias("len_bad"),
+        F.length(fixed).alias("len_fixed"),
+    )
