@@ -3,7 +3,16 @@
 ONE JSON line:
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"<slowest>": sec, ...}, "sf": 0.1,
+     "n_queries": 86, "out_file": "BENCH_LOCAL.json", ...}
+
+The stdout line is a bounded SUMMARY: the driver keeps only a short
+tail of stdout, and BENCH_r05/r06 both truncated mid-JSON when the
+full per-query map (86 entries) was printed.  stdout now carries the
+headline metric plus the 10 slowest queries (capped, ~1 KB); the FULL
+per-query map always lands in the $SPARK_GRAFT_BENCH_OUT file
+(default BENCH_LOCAL.json).  tests/test_bench_stdout.py proves the
+line survives a 2048-byte tail capture.
 
 Each query is forced end-to-end with the noop sink (full computation,
 no collect/transfer cost). A tiny warm-up query amortizes JVM/codegen
@@ -126,6 +135,33 @@ HEADLINE = [
 ]
 
 
+def stdout_summary(result: dict, max_queries: int = 10) -> dict:
+    """Bounded stdout form of a full bench result.
+
+    Keeps the headline metric fields and only the ``max_queries``
+    slowest per-query timings so the serialized line stays ~1 KB no
+    matter how many queries the registry grows to — the driver's
+    stdout capture keeps a short tail, and BENCH_r05/r06 both lost
+    their artifacts to full-map lines that outgrew it.  The complete
+    map lives in ``result["out_file"]``.
+    """
+    slowest = dict(
+        sorted(result["queries"].items(), key=lambda kv: -kv[1])[:max_queries]
+    )
+    return {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": slowest,
+        "sf": result["sf"],
+        "n_queries": len(result["queries"]),
+        "loadavg_start": result["loadavg_start"],
+        "ncpu": result["ncpu"],
+        "contended": result["contended"],
+        "out_file": result["out_file"],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -178,6 +214,7 @@ def main() -> None:
         timings[name] = round(sorted(samples)[1], 3)
 
     total = round(sum(timings.values()), 3)
+    out_file = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     result = {
         "metric": "total_query_sec",
         "value": total,
@@ -188,17 +225,16 @@ def main() -> None:
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "ncpu": ncpu,
         "contended": contended,
+        "out_file": out_file,
     }
     # BENCH_r05's per-query timings outgrew the driver's stdout tail
     # capture and truncated the artifact mid-JSON ("parsed": null), so
-    # the full result ALWAYS lands in a file too — the durable copy —
-    # while stdout keeps the driver's one-JSON-line contract.
-    with open(
-        os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"), "w"
-    ) as fh:
+    # the full result ALWAYS lands in a file — the durable copy —
+    # while stdout prints only a bounded summary line.
+    with open(out_file, "w") as fh:
         json.dump(result, fh, indent=1)
         fh.write("\n")
-    print(json.dumps(result, separators=(",", ":")))
+    print(json.dumps(stdout_summary(result), separators=(",", ":")))
     spark.stop()
 
 
