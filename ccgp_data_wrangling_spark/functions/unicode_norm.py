@@ -57,20 +57,42 @@ def nfc_normalize(col: Column | str) -> Column:
     return kernel(F.col(col) if isinstance(col, str) else col)
 
 
+def _sloppy_cp1252_encode(s: str) -> bytes | None:
+    """Per-character inverse of a best-fit cp1252 decode.
+
+    Real-world manglers decode UTF-8 bytes as cp1252 and leave the
+    five undefined cells (0x81 0x8D 0x8F 0x90 0x9D) as the raw C1
+    control character — so a single mangled string can MIX cp1252
+    characters with C1 controls (e.g. U+201D → 'â€' + U+009D).  A
+    whole-string ``encode("cp1252")`` or ``encode("latin-1")`` fails
+    on such mixes (r6 advice): '€' is not latin-1 and U+009D is not
+    cp1252.  Encoding character-by-character — cp1252 first, any
+    U+0080–U+009F straggler mapped straight to its byte value —
+    inverts the mangle exactly.  Returns None when some character has
+    no byte-level preimage (genuinely non-mojibake text)."""
+    out = bytearray()
+    for ch in s:
+        try:
+            out += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            cp = ord(ch)
+            if 0x80 <= cp <= 0x9F:
+                out.append(cp)
+            else:
+                return None
+    return bytes(out)
+
+
 def fix_mojibake_str(s: str, *, passes: int = 2) -> str:
     """Repair UTF-8-mis-decoded text (plain-Python core, also used by
     tests as the single-string reference). Each pass re-encodes via
-    cp1252 (latin-1 fallback for the five cp1252 holes) and decodes
-    as UTF-8; a pass that fails either step leaves the string as-is,
-    which makes the repair a no-op on healthy text."""
+    the sloppy-cp1252 inverse (see :func:`_sloppy_cp1252_encode`) and
+    decodes as UTF-8; a pass that fails either step leaves the string
+    as-is, which makes the repair a no-op on healthy text."""
     for _ in range(passes):
-        try:
-            b = s.encode("cp1252")
-        except UnicodeEncodeError:
-            try:
-                b = s.encode("latin-1")
-            except UnicodeEncodeError:
-                return s
+        b = _sloppy_cp1252_encode(s)
+        if b is None:
+            return s
         try:
             t = b.decode("utf-8")
         except UnicodeDecodeError:

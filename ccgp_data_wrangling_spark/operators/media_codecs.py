@@ -2165,6 +2165,14 @@ def parse_mp3_meta(payload: bytes) -> dict[str, Any]:
         flen = _mp3_frame_len(version, layer, bitrate, rate, padding)
         if flen <= 4:
             raise ValueError("degenerate MP3 frame length")
+        if pos + flen > end:
+            # the header promises flen bytes the stream doesn't have —
+            # counting the tail as a full frame would overstate the
+            # duration, so fail loudly like every other malformation
+            raise ValueError(
+                f"truncated final MP3 frame at byte {pos}: header "
+                f"promises {flen} bytes, {end - pos} remain"
+            )
         pos += flen
     if first is None:
         raise ValueError("MP3 contains no audio frame")

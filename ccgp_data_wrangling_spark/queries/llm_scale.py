@@ -2778,7 +2778,7 @@ SELECT event_id AS id,
                          ELSE 'MPEG2.5' END AS version,
        CAST(CASE event_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 24000
                               ELSE 11025 END AS INT) AS sample_rate,
-       CAST(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 2 END AS INT)
+       CAST(CASE WHEN (event_id // 20) % 2 = 1 THEN 1 ELSE 2 END AS INT)
          AS n_channels,
        CAST(CASE WHEN event_id % 3 = 0 THEN 128 ELSE 64 END AS INT)
          AS bitrate_kbps,
@@ -2789,7 +2789,7 @@ SELECT event_id AS id,
               AS DOUBLE)
          / (CASE event_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 24000
                               ELSE 11025 END), 4) AS duration_sec,
-       (event_id % 4 = 1 OR event_id % 5 = 0) AS vbr,
+       ((event_id // 20) % 4 = 1 OR (event_id // 20) % 5 = 0) AS vbr,
        (event_id % 7 = 0) AS id3v2
 FROM events WHERE event_id % 20 = 12
 """
@@ -2823,6 +2823,13 @@ def multimodal_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for eid in pdf["id"]:
                 e = int(eid)
+                # The gate keeps e ≡ 12 (mod 20), so residues of e mod
+                # 2/4/5 are CONSTANT inside the gate (r6 advice: the
+                # VBR / Xing / mono branches were dead).  k = e // 20
+                # walks 0,1,2,… across gate survivors, so k-residues
+                # exercise every branch; e-residues coprime with 20
+                # (mod 3/7/9) stay on event_id directly.
+                k = e // 20
                 version = ("MPEG1", "MPEG2", "MPEG2.5")[e % 3]
                 rate = (44100, 24000, 11025)[e % 3]
                 base = 128 if e % 3 == 0 else 64
@@ -2831,7 +2838,7 @@ def multimodal_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 up = 160 if e % 3 == 0 else 80
                 kbps: int | list[int] = (
                     [base if i % 2 == 0 else up for i in range(n)]
-                    if e % 4 == 1
+                    if k % 4 == 1
                     else base
                 )
                 payloads.append(
@@ -2841,9 +2848,9 @@ def multimodal_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bitrate_kbps=kbps,
                         sample_rate=rate,
                         n_frames=n,
-                        mono=e % 2 == 1,
+                        mono=k % 2 == 1,
                         pad_every=2 if e % 3 == 0 else 0,
-                        xing=e % 5 == 0,
+                        xing=k % 5 == 0,
                         id3v2_bytes=40 if e % 7 == 0 else 0,
                         id3v1=e % 7 == 3,
                         crc=e % 6 == 2,
@@ -2956,7 +2963,12 @@ def multimodal_png_subbyte_decode(
                 h = (e // 20) % 5 + 2
                 i, j = np.mgrid[0:h, 0:w]
                 px = (a + (i + j) % 2).astype(np.uint8)
-                il = bool((e >> 1) & 1)
+                # (e >> 1) & 1 was constant-True under the e ≡ 15
+                # (mod 20) gate (r6 advice: sequential sub-byte decode
+                # never ran here); (e // 40) % 2 alternates independently
+                # of the palette toggle below, so all four
+                # palette × interlace combinations fire in the gate.
+                il = (e // 40) % 2 == 1
                 if (e // 20) % 2 == 1:  # palette via PLTE
                     pal = np.zeros((1 << depth, 3), np.uint8)
                     pal[:, 0] = (

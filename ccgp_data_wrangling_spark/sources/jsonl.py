@@ -74,6 +74,30 @@ def write_jsonl(
     w.json(path)
 
 
+def _list_shard_files(spark: SparkSession, path: str) -> list[str]:
+    """Enumerate shard files through the Hadoop FileSystem API so any
+    URI scheme Spark can read (file://, s3a://, hdfs://) works, and
+    recursively, so Spark-writer partition subdirectories
+    (``k=v/part-*.json.gz``) are found too — a local ``pathlib`` glob
+    handled neither (r6 advice). Hidden/metadata entries (``_SUCCESS``,
+    dotfiles) are skipped at every level."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out: list[str] = []
+    it = fs.listFiles(jpath, True)  # recursive over partition dirs
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath()
+        parts = p.toUri().getPath().split("/")
+        if any(s.startswith(("_", ".")) for s in parts if s):
+            continue
+        out.append(p.toString())
+    return sorted(out)
+
+
 def infer_jsonl_schema(
     spark: SparkSession, path: str, *, sample_files: int = 4
 ) -> str:
@@ -81,14 +105,11 @@ def infer_jsonl_schema(
     shard files (never the whole corpus — a full inference pass at
     100 TB is a second full scan). Returns a DDL string to paste
     into the explicit-schema call that production code must use."""
-    files = sorted(
-        str(p)
-        for p in __import__("pathlib").Path(path).glob("*")
-        if p.is_file() and not p.name.startswith(("_", "."))
-    )[:sample_files]
+    files = _list_shard_files(spark, path)[:sample_files]
     if not files:
         raise ValueError(f"no shard files under {path}")
     schema = spark.read.json(files).schema
     return ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in schema.fields
     )

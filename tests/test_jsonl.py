@@ -69,6 +69,25 @@ def test_jsonl_schema_inference_is_bounded(spark, tmp_path):
     assert read_jsonl(spark, path, ddl, mode="FAILFAST").count() == 10
 
 
+def test_jsonl_schema_inference_sees_nested_partition_dirs(
+    spark, tmp_path
+):
+    # Spark writers nest k=v partition subdirectories; enumeration now
+    # goes through the Hadoop FileSystem recursively (r6 advice), so a
+    # partitioned layout and an explicit file:// URI both work.
+    df = spark.createDataFrame(
+        [(1, "A", "x"), (2, "B", "y")], "id bigint, part string, s string"
+    )
+    path = str(tmp_path / "nested")
+    df.write.mode("overwrite").partitionBy("part").json(path)
+    ddl = infer_jsonl_schema(spark, "file://" + path)
+    assert ddl == "id bigint, s string"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no shard files"):
+        infer_jsonl_schema(spark, str(tmp_path / "missing"))
+
+
 def test_orc_partition_pruning_plan(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "A", 10.0), (2, "B", 20.0), (3, "A", 30.0), (4, "C", 5.0)],

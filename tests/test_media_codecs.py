@@ -1052,3 +1052,15 @@ def test_mp3_vbr_xing_and_honest_gates():
     b = build_mp3(sample_rate=32000, n_frames=1)
     with _pytest.raises(ValueError, match="parameters change"):
         parse_mp3_meta(a + b)
+
+    # a final frame whose header promises more bytes than remain is
+    # truncation, not a shorter full frame (r6 advice: the old walk
+    # counted it and overstated duration)
+    whole = build_mp3(n_frames=3)
+    with _pytest.raises(ValueError, match="truncated final MP3 frame"):
+        parse_mp3_meta(whole[:-10])
+    # ...but cutting INSIDE the 4-byte header keeps the older
+    # truncated-header error
+    with _pytest.raises(ValueError, match="truncated MP3 frame header"):
+        frame_len = len(build_mp3(n_frames=1))
+        parse_mp3_meta(whole[: 2 * frame_len + 2])

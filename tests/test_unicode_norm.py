@@ -37,6 +37,30 @@ def test_fix_mojibake_str_cases():
     assert fix_mojibake_str(holey) == shadda
 
 
+def test_fix_mojibake_str_mixed_cp1252_and_c1_holes():
+    # The most common real-world mangle: a best-fit cp1252 decode
+    # maps UTF-8 \u201d (E2 80 9D) to '\u00e2' + '\u20ac' + U+009D \u2014 '\u20ac' blocks a
+    # whole-string latin-1 encode and U+009D blocks cp1252, so the
+    # r6 whole-string fallback left it unrepaired.  The per-character
+    # sloppy encode inverts the mix.
+    def bestfit_cp1252(b: bytes) -> str:
+        # decode like lenient real-world readers: cp1252 where
+        # defined, raw C1 control for the five holes
+        out = []
+        for byte in b:
+            try:
+                out.append(bytes([byte]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(byte))
+        return "".join(out)
+
+    for clean in ["\u201d", "he said \u201chi\u201d \u2014 na\u00efve", "\u2018x\u2019 \u2022 \u017e \u0152", "caf\u00e9 \u201dx"]:
+        mangled = bestfit_cp1252(clean.encode("utf-8"))
+        assert fix_mojibake_str(mangled) == clean, clean
+    # pure C1 control text has no valid UTF-8 reading \u2192 untouched
+    assert fix_mojibake_str("\x9d\x8f") == "\x9d\x8f"
+
+
 def test_nfc_and_mojibake_columns(spark):
     decomposed = "éÀ"  # e+acute, A+grave
     df = spark.createDataFrame(
