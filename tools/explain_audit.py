@@ -67,11 +67,15 @@ def audit_plan(name: str, plan: str) -> list[str]:
 
 
 def main() -> int:
+    import json
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark(app_name="explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in sorted(all_queries().items()):
         if only and name not in only:
             continue
@@ -83,14 +87,36 @@ def main() -> int:
             plan = buf.getvalue()
         except Exception as exc:  # noqa: BLE001
             print(f"  {name}: ERROR {str(exc)[:120]}")
+            report[name] = {"status": "ERROR", "error": str(exc)[:300]}
             failures += 1
             continue
         warns = audit_plan(name, plan)
+        waived = name in CARTESIAN_OK
         if warns:
             failures += 1
             print(f"  {name}: WARN {', '.join(warns)}")
+            report[name] = {"status": "WARN", "warns": warns}
         else:
             print(f"  {name}: OK")
+            report[name] = {"status": "OK", "waived_cartesian": waived}
+    out = os.environ.get("SPARK_GRAFT_AUDIT_OUT")
+    if out:
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(report),
+            "n_ok": sum(1 for v in report.values() if v["status"] == "OK"),
+            "n_warn": sum(
+                1 for v in report.values() if v["status"] == "WARN"
+            ),
+            "n_error": sum(
+                1 for v in report.values() if v["status"] == "ERROR"
+            ),
+            "cartesian_waivers": sorted(CARTESIAN_OK),
+            "queries": report,
+        }
+        with open(out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+            fh.write("\n")
     return 1 if failures else 0
 
 
