@@ -1963,6 +1963,14 @@ def parse_mp4_meta(payload: bytes) -> dict[str, Any]:
     }
 
 
+def _mp4_sample_payload(sample: int, size: int) -> bytes:
+    """Deterministic filler for fixture sample ``sample`` (1-based):
+    tests slice mdat at the stco/stsz-derived byte range and compare
+    against this exact pattern, proving the offsets point at the
+    right bytes."""
+    return bytes(((sample * 31 + i * 7) & 0xFF) for i in range(size))
+
+
 def build_mp4(
     *,
     brand: str = "isom",
@@ -1972,7 +1980,23 @@ def build_mp4(
 ) -> bytes:
     """Fixture writer: minimal conformant ISO-BMFF with ftyp + moov
     (mvhd + one trak(tkhd + mdia(minf(stbl(stsd)))) per track).
-    Track dicts: {"width", "height", "codec"}.
+    Track dicts: {"width", "height", "codec"} — plus, optionally, a
+    real sample layout (ISO 14496-12 §8.5–8.7):
+
+    * ``sample_sizes``: per-sample byte sizes → stsz (and an mdat
+      whose chunks the stco offsets point into)
+    * ``sample_delta`` (uniform) or ``sample_deltas`` (per sample)
+      → stts, run-length-compressed exactly as the spec stores it
+    * ``media_timescale`` → mdhd (defaults to the movie timescale)
+    * ``chunks``: samples-per-chunk list (sum == n samples) → stsc
+      (run-compressed) + one stco entry per chunk
+    * ``keyframes``: 1-based sync-sample list → stss; ``None``/absent
+      means NO stss box, which per §8.6.2 declares every sample a
+      sync sample
+
+    Chunk offsets in stco are ABSOLUTE file offsets, so moov is built
+    twice: once with zeroed offsets to fix the layout, then with the
+    real mdat positions patched in (box sizes are offset-independent).
     """
 
     def box(typ: bytes, body: bytes) -> bytes:
@@ -1980,6 +2004,9 @@ def build_mp4(
 
     def full(typ: bytes, version: int, body: bytes) -> bytes:
         return box(typ, bytes([version, 0, 0, 0]) + body)
+
+    def u32s(vals: list[int]) -> bytes:
+        return b"".join(v.to_bytes(4, "big") for v in vals)
 
     mvhd = full(
         b"mvhd",
@@ -1989,24 +2016,269 @@ def build_mp4(
         + duration_ms.to_bytes(4, "big")
         + b"\x00" * 80,  # rate/volume/matrix/next-track boilerplate
     )
-    traks = b""
+
+    # mdat body: per-track chunk extents (byte lengths), so the second
+    # pass can turn them into absolute stco offsets
+    mdat_body = bytearray()
+    track_chunk_spans: list[list[tuple[int, int]]] = []  # (rel_off, len)
     for t in tracks:
-        tkhd = full(
-            b"tkhd",
-            0,
-            b"\x00" * 72
-            + (int(t["width"] * 65536)).to_bytes(4, "big")
-            + (int(t["height"] * 65536)).to_bytes(4, "big"),
-        )
-        entry = (16).to_bytes(4, "big") + t["codec"].encode("latin-1") + b"\x00" * 8
-        stsd = full(b"stsd", 0, (1).to_bytes(4, "big") + entry)
-        stbl = box(b"stbl", stsd)
-        minf = box(b"minf", stbl)
-        mdia = box(b"mdia", minf)
-        traks += box(b"trak", tkhd + mdia)
-    moov = box(b"moov", mvhd + traks)
+        spans: list[tuple[int, int]] = []
+        sizes = t.get("sample_sizes")
+        if sizes:
+            n = len(sizes)
+            chunks = t.get("chunks") or [1] * n
+            if sum(chunks) != n:
+                raise ValueError("chunks must cover every sample")
+            s = 1
+            for spc in chunks:
+                rel = len(mdat_body)
+                for _ in range(spc):
+                    mdat_body += _mp4_sample_payload(s, sizes[s - 1])
+                    s += 1
+                spans.append((rel, len(mdat_body) - rel))
+        track_chunk_spans.append(spans)
+
+    def build_moov(mdat_body_start: int) -> bytes:
+        traks = b""
+        for t, spans in zip(tracks, track_chunk_spans):
+            tkhd = full(
+                b"tkhd",
+                0,
+                b"\x00" * 72
+                + (int(t["width"] * 65536)).to_bytes(4, "big")
+                + (int(t["height"] * 65536)).to_bytes(4, "big"),
+            )
+            entry = (
+                (16).to_bytes(4, "big")
+                + t["codec"].encode("latin-1")
+                + b"\x00" * 8
+            )
+            stbl_body = full(b"stsd", 0, (1).to_bytes(4, "big") + entry)
+            sizes = t.get("sample_sizes")
+            if sizes:
+                n = len(sizes)
+                deltas = t.get("sample_deltas") or [
+                    t.get("sample_delta", 100)
+                ] * n
+                if len(deltas) != n:
+                    raise ValueError("sample_deltas length != sample count")
+                # stts: run-length (count, delta) exactly as stored
+                runs: list[tuple[int, int]] = []
+                for d in deltas:
+                    if runs and runs[-1][1] == d:
+                        runs[-1] = (runs[-1][0] + 1, d)
+                    else:
+                        runs.append((1, d))
+                stbl_body += full(
+                    b"stts",
+                    0,
+                    u32s([len(runs)])
+                    + u32s([v for run in runs for v in run]),
+                )
+                keyframes = t.get("keyframes")
+                if keyframes is not None:
+                    stbl_body += full(
+                        b"stss",
+                        0,
+                        u32s([len(keyframes)]) + u32s(sorted(keyframes)),
+                    )
+                # stsc: (first_chunk, samples_per_chunk, sdi) runs
+                chunks = t.get("chunks") or [1] * n
+                centries: list[tuple[int, int, int]] = []
+                for ci, spc in enumerate(chunks, start=1):
+                    if not centries or centries[-1][1] != spc:
+                        centries.append((ci, spc, 1))
+                stbl_body += full(
+                    b"stsc",
+                    0,
+                    u32s([len(centries)])
+                    + u32s([v for e in centries for v in e]),
+                )
+                stbl_body += full(
+                    b"stsz", 0, u32s([0, n]) + u32s(list(sizes))
+                )
+                stbl_body += full(
+                    b"stco",
+                    0,
+                    u32s([len(spans)])
+                    + u32s([mdat_body_start + rel for rel, _ in spans]),
+                )
+            mdhd = full(
+                b"mdhd",
+                0,
+                (0).to_bytes(8, "big")
+                + t.get("media_timescale", timescale).to_bytes(4, "big")
+                + (
+                    sum(t.get("sample_deltas") or [])
+                    or t.get("sample_delta", 100)
+                    * len(t.get("sample_sizes") or [])
+                ).to_bytes(4, "big")
+                + b"\x00" * 4,  # language + pre_defined
+            )
+            minf = box(b"minf", box(b"stbl", stbl_body))
+            mdia = box(b"mdia", mdhd + minf)
+            traks += box(b"trak", tkhd + mdia)
+        return box(b"moov", mvhd + traks)
+
     ftyp = box(b"ftyp", brand.encode("latin-1") + (0).to_bytes(4, "big"))
-    return ftyp + moov
+    probe = build_moov(0)
+    out = ftyp + build_moov(len(ftyp) + len(probe) + 8)
+    assert len(out) == len(ftyp) + len(probe)
+    if mdat_body:
+        out += box(b"mdat", bytes(mdat_body))
+    return out
+
+
+def mp4_sample_table(payload: bytes) -> list[dict[str, Any]]:
+    """Expand the ISO-BMFF sample tables into one row per sample —
+    the pre-decode layer that gives a video pipeline keyframe byte
+    ranges WITHOUT any codec (ISO 14496-12 §8.5.2 stsd, §8.6.1.2
+    stts, §8.6.2 stss, §8.7.3 stsz, §8.7.4 stsc, §8.7.5 stco).
+
+    Per sample: ``track`` (0-based), ``sample`` (1-based), ``chunk``
+    (1-based), ``dts`` (media-timescale units), ``time_sec``,
+    ``offset`` (absolute file offset), ``mdat_offset`` (relative to
+    the mdat body — layout-independent, what the closed-form oracle
+    checks), ``size``, ``keyframe``.  A missing stss box means every
+    sample is a sync sample (spec §8.6.2).  Cross-table
+    inconsistencies (stts vs stsz counts, stsc×stco expansion, byte
+    ranges escaping mdat) raise — a wrong offset silently read would
+    feed garbage bytes to the downstream decoder."""
+    top = list(_mp4_boxes(payload, 0, len(payload)))
+    if not any(t == b"ftyp" for t, _, _ in top):
+        raise ValueError("not an ISO-BMFF payload (no ftyp)")
+    mdat = [(b0, b1) for t, b0, b1 in top if t == b"mdat"]
+    mdat_start, mdat_end = mdat[0] if mdat else (0, 0)
+
+    def find(data: bytes, start: int, end: int, typ: bytes):
+        for t, b0, b1 in _mp4_boxes(data, start, end):
+            if t == typ:
+                return b0, b1
+        return None
+
+    moov = find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    rows: list[dict[str, Any]] = []
+    track_idx = -1
+    for typ, t0, t1 in _mp4_boxes(payload, *moov):
+        if typ != b"trak":
+            continue
+        track_idx += 1
+        mdia = find(payload, t0, t1, b"mdia")
+        if mdia is None:
+            continue
+        mdhd = find(payload, *mdia, b"mdhd")
+        if mdhd is None:
+            raise ValueError("track missing mdhd (no media timescale)")
+        version = payload[mdhd[0]]
+        ts_off = mdhd[0] + 4 + (16 if version == 1 else 8)
+        media_ts = int.from_bytes(payload[ts_off : ts_off + 4], "big")
+        minf = find(payload, *mdia, b"minf")
+        stbl = find(payload, *minf, b"stbl") if minf else None
+        if stbl is None:
+            continue
+        boxes = {
+            t: (b0, b1) for t, b0, b1 in _mp4_boxes(payload, *stbl)
+        }
+        if b"stsz" not in boxes:
+            continue  # metadata-only track (no sample layout)
+        for required in (b"stts", b"stsc", b"stco"):
+            if required not in boxes:
+                raise ValueError(
+                    f"stsz without {required.decode()} in track"
+                )
+        if b"co64" in boxes:
+            raise NotImplementedError("64-bit chunk offsets (co64)")
+
+        def u32(off: int) -> int:
+            return int.from_bytes(payload[off : off + 4], "big")
+
+        # stsz → per-sample sizes
+        b0 = boxes[b"stsz"][0] + 4
+        uniform, n = u32(b0), u32(b0 + 4)
+        sizes = (
+            [uniform] * n
+            if uniform
+            else [u32(b0 + 8 + 4 * i) for i in range(n)]
+        )
+
+        # stts runs → per-sample dts
+        b0 = boxes[b"stts"][0] + 4
+        nruns = u32(b0)
+        dts, t_acc = [], 0
+        for r in range(nruns):
+            cnt, delta = u32(b0 + 4 + 8 * r), u32(b0 + 8 + 8 * r)
+            for _ in range(cnt):
+                dts.append(t_acc)
+                t_acc += delta
+        if len(dts) != n:
+            raise ValueError(
+                f"stts covers {len(dts)} samples, stsz says {n}"
+            )
+
+        # stss → sync set (absent = all sync, §8.6.2)
+        if b"stss" in boxes:
+            b0 = boxes[b"stss"][0] + 4
+            sync = {u32(b0 + 4 + 4 * i) for i in range(u32(b0))}
+            if sync and max(sync) > n:
+                raise ValueError("stss names a sample beyond stsz count")
+        else:
+            sync = None
+
+        # stco chunk offsets + stsc expansion → per-sample offsets
+        b0 = boxes[b"stco"][0] + 4
+        nchunks = u32(b0)
+        chunk_offs = [u32(b0 + 4 + 4 * i) for i in range(nchunks)]
+        b0 = boxes[b"stsc"][0] + 4
+        nent = u32(b0)
+        entries = [
+            (u32(b0 + 4 + 12 * i), u32(b0 + 8 + 12 * i))
+            for i in range(nent)
+        ]  # (first_chunk, samples_per_chunk)
+        spc_by_chunk: list[int] = []
+        for i, (first, spc) in enumerate(entries):
+            last = (
+                entries[i + 1][0] - 1 if i + 1 < nent else nchunks
+            )
+            spc_by_chunk += [spc] * (last - first + 1)
+        if len(spc_by_chunk) != nchunks:
+            raise ValueError("stsc runs do not cover every stco chunk")
+        if sum(spc_by_chunk) != n:
+            raise ValueError(
+                f"stsc×stco expand to {sum(spc_by_chunk)} samples, "
+                f"stsz says {n}"
+            )
+
+        s = 0
+        for ci, (coff, spc) in enumerate(
+            zip(chunk_offs, spc_by_chunk), start=1
+        ):
+            rel = 0
+            for _ in range(spc):
+                off = coff + rel
+                if mdat and not (
+                    mdat_start <= off and off + sizes[s] <= mdat_end
+                ):
+                    raise ValueError(
+                        f"sample {s + 1} byte range escapes mdat"
+                    )
+                rows.append(
+                    {
+                        "track": track_idx,
+                        "sample": s + 1,
+                        "chunk": ci,
+                        "dts": dts[s],
+                        "time_sec": round(dts[s] / media_ts, 4),
+                        "offset": off,
+                        "mdat_offset": off - mdat_start,
+                        "size": sizes[s],
+                        "keyframe": sync is None or (s + 1) in sync,
+                    }
+                )
+                rel += sizes[s]
+                s += 1
+    return rows
 
 
 # ---------------------------------------------------------------------------

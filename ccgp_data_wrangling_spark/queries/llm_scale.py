@@ -2763,6 +2763,144 @@ def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MP4 sample tables through the driver gate — keyframe byte ranges
+# WITHOUT a video codec (ISO 14496-12 stts/stsc/stsz/stco/stss): the
+# screening layer that lets a 100 TB video pipeline fetch only
+# keyframe ranges for thumbnailing/frame-sampling. Sample sizes,
+# timing runs, chunking, and the sync-sample set are all event_id
+# arithmetic, so the oracle replays the construction with a
+# generate_series + window prefix-sum and no parser at all. The
+# mdat-relative offset is the oracle-checked column (layout-
+# independent closed form); absolute stco offsets are byte-verified
+# against the mdat payload in tests/test_media_codecs.py.
+# ---------------------------------------------------------------------------
+
+_MP4_KEYFRAMES_SQL = """
+WITH g AS (
+  SELECT event_id AS id,
+         event_id % 6 + 4 AS n,
+         event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 16
+),
+s AS (
+  SELECT id, k, UNNEST(generate_series(1, n)) AS sample FROM g
+),
+sz AS (
+  SELECT id, k, sample,
+         CAST(100 + ((sample * 37 + id) % 50) AS INT) AS size
+  FROM s
+)
+SELECT id,
+       CAST(sample AS INT) AS sample,
+       ROUND((sample - 1) / 10.0, 4) AS time_sec,
+       CAST(COALESCE(SUM(size) OVER (
+              PARTITION BY id ORDER BY sample
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS BIGINT) AS mdat_offset,
+       size,
+       (k % 2 = 1 OR sample % 3 = 1) AS keyframe
+FROM sz
+"""
+
+
+@register("multimodal_mp4_keyframes", _MP4_KEYFRAMES_SQL)
+def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-table expansion end-to-end: build_mp4 fixtures with real
+    stts timing runs, stsc chunking (per-sample / paired / single-
+    chunk, rotating on event_id // 20), stsz size tables, stco
+    offsets into a real mdat, and stss on even k (odd k omits the box
+    → all samples sync, spec §8.6.2) → mp4_sample_table → one row per
+    sample with time, mdat-relative byte range, and keyframe flag.
+    Two Arrow stages like every media gate; nothing decodes."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp4,
+        mp4_sample_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 16
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                n = e % 6 + 4
+                ts = (600, 1200, 2400)[e % 3]
+                sizes = [100 + ((s * 37 + e) % 50) for s in range(1, n + 1)]
+                if k % 3 == 0:
+                    chunks = [1] * n
+                elif k % 3 == 1:
+                    chunks = [2] * (n // 2) + ([1] if n % 2 else [])
+                else:
+                    chunks = [n]
+                keyframes = (
+                    None  # no stss → all sync
+                    if k % 2 == 1
+                    else [s for s in range(1, n + 1) if s % 3 == 1]
+                )
+                payloads.append(
+                    build_mp4(
+                        duration_ms=n * 100,
+                        tracks=[
+                            {
+                                "width": 320,
+                                "height": 240,
+                                "codec": "avc1",
+                                "media_timescale": ts,
+                                "sample_sizes": sizes,
+                                "sample_delta": ts // 10,
+                                "chunks": chunks,
+                                "keyframes": keyframes,
+                            }
+                        ],
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                for r in mp4_sample_table(bytes(blob)):
+                    rows.append(
+                        {
+                            "id": rid,
+                            "sample": r["sample"],
+                            "time_sec": r["time_sec"],
+                            "mdat_offset": r["mdat_offset"],
+                            "size": r["size"],
+                            "keyframe": r["keyframe"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "sample", "time_sec", "mdat_offset", "size",
+                    "keyframe",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        expand,
+        schema=(
+            "id long, sample int, time_sec double, mdat_offset long, "
+            "size int, keyframe boolean"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MP3 frame-walk metadata through the driver gate — the audio twin of
 # the MP4 screening stage: duration / bitrate / channel / VBR
 # screening costs a header walk, not a decode. Fixtures are

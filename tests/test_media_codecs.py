@@ -969,6 +969,115 @@ def test_mp4_container_parse_and_honest_gates():
         parse_mp4_meta(blob[:8] + b"\x00\x00\x00\x03bad" + blob[8:])
 
 
+def test_mp4_sample_tables_roundtrip():
+    """stts/stsc/stsz/stco/stss expansion: per-sample times, byte
+    ranges, and keyframe flags match the fixture construction, and
+    the stco offsets really point at the sample bytes in mdat."""
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _mp4_sample_payload,
+        build_mp4,
+        mp4_sample_table,
+        parse_mp4_meta,
+    )
+
+    sizes = [100, 120, 80, 90, 110, 60, 70]
+    blob = build_mp4(
+        duration_ms=700,
+        tracks=[
+            {
+                "width": 640,
+                "height": 480,
+                "codec": "avc1",
+                "media_timescale": 600,
+                "sample_sizes": sizes,
+                "sample_deltas": [60, 60, 60, 90, 90, 90, 60],
+                "chunks": [3, 3, 1],
+                "keyframes": [1, 4, 7],
+            }
+        ],
+    )
+    rows = mp4_sample_table(blob)
+    assert [r["sample"] for r in rows] == [1, 2, 3, 4, 5, 6, 7]
+    assert [r["size"] for r in rows] == sizes
+    assert [r["chunk"] for r in rows] == [1, 1, 1, 2, 2, 2, 3]
+    # dts accumulates the stts runs; time in mdhd-timescale seconds
+    assert [r["dts"] for r in rows] == [0, 60, 120, 180, 270, 360, 450]
+    assert rows[3]["time_sec"] == 0.3 and rows[6]["time_sec"] == 0.75
+    assert [r["keyframe"] for r in rows] == [
+        True, False, False, True, False, False, True,
+    ]
+    # chunks are contiguous: offsets advance by size inside a chunk
+    assert rows[1]["offset"] == rows[0]["offset"] + sizes[0]
+    assert rows[0]["mdat_offset"] == 0
+    assert rows[3]["mdat_offset"] == sum(sizes[:3])
+    # the absolute offsets select the exact payload bytes
+    for r in rows:
+        assert (
+            blob[r["offset"] : r["offset"] + r["size"]]
+            == _mp4_sample_payload(r["sample"], r["size"])
+        )
+    # no stss box → every sample is a sync sample (§8.6.2)
+    allsync = build_mp4(
+        duration_ms=300,
+        tracks=[
+            {
+                "width": 64, "height": 64, "codec": "avc1",
+                "sample_sizes": [10, 20, 30], "sample_delta": 100,
+            }
+        ],
+    )
+    assert all(r["keyframe"] for r in mp4_sample_table(allsync))
+    # the metadata walk still reads the enriched container
+    m = parse_mp4_meta(blob)
+    assert m["tracks"][0]["codecs"] == ["avc1"]
+    # a metadata-only fixture (no sample_sizes) yields no sample rows
+    plain = build_mp4(
+        duration_ms=100,
+        tracks=[{"width": 1, "height": 1, "codec": "avc1"}],
+    )
+    assert mp4_sample_table(plain) == []
+
+
+def test_mp4_sample_tables_fail_loudly_on_inconsistency():
+    """Cross-table disagreements raise — a silently wrong offset
+    would hand garbage bytes to a downstream decoder."""
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp4,
+        mp4_sample_table,
+    )
+
+    blob = build_mp4(
+        duration_ms=300,
+        tracks=[
+            {
+                "width": 64, "height": 64, "codec": "avc1",
+                "sample_sizes": [10, 20, 30], "sample_delta": 100,
+                "keyframes": [1, 3],
+            }
+        ],
+    )
+    # corrupt the stsz sample count (3 → 4): stts no longer covers it
+    i = blob.find(b"stsz")
+    bad = bytearray(blob)
+    bad[i + 12 : i + 16] = (4).to_bytes(4, "big")
+    with _pytest.raises(ValueError, match="stts covers"):
+        mp4_sample_table(bytes(bad))
+    # corrupt a chunk offset to point past mdat
+    j = blob.find(b"stco")
+    bad = bytearray(blob)
+    bad[j + 12 : j + 16] = (len(blob) - 5).to_bytes(4, "big")
+    with _pytest.raises(ValueError, match="escapes mdat"):
+        mp4_sample_table(bytes(bad))
+    # stss naming a sample beyond the count
+    k = blob.find(b"stss")
+    bad = bytearray(blob)
+    bad[k + 16 : k + 20] = (9).to_bytes(4, "big")
+    with _pytest.raises(ValueError, match="beyond stsz count"):
+        mp4_sample_table(bytes(bad))
+
+
 def test_mp3_frame_walk_metadata():
     """Every frame header parsed; duration is the exact walked sum of
     samples-per-frame / rate — closed forms per (version, layer)."""
