@@ -2370,7 +2370,7 @@ def parse_mp3_meta(payload: bytes) -> dict[str, Any]:
 
     first: dict[str, Any] | None = None
     n_frames = 0
-    bitrates: set[int] = set()
+    bitrates: dict[int, int] = {}  # kbps → frame count (VBR histogram)
     xing_frames = None
     vbr_tag = False
     while pos < end:
@@ -2426,6 +2426,14 @@ def parse_mp3_meta(payload: bytes) -> dict[str, Any]:
                         xing_frames = int.from_bytes(
                             payload[xoff + 8 : xoff + 12], "big"
                         )
+                # Fraunhofer VBRI: fixed slot 32 bytes after the
+                # 4-byte header, independent of side-info length
+                voff = pos + 4 + 32
+                if payload[voff : voff + 4] == b"VBRI":
+                    vbr_tag = True
+                    xing_frames = int.from_bytes(
+                        payload[voff + 14 : voff + 18], "big"
+                    )
         elif (version, layer, rate) != (
             first["version"],
             first["layer"],
@@ -2433,7 +2441,7 @@ def parse_mp3_meta(payload: bytes) -> dict[str, Any]:
         ):
             raise ValueError(f"MP3 stream parameters change at byte {pos}")
         n_frames += 1
-        bitrates.add(bitrate)
+        bitrates[bitrate] = bitrates.get(bitrate, 0) + 1
         flen = _mp3_frame_len(version, layer, bitrate, rate, padding)
         if flen <= 4:
             raise ValueError("degenerate MP3 frame length")
@@ -2462,6 +2470,15 @@ def parse_mp3_meta(payload: bytes) -> dict[str, Any]:
         "duration_sec": round(n_frames * spf / first["sample_rate"], 4),
         "vbr": vbr_tag or len(bitrates) > 1,
         "id3v2": id3v2,
+        # per-frame bitrate histogram from the walk — the VBR profile
+        # an audio-screening stage filters on without decoding
+        "bitrate_hist": sorted(bitrates.items()),
+        "n_bitrates": len(bitrates),
+        "min_bitrate_kbps": min(bitrates),
+        "max_bitrate_kbps": max(bitrates),
+        "avg_bitrate_kbps": round(
+            sum(k * c for k, c in bitrates.items()) / n_frames, 2
+        ),
     }
 
 
@@ -2475,6 +2492,7 @@ def build_mp3(
     mono: bool = False,
     pad_every: int = 0,
     xing: bool = False,
+    vbri: bool = False,
     id3v2_bytes: int = 0,
     id3v1: bool = False,
     crc: bool = False,
@@ -2484,7 +2502,8 @@ def build_mp3(
     this layer never decodes audio). ``bitrate_kbps`` may be a
     per-frame list (VBR). ``pad_every`` sets the padding bit on every
     k-th frame. ``xing`` writes a Xing tag (flags=frames|bytes) into
-    the first frame's post-side-info slot."""
+    the first frame's post-side-info slot; ``vbri`` writes a
+    Fraunhofer VBRI header at its fixed 32-bytes-after-header slot."""
     group = "MPEG1" if version == "MPEG1" else "MPEG2"
     rates = _MP3_RATES[version]
     ridx = rates.index(sample_rate)
@@ -2532,6 +2551,21 @@ def build_mp3(
             if xoff + len(tag) > flen:
                 raise ValueError("frame too small for a Xing tag")
             frame[xoff : xoff + len(tag)] = tag
+        if vbri and i == 0 and layer == 3:
+            # VBRI sits exactly 32 bytes after the 4-byte header
+            # (Fraunhofer spec), independent of side-info length
+            voff = 4 + 32
+            tag = (
+                b"VBRI"
+                + (1).to_bytes(2, "big")   # version
+                + (0).to_bytes(2, "big")   # delay
+                + (75).to_bytes(2, "big")  # quality
+                + (0).to_bytes(4, "big")   # byte count (filler)
+                + len(brs).to_bytes(4, "big")  # frame count
+            )
+            if voff + len(tag) > flen:
+                raise ValueError("frame too small for a VBRI tag")
+            frame[voff : voff + len(tag)] = tag
         out += frame
     if id3v1:
         out += b"TAG" + bytes(125)

@@ -3036,6 +3036,132 @@ def multimodal_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MP3 VBR profile through the driver gate — the full-depth audio
+# screening layer: the frame walk's per-frame bitrate histogram
+# (min/max/average, distinct rates) plus carrier detection for BOTH
+# VBR header conventions (Xing and Fraunhofer VBRI, rotating on
+# event_id // 20 so each fires inside the gate). Every column is a
+# closed form of the constructed bitrate schedule, so the oracle
+# replays the arithmetic with no parser.
+# ---------------------------------------------------------------------------
+
+_MP3_VBR_SQL = """
+WITH g AS (
+  SELECT event_id AS id,
+         event_id % 9 + 3 AS n,
+         event_id // 20 AS k,
+         CASE WHEN event_id % 3 = 0 THEN 128 ELSE 64 END AS base,
+         CASE WHEN event_id % 3 = 0 THEN 160 ELSE 80 END AS up,
+         CASE WHEN event_id % 3 = 0 THEN 1152 ELSE 576 END AS spf,
+         CASE event_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 24000
+                           ELSE 11025 END AS rate
+  FROM events WHERE event_id % 20 = 18
+)
+SELECT id,
+       CAST(n AS INT) AS n_frames,
+       CAST(CASE WHEN k % 3 <> 0 THEN 2 ELSE 1 END AS INT) AS n_bitrates,
+       CAST(base AS INT) AS min_kbps,
+       CAST(CASE WHEN k % 3 <> 0 THEN up ELSE base END AS INT) AS max_kbps,
+       ROUND(CASE WHEN k % 3 <> 0
+             THEN (base * (n - n // 2) + up * (n // 2))
+                  / CAST(n AS DOUBLE)
+             ELSE CAST(base AS DOUBLE) END, 2) AS avg_kbps,
+       (k % 3 <> 0 OR k % 5 = 0 OR k % 5 = 2) AS vbr,
+       ROUND(n * spf / CAST(rate AS DOUBLE), 4) AS duration_sec
+FROM g
+"""
+
+
+@register("multimodal_mp3_vbr_profile", _MP3_VBR_SQL)
+def multimodal_mp3_vbr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VBR-profile screening end-to-end: build_mp3 fixtures with an
+    alternating bitrate schedule on two of three k-residues and a
+    Xing (k%5==0) or VBRI (k%5==2) carrier header → parse_mp3_meta's
+    walked histogram → min/max/avg bitrate, distinct-rate count, VBR
+    flag, sample-exact duration. Two Arrow stages; decode still
+    raises honestly elsewhere."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3,
+        parse_mp3_meta,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 18
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                version = ("MPEG1", "MPEG2", "MPEG2.5")[e % 3]
+                rate = (44100, 24000, 11025)[e % 3]
+                base = 128 if e % 3 == 0 else 64
+                up = 160 if e % 3 == 0 else 80
+                n = e % 9 + 3
+                kbps: int | list[int] = (
+                    [base if i % 2 == 0 else up for i in range(n)]
+                    if k % 3 != 0
+                    else base
+                )
+                payloads.append(
+                    build_mp3(
+                        version=version,
+                        layer=3,
+                        bitrate_kbps=kbps,
+                        sample_rate=rate,
+                        n_frames=n,
+                        xing=k % 5 == 0,
+                        vbri=k % 5 == 2,
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                m = parse_mp3_meta(bytes(blob))
+                rows.append(
+                    {
+                        "id": rid,
+                        "n_frames": m["n_frames"],
+                        "n_bitrates": m["n_bitrates"],
+                        "min_kbps": m["min_bitrate_kbps"],
+                        "max_kbps": m["max_bitrate_kbps"],
+                        "avg_kbps": m["avg_bitrate_kbps"],
+                        "vbr": m["vbr"],
+                        "duration_sec": m["duration_sec"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "n_frames", "n_bitrates", "min_kbps",
+                    "max_kbps", "avg_kbps", "vbr", "duration_sec",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        profile,
+        schema=(
+            "id long, n_frames int, n_bitrates int, min_kbps int, "
+            "max_kbps int, avg_kbps double, vbr boolean, "
+            "duration_sec double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sub-byte PNG decode through the driver gate: depths 1/2/4 pack
 # multiple samples per scanline byte (MSB-first, RFC 2083 §2.3) —
 # the bilevel/low-color variant scanned-document and icon corpora

@@ -1140,9 +1140,27 @@ def test_mp3_vbr_xing_and_honest_gates():
     v = parse_mp3_meta(build_mp3(bitrate_kbps=[128, 160, 192, 128]))
     assert v["vbr"] and v["n_frames"] == 4
 
+    # the walk yields an exact per-frame bitrate histogram
+    assert v["bitrate_hist"] == [(128, 2), (160, 1), (192, 1)]
+    assert v["n_bitrates"] == 3
+    assert v["min_bitrate_kbps"] == 128 and v["max_bitrate_kbps"] == 192
+    assert v["avg_bitrate_kbps"] == 152.0  # (128·2+160+192)/4
+    c = parse_mp3_meta(build_mp3(n_frames=3))
+    assert c["bitrate_hist"] == [(128, 3)] and not c["vbr"]
+
     # Xing frame count is read and must agree with the walk
     x = parse_mp3_meta(build_mp3(xing=True, n_frames=6))
     assert x["vbr"] and x["n_frames"] == 6
+
+    # Fraunhofer VBRI header: detected at its fixed slot, frame count
+    # cross-checked like Xing
+    vb = parse_mp3_meta(build_mp3(vbri=True, n_frames=5))
+    assert vb["vbr"] and vb["n_frames"] == 5
+    blob = bytearray(build_mp3(vbri=True, n_frames=5))
+    i = blob.find(b"VBRI")
+    blob[i + 17] = 9  # corrupt stored frame count
+    with _pytest.raises(ValueError, match="frame count"):
+        parse_mp3_meta(bytes(blob))
     blob = bytearray(build_mp3(xing=True, n_frames=6))
     i = blob.find(b"Xing")
     blob[i + 11] = 9  # corrupt the stored frame count
