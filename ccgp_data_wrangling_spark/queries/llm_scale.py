@@ -3354,3 +3354,86 @@ def pdf15_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
     return pdf_documents(media)
+
+
+# ---------------------------------------------------------------------------
+# Encrypted-PDF extraction through the driver gate — the standard
+# security handler (ISO 32000 §7.6.3): cipher variant rotates per doc
+# (RC4-40 / RC4-128 / StdCF-V2 / StdCF-AESV2) so password
+# verification (Algorithm 6), per-object keys (Algorithm 1), RC4 and
+# the from-scratch FIPS-197 AES-CBC all run inside the gate.
+# Decryption is lossless, so the oracle replays the plaintext
+# construction with no crypto at all — an extractor that decrypted
+# wrongly would inflate garbage and break the hash (AES padding and
+# zlib checksums both fail loudly on a wrong key).
+# ---------------------------------------------------------------------------
+
+_PDF_ENC_SQL = """
+SELECT doc_id,
+       0 AS page,
+       'sec ' || CAST(doc_id AS VARCHAR) || chr(10)
+         || 'cipher ' || CAST(doc_id % 4 AS VARCHAR)
+         || ' :: ' || CAST(doc_id % 13 AS VARCHAR) AS text,
+       CAST(length('sec ' || CAST(doc_id AS VARCHAR)) + 1
+            + length('cipher ' || CAST(doc_id % 4 AS VARCHAR)
+                     || ' :: ' || CAST(doc_id % 13 AS VARCHAR))
+            AS INT) AS n_chars
+FROM documents WHERE doc_id % 5 = 2
+"""
+
+
+@register("pdf_encrypted_extract", _PDF_ENC_SQL)
+def pdf_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encrypted-PDF ingest end-to-end: build_pdf_encrypted fixtures
+    (real Algorithm 3/5 /O and /U entries, hex-string dict values,
+    per-object RC4 or AES-CBC stream encryption) → password verify →
+    per-object key derivation → decrypt → inflate → text
+    reconstruction → one row per page. The corpus password opens all
+    four cipher variants."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.pdf import (
+        build_pdf_encrypted,
+        pdf_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 2
+    ).select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                variant = d % 4
+                pages = [
+                    [f"sec {d}", f"cipher {variant} :: {d % 13}"]
+                ]
+                if variant == 0:
+                    blob = build_pdf_encrypted(
+                        pages, user_pw=b"corpus", v=1
+                    )
+                elif variant == 1:
+                    blob = build_pdf_encrypted(
+                        pages, user_pw=b"corpus", v=2, r=3
+                    )
+                elif variant == 2:
+                    blob = build_pdf_encrypted(
+                        pages, user_pw=b"corpus", v=4, r=4
+                    )
+                else:
+                    blob = build_pdf_encrypted(
+                        pages, user_pw=b"corpus", v=4, r=4, aes=True
+                    )
+                payloads.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return pdf_documents(media, password=b"corpus")

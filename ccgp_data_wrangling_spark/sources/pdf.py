@@ -32,8 +32,14 @@ What this parser implements (and tests):
   referenced integer object is located lexically — the extractor
   still never TRUSTS offsets for text, it only reads plain integer
   objects through them);
-* encryption, CIDFont/ToUnicode remapping and non-Latin encodings
-  raise ``NotImplementedError`` honestly — the fixture writer emits
+* standard-security-handler encryption (ISO 32000 §7.6.3): RC4-40,
+  RC4-128 and AES-128 (/V 1–4, /R 2–4, /StdCF /AESV2), password
+  verification by the real Algorithm 6 and per-object keys by
+  Algorithm 1 — primitives in :mod:`pdf_crypt` (stdlib ``hashlib``
+  only, AES from FIPS-197). AES-256 (/V 5, PDF 2.0) and non-standard
+  handlers raise ``NotImplementedError`` honestly;
+* CIDFont/ToUnicode remapping and non-Latin encodings raise
+  ``NotImplementedError`` honestly — the fixture writer emits
   none of them.
 
 Scale shape: identical to WARC — PDFs land as binary blobs, the
@@ -57,6 +63,7 @@ __all__ = [
     "pdf_documents",
     "build_pdf",
     "build_pdf15",
+    "build_pdf_encrypted",
     "pdf_xref",
     "read_object",
     "PDF_PAGE_SCHEMA",
@@ -195,7 +202,79 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s*R)\b")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 
 
-def extract_pdf_pages(payload: bytes) -> list[str]:
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R\b")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
+
+
+def _encryption_params(payload: bytes) -> dict[str, Any]:
+    """Locate and parse the standard-security-handler /Encrypt dict
+    (ISO 32000-1 §7.6.1 table 20 / §7.6.3 table 21). Only /Filter
+    /Standard with /V 1–4 is supported; /V 5 (AES-256, PDF 2.0) and
+    crypt-filter shapes other than /StdCF /AESV2 | /V2 raise."""
+    em = _ENCRYPT_REF_RE.search(payload)
+    if not em:
+        raise ValueError("/Encrypt present but no trailer reference")
+    num = int(em.group(1))
+    om = re.search(
+        rb"(?<![0-9])%d\s+\d+\s+obj\b(.*?)endobj" % num, payload, re.S
+    )
+    if not om:
+        raise ValueError(f"encrypt dict object {num} not found")
+    d = om.group(1)
+    if b"/Standard" not in d:
+        raise NotImplementedError("non-standard PDF security handler")
+
+    def intval(name: bytes, default: int | None = None) -> int:
+        m = re.search(rb"/" + name + rb"\s+(-?\d+)", d)
+        if m:
+            return int(m.group(1))
+        if default is None:
+            raise ValueError(f"/Encrypt missing /{name.decode()}")
+        return default
+
+    def strval(name: bytes) -> bytes:
+        m = re.search(rb"/" + name + rb"\s*([(<])", d)
+        if not m:
+            raise ValueError(f"/Encrypt missing /{name.decode()}")
+        if m.group(1) == b"(":
+            return _parse_literal(d, m.start(1))[0]
+        return _parse_hex(d, m.start(1))[0]
+
+    v = intval(b"V", 0)
+    r = intval(b"R")
+    if v not in (1, 2, 4) or r not in (2, 3, 4):
+        raise NotImplementedError(
+            f"PDF encryption /V {v} /R {r} (only V1-4 / R2-4: RC4 and "
+            "AES-128; AESV3/PDF-2.0 is out of scope)"
+        )
+    aes = False
+    if v == 4:
+        cf = re.search(rb"/CFM\s*/(\w+)", d)
+        cfm = cf.group(1) if cf else b""
+        if cfm == b"AESV2":
+            aes = True
+        elif cfm != b"V2":
+            raise NotImplementedError(f"crypt filter /CFM /{cfm.decode()}")
+    idm = _ID_RE.search(payload)
+    if not idm:
+        raise ValueError("encrypted PDF without /ID in trailer")
+    return {
+        "v": v,
+        "r": r,
+        "length_bits": intval(b"Length", 40),
+        "o": strval(b"O"),
+        "u": strval(b"U"),
+        "p": intval(b"P"),
+        "id0": bytes.fromhex(
+            re.sub(rb"\s", b"", idm.group(1)).decode("ascii")
+        ),
+        "aes": aes,
+        "encrypt_metadata": b"/EncryptMetadata false" not in d,
+        "encrypt_obj": num,
+    }
+
+
+def extract_pdf_pages(payload: bytes, *, password: bytes = b"") -> list[str]:
     """Extract per-page text from a PDF byte blob (one string per
     content stream, in object order — the fixture writer emits one
     content stream per page in page order).
@@ -206,11 +285,33 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
     only length-less streams fall back to the lexical boundary.
     Indirect ``/Length N 0 R`` references raise honestly (resolving
     them needs the xref this extractor deliberately doesn't trust).
+
+    Encrypted files (standard security handler, RC4-40/128 or
+    AES-128 — §7.6) are opened with ``password`` (user password;
+    empty by default, which real-world "encrypted but not password-
+    protected" files use); a wrong password raises ``ValueError``,
+    and AES-256 (/V 5) raises ``NotImplementedError`` honestly.
     """
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
+    file_key = None
+    enc_aes = False
+    enc_obj = -1
     if b"/Encrypt" in payload:
-        raise NotImplementedError("encrypted PDF")
+        from ccgp_data_wrangling_spark.sources.pdf_crypt import (
+            verify_user_password,
+        )
+
+        prm = _encryption_params(payload)
+        file_key = verify_user_password(
+            password, prm["o"], prm["u"], prm["p"], prm["id0"],
+            prm["r"], prm["length_bits"],
+            encrypt_metadata=prm["encrypt_metadata"],
+        )
+        if file_key is None:
+            raise ValueError("invalid PDF password")
+        enc_aes = prm["aes"]
+        enc_obj = prm["encrypt_obj"]
     pages: list[str] = []
     pos = 0
     while True:
@@ -242,6 +343,26 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
                 raise ValueError("unterminated PDF stream")
             data = payload[sm.end() : end]
             pos = end + len(b"\nendstream")
+        if (
+            file_key is not None
+            and int(om.group(1)) != enc_obj
+            and b"/XRef" not in head  # xref streams are never encrypted
+        ):
+            from ccgp_data_wrangling_spark.sources.pdf_crypt import (
+                decrypt_bytes,
+                object_key,
+            )
+
+            data = decrypt_bytes(
+                data,
+                object_key(
+                    file_key,
+                    int(om.group(1)),
+                    int(om.group(2)),
+                    aes=enc_aes,
+                ),
+                aes=enc_aes,
+            )
         if b"/FlateDecode" in head:
             data = zlib.decompress(data)
         elif b"/Filter" in head:
@@ -458,16 +579,25 @@ PDF_PAGE_SCHEMA = "doc_id long, page int, text string, n_chars int"
 
 
 def pdf_documents(
-    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    password: bytes = b"",
 ) -> DataFrame:
     """Explode PDF blobs into one row per page with extracted text —
-    one Arrow mapInPandas pass, the WARC-ingest shape."""
+    one Arrow mapInPandas pass, the WARC-ingest shape. ``password``
+    opens standard-security-handler encrypted files (one corpus-wide
+    password — per-document passwords would be a join column, which
+    a caller can model by partitioning the corpus)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict[str, Any]] = []
             for did, blob in zip(pdf[id_col], pdf[payload_col]):
-                for k, text in enumerate(extract_pdf_pages(bytes(blob))):
+                for k, text in enumerate(
+                    extract_pdf_pages(bytes(blob), password=password)
+                ):
                     rows.append(
                         {
                             "doc_id": did,
@@ -570,6 +700,114 @@ def build_pdf(pages: list[list[Any]], *, compress: bool = True) -> bytes:
     buf += (
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objects) + 1, xref_at)
+    )
+    return bytes(buf)
+
+
+def build_pdf_encrypted(
+    pages: list[list[Any]],
+    *,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"owner",
+    v: int = 2,
+    r: int = 3,
+    length_bits: int = 128,
+    aes: bool = False,
+    compress: bool = True,
+) -> bytes:
+    """Fixture writer: the :func:`build_pdf` layout with standard-
+    security-handler encryption (§7.6.3) applied to every content
+    stream — RC4-40 (v=1, r=2, 40 bits), RC4-128 (v=2, r=3) or
+    AES-128 (v=4, r=4, ``aes=True`` → /StdCF /AESV2). /O and /U are
+    computed with the real Algorithms 3–5, so the extractor's
+    password verification is exercised for real, and both are written
+    as hex strings (they are arbitrary bytes). The /ID and AES IVs
+    are derived deterministically so fixtures are reproducible —
+    a real writer would use fresh randomness for both."""
+    import hashlib
+
+    from ccgp_data_wrangling_spark.sources.pdf_crypt import (
+        compute_file_key,
+        compute_o,
+        compute_u,
+        encrypt_bytes,
+        object_key,
+    )
+
+    if v == 1:
+        r, length_bits = 2, 40
+    if aes and v != 4:
+        raise ValueError("AES-128 requires /V 4 /R 4")
+    p = -44  # print+modify denied; any value participates in the key
+    id0 = hashlib.md5(
+        b"ccgp-pdf-fixture" + len(pages).to_bytes(2, "big")
+    ).digest()
+    o = compute_o(owner_pw, user_pw, r, length_bits)
+    key = compute_file_key(user_pw, o, p, id0, r, length_bits)
+    u = compute_u(key, id0, r)
+
+    n_pages = len(pages)
+    enc_num = 4 + 2 * n_pages  # after catalog/pages/font + page pairs
+    objects: list[bytes] = []
+    kids = b" ".join(b"%d 0 R" % (4 + 2 * k) for k in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for k, segs in enumerate(pages):
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Contents %d 0 R >>" % (5 + 2 * k)
+        )
+        raw = _content_for(segs)
+        data = zlib.compress(raw) if compress else raw
+        onum = 5 + 2 * k
+        iv = hashlib.md5(b"iv" + onum.to_bytes(3, "little")).digest()
+        data = encrypt_bytes(
+            data, object_key(key, onum, 0, aes=aes), aes=aes, iv=iv
+        )
+        head = (
+            b"<< /Filter /FlateDecode /Length %d >>" % len(data)
+            if compress
+            else b"<< /Length %d >>" % len(data)
+        )
+        objects.append(head + b"\nstream\n" + data + b"\nendstream")
+    if v == 4:
+        cfm = b"/AESV2" if aes else b"/V2"
+        cf = (
+            b"/CF << /StdCF << /CFM " + cfm
+            + b" /AuthEvent /DocOpen /Length %d >> >> " % (length_bits // 8)
+            + b"/StmF /StdCF /StrF /StdCF "
+        )
+    else:
+        cf = b""
+    objects.append(
+        b"<< /Filter /Standard /V %d /R %d /Length %d " % (v, r, length_bits)
+        + cf
+        + b"/O <" + o.hex().encode() + b"> "
+        + b"/U <" + u.hex().encode() + b"> "
+        + b"/P %d >>" % p
+    )
+
+    buf = bytearray(b"%%PDF-1.%d\n" % (6 if v == 4 else 4))
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objects) + 1)
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    idhex = b"<" + id0.hex().encode() + b">"
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Encrypt %d 0 R "
+        b"/ID [%s %s] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, enc_num, idhex, idhex, xref_at)
     )
     return bytes(buf)
 

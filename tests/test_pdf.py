@@ -42,7 +42,8 @@ def test_pdf_honest_gates():
     good = build_pdf([["x"]])
     with pytest.raises(NotImplementedError, match="filter"):
         extract_pdf_pages(good.replace(b"/FlateDecode", b"/LZWDecode "))
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    # a stray /Encrypt marker without a resolvable dict is malformed
+    with pytest.raises(ValueError, match="no trailer reference"):
         extract_pdf_pages(good + b"/Encrypt")
 
 
@@ -200,6 +201,107 @@ def test_pdf15_honest_gates_and_corruption():
     assert b"/Predictor 12" in blob
     with pytest.raises(NotImplementedError, match="predictor 7"):
         pdf_xref(blob.replace(b"/Predictor 12", b"/Predictor 7 "))
-    # encryption still gates the whole file
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    # a stray /Encrypt marker without a resolvable dict is malformed
+    with pytest.raises(ValueError, match="no trailer reference"):
         extract(blob + b"/Encrypt")
+
+
+# ---------------------------------------------------------------------------
+# Encryption (ISO 32000 §7.6 standard security handler)
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_crypt_primitives():
+    from ccgp_data_wrangling_spark.sources.pdf_crypt import (
+        _decrypt_block,
+        _encrypt_block,
+        _expand_key,
+        aes128_cbc_decrypt,
+        aes128_cbc_encrypt,
+        rc4,
+    )
+
+    # FIPS-197 appendix C.1 vector
+    key = bytes(range(16))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    w = _expand_key(key)
+    ct = _encrypt_block(pt, w)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert _decrypt_block(ct, w) == pt
+    # RFC 6229 keystream for key 0x0102030405 (first 16 bytes)
+    assert (
+        rc4(bytes([1, 2, 3, 4, 5]), bytes(16)).hex()
+        == "b2396305f03dc027ccc3524a0a1118a8"
+    )
+    # CBC round-trip incl. 16-aligned input (full pad block)
+    for data in (b"", b"x", b"0123456789abcdef", b"many blocks" * 13):
+        enc = aes128_cbc_encrypt(key, bytes(range(16)), data)
+        assert aes128_cbc_decrypt(key, enc) == data
+    with pytest.raises(ValueError, match="padding"):
+        aes128_cbc_decrypt(bytes(16), aes128_cbc_encrypt(key, bytes(16), b"x"))
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"v": 1},  # RC4-40, R2
+        {"v": 2, "r": 3, "length_bits": 128},  # RC4-128
+        {"v": 4, "r": 4, "length_bits": 128},  # /StdCF /V2 (RC4)
+        {"v": 4, "r": 4, "length_bits": 128, "aes": True},  # /AESV2
+    ],
+)
+def test_pdf_encrypted_roundtrip(kw):
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf_encrypted
+
+    pages = [["secret line one", "line two"], [["kern", -260, "ed"]]]
+    blob = build_pdf_encrypted(pages, user_pw=b"pw", **kw)
+    # ciphertext really is opaque: the plaintext is not in the blob
+    assert b"secret line one" not in blob
+    import zlib as _z
+
+    assert _z.compress(b"secret line one") not in blob
+    got = extract_pdf_pages(blob, password=b"pw")
+    assert got == extract_pdf_pages(build_pdf(pages))
+    with pytest.raises(ValueError, match="invalid PDF password"):
+        extract_pdf_pages(blob, password=b"wrong")
+
+
+def test_pdf_encrypted_empty_password_and_uncompressed():
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf_encrypted
+
+    # the common "encrypted, no user password" web PDF opens with b""
+    blob = build_pdf_encrypted([["open sesame"]], compress=False)
+    assert extract_pdf_pages(blob) == ["open sesame"]
+
+
+def test_pdf_encrypted_honest_gates():
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf_encrypted
+
+    blob = build_pdf_encrypted([["x"]], v=4, r=4, aes=True)
+    with pytest.raises(NotImplementedError, match="AESV3|V 5"):
+        extract_pdf_pages(
+            blob.replace(b"/V 4 /R 4", b"/V 5 /R 6"), password=b""
+        )
+    with pytest.raises(NotImplementedError, match="CFM"):
+        extract_pdf_pages(blob.replace(b"/AESV2", b"/AESV3"))
+    with pytest.raises(NotImplementedError, match="non-standard"):
+        extract_pdf_pages(blob.replace(b"/Standard", b"/Custardd"))
+
+
+def test_pdf_documents_encrypted_spark(spark):
+    from ccgp_data_wrangling_spark.sources.pdf import (
+        build_pdf_encrypted,
+        pdf_documents,
+    )
+
+    blobs = [
+        (i, build_pdf_encrypted([[f"doc {i} page 0"], [f"doc {i} page 1"]],
+                                user_pw=b"corpus", v=4, r=4, aes=True))
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(blobs, "doc_id long, payload binary")
+    rows = pdf_documents(df, password=b"corpus").collect()
+    assert len(rows) == 6
+    assert {(r.doc_id, r.page, r.text) for r in rows} == {
+        (i, p, f"doc {i} page {p}") for i in range(3) for p in (0, 1)
+    }
