@@ -1858,7 +1858,7 @@ def fingerprint_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = base.unionByName(tw)
     return hamming_neardup_pairs(
-        fp, "id", "bits", max_hamming=3, n_bands=8, band_width=8
+        fp, "id", "bits", max_hamming=3
     )
 
 
@@ -1946,7 +1946,7 @@ def image_phash_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fps = ev.mapInPandas(kernel, schema="id long, fp long")
     pairs = hamming_neardup_pairs(
-        fps, "id", "fp", max_hamming=3, n_bands=8, band_width=8
+        fps, "id", "fp", max_hamming=3
     )
     clus = neardup_clusters(pairs).select(
         F.col("doc_id").alias("id"), "cluster_id"

@@ -39,10 +39,20 @@ class HammingDedupState:
         path: str,
         *,
         max_hamming: int = 3,
-        n_bands: int = 8,
-        band_width: int = 8,
+        n_bands: int | None = None,
+        band_width: int | None = None,
         max_band: int | None = None,
     ):
+        if (n_bands is None) != (band_width is None):
+            raise ValueError(
+                "give both n_bands and band_width, or neither"
+            )
+        if n_bands is None:
+            # widest complete layout, like dedup.hamming_neardup_pairs:
+            # narrow bands go quadratic with corpus size (see the
+            # batch operator's docstring / round-7 scaling fit)
+            n_bands = max_hamming + 1
+            band_width = 64 // n_bands
         if max_hamming >= n_bands:
             raise ValueError("completeness requires max_hamming < n_bands")
         if n_bands * band_width > 64:

@@ -689,7 +689,11 @@ def test_hamming_neardup_pairs_on_real_phashes(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="completeness"):
-        hamming_neardup_pairs(df, "id", "ph", max_hamming=8, n_bands=8)
+        hamming_neardup_pairs(
+            df, "id", "ph", max_hamming=8, n_bands=8, band_width=8
+        )
+    with _pytest.raises(ValueError, match="both n_bands and band_width"):
+        hamming_neardup_pairs(df, "id", "ph", max_hamming=3, n_bands=8)
 
 
 def test_phash_neardup_gate_classes_well_separated():
