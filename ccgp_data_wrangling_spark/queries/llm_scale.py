@@ -2901,6 +2901,149 @@ def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXIF metadata + orientation through the driver gate — the image
+# screening layer that runs BEFORE pHash: make/model/capture-time
+# provenance and the 8-way orientation transform (a fingerprint on
+# un-rotated pixels misses every rotated re-post). Fixtures are real
+# JPEGs with conformant APP1/TIFF blocks, byte order rotating II/MM
+# on k-parity and every 7th k carrying NO Exif (absence is data).
+# Oriented dimensions come from the REAL pixel array after
+# apply_exif_orientation, not from tag arithmetic — but both reduce
+# to the same closed form, which is what the oracle replays.
+# ---------------------------------------------------------------------------
+
+_EXIF_SQL = """
+WITH g AS (
+  SELECT event_id AS id,
+         event_id // 20 AS k,
+         8 + 2 * (event_id % 7) AS w0
+  FROM events WHERE event_id % 20 = 3
+)
+SELECT id,
+       (k % 7 <> 3) AS has_exif,
+       CASE WHEN k % 7 = 3 THEN NULL
+            ELSE 'Maker ' || CAST(k % 5 AS VARCHAR) END AS make,
+       CASE WHEN k % 7 = 3 THEN NULL
+            ELSE 'M-' || CAST(k % 11 AS VARCHAR) END AS model,
+       CAST(CASE WHEN k % 7 = 3 THEN 1 ELSE k % 8 + 1 END AS INT)
+         AS orientation,
+       CASE WHEN k % 7 = 3 THEN NULL
+            ELSE '2024:' || lpad(CAST(k % 12 + 1 AS VARCHAR), 2, '0')
+                 || ':' || lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0')
+                 || ' ' || lpad(CAST(k % 24 AS VARCHAR), 2, '0')
+                 || ':00:00' END AS datetime_original,
+       CAST(CASE WHEN k % 7 = 3 THEN NULL
+                 ELSE 640 + (id % 7) * 160 END AS INT) AS pixel_x,
+       CAST(CASE WHEN k % 7 = 3 OR k % 8 + 1 < 5 THEN w0
+                 ELSE 8 END AS INT) AS oriented_w,
+       CAST(CASE WHEN k % 7 = 3 OR k % 8 + 1 < 5 THEN 8
+                 ELSE w0 END AS INT) AS oriented_h
+FROM g
+"""
+
+
+@register("image_exif_orientation", _EXIF_SQL)
+def image_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF screening end-to-end: encode_jpeg fixtures + build_exif
+    APP1 blocks (II and MM byte orders, heap-stored ASCII values,
+    Exif-IFD pointer) → parse_exif → metadata columns, then the REAL
+    decoded pixel array through apply_exif_orientation for display
+    dimensions. Two Arrow stages like every media gate."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.exif import (
+        apply_exif_orientation,
+        build_exif_app1,
+        parse_exif,
+        with_exif,
+    )
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 3
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                w0 = 8 + 2 * (e % 7)
+                px = (
+                    (np.indices((8, w0)).sum(0) % 2) * 180 + 30
+                ).astype(np.uint8)
+                blob = encode_jpeg(px)
+                if k % 7 != 3:
+                    blob = with_exif(
+                        blob,
+                        build_exif_app1(
+                            make=f"Maker {k % 5}",
+                            model=f"M-{k % 11}",
+                            orientation=k % 8 + 1,
+                            datetime_original=(
+                                f"2024:{k % 12 + 1:02d}:{k % 28 + 1:02d}"
+                                f" {k % 24:02d}:00:00"
+                            ),
+                            pixel_x=640 + (e % 7) * 160,
+                            pixel_y=480 + (e % 7) * 120,
+                            byte_order="II" if k % 2 == 0 else "MM",
+                        ),
+                    )
+                payloads.append(blob)
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                m = parse_exif(bytes(blob))
+                px = _decode_jpeg_pixels(bytes(blob))
+                oriented = apply_exif_orientation(px, m["orientation"])
+                rows.append(
+                    {
+                        "id": rid,
+                        "has_exif": m["has_exif"],
+                        "make": m["make"],
+                        "model": m["model"],
+                        "orientation": m["orientation"],
+                        "datetime_original": m["datetime_original"],
+                        "pixel_x": m["pixel_x"],
+                        "oriented_w": oriented.shape[1],
+                        "oriented_h": oriented.shape[0],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "has_exif", "make", "model", "orientation",
+                    "datetime_original", "pixel_x", "oriented_w",
+                    "oriented_h",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        meta,
+        schema=(
+            "id long, has_exif boolean, make string, model string, "
+            "orientation int, datetime_original string, pixel_x int, "
+            "oriented_w int, oriented_h int"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MP3 frame-walk metadata through the driver gate — the audio twin of
 # the MP4 screening stage: duration / bitrate / channel / VBR
 # screening costs a header walk, not a decode. Fixtures are
