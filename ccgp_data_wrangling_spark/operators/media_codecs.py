@@ -2349,6 +2349,87 @@ def _mp3_side_info_len(version: str, mono: bool) -> int:
     return 9 if mono else 17
 
 
+def build_id3v2(frames: dict[str, str], *, encoding: int = 3, pad: int = 16) -> bytes:
+    """Fixture writer: an ID3v2.3 tag with real text frames (TIT2 /
+    TPE1 / TALB / TYER …). ``encoding`` is the ID3 text-encoding
+    byte: 0 latin-1, 1 UTF-16 with BOM, 3 UTF-8 (v2.4's code, widely
+    written into v2.3 tags in the wild — the parser takes both)."""
+    body = bytearray()
+    for fid, text in frames.items():
+        if encoding == 0:
+            payload = bytes([0]) + text.encode("latin-1")
+        elif encoding == 1:
+            payload = bytes([1]) + text.encode("utf-16")  # BOM included
+        elif encoding == 3:
+            payload = bytes([3]) + text.encode("utf-8")
+        else:
+            raise ValueError(f"unsupported ID3 text encoding {encoding}")
+        body += fid.encode("latin-1")
+        body += len(payload).to_bytes(4, "big")  # v2.3: plain big-endian
+        body += b"\x00\x00"  # frame flags
+        body += payload
+    body += bytes(pad)
+    size = len(body)
+    ss = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+         (size >> 7) & 0x7F, size & 0x7F]
+    )
+    return b"ID3" + bytes([3, 0, 0]) + ss + bytes(body)
+
+
+def parse_id3v2(payload: bytes) -> dict[str, Any]:
+    """Parse the leading ID3v2.3 tag's TEXT frames (id3.org spec —
+    the provenance layer of audio screening: title/artist/album/year
+    without touching a single audio frame).
+
+    Returns ``{"frames": {id: text, …}, "tag_bytes": total}`` with
+    text decoded per the frame's encoding byte (0 latin-1, 1 UTF-16
+    BOM, 3 UTF-8). Non-text frames (no leading 'T') are skipped but
+    bounds-checked; padding terminates the walk. No tag → empty
+    frames, tag_bytes 0 — absence is data in a crawled corpus.
+    Unsynchronisation and v2.2/v2.4 layouts raise honestly."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return {"frames": {}, "tag_bytes": 0}
+    ver, flags = payload[3], payload[5]
+    if ver != 3:
+        raise NotImplementedError(f"ID3v2.{ver} tag (only v2.3)")
+    if flags & 0x80:
+        raise NotImplementedError("ID3v2 unsynchronisation")
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise ValueError("invalid ID3v2 syncsafe size")
+        size = (size << 7) | b
+    end = 10 + size
+    if end > len(payload):
+        raise ValueError("ID3v2 size exceeds payload")
+    frames: dict[str, str] = {}
+    pos = 10
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid[0] == 0:  # padding reached
+            break
+        flen = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+        if pos + 10 + flen > end:
+            raise ValueError(f"ID3v2 frame at {pos} escapes the tag")
+        data = payload[pos + 10 : pos + 10 + flen]
+        pos += 10 + flen
+        if not fid.startswith(b"T") or not data:
+            continue
+        enc = data[0]
+        raw = data[1:].split(b"\x00\x00" if enc == 1 else b"\x00", 1)[0]
+        if enc == 0:
+            text = raw.decode("latin-1")
+        elif enc == 1:
+            text = raw.decode("utf-16")
+        elif enc == 3:
+            text = raw.decode("utf-8")
+        else:
+            raise NotImplementedError(f"ID3 text encoding {enc}")
+        frames[fid.decode("latin-1")] = text
+    return {"frames": frames, "tag_bytes": end}
+
+
 def parse_mp3_meta(payload: bytes) -> dict[str, Any]:
     """REAL MP3 metadata walk: every frame header parsed, frame count
     and VBR-exact duration from the walk itself, Xing/Info header
@@ -2494,6 +2575,8 @@ def build_mp3(
     xing: bool = False,
     vbri: bool = False,
     id3v2_bytes: int = 0,
+    id3v2_frames: dict[str, str] | None = None,
+    id3v2_encoding: int = 3,
     id3v1: bool = False,
     crc: bool = False,
 ) -> bytes:
@@ -2514,7 +2597,9 @@ def build_mp3(
         else [bitrate_kbps] * n_frames
     )
     out = bytearray()
-    if id3v2_bytes:
+    if id3v2_frames:
+        out += build_id3v2(id3v2_frames, encoding=id3v2_encoding)
+    elif id3v2_bytes:
         size = id3v2_bytes
         ss = bytes(
             [(size >> 21) & 0x7F, (size >> 14) & 0x7F,

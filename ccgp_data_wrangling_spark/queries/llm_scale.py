@@ -3305,6 +3305,122 @@ def multimodal_mp3_vbr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ID3v2 text frames through the driver gate — audio provenance
+# metadata (title / artist / album / year) read from the tag alone,
+# no audio frame touched: the audio twin of the EXIF layer. Encoding
+# rotates latin-1 / UTF-16-BOM / UTF-8 on k%3 so all three decode
+# paths run in the gate; every 5th k has NO tag (absence is data).
+# ---------------------------------------------------------------------------
+
+_ID3_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 9
+)
+SELECT id,
+       (k % 5 <> 2) AS has_tag,
+       CASE WHEN k % 5 = 2 THEN NULL
+            ELSE 'Track ' || CAST(k % 9 AS VARCHAR) END AS title,
+       CASE WHEN k % 5 = 2 THEN NULL
+            ELSE 'Artist ' || CAST(id % 7 AS VARCHAR) END AS artist,
+       CASE WHEN k % 5 = 2 THEN NULL
+            WHEN k % 3 = 0 THEN 'Alb ' || CAST(k % 4 AS VARCHAR)
+            ELSE 'Alb—' || CAST(k % 4 AS VARCHAR) END AS album,
+       CASE WHEN k % 5 = 2 THEN NULL
+            ELSE CAST(1990 + id % 30 AS VARCHAR) END AS year,
+       CAST(CASE WHEN k % 5 = 2 THEN 0 ELSE 4 END AS INT)
+         AS n_text_frames
+FROM g
+"""
+
+
+@register("audio_id3_metadata", _ID3_SQL)
+def audio_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 provenance end-to-end: build_mp3 fixtures carrying real
+    ID3v2.3 tags (TIT2/TPE1/TALB/TYER, rotating text encodings) →
+    parse_id3v2 → metadata columns; the MP3 frame walk skips the tag
+    by its syncsafe size. Two Arrow stages; no audio decode."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3,
+        parse_id3v2,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 9
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                if k % 5 == 2:
+                    frames = None
+                else:
+                    enc = (0, 1, 3)[k % 3]
+                    frames = {
+                        "TIT2": f"Track {k % 9}",
+                        "TPE1": f"Artist {e % 7}",
+                        # em dash only where the encoding carries it
+                        "TALB": (
+                            f"Alb {k % 4}" if k % 3 == 0
+                            else f"Alb—{k % 4}"
+                        ),
+                        "TYER": str(1990 + e % 30),
+                    }
+                payloads.append(
+                    build_mp3(
+                        n_frames=e % 5 + 2,
+                        id3v2_frames=frames,
+                        id3v2_encoding=(0, 1, 3)[k % 3],
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                t = parse_id3v2(bytes(blob))
+                fr = t["frames"]
+                rows.append(
+                    {
+                        "id": rid,
+                        "has_tag": bool(fr),
+                        "title": fr.get("TIT2"),
+                        "artist": fr.get("TPE1"),
+                        "album": fr.get("TALB"),
+                        "year": fr.get("TYER"),
+                        "n_text_frames": len(fr),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "has_tag", "title", "artist", "album", "year",
+                    "n_text_frames",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        meta,
+        schema=(
+            "id long, has_tag boolean, title string, artist string, "
+            "album string, year string, n_text_frames int"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sub-byte PNG decode through the driver gate: depths 1/2/4 pack
 # multiple samples per scanline byte (MSB-first, RFC 2083 §2.3) —
 # the bilevel/low-color variant scanned-document and icon corpora

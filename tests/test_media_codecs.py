@@ -973,6 +973,52 @@ def test_mp4_container_parse_and_honest_gates():
         parse_mp4_meta(blob[:8] + b"\x00\x00\x00\x03bad" + blob[8:])
 
 
+def test_id3v2_text_frames_roundtrip():
+    """ID3v2.3 text frames: all three encodings round-trip, non-text
+    frames skipped, padding terminates, the MP3 frame walk still
+    skips the real tag, malformations raise."""
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_id3v2,
+        build_mp3,
+        parse_id3v2,
+        parse_mp3_meta,
+    )
+
+    frames = {
+        "TIT2": "Naïve Song",
+        "TPE1": "The Artists",
+        "TALB": "Album—One",
+        "TYER": "2024",
+    }
+    for enc in (0, 1, 3):
+        use = dict(frames)
+        if enc == 0:  # latin-1 cannot carry the em dash
+            use["TALB"] = "Album One"
+        tag = build_id3v2(use, encoding=enc)
+        got = parse_id3v2(tag)
+        assert got["frames"] == use, enc
+        assert got["tag_bytes"] == len(tag)
+    # inside a full MP3: tag parsed here, skipped by the frame walk
+    mp3 = build_mp3(id3v2_frames=frames, n_frames=3)
+    assert parse_id3v2(mp3)["frames"]["TIT2"] == "Naïve Song"
+    m = parse_mp3_meta(mp3)
+    assert m["id3v2"] and m["n_frames"] == 3
+    # absence is data
+    assert parse_id3v2(build_mp3()) == {"frames": {}, "tag_bytes": 0}
+    # honest gates
+    tag = build_id3v2(frames)
+    with _pytest.raises(NotImplementedError, match="ID3v2.4"):
+        parse_id3v2(b"ID3" + bytes([4, 0, 0]) + tag[6:])
+    with _pytest.raises(NotImplementedError, match="unsynchron"):
+        parse_id3v2(b"ID3" + bytes([3, 0, 0x80]) + tag[6:])
+    bad = bytearray(tag)
+    bad[14] = 0xFF  # TIT2 frame length grows past the tag
+    with _pytest.raises(ValueError, match="escapes the tag"):
+        parse_id3v2(bytes(bad))
+
+
 def test_mp4_sample_tables_roundtrip():
     """stts/stsc/stsz/stco/stss expansion: per-sample times, byte
     ranges, and keyframe flags match the fixture construction, and
