@@ -601,3 +601,53 @@ def mojibake_repair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(mangled).alias("len_bad"),
         F.length(fixed).alias("len_fixed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality model (fasttext-shaped): token → md5 bucket →
+# broadcast weight join → exact integer mean-pool → sigmoid. The
+# model table is the deterministic fixture (bucket · 2654435761 mod
+# 2001 − 1000 milli-units), replayed verbatim in SQL; keep/drop is an
+# integer comparison, immune to float rounding.
+# ---------------------------------------------------------------------------
+
+_QMODEL_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS tok
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         ((CAST(('0x' || SUBSTR(md5(tok), 1, 15)) AS BIGINT) % 4096)
+          * 2654435761) % 2001 - 1000 AS w_milli
+  FROM toks
+),
+s AS (
+  SELECT doc_id, COUNT(*) AS n, SUM(w_milli) AS sm
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id AS id,
+       CAST(n AS INT) AS n_tokens,
+       CAST(sm AS BIGINT) AS score_milli,
+       ROUND(1.0 / (1.0 + EXP(-(sm / (n * 1000.0)))), 4) AS prob,
+       (sm >= 0) AS keep
+FROM s
+"""
+
+
+@register("quality_model_filter", _QMODEL_SQL)
+def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering end-to-end
+    (operators/quality_model.score_documents): engine-standard
+    tokenizer + md5 bucket hash, broadcast weight table, exact
+    integer pooling. The 100 TB shape: a real trained model swaps in
+    as the same (bucket, w_milli) broadcast table."""
+    from ccgp_data_wrangling_spark.operators.quality_model import (
+        hashed_weights_fixture,
+        score_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = hashed_weights_fixture(spark, 4096)
+    return score_documents(docs, "doc_id", "text", weights, n_buckets=4096)
