@@ -51,6 +51,12 @@ def register(name: str, oracle: str | None):
 # row — the stalest-first re-verification cycle the round-5 verdict
 # prescribed (regression freshness, not new coverage).
 _PRIORITY: list[str] = [
+    "quality_model_filter",
+    "multimodal_mp4_keyframes",
+    "image_exif_orientation",
+    "multimodal_mp3_vbr_profile",
+    "audio_id3_metadata",
+    "pdf_encrypted_extract",
     "text_quality_stats",
     "lang_id_heuristic",
     "knn_top10_cosine",
