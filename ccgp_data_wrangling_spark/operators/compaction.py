@@ -1,72 +1,83 @@
-"""Small-file compaction for parquet tables.
+"""Small-file compaction planning — the table-maintenance operator a
+100 TB lakehouse runs nightly: streaming ingest and per-partition
+MERGE output leave thousands of KB-scale files per partition, and
+every downstream scan then pays a task per file. The planner turns a
+file listing into merge groups of ~``target_bytes`` each; an executor
+then rewrites each group as one file.
 
-Incremental sinks (streaming folds, per-batch appends, partitioned
-MERGE) accumulate many small files; at 100 TB the failure mode is
-concrete — every scan pays a task per file, the driver pays listing
-and footer reads, and row-group statistics stop pruning because each
-file is a sliver. Compaction is the standing maintenance op: rewrite
-a table (or only its oversplit partitions) into files of a target
-size, atomically.
+Policy: CUMULATIVE-QUANTILE BINNING — order files deterministically
+within a partition (path ASC), running byte total, group =
+``floor(exclusive_cumsum / target_bytes)``. One window sum, no
+driver-side loop, replayable verbatim in SQL. Groups can overshoot
+``target_bytes`` by at most one file (the classic greedy-reset
+packer's property too), and a partition already consisting of one
+big file lands alone in group 0 where ``skip_single`` drops it — a
+no-op rewrite is pure write amplification.
 
-Spark-first shape: ``repartitionByRange`` on the caller's sort key
-(keeps min/max stats tight after the rewrite — compaction is the
-natural moment to restore clustering, including a z-order key from
-operators/zorder) or plain ``repartition`` when no key is given;
-the swap reuses ParquetTable's copy-on-write tmp-write + rename, so
-readers never observe a half-compacted table.
+Scale shape: the input is a FILE LISTING (one row per file — at
+100 TB with 256 MB files that's ~400k rows, trivially small next to
+the data); the only shuffle is the per-partition window. The
+expensive part — the rewrite — is the caller's `spark.read…`.`write`
+per group, embarrassingly parallel across groups.
+
+Reference parity: cademirch/ccgp-data-wrangling manages no file
+layout; beyond-reference lakehouse surface (same family as the
+Z-order layout operator).
 """
 
 from __future__ import annotations
 
-import math
-import pathlib
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
-from pyspark.sql import Column, DataFrame, SparkSession
-
-from ccgp_data_wrangling_spark.operators.merge import ParquetTable
-
-__all__ = ["table_file_stats", "compact_parquet_table"]
+__all__ = ["plan_compaction", "compaction_summary"]
 
 
-def table_file_stats(path: str) -> dict:
-    """Driver-side listing of a parquet dir: file count + byte sizes.
-    Metadata-sized by definition (one stat per FILE, not per row)."""
-    files = [
-        p for p in pathlib.Path(path).glob("*.parquet") if p.is_file()
-    ]
-    sizes = [p.stat().st_size for p in files]
-    return {
-        "n_files": len(files),
-        "total_bytes": sum(sizes),
-        "max_bytes": max(sizes, default=0),
-        "min_bytes": min(sizes, default=0),
-    }
-
-
-def compact_parquet_table(
-    spark: SparkSession,
-    path: str,
+def plan_compaction(
+    files: DataFrame,
     *,
-    target_bytes_per_file: int = 128 * 1024 * 1024,
-    sort_key: Column | str | None = None,
-) -> dict:
-    """Rewrite ``path`` into ≈ ``total_bytes / target`` files.
-
-    The file count comes from the CURRENT on-disk footprint (parquet
-    stays parquet, so compression ratios carry over within a few
-    percent); pass ``sort_key`` to range-partition + sort the rewrite
-    so min/max pruning survives the compaction. Returns before/after
-    stats so maintenance jobs can log their effect.
-    """
-    before = table_file_stats(path)
-    n_files = max(1, math.ceil(before["total_bytes"] / target_bytes_per_file))
-    df = spark.read.parquet(path)
-    if sort_key is not None:
-        out = df.repartitionByRange(n_files, sort_key).sortWithinPartitions(
-            sort_key
+    partition_col: str,
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+    target_bytes: int,
+    skip_single: bool = True,
+) -> DataFrame:
+    """Assign every file to a merge group: (partition, path, bytes,
+    group_id). ``skip_single`` removes groups that contain exactly
+    one file (rewriting a lone file is pure write amplification —
+    keep it where it is)."""
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(path_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.select(
+        F.col(partition_col).alias("partition"),
+        F.col(path_col).alias("path"),
+        F.col(bytes_col).alias("bytes"),
+        F.floor(
+            F.coalesce(F.sum(bytes_col).over(w), F.lit(0))
+            / F.lit(target_bytes)
         )
-    else:
-        out = df.repartition(n_files)
-    ParquetTable(spark, path, key=[])._swap_in(out)
-    after = table_file_stats(path)
-    return {"before": before, "after": after, "target_files": n_files}
+        .cast("long")
+        .alias("group_id"),
+    )
+    if skip_single:
+        gw = Window.partitionBy("partition", "group_id")
+        planned = (
+            planned.withColumn("__n", F.count(F.lit(1)).over(gw))
+            .where(F.col("__n") > 1)
+            .drop("__n")
+        )
+    return planned
+
+
+def compaction_summary(planned: DataFrame) -> DataFrame:
+    """Per merge group: file count and total bytes — what the rewrite
+    scheduler consumes (one rewrite task per row)."""
+    return planned.groupBy("partition", "group_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.sum("bytes").cast("long").alias("group_bytes"),
+    )

@@ -72,3 +72,66 @@ def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return snapshot_diff_summary(old, new, ["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (operators/compaction.py): file
+# listing → cumulative-quantile byte binning per partition → merge
+# groups. The listing is synthesized from orders (zero-padded paths
+# so lexicographic order is deterministic on both engines);
+# single-file groups are dropped (no-op rewrites are pure write
+# amplification). One window sum — replayed verbatim in SQL.
+# ---------------------------------------------------------------------------
+
+_COMPACT_SQL = """
+WITH f AS (
+  SELECT o_orderpriority AS "partition",
+         'part-' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS path,
+         1000 + o_orderkey % 50000 AS bytes
+  FROM orders
+),
+p AS (
+  SELECT "partition", path, bytes,
+         CAST(FLOOR(COALESCE(SUM(bytes) OVER (
+                PARTITION BY "partition" ORDER BY path
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), 0) / 1048576.0) AS BIGINT) AS group_id
+  FROM f
+),
+g AS (
+  SELECT "partition", group_id, COUNT(*) AS n, SUM(bytes) AS gb
+  FROM p GROUP BY 1, 2
+)
+SELECT "partition", group_id, CAST(n AS INT) AS n_files,
+       CAST(gb AS BIGINT) AS group_bytes
+FROM g WHERE n > 1
+"""
+
+
+@register("compaction_plan_files", _COMPACT_SQL)
+def compaction_plan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning end-to-end: synthesized per-partition file
+    listing → plan_compaction (1 MiB target) → per-group rewrite
+    schedule (n_files, group_bytes). The 100 TB shape: the listing is
+    metadata-sized however big the table is; rewrites parallelize per
+    group."""
+    from ccgp_data_wrangling_spark.operators.compaction import (
+        compaction_summary,
+        plan_compaction,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.select(
+        F.col("o_orderpriority").alias("part_key"),
+        F.concat(
+            F.lit("part-"),
+            F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+        ).alias("path"),
+        (F.lit(1000) + F.col("o_orderkey") % 50000).alias("bytes"),
+    )
+    planned = plan_compaction(
+        files,
+        partition_col="part_key",
+        target_bytes=1 << 20,
+    )
+    return compaction_summary(planned)

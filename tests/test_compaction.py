@@ -1,72 +1,57 @@
-"""Compaction maintenance op (operators/compaction.py)."""
+"""Compaction planner: binning arithmetic, skip-single, guards."""
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
+import pytest
 
 from ccgp_data_wrangling_spark.operators.compaction import (
-    compact_parquet_table,
-    table_file_stats,
+    compaction_summary,
+    plan_compaction,
 )
 
 
-def _fragmented_table(spark, path, n_appends=30, rows_per=200):
-    for j in range(n_appends):
-        spark.range(j * rows_per, (j + 1) * rows_per).select(
-            F.col("id"), (F.col("id") % 97).alias("k")
-        ).coalesce(1).write.mode("append").parquet(path)
-
-
-def test_compaction_reduces_files_keeps_rows(spark, tmp_path):
-    path = str(tmp_path / "t")
-    _fragmented_table(spark, path)
-    before_rows = sorted(
-        map(tuple, spark.read.parquet(path).collect())
+def test_cumulative_quantile_binning(spark):
+    files = spark.createDataFrame(
+        [
+            ("p1", "a", 400), ("p1", "b", 400), ("p1", "c", 400),
+            ("p1", "d", 400), ("p1", "e", 400),
+            ("p2", "a", 2000),           # lone big file
+            ("p3", "a", 100), ("p3", "b", 100),
+        ],
+        "part string, path string, bytes long",
     )
-    assert table_file_stats(path)["n_files"] == 30
+    got = {
+        (r.partition, r.path): r.group_id
+        for r in plan_compaction(
+            files, partition_col="part", target_bytes=1000,
+            skip_single=False,
+        ).collect()
+    }
+    # p1 exclusive cumsums: 0,400,800,1200,1600 → groups 0,0,0,1,1
+    assert [got[("p1", p)] for p in "abcde"] == [0, 0, 0, 1, 1]
+    assert got[("p2", "a")] == 0
+    assert got[("p3", "a")] == got[("p3", "b")] == 0
 
-    stats = compact_parquet_table(
-        spark, path, target_bytes_per_file=64 * 1024
+    # skip_single drops the lone-file group (p2) but keeps the rest
+    kept = plan_compaction(
+        files, partition_col="part", target_bytes=1000
+    ).collect()
+    assert {r.partition for r in kept} == {"p1", "p3"}
+
+    summ = {
+        (r.partition, r.group_id): (r.n_files, r.group_bytes)
+        for r in compaction_summary(
+            plan_compaction(files, partition_col="part", target_bytes=1000)
+        ).collect()
+    }
+    assert summ[("p1", 0)] == (3, 1200)
+    assert summ[("p1", 1)] == (2, 800)
+    assert summ[("p3", 0)] == (2, 200)
+
+
+def test_target_bytes_guard(spark):
+    files = spark.createDataFrame(
+        [("p", "a", 1)], "part string, path string, bytes long"
     )
-    assert stats["after"]["n_files"] < stats["before"]["n_files"]
-    assert (
-        sorted(map(tuple, spark.read.parquet(path).collect())) == before_rows
-    )
-
-
-def test_compaction_with_sort_key_restores_pruning(spark, tmp_path):
-    """After a keyed compaction each file covers a disjoint id range,
-    so footer min/max prune point lookups to one file."""
-    import pathlib
-
-    import pyarrow.parquet as pq
-
-    path = str(tmp_path / "t")
-    _fragmented_table(spark, path)  # every append spans its own range
-    compact_parquet_table(
-        spark, path, target_bytes_per_file=16 * 1024, sort_key="id"
-    )
-    spans = []
-    for f in pathlib.Path(path).glob("*.parquet"):
-        md = pq.ParquetFile(f).metadata
-        lo = min(
-            md.row_group(i).column(0).statistics.min
-            for i in range(md.num_row_groups)
-        )
-        hi = max(
-            md.row_group(i).column(0).statistics.max
-            for i in range(md.num_row_groups)
-        )
-        spans.append((lo, hi))
-    assert len(spans) > 1
-    spans.sort()
-    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
-        assert hi1 < lo2  # disjoint ranges — a point lookup reads 1 file
-
-
-def test_compaction_single_file_floor(spark, tmp_path):
-    path = str(tmp_path / "t")
-    spark.range(10).coalesce(1).write.parquet(path)
-    stats = compact_parquet_table(spark, path)
-    assert stats["after"]["n_files"] == 1
-    assert spark.read.parquet(path).count() == 10
+    with pytest.raises(ValueError, match="positive"):
+        plan_compaction(files, partition_col="part", target_bytes=0)

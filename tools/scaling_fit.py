@@ -86,7 +86,10 @@ def main() -> None:
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "families": out,
     }
-    with open("SCALING_CURVE_r07.json", "w") as fh:
+    out_file = os.environ.get(
+        "SPARK_GRAFT_SCALING_OUT", "SCALING_CURVE_r07.json"
+    )
+    with open(out_file, "w") as fh:
         json.dump(artifact, fh, indent=1)
         fh.write("\n")
     spark.stop()
