@@ -3696,3 +3696,52 @@ def pdf_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
     return pdf_documents(media, password=b"corpus")
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization audit (operators/quantize.py): the
+# storage stage of a 100 TB vector corpus — 4× smaller codes, affine
+# reconstruction, per-vector error profile. Codes use floor(x+0.5)
+# (never ROUND) so no half-even disagreement can exist between
+# engines; sums fold in list order on both sides.
+# ---------------------------------------------------------------------------
+
+_QUANT_SQL = """
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT id, e, len(e) AS n, list_min(e) AS vmin, list_max(e) AS vmax,
+         CASE WHEN list_max(e) = list_min(e) THEN 1.0
+              ELSE (list_max(e) - list_min(e)) / 255.0 END AS scale
+  FROM v
+),
+r AS (
+  SELECT id, n, vmin, vmax, scale,
+         list_transform(
+           e, x -> x - (vmin + FLOOR((x - vmin) / scale + 0.5) * scale)
+         ) AS err
+  FROM s
+)
+SELECT id,
+       CAST(n AS INT) AS n_dims,
+       ROUND(vmin, 6) AS vmin,
+       ROUND(vmax, 6) AS vmax,
+       ROUND(scale, 6) AS scale,
+       ROUND(list_sum(list_transform(err, x -> x * x)) / n, 6) AS mse,
+       ROUND(list_max(list_transform(err, x -> abs(x))), 6)
+         AS max_abs_err
+FROM r
+"""
+
+
+@register("embedding_quantize_audit", _QUANT_SQL)
+def embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization over the embeddings table — pure
+    Column expressions (transform/aggregate/array_min), zero UDFs,
+    whole-stage codegen end to end."""
+    from ccgp_data_wrangling_spark.operators.quantize import quantize_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_stats(emb, "vec_id", "embedding")
