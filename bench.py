@@ -132,6 +132,18 @@ HEADLINE = [
     "orc_roundtrip_scan",
     "unicode_nfc_normalize",
     "mojibake_repair_stats",
+    # round 7: MP4 sample tables, MP3 VBR profile, encrypted PDF,
+    # EXIF + ID3 provenance, quality model, compaction, bloom join,
+    # quantization
+    "multimodal_mp4_keyframes",
+    "multimodal_mp3_vbr_profile",
+    "pdf_encrypted_extract",
+    "image_exif_orientation",
+    "audio_id3_metadata",
+    "quality_model_filter",
+    "compaction_plan_files",
+    "bloom_prefilter_join",
+    "embedding_quantize_audit",
 ]
 
 
