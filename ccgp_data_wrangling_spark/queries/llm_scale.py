@@ -984,6 +984,9 @@ def rag_retrieve_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
     from pyspark.sql import Window
 
+    # unpartitioned window is SAFE here: it runs over `ranked`, which
+    # the limit(10) above has already reduced to k rows — the single
+    # partition WindowExec warns about holds ten rows, not the corpus
     w = Window.orderBy(F.col("cos_sim").desc(), "doc_id", "chunk_id")
     return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
 

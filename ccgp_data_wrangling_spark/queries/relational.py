@@ -1325,6 +1325,8 @@ def wow_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
+    # unpartitioned lag is SAFE here: input is the post-aggregation
+    # weekly series (≤ 26 rows for the half-year filter), not raw rows
     w = Window.orderBy("wk")
     prev = F.lag("revenue").over(w)
     return weekly.select(
