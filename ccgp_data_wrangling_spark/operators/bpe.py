@@ -58,6 +58,7 @@ __all__ = [
     "bpe_train",
     "bpe_encode_expr",
     "bpe_token_count_expr",
+    "bpe_decode_expr",
     "END_WORD",
     "OPEN",
     "CLOSE",
@@ -233,3 +234,16 @@ def bpe_token_count_expr(
 ) -> Column:
     """Token count under the learned merges (bigint)."""
     return F.size(bpe_encode_expr(text, merges)).cast("long")
+
+
+def bpe_decode_expr(tokens: Column) -> Column:
+    """Invert :func:`bpe_encode_expr`: concatenate the token symbols
+    and turn each ``</w>`` end-of-word marker back into a space.
+    Lossless up to whitespace normalization (the tokenizer's word
+    split collapses whitespace runs) and marker-byte stripping —
+    ``decode(encode(text)) == single-space-joined words of text``,
+    which is exactly what the round-trip query's oracle states.
+    Pure codegen, like the encoder."""
+    return F.trim(
+        F.replace(F.array_join(tokens, ""), F.lit(END_WORD), F.lit(" "))
+    )

@@ -146,3 +146,47 @@ def bpe_encode_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", bpe_token_count_expr(F.col("text"), merges).alias("n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Encode→decode round trip: the decoder inverts the chained-replace
+# encoder exactly, so the oracle is the IDENTITY on whitespace-
+# normalized text — no BPE machinery on the DuckDB side at all. Any
+# merge that corrupted symbol boundaries (marker handling, </w>
+# placement) breaks the hash.
+# ---------------------------------------------------------------------------
+
+_ROUNDTRIP_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+                     x -> x != '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       ARRAY_TO_STRING(ws, ' ') AS text_rt,
+       CAST(LEN(ws) AS INT) AS n_words
+FROM w
+"""
+
+
+@register("bpe_roundtrip_identity", _ROUNDTRIP_SQL)
+def bpe_roundtrip_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode(encode(text)) == whitespace-normalized text, under the
+    corpus-trained merges — the losslessness contract every tokenizer
+    deployment depends on, checked corpus-wide in pure codegen."""
+    from ccgp_data_wrangling_spark.operators.bpe import (
+        bpe_decode_expr,
+        bpe_encode_expr,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, "text", n_merges=_N_MERGES, min_count=2)
+    toks = bpe_encode_expr(F.col("text"), merges)
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
+    return docs.select(
+        "doc_id",
+        bpe_decode_expr(toks).alias("text_rt"),
+        F.size(words).cast("int").alias("n_words"),
+    )
