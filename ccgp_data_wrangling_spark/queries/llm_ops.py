@@ -334,3 +334,54 @@ def containment_join_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(corpus_tokens("text"), 1, 3)).alias("query"),
     )
     return containment_join(queries, docs)
+
+
+# ---------------------------------------------------------------------------
+# C4-style line dedup with document rewrite (operators/linededup.py):
+# lines = non-overlapping 8-token chunks; a line survives only at its
+# globally-first (doc_id, pos) occurrence; docs are reassembled from
+# kept lines in order. The oracle replays first-wins with a
+# row_number window and rebuilds text with ordered string_agg.
+# ---------------------------------------------------------------------------
+
+_LINEDEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS pos,
+         ARRAY_TO_STRING(t[i * 8 + 1 : i * 8 + 8], ' ') AS line
+  FROM toks,
+       UNNEST(RANGE(0, CAST(CEIL(LEN(t) / 8.0) AS BIGINT))) AS u(i)
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos)
+           AS rn
+  FROM lines
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         STRING_AGG(line, ' ' ORDER BY pos) AS text_clean
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id AS id,
+       COALESCE(r.text_clean, '') AS text_clean,
+       CAST(CEIL(LEN(t.t) / 8.0) AS INT) AS n_lines,
+       CAST(COALESCE(r.n_kept, 0) AS INT) AS n_kept
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@register("line_dedup_firstwins", _LINEDEDUP_SQL)
+def line_dedup_firstwins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup + rewrite — the C4 boilerplate scrub as
+    one explode + one line-keyed window + one reassembly aggregate,
+    all codegen."""
+    from ccgp_data_wrangling_spark.operators.linededup import (
+        dedup_lines_first_wins,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_lines_first_wins(docs, "doc_id", "text", line_tokens=8)
