@@ -798,3 +798,52 @@ def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "n_body_bytes",
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (operators/triangles.py): degree-ordered edge
+# orientation → one wedge per triangle at its smallest vertex → one
+# closure join. The oracle brute-forces the canonical 3-way join over
+# the deduped undirected edge set — a completely different plan that
+# must agree node-for-node.
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_SQL = """
+WITH e AS (
+  SELECT DISTINCT LEAST(doc_id % 97, (doc_id // 97) % 97) AS a,
+                  GREATEST(doc_id % 97, (doc_id // 97) % 97) AS b
+  FROM documents
+  WHERE doc_id % 97 <> (doc_id // 97) % 97
+),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT x AS node FROM t
+  UNION ALL SELECT y FROM t
+  UNION ALL SELECT z FROM t
+)
+GROUP BY node
+"""
+
+
+@register("triangle_count_linkgraph", _TRIANGLE_SQL)
+def triangle_count_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the doc-derived link
+    graph — the clustering signal web-graph curation pairs with
+    PageRank. Orientation bounds wedge fan-out by √(2m), the hub
+    guard that survives power-law graphs."""
+    from ccgp_data_wrangling_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") / 97).cast("long") % 97).alias("dst"),
+    )
+    return triangle_counts(edges)
