@@ -142,7 +142,6 @@ HEADLINE = [
     "audio_id3_metadata",
     "quality_model_filter",
     "compaction_plan_files",
-    "bloom_prefilter_join",
     "embedding_quantize_audit",
 ]
 

@@ -57,6 +57,12 @@ _PRIORITY: list[str] = [
     "multimodal_mp3_vbr_profile",
     "audio_id3_metadata",
     "pdf_encrypted_extract",
+    "bpe_roundtrip_identity",
+    "line_dedup_firstwins",
+    "embedding_quantize_audit",
+    "compaction_plan_files",
+    "triangle_count_linkgraph",
+    "bfs_seed_distance",
     "text_quality_stats",
     "lang_id_heuristic",
     "knn_top10_cosine",

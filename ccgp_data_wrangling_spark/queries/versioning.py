@@ -135,47 +135,3 @@ def compaction_plan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_bytes=1 << 20,
     )
     return compaction_summary(planned)
-
-
-# ---------------------------------------------------------------------------
-# Bloom pre-join pruning (operators/bloomjoin.py): the fact scan is
-# filtered by a bloom over the dimension's key set BEFORE the
-# shuffle; false positives die in the exact join, so the oracle is
-# simply the plain join — result identity IS the correctness claim.
-# Aggregates are count + integer key sums (float revenue sums are
-# order-dependent across engines).
-# ---------------------------------------------------------------------------
-
-_BLOOM_SQL = """
-SELECT c_mktsegment AS segment,
-       COUNT(*) AS n_orders,
-       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-FROM orders JOIN customer ON o_custkey = c_custkey
-WHERE c_acctbal >= 9900
-GROUP BY 1
-"""
-
-
-@register("bloom_prefilter_join", _BLOOM_SQL)
-def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-pruned fact⋈dim: high-balance customers' key set → 8 Kib
-    bloom → orders filtered in codegen before the shuffle → exact
-    join + aggregate. At 100 TB the pruned shuffle is the win; here
-    the driver checks the result matches the plain join exactly."""
-    from ccgp_data_wrangling_spark.operators.bloomjoin import (
-        bloom_semi_join,
-    )
-
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer").where(
-        F.col("c_acctbal") >= 9900
-    )
-    joined = bloom_semi_join(
-        orders, cust, "o_custkey", "c_custkey", m_bits=8192, k=4
-    )
-    return joined.groupBy(
-        F.col("c_mktsegment").alias("segment")
-    ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum("o_orderkey").cast("long").alias("key_sum"),
-    )

@@ -847,3 +847,45 @@ def triangle_count_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") / 97).cast("long") % 97).alias("dst"),
     )
     return triangle_counts(edges)
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS link distance (operators/bfs.py): hop distance
+# from a trusted seed set over the same doc-derived graph as the
+# triangle query — the distance-to-seeds quality signal. The oracle
+# is a recursive CTE taking MIN(dist) over all ≤ max_iter walks,
+# a completely different evaluation strategy that must agree.
+# ---------------------------------------------------------------------------
+
+_BFS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT doc_id % 97 AS a, (doc_id // 97) % 97 AS b FROM documents
+  UNION
+  SELECT (doc_id // 97) % 97 AS a, doc_id % 97 AS b FROM documents
+),
+walk (node, dist) AS (
+  SELECT node, 0 FROM (VALUES (0), (1), (2)) v(node)
+  UNION
+  SELECT e.b, w.dist + 1
+  FROM walk w JOIN e ON e.a = w.node
+  WHERE w.dist < 6 AND e.a <> e.b
+)
+SELECT node, CAST(MIN(dist) AS INT) AS dist
+FROM walk GROUP BY node
+"""
+
+
+@register("bfs_seed_distance", _BFS_SQL)
+def bfs_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from seed nodes {0,1,2} over the undirected link
+    graph, frontier rounds with one shuffle each."""
+    from ccgp_data_wrangling_spark.operators.bfs import bfs_distances
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") / 97).cast("long") % 97).alias("dst"),
+    )
+    seeds = spark.range(3).select(F.col("id").alias("node"))
+    out = bfs_distances(edges, seeds, max_iter=6)
+    return out.select("node", F.col("dist").cast("int").alias("dist"))
