@@ -2349,6 +2349,153 @@ def _mp3_side_info_len(version: str, mono: bool) -> int:
     return 9 if mono else 17
 
 
+def build_mp3_layer1(
+    *,
+    sample_rate: int = 44100,
+    bitrate_kbps: int = 448,
+    alloc: list[int],
+    scf_idx: list[int],
+    codes,  # callable (t, sb) -> int, or 12×32 nested list
+    n_frames: int = 1,
+) -> bytes:
+    """Fixture writer: mono MPEG-1 Layer I frames with a REAL coded
+    payload (ISO 11172-3 §2.4.1.5): 32 four-bit allocation codes, six-
+    bit scalefactor indices for allocated subbands, then 12 transmission
+    groups of per-subband sample codes, MSB-first, zero-padded to the
+    spec frame length. ``alloc[sb]`` is the 4-bit allocation CODE
+    (0 = band off, a → a+1 sample bits); ``codes(t, sb)`` yields the
+    raw sample code for group ``t``."""
+    if len(alloc) != 32 or len(scf_idx) != 32:
+        raise ValueError("alloc and scf_idx must cover 32 subbands")
+    ridx = _MP3_RATES["MPEG1"].index(sample_rate)
+    bidx = _MP3_BITRATES[("MPEG1", 1)].index(bitrate_kbps)
+    flen = _mp3_frame_len("MPEG1", 1, bitrate_kbps, sample_rate, 0)
+    need = 32 + 32 * 4
+    for sb, a in enumerate(alloc):
+        if not 0 <= a <= 14:
+            raise ValueError(f"allocation code {a} out of range")
+        if a:
+            need += 6 + 12 * (a + 1)
+    if need > flen * 8:
+        raise ValueError(
+            f"payload needs {need} bits, frame holds {flen * 8}"
+        )
+    hdr = (
+        (0x7FF << 21)
+        | (3 << 19)            # MPEG1
+        | (3 << 17)            # layer I
+        | (1 << 16)            # no CRC
+        | (bidx << 12)
+        | (ridx << 10)
+        | (3 << 6)             # single_channel
+    )
+    out = bytearray()
+    for _ in range(n_frames):
+        bits: list[tuple[int, int]] = []  # (value, nbits)
+        for sb in range(32):
+            bits.append((alloc[sb], 4))
+        for sb in range(32):
+            if alloc[sb]:
+                if not 0 <= scf_idx[sb] <= 62:
+                    raise ValueError("scalefactor index out of range")
+                bits.append((scf_idx[sb], 6))
+        for t in range(12):
+            for sb in range(32):
+                if alloc[sb]:
+                    nb = alloc[sb] + 1
+                    c = (
+                        codes(t, sb) if callable(codes) else codes[t][sb]
+                    ) & ((1 << nb) - 1)
+                    bits.append((c, nb))
+        frame = bytearray(flen)
+        frame[0:4] = hdr.to_bytes(4, "big")
+        acc, n, pos = 0, 0, 4
+        for v, ln in bits:
+            for i in range(ln - 1, -1, -1):
+                acc = (acc << 1) | ((v >> i) & 1)
+                n += 1
+                if n == 8:
+                    frame[pos] = acc
+                    pos += 1
+                    acc, n = 0, 0
+        if n:
+            frame[pos] = acc << (8 - n)
+        out += frame
+    return bytes(out)
+
+
+def decode_mp3_layer1_subbands(payload: bytes) -> list[dict[str, Any]]:
+    """REAL Layer I decode through dequantization (ISO 11172-3
+    §2.4.3.3): per frame and allocated subband, read the allocation /
+    scalefactor / 12 sample codes and apply the spec formulas —
+    s''' = code/2^(nb−1) − 1 + 2^(−nb+1), s'' = s'''·2^nb/(2^nb−1),
+    s' = sf·s'' with sf = 2·2^(−idx/3) — yielding the 32-band
+    spectral envelope audio screening consumes (band RMS). This is
+    every decode stage BEFORE the synthesis filterbank; the polyphase
+    window (Annex 3-B table D[512]) stays behind the honest
+    real_decode gate, so PCM synthesis still raises.
+
+    Mono Layer I only (the fixture writer's scope); stereo modes and
+    layers II/III raise. Returns one dict per (frame, subband):
+    frame, subband, nbits, scf_idx, rms (6 dp)."""
+    pos = 0
+    end = len(payload)
+    out: list[dict[str, Any]] = []
+    frame_no = 0
+    while pos < end:
+        if end - pos < 4:
+            raise ValueError("truncated Layer I frame header")
+        hdr = int.from_bytes(payload[pos : pos + 4], "big")
+        if hdr >> 21 != 0x7FF:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        if (hdr >> 19) & 0x3 != 3 or (hdr >> 17) & 0x3 != 3:
+            raise NotImplementedError(
+                "subband decode implemented for MPEG-1 Layer I only"
+            )
+        if (hdr >> 6) & 0x3 != 3:
+            raise NotImplementedError("stereo Layer I subband decode")
+        crc = not (hdr >> 16) & 0x1
+        bidx = (hdr >> 12) & 0xF
+        ridx = (hdr >> 10) & 0x3
+        bitrate = _MP3_BITRATES[("MPEG1", 1)][bidx]
+        rate = _MP3_RATES["MPEG1"][ridx]
+        padding = (hdr >> 9) & 0x1
+        flen = _mp3_frame_len("MPEG1", 1, bitrate, rate, padding)
+        if pos + flen > end:
+            raise ValueError("truncated final Layer I frame")
+        r = _BitReader(payload[pos + 4 + (2 if crc else 0) : pos + flen])
+        alloc = [r.read_bits(4) for _ in range(32)]
+        if any(a == 15 for a in alloc):
+            raise ValueError("forbidden Layer I allocation code 15")
+        scf = [r.read_bits(6) if alloc[sb] else 0 for sb in range(32)]
+        acc = [0.0] * 32
+        for _t in range(12):
+            for sb in range(32):
+                if alloc[sb]:
+                    nb = alloc[sb] + 1
+                    code = r.read_bits(nb)
+                    s3 = code / 2.0 ** (nb - 1) - 1 + 2.0 ** (-(nb - 1))
+                    s2 = (2.0**nb / (2.0**nb - 1)) * s3
+                    v = (2.0 * 2.0 ** (-(scf[sb] // 3))
+                         if scf[sb] % 3 == 0
+                         else 2.0 * 2.0 ** (-scf[sb] / 3.0)) * s2
+                    acc[sb] += v * v
+        for sb in range(32):
+            if alloc[sb]:
+                out.append(
+                    {
+                        "frame": frame_no,
+                        "subband": sb,
+                        "nbits": alloc[sb] + 1,
+                        "scf_idx": scf[sb],
+                        "rms": round((acc[sb] / 12.0) ** 0.5, 6),
+                    }
+                )
+        frame_no += 1
+        pos += flen
+    return out
+
+
 def build_id3v2(frames: dict[str, str], *, encoding: int = 3, pad: int = 16) -> bytes:
     """Fixture writer: an ID3v2.3 tag with real text frames (TIT2 /
     TPE1 / TALB / TYER …). ``encoding`` is the ID3 text-encoding

@@ -3308,6 +3308,125 @@ def multimodal_mp3_vbr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MP3 Layer I subband decode through the driver gate — REAL audio
+# decode through dequantization (ISO 11172-3 §2.4.3.3): allocation /
+# scalefactor / sample-code reads and the spec requantization
+# formulas, yielding the 32-band spectral envelope screening uses.
+# Only the polyphase synthesis window stays behind the honest gate.
+# Scalefactor indices are multiples of 3 → factors are exact powers
+# of two, so the oracle's POWER() arithmetic reproduces the kernel's
+# doubles bit-for-bit (sum-order ulps vanish at the 6-dp round).
+# ---------------------------------------------------------------------------
+
+_MP3_SUBBAND_SQL = """
+WITH g AS (
+  SELECT event_id AS id FROM events WHERE event_id % 20 = 11
+),
+sb AS (
+  SELECT id, UNNEST(generate_series(0, 31)) AS subband FROM g
+),
+bands AS (
+  SELECT id, subband,
+         2 + (subband % 6) + 1 AS nb,
+         3 * ((id + subband) % 5) AS sfi
+  FROM sb WHERE (id + subband) % 4 = 0
+),
+samp AS (
+  SELECT id, subband, nb, sfi,
+         UNNEST(generate_series(0, 11)) AS t
+  FROM bands
+),
+vals AS (
+  SELECT id, subband, nb, sfi,
+         (2.0 * POWER(2.0, -(sfi // 3)))
+         * ((POWER(2.0, nb) / (POWER(2.0, nb) - 1))
+            * (((t * (subband + 1) + id)
+                % CAST(POWER(2, nb) AS BIGINT))
+               / POWER(2.0, nb - 1)
+               - 1 + POWER(2.0, -(nb - 1)))) AS v
+  FROM samp
+)
+SELECT id, 0 AS frame,
+       CAST(subband AS INT) AS subband,
+       CAST(nb AS INT) AS nbits,
+       CAST(sfi AS INT) AS scf_idx,
+       ROUND(SQRT(SUM(v * v) / 12.0), 6) AS rms
+FROM vals GROUP BY id, subband, nb, sfi
+"""
+
+
+@register("multimodal_mp3_subband_decode", _MP3_SUBBAND_SQL)
+def multimodal_mp3_subband_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Layer I subband decode end-to-end: build_mp3_layer1 fixtures
+    (real bit-packed allocation/scalefactor/sample payload) →
+    decode_mp3_layer1_subbands → per-band RMS envelope. Two Arrow
+    stages; PCM synthesis still raises honestly."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3_layer1,
+        decode_mp3_layer1_subbands,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 11
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                alloc = [
+                    2 + (sb % 6) if (e + sb) % 4 == 0 else 0
+                    for sb in range(32)
+                ]
+                scf = [
+                    3 * ((e + sb) % 5) if alloc[sb] else 0
+                    for sb in range(32)
+                ]
+                payloads.append(
+                    build_mp3_layer1(
+                        alloc=alloc,
+                        scf_idx=scf,
+                        codes=lambda t, sb, _e=e, _a=alloc: (
+                            (t * (sb + 1) + _e) % (1 << (_a[sb] + 1))
+                        ),
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                for r in decode_mp3_layer1_subbands(bytes(blob)):
+                    rows.append({"id": rid, **r})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "frame", "subband", "nbits", "scf_idx", "rms",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        decode,
+        schema=(
+            "id long, frame int, subband int, nbits int, scf_idx int, "
+            "rms double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # ID3v2 text frames through the driver gate — audio provenance
 # metadata (title / artist / album / year) read from the tag alone,
 # no audio frame touched: the audio twin of the EXIF layer. Encoding

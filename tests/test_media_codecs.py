@@ -973,6 +973,80 @@ def test_mp4_container_parse_and_honest_gates():
         parse_mp4_meta(blob[:8] + b"\x00\x00\x00\x03bad" + blob[8:])
 
 
+def test_mp3_layer1_subband_decode():
+    """Layer I dequantization against hand-computed spec formulas;
+    multi-frame walk; honest gates for stereo/layer mismatch and the
+    forbidden allocation code."""
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3_layer1,
+        decode_mp3_layer1_subbands,
+    )
+
+    alloc = [0] * 32
+    alloc[3], alloc[10] = 1, 3  # nb = 2 and nb = 4
+    scf = [0] * 32
+    scf[3], scf[10] = 0, 6  # sf = 2.0 and 2·2⁻² = 0.5
+    blob = build_mp3_layer1(
+        alloc=alloc, scf_idx=scf,
+        codes=lambda t, sb: (t + sb) % (1 << (alloc[sb] + 1)),
+        n_frames=2,
+    )
+    rows = decode_mp3_layer1_subbands(blob)
+    assert [(r["frame"], r["subband"]) for r in rows] == [
+        (0, 3), (0, 10), (1, 3), (1, 10),
+    ]
+    r0 = rows[0]
+    assert r0["nbits"] == 2 and r0["scf_idx"] == 0
+    # replicate the spec arithmetic independently
+    import math
+
+    def ref_rms(sb, nb, sfk):
+        vals = []
+        for t in range(12):
+            code = (t + sb) % (1 << nb)
+            s3 = code / 2.0 ** (nb - 1) - 1 + 2.0 ** (-(nb - 1))
+            s2 = (2.0**nb / (2.0**nb - 1)) * s3
+            vals.append(2.0 * 2.0 ** (-sfk) * s2)
+        return round(math.sqrt(sum(v * v for v in vals) / 12.0), 6)
+
+    assert r0["rms"] == ref_rms(3, 2, 0)
+    assert rows[1]["rms"] == ref_rms(10, 4, 2)
+
+    # the mid-tread code 2^(nb−1) dequantizes to the constant
+    # +2^(−nb+1)·2^nb/(2^nb−1) offset (Layer I has no exact zero
+    # level) — scaled by sf it is the closed form below
+    quiet = decode_mp3_layer1_subbands(
+        build_mp3_layer1(alloc=alloc, scf_idx=scf, codes=lambda t, sb: 1 << alloc[sb])
+    )
+    for r in quiet:
+        nb, sfk = r["nbits"], r["scf_idx"] // 3
+        want = 2.0 * 2.0 ** (-sfk) * (2.0**nb / (2.0**nb - 1)) * 2.0 ** (
+            -(nb - 1)
+        )
+        assert r["rms"] == round(want, 6), r
+
+    # honest gates
+    with _pytest.raises(ValueError, match="forbidden"):
+        bad = bytearray(blob)
+        bad[4] = 0xFF  # first two allocation codes → 15
+        decode_mp3_layer1_subbands(bytes(bad))
+    from ccgp_data_wrangling_spark.operators.media_codecs import build_mp3
+
+    with _pytest.raises(NotImplementedError, match="Layer I only"):
+        decode_mp3_layer1_subbands(build_mp3(n_frames=1))  # layer III
+    stereo = bytearray(blob)
+    stereo[3] &= 0b00111111  # channel mode 00 = stereo
+    with _pytest.raises(NotImplementedError, match="stereo"):
+        decode_mp3_layer1_subbands(bytes(stereo))
+    with _pytest.raises(ValueError, match="payload needs"):
+        build_mp3_layer1(
+            alloc=[14] * 32, scf_idx=[0] * 32, codes=lambda t, sb: 0,
+            bitrate_kbps=32,
+        )
+
+
 def test_id3v2_text_frames_roundtrip():
     """ID3v2.3 text frames: all three encodings round-trip, non-text
     frames skipped, padding terminates, the MP3 frame walk still
