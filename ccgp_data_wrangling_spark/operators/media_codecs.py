@@ -2023,7 +2023,13 @@ def build_mp4(
     track_chunk_spans: list[list[tuple[int, int]]] = []  # (rel_off, len)
     for t in tracks:
         spans: list[tuple[int, int]] = []
-        sizes = t.get("sample_sizes")
+        payloads = t.get("sample_payloads")
+        sizes = t.get("sample_sizes") or (
+            [len(p) for p in payloads] if payloads else None
+        )
+        if payloads and t.get("sample_sizes"):
+            if [len(p) for p in payloads] != list(t["sample_sizes"]):
+                raise ValueError("sample_payloads disagree with sample_sizes")
         if sizes:
             n = len(sizes)
             chunks = t.get("chunks") or [1] * n
@@ -2033,7 +2039,11 @@ def build_mp4(
             for spc in chunks:
                 rel = len(mdat_body)
                 for _ in range(spc):
-                    mdat_body += _mp4_sample_payload(s, sizes[s - 1])
+                    mdat_body += (
+                        payloads[s - 1]
+                        if payloads
+                        else _mp4_sample_payload(s, sizes[s - 1])
+                    )
                     s += 1
                 spans.append((rel, len(mdat_body) - rel))
         track_chunk_spans.append(spans)
@@ -2054,7 +2064,11 @@ def build_mp4(
                 + b"\x00" * 8
             )
             stbl_body = full(b"stsd", 0, (1).to_bytes(4, "big") + entry)
-            sizes = t.get("sample_sizes")
+            sizes = t.get("sample_sizes") or (
+                [len(p) for p in t["sample_payloads"]]
+                if t.get("sample_payloads")
+                else None
+            )
             if sizes:
                 n = len(sizes)
                 deltas = t.get("sample_deltas") or [
@@ -2110,8 +2124,7 @@ def build_mp4(
                 + t.get("media_timescale", timescale).to_bytes(4, "big")
                 + (
                     sum(t.get("sample_deltas") or [])
-                    or t.get("sample_delta", 100)
-                    * len(t.get("sample_sizes") or [])
+                    or t.get("sample_delta", 100) * len(sizes or [])
                 ).to_bytes(4, "big")
                 + b"\x00" * 4,  # language + pre_defined
             )

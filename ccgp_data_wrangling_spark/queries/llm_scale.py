@@ -3047,6 +3047,131 @@ def image_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Video thumbnailing E2E through the driver gate — the composition
+# the MP4 sample-table layer exists FOR: expand stts/stsz/stco/stss,
+# take only keyframe byte ranges, slice the mdat payload at those
+# offsets, decode the sliced bytes with the REAL netpbm kernel, and
+# fingerprint-grade features come out — no video codec anywhere, and
+# the non-keyframe samples (codec-delta stand-ins) are never even
+# sliced. A wrong stco/stsz expansion feeds garbage to the image
+# decoder and fails loudly; the oracle replays the constructed flat
+# images' luma closed-form.
+# ---------------------------------------------------------------------------
+
+_VIDEO_THUMB_SQL = """
+WITH g AS (
+  SELECT event_id AS id, (event_id // 20) % 3 + 2 AS nk
+  FROM events WHERE event_id % 20 = 7
+),
+j AS (
+  SELECT id, UNNEST(generate_series(0, nk - 1)) AS kf FROM g
+)
+SELECT id,
+       CAST(2 * kf + 1 AS INT) AS sample,
+       CAST(8 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST((id + 37 * kf) % 200 + 10 AS DOUBLE) AS luma_mean
+FROM j
+"""
+
+
+@register("video_keyframe_thumbnails", _VIDEO_THUMB_SQL)
+def video_keyframe_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe thumbnail extraction end-to-end: build_mp4 fixtures
+    whose keyframe samples are real PGM images (delta samples are
+    opaque filler) → mp4_sample_table → keyframe byte ranges → mdat
+    slice → real netpbm decode → per-keyframe luma. One Arrow stage
+    for synth, one for the expand+slice+decode chain."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _parse_netpbm,
+        build_mp4,
+        mp4_sample_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 7
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                nk = (e // 20) % 3 + 2
+                samples = []
+                for s in range(2 * nk - 1):
+                    if s % 2 == 0:  # keyframe: a real 8×8 flat PGM
+                        j = s // 2
+                        val = (e + 37 * j) % 200 + 10
+                        samples.append(
+                            b"P5\n8 8\n255\n" + bytes([val] * 64)
+                        )
+                    else:  # codec-delta stand-in: opaque filler
+                        samples.append(bytes([s * 3 % 251] * 40))
+                payloads.append(
+                    build_mp4(
+                        duration_ms=100 * (2 * nk - 1),
+                        tracks=[
+                            {
+                                "width": 8,
+                                "height": 8,
+                                "codec": "avc1",
+                                "sample_payloads": samples,
+                                "sample_delta": 100,
+                                "keyframes": [
+                                    2 * j + 1 for j in range(nk)
+                                ],
+                            }
+                        ],
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                data = bytes(blob)
+                for r in mp4_sample_table(data):
+                    if not r["keyframe"]:
+                        continue
+                    sl = data[r["offset"] : r["offset"] + r["size"]]
+                    _, w, h, _, px = _parse_netpbm(sl)
+                    rows.append(
+                        {
+                            "id": rid,
+                            "sample": r["sample"],
+                            "width": w,
+                            "height": h,
+                            "luma_mean": float(
+                                np.mean(px.astype(np.float64))
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "sample", "width", "height", "luma_mean"],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        thumbs,
+        schema=(
+            "id long, sample int, width int, height int, "
+            "luma_mean double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MP3 frame-walk metadata through the driver gate — the audio twin of
 # the MP4 screening stage: duration / bitrate / channel / VBR
 # screening costs a header walk, not a decode. Fixtures are
