@@ -296,6 +296,44 @@ class ParquetTable:
         tgt = self._target_for(keys_df)
         self._swap_in(tgt.join(keys_df.select(*self.keys), self.keys, "left_anti"))
 
+    # -- OPTIMIZE: small-file compaction ------------------------------------
+
+    def data_files(self) -> list[tuple[str, int]]:
+        """(relative path, bytes) of every parquet data file."""
+        out: list[tuple[str, int]] = []
+        for dirpath, _dirs, files in os.walk(self.path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out.append(
+                        (os.path.relpath(p, self.path), os.path.getsize(p))
+                    )
+        return sorted(out)
+
+    def compact(self, *, target_bytes: int = 128 << 20) -> dict:
+        """Rewrite the table into ~``target_bytes`` files (the
+        maintenance op compaction.plan_compaction schedules at scale):
+        every append/upsert leaves task-count-many files, and scans pay
+        a task per file. Data is byte-identical (copy-on-write swap,
+        same atomicity as every merge op); a table already at or below
+        the planned file count is left untouched — rewriting for
+        nothing is pure write amplification."""
+        files = self.data_files()
+        total = sum(sz for _, sz in files)
+        n_out = max(1, -(-total // max(target_bytes, 1)))
+        if len(files) <= n_out:
+            return {
+                "rewritten": False,
+                "n_files_before": len(files),
+                "n_files_after": len(files),
+            }
+        self._swap_in(self.read().repartition(int(n_out)))
+        return {
+            "rewritten": True,
+            "n_files_before": len(files),
+            "n_files_after": len(self.data_files()),
+        }
+
 
 class PartitionedParquetTable(ParquetTable):
     """A hive-partitioned :class:`ParquetTable` whose MERGE ops touch
@@ -469,3 +507,55 @@ class PartitionedParquetTable(ParquetTable):
         for _, aside in moved:
             shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+
+    def compact(self, *, target_bytes: int = 128 << 20) -> dict:
+        """Partition-pruned OPTIMIZE: rewrite ONLY the leaf
+        directories holding more than one file whose combined bytes
+        fit ``target_bytes`` — each touched leaf collapses to a
+        single file through the same two-phase leaf swap every merge
+        uses; untouched leaves (already single-file, or genuinely
+        large) are never read or renamed. Cost follows the
+        small-file footprint, not table size — the property that
+        makes nightly OPTIMIZE affordable at 100 TB."""
+        leaves: dict[tuple, list[int]] = {}
+        for dirpath, _dirs, files in os.walk(self.path):
+            sizes = [
+                os.path.getsize(os.path.join(dirpath, f))
+                for f in files
+                if f.endswith(".parquet")
+            ]
+            if not sizes:
+                continue
+            rel = os.path.relpath(dirpath, self.path)
+            parts = tuple(
+                seg.split("=", 1)[1]
+                for seg in rel.split(os.sep)
+                if "=" in seg
+            )
+            if len(parts) == len(self.partition_cols):
+                leaves[parts] = sizes
+        touched = [
+            t
+            for t, sizes in sorted(leaves.items())
+            if len(sizes) > 1 and sum(sizes) <= target_bytes
+        ]
+        if not touched:
+            return {"rewritten": False, "n_leaves_touched": 0}
+        # leaf-dir string values round-trip through str() in _leaf(),
+        # so string-compare filters address exactly those directories
+        cond = None
+        for t in touched:
+            leaf_eq = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(c).cast("string") == F.lit(v)
+                    for c, v in zip(self.partition_cols, t)
+                ],
+            )
+            cond = leaf_eq if cond is None else (cond | leaf_eq)
+        df = self.read().where(cond).repartition(*[
+            F.col(c) for c in self.partition_cols
+        ])
+        self._touched = touched
+        self._swap_in(df)
+        return {"rewritten": True, "n_leaves_touched": len(touched)}

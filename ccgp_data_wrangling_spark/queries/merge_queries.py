@@ -514,3 +514,38 @@ def pit_scd2_segment_at_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment_at_order"),
         (F.col("o_orderdate") >= t1).alias("after_move"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M9 OPTIMIZE: small-file compaction on the merge-table layer
+# (ParquetTable.compact). The oracle is the IDENTITY on the
+# initialized data — compaction must be byte-for-byte invisible to
+# readers while collapsing the fragmented layout; the file-count
+# drop itself is asserted in tests/test_compact_tables.py.
+# ---------------------------------------------------------------------------
+
+_M9_SQL = """
+SELECT c_custkey AS k, c_name AS name, ROUND(c_acctbal, 2) AS bal
+FROM customer WHERE c_custkey % 4 = 1
+"""
+
+
+@register("m9_compact_identity", _M9_SQL)
+def m9_compact_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment a table across 16 files, OPTIMIZE it to one, read it
+    back — results identical to never having compacted."""
+    cust = load_table(spark, sf_dir, "customer")
+    data = cust.where(F.col("c_custkey") % 4 == 1).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    tmp = tempfile.mkdtemp(prefix="m9_compact_")
+    try:
+        tbl = ParquetTable(spark, f"{tmp}/t", "k")
+        tbl.init(data.repartition(16))
+        stats = tbl.compact(target_bytes=1 << 30)
+        assert stats["rewritten"] and stats["n_files_after"] == 1, stats
+        return tbl.read()
+    finally:
+        _cleanup_at_exit(tmp)
