@@ -31,6 +31,10 @@ import numpy as np
 __all__ = [
     "decode_wav",
     "decode_netpbm",
+    "decode_bmp",
+    "encode_bmp",
+    "decode_tiff",
+    "encode_tiff",
     "resize_netpbm",
     "decode_gif",
     "encode_gif",
@@ -155,6 +159,258 @@ def resize_netpbm(payload: bytes, width: int, height: int) -> bytes:
     out = px[rows][:, cols]
     header = f"{magic}\n{width} {height}\n{maxval}\n".encode("ascii")
     return header + out.astype(">u2" if maxval > 255 else np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows BITMAPINFOHEADER) and baseline TIFF — the two
+# remaining uncompressed image containers crawled corpora actually
+# carry (screenshots, scans, legacy exports). Both are pure layout
+# formats here: BMP rows are bottom-up and 4-byte padded, 8-bit
+# palette or 24-bit BGR; TIFF reuses the IFD machinery the EXIF layer
+# walks (operators/exif.py implements the same ISO 12234-2/TIFF 6.0
+# structure) for uncompressed strip-layout grayscale/RGB. Compressed
+# variants (RLE BMP, LZW/PackBits TIFF) raise honestly.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> dict[str, Any]:
+    """Real BMP decode: BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up
+    (or top-down via negative height) rows, 4-byte row padding, 24-bit
+    BGR and 8-bit palette variants. Compression (RLE/bitfields) and
+    other depths raise."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if comp != 0:
+        raise NotImplementedError(f"BMP compression {comp}")
+    if bpp not in (8, 24):
+        raise NotImplementedError(f"{bpp}-bit BMP")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    need = data_off + row_bytes * h
+    if need > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    raw = np.frombuffer(
+        payload[data_off : data_off + row_bytes * h], np.uint8
+    ).reshape(h, row_bytes)
+    if not top_down:
+        raw = raw[::-1]
+    if bpp == 24:
+        bgr = raw[:, : w * 3].reshape(h, w, 3)
+        px = bgr[:, :, ::-1]  # BGR → RGB
+    else:
+        pal_off = 14 + hdr_size
+        n_colors = int.from_bytes(payload[46:50], "little") or 256
+        pal = np.frombuffer(
+            payload[pal_off : pal_off + 4 * n_colors], np.uint8
+        ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA → RGB
+        idx = raw[:, :w]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        px = pal[idx]
+    means = px.astype(np.float64).mean(axis=(0, 1))
+    return {
+        "kind": "image",
+        "width": w,
+        "height": h,
+        "n_channels": 3,
+        "channel_means": [round(float(m), 4) for m in means],
+        "luma_mean": round(
+            float(means @ np.array([0.299, 0.587, 0.114])), 4
+        ),
+    }
+
+
+def encode_bmp(
+    px: np.ndarray, *, palette: np.ndarray | None = None,
+    top_down: bool = False,
+) -> bytes:
+    """Fixture writer: 24-bit BGR (3-channel input) or 8-bit palette
+    (2-D index input + ``palette`` (n,3) RGB) BMP with correct row
+    padding and direction."""
+    h, w = px.shape[:2]
+    if palette is None:
+        if px.ndim != 3 or px.shape[2] != 3:
+            raise ValueError("24-bit BMP needs (h, w, 3) pixels")
+        bpp, pal_bytes = 24, b""
+        rows = px[:, :, ::-1].astype(np.uint8)  # RGB → BGR
+        row_data = rows.reshape(h, w * 3)
+    else:
+        bpp = 8
+        pal = np.zeros((len(palette), 4), np.uint8)
+        pal[:, :3] = palette[:, ::-1]  # RGB → BGRA order
+        pal_bytes = pal.tobytes()
+        row_data = px.astype(np.uint8)
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    padded = np.zeros((h, row_bytes), np.uint8)
+    padded[:, : w * bpp // 8] = row_data
+    if not top_down:
+        padded = padded[::-1]
+    data_off = 14 + 40 + len(pal_bytes)
+    size = data_off + row_bytes * h
+    out = bytearray()
+    out += b"BM" + size.to_bytes(4, "little") + bytes(4)
+    out += data_off.to_bytes(4, "little")
+    out += (40).to_bytes(4, "little")
+    out += w.to_bytes(4, "little", signed=True)
+    out += ((-h) if top_down else h).to_bytes(4, "little", signed=True)
+    out += (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+    out += bytes(4)  # BI_RGB
+    out += (row_bytes * h).to_bytes(4, "little")
+    out += bytes(8)  # ppm resolutions
+    out += (len(pal_bytes) // 4).to_bytes(4, "little") + bytes(4)
+    out += pal_bytes
+    out += padded.tobytes()
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> dict[str, Any]:
+    """Real baseline-TIFF decode: classic header (II/MM + 42), first
+    IFD via the same structure the EXIF layer walks, uncompressed
+    strip layout, 8-bit grayscale (PhotometricInterpretation 1) or
+    RGB (2). Compression tags other than 1 raise."""
+    from ccgp_data_wrangling_spark.operators.exif import _read_ifd
+
+    order = payload[:2]
+    if order == b"II":
+        bo = "little"
+    elif order == b"MM":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF payload")
+    if int.from_bytes(payload[2:4], bo) != 42:
+        raise ValueError("TIFF magic != 42")
+    ifd = _read_ifd(payload, int.from_bytes(payload[4:8], bo), bo)
+
+    def num(tag: int, default: int | None = None) -> int:
+        if tag not in ifd:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag:#06x}")
+            return default
+        typ, _cnt, raw = ifd[tag]
+        return int.from_bytes(raw[: {3: 2, 4: 4}.get(typ, 2)], bo)
+
+    def nums(tag: int) -> list[int]:
+        typ, cnt, raw = ifd[tag]
+        sz = {3: 2, 4: 4}.get(typ, 2)
+        return [
+            int.from_bytes(raw[i * sz : (i + 1) * sz], bo)
+            for i in range(cnt)
+        ]
+
+    comp = num(0x0103, 1)
+    if comp != 1:
+        raise NotImplementedError(f"TIFF compression {comp}")
+    w, h = num(0x0100), num(0x0101)
+    photo = num(0x0106)
+    spp = num(0x0115, 1)
+    if photo not in (1, 2) or spp not in (1, 3):
+        raise NotImplementedError(
+            f"TIFF photometric {photo} / {spp} samples"
+        )
+    bits = nums(0x0102) if 0x0102 in ifd else [8]
+    if any(b != 8 for b in bits):
+        raise NotImplementedError("non-8-bit TIFF samples")
+    offsets, counts = nums(0x0111), nums(0x0117)
+    raw = b"".join(
+        payload[o : o + c] for o, c in zip(offsets, counts)
+    )
+    if len(raw) != w * h * spp:
+        raise ValueError("TIFF strip bytes disagree with dimensions")
+    px = np.frombuffer(raw, np.uint8).reshape(h, w, spp)
+    means = px.astype(np.float64).mean(axis=(0, 1))
+    return {
+        "kind": "image",
+        "width": w,
+        "height": h,
+        "n_channels": spp,
+        "channel_means": [round(float(m), 4) for m in means],
+        "luma_mean": round(
+            float(
+                means @ np.array([0.299, 0.587, 0.114])
+                if spp == 3
+                else means[0]
+            ),
+            4,
+        ),
+    }
+
+
+def encode_tiff(px: np.ndarray, *, byte_order: str = "II", rows_per_strip: int | None = None) -> bytes:
+    """Fixture writer: baseline uncompressed TIFF (grayscale or RGB,
+    8-bit, multi-strip when ``rows_per_strip`` is set) in either byte
+    order."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, spp = px.shape
+    bo = "little" if byte_order == "II" else "big"
+    rps = rows_per_strip or h
+    strips = [
+        px[r : r + rps].astype(np.uint8).tobytes()
+        for r in range(0, h, rps)
+    ]
+    tags = [
+        (0x0100, 4, [w]),          # ImageWidth
+        (0x0101, 4, [h]),          # ImageLength
+        (0x0102, 3, [8] * spp),    # BitsPerSample
+        (0x0103, 3, [1]),          # Compression: none
+        (0x0106, 3, [1 if spp == 1 else 2]),  # Photometric
+        (0x0115, 3, [spp]),        # SamplesPerPixel
+        (0x0116, 4, [rps]),        # RowsPerStrip
+    ]
+    n_entries = len(tags) + 2  # + StripOffsets + StripByteCounts
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    heap = bytearray()
+    heap_off = ifd_off + ifd_size
+
+    def entry(tag: int, typ: int, vals: list[int]) -> bytes:
+        sz = {3: 2, 4: 4}[typ]
+        raw = b"".join(v.to_bytes(sz, bo) for v in vals)
+        e = tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+        e += len(vals).to_bytes(4, bo)
+        if len(raw) <= 4:
+            return e + raw.ljust(4, b"\x00")
+        off = heap_off + len(heap)
+        heap.extend(raw)
+        return e + off.to_bytes(4, bo)
+
+    # strip data goes after the value heap; compute offsets in two
+    # passes (heap size depends only on the fixed tag list)
+    probe_heap_len = 0
+    for _tag, typ, vals in tags:
+        sz = {3: 2, 4: 4}[typ]
+        if len(vals) * sz > 4:
+            probe_heap_len += len(vals) * sz
+    n_strips = len(strips)
+    for _ in range(2):  # offsets + counts arrays if > 4 bytes
+        if n_strips * 4 > 4:
+            probe_heap_len += n_strips * 4
+    data_start = heap_off + probe_heap_len
+    offs, pos = [], data_start
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    all_tags = sorted(
+        tags + [(0x0111, 4, offs), (0x0117, 4, [len(s) for s in strips])]
+    )
+    body = len(all_tags).to_bytes(2, bo)
+    for tag, typ, vals in all_tags:
+        body += entry(tag, typ, vals)
+    body += (0).to_bytes(4, bo)
+    assert len(body) == ifd_size and len(heap) == probe_heap_len
+    header = byte_order.encode() + (42).to_bytes(2, bo) + ifd_off.to_bytes(4, bo)
+    return header + body + bytes(heap) + b"".join(strips)
 
 
 def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:

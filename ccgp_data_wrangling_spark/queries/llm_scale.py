@@ -3992,3 +3992,188 @@ def embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_stats(emb, "vec_id", "embedding")
+
+
+# ---------------------------------------------------------------------------
+# BMP and baseline-TIFF decode through the driver gate — the two
+# uncompressed image containers (screenshots, scans) completing the
+# format matrix next to netpbm/JPEG/PNG/GIF. Flat fixtures make every
+# channel mean a closed form; variants rotate on event_id // 20
+# (24-bit / palette / top-down BMP; II / MM, gray / RGB, single /
+# multi-strip TIFF) so each layout branch runs inside the gate.
+# ---------------------------------------------------------------------------
+
+_BMP_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k, event_id % 256 AS v
+  FROM events WHERE event_id % 20 = 13
+)
+SELECT id,
+       CAST(8 AS INT) AS width,
+       CAST(6 AS INT) AS height,
+       CASE WHEN k % 3 = 1 THEN
+         ROUND(v * 0.299 + ((2 * v) % 256) * 0.587
+               + ((3 * v) % 256) * 0.114, 4)
+       ELSE
+         ROUND(((id + 0) % 256) * 0.299 + ((id + 17) % 256) * 0.587
+               + ((id + 34) % 256) * 0.114, 4)
+       END AS luma_mean
+FROM g
+"""
+
+
+@register("multimodal_bmp_decode", _BMP_SQL)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP decode end-to-end: encode_bmp fixtures (24-bit BGR
+    bottom-up, 8-bit palette, top-down) → row-padding/direction/
+    palette handling → luma. Two Arrow stages."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 13
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                if k % 3 == 1:  # 8-bit palette
+                    v = e % 256
+                    pal = np.zeros((256, 3), np.uint8)
+                    pal[:, 0] = np.arange(256)
+                    pal[:, 1] = (2 * np.arange(256)) % 256
+                    pal[:, 2] = (3 * np.arange(256)) % 256
+                    idx = np.full((6, 8), v, np.uint8)
+                    payloads.append(encode_bmp(idx, palette=pal))
+                else:
+                    px = np.zeros((6, 8, 3), np.uint8)
+                    for c in range(3):
+                        px[:, :, c] = (e + 17 * c) % 256
+                    payloads.append(
+                        encode_bmp(px, top_down=(k % 3 == 2))
+                    )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                m = decode_bmp(bytes(blob))
+                rows.append(
+                    {
+                        "id": rid,
+                        "width": m["width"],
+                        "height": m["height"],
+                        "luma_mean": m["luma_mean"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "luma_mean"]
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        meta, schema="id long, width int, height int, luma_mean double"
+    )
+
+
+_TIFF_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 19
+)
+SELECT id,
+       CAST(7 AS INT) AS width,
+       CAST(5 AS INT) AS height,
+       CAST(CASE WHEN k % 3 = 0 THEN 1 ELSE 3 END AS INT) AS n_channels,
+       CASE WHEN k % 3 = 0 THEN
+         ROUND(CAST((id + 5) % 256 AS DOUBLE), 4)
+       ELSE
+         ROUND(((id + 0) % 256) * 0.299 + ((id + 29) % 256) * 0.587
+               + ((id + 58) % 256) * 0.114, 4)
+       END AS luma_mean
+FROM g
+"""
+
+
+@register("multimodal_tiff_decode", _TIFF_SQL)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-TIFF decode end-to-end: encode_tiff fixtures
+    (II/MM on k-parity, gray/RGB, multi-strip on k%2) → IFD walk +
+    strip reassembly → luma. Two Arrow stages."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 19
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                order = "II" if k % 2 == 0 else "MM"
+                rps = 2 if k % 2 == 1 else None
+                if k % 3 == 0:
+                    px = np.full((5, 7), (e + 5) % 256, np.uint8)
+                else:
+                    px = np.zeros((5, 7, 3), np.uint8)
+                    for c in range(3):
+                        px[:, :, c] = (e + 29 * c) % 256
+                payloads.append(
+                    encode_tiff(px, byte_order=order, rows_per_strip=rps)
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                m = decode_tiff(bytes(blob))
+                rows.append(
+                    {
+                        "id": rid,
+                        "width": m["width"],
+                        "height": m["height"],
+                        "n_channels": m["n_channels"],
+                        "luma_mean": m["luma_mean"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "n_channels", "luma_mean"],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        meta,
+        schema=(
+            "id long, width int, height int, n_channels int, "
+            "luma_mean double"
+        ),
+    )

@@ -973,6 +973,83 @@ def test_mp4_container_parse_and_honest_gates():
         parse_mp4_meta(blob[:8] + b"\x00\x00\x00\x03bad" + blob[8:])
 
 
+def test_bmp_roundtrip_and_gates():
+    """24-bit + palette BMP, both row directions, honest gates."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    px = (
+        np.indices((5, 7)).sum(0)[..., None] * np.array([10, 20, 30]) % 256
+    ).astype(np.uint8)
+    exp = [round(float(px[..., c].mean()), 4) for c in range(3)]
+    for td in (False, True):
+        m = decode_bmp(encode_bmp(px, top_down=td))
+        assert (m["width"], m["height"]) == (7, 5)
+        assert m["channel_means"] == exp
+    pal = np.array(
+        [[i, 2 * i % 256, 3 * i % 256] for i in range(256)], np.uint8
+    )
+    idx = (np.indices((4, 6)).sum(0) * 9 % 256).astype(np.uint8)
+    mp = decode_bmp(encode_bmp(idx, palette=pal))
+    want = pal[idx].astype(np.float64).mean(axis=(0, 1))
+    assert mp["channel_means"] == [round(float(x), 4) for x in want]
+
+    blob = encode_bmp(px)
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + blob[2:])
+    with _pytest.raises(NotImplementedError, match="compression"):
+        bad = bytearray(blob)
+        bad[30] = 1  # BI_RLE8
+        decode_bmp(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(blob[:-8])
+
+
+def test_tiff_roundtrip_and_gates():
+    """Baseline TIFF: gray + RGB, II + MM, single + multi strip;
+    compressed/unsupported variants raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    g = (np.indices((6, 5)).sum(0) * 13 % 256).astype(np.uint8)
+    for order in ("II", "MM"):
+        for rps in (None, 2):
+            t = decode_tiff(
+                encode_tiff(g, byte_order=order, rows_per_strip=rps)
+            )
+            assert (t["width"], t["height"], t["n_channels"]) == (5, 6, 1)
+            assert t["luma_mean"] == round(float(g.mean()), 4)
+    rgb = (
+        np.indices((5, 7)).sum(0)[..., None] * np.array([10, 20, 30]) % 256
+    ).astype(np.uint8)
+    t = decode_tiff(encode_tiff(rgb, byte_order="MM", rows_per_strip=3))
+    assert t["n_channels"] == 3
+    assert t["channel_means"] == [
+        round(float(rgb[..., c].mean()), 4) for c in range(3)
+    ]
+
+    blob = encode_tiff(g)
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"QQ" + blob[2:])
+    comp = bytearray(blob)
+    i = blob.find((0x0103).to_bytes(2, "little"))
+    comp[i + 8] = 5  # Compression = LZW
+    with _pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(bytes(comp))
+    with _pytest.raises(ValueError, match="strip bytes"):
+        decode_tiff(blob[:-4])
+
+
 def test_mp3_layer1_subband_decode():
     """Layer I dequantization against hand-computed spec formulas;
     multi-frame walk; honest gates for stereo/layer mismatch and the
