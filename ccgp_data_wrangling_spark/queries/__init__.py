@@ -63,6 +63,11 @@ _PRIORITY: list[str] = [
     "compaction_plan_files",
     "triangle_count_linkgraph",
     "bfs_seed_distance",
+    "video_keyframe_thumbnails",
+    "multimodal_mp3_subband_decode",
+    "multimodal_bmp_decode",
+    "multimodal_tiff_decode",
+    "m9_compact_identity",
     "text_quality_stats",
     "lang_id_heuristic",
     "knn_top10_cosine",
