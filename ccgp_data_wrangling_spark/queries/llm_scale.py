@@ -4012,11 +4012,13 @@ SELECT id,
        CAST(8 AS INT) AS width,
        CAST(6 AS INT) AS height,
        CASE WHEN k % 3 = 1 THEN
-         ROUND(v * 0.299 + ((2 * v) % 256) * 0.587
-               + ((3 * v) % 256) * 0.114, 4)
+         ROUND(CAST(v AS DOUBLE) * 0.299
+               + CAST((2 * v) % 256 AS DOUBLE) * 0.587
+               + CAST((3 * v) % 256 AS DOUBLE) * 0.114, 4)
        ELSE
-         ROUND(((id + 0) % 256) * 0.299 + ((id + 17) % 256) * 0.587
-               + ((id + 34) % 256) * 0.114, 4)
+         ROUND(CAST((id + 0) % 256 AS DOUBLE) * 0.299
+               + CAST((id + 17) % 256 AS DOUBLE) * 0.587
+               + CAST((id + 34) % 256 AS DOUBLE) * 0.114, 4)
        END AS luma_mean
 FROM g
 """
@@ -4102,8 +4104,9 @@ SELECT id,
        CASE WHEN k % 3 = 0 THEN
          ROUND(CAST((id + 5) % 256 AS DOUBLE), 4)
        ELSE
-         ROUND(((id + 0) % 256) * 0.299 + ((id + 29) % 256) * 0.587
-               + ((id + 58) % 256) * 0.114, 4)
+         ROUND(CAST((id + 0) % 256 AS DOUBLE) * 0.299
+               + CAST((id + 29) % 256 AS DOUBLE) * 0.587
+               + CAST((id + 58) % 256 AS DOUBLE) * 0.114, 4)
        END AS luma_mean
 FROM g
 """
