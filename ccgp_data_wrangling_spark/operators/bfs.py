@@ -3,6 +3,12 @@ link-distance features (distance-to-seed-set is a classic web spam /
 quality signal: pages far from trusted seeds rank down), reachability
 audits, and blast-radius analysis.
 
+This is the GENERAL operator form of the inline 3-hop frontier loop
+`queries/web_curation.reachability_3hops` has carried since round 2:
+multi-source, directed or undirected, early-stop on an empty
+frontier, configurable horizon — that query's fixed-cap special case
+remains as the static-plan variant.
+
 Synchronous frontier rounds, the CC/PageRank discipline: per round
 ONE join (frontier ⋈ edges) + one min-agg against the known-distance
 state, lineage truncated with localCheckpoint so the plan stays flat.
