@@ -110,3 +110,50 @@ def test_nfc_matches_duckdb_icu(spark):
     for i, s in enumerate(samples):
         want = con.execute("select nfc_normalize(?)", [s]).fetchone()[0]
         assert got[i] == want, (i, s)
+
+
+def test_fix_mojibake_property_idempotent_and_roundtrip():
+    """Property: repair is idempotent on arbitrary text, and exactly
+    inverts a best-fit cp1252 mangle of UTF-8 for any text whose
+    characters survive the mangle representation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=60))
+    def idempotent(s):
+        once = fix_mojibake_str(s)
+        assert fix_mojibake_str(once) == once
+
+    idempotent()
+
+    def bestfit(b: bytes) -> str:
+        out = []
+        for byte in b:
+            try:
+                out.append(bytes([byte]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(byte))
+        return "".join(out)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2122),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def roundtrip(s):
+        mangled = bestfit(s.encode("utf-8"))
+        if mangled == s:  # pure ASCII never mangles
+            return
+        if fix_mojibake_str(s) != s:
+            # s itself is mojibake-shaped (e.g. 'Â\x80'): the 2-pass
+            # repair — which exists to fix double mangles — will
+            # rightly peel one more layer. Mojibake repair is only
+            # well-defined up to "clean" fixpoints.
+            return
+        assert fix_mojibake_str(mangled) == s
+
+    roundtrip()
