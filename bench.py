@@ -152,6 +152,7 @@ HEADLINE = [
     "multimodal_bmp_decode",
     "multimodal_tiff_decode",
     "m9_compact_identity",
+    "image_orientation_dedup",
 ]
 
 

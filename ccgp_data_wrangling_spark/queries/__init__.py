@@ -68,6 +68,7 @@ _PRIORITY: list[str] = [
     "multimodal_bmp_decode",
     "multimodal_tiff_decode",
     "m9_compact_identity",
+    "image_orientation_dedup",
     "text_quality_stats",
     "lang_id_heuristic",
     "knn_top10_cosine",

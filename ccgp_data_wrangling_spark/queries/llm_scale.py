@@ -4180,3 +4180,106 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "luma_mean double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Orientation-normalized pHash dedup — the composition the EXIF layer
+# exists FOR: a rotated re-post fingerprints differently on raw
+# pixels, so orientation must be applied BEFORE pHash. Fixtures store
+# each class's image PRE-rotated (the inverse transform) with the
+# matching EXIF orientation tag in a REAL JPEG; decode → orient-back
+# → pHash groups all four orientations of a class to one fingerprint
+# (verified exactly: the all-ones quantization table keeps the
+# orient-encode-decode-orient chain hash-stable, and the ten classes
+# are pairwise distinct — both pinned in tests). The oracle replays
+# the class arithmetic with two windows.
+# ---------------------------------------------------------------------------
+
+_ORIENT_DEDUP_SQL = """
+WITH g AS (
+  SELECT event_id AS id, (event_id // 20) % 10 AS c
+  FROM events WHERE event_id % 20 = 5
+)
+SELECT id,
+       MIN(id) OVER (PARTITION BY c) AS group_id,
+       CAST(COUNT(*) OVER (PARTITION BY c) AS INT) AS n_in_group
+FROM g
+"""
+
+
+@register("image_orientation_dedup", _ORIENT_DEDUP_SQL)
+def image_orientation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF-aware perceptual dedup end-to-end: real JPEG + APP1
+    fixtures (image pre-rotated by the tag's inverse) → decode →
+    apply_exif_orientation → phash64 → hash groupBy. Without the
+    orientation step, the four rotations of a class would land in
+    four different groups — which is exactly the failure mode this
+    pipeline stage removes."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.exif import (
+        apply_exif_orientation,
+        build_exif_app1,
+        parse_exif,
+        with_exif,
+    )
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _decode_jpeg_pixels,
+        encode_jpeg,
+        phash64,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 5
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    _INV = {1: 1, 3: 3, 6: 8, 8: 6}
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                c = k % 10
+                o = (1, 3, 6, 8)[k % 4]
+                i, j = np.mgrid[0:16, 0:16]
+                base = (
+                    ((i // (1 + c % 4) + j // (1 + c // 4)) % 2) * 200
+                    + 5 * c
+                ).astype(np.uint8)
+                stored = apply_exif_orientation(base, _INV[o])
+                payloads.append(
+                    with_exif(
+                        encode_jpeg(stored),
+                        build_exif_app1(orientation=o),
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                data = bytes(blob)
+                o = parse_exif(data)["orientation"]
+                px = apply_exif_orientation(_decode_jpeg_pixels(data), o)
+                rows.append({"id": rid, "ph": phash64(px)})
+            yield pd.DataFrame(rows, columns=["id", "ph"])
+
+    fps = ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(fingerprint, schema="id long, ph long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ph")
+    return fps.select(
+        "id",
+        F.min("id").over(w).alias("group_id"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_in_group"),
+    )

@@ -96,6 +96,41 @@ def test_orientation_transforms_are_the_spec_table():
     assert apply_exif_orientation(rgb, 6).shape == (3, 2, 3)
 
 
+def test_orientation_normalized_phash_stability():
+    """image_orientation_dedup's oracle needs two invariants: all four
+    stored orientations of a class recover the SAME pHash through the
+    real JPEG chain (the near-lossless all-ones quantization table is
+    load-bearing), and the ten classes stay pairwise distinct. A codec
+    or phash change that breaks either must fail HERE before the
+    driver gate."""
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _decode_jpeg_pixels,
+        encode_jpeg,
+        phash64,
+    )
+
+    inv = {1: 1, 3: 3, 6: 8, 8: 6}
+    class_hash = {}
+    for c in range(10):
+        i, j = np.mgrid[0:16, 0:16]
+        base = (
+            ((i // (1 + c % 4) + j // (1 + c // 4)) % 2) * 200 + 5 * c
+        ).astype(np.uint8)
+        hs = set()
+        for o in (1, 3, 6, 8):
+            stored = apply_exif_orientation(base, inv[o])
+            blob = with_exif(
+                encode_jpeg(stored), build_exif_app1(orientation=o)
+            )
+            px = apply_exif_orientation(
+                _decode_jpeg_pixels(blob), parse_exif(blob)["orientation"]
+            )
+            hs.add(phash64(px))
+        assert len(hs) == 1, f"class {c} not orientation-stable"
+        class_hash[c] = hs.pop()
+    assert len(set(class_hash.values())) == 10
+
+
 def test_orientation_roundtrip_inverse_pairs():
     """Orientations form transform/inverse pairs: applying 6 then 8
     (90 CW then 270 CW) is identity, as is 3 twice, 2 twice, 4
