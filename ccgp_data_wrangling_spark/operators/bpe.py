@@ -239,11 +239,18 @@ def bpe_token_count_expr(
 def bpe_decode_expr(tokens: Column) -> Column:
     """Invert :func:`bpe_encode_expr`: concatenate the token symbols
     and turn each ``</w>`` end-of-word marker back into a space.
-    Lossless up to whitespace normalization (the tokenizer's word
-    split collapses whitespace runs) and marker-byte stripping —
-    ``decode(encode(text)) == single-space-joined words of text``,
-    which is exactly what the round-trip query's oracle states.
-    Pure codegen, like the encoder."""
+
+    Exact contract (what the round-trip oracle states byte-for-byte):
+    ``decode(encode(text))`` equals the single-space join of
+    ``text``'s words after (a) the reserved marker bytes ``\\x1f`` /
+    ``\\x1e`` are stripped (the encoder strips them first), and
+    (b) any LITERAL ``</w>`` spelling inside a word becomes a space —
+    the global replace cannot tell it from the terminal marker, an
+    ambiguity inherent to Sennrich's end-of-word scheme (a learned
+    token merged from the characters ``< / w >`` decodes identically).
+    Cross-boundary false matches cannot occur: ``<`` appears in the
+    marker only at position 0, so no occurrence spans a word/marker
+    seam. Pure codegen, like the encoder."""
     return F.trim(
         F.replace(F.array_join(tokens, ""), F.lit(END_WORD), F.lit(" "))
     )

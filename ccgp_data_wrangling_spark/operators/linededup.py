@@ -16,8 +16,11 @@ are dropped.
 Scale shape: one explode (line rows ∝ corpus tokens / line length),
 ONE window over the line key (hash-partitioned by line — the same
 shuffle a groupBy would cost), one per-doc reassembly aggregate.
-Line text can be md5-keyed to cut shuffle width the way span_dedup
-offers; the reassembly carries (pos, line) pairs only for KEPT
+``hash_keys=True`` partitions that window by ``xxhash64(line)`` (an
+8-byte sort/partition key instead of the full line string — the same
+keying span_dedup's ``hash_spans`` and the incremental
+LineDedupState use, with the same documented ~n²/2⁶⁵ collision
+acceptance); the reassembly carries (pos, line) pairs only for KEPT
 lines.
 """
 
@@ -37,6 +40,7 @@ def dedup_lines_first_wins(
     text_col: str,
     *,
     line_tokens: int = 8,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Rewrite documents with corpus-duplicated lines removed.
 
@@ -47,6 +51,12 @@ def dedup_lines_first_wins(
     the kept lines in document order; a document whose every line is
     owned elsewhere keeps an empty string (dropping the ROW is the
     caller's policy decision, not the operator's).
+
+    ``hash_keys=True`` keys the ownership window by ``xxhash64(line)``
+    instead of the line string — the keying the incremental
+    :class:`~ccgp_data_wrangling_spark.streaming.linededup_stream.LineDedupState`
+    always uses, so chunked-stream ≡ batch stays byte-identical under
+    it. A 64-bit collision would merge unrelated lines (~n²/2⁶⁵).
     """
     toks = corpus_tokens(text_col)
     n_lines = F.ceil(F.size(toks) / F.lit(line_tokens)).cast("int")
@@ -64,7 +74,9 @@ def dedup_lines_first_wins(
             )
         ).alias("pos", "line"),
     )
-    w = Window.partitionBy("line")
+    w = Window.partitionBy(
+        F.xxhash64("line") if hash_keys else F.col("line")
+    )
     kept = (
         exploded.withColumn("__owner", F.min(F.struct("id", "pos")).over(w))
         .where(

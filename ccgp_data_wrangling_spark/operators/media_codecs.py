@@ -48,6 +48,7 @@ __all__ = [
     "real_decode",
     "parse_mp4_meta",
     "build_mp4",
+    "build_fragmented_mp4",
     "parse_mp3_meta",
     "build_mp3",
 ]
@@ -2133,7 +2134,7 @@ def phash_for_payload(payload: bytes, media_type: str) -> int:
 # codec payloads themselves still raise honestly (no decoder here).
 # ---------------------------------------------------------------------------
 
-_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"mvex"}
 
 
 def _mp4_boxes(data: bytes, start: int, end: int):
@@ -2155,23 +2156,64 @@ def _mp4_boxes(data: bytes, start: int, end: int):
         pos += size
 
 
+def _mp4_boxes4(data: bytes, start: int, end: int):
+    """Like :func:`_mp4_boxes` but also yields the BOX start offset —
+    needed by the fragment walk, where ``default-base-is-moof``
+    (§8.8.7) anchors sample byte offsets at the first byte of the
+    enclosing moof box."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"invalid MP4 box size at byte {pos}")
+        yield typ, pos, body, pos + size
+        pos += size
+
+
+# tfhd / trun flag bits and the non-sync sample flag (ISO 14496-12
+# §8.8.7 / §8.8.8 / §8.8.3.1)
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC = 0x000002
+_TFHD_DEFAULT_DURATION = 0x000008
+_TFHD_DEFAULT_SIZE = 0x000010
+_TFHD_DEFAULT_FLAGS = 0x000020
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x020000
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_SAMPLE_FLAGS = 0x000004
+_TRUN_SAMPLE_DURATION = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTS = 0x000800
+_SAMPLE_IS_NON_SYNC = 0x00010000
+
+
 def parse_mp4_meta(payload: bytes) -> dict[str, Any]:
     """REAL ISO-BMFF box walk: ftyp brand, mvhd timescale/duration,
     per-track tkhd dimensions (16.16 fixed point) and stsd codec
-    fourccs. Fragmented files (moof) and encrypted tracks (enc*)
-    raise honestly; so does a missing moov."""
+    fourccs. Fragmented files take their duration from mvex/mehd
+    (§8.8.2) when the mvhd duration is zero, as DASH/CMAF files
+    are; encrypted tracks (enc*) raise honestly; so does a missing
+    moov."""
     top = list(_mp4_boxes(payload, 0, len(payload)))
     if not any(t == b"ftyp" for t, _, _ in top):
         raise ValueError("not an ISO-BMFF payload (no ftyp)")
-    if any(t == b"moof" for t, _, _ in top):
-        raise NotImplementedError("fragmented MP4 (moof)")
+    fragmented = any(t == b"moof" for t, _, _ in top)
 
     brand = ""
     duration_sec = None
+    movie_ts = 0
+    mehd_duration = None
     tracks: list[dict[str, Any]] = []
 
     def walk(data: bytes, start: int, end: int, path: tuple[bytes, ...]):
-        nonlocal brand, duration_sec
+        nonlocal brand, duration_sec, movie_ts, mehd_duration
         for typ, b0, b1 in _mp4_boxes(data, start, end):
             if typ == b"ftyp":
                 brand = data[b0 : b0 + 4].decode("latin-1")
@@ -2183,7 +2225,16 @@ def parse_mp4_meta(payload: bytes) -> dict[str, Any]:
                 else:
                     ts = int.from_bytes(data[b0 + 12 : b0 + 16], "big")
                     dur = int.from_bytes(data[b0 + 16 : b0 + 20], "big")
+                movie_ts = ts
                 duration_sec = round(dur / ts, 4) if ts else None
+            elif typ == b"mehd":
+                version = data[b0]
+                mehd_duration = int.from_bytes(
+                    data[b0 + 4 : b0 + 12]
+                    if version == 1
+                    else data[b0 + 4 : b0 + 8],
+                    "big",
+                )
             elif typ == b"tkhd":
                 version = data[b0]
                 off = b1 - 8  # width/height are the LAST 8 body bytes
@@ -2208,8 +2259,17 @@ def parse_mp4_meta(payload: bytes) -> dict[str, Any]:
                 walk(data, b0, b1, path + (typ,))
 
     walk(payload, 0, len(payload), ())
-    if duration_sec is None:
+    if movie_ts == 0 and duration_sec is None:
         raise ValueError("MP4 missing moov/mvhd")
+    if fragmented and not duration_sec:
+        # DASH/CMAF files carry a zero mvhd duration; the whole-movie
+        # duration lives in mvex/mehd (§8.8.2)
+        if mehd_duration is None:
+            raise NotImplementedError(
+                "fragmented MP4 without mehd (duration would need a "
+                "full fragment walk — use mp4_sample_table)"
+            )
+        duration_sec = round(mehd_duration / movie_ts, 4) if movie_ts else None
     return {
         "kind": "video",
         "brand": brand,
@@ -2249,6 +2309,8 @@ def build_mp4(
     * ``keyframes``: 1-based sync-sample list → stss; ``None``/absent
       means NO stss box, which per §8.6.2 declares every sample a
       sync sample
+    * ``use_co64``: write 64-bit chunk offsets (§8.7.5 co64) instead
+      of stco — what real >4 GiB captures carry
 
     Chunk offsets in stco are ABSOLUTE file offsets, so moov is built
     twice: once with zeroed offsets to fix the layout, then with the
@@ -2367,12 +2429,23 @@ def build_mp4(
                 stbl_body += full(
                     b"stsz", 0, u32s([0, n]) + u32s(list(sizes))
                 )
-                stbl_body += full(
-                    b"stco",
-                    0,
-                    u32s([len(spans)])
-                    + u32s([mdat_body_start + rel for rel, _ in spans]),
-                )
+                if t.get("use_co64"):
+                    stbl_body += full(
+                        b"co64",
+                        0,
+                        u32s([len(spans)])
+                        + b"".join(
+                            (mdat_body_start + rel).to_bytes(8, "big")
+                            for rel, _ in spans
+                        ),
+                    )
+                else:
+                    stbl_body += full(
+                        b"stco",
+                        0,
+                        u32s([len(spans)])
+                        + u32s([mdat_body_start + rel for rel, _ in spans]),
+                    )
             mdhd = full(
                 b"mdhd",
                 0,
@@ -2396,6 +2469,234 @@ def build_mp4(
     if mdat_body:
         out += box(b"mdat", bytes(mdat_body))
     return out
+
+
+def build_fragmented_mp4(
+    *,
+    brand: str = "iso5",
+    timescale: int = 1000,
+    tracks: list[dict[str, Any]],
+    fragments: list[dict[str, Any]],
+) -> bytes:
+    """Fixture writer for DASH/CMAF-style fragmented ISO-BMFF
+    (ISO 14496-12 §8.8): ftyp + moov(mvhd + per-track trak with EMPTY
+    sample tables + mvex(mehd + trex)) followed by one moof+mdat pair
+    per fragment.
+
+    Track dicts: ``track_ID``, ``width``, ``height``, ``codec``,
+    ``media_timescale``, and optional trex defaults
+    ``trex_duration`` / ``trex_size`` / ``trex_flags``.
+
+    Fragment dicts: ``track_ID``, ``samples`` (list of
+    ``{"size", "duration", "sync"}``), plus knobs exercising every
+    default-sample chain the parser supports —
+
+    * ``size_source`` / ``duration_source``: ``"trun"`` (per-sample
+      fields), ``"tfhd"`` (tfhd default), or ``"trex"`` (fall through
+      to the mvex default; values must equal the trex default)
+    * ``flags_source``: ``"trun"`` per-sample flags, ``"first"``
+      (trun first-sample-flags + tfhd default for the rest — the
+      one-sync-per-segment CMAF layout), ``"tfhd"``, or ``"trex"``
+    * ``explicit_base``: True writes a 64-bit tfhd base-data-offset
+      (absolute file offset of this fragment's mdat body); False uses
+      the ``default-base-is-moof`` flag with a trun data-offset
+    * ``tfdt``: baseMediaDecodeTime (written as a v1/64-bit tfdt);
+      omit for cursor-accumulated decode times
+
+    Layout is resolved in one pass because every offset field is
+    fixed-width: moofs are built with placeholder offsets to fix
+    sizes, then rebuilt with real positions patched in.
+    """
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+    def full(typ: bytes, version: int, body: bytes, flags: int = 0) -> bytes:
+        return box(
+            typ, bytes([version]) + flags.to_bytes(3, "big") + body
+        )
+
+    def u32s(vals: list[int]) -> bytes:
+        return b"".join(v.to_bytes(4, "big") for v in vals)
+
+    by_id: dict[int, dict[str, Any]] = {}
+    for t in tracks:
+        by_id[t["track_ID"]] = t
+    frag_end: dict[int, int] = {t["track_ID"]: 0 for t in tracks}
+    for f in fragments:
+        frag_end[f["track_ID"]] = frag_end.get(f["track_ID"], 0) + sum(
+            s["duration"] for s in f["samples"]
+        )
+    movie_dur = max(frag_end.values(), default=0)
+
+    mvhd = full(
+        b"mvhd",
+        0,
+        (0).to_bytes(8, "big")
+        + timescale.to_bytes(4, "big")
+        + (0).to_bytes(4, "big")  # zero, as DASH files carry
+        + b"\x00" * 80,
+    )
+    traks = b""
+    trexes = b""
+    for t in tracks:
+        tkhd = full(
+            b"tkhd",
+            0,
+            b"\x00" * 8
+            + t["track_ID"].to_bytes(4, "big")
+            + b"\x00" * 52
+            + (int(t["width"] * 65536)).to_bytes(4, "big")
+            + (int(t["height"] * 65536)).to_bytes(4, "big"),
+        )
+        entry = (
+            (16).to_bytes(4, "big")
+            + t["codec"].encode("latin-1")
+            + b"\x00" * 8
+        )
+        # empty sample tables, as fragmented files carry (§8.8.1)
+        stbl_body = (
+            full(b"stsd", 0, (1).to_bytes(4, "big") + entry)
+            + full(b"stts", 0, u32s([0]))
+            + full(b"stsc", 0, u32s([0]))
+            + full(b"stsz", 0, u32s([0, 0]))
+            + full(b"stco", 0, u32s([0]))
+        )
+        mdhd = full(
+            b"mdhd",
+            0,
+            (0).to_bytes(8, "big")
+            + t.get("media_timescale", timescale).to_bytes(4, "big")
+            + (0).to_bytes(4, "big")
+            + b"\x00" * 4,
+        )
+        minf = box(b"minf", box(b"stbl", stbl_body))
+        traks += box(b"trak", tkhd + box(b"mdia", mdhd + minf))
+        trexes += full(
+            b"trex",
+            0,
+            u32s(
+                [
+                    t["track_ID"],
+                    1,  # default_sample_description_index
+                    t.get("trex_duration", 0),
+                    t.get("trex_size", 0),
+                    t.get("trex_flags", 0),
+                ]
+            ),
+        )
+    mvex = box(
+        b"mvex",
+        full(b"mehd", 0, movie_dur.to_bytes(4, "big")) + trexes,
+    )
+    moov = box(b"moov", mvhd + traks + mvex)
+    ftyp = box(b"ftyp", brand.encode("latin-1") + (0).to_bytes(4, "big"))
+
+    def build_moof(
+        f: dict[str, Any], seq: int, base_off: int, trun_doff: int
+    ) -> bytes:
+        samples = f["samples"]
+        ssrc = f.get("size_source", "trun")
+        dsrc = f.get("duration_source", "trun")
+        fsrc = f.get("flags_source", "trun")
+        t = by_id[f["track_ID"]]
+
+        def flags_of(s: dict[str, Any]) -> int:
+            return 0 if s["sync"] else _SAMPLE_IS_NON_SYNC
+
+        tf_flags = 0
+        tf_body = f["track_ID"].to_bytes(4, "big")
+        if f.get("explicit_base"):
+            tf_flags |= _TFHD_BASE_DATA_OFFSET
+            tf_body += base_off.to_bytes(8, "big")
+        else:
+            tf_flags |= _TFHD_DEFAULT_BASE_IS_MOOF
+        if dsrc == "tfhd":
+            durs = {s["duration"] for s in samples}
+            if len(durs) != 1:
+                raise ValueError("tfhd duration_source needs uniform durations")
+            tf_flags |= _TFHD_DEFAULT_DURATION
+            tf_body += samples[0]["duration"].to_bytes(4, "big")
+        elif dsrc == "trex":
+            if any(
+                s["duration"] != t.get("trex_duration") for s in samples
+            ):
+                raise ValueError("trex duration_source disagrees with trex")
+        if ssrc == "tfhd":
+            szs = {s["size"] for s in samples}
+            if len(szs) != 1:
+                raise ValueError("tfhd size_source needs uniform sizes")
+            tf_flags |= _TFHD_DEFAULT_SIZE
+            tf_body += samples[0]["size"].to_bytes(4, "big")
+        elif ssrc == "trex":
+            if any(s["size"] != t.get("trex_size") for s in samples):
+                raise ValueError("trex size_source disagrees with trex")
+        if fsrc in ("tfhd", "first"):
+            # "first": rest-of-run flags come from the tfhd default
+            rest = samples[1:] if fsrc == "first" else samples
+            fl = {flags_of(s) for s in rest} or {0}
+            if len(fl) != 1:
+                raise ValueError(
+                    f"{fsrc} flags_source needs uniform non-first flags"
+                )
+            tf_flags |= _TFHD_DEFAULT_FLAGS
+            tf_body += fl.pop().to_bytes(4, "big")
+        elif fsrc == "trex":
+            if any(
+                flags_of(s) != t.get("trex_flags") for s in samples
+            ):
+                raise ValueError("trex flags_source disagrees with trex")
+        tfhd = full(b"tfhd", 0, tf_body, tf_flags)
+
+        traf_body = tfhd
+        if f.get("tfdt") is not None:
+            traf_body += full(
+                b"tfdt", 1, f["tfdt"].to_bytes(8, "big")
+            )
+
+        tr_flags = 0
+        tr_body = len(samples).to_bytes(4, "big")
+        if not f.get("explicit_base"):
+            tr_flags |= _TRUN_DATA_OFFSET
+            tr_body += trun_doff.to_bytes(4, "big", signed=True)
+        if fsrc == "first":
+            tr_flags |= _TRUN_FIRST_SAMPLE_FLAGS
+            tr_body += flags_of(samples[0]).to_bytes(4, "big")
+        if dsrc == "trun":
+            tr_flags |= _TRUN_SAMPLE_DURATION
+        if ssrc == "trun":
+            tr_flags |= _TRUN_SAMPLE_SIZE
+        if fsrc == "trun":
+            tr_flags |= _TRUN_SAMPLE_FLAGS
+        for s in samples:
+            if dsrc == "trun":
+                tr_body += s["duration"].to_bytes(4, "big")
+            if ssrc == "trun":
+                tr_body += s["size"].to_bytes(4, "big")
+            if fsrc == "trun":
+                tr_body += flags_of(s).to_bytes(4, "big")
+        traf_body += full(b"trun", 0, tr_body, tr_flags)
+        mfhd = full(b"mfhd", 0, seq.to_bytes(4, "big"))
+        return box(b"moof", mfhd + box(b"traf", traf_body))
+
+    out = bytearray(ftyp + moov)
+    for seq, f in enumerate(fragments, start=1):
+        probe = build_moof(f, seq, 0, 0)
+        moof_start = len(out)
+        mdat_body_start = moof_start + len(probe) + 8
+        moof = build_moof(
+            f,
+            seq,
+            mdat_body_start,  # explicit base → mdat body directly
+            len(probe) + 8,  # moof-relative trun data offset
+        )
+        assert len(moof) == len(probe)
+        body = b"".join(
+            _mp4_sample_payload(i + 1, s["size"])
+            for i, s in enumerate(f["samples"])
+        )
+        out += moof + box(b"mdat", body)
+    return bytes(out)
 
 
 def mp4_sample_table(payload: bytes) -> list[dict[str, Any]]:
@@ -2429,6 +2730,9 @@ def mp4_sample_table(payload: bytes) -> list[dict[str, Any]]:
     if moov is None:
         raise ValueError("MP4 missing moov")
     rows: list[dict[str, Any]] = []
+    # per-track metadata the fragment walk needs: track_ID → (0-based
+    # index, media timescale, moov-sample count, dts end-of-moov)
+    track_meta: list[dict[str, Any]] = []
     track_idx = -1
     for typ, t0, t1 in _mp4_boxes(payload, *moov):
         if typ != b"trak":
@@ -2437,12 +2741,26 @@ def mp4_sample_table(payload: bytes) -> list[dict[str, Any]]:
         mdia = find(payload, t0, t1, b"mdia")
         if mdia is None:
             continue
+        tkhd = find(payload, t0, t1, b"tkhd")
+        track_id = 0
+        if tkhd is not None:
+            tv = payload[tkhd[0]]
+            id_off = tkhd[0] + (20 if tv == 1 else 12)
+            track_id = int.from_bytes(payload[id_off : id_off + 4], "big")
         mdhd = find(payload, *mdia, b"mdhd")
         if mdhd is None:
             raise ValueError("track missing mdhd (no media timescale)")
         version = payload[mdhd[0]]
         ts_off = mdhd[0] + 4 + (16 if version == 1 else 8)
         media_ts = int.from_bytes(payload[ts_off : ts_off + 4], "big")
+        meta = {
+            "index": track_idx,
+            "track_id": track_id,
+            "media_ts": media_ts,
+            "n_samples": 0,
+            "dts_end": 0,
+        }
+        track_meta.append(meta)
         minf = find(payload, *mdia, b"minf")
         stbl = find(payload, *minf, b"stbl") if minf else None
         if stbl is None:
@@ -2452,13 +2770,13 @@ def mp4_sample_table(payload: bytes) -> list[dict[str, Any]]:
         }
         if b"stsz" not in boxes:
             continue  # metadata-only track (no sample layout)
-        for required in (b"stts", b"stsc", b"stco"):
+        for required in (b"stts", b"stsc"):
             if required not in boxes:
                 raise ValueError(
                     f"stsz without {required.decode()} in track"
                 )
-        if b"co64" in boxes:
-            raise NotImplementedError("64-bit chunk offsets (co64)")
+        if b"stco" not in boxes and b"co64" not in boxes:
+            raise ValueError("stsz without stco/co64 in track")
 
         def u32(off: int) -> int:
             return int.from_bytes(payload[off : off + 4], "big")
@@ -2485,6 +2803,8 @@ def mp4_sample_table(payload: bytes) -> list[dict[str, Any]]:
             raise ValueError(
                 f"stts covers {len(dts)} samples, stsz says {n}"
             )
+        meta["n_samples"] = n
+        meta["dts_end"] = t_acc
 
         # stss → sync set (absent = all sync, §8.6.2)
         if b"stss" in boxes:
@@ -2495,10 +2815,19 @@ def mp4_sample_table(payload: bytes) -> list[dict[str, Any]]:
         else:
             sync = None
 
-        # stco chunk offsets + stsc expansion → per-sample offsets
-        b0 = boxes[b"stco"][0] + 4
-        nchunks = u32(b0)
-        chunk_offs = [u32(b0 + 4 + 4 * i) for i in range(nchunks)]
+        # stco/co64 chunk offsets + stsc expansion → per-sample offsets
+        # (co64 carries 64-bit offsets for >4 GiB files, §8.7.5)
+        if b"co64" in boxes:
+            b0 = boxes[b"co64"][0] + 4
+            nchunks = u32(b0)
+            chunk_offs = [
+                int.from_bytes(payload[b0 + 4 + 8 * i : b0 + 12 + 8 * i], "big")
+                for i in range(nchunks)
+            ]
+        else:
+            b0 = boxes[b"stco"][0] + 4
+            nchunks = u32(b0)
+            chunk_offs = [u32(b0 + 4 + 4 * i) for i in range(nchunks)]
         b0 = boxes[b"stsc"][0] + 4
         nent = u32(b0)
         entries = [
@@ -2547,6 +2876,217 @@ def mp4_sample_table(payload: bytes) -> list[dict[str, Any]]:
                 )
                 rel += sizes[s]
                 s += 1
+    if any(t == b"moof" for t, _, _ in top):
+        rows += _mp4_fragment_rows(payload, moov, track_meta)
+    return rows
+
+
+def _mp4_fragment_rows(
+    payload: bytes, moov: tuple[int, int], track_meta: list[dict[str, Any]]
+) -> list[dict[str, Any]]:
+    """Expand movie-fragment sample tables (ISO 14496-12 §8.8) into
+    the same per-sample rows the monolithic walk emits — the missing
+    piece for real web video, which is overwhelmingly DASH/CMAF
+    fragmented (empty moov sample tables, one moof+mdat per segment).
+
+    Per traf: tfhd supplies the track and the default-sample chain
+    (explicit ``base-data-offset``, or ``default-base-is-moof``
+    anchoring at the moof's first byte — the CMAF profile — or the
+    spec's first-traf default of the moof start); tfdt (§8.8.12)
+    restates the decode time; trun rows carry per-sample
+    size/duration/flags or fall back tfhd → trex (§8.8.3). Keyframes
+    come from the ``sample_is_non_sync_sample`` flag bit, with
+    ``first-sample-flags`` handling the common one-sync-per-segment
+    layout. Sample numbering and the ``chunk`` column continue the
+    monolithic scheme: samples number on from the moov count per
+    track, chunk = mfhd sequence number. Byte ranges are verified to
+    land inside a top-level mdat; ``mdat_offset`` is relative to the
+    CONTAINING mdat's body (per-fragment closed form, what the
+    oracle replays). Implicit base-offset chaining for a SECOND traf
+    in one moof raises honestly."""
+    by_id = {m["track_id"]: m for m in track_meta}
+    # trex defaults (§8.8.3): track_ID → (duration, size, flags)
+    trex_by_id: dict[int, tuple[int, int, int]] = {}
+    for t, t0, t1 in _mp4_boxes(payload, *moov):
+        if t != b"mvex":
+            continue
+        for bt, b0, b1 in _mp4_boxes(payload, t0, t1):
+            if bt == b"trex":
+                tid = int.from_bytes(payload[b0 + 4 : b0 + 8], "big")
+                trex_by_id[tid] = (
+                    int.from_bytes(payload[b0 + 12 : b0 + 16], "big"),
+                    int.from_bytes(payload[b0 + 16 : b0 + 20], "big"),
+                    int.from_bytes(payload[b0 + 20 : b0 + 24], "big"),
+                )
+    mdats: list[tuple[int, int]] = []
+    moofs: list[tuple[int, int, int]] = []  # (box_start, body0, body1)
+    for t, bs, b0, b1 in _mp4_boxes4(payload, 0, len(payload)):
+        if t == b"mdat":
+            mdats.append((b0, b1))
+        elif t == b"moof":
+            moofs.append((bs, b0, b1))
+
+    def u32(off: int) -> int:
+        return int.from_bytes(payload[off : off + 4], "big")
+
+    # per-track running sample number and dts cursor, continuing on
+    # from the moov tables
+    next_sample = {m["track_id"]: m["n_samples"] for m in track_meta}
+    dts_cursor = {m["track_id"]: m["dts_end"] for m in track_meta}
+    rows: list[dict[str, Any]] = []
+    for moof_start, m0, m1 in moofs:
+        seq = None
+        traf_no = 0
+        for bt, b0, b1 in _mp4_boxes(payload, m0, m1):
+            if bt == b"mfhd":
+                seq = u32(b0 + 4)
+                continue
+            if bt != b"traf":
+                continue
+            traf_no += 1
+            tfhd = tfdt = None
+            truns: list[tuple[int, int]] = []
+            for ct, c0, c1 in _mp4_boxes(payload, b0, b1):
+                if ct == b"tfhd":
+                    tfhd = (c0, c1)
+                elif ct == b"tfdt":
+                    tfdt = (c0, c1)
+                elif ct == b"trun":
+                    truns.append((c0, c1))
+            if tfhd is None:
+                raise ValueError("traf missing tfhd")
+            h0 = tfhd[0]
+            tf_flags = int.from_bytes(payload[h0 + 1 : h0 + 4], "big")
+            track_id = u32(h0 + 4)
+            if track_id not in by_id:
+                raise ValueError(
+                    f"traf references unknown track_ID {track_id}"
+                )
+            meta = by_id[track_id]
+            pos = h0 + 8
+            base_data_offset = None
+            if tf_flags & _TFHD_BASE_DATA_OFFSET:
+                base_data_offset = int.from_bytes(
+                    payload[pos : pos + 8], "big"
+                )
+                pos += 8
+            if tf_flags & _TFHD_SAMPLE_DESC:
+                pos += 4
+            d_dur = d_size = d_flags = None
+            if tf_flags & _TFHD_DEFAULT_DURATION:
+                d_dur = u32(pos)
+                pos += 4
+            if tf_flags & _TFHD_DEFAULT_SIZE:
+                d_size = u32(pos)
+                pos += 4
+            if tf_flags & _TFHD_DEFAULT_FLAGS:
+                d_flags = u32(pos)
+                pos += 4
+            trex = trex_by_id.get(track_id)
+            if d_dur is None and trex:
+                d_dur = trex[0]
+            if d_size is None and trex:
+                d_size = trex[1]
+            if d_flags is None and trex:
+                d_flags = trex[2]
+            if base_data_offset is None:
+                if tf_flags & _TFHD_DEFAULT_BASE_IS_MOOF:
+                    base_data_offset = moof_start
+                elif traf_no == 1:
+                    # §8.8.7: first traf defaults to the moof start
+                    base_data_offset = moof_start
+                else:
+                    raise NotImplementedError(
+                        "implicit base-data-offset chaining across "
+                        "trafs (second traf without base-data-offset "
+                        "or default-base-is-moof)"
+                    )
+            if tfdt is not None:
+                tv = payload[tfdt[0]]
+                dts_cursor[track_id] = int.from_bytes(
+                    payload[tfdt[0] + 4 : tfdt[0] + 12]
+                    if tv == 1
+                    else payload[tfdt[0] + 4 : tfdt[0] + 8],
+                    "big",
+                )
+            cur = None  # data cursor: continues across truns (§8.8.8)
+            for r0, r1 in truns:
+                tr_flags = int.from_bytes(payload[r0 + 1 : r0 + 4], "big")
+                version = payload[r0]
+                count = u32(r0 + 4)
+                pos = r0 + 8
+                if tr_flags & _TRUN_DATA_OFFSET:
+                    doff = int.from_bytes(
+                        payload[pos : pos + 4], "big", signed=True
+                    )
+                    cur = base_data_offset + doff
+                    pos += 4
+                elif cur is None:
+                    cur = base_data_offset
+                first_flags = None
+                if tr_flags & _TRUN_FIRST_SAMPLE_FLAGS:
+                    first_flags = u32(pos)
+                    pos += 4
+                for i in range(count):
+                    dur = size = flags = None
+                    if tr_flags & _TRUN_SAMPLE_DURATION:
+                        dur = u32(pos)
+                        pos += 4
+                    if tr_flags & _TRUN_SAMPLE_SIZE:
+                        size = u32(pos)
+                        pos += 4
+                    if tr_flags & _TRUN_SAMPLE_FLAGS:
+                        flags = u32(pos)
+                        pos += 4
+                    if tr_flags & _TRUN_SAMPLE_CTS:
+                        pos += 4  # composition offset: not surfaced
+                    if dur is None:
+                        dur = d_dur
+                    if size is None:
+                        size = d_size
+                    if flags is None:
+                        flags = (
+                            first_flags
+                            if (i == 0 and first_flags is not None)
+                            else d_flags
+                        )
+                    if dur is None or size is None:
+                        raise ValueError(
+                            "no sample duration/size in trun, tfhd "
+                            "defaults, or trex"
+                        )
+                    home = next(
+                        (
+                            (s0, s1)
+                            for s0, s1 in mdats
+                            if s0 <= cur and cur + size <= s1
+                        ),
+                        None,
+                    )
+                    if home is None:
+                        raise ValueError(
+                            f"fragment sample byte range [{cur}, "
+                            f"{cur + size}) escapes every mdat"
+                        )
+                    n = next_sample[track_id] = next_sample[track_id] + 1
+                    dts = dts_cursor[track_id]
+                    dts_cursor[track_id] = dts + dur
+                    rows.append(
+                        {
+                            "track": meta["index"],
+                            "sample": n,
+                            "chunk": seq if seq is not None else 0,
+                            "dts": dts,
+                            "time_sec": round(dts / meta["media_ts"], 4),
+                            "offset": cur,
+                            "mdat_offset": cur - home[0],
+                            "size": size,
+                            "keyframe": not (
+                                (flags or 0) & _SAMPLE_IS_NON_SYNC
+                            ),
+                        }
+                    )
+                    cur += size
     return rows
 
 

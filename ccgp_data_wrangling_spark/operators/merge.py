@@ -28,9 +28,12 @@ commit protocol (kept out of scope, as in vanilla-parquet Spark).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 from functools import reduce
+
+_ASIDE_RE = re.compile(r"\.old-[0-9a-f]{32}$")
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -426,10 +429,68 @@ class PartitionedParquetTable(ParquetTable):
                 cond = cond | conj
         return self.read().where(cond)
 
-    def _leaf(self, t: tuple) -> str:
-        return os.path.join(
-            *[f"{c}={v}" for c, v in zip(self.partition_cols, t)]
-        )
+    _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+    @staticmethod
+    def _unescape_partition_value(name: str) -> str | None:
+        """Invert Spark/Hive ``escapePathName`` (%XX hex escapes).
+
+        Spark percent-escapes characters that are unsafe in directory
+        names (``:``, ``=``, ``%``, control chars, ...) when writing
+        hive-style partition paths, and writes NULL partition values as
+        ``__HIVE_DEFAULT_PARTITION__``. Since ``%`` itself is always
+        escaped by the writer, every ``%XX`` in a Spark-written leaf
+        name is an escape; a ``%`` not followed by two hex digits is
+        kept literal for leniency toward hand-made directories.
+        """
+        if name == PartitionedParquetTable._HIVE_NULL:
+            return None
+        out: list[str] = []
+        i, n = 0, len(name)
+        while i < n:
+            c = name[i]
+            if (
+                c == "%"
+                and i + 2 < n + 1
+                and i + 3 <= n
+                and all(ch in "0123456789abcdefABCDEF" for ch in name[i + 1 : i + 3])
+            ):
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+            else:
+                out.append(c)
+                i += 1
+        return "".join(out)
+
+    def _canon(self, t: tuple) -> tuple:
+        """Canonical string form of a partition tuple (None for null) —
+        the meeting point between in-memory values and unescaped
+        directory names."""
+        return tuple(None if v is None else str(v) for v in t)
+
+    def _leaf_dirs(self, root: str) -> dict[tuple, str]:
+        """Map canonical partition tuple → leaf dir path relative to
+        ``root``, by walking the actual directories and UNESCAPING
+        their names — never by re-deriving an escaped name from a
+        value, so the mapping is correct whatever escape set the
+        writer used."""
+        depth = len(self.partition_cols)
+        out: dict[tuple, str] = {}
+        for dirpath, _dirs, files in os.walk(root):
+            rel = os.path.relpath(dirpath, root)
+            if rel == ".":
+                continue
+            segs = rel.split(os.sep)
+            if len(segs) != depth or not all("=" in s for s in segs):
+                continue
+            if any(_ASIDE_RE.search(s) for s in segs):
+                continue  # stranded .old-<hex> aside from a crashed swap
+            vals = tuple(
+                self._unescape_partition_value(s.split("=", 1)[1])
+                for s in segs
+            )
+            out[vals] = rel
+        return out
 
     def _swap_in(self, df: DataFrame) -> None:
         """Swap only the touched partition leaf directories (two-phase).
@@ -470,25 +531,51 @@ class PartitionedParquetTable(ParquetTable):
                 raise
             shutil.rmtree(old)
             return
+        # Leaf directories are matched by UNESCAPED canonical tuple, on
+        # both the live and the fresh side — never by reconstructing an
+        # escaped directory name from a value — so partition values that
+        # Spark %-escapes (space, colon, '=', ...) and NULLs
+        # (__HIVE_DEFAULT_PARTITION__) swap correctly.
+        canon = [self._canon(t) for t in touched]
+        live_map = self._leaf_dirs(self.path)
+        fresh_map = self._leaf_dirs(tmp)
+        require_fresh = getattr(self, "_require_fresh", False)
+        self._require_fresh = False
+        if require_fresh:
+            missing = [ct for ct in canon if ct not in fresh_map]
+            if missing:
+                # refuse BEFORE any rename: a rewrite-in-place op (e.g.
+                # compact) must reproduce every touched leaf — a missing
+                # fresh leaf means the re-select missed rows, and
+                # proceeding would discard the live data.
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise RuntimeError(
+                    "swap refused: no fresh replacement for touched "
+                    f"partition leaves {missing!r}"
+                )
         moved: list[tuple[str, str]] = []  # (live, aside)
         installed: list[tuple[str, str]] = []  # (fresh, live)
         try:
             # phase 1: stage — move all touched live directories aside
-            for t in touched:
-                live = os.path.join(self.path, self._leaf(t))
-                if os.path.exists(live):
-                    aside = f"{live}.old-{uuid.uuid4().hex}"
-                    os.rename(live, aside)
-                    moved.append((live, aside))
-            # phase 2: commit — install every fresh leaf
-            for t in touched:
-                leaf = self._leaf(t)
-                live = os.path.join(self.path, leaf)
-                fresh = os.path.join(tmp, leaf)
-                if os.path.isdir(fresh):
-                    os.makedirs(os.path.dirname(live), exist_ok=True)
-                    os.rename(fresh, live)
-                    installed.append((fresh, live))
+            for ct in canon:
+                rel = live_map.get(ct)
+                if rel is None:
+                    continue
+                live = os.path.join(self.path, rel)
+                aside = f"{live}.old-{uuid.uuid4().hex}"
+                os.rename(live, aside)
+                moved.append((live, aside))
+            # phase 2: commit — install every fresh leaf under the name
+            # the writer gave it (its own escaped form)
+            for ct in canon:
+                rel = fresh_map.get(ct)
+                if rel is None:
+                    continue  # delete emptied this partition — no leaf
+                live = os.path.join(self.path, rel)
+                fresh = os.path.join(tmp, rel)
+                os.makedirs(os.path.dirname(live), exist_ok=True)
+                os.rename(fresh, live)
+                installed.append((fresh, live))
         except BaseException:
             # roll back to the exact pre-merge state: uninstall fresh
             # leaves first (free the live slots), then restore asides
@@ -517,38 +604,40 @@ class PartitionedParquetTable(ParquetTable):
         large) are never read or renamed. Cost follows the
         small-file footprint, not table size — the property that
         makes nightly OPTIMIZE affordable at 100 TB."""
+        # touched tuples come from _leaf_dirs (UNESCAPED dir names, None
+        # for __HIVE_DEFAULT_PARTITION__) — never raw directory strings,
+        # so %-escaped and NULL partition values re-select correctly.
         leaves: dict[tuple, list[int]] = {}
-        for dirpath, _dirs, files in os.walk(self.path):
+        for canon_t, rel in self._leaf_dirs(self.path).items():
+            dirpath = os.path.join(self.path, rel)
             sizes = [
                 os.path.getsize(os.path.join(dirpath, f))
-                for f in files
+                for f in os.listdir(dirpath)
                 if f.endswith(".parquet")
+                and os.path.isfile(os.path.join(dirpath, f))
             ]
-            if not sizes:
-                continue
-            rel = os.path.relpath(dirpath, self.path)
-            parts = tuple(
-                seg.split("=", 1)[1]
-                for seg in rel.split(os.sep)
-                if "=" in seg
-            )
-            if len(parts) == len(self.partition_cols):
-                leaves[parts] = sizes
+            if sizes:
+                leaves[canon_t] = sizes
         touched = [
             t
-            for t, sizes in sorted(leaves.items())
+            for t, sizes in sorted(
+                leaves.items(),
+                key=lambda kv: tuple(
+                    (v is None, v or "") for v in kv[0]
+                ),
+            )
             if len(sizes) > 1 and sum(sizes) <= target_bytes
         ]
         if not touched:
             return {"rewritten": False, "n_leaves_touched": 0}
-        # leaf-dir string values round-trip through str() in _leaf(),
-        # so string-compare filters address exactly those directories
         cond = None
         for t in touched:
             leaf_eq = reduce(
                 lambda a, b: a & b,
                 [
-                    F.col(c).cast("string") == F.lit(v)
+                    F.col(c).isNull()
+                    if v is None
+                    else F.col(c).cast("string") == F.lit(v)
                     for c, v in zip(self.partition_cols, t)
                 ],
             )
@@ -557,5 +646,8 @@ class PartitionedParquetTable(ParquetTable):
             F.col(c) for c in self.partition_cols
         ])
         self._touched = touched
+        # compact never drops rows: every touched leaf MUST reappear in
+        # the tmp write, or the swap refuses rather than discard data.
+        self._require_fresh = True
         self._swap_in(df)
         return {"rewritten": True, "n_leaves_touched": len(touched)}

@@ -51,6 +51,8 @@ def register(name: str, oracle: str | None):
 # row — the stalest-first re-verification cycle the round-5 verdict
 # prescribed (regression freshness, not new coverage).
 _PRIORITY: list[str] = [
+    # r8 additions (first driver rows)
+    "multimodal_mp4_fragmented_keyframes",
     "quality_model_filter",
     "multimodal_mp4_keyframes",
     "image_exif_orientation",

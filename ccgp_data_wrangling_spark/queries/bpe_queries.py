@@ -150,10 +150,16 @@ def bpe_encode_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Encode→decode round trip: the decoder inverts the chained-replace
-# encoder exactly, so the oracle is the IDENTITY on whitespace-
-# normalized text — no BPE machinery on the DuckDB side at all. Any
-# merge that corrupted symbol boundaries (marker handling, </w>
-# placement) breaks the hash.
+# encoder exactly, so the oracle is closed-form — no BPE machinery on
+# the DuckDB side at all. It mirrors the encoder's exact preprocessing
+# (r7 advice): reserved marker bytes \x1f/\x1e are stripped per word
+# (as _word_state does), and a LITERAL '</w>' spelling inside a word
+# decodes to a space (the decoder's global replace cannot distinguish
+# it from the terminal marker — inherent to Sennrich's end-of-word
+# scheme). Cross-boundary matches are impossible ('<' appears in the
+# marker only at position 0), so per-word replace + single-space join
+# is byte-identical to the decoder's concat-then-replace. Any merge
+# that corrupted symbol boundaries still breaks the hash.
 # ---------------------------------------------------------------------------
 
 _ROUNDTRIP_SQL = r"""
@@ -164,7 +170,11 @@ WITH w AS (
   FROM documents
 )
 SELECT doc_id,
-       ARRAY_TO_STRING(ws, ' ') AS text_rt,
+       TRIM(ARRAY_TO_STRING(
+         LIST_TRANSFORM(ws, x -> REPLACE(
+           REPLACE(REPLACE(x, chr(31), ''), chr(30), ''),
+           '</w>', ' ')),
+         ' ')) AS text_rt,
        CAST(LEN(ws) AS INT) AS n_words
 FROM w
 """

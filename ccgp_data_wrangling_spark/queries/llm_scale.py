@@ -2810,9 +2810,10 @@ FROM sz
 def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-table expansion end-to-end: build_mp4 fixtures with real
     stts timing runs, stsc chunking (per-sample / paired / single-
-    chunk, rotating on event_id // 20), stsz size tables, stco
-    offsets into a real mdat, and stss on even k (odd k omits the box
-    → all samples sync, spec §8.6.2) → mp4_sample_table → one row per
+    chunk, rotating on event_id // 20), stsz size tables, chunk
+    offsets into a real mdat (32-bit stco on odd ids, 64-bit co64 on
+    even — §8.7.5), and stss on even k (odd k omits the box → all
+    samples sync, spec §8.6.2) → mp4_sample_table → one row per
     sample with time, mdat-relative byte range, and keyframe flag.
     Two Arrow stages like every media gate; nothing decodes."""
     from collections.abc import Iterator
@@ -2863,6 +2864,10 @@ def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "sample_delta": ts // 10,
                                 "chunks": chunks,
                                 "keyframes": keyframes,
+                                # 64-bit co64 offsets on even ids — the
+                                # oracle is layout-independent, so both
+                                # chunk-offset encodings must agree
+                                "use_co64": e % 2 == 0,
                             }
                         ],
                     )
@@ -2899,6 +2904,184 @@ def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "id long, sample int, time_sec double, mdat_offset long, "
             "size int, keyframe boolean"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fragmented MP4 (DASH/CMAF) sample tables through the driver gate —
+# real web video is overwhelmingly moof/traf-fragmented, so the
+# keyframe-byte-range screening layer must read movie fragments, not
+# just monolithic moov tables (ISO 14496-12 §8.8). Fixtures rotate
+# every default-sample chain the spec offers (trun per-sample fields,
+# tfhd defaults + first-sample-flags, trex fallback) and both base
+# modes (explicit base-data-offset, default-base-is-moof). All of it
+# is event_id arithmetic, so the oracle replays the construction with
+# generate_series + a per-fragment window prefix-sum and no parser.
+# ---------------------------------------------------------------------------
+
+_MP4_FRAGMENTED_SQL = """
+WITH g AS (
+  SELECT event_id AS id,
+         event_id // 20 AS k,
+         2 + event_id % 3 AS m,
+         2 + (event_id // 20) % 2 AS nf
+  FROM events WHERE event_id % 20 = 12
+),
+s AS (
+  SELECT id, k, m, UNNEST(generate_series(1, nf * m)) AS sample FROM g
+),
+e AS (
+  SELECT id, k, m, sample,
+         CAST((sample - 1) // m + 1 AS INT) AS frag,
+         ((sample - 1) % m) + 1 AS sif
+  FROM s
+),
+sz AS (
+  SELECT *,
+         CAST(CASE k % 3
+           WHEN 0 THEN 100 + ((sample * 37 + id) % 50)
+           WHEN 1 THEN 120 + ((frag * 13 + k) % 40)
+           ELSE 80 + (k % 20) END AS INT) AS size
+  FROM e
+)
+SELECT id,
+       CAST(sample AS INT) AS sample,
+       frag,
+       ROUND((sample - 1) / 10.0, 4) AS time_sec,
+       CAST(COALESCE(SUM(size) OVER (
+              PARTITION BY id, frag ORDER BY sample
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS BIGINT) AS mdat_offset,
+       size,
+       (CASE k % 3 WHEN 0 THEN sample % 3 = 1
+                   WHEN 1 THEN sif = 1
+                   ELSE FALSE END) AS keyframe
+FROM sz
+"""
+
+
+@register("multimodal_mp4_fragmented_keyframes", _MP4_FRAGMENTED_SQL)
+def multimodal_mp4_fragmented_keyframes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Movie-fragment expansion end-to-end: build_fragmented_mp4
+    fixtures with 2-3 moof+mdat fragments, 2-4 samples each, rotating
+    the size/duration/flags source on k%3 (trun per-sample → tfhd
+    defaults + first-sample-flags → trex fallback) and the base mode
+    per fragment (default-base-is-moof vs explicit 64-bit
+    base-data-offset) → mp4_sample_table → one row per sample with
+    global numbering, fragment (=mfhd sequence), time, per-fragment
+    mdat-relative byte range, and keyframe flag. Two Arrow stages
+    like every media gate; nothing decodes."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_fragmented_mp4,
+        mp4_sample_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 12
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                m = 2 + e % 3
+                nf = 2 + k % 2
+                mode = k % 3
+                src = ("trun", "tfhd", "trex")[mode]
+                fsrc = ("trun", "first", "trex")[mode]
+                trex_size = 80 + (k % 20)
+                frags = []
+                for f in range(1, nf + 1):
+                    samples = []
+                    for sif in range(1, m + 1):
+                        g = (f - 1) * m + sif
+                        if mode == 0:
+                            size = 100 + ((g * 37 + e) % 50)
+                            sync = g % 3 == 1
+                        elif mode == 1:
+                            size = 120 + ((f * 13 + k) % 40)
+                            sync = sif == 1
+                        else:
+                            size = trex_size
+                            sync = False
+                        samples.append(
+                            {"size": size, "duration": 60, "sync": sync}
+                        )
+                    frags.append(
+                        {
+                            "track_ID": 1,
+                            "samples": samples,
+                            "size_source": src,
+                            "duration_source": src,
+                            "flags_source": fsrc,
+                            "explicit_base": (f + k) % 2 == 0,
+                            "tfdt": (f - 1) * m * 60,
+                        }
+                    )
+                payloads.append(
+                    build_fragmented_mp4(
+                        timescale=600,
+                        tracks=[
+                            {
+                                "track_ID": 1,
+                                "width": 640,
+                                "height": 360,
+                                "codec": "avc1",
+                                "media_timescale": 600,
+                                "trex_duration": 60 if mode == 2 else 0,
+                                "trex_size": trex_size if mode == 2 else 0,
+                                "trex_flags": (
+                                    0x10000 if mode == 2 else 0
+                                ),
+                            }
+                        ],
+                        fragments=frags,
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                for r in mp4_sample_table(bytes(blob)):
+                    rows.append(
+                        {
+                            "id": rid,
+                            "sample": r["sample"],
+                            "frag": r["chunk"],
+                            "time_sec": r["time_sec"],
+                            "mdat_offset": r["mdat_offset"],
+                            "size": r["size"],
+                            "keyframe": r["keyframe"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "sample", "frag", "time_sec", "mdat_offset",
+                    "size", "keyframe",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        expand,
+        schema=(
+            "id long, sample int, frag int, time_sec double, "
+            "mdat_offset long, size int, keyframe boolean"
         ),
     )
 

@@ -86,12 +86,20 @@ def _list_shard_files(spark: SparkSession, path: str) -> list[str]:
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return []
+    # The hidden/metadata filter applies only to components BELOW the
+    # listed base path — a corpus legitimately rooted under e.g.
+    # /root/.cache/data or /data/_staging/corpus must not filter
+    # itself out (r7 advice). The base prefix is taken from the
+    # fully-qualified path so relative inputs resolve consistently.
+    base = fs.makeQualified(jpath).toUri().getPath().rstrip("/")
     out: list[str] = []
     it = fs.listFiles(jpath, True)  # recursive over partition dirs
     while it.hasNext():
         status = it.next()
         p = status.getPath()
-        parts = p.toUri().getPath().split("/")
+        full = p.toUri().getPath()
+        rel = full[len(base):] if full.startswith(base) else full
+        parts = rel.split("/")
         if any(s.startswith(("_", ".")) for s in parts if s):
             continue
         out.append(p.toString())

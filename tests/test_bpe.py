@@ -218,3 +218,41 @@ def test_bpe_delta_equals_full_recount_and_touches_few_words(spark):
     assert n_vocab > 300
     assert affected2 <= 5
     assert (l, r) == ("z", "q") and (l2, r2) == ("zq", "zq")
+
+
+def test_roundtrip_oracle_exact_on_adversarial_text(spark, tmp_path):
+    """The round-trip query and its DuckDB oracle must agree byte-for-
+    byte on text containing reserved marker bytes (\\x1f/\\x1e, which
+    the encoder strips) and the LITERAL '</w>' spelling (which decodes
+    to a space, indistinguishable from the terminal marker) — the r7
+    advice divergence, now mirrored exactly in the oracle SQL."""
+    import duckdb
+
+    from ccgp_data_wrangling_spark.queries.bpe_queries import (
+        _ROUNDTRIP_SQL,
+        bpe_roundtrip_identity,
+    )
+
+    texts = [
+        "plain words here",
+        "mark\x1fer by\x1etes stripped",
+        "lit</w>eral marker and</w> alone </w> end",
+        "\x1f \x1e\x1f empty-after-strip",
+        "a</w  <</w  tail< mixed\x1f</w\x1e>ok",
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    got = bpe_roundtrip_identity(spark, str(sf))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    from tests.oracle import compare
+
+    compare(got, con, _ROUNDTRIP_SQL)
+    con.close()

@@ -88,6 +88,25 @@ def test_jsonl_schema_inference_sees_nested_partition_dirs(
         infer_jsonl_schema(spark, str(tmp_path / "missing"))
 
 
+def test_jsonl_hidden_filter_applies_below_base_only(spark, tmp_path):
+    """A corpus rooted under a dot/underscore-named directory (e.g.
+    ~/.cache/data, /data/_staging/corpus) must list its shards — the
+    hidden/metadata filter applies only to components BELOW the listed
+    base path (r7 advice), while _SUCCESS/dotfiles inside are still
+    skipped."""
+    base = tmp_path / ".cache" / "_staging" / "corpus"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    df.coalesce(1).write.mode("overwrite").json(str(base))
+    # _SUCCESS exists inside; shards must still be found
+    ddl = infer_jsonl_schema(spark, str(base))
+    assert ddl == "id bigint, s string"
+    from ccgp_data_wrangling_spark.sources.jsonl import _list_shard_files
+
+    files = _list_shard_files(spark, str(base))
+    assert files and all("_SUCCESS" not in f for f in files)
+    assert all(".crc" not in f for f in files)
+
+
 def test_orc_partition_pruning_plan(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "A", 10.0), (2, "B", 20.0), (3, "A", 30.0), (4, "C", 5.0)],

@@ -59,3 +59,30 @@ def test_state_is_one_row_per_distinct_line(spark, tmp_path):
     state.fold(df)
     # distinct lines: L1..L5 = 5
     assert state.owners().count() == 5
+
+
+def test_batch_hash_keys_matches_string_keys_and_stream(spark, tmp_path):
+    """hash_keys=True keys the ownership window by xxhash64(line) —
+    the keying LineDedupState always uses — and must produce the same
+    rewrite as full-string keying (collision-free corpus) AND stay
+    byte-identical to the chunked stream."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plain = _by_id(
+        dedup_lines_first_wins(df, "doc_id", "text", line_tokens=8)
+        .collect()
+    )
+    hashed = _by_id(
+        dedup_lines_first_wins(
+            df, "doc_id", "text", line_tokens=8, hash_keys=True
+        ).collect()
+    )
+    assert hashed == plain
+    state = LineDedupState(spark, str(tmp_path / "st4"), line_tokens=8)
+    got = {}
+    for lo, hi in [(1, 3), (4, 5)]:
+        chunk = spark.createDataFrame(
+            [d for d in DOCS if lo <= d[0] <= hi],
+            "doc_id long, text string",
+        )
+        got.update(_by_id(state.fold(chunk).collect()))
+    assert got == hashed

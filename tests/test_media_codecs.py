@@ -964,9 +964,25 @@ def test_mp4_container_parse_and_honest_gates():
 
     with _pytest.raises(ValueError, match="no ftyp"):
         parse_mp4_meta(b"\x00\x00\x00\x10free" + bytes(8) + blob[16:])
+    # moof presence alone no longer gates: a non-zero mvhd duration
+    # stands, and a DASH-style zero duration falls back to mvex/mehd
     frag = blob + (8).to_bytes(4, "big") + b"moof"
-    with _pytest.raises(NotImplementedError, match="fragmented"):
-        parse_mp4_meta(frag)
+    assert parse_mp4_meta(frag)["duration_sec"] == 90.5
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_fragmented_mp4,
+    )
+
+    fblob = build_fragmented_mp4(
+        timescale=1000,
+        tracks=[{"track_ID": 1, "width": 640, "height": 360,
+                 "codec": "avc1", "media_timescale": 1000}],
+        fragments=[{"track_ID": 1, "tfdt": 0,
+                    "samples": [{"size": 40, "duration": 250, "sync": True},
+                                {"size": 40, "duration": 250, "sync": False}]}],
+    )
+    assert parse_mp4_meta(fblob)["duration_sec"] == 0.5  # from mehd
+    with _pytest.raises(NotImplementedError, match="without mehd"):
+        parse_mp4_meta(fblob.replace(b"mehd", b"free"))
     with _pytest.raises(NotImplementedError, match="encrypted"):
         parse_mp4_meta(blob.replace(b"avc1", b"encv"))
     with _pytest.raises(ValueError, match="box size"):
@@ -1392,3 +1408,138 @@ def test_mp3_vbr_xing_and_honest_gates():
     with _pytest.raises(ValueError, match="truncated MP3 frame header"):
         frame_len = len(build_mp3(n_frames=1))
         parse_mp3_meta(whole[: 2 * frame_len + 2])
+
+
+def test_mp4_fragmented_sample_tables_roundtrip():
+    """moof/traf/tfhd/tfdt/trun expansion (§8.8): every default-sample
+    chain (trun per-sample, tfhd default, trex fallback), both base
+    modes (explicit 64-bit base-data-offset, default-base-is-moof +
+    trun data-offset), first-sample-flags, cross-fragment sample
+    numbering and dts accumulation — and the offsets really point at
+    the sample bytes in each fragment's mdat."""
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _mp4_sample_payload,
+        build_fragmented_mp4,
+        mp4_sample_table,
+    )
+
+    frags = [
+        {  # per-sample trun fields, moof-relative base
+            "track_ID": 1, "tfdt": 0, "explicit_base": False,
+            "size_source": "trun", "duration_source": "trun",
+            "flags_source": "trun",
+            "samples": [
+                {"size": 100, "duration": 60, "sync": True},
+                {"size": 110, "duration": 60, "sync": False},
+                {"size": 120, "duration": 90, "sync": False},
+            ],
+        },
+        {  # tfhd defaults + first-sample-flags, explicit base
+            "track_ID": 1, "tfdt": 210, "explicit_base": True,
+            "size_source": "tfhd", "duration_source": "tfhd",
+            "flags_source": "first",
+            "samples": [
+                {"size": 90, "duration": 60, "sync": True},
+                {"size": 90, "duration": 60, "sync": False},
+            ],
+        },
+        {  # everything falls through to trex; no tfdt → dts cursor
+            "track_ID": 1, "explicit_base": False,
+            "size_source": "trex", "duration_source": "trex",
+            "flags_source": "trex",
+            "samples": [
+                {"size": 80, "duration": 50, "sync": False},
+                {"size": 80, "duration": 50, "sync": False},
+            ],
+        },
+    ]
+    blob = build_fragmented_mp4(
+        timescale=600,
+        tracks=[{
+            "track_ID": 1, "width": 320, "height": 240, "codec": "avc1",
+            "media_timescale": 600, "trex_duration": 50,
+            "trex_size": 80, "trex_flags": 0x10000,
+        }],
+        fragments=frags,
+    )
+    rows = mp4_sample_table(blob)
+    assert [r["sample"] for r in rows] == [1, 2, 3, 4, 5, 6, 7]
+    assert [r["chunk"] for r in rows] == [1, 1, 1, 2, 2, 3, 3]
+    assert [r["size"] for r in rows] == [100, 110, 120, 90, 90, 80, 80]
+    # dts: tfdt restates (0, 210), third fragment accumulates the cursor
+    assert [r["dts"] for r in rows] == [0, 60, 120, 210, 270, 330, 380]
+    assert [r["keyframe"] for r in rows] == [
+        True, False, False, True, False, False, False,
+    ]
+    # per-fragment mdat-relative prefix sums
+    assert [r["mdat_offset"] for r in rows] == [0, 100, 210, 0, 90, 0, 80]
+    # absolute offsets select the exact payload bytes (sample payload
+    # indices restart per fragment in the fixture writer)
+    within = [1, 2, 3, 1, 2, 1, 2]
+    for r, wi in zip(rows, within):
+        assert (
+            blob[r["offset"] : r["offset"] + r["size"]]
+            == _mp4_sample_payload(wi, r["size"])
+        )
+
+
+def test_mp4_fragmented_honest_gates():
+    """Unknown track_ID, second-traf implicit base chaining, missing
+    size/duration defaults, and out-of-mdat ranges raise."""
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_fragmented_mp4,
+        mp4_sample_table,
+    )
+
+    blob = build_fragmented_mp4(
+        timescale=1000,
+        tracks=[{"track_ID": 7, "width": 64, "height": 64,
+                 "codec": "avc1", "media_timescale": 1000}],
+        fragments=[{"track_ID": 7, "tfdt": 0,
+                    "samples": [{"size": 40, "duration": 100, "sync": True}]}],
+    )
+    assert len(mp4_sample_table(blob)) == 1
+    # tfhd names a track the moov doesn't declare
+    i = blob.find(b"tfhd")
+    bad = bytearray(blob)
+    bad[i + 8 : i + 12] = (99).to_bytes(4, "big")
+    with _pytest.raises(ValueError, match="unknown track_ID"):
+        mp4_sample_table(bytes(bad))
+    # grow the trun per-sample size past the mdat: byte-range guard
+    # (trun layout here: hdr(8) + vf(4) + count(4) + data_offset(4)
+    # + duration(4) + SIZE(4) + flags(4))
+    j = blob.find(b"trun")
+    bad = bytearray(blob)
+    bad[j + 20 : j + 24] = (1000).to_bytes(4, "big")
+    with _pytest.raises(ValueError, match="escapes every mdat"):
+        mp4_sample_table(bytes(bad))
+
+
+def test_mp4_co64_offsets_roundtrip():
+    """64-bit chunk offsets (co64, §8.7.5) parse identically to stco
+    and byte-verify against mdat."""
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _mp4_sample_payload,
+        build_mp4,
+        mp4_sample_table,
+    )
+
+    blob = build_mp4(
+        duration_ms=300,
+        tracks=[{
+            "width": 64, "height": 48, "codec": "avc1",
+            "media_timescale": 600, "sample_sizes": [50, 60, 70],
+            "sample_delta": 60, "chunks": [2, 1], "keyframes": [1, 3],
+            "use_co64": True,
+        }],
+    )
+    assert b"co64" in blob and b"stco" not in blob
+    rows = mp4_sample_table(blob)
+    assert [r["mdat_offset"] for r in rows] == [0, 50, 110]
+    for r in rows:
+        assert (
+            blob[r["offset"] : r["offset"] + r["size"]]
+            == _mp4_sample_payload(r["sample"], r["size"])
+        )
