@@ -276,10 +276,12 @@ def encode_bmp(
 
 
 def decode_tiff(payload: bytes) -> dict[str, Any]:
-    """Real baseline-TIFF decode: classic header (II/MM + 42), first
-    IFD via the same structure the EXIF layer walks, uncompressed
-    strip layout, 8-bit grayscale (PhotometricInterpretation 1) or
-    RGB (2). Compression tags other than 1 raise."""
+    """Real TIFF decode: classic header (II/MM + 42), first IFD via
+    the same structure the EXIF layer walks, strip layout, 8-bit
+    grayscale (PhotometricInterpretation 1) or RGB (2). Compression
+    1 (none), 5 (LZW, §7, with Predictor 2 horizontal differencing,
+    §14) and 32773 (PackBits, §9) — the layouts scanned-document
+    corpora actually carry; other compressions raise honestly."""
     from ccgp_data_wrangling_spark.operators.exif import _read_ifd
 
     order = payload[:2]
@@ -310,8 +312,11 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
         ]
 
     comp = num(0x0103, 1)
-    if comp != 1:
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF compression {comp}")
+    predictor = num(0x013D, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     w, h = num(0x0100), num(0x0101)
     photo = num(0x0106)
     spp = num(0x0115, 1)
@@ -323,18 +328,29 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
     if any(b != 8 for b in bits):
         raise NotImplementedError("non-8-bit TIFF samples")
     offsets, counts = nums(0x0111), nums(0x0117)
-    raw = b"".join(
-        payload[o : o + c] for o, c in zip(offsets, counts)
-    )
+    strips = [payload[o : o + c] for o, c in zip(offsets, counts)]
+    if any(len(s) != c for s, c in zip(strips, nums(0x0117))):
+        raise ValueError("TIFF strip byte range escapes the file")
+    if comp == 5:
+        strips = [_tiff_lzw_decode(s) for s in strips]
+    elif comp == 32773:
+        strips = [_packbits_decode(s) for s in strips]
+    raw = b"".join(strips)
     if len(raw) != w * h * spp:
         raise ValueError("TIFF strip bytes disagree with dimensions")
     px = np.frombuffer(raw, np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing (§14): each sample stores the delta
+        # from its left neighbor, per channel — undo with a row cumsum
+        px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
     means = px.astype(np.float64).mean(axis=(0, 1))
     return {
         "kind": "image",
         "width": w,
         "height": h,
         "n_channels": spp,
+        "compression": comp,
+        "predictor": predictor,
         "channel_means": [round(float(m), 4) for m in means],
         "luma_mean": round(
             float(
@@ -347,28 +363,51 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
     }
 
 
-def encode_tiff(px: np.ndarray, *, byte_order: str = "II", rows_per_strip: int | None = None) -> bytes:
-    """Fixture writer: baseline uncompressed TIFF (grayscale or RGB,
-    8-bit, multi-strip when ``rows_per_strip`` is set) in either byte
-    order."""
+def encode_tiff(
+    px: np.ndarray,
+    *,
+    byte_order: str = "II",
+    rows_per_strip: int | None = None,
+    compression: str = "none",
+    predictor: int = 1,
+) -> bytes:
+    """Fixture writer: 8-bit grayscale/RGB TIFF (multi-strip when
+    ``rows_per_strip`` is set) in either byte order; ``compression``
+    in {"none", "lzw", "packbits"}, with TIFF Predictor 2
+    (horizontal differencing) available under LZW as real scanner
+    output carries it."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, spp = px.shape
     bo = "little" if byte_order == "II" else "big"
     rps = rows_per_strip or h
+    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 or 2")
+    src = px.astype(np.uint8)
+    if predictor == 2:
+        src = np.diff(
+            src.astype(np.int16), axis=1, prepend=np.zeros((h, 1, spp), np.int16)
+        ).astype(np.uint8)
     strips = [
-        px[r : r + rps].astype(np.uint8).tobytes()
+        src[r : r + rps].tobytes()
         for r in range(0, h, rps)
     ]
+    if comp_tag == 5:
+        strips = [_tiff_lzw_encode(s) for s in strips]
+    elif comp_tag == 32773:
+        strips = [_packbits_encode(s) for s in strips]
     tags = [
         (0x0100, 4, [w]),          # ImageWidth
         (0x0101, 4, [h]),          # ImageLength
         (0x0102, 3, [8] * spp),    # BitsPerSample
-        (0x0103, 3, [1]),          # Compression: none
+        (0x0103, 3, [comp_tag]),   # Compression
         (0x0106, 3, [1 if spp == 1 else 2]),  # Photometric
         (0x0115, 3, [spp]),        # SamplesPerPixel
         (0x0116, 4, [rps]),        # RowsPerStrip
     ]
+    if predictor == 2:
+        tags.append((0x013D, 3, [2]))  # Predictor: horizontal diff
     n_entries = len(tags) + 2  # + StripOffsets + StripByteCounts
     ifd_off = 8
     ifd_size = 2 + 12 * n_entries + 4
@@ -412,6 +451,157 @@ def encode_tiff(px: np.ndarray, *, byte_order: str = "II", rows_per_strip: int |
     assert len(body) == ifd_size and len(heap) == probe_heap_len
     header = byte_order.encode() + (42).to_bytes(2, bo) + ifd_off.to_bytes(4, bo)
     return header + body + bytes(heap) + b"".join(strips)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits (TIFF 6.0 §9, the Macintosh RLE): control byte n —
+    0..127 copies n+1 literals, 129..255 (signed -1..-127) repeats
+    the next byte 1-n times, 128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits fixture encoder: greedy runs (≥3 repeats become a
+    repeat run, else literals, both capped at 128)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # measure the repeat run at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal run: until the next ≥3 repeat or 128 bytes
+        lit = i
+        while i < n and i - lit < 128:
+            j = i + 1
+            while j < n and j - i < 3 and data[j] == data[i]:
+                j += 1
+            if j - i >= 3:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §7): MSB-first variable-width codes
+    starting at 9 bits, ClearCode 256 / EOI 257, and the spec's
+    EARLY CHANGE — the width bumps when the NEXT code to add would be
+    2^w - 1, one code earlier than GIF's LSB-first variant below."""
+    CLEAR, EOI = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    acc = n_bits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        n_bits += 8
+        while n_bits >= width:
+            code = (acc >> (n_bits - width)) & ((1 << width) - 1)
+            n_bits -= width
+            if code == CLEAR:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise ValueError(
+                        "TIFF LZW: non-literal first code after clear"
+                    )
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("TIFF LZW: code beyond table")
+            out += entry
+            prev = entry
+            # early change (§7): the encoder bumps when ITS next free
+            # code hits 2^w - 1; the decoder's table lags the encoder
+            # by exactly one entry at the same stream position, hence
+            # the +1 — so no code value 2^w - 1 is ever read at w bits
+            if len(table) + 1 == (1 << width) - 1 and width < 12:
+                width += 1
+    raise ValueError("TIFF LZW: stream ended without EOI")
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW fixture encoder, the exact inverse of
+    :func:`_tiff_lzw_decode`: MSB-first, early change, Clear emitted
+    at start and whenever the table reaches 4094 entries (§7)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_bits
+        acc = (acc << width) | code
+        n_bits += width
+        while n_bits >= 8:
+            out.append((acc >> (n_bits - 8)) & 0xFF)
+            n_bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    prev = b""
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        # encoder's early change mirrors the decoder: after ADDING
+        # code 2^w - 2, the next emitted code uses w+1 bits
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:
+            emit(table[bytes([b])], width)
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+            prev = b""
+            continue
+        prev = bytes([b])
+    if prev:
+        emit(table[prev], width)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(EOI, width)
+    if n_bits:
+        out.append((acc << (8 - n_bits)) & 0xFF)
+    return bytes(out)
 
 
 def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:

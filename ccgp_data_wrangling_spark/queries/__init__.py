@@ -53,6 +53,7 @@ def register(name: str, oracle: str | None):
 _PRIORITY: list[str] = [
     # r8 additions (first driver rows)
     "multimodal_mp4_fragmented_keyframes",
+    "multimodal_tiff_compressed_decode",
     "quality_model_filter",
     "multimodal_mp4_keyframes",
     "image_exif_orientation",

@@ -4366,6 +4366,128 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Compressed TIFF through the driver gate — scanned-document corpora
+# are heavy with LZW and PackBits strips (TIFF 6.0 §7/§9), often
+# LZW + Predictor 2 (horizontal differencing, §14). Fixtures rotate
+# all three compressions plus the predictor on k%4, gray/RGB on
+# k-parity, over a ramp image whose luma is closed-form (base + 11
+# for an 8x16 ramp) — so the oracle needs no codec at all, and a
+# wrong LZW width change or PackBits run would shift the mean.
+# ---------------------------------------------------------------------------
+
+_TIFF_COMPRESSED_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 10
+)
+SELECT id,
+       CAST(16 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(CASE WHEN k % 2 = 0 THEN 1 ELSE 3 END AS INT) AS n_channels,
+       CAST(CASE k % 4 WHEN 0 THEN 5 WHEN 1 THEN 32773
+                       WHEN 2 THEN 5 ELSE 1 END AS INT) AS compression,
+       CAST(CASE WHEN k % 4 = 2 THEN 2 ELSE 1 END AS INT) AS predictor,
+       CASE WHEN k % 2 = 0 THEN
+         ROUND(CAST(id % 100 AS DOUBLE) + 11.0, 4)
+       ELSE
+         ROUND((CAST(id % 100 AS DOUBLE) + 11) * 0.299
+               + (CAST((id + 31) % 100 AS DOUBLE) + 11) * 0.587
+               + (CAST((id + 62) % 100 AS DOUBLE) + 11) * 0.114, 4)
+       END AS luma_mean
+FROM g
+"""
+
+
+@register("multimodal_tiff_compressed_decode", _TIFF_COMPRESSED_SQL)
+def multimodal_tiff_compressed_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LZW / PackBits / LZW+Predictor-2 TIFF decode end-to-end:
+    encode_tiff fixtures rotating compression on k%4, II/MM byte
+    order and multi-strip layout on k-parity → strip decompress +
+    predictor undo + luma. The compression/predictor columns replay
+    the encoder's own IFD tags, proving which path ran. Two Arrow
+    stages like every media gate."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 10
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ramp = np.add.outer(
+            np.arange(8, dtype=np.uint8), np.arange(16, dtype=np.uint8)
+        )
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                comp = ("lzw", "packbits", "lzw", "none")[k % 4]
+                pred = 2 if k % 4 == 2 else 1
+                if k % 2 == 0:
+                    px = (ramp + e % 100).astype(np.uint8)
+                else:
+                    px = np.zeros((8, 16, 3), np.uint8)
+                    for c in range(3):
+                        px[:, :, c] = ramp + (e + 31 * c) % 100
+                payloads.append(
+                    encode_tiff(
+                        px,
+                        byte_order="II" if k % 2 == 0 else "MM",
+                        rows_per_strip=3 if k % 2 == 1 else None,
+                        compression=comp,
+                        predictor=pred,
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                m = decode_tiff(bytes(blob))
+                rows.append(
+                    {
+                        "id": rid,
+                        "width": m["width"],
+                        "height": m["height"],
+                        "n_channels": m["n_channels"],
+                        "compression": m["compression"],
+                        "predictor": m["predictor"],
+                        "luma_mean": m["luma_mean"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "n_channels",
+                    "compression", "predictor", "luma_mean",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        meta,
+        schema=(
+            "id long, width int, height int, n_channels int, "
+            "compression int, predictor int, luma_mean double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Orientation-normalized pHash dedup — the composition the EXIF layer
 # exists FOR: a rotated re-post fingerprints differently on raw
 # pixels, so orientation must be applied BEFORE pHash. Fixtures store

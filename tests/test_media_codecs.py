@@ -1059,11 +1059,82 @@ def test_tiff_roundtrip_and_gates():
         decode_tiff(b"QQ" + blob[2:])
     comp = bytearray(blob)
     i = blob.find((0x0103).to_bytes(2, "little"))
-    comp[i + 8] = 5  # Compression = LZW
-    with _pytest.raises(NotImplementedError, match="compression 5"):
+    comp[i + 8] = 7  # Compression = new-style JPEG: still gated
+    with _pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(comp))
-    with _pytest.raises(ValueError, match="strip bytes"):
+    with _pytest.raises(ValueError, match="strip byte"):
         decode_tiff(blob[:-4])
+
+
+def test_tiff_lzw_packbits_predictor_roundtrip():
+    """TIFF 6.0 §7 LZW (MSB-first, EARLY width change), §9 PackBits,
+    §14 Predictor 2: every combination decodes to the identical image
+    as the uncompressed baseline, across byte orders and strip
+    layouts; the predictor visibly shrinks LZW output on smooth data;
+    unsupported predictors gate."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _packbits_decode,
+        _packbits_encode,
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    for px in (rgb, gray):
+        ref = decode_tiff(encode_tiff(px))
+        for comp in ("lzw", "packbits"):
+            for pred in (1, 2):
+                for bo, rps in (("II", None), ("MM", 4)):
+                    m = decode_tiff(
+                        encode_tiff(
+                            px, byte_order=bo, rows_per_strip=rps,
+                            compression=comp, predictor=pred,
+                        )
+                    )
+                    assert m["channel_means"] == ref["channel_means"]
+                    assert m["compression"] == (
+                        5 if comp == "lzw" else 32773
+                    )
+                    assert m["predictor"] == pred
+
+    # raw codec properties: stream-level vector (CLEAR, 'A', 'B', EOI
+    # all 9-bit MSB-first), width-boundary + table-full roundtrips
+    enc = _tiff_lzw_encode(b"AB")
+    bits = "".join(f"{x:08b}" for x in enc)
+    assert [int(bits[i : i + 9], 2) for i in range(0, 36, 9)] == [
+        256, 65, 66, 257,
+    ]
+    blob = bytes(rng.integers(0, 256, 20000, dtype=np.uint8))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(blob)) == blob
+    runs = bytes(rng.integers(0, 3, 30000, dtype=np.uint8))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(runs)) == runs
+    assert _packbits_decode(_packbits_encode(blob)) == blob
+    assert _packbits_decode(_packbits_encode(b"\x00" * 1000)) == b"\x00" * 1000
+    # predictor earns its keep on smooth data
+    grad = np.tile(np.arange(256, dtype=np.uint8), (16, 2)).reshape(16, 512)
+    assert len(encode_tiff(grad, compression="lzw", predictor=2)) < len(
+        encode_tiff(grad, compression="lzw")
+    )
+    # honest gates
+    with _pytest.raises(ValueError, match="truncated PackBits"):
+        _packbits_decode(b"\x05ab")
+    with _pytest.raises(ValueError, match="without EOI"):
+        _tiff_lzw_decode(_tiff_lzw_encode(blob)[:-2])
+    pb = encode_tiff(gray, compression="packbits")
+    i = pb.find((0x013D).to_bytes(2, "little"))
+    assert i < 0  # predictor 1 writes no tag
+    lz = bytearray(encode_tiff(gray, compression="lzw", predictor=2))
+    j = lz.find((0x013D).to_bytes(2, "little"))
+    lz[j + 8] = 3  # floating-point predictor: gated
+    with _pytest.raises(NotImplementedError, match="predictor 3"):
+        decode_tiff(bytes(lz))
 
 
 def test_mp3_layer1_subband_decode():
