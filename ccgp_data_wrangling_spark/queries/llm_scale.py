@@ -4047,10 +4047,12 @@ def pdf15_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Encrypted-PDF extraction through the driver gate — the standard
-# security handler (ISO 32000 §7.6.3): cipher variant rotates per doc
-# (RC4-40 / RC4-128 / StdCF-V2 / StdCF-AESV2) so password
-# verification (Algorithm 6), per-object keys (Algorithm 1), RC4 and
-# the from-scratch FIPS-197 AES-CBC all run inside the gate.
+# security handler (ISO 32000-1 §7.6.3 + 32000-2 §7.6.4): cipher
+# variant rotates per doc (RC4-40 / RC4-128 / StdCF-V2 / StdCF-AESV2
+# / AES-256 R6 / AES-256 R5) so password verification (Algorithms 6
+# and 11/12), per-object keys (Algorithm 1), the revision-6 iterated
+# hash (Algorithm 2.B), /Perms validation, RC4 and the from-scratch
+# FIPS-197 AES-128/256 CBC all run inside the gate.
 # Decryption is lossless, so the oracle replays the plaintext
 # construction with no crypto at all — an extractor that decrypted
 # wrongly would inflate garbage and break the hash (AES padding and
@@ -4061,10 +4063,10 @@ _PDF_ENC_SQL = """
 SELECT doc_id,
        0 AS page,
        'sec ' || CAST(doc_id AS VARCHAR) || chr(10)
-         || 'cipher ' || CAST(doc_id % 4 AS VARCHAR)
+         || 'cipher ' || CAST(doc_id % 6 AS VARCHAR)
          || ' :: ' || CAST(doc_id % 13 AS VARCHAR) AS text,
        CAST(length('sec ' || CAST(doc_id AS VARCHAR)) + 1
-            + length('cipher ' || CAST(doc_id % 4 AS VARCHAR)
+            + length('cipher ' || CAST(doc_id % 6 AS VARCHAR)
                      || ' :: ' || CAST(doc_id % 13 AS VARCHAR))
             AS INT) AS n_chars
 FROM documents WHERE doc_id % 5 = 2
@@ -4074,11 +4076,14 @@ FROM documents WHERE doc_id % 5 = 2
 @register("pdf_encrypted_extract", _PDF_ENC_SQL)
 def pdf_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encrypted-PDF ingest end-to-end: build_pdf_encrypted fixtures
-    (real Algorithm 3/5 /O and /U entries, hex-string dict values,
-    per-object RC4 or AES-CBC stream encryption) → password verify →
-    per-object key derivation → decrypt → inflate → text
-    reconstruction → one row per page. The corpus password opens all
-    four cipher variants."""
+    (real Algorithm 3/5 — or 8/9/10 for V5 — /O and /U entries,
+    hex-string dict values, per-object RC4 or AES-CBC stream
+    encryption; AES-256 uses the file key directly) → password verify
+    → key derivation → decrypt → inflate → text reconstruction → one
+    row per page. The corpus password opens all six cipher variants;
+    the V5 fixtures share credentials so the revision-6 hash is
+    derived once per worker (lru_cache), as a real corpus crawl
+    would."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -4099,7 +4104,7 @@ def pdf_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for did in pdf["doc_id"]:
                 d = int(did)
-                variant = d % 4
+                variant = d % 6
                 pages = [
                     [f"sec {d}", f"cipher {variant} :: {d % 13}"]
                 ]
@@ -4115,9 +4120,17 @@ def pdf_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blob = build_pdf_encrypted(
                         pages, user_pw=b"corpus", v=4, r=4
                     )
-                else:
+                elif variant == 3:
                     blob = build_pdf_encrypted(
                         pages, user_pw=b"corpus", v=4, r=4, aes=True
+                    )
+                elif variant == 4:
+                    blob = build_pdf_encrypted(
+                        pages, user_pw=b"corpus", v=5, r=6
+                    )
+                else:
+                    blob = build_pdf_encrypted(
+                        pages, user_pw=b"corpus", v=5, r=5
                     )
                 payloads.append(blob)
             yield pd.DataFrame(

@@ -32,11 +32,13 @@ What this parser implements (and tests):
   referenced integer object is located lexically — the extractor
   still never TRUSTS offsets for text, it only reads plain integer
   objects through them);
-* standard-security-handler encryption (ISO 32000 §7.6.3): RC4-40,
-  RC4-128 and AES-128 (/V 1–4, /R 2–4, /StdCF /AESV2), password
+* standard-security-handler encryption: RC4-40, RC4-128 and AES-128
+  (ISO 32000-1 §7.6.3, /V 1–4, /R 2–4, /StdCF /AESV2) with password
   verification by the real Algorithm 6 and per-object keys by
-  Algorithm 1 — primitives in :mod:`pdf_crypt` (stdlib ``hashlib``
-  only, AES from FIPS-197). AES-256 (/V 5, PDF 2.0) and non-standard
+  Algorithm 1, plus AES-256 (ISO 32000-2 §7.6.4, /V 5, /R 5–6,
+  /StdCF /AESV3) with the revision-6 iterated hash, /UE //OE key
+  unwrap and /Perms validation — primitives in :mod:`pdf_crypt`
+  (stdlib ``hashlib`` only, AES from FIPS-197). Non-standard
   handlers raise ``NotImplementedError`` honestly;
 * CIDFont/ToUnicode remapping and non-Latin encodings raise
   ``NotImplementedError`` honestly — the fixture writer emits
@@ -242,36 +244,47 @@ def _encryption_params(payload: bytes) -> dict[str, Any]:
 
     v = intval(b"V", 0)
     r = intval(b"R")
-    if v not in (1, 2, 4) or r not in (2, 3, 4):
+    if not (
+        (v in (1, 2, 4) and r in (2, 3, 4)) or (v == 5 and r in (5, 6))
+    ):
         raise NotImplementedError(
-            f"PDF encryption /V {v} /R {r} (only V1-4 / R2-4: RC4 and "
-            "AES-128; AESV3/PDF-2.0 is out of scope)"
+            f"PDF encryption /V {v} /R {r} (supported: V1-4/R2-4 RC4 "
+            "and AES-128, V5/R5-6 AES-256)"
         )
     aes = False
-    if v == 4:
+    if v in (4, 5):
         cf = re.search(rb"/CFM\s*/(\w+)", d)
         cfm = cf.group(1) if cf else b""
-        if cfm == b"AESV2":
+        if cfm == (b"AESV3" if v == 5 else b"AESV2"):
             aes = True
-        elif cfm != b"V2":
+        elif v == 5 or cfm != b"V2":
             raise NotImplementedError(f"crypt filter /CFM /{cfm.decode()}")
-    idm = _ID_RE.search(payload)
-    if not idm:
-        raise ValueError("encrypted PDF without /ID in trailer")
-    return {
+    out = {
         "v": v,
         "r": r,
-        "length_bits": intval(b"Length", 40),
+        "length_bits": intval(b"Length", 256 if v == 5 else 40),
         "o": strval(b"O"),
         "u": strval(b"U"),
         "p": intval(b"P"),
-        "id0": bytes.fromhex(
-            re.sub(rb"\s", b"", idm.group(1)).decode("ascii")
-        ),
         "aes": aes,
         "encrypt_metadata": b"/EncryptMetadata false" not in d,
         "encrypt_obj": num,
     }
+    if v == 5:
+        # AES-256 needs no /ID; the key unwraps from /UE or /OE and
+        # /Perms restates /P tamper-evidently (§7.6.4)
+        out["ue"] = strval(b"UE")
+        out["oe"] = strval(b"OE")
+        out["perms"] = strval(b"Perms")
+        out["id0"] = b""
+        return out
+    idm = _ID_RE.search(payload)
+    if not idm:
+        raise ValueError("encrypted PDF without /ID in trailer")
+    out["id0"] = bytes.fromhex(
+        re.sub(rb"\s", b"", idm.group(1)).decode("ascii")
+    )
+    return out
 
 
 def extract_pdf_pages(payload: bytes, *, password: bytes = b"") -> list[str]:
@@ -286,30 +299,51 @@ def extract_pdf_pages(payload: bytes, *, password: bytes = b"") -> list[str]:
     Indirect ``/Length N 0 R`` references raise honestly (resolving
     them needs the xref this extractor deliberately doesn't trust).
 
-    Encrypted files (standard security handler, RC4-40/128 or
-    AES-128 — §7.6) are opened with ``password`` (user password;
-    empty by default, which real-world "encrypted but not password-
-    protected" files use); a wrong password raises ``ValueError``,
-    and AES-256 (/V 5) raises ``NotImplementedError`` honestly.
+    Encrypted files (standard security handler: RC4-40/128, AES-128
+    — §7.6 — or AES-256, ISO 32000-2 §7.6.4) are opened with
+    ``password``, tried as the user and (for /V 5) the owner
+    password; empty by default, which real-world "encrypted but not
+    password-protected" files use. A wrong password — or a /V 5 file
+    whose /Perms does not validate against /P — raises
+    ``ValueError``.
     """
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
     file_key = None
     enc_aes = False
     enc_obj = -1
+    enc_v5 = False
     if b"/Encrypt" in payload:
         from ccgp_data_wrangling_spark.sources.pdf_crypt import (
+            verify_password_v5,
+            verify_perms,
             verify_user_password,
         )
 
         prm = _encryption_params(payload)
-        file_key = verify_user_password(
-            password, prm["o"], prm["u"], prm["p"], prm["id0"],
-            prm["r"], prm["length_bits"],
-            encrypt_metadata=prm["encrypt_metadata"],
-        )
-        if file_key is None:
-            raise ValueError("invalid PDF password")
+        if prm["v"] == 5:
+            file_key = verify_password_v5(
+                password, prm["o"], prm["u"], prm["oe"], prm["ue"],
+                prm["r"],
+            )
+            if file_key is None:
+                raise ValueError("invalid PDF password")
+            if not verify_perms(
+                prm["perms"], file_key, prm["p"],
+                prm["encrypt_metadata"],
+            ):
+                raise ValueError(
+                    "PDF /Perms does not validate (tampered /P?)"
+                )
+            enc_v5 = True
+        else:
+            file_key = verify_user_password(
+                password, prm["o"], prm["u"], prm["p"], prm["id0"],
+                prm["r"], prm["length_bits"],
+                encrypt_metadata=prm["encrypt_metadata"],
+            )
+            if file_key is None:
+                raise ValueError("invalid PDF password")
         enc_aes = prm["aes"]
         enc_obj = prm["encrypt_obj"]
     pages: list[str] = []
@@ -355,7 +389,11 @@ def extract_pdf_pages(payload: bytes, *, password: bytes = b"") -> list[str]:
 
             data = decrypt_bytes(
                 data,
-                object_key(
+                # V5 uses the 32-byte file key directly for every
+                # object (§7.6.4 — no per-object MD5 derivation)
+                file_key
+                if enc_v5
+                else object_key(
                     file_key,
                     int(om.group(1)),
                     int(om.group(2)),
@@ -716,19 +754,22 @@ def build_pdf_encrypted(
     compress: bool = True,
 ) -> bytes:
     """Fixture writer: the :func:`build_pdf` layout with standard-
-    security-handler encryption (§7.6.3) applied to every content
-    stream — RC4-40 (v=1, r=2, 40 bits), RC4-128 (v=2, r=3) or
-    AES-128 (v=4, r=4, ``aes=True`` → /StdCF /AESV2). /O and /U are
-    computed with the real Algorithms 3–5, so the extractor's
-    password verification is exercised for real, and both are written
-    as hex strings (they are arbitrary bytes). The /ID and AES IVs
-    are derived deterministically so fixtures are reproducible —
-    a real writer would use fresh randomness for both."""
+    security-handler encryption applied to every content stream —
+    RC4-40 (v=1, r=2, 40 bits), RC4-128 (v=2, r=3), AES-128 (v=4,
+    r=4, ``aes=True`` → /StdCF /AESV2), or AES-256 (v=5 with r=6, or
+    the deprecated r=5 → /StdCF /AESV3, §7.6.4 with /UE /OE /Perms).
+    /O and /U come from the real algorithms (3–5 for ≤R4, 8–10 for
+    R5/R6), so the extractor's password verification is exercised for
+    real, and all are written as hex strings (they are arbitrary
+    bytes). The /ID, file key, salts and AES IVs are derived
+    deterministically so fixtures are reproducible — a real writer
+    would use fresh randomness for all of them."""
     import hashlib
 
     from ccgp_data_wrangling_spark.sources.pdf_crypt import (
         compute_file_key,
         compute_o,
+        compute_r6_entries,
         compute_u,
         encrypt_bytes,
         object_key,
@@ -736,15 +777,29 @@ def build_pdf_encrypted(
 
     if v == 1:
         r, length_bits = 2, 40
-    if aes and v != 4:
+    if aes and v not in (4, 5):
         raise ValueError("AES-128 requires /V 4 /R 4")
     p = -44  # print+modify denied; any value participates in the key
     id0 = hashlib.md5(
         b"ccgp-pdf-fixture" + len(pages).to_bytes(2, "big")
     ).digest()
-    o = compute_o(owner_pw, user_pw, r, length_bits)
-    key = compute_file_key(user_pw, o, p, id0, r, length_bits)
-    u = compute_u(key, id0, r)
+    v5_entries: dict[str, bytes] | None = None
+    if v == 5:
+        if r not in (5, 6):
+            raise ValueError("/V 5 requires /R 5 or 6")
+        aes, length_bits = True, 256
+        key = hashlib.sha256(
+            b"ccgp-filekey" + len(pages).to_bytes(2, "big")
+        ).digest()
+        v5_entries = compute_r6_entries(
+            user_pw, owner_pw, key, p, r=r,
+            salts=len(pages).to_bytes(2, "big"),
+        )
+        o, u = v5_entries["O"], v5_entries["U"]
+    else:
+        o = compute_o(owner_pw, user_pw, r, length_bits)
+        key = compute_file_key(user_pw, o, p, id0, r, length_bits)
+        u = compute_u(key, id0, r)
 
     n_pages = len(pages)
     enc_num = 4 + 2 * n_pages  # after catalog/pages/font + page pairs
@@ -768,7 +823,10 @@ def build_pdf_encrypted(
         onum = 5 + 2 * k
         iv = hashlib.md5(b"iv" + onum.to_bytes(3, "little")).digest()
         data = encrypt_bytes(
-            data, object_key(key, onum, 0, aes=aes), aes=aes, iv=iv
+            data,
+            key if v == 5 else object_key(key, onum, 0, aes=aes),
+            aes=aes,
+            iv=iv,
         )
         head = (
             b"<< /Filter /FlateDecode /Length %d >>" % len(data)
@@ -776,8 +834,8 @@ def build_pdf_encrypted(
             else b"<< /Length %d >>" % len(data)
         )
         objects.append(head + b"\nstream\n" + data + b"\nendstream")
-    if v == 4:
-        cfm = b"/AESV2" if aes else b"/V2"
+    if v in (4, 5):
+        cfm = b"/AESV3" if v == 5 else (b"/AESV2" if aes else b"/V2")
         cf = (
             b"/CF << /StdCF << /CFM " + cfm
             + b" /AuthEvent /DocOpen /Length %d >> >> " % (length_bits // 8)
@@ -785,11 +843,19 @@ def build_pdf_encrypted(
         )
     else:
         cf = b""
+    v5 = b""
+    if v5_entries is not None:
+        v5 = (
+            b"/UE <" + v5_entries["UE"].hex().encode() + b"> "
+            b"/OE <" + v5_entries["OE"].hex().encode() + b"> "
+            b"/Perms <" + v5_entries["Perms"].hex().encode() + b"> "
+        )
     objects.append(
         b"<< /Filter /Standard /V %d /R %d /Length %d " % (v, r, length_bits)
         + cf
         + b"/O <" + o.hex().encode() + b"> "
         + b"/U <" + u.hex().encode() + b"> "
+        + v5
         + b"/P %d >>" % p
     )
 

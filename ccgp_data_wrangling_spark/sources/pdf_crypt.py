@@ -10,11 +10,16 @@ nothing beyond stdlib ``hashlib``:
   §7.6.2 prescribes for /AESV2;
 * Algorithm 2 (file key from user password), Algorithm 3 (/O),
   Algorithms 4/5 (/U for R2 / R3+), Algorithm 1 (per-object key:
-  MD5(key + objnum₃ + gen₂ [+ "sAlT"])).
-
-Revision 5/6 (AES-256, /AESV3, PDF 2.0) is out of scope and the
-caller raises ``NotImplementedError`` — consistent with the honest
-capability gates elsewhere in the media layer.
+  MD5(key + objnum₃ + gen₂ [+ "sAlT"]));
+* AES-256 / revisions 5 and 6 (ISO 32000-2 §7.6.4, /AESV3): the
+  256-bit FIPS-197 key schedule, the revision-6 iterated hash
+  (Algorithm 2.B, SHA-256/384/512 selected by an AES-CBC feedback),
+  /U //UE //O //OE construction (Algorithms 8/9), /Perms (Algorithm
+  10) and password verification + key unwrap (Algorithms 11/12/2.A).
+  The forward cipher runs on 32-bit T-tables (built at import from
+  the computed S-box) so the ~64-round hash is fast enough for
+  driver queries; derivations are ``lru_cache``d per
+  (password, salt, udata).
 
 Reference parity: cademirch/ccgp-data-wrangling has no document
 layer; this extends the engine's PDF source (sources/pdf.py).
@@ -23,11 +28,14 @@ layer; this extends the engine's PDF source (sources/pdf.py).
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 __all__ = [
     "rc4",
     "aes128_cbc_encrypt",
     "aes128_cbc_decrypt",
+    "aes_ecb_encrypt_block",
+    "aes_ecb_decrypt_block",
     "PAD",
     "compute_file_key",
     "compute_o",
@@ -36,6 +44,10 @@ __all__ = [
     "object_key",
     "decrypt_bytes",
     "encrypt_bytes",
+    "hash_r6",
+    "compute_r6_entries",
+    "verify_password_v5",
+    "verify_perms",
 ]
 
 # §7.6.3.3 — the 32-byte password padding string
@@ -118,14 +130,23 @@ for _ in range(9):
 
 
 def _expand_key(key: bytes) -> list[list[int]]:
-    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
-    for i in range(4, 44):
+    """FIPS-197 §5.2 key expansion for Nk=4 (AES-128) or Nk=8
+    (AES-256): Nr = Nk + 6 rounds, with the extra SubWord at
+    i % Nk == 4 that only the 256-bit schedule has."""
+    nk = len(key) // 4
+    if nk not in (4, 8):
+        raise ValueError("AES key must be 16 or 32 bytes")
+    nr = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
     return w
 
 
@@ -135,31 +156,95 @@ def _add_round_key(state: list[int], w: list[list[int]], rnd: int) -> None:
             state[4 * c + r] ^= w[4 * rnd + c][r]
 
 
-def _encrypt_block(block: bytes, w: list[list[int]]) -> bytes:
-    s = list(block)
-    _add_round_key(s, w, 0)
-    for rnd in range(1, 11):
-        s = [_SBOX[b] for b in s]
-        # ShiftRows (state stored column-major: s[4c+r])
-        s = [s[(4 * ((c + r) % 4)) + r] for c in range(4) for r in range(4)]
-        # re-index: build row-shifted state column by column
-        if rnd < 10:
-            t = [0] * 16
-            for c in range(4):
-                a = s[4 * c : 4 * c + 4]
-                t[4 * c + 0] = _gmul(a[0], 2) ^ _gmul(a[1], 3) ^ a[2] ^ a[3]
-                t[4 * c + 1] = a[0] ^ _gmul(a[1], 2) ^ _gmul(a[2], 3) ^ a[3]
-                t[4 * c + 2] = a[0] ^ a[1] ^ _gmul(a[2], 2) ^ _gmul(a[3], 3)
-                t[4 * c + 3] = _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2)
-            s = t
-        _add_round_key(s, w, rnd)
-    return bytes(s)
+# 32-bit T-tables (SubBytes + ShiftRows + MixColumns folded into four
+# lookups per column) — the classic software formulation from the
+# FIPS-197 matrix rows (2,1,1,3) rotated; built at import from the
+# same computed S-box, no transcribed constant blobs.  They make the
+# revision-6 password hash (§7.6.4.3.4, tens of thousands of AES
+# blocks per derivation) usable from pure Python.
+def _build_ttables() -> list[list[int]]:
+    t0 = []
+    for x in range(256):
+        s = _SBOX[x]
+        s2 = _gmul(s, 2)
+        t0.append((s2 << 24) | (s << 16) | (s << 8) | (s2 ^ s))
+    ts = [t0]
+    for _ in range(3):
+        prev = ts[-1]
+        ts.append([((v >> 8) | ((v & 0xFF) << 24)) for v in prev])
+    return ts
+
+
+_T0, _T1, _T2, _T3 = _build_ttables()
+
+
+def _key_words(w: list[list[int]]) -> list[int]:
+    return [
+        (c[0] << 24) | (c[1] << 16) | (c[2] << 8) | c[3] for c in w
+    ]
+
+
+def _encrypt_block(block: bytes, w) -> bytes:
+    """AES forward cipher; ``w`` is either the byte-list schedule from
+    :func:`_expand_key` or its 32-bit word form (hot paths pre-convert
+    with :func:`_key_words` once per key)."""
+    if w and not isinstance(w[0], int):
+        w = _key_words(w)
+    nr = len(w) // 4 - 1
+    a0 = (
+        int.from_bytes(block[0:4], "big") ^ w[0]
+    )
+    a1 = int.from_bytes(block[4:8], "big") ^ w[1]
+    a2 = int.from_bytes(block[8:12], "big") ^ w[2]
+    a3 = int.from_bytes(block[12:16], "big") ^ w[3]
+    for rnd in range(1, nr):
+        k = 4 * rnd
+        b0 = (
+            _T0[(a0 >> 24) & 255] ^ _T1[(a1 >> 16) & 255]
+            ^ _T2[(a2 >> 8) & 255] ^ _T3[a3 & 255] ^ w[k]
+        )
+        b1 = (
+            _T0[(a1 >> 24) & 255] ^ _T1[(a2 >> 16) & 255]
+            ^ _T2[(a3 >> 8) & 255] ^ _T3[a0 & 255] ^ w[k + 1]
+        )
+        b2 = (
+            _T0[(a2 >> 24) & 255] ^ _T1[(a3 >> 16) & 255]
+            ^ _T2[(a0 >> 8) & 255] ^ _T3[a1 & 255] ^ w[k + 2]
+        )
+        b3 = (
+            _T0[(a3 >> 24) & 255] ^ _T1[(a0 >> 16) & 255]
+            ^ _T2[(a1 >> 8) & 255] ^ _T3[a2 & 255] ^ w[k + 3]
+        )
+        a0, a1, a2, a3 = b0, b1, b2, b3
+    k = 4 * nr
+    sb = _SBOX
+    c0 = (
+        (sb[(a0 >> 24) & 255] << 24) | (sb[(a1 >> 16) & 255] << 16)
+        | (sb[(a2 >> 8) & 255] << 8) | sb[a3 & 255]
+    ) ^ w[k]
+    c1 = (
+        (sb[(a1 >> 24) & 255] << 24) | (sb[(a2 >> 16) & 255] << 16)
+        | (sb[(a3 >> 8) & 255] << 8) | sb[a0 & 255]
+    ) ^ w[k + 1]
+    c2 = (
+        (sb[(a2 >> 24) & 255] << 24) | (sb[(a3 >> 16) & 255] << 16)
+        | (sb[(a0 >> 8) & 255] << 8) | sb[a1 & 255]
+    ) ^ w[k + 2]
+    c3 = (
+        (sb[(a3 >> 24) & 255] << 24) | (sb[(a0 >> 16) & 255] << 16)
+        | (sb[(a1 >> 8) & 255] << 8) | sb[a2 & 255]
+    ) ^ w[k + 3]
+    return (
+        c0.to_bytes(4, "big") + c1.to_bytes(4, "big")
+        + c2.to_bytes(4, "big") + c3.to_bytes(4, "big")
+    )
 
 
 def _decrypt_block(block: bytes, w: list[list[int]]) -> bytes:
+    nr = len(w) // 4 - 1
     s = list(block)
-    _add_round_key(s, w, 10)
-    for rnd in range(9, -1, -1):
+    _add_round_key(s, w, nr)
+    for rnd in range(nr - 1, -1, -1):
         # InvShiftRows
         s = [s[(4 * ((c - r) % 4)) + r] for c in range(4) for r in range(4)]
         s = [_ISBOX[b] for b in s]
@@ -188,12 +273,51 @@ def _decrypt_block(block: bytes, w: list[list[int]]) -> bytes:
     return bytes(s)
 
 
+def _cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt, NO padding (len(data) must be a block multiple) —
+    the §7.6.4.3.4 hash loop and the /UE //OE wrapping use this."""
+    if len(data) % 16:
+        raise ValueError("unpadded CBC needs a block multiple")
+    w = _key_words(_expand_key(key))
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _encrypt_block(blk, w)
+        out += prev
+    return bytes(out)
+
+
+def _cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    if len(data) % 16:
+        raise ValueError("unpadded CBC needs a block multiple")
+    w = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, w), prev))
+        prev = blk
+    return bytes(out)
+
+
+def aes_ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
+    """Single-block ECB — the /Perms entry (§7.6.4.4.2) is one AES-256
+    ECB block."""
+    return _encrypt_block(block, _expand_key(key))
+
+
+def aes_ecb_decrypt_block(key: bytes, block: bytes) -> bytes:
+    return _decrypt_block(block, _expand_key(key))
+
+
 def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC encrypt with PKCS#7 padding; returns iv + ciphertext (the
-    §7.6.2 /AESV2 wire format)."""
-    if len(key) != 16 or len(iv) != 16:
-        raise ValueError("AES-128 needs 16-byte key and IV")
-    w = _expand_key(key)
+    §7.6.2 /AESV2 wire format; also the /AESV3 stream format with a
+    32-byte key)."""
+    if len(key) not in (16, 32) or len(iv) != 16:
+        raise ValueError("AES needs 16/32-byte key and 16-byte IV")
+    w = _key_words(_expand_key(key))
     padn = 16 - len(data) % 16
     data = data + bytes([padn]) * padn
     out = bytearray(iv)
@@ -208,7 +332,8 @@ def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     """Inverse of :func:`aes128_cbc_encrypt`: data = iv + ciphertext,
     PKCS#7 padding stripped (and validated — garbage padding means a
-    wrong key, which must not pass silently)."""
+    wrong key, which must not pass silently). Accepts 16- or 32-byte
+    keys (AESV2 / AESV3 share the wire format)."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("AES-CBC payload must be iv + k·16 bytes")
     w = _expand_key(key)
@@ -333,3 +458,110 @@ def encrypt_bytes(data: bytes, key: bytes, *, aes: bool, iv: bytes = b"") -> byt
     if aes:
         return aes128_cbc_encrypt(key, iv or bytes(16), data)
     return rc4(key, data)
+
+
+# ---------------------------------------------------------------------------
+# AES-256 / revision 6 (ISO 32000-2 §7.6.4; revision 5 is the
+# deprecated Adobe Extension Level 3 shape with the same entry layout
+# but a single-SHA-256 hash).  /O and /U are 48 bytes:
+# hash(32) + validation salt(8) + key salt(8); /OE and /UE hold the
+# 32-byte file key AES-256-CBC-wrapped (zero IV, no padding) under
+# password-derived intermediate keys; /Perms is one AES-256-ECB block
+# restating /P so a handler can detect a tampered permissions int.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=256)
+def hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B: the revision-6 iterated hash. Rounds re-key
+    AES-CBC from the previous digest and pick SHA-256/384/512 by the
+    first 16 bytes' sum mod 3; the loop runs at least 64 rounds and
+    stops when the last byte of the AES output is ≤ round - 32."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _cbc_encrypt_raw(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (
+            hashlib.sha256(e)
+            if mod == 0
+            else hashlib.sha384(e) if mod == 1 else hashlib.sha512(e)
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _hash_v5(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    if r == 6:
+        return hash_r6(password, salt, udata)
+    return hashlib.sha256(password + salt + udata).digest()
+
+
+def compute_r6_entries(
+    user_pw: bytes,
+    owner_pw: bytes,
+    file_key: bytes,
+    p: int,
+    *,
+    r: int = 6,
+    encrypt_metadata: bool = True,
+    salts: bytes = b"",
+) -> dict[str, bytes]:
+    """Algorithms 8/9/10: build /U /UE /O /OE /Perms for a fixture.
+    ``salts`` seeds the four 8-byte salts deterministically (a real
+    writer draws them fresh); UTF-8 passwords are the caller's
+    SASLprep problem, as in the spec."""
+    if len(file_key) != 32:
+        raise ValueError("AES-256 file key must be 32 bytes")
+    seed = hashlib.sha256(b"r6salts" + salts).digest()
+    uvs, uks, ovs, oks = (seed[i : i + 8] for i in range(0, 32, 8))
+    u = _hash_v5(user_pw, uvs, b"", r) + uvs + uks
+    ue = _cbc_encrypt_raw(
+        _hash_v5(user_pw, uks, b"", r), bytes(16), file_key
+    )
+    o = _hash_v5(owner_pw, ovs, u, r) + ovs + oks
+    oe = _cbc_encrypt_raw(
+        _hash_v5(owner_pw, oks, u, r), bytes(16), file_key
+    )
+    perms_clear = (
+        (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + b"\xff\xff\xff\xff"
+        + (b"T" if encrypt_metadata else b"F")
+        + b"adb"
+        + b"ccgp"  # 4 arbitrary bytes per spec
+    )
+    perms = aes_ecb_encrypt_block(file_key, perms_clear)
+    return {"U": u, "UE": ue, "O": o, "OE": oe, "Perms": perms}
+
+
+def verify_password_v5(
+    password: bytes, o: bytes, u: bytes, oe: bytes, ue: bytes, r: int
+) -> bytes | None:
+    """Algorithms 11/12 + 2.A key retrieval: try the password as the
+    user password (hash against U's validation salt), then as the
+    owner password (hash includes the full 48-byte /U); on a match,
+    unwrap the file key from /UE or /OE. Returns None on no match."""
+    if len(u) < 48 or len(o) < 48:
+        raise ValueError("/U and /O must be 48 bytes for V5")
+    if _hash_v5(password, u[32:40], b"", r) == u[:32]:
+        ikey = _hash_v5(password, u[40:48], b"", r)
+        return _cbc_decrypt_raw(ikey, bytes(16), ue[:32])
+    if _hash_v5(password, o[32:40], u[:48], r) == o[:32]:
+        ikey = _hash_v5(password, o[40:48], u[:48], r)
+        return _cbc_decrypt_raw(ikey, bytes(16), oe[:32])
+    return None
+
+
+def verify_perms(
+    perms: bytes, file_key: bytes, p: int, encrypt_metadata: bool
+) -> bool:
+    """Decrypt /Perms and validate the 'adb' signature, /P echo and
+    EncryptMetadata flag (§7.6.4.4.2 step f)."""
+    clear = aes_ecb_decrypt_block(file_key, perms[:16])
+    return (
+        clear[9:12] == b"adb"
+        and clear[:4] == (p & 0xFFFFFFFF).to_bytes(4, "little")
+        and clear[8:9] == (b"T" if encrypt_metadata else b"F")
+    )

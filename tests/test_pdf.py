@@ -278,14 +278,85 @@ def test_pdf_encrypted_honest_gates():
     from ccgp_data_wrangling_spark.sources.pdf import build_pdf_encrypted
 
     blob = build_pdf_encrypted([["x"]], v=4, r=4, aes=True)
-    with pytest.raises(NotImplementedError, match="AESV3|V 5"):
+    with pytest.raises(NotImplementedError, match="V 6"):
         extract_pdf_pages(
-            blob.replace(b"/V 4 /R 4", b"/V 5 /R 6"), password=b""
+            blob.replace(b"/V 4 /R 4", b"/V 6 /R 6"), password=b""
+        )
+    with pytest.raises(NotImplementedError, match="V 5 /R 4"):
+        extract_pdf_pages(
+            blob.replace(b"/V 4 /R 4", b"/V 5 /R 4"), password=b""
         )
     with pytest.raises(NotImplementedError, match="CFM"):
         extract_pdf_pages(blob.replace(b"/AESV2", b"/AESV3"))
     with pytest.raises(NotImplementedError, match="non-standard"):
         extract_pdf_pages(blob.replace(b"/Standard", b"/Custardd"))
+
+
+def test_pdf_aes256_primitives():
+    """FIPS-197 appendix C.3 (AES-256) vector through the T-table
+    forward cipher and the straight inverse cipher; the revision-6
+    hash is deterministic and salt-sensitive."""
+    from ccgp_data_wrangling_spark.sources.pdf_crypt import (
+        _decrypt_block,
+        _encrypt_block,
+        _expand_key,
+        aes128_cbc_decrypt,
+        aes128_cbc_encrypt,
+        hash_r6,
+    )
+
+    key = bytes(range(32))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    w = _expand_key(key)
+    ct = _encrypt_block(pt, w)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert _decrypt_block(ct, w) == pt
+    # 32-byte-key CBC shares the AESV2 wire format
+    blob = aes128_cbc_encrypt(key, bytes(16), b"aesv3 payload" * 9)
+    assert aes128_cbc_decrypt(key, blob) == b"aesv3 payload" * 9
+    h1 = hash_r6(b"pw", b"saltsalt")
+    assert len(h1) == 32
+    assert h1 == hash_r6(b"pw", b"saltsalt")
+    assert h1 != hash_r6(b"pw", b"saltsalz")
+    assert h1 != hash_r6(b"pw2", b"saltsalt")
+
+
+@pytest.mark.parametrize("r", [5, 6])
+def test_pdf_encrypted_v5_roundtrip(r):
+    """AES-256 (ISO 32000-2 §7.6.4): user AND owner password open the
+    file, wrong passwords and tampered validation salts are rejected,
+    and a tampered /P fails /Perms validation."""
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf_encrypted
+
+    pages = [["v5 secret line", "two"], [["ker", -250, "ned"]]]
+    blob = build_pdf_encrypted(pages, user_pw=b"pw", v=5, r=r)
+    assert b"v5 secret line" not in blob
+    want = extract_pdf_pages(build_pdf(pages))
+    assert extract_pdf_pages(blob, password=b"pw") == want
+    assert extract_pdf_pages(blob, password=b"owner") == want
+    with pytest.raises(ValueError, match="invalid PDF password"):
+        extract_pdf_pages(blob, password=b"wrong")
+    # corrupt the /U validation salt (bytes 32..40 of the 48-byte
+    # entry, hex-encoded in the dict): the user hash can't match,
+    # and the owner hash (keyed on the full /U) breaks too
+    from ccgp_data_wrangling_spark.sources.pdf import _encryption_params
+
+    u = _encryption_params(blob)["u"]
+    bad_u = u[:32] + bytes(b ^ 0xFF for b in u[32:40]) + u[40:]
+    tampered = blob.replace(u.hex().encode(), bad_u.hex().encode())
+    with pytest.raises(ValueError, match="invalid PDF password"):
+        extract_pdf_pages(tampered, password=b"pw")
+    # tampered permissions int → Perms mismatch
+    flipped = blob.replace(b"/P -44", b"/P -60")
+    with pytest.raises(ValueError, match="Perms"):
+        extract_pdf_pages(flipped, password=b"pw")
+
+
+def test_pdf_encrypted_v5_empty_password():
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf_encrypted
+
+    blob = build_pdf_encrypted([["open v5"]], v=5, r=6)
+    assert extract_pdf_pages(blob) == ["open v5"]
 
 
 def test_pdf_documents_encrypted_spark(spark):
