@@ -3495,52 +3495,124 @@ def decode_mp3_layer1_subbands(payload: bytes) -> list[dict[str, Any]]:
     return out
 
 
-def build_id3v2(frames: dict[str, str], *, encoding: int = 3, pad: int = 16) -> bytes:
-    """Fixture writer: an ID3v2.3 tag with real text frames (TIT2 /
-    TPE1 / TALB / TYER …). ``encoding`` is the ID3 text-encoding
-    byte: 0 latin-1, 1 UTF-16 with BOM, 3 UTF-8 (v2.4's code, widely
-    written into v2.3 tags in the wild — the parser takes both)."""
+def _unsync_encode(data: bytes) -> bytes:
+    """ID3v2 unsynchronisation (id3.org §5 / v2.4 §6.1): insert 0x00
+    after every 0xFF that precedes a byte with the top three bits set
+    (a false MPEG sync) or another 0x00; a trailing 0xFF also gets
+    the guard byte."""
+    out = bytearray()
+    n = len(data)
+    for i, b in enumerate(data):
+        out.append(b)
+        if b == 0xFF and (
+            i + 1 == n or data[i + 1] >= 0xE0 or data[i + 1] == 0x00
+        ):
+            out.append(0x00)
+    return bytes(out)
+
+
+def _unsync_decode(data: bytes) -> bytes:
+    """Inverse of :func:`_unsync_encode`: every FF 00 becomes FF."""
+    return data.replace(b"\xff\x00", b"\xff")
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def build_id3v2(
+    frames: dict[str, str],
+    *,
+    encoding: int = 3,
+    pad: int = 16,
+    version: int = 3,
+    unsync: bool = False,
+    footer: bool = False,
+) -> bytes:
+    """Fixture writer: an ID3v2.3 or v2.4 tag with real text frames
+    (TIT2 / TPE1 / TALB / TYER …). ``encoding`` is the ID3
+    text-encoding byte: 0 latin-1, 1 UTF-16 with BOM, 2 UTF-16BE
+    without BOM (v2.4-only), 3 UTF-8 (v2.4's default, widely written
+    into v2.3 tags in the wild — the parser takes both).
+    ``unsync=True`` applies unsynchronisation the way each version
+    prescribes: whole-tag for v2.3, per-frame (with the frame format
+    flag set) for v2.4. ``footer`` appends the v2.4 10-byte '3DI'
+    footer (which also forbids padding, per §3.1)."""
+    if version not in (3, 4):
+        raise ValueError("only ID3v2.3 / v2.4 fixtures")
+    if footer and version != 4:
+        raise ValueError("footer is v2.4-only")
     body = bytearray()
     for fid, text in frames.items():
         if encoding == 0:
             payload = bytes([0]) + text.encode("latin-1")
         elif encoding == 1:
             payload = bytes([1]) + text.encode("utf-16")  # BOM included
+        elif encoding == 2:
+            if version != 4:
+                raise ValueError("UTF-16BE (enc 2) is v2.4-only")
+            payload = bytes([2]) + text.encode("utf-16-be")
         elif encoding == 3:
             payload = bytes([3]) + text.encode("utf-8")
         else:
             raise ValueError(f"unsupported ID3 text encoding {encoding}")
-        body += fid.encode("latin-1")
-        body += len(payload).to_bytes(4, "big")  # v2.3: plain big-endian
-        body += b"\x00\x00"  # frame flags
+        fflags = b"\x00\x00"
+        if version == 4:
+            if unsync:
+                payload = _unsync_encode(payload)
+                fflags = b"\x00\x02"  # frame-level unsync format flag
+            body += fid.encode("latin-1")
+            body += _syncsafe(len(payload))  # v2.4: syncsafe
+        else:
+            body += fid.encode("latin-1")
+            body += len(payload).to_bytes(4, "big")  # v2.3: plain
+        body += fflags
         body += payload
-    body += bytes(pad)
-    size = len(body)
-    ss = bytes(
-        [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
-         (size >> 7) & 0x7F, size & 0x7F]
+    if not footer:
+        body += bytes(pad)
+    tag_flags = 0
+    if version == 3 and unsync:
+        body = bytearray(_unsync_encode(bytes(body)))
+        tag_flags |= 0x80
+    if version == 4 and unsync:
+        tag_flags |= 0x80  # announces all frames are unsynchronised
+    if footer:
+        tag_flags |= 0x10
+    out = (
+        b"ID3" + bytes([version, 0, tag_flags])
+        + _syncsafe(len(body)) + bytes(body)
     )
-    return b"ID3" + bytes([3, 0, 0]) + ss + bytes(body)
+    if footer:
+        out += b"3DI" + bytes([version, 0, tag_flags]) + _syncsafe(
+            len(body)
+        )
+    return out
 
 
 def parse_id3v2(payload: bytes) -> dict[str, Any]:
-    """Parse the leading ID3v2.3 tag's TEXT frames (id3.org spec —
-    the provenance layer of audio screening: title/artist/album/year
-    without touching a single audio frame).
+    """Parse the leading ID3v2.3 / v2.4 tag's TEXT frames (id3.org
+    specs — the provenance layer of audio screening:
+    title/artist/album/year without touching a single audio frame).
 
     Returns ``{"frames": {id: text, …}, "tag_bytes": total}`` with
     text decoded per the frame's encoding byte (0 latin-1, 1 UTF-16
-    BOM, 3 UTF-8). Non-text frames (no leading 'T') are skipped but
-    bounds-checked; padding terminates the walk. No tag → empty
-    frames, tag_bytes 0 — absence is data in a crawled corpus.
-    Unsynchronisation and v2.2/v2.4 layouts raise honestly."""
+    BOM, 2 UTF-16BE v2.4-only, 3 UTF-8). Version differences handled
+    per spec: v2.4 frame sizes are SYNCSAFE and unsynchronisation is
+    per-frame (format flag 0x02, or announced tag-wide by header
+    flag 0x80), v2.3 unsynchronisation covers the whole tag body;
+    the v2.4 footer ('3DI', header flag 0x10) adds 10 bytes to
+    ``tag_bytes``. Extended headers are skipped by their own size
+    field (v2.3 excludes itself, v2.4 includes itself). Non-text
+    frames (no leading 'T') are skipped but bounds-checked; padding
+    terminates the walk. No tag → empty frames, tag_bytes 0 —
+    absence is data in a crawled corpus. v2.2 raises honestly."""
     if payload[:3] != b"ID3" or len(payload) < 10:
-        return {"frames": {}, "tag_bytes": 0}
+        return {"frames": {}, "tag_bytes": 0, "version": 0}
     ver, flags = payload[3], payload[5]
-    if ver != 3:
-        raise NotImplementedError(f"ID3v2.{ver} tag (only v2.3)")
-    if flags & 0x80:
-        raise NotImplementedError("ID3v2 unsynchronisation")
+    if ver not in (3, 4):
+        raise NotImplementedError(f"ID3v2.{ver} tag (only v2.3/v2.4)")
     size = 0
     for b in payload[6:10]:
         if b & 0x80:
@@ -3549,31 +3621,65 @@ def parse_id3v2(payload: bytes) -> dict[str, Any]:
     end = 10 + size
     if end > len(payload):
         raise ValueError("ID3v2 size exceeds payload")
+    tag_bytes = end + (10 if ver == 4 and flags & 0x10 else 0)
+    body = payload[10:end]
+    tag_unsync = bool(flags & 0x80)
+    if ver == 3 and tag_unsync:
+        body = _unsync_decode(body)
+    if flags & 0x40:  # extended header
+        if ver == 4:
+            # syncsafe size INCLUDING itself (§3.2)
+            ehs = 0
+            for b in body[:4]:
+                ehs = (ehs << 7) | (b & 0x7F)
+            body = body[ehs:]
+        else:
+            # v2.3: plain 4-byte size EXCLUDING the size field
+            ehs = int.from_bytes(body[:4], "big")
+            body = body[4 + ehs:]
     frames: dict[str, str] = {}
-    pos = 10
-    while pos + 10 <= end:
-        fid = payload[pos : pos + 4]
+    pos = 0
+    n = len(body)
+    while pos + 10 <= n:
+        fid = body[pos : pos + 4]
         if fid[0] == 0:  # padding reached
             break
-        flen = int.from_bytes(payload[pos + 4 : pos + 8], "big")
-        if pos + 10 + flen > end:
+        raw_len = body[pos + 4 : pos + 8]
+        if ver == 4:
+            if any(b & 0x80 for b in raw_len):
+                raise ValueError("invalid v2.4 syncsafe frame size")
+            flen = 0
+            for b in raw_len:
+                flen = (flen << 7) | b
+        else:
+            flen = int.from_bytes(raw_len, "big")
+        fmt_flags = body[pos + 9]
+        if pos + 10 + flen > n:
             raise ValueError(f"ID3v2 frame at {pos} escapes the tag")
-        data = payload[pos + 10 : pos + 10 + flen]
+        data = body[pos + 10 : pos + 10 + flen]
         pos += 10 + flen
+        if ver == 4 and (fmt_flags & 0x02 or tag_unsync):
+            data = _unsync_decode(data)
         if not fid.startswith(b"T") or not data:
             continue
         enc = data[0]
-        raw = data[1:].split(b"\x00\x00" if enc == 1 else b"\x00", 1)[0]
+        raw = data[1:].split(
+            b"\x00\x00" if enc in (1, 2) else b"\x00", 1
+        )[0]
         if enc == 0:
             text = raw.decode("latin-1")
         elif enc == 1:
             text = raw.decode("utf-16")
+        elif enc == 2:
+            if ver != 4:
+                raise NotImplementedError("UTF-16BE text in a v2.3 tag")
+            text = raw.decode("utf-16-be")
         elif enc == 3:
             text = raw.decode("utf-8")
         else:
             raise NotImplementedError(f"ID3 text encoding {enc}")
         frames[fid.decode("latin-1")] = text
-    return {"frames": frames, "tag_bytes": end}
+    return {"frames": frames, "tag_bytes": tag_bytes, "version": ver}
 
 
 def parse_mp3_meta(payload: bytes) -> dict[str, Any]:
@@ -3723,6 +3829,9 @@ def build_mp3(
     id3v2_bytes: int = 0,
     id3v2_frames: dict[str, str] | None = None,
     id3v2_encoding: int = 3,
+    id3v2_version: int = 3,
+    id3v2_unsync: bool = False,
+    id3v2_footer: bool = False,
     id3v1: bool = False,
     crc: bool = False,
 ) -> bytes:
@@ -3744,7 +3853,13 @@ def build_mp3(
     )
     out = bytearray()
     if id3v2_frames:
-        out += build_id3v2(id3v2_frames, encoding=id3v2_encoding)
+        out += build_id3v2(
+            id3v2_frames,
+            encoding=id3v2_encoding,
+            version=id3v2_version,
+            unsync=id3v2_unsync,
+            footer=id3v2_footer,
+        )
     elif id3v2_bytes:
         size = id3v2_bytes
         ss = bytes(

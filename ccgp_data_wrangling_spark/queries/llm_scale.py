@@ -3737,9 +3737,12 @@ def multimodal_mp3_subband_decode(
 # ---------------------------------------------------------------------------
 # ID3v2 text frames through the driver gate — audio provenance
 # metadata (title / artist / album / year) read from the tag alone,
-# no audio frame touched: the audio twin of the EXIF layer. Encoding
-# rotates latin-1 / UTF-16-BOM / UTF-8 on k%3 so all three decode
-# paths run in the gate; every 5th k has NO tag (absence is data).
+# no audio frame touched: the audio twin of the EXIF layer. Version
+# rotates v2.3/v2.4 on k-parity (v2.4: syncsafe frame sizes, UTF-16BE
+# enc 2, per-frame unsynchronisation, '3DI' footer on k%4==3);
+# encoding rotates on k%3; unsynchronised rows (k%7==1) carry a
+# literal ÿ so the guard-byte path demonstrably fires; every 5th k
+# has NO tag (absence is data).
 # ---------------------------------------------------------------------------
 
 _ID3_SQL = """
@@ -3749,12 +3752,17 @@ WITH g AS (
 )
 SELECT id,
        (k % 5 <> 2) AS has_tag,
+       CAST(CASE WHEN k % 5 = 2 THEN 0
+                 WHEN k % 2 = 1 THEN 4 ELSE 3 END AS INT) AS tag_version,
        CASE WHEN k % 5 = 2 THEN NULL
             ELSE 'Track ' || CAST(k % 9 AS VARCHAR) END AS title,
        CASE WHEN k % 5 = 2 THEN NULL
-            ELSE 'Artist ' || CAST(id % 7 AS VARCHAR) END AS artist,
+            ELSE 'Artist ' || CAST(id % 7 AS VARCHAR)
+                 || CASE WHEN k % 7 = 1 THEN 'ÿ' ELSE '' END
+       END AS artist,
        CASE WHEN k % 5 = 2 THEN NULL
-            WHEN k % 3 = 0 THEN 'Alb ' || CAST(k % 4 AS VARCHAR)
+            WHEN k % 2 = 0 AND k % 3 = 0
+              THEN 'Alb ' || CAST(k % 4 AS VARCHAR)
             ELSE 'Alb—' || CAST(k % 4 AS VARCHAR) END AS album,
        CASE WHEN k % 5 = 2 THEN NULL
             ELSE CAST(1990 + id % 30 AS VARCHAR) END AS year,
@@ -3767,9 +3775,12 @@ FROM g
 @register("audio_id3_metadata", _ID3_SQL)
 def audio_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID3v2 provenance end-to-end: build_mp3 fixtures carrying real
-    ID3v2.3 tags (TIT2/TPE1/TALB/TYER, rotating text encodings) →
-    parse_id3v2 → metadata columns; the MP3 frame walk skips the tag
-    by its syncsafe size. Two Arrow stages; no audio decode."""
+    ID3v2.3 AND v2.4 tags (TIT2/TPE1/TALB/TYER; rotating text
+    encodings incl. v2.4's UTF-16BE, per-version unsynchronisation
+    with literal ÿ bytes, and the v2.4 footer) → parse_id3v2 →
+    metadata columns; the MP3 frame walk skips the tag — footer
+    included — by its syncsafe size. Two Arrow stages; no audio
+    decode."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -3791,16 +3802,20 @@ def audio_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             for eid in pdf["id"]:
                 e = int(eid)
                 k = e // 20
+                ver = 4 if k % 2 == 1 else 3
+                unsync = k % 7 == 1
                 if k % 5 == 2:
                     frames = None
                 else:
-                    enc = (0, 1, 3)[k % 3]
                     frames = {
                         "TIT2": f"Track {k % 9}",
-                        "TPE1": f"Artist {e % 7}",
+                        "TPE1": (
+                            f"Artist {e % 7}" + ("ÿ" if unsync else "")
+                        ),
                         # em dash only where the encoding carries it
+                        # (enc 0 appears only on v2.3 k%3==0 rows)
                         "TALB": (
-                            f"Alb {k % 4}" if k % 3 == 0
+                            f"Alb {k % 4}" if ver == 3 and k % 3 == 0
                             else f"Alb—{k % 4}"
                         ),
                         "TYER": str(1990 + e % 30),
@@ -3809,7 +3824,12 @@ def audio_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                     build_mp3(
                         n_frames=e % 5 + 2,
                         id3v2_frames=frames,
-                        id3v2_encoding=(0, 1, 3)[k % 3],
+                        id3v2_encoding=(
+                            (0, 1, 3) if ver == 3 else (2, 1, 3)
+                        )[k % 3],
+                        id3v2_version=ver,
+                        id3v2_unsync=unsync,
+                        id3v2_footer=(ver == 4 and k % 4 == 3),
                     )
                 )
             yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
@@ -3824,6 +3844,7 @@ def audio_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {
                         "id": rid,
                         "has_tag": bool(fr),
+                        "tag_version": t["version"],
                         "title": fr.get("TIT2"),
                         "artist": fr.get("TPE1"),
                         "album": fr.get("TALB"),
@@ -3834,8 +3855,8 @@ def audio_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "id", "has_tag", "title", "artist", "album", "year",
-                    "n_text_frames",
+                    "id", "has_tag", "tag_version", "title", "artist",
+                    "album", "year", "n_text_frames",
                 ],
             )
 
@@ -3844,8 +3865,8 @@ def audio_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).mapInPandas(
         meta,
         schema=(
-            "id long, has_tag boolean, title string, artist string, "
-            "album string, year string, n_text_frames int"
+            "id long, has_tag boolean, tag_version int, title string, "
+            "artist string, album string, year string, n_text_frames int"
         ),
     )
 

@@ -1244,17 +1244,81 @@ def test_id3v2_text_frames_roundtrip():
     m = parse_mp3_meta(mp3)
     assert m["id3v2"] and m["n_frames"] == 3
     # absence is data
-    assert parse_id3v2(build_mp3()) == {"frames": {}, "tag_bytes": 0}
+    assert parse_id3v2(build_mp3()) == {
+        "frames": {}, "tag_bytes": 0, "version": 0,
+    }
     # honest gates
     tag = build_id3v2(frames)
-    with _pytest.raises(NotImplementedError, match="ID3v2.4"):
-        parse_id3v2(b"ID3" + bytes([4, 0, 0]) + tag[6:])
-    with _pytest.raises(NotImplementedError, match="unsynchron"):
-        parse_id3v2(b"ID3" + bytes([3, 0, 0x80]) + tag[6:])
+    with _pytest.raises(NotImplementedError, match="ID3v2.2"):
+        parse_id3v2(b"ID3" + bytes([2, 0, 0]) + tag[6:])
     bad = bytearray(tag)
     bad[14] = 0xFF  # TIT2 frame length grows past the tag
     with _pytest.raises(ValueError, match="escapes the tag"):
         parse_id3v2(bytes(bad))
+
+
+def test_id3v24_unsync_and_footer():
+    """ID3v2.4: syncsafe frame sizes, UTF-16BE (enc 2), per-frame and
+    tag-announced unsynchronisation, the '3DI' footer in tag_bytes;
+    v2.3 whole-tag unsynchronisation; texts with real 0xFF bytes so
+    the guard-byte insertion demonstrably fires."""
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _unsync_decode,
+        _unsync_encode,
+        build_id3v2,
+        build_mp3,
+        parse_id3v2,
+        parse_mp3_meta,
+    )
+
+    # raw scheme: FF before E0+/00/end gets a guard byte
+    raw = b"a\xff\xe3b\xff\x00c\xff"
+    enc = _unsync_encode(raw)
+    assert enc == b"a\xff\x00\xe3b\xff\x00\x00c\xff\x00"
+    assert _unsync_decode(enc) == raw
+
+    # the trailing ÿ of the LAST frame precedes padding zeros (v2.3
+    # whole-tag) or the frame end (v2.4 per-frame) — both positions
+    # where the spec requires a guard byte
+    frames = {"TIT2": "Songÿ", "TPE1": "ÿArtist", "TYER": "1999ÿ"}
+    for ver in (3, 4):
+        encs = (0, 1, 3) if ver == 3 else (0, 1, 2, 3)
+        for e in encs:
+            for unsync in (False, True):
+                for footer in ((False, True) if ver == 4 else (False,)):
+                    tag = build_id3v2(
+                        frames, encoding=e, version=ver,
+                        unsync=unsync, footer=footer,
+                    )
+                    got = parse_id3v2(tag + b"\xff\xfbAUDIO")
+                    assert got["frames"] == frames, (ver, e, unsync)
+                    assert got["version"] == ver
+                    assert got["tag_bytes"] == len(tag)
+    # unsync flag is actually set and the ÿ byte really was guarded
+    t3 = build_id3v2(frames, encoding=0, version=3, unsync=True)
+    assert t3[5] & 0x80 and b"\xff\x00" in t3[10:]
+    t4 = build_id3v2(frames, encoding=0, version=4, unsync=True)
+    assert t4[5] & 0x80
+    # the MP3 frame walk skips v2.4 tags (incl. footer) by size
+    mp3 = build_mp3(
+        id3v2_frames=frames, id3v2_version=4, id3v2_unsync=True,
+        id3v2_footer=True, n_frames=3,
+    )
+    assert parse_id3v2(mp3)["frames"]["TIT2"] == "Songÿ"
+    m = parse_mp3_meta(mp3)
+    assert m["id3v2"] and m["n_frames"] == 3
+    # v2.4 syncsafe frame-size validation
+    t = bytearray(build_id3v2(frames, encoding=3, version=4))
+    t[14] = 0x80  # high bit in a syncsafe size byte
+    with _pytest.raises(ValueError, match="syncsafe frame size"):
+        parse_id3v2(bytes(t))
+    # writer guards
+    with _pytest.raises(ValueError, match="v2.4-only"):
+        build_id3v2(frames, encoding=2, version=3)
+    with _pytest.raises(ValueError, match="footer is v2.4-only"):
+        build_id3v2(frames, version=3, footer=True)
 
 
 def test_mp4_sample_tables_roundtrip():
