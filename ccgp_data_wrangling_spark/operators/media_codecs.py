@@ -1022,6 +1022,9 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def bits_read(self) -> int:
+        return 8 * self.pos + self.bit
+
     def receive_extend(self, s: int) -> int:
         """T.81 EXTEND: s magnitude bits -> signed amplitude."""
         if s == 0:
@@ -3493,6 +3496,440 @@ def decode_mp3_layer1_subbands(payload: bytes) -> list[dict[str, Any]]:
         frame_no += 1
         pos += flen
     return out
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Layer III (ISO 11172-3 §2.4.1.7 / §2.4.2.7) — side info,
+# scalefactors, big-value + count1 Huffman regions and spectral
+# requantization: every decode stage BEFORE the IMDCT/polyphase
+# synthesis, which stays behind the honest real_decode gate. This is
+# the same filter-before-decode screening depth the Layer I subband
+# decoder provides, at Layer III's spectral-line granularity — the
+# per-scalefactor-band energy envelope audio curation consumes.
+#
+# Huffman tables are spec constants with no computational derivation
+# (unlike the AES S-box); tables 1-3 (pair, linbits 0) and the two
+# count1 quadruple tables are transcribed from ISO 11172-3 Table B.7
+# and validated prefix-free at import; the remaining 29 pair tables
+# (incl. all linbits/ESC tables) raise honestly by table id.
+# ---------------------------------------------------------------------------
+
+# scalefac_compress → (slen1, slen2)  (§2.4.2.7)
+_L3_SLEN = [
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+]
+# preemphasis table, long blocks (Table B.6)
+_L3_PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0]
+# long-block scalefactor band boundaries in spectral lines (Table B.8)
+_L3_SFB_LONG = {
+    44100: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+            134, 162, 196, 238, 288, 342, 418, 576],
+    48000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+            128, 156, 190, 230, 276, 330, 384, 576],
+    32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+            156, 194, 240, 296, 364, 448, 550, 576],
+}
+
+# pair tables: {(x, y): (hlen, hcod)} — Table B.7, tables 1-3
+_L3_PAIR_TABLES: dict[int, dict[tuple[int, int], tuple[int, int]]] = {
+    1: {
+        (0, 0): (1, 0b1), (0, 1): (3, 0b001),
+        (1, 0): (2, 0b01), (1, 1): (3, 0b000),
+    },
+    2: {
+        (0, 0): (1, 0b1), (0, 1): (3, 0b010), (0, 2): (6, 0b000001),
+        (1, 0): (3, 0b011), (1, 1): (3, 0b001), (1, 2): (5, 0b00001),
+        (2, 0): (5, 0b00011), (2, 1): (5, 0b00010), (2, 2): (6, 0b000000),
+    },
+    3: {
+        (0, 0): (2, 0b11), (0, 1): (2, 0b10), (0, 2): (6, 0b000001),
+        (1, 0): (3, 0b001), (1, 1): (2, 0b01), (1, 2): (5, 0b00001),
+        (2, 0): (5, 0b00011), (2, 1): (5, 0b00010), (2, 2): (6, 0b000000),
+    },
+}
+# count1 quadruple tables: index = v<<3 | w<<2 | x<<1 | y
+_L3_COUNT1_A: dict[int, tuple[int, int]] = {
+    0: (1, 0b1), 1: (4, 0b0101), 2: (4, 0b0100), 3: (5, 0b00101),
+    4: (4, 0b0110), 5: (6, 0b000101), 6: (5, 0b00100), 7: (6, 0b000100),
+    8: (4, 0b0111), 9: (6, 0b000011), 10: (5, 0b00110),
+    11: (6, 0b000001), 12: (5, 0b00111), 13: (6, 0b000010),
+    14: (6, 0b000110), 15: (6, 0b000000),
+}
+_L3_COUNT1_B: dict[int, tuple[int, int]] = {
+    i: (4, (~i) & 0xF) for i in range(16)
+}
+
+
+def _prefix_free(table: dict) -> None:
+    codes = [(ln, code) for ln, code in table.values()]
+    if len({(ln, c) for ln, c in codes}) != len(codes):
+        raise AssertionError("duplicate Huffman code in table")
+    for ln1, c1 in codes:
+        for ln2, c2 in codes:
+            if ln1 < ln2 and (c2 >> (ln2 - ln1)) == c1:
+                raise AssertionError("Huffman table is not prefix-free")
+
+
+for _t in _L3_PAIR_TABLES.values():
+    _prefix_free(_t)
+_prefix_free(_L3_COUNT1_A)
+_prefix_free(_L3_COUNT1_B)
+
+
+def _l3_huff_decode(reader: "_BitReader", table: dict) -> tuple:
+    """Walk bits MSB-first until a code in ``table`` matches; the
+    tables are prefix-free (validated at import), so first match is
+    THE match. Returns the symbol key."""
+    by_code = {(ln, c): sym for sym, (ln, c) in table.items()}
+    code, ln = 0, 0
+    while ln <= 19:
+        code = (code << 1) | reader.read_bits(1)
+        ln += 1
+        sym = by_code.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Layer III Huffman code")
+
+
+def parse_mp3_layer3_sideinfo(payload: bytes) -> list[dict[str, Any]]:
+    """Parse the Layer III side information (§2.4.1.7) of every frame:
+    one dict per (frame, granule) with main_data_begin, scfsi,
+    part2_3_length, big_values, global_gain, scalefac_compress,
+    window switching / block type, table_select, region counts,
+    preflag, scalefac_scale, count1table_select. Mono MPEG-1 only
+    (stereo granule interleaving raises honestly)."""
+    pos = 0
+    end = len(payload)
+    out: list[dict[str, Any]] = []
+    frame_no = 0
+    while pos < end:
+        if end - pos < 4:
+            raise ValueError("truncated Layer III frame header")
+        hdr = int.from_bytes(payload[pos : pos + 4], "big")
+        if hdr >> 21 != 0x7FF:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        if (hdr >> 19) & 0x3 != 3 or (hdr >> 17) & 0x3 != 1:
+            raise NotImplementedError(
+                "side-info parse implemented for MPEG-1 Layer III only"
+            )
+        if (hdr >> 6) & 0x3 != 3:
+            raise NotImplementedError("stereo Layer III side info")
+        crc = not (hdr >> 16) & 0x1
+        bidx = (hdr >> 12) & 0xF
+        ridx = (hdr >> 10) & 0x3
+        bitrate = _MP3_BITRATES[("MPEG1", 3)][bidx]
+        if bitrate == 0:
+            raise NotImplementedError("free-format Layer III bitrate")
+        rate = _MP3_RATES["MPEG1"][ridx]
+        padding = (hdr >> 9) & 0x1
+        flen = _mp3_frame_len("MPEG1", 3, bitrate, rate, padding)
+        if pos + flen > end:
+            raise ValueError("truncated final Layer III frame")
+        si = _BitReader(
+            payload[pos + 4 + (2 if crc else 0) : pos + flen]
+        )
+        main_data_begin = si.read_bits(9)
+        si.read_bits(5)  # private_bits (mono)
+        scfsi = si.read_bits(4)
+        for gr in range(2):
+            g: dict[str, Any] = {
+                "frame": frame_no,
+                "granule": gr,
+                "sample_rate": rate,
+                "main_data_begin": main_data_begin,
+                "scfsi": scfsi,
+                "part2_3_length": si.read_bits(12),
+                "big_values": si.read_bits(9),
+                "global_gain": si.read_bits(8),
+                "scalefac_compress": si.read_bits(4),
+            }
+            wsf = si.read_bits(1)
+            g["window_switching"] = bool(wsf)
+            if wsf:
+                g["block_type"] = si.read_bits(2)
+                g["mixed_block"] = bool(si.read_bits(1))
+                g["table_select"] = [si.read_bits(5) for _ in range(2)]
+                g["subblock_gain"] = [si.read_bits(3) for _ in range(3)]
+                g["region0_count"] = 7  # spec-implied defaults
+                g["region1_count"] = 36
+            else:
+                g["table_select"] = [si.read_bits(5) for _ in range(3)]
+                g["region0_count"] = si.read_bits(4)
+                g["region1_count"] = si.read_bits(3)
+            g["preflag"] = si.read_bits(1)
+            g["scalefac_scale"] = si.read_bits(1)
+            g["count1table_select"] = si.read_bits(1)
+            out.append(g)
+        frame_no += 1
+        pos += flen
+    return out
+
+
+def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
+    """REAL Layer III decode through requantization (§2.4.3.4): per
+    granule, read the long-block scalefactors, decode the big-value
+    pair region (tables 1-3) and the count1 quadruple region (tables
+    A/B) from the Huffman-coded main data, apply
+    ``xr = sign·|is|^(4/3)·2^((global_gain−210)/4)
+    ·2^(−mult·(scalefac+preflag·pretab))`` and emit one row per
+    scalefactor band: (frame, granule, sfb, width, n_nonzero, rms).
+    This is the spectral-envelope screening layer; IMDCT + synthesis
+    still raise via real_decode's gate.
+
+    Scope gates (each raises honestly): mono MPEG-1 long blocks;
+    ``main_data_begin == 0`` (no bit reservoir — the fixture writer's
+    scope); ``scfsi == 0``; Huffman tables beyond 0-3/A/B."""
+    sis = parse_mp3_layer3_sideinfo(payload)
+    # main data: frame-parallel walk (no reservoir → main data sits
+    # entirely inside its own frame, right after the side info)
+    pos = 0
+    end = len(payload)
+    out: list[dict[str, Any]] = []
+    frame_no = 0
+    while pos < end:
+        hdr = int.from_bytes(payload[pos : pos + 4], "big")
+        crc = not (hdr >> 16) & 0x1
+        bidx = (hdr >> 12) & 0xF
+        ridx = (hdr >> 10) & 0x3
+        bitrate = _MP3_BITRATES[("MPEG1", 3)][bidx]
+        rate = _MP3_RATES["MPEG1"][ridx]
+        padding = (hdr >> 9) & 0x1
+        flen = _mp3_frame_len("MPEG1", 3, bitrate, rate, padding)
+        bounds = _L3_SFB_LONG[rate]
+        main = _BitReader(
+            payload[pos + 4 + (2 if crc else 0) + 17 : pos + flen]
+        )
+        for gr in range(2):
+            g = next(
+                s for s in sis
+                if s["frame"] == frame_no and s["granule"] == gr
+            )
+            if g["main_data_begin"] != 0:
+                raise NotImplementedError(
+                    "Layer III bit reservoir (main_data_begin != 0)"
+                )
+            if g["scfsi"] != 0:
+                raise NotImplementedError("scfsi scalefactor reuse")
+            if g["window_switching"]:
+                raise NotImplementedError(
+                    "short/mixed block Layer III decode"
+                )
+            bits_before = main.bits_read()
+            slen1, slen2 = _L3_SLEN[g["scalefac_compress"]]
+            scalefac = [0] * 22
+            for b in range(11):
+                scalefac[b] = main.read_bits(slen1) if slen1 else 0
+            for b in range(11, 21):
+                scalefac[b] = main.read_bits(slen2) if slen2 else 0
+            xr = [0.0] * 576
+            is_nonzero = [False] * 576
+            gain = 2.0 ** (0.25 * (g["global_gain"] - 210))
+            mult = 0.5 * (g["scalefac_scale"] + 1)
+
+            def band_of(i: int) -> int:
+                for b in range(22):
+                    if bounds[b] <= i < bounds[b + 1]:
+                        return b
+                raise ValueError("spectral line beyond 576")
+
+            def requant(i: int, val: int, neg: bool) -> None:
+                b = band_of(i)
+                fac = 2.0 ** (
+                    -mult
+                    * (
+                        scalefac[b]
+                        + g["preflag"] * _L3_PRETAB[b]
+                    )
+                )
+                v = (abs(val) ** (4.0 / 3.0)) * gain * fac
+                xr[i] = -v if neg else v
+                is_nonzero[i] = val != 0
+
+            # big-value pair region
+            line = 0
+            for _p in range(g["big_values"]):
+                # region → table select (regions bound by sfb index)
+                r0_end = bounds[
+                    min(g["region0_count"] + 1, 22)
+                ]
+                r1_end = bounds[
+                    min(
+                        g["region0_count"] + 1 + g["region1_count"] + 1,
+                        22,
+                    )
+                ]
+                region = 0 if line < r0_end else (1 if line < r1_end else 2)
+                tsel = g["table_select"][region]
+                if tsel == 0:
+                    x = y = 0
+                elif tsel in _L3_PAIR_TABLES:
+                    x, y = _l3_huff_decode(main, _L3_PAIR_TABLES[tsel])
+                else:
+                    raise NotImplementedError(
+                        f"Layer III Huffman table {tsel} not transcribed"
+                    )
+                for val in (x, y):
+                    neg = bool(val and main.read_bits(1))
+                    requant(line, val, neg)
+                    line += 1
+            # count1 region: quads until the granule's bit budget is
+            # spent (fixtures are exact — a decoder overshoot raises)
+            c1tab = (
+                _L3_COUNT1_B
+                if g["count1table_select"]
+                else _L3_COUNT1_A
+            )
+            budget = g["part2_3_length"]
+            while main.bits_read() - bits_before < budget:
+                quad = _l3_huff_decode(main, c1tab)
+                for val in (
+                    (quad >> 3) & 1, (quad >> 2) & 1,
+                    (quad >> 1) & 1, quad & 1,
+                ):
+                    neg = bool(val and main.read_bits(1))
+                    if line >= 576:
+                        raise ValueError(
+                            "count1 region exceeds 576 spectral lines"
+                        )
+                    requant(line, val, neg)
+                    line += 1
+            if main.bits_read() - bits_before != budget:
+                raise ValueError(
+                    "Layer III granule overran part2_3_length"
+                )
+            for b in range(22):
+                lo, hi = bounds[b], bounds[b + 1]
+                acc = sum(xr[i] * xr[i] for i in range(lo, hi))
+                out.append(
+                    {
+                        "frame": frame_no,
+                        "granule": gr,
+                        "sfb": b,
+                        "width": hi - lo,
+                        "n_nonzero": sum(
+                            1 for i in range(lo, hi) if is_nonzero[i]
+                        ),
+                        "rms": round((acc / (hi - lo)) ** 0.5, 6),
+                    }
+                )
+        frame_no += 1
+        pos += flen
+    return out
+
+
+def build_mp3_layer3(
+    *,
+    sample_rate: int = 44100,
+    bitrate_kbps: int = 192,
+    granules: list[dict[str, Any]],
+    n_frames: int = 1,
+) -> bytes:
+    """Fixture writer: mono MPEG-1 Layer III frames with REAL side
+    info and Huffman-coded main data (§2.4.1.7). Each granule dict:
+    ``global_gain``, ``scalefac_compress``, ``scalefac`` (21 values
+    fitting the slen widths), ``preflag``, ``scalefac_scale``,
+    ``table`` (1-3, used for all three regions), ``pairs`` (signed
+    big-value pairs, |v| within the table), ``quads`` (signed count1
+    4-tuples), ``count1table`` ('A' or 'B'), ``region0_count``,
+    ``region1_count``. part2_3_length is computed exactly from the
+    emitted bits; main_data_begin is 0 (no reservoir)."""
+    if len(granules) != 2:
+        raise ValueError("Layer III frame carries exactly 2 granules")
+    ridx = _MP3_RATES["MPEG1"].index(sample_rate)
+    bidx = _MP3_BITRATES[("MPEG1", 3)].index(bitrate_kbps)
+    flen = _mp3_frame_len("MPEG1", 3, bitrate_kbps, sample_rate, 0)
+    hdr = (
+        (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+        | (bidx << 12) | (ridx << 10) | (3 << 6)
+    )
+
+    def granule_main_bits(g: dict[str, Any]) -> list[tuple[int, int]]:
+        bits: list[tuple[int, int]] = []
+        slen1, slen2 = _L3_SLEN[g["scalefac_compress"]]
+        sf = g["scalefac"]
+        if len(sf) != 21:
+            raise ValueError("need 21 long-block scalefactors")
+        for b in range(11):
+            if slen1:
+                if sf[b] >= (1 << slen1):
+                    raise ValueError("scalefactor exceeds slen1 width")
+                bits.append((sf[b], slen1))
+            elif sf[b]:
+                raise ValueError("nonzero scalefactor with slen 0")
+        for b in range(11, 21):
+            if slen2:
+                if sf[b] >= (1 << slen2):
+                    raise ValueError("scalefactor exceeds slen2 width")
+                bits.append((sf[b], slen2))
+            elif sf[b]:
+                raise ValueError("nonzero scalefactor with slen 0")
+        table = _L3_PAIR_TABLES[g["table"]]
+        for x, y in g["pairs"]:
+            ln, code = table[(abs(x), abs(y))]
+            bits.append((code, ln))
+            if x:
+                bits.append((1 if x < 0 else 0, 1))
+            if y:
+                bits.append((1 if y < 0 else 0, 1))
+        c1 = _L3_COUNT1_A if g.get("count1table", "A") == "A" else _L3_COUNT1_B
+        for quad in g.get("quads", []):
+            idx = 0
+            for v in quad:
+                idx = (idx << 1) | (1 if v else 0)
+            ln, code = c1[idx]
+            bits.append((code, ln))
+            for v in quad:
+                if v:
+                    bits.append((1 if v < 0 else 0, 1))
+        return bits
+
+    out = bytearray()
+    for _f in range(n_frames):
+        mains = [granule_main_bits(g) for g in granules]
+        side: list[tuple[int, int]] = [
+            (0, 9),  # main_data_begin
+            (0, 5),  # private_bits
+            (0, 4),  # scfsi
+        ]
+        for g, mb in zip(granules, mains):
+            part23 = sum(ln for _v, ln in mb)
+            if part23 >= 1 << 12:
+                raise ValueError("granule main data exceeds 12-bit length")
+            side += [
+                (part23, 12),
+                (len(g["pairs"]), 9),
+                (g["global_gain"], 8),
+                (g["scalefac_compress"], 4),
+                (0, 1),  # window_switching_flag
+                (g["table"], 5), (g["table"], 5), (g["table"], 5),
+                (g.get("region0_count", 3), 4),
+                (g.get("region1_count", 3), 3),
+                (g.get("preflag", 0), 1),
+                (g.get("scalefac_scale", 0), 1),
+                (1 if g.get("count1table", "A") == "B" else 0, 1),
+            ]
+        bits = side + mains[0] + mains[1]
+        total = sum(ln for _v, ln in bits)
+        if 32 + total > flen * 8:
+            raise ValueError(
+                f"frame needs {32 + total} bits, holds {flen * 8}"
+            )
+        frame = bytearray(flen)
+        frame[0:4] = hdr.to_bytes(4, "big")
+        acc, n, bpos = 0, 0, 4
+        for v, ln in bits:
+            for i in range(ln - 1, -1, -1):
+                acc = (acc << 1) | ((v >> i) & 1)
+                n += 1
+                if n == 8:
+                    frame[bpos] = acc
+                    bpos += 1
+                    acc, n = 0, 0
+        if n:
+            frame[bpos] = acc << (8 - n)
+        out += frame
+    return bytes(out)
 
 
 def _unsync_encode(data: bytes) -> bytes:

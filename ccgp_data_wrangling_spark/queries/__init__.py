@@ -54,6 +54,7 @@ _PRIORITY: list[str] = [
     # r8 additions (first driver rows)
     "multimodal_mp4_fragmented_keyframes",
     "multimodal_tiff_compressed_decode",
+    "multimodal_mp3_layer3_spectrum",
     "quality_model_filter",
     "multimodal_mp4_keyframes",
     "image_exif_orientation",

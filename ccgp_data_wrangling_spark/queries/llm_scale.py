@@ -3735,6 +3735,177 @@ def multimodal_mp3_subband_decode(
 
 
 # ---------------------------------------------------------------------------
+# MP3 Layer III spectral screening through the driver gate — side
+# info, scalefactors, big-value + count1 Huffman decode and
+# requantization (ISO 11172-3 §2.4.2.7 / §2.4.3.4), the
+# filter-before-decode depth for MUSIC corpora (Layer I's subband
+# path covers the legacy layer). Fixture granules are pure event_id
+# arithmetic — pair values via table 3, count1 quads via tables A/B,
+# scalefactors under compress index 9 — so the oracle replays the
+# whole requantization chain in SQL: POWER(|c|, 4/3) · 2^((gg-210)/4)
+# · 2^(−mult·(sf+pre·pretab)), band-joined against the Table B.8
+# boundaries inlined as VALUES. IMDCT/synthesis still raise.
+# ---------------------------------------------------------------------------
+
+_MP3_L3_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 14
+),
+gr AS (
+  SELECT id, k, UNNEST([0, 1]) AS granule FROM g
+),
+p AS (
+  SELECT id, k, granule,
+         3 + id % 4 AS np, 1 + k % 3 AS nq,
+         140 + id % 50 + 10 * granule AS gg,
+         k % 2 AS pre, (k // 2) % 2 AS scale
+  FROM gr
+),
+lines AS (
+  SELECT p.*, UNNEST(generate_series(0, 2 * np + 4 * nq - 1)) AS line
+  FROM p
+),
+vals AS (
+  SELECT *, CASE
+      WHEN line < 2 * np AND line % 2 = 0
+        THEN ((line // 2) * 3 + id) % 5 - 2
+      WHEN line < 2 * np
+        THEN ((line // 2) * 5 + id + granule) % 5 - 2
+      ELSE ((id + ((line - 2 * np) // 4) * 4
+             + (line - 2 * np) % 4 + granule) % 3) - 1
+    END AS c
+  FROM lines
+),
+bands AS (
+  SELECT * FROM (VALUES
+    (0,0,4,0),(1,4,8,0),(2,8,12,0),(3,12,16,0),(4,16,20,0),(5,20,24,0),
+    (6,24,30,0),(7,30,36,0),(8,36,44,0),(9,44,52,0),(10,52,62,0),
+    (11,62,74,1),(12,74,90,1),(13,90,110,1),(14,110,134,1),
+    (15,134,162,2),(16,162,196,2),(17,196,238,3),(18,238,288,3),
+    (19,288,342,3),(20,342,418,2),(21,418,576,0)
+  ) AS b(sfb, lo, hi, pretab)
+),
+agg AS (
+  SELECT v.id, v.granule, b.sfb,
+         CAST(SUM(CASE WHEN v.c <> 0 THEN 1 ELSE 0 END) AS INT) AS nnz,
+         SUM(POWER(
+           POWER(ABS(v.c), 4.0 / 3.0)
+           * POWER(2.0, 0.25 * (v.gg - 210))
+           * POWER(2.0, -(0.5 * (v.scale + 1))
+                   * ((v.id + b.sfb + v.granule) % 4
+                      + v.pre * b.pretab)),
+           2)) AS e
+  FROM vals v
+  JOIN bands b ON v.line >= b.lo AND v.line < b.hi
+  GROUP BY 1, 2, 3
+)
+SELECT p.id,
+       0 AS frame,
+       CAST(p.granule AS INT) AS granule,
+       CAST(b.sfb AS INT) AS sfb,
+       CAST(b.hi - b.lo AS INT) AS width,
+       CAST(COALESCE(a.nnz, 0) AS INT) AS n_nonzero,
+       ROUND(SQRT(COALESCE(a.e, 0.0) / (b.hi - b.lo)), 6) AS rms
+FROM p CROSS JOIN bands b
+LEFT JOIN agg a ON a.id = p.id AND a.granule = p.granule
+                AND a.sfb = b.sfb
+"""
+
+
+@register("multimodal_mp3_layer3_spectrum", _MP3_L3_SQL)
+def multimodal_mp3_layer3_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Layer III decode-to-requantization end-to-end:
+    build_mp3_layer3 fixtures (real side info, Huffman-coded
+    big-value pairs via table 3, count1 quads rotating tables A/B
+    per granule, 21 transmitted scalefactors, preflag and both
+    scalefac_scale multipliers on k-rotation) →
+    decode_mp3_layer3_spectrum → per-scalefactor-band RMS envelope.
+    Two Arrow stages; IMDCT/polyphase synthesis still raise."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3_layer3,
+        decode_mp3_layer3_spectrum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 14
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                np_, nq = 3 + e % 4, 1 + k % 3
+                grans = []
+                for gr in range(2):
+                    pairs = [
+                        (
+                            (i * 3 + e) % 5 - 2,
+                            (i * 5 + e + gr) % 5 - 2,
+                        )
+                        for i in range(np_)
+                    ]
+                    quads = [
+                        tuple(
+                            (e + j * 4 + q + gr) % 3 - 1
+                            for q in range(4)
+                        )
+                        for j in range(nq)
+                    ]
+                    grans.append(
+                        dict(
+                            global_gain=140 + e % 50 + 10 * gr,
+                            scalefac_compress=9,
+                            scalefac=[
+                                (e + b + gr) % 4 for b in range(21)
+                            ],
+                            preflag=k % 2,
+                            scalefac_scale=(k // 2) % 2,
+                            table=3,
+                            pairs=pairs,
+                            quads=quads,
+                            count1table="A" if gr == 0 else "B",
+                        )
+                    )
+                payloads.append(build_mp3_layer3(granules=grans))
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                for r in decode_mp3_layer3_spectrum(bytes(blob)):
+                    rows.append({"id": rid, **r})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "frame", "granule", "sfb", "width",
+                    "n_nonzero", "rms",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        decode,
+        schema=(
+            "id long, frame int, granule int, sfb int, width int, "
+            "n_nonzero int, rms double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # ID3v2 text frames through the driver gate — audio provenance
 # metadata (title / artist / album / year) read from the tag alone,
 # no audio frame touched: the audio twin of the EXIF layer. Version

@@ -1678,3 +1678,120 @@ def test_mp4_co64_offsets_roundtrip():
             blob[r["offset"] : r["offset"] + r["size"]]
             == _mp4_sample_payload(r["sample"], r["size"])
         )
+
+
+def test_mp3_layer3_sideinfo_and_spectrum():
+    """Layer III (ISO 11172-3 §2.4.1.7 / §2.4.3.4): side-info fields
+    round-trip bit-exactly through the fixture writer; big-value
+    pairs (tables 1-3), count1 quads (tables A and B), scalefactors,
+    preflag/pretab and both scalefac_scale multipliers requantize to
+    the hand-computed spectral envelope; honest gates for the bit
+    reservoir, stereo, short blocks and untranscribed tables."""
+    import math
+
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _L3_PRETAB,
+        _L3_SFB_LONG,
+        build_mp3_layer3,
+        decode_mp3_layer3_spectrum,
+        parse_mp3_layer3_sideinfo,
+    )
+
+    g1 = dict(
+        global_gain=160, scalefac_compress=9,
+        scalefac=[(3 + b) % 4 for b in range(21)], preflag=1,
+        scalefac_scale=0, table=3,
+        pairs=[(1, -2), (0, 2), (-1, 1), (2, 0)],
+        quads=[(1, 0, -1, 1), (0, 0, 0, -1)],
+        count1table="A", region0_count=3, region1_count=3,
+    )
+    g2 = dict(
+        g1, global_gain=170, count1table="B", scalefac_scale=1,
+        table=2, pairs=[(2, 2), (-2, -1)], quads=[(1, 1, 1, 1)],
+    )
+    blob = build_mp3_layer3(granules=[g1, g2], n_frames=2)
+    si = parse_mp3_layer3_sideinfo(blob)
+    assert len(si) == 4  # 2 frames x 2 granules
+    s0, s1 = si[0], si[1]
+    assert s0["big_values"] == 4 and s1["big_values"] == 2
+    assert s0["global_gain"] == 160 and s1["global_gain"] == 170
+    assert s0["count1table_select"] == 0 and s1["count1table_select"] == 1
+    assert s0["table_select"] == [3, 3, 3]
+    assert s1["table_select"] == [2, 2, 2]
+    assert not s0["window_switching"]
+
+    rows = decode_mp3_layer3_spectrum(blob)
+    assert len(rows) == 2 * 2 * 22
+    bounds = _L3_SFB_LONG[44100]
+
+    def expect(g, gain_db, lines):
+        xr = [0.0] * 576
+        mult = 0.5 * (g["scalefac_scale"] + 1)
+        for i, c in enumerate(lines):
+            b = next(
+                bb for bb in range(22)
+                if bounds[bb] <= i < bounds[bb + 1]
+            )
+            fac = 2.0 ** (
+                -mult
+                * ((g["scalefac"][b] if b < 21 else 0)
+                   + g["preflag"] * _L3_PRETAB[b])
+            )
+            v = (abs(c) ** (4.0 / 3.0)) * (
+                2.0 ** (0.25 * (gain_db - 210))
+            ) * fac
+            xr[i] = -v if c < 0 else v
+        return xr
+
+    flat1 = [1, -2, 0, 2, -1, 1, 2, 0, 1, 0, -1, 1, 0, 0, 0, -1]
+    xr = expect(g1, 160, flat1)
+    for r in rows:
+        if r["frame"] == 0 and r["granule"] == 0:
+            lo, hi = bounds[r["sfb"]], bounds[r["sfb"] + 1]
+            exp = round(
+                math.sqrt(sum(x * x for x in xr[lo:hi]) / (hi - lo)), 6
+            )
+            assert r["rms"] == exp, r
+            assert r["n_nonzero"] == sum(
+                1 for i in range(lo, hi)
+                if i < len(flat1) and flat1[i] != 0
+            )
+    # frame 2 repeats frame 1 exactly
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r["granule"], r["sfb"]), []).append(r["rms"])
+    assert all(len(v) == 2 and v[0] == v[1] for v in by_key.values())
+
+    # honest gates
+    bad = bytearray(blob)
+    # main_data_begin: first 9 bits after the 4-byte header
+    bad[4] = 0x80
+    with _pytest.raises(NotImplementedError, match="bit reservoir"):
+        decode_mp3_layer3_spectrum(bytes(bad))
+    stereo = bytearray(blob)
+    stereo[3] &= 0x3F  # channel mode 00 = stereo
+    with _pytest.raises(NotImplementedError, match="stereo"):
+        parse_mp3_layer3_sideinfo(bytes(stereo))
+    with _pytest.raises(ValueError, match="need 21"):
+        build_mp3_layer3(granules=[dict(g1, scalefac=[0] * 5), g2])
+    # an untranscribed Huffman table id in table_select
+    big = dict(g1, table=16)
+    with _pytest.raises(KeyError):
+        build_mp3_layer3(granules=[big, g2])
+    # decoder-side gate: patch table_select bits to 16 in side info
+    si_patch = bytearray(blob)
+    # granule0 table_select starts at bit 9+5+4+12+9+8+4+1 = 52 after
+    # side-info start (byte 4): bits 52..56
+    def set_bits(buf, bitpos, width, val):
+        for i in range(width):
+            byte = 4 + (bitpos + i) // 8
+            bit = 7 - (bitpos + i) % 8
+            if (val >> (width - 1 - i)) & 1:
+                buf[byte] |= 1 << bit
+            else:
+                buf[byte] &= ~(1 << bit)
+    set_bits(si_patch, 52, 5, 16)
+    with _pytest.raises(NotImplementedError, match="table 16"):
+        decode_mp3_layer3_spectrum(bytes(si_patch))
