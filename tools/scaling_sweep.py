@@ -1,0 +1,222 @@
+"""Registry-wide decade-scaling sweep (round-7 verdict task 7 → r8).
+
+Times each family at sf0.1 and at the 10× anti-gaming scale-up from
+tools/make_scaled_sf.py (id-shifted, vowel-permuted, rotation-
+decorrelated — naive copying would fake quadratic truth), fits
+``exponent = log(t_big / t_small) / log(factor)`` per family, and —
+new in r8 — measures the three incremental dedup streams' per-batch
+fold time and state growth, turning the "state never grows / folds
+are delta-bound" claim into numbers:
+
+* per-batch fold seconds over N sequential batches: a fold that
+  joins state × state (instead of delta × (state ∪ delta)) shows
+  monotonically growing per-batch time; a delta-bound fold stays
+  flat (late/early ratio ≈ 1, noise aside);
+* state rows after every batch: linear in DISTINCT content folded.
+
+Writes SCALING_SWEEP_r08.json.  Usage:
+    python tools/make_scaled_sf.py          # once, builds /tmp/sf_scaled
+    python tools/scaling_sweep.py           # full sweep (~1 h idle box)
+    python tools/scaling_sweep.py q1 q2     # subset, for iteration
+    SPARK_GRAFT_SWEEP_STREAMS=0 ...         # skip the stream harness
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from ccgp_data_wrangling_spark.caching import CacheScope, use_scope
+from ccgp_data_wrangling_spark.queries import all_queries
+from ccgp_data_wrangling_spark.session import get_spark
+
+SMALL = "/root/testdata/sf0.1"
+BIG = os.environ.get("SPARK_GRAFT_SCALED_DIR", "/tmp/sf_scaled")
+FACTOR = float(os.environ.get("SPARK_GRAFT_SCALED_FACTOR", "10"))
+OUT = os.environ.get("SPARK_GRAFT_SWEEP_OUT", "SCALING_SWEEP_r08.json")
+
+FLAGSHIP = [
+    "j1_linkage_fileset",
+    "minhash_neardup_planted",
+    "fingerprint_hamming_neardup",
+    "tfidf_cosine_neardup",
+    "span_dedup_crossdoc",
+    "ann_ivf_multiquery_planted",
+]
+
+# r7 sweep families, carried for round-over-round comparability
+R7_FAMILIES = [
+    "q1_pricing_summary", "q3_top_orders", "r1_adjacent_pairs",
+    "t_hourly_rollup", "ngram_jaccard_neardup",
+    "containment_join_retrieval", "knn_top10_cosine",
+    "interval_coverage_users", "dedup_exact_canonical", "token_counts",
+    "kmv_distinct_users", "bm25_topk_retrieval", "rag_retrieve_chunks",
+    "cdc_chunk_dedup_shifted", "entity_resolution_golden",
+    "bigram_lm_score", "repetition_filter_gopher", "market_basket_pairs",
+    "url_normalize_dedup", "event_path_trigrams", "simhash_dup_planted",
+    "embedding_cosine_neardup", "curation_pipeline_e2e",
+    "semantic_dedup_lsh_planted", "trajectory_hausdorff_pairs",
+    "image_phash_neardup_dedup", "quality_model_filter",
+]
+
+# r8 additions: the previously-unfitted heavy families (verdict #7)
+R8_FAMILIES = [
+    "bpe_encode_token_count", "audio_clip_match",
+    "multimodal_curation_e2e", "wds_shard_ingest",
+    "warc_ingest_extract", "line_dedup_firstwins",
+    "multimodal_mp4_keyframes", "multimodal_mp4_fragmented_keyframes",
+    "multimodal_tiff_compressed_decode", "multimodal_mp3_layer3_spectrum",
+    "image_orientation_dedup", "triangle_count_linkgraph",
+    "bfs_seed_distance", "pdf_encrypted_extract", "pagerank_link_graph",
+    "hll_distinct_users", "pack_context_windows",
+    "contamination_ngram_overlap",
+]
+
+
+def time_query(qs, spark, name: str, d: str) -> float:
+    samples = []
+    with CacheScope() as sc, use_scope(sc):
+        for _ in range(3):
+            df = qs[name](spark, d)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[1], 3)
+
+
+def fit(qs, spark, names: list[str]) -> dict[str, dict]:
+    out: dict[str, dict] = {}
+    for name in names:
+        try:
+            t_small = time_query(qs, spark, name, SMALL)
+            t_big = time_query(qs, spark, name, BIG)
+            out[name] = {
+                "t_sf0.1_sec": t_small,
+                "t_10x_sec": t_big,
+                "exponent": round(
+                    math.log(max(t_big, 1e-3) / max(t_small, 1e-3))
+                    / math.log(FACTOR),
+                    3,
+                ),
+            }
+            print(f"{name}: {t_small} -> {t_big} "
+                  f"(exp {out[name]['exponent']})", flush=True)
+        except Exception as e:  # noqa: BLE001 — sweep must not die mid-run
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"{name}: ERROR {e}", flush=True)
+    return out
+
+
+def stream_harness(spark, n_batches: int = 6) -> dict:
+    """Per-batch fold time + state growth for the three incremental
+    dedup states, fed sequential slices of the sf0.1 documents table.
+    A delta-bound fold's per-batch time is flat in the batch index;
+    state rows grow with distinct content only."""
+    from ccgp_data_wrangling_spark.streaming.hamming_stream import (
+        HammingDedupState,
+    )
+    from ccgp_data_wrangling_spark.streaming.linededup_stream import (
+        LineDedupState,
+    )
+    from ccgp_data_wrangling_spark.streaming.neardup_stream import (
+        MinHashDedupState,
+    )
+
+    docs = spark.read.parquet(f"{SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.cache().count()
+    root = tempfile.mkdtemp(prefix="sweep_streams_")
+    out: dict[str, dict] = {}
+    try:
+        setups = {
+            "minhash_stream": (
+                MinHashDedupState(spark, os.path.join(root, "mh")),
+                lambda st, b: st.fold(b, "doc_id", "text"),
+                lambda st: st.signatures().count(),
+            ),
+            "hamming_stream": (
+                HammingDedupState(spark, os.path.join(root, "hm")),
+                lambda st, b: st.fold(
+                    b.select(
+                        F.col("doc_id").alias("id"),
+                        F.xxhash64("text").alias("fp"),
+                    )
+                ),
+                lambda st: st.fingerprints().count(),
+            ),
+            "linededup_stream": (
+                LineDedupState(spark, os.path.join(root, "ld")),
+                lambda st, b: st.fold(b).count(),
+                lambda st: st.owners().count(),
+            ),
+        }
+        for name, (state, fold, rows) in setups.items():
+            per_batch: list[float] = []
+            state_rows: list[int] = []
+            for i in range(n_batches):
+                batch = docs.where(
+                    F.col("doc_id") % n_batches == i
+                )
+                t0 = time.perf_counter()
+                fold(state, batch)
+                per_batch.append(round(time.perf_counter() - t0, 3))
+                state_rows.append(rows(state))
+            # late/early ratio over batches 2..N (batch 1 pays state
+            # bootstrap); a state×state leak grows this with N
+            late, early = per_batch[-1], per_batch[1]
+            out[name] = {
+                "per_batch_sec": per_batch,
+                "state_rows": state_rows,
+                "late_over_early": round(late / max(early, 1e-3), 2),
+            }
+            print(f"{name}: folds {per_batch} state {state_rows}",
+                  flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        docs.unpersist()
+    return out
+
+
+def main() -> None:
+    if not Path(BIG, "documents.parquet").exists():
+        sys.exit(f"{BIG} missing — run tools/make_scaled_sf.py first")
+    qs = all_queries()
+    names = sys.argv[1:]
+    spark = get_spark()
+    t0 = time.time()
+    if names:
+        result = {"families": fit(qs, spark, names)}
+    else:
+        result = {
+            "flagship": fit(qs, spark, FLAGSHIP),
+            "families": fit(qs, spark, R7_FAMILIES + R8_FAMILIES),
+        }
+        if os.environ.get("SPARK_GRAFT_SWEEP_STREAMS", "1") != "0":
+            result["streams"] = stream_harness(spark)
+    artifact = {
+        "factor": FACTOR,
+        "small_dir": SMALL,
+        "big_dir": BIG,
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "wall_sec": round(time.time() - t0, 1),
+        **result,
+    }
+    with open(OUT, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+        fh.write("\n")
+    print(f"wrote {OUT}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
