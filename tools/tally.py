@@ -39,6 +39,40 @@ def main() -> None:
         if " tests collected" in line or " test collected" in line:
             n_tests = int(line.split()[0])
 
+    # the PASSED line only prints from a stamped full run of THIS tree
+    # (round-7 verdict task 3; tools/full_test_run.py writes the record)
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+        cwd=str(REPO),
+    ).stdout.strip()
+    dirty = bool(subprocess.run(
+        ["git", "status", "--porcelain"], capture_output=True, text=True,
+        cwd=str(REPO),
+    ).stdout.strip())
+    run_path = REPO / "PYTEST_RUN.json"
+    run = json.loads(run_path.read_text()) if run_path.exists() else None
+    if run is None:
+        pytest_line = (
+            "tests passed: NO FULL-RUN RECORD — run tools/full_test_run.py"
+        )
+    elif run["head"] != head or run["tree_dirty"] or dirty:
+        pytest_line = (
+            f"tests passed: STALE RECORD (ran at {run['head'][:12]}"
+            f"{' dirty' if run['tree_dirty'] else ''}, HEAD is "
+            f"{head[:12]}{' dirty' if dirty else ''}) — re-run "
+            "tools/full_test_run.py"
+        )
+    elif run["returncode"] != 0:
+        pytest_line = (
+            f"tests passed: RED RUN at {run['head'][:12]} "
+            f"({run['pytest_tail']})"
+        )
+    else:
+        pytest_line = (
+            f"tests passed: {run['passed']} (full run at "
+            f"{run['head'][:12]}, {run['duration_sec']}s)"
+        )
+
     bench_path = REPO / "BENCH_LOCAL.json"
     bench = (
         json.loads(bench_path.read_text()) if bench_path.exists() else None
@@ -48,6 +82,7 @@ def main() -> None:
     print(f"oracle-backed queries: {len(oracles)}")
     print(f"rows-only queries: {len(qs) - len(oracles)}")
     print(f"tests collected: {n_tests}")
+    print(pytest_line)
     if bench:
         print(
             f"bench: {bench['value']} s over {len(bench['queries'])} "
