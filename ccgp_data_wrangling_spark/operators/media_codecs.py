@@ -174,11 +174,129 @@ def resize_netpbm(payload: bytes, width: int, height: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _bmp_rle_decode(data: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """RLE8/RLE4 pixel-index decode (Windows BMP spec): encoded runs
+    (count, value — RLE4 alternates the value byte's two nibbles),
+    and the count-0 escapes: 0 end-of-line, 1 end-of-bitmap, 2 delta
+    (dx, dy — skipped pixels stay index 0), n≥3 absolute mode with
+    word-aligned literal bytes. Rows come bottom-up, as the spec
+    requires for RLE."""
+    img = np.zeros((h, w), np.uint8)
+    x = y = 0  # y = 0 is the BOTTOM row in the stream
+    i = 0
+    n_data = len(data)
+    while i + 1 < n_data + 1:
+        if i + 2 > n_data:
+            raise ValueError("truncated BMP RLE stream")
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # encoded run
+            if y >= h or x + n > w:
+                raise ValueError("BMP RLE run escapes the bitmap")
+            if bpp == 8:
+                img[y, x : x + n] = v
+            else:
+                pair = [(v >> 4) & 0xF, v & 0xF]
+                for j in range(n):
+                    img[y, x + j] = pair[j % 2]
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return img[::-1]
+        elif v == 2:  # delta
+            if i + 2 > n_data:
+                raise ValueError("truncated BMP RLE delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE delta escapes the bitmap")
+        else:  # absolute mode: v literal pixels, word-aligned
+            count = v
+            nbytes = count if bpp == 8 else (count + 1) // 2
+            nbytes += nbytes % 2  # pad to 16-bit boundary
+            if i + nbytes > n_data:
+                raise ValueError("truncated BMP RLE absolute run")
+            if y >= h or x + count > w:
+                raise ValueError("BMP RLE absolute run escapes the bitmap")
+            if bpp == 8:
+                img[y, x : x + count] = np.frombuffer(
+                    data[i : i + count], np.uint8
+                )
+            else:
+                for j in range(count):
+                    b = data[i + j // 2]
+                    img[y, x + j] = (b >> 4) & 0xF if j % 2 == 0 else b & 0xF
+            x += count
+            i += nbytes
+    raise ValueError("BMP RLE stream ended without end-of-bitmap")
+
+
+def _bmp_rle_encode(idx: np.ndarray, bpp: int) -> bytes:
+    """RLE8/RLE4 fixture encoder (same-value encoded runs + absolute
+    mode for literal stretches, EOL per row, EOB at the end) —
+    ``idx`` rows are in stream order (bottom-up)."""
+    out = bytearray()
+    h, w = idx.shape
+    for y in range(h):
+        row = idx[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 3:
+                val = (
+                    int(row[x])
+                    if bpp == 8
+                    else (int(row[x]) << 4) | int(row[x])
+                )
+                out += bytes([run, val])
+                x += run
+            else:
+                start = x
+                while x < w and x - start < 254:
+                    r2 = 1
+                    while x + r2 < w and row[x + r2] == row[x] and r2 < 3:
+                        r2 += 1
+                    if r2 >= 3:
+                        break
+                    x += 1
+                n = x - start
+                if n < 3:  # too short for absolute mode
+                    for j in range(start, x):
+                        val = (
+                            int(row[j])
+                            if bpp == 8
+                            else (int(row[j]) << 4) | int(row[j])
+                        )
+                        out += bytes([1, val])
+                else:
+                    out += bytes([0, n])
+                    if bpp == 8:
+                        ab = bytes(int(v) for v in row[start:x])
+                    else:
+                        abuf = bytearray()
+                        for j in range(start, x, 2):
+                            hi = int(row[j])
+                            lo = int(row[j + 1]) if j + 1 < x else 0
+                            abuf.append((hi << 4) | lo)
+                        ab = bytes(abuf)
+                    if len(ab) % 2:
+                        ab += b"\x00"
+                    out += ab
+        out += bytes([0, 0])  # end of line
+    out[-1] = 1  # last escape becomes end-of-bitmap
+    return bytes(out)
+
+
 def decode_bmp(payload: bytes) -> dict[str, Any]:
     """Real BMP decode: BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up
     (or top-down via negative height) rows, 4-byte row padding, 24-bit
-    BGR and 8-bit palette variants. Compression (RLE/bitfields) and
-    other depths raise."""
+    BGR, 8-bit palette, and RLE8 / RLE4 compressed palette variants
+    (BI_RLE8 / BI_RLE4 with all escape codes). Bitfields compression
+    and other depths raise."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_off = int.from_bytes(payload[10:14], "little")
@@ -189,14 +307,45 @@ def decode_bmp(payload: bytes) -> dict[str, Any]:
     h = int.from_bytes(payload[22:26], "little", signed=True)
     bpp = int.from_bytes(payload[28:30], "little")
     comp = int.from_bytes(payload[30:34], "little")
-    if comp != 0:
+    if comp not in (0, 1, 2):
         raise NotImplementedError(f"BMP compression {comp}")
-    if bpp not in (8, 24):
+    if comp == 0 and bpp not in (8, 24):
         raise NotImplementedError(f"{bpp}-bit BMP")
+    if (comp == 1 and bpp != 8) or (comp == 2 and bpp != 4):
+        raise ValueError(f"BMP compression {comp} with {bpp} bpp")
     top_down = h < 0
+    if comp and top_down:
+        raise ValueError("top-down RLE BMP is invalid per spec")
     h = abs(h)
     if w <= 0 or h <= 0:
         raise ValueError("degenerate BMP dimensions")
+
+    def read_palette(n_default: int) -> np.ndarray:
+        pal_off = 14 + hdr_size
+        n_colors = int.from_bytes(payload[46:50], "little") or n_default
+        return np.frombuffer(
+            payload[pal_off : pal_off + 4 * n_colors], np.uint8
+        ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA → RGB
+
+    if comp:  # RLE8 / RLE4
+        size_image = int.from_bytes(payload[34:38], "little")
+        end = data_off + size_image if size_image else len(payload)
+        idx = _bmp_rle_decode(payload[data_off:end], w, h, bpp)
+        pal = read_palette(256 if bpp == 8 else 16)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        px = pal[idx]
+        means = px.astype(np.float64).mean(axis=(0, 1))
+        return {
+            "kind": "image",
+            "width": w,
+            "height": h,
+            "n_channels": 3,
+            "channel_means": [round(float(m), 4) for m in means],
+            "luma_mean": round(
+                float(means @ np.array([0.299, 0.587, 0.114])), 4
+            ),
+        }
     row_bytes = (w * bpp // 8 + 3) & ~3
     need = data_off + row_bytes * h
     if need > len(payload):
@@ -210,11 +359,7 @@ def decode_bmp(payload: bytes) -> dict[str, Any]:
         bgr = raw[:, : w * 3].reshape(h, w, 3)
         px = bgr[:, :, ::-1]  # BGR → RGB
     else:
-        pal_off = 14 + hdr_size
-        n_colors = int.from_bytes(payload[46:50], "little") or 256
-        pal = np.frombuffer(
-            payload[pal_off : pal_off + 4 * n_colors], np.uint8
-        ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA → RGB
+        pal = read_palette(256)
         idx = raw[:, :w]
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("BMP palette index out of range")
@@ -234,12 +379,20 @@ def decode_bmp(payload: bytes) -> dict[str, Any]:
 
 def encode_bmp(
     px: np.ndarray, *, palette: np.ndarray | None = None,
-    top_down: bool = False,
+    top_down: bool = False, compression: int = 0,
 ) -> bytes:
     """Fixture writer: 24-bit BGR (3-channel input) or 8-bit palette
     (2-D index input + ``palette`` (n,3) RGB) BMP with correct row
-    padding and direction."""
+    padding and direction. ``compression`` 1 (BI_RLE8) or 2 (BI_RLE4,
+    indices < 16) RLE-encodes the palette indices — bottom-up only,
+    as the spec requires for RLE."""
     h, w = px.shape[:2]
+    if compression not in (0, 1, 2):
+        raise ValueError("compression must be 0 (none), 1 (RLE8), 2 (RLE4)")
+    if compression and palette is None:
+        raise ValueError("RLE BMP needs palette indices")
+    if compression and top_down:
+        raise ValueError("top-down RLE BMP is invalid per spec")
     if palette is None:
         if px.ndim != 3 or px.shape[2] != 3:
             raise ValueError("24-bit BMP needs (h, w, 3) pixels")
@@ -247,31 +400,39 @@ def encode_bmp(
         rows = px[:, :, ::-1].astype(np.uint8)  # RGB → BGR
         row_data = rows.reshape(h, w * 3)
     else:
-        bpp = 8
+        bpp = 4 if compression == 2 else 8
+        if compression == 2 and int(px.max(initial=0)) > 15:
+            raise ValueError("RLE4 indices must be < 16")
         pal = np.zeros((len(palette), 4), np.uint8)
         pal[:, :3] = palette[:, ::-1]  # RGB → BGRA order
         pal_bytes = pal.tobytes()
         row_data = px.astype(np.uint8)
-    row_bytes = (w * bpp // 8 + 3) & ~3
-    padded = np.zeros((h, row_bytes), np.uint8)
-    padded[:, : w * bpp // 8] = row_data
-    if not top_down:
-        padded = padded[::-1]
+    if compression:
+        pixel_data = _bmp_rle_encode(row_data[::-1], bpp)
+        stored_h = h
+    else:
+        row_bytes = (w * bpp // 8 + 3) & ~3
+        padded = np.zeros((h, row_bytes), np.uint8)
+        padded[:, : w * bpp // 8] = row_data
+        if not top_down:
+            padded = padded[::-1]
+        pixel_data = padded.tobytes()
+        stored_h = (-h) if top_down else h
     data_off = 14 + 40 + len(pal_bytes)
-    size = data_off + row_bytes * h
+    size = data_off + len(pixel_data)
     out = bytearray()
     out += b"BM" + size.to_bytes(4, "little") + bytes(4)
     out += data_off.to_bytes(4, "little")
     out += (40).to_bytes(4, "little")
     out += w.to_bytes(4, "little", signed=True)
-    out += ((-h) if top_down else h).to_bytes(4, "little", signed=True)
+    out += stored_h.to_bytes(4, "little", signed=True)
     out += (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
-    out += bytes(4)  # BI_RGB
-    out += (row_bytes * h).to_bytes(4, "little")
+    out += compression.to_bytes(4, "little")
+    out += len(pixel_data).to_bytes(4, "little")
     out += bytes(8)  # ppm resolutions
     out += (len(pal_bytes) // 4).to_bytes(4, "little") + bytes(4)
     out += pal_bytes
-    out += padded.tobytes()
+    out += pixel_data
     return bytes(out)
 
 

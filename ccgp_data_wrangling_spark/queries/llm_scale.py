@@ -4439,14 +4439,20 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for eid in pdf["id"]:
                 e = int(eid)
                 k = e // 20
-                if k % 3 == 1:  # 8-bit palette
+                if k % 3 == 1:  # 8-bit palette (RLE8 on every 2nd k —
+                    # lossless, so the oracle is layout-independent)
                     v = e % 256
                     pal = np.zeros((256, 3), np.uint8)
                     pal[:, 0] = np.arange(256)
                     pal[:, 1] = (2 * np.arange(256)) % 256
                     pal[:, 2] = (3 * np.arange(256)) % 256
                     idx = np.full((6, 8), v, np.uint8)
-                    payloads.append(encode_bmp(idx, palette=pal))
+                    payloads.append(
+                        encode_bmp(
+                            idx, palette=pal,
+                            compression=1 if k % 2 == 0 else 0,
+                        )
+                    )
                 else:
                     px = np.zeros((6, 8, 3), np.uint8)
                     for c in range(3):

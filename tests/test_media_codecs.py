@@ -1020,10 +1020,66 @@ def test_bmp_roundtrip_and_gates():
         decode_bmp(b"XX" + blob[2:])
     with _pytest.raises(NotImplementedError, match="compression"):
         bad = bytearray(blob)
-        bad[30] = 1  # BI_RLE8
+        bad[30] = 3  # BI_BITFIELDS: still gated
+        decode_bmp(bytes(bad))
+    with _pytest.raises(ValueError, match="with 24 bpp"):
+        bad = bytearray(blob)
+        bad[30] = 1  # RLE8 claims 8 bpp; this file is 24
         decode_bmp(bytes(bad))
     with _pytest.raises(ValueError, match="truncated"):
         decode_bmp(blob[:-8])
+
+
+def test_bmp_rle_roundtrip_and_escapes():
+    """BI_RLE8 / BI_RLE4 (Windows BMP spec): encoded runs, absolute
+    mode with word alignment, end-of-line/bitmap and delta escapes
+    all decode; fixtures round-trip pixel-exactly against the
+    uncompressed baseline."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _bmp_rle_decode,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(5)
+    pal = np.array(
+        [[i, 2 * i % 256, 3 * i % 256] for i in range(256)], np.uint8
+    )
+    # half smooth runs, half literals: exercises both encoder modes
+    idx = np.concatenate(
+        [
+            np.full((6, 10), 7, np.uint8),
+            rng.integers(0, 256, (6, 10), dtype=np.uint8),
+        ],
+        axis=1,
+    )
+    ref = decode_bmp(encode_bmp(idx, palette=pal))
+    rle8 = encode_bmp(idx, palette=pal, compression=1)
+    assert decode_bmp(rle8) == ref
+    idx4 = (idx % 16).astype(np.uint8)
+    ref4 = decode_bmp(encode_bmp(idx4, palette=pal[:16]))
+    rle4 = encode_bmp(idx4, palette=pal[:16], compression=2)
+    assert decode_bmp(rle4) == ref4
+    # handcrafted stream: alternating-nibble run, delta skip (skipped
+    # pixels stay index 0), odd-count absolute run, EOL, EOB
+    stream = bytes(
+        [5, 0x12, 0, 2, 2, 0, 0, 3, 0x34, 0x50, 0, 0, 4, 0x77, 0, 1]
+    )
+    img = _bmp_rle_decode(stream, 10, 2, 4)
+    assert list(img[1]) == [1, 2, 1, 2, 1, 0, 0, 3, 4, 5]
+    assert list(img[0][:4]) == [7, 7, 7, 7]
+    # honest guards
+    with _pytest.raises(ValueError, match="escapes the bitmap"):
+        _bmp_rle_decode(bytes([200, 0x11, 0, 1]), 10, 2, 8)
+    with _pytest.raises(ValueError, match="without end-of-bitmap"):
+        _bmp_rle_decode(bytes([2, 0x11, 0, 0]), 10, 2, 8)
+    with _pytest.raises(ValueError, match="top-down RLE"):
+        encode_bmp(idx, palette=pal, compression=1, top_down=True)
+    with _pytest.raises(ValueError, match="RLE4 indices"):
+        encode_bmp(idx, palette=pal, compression=2)
 
 
 def test_tiff_roundtrip_and_gates():
