@@ -51,60 +51,9 @@ def register(name: str, oracle: str | None):
 # row — the stalest-first re-verification cycle the round-5 verdict
 # prescribed (regression freshness, not new coverage).
 _PRIORITY: list[str] = [
-    # r8 additions (first driver rows)
     "multimodal_mp4_fragmented_keyframes",
     "multimodal_tiff_compressed_decode",
     "multimodal_mp3_layer3_spectrum",
-    "quality_model_filter",
-    "multimodal_mp4_keyframes",
-    "image_exif_orientation",
-    "multimodal_mp3_vbr_profile",
-    "audio_id3_metadata",
-    "pdf_encrypted_extract",
-    "bpe_roundtrip_identity",
-    "line_dedup_firstwins",
-    "embedding_quantize_audit",
-    "compaction_plan_files",
-    "triangle_count_linkgraph",
-    "bfs_seed_distance",
-    "video_keyframe_thumbnails",
-    "multimodal_mp3_subband_decode",
-    "multimodal_bmp_decode",
-    "multimodal_tiff_decode",
-    "m9_compact_identity",
-    "image_orientation_dedup",
-    "text_quality_stats",
-    "lang_id_heuristic",
-    "knn_top10_cosine",
-    "token_counts",
-    "fingerprint_rolling_hash",
-    "minhash_neardup_planted",
-    "neardup_cluster_canonical",
-    "simhash_dup_planted",
-    "ann_lsh_planted",
-    "ann_ivf_planted",
-    "ann_lsh_vs_exact",
-    "ann_ivf_vs_exact",
-    "ngram_jaccard_neardup",
-    "embedding_cosine_neardup",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "m1_upsert",
-    "m3_array_union_pull",
-    "m3_struct_tuple_union",
-    "m8_partitioned_upsert",
-    "sample_stratified_lang",
-    "pack_context_windows",
-    "chunk_documents_windowed",
-    "pii_scrub_sentinels",
-    "train_order_shuffle",
-    "contamination_ngram_overlap",
-    "domain_mixture_weighted",
-    "length_bucket_batching",
-    "x12b_blocked_fuzzy_match",
-    "r6_jan_only_products",
-    "skew_salted_agg",
-    "q4_exists_semi_join",
     "q10_returned_revenue",
     "rollup_order_profile",
     "range_balance_band",
@@ -287,6 +236,56 @@ _PRIORITY: list[str] = [
     "asof_last_click",
     "t_multigrain_rollup",
     "dedup_exact_canonical",
+    "quality_model_filter",
+    "multimodal_mp4_keyframes",
+    "image_exif_orientation",
+    "multimodal_mp3_vbr_profile",
+    "audio_id3_metadata",
+    "pdf_encrypted_extract",
+    "bpe_roundtrip_identity",
+    "line_dedup_firstwins",
+    "embedding_quantize_audit",
+    "compaction_plan_files",
+    "triangle_count_linkgraph",
+    "bfs_seed_distance",
+    "video_keyframe_thumbnails",
+    "multimodal_mp3_subband_decode",
+    "multimodal_bmp_decode",
+    "multimodal_tiff_decode",
+    "m9_compact_identity",
+    "image_orientation_dedup",
+    "text_quality_stats",
+    "lang_id_heuristic",
+    "knn_top10_cosine",
+    "token_counts",
+    "fingerprint_rolling_hash",
+    "minhash_neardup_planted",
+    "neardup_cluster_canonical",
+    "simhash_dup_planted",
+    "ann_lsh_planted",
+    "ann_ivf_planted",
+    "ann_lsh_vs_exact",
+    "ann_ivf_vs_exact",
+    "ngram_jaccard_neardup",
+    "embedding_cosine_neardup",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "m1_upsert",
+    "m3_array_union_pull",
+    "m3_struct_tuple_union",
+    "m8_partitioned_upsert",
+    "sample_stratified_lang",
+    "pack_context_windows",
+    "chunk_documents_windowed",
+    "pii_scrub_sentinels",
+    "train_order_shuffle",
+    "contamination_ngram_overlap",
+    "domain_mixture_weighted",
+    "length_bucket_batching",
+    "x12b_blocked_fuzzy_match",
+    "r6_jan_only_products",
+    "skew_salted_agg",
+    "q4_exists_semi_join",
 ]
 
 
