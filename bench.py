@@ -153,6 +153,10 @@ HEADLINE = [
     "multimodal_tiff_decode",
     "m9_compact_identity",
     "image_orientation_dedup",
+    # r8 additions
+    "multimodal_mp4_fragmented_keyframes",
+    "multimodal_tiff_compressed_decode",
+    "multimodal_mp3_layer3_spectrum",
 ]
 
 
