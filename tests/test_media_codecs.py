@@ -1851,3 +1851,66 @@ def test_mp3_layer3_sideinfo_and_spectrum():
     set_bits(si_patch, 52, 5, 16)
     with _pytest.raises(NotImplementedError, match="table 16"):
         decode_mp3_layer3_spectrum(bytes(si_patch))
+
+
+def test_mp4_fragmented_multi_trun_cursor():
+    """A traf with MULTIPLE truns: the first sets a data offset, the
+    second omits it — per §8.8.8 its data continues immediately after
+    the previous run's. Handcrafted moof (the fixture writer emits
+    one trun per traf by design)."""
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_fragmented_mp4,
+        mp4_sample_table,
+    )
+
+    base = build_fragmented_mp4(
+        timescale=1000,
+        tracks=[{"track_ID": 1, "width": 64, "height": 64,
+                 "codec": "avc1", "media_timescale": 1000}],
+        fragments=[{"track_ID": 1, "tfdt": 0,
+                    "samples": [{"size": 30, "duration": 100, "sync": True},
+                                {"size": 40, "duration": 100, "sync": False}]}],
+    )
+    rows1 = mp4_sample_table(base)
+    assert [r["mdat_offset"] for r in rows1] == [0, 30]
+
+    def box(typ, body):
+        return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+    def full(typ, flags, body):
+        return box(typ, bytes([0]) + flags.to_bytes(3, "big") + body)
+
+    # rebuild the moof with the trun split in two; second has no
+    # data-offset field -> cursor continues
+    tfhd = full(b"tfhd", 0x020000, (1).to_bytes(4, "big"))
+    tfdt = box(b"tfdt", bytes([1, 0, 0, 0]) + (0).to_bytes(8, "big"))
+    mfhd = full(b"mfhd", 0, (1).to_bytes(4, "big"))
+
+    def trun(n, doff, sizes):
+        flags = 0x300 | (0x1 if doff is not None else 0)
+        body = n.to_bytes(4, "big")
+        if doff is not None:
+            body += doff.to_bytes(4, "big", signed=True)
+        for s in sizes:
+            body += (100).to_bytes(4, "big") + s.to_bytes(4, "big")
+        return full(b"trun", flags, body)
+
+    # layout: moof size depends on trun sizes only — compute with a
+    # probe, then patch the real data offset (= moof size + 8)
+    def moof_with(doff):
+        t1 = trun(1, doff, [30])
+        t2 = trun(1, None, [40])
+        return box(b"moof", mfhd + box(b"traf", tfhd + tfdt + t1 + t2))
+
+    probe = moof_with(0)
+    moof = moof_with(len(probe) + 8)
+    assert len(moof) == len(probe)
+    # splice: header (ftyp+moov) from the builder's file + new tail
+    mdat_body = bytes(70)
+    i = base.find(b"moof") - 4
+    blob = base[:i] + moof + box(b"mdat", mdat_body)
+    rows = mp4_sample_table(blob)
+    assert [(r["sample"], r["size"], r["mdat_offset"]) for r in rows] == [
+        (1, 30, 0), (2, 40, 30),
+    ]
+    assert [r["dts"] for r in rows] == [0, 100]
