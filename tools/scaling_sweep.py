@@ -188,27 +188,90 @@ def stream_harness(spark, n_batches: int = 6) -> dict:
     return out
 
 
+def _child_fit(out_path: str, names: list[str]) -> None:
+    qs = all_queries()
+    spark = get_spark()
+    res = fit(qs, spark, names)
+    with open(out_path, "w") as fh:
+        json.dump(res, fh)
+
+
+def _child_streams(out_path: str) -> None:
+    spark = get_spark()
+    try:
+        res = stream_harness(spark)
+    except Exception as e:  # noqa: BLE001 — artifact > purity
+        res = {"error": f"{type(e).__name__}: {e}"}
+    with open(out_path, "w") as fh:
+        json.dump(res, fh)
+
+
+GROUP = 10  # families per child process
+
+
 def main() -> None:
+    """Parent mode: spawn each family group (and the stream harness)
+    in a FRESH subprocess/SparkSession — a single long-lived JVM
+    accumulates enough pressure over ~100 timed 10× executions to
+    die mid-sweep (r8 first attempt: executor OOM after the
+    trajectory family, killing every later fit)."""
+    import subprocess
+
     if not Path(BIG, "documents.parquet").exists():
         sys.exit(f"{BIG} missing — run tools/make_scaled_sf.py first")
-    qs = all_queries()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--fit":
+        _child_fit(sys.argv[2], sys.argv[3:])
+        return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--streams":
+        _child_streams(sys.argv[2])
+        return
     names = sys.argv[1:]
-    spark = get_spark()
     t0 = time.time()
-    if names:
-        result = {"families": fit(qs, spark, names)}
-    else:
-        result = {
-            "flagship": fit(qs, spark, FLAGSHIP),
-            "families": fit(qs, spark, R7_FAMILIES + R8_FAMILIES),
-        }
-        if os.environ.get("SPARK_GRAFT_SWEEP_STREAMS", "1") != "0":
-            result["streams"] = stream_harness(spark)
+    sections: dict[str, list[str]] = (
+        {"families": names}
+        if names
+        else {"flagship": FLAGSHIP, "families": R7_FAMILIES + R8_FAMILIES}
+    )
+    result: dict[str, dict] = {}
+    tmpdir = tempfile.mkdtemp(prefix="sweep_parts_")
+    try:
+        for section, sec_names in sections.items():
+            merged: dict[str, dict] = {}
+            for gi in range(0, len(sec_names), GROUP):
+                group = sec_names[gi : gi + GROUP]
+                part = os.path.join(tmpdir, f"{section}_{gi}.json")
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--fit", part, *group],
+                    cwd=str(Path(__file__).resolve().parent.parent),
+                )
+                if proc.returncode == 0 and os.path.exists(part):
+                    merged.update(json.load(open(part)))
+                else:
+                    for n in group:
+                        merged.setdefault(
+                            n, {"error": "child process died"}
+                        )
+            result[section] = merged
+        if not names and os.environ.get(
+            "SPARK_GRAFT_SWEEP_STREAMS", "1"
+        ) != "0":
+            part = os.path.join(tmpdir, "streams.json")
+            proc = subprocess.run(
+                [sys.executable, __file__, "--streams", part],
+                cwd=str(Path(__file__).resolve().parent.parent),
+            )
+            result["streams"] = (
+                json.load(open(part))
+                if proc.returncode == 0 and os.path.exists(part)
+                else {"error": "child process died"}
+            )
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
     artifact = {
         "factor": FACTOR,
         "small_dir": SMALL,
         "big_dir": BIG,
-        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "wall_sec": round(time.time() - t0, 1),
         **result,
     }
