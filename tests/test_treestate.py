@@ -1,0 +1,73 @@
+"""tools/treestate.py — record artifacts must not dirty the stamp.
+
+The round's stamped records (PYTEST_RUN.json etc.) are written into
+the worktree before the snapshot commit; if their mere presence made
+the tree "dirty", every stamp would invalidate itself the moment it
+was written (the round-8 chicken-and-egg).  These tests pin the
+exclusion semantics against a scratch git repo.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+TOOLS = Path(__file__).resolve().parent.parent / "tools"
+sys.path.insert(0, str(TOOLS))
+
+import treestate  # noqa: E402
+
+
+def _git(cwd: Path, *args: str) -> None:
+    subprocess.run(
+        ["git", *args], cwd=str(cwd), check=True, capture_output=True,
+        env={
+            "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+            "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+            "HOME": str(cwd), "PATH": "/usr/bin:/bin",
+        },
+    )
+
+
+@pytest.fixture()
+def scratch_repo(tmp_path, monkeypatch):
+    _git(tmp_path, "init", "-q")
+    (tmp_path / "code.py").write_text("x = 1\n")
+    _git(tmp_path, "add", ".")
+    _git(tmp_path, "commit", "-qm", "init")
+    monkeypatch.setattr(treestate, "REPO", tmp_path)
+    return tmp_path
+
+
+def test_clean_tree_is_clean(scratch_repo):
+    assert not treestate.tree_dirty()
+
+
+def test_record_artifacts_do_not_dirty(scratch_repo):
+    (scratch_repo / "PYTEST_RUN.json").write_text("{}\n")
+    (scratch_repo / "CORRECTNESS_LOCAL_r08.json").write_text("{}\n")
+    (scratch_repo / "SCALING_SWEEP_r09.json").write_text("{}\n")
+    assert not treestate.tree_dirty()
+
+
+def test_untracked_code_is_dirty(scratch_repo):
+    (scratch_repo / "PYTEST_RUN.json").write_text("{}\n")
+    (scratch_repo / "sneaky.py").write_text("y = 2\n")
+    assert treestate.tree_dirty()
+
+
+def test_modified_tracked_file_is_dirty(scratch_repo):
+    (scratch_repo / "code.py").write_text("x = 2\n")
+    assert treestate.tree_dirty()
+
+
+def test_lookalike_directory_path_is_dirty(scratch_repo):
+    # the exclusion is for the repo-root records, not any path whose
+    # basename happens to match
+    sub = scratch_repo / "pkg"
+    sub.mkdir()
+    (sub / "PYTEST_RUN.json").write_text("{}\n")
+    assert treestate.tree_dirty()

@@ -76,17 +76,13 @@ print(f"\n{ok} match, {bad} mismatch of {len(qs)} queries")
 # committed artifact (round-7 verdict task 1): the driver checks a
 # 50-query window per round; this full-registry record, stamped with
 # the tree it ran against, is the freshness story for the rest
-import json, subprocess
+import json
 out_path = os.environ.get("SPARK_GRAFT_DRIVE_OUT")
 if out_path and len(sys.argv) == 1:  # only a FULL run is worth stamping
-    sha = subprocess.run(
-        ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
-        cwd="/root/repo",
-    ).stdout.strip()
-    dirty = bool(subprocess.run(
-        ["git", "status", "--porcelain"], capture_output=True, text=True,
-        cwd="/root/repo",
-    ).stdout.strip())
+    sys.path.insert(0, "/root/repo/tools")
+    from treestate import head_sha, tree_dirty
+    sha = head_sha()
+    dirty = tree_dirty()
     with open(out_path, "w") as fh:
         json.dump({
             "sf_dir": SF, "head": sha, "tree_dirty": dirty,

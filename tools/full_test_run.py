@@ -41,9 +41,12 @@ def main() -> None:
         kind: int(n)
         for n, kind in re.findall(r"(\d+) (passed|failed|errors?)", tail)
     }
+    sys.path.insert(0, str(REPO / "tools"))
+    from treestate import tree_dirty
+
     record = {
         "head": git("rev-parse", "HEAD"),
-        "tree_dirty": bool(git("status", "--porcelain")),
+        "tree_dirty": tree_dirty(),
         "returncode": proc.returncode,
         "passed": counts.get("passed", 0),
         "failed": counts.get("failed", 0) + counts.get("error", 0)

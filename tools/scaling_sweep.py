@@ -94,12 +94,24 @@ def time_query(qs, spark, name: str, d: str) -> float:
     return round(sorted(samples)[1], 3)
 
 
+def count_rows(qs, spark, name: str, d: str) -> int:
+    with CacheScope() as sc, use_scope(sc):
+        return qs[name](spark, d).count()
+
+
 def fit(qs, spark, names: list[str]) -> dict[str, dict]:
     out: dict[str, dict] = {}
     for name in names:
         try:
             t_small = time_query(qs, spark, name, SMALL)
             t_big = time_query(qs, spark, name, BIG)
+            # result cardinality at both scales: a runtime exponent
+            # above 1.0 whose output exponent is at least as large is
+            # output-bound BY THE ARTIFACT ITSELF (the truth the query
+            # must emit grows that fast), not an engine defect —
+            # previously this argument lived in SCALING.md prose only
+            rows_small = count_rows(qs, spark, name, SMALL)
+            rows_big = count_rows(qs, spark, name, BIG)
             out[name] = {
                 "t_sf0.1_sec": t_small,
                 "t_10x_sec": t_big,
@@ -108,9 +120,17 @@ def fit(qs, spark, names: list[str]) -> dict[str, dict]:
                     / math.log(FACTOR),
                     3,
                 ),
+                "rows_sf0.1": rows_small,
+                "rows_10x": rows_big,
+                "output_exponent": round(
+                    math.log(max(rows_big, 1) / max(rows_small, 1))
+                    / math.log(FACTOR),
+                    3,
+                ),
             }
             print(f"{name}: {t_small} -> {t_big} "
-                  f"(exp {out[name]['exponent']})", flush=True)
+                  f"(exp {out[name]['exponent']}, "
+                  f"rows {rows_small} -> {rows_big})", flush=True)
         except Exception as e:  # noqa: BLE001 — sweep must not die mid-run
             out[name] = {"error": f"{type(e).__name__}: {e}"}
             print(f"{name}: ERROR {e}", flush=True)

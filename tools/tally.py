@@ -41,14 +41,11 @@ def main() -> None:
 
     # the PASSED line only prints from a stamped full run of THIS tree
     # (round-7 verdict task 3; tools/full_test_run.py writes the record)
-    head = subprocess.run(
-        ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
-        cwd=str(REPO),
-    ).stdout.strip()
-    dirty = bool(subprocess.run(
-        ["git", "status", "--porcelain"], capture_output=True, text=True,
-        cwd=str(REPO),
-    ).stdout.strip())
+    sys.path.insert(0, str(REPO / "tools"))
+    from treestate import head_sha, tree_dirty
+
+    head = head_sha()
+    dirty = tree_dirty()
     run_path = REPO / "PYTEST_RUN.json"
     run = json.loads(run_path.read_text()) if run_path.exists() else None
     if run is None:

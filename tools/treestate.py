@@ -1,0 +1,49 @@
+"""Shared tree-state stamp for the round's record artifacts.
+
+The stamped artifacts (PYTEST_RUN.json, CORRECTNESS_LOCAL_r*.json,
+SCALING_SWEEP_r*.json) are themselves written into the worktree before
+they are committed — so a naive ``git status --porcelain`` check calls
+the tree dirty the moment the first record lands, and every later
+stamp (and tools/tally.py's freshness gate) reports STALE for a run
+that was in fact clean.  Dirtiness here therefore means "anything
+changed EXCEPT the round's own record artifacts": those files carry
+provenance, they cannot change query/test behavior, and they are
+swept into the snapshot commit together with the changelog.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import subprocess
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# the round-record artifacts these tools themselves produce
+RECORD_PATTERNS = (
+    "PYTEST_RUN.json",
+    "CORRECTNESS_LOCAL_r*.json",
+    "SCALING_SWEEP_r*.json",
+    "SCALING_CURVE_r*.json",
+)
+
+
+def head_sha() -> str:
+    return subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+        cwd=str(REPO),
+    ).stdout.strip()
+
+
+def tree_dirty() -> bool:
+    """True when any TRACKED-OR-UNTRACKED path other than the round's
+    record artifacts differs from HEAD."""
+    porcelain = subprocess.run(
+        ["git", "status", "--porcelain"], capture_output=True, text=True,
+        cwd=str(REPO),
+    ).stdout
+    for line in porcelain.splitlines():
+        path = line[3:].split(" -> ")[-1].strip().strip('"')
+        if not any(fnmatch.fnmatch(path, p) for p in RECORD_PATTERNS):
+            return True
+    return False
