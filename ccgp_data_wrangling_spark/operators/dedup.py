@@ -505,10 +505,11 @@ def embedding_neardup_pairs(
     vec_col: str,
     *,
     threshold: float = 0.99,
-    n_tables: int = 8,
-    n_bits: int = 12,
+    n_tables: int | None = None,
+    n_bits: int | None = None,
     seed: int = 42,
     dim: int | None = None,
+    carrier: str = "auto",
     scope: CacheScope | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ ``threshold``.
@@ -516,19 +517,33 @@ def embedding_neardup_pairs(
     Candidates come from SRP-LSH self-buckets (a pair is a candidate
     if ANY of the ``n_tables`` signed-random-projection tables puts
     both vectors in the same ``n_bits``-bit bucket); exact cosine
-    verifies. At near-dup thresholds (≥ 0.99, angle ≤ 8°) the
-    per-table collision probability is (1 - θ/π)^n_bits ≈ 0.69 and
-    a miss across 8 independent tables has probability ≈ 1e-4 per
-    pair at the default parameters — recall rises with ``n_tables``.
+    verifies.
+
+    ``n_tables``/``n_bits`` default to **corpus-adaptive** sizing
+    (:func:`knn.srp_adaptive_params`): bits grow with log2(n) so
+    bucket occupancy — and with it the within-bucket candidate count —
+    stays constant as the corpus densifies, and tables are solved so a
+    true pair at exactly ``threshold`` escapes all of them with
+    probability ≤ 1e-6. A fixed bit width is the canonical LSH scale
+    bug: candidates grow ~n²/2^bits once n outruns the bucket space.
+    Adaptive sizing costs one ``count()`` job; callers that know their
+    corpus size regime can pass both explicitly to stay fully lazy.
 
     Scale: bucket keys are (table, bucket_id) — a shuffle on uniform
     small keys; the exact-cosine verify touches only within-bucket
     pairs. This is the embedding analogue of MinHash-LSH for text.
+    Plane sets reach the executors via :func:`knn._resolve_carrier`:
+    expression literals while small, one Arrow matmul kernel once the
+    adaptive table count makes interpreted HOF projection the
+    bottleneck.
     """
     from ccgp_data_wrangling_spark.operators.knn import (
+        _resolve_carrier,
         _seeded_planes,
         cosine_sim,
+        srp_adaptive_params,
         srp_bucket,
+        srp_buckets_kernel,
     )
 
     if dim is None:
@@ -536,25 +551,49 @@ def embedding_neardup_pairs(
         # one single-row job and makes the operator eager — callers that
         # know their embedding width should pass ``dim`` explicitly
         dim = len(df.select(vec_col).head()[0])
+    if n_tables is None or n_bits is None:
+        auto_tables, auto_bits = srp_adaptive_params(
+            df.select(id_col).count(), threshold
+        )
+        n_tables = auto_tables if n_tables is None else n_tables
+        n_bits = auto_bits if n_bits is None else n_bits
     tables = _seeded_planes(n_tables, n_bits, dim, seed)
     v = F.col(vec_col).cast("array<double>")
-    # persist the (id, vec, buckets) table: the n_tables·n_bits·dim
+    # persist the (id, vec[, buckets]) table: the n_tables·n_bits·dim
     # projection arithmetic is interpreted HOF work — materialize once
     # instead of once per join branch / chunk expression
     if scope is None:
         scope = active_scope("embedding_neardup_pairs")
-    base = scope.persist(
-        df.select(
-            F.col(id_col).alias("id"),
-            v.alias("vec"),
-            F.array(*[srp_bucket(v, planes) for planes in tables]).alias(
-                "buckets"
-            ),
+    mode = _resolve_carrier(n_tables * n_bits * dim, carrier)
+    if mode == "kernel":
+        base = scope.persist(df.select(F.col(id_col).alias("id"), v.alias("vec")))
+        banded = srp_buckets_kernel(
+            base, tables, vec_col="vec", drop_vec=True
+        ).select("id", F.col("t").alias("table_idx"), F.col("bkt").alias("bucket"))
+    else:
+        if mode == "table":
+            tdf = df.sparkSession.createDataFrame(
+                [(tables,)], "__tables array<array<array<double>>>"
+            )
+            bucket_arr = F.transform(
+                F.col("__tables"),
+                lambda planes: srp_bucket(F.col("vec"), planes),
+            )
+            src = df.select(
+                F.col(id_col).alias("id"), v.alias("vec")
+            ).crossJoin(F.broadcast(tdf))
+        else:
+            bucket_arr = F.array(*[srp_bucket(v, planes) for planes in tables])
+            src = df.select(
+                F.col(id_col).alias("id"), v.alias("vec"), bucket_arr.alias("__b")
+            )
+            bucket_arr = F.col("__b")
+        base = scope.persist(
+            src.select("id", "vec", bucket_arr.alias("buckets"))
         )
-    )
-    banded = base.select(
-        "id", F.posexplode("buckets").alias("table_idx", "bucket")
-    )
+        banded = base.select(
+            "id", F.posexplode("buckets").alias("table_idx", "bucket")
+        )
     left = banded.select("table_idx", "bucket", F.col("id").alias("id_a"))
     right = banded.select("table_idx", "bucket", F.col("id").alias("id_b"))
     cands = (

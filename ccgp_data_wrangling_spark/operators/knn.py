@@ -29,6 +29,53 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+def srp_adaptive_params(
+    n: int,
+    threshold: float,
+    *,
+    rand_collisions_per_vec: float = 1.0,
+    miss_prob: float = 1e-6,
+    min_bits: int = 6,
+    max_bits: int = 30,
+    max_tables: int = 48,
+) -> tuple[int, int]:
+    """``(n_tables, n_bits)`` for an SRP-LSH self-join over ``n``
+    vectors at cosine ``threshold`` — the classic LSH sizing
+    (Charikar STOC'02 / Indyk–Motwani):
+
+    * **bits grow with log2(n)** so the expected RANDOM collisions per
+      vector per table (``n · 0.5^bits`` for near-orthogonal pairs)
+      stay ≈ ``rand_collisions_per_vec``. A FIXED bit width is the
+      canonical LSH scale bug: bucket occupancy — and with it the
+      within-bucket candidate count — grows quadratically with corpus
+      density once ``n`` outruns ``2^bits``.
+    * **tables are solved from the threshold's per-table collision
+      probability** ``p = (1 - θ/π)^bits`` so a true pair at exactly
+      ``threshold`` escapes every table with probability ≤
+      ``miss_prob`` — recall stays pinned as bits rise. Table count
+      grows only polylog (∝ n^(ln(π/(π-θ))/ln 2), exponent ≈ 0.07 at
+      0.99), so total work stays ~n^(1+ρ) with small ρ instead of n².
+
+    If the solved table count would exceed ``max_tables``, bits are
+    walked back until it fits — candidate volume is traded for the
+    recall guarantee, never the reverse.
+    """
+    import math
+
+    theta = math.acos(max(-1.0, min(1.0, float(threshold))))
+    p_bit = 1.0 - theta / math.pi
+    bits = math.ceil(math.log2(max(n, 2) / max(rand_collisions_per_vec, 0.5)))
+    bits = max(min_bits, min(max_bits, bits))
+    while True:
+        p_table = p_bit**bits
+        if p_table >= 1.0:  # threshold == 1.0: exact-duplicate vectors
+            return 1, bits  # collide in any one table with certainty
+        tables = math.ceil(math.log(miss_prob) / math.log(1.0 - p_table))
+        if tables <= max_tables or bits <= min_bits:
+            return max(2, tables), bits
+        bits -= 1
+
+
 def _seeded_planes(
     n_tables: int, n_bits: int, dim: int, seed: int
 ) -> list[list[list[float]]]:

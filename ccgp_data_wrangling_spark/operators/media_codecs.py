@@ -441,8 +441,10 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
     the same structure the EXIF layer walks, strip layout, 8-bit
     grayscale (PhotometricInterpretation 1) or RGB (2). Compression
     1 (none), 5 (LZW, §7, with Predictor 2 horizontal differencing,
-    §14) and 32773 (PackBits, §9) — the layouts scanned-document
-    corpora actually carry; other compressions raise honestly."""
+    §14), 8/32946 (Deflate — zlib streams per strip, TIFF TechNote 2;
+    32946 is the pre-standard code some writers still emit) and 32773
+    (PackBits, §9) — the layouts scanned-document corpora actually
+    carry; other compressions raise honestly."""
     from ccgp_data_wrangling_spark.operators.exif import _read_ifd
 
     order = payload[:2]
@@ -473,7 +475,7 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
         ]
 
     comp = num(0x0103, 1)
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {comp}")
     predictor = num(0x013D, 1)
     if predictor not in (1, 2):
@@ -494,6 +496,10 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
         raise ValueError("TIFF strip byte range escapes the file")
     if comp == 5:
         strips = [_tiff_lzw_decode(s) for s in strips]
+    elif comp in (8, 32946):
+        import zlib
+
+        strips = [zlib.decompress(s) for s in strips]
     elif comp == 32773:
         strips = [_packbits_decode(s) for s in strips]
     raw = b"".join(strips)
@@ -534,15 +540,17 @@ def encode_tiff(
 ) -> bytes:
     """Fixture writer: 8-bit grayscale/RGB TIFF (multi-strip when
     ``rows_per_strip`` is set) in either byte order; ``compression``
-    in {"none", "lzw", "packbits"}, with TIFF Predictor 2
-    (horizontal differencing) available under LZW as real scanner
-    output carries it."""
+    in {"none", "lzw", "deflate", "packbits"}, with TIFF Predictor 2
+    (horizontal differencing) available under LZW/Deflate as real
+    scanner output carries it."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, spp = px.shape
     bo = "little" if byte_order == "II" else "big"
     rps = rows_per_strip or h
-    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[
+        compression
+    ]
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 or 2")
     src = px.astype(np.uint8)
@@ -556,6 +564,10 @@ def encode_tiff(
     ]
     if comp_tag == 5:
         strips = [_tiff_lzw_encode(s) for s in strips]
+    elif comp_tag == 8:
+        import zlib
+
+        strips = [zlib.compress(s) for s in strips]
     elif comp_tag == 32773:
         strips = [_packbits_encode(s) for s in strips]
     tags = [
@@ -4120,6 +4132,16 @@ def _syncsafe(n: int) -> bytes:
     )
 
 
+# v2.2 (id3v2-00 §4) used 3-character frame ids; parse/build translate
+# the text frames the provenance layer reads to their modern names
+_ID3V22_TO_V23 = {
+    "TT1": "TIT1", "TT2": "TIT2", "TT3": "TIT3",
+    "TP1": "TPE1", "TP2": "TPE2", "TAL": "TALB",
+    "TYE": "TYER", "TRK": "TRCK", "TCO": "TCON", "TEN": "TENC",
+}
+_ID3V23_TO_V22 = {v: k for k, v in _ID3V22_TO_V23.items()}
+
+
 def build_id3v2(
     frames: dict[str, str],
     *,
@@ -4129,19 +4151,23 @@ def build_id3v2(
     unsync: bool = False,
     footer: bool = False,
 ) -> bytes:
-    """Fixture writer: an ID3v2.3 or v2.4 tag with real text frames
-    (TIT2 / TPE1 / TALB / TYER …). ``encoding`` is the ID3
-    text-encoding byte: 0 latin-1, 1 UTF-16 with BOM, 2 UTF-16BE
-    without BOM (v2.4-only), 3 UTF-8 (v2.4's default, widely written
-    into v2.3 tags in the wild — the parser takes both).
-    ``unsync=True`` applies unsynchronisation the way each version
-    prescribes: whole-tag for v2.3, per-frame (with the frame format
-    flag set) for v2.4. ``footer`` appends the v2.4 10-byte '3DI'
-    footer (which also forbids padding, per §3.1)."""
-    if version not in (3, 4):
-        raise ValueError("only ID3v2.3 / v2.4 fixtures")
+    """Fixture writer: an ID3v2.2, v2.3 or v2.4 tag with real text
+    frames (TIT2 / TPE1 / TALB / TYER …; v2.2 takes the same modern
+    ids and writes their 3-character spellings per id3v2-00 §4).
+    ``encoding`` is the ID3 text-encoding byte: 0 latin-1, 1 UTF-16
+    with BOM, 2 UTF-16BE without BOM (v2.4-only), 3 UTF-8 (v2.4's
+    default, widely written into v2.3 tags in the wild — the parser
+    takes both; v2.2 defines only 0/1). ``unsync=True`` applies
+    unsynchronisation the way each version prescribes: whole-tag for
+    v2.2/v2.3, per-frame (with the frame format flag set) for v2.4.
+    ``footer`` appends the v2.4 10-byte '3DI' footer (which also
+    forbids padding, per §3.1)."""
+    if version not in (2, 3, 4):
+        raise ValueError("only ID3v2.2 / v2.3 / v2.4 fixtures")
     if footer and version != 4:
         raise ValueError("footer is v2.4-only")
+    if version == 2 and encoding not in (0, 1):
+        raise ValueError("ID3v2.2 defines only encodings 0 (latin-1)/1 (UCS-2)")
     body = bytearray()
     for fid, text in frames.items():
         if encoding == 0:
@@ -4156,6 +4182,14 @@ def build_id3v2(
             payload = bytes([3]) + text.encode("utf-8")
         else:
             raise ValueError(f"unsupported ID3 text encoding {encoding}")
+        if version == 2:
+            fid22 = _ID3V23_TO_V22.get(fid, fid)
+            if len(fid22) != 3:
+                raise ValueError(f"no ID3v2.2 spelling for frame {fid!r}")
+            body += fid22.encode("latin-1")
+            body += len(payload).to_bytes(3, "big")  # v2.2: 3-byte size,
+            body += payload                          # no frame flags
+            continue
         fflags = b"\x00\x00"
         if version == 4:
             if unsync:
@@ -4171,7 +4205,7 @@ def build_id3v2(
     if not footer:
         body += bytes(pad)
     tag_flags = 0
-    if version == 3 and unsync:
+    if version in (2, 3) and unsync:
         body = bytearray(_unsync_encode(bytes(body)))
         tag_flags |= 0x80
     if version == 4 and unsync:
@@ -4190,27 +4224,35 @@ def build_id3v2(
 
 
 def parse_id3v2(payload: bytes) -> dict[str, Any]:
-    """Parse the leading ID3v2.3 / v2.4 tag's TEXT frames (id3.org
-    specs — the provenance layer of audio screening:
+    """Parse the leading ID3v2.2 / v2.3 / v2.4 tag's TEXT frames
+    (id3.org specs — the provenance layer of audio screening:
     title/artist/album/year without touching a single audio frame).
 
     Returns ``{"frames": {id: text, …}, "tag_bytes": total}`` with
     text decoded per the frame's encoding byte (0 latin-1, 1 UTF-16
-    BOM, 2 UTF-16BE v2.4-only, 3 UTF-8). Version differences handled
-    per spec: v2.4 frame sizes are SYNCSAFE and unsynchronisation is
-    per-frame (format flag 0x02, or announced tag-wide by header
-    flag 0x80), v2.3 unsynchronisation covers the whole tag body;
-    the v2.4 footer ('3DI', header flag 0x10) adds 10 bytes to
-    ``tag_bytes``. Extended headers are skipped by their own size
-    field (v2.3 excludes itself, v2.4 includes itself). Non-text
-    frames (no leading 'T') are skipped but bounds-checked; padding
-    terminates the walk. No tag → empty frames, tag_bytes 0 —
-    absence is data in a crawled corpus. v2.2 raises honestly."""
+    BOM, 2 UTF-16BE v2.4-only, 3 UTF-8; v2.2 defines only 0/1).
+    Version differences handled per spec: v2.4 frame sizes are
+    SYNCSAFE and unsynchronisation is per-frame (format flag 0x02, or
+    announced tag-wide by header flag 0x80), v2.2/v2.3
+    unsynchronisation covers the whole tag body; v2.2 frames carry
+    6-byte headers (3-char id + 3-byte size, no flags, id3v2-00 §3.2)
+    and the well-known text ids are translated to their modern
+    spellings (TT2 → TIT2 …) so downstream columns are
+    version-independent; the v2.4 footer ('3DI', header flag 0x10)
+    adds 10 bytes to ``tag_bytes``. Extended headers are skipped by
+    their own size field (v2.3 excludes itself, v2.4 includes
+    itself); the v2.2 header compression bit (0x40) gates honestly —
+    the spec defines no scheme for it, only "discard the tag".
+    Non-text frames (no leading 'T') are skipped but bounds-checked;
+    padding terminates the walk. No tag → empty frames, tag_bytes 0 —
+    absence is data in a crawled corpus."""
     if payload[:3] != b"ID3" or len(payload) < 10:
         return {"frames": {}, "tag_bytes": 0, "version": 0}
     ver, flags = payload[3], payload[5]
-    if ver not in (3, 4):
-        raise NotImplementedError(f"ID3v2.{ver} tag (only v2.3/v2.4)")
+    if ver not in (2, 3, 4):
+        raise NotImplementedError(f"ID3v2.{ver} tag (only v2.2/v2.3/v2.4)")
+    if ver == 2 and flags & 0x40:
+        raise NotImplementedError("ID3v2.2 compression bit")
     size = 0
     for b in payload[6:10]:
         if b & 0x80:
@@ -4222,9 +4264,9 @@ def parse_id3v2(payload: bytes) -> dict[str, Any]:
     tag_bytes = end + (10 if ver == 4 and flags & 0x10 else 0)
     body = payload[10:end]
     tag_unsync = bool(flags & 0x80)
-    if ver == 3 and tag_unsync:
+    if ver in (2, 3) and tag_unsync:
         body = _unsync_decode(body)
-    if flags & 0x40:  # extended header
+    if ver != 2 and flags & 0x40:  # extended header
         if ver == 4:
             # syncsafe size INCLUDING itself (§3.2)
             ehs = 0
@@ -4238,11 +4280,13 @@ def parse_id3v2(payload: bytes) -> dict[str, Any]:
     frames: dict[str, str] = {}
     pos = 0
     n = len(body)
-    while pos + 10 <= n:
-        fid = body[pos : pos + 4]
+    hdr = 6 if ver == 2 else 10  # v2.2: 3-char id + 3-byte size, no flags
+    id_len = 3 if ver == 2 else 4
+    while pos + hdr <= n:
+        fid = body[pos : pos + id_len]
         if fid[0] == 0:  # padding reached
             break
-        raw_len = body[pos + 4 : pos + 8]
+        raw_len = body[pos + id_len : pos + hdr - (0 if ver == 2 else 2)]
         if ver == 4:
             if any(b & 0x80 for b in raw_len):
                 raise ValueError("invalid v2.4 syncsafe frame size")
@@ -4251,11 +4295,11 @@ def parse_id3v2(payload: bytes) -> dict[str, Any]:
                 flen = (flen << 7) | b
         else:
             flen = int.from_bytes(raw_len, "big")
-        fmt_flags = body[pos + 9]
-        if pos + 10 + flen > n:
+        fmt_flags = 0 if ver == 2 else body[pos + 9]
+        if pos + hdr + flen > n:
             raise ValueError(f"ID3v2 frame at {pos} escapes the tag")
-        data = body[pos + 10 : pos + 10 + flen]
-        pos += 10 + flen
+        data = body[pos + hdr : pos + hdr + flen]
+        pos += hdr + flen
         if ver == 4 and (fmt_flags & 0x02 or tag_unsync):
             data = _unsync_decode(data)
         if not fid.startswith(b"T") or not data:
@@ -4264,6 +4308,8 @@ def parse_id3v2(payload: bytes) -> dict[str, Any]:
         raw = data[1:].split(
             b"\x00\x00" if enc in (1, 2) else b"\x00", 1
         )[0]
+        if ver == 2 and enc not in (0, 1):
+            raise NotImplementedError(f"ID3v2.2 text encoding {enc}")
         if enc == 0:
             text = raw.decode("latin-1")
         elif enc == 1:
@@ -4276,7 +4322,10 @@ def parse_id3v2(payload: bytes) -> dict[str, Any]:
             text = raw.decode("utf-8")
         else:
             raise NotImplementedError(f"ID3 text encoding {enc}")
-        frames[fid.decode("latin-1")] = text
+        name = fid.decode("latin-1")
+        if ver == 2:
+            name = _ID3V22_TO_V23.get(name, name)
+        frames[name] = text
     return {"frames": frames, "tag_bytes": tag_bytes, "version": ver}
 
 

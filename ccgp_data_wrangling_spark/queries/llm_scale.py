@@ -3910,7 +3910,9 @@ def multimodal_mp3_layer3_spectrum(
 # metadata (title / artist / album / year) read from the tag alone,
 # no audio frame touched: the audio twin of the EXIF layer. Version
 # rotates v2.3/v2.4 on k-parity (v2.4: syncsafe frame sizes, UTF-16BE
-# enc 2, per-frame unsynchronisation, '3DI' footer on k%4==3);
+# enc 2, per-frame unsynchronisation, '3DI' footer on k%4==3), with
+# k%11==4 rows downgraded to v2.2 (6-byte frame headers, 3-char ids
+# translated to modern spellings, UCS-2, whole-tag unsync);
 # encoding rotates on k%3; unsynchronised rows (k%7==1) carry a
 # literal ÿ so the guard-byte path demonstrably fires; every 5th k
 # has NO tag (absence is data).
@@ -3924,6 +3926,7 @@ WITH g AS (
 SELECT id,
        (k % 5 <> 2) AS has_tag,
        CAST(CASE WHEN k % 5 = 2 THEN 0
+                 WHEN k % 11 = 4 THEN 2
                  WHEN k % 2 = 1 THEN 4 ELSE 3 END AS INT) AS tag_version,
        CASE WHEN k % 5 = 2 THEN NULL
             ELSE 'Track ' || CAST(k % 9 AS VARCHAR) END AS title,
@@ -3932,7 +3935,7 @@ SELECT id,
                  || CASE WHEN k % 7 = 1 THEN 'ÿ' ELSE '' END
        END AS artist,
        CASE WHEN k % 5 = 2 THEN NULL
-            WHEN k % 2 = 0 AND k % 3 = 0
+            WHEN k % 2 = 0 AND k % 3 = 0 AND k % 11 <> 4
               THEN 'Alb ' || CAST(k % 4 AS VARCHAR)
             ELSE 'Alb—' || CAST(k % 4 AS VARCHAR) END AS album,
        CASE WHEN k % 5 = 2 THEN NULL
@@ -3946,12 +3949,13 @@ FROM g
 @register("audio_id3_metadata", _ID3_SQL)
 def audio_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID3v2 provenance end-to-end: build_mp3 fixtures carrying real
-    ID3v2.3 AND v2.4 tags (TIT2/TPE1/TALB/TYER; rotating text
-    encodings incl. v2.4's UTF-16BE, per-version unsynchronisation
-    with literal ÿ bytes, and the v2.4 footer) → parse_id3v2 →
-    metadata columns; the MP3 frame walk skips the tag — footer
-    included — by its syncsafe size. Two Arrow stages; no audio
-    decode."""
+    ID3v2.2, v2.3 AND v2.4 tags (TIT2/TPE1/TALB/TYER — v2.2 rows
+    write the 3-char spellings and the parser translates them back;
+    rotating text encodings incl. v2.4's UTF-16BE, per-version
+    unsynchronisation with literal ÿ bytes, and the v2.4 footer) →
+    parse_id3v2 → metadata columns; the MP3 frame walk skips the tag
+    — footer included — by its syncsafe size. Two Arrow stages; no
+    audio decode."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -3973,7 +3977,7 @@ def audio_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             for eid in pdf["id"]:
                 e = int(eid)
                 k = e // 20
-                ver = 4 if k % 2 == 1 else 3
+                ver = 2 if k % 11 == 4 else (4 if k % 2 == 1 else 3)
                 unsync = k % 7 == 1
                 if k % 5 == 2:
                     frames = None
@@ -3996,8 +4000,12 @@ def audio_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_frames=e % 5 + 2,
                         id3v2_frames=frames,
                         id3v2_encoding=(
-                            (0, 1, 3) if ver == 3 else (2, 1, 3)
-                        )[k % 3],
+                            1 if ver == 2  # v2.2 defines only 0/1;
+                            # UCS-2 carries the em dash and ÿ rows
+                            else ((0, 1, 3) if ver == 3 else (2, 1, 3))[
+                                k % 3
+                            ]
+                        ),
                         id3v2_version=ver,
                         id3v2_unsync=unsync,
                         id3v2_footer=(ver == 4 and k % 4 == 3),
@@ -4578,12 +4586,13 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Compressed TIFF through the driver gate — scanned-document corpora
-# are heavy with LZW and PackBits strips (TIFF 6.0 §7/§9), often
-# LZW + Predictor 2 (horizontal differencing, §14). Fixtures rotate
-# all three compressions plus the predictor on k%4, gray/RGB on
-# k-parity, over a ramp image whose luma is closed-form (base + 11
-# for an 8x16 ramp) — so the oracle needs no codec at all, and a
-# wrong LZW width change or PackBits run would shift the mean.
+# are heavy with LZW, Deflate and PackBits strips (TIFF 6.0 §7/§9,
+# TechNote 2), often LZW + Predictor 2 (horizontal differencing,
+# §14). Fixtures rotate all three compressions plus the predictor on
+# k%4, gray/RGB on k-parity, over a ramp image whose luma is
+# closed-form (base + 11 for an 8x16 ramp) — so the oracle needs no
+# codec at all, and a wrong LZW width change, zlib strip boundary or
+# PackBits run would shift the mean.
 # ---------------------------------------------------------------------------
 
 _TIFF_COMPRESSED_SQL = """
@@ -4596,7 +4605,7 @@ SELECT id,
        CAST(8 AS INT) AS height,
        CAST(CASE WHEN k % 2 = 0 THEN 1 ELSE 3 END AS INT) AS n_channels,
        CAST(CASE k % 4 WHEN 0 THEN 5 WHEN 1 THEN 32773
-                       WHEN 2 THEN 5 ELSE 1 END AS INT) AS compression,
+                       WHEN 2 THEN 5 ELSE 8 END AS INT) AS compression,
        CAST(CASE WHEN k % 4 = 2 THEN 2 ELSE 1 END AS INT) AS predictor,
        CASE WHEN k % 2 = 0 THEN
          ROUND(CAST(id % 100 AS DOUBLE) + 11.0, 4)
@@ -4613,12 +4622,12 @@ FROM g
 def multimodal_tiff_compressed_decode(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """LZW / PackBits / LZW+Predictor-2 TIFF decode end-to-end:
-    encode_tiff fixtures rotating compression on k%4, II/MM byte
-    order and multi-strip layout on k-parity → strip decompress +
-    predictor undo + luma. The compression/predictor columns replay
-    the encoder's own IFD tags, proving which path ran. Two Arrow
-    stages like every media gate."""
+    """LZW / PackBits / LZW+Predictor-2 / Deflate TIFF decode
+    end-to-end: encode_tiff fixtures rotating compression on k%4,
+    II/MM byte order and multi-strip layout on k-parity → strip
+    decompress + predictor undo + luma. The compression/predictor
+    columns replay the encoder's own IFD tags, proving which path
+    ran. Two Arrow stages like every media gate."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -4644,7 +4653,7 @@ def multimodal_tiff_compressed_decode(
             for eid in pdf["id"]:
                 e = int(eid)
                 k = e // 20
-                comp = ("lzw", "packbits", "lzw", "none")[k % 4]
+                comp = ("lzw", "packbits", "lzw", "deflate")[k % 4]
                 pred = 2 if k % 4 == 2 else 1
                 if k % 2 == 0:
                     px = (ramp + e % 100).astype(np.uint8)

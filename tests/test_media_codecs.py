@@ -1143,9 +1143,10 @@ def test_tiff_lzw_packbits_predictor_roundtrip():
     rng = np.random.default_rng(11)
     rgb = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
     gray = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    comp_tags = {"lzw": 5, "deflate": 8, "packbits": 32773}
     for px in (rgb, gray):
         ref = decode_tiff(encode_tiff(px))
-        for comp in ("lzw", "packbits"):
+        for comp in ("lzw", "deflate", "packbits"):
             for pred in (1, 2):
                 for bo, rps in (("II", None), ("MM", 4)):
                     m = decode_tiff(
@@ -1155,9 +1156,7 @@ def test_tiff_lzw_packbits_predictor_roundtrip():
                         )
                     )
                     assert m["channel_means"] == ref["channel_means"]
-                    assert m["compression"] == (
-                        5 if comp == "lzw" else 32773
-                    )
+                    assert m["compression"] == comp_tags[comp]
                     assert m["predictor"] == pred
 
     # raw codec properties: stream-level vector (CLEAR, 'A', 'B', EOI
@@ -1178,6 +1177,24 @@ def test_tiff_lzw_packbits_predictor_roundtrip():
     assert len(encode_tiff(grad, compression="lzw", predictor=2)) < len(
         encode_tiff(grad, compression="lzw")
     )
+    # pre-standard Deflate code 32946 decodes identically to 8 (TIFF
+    # TechNote 2 kept both in the wild): rewrite the Compression tag
+    # value in-place in the IFD
+    dz = bytearray(encode_tiff(gray, compression="deflate"))
+    n_entries = int.from_bytes(dz[8:10], "little")
+    for i in range(n_entries):
+        e = 10 + 12 * i
+        if int.from_bytes(dz[e : e + 2], "little") == 0x0103:
+            assert int.from_bytes(dz[e + 8 : e + 10], "little") == 8
+            dz[e + 8 : e + 10] = (32946).to_bytes(2, "little")
+            break
+    else:
+        raise AssertionError("Compression tag not found")
+    m = decode_tiff(bytes(dz))
+    assert m["compression"] == 32946
+    assert m["channel_means"] == decode_tiff(encode_tiff(gray))[
+        "channel_means"
+    ]
     # honest gates
     with _pytest.raises(ValueError, match="truncated PackBits"):
         _packbits_decode(b"\x05ab")
@@ -1305,12 +1322,73 @@ def test_id3v2_text_frames_roundtrip():
     }
     # honest gates
     tag = build_id3v2(frames)
-    with _pytest.raises(NotImplementedError, match="ID3v2.2"):
-        parse_id3v2(b"ID3" + bytes([2, 0, 0]) + tag[6:])
+    with _pytest.raises(NotImplementedError, match="ID3v2.5"):
+        parse_id3v2(b"ID3" + bytes([5, 0, 0]) + tag[6:])
     bad = bytearray(tag)
     bad[14] = 0xFF  # TIT2 frame length grows past the tag
     with _pytest.raises(ValueError, match="escapes the tag"):
         parse_id3v2(bytes(bad))
+
+
+def test_id3v22_frames_roundtrip():
+    """ID3v2.2 (id3v2-00): 6-byte frame headers (3-char id + 3-byte
+    size, no flags), id translation to modern spellings, whole-tag
+    unsynchronisation with a literal ÿ, the compression-bit gate and
+    the encodings the version actually defines."""
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_id3v2,
+        build_mp3,
+        parse_id3v2,
+        parse_mp3_meta,
+    )
+
+    frames = {
+        "TIT2": "Old Songÿ",
+        "TPE1": "Artist ÿ2",
+        "TALB": "Album—Two",
+        "TYER": "1997",
+    }
+    for enc in (0, 1):
+        use = dict(frames)
+        if enc == 0:  # latin-1 cannot carry the em dash
+            use["TALB"] = "Album Two"
+        for unsync in (False, True):
+            tag = build_id3v2(use, encoding=enc, version=2, unsync=unsync)
+            assert tag[3] == 2
+            if unsync:  # the ÿ bytes force real guard-byte insertions
+                assert tag[5] & 0x80
+            got = parse_id3v2(tag)
+            assert got["version"] == 2
+            assert got["frames"] == use, (enc, unsync)
+            assert got["tag_bytes"] == len(tag)
+    # raw layout: first frame header is 'TT2' + 3-byte size, no flags
+    tag = build_id3v2({"TIT2": "abc"}, encoding=0, version=2)
+    assert tag[10:13] == b"TT2"
+    assert int.from_bytes(tag[13:16], "big") == 4  # enc byte + 'abc'
+    # unknown 3-char ids survive untranslated; non-text frames skip
+    assert parse_id3v2(tag)["frames"] == {"TIT2": "abc"}
+    # inside a full MP3 the frame walk skips the v2.2 tag by its size
+    mp3 = build_mp3(
+        n_frames=3, id3v2_frames=frames, id3v2_encoding=1, id3v2_version=2
+    )
+    assert parse_id3v2(mp3)["frames"]["TIT2"] == "Old Songÿ"
+    m = parse_mp3_meta(mp3)
+    assert m["id3v2"] and m["n_frames"] == 3
+    # honest gates: the compression bit has no defined scheme (§3.1
+    # says discard); v2.2 defines only encodings 0/1
+    with _pytest.raises(NotImplementedError, match="compression bit"):
+        parse_id3v2(b"ID3" + bytes([2, 0, 0x40]) + tag[6:])
+    with _pytest.raises(ValueError, match="only encodings"):
+        build_id3v2(frames, encoding=3, version=2)
+    body = b"TT2" + bytes([0, 0, 2]) + bytes([3]) + b"x"
+    crafted = (
+        b"ID3" + bytes([2, 0, 0])
+        + bytes([0, 0, 0, len(body)]) + body
+    )
+    with _pytest.raises(NotImplementedError, match="ID3v2.2 text encoding"):
+        parse_id3v2(crafted)
 
 
 def test_id3v24_unsync_and_footer():
