@@ -1898,12 +1898,25 @@ FROM events WHERE event_id % 20 = 9
 @register("image_phash_neardup_dedup", _PHASH_ND_SQL)
 def image_phash_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pHash near-duplicate IMAGE dedup end-to-end: real perceptual
-    hashes, banded Hamming join (ids-only candidates, one
-    bit_count(xor) verify), alternating-algorithm components, keep =
-    canonical minimum — the image twin of the text dedup families'
-    keep/drop shape. Scale: every stage is the scale-safe form its
-    operator docstring proves (hash groupBy, pigeonhole bands, star
-    contraction); nothing here is quadratic in the corpus."""
+    hashes, EXACT-DUPLICATE COLLAPSE, banded Hamming join (ids-only
+    candidates, one bit_count(xor) verify), alternating-algorithm
+    components, keep = canonical minimum — the image twin of the text
+    dedup families' keep/drop shape.
+
+    The collapse is the load-bearing scale stage: bit-identical
+    fingerprints (here every upscale twin; in a real corpus every
+    re-post of the same image) form CLIQUES under a pairwise near-dup
+    join — m identical hashes are m²/2 true pairs, and the r8 scaling
+    sweep measured exactly that as an executor OOM at the 10× decade
+    (~55 M pairs feeding connected components). Dedup only needs
+    connectivity, not the clique: one groupBy(fp) picks the min-id
+    representative per distinct hash, the banded join runs over
+    DISTINCT fingerprints only, and members rejoin through their
+    representative — m² edges become m star edges, and the min-per-fp
+    representative keeps the canonical-min cluster id bit-identical
+    to the uncollapsed answer. Every other stage is the scale-safe
+    form its operator docstring proves (hash groupBy, pigeonhole
+    bands, star contraction)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -1948,17 +1961,25 @@ def image_phash_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"id": pdf["id"].values, "fp": fps})
 
     fps = ev.mapInPandas(kernel, schema="id long, fp long")
+    reps = fps.groupBy("fp").agg(F.min("id").alias("rid"))
     pairs = hamming_neardup_pairs(
-        fps, "id", "fp", max_hamming=3
+        reps.select(F.col("rid").alias("id"), "fp"),
+        "id", "fp", max_hamming=3,
     )
-    clus = neardup_clusters(pairs).select(
-        F.col("doc_id").alias("id"), "cluster_id"
+    rep_clus = neardup_clusters(pairs).select(
+        F.col("doc_id").alias("rid"), "cluster_id"
     )
-    rep = F.coalesce(F.col("cluster_id"), F.col("id"))
-    return fps.join(clus, "id", "left").select(
-        "id",
-        rep.alias("cluster_id"),
-        (F.col("id") == rep).alias("keep"),
+    # min cluster member over representatives == min over ALL members,
+    # because each representative is already the min of its hash group
+    cid = F.coalesce(F.col("cluster_id"), F.col("rid"))
+    return (
+        fps.join(reps, "fp")
+        .join(rep_clus, "rid", "left")
+        .select(
+            "id",
+            cid.alias("cluster_id"),
+            (F.col("id") == cid).alias("keep"),
+        )
     )
 
 
