@@ -2868,6 +2868,12 @@ def build_fragmented_mp4(
       the ``default-base-is-moof`` flag with a trun data-offset
     * ``tfdt``: baseMediaDecodeTime (written as a v1/64-bit tfdt);
       omit for cursor-accumulated decode times
+    * ``chained_trafs``: additional traf dicts (``track_ID``,
+      ``samples``, optional ``tfdt``) appended to the SAME moof with
+      neither a base-data-offset nor default-base-is-moof nor a trun
+      data offset — the §8.8.7 implicit inter-traf chaining layout
+      (each traf's data starts where the previous traf's ended);
+      their sample payloads are appended to the shared mdat in order
 
     Layout is resolved in one pass because every offset field is
     fixed-width: moofs are built with placeholder offsets to fix
@@ -2893,6 +2899,10 @@ def build_fragmented_mp4(
         frag_end[f["track_ID"]] = frag_end.get(f["track_ID"], 0) + sum(
             s["duration"] for s in f["samples"]
         )
+        for c in f.get("chained_trafs", []):
+            frag_end[c["track_ID"]] = frag_end.get(
+                c["track_ID"], 0
+            ) + sum(s["duration"] for s in c["samples"])
     movie_dur = max(frag_end.values(), default=0)
 
     mvhd = full(
@@ -3042,8 +3052,30 @@ def build_fragmented_mp4(
             if fsrc == "trun":
                 tr_body += flags_of(s).to_bytes(4, "big")
         traf_body += full(b"trun", 0, tr_body, tr_flags)
+        trafs = box(b"traf", traf_body)
+        # §8.8.7 implicit chaining: additional trafs written with
+        # NEITHER base-data-offset NOR default-base-is-moof nor a trun
+        # data offset — their data starts where the previous traf's
+        # data ended (the multi-track interleave real muxers emit)
+        for c in f.get("chained_trafs", []):
+            ctfhd = full(b"tfhd", 0, c["track_ID"].to_bytes(4, "big"), 0)
+            cbody = ctfhd
+            if c.get("tfdt") is not None:
+                cbody += full(b"tfdt", 1, c["tfdt"].to_bytes(8, "big"))
+            ctr_flags = (
+                _TRUN_SAMPLE_DURATION
+                | _TRUN_SAMPLE_SIZE
+                | _TRUN_SAMPLE_FLAGS
+            )
+            ctr_body = len(c["samples"]).to_bytes(4, "big")
+            for s in c["samples"]:
+                ctr_body += s["duration"].to_bytes(4, "big")
+                ctr_body += s["size"].to_bytes(4, "big")
+                ctr_body += flags_of(s).to_bytes(4, "big")
+            cbody += full(b"trun", 0, ctr_body, ctr_flags)
+            trafs += box(b"traf", cbody)
         mfhd = full(b"mfhd", 0, seq.to_bytes(4, "big"))
-        return box(b"moof", mfhd + box(b"traf", traf_body))
+        return box(b"moof", mfhd + trafs)
 
     out = bytearray(ftyp + moov)
     for seq, f in enumerate(fragments, start=1):
@@ -3061,6 +3093,11 @@ def build_fragmented_mp4(
             _mp4_sample_payload(i + 1, s["size"])
             for i, s in enumerate(f["samples"])
         )
+        for c in f.get("chained_trafs", []):
+            body += b"".join(
+                _mp4_sample_payload(i + 1, s["size"])
+                for i, s in enumerate(c["samples"])
+            )
         out += moof + box(b"mdat", body)
     return bytes(out)
 
@@ -3303,6 +3340,7 @@ def _mp4_fragment_rows(
     for moof_start, m0, m1 in moofs:
         seq = None
         traf_no = 0
+        prev_data_end = None  # §8.8.7 implicit inter-traf chaining
         for bt, b0, b1 in _mp4_boxes(payload, m0, m1):
             if bt == b"mfhd":
                 seq = u32(b0 + 4)
@@ -3361,11 +3399,15 @@ def _mp4_fragment_rows(
                 elif traf_no == 1:
                     # §8.8.7: first traf defaults to the moof start
                     base_data_offset = moof_start
+                elif prev_data_end is not None:
+                    # §8.8.7 implicit chaining: a subsequent traf with
+                    # neither an explicit base nor default-base-is-moof
+                    # starts where the previous traf's data ENDED
+                    base_data_offset = prev_data_end
                 else:
-                    raise NotImplementedError(
-                        "implicit base-data-offset chaining across "
-                        "trafs (second traf without base-data-offset "
-                        "or default-base-is-moof)"
+                    raise ValueError(
+                        "traf chains implicitly but the previous traf "
+                        "defined no data"
                     )
             if tfdt is not None:
                 tv = payload[tfdt[0]]
@@ -3376,6 +3418,7 @@ def _mp4_fragment_rows(
                     "big",
                 )
             cur = None  # data cursor: continues across truns (§8.8.8)
+            data_end = base_data_offset  # zero-sample traf: end = base
             for r0, r1 in truns:
                 tr_flags = int.from_bytes(payload[r0 + 1 : r0 + 4], "big")
                 version = payload[r0]
@@ -3453,6 +3496,8 @@ def _mp4_fragment_rows(
                         }
                     )
                     cur += size
+                    data_end = max(data_end, cur)
+            prev_data_end = data_end
     return rows
 
 

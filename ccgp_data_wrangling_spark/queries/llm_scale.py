@@ -2939,6 +2939,8 @@ def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # modes (explicit base-data-offset, default-base-is-moof). All of it
 # is event_id arithmetic, so the oracle replays the construction with
 # generate_series + a per-fragment window prefix-sum and no parser.
+# Every 5th file additionally splits its last fragment across two
+# trafs chained implicitly (§8.8.7) — table-identical, layout-only.
 # ---------------------------------------------------------------------------
 
 _MP4_FRAGMENTED_SQL = """
@@ -2989,9 +2991,11 @@ def multimodal_mp4_fragmented_keyframes(
     """Movie-fragment expansion end-to-end: build_fragmented_mp4
     fixtures with 2-3 moof+mdat fragments, 2-4 samples each, rotating
     the size/duration/flags source on k%3 (trun per-sample → tfhd
-    defaults + first-sample-flags → trex fallback) and the base mode
+    defaults + first-sample-flags → trex fallback), the base mode
     per fragment (default-base-is-moof vs explicit 64-bit
-    base-data-offset) → mp4_sample_table → one row per sample with
+    base-data-offset), and §8.8.7 implicit inter-traf chaining on
+    k%5 (last fragment split across two trafs, the second with no
+    base fields at all) → mp4_sample_table → one row per sample with
     global numbering, fragment (=mfhd sequence), time, per-fragment
     mdat-relative byte range, and keyframe flag. Two Arrow stages
     like every media gate; nothing decodes."""
@@ -3050,6 +3054,20 @@ def multimodal_mp4_fragmented_keyframes(
                             "tfdt": (f - 1) * m * 60,
                         }
                     )
+                # §8.8.7 implicit inter-traf chaining rotates through
+                # the gate: every 5th file splits its last fragment's
+                # samples across a second traf with neither a base-
+                # data-offset nor default-base-is-moof — the expanded
+                # sample table is identical (data stays contiguous,
+                # dts cursor continues), only the box layout changes,
+                # so the closed-form oracle needs no variant
+                if k % 5 == 0:
+                    last = frags[-1]
+                    cut = (m + 1) // 2
+                    last["chained_trafs"] = [
+                        {"track_ID": 1, "samples": last["samples"][cut:]}
+                    ]
+                    last["samples"] = last["samples"][:cut]
                 payloads.append(
                     build_fragmented_mp4(
                         timescale=600,

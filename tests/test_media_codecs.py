@@ -1752,9 +1752,77 @@ def test_mp4_fragmented_sample_tables_roundtrip():
         )
 
 
+def test_mp4_fragmented_implicit_traf_chaining():
+    """§8.8.7 implicit inter-traf base chaining: a second traf with
+    neither base-data-offset nor default-base-is-moof (nor a trun data
+    offset) starts its data where the previous traf's data ended —
+    the multi-track audio/video interleave real muxers write. Offsets
+    byte-verify against the shared mdat."""
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _mp4_sample_payload,
+        build_fragmented_mp4,
+        mp4_sample_table,
+    )
+
+    blob = build_fragmented_mp4(
+        timescale=1000,
+        tracks=[
+            {"track_ID": 1, "width": 320, "height": 240,
+             "codec": "avc1", "media_timescale": 600},
+            {"track_ID": 2, "width": 0, "height": 0,
+             "codec": "mp4a", "media_timescale": 48000},
+        ],
+        fragments=[
+            {
+                "track_ID": 1, "tfdt": 0, "explicit_base": False,
+                "samples": [
+                    {"size": 100, "duration": 60, "sync": True},
+                    {"size": 110, "duration": 60, "sync": False},
+                ],
+                "chained_trafs": [{
+                    "track_ID": 2, "tfdt": 0,
+                    "samples": [
+                        {"size": 30, "duration": 1024, "sync": True},
+                        {"size": 40, "duration": 1024, "sync": True},
+                    ],
+                }],
+            },
+            {   # second fragment: chained traf with cursor dts
+                "track_ID": 1, "tfdt": 120, "explicit_base": True,
+                "samples": [
+                    {"size": 90, "duration": 60, "sync": True},
+                ],
+                "chained_trafs": [{
+                    "track_ID": 2,
+                    "samples": [
+                        {"size": 50, "duration": 1024, "sync": True},
+                    ],
+                }],
+            },
+        ],
+    )
+    rows = mp4_sample_table(blob)
+    assert [(r["track"], r["sample"]) for r in rows] == [
+        (0, 1), (0, 2), (1, 1), (1, 2), (0, 3), (1, 3),
+    ]
+    # chained data follows the video data inside each fragment's mdat
+    assert [r["mdat_offset"] for r in rows] == [0, 100, 210, 240, 0, 90]
+    # audio dts: tfdt 0 then cursor-accumulated 2048
+    audio = [r for r in rows if r["track"] == 1]
+    assert [r["dts"] for r in audio] == [0, 1024, 2048]
+    # absolute offsets select the exact payload bytes (payload index
+    # restarts per traf in the fixture writer)
+    within = [1, 2, 1, 2, 1, 1]
+    for r, wi in zip(rows, within):
+        assert (
+            blob[r["offset"] : r["offset"] + r["size"]]
+            == _mp4_sample_payload(wi, r["size"])
+        )
+
+
 def test_mp4_fragmented_honest_gates():
-    """Unknown track_ID, second-traf implicit base chaining, missing
-    size/duration defaults, and out-of-mdat ranges raise."""
+    """Unknown track_ID, missing size/duration defaults, and
+    out-of-mdat ranges raise."""
     import pytest as _pytest
 
     from ccgp_data_wrangling_spark.operators.media_codecs import (
