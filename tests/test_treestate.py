@@ -53,6 +53,16 @@ def test_record_artifacts_do_not_dirty(scratch_repo):
     assert not treestate.tree_dirty()
 
 
+def test_modified_tracked_record_artifact_does_not_dirty(scratch_repo):
+    # BENCH_LOCAL.json is tracked (shipped for the judge) but
+    # rewritten by every bench run — a modification must not dirty
+    (scratch_repo / "BENCH_LOCAL.json").write_text("{}\n")
+    _git(scratch_repo, "add", "BENCH_LOCAL.json")
+    _git(scratch_repo, "commit", "-qm", "bench artifact")
+    (scratch_repo / "BENCH_LOCAL.json").write_text('{"v": 2}\n')
+    assert not treestate.tree_dirty()
+
+
 def test_untracked_code_is_dirty(scratch_repo):
     (scratch_repo / "PYTEST_RUN.json").write_text("{}\n")
     (scratch_repo / "sneaky.py").write_text("y = 2\n")

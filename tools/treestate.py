@@ -19,12 +19,16 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-# the round-record artifacts these tools themselves produce
+# the round-record artifacts these tools themselves produce.
+# BENCH_LOCAL.json belongs here too: bench.py rewrites it on every
+# run (it is tracked for the judge but gitignored by intent), so
+# without the exclusion any bench run dirties every later stamp.
 RECORD_PATTERNS = (
     "PYTEST_RUN.json",
     "CORRECTNESS_LOCAL_r*.json",
     "SCALING_SWEEP_r*.json",
     "SCALING_CURVE_r*.json",
+    "BENCH_LOCAL.json",
 )
 
 
