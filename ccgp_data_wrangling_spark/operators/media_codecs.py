@@ -3895,12 +3895,25 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
     This is the spectral-envelope screening layer; IMDCT + synthesis
     still raise via real_decode's gate.
 
+    The BIT RESERVOIR (§2.4.2.7 main_data_begin) is handled the way
+    real streams demand: each frame's main-data region feeds a rolling
+    reservoir, and a frame whose ``main_data_begin = N`` starts its
+    granules N bytes BEFORE the end of the bytes accumulated from
+    prior frames, continuing into its own region — nearly every
+    encoder in the wild packs frames this way. A begin pointer
+    reaching past the accumulated reservoir raises (underflow: the
+    stream lost the frames it depends on). ``scfsi`` scalefactor
+    reuse is decoded per §2.4.2.7: for each of the four scfsi band
+    groups (sfb 0-5 / 6-10 / 11-15 / 16-20) with its bit set,
+    granule 1 reuses granule 0's scalefactors and reads none from the
+    stream.
+
     Scope gates (each raises honestly): mono MPEG-1 long blocks;
-    ``main_data_begin == 0`` (no bit reservoir — the fixture writer's
-    scope); ``scfsi == 0``; Huffman tables beyond 0-3/A/B."""
+    Huffman tables beyond 0-3/A/B."""
     sis = parse_mp3_layer3_sideinfo(payload)
-    # main data: frame-parallel walk (no reservoir → main data sits
-    # entirely inside its own frame, right after the side info)
+    # main data: rolling-reservoir walk — every frame's region is
+    # appended after decode; main_data_begin indexes back into it
+    reservoir = bytearray()
     pos = 0
     end = len(payload)
     out: list[dict[str, Any]] = []
@@ -3915,20 +3928,28 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
         padding = (hdr >> 9) & 0x1
         flen = _mp3_frame_len("MPEG1", 3, bitrate, rate, padding)
         bounds = _L3_SFB_LONG[rate]
+        md_region = payload[pos + 4 + (2 if crc else 0) + 17 : pos + flen]
+        mdb = next(
+            s for s in sis
+            if s["frame"] == frame_no and s["granule"] == 0
+        )["main_data_begin"]
+        if mdb > len(reservoir):
+            raise ValueError(
+                f"bit reservoir underflow: frame {frame_no} begins "
+                f"{mdb} bytes back but only {len(reservoir)} are "
+                "accumulated"
+            )
         main = _BitReader(
-            payload[pos + 4 + (2 if crc else 0) + 17 : pos + flen]
+            bytes(reservoir[len(reservoir) - mdb :]) + md_region
+            if mdb
+            else md_region
         )
+        prev_scalefac: list[int] = [0] * 22
         for gr in range(2):
             g = next(
                 s for s in sis
                 if s["frame"] == frame_no and s["granule"] == gr
             )
-            if g["main_data_begin"] != 0:
-                raise NotImplementedError(
-                    "Layer III bit reservoir (main_data_begin != 0)"
-                )
-            if g["scfsi"] != 0:
-                raise NotImplementedError("scfsi scalefactor reuse")
             if g["window_switching"]:
                 raise NotImplementedError(
                     "short/mixed block Layer III decode"
@@ -3936,10 +3957,20 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
             bits_before = main.bits_read()
             slen1, slen2 = _L3_SLEN[g["scalefac_compress"]]
             scalefac = [0] * 22
-            for b in range(11):
-                scalefac[b] = main.read_bits(slen1) if slen1 else 0
-            for b in range(11, 21):
-                scalefac[b] = main.read_bits(slen2) if slen2 else 0
+            # scfsi band groups (§2.4.2.7): granule 1 reuses granule
+            # 0's scalefactors for each group whose bit is set and
+            # reads NO bits for them
+            for gi, (lo, hi, sl) in enumerate(
+                ((0, 6, slen1), (6, 11, slen1),
+                 (11, 16, slen2), (16, 21, slen2))
+            ):
+                if gr == 1 and (g["scfsi"] >> (3 - gi)) & 1:
+                    scalefac[lo:hi] = prev_scalefac[lo:hi]
+                else:
+                    for b in range(lo, hi):
+                        scalefac[b] = main.read_bits(sl) if sl else 0
+            if gr == 0:
+                prev_scalefac = list(scalefac)
             xr = [0.0] * 576
             is_nonzero = [False] * 576
             gain = 2.0 ** (0.25 * (g["global_gain"] - 210))
@@ -4031,6 +4062,9 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
                         "rms": round((acc / (hi - lo)) ** 0.5, 6),
                     }
                 )
+        reservoir += md_region
+        if len(reservoir) > 511:  # 9-bit pointer: older bytes are dead
+            del reservoir[: len(reservoir) - 511]
         frame_no += 1
         pos += flen
     return out
@@ -4040,8 +4074,10 @@ def build_mp3_layer3(
     *,
     sample_rate: int = 44100,
     bitrate_kbps: int = 192,
-    granules: list[dict[str, Any]],
+    granules: list[dict[str, Any]] | None = None,
     n_frames: int = 1,
+    frames: list[dict[str, Any]] | None = None,
+    reservoir: bool = False,
 ) -> bytes:
     """Fixture writer: mono MPEG-1 Layer III frames with REAL side
     info and Huffman-coded main data (§2.4.1.7). Each granule dict:
@@ -4051,9 +4087,28 @@ def build_mp3_layer3(
     big-value pairs, |v| within the table), ``quads`` (signed count1
     4-tuples), ``count1table`` ('A' or 'B'), ``region0_count``,
     ``region1_count``. part2_3_length is computed exactly from the
-    emitted bits; main_data_begin is 0 (no reservoir)."""
-    if len(granules) != 2:
-        raise ValueError("Layer III frame carries exactly 2 granules")
+    emitted bits.
+
+    ``granules``+``n_frames`` repeats one 2-granule frame;
+    ``frames`` instead takes per-frame dicts ``{"granules": [g0,
+    g1], "scfsi": int}`` — scfsi band groups (sfb 0-5/6-10/11-15/
+    16-20, MSB first) with a set bit make granule 1 REUSE granule
+    0's scalefactors: no bits are written for them (the dicts must
+    agree on the reused bands — validated).
+
+    ``reservoir=True`` packs the frames' main data as one contiguous
+    byte stream across frame regions the way real encoders do: each
+    frame's ``main_data_begin`` is the distance back into the
+    accumulated prior regions where its granules start. With
+    ``False`` every frame's main data sits in its own region
+    (main_data_begin 0)."""
+    if frames is None:
+        if granules is None:
+            raise ValueError("need granules or frames")
+        frames = [{"granules": granules}] * n_frames
+    for fr in frames:
+        if len(fr["granules"]) != 2:
+            raise ValueError("Layer III frame carries exactly 2 granules")
     ridx = _MP3_RATES["MPEG1"].index(sample_rate)
     bidx = _MP3_BITRATES[("MPEG1", 3)].index(bitrate_kbps)
     flen = _mp3_frame_len("MPEG1", 3, bitrate_kbps, sample_rate, 0)
@@ -4062,26 +4117,27 @@ def build_mp3_layer3(
         | (bidx << 12) | (ridx << 10) | (3 << 6)
     )
 
-    def granule_main_bits(g: dict[str, Any]) -> list[tuple[int, int]]:
+    def granule_main_bits(
+        g: dict[str, Any], skip_groups: frozenset[int] = frozenset()
+    ) -> list[tuple[int, int]]:
         bits: list[tuple[int, int]] = []
         slen1, slen2 = _L3_SLEN[g["scalefac_compress"]]
         sf = g["scalefac"]
         if len(sf) != 21:
             raise ValueError("need 21 long-block scalefactors")
-        for b in range(11):
-            if slen1:
-                if sf[b] >= (1 << slen1):
-                    raise ValueError("scalefactor exceeds slen1 width")
-                bits.append((sf[b], slen1))
-            elif sf[b]:
-                raise ValueError("nonzero scalefactor with slen 0")
-        for b in range(11, 21):
-            if slen2:
-                if sf[b] >= (1 << slen2):
-                    raise ValueError("scalefactor exceeds slen2 width")
-                bits.append((sf[b], slen2))
-            elif sf[b]:
-                raise ValueError("nonzero scalefactor with slen 0")
+        for gi, (lo, hi, sl) in enumerate(
+            ((0, 6, slen1), (6, 11, slen1),
+             (11, 16, slen2), (16, 21, slen2))
+        ):
+            if gi in skip_groups:  # scfsi: granule 1 writes no bits
+                continue
+            for b in range(lo, hi):
+                if sl:
+                    if sf[b] >= (1 << sl):
+                        raise ValueError("scalefactor exceeds slen width")
+                    bits.append((sf[b], sl))
+                elif sf[b]:
+                    raise ValueError("nonzero scalefactor with slen 0")
         table = _L3_PAIR_TABLES[g["table"]]
         for x, y in g["pairs"]:
             ln, code = table[(abs(x), abs(y))]
@@ -4102,15 +4158,40 @@ def build_mp3_layer3(
                     bits.append((1 if v < 0 else 0, 1))
         return bits
 
-    out = bytearray()
-    for _f in range(n_frames):
-        mains = [granule_main_bits(g) for g in granules]
+    def pack(bits: list[tuple[int, int]]) -> bytes:
+        buf = bytearray()
+        acc, n = 0, 0
+        for v, ln in bits:
+            for i in range(ln - 1, -1, -1):
+                acc = (acc << 1) | ((v >> i) & 1)
+                n += 1
+                if n == 8:
+                    buf.append(acc)
+                    acc, n = 0, 0
+        if n:
+            buf.append(acc << (8 - n))
+        return bytes(buf)
+
+    groups = ((0, 6), (6, 11), (11, 16), (16, 21))
+    frame_md: list[bytes] = []
+    frame_side: list[list[tuple[int, int]]] = []
+    for fr in frames:
+        g0, g1 = fr["granules"]
+        scfsi = fr.get("scfsi", 0)
+        skip = frozenset(gi for gi in range(4) if (scfsi >> (3 - gi)) & 1)
+        for gi in skip:
+            lo, hi = groups[gi]
+            if g0["scalefac"][lo:hi] != g1["scalefac"][lo:hi]:
+                raise ValueError(
+                    "scfsi group reuses unequal scalefactors"
+                )
+        mains = [granule_main_bits(g0), granule_main_bits(g1, skip)]
         side: list[tuple[int, int]] = [
-            (0, 9),  # main_data_begin
+            (0, 9),  # main_data_begin — patched at layout time
             (0, 5),  # private_bits
-            (0, 4),  # scfsi
+            (scfsi, 4),
         ]
-        for g, mb in zip(granules, mains):
+        for g, mb in zip((g0, g1), mains):
             part23 = sum(ln for _v, ln in mb)
             if part23 >= 1 << 12:
                 raise ValueError("granule main data exceeds 12-bit length")
@@ -4127,26 +4208,48 @@ def build_mp3_layer3(
                 (g.get("scalefac_scale", 0), 1),
                 (1 if g.get("count1table", "A") == "B" else 0, 1),
             ]
-        bits = side + mains[0] + mains[1]
-        total = sum(ln for _v, ln in bits)
-        if 32 + total > flen * 8:
-            raise ValueError(
-                f"frame needs {32 + total} bits, holds {flen * 8}"
-            )
-        frame = bytearray(flen)
-        frame[0:4] = hdr.to_bytes(4, "big")
-        acc, n, bpos = 0, 0, 4
-        for v, ln in bits:
-            for i in range(ln - 1, -1, -1):
-                acc = (acc << 1) | ((v >> i) & 1)
-                n += 1
-                if n == 8:
-                    frame[bpos] = acc
-                    bpos += 1
-                    acc, n = 0, 0
-        if n:
-            frame[bpos] = acc << (8 - n)
-        out += frame
+        frame_side.append(side)
+        frame_md.append(pack(mains[0] + mains[1]))
+
+    # layout: each frame's region (flen - header - 17-byte side info)
+    # either carries its own main data (reservoir=False) or a slice of
+    # the CONTIGUOUS cross-frame main-data stream, with
+    # main_data_begin measuring how far back into the accumulated
+    # prior regions this frame's granules start (§2.4.2.7)
+    region_cap = flen - 4 - 17
+    stream = b"".join(frame_md)
+    out = bytearray()
+    region_bytes = 0  # W: region capacity laid down so far
+    stream_off = 0  # S: stream offset of this frame's main data
+    for i, (side, md) in enumerate(zip(frame_side, frame_md)):
+        if reservoir:
+            mdb = region_bytes - stream_off
+            if mdb > 511:
+                raise ValueError(
+                    f"frame {i}: reservoir back-pointer {mdb} exceeds "
+                    "the 9-bit field — shrink earlier frames' slack"
+                )
+            if stream_off + len(md) > region_bytes + region_cap:
+                raise ValueError(
+                    f"frame {i} main data ({len(md)} B) extends past "
+                    "its own region"
+                )
+            region = stream[region_bytes : region_bytes + region_cap]
+            region = region.ljust(region_cap, b"\x00")
+        else:
+            mdb = 0
+            if len(md) > region_cap:
+                raise ValueError(
+                    f"frame needs {32 + 136 + len(md) * 8} bits, "
+                    f"holds {flen * 8}"
+                )
+            region = md.ljust(region_cap, b"\x00")
+        side[0] = (mdb, 9)
+        side_bytes = pack(side)
+        assert len(side_bytes) == 17
+        out += hdr.to_bytes(4, "big") + side_bytes + region
+        region_bytes += region_cap
+        stream_off += len(md)
     return bytes(out)
 
 

@@ -3794,6 +3794,13 @@ WITH g AS (
 gr AS (
   SELECT id, k, UNNEST([0, 1]) AS granule FROM g
 ),
+frames AS (
+  -- k%3==1 payloads carry TWO reservoir-packed frames of the same
+  -- granules: spectra repeat per frame, layout-only otherwise
+  SELECT id, UNNEST(CASE WHEN k % 3 = 1 THEN [0, 1] ELSE [0] END)
+           AS frame
+  FROM g
+),
 p AS (
   SELECT id, k, granule,
          3 + id % 4 AS np, 1 + k % 3 AS nq,
@@ -3840,13 +3847,14 @@ agg AS (
   GROUP BY 1, 2, 3
 )
 SELECT p.id,
-       0 AS frame,
+       CAST(f.frame AS INT) AS frame,
        CAST(p.granule AS INT) AS granule,
        CAST(b.sfb AS INT) AS sfb,
        CAST(b.hi - b.lo AS INT) AS width,
        CAST(COALESCE(a.nnz, 0) AS INT) AS n_nonzero,
        ROUND(SQRT(COALESCE(a.e, 0.0) / (b.hi - b.lo)), 6) AS rms
 FROM p CROSS JOIN bands b
+JOIN frames f ON f.id = p.id
 LEFT JOIN agg a ON a.id = p.id AND a.granule = p.granule
                 AND a.sfb = b.sfb
 """
@@ -3860,9 +3868,11 @@ def multimodal_mp3_layer3_spectrum(
     build_mp3_layer3 fixtures (real side info, Huffman-coded
     big-value pairs via table 3, count1 quads rotating tables A/B
     per granule, 21 transmitted scalefactors, preflag and both
-    scalefac_scale multipliers on k-rotation) →
-    decode_mp3_layer3_spectrum → per-scalefactor-band RMS envelope.
-    Two Arrow stages; IMDCT/polyphase synthesis still raise."""
+    scalefac_scale multipliers on k-rotation; k%3==1 payloads carry
+    TWO frames packed through the bit reservoir, exercising nonzero
+    main_data_begin in-gate) → decode_mp3_layer3_spectrum →
+    per-scalefactor-band RMS envelope. Two Arrow stages;
+    IMDCT/polyphase synthesis still raise."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -3916,7 +3926,22 @@ def multimodal_mp3_layer3_spectrum(
                             count1table="A" if gr == 0 else "B",
                         )
                     )
-                payloads.append(build_mp3_layer3(granules=grans))
+                if k % 3 == 1:
+                    # two frames of the same granules packed through
+                    # the bit reservoir (nonzero main_data_begin on
+                    # frame 1); the low bitrate keeps the back-pointer
+                    # under its 9-bit cap the way encoder stuffing
+                    # would — spectra repeat per frame, so the oracle
+                    # only fans out a frame index
+                    payloads.append(
+                        build_mp3_layer3(
+                            frames=[{"granules": grans}] * 2,
+                            bitrate_kbps=32,
+                            reservoir=True,
+                        )
+                    )
+                else:
+                    payloads.append(build_mp3_layer3(granules=grans))
             yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

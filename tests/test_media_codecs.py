@@ -1210,6 +1210,96 @@ def test_tiff_lzw_packbits_predictor_roundtrip():
         decode_tiff(bytes(lz))
 
 
+def test_mp3_layer3_reservoir_and_scfsi():
+    """§2.4.2.7 bit reservoir + scfsi: a stream whose frames' main
+    data is packed contiguously across frame regions (nonzero
+    main_data_begin) decodes to the IDENTICAL spectra as the same
+    granules laid out frame-locally; scfsi band groups make granule 1
+    reuse granule 0's scalefactors with no bits in the stream; builder
+    validates reuse consistency; the 511-byte pointer cap gates."""
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _L3_SLEN,
+        build_mp3_layer3,
+        decode_mp3_layer3_spectrum,
+        parse_mp3_layer3_sideinfo,
+    )
+
+    def gran(gain, npairs, sf=None):
+        return dict(
+            global_gain=gain, scalefac_compress=9,
+            scalefac=sf or [(gain + b) % 4 for b in range(21)],
+            preflag=0, scalefac_scale=0, table=3,
+            pairs=[(1, -2), (2, 1), (0, 2), (-1, 0)][:npairs],
+            quads=[(1, 0, 0, -1)], count1table="A",
+            region0_count=3, region1_count=3,
+        )
+
+    # frames of very different main-data sizes → later frames' data
+    # starts well inside earlier regions when reservoir-packed; the
+    # smallest bitrate keeps the per-frame slack under the 511-byte
+    # pointer cap (real encoders stuff ancillary bits for the same
+    # reason)
+    frames = [
+        {"granules": [gran(150, 4), gran(151, 1)]},
+        {"granules": [gran(152, 2), gran(153, 4)]},
+        {"granules": [gran(154, 1), gran(155, 1)]},
+    ]
+    flat = build_mp3_layer3(frames=frames, bitrate_kbps=32)
+    packed = build_mp3_layer3(
+        frames=frames, bitrate_kbps=32, reservoir=True
+    )
+    assert flat != packed
+    si = parse_mp3_layer3_sideinfo(packed)
+    mdbs = [s["main_data_begin"] for s in si if s["granule"] == 0]
+    assert mdbs[0] == 0 and mdbs[1] > 0 and mdbs[2] > mdbs[1]
+    # layout-only: the decoded spectra are identical
+    strip = lambda rows: [
+        {k: r[k] for k in ("frame", "granule", "sfb", "n_nonzero", "rms")}
+        for r in rows
+    ]
+    assert strip(decode_mp3_layer3_spectrum(packed)) == strip(
+        decode_mp3_layer3_spectrum(flat)
+    )
+
+    # scfsi: granule 1 reuses groups 0 (sfb 0-5) and 2 (sfb 11-15)
+    sf0 = [(2 + b) % 4 for b in range(21)]
+    sf1 = list(sf0)
+    sf1[6:11] = [(3 * b) % 4 for b in range(6, 11)]  # group 1 differs
+    sf1[16:21] = [(b + 1) % 4 for b in range(16, 21)]  # group 3 differs
+    shared = {"granules": [gran(150, 3, sf0), gran(160, 2, sf1)],
+              "scfsi": 0b1010}
+    explicit = {"granules": [gran(150, 3, sf0), gran(160, 2, sf1)]}
+    tagged = build_mp3_layer3(frames=[shared])
+    plain = build_mp3_layer3(frames=[explicit])
+    # the reused groups' bits are genuinely absent from the stream
+    si_t = parse_mp3_layer3_sideinfo(tagged)
+    si_p = parse_mp3_layer3_sideinfo(plain)
+    assert si_t[0]["scfsi"] == 0b1010
+    slen1, slen2 = _L3_SLEN[9]
+    # reused groups 0 (6 scalefacs × slen1) and 2 (5 × slen2)
+    assert (
+        si_t[1]["part2_3_length"]
+        == si_p[1]["part2_3_length"] - (6 * slen1 + 5 * slen2)
+    )
+    assert strip(decode_mp3_layer3_spectrum(tagged)) == strip(
+        decode_mp3_layer3_spectrum(plain)
+    )
+    # builder refuses inconsistent reuse
+    bad = {"granules": [gran(150, 3, sf0), gran(160, 2, sf1)],
+           "scfsi": 0b0100}  # group 1 differs between granules
+    with _pytest.raises(ValueError, match="unequal scalefactors"):
+        build_mp3_layer3(frames=[bad])
+    # 9-bit pointer cap: tiny frames at a fat bitrate accumulate >511
+    # bytes of slack
+    many = [{"granules": [gran(150, 0), gran(151, 0)]}] * 3
+    with _pytest.raises(ValueError, match="9-bit"):
+        build_mp3_layer3(
+            frames=many, bitrate_kbps=320, reservoir=True
+        )
+
+
 def test_mp3_layer1_subband_decode():
     """Layer I dequantization against hand-computed spec formulas;
     multi-frame walk; honest gates for stereo/layer mismatch and the
@@ -1887,8 +1977,9 @@ def test_mp3_layer3_sideinfo_and_spectrum():
     round-trip bit-exactly through the fixture writer; big-value
     pairs (tables 1-3), count1 quads (tables A and B), scalefactors,
     preflag/pretab and both scalefac_scale multipliers requantize to
-    the hand-computed spectral envelope; honest gates for the bit
-    reservoir, stereo, short blocks and untranscribed tables."""
+    the hand-computed spectral envelope; underflow guard for the bit
+    reservoir; honest gates for stereo, short blocks and
+    untranscribed tables."""
     import math
 
     import pytest as _pytest
@@ -1969,8 +2060,8 @@ def test_mp3_layer3_sideinfo_and_spectrum():
     # honest gates
     bad = bytearray(blob)
     # main_data_begin: first 9 bits after the 4-byte header
-    bad[4] = 0x80
-    with _pytest.raises(NotImplementedError, match="bit reservoir"):
+    bad[4] = 0x80  # frame 0 claims 256 reservoir bytes that don't exist
+    with _pytest.raises(ValueError, match="reservoir underflow"):
         decode_mp3_layer3_spectrum(bytes(bad))
     stereo = bytearray(blob)
     stereo[3] &= 0x3F  # channel mode 00 = stereo
