@@ -2243,10 +2243,13 @@ FROM documents WHERE doc_id % 3 = 0
 def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF corpus ingest end-to-end: build_pdf fixtures carrying the
     documents table's (ASCII-cleaned) text plus TJ/hex/multi-page
-    constructs → object scan → zlib inflate → text-operator
+    constructs → object scan → /Filter-chain decode → text-operator
     reconstruction → one row per page (sources/pdf.pdf_documents).
-    Escapes are exercised on every page via the parens/backslash the
-    fixture writer must escape and the extractor must unescape."""
+    The content-stream filter rotates on doc_id%5 through Flate, LZW,
+    RunLength, ASCII85-wrapped Flate and ASCIIHex (§7.4) — the text
+    is identical, so the oracle needs no filter variant. Escapes are
+    exercised on every page via the parens/backslash the fixture
+    writer must escape and the extractor must unescape."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -2272,7 +2275,11 @@ def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ("hex", f"HX{int(did) % 7}"),
                         ]
                     )
-                payloads.append(build_pdf(pages))
+                chain = (
+                    ("flate",), ("lzw",), ("rl",),
+                    ("a85", "flate"), ("ahx",),
+                )[int(did) % 5]
+                payloads.append(build_pdf(pages, filter_chain=chain))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )

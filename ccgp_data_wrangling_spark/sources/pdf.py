@@ -401,10 +401,7 @@ def extract_pdf_pages(payload: bytes, *, password: bytes = b"") -> list[str]:
                 ),
                 aes=enc_aes,
             )
-        if b"/FlateDecode" in head:
-            data = zlib.decompress(data)
-        elif b"/Filter" in head:
-            raise NotImplementedError("non-Flate PDF stream filter")
+        data = _decode_stream_filters(head, data)
         if b"/ObjStm" in head:
             # members are dict objects (streams never nest, §7.5.7) —
             # no text inside; validate the member table and move on
@@ -449,6 +446,161 @@ def _objstm_members(head: bytes, data: bytes) -> list[tuple[int, bytes]]:
         end = first + offs[k + 1] if k + 1 < n else len(data)
         out.append((nums[k], data[first + offs[k] : end].strip()))
     return out
+
+
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+
+
+def _filter_names(head: bytes) -> list[bytes]:
+    m = _FILTER_RE.search(head)
+    if m is None:
+        return []
+    v = m.group(1)
+    if v.startswith(b"["):
+        return re.findall(rb"/([A-Za-z0-9]+)", v)
+    return [v[1:]]
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """§7.4.2: hex pairs, whitespace ignored, '>' EOD, an odd final
+    digit is padded with 0."""
+    out = bytearray()
+    acc = ""
+    for ch in data:
+        c = chr(ch)
+        if c == ">":
+            if acc:
+                out.append(int(acc + "0", 16))
+            return bytes(out)
+        if c.isspace():
+            continue
+        if c not in "0123456789abcdefABCDEF":
+            raise ValueError(f"ASCIIHexDecode: invalid character {c!r}")
+        acc += c
+        if len(acc) == 2:
+            out.append(int(acc, 16))
+            acc = ""
+    raise ValueError("ASCIIHexDecode missing '>' EOD")
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """§7.4.3: base-85 groups of 5 chars → 4 bytes, 'z' for an
+    all-zero group, '~>' EOD, a final partial group of k chars
+    yielding k−1 bytes."""
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end < 0:
+        raise ValueError("ASCII85Decode missing '~>' EOD")
+    out = bytearray()
+    group: list[int] = []
+    for ch in data[:end]:
+        if ch in b" \t\r\n\x0c\x0b\x00":
+            continue
+        if ch == 0x7A:  # 'z'
+            if group:
+                raise ValueError("'z' inside an ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= ch <= 0x75:
+            raise ValueError(f"ASCII85Decode: invalid byte {ch:#04x}")
+        group.append(ch - 0x21)
+        if len(group) == 5:
+            n = 0
+            for d in group:
+                n = n * 85 + d
+            if n > 0xFFFFFFFF:
+                raise ValueError("ASCII85 group exceeds 2^32")
+            out += n.to_bytes(4, "big")
+            group = []
+    if len(group) == 1:
+        raise ValueError("ASCII85 final group of a single character")
+    if group:
+        k = len(group)
+        n = 0
+        for d in group + [84] * (5 - k):
+            n = n * 85 + d
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """§7.4.5: length byte L — 0-127 copies the next L+1 bytes,
+    129-255 repeats the next byte 257−L times, 128 is EOD. (Same
+    run/literal scheme as TIFF PackBits, but 128 terminates instead
+    of being a no-op — so this is its own small decoder.)"""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        ln = data[i]
+        if ln == 128:
+            return bytes(out)
+        if ln < 128:
+            chunk = data[i + 1 : i + 2 + ln]
+            if len(chunk) != ln + 1:
+                raise ValueError("RunLengthDecode truncated literal")
+            out += chunk
+            i += 2 + ln
+        else:
+            if i + 1 >= len(data):
+                raise ValueError("RunLengthDecode truncated run")
+            out += bytes([data[i + 1]]) * (257 - ln)
+            i += 2
+    raise ValueError("RunLengthDecode missing EOD")
+
+
+def _lzw_decode_pdf(head: bytes, data: bytes) -> bytes:
+    """§7.4.4: at the default ``/EarlyChange 1`` the code stream is
+    bit-identical to TIFF §7 LZW (MSB-first variable width, Clear
+    256 / EOD 257, early width change), so the TIFF decoder is the
+    shared kernel; ``/EarlyChange 0`` gates honestly."""
+    em = re.search(rb"/EarlyChange\s+(\d+)", head)
+    if em is not None and int(em.group(1)) == 0:
+        raise NotImplementedError("LZWDecode /EarlyChange 0")
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _tiff_lzw_decode,
+    )
+
+    return _tiff_lzw_decode(data)
+
+
+def _maybe_unpredict(head: bytes, data: bytes) -> bytes:
+    if b"/Predictor" not in head:
+        return data
+    cm = re.search(rb"/Columns\s+(\d+)", head)
+    return _unpredict(data, head, int(cm.group(1)) if cm else 1)
+
+
+def _decode_stream_filters(head: bytes, data: bytes) -> bytes:
+    """Apply the stream's ``/Filter`` chain in decode order (§7.4):
+    ASCIIHex / ASCII85 transport encodings, RunLength, LZW, Flate —
+    with ``/DecodeParms`` predictors (PNG 10-15 / TIFF 2) undone
+    after a decompression filter, and ``/Crypt /Identity`` passed
+    through (stream encryption is handled upstream by the standard
+    security handler). Unknown filters (image codecs like DCTDecode)
+    raise honestly."""
+    names = _filter_names(head)
+    if not names and b"/Filter" in head:
+        raise ValueError("unparseable /Filter entry")
+    for name in names:
+        if name in (b"FlateDecode", b"Fl"):
+            data = _maybe_unpredict(head, zlib.decompress(data))
+        elif name in (b"LZWDecode", b"LZW"):
+            data = _maybe_unpredict(head, _lzw_decode_pdf(head, data))
+        elif name in (b"ASCIIHexDecode", b"AHx"):
+            data = _ascii_hex_decode(data)
+        elif name in (b"ASCII85Decode", b"A85"):
+            data = _ascii85_decode(data)
+        elif name in (b"RunLengthDecode", b"RL"):
+            data = _runlength_decode(data)
+        elif name == b"Crypt":
+            if b"/Identity" not in head:
+                raise NotImplementedError("non-Identity /Crypt filter")
+        else:
+            raise NotImplementedError(
+                f"PDF stream filter /{name.decode('latin-1')}"
+            )
+    return data
 
 
 def _unpredict(data: bytes, head: bytes, row_bytes: int) -> bytes:
@@ -686,13 +838,84 @@ def _content_for(segs: list[Any]) -> bytes:
     return b"\n".join(lines)
 
 
-def build_pdf(pages: list[list[Any]], *, compress: bool = True) -> bytes:
+def _rl_encode(data: bytes) -> bytes:
+    """RunLengthDecode-compatible encoder (§7.4.5): runs ≥ 2 become
+    (257−n, byte), literals chunk at 128, EOD 128 terminates."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        j = i
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        j = i
+        while (
+            j < n
+            and j - i < 128
+            and not (j + 2 < n and data[j] == data[j + 1] == data[j + 2])
+        ):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    out.append(128)
+    return bytes(out)
+
+
+def _encode_filter_chain(
+    raw: bytes, chain: tuple[str, ...]
+) -> tuple[bytes, bytes]:
+    """Encode ``raw`` through ``chain`` (given in DECODE order, the
+    order the /Filter array lists) and return (data, head-fragment)."""
+    import base64
+    import binascii
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _tiff_lzw_encode,
+    )
+
+    enc = {
+        "flate": zlib.compress,
+        "lzw": _tiff_lzw_encode,
+        "rl": _rl_encode,
+        "ahx": lambda d: binascii.hexlify(d) + b">",
+        "a85": lambda d: base64.a85encode(d) + b"~>",
+    }
+    names = {
+        "flate": b"/FlateDecode",
+        "lzw": b"/LZWDecode",
+        "rl": b"/RunLengthDecode",
+        "ahx": b"/ASCIIHexDecode",
+        "a85": b"/ASCII85Decode",
+    }
+    data = raw
+    for f in reversed(chain):  # encode order is the reverse of decode
+        data = enc[f](data)
+    if len(chain) == 1:
+        frag = b"/Filter " + names[chain[0]]
+    else:
+        frag = b"/Filter [" + b" ".join(names[f] for f in chain) + b"]"
+    return data, frag
+
+
+def build_pdf(
+    pages: list[list[Any]],
+    *,
+    compress: bool = True,
+    filter_chain: tuple[str, ...] | None = None,
+) -> bytes:
     """Fixture writer: a conformant single-font PDF 1.4 with a correct
     xref table. Each page is a list of segments: a plain string →
     one ``Tj`` line (``Td`` positioning, so extraction shows it on its
     own line); a list of strings/ints → one ``TJ`` array (ints are
     kern amounts); a tuple ``("hex", s)`` → hex-string ``Tj``.
-    ``compress`` Flate-encodes the content streams (the common case).
+    ``compress`` Flate-encodes the content streams (the common case);
+    ``filter_chain`` instead writes any /Filter chain in decode order
+    from {"flate", "lzw", "rl", "ahx", "a85"} — e.g. ("a85",
+    "flate") emits Flate output wrapped in ASCII85 transport.
     """
     objects: list[bytes] = []
     content_for = _content_for
@@ -717,7 +940,10 @@ def build_pdf(pages: list[list[Any]], *, compress: bool = True) -> bytes:
             b"/Contents %d 0 R >>" % (5 + 2 * k)
         )
         raw = content_for(segs)
-        if compress:
+        if filter_chain:
+            data, frag = _encode_filter_chain(raw, filter_chain)
+            head = b"<< %s /Length %d >>" % (frag, len(data))
+        elif compress:
             data = zlib.compress(raw)
             head = b"<< /Filter /FlateDecode /Length %d >>" % len(data)
         else:

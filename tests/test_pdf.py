@@ -41,7 +41,7 @@ def test_pdf_honest_gates():
         extract_pdf_pages(b"NOTAPDF")
     good = build_pdf([["x"]])
     with pytest.raises(NotImplementedError, match="filter"):
-        extract_pdf_pages(good.replace(b"/FlateDecode", b"/LZWDecode "))
+        extract_pdf_pages(good.replace(b"/FlateDecode", b"/DCTDecode  "))
     # a stray /Encrypt marker without a resolvable dict is malformed
     with pytest.raises(ValueError, match="no trailer reference"):
         extract_pdf_pages(good + b"/Encrypt")
@@ -376,3 +376,63 @@ def test_pdf_documents_encrypted_spark(spark):
     assert {(r.doc_id, r.page, r.text) for r in rows} == {
         (i, p, f"doc {i} page {p}") for i in range(3) for p in (0, 1)
     }
+
+
+def test_pdf_filter_chains_roundtrip():
+    """§7.4 stream filters: ASCIIHex, ASCII85, RunLength and LZW (the
+    TIFF kernel at default /EarlyChange 1) decode both alone and in
+    chains (transport wrapping compression), with byte-level codec
+    properties and honest gates for image codecs and /EarlyChange 0."""
+    import base64
+    import binascii
+    import os
+
+    import pytest
+
+    from ccgp_data_wrangling_spark.sources.pdf import (
+        _ascii85_decode,
+        _ascii_hex_decode,
+        _rl_encode,
+        _runlength_decode,
+        build_pdf,
+        extract_pdf_pages,
+    )
+
+    rng = os.urandom(257)
+    for blob in (b"", b"x", b"\0\0\0\0mid\0\0\0\0", rng, b"r" * 300 + b"end"):
+        assert _ascii85_decode(base64.a85encode(blob) + b"~>") == blob
+        assert _ascii_hex_decode(binascii.hexlify(blob) + b">") == blob
+        assert _runlength_decode(_rl_encode(blob)) == blob
+    # whitespace/oddities the spec allows
+    assert _ascii_hex_decode(b"4 86\n9>") == b"Hi"  # odd digit pads 0
+    assert _ascii85_decode(b"<~z~>") == b"\0\0\0\0"  # adobe prefix + z
+    # runs genuinely use the run form (not literal-only)
+    assert len(_rl_encode(b"a" * 100)) <= 4
+
+    pages = [["filter page", "two (lines)"], [["T", -50, "J"]]]
+    ref = extract_pdf_pages(build_pdf(pages))
+    for chain in (
+        ("flate",), ("lzw",), ("rl",), ("ahx",), ("a85",),
+        ("a85", "flate"), ("ahx", "rl"), ("rl", "lzw"),
+    ):
+        assert extract_pdf_pages(build_pdf(pages, filter_chain=chain)) == ref
+
+    # honest gates
+    blob = bytearray(build_pdf(pages, filter_chain=("lzw",)))
+    i = blob.find(b"/LZWDecode") + len(b"/LZWDecode")
+    with pytest.raises(NotImplementedError, match="EarlyChange 0"):
+        extract_pdf_pages(
+            bytes(blob[:i]) + b" /DecodeParms << /EarlyChange 0 >>"
+            + bytes(blob[i:])
+        )
+    dct = bytearray(build_pdf(pages, filter_chain=("rl",)))
+    j = dct.find(b"/RunLengthDecode")
+    dct[j : j + len(b"/RunLengthDecode")] = b"/DCTDecode\x20\x20\x20\x20\x20\x20"
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
+        extract_pdf_pages(bytes(dct))
+    with pytest.raises(ValueError, match="missing '>' EOD"):
+        _ascii_hex_decode(b"48 49")
+    with pytest.raises(ValueError, match="missing '~>'"):
+        _ascii85_decode(b"87cUR")
+    with pytest.raises(ValueError, match="missing EOD"):
+        _runlength_decode(b"\x02abc")
