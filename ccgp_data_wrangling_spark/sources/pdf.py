@@ -571,22 +571,29 @@ def _maybe_unpredict(head: bytes, data: bytes) -> bytes:
     return _unpredict(data, head, int(cm.group(1)) if cm else 1)
 
 
-def _decode_stream_filters(head: bytes, data: bytes) -> bytes:
+def _decode_stream_filters(
+    head: bytes, data: bytes, *, unpredict: bool = True
+) -> bytes:
     """Apply the stream's ``/Filter`` chain in decode order (§7.4):
     ASCIIHex / ASCII85 transport encodings, RunLength, LZW, Flate —
     with ``/DecodeParms`` predictors (PNG 10-15 / TIFF 2) undone
     after a decompression filter, and ``/Crypt /Identity`` passed
     through (stream encryption is handled upstream by the standard
     security handler). Unknown filters (image codecs like DCTDecode)
-    raise honestly."""
+    raise honestly. ``unpredict=False`` leaves the predictor to a
+    caller that validates row width itself (pdf_xref)."""
     names = _filter_names(head)
     if not names and b"/Filter" in head:
         raise ValueError("unparseable /Filter entry")
+
+    def post(d: bytes) -> bytes:
+        return _maybe_unpredict(head, d) if unpredict else d
+
     for name in names:
         if name in (b"FlateDecode", b"Fl"):
-            data = _maybe_unpredict(head, zlib.decompress(data))
+            data = post(zlib.decompress(data))
         elif name in (b"LZWDecode", b"LZW"):
-            data = _maybe_unpredict(head, _lzw_decode_pdf(head, data))
+            data = post(_lzw_decode_pdf(head, data))
         elif name in (b"ASCIIHexDecode", b"AHx"):
             data = _ascii_hex_decode(data)
         elif name in (b"ASCII85Decode", b"A85"):
@@ -692,8 +699,9 @@ def pdf_xref(payload: bytes) -> dict[int, tuple]:
             raise ValueError("startxref target is not an XRef stream")
         lm = _LENGTH_RE.search(head)
         data = payload[sm.end() : sm.end() + int(lm.group(1))]
-        if b"/FlateDecode" in head:
-            data = zlib.decompress(data)
+        # xref streams allow the compression filters (§7.5.8.2); the
+        # row-width-validated predictor undo below stays in charge
+        data = _decode_stream_filters(head, data, unpredict=False)
         wm = re.search(
             rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", head
         )
@@ -756,8 +764,7 @@ def read_object(payload: bytes, num: int) -> bytes:
     head = payload[m.end() : sm.start()]
     lm = _LENGTH_RE.search(head)
     data = payload[sm.end() : sm.end() + int(lm.group(1))]
-    if b"/FlateDecode" in head:
-        data = zlib.decompress(data)
+    data = _decode_stream_filters(head, data)
     members = _objstm_members(head, data)
     for onum, body in members:
         if onum == num:
