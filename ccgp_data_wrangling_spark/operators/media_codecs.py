@@ -292,24 +292,33 @@ def _bmp_rle_encode(idx: np.ndarray, bpp: int) -> bytes:
 
 
 def decode_bmp(payload: bytes) -> dict[str, Any]:
-    """Real BMP decode: BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up
-    (or top-down via negative height) rows, 4-byte row padding, 24-bit
-    BGR, 8-bit palette, and RLE8 / RLE4 compressed palette variants
-    (BI_RLE8 / BI_RLE4 with all escape codes). Bitfields compression
-    and other depths raise."""
+    """Real BMP decode: BITMAPFILEHEADER + BITMAPINFOHEADER (or the
+    OS/2 1.x BITMAPCOREHEADER with its 16-bit dimensions and 3-byte
+    palette entries), bottom-up (or top-down via negative height)
+    rows, 4-byte row padding, 24-bit BGR, 8/4/1-bit palette (sub-byte
+    pixels packed MSB-first per spec), and RLE8 / RLE4 compressed
+    palette variants (BI_RLE8 / BI_RLE4 with all escape codes).
+    Bitfields compression and 16/32-bit depths raise."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_off = int.from_bytes(payload[10:14], "little")
     hdr_size = int.from_bytes(payload[14:18], "little")
-    if hdr_size < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMP")
-    w = int.from_bytes(payload[18:22], "little", signed=True)
-    h = int.from_bytes(payload[22:26], "little", signed=True)
-    bpp = int.from_bytes(payload[28:30], "little")
-    comp = int.from_bytes(payload[30:34], "little")
+    core = hdr_size == 12  # BITMAPCOREHEADER (OS/2 1.x)
+    if not core and hdr_size < 40:
+        raise ValueError(f"unknown BMP header size {hdr_size}")
+    if core:
+        w = int.from_bytes(payload[18:20], "little")
+        h = int.from_bytes(payload[20:22], "little")
+        bpp = int.from_bytes(payload[24:26], "little")
+        comp = 0
+    else:
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
     if comp not in (0, 1, 2):
         raise NotImplementedError(f"BMP compression {comp}")
-    if comp == 0 and bpp not in (8, 24):
+    if comp == 0 and bpp not in (1, 4, 8, 24):
         raise NotImplementedError(f"{bpp}-bit BMP")
     if (comp == 1 and bpp != 8) or (comp == 2 and bpp != 4):
         raise ValueError(f"BMP compression {comp} with {bpp} bpp")
@@ -322,6 +331,10 @@ def decode_bmp(payload: bytes) -> dict[str, Any]:
 
     def read_palette(n_default: int) -> np.ndarray:
         pal_off = 14 + hdr_size
+        if core:  # 3-byte BGR entries, always the full 2^bpp set
+            return np.frombuffer(
+                payload[pal_off : pal_off + 3 * n_default], np.uint8
+            ).reshape(-1, 3)[:, ::-1]  # BGR → RGB
         n_colors = int.from_bytes(payload[46:50], "little") or n_default
         return np.frombuffer(
             payload[pal_off : pal_off + 4 * n_colors], np.uint8
@@ -346,7 +359,7 @@ def decode_bmp(payload: bytes) -> dict[str, Any]:
                 float(means @ np.array([0.299, 0.587, 0.114])), 4
             ),
         }
-    row_bytes = (w * bpp // 8 + 3) & ~3
+    row_bytes = ((w * bpp + 7) // 8 + 3) & ~3
     need = data_off + row_bytes * h
     if need > len(payload):
         raise ValueError("truncated BMP pixel array")
@@ -359,8 +372,16 @@ def decode_bmp(payload: bytes) -> dict[str, Any]:
         bgr = raw[:, : w * 3].reshape(h, w, 3)
         px = bgr[:, :, ::-1]  # BGR → RGB
     else:
-        pal = read_palette(256)
-        idx = raw[:, :w]
+        if bpp == 8:
+            idx = raw[:, :w]
+        elif bpp == 4:  # two pixels per byte, high nibble first
+            nib = np.empty((h, row_bytes * 2), np.uint8)
+            nib[:, 0::2] = raw >> 4
+            nib[:, 1::2] = raw & 0x0F
+            idx = nib[:, :w]
+        else:  # 1-bit: MSB-first within each byte
+            idx = np.unpackbits(raw, axis=1)[:, :w]
+        pal = read_palette(1 << bpp)
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("BMP palette index out of range")
         px = pal[idx]
@@ -380,12 +401,17 @@ def decode_bmp(payload: bytes) -> dict[str, Any]:
 def encode_bmp(
     px: np.ndarray, *, palette: np.ndarray | None = None,
     top_down: bool = False, compression: int = 0,
+    bpp: int | None = None, core_header: bool = False,
 ) -> bytes:
-    """Fixture writer: 24-bit BGR (3-channel input) or 8-bit palette
-    (2-D index input + ``palette`` (n,3) RGB) BMP with correct row
-    padding and direction. ``compression`` 1 (BI_RLE8) or 2 (BI_RLE4,
-    indices < 16) RLE-encodes the palette indices — bottom-up only,
-    as the spec requires for RLE."""
+    """Fixture writer: 24-bit BGR (3-channel input) or palette (2-D
+    index input + ``palette`` (n,3) RGB) BMP with correct row padding
+    and direction. Palette depth defaults to 8 bpp; ``bpp`` 4 or 1
+    bit-packs the indices (MSB-first) the way the spec stores sub-byte
+    pixels. ``compression`` 1 (BI_RLE8) or 2 (BI_RLE4, indices < 16)
+    RLE-encodes the palette indices — bottom-up only, as the spec
+    requires for RLE. ``core_header=True`` writes the OS/2 1.x
+    BITMAPCOREHEADER (16-bit dimensions, 3-byte palette entries;
+    uncompressed bottom-up only)."""
     h, w = px.shape[:2]
     if compression not in (0, 1, 2):
         raise ValueError("compression must be 0 (none), 1 (RLE8), 2 (RLE4)")
@@ -393,44 +419,79 @@ def encode_bmp(
         raise ValueError("RLE BMP needs palette indices")
     if compression and top_down:
         raise ValueError("top-down RLE BMP is invalid per spec")
+    if core_header and (compression or top_down):
+        raise ValueError("BITMAPCOREHEADER is uncompressed bottom-up only")
     if palette is None:
         if px.ndim != 3 or px.shape[2] != 3:
             raise ValueError("24-bit BMP needs (h, w, 3) pixels")
-        bpp, pal_bytes = 24, b""
+        if bpp not in (None, 24):
+            raise ValueError("3-channel input is 24 bpp")
+        bpp, pal_entries = 24, 0
         rows = px[:, :, ::-1].astype(np.uint8)  # RGB → BGR
         row_data = rows.reshape(h, w * 3)
     else:
-        bpp = 4 if compression == 2 else 8
-        if compression == 2 and int(px.max(initial=0)) > 15:
-            raise ValueError("RLE4 indices must be < 16")
+        if bpp is None:
+            bpp = 4 if compression == 2 else 8
+        if bpp not in (1, 4, 8):
+            raise ValueError("palette BMP depth must be 1, 4 or 8")
+        if compression and bpp != (4 if compression == 2 else 8):
+            raise ValueError(f"BMP compression {compression} needs "
+                             f"{4 if compression == 2 else 8} bpp")
+        if int(px.max(initial=0)) >= (1 << bpp):
+            raise ValueError(f"palette index exceeds {bpp}-bit depth")
+        pal_entries = 1 << bpp if core_header else len(palette)
+        row_data = px.astype(np.uint8)
+    if core_header:
+        pal = np.zeros((pal_entries, 3), np.uint8)
+        pal[: len(palette) if palette is not None else 0] = (
+            palette[:, ::-1] if palette is not None else 0
+        )
+        pal_bytes = pal.tobytes() if bpp != 24 else b""
+    elif palette is not None:
         pal = np.zeros((len(palette), 4), np.uint8)
         pal[:, :3] = palette[:, ::-1]  # RGB → BGRA order
         pal_bytes = pal.tobytes()
-        row_data = px.astype(np.uint8)
+    else:
+        pal_bytes = b""
     if compression:
         pixel_data = _bmp_rle_encode(row_data[::-1], bpp)
         stored_h = h
     else:
-        row_bytes = (w * bpp // 8 + 3) & ~3
+        packed_w = (w * bpp + 7) // 8
+        row_bytes = (packed_w + 3) & ~3
+        if bpp == 4:
+            half = np.zeros((h, packed_w * 2), np.uint8)
+            half[:, : row_data.shape[1]] = row_data
+            rowbuf = (half[:, 0::2] << 4) | half[:, 1::2]
+        elif bpp == 1:
+            rowbuf = np.packbits(row_data, axis=1)
+        else:
+            rowbuf = row_data
         padded = np.zeros((h, row_bytes), np.uint8)
-        padded[:, : w * bpp // 8] = row_data
+        padded[:, :packed_w] = rowbuf[:, :packed_w]
         if not top_down:
             padded = padded[::-1]
         pixel_data = padded.tobytes()
         stored_h = (-h) if top_down else h
-    data_off = 14 + 40 + len(pal_bytes)
+    hdr_len = 12 if core_header else 40
+    data_off = 14 + hdr_len + len(pal_bytes)
     size = data_off + len(pixel_data)
     out = bytearray()
     out += b"BM" + size.to_bytes(4, "little") + bytes(4)
     out += data_off.to_bytes(4, "little")
-    out += (40).to_bytes(4, "little")
-    out += w.to_bytes(4, "little", signed=True)
-    out += stored_h.to_bytes(4, "little", signed=True)
-    out += (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
-    out += compression.to_bytes(4, "little")
-    out += len(pixel_data).to_bytes(4, "little")
-    out += bytes(8)  # ppm resolutions
-    out += (len(pal_bytes) // 4).to_bytes(4, "little") + bytes(4)
+    if core_header:
+        out += (12).to_bytes(4, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+    else:
+        out += (40).to_bytes(4, "little")
+        out += w.to_bytes(4, "little", signed=True)
+        out += stored_h.to_bytes(4, "little", signed=True)
+        out += (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+        out += compression.to_bytes(4, "little")
+        out += len(pixel_data).to_bytes(4, "little")
+        out += bytes(8)  # ppm resolutions
+        out += (len(pal_bytes) // 4).to_bytes(4, "little") + bytes(4)
     out += pal_bytes
     out += pixel_data
     return bytes(out)

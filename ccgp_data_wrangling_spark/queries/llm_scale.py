@@ -4494,8 +4494,9 @@ FROM g
 @register("multimodal_bmp_decode", _BMP_SQL)
 def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BMP decode end-to-end: encode_bmp fixtures (24-bit BGR
-    bottom-up, 8-bit palette, top-down) → row-padding/direction/
-    palette handling → luma. Two Arrow stages."""
+    bottom-up, 8-bit palette, RLE8, 4-bit/1-bit packed, OS/2
+    BITMAPCOREHEADER, top-down) → row-padding/direction/palette/
+    sub-byte unpack handling → luma. Two Arrow stages."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -4518,26 +4519,51 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for eid in pdf["id"]:
                 e = int(eid)
                 k = e // 20
-                if k % 3 == 1:  # 8-bit palette (RLE8 on every 2nd k —
-                    # lossless, so the oracle is layout-independent)
+                if k % 3 == 1:  # palette variants — all lossless, so
+                    # the oracle is layout-independent: the flat image
+                    # keeps its color whether the container is 8-bit,
+                    # RLE8, 4-bit/1-bit packed or an OS/2 core header
                     v = e % 256
-                    pal = np.zeros((256, 3), np.uint8)
-                    pal[:, 0] = np.arange(256)
-                    pal[:, 1] = (2 * np.arange(256)) % 256
-                    pal[:, 2] = (3 * np.arange(256)) % 256
-                    idx = np.full((6, 8), v, np.uint8)
-                    payloads.append(
-                        encode_bmp(
-                            idx, palette=pal,
-                            compression=1 if k % 2 == 0 else 0,
+                    color = (v, (2 * v) % 256, (3 * v) % 256)
+                    if k % 5 == 3:  # 4-bit packed (core on even k)
+                        pal = np.zeros((16, 3), np.uint8)
+                        pal[v % 16] = color
+                        idx = np.full((6, 8), v % 16, np.uint8)
+                        payloads.append(
+                            encode_bmp(
+                                idx, palette=pal, bpp=4,
+                                core_header=(k % 2 == 0),
+                            )
                         )
-                    )
+                    elif k % 5 == 4:  # 1-bit packed
+                        pal = np.zeros((2, 3), np.uint8)
+                        pal[v % 2] = color
+                        idx = np.full((6, 8), v % 2, np.uint8)
+                        payloads.append(
+                            encode_bmp(idx, palette=pal, bpp=1)
+                        )
+                    else:  # 8-bit palette (RLE8 on every 2nd k)
+                        pal = np.zeros((256, 3), np.uint8)
+                        pal[:, 0] = np.arange(256)
+                        pal[:, 1] = (2 * np.arange(256)) % 256
+                        pal[:, 2] = (3 * np.arange(256)) % 256
+                        idx = np.full((6, 8), v, np.uint8)
+                        payloads.append(
+                            encode_bmp(
+                                idx, palette=pal,
+                                compression=1 if k % 2 == 0 else 0,
+                            )
+                        )
                 else:
                     px = np.zeros((6, 8, 3), np.uint8)
                     for c in range(3):
                         px[:, :, c] = (e + 17 * c) % 256
                     payloads.append(
-                        encode_bmp(px, top_down=(k % 3 == 2))
+                        encode_bmp(
+                            px,
+                            top_down=(k % 3 == 2),
+                            core_header=(k % 3 == 0 and k % 7 == 2),
+                        )
                     )
             yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
 

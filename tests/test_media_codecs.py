@@ -1030,6 +1030,62 @@ def test_bmp_roundtrip_and_gates():
         decode_bmp(blob[:-8])
 
 
+def test_bmp_low_bpp_and_core_header():
+    """4-bit/1-bit packed palette pixels (MSB-first, non-byte widths
+    exercising the nibble/bit padding) and the OS/2 1.x
+    BITMAPCOREHEADER (16-bit dims, 3-byte palette entries) round-trip;
+    16-bit depth still gates."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(5)
+    pal16 = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    idx4 = rng.integers(0, 16, (7, 9), dtype=np.uint8)  # odd width
+    idx1 = rng.integers(0, 2, (5, 13), dtype=np.uint8)  # non-byte width
+
+    def means(idx, pal):
+        m = pal[idx].astype(np.float64).mean(axis=(0, 1))
+        return [round(float(x), 4) for x in m]
+
+    for idx, pal, bpp in ((idx4, pal16, 4), (idx1, pal2, 1)):
+        for td in (False, True):
+            got = decode_bmp(
+                encode_bmp(idx, palette=pal, bpp=bpp, top_down=td)
+            )
+            assert got["channel_means"] == means(idx, pal), (bpp, td)
+            assert (got["width"], got["height"]) == idx.shape[::-1]
+    # the packed row really is sub-byte: 9 4-bit pixels → 5 data bytes
+    blob = encode_bmp(idx4, palette=pal16, bpp=4)
+    data_off = int.from_bytes(blob[10:14], "little")
+    assert len(blob) - data_off == 8 * 7  # ceil(9/2)=5 → padded to 8
+    # BITMAPCOREHEADER: palette and truecolor variants
+    core = encode_bmp(idx4, palette=pal16, bpp=4, core_header=True)
+    assert int.from_bytes(core[14:18], "little") == 12
+    assert decode_bmp(core)["channel_means"] == means(idx4, pal16)
+    rgb = rng.integers(0, 256, (4, 3, 3), dtype=np.uint8)
+    gc = decode_bmp(encode_bmp(rgb, core_header=True))
+    assert gc["channel_means"] == [
+        round(float(m), 4)
+        for m in rgb.astype(np.float64).mean(axis=(0, 1))
+    ]
+    # gates and guards
+    with _pytest.raises(ValueError, match="exceeds 1-bit"):
+        encode_bmp(idx4, palette=pal16, bpp=1)
+    with _pytest.raises(NotImplementedError, match="16-bit BMP"):
+        bad = bytearray(encode_bmp(idx4, palette=pal16, bpp=4))
+        bad[28] = 16
+        decode_bmp(bytes(bad))
+    with _pytest.raises(ValueError, match="uncompressed bottom-up"):
+        encode_bmp(idx4, palette=pal16, bpp=4, core_header=True,
+                   top_down=True)
+
+
 def test_bmp_rle_roundtrip_and_escapes():
     """BI_RLE8 / BI_RLE4 (Windows BMP spec): encoded runs, absolute
     mode with word alignment, end-of-line/bitmap and delta escapes
@@ -1078,7 +1134,7 @@ def test_bmp_rle_roundtrip_and_escapes():
         _bmp_rle_decode(bytes([2, 0x11, 0, 0]), 10, 2, 8)
     with _pytest.raises(ValueError, match="top-down RLE"):
         encode_bmp(idx, palette=pal, compression=1, top_down=True)
-    with _pytest.raises(ValueError, match="RLE4 indices"):
+    with _pytest.raises(ValueError, match="exceeds 4-bit depth"):
         encode_bmp(idx, palette=pal, compression=2)
 
 
