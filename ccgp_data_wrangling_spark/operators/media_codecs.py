@@ -499,8 +499,9 @@ def encode_bmp(
 
 def decode_tiff(payload: bytes) -> dict[str, Any]:
     """Real TIFF decode: classic header (II/MM + 42), first IFD via
-    the same structure the EXIF layer walks, strip layout, 8-bit
-    grayscale (PhotometricInterpretation 1) or RGB (2). Compression
+    the same structure the EXIF layer walks, strip layout, 8- or
+    16-bit (file byte order) grayscale (PhotometricInterpretation 1)
+    or RGB (2). Compression
     1 (none), 5 (LZW, §7, with Predictor 2 horizontal differencing,
     §14), 8/32946 (Deflate — zlib streams per strip, TIFF TechNote 2;
     32946 is the pre-standard code some writers still emit) and 32773
@@ -549,8 +550,9 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
             f"TIFF photometric {photo} / {spp} samples"
         )
     bits = nums(0x0102) if 0x0102 in ifd else [8]
-    if any(b != 8 for b in bits):
-        raise NotImplementedError("non-8-bit TIFF samples")
+    depth = bits[0]
+    if depth not in (8, 16) or any(b != depth for b in bits):
+        raise NotImplementedError(f"{bits}-bit TIFF samples")
     offsets, counts = nums(0x0111), nums(0x0117)
     strips = [payload[o : o + c] for o, c in zip(offsets, counts)]
     if any(len(s) != c for s, c in zip(strips, nums(0x0117))):
@@ -564,19 +566,27 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
     elif comp == 32773:
         strips = [_packbits_decode(s) for s in strips]
     raw = b"".join(strips)
-    if len(raw) != w * h * spp:
+    if len(raw) != w * h * spp * depth // 8:
         raise ValueError("TIFF strip bytes disagree with dimensions")
-    px = np.frombuffer(raw, np.uint8).reshape(h, w, spp)
+    # 16-bit samples follow the FILE's byte order (TIFF 6.0 p.15)
+    dt = np.uint8 if depth == 8 else np.dtype(
+        ">u2" if bo == "big" else "<u2"
+    )
+    px = np.frombuffer(raw, dt).reshape(h, w, spp)
     if predictor == 2:
         # horizontal differencing (§14): each sample stores the delta
         # from its left neighbor, per channel — undo with a row cumsum
-        px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
+        # (modulo the sample width)
+        px = np.cumsum(px.astype(np.uint32), axis=1).astype(
+            np.uint8 if depth == 8 else np.uint16
+        )
     means = px.astype(np.float64).mean(axis=(0, 1))
     return {
         "kind": "image",
         "width": w,
         "height": h,
         "n_channels": spp,
+        "bit_depth": depth,
         "compression": comp,
         "predictor": predictor,
         "channel_means": [round(float(m), 4) for m in means],
@@ -603,22 +613,27 @@ def encode_tiff(
     ``rows_per_strip`` is set) in either byte order; ``compression``
     in {"none", "lzw", "deflate", "packbits"}, with TIFF Predictor 2
     (horizontal differencing) available under LZW/Deflate as real
-    scanner output carries it."""
+    scanner output carries it. A uint16 input writes 16-bit samples
+    in the file's byte order (archival/scientific scans)."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, spp = px.shape
     bo = "little" if byte_order == "II" else "big"
+    depth = 16 if px.dtype == np.uint16 else 8
     rps = rows_per_strip or h
     comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[
         compression
     ]
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 or 2")
-    src = px.astype(np.uint8)
+    wide = np.uint16 if depth == 16 else np.uint8
+    src = px.astype(wide)
     if predictor == 2:
         src = np.diff(
-            src.astype(np.int16), axis=1, prepend=np.zeros((h, 1, spp), np.int16)
-        ).astype(np.uint8)
+            src.astype(np.int32), axis=1, prepend=np.zeros((h, 1, spp), np.int32)
+        ).astype(wide)
+    if depth == 16:  # serialize in the declared byte order
+        src = src.astype(">u2" if bo == "big" else "<u2")
     strips = [
         src[r : r + rps].tobytes()
         for r in range(0, h, rps)
@@ -634,7 +649,7 @@ def encode_tiff(
     tags = [
         (0x0100, 4, [w]),          # ImageWidth
         (0x0101, 4, [h]),          # ImageLength
-        (0x0102, 3, [8] * spp),    # BitsPerSample
+        (0x0102, 3, [depth] * spp),  # BitsPerSample
         (0x0103, 3, [comp_tag]),   # Compression
         (0x0106, 3, [1 if spp == 1 else 2]),  # Photometric
         (0x0115, 3, [spp]),        # SamplesPerPixel

@@ -4705,7 +4705,10 @@ SELECT id,
                        WHEN 2 THEN 5 ELSE 8 END AS INT) AS compression,
        CAST(CASE WHEN k % 4 = 2 THEN 2 ELSE 1 END AS INT) AS predictor,
        CASE WHEN k % 2 = 0 THEN
-         ROUND(CAST(id % 100 AS DOUBLE) + 11.0, 4)
+         -- k%7==5 gray rows carry 16-bit samples scaled by 257
+         -- (exact in double: integer pixels, dyadic mean)
+         ROUND((CAST(id % 100 AS DOUBLE) + 11.0)
+               * CASE WHEN k % 7 = 5 THEN 257 ELSE 1 END, 4)
        ELSE
          ROUND((CAST(id % 100 AS DOUBLE) + 11) * 0.299
                + (CAST((id + 31) % 100 AS DOUBLE) + 11) * 0.587
@@ -4754,6 +4757,8 @@ def multimodal_tiff_compressed_decode(
                 pred = 2 if k % 4 == 2 else 1
                 if k % 2 == 0:
                     px = (ramp + e % 100).astype(np.uint8)
+                    if k % 7 == 5:  # 16-bit archival-scan variant
+                        px = px.astype(np.uint16) * 257
                 else:
                     px = np.zeros((8, 16, 3), np.uint8)
                     for c in range(3):

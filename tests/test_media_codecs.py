@@ -1233,6 +1233,29 @@ def test_tiff_lzw_packbits_predictor_roundtrip():
     assert len(encode_tiff(grad, compression="lzw", predictor=2)) < len(
         encode_tiff(grad, compression="lzw")
     )
+    # 16-bit samples (archival/scientific scans): both byte orders,
+    # every compression, predictor 2 at the sample width — and the
+    # serialized stream really is 2 bytes per sample
+    g16 = rng.integers(0, 65536, (6, 9), dtype=np.uint16)
+    rgb16 = rng.integers(0, 65536, (4, 5, 3), dtype=np.uint16)
+    for px16 in (g16, rgb16):
+        want = decode_tiff(encode_tiff(px16))
+        assert want["bit_depth"] == 16
+        plain = encode_tiff(px16, byte_order="MM")
+        for comp16 in ("lzw", "deflate", "packbits"):
+            for pred16 in (1, 2):
+                m16 = decode_tiff(
+                    encode_tiff(
+                        px16, byte_order="MM", rows_per_strip=2,
+                        compression=comp16, predictor=pred16,
+                    )
+                )
+                assert m16["channel_means"] == want["channel_means"]
+                assert m16["bit_depth"] == 16
+    spp16 = 1
+    assert len(encode_tiff(g16)) - len(encode_tiff(
+        (g16 >> 8).astype(np.uint8)
+    )) == g16.size * spp16  # exactly one extra byte per sample
     # pre-standard Deflate code 32946 decodes identically to 8 (TIFF
     # TechNote 2 kept both in the wild): rewrite the Compression tag
     # value in-place in the IFD
