@@ -80,6 +80,9 @@ R8_FAMILIES = [
     "bfs_seed_distance", "pdf_encrypted_extract", "pagerank_link_graph",
     "hll_distinct_users", "pack_context_windows",
     "contamination_ngram_overlap",
+    # late-r8 fixture-bearing gates (filter chains / low-bpp / 16-bit
+    # / reservoir variants rotate inside these)
+    "pdf_text_extract", "audio_id3_metadata", "multimodal_bmp_decode",
 ]
 
 
