@@ -117,6 +117,7 @@ HEADLINE = [
     "pii_redaction_stats",
     "multimodal_gif_frame_sample",
     "pdf_text_extract",
+    "pdf_image_extract",
     "wds_shard_ingest",
     "tfidf_cosine_neardup",
     "audio_fingerprint_dedup",

@@ -51,6 +51,7 @@ def register(name: str, oracle: str | None):
 # row — the stalest-first re-verification cycle the round-5 verdict
 # prescribed (regression freshness, not new coverage).
 _PRIORITY: list[str] = [
+    "pdf_image_extract",
     "multimodal_mp4_fragmented_keyframes",
     "multimodal_tiff_compressed_decode",
     "multimodal_mp3_layer3_spectrum",

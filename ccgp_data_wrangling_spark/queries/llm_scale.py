@@ -2291,6 +2291,126 @@ def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedded-image extraction from PDFs — the figure-mining layer a
+# multimodal corpus pipeline needs next to text: image XObjects are
+# located by /Subtype /Image, /DCTDecode payloads run through the
+# from-scratch JPEG decoder, Flate raw samples through /ColorSpace
+# interpretation. Fixtures are FLAT images, so every luma is a closed
+# form: a flat JPEG tile carries only a DC coefficient under the
+# fixture encoder's all-ones quantization table and round-trips
+# exactly, and the raw-RGB luma is the same weighted integer
+# arithmetic both engines evaluate identically.
+# ---------------------------------------------------------------------------
+
+_PDF_IMG_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 7
+)
+SELECT id,
+       CAST(0 AS INT) AS idx,
+       CAST(8 * ((k % 3) + 1) AS INT) AS width,
+       CAST(8 * ((k % 2) + 1) AS INT) AS height,
+       CAST(1 AS INT) AS n_channels,
+       'jpeg' AS codec,
+       ROUND(CAST(id % 200 + 20 AS DOUBLE), 4) AS luma_mean
+FROM g
+UNION ALL
+SELECT id,
+       CAST(1 AS INT) AS idx,
+       CAST(7 AS INT) AS width,
+       CAST(5 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       'raw' AS codec,
+       ROUND(CAST(id % 256 AS DOUBLE) * 0.299
+             + CAST((id + 31) % 256 AS DOUBLE) * 0.587
+             + CAST((id + 62) % 256 AS DOUBLE) * 0.114, 4) AS luma_mean
+FROM g WHERE k % 2 = 1
+"""
+
+
+@register("pdf_image_extract", _PDF_IMG_SQL)
+def pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-image extraction end-to-end: build_pdf fixtures with
+    a caption page plus image XObjects — a flat grayscale JPEG behind
+    /DCTDecode (decoded by the from-scratch JPEG kernel) and, on odd
+    k, a Flate raw-RGB companion — → sources/pdf.pdf_images → one row
+    per image with dimensions, channel count, carrying codec and
+    luma. Two Arrow stages; declared-vs-decoded dimension mismatches
+    raise inside the kernel rather than passing corrupt bytes on."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        encode_jpeg,
+    )
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf, pdf_images
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 7
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                w, h = 8 * (k % 3 + 1), 8 * (k % 2 + 1)
+                gray = np.full((h, w), e % 200 + 20, np.uint8)
+                imgs = [("dct", encode_jpeg(gray), w, h, 1)]
+                if k % 2 == 1:
+                    rgb = np.zeros((5, 7, 3), np.uint8)
+                    for c in range(3):
+                        rgb[:, :, c] = (e + 31 * c) % 256
+                    imgs.append(("flate", rgb))
+                payloads.append(
+                    build_pdf(
+                        [[f"figure sheet {e}"]], page_images=[imgs]
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                for j, r in enumerate(pdf_images(bytes(blob))):
+                    rows.append(
+                        {
+                            "id": rid,
+                            "idx": j,
+                            "width": r["width"],
+                            "height": r["height"],
+                            "n_channels": r["n_channels"],
+                            "codec": r["codec"],
+                            "luma_mean": r["luma_mean"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "idx", "width", "height", "n_channels",
+                    "codec", "luma_mean",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        extract,
+        schema=(
+            "id long, idx int, width int, height int, n_channels int, "
+            "codec string, luma_mean double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # WebDataset tar-shard ingest through the driver gate — the de-facto
 # multimodal training layout: per-event tar shards of (pgm image +
 # cls label + txt caption) samples → tarfile walk + first-dot key

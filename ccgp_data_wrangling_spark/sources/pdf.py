@@ -401,6 +401,8 @@ def extract_pdf_pages(payload: bytes, *, password: bytes = b"") -> list[str]:
                 ),
                 aes=enc_aes,
             )
+        if re.search(rb"/Subtype\s*/Image\b", head):
+            continue  # image XObjects carry no text (pdf_images reads them)
         data = _decode_stream_filters(head, data)
         if b"/ObjStm" in head:
             # members are dict objects (streams never nest, §7.5.7) —
@@ -608,6 +610,138 @@ def _decode_stream_filters(
                 f"PDF stream filter /{name.decode('latin-1')}"
             )
     return data
+
+
+def pdf_images(payload: bytes) -> list[dict[str, Any]]:
+    """Extract embedded image XObjects (``/Subtype /Image``) — the
+    figure-mining layer a multimodal corpus pipeline needs next to
+    text extraction. Per image: object number, declared dimensions,
+    channel count, the codec that carried it, and pixel statistics.
+
+    ``/DCTDecode`` payloads run through the from-scratch baseline/
+    progressive JPEG decoder (operators/media_codecs.decode_jpeg);
+    transport filters ahead of the image codec (ASCII85/Hex, RunLength,
+    LZW, Flate) are unwrapped first; declared vs decoded dimensions
+    are cross-checked (a mismatch means corrupt data, not a different
+    picture). Raw-sample images (Flate or unfiltered) are interpreted
+    via /ColorSpace + /BitsPerComponent (8-bit DeviceGray/DeviceRGB;
+    other spaces and depths raise honestly, as do JPXDecode/
+    CCITTFaxDecode). Encrypted documents raise — decrypt-and-extract
+    composes through the standard security handler, not here."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_jpeg,
+    )
+
+    if payload[:5] != b"%PDF-":
+        raise ValueError("not a PDF payload")
+    if re.search(rb"/Encrypt\b", payload):
+        raise NotImplementedError("pdf_images on an encrypted document")
+    out: list[dict[str, Any]] = []
+    pos = 0
+    while True:
+        om = _OBJ_START_RE.search(payload, pos)
+        if not om:
+            break
+        sm = _STREAM_START_RE.search(payload, om.end())
+        em = payload.find(b"endobj", om.end())
+        if em < 0:
+            em = len(payload)
+        if sm is None or sm.start() > em:
+            pos = em + 6
+            continue
+        head = payload[om.end() : sm.start()]
+        lm = _LENGTH_RE.search(head)
+        im_ = _IND_LENGTH_RE.search(head)
+        if lm or im_:
+            ln = (
+                int(lm.group(1))
+                if lm
+                else _resolve_int_object(payload, int(im_.group(1)))
+            )
+            data = payload[sm.end() : sm.end() + ln]
+            pos = payload.find(b"endobj", sm.end() + ln)
+            pos = pos + 6 if pos >= 0 else len(payload)
+        else:
+            end = payload.find(b"\nendstream", sm.end())
+            if end < 0:
+                raise ValueError("unterminated PDF stream")
+            data = payload[sm.end() : end]
+            pos = end + len(b"\nendstream")
+        if not re.search(rb"/Subtype\s*/Image\b", head):
+            continue
+        wm = re.search(rb"/Width\s+(\d+)", head)
+        hm = re.search(rb"/Height\s+(\d+)", head)
+        if not wm or not hm:
+            raise ValueError("image XObject missing /Width or /Height")
+        w, h = int(wm.group(1)), int(hm.group(1))
+        bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
+        bpc = int(bm.group(1)) if bm else 8
+        if bpc != 8:
+            raise NotImplementedError(f"{bpc}-bit PDF image samples")
+        if re.search(rb"/ColorSpace\s*/DeviceRGB\b", head):
+            ncomp = 3
+        elif re.search(rb"/ColorSpace\s*/DeviceGray\b", head):
+            ncomp = 1
+        else:
+            raise NotImplementedError("non-Device PDF image colorspace")
+        names = _filter_names(head)
+        codec = "raw"
+        for i, nm in enumerate(names):
+            if nm in (b"DCTDecode", b"DCT"):
+                if i != len(names) - 1:
+                    raise ValueError("/DCTDecode must be the final filter")
+                codec = "jpeg"
+                m = decode_jpeg(bytes(data))
+                if (m["width"], m["height"]) != (w, h):
+                    raise ValueError(
+                        "JPEG dimensions disagree with the image dict"
+                    )
+                if m["n_channels"] != ncomp:
+                    raise ValueError(
+                        "JPEG component count disagrees with /ColorSpace"
+                    )
+                stats = m
+                break
+            if nm in (b"JPXDecode", b"CCITTFaxDecode", b"JBIG2Decode"):
+                raise NotImplementedError(
+                    f"PDF image codec /{nm.decode('latin-1')}"
+                )
+            # transport/compression filter ahead of the payload
+            data = _decode_stream_filters(
+                b"/Filter /" + nm, data, unpredict=False
+            )
+        else:
+            if len(data) != w * h * ncomp:
+                raise ValueError(
+                    "raw image samples disagree with dimensions"
+                )
+            px = np.frombuffer(data, np.uint8).reshape(h, w, ncomp)
+            means = px.astype(np.float64).mean(axis=(0, 1))
+            stats = {
+                "channel_means": [round(float(x), 4) for x in means],
+                "luma_mean": round(
+                    float(
+                        means @ np.array([0.299, 0.587, 0.114])
+                        if ncomp == 3
+                        else means[0]
+                    ),
+                    4,
+                ),
+            }
+        out.append(
+            {
+                "obj": int(om.group(1)),
+                "width": w,
+                "height": h,
+                "n_channels": ncomp,
+                "codec": codec,
+                "channel_means": stats["channel_means"],
+                "luma_mean": stats["luma_mean"],
+            }
+        )
+    return out
 
 
 def _unpredict(data: bytes, head: bytes, row_bytes: int) -> bytes:
@@ -913,6 +1047,7 @@ def build_pdf(
     *,
     compress: bool = True,
     filter_chain: tuple[str, ...] | None = None,
+    page_images: list[list[Any]] | None = None,
 ) -> bytes:
     """Fixture writer: a conformant single-font PDF 1.4 with a correct
     xref table. Each page is a list of segments: a plain string →
@@ -923,13 +1058,20 @@ def build_pdf(
     ``filter_chain`` instead writes any /Filter chain in decode order
     from {"flate", "lzw", "rl", "ahx", "a85"} — e.g. ("a85",
     "flate") emits Flate output wrapped in ASCII85 transport.
+
+    ``page_images`` embeds image XObjects (one inner list per page):
+    ``("dct", jpeg_bytes, w, h, n_channels)`` stores a JPEG stream
+    behind /DCTDecode; ``("flate", px)`` (a uint8 (h,w) or (h,w,3)
+    numpy array) stores Flate-compressed raw samples with the
+    matching /DeviceGray or /DeviceRGB colorspace. Each page's
+    content stream paints its images with ``Do`` operators.
     """
     objects: list[bytes] = []
     content_for = _content_for
 
     n_pages = len(pages)
     # object layout: 1 catalog, 2 pages, 3 font, then per page:
-    # (4+2k) page, (5+2k) content
+    # (4+2k) page, (5+2k) content, then one object per embedded image
     kids = b" ".join(
         b"%d 0 R" % (4 + 2 * k) for k in range(n_pages)
     )
@@ -940,13 +1082,54 @@ def build_pdf(
     objects.append(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
+    img_objs: list[bytes] = []
+    page_xobjs: list[list[tuple[bytes, int]]] = [[] for _ in range(n_pages)]
+    if page_images:
+        next_obj = 4 + 2 * n_pages
+        for k, imgs in enumerate(page_images):
+            for j, spec in enumerate(imgs or []):
+                if spec[0] == "dct":
+                    _, jpg, iw, ih, ncomp = spec
+                    cs = b"/DeviceRGB" if ncomp == 3 else b"/DeviceGray"
+                    head = (
+                        b"<< /Type /XObject /Subtype /Image"
+                        b" /Width %d /Height %d /ColorSpace %s"
+                        b" /BitsPerComponent 8 /Filter /DCTDecode"
+                        b" /Length %d >>" % (iw, ih, cs, len(jpg))
+                    )
+                    body = head + b"\nstream\n" + jpg + b"\nendstream"
+                elif spec[0] == "flate":
+                    px = spec[1]
+                    ih, iw = px.shape[:2]
+                    ncomp = 1 if px.ndim == 2 else px.shape[2]
+                    cs = b"/DeviceRGB" if ncomp == 3 else b"/DeviceGray"
+                    data = zlib.compress(px.tobytes())
+                    head = (
+                        b"<< /Type /XObject /Subtype /Image"
+                        b" /Width %d /Height %d /ColorSpace %s"
+                        b" /BitsPerComponent 8 /Filter /FlateDecode"
+                        b" /Length %d >>" % (iw, ih, cs, len(data))
+                    )
+                    body = head + b"\nstream\n" + data + b"\nendstream"
+                else:
+                    raise ValueError(f"unknown image spec {spec[0]!r}")
+                name = b"/Im%d_%d" % (k, j)
+                page_xobjs[k].append((name, next_obj + len(img_objs)))
+                img_objs.append(body)
     for k, segs in enumerate(pages):
+        res = b"/Font << /F1 3 0 R >>"
+        if page_xobjs[k]:
+            res += b" /XObject << " + b" ".join(
+                b"%s %d 0 R" % (nm, on) for nm, on in page_xobjs[k]
+            ) + b" >>"
         objects.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Resources << " + res + b" >> "
             b"/Contents %d 0 R >>" % (5 + 2 * k)
         )
         raw = content_for(segs)
+        for nm, _on in page_xobjs[k]:
+            raw += b"\nq 100 0 0 100 50 400 cm %s Do Q" % nm
         if filter_chain:
             data, frag = _encode_filter_chain(raw, filter_chain)
             head = b"<< %s /Length %d >>" % (frag, len(data))
@@ -957,6 +1140,7 @@ def build_pdf(
             data = raw
             head = b"<< /Length %d >>" % len(data)
         objects.append(head + b"\nstream\n" + data + b"\nendstream")
+    objects += img_objs
 
     buf = bytearray(b"%PDF-1.4\n")
     offsets = [0]

@@ -436,3 +436,83 @@ def test_pdf_filter_chains_roundtrip():
         _ascii85_decode(b"87cUR")
     with pytest.raises(ValueError, match="missing EOD"):
         _runlength_decode(b"\x02abc")
+
+
+def test_pdf_images_extraction():
+    """Embedded image XObjects: DCTDecode through the from-scratch
+    JPEG decoder (exact on flat tiles), Flate raw samples via
+    /ColorSpace, transport wrapping ahead of the image codec,
+    text/image coexistence, and honest gates (encryption, JPX,
+    dimension mismatch, exotic colorspace, sub-8-bit samples)."""
+    import base64
+
+    import numpy as np
+    import pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        encode_jpeg,
+    )
+    from ccgp_data_wrangling_spark.sources.pdf import (
+        build_pdf,
+        build_pdf_encrypted,
+        extract_pdf_pages,
+        pdf_images,
+    )
+
+    gray = np.full((16, 24), 77, np.uint8)
+    jpg = encode_jpeg(gray)
+    rgb = np.zeros((6, 9, 3), np.uint8)
+    rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2] = 50, 100, 150
+    blob = build_pdf(
+        [["caption one"], ["caption two"]],
+        page_images=[[("dct", jpg, 24, 16, 1)], [("flate", rgb)]],
+    )
+    # text extraction is undisturbed by the image streams
+    assert extract_pdf_pages(blob) == ["caption one", "caption two"]
+    imgs = pdf_images(blob)
+    assert [(r["codec"], r["width"], r["height"], r["n_channels"],
+             r["luma_mean"]) for r in imgs] == [
+        ("jpeg", 24, 16, 1, 77.0),
+        ("raw", 9, 6, 3, round(50 * 0.299 + 100 * 0.587 + 150 * 0.114, 4)),
+    ]
+    # transport wrapping ahead of the image codec: ASCII85'd JPEG
+    a85 = bytearray(build_pdf([["x"]], page_images=[[("dct", jpg, 24, 16, 1)]]))
+    i = a85.find(b"/Filter /DCTDecode")
+    wrapped = base64.a85encode(jpg) + b"~>"
+    a85 = (
+        a85[:i]
+        + b"/Filter [/ASCII85Decode /DCTDecode]"
+        + a85[i + len(b"/Filter /DCTDecode"):]
+    )
+    j = a85.find(b"stream\n", i) + len(b"stream\n")
+    k = a85.find(b"\nendstream", j)
+    a85 = a85[:j] + wrapped + a85[k:]
+    lm = a85.find(b"/Length %d" % len(jpg))
+    a85 = a85[:lm] + b"/Length %d" % len(wrapped) + a85[
+        lm + len(b"/Length %d" % len(jpg)):
+    ]
+    got = pdf_images(bytes(a85))
+    assert got[0]["codec"] == "jpeg" and got[0]["luma_mean"] == 77.0
+    # honest gates
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        pdf_images(build_pdf_encrypted([["s"]], user_pw=b"x"))
+    bad = bytearray(blob)
+    m = bad.find(b"/Width 24")
+    bad[m : m + 9] = b"/Width 23"
+    with pytest.raises(ValueError, match="disagree"):
+        pdf_images(bytes(bad))
+    jpx = bytearray(blob)
+    m = jpx.find(b"/DCTDecode")
+    jpx[m : m + 10] = b"/JPXDecode"
+    with pytest.raises(NotImplementedError, match="JPXDecode"):
+        pdf_images(bytes(jpx))
+    cs = bytearray(blob)
+    m = cs.find(b"/DeviceGray")
+    cs[m : m + 11] = b"/Separation"
+    with pytest.raises(NotImplementedError, match="colorspace"):
+        pdf_images(bytes(cs))
+    bp = bytearray(blob)
+    m = bp.find(b"/BitsPerComponent 8")
+    bp[m : m + 19] = b"/BitsPerComponent 4"
+    with pytest.raises(NotImplementedError, match="4-bit"):
+        pdf_images(bytes(bp))
