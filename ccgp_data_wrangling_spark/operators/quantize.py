@@ -38,9 +38,11 @@ def quantize_stats(
 
     ``code_i = floor((x_i − vmin) / scale + 0.5)`` — floor of a
     shifted value, not ROUND, so no engine-specific half-even
-    disagreement exists anywhere. Degenerate constant vectors
-    (vmax == vmin) take scale 1 and code 0 everywhere: exact
-    reconstruction, no division by zero."""
+    disagreement exists anywhere. Degenerate vectors take scale 1
+    and code 0 everywhere (exact reconstruction, no division by
+    zero) — degenerate meaning the COMPUTED scale is 0, which covers
+    both constant vectors and subnormal ranges whose division by
+    ``levels`` underflows to 0.0 (hypothesis-found: [0.0, 5e-324])."""
     # materialize vmin/vmax/scale as real columns BEFORE the lambda:
     # referencing array_min(v) inside transform() re-evaluates the
     # full array scan per element (no CSE across lambda boundaries —
@@ -58,7 +60,13 @@ def quantize_stats(
         "__v",
         "__vmin",
         "__vmax",
-        F.when(F.col("__vmax") == F.col("__vmin"), F.lit(1.0))
+        # guard on the COMPUTED scale being 0, not on vmax == vmin: a
+        # subnormal range underflows the division to exactly 0.0
+        F.when(
+            (F.col("__vmax") - F.col("__vmin")) / F.lit(float(levels))
+            == 0.0,
+            F.lit(1.0),
+        )
         .otherwise(
             (F.col("__vmax") - F.col("__vmin")) / F.lit(float(levels))
         )

@@ -4547,7 +4547,8 @@ WITH v AS (
 ),
 s AS (
   SELECT id, e, len(e) AS n, list_min(e) AS vmin, list_max(e) AS vmax,
-         CASE WHEN list_max(e) = list_min(e) THEN 1.0
+         -- guard the COMPUTED scale: subnormal ranges underflow /255
+         CASE WHEN (list_max(e) - list_min(e)) / 255.0 = 0.0 THEN 1.0
               ELSE (list_max(e) - list_min(e)) / 255.0 END AS scale
   FROM v
 ),

@@ -6,13 +6,18 @@ from __future__ import annotations
 
 import math
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 
 def _ref(vec, levels=255):
     vmin, vmax = min(vec), max(vec)
-    scale = 1.0 if vmax == vmin else (vmax - vmin) / float(levels)
+    # guard on the COMPUTED scale: a subnormal range underflows the
+    # division to exactly 0.0 (hypothesis-found: [0.0, 5e-324]) — the
+    # operator and its oracle use the same degenerate-scale rule
+    scale = (vmax - vmin) / float(levels)
+    if scale == 0.0:
+        scale = 1.0
     errs = [
         x - (vmin + math.floor((x - vmin) / scale + 0.5) * scale)
         for x in vec
@@ -31,6 +36,7 @@ def _ref(vec, levels=255):
         max_size=32,
     )
 )
+@example(vec=[0.0, 5e-324])  # subnormal range: /255 underflows to 0
 def test_reconstruction_error_bounded_by_half_scale(vec):
     scale, errs = _ref(vec)
     # half-scale bound with a 1-ulp cushion for the float division
