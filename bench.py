@@ -158,6 +158,8 @@ HEADLINE = [
     "multimodal_mp4_fragmented_keyframes",
     "multimodal_tiff_compressed_decode",
     "multimodal_mp3_layer3_spectrum",
+    # r9 additions
+    "pdf_encrypted_image_extract",
 ]
 
 

@@ -567,9 +567,14 @@ def embedding_neardup_pairs(
     mode = _resolve_carrier(n_tables * n_bits * dim, carrier)
     if mode == "kernel":
         base = scope.persist(df.select(F.col(id_col).alias("id"), v.alias("vec")))
-        banded = srp_buckets_kernel(
-            base, tables, vec_col="vec", drop_vec=True
-        ).select("id", F.col("t").alias("table_idx"), F.col("bkt").alias("bucket"))
+        # persist the kernel OUTPUT too: banded feeds both sides of
+        # the self-join below, and without this the Arrow SRP
+        # projection would execute once per join branch
+        banded = scope.persist(
+            srp_buckets_kernel(base, tables, vec_col="vec", drop_vec=True).select(
+                "id", F.col("t").alias("table_idx"), F.col("bkt").alias("bucket")
+            )
+        )
     else:
         if mode == "table":
             tdf = df.sparkSession.createDataFrame(

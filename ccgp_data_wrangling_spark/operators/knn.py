@@ -56,9 +56,14 @@ def srp_adaptive_params(
       grows only polylog (∝ n^(ln(π/(π-θ))/ln 2), exponent ≈ 0.07 at
       0.99), so total work stays ~n^(1+ρ) with small ρ instead of n².
 
-    If the solved table count would exceed ``max_tables``, bits are
-    walked back until it fits — candidate volume is traded for the
-    recall guarantee, never the reverse.
+    ``max_tables`` is BEST-EFFORT: if the solved table count exceeds
+    it, bits are walked back toward ``min_bits``, trading candidate
+    volume for the recall guarantee — but once bits bottoms out at
+    ``min_bits`` the solved table count is returned as-is, which for
+    loose thresholds (e.g. 0.5) can be far above ``max_tables``.
+    Recall wins over the table budget by design: a silently-degraded
+    miss probability is the worse failure. Callers needing a hard
+    table cap must pass ``n_tables`` explicitly and own the recall.
     """
     import math
 

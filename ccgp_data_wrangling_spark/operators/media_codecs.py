@@ -3381,8 +3381,10 @@ def _mp4_fragment_rows(
     track, chunk = mfhd sequence number. Byte ranges are verified to
     land inside a top-level mdat; ``mdat_offset`` is relative to the
     CONTAINING mdat's body (per-fragment closed form, what the
-    oracle replays). Implicit base-offset chaining for a SECOND traf
-    in one moof raises honestly."""
+    oracle replays). A second traf in one moof with neither
+    base-data-offset nor default-base-is-moof chains implicitly off
+    the previous traf's data end (§8.8.7); only the no-previous-data
+    case raises."""
     by_id = {m["track_id"]: m for m in track_meta}
     # trex defaults (§8.8.3): track_ID → (duration, size, flags)
     trex_by_id: dict[int, tuple[int, int, int]] = {}

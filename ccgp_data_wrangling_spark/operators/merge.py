@@ -27,6 +27,7 @@ commit protocol (kept out of scope, as in vanilla-parquet Spark).
 
 from __future__ import annotations
 
+import datetime
 import os
 import re
 import shutil
@@ -462,11 +463,38 @@ class PartitionedParquetTable(ParquetTable):
                 i += 1
         return "".join(out)
 
+    @staticmethod
+    def _canon_value(v) -> str | None:
+        """Render one partition value the way Spark renders it into a
+        hive partition path (cast-to-string semantics), so collected
+        Python values meet unescaped directory names on equal terms.
+
+        Python ``str()`` disagrees with Spark for booleans
+        (``True`` vs ``true``) and for timestamps with a fractional
+        second (Python pads to 6 digits, Spark trims trailing zeros);
+        a mismatch here makes the leaf lookup in ``_swap_in`` miss
+        silently, so these are rendered explicitly. Types whose
+        rendering is not verified to match are still ``str()``-ed but
+        backstopped by the fresh-leaf invariant in ``_swap_in``.
+        """
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, datetime.datetime):
+            s = v.strftime("%Y-%m-%d %H:%M:%S")
+            if v.microsecond:
+                s += (".%06d" % v.microsecond).rstrip("0")
+            return s
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        return str(v)
+
     def _canon(self, t: tuple) -> tuple:
         """Canonical string form of a partition tuple (None for null) —
         the meeting point between in-memory values and unescaped
         directory names."""
-        return tuple(None if v is None else str(v) for v in t)
+        return tuple(self._canon_value(v) for v in t)
 
     def _leaf_dirs(self, root: str) -> dict[tuple, str]:
         """Map canonical partition tuple → leaf dir path relative to
@@ -539,6 +567,21 @@ class PartitionedParquetTable(ParquetTable):
         canon = [self._canon(t) for t in touched]
         live_map = self._leaf_dirs(self.path)
         fresh_map = self._leaf_dirs(tmp)
+        # Invariant: the merged frame holds touched-partition rows
+        # ONLY, so every leaf the writer produced must match a touched
+        # tuple. An unmatched fresh leaf means our canonical rendering
+        # of some value disagrees with Spark's path rendering — and
+        # proceeding would silently discard that leaf (the merge would
+        # no-op for the partition). Refuse BEFORE any rename.
+        unmatched = [k for k in fresh_map if k not in set(canon)]
+        if unmatched:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                "swap refused: fresh partition leaves "
+                f"{unmatched!r} match no touched tuple {canon!r} — "
+                "canonical rendering of a partition value disagrees "
+                "with Spark's hive path rendering for its type"
+            )
         require_fresh = getattr(self, "_require_fresh", False)
         self._require_fresh = False
         if require_fresh:

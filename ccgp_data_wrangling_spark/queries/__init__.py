@@ -51,56 +51,7 @@ def register(name: str, oracle: str | None):
 # row — the stalest-first re-verification cycle the round-5 verdict
 # prescribed (regression freshness, not new coverage).
 _PRIORITY: list[str] = [
-    "pdf_image_extract",
-    "multimodal_mp4_fragmented_keyframes",
-    "multimodal_tiff_compressed_decode",
-    "multimodal_mp3_layer3_spectrum",
-    "q10_returned_revenue",
-    "rollup_order_profile",
-    "range_balance_band",
-    "profile_orders",
-    "percentiles_by_flag",
-    "x11b_service_geocode",
-    "s4_sheet_probe_xls",
-    "url_normalize_dedup",
-    "ngram_repeat_scrub",
-    "winsorize_quality",
-    "doc_topic_cluster",
-    "cross_lingual_ratio",
-    "anchor_text_agg",
-    "robots_policy_filter",
-    "session_dedup_window",
-    "t_session_window_native",
-    "pagerank_link_graph",
-    "jl_projection_16d",
-    "kmv_distinct_users",
-    "span_dedup_crossdoc",
-    "priority_sample_weights",
-    "zorder_cluster_stats",
-    "kmv_shard_overlap",
-    "funnel_stage_conversion",
-    "cohort_weekly_retention",
-    "event_transition_matrix",
-    "mad_outlier_flags",
-    "decayed_user_value",
-    "cube_event_value",
-    "moving_avg_user_value",
-    "q6_forecast_revenue",
-    "leakage_safe_splits",
-    "cms_token_frequency",
-    "hist_quantile_by_type",
-    "token_budget_select",
-    "bm25_topk_retrieval",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "multimodal_gif_real_decode",
-    "label_propagation_communities",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
+    "pdf_encrypted_image_extract",
     "bloom_prefilter_revenue",
     "dsir_target_select",
     "semantic_dedup_planted",
@@ -287,6 +238,56 @@ _PRIORITY: list[str] = [
     "r6_jan_only_products",
     "skew_salted_agg",
     "q4_exists_semi_join",
+    "pdf_image_extract",
+    "multimodal_mp4_fragmented_keyframes",
+    "multimodal_tiff_compressed_decode",
+    "multimodal_mp3_layer3_spectrum",
+    "q10_returned_revenue",
+    "rollup_order_profile",
+    "range_balance_band",
+    "profile_orders",
+    "percentiles_by_flag",
+    "x11b_service_geocode",
+    "s4_sheet_probe_xls",
+    "url_normalize_dedup",
+    "ngram_repeat_scrub",
+    "winsorize_quality",
+    "doc_topic_cluster",
+    "cross_lingual_ratio",
+    "anchor_text_agg",
+    "robots_policy_filter",
+    "session_dedup_window",
+    "t_session_window_native",
+    "pagerank_link_graph",
+    "jl_projection_16d",
+    "kmv_distinct_users",
+    "span_dedup_crossdoc",
+    "priority_sample_weights",
+    "zorder_cluster_stats",
+    "kmv_shard_overlap",
+    "funnel_stage_conversion",
+    "cohort_weekly_retention",
+    "event_transition_matrix",
+    "mad_outlier_flags",
+    "decayed_user_value",
+    "cube_event_value",
+    "moving_avg_user_value",
+    "q6_forecast_revenue",
+    "leakage_safe_splits",
+    "cms_token_frequency",
+    "hist_quantile_by_type",
+    "token_budget_select",
+    "bm25_topk_retrieval",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "multimodal_gif_real_decode",
+    "label_propagation_communities",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
 ]
 
 

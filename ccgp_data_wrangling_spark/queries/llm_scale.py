@@ -5031,3 +5031,152 @@ def image_orientation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").over(w).alias("group_id"),
         F.count(F.lit(1)).over(w).cast("int").alias("n_in_group"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Encrypted-image extraction through the driver gate — the round-8
+# composition gap closed: image XObject streams decrypt with the same
+# per-object keys as content streams (ISO 32000 §7.6.2), so figure
+# mining works on password-protected corpora. The cipher rotates per
+# doc (RC4-40 / RC4-128 / AES-128 / AES-256 R6); images are FLAT so
+# every luma is the same closed form pdf_image_extract pins — crypto
+# is lossless and a wrong key fails loudly (AES padding / zlib
+# checksum), so the oracle needs no crypto at all.
+# ---------------------------------------------------------------------------
+
+_PDF_ENC_IMG_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 11
+)
+SELECT id,
+       CAST(0 AS INT) AS idx,
+       CAST(k % 4 AS INT) AS cipher,
+       CAST(8 * ((k % 3) + 1) AS INT) AS width,
+       CAST(8 * ((k % 2) + 1) AS INT) AS height,
+       CAST(1 AS INT) AS n_channels,
+       'jpeg' AS codec,
+       ROUND(CAST(id % 200 + 20 AS DOUBLE), 4) AS luma_mean
+FROM g
+UNION ALL
+SELECT id,
+       CAST(1 AS INT) AS idx,
+       CAST(k % 4 AS INT) AS cipher,
+       CAST(7 AS INT) AS width,
+       CAST(5 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       'raw' AS codec,
+       ROUND(CAST(id % 256 AS DOUBLE) * 0.299
+             + CAST((id + 31) % 256 AS DOUBLE) * 0.587
+             + CAST((id + 62) % 256 AS DOUBLE) * 0.114, 4) AS luma_mean
+FROM g WHERE k % 2 = 0
+"""
+
+
+@register("pdf_encrypted_image_extract", _PDF_ENC_IMG_SQL)
+def pdf_encrypted_image_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image extraction from ENCRYPTED PDFs end-to-end:
+    build_pdf_encrypted fixtures carrying image XObjects (per-object
+    RC4/AES stream encryption over the JPEG / Flate-raw payloads) →
+    password verify → per-object key derivation → decrypt →
+    pdf_images' codec walk → one row per image. The V5 docs share
+    credentials so the R6 KDF amortizes via lru_cache, and AES-CBC
+    decryption runs the equivalent-inverse-cipher T-tables
+    (pdf_crypt._decrypt_block) — per-doc marginal cost is the stream
+    bytes, not the KDF."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        encode_jpeg,
+    )
+    from ccgp_data_wrangling_spark.sources.pdf import (
+        build_pdf_encrypted,
+        pdf_images,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 11
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ciphers = [], []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                w, h = 8 * (k % 3 + 1), 8 * (k % 2 + 1)
+                gray = np.full((h, w), e % 200 + 20, np.uint8)
+                imgs = [("dct", encode_jpeg(gray), w, h, 1)]
+                if k % 2 == 0:
+                    rgb = np.zeros((5, 7, 3), np.uint8)
+                    for c in range(3):
+                        rgb[:, :, c] = (e + 31 * c) % 256
+                    imgs.append(("flate", rgb))
+                kw = (
+                    dict(v=1),
+                    dict(v=2, r=3),
+                    dict(v=4, r=4, aes=True),
+                    dict(v=5, r=6),
+                )[k % 4]
+                payloads.append(
+                    build_pdf_encrypted(
+                        [[f"secure figure {e}"]],
+                        user_pw=b"corpus",
+                        page_images=[imgs],
+                        **kw,
+                    )
+                )
+                ciphers.append(k % 4)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "cipher": ciphers,
+                    "payload": payloads,
+                }
+            )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, ciph, blob in zip(
+                pdf["id"], pdf["cipher"], pdf["payload"]
+            ):
+                for j, r in enumerate(
+                    pdf_images(bytes(blob), password=b"corpus")
+                ):
+                    rows.append(
+                        {
+                            "id": rid,
+                            "idx": j,
+                            "cipher": ciph,
+                            "width": r["width"],
+                            "height": r["height"],
+                            "n_channels": r["n_channels"],
+                            "codec": r["codec"],
+                            "luma_mean": r["luma_mean"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "idx", "cipher", "width", "height",
+                    "n_channels", "codec", "luma_mean",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, cipher int, payload binary"
+    ).mapInPandas(
+        extract,
+        schema=(
+            "id long, idx int, cipher int, width int, height int, "
+            "n_channels int, codec string, luma_mean double"
+        ),
+    )

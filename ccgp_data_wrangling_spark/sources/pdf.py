@@ -287,6 +287,83 @@ def _encryption_params(payload: bytes) -> dict[str, Any]:
     return out
 
 
+class _CryptState:
+    """Per-document decryption state for the standard security
+    handler — shared by text extraction and image extraction so the
+    §7.6 password/key machinery composes with BOTH (the round-8 gap
+    was pdf_images raising on documents pdf_crypt could already
+    open)."""
+
+    __slots__ = ("file_key", "aes", "enc_obj", "v5")
+
+    def __init__(self, payload: bytes, password: bytes) -> None:
+        self.file_key: bytes | None = None
+        self.aes = False
+        self.enc_obj = -1
+        self.v5 = False
+        if b"/Encrypt" not in payload:
+            return
+        from ccgp_data_wrangling_spark.sources.pdf_crypt import (
+            verify_password_v5,
+            verify_perms,
+            verify_user_password,
+        )
+
+        prm = _encryption_params(payload)
+        if prm["v"] == 5:
+            key = verify_password_v5(
+                password, prm["o"], prm["u"], prm["oe"], prm["ue"],
+                prm["r"],
+            )
+            if key is None:
+                raise ValueError("invalid PDF password")
+            if not verify_perms(
+                prm["perms"], key, prm["p"], prm["encrypt_metadata"]
+            ):
+                raise ValueError(
+                    "PDF /Perms does not validate (tampered /P?)"
+                )
+            self.v5 = True
+        else:
+            key = verify_user_password(
+                password, prm["o"], prm["u"], prm["p"], prm["id0"],
+                prm["r"], prm["length_bits"],
+                encrypt_metadata=prm["encrypt_metadata"],
+            )
+            if key is None:
+                raise ValueError("invalid PDF password")
+        self.file_key = key
+        self.aes = prm["aes"]
+        self.enc_obj = prm["encrypt_obj"]
+
+    def decrypt(
+        self, data: bytes, head: bytes, num: int, gen: int
+    ) -> bytes:
+        """Decrypt one stream body with its per-object key (no-op for
+        unencrypted documents, the /Encrypt dict's own object, and
+        xref streams — never encrypted, §7.5.8.2)."""
+        if (
+            self.file_key is None
+            or num == self.enc_obj
+            or b"/XRef" in head
+        ):
+            return data
+        from ccgp_data_wrangling_spark.sources.pdf_crypt import (
+            decrypt_bytes,
+            object_key,
+        )
+
+        return decrypt_bytes(
+            data,
+            # V5 uses the 32-byte file key directly for every object
+            # (§7.6.4 — no per-object MD5 derivation)
+            self.file_key
+            if self.v5
+            else object_key(self.file_key, num, gen, aes=self.aes),
+            aes=self.aes,
+        )
+
+
 def extract_pdf_pages(payload: bytes, *, password: bytes = b"") -> list[str]:
     """Extract per-page text from a PDF byte blob (one string per
     content stream, in object order — the fixture writer emits one
@@ -309,43 +386,7 @@ def extract_pdf_pages(payload: bytes, *, password: bytes = b"") -> list[str]:
     """
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
-    file_key = None
-    enc_aes = False
-    enc_obj = -1
-    enc_v5 = False
-    if b"/Encrypt" in payload:
-        from ccgp_data_wrangling_spark.sources.pdf_crypt import (
-            verify_password_v5,
-            verify_perms,
-            verify_user_password,
-        )
-
-        prm = _encryption_params(payload)
-        if prm["v"] == 5:
-            file_key = verify_password_v5(
-                password, prm["o"], prm["u"], prm["oe"], prm["ue"],
-                prm["r"],
-            )
-            if file_key is None:
-                raise ValueError("invalid PDF password")
-            if not verify_perms(
-                prm["perms"], file_key, prm["p"],
-                prm["encrypt_metadata"],
-            ):
-                raise ValueError(
-                    "PDF /Perms does not validate (tampered /P?)"
-                )
-            enc_v5 = True
-        else:
-            file_key = verify_user_password(
-                password, prm["o"], prm["u"], prm["p"], prm["id0"],
-                prm["r"], prm["length_bits"],
-                encrypt_metadata=prm["encrypt_metadata"],
-            )
-            if file_key is None:
-                raise ValueError("invalid PDF password")
-        enc_aes = prm["aes"]
-        enc_obj = prm["encrypt_obj"]
+    crypt = _CryptState(payload, password)
     pages: list[str] = []
     pos = 0
     while True:
@@ -377,30 +418,9 @@ def extract_pdf_pages(payload: bytes, *, password: bytes = b"") -> list[str]:
                 raise ValueError("unterminated PDF stream")
             data = payload[sm.end() : end]
             pos = end + len(b"\nendstream")
-        if (
-            file_key is not None
-            and int(om.group(1)) != enc_obj
-            and b"/XRef" not in head  # xref streams are never encrypted
-        ):
-            from ccgp_data_wrangling_spark.sources.pdf_crypt import (
-                decrypt_bytes,
-                object_key,
-            )
-
-            data = decrypt_bytes(
-                data,
-                # V5 uses the 32-byte file key directly for every
-                # object (§7.6.4 — no per-object MD5 derivation)
-                file_key
-                if enc_v5
-                else object_key(
-                    file_key,
-                    int(om.group(1)),
-                    int(om.group(2)),
-                    aes=enc_aes,
-                ),
-                aes=enc_aes,
-            )
+        data = crypt.decrypt(
+            data, head, int(om.group(1)), int(om.group(2))
+        )
         if re.search(rb"/Subtype\s*/Image\b", head):
             continue  # image XObjects carry no text (pdf_images reads them)
         data = _decode_stream_filters(head, data)
@@ -566,11 +586,100 @@ def _lzw_decode_pdf(head: bytes, data: bytes) -> bytes:
     return _tiff_lzw_decode(data)
 
 
-def _maybe_unpredict(head: bytes, data: bytes) -> bytes:
-    if b"/Predictor" not in head:
+def _scan_balanced_dict(buf: bytes, i: int) -> tuple[bytes, int]:
+    """Return the balanced ``<< ... >>`` slice starting at ``i`` and
+    the index just past it. Nesting is counted; strings inside dicts
+    are not expected in /DecodeParms fragments (integers/names/bools
+    only per §7.4 tables)."""
+    if buf[i : i + 2] != b"<<":
+        raise ValueError("expected << at /DecodeParms dict")
+    depth, j = 0, i
+    while j < len(buf) - 1:
+        two = buf[j : j + 2]
+        if two == b"<<":
+            depth += 1
+            j += 2
+        elif two == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return buf[i:j], j
+        else:
+            j += 1
+    raise ValueError("unterminated /DecodeParms dict")
+
+
+def _decode_parms(head: bytes, n_filters: int) -> list[bytes]:
+    """Positional ``/DecodeParms`` (§7.3.8.2): one parameter-dict
+    fragment per filter, ``b''`` where the entry is ``null`` or
+    absent. A single dict pairs with a single filter; a single dict
+    against a /Filter ARRAY is ambiguous per spec and raises rather
+    than guessing which filter it parameterizes."""
+    m = re.search(rb"/(?:DecodeParms|DP)\s*", head)
+    if m is None:
+        return [b""] * n_filters
+    i = m.end()
+    if head[i : i + 2] == b"<<":
+        if n_filters > 1:
+            raise ValueError(
+                "single /DecodeParms dict with a /Filter array"
+            )
+        d, _ = _scan_balanced_dict(head, i)
+        return [d] + [b""] * max(0, n_filters - 1)
+    if head[i : i + 1] == b"[":
+        entries: list[bytes] = []
+        j = i + 1
+        while j < len(head):
+            while j < len(head) and head[j : j + 1] in b" \t\r\n":
+                j += 1
+            if head[j : j + 1] == b"]":
+                break
+            if head[j : j + 2] == b"<<":
+                d, j = _scan_balanced_dict(head, j)
+                entries.append(d)
+            elif head[j : j + 4] == b"null":
+                entries.append(b"")
+                j += 4
+            else:
+                raise ValueError("unparseable /DecodeParms array entry")
+        else:
+            raise ValueError("unterminated /DecodeParms array")
+        entries += [b""] * max(0, n_filters - len(entries))
+        return entries[:n_filters]
+    raise ValueError("unparseable /DecodeParms value")
+
+
+def _maybe_unpredict(parm: bytes, data: bytes) -> bytes:
+    """Undo the predictor THIS filter's /DecodeParms entry declares
+    (none declared → passthrough). Operates on the per-filter parm
+    fragment, never the whole stream dict, so a multi-filter chain
+    un-predicts exactly once — at the declaring filter."""
+    if b"/Predictor" not in parm:
         return data
-    cm = re.search(rb"/Columns\s+(\d+)", head)
-    return _unpredict(data, head, int(cm.group(1)) if cm else 1)
+    return _unpredict(data, parm)
+
+
+def _apply_pdf_filter(
+    name: bytes, parm: bytes, data: bytes, *, unpredict: bool = True
+) -> bytes:
+    """Apply ONE decode filter with ITS /DecodeParms fragment."""
+    if name in (b"FlateDecode", b"Fl"):
+        data = zlib.decompress(data)
+        return _maybe_unpredict(parm, data) if unpredict else data
+    if name in (b"LZWDecode", b"LZW"):
+        data = _lzw_decode_pdf(parm, data)
+        return _maybe_unpredict(parm, data) if unpredict else data
+    if name in (b"ASCIIHexDecode", b"AHx"):
+        return _ascii_hex_decode(data)
+    if name in (b"ASCII85Decode", b"A85"):
+        return _ascii85_decode(data)
+    if name in (b"RunLengthDecode", b"RL"):
+        return _runlength_decode(data)
+    if name == b"Crypt":
+        if b"/Identity" not in parm:
+            raise NotImplementedError("non-Identity /Crypt filter")
+        return data
+    raise NotImplementedError(f"PDF stream filter /{name.decode('latin-1')}")
 
 
 def _decode_stream_filters(
@@ -578,41 +687,31 @@ def _decode_stream_filters(
 ) -> bytes:
     """Apply the stream's ``/Filter`` chain in decode order (§7.4):
     ASCIIHex / ASCII85 transport encodings, RunLength, LZW, Flate —
-    with ``/DecodeParms`` predictors (PNG 10-15 / TIFF 2) undone
-    after a decompression filter, and ``/Crypt /Identity`` passed
-    through (stream encryption is handled upstream by the standard
-    security handler). Unknown filters (image codecs like DCTDecode)
-    raise honestly. ``unpredict=False`` leaves the predictor to a
-    caller that validates row width itself (pdf_xref)."""
+    with each filter's own ``/DecodeParms`` entry (parsed
+    POSITIONALLY against the filter array, §7.3.8.2) driving its
+    predictor undo (PNG 10-15 / TIFF 2) and LZW /EarlyChange, and
+    ``/Crypt /Identity`` passed through (stream encryption is handled
+    upstream by the standard security handler). Unknown filters
+    (image codecs like DCTDecode) raise honestly. ``unpredict=False``
+    leaves the predictor to a caller that validates row width itself
+    (pdf_xref)."""
     names = _filter_names(head)
     if not names and b"/Filter" in head:
         raise ValueError("unparseable /Filter entry")
-
-    def post(d: bytes) -> bytes:
-        return _maybe_unpredict(head, d) if unpredict else d
-
-    for name in names:
-        if name in (b"FlateDecode", b"Fl"):
-            data = post(zlib.decompress(data))
-        elif name in (b"LZWDecode", b"LZW"):
-            data = post(_lzw_decode_pdf(head, data))
-        elif name in (b"ASCIIHexDecode", b"AHx"):
-            data = _ascii_hex_decode(data)
-        elif name in (b"ASCII85Decode", b"A85"):
-            data = _ascii85_decode(data)
-        elif name in (b"RunLengthDecode", b"RL"):
-            data = _runlength_decode(data)
-        elif name == b"Crypt":
-            if b"/Identity" not in head:
-                raise NotImplementedError("non-Identity /Crypt filter")
-        else:
-            raise NotImplementedError(
-                f"PDF stream filter /{name.decode('latin-1')}"
-            )
+    parms = _decode_parms(head, len(names))
+    # Legacy fixture leniency: a bare single filter whose predictor
+    # keys sit directly in the stream dict (no /DecodeParms wrapper)
+    # still un-predicts — the whole head is its parm fragment then.
+    if len(names) == 1 and not parms[0] and b"/DecodeParms" not in head:
+        parms = [head]
+    for name, parm in zip(names, parms):
+        data = _apply_pdf_filter(name, parm, data, unpredict=unpredict)
     return data
 
 
-def pdf_images(payload: bytes) -> list[dict[str, Any]]:
+def pdf_images(
+    payload: bytes, *, password: bytes = b""
+) -> list[dict[str, Any]]:
     """Extract embedded image XObjects (``/Subtype /Image``) — the
     figure-mining layer a multimodal corpus pipeline needs next to
     text extraction. Per image: object number, declared dimensions,
@@ -626,8 +725,10 @@ def pdf_images(payload: bytes) -> list[dict[str, Any]]:
     picture). Raw-sample images (Flate or unfiltered) are interpreted
     via /ColorSpace + /BitsPerComponent (8-bit DeviceGray/DeviceRGB;
     other spaces and depths raise honestly, as do JPXDecode/
-    CCITTFaxDecode). Encrypted documents raise — decrypt-and-extract
-    composes through the standard security handler, not here."""
+    CCITTFaxDecode). Encrypted documents open through the standard
+    security handler (the same ``_CryptState`` the text path uses —
+    image XObject stream bodies decrypt with the same per-object
+    keys, §7.6.2)."""
     import numpy as np
 
     from ccgp_data_wrangling_spark.operators.media_codecs import (
@@ -636,8 +737,7 @@ def pdf_images(payload: bytes) -> list[dict[str, Any]]:
 
     if payload[:5] != b"%PDF-":
         raise ValueError("not a PDF payload")
-    if re.search(rb"/Encrypt\b", payload):
-        raise NotImplementedError("pdf_images on an encrypted document")
+    crypt = _CryptState(payload, password)
     out: list[dict[str, Any]] = []
     pos = 0
     while True:
@@ -671,6 +771,9 @@ def pdf_images(payload: bytes) -> list[dict[str, Any]]:
             pos = end + len(b"\nendstream")
         if not re.search(rb"/Subtype\s*/Image\b", head):
             continue
+        data = crypt.decrypt(
+            data, head, int(om.group(1)), int(om.group(2))
+        )
         wm = re.search(rb"/Width\s+(\d+)", head)
         hm = re.search(rb"/Height\s+(\d+)", head)
         if not wm or not hm:
@@ -687,8 +790,9 @@ def pdf_images(payload: bytes) -> list[dict[str, Any]]:
         else:
             raise NotImplementedError("non-Device PDF image colorspace")
         names = _filter_names(head)
+        parms = _decode_parms(head, len(names))
         codec = "raw"
-        for i, nm in enumerate(names):
+        for i, (nm, parm) in enumerate(zip(names, parms)):
             if nm in (b"DCTDecode", b"DCT"):
                 if i != len(names) - 1:
                     raise ValueError("/DCTDecode must be the final filter")
@@ -708,10 +812,11 @@ def pdf_images(payload: bytes) -> list[dict[str, Any]]:
                 raise NotImplementedError(
                     f"PDF image codec /{nm.decode('latin-1')}"
                 )
-            # transport/compression filter ahead of the payload
-            data = _decode_stream_filters(
-                b"/Filter /" + nm, data, unpredict=False
-            )
+            # transport/compression filter ahead of the payload — the
+            # REAL /DecodeParms entry rides along (an LZW stream with
+            # /EarlyChange 0 gates honestly instead of mis-decoding;
+            # a declared predictor on a raw image is undone here)
+            data = _apply_pdf_filter(nm, parm, data, unpredict=True)
         else:
             if len(data) != w * h * ncomp:
                 raise ValueError(
@@ -744,12 +849,20 @@ def pdf_images(payload: bytes) -> list[dict[str, Any]]:
     return out
 
 
-def _unpredict(data: bytes, head: bytes, row_bytes: int) -> bytes:
-    """Undo a ``/DecodeParms`` predictor on an inflated xref stream.
+def _unpredict(
+    data: bytes, head: bytes, row_bytes: int | None = None
+) -> bytes:
+    """Undo a ``/DecodeParms`` predictor (xref streams, images).
     Predictors 10–15 are the PNG row filters — applied with the SAME
     unfilter kernel the PNG codec uses (media_codecs._unfilter_lines;
     the predictor prefixes each row with a PNG filter-type byte).
-    Predictor 2 is TIFF horizontal differencing; 1/absent is none."""
+    Predictor 2 is TIFF horizontal differencing; 1/absent is none.
+
+    The row stride is ``ceil(Columns·Colors·BitsPerComponent / 8)``
+    bytes — /Columns counts SAMPLES, not bytes (§7.4.4.4 Table 10);
+    the two coincide only at the xref-stream defaults Colors=1 bpc=8.
+    ``row_bytes``, when given, is the caller's independent width
+    expectation and is validated against the derived stride."""
     pm = re.search(rb"/Predictor\s+(\d+)", head)
     pred = int(pm.group(1)) if pm else 1
     if pred == 1:
@@ -761,14 +874,15 @@ def _unpredict(data: bytes, head: bytes, row_bytes: int) -> bytes:
     colors = int(colm.group(1)) if colm else 1
     bpc = int(bpcm.group(1)) if bpcm else 8
     bpp = max(1, colors * bpc // 8)
-    if columns != row_bytes:
+    stride = (columns * colors * bpc + 7) // 8
+    if row_bytes is not None and stride != row_bytes:
         raise ValueError(
-            f"/Columns {columns} != xref row width {row_bytes}"
+            f"predictor stride {stride} != expected row width {row_bytes}"
         )
     if pred == 2:  # TIFF horizontal differencing
         out = bytearray(data)
-        for r0 in range(0, len(out), columns):
-            for i in range(bpp, min(columns, len(out) - r0)):
+        for r0 in range(0, len(out), stride):
+            for i in range(bpp, min(stride, len(out) - r0)):
                 out[r0 + i] = (out[r0 + i] + out[r0 + i - bpp]) & 0xFF
         return bytes(out)
     if 10 <= pred <= 15:
@@ -776,10 +890,10 @@ def _unpredict(data: bytes, head: bytes, row_bytes: int) -> bytes:
             _unfilter_lines,
         )
 
-        h = len(data) // (columns + 1)
-        rows, endpos = _unfilter_lines(data, 0, h, columns, bpp)
+        h = len(data) // (stride + 1)
+        rows, endpos = _unfilter_lines(data, 0, h, stride, bpp)
         if endpos != len(data):
-            raise ValueError("xref predictor data length mismatch")
+            raise ValueError("predictor data length mismatch")
         return rows.astype("uint8").tobytes()
     raise NotImplementedError(f"predictor {pred}")
 
@@ -1169,9 +1283,13 @@ def build_pdf_encrypted(
     length_bits: int = 128,
     aes: bool = False,
     compress: bool = True,
+    page_images: list[list[Any]] | None = None,
 ) -> bytes:
     """Fixture writer: the :func:`build_pdf` layout with standard-
-    security-handler encryption applied to every content stream —
+    security-handler encryption applied to every content stream (and
+    every image XObject stream — ``page_images`` takes the same specs
+    as :func:`build_pdf`, and the image bodies encrypt with their own
+    per-object keys exactly like content streams, §7.6.2) —
     RC4-40 (v=1, r=2, 40 bits), RC4-128 (v=2, r=3), AES-128 (v=4,
     r=4, ``aes=True`` → /StdCF /AESV2), or AES-256 (v=5 with r=6, or
     the deprecated r=5 → /StdCF /AESV3, §7.6.4 with /UE /OE /Perms).
@@ -1229,22 +1347,60 @@ def build_pdf_encrypted(
     objects.append(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
-    for k, segs in enumerate(pages):
-        objects.append(
-            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 3 0 R >> >> "
-            b"/Contents %d 0 R >>" % (5 + 2 * k)
-        )
-        raw = _content_for(segs)
-        data = zlib.compress(raw) if compress else raw
-        onum = 5 + 2 * k
+    def _enc(data: bytes, onum: int) -> bytes:
         iv = hashlib.md5(b"iv" + onum.to_bytes(3, "little")).digest()
-        data = encrypt_bytes(
+        return encrypt_bytes(
             data,
             key if v == 5 else object_key(key, onum, 0, aes=aes),
             aes=aes,
             iv=iv,
         )
+
+    # image XObjects go AFTER the encrypt dict: enc_num+1, enc_num+2, …
+    img_objs: list[bytes] = []
+    page_xobjs: list[list[tuple[bytes, int]]] = [[] for _ in range(n_pages)]
+    if page_images:
+        for k, imgs in enumerate(page_images):
+            for j, spec in enumerate(imgs or []):
+                onum = enc_num + 1 + len(img_objs)
+                if spec[0] == "dct":
+                    _, jpg, iw, ih, ncomp = spec
+                    cs = b"/DeviceRGB" if ncomp == 3 else b"/DeviceGray"
+                    data = _enc(jpg, onum)
+                    flt = b"/DCTDecode"
+                elif spec[0] == "flate":
+                    px = spec[1]
+                    ih, iw = px.shape[:2]
+                    ncomp = 1 if px.ndim == 2 else px.shape[2]
+                    cs = b"/DeviceRGB" if ncomp == 3 else b"/DeviceGray"
+                    data = _enc(zlib.compress(px.tobytes()), onum)
+                    flt = b"/FlateDecode"
+                else:
+                    raise ValueError(f"unknown image spec {spec[0]!r}")
+                head = (
+                    b"<< /Type /XObject /Subtype /Image"
+                    b" /Width %d /Height %d /ColorSpace %s"
+                    b" /BitsPerComponent 8 /Filter %s"
+                    b" /Length %d >>" % (iw, ih, cs, flt, len(data))
+                )
+                page_xobjs[k].append((b"/Im%d_%d" % (k, j), onum))
+                img_objs.append(head + b"\nstream\n" + data + b"\nendstream")
+    for k, segs in enumerate(pages):
+        res = b"/Font << /F1 3 0 R >>"
+        if page_xobjs[k]:
+            res += b" /XObject << " + b" ".join(
+                b"%s %d 0 R" % (nm, on) for nm, on in page_xobjs[k]
+            ) + b" >>"
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << " + res + b" >> "
+            b"/Contents %d 0 R >>" % (5 + 2 * k)
+        )
+        raw = _content_for(segs)
+        for nm, _on in page_xobjs[k]:
+            raw += b"\nq 100 0 0 100 50 400 cm %s Do Q" % nm
+        data = zlib.compress(raw) if compress else raw
+        data = _enc(data, 5 + 2 * k)
         head = (
             b"<< /Filter /FlateDecode /Length %d >>" % len(data)
             if compress
@@ -1275,6 +1431,7 @@ def build_pdf_encrypted(
         + v5
         + b"/P %d >>" % p
     )
+    objects += img_objs
 
     buf = bytearray(b"%%PDF-1.%d\n" % (6 if v == 4 else 4))
     offsets = [0]

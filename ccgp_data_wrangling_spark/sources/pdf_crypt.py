@@ -240,37 +240,108 @@ def _encrypt_block(block: bytes, w) -> bytes:
     )
 
 
-def _decrypt_block(block: bytes, w: list[list[int]]) -> bytes:
-    nr = len(w) // 4 - 1
-    s = list(block)
-    _add_round_key(s, w, nr)
-    for rnd in range(nr - 1, -1, -1):
-        # InvShiftRows
-        s = [s[(4 * ((c - r) % 4)) + r] for c in range(4) for r in range(4)]
-        s = [_ISBOX[b] for b in s]
-        _add_round_key(s, w, rnd)
-        if rnd > 0:
-            t = [0] * 16
-            for c in range(4):
-                a = s[4 * c : 4 * c + 4]
-                t[4 * c + 0] = (
-                    _gmul(a[0], 14) ^ _gmul(a[1], 11)
-                    ^ _gmul(a[2], 13) ^ _gmul(a[3], 9)
-                )
-                t[4 * c + 1] = (
-                    _gmul(a[0], 9) ^ _gmul(a[1], 14)
-                    ^ _gmul(a[2], 11) ^ _gmul(a[3], 13)
-                )
-                t[4 * c + 2] = (
-                    _gmul(a[0], 13) ^ _gmul(a[1], 9)
-                    ^ _gmul(a[2], 14) ^ _gmul(a[3], 11)
-                )
-                t[4 * c + 3] = (
-                    _gmul(a[0], 11) ^ _gmul(a[1], 13)
-                    ^ _gmul(a[2], 9) ^ _gmul(a[3], 14)
-                )
-            s = t
-    return bytes(s)
+def _build_inv_ttables() -> list[list[int]]:
+    # Td0[x] combines InvSubBytes + InvMixColumns for the equivalent
+    # inverse cipher (FIPS-197 §5.3.5): one table lookup per byte per
+    # round instead of four _gmul() GF multiplications
+    td0 = []
+    for x in range(256):
+        e = _ISBOX[x]
+        td0.append(
+            (_gmul(e, 14) << 24) | (_gmul(e, 9) << 16)
+            | (_gmul(e, 13) << 8) | _gmul(e, 11)
+        )
+    tds = [td0]
+    for _ in range(3):
+        prev = tds[-1]
+        tds.append([((v >> 8) | ((v & 0xFF) << 24)) for v in prev])
+    return tds
+
+
+_TD0, _TD1, _TD2, _TD3 = _build_inv_ttables()
+
+
+def _imc_word(v: int) -> int:
+    b0, b1, b2, b3 = (v >> 24) & 255, (v >> 16) & 255, (v >> 8) & 255, v & 255
+    return (
+        ((_gmul(b0, 14) ^ _gmul(b1, 11) ^ _gmul(b2, 13) ^ _gmul(b3, 9)) << 24)
+        | ((_gmul(b0, 9) ^ _gmul(b1, 14) ^ _gmul(b2, 11) ^ _gmul(b3, 13)) << 16)
+        | ((_gmul(b0, 13) ^ _gmul(b1, 9) ^ _gmul(b2, 14) ^ _gmul(b3, 11)) << 8)
+        | (_gmul(b0, 11) ^ _gmul(b1, 13) ^ _gmul(b2, 9) ^ _gmul(b3, 14))
+    )
+
+
+def _dec_key_words(w) -> list[int]:
+    """Decryption key schedule for the equivalent inverse cipher
+    (FIPS-197 §5.3.5): round keys in reverse block order, with
+    InvMixColumns folded into the middle rounds. Hot paths derive
+    this once per key and pass the int list to _decrypt_block."""
+    kw = _key_words(w) if w and not isinstance(w[0], int) else w
+    nr = len(kw) // 4 - 1
+    dw: list[int] = []
+    for r in range(nr + 1):
+        src = kw[4 * (nr - r) : 4 * (nr - r) + 4]
+        if 0 < r < nr:
+            src = [_imc_word(x) for x in src]
+        dw += src
+    return dw
+
+
+def _decrypt_block(block: bytes, w, *, sched: bool = False) -> bytes:
+    """AES inverse cipher via the equivalent-inverse-cipher T-tables
+    (mirrors _encrypt_block's structure; InvShiftRows rotates the
+    OTHER way, so the byte-source pattern is a3/a2/a1 where the
+    forward cipher reads a1/a2/a3). ``w`` is the byte-list schedule
+    from :func:`_expand_key` — or, when ``sched=True``, a
+    pre-computed :func:`_dec_key_words` list (once per key on hot
+    paths)."""
+    dw = w if sched else _dec_key_words(w)
+    nr = len(dw) // 4 - 1
+    a0 = int.from_bytes(block[0:4], "big") ^ dw[0]
+    a1 = int.from_bytes(block[4:8], "big") ^ dw[1]
+    a2 = int.from_bytes(block[8:12], "big") ^ dw[2]
+    a3 = int.from_bytes(block[12:16], "big") ^ dw[3]
+    for rnd in range(1, nr):
+        k = 4 * rnd
+        b0 = (
+            _TD0[(a0 >> 24) & 255] ^ _TD1[(a3 >> 16) & 255]
+            ^ _TD2[(a2 >> 8) & 255] ^ _TD3[a1 & 255] ^ dw[k]
+        )
+        b1 = (
+            _TD0[(a1 >> 24) & 255] ^ _TD1[(a0 >> 16) & 255]
+            ^ _TD2[(a3 >> 8) & 255] ^ _TD3[a2 & 255] ^ dw[k + 1]
+        )
+        b2 = (
+            _TD0[(a2 >> 24) & 255] ^ _TD1[(a1 >> 16) & 255]
+            ^ _TD2[(a0 >> 8) & 255] ^ _TD3[a3 & 255] ^ dw[k + 2]
+        )
+        b3 = (
+            _TD0[(a3 >> 24) & 255] ^ _TD1[(a2 >> 16) & 255]
+            ^ _TD2[(a1 >> 8) & 255] ^ _TD3[a0 & 255] ^ dw[k + 3]
+        )
+        a0, a1, a2, a3 = b0, b1, b2, b3
+    k = 4 * nr
+    isb = _ISBOX
+    c0 = (
+        (isb[(a0 >> 24) & 255] << 24) | (isb[(a3 >> 16) & 255] << 16)
+        | (isb[(a2 >> 8) & 255] << 8) | isb[a1 & 255]
+    ) ^ dw[k]
+    c1 = (
+        (isb[(a1 >> 24) & 255] << 24) | (isb[(a0 >> 16) & 255] << 16)
+        | (isb[(a3 >> 8) & 255] << 8) | isb[a2 & 255]
+    ) ^ dw[k + 1]
+    c2 = (
+        (isb[(a2 >> 24) & 255] << 24) | (isb[(a1 >> 16) & 255] << 16)
+        | (isb[(a0 >> 8) & 255] << 8) | isb[a3 & 255]
+    ) ^ dw[k + 2]
+    c3 = (
+        (isb[(a3 >> 24) & 255] << 24) | (isb[(a2 >> 16) & 255] << 16)
+        | (isb[(a1 >> 8) & 255] << 8) | isb[a0 & 255]
+    ) ^ dw[k + 3]
+    return (
+        c0.to_bytes(4, "big") + c1.to_bytes(4, "big")
+        + c2.to_bytes(4, "big") + c3.to_bytes(4, "big")
+    )
 
 
 def _cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
@@ -291,12 +362,14 @@ def _cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
 def _cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
     if len(data) % 16:
         raise ValueError("unpadded CBC needs a block multiple")
-    w = _expand_key(key)
+    dw = _dec_key_words(_expand_key(key))
     out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
         blk = data[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, w), prev))
+        out += bytes(
+            a ^ b for a, b in zip(_decrypt_block(blk, dw, sched=True), prev)
+        )
         prev = blk
     return bytes(out)
 
@@ -336,12 +409,14 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     keys (AESV2 / AESV3 share the wire format)."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("AES-CBC payload must be iv + k·16 bytes")
-    w = _expand_key(key)
+    dw = _dec_key_words(_expand_key(key))
     prev = data[:16]
     out = bytearray()
     for i in range(16, len(data), 16):
         blk = data[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, w), prev))
+        out += bytes(
+            a ^ b for a, b in zip(_decrypt_block(blk, dw, sched=True), prev)
+        )
         prev = blk
     padn = out[-1]
     if not 1 <= padn <= 16 or out[-padn:] != bytes([padn]) * padn:

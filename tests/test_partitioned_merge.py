@@ -263,3 +263,90 @@ def test_failed_swap_rolls_back_every_partition(spark, tmp_path, monkeypatch):
     t.upsert(src)
     after = dict(((r[0], r[1]), r[2]) for r in t.read().select("p", "k", "v").collect())
     assert after[(0, 0)] == -10.0 and after[(1, 0)] == -11.0 and after[(2, 0)] == -12.0
+
+
+def test_boolean_partition_value_swaps_leaf(spark, tmp_path):
+    """Spark renders a boolean partition value into the path as
+    'true'/'false'; Python str() says 'True'/'False'. The canonical
+    matching layer must meet Spark's rendering, or the upsert
+    silently no-ops for the partition (the pre-fix failure mode)."""
+    t = PartitionedParquetTable(
+        spark, str(tmp_path / "boolpart"), ["flag", "k"], "flag",
+        partition_type="boolean",
+    )
+    t.init(
+        spark.createDataFrame(
+            [(True, 1, 1.0), (False, 1, 2.0)], "flag boolean, k int, v double"
+        )
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(True, 1, -9.0)], "flag boolean, k int, v double"
+        )
+    )
+    got = {(r["flag"], r["k"]): r["v"] for r in t.read().collect()}
+    assert got[(True, 1)] == -9.0  # the update actually landed
+    assert got[(False, 1)] == 2.0  # untouched partition intact
+    # and the leaf on disk is Spark's rendering, not Python's
+    assert os.path.isdir(os.path.join(t.path, "flag=true"))
+
+
+def test_timestamp_partition_fraction_rendering(spark, tmp_path):
+    """A timestamp partition with a fractional second whose
+    microseconds end in zeros: Spark's path rendering trims trailing
+    zeros ('…00.123'), Python str() pads to six digits ('…00.123000').
+    The canon layer must trim the same way for the leaf swap to hit."""
+    import datetime as _dt
+
+    ts_a = _dt.datetime(2024, 1, 1, 10, 0, 0, 123000)
+    ts_b = _dt.datetime(2024, 1, 2, 11, 0, 0)
+    t = PartitionedParquetTable(
+        spark, str(tmp_path / "tspart"), ["ts", "k"], "ts",
+        partition_type="timestamp",
+    )
+    t.init(
+        spark.createDataFrame(
+            [(ts_a, 1, 1.0), (ts_b, 1, 2.0)], "ts timestamp, k int, v double"
+        )
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(ts_a, 1, -9.0), (ts_a, 2, -8.0)],
+            "ts timestamp, k int, v double",
+        )
+    )
+    got = {(r["ts"], r["k"]): r["v"] for r in t.read().collect()}
+    assert got[(ts_a, 1)] == -9.0 and got[(ts_a, 2)] == -8.0
+    assert got[(ts_b, 1)] == 2.0
+
+
+def test_partitioned_schema_evolution_escaped_leaf(spark, tmp_path):
+    """Schema evolution (a set_col the target has never seen) under a
+    PartitionedParquetTable whose partition values Spark %-escapes:
+    the new column lands, pre-existing rows get NULL, and the
+    escaped/untouched leaves survive the swap byte-identical."""
+    t = PartitionedParquetTable(
+        spark, str(tmp_path / "evo"), ["p", "k"], "p",
+        partition_type="string",
+    )
+    t.init(
+        spark.createDataFrame(
+            [("a:b", 1, 1.0), ("plain", 1, 2.0), ("c=d e", 1, 3.0)],
+            "p string, k int, v double",
+        )
+    )
+    before = _files(os.path.join(t.path, "p=plain"))
+    t.upsert(
+        spark.createDataFrame(
+            [("a:b", 1, -1.0, "new"), ("c=d e", 2, -3.0, "also")],
+            "p string, k int, v double, extra string",
+        )
+    )
+    rows = {(r["p"], r["k"]): (r["v"], r["extra"]) for r in t.read().collect()}
+    assert rows[("a:b", 1)] == (-1.0, "new")  # matched → updated + evolved
+    assert rows[("c=d e", 2)] == (-3.0, "also")  # inserted with new col
+    assert rows[("c=d e", 1)] == (3.0, None)  # same-partition old row: NULL
+    assert rows[("plain", 1)] == (2.0, None)  # untouched partition: NULL
+    # untouched leaf not rewritten (merge cost ∝ update footprint) —
+    # the read-side union supplies the NULL, not a rewrite
+    assert _files(os.path.join(t.path, "p=plain")) == before

@@ -493,8 +493,9 @@ def test_pdf_images_extraction():
     ]
     got = pdf_images(bytes(a85))
     assert got[0]["codec"] == "jpeg" and got[0]["luma_mean"] == 77.0
-    # honest gates
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    # encrypted documents need the password (ValueError, not a gate —
+    # decrypt-and-extract now composes; see test_pdf_images_encrypted)
+    with pytest.raises(ValueError, match="invalid PDF password"):
         pdf_images(build_pdf_encrypted([["s"]], user_pw=b"x"))
     bad = bytearray(blob)
     m = bad.find(b"/Width 24")
@@ -516,3 +517,114 @@ def test_pdf_images_extraction():
     bp[m : m + 19] = b"/BitsPerComponent 4"
     with pytest.raises(NotImplementedError, match="4-bit"):
         pdf_images(bytes(bp))
+
+
+def test_pdf_decodeparms_positional():
+    """§7.3.8.2: /DecodeParms pairs POSITIONALLY with the /Filter
+    array — the predictor undo runs exactly once, at the filter whose
+    entry declares it, not after every decompression filter (the
+    whole-head-regex failure mode), and LZW /EarlyChange is read from
+    the LZW filter's own entry."""
+    import base64
+    import zlib
+
+    import pytest
+
+    from ccgp_data_wrangling_spark.sources.pdf import (
+        _decode_parms,
+        _decode_stream_filters,
+    )
+
+    raw = bytes(range(256)) + b"tail-data"
+    # transport + compression: predictor declared on the FLATE entry,
+    # null on the transport entry
+    pred = b"\x00" + raw  # one PNG filter-type-0 row, Columns = len(raw)
+    wrapped = base64.a85encode(zlib.compress(pred)) + b"~>"
+    head = (
+        b"<< /Filter [/ASCII85Decode /FlateDecode] /DecodeParms "
+        b"[null << /Predictor 12 /Columns %d >>] >>" % len(raw)
+    )
+    assert _decode_stream_filters(head, wrapped) == raw
+    assert _decode_parms(head, 2)[0] == b""
+
+    # double-decompression chain: the predictor belongs to decode step
+    # ONE only; un-predicting again after step two (the old behavior)
+    # corrupts the output or errors on row shape
+    y = zlib.compress(raw)
+    stored = zlib.compress(b"\x00" + y)
+    head2 = (
+        b"<< /Filter [/FlateDecode /FlateDecode] /DecodeParms "
+        b"[<< /Predictor 12 /Columns %d >> null] >>" % len(y)
+    )
+    assert _decode_stream_filters(head2, stored) == raw
+
+    # a single /DecodeParms dict against a /Filter ARRAY is ambiguous
+    with pytest.raises(ValueError, match="single /DecodeParms dict"):
+        _decode_stream_filters(
+            b"<< /Filter [/FlateDecode /FlateDecode] /DecodeParms "
+            b"<< /Predictor 12 /Columns 5 >> >>",
+            stored,
+        )
+
+    # nested dict inside a parms entry scans balanced
+    parms = _decode_parms(
+        b"/Filter [/FlateDecode] /DecodeParms [<< /A << /B 1 >> /C 2 >>]", 1
+    )
+    assert parms == [b"<< /A << /B 1 >> /C 2 >>"]
+
+    # single filter + single dict still pairs up
+    one = zlib.compress(b"\x00" + raw)
+    head3 = (
+        b"<< /Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 12 /Columns %d >> >>" % len(raw)
+    )
+    assert _decode_stream_filters(head3, one) == raw
+
+
+def test_pdf_images_encrypted():
+    """Encrypted-image extraction: image XObject streams decrypt with
+    the same per-object keys as content streams (§7.6.2) across the
+    cipher matrix — RC4-40, RC4-128, AES-128 and AES-256 R6 — and the
+    decoded pixels are byte-identical to the unencrypted document's."""
+    import numpy as np
+    import pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        encode_jpeg,
+    )
+    from ccgp_data_wrangling_spark.sources.pdf import (
+        build_pdf_encrypted,
+        extract_pdf_pages,
+        pdf_images,
+    )
+
+    gray = np.full((8, 12), 130, np.uint8)
+    jpg = encode_jpeg(gray)
+    rgb = np.zeros((5, 7, 3), np.uint8)
+    rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2] = 10, 20, 200
+    imgs = [[("dct", jpg, 12, 8, 1)], [("flate", rgb)]]
+    expect = [
+        ("jpeg", 12, 8, 1, 130.0),
+        ("raw", 7, 5, 3, round(10 * 0.299 + 20 * 0.587 + 200 * 0.114, 4)),
+    ]
+    for kw in (
+        dict(v=1),                      # RC4-40
+        dict(v=2, r=3),                 # RC4-128
+        dict(v=4, r=4, aes=True),       # AES-128
+        dict(v=5, r=6),                 # AES-256
+    ):
+        blob = build_pdf_encrypted(
+            [["img page A"], ["img page B"]],
+            user_pw=b"sekrit", page_images=imgs, **kw,
+        )
+        got = pdf_images(blob, password=b"sekrit")
+        assert [
+            (g["codec"], g["width"], g["height"], g["n_channels"],
+             g["luma_mean"]) for g in got
+        ] == expect, kw
+        # text path still opens the same document (shared _CryptState)
+        assert extract_pdf_pages(blob, password=b"sekrit") == [
+            "img page A", "img page B",
+        ]
+        with pytest.raises(ValueError, match="invalid PDF password"):
+            pdf_images(blob, password=b"wrong")
