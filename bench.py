@@ -160,6 +160,9 @@ HEADLINE = [
     "multimodal_mp3_layer3_spectrum",
     # r9 additions
     "pdf_encrypted_image_extract",
+    "pdf_g4_image_extract",
+    "multimodal_mp3_stereo_spectrum",
+    "multimodal_mp3_shortblock_spectrum",
 ]
 
 

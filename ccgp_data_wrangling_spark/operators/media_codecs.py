@@ -502,11 +502,15 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
     the same structure the EXIF layer walks, strip layout, 8- or
     16-bit (file byte order) grayscale (PhotometricInterpretation 1)
     or RGB (2). Compression
-    1 (none), 5 (LZW, §7, with Predictor 2 horizontal differencing,
+    1 (none), 4 (CCITT Group 4 — T.6 MMR over bilevel strips, TIFF
+    6.0 §11; the dominant compression in scanned-document archives),
+    5 (LZW, §7, with Predictor 2 horizontal differencing,
     §14), 8/32946 (Deflate — zlib streams per strip, TIFF TechNote 2;
     32946 is the pre-standard code some writers still emit) and 32773
     (PackBits, §9) — the layouts scanned-document corpora actually
-    carry; other compressions raise honestly."""
+    carry; other compressions raise honestly. G4 bilevel pixels
+    surface as 0/255 grayscale (white = 255) whatever the
+    PhotometricInterpretation (0 or 1), so luma reads as brightness."""
     from ccgp_data_wrangling_spark.operators.exif import _read_ifd
 
     order = payload[:2]
@@ -537,7 +541,7 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
         ]
 
     comp = num(0x0103, 1)
-    if comp not in (1, 5, 8, 32773, 32946):
+    if comp not in (1, 4, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {comp}")
     predictor = num(0x013D, 1)
     if predictor not in (1, 2):
@@ -545,18 +549,48 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
     w, h = num(0x0100), num(0x0101)
     photo = num(0x0106)
     spp = num(0x0115, 1)
-    if photo not in (1, 2) or spp not in (1, 3):
+    if comp == 4:
+        if photo not in (0, 1) or spp != 1:
+            raise NotImplementedError(
+                f"TIFF G4 photometric {photo} / {spp} samples"
+            )
+    elif photo not in (1, 2) or spp not in (1, 3):
         raise NotImplementedError(
             f"TIFF photometric {photo} / {spp} samples"
         )
-    bits = nums(0x0102) if 0x0102 in ifd else [8]
+    bits = nums(0x0102) if 0x0102 in ifd else [8 if comp != 4 else 1]
     depth = bits[0]
-    if depth not in (8, 16) or any(b != depth for b in bits):
+    if comp == 4:
+        if depth != 1 or len(bits) != 1:
+            raise NotImplementedError(f"{bits}-bit TIFF G4 samples")
+    elif depth not in (8, 16) or any(b != depth for b in bits):
         raise NotImplementedError(f"{bits}-bit TIFF samples")
     offsets, counts = nums(0x0111), nums(0x0117)
     strips = [payload[o : o + c] for o, c in zip(offsets, counts)]
     if any(len(s) != c for s, c in zip(strips, nums(0x0117))):
         raise ValueError("TIFF strip byte range escapes the file")
+    if comp == 4:
+        # each strip is an independent T.6 block (all-white reference
+        # at strip start, TIFF 6.0 §11); surface bilevel as 0/255 gray
+        rps = num(0x0116, h)
+        parts = []
+        for si, s in enumerate(strips):
+            rows_here = min(rps, h - si * rps)
+            parts.append(decode_ccitt_g4(s, w, rows_here))
+        black = np.concatenate(parts, axis=0)
+        px = np.where(black, 0, 255).astype(np.uint8)[:, :, None]
+        mean = float(px.astype(np.float64).mean())
+        return {
+            "kind": "image",
+            "width": w,
+            "height": h,
+            "n_channels": 1,
+            "bit_depth": 1,
+            "compression": comp,
+            "predictor": 1,
+            "channel_means": [round(mean, 4)],
+            "luma_mean": round(mean, 4),
+        }
     if comp == 5:
         strips = [_tiff_lzw_decode(s) for s in strips]
     elif comp in (8, 32946):
@@ -611,10 +645,34 @@ def encode_tiff(
 ) -> bytes:
     """Fixture writer: 8-bit grayscale/RGB TIFF (multi-strip when
     ``rows_per_strip`` is set) in either byte order; ``compression``
-    in {"none", "lzw", "deflate", "packbits"}, with TIFF Predictor 2
-    (horizontal differencing) available under LZW/Deflate as real
-    scanner output carries it. A uint16 input writes 16-bit samples
-    in the file's byte order (archival/scientific scans)."""
+    in {"none", "lzw", "deflate", "packbits", "g4"}, with TIFF
+    Predictor 2 (horizontal differencing) available under LZW/Deflate
+    as real scanner output carries it. A uint16 input writes 16-bit
+    samples in the file's byte order (archival/scientific scans).
+    ``"g4"`` takes a 2-D BOOLEAN black-mask and writes bilevel CCITT
+    Group 4 strips (BitsPerSample 1, PhotometricInterpretation 0 —
+    WhiteIsZero, the fax convention; each strip an independent T.6
+    block per TIFF 6.0 §11)."""
+    if compression == "g4":
+        if px.ndim != 2 or px.dtype != np.bool_:
+            raise ValueError("g4 compression needs a 2-D boolean mask")
+        h, w = px.shape
+        spp, depth, comp_tag, photo = 1, 1, 4, 0
+        bo = "little" if byte_order == "II" else "big"
+        rps = rows_per_strip or h
+        strips = [
+            encode_ccitt_g4(px[r : r + rps]) for r in range(0, h, rps)
+        ]
+        tags = [
+            (0x0100, 4, [w]),
+            (0x0101, 4, [h]),
+            (0x0102, 3, [1]),
+            (0x0103, 3, [4]),
+            (0x0106, 3, [0]),  # WhiteIsZero
+            (0x0115, 3, [1]),
+            (0x0116, 4, [rps]),
+        ]
+        return _tiff_container(byte_order, bo, strips, tags)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, spp = px.shape
@@ -657,6 +715,14 @@ def encode_tiff(
     ]
     if predictor == 2:
         tags.append((0x013D, 3, [2]))  # Predictor: horizontal diff
+    return _tiff_container(byte_order, bo, strips, tags)
+
+
+def _tiff_container(
+    byte_order: str, bo: str, strips: list[bytes], tags: list[tuple]
+) -> bytes:
+    """Serialize header + IFD + value heap + strip data (shared by
+    the grayscale/RGB and the G4 bilevel writers)."""
     n_entries = len(tags) + 2  # + StripOffsets + StripByteCounts
     ifd_off = 8
     ifd_size = 2 + 12 * n_entries + 4
@@ -750,6 +816,309 @@ def _packbits_encode(data: bytes) -> bytes:
             i += 1
         out += bytes([i - lit - 1]) + data[lit:i]
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# CCITT Group 4 (ITU-T T.6 MMR) — the compression scanned-document
+# corpora actually carry: bitonal fax coding, 2-D only, no EOLs. Each
+# row is coded against the reference row above (imaginary all-white
+# first reference) with pass / horizontal / vertical modes; the
+# horizontal-mode run lengths use the T.4 modified-Huffman tables
+# (terminating 0-63 + makeup 64-1728 per colour + shared extended
+# makeup 1792-2560). Public specs: ITU-T T.6 §2, T.4 §4.2 tables 2/3.
+# Used by TIFF Compression=4 (TIFF 6.0 §11) and PDF /CCITTFaxDecode
+# with /K < 0 (ISO 32000 §7.4.6).
+# ---------------------------------------------------------------------------
+
+# T.4 table 2: white run lengths → codes (terminating + makeup)
+_T4_WHITE = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    5: "1100", 6: "1110", 7: "1111", 8: "10011", 9: "10100",
+    10: "00111", 11: "01000", 12: "001000", 13: "000011",
+    14: "110100", 15: "110101", 16: "101010", 17: "101011",
+    18: "0100111", 19: "0001100", 20: "0001000", 21: "0010111",
+    22: "0000011", 23: "0000100", 24: "0101000", 25: "0101011",
+    26: "0010011", 27: "0100100", 28: "0011000", 29: "00000010",
+    30: "00000011", 31: "00011010", 32: "00011011", 33: "00010010",
+    34: "00010011", 35: "00010100", 36: "00010101", 37: "00010110",
+    38: "00010111", 39: "00101000", 40: "00101001", 41: "00101010",
+    42: "00101011", 43: "00101100", 44: "00101101", 45: "00000100",
+    46: "00000101", 47: "00001010", 48: "00001011", 49: "01010010",
+    50: "01010011", 51: "01010100", 52: "01010101", 53: "00100100",
+    54: "00100101", 55: "01011000", 56: "01011001", 57: "01011010",
+    58: "01011011", 59: "01001010", 60: "01001011", 61: "00110010",
+    62: "00110011", 63: "00110100",
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100",
+    512: "01100101", 576: "01101000", 640: "01100111",
+    704: "011001100", 768: "011001101", 832: "011010010",
+    896: "011010011", 960: "011010100", 1024: "011010101",
+    1088: "011010110", 1152: "011010111", 1216: "011011000",
+    1280: "011011001", 1344: "011011010", 1408: "011011011",
+    1472: "010011000", 1536: "010011001", 1600: "010011010",
+    1664: "011000", 1728: "010011011",
+}
+
+# T.4 table 3: black run lengths → codes
+_T4_BLACK = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011",
+    5: "0011", 6: "0010", 7: "00011", 8: "000101", 9: "000100",
+    10: "0000100", 11: "0000101", 12: "0000111", 13: "00000100",
+    14: "00000111", 15: "000011000", 16: "0000010111",
+    17: "0000011000", 18: "0000001000", 19: "00001100111",
+    20: "00001101000", 21: "00001101100", 22: "00000110111",
+    23: "00000101000", 24: "00000010111", 25: "00000011000",
+    26: "000011001010", 27: "000011001011", 28: "000011001100",
+    29: "000011001101", 30: "000001101000", 31: "000001101001",
+    32: "000001101010", 33: "000001101011", 34: "000011010010",
+    35: "000011010011", 36: "000011010100", 37: "000011010101",
+    38: "000011010110", 39: "000011010111", 40: "000001101100",
+    41: "000001101101", 42: "000011011010", 43: "000011011011",
+    44: "000001010100", 45: "000001010101", 46: "000001010110",
+    47: "000001010111", 48: "000001100100", 49: "000001100101",
+    50: "000001010010", 51: "000001010011", 52: "000000100100",
+    53: "000000110111", 54: "000000111000", 55: "000000100111",
+    56: "000000101000", 57: "000001011000", 58: "000001011001",
+    59: "000000101011", 60: "000000101100", 61: "000001011010",
+    62: "000001100110", 63: "000001100111",
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+
+# T.4 table 3 continuation: extended makeup codes, common to both
+# colours (1792-2560)
+_T4_EXT = {
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+
+
+def _t4_decode_maps() -> tuple[dict, dict]:
+    """(code-bitstring → run) maps per colour, extended makeups in
+    both. Prefix-freeness is asserted once at build (a transcription
+    typo that collides two codes fails loudly at import, not by
+    decoding garbage)."""
+    out = []
+    for table in (_T4_WHITE, _T4_BLACK):
+        m = {code: run for run, code in table.items()}
+        for run, code in _T4_EXT.items():
+            m[code] = run
+        if len(m) != len(table) + len(_T4_EXT):
+            raise AssertionError("duplicate T.4 code")
+        codes = sorted(m)
+        for i in range(len(codes) - 1):
+            if codes[i + 1].startswith(codes[i]):
+                raise AssertionError(f"T.4 code {codes[i]} prefixes another")
+        out.append(m)
+    return out[0], out[1]
+
+
+_T4_DEC_WHITE, _T4_DEC_BLACK = _t4_decode_maps()
+_T4_MAX_CODE_LEN = 14
+
+
+class _MsbBitWriter:
+    """MSB-first bitstring accumulator for the T.6 encoder (the JPEG
+    _BitWriter below is (value, length)-oriented; this one takes the
+    T.4 code strings directly)."""
+
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, bits: str) -> None:
+        for b in bits:
+            self.acc = (self.acc << 1) | (b == "1")
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc << (8 - self.nbits))
+        return bytes(self.buf)
+
+
+def _t4_emit_run(w: _MsbBitWriter, run: int, black: bool) -> None:
+    table = _T4_BLACK if black else _T4_WHITE
+    while run >= 2624:  # chains of max makeups for very long runs
+        w.write(_T4_EXT[2560])
+        run -= 2560
+    if run >= 64:
+        mk = run - run % 64  # largest makeup multiple ≤ run (≤ 2560 here)
+        w.write(table[mk] if mk <= 1728 else _T4_EXT[mk])
+        run -= mk
+    w.write(table[run])
+
+
+def _row_changes(row) -> list[int]:
+    """Positions i where pixel[i] != pixel[i-1] (pixel[-1] = white).
+    ``row`` is a boolean sequence, True = black. Changes alternate
+    colours starting with white→black."""
+    changes = []
+    prev = False
+    for i, v in enumerate(row):
+        if v != prev:
+            changes.append(i)
+            prev = v
+    return changes
+
+
+def encode_ccitt_g4(black: "np.ndarray") -> bytes:
+    """T.6 MMR encoder over a (h, w) boolean black-mask, EOFB
+    terminated — the fixture writer for TIFF Compression=4 strips and
+    PDF /CCITTFaxDecode (/K -1) streams."""
+    h, w_px = black.shape
+    bw = _MsbBitWriter()
+    ref: list[int] = []  # imaginary all-white reference row
+    for y in range(h):
+        cur = _row_changes(black[y])
+        a0, color = -1, False  # start left of the row, white
+        while True:
+            # a1: first change after a0 (first change at all when a0<0)
+            a1 = next((c for c in cur if c > a0), w_px) if a0 >= 0 else (
+                cur[0] if cur else w_px
+            )
+            # b1: first change on ref past a0 with colour opposite the
+            # current colour — change parity: even index = →black
+            b1 = w_px
+            for idx, c in enumerate(ref):
+                if (c > a0 or (a0 < 0 and c >= 0)) and (idx % 2 == 0) != color:
+                    b1 = c
+                    break
+            b2 = next((c for c in ref if c > b1), w_px)
+            if b2 < a1:  # pass mode
+                bw.write("0001")
+                a0 = b2
+            elif abs(a1 - b1) <= 3:  # vertical mode
+                bw.write(
+                    {0: "1", 1: "011", 2: "000011", 3: "0000011",
+                     -1: "010", -2: "000010", -3: "0000010"}[a1 - b1]
+                )
+                a0, color = a1, not color
+            else:  # horizontal mode: two runs from a0
+                a2 = next((c for c in cur if c > a1), w_px)
+                start = a0 if a0 >= 0 else 0
+                bw.write("001")
+                _t4_emit_run(bw, a1 - start, color)
+                _t4_emit_run(bw, a2 - a1, not color)
+                a0 = a2
+            if a0 >= w_px:
+                break
+        ref = cur
+    bw.write("000000000001" * 2)  # EOFB
+    return bw.done()
+
+
+def decode_ccitt_g4(data: bytes, width: int, height: int) -> "np.ndarray":
+    """T.6 MMR decoder → (height, width) boolean black-mask. Stops
+    after ``height`` rows (EOFB optional — PDF /Rows and TIFF
+    RowsPerStrip both bound the block; trailing EOFB is consumed when
+    present). The 2-D extension escape (T.6 §2.2.4) gates honestly."""
+    bits = "".join(f"{byte:08b}" for byte in data)
+    pos = 0
+    n = len(bits)
+
+    def take_mode() -> str:
+        nonlocal pos
+        for code, mode in (
+            ("1", "v0"), ("011", "vr1"), ("010", "vl1"), ("001", "h"),
+            ("0001", "p"), ("000011", "vr2"), ("000010", "vl2"),
+            ("0000011", "vr3"), ("0000010", "vl3"),
+        ):
+            if bits.startswith(code, pos):
+                pos += len(code)
+                return mode
+        if bits.startswith("0000001", pos):
+            raise NotImplementedError("T.6 2-D extension code")
+        raise ValueError("unrecognized T.6 mode code")
+
+    def take_run(black: bool) -> int:
+        nonlocal pos
+        table = _T4_DEC_BLACK if black else _T4_DEC_WHITE
+        total = 0
+        while True:  # makeups accumulate until a terminating code
+            for ln in range(2, _T4_MAX_CODE_LEN + 1):
+                run = table.get(bits[pos : pos + ln])
+                if run is not None:
+                    pos += ln
+                    total += run
+                    if run < 64:
+                        return total
+                    break
+            else:
+                raise ValueError("unrecognized T.4 run-length code")
+
+    rows = np.zeros((height, width), bool)
+    ref: list[int] = []
+    for y in range(height):
+        cur: list[int] = []
+        a0, color = -1, False
+        while True:
+            mode = take_mode()
+            if mode == "p":
+                b1 = width
+                for idx, c in enumerate(ref):
+                    if (c > a0 or (a0 < 0 and c >= 0)) and (
+                        idx % 2 == 0
+                    ) != color:
+                        b1 = c
+                        break
+                b2 = next((c for c in ref if c > b1), width)
+                a0 = b2
+            elif mode == "h":
+                start = a0 if a0 >= 0 else 0
+                r1 = take_run(color)
+                r2 = take_run(not color)
+                a1 = start + r1
+                a2 = a1 + r2
+                cur.append(a1)
+                cur.append(a2)
+                a0 = a2
+            else:
+                d = {"v0": 0, "vr1": 1, "vr2": 2, "vr3": 3,
+                     "vl1": -1, "vl2": -2, "vl3": -3}[mode]
+                b1 = width
+                for idx, c in enumerate(ref):
+                    if (c > a0 or (a0 < 0 and c >= 0)) and (
+                        idx % 2 == 0
+                    ) != color:
+                        b1 = c
+                        break
+                a1 = b1 + d
+                cur.append(a1)
+                a0, color = a1, not color
+            if a0 >= width:
+                break
+        # trim the sentinel width-change pairs horizontal mode appends
+        cur = [c for c in cur if c < width]
+        run_start = None
+        for i, c in enumerate(cur):
+            if i % 2 == 0:
+                run_start = c
+            else:
+                rows[y, run_start:c] = True
+        if len(cur) % 2 == 1:
+            rows[y, cur[-1] :] = True
+        ref = cur
+        if y == height - 1 and bits.startswith("000000000001" * 2, pos):
+            pos += 24
+    return rows
 
 
 def _tiff_lzw_decode(data: bytes) -> bytes:
@@ -3826,6 +4195,13 @@ _L3_SFB_LONG = {
     32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
             156, 194, 240, 296, 364, 448, 550, 576],
 }
+# short-block boundaries, PER WINDOW (Table B.8 short: 13 bands, the
+# last untransmitted; ×3 windows covers the 576 lines)
+_L3_SFB_SHORT = {
+    44100: [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192],
+    48000: [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
+    32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
+}
 
 # pair tables: {(x, y): (hlen, hcod)} — Table B.7, tables 1-3
 _L3_PAIR_TABLES: dict[int, dict[tuple[int, int], tuple[int, int]]] = {
@@ -3890,11 +4266,17 @@ def _l3_huff_decode(reader: "_BitReader", table: dict) -> tuple:
 
 def parse_mp3_layer3_sideinfo(payload: bytes) -> list[dict[str, Any]]:
     """Parse the Layer III side information (§2.4.1.7) of every frame:
-    one dict per (frame, granule) with main_data_begin, scfsi,
-    part2_3_length, big_values, global_gain, scalefac_compress,
-    window switching / block type, table_select, region counts,
-    preflag, scalefac_scale, count1table_select. Mono MPEG-1 only
-    (stereo granule interleaving raises honestly)."""
+    one dict per (frame, granule, channel) with main_data_begin,
+    scfsi, part2_3_length, big_values, global_gain,
+    scalefac_compress, window switching / block type, table_select,
+    region counts, preflag, scalefac_scale, count1table_select.
+
+    All four MPEG-1 channel modes parse: mono reads the 17-byte side
+    info (5 private bits), stereo / joint stereo / dual channel the
+    32-byte layout (3 private bits, scfsi and the 59-bit granule
+    struct PER CHANNEL, granule-major channel-minor). The dict also
+    carries ``mode`` and ``mode_extension`` so the spectrum stage can
+    apply (or gate) the joint-stereo matrix."""
     pos = 0
     end = len(payload)
     out: list[dict[str, Any]] = []
@@ -3909,8 +4291,9 @@ def parse_mp3_layer3_sideinfo(payload: bytes) -> list[dict[str, Any]]:
             raise NotImplementedError(
                 "side-info parse implemented for MPEG-1 Layer III only"
             )
-        if (hdr >> 6) & 0x3 != 3:
-            raise NotImplementedError("stereo Layer III side info")
+        mode = (hdr >> 6) & 0x3
+        mode_ext = (hdr >> 4) & 0x3
+        nch = 1 if mode == 3 else 2
         crc = not (hdr >> 16) & 0x1
         bidx = (hdr >> 12) & 0xF
         ridx = (hdr >> 10) & 0x3
@@ -3926,37 +4309,50 @@ def parse_mp3_layer3_sideinfo(payload: bytes) -> list[dict[str, Any]]:
             payload[pos + 4 + (2 if crc else 0) : pos + flen]
         )
         main_data_begin = si.read_bits(9)
-        si.read_bits(5)  # private_bits (mono)
-        scfsi = si.read_bits(4)
+        si.read_bits(5 if nch == 1 else 3)  # private_bits
+        scfsi = [si.read_bits(4) for _ in range(nch)]
         for gr in range(2):
-            g: dict[str, Any] = {
-                "frame": frame_no,
-                "granule": gr,
-                "sample_rate": rate,
-                "main_data_begin": main_data_begin,
-                "scfsi": scfsi,
-                "part2_3_length": si.read_bits(12),
-                "big_values": si.read_bits(9),
-                "global_gain": si.read_bits(8),
-                "scalefac_compress": si.read_bits(4),
-            }
-            wsf = si.read_bits(1)
-            g["window_switching"] = bool(wsf)
-            if wsf:
-                g["block_type"] = si.read_bits(2)
-                g["mixed_block"] = bool(si.read_bits(1))
-                g["table_select"] = [si.read_bits(5) for _ in range(2)]
-                g["subblock_gain"] = [si.read_bits(3) for _ in range(3)]
-                g["region0_count"] = 7  # spec-implied defaults
-                g["region1_count"] = 36
-            else:
-                g["table_select"] = [si.read_bits(5) for _ in range(3)]
-                g["region0_count"] = si.read_bits(4)
-                g["region1_count"] = si.read_bits(3)
-            g["preflag"] = si.read_bits(1)
-            g["scalefac_scale"] = si.read_bits(1)
-            g["count1table_select"] = si.read_bits(1)
-            out.append(g)
+            for ch in range(nch):
+                g: dict[str, Any] = {
+                    "frame": frame_no,
+                    "granule": gr,
+                    "channel": ch,
+                    "n_channels": nch,
+                    "mode": mode,
+                    "mode_extension": mode_ext,
+                    "sample_rate": rate,
+                    "main_data_begin": main_data_begin,
+                    "scfsi": scfsi[ch],
+                    "part2_3_length": si.read_bits(12),
+                    "big_values": si.read_bits(9),
+                    "global_gain": si.read_bits(8),
+                    "scalefac_compress": si.read_bits(4),
+                }
+                wsf = si.read_bits(1)
+                g["window_switching"] = bool(wsf)
+                if wsf:
+                    g["block_type"] = si.read_bits(2)
+                    g["mixed_block"] = bool(si.read_bits(1))
+                    g["table_select"] = [si.read_bits(5) for _ in range(2)]
+                    g["subblock_gain"] = [si.read_bits(3) for _ in range(3)]
+                    # §2.4.2.7 implied regions: the boundary is line 36
+                    # for every window-switched granule (8 long bands,
+                    # or 3 short bands × 3 windows)
+                    g["region0_count"] = (
+                        8 if g["block_type"] == 2 and not g["mixed_block"]
+                        else 7
+                    )
+                    g["region1_count"] = 36
+                else:
+                    g["block_type"] = 0
+                    g["mixed_block"] = False
+                    g["table_select"] = [si.read_bits(5) for _ in range(3)]
+                    g["region0_count"] = si.read_bits(4)
+                    g["region1_count"] = si.read_bits(3)
+                g["preflag"] = si.read_bits(1)
+                g["scalefac_scale"] = si.read_bits(1)
+                g["count1table_select"] = si.read_bits(1)
+                out.append(g)
         frame_no += 1
         pos += flen
     return out
@@ -3964,31 +4360,47 @@ def parse_mp3_layer3_sideinfo(payload: bytes) -> list[dict[str, Any]]:
 
 def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
     """REAL Layer III decode through requantization (§2.4.3.4): per
-    granule, read the long-block scalefactors, decode the big-value
-    pair region (tables 1-3) and the count1 quadruple region (tables
-    A/B) from the Huffman-coded main data, apply
-    ``xr = sign·|is|^(4/3)·2^((global_gain−210)/4)
-    ·2^(−mult·(scalefac+preflag·pretab))`` and emit one row per
-    scalefactor band: (frame, granule, sfb, width, n_nonzero, rms).
-    This is the spectral-envelope screening layer; IMDCT + synthesis
-    still raise via real_decode's gate.
+    (granule, channel), read the scalefactors (long 21-band or SHORT
+    12-band × 3-window layouts), decode the big-value pair region
+    (tables 1-3) and the count1 quadruple region (tables A/B) from
+    the Huffman-coded main data, requantize —
 
-    The BIT RESERVOIR (§2.4.2.7 main_data_begin) is handled the way
-    real streams demand: each frame's main-data region feeds a rolling
-    reservoir, and a frame whose ``main_data_begin = N`` starts its
-    granules N bytes BEFORE the end of the bytes accumulated from
-    prior frames, continuing into its own region — nearly every
-    encoder in the wild packs frames this way. A begin pointer
-    reaching past the accumulated reservoir raises (underflow: the
-    stream lost the frames it depends on). ``scfsi`` scalefactor
-    reuse is decoded per §2.4.2.7: for each of the four scfsi band
-    groups (sfb 0-5 / 6-10 / 11-15 / 16-20) with its bit set,
-    granule 1 reuses granule 0's scalefactors and reads none from the
-    stream.
+    * long / start / stop blocks (block_type 0/1/3):
+      ``xr = sign·|is|^(4/3)·2^((global_gain−210)/4)
+      ·2^(−mult·(scalefac+preflag·pretab))``
+    * short blocks (block_type 2, not mixed): the spectrum interleaves
+      the three windows per band (window-minor), and
+      ``xr = sign·|is|^(4/3)
+      ·2^((global_gain−210−8·subblock_gain[win])/4)
+      ·2^(−mult·scalefac[band][win])`` — no preemphasis (§2.4.3.4.10)
 
-    Scope gates (each raises honestly): mono MPEG-1 long blocks;
-    Huffman tables beyond 0-3/A/B."""
+    — and emit one row per scalefactor band (and per window for short
+    blocks, ``window`` −1 marking long): (frame, granule, channel,
+    sfb, window, width, n_nonzero, rms). This is the
+    spectral-envelope screening layer; IMDCT + synthesis still raise
+    via real_decode's gate.
+
+    STEREO: all four MPEG-1 modes decode; joint stereo applies the
+    M/S matrix ``L=(M+S)/√2, R=(M−S)/√2`` over the full spectrum when
+    mode_extension bit 1 is set (§2.4.3.4.9.2); intensity stereo
+    (bit 0) gates honestly. The BIT RESERVOIR (§2.4.2.7
+    main_data_begin) is handled the way real streams demand: each
+    frame's main-data region feeds a rolling reservoir, and a frame
+    whose ``main_data_begin = N`` starts its granules N bytes BEFORE
+    the end of the bytes accumulated from prior frames. A begin
+    pointer reaching past the accumulated reservoir raises. ``scfsi``
+    scalefactor reuse is decoded per §2.4.2.7 PER CHANNEL: for each
+    of the four scfsi band groups (sfb 0-5 / 6-10 / 11-15 / 16-20)
+    with its bit set, granule 1 reuses granule 0's scalefactors and
+    reads none from the stream (long blocks only — a set scfsi over a
+    short granule raises, as the spec forbids it).
+
+    Scope gates (each raises honestly): MPEG-1; Huffman tables beyond
+    0-3/A/B; mixed blocks; intensity stereo."""
     sis = parse_mp3_layer3_sideinfo(payload)
+    by_key = {
+        (s["frame"], s["granule"], s["channel"]): s for s in sis
+    }
     # main data: rolling-reservoir walk — every frame's region is
     # appended after decode; main_data_begin indexes back into it
     reservoir = bytearray()
@@ -3996,9 +4408,16 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
     end = len(payload)
     out: list[dict[str, Any]] = []
     frame_no = 0
+    sqrt_half = 2.0 ** -0.5
     while pos < end:
         hdr = int.from_bytes(payload[pos : pos + 4], "big")
         crc = not (hdr >> 16) & 0x1
+        mode = (hdr >> 6) & 0x3
+        mode_ext = (hdr >> 4) & 0x3
+        nch = 1 if mode == 3 else 2
+        if mode == 1 and mode_ext & 1:
+            raise NotImplementedError("intensity stereo")
+        ms_on = mode == 1 and bool(mode_ext & 2)
         bidx = (hdr >> 12) & 0xF
         ridx = (hdr >> 10) & 0x3
         bitrate = _MP3_BITRATES[("MPEG1", 3)][bidx]
@@ -4006,11 +4425,12 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
         padding = (hdr >> 9) & 0x1
         flen = _mp3_frame_len("MPEG1", 3, bitrate, rate, padding)
         bounds = _L3_SFB_LONG[rate]
-        md_region = payload[pos + 4 + (2 if crc else 0) + 17 : pos + flen]
-        mdb = next(
-            s for s in sis
-            if s["frame"] == frame_no and s["granule"] == 0
-        )["main_data_begin"]
+        sbounds = _L3_SFB_SHORT[rate]
+        si_bytes = 17 if nch == 1 else 32
+        md_region = payload[
+            pos + 4 + (2 if crc else 0) + si_bytes : pos + flen
+        ]
+        mdb = by_key[(frame_no, 0, 0)]["main_data_begin"]
         if mdb > len(reservoir):
             raise ValueError(
                 f"bit reservoir underflow: frame {frame_no} begins "
@@ -4022,124 +4442,231 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
             if mdb
             else md_region
         )
-        prev_scalefac: list[int] = [0] * 22
+        prev_scalefac: list[list[int]] = [[0] * 22 for _ in range(nch)]
         for gr in range(2):
-            g = next(
-                s for s in sis
-                if s["frame"] == frame_no and s["granule"] == gr
-            )
-            if g["window_switching"]:
-                raise NotImplementedError(
-                    "short/mixed block Layer III decode"
-                )
-            bits_before = main.bits_read()
-            slen1, slen2 = _L3_SLEN[g["scalefac_compress"]]
-            scalefac = [0] * 22
-            # scfsi band groups (§2.4.2.7): granule 1 reuses granule
-            # 0's scalefactors for each group whose bit is set and
-            # reads NO bits for them
-            for gi, (lo, hi, sl) in enumerate(
-                ((0, 6, slen1), (6, 11, slen1),
-                 (11, 16, slen2), (16, 21, slen2))
-            ):
-                if gr == 1 and (g["scfsi"] >> (3 - gi)) & 1:
-                    scalefac[lo:hi] = prev_scalefac[lo:hi]
-                else:
-                    for b in range(lo, hi):
-                        scalefac[b] = main.read_bits(sl) if sl else 0
-            if gr == 0:
-                prev_scalefac = list(scalefac)
-            xr = [0.0] * 576
-            is_nonzero = [False] * 576
-            gain = 2.0 ** (0.25 * (g["global_gain"] - 210))
-            mult = 0.5 * (g["scalefac_scale"] + 1)
-
-            def band_of(i: int) -> int:
-                for b in range(22):
-                    if bounds[b] <= i < bounds[b + 1]:
-                        return b
-                raise ValueError("spectral line beyond 576")
-
-            def requant(i: int, val: int, neg: bool) -> None:
-                b = band_of(i)
-                fac = 2.0 ** (
-                    -mult
-                    * (
-                        scalefac[b]
-                        + g["preflag"] * _L3_PRETAB[b]
-                    )
-                )
-                v = (abs(val) ** (4.0 / 3.0)) * gain * fac
-                xr[i] = -v if neg else v
-                is_nonzero[i] = val != 0
-
-            # big-value pair region
-            line = 0
-            for _p in range(g["big_values"]):
-                # region → table select (regions bound by sfb index)
-                r0_end = bounds[
-                    min(g["region0_count"] + 1, 22)
-                ]
-                r1_end = bounds[
-                    min(
-                        g["region0_count"] + 1 + g["region1_count"] + 1,
-                        22,
-                    )
-                ]
-                region = 0 if line < r0_end else (1 if line < r1_end else 2)
-                tsel = g["table_select"][region]
-                if tsel == 0:
-                    x = y = 0
-                elif tsel in _L3_PAIR_TABLES:
-                    x, y = _l3_huff_decode(main, _L3_PAIR_TABLES[tsel])
-                else:
+            gxr: list[list[float]] = []
+            gnz: list[list[bool]] = []
+            gshort: list[bool] = []
+            for ch in range(nch):
+                g = by_key[(frame_no, gr, ch)]
+                short = g["window_switching"] and g["block_type"] == 2
+                if short and g["mixed_block"]:
                     raise NotImplementedError(
-                        f"Layer III Huffman table {tsel} not transcribed"
+                        "mixed-block Layer III decode"
                     )
-                for val in (x, y):
-                    neg = bool(val and main.read_bits(1))
-                    requant(line, val, neg)
-                    line += 1
-            # count1 region: quads until the granule's bit budget is
-            # spent (fixtures are exact — a decoder overshoot raises)
-            c1tab = (
-                _L3_COUNT1_B
-                if g["count1table_select"]
-                else _L3_COUNT1_A
-            )
-            budget = g["part2_3_length"]
-            while main.bits_read() - bits_before < budget:
-                quad = _l3_huff_decode(main, c1tab)
-                for val in (
-                    (quad >> 3) & 1, (quad >> 2) & 1,
-                    (quad >> 1) & 1, quad & 1,
-                ):
-                    neg = bool(val and main.read_bits(1))
-                    if line >= 576:
+                bits_before = main.bits_read()
+                slen1, slen2 = _L3_SLEN[g["scalefac_compress"]]
+                gain = 2.0 ** (0.25 * (g["global_gain"] - 210))
+                mult = 0.5 * (g["scalefac_scale"] + 1)
+                xr = [0.0] * 576
+                is_nonzero = [False] * 576
+                if short:
+                    if gr == 1 and g["scfsi"]:
                         raise ValueError(
-                            "count1 region exceeds 576 spectral lines"
+                            "scfsi set over a short-block granule"
                         )
-                    requant(line, val, neg)
-                    line += 1
-            if main.bits_read() - bits_before != budget:
-                raise ValueError(
-                    "Layer III granule overran part2_3_length"
+                    # 12 transmitted bands × 3 windows (§2.4.2.7);
+                    # band 12 is untransmitted (scalefactor 0)
+                    ssf = [[0] * 3 for _ in range(13)]
+                    for b in range(12):
+                        sl = slen1 if b < 6 else slen2
+                        for win in range(3):
+                            ssf[b][win] = (
+                                main.read_bits(sl) if sl else 0
+                            )
+                    sbgain = g["subblock_gain"]
+
+                    def requant(i: int, val: int, neg: bool) -> None:
+                        # interleaved layout: band s spans lines
+                        # [3·lo, 3·hi); window-minor within
+                        for b in range(13):
+                            if 3 * sbounds[b] <= i < 3 * sbounds[b + 1]:
+                                ln = sbounds[b + 1] - sbounds[b]
+                                win = (i - 3 * sbounds[b]) // ln
+                                break
+                        else:
+                            raise ValueError("spectral line beyond 576")
+                        fac = 2.0 ** (-mult * ssf[b][win])
+                        g2 = 2.0 ** (
+                            0.25
+                            * (g["global_gain"] - 210 - 8 * sbgain[win])
+                        )
+                        v = (abs(val) ** (4.0 / 3.0)) * g2 * fac
+                        xr[i] = -v if neg else v
+                        is_nonzero[i] = val != 0
+
+                else:
+                    scalefac = [0] * 22
+                    # scfsi band groups (§2.4.2.7): granule 1 reuses
+                    # granule 0's scalefactors for each set group and
+                    # reads NO bits for them
+                    for gi, (lo, hi, sl) in enumerate(
+                        ((0, 6, slen1), (6, 11, slen1),
+                         (11, 16, slen2), (16, 21, slen2))
+                    ):
+                        if gr == 1 and (g["scfsi"] >> (3 - gi)) & 1:
+                            scalefac[lo:hi] = prev_scalefac[ch][lo:hi]
+                        else:
+                            for b in range(lo, hi):
+                                scalefac[b] = (
+                                    main.read_bits(sl) if sl else 0
+                                )
+                    if gr == 0:
+                        prev_scalefac[ch] = list(scalefac)
+
+                    def band_of(i: int) -> int:
+                        for b in range(22):
+                            if bounds[b] <= i < bounds[b + 1]:
+                                return b
+                        raise ValueError("spectral line beyond 576")
+
+                    def requant(i: int, val: int, neg: bool) -> None:
+                        b = band_of(i)
+                        fac = 2.0 ** (
+                            -mult
+                            * (
+                                scalefac[b]
+                                + g["preflag"] * _L3_PRETAB[b]
+                            )
+                        )
+                        v = (abs(val) ** (4.0 / 3.0)) * gain * fac
+                        xr[i] = -v if neg else v
+                        is_nonzero[i] = val != 0
+
+                # big-value pair region (window-switched granules use
+                # the spec-implied line-36 region boundary; the parse
+                # already encodes it in region0/1_count)
+                line = 0
+                for _p in range(g["big_values"]):
+                    if g["window_switching"]:
+                        r0_end, r1_end = 36, 576
+                    else:
+                        r0_end = bounds[
+                            min(g["region0_count"] + 1, 22)
+                        ]
+                        r1_end = bounds[
+                            min(
+                                g["region0_count"] + 1
+                                + g["region1_count"] + 1,
+                                22,
+                            )
+                        ]
+                    region = (
+                        0 if line < r0_end
+                        else (1 if line < r1_end else 2)
+                    )
+                    tsel = g["table_select"][region]
+                    if tsel == 0:
+                        x = y = 0
+                    elif tsel in _L3_PAIR_TABLES:
+                        x, y = _l3_huff_decode(
+                            main, _L3_PAIR_TABLES[tsel]
+                        )
+                    else:
+                        raise NotImplementedError(
+                            f"Layer III Huffman table {tsel} "
+                            "not transcribed"
+                        )
+                    for val in (x, y):
+                        neg = bool(val and main.read_bits(1))
+                        requant(line, val, neg)
+                        line += 1
+                # count1 region: quads until the channel's bit budget
+                # is spent (fixtures are exact — overshoot raises)
+                c1tab = (
+                    _L3_COUNT1_B
+                    if g["count1table_select"]
+                    else _L3_COUNT1_A
                 )
-            for b in range(22):
-                lo, hi = bounds[b], bounds[b + 1]
-                acc = sum(xr[i] * xr[i] for i in range(lo, hi))
-                out.append(
-                    {
-                        "frame": frame_no,
-                        "granule": gr,
-                        "sfb": b,
-                        "width": hi - lo,
-                        "n_nonzero": sum(
-                            1 for i in range(lo, hi) if is_nonzero[i]
-                        ),
-                        "rms": round((acc / (hi - lo)) ** 0.5, 6),
-                    }
-                )
+                budget = g["part2_3_length"]
+                while main.bits_read() - bits_before < budget:
+                    quad = _l3_huff_decode(main, c1tab)
+                    for val in (
+                        (quad >> 3) & 1, (quad >> 2) & 1,
+                        (quad >> 1) & 1, quad & 1,
+                    ):
+                        neg = bool(val and main.read_bits(1))
+                        if line >= 576:
+                            raise ValueError(
+                                "count1 region exceeds 576 spectral "
+                                "lines"
+                            )
+                        requant(line, val, neg)
+                        line += 1
+                if main.bits_read() - bits_before != budget:
+                    raise ValueError(
+                        "Layer III granule overran part2_3_length"
+                    )
+                gxr.append(xr)
+                gnz.append(is_nonzero)
+                gshort.append(short)
+            if ms_on:
+                # §2.4.3.4.9.2: full-spectrum M/S matrix
+                m_xr, s_xr = gxr
+                left = [
+                    (m + s) * sqrt_half for m, s in zip(m_xr, s_xr)
+                ]
+                right = [
+                    (m - s) * sqrt_half for m, s in zip(m_xr, s_xr)
+                ]
+                gxr = [left, right]
+                gnz = [
+                    [v != 0.0 for v in left],
+                    [v != 0.0 for v in right],
+                ]
+            for ch in range(nch):
+                xr, is_nonzero = gxr[ch], gnz[ch]
+                if gshort[ch]:
+                    for b in range(13):
+                        ln = sbounds[b + 1] - sbounds[b]
+                        for win in range(3):
+                            lo = 3 * sbounds[b] + win * ln
+                            hi = lo + ln
+                            acc = sum(
+                                xr[i] * xr[i] for i in range(lo, hi)
+                            )
+                            out.append(
+                                {
+                                    "frame": frame_no,
+                                    "granule": gr,
+                                    "channel": ch,
+                                    "sfb": b,
+                                    "window": win,
+                                    "width": ln,
+                                    "n_nonzero": sum(
+                                        1
+                                        for i in range(lo, hi)
+                                        if is_nonzero[i]
+                                    ),
+                                    "rms": round(
+                                        (acc / ln) ** 0.5, 6
+                                    ),
+                                }
+                            )
+                else:
+                    for b in range(22):
+                        lo, hi = bounds[b], bounds[b + 1]
+                        acc = sum(
+                            xr[i] * xr[i] for i in range(lo, hi)
+                        )
+                        out.append(
+                            {
+                                "frame": frame_no,
+                                "granule": gr,
+                                "channel": ch,
+                                "sfb": b,
+                                "window": -1,
+                                "width": hi - lo,
+                                "n_nonzero": sum(
+                                    1
+                                    for i in range(lo, hi)
+                                    if is_nonzero[i]
+                                ),
+                                "rms": round(
+                                    (acc / (hi - lo)) ** 0.5, 6
+                                ),
+                            }
+                        )
         reservoir += md_region
         if len(reservoir) > 511:  # 9-bit pointer: older bytes are dead
             del reservoir[: len(reservoir) - 511]
@@ -4152,27 +4679,38 @@ def build_mp3_layer3(
     *,
     sample_rate: int = 44100,
     bitrate_kbps: int = 192,
-    granules: list[dict[str, Any]] | None = None,
+    granules: list[Any] | None = None,
     n_frames: int = 1,
     frames: list[dict[str, Any]] | None = None,
     reservoir: bool = False,
+    mode: str = "mono",
 ) -> bytes:
-    """Fixture writer: mono MPEG-1 Layer III frames with REAL side
-    info and Huffman-coded main data (§2.4.1.7). Each granule dict:
+    """Fixture writer: MPEG-1 Layer III frames with REAL side info
+    and Huffman-coded main data (§2.4.1.7). Each granule dict:
     ``global_gain``, ``scalefac_compress``, ``scalefac`` (21 values
     fitting the slen widths), ``preflag``, ``scalefac_scale``,
-    ``table`` (1-3, used for all three regions), ``pairs`` (signed
+    ``table`` (1-3, used for all regions), ``pairs`` (signed
     big-value pairs, |v| within the table), ``quads`` (signed count1
     4-tuples), ``count1table`` ('A' or 'B'), ``region0_count``,
-    ``region1_count``. part2_3_length is computed exactly from the
-    emitted bits.
+    ``region1_count`` — or, for SHORT blocks, ``block_type: 2`` with
+    ``scalefac_short`` (12 bands × 3 windows) and ``subblock_gain``
+    (3 values ≤ 7) instead of ``scalefac``/``preflag`` (§2.4.2.7
+    short layout; regions are then spec-implied). part2_3_length is
+    computed exactly from the emitted bits.
+
+    ``mode``: "mono" writes the 17-byte side info; "stereo",
+    "joint_ms" (joint stereo with the M/S bit set) and "dual" write
+    the 32-byte two-channel layout — granule entries are then
+    PER-CHANNEL pairs ``[g_ch0, g_ch1]`` and ``scfsi`` a
+    ``[ch0, ch1]`` list. Main data packs granule-major channel-minor
+    as the spec requires.
 
     ``granules``+``n_frames`` repeats one 2-granule frame;
     ``frames`` instead takes per-frame dicts ``{"granules": [g0,
-    g1], "scfsi": int}`` — scfsi band groups (sfb 0-5/6-10/11-15/
+    g1], "scfsi": ...}`` — scfsi band groups (sfb 0-5/6-10/11-15/
     16-20, MSB first) with a set bit make granule 1 REUSE granule
     0's scalefactors: no bits are written for them (the dicts must
-    agree on the reused bands — validated).
+    agree on the reused bands — validated; long blocks only).
 
     ``reservoir=True`` packs the frames' main data as one contiguous
     byte stream across frame regions the way real encoders do: each
@@ -4180,19 +4718,37 @@ def build_mp3_layer3(
     accumulated prior regions where its granules start. With
     ``False`` every frame's main data sits in its own region
     (main_data_begin 0)."""
+    mode_bits = {"stereo": 0, "joint_ms": 1, "dual": 2, "mono": 3}[mode]
+    mode_ext = 2 if mode == "joint_ms" else 0
+    nch = 1 if mode == "mono" else 2
     if frames is None:
         if granules is None:
             raise ValueError("need granules or frames")
         frames = [{"granules": granules}] * n_frames
+    norm_frames: list[dict[str, Any]] = []
     for fr in frames:
         if len(fr["granules"]) != 2:
             raise ValueError("Layer III frame carries exactly 2 granules")
+        grs = []
+        for entry in fr["granules"]:
+            chans = entry if isinstance(entry, (list, tuple)) else [entry]
+            if len(chans) != nch:
+                raise ValueError(
+                    f"mode {mode} needs {nch} channel dict(s) per granule"
+                )
+            grs.append(list(chans))
+        scfsi = fr.get("scfsi", 0)
+        if isinstance(scfsi, int):
+            scfsi = [scfsi] * nch
+        norm_frames.append({"granules": grs, "scfsi": list(scfsi)})
     ridx = _MP3_RATES["MPEG1"].index(sample_rate)
     bidx = _MP3_BITRATES[("MPEG1", 3)].index(bitrate_kbps)
     flen = _mp3_frame_len("MPEG1", 3, bitrate_kbps, sample_rate, 0)
+    si_bytes = 17 if nch == 1 else 32
     hdr = (
         (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
-        | (bidx << 12) | (ridx << 10) | (3 << 6)
+        | (bidx << 12) | (ridx << 10) | (mode_bits << 6)
+        | (mode_ext << 4)
     )
 
     def granule_main_bits(
@@ -4200,22 +4756,44 @@ def build_mp3_layer3(
     ) -> list[tuple[int, int]]:
         bits: list[tuple[int, int]] = []
         slen1, slen2 = _L3_SLEN[g["scalefac_compress"]]
-        sf = g["scalefac"]
-        if len(sf) != 21:
-            raise ValueError("need 21 long-block scalefactors")
-        for gi, (lo, hi, sl) in enumerate(
-            ((0, 6, slen1), (6, 11, slen1),
-             (11, 16, slen2), (16, 21, slen2))
-        ):
-            if gi in skip_groups:  # scfsi: granule 1 writes no bits
-                continue
-            for b in range(lo, hi):
-                if sl:
-                    if sf[b] >= (1 << sl):
-                        raise ValueError("scalefactor exceeds slen width")
-                    bits.append((sf[b], sl))
-                elif sf[b]:
-                    raise ValueError("nonzero scalefactor with slen 0")
+        if g.get("block_type", 0) == 2:
+            if skip_groups:
+                raise ValueError("scfsi is invalid over short blocks")
+            ssf = g["scalefac_short"]
+            if len(ssf) != 12 or any(len(w) != 3 for w in ssf):
+                raise ValueError("need 12×3 short scalefactors")
+            for b in range(12):
+                sl = slen1 if b < 6 else slen2
+                for win in range(3):
+                    if sl:
+                        if ssf[b][win] >= (1 << sl):
+                            raise ValueError(
+                                "short scalefactor exceeds slen width"
+                            )
+                        bits.append((ssf[b][win], sl))
+                    elif ssf[b][win]:
+                        raise ValueError(
+                            "nonzero short scalefactor with slen 0"
+                        )
+        else:
+            sf = g["scalefac"]
+            if len(sf) != 21:
+                raise ValueError("need 21 long-block scalefactors")
+            for gi, (lo, hi, sl) in enumerate(
+                ((0, 6, slen1), (6, 11, slen1),
+                 (11, 16, slen2), (16, 21, slen2))
+            ):
+                if gi in skip_groups:  # scfsi: granule 1 writes no bits
+                    continue
+                for b in range(lo, hi):
+                    if sl:
+                        if sf[b] >= (1 << sl):
+                            raise ValueError(
+                                "scalefactor exceeds slen width"
+                            )
+                        bits.append((sf[b], sl))
+                    elif sf[b]:
+                        raise ValueError("nonzero scalefactor with slen 0")
         table = _L3_PAIR_TABLES[g["table"]]
         for x, y in g["pairs"]:
             ln, code = table[(abs(x), abs(y))]
@@ -4250,51 +4828,97 @@ def build_mp3_layer3(
             buf.append(acc << (8 - n))
         return bytes(buf)
 
-    groups = ((0, 6), (6, 11), (11, 16), (16, 21))
-    frame_md: list[bytes] = []
-    frame_side: list[list[tuple[int, int]]] = []
-    for fr in frames:
-        g0, g1 = fr["granules"]
-        scfsi = fr.get("scfsi", 0)
-        skip = frozenset(gi for gi in range(4) if (scfsi >> (3 - gi)) & 1)
-        for gi in skip:
-            lo, hi = groups[gi]
-            if g0["scalefac"][lo:hi] != g1["scalefac"][lo:hi]:
-                raise ValueError(
-                    "scfsi group reuses unequal scalefactors"
-                )
-        mains = [granule_main_bits(g0), granule_main_bits(g1, skip)]
-        side: list[tuple[int, int]] = [
-            (0, 9),  # main_data_begin — patched at layout time
-            (0, 5),  # private_bits
-            (scfsi, 4),
+    def granule_side_bits(
+        g: dict[str, Any], part23: int
+    ) -> list[tuple[int, int]]:
+        if part23 >= 1 << 12:
+            raise ValueError("granule main data exceeds 12-bit length")
+        side = [
+            (part23, 12),
+            (len(g["pairs"]), 9),
+            (g["global_gain"], 8),
+            (g["scalefac_compress"], 4),
         ]
-        for g, mb in zip((g0, g1), mains):
-            part23 = sum(ln for _v, ln in mb)
-            if part23 >= 1 << 12:
-                raise ValueError("granule main data exceeds 12-bit length")
+        bt = g.get("block_type", 0)
+        if bt:
+            if bt == 2 and g.get("mixed", False):
+                raise ValueError("mixed blocks not written by this fixture")
             side += [
-                (part23, 12),
-                (len(g["pairs"]), 9),
-                (g["global_gain"], 8),
-                (g["scalefac_compress"], 4),
-                (0, 1),  # window_switching_flag
+                (1, 1),  # window_switching_flag
+                (bt, 2),
+                (0, 1),  # mixed_block_flag
+                (g["table"], 5), (g["table"], 5),
+            ]
+            for sb in g.get("subblock_gain", [0, 0, 0]):
+                side.append((sb, 3))
+        else:
+            side += [
+                (0, 1),
                 (g["table"], 5), (g["table"], 5), (g["table"], 5),
                 (g.get("region0_count", 3), 4),
                 (g.get("region1_count", 3), 3),
-                (g.get("preflag", 0), 1),
-                (g.get("scalefac_scale", 0), 1),
-                (1 if g.get("count1table", "A") == "B" else 0, 1),
             ]
-        frame_side.append(side)
-        frame_md.append(pack(mains[0] + mains[1]))
+        side += [
+            (g.get("preflag", 0), 1),
+            (g.get("scalefac_scale", 0), 1),
+            (1 if g.get("count1table", "A") == "B" else 0, 1),
+        ]
+        return side
 
-    # layout: each frame's region (flen - header - 17-byte side info)
-    # either carries its own main data (reservoir=False) or a slice of
-    # the CONTIGUOUS cross-frame main-data stream, with
-    # main_data_begin measuring how far back into the accumulated
-    # prior regions this frame's granules start (§2.4.2.7)
-    region_cap = flen - 4 - 17
+    groups = ((0, 6), (6, 11), (11, 16), (16, 21))
+    frame_md: list[bytes] = []
+    frame_side: list[list[tuple[int, int]]] = []
+    for fr in norm_frames:
+        (g0s, g1s), scfsi = fr["granules"], fr["scfsi"]
+        skips = []
+        for ch in range(nch):
+            sk = frozenset(
+                gi for gi in range(4) if (scfsi[ch] >> (3 - gi)) & 1
+            )
+            if sk and (
+                g0s[ch].get("block_type", 0) == 2
+                or g1s[ch].get("block_type", 0) == 2
+            ):
+                raise ValueError("scfsi is invalid over short blocks")
+            for gi in sk:
+                lo, hi = groups[gi]
+                if (
+                    g0s[ch]["scalefac"][lo:hi]
+                    != g1s[ch]["scalefac"][lo:hi]
+                ):
+                    raise ValueError(
+                        "scfsi group reuses unequal scalefactors"
+                    )
+            skips.append(sk)
+        # main data packs granule-major channel-minor (§2.4.2.7)
+        mains = [
+            [granule_main_bits(g0s[ch]) for ch in range(nch)],
+            [
+                granule_main_bits(g1s[ch], skips[ch])
+                for ch in range(nch)
+            ],
+        ]
+        side: list[tuple[int, int]] = [
+            (0, 9),  # main_data_begin — patched at layout time
+            (0, 5 if nch == 1 else 3),  # private_bits
+        ]
+        for ch in range(nch):
+            side.append((scfsi[ch], 4))
+        for gr, gchs in enumerate((g0s, g1s)):
+            for ch in range(nch):
+                part23 = sum(ln for _v, ln in mains[gr][ch])
+                side += granule_side_bits(gchs[ch], part23)
+        frame_side.append(side)
+        frame_md.append(
+            pack([b for gr in mains for chbits in gr for b in chbits])
+        )
+
+    # layout: each frame's region (flen - header - side info) either
+    # carries its own main data (reservoir=False) or a slice of the
+    # CONTIGUOUS cross-frame main-data stream, with main_data_begin
+    # measuring how far back into the accumulated prior regions this
+    # frame's granules start (§2.4.2.7)
+    region_cap = flen - 4 - si_bytes
     stream = b"".join(frame_md)
     out = bytearray()
     region_bytes = 0  # W: region capacity laid down so far
@@ -4318,13 +4942,13 @@ def build_mp3_layer3(
             mdb = 0
             if len(md) > region_cap:
                 raise ValueError(
-                    f"frame needs {32 + 136 + len(md) * 8} bits, "
-                    f"holds {flen * 8}"
+                    f"frame needs {32 + si_bytes * 8 + len(md) * 8} "
+                    f"bits, holds {flen * 8}"
                 )
             region = md.ljust(region_cap, b"\x00")
         side[0] = (mdb, 9)
         side_bytes = pack(side)
-        assert len(side_bytes) == 17
+        assert len(side_bytes) == si_bytes
         out += hdr.to_bytes(4, "big") + side_bytes + region
         region_bytes += region_cap
         stream_off += len(md)

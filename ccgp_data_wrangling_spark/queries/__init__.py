@@ -52,6 +52,9 @@ def register(name: str, oracle: str | None):
 # prescribed (regression freshness, not new coverage).
 _PRIORITY: list[str] = [
     "pdf_encrypted_image_extract",
+    "pdf_g4_image_extract",
+    "multimodal_mp3_shortblock_spectrum",
+    "multimodal_mp3_stereo_spectrum",
     "bloom_prefilter_revenue",
     "dsir_target_select",
     "semantic_dedup_planted",

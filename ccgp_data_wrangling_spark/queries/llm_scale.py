@@ -4821,11 +4821,18 @@ WITH g AS (
 SELECT id,
        CAST(16 AS INT) AS width,
        CAST(8 AS INT) AS height,
-       CAST(CASE WHEN k % 2 = 0 THEN 1 ELSE 3 END AS INT) AS n_channels,
-       CAST(CASE k % 4 WHEN 0 THEN 5 WHEN 1 THEN 32773
-                       WHEN 2 THEN 5 ELSE 8 END AS INT) AS compression,
-       CAST(CASE WHEN k % 4 = 2 THEN 2 ELSE 1 END AS INT) AS predictor,
-       CASE WHEN k % 2 = 0 THEN
+       CAST(CASE WHEN k % 5 = 4 THEN 1
+                 WHEN k % 2 = 0 THEN 1 ELSE 3 END AS INT) AS n_channels,
+       CAST(CASE WHEN k % 5 = 4 THEN 4 ELSE
+            CASE k % 4 WHEN 0 THEN 5 WHEN 1 THEN 32773
+                       WHEN 2 THEN 5 ELSE 8 END END AS INT) AS compression,
+       CAST(CASE WHEN k % 5 <> 4 AND k % 4 = 2 THEN 2 ELSE 1 END
+            AS INT) AS predictor,
+       CASE WHEN k % 5 = 4 THEN
+         -- G4 bilevel: black bar over the first id%17 of 16 columns;
+         -- white = 255, mean is dyadic (x/16) so ROUND is a no-op
+         ROUND(255.0 * (16 - id % 17) / 16.0, 4)
+       WHEN k % 2 = 0 THEN
          -- k%7==5 gray rows carry 16-bit samples scaled by 257
          -- (exact in double: integer pixels, dyadic mean)
          ROUND((CAST(id % 100 AS DOUBLE) + 11.0)
@@ -4843,12 +4850,14 @@ FROM g
 def multimodal_tiff_compressed_decode(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """LZW / PackBits / LZW+Predictor-2 / Deflate TIFF decode
-    end-to-end: encode_tiff fixtures rotating compression on k%4,
-    II/MM byte order and multi-strip layout on k-parity → strip
-    decompress + predictor undo + luma. The compression/predictor
-    columns replay the encoder's own IFD tags, proving which path
-    ran. Two Arrow stages like every media gate."""
+    """LZW / PackBits / LZW+Predictor-2 / Deflate / CCITT-G4 TIFF
+    decode end-to-end: encode_tiff fixtures rotating compression on
+    k%4 (k%5==4 overrides to Group 4 bilevel — T.6 MMR strips, the
+    scanned-archive layout), II/MM byte order and multi-strip layout
+    on k-parity → strip decompress (or MMR row decode with per-strip
+    reference reset) + predictor undo + luma. The
+    compression/predictor columns replay the encoder's own IFD tags,
+    proving which path ran. Two Arrow stages like every media gate."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -4874,6 +4883,18 @@ def multimodal_tiff_compressed_decode(
             for eid in pdf["id"]:
                 e = int(eid)
                 k = e // 20
+                if k % 5 == 4:  # G4 bilevel scan variant
+                    mask = np.zeros((8, 16), bool)
+                    mask[:, : e % 17] = True
+                    payloads.append(
+                        encode_tiff(
+                            mask,
+                            byte_order="II" if k % 2 == 0 else "MM",
+                            rows_per_strip=3 if k % 2 == 1 else None,
+                            compression="g4",
+                        )
+                    )
+                    continue
                 comp = ("lzw", "packbits", "lzw", "deflate")[k % 4]
                 pred = 2 if k % 4 == 2 else 1
                 if k % 2 == 0:
@@ -5178,5 +5199,506 @@ def pdf_encrypted_image_extract(
         schema=(
             "id long, idx int, cipher int, width int, height int, "
             "n_channels int, codec string, luma_mean double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G4 scanned-document image extraction through the driver gate — the
+# single biggest real-corpus PDF class: bitonal scans compressed with
+# CCITT Group 4 (/CCITTFaxDecode, /K -1 — ISO 32000 §7.4.6, ITU-T
+# T.6). Fixtures paint a black bar over the first id%25 of 24
+# columns, so the luma is the closed form 255·(24-m)/24 and the
+# oracle needs no codec; a decoder that mis-reads any mode code or
+# T.4 run table shifts the black count and breaks the hash.
+# ---------------------------------------------------------------------------
+
+_PDF_G4_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 13
+)
+SELECT id,
+       CAST(24 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST(1 AS INT) AS n_channels,
+       'g4' AS codec,
+       ROUND(255.0 * (24 - id % 25) / 24.0, 4) AS luma_mean
+FROM g
+"""
+
+
+@register("pdf_g4_image_extract", _PDF_G4_SQL)
+def pdf_g4_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCITT Group 4 image extraction end-to-end: build_pdf fixtures
+    embedding /CCITTFaxDecode (/K -1) image XObjects over a
+    deterministic bitonal bar mask → object scan → T.6 MMR decode
+    (pass/vertical/horizontal modes against the row above, T.4
+    modified-Huffman run tables for horizontal mode) → black-fraction
+    luma. The from-scratch codec lives in
+    operators/media_codecs.decode_ccitt_g4; two Arrow stages as in
+    every media gate."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf, pdf_images
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 13
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                mask = np.zeros((16, 24), bool)
+                mask[:, : e % 25] = True
+                payloads.append(
+                    build_pdf(
+                        [[f"scanned sheet {e}"]],
+                        page_images=[[("g4", mask)]],
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                for r in pdf_images(bytes(blob)):
+                    rows.append(
+                        {
+                            "id": rid,
+                            "width": r["width"],
+                            "height": r["height"],
+                            "n_channels": r["n_channels"],
+                            "codec": r["codec"],
+                            "luma_mean": r["luma_mean"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "n_channels", "codec",
+                    "luma_mean",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        extract,
+        schema=(
+            "id long, width int, height int, n_channels int, "
+            "codec string, luma_mean double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MP3 Layer III SHORT BLOCKS through the driver gate — transients in
+# real music switch to block_type 2: 12 scalefactor bands × 3 windows
+# (slen1/slen2 halves), a window-interleaved spectrum and per-window
+# subblock_gain in the requant exponent, NO preemphasis
+# (§2.4.2.7 / §2.4.3.4.10). Fixture granules are event_id arithmetic,
+# so the oracle replays the short requantization chain in SQL with
+# the Table B.8 short boundaries inlined; the window of a decoded
+# line falls out of the interleaved layout ((i − 3·lo) // width).
+# ---------------------------------------------------------------------------
+
+_MP3_SHORT_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 15
+),
+gr AS (
+  SELECT id, k, UNNEST([0, 1]) AS granule FROM g
+),
+p AS (
+  SELECT id, k, granule,
+         2 + id % 3 AS np, 1 + k % 2 AS nq,
+         140 + id % 50 + 10 * granule AS gg,
+         (k // 2) % 2 AS scale
+  FROM gr
+),
+lines AS (
+  SELECT p.*, UNNEST(generate_series(0, 2 * np + 4 * nq - 1)) AS line
+  FROM p
+),
+vals AS (
+  SELECT *, CASE
+      WHEN line < 2 * np THEN ((line * 7 + id + granule) % 5) - 2
+      ELSE ((id + line + granule) % 3) - 1
+    END AS c
+  FROM lines
+),
+bands AS (
+  -- Table B.8 short, 44.1 kHz: 13 bands per window
+  SELECT * FROM (VALUES
+    (0,0,4),(1,4,8),(2,8,12),(3,12,16),(4,16,22),(5,22,30),
+    (6,30,40),(7,40,52),(8,52,66),(9,66,84),(10,84,106),
+    (11,106,136),(12,136,192)
+  ) AS b(sfb, lo, hi)
+),
+placed AS (
+  SELECT v.*, b.sfb, b.hi - b.lo AS width,
+         CAST((v.line - 3 * b.lo) // (b.hi - b.lo) AS INT) AS win
+  FROM vals v
+  JOIN bands b ON v.line >= 3 * b.lo AND v.line < 3 * b.hi
+),
+agg AS (
+  SELECT id, granule, sfb, win,
+         CAST(SUM(CASE WHEN c <> 0 THEN 1 ELSE 0 END) AS INT) AS nnz,
+         SUM(POWER(
+           POWER(ABS(c), 4.0 / 3.0)
+           * POWER(2.0, 0.25 * (gg - 210
+                                - 8 * ((id + win + granule) % 8)))
+           * POWER(2.0, -(0.5 * (scale + 1))
+                   * ((id + sfb + win + granule) % 4)),
+           2)) AS e
+  FROM placed
+  WHERE sfb < 12  -- transmitted bands; band 12's scalefactor is 0
+  GROUP BY 1, 2, 3, 4
+),
+agg12 AS (  -- band 12 (untransmitted): scalefactor 0
+  SELECT id, granule, sfb, win,
+         CAST(SUM(CASE WHEN c <> 0 THEN 1 ELSE 0 END) AS INT) AS nnz,
+         SUM(POWER(
+           POWER(ABS(c), 4.0 / 3.0)
+           * POWER(2.0, 0.25 * (gg - 210
+                                - 8 * ((id + win + granule) % 8))),
+           2)) AS e
+  FROM placed WHERE sfb = 12
+  GROUP BY 1, 2, 3, 4
+),
+allagg AS (SELECT * FROM agg UNION ALL SELECT * FROM agg12),
+frame_grid AS (
+  SELECT p.id, p.granule, b.sfb, b.hi - b.lo AS width, w.win
+  FROM p CROSS JOIN bands b
+  CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS win) w
+)
+SELECT fg.id,
+       CAST(0 AS INT) AS frame,
+       CAST(fg.granule AS INT) AS granule,
+       CAST(0 AS INT) AS channel,
+       CAST(fg.sfb AS INT) AS sfb,
+       CAST(fg.win AS INT) AS window,
+       CAST(fg.width AS INT) AS width,
+       CAST(COALESCE(a.nnz, 0) AS INT) AS n_nonzero,
+       ROUND(SQRT(COALESCE(a.e, 0.0) / fg.width), 6) AS rms
+FROM frame_grid fg
+LEFT JOIN allagg a ON a.id = fg.id AND a.granule = fg.granule
+                   AND a.sfb = fg.sfb AND a.win = fg.win
+"""
+
+
+@register("multimodal_mp3_shortblock_spectrum", _MP3_SHORT_SQL)
+def multimodal_mp3_shortblock_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Layer III SHORT-BLOCK decode end-to-end: build_mp3_layer3
+    fixtures with block_type 2 granules (12×3 short scalefactors
+    under compress index 9, 3-bit subblock gains, table-3 pairs and
+    A/B count1 quads planted by event arithmetic) →
+    decode_mp3_layer3_spectrum → per-(band, window) RMS envelope at
+    short-band granularity. Window interleaving and the
+    per-window gain exponent are replayed exactly by the oracle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3_layer3,
+        decode_mp3_layer3_spectrum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 15
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                np_, nq = 2 + e % 3, 1 + k % 2
+                grans = []
+                for gr in range(2):
+                    pairs = [
+                        (
+                            ((2 * i) * 7 + e + gr) % 5 - 2,
+                            ((2 * i + 1) * 7 + e + gr) % 5 - 2,
+                        )
+                        for i in range(np_)
+                    ]
+                    quads = [
+                        tuple(
+                            (e + (2 * np_ + 4 * j + q) + gr) % 3 - 1
+                            for q in range(4)
+                        )
+                        for j in range(nq)
+                    ]
+                    grans.append(
+                        dict(
+                            global_gain=140 + e % 50 + 10 * gr,
+                            scalefac_compress=9,
+                            scalefac_short=[
+                                [
+                                    (e + b + w + gr) % 4
+                                    for w in range(3)
+                                ]
+                                for b in range(12)
+                            ],
+                            block_type=2,
+                            subblock_gain=[
+                                (e + w + gr) % 8 for w in range(3)
+                            ],
+                            scalefac_scale=(k // 2) % 2,
+                            table=3,
+                            pairs=pairs,
+                            quads=quads,
+                            count1table="A" if gr == 0 else "B",
+                        )
+                    )
+                payloads.append(build_mp3_layer3(granules=grans))
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                for r in decode_mp3_layer3_spectrum(bytes(blob)):
+                    rows.append({"id": rid, **r})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "frame", "granule", "channel", "sfb",
+                    "window", "width", "n_nonzero", "rms",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        decode,
+        schema=(
+            "id long, frame int, granule int, channel int, sfb int, "
+            "window int, width int, n_nonzero int, rms double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MP3 Layer III STEREO through the driver gate — real music is
+# two-channel: the 32-byte side info carries per-(granule, channel)
+# structs and the main data packs granule-major channel-minor; joint
+# stereo applies the full-spectrum M/S matrix L=(M+S)/√2, R=(M−S)/√2
+# (§2.4.3.4.9.2). The mode rotates on k-parity (plain LR / joint MS),
+# and the oracle replays BOTH: per-channel requantization with
+# per-line SIGNED spectra, pivoted by channel, matrixed in SQL for
+# the MS rows. A decoder that mixed up channel interleaving or
+# matrixed the wrong pair would shift every line.
+# ---------------------------------------------------------------------------
+
+_MP3_STEREO_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 16
+),
+gr AS (
+  SELECT id, k, UNNEST([0, 1]) AS granule FROM g
+),
+p AS (
+  SELECT id, k, granule, 3 + id % 3 AS np, 1 + k % 3 AS nq,
+         (k // 2) % 2 AS scale, k % 2 AS ms
+  FROM gr
+),
+chlines AS (
+  SELECT p.*, c.ch, l.line
+  FROM p
+  CROSS JOIN (SELECT UNNEST([0, 1]) AS ch) c
+  CROSS JOIN LATERAL (
+    SELECT UNNEST(generate_series(0, 2 * np + 4 * nq - 1)) AS line
+  ) l
+),
+bands AS (
+  SELECT * FROM (VALUES
+    (0,0,4),(1,4,8),(2,8,12),(3,12,16),(4,16,20),(5,20,24),
+    (6,24,30),(7,30,36),(8,36,44),(9,44,52),(10,52,62),
+    (11,62,74),(12,74,90),(13,90,110),(14,110,134),(15,134,162),
+    (16,162,196),(17,196,238),(18,238,288),(19,288,342),
+    (20,342,418),(21,418,576)
+  ) AS b(sfb, lo, hi)
+),
+vals AS (
+  SELECT cl.*, b.sfb, b.hi - b.lo AS width,
+         CASE
+           WHEN cl.line < 2 * cl.np
+             THEN ((cl.line * (3 + cl.ch) + cl.id + cl.granule) % 5) - 2
+           ELSE ((cl.id + cl.line + cl.granule + 2 * cl.ch) % 3) - 1
+         END AS c,
+         140 + cl.id % 40 + 10 * cl.granule + 5 * cl.ch AS gg
+  FROM chlines cl
+  JOIN bands b ON cl.line >= b.lo AND cl.line < b.hi
+),
+xr AS (
+  SELECT *, SIGN(c)
+         * POWER(ABS(c), 4.0 / 3.0)
+         * POWER(2.0, 0.25 * (gg - 210))
+         * POWER(2.0, -(0.5 * (scale + 1))
+                 * ((id + sfb + granule + 2 * ch) % 4)) AS x
+  FROM vals
+),
+pivoted AS (
+  SELECT id, k, granule, ms, line, sfb, width,
+         MAX(CASE WHEN ch = 0 THEN x END) AS x0,
+         MAX(CASE WHEN ch = 1 THEN x END) AS x1
+  FROM xr GROUP BY 1, 2, 3, 4, 5, 6, 7
+),
+outch AS (
+  SELECT id, granule, line, sfb, width, o.ch,
+         CASE WHEN ms = 0 AND o.ch = 0 THEN x0
+              WHEN ms = 0 THEN x1
+              WHEN o.ch = 0 THEN (x0 + x1) * POWER(2.0, -0.5)
+              ELSE (x0 - x1) * POWER(2.0, -0.5) END AS v
+  FROM pivoted CROSS JOIN (SELECT UNNEST([0, 1]) AS ch) o
+),
+agg AS (
+  SELECT id, granule, ch, sfb,
+         CAST(SUM(CASE WHEN v <> 0.0 THEN 1 ELSE 0 END) AS INT) AS nnz,
+         SUM(POWER(v, 2)) AS e
+  FROM outch GROUP BY 1, 2, 3, 4
+),
+grid AS (
+  SELECT p.id, p.granule, c.ch, b.sfb, b.hi - b.lo AS width
+  FROM p CROSS JOIN bands b
+  CROSS JOIN (SELECT UNNEST([0, 1]) AS ch) c
+)
+SELECT grid.id,
+       CAST(0 AS INT) AS frame,
+       CAST(grid.granule AS INT) AS granule,
+       CAST(grid.ch AS INT) AS channel,
+       CAST(grid.sfb AS INT) AS sfb,
+       CAST(-1 AS INT) AS window,
+       CAST(grid.width AS INT) AS width,
+       CAST(COALESCE(a.nnz, 0) AS INT) AS n_nonzero,
+       ROUND(SQRT(COALESCE(a.e, 0.0) / grid.width), 6) AS rms
+FROM grid
+LEFT JOIN agg a ON a.id = grid.id AND a.granule = grid.granule
+                AND a.ch = grid.ch AND a.sfb = grid.sfb
+"""
+
+
+@register("multimodal_mp3_stereo_spectrum", _MP3_STEREO_SQL)
+def multimodal_mp3_stereo_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Layer III STEREO decode end-to-end: build_mp3_layer3 fixtures
+    in plain-stereo / joint-MS rotation (k-parity) with per-channel
+    planted spectra (table-3 pairs, count1 quads, 21 scalefactors
+    under compress index 9) → two-channel side-info walk →
+    channel-minor main-data decode → requantize → M/S matrix where
+    the header's mode_extension demands it → per-band RMS per output
+    channel. scalefac_scale rotates so both exponent multipliers run;
+    no preemphasis keeps the oracle's exponent closed-form."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3_layer3,
+        decode_mp3_layer3_spectrum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 16
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                np_, nq = 3 + e % 3, 1 + k % 3
+                grans = []
+                for gr in range(2):
+                    chans = []
+                    for ch in range(2):
+                        pairs = [
+                            (
+                                ((2 * i) * (3 + ch) + e + gr) % 5 - 2,
+                                ((2 * i + 1) * (3 + ch) + e + gr) % 5
+                                - 2,
+                            )
+                            for i in range(np_)
+                        ]
+                        quads = [
+                            tuple(
+                                (
+                                    e + (2 * np_ + 4 * j + q)
+                                    + gr + 2 * ch
+                                ) % 3 - 1
+                                for q in range(4)
+                            )
+                            for j in range(nq)
+                        ]
+                        chans.append(
+                            dict(
+                                global_gain=140 + e % 40
+                                + 10 * gr + 5 * ch,
+                                scalefac_compress=9,
+                                scalefac=[
+                                    (e + b + gr + 2 * ch) % 4
+                                    for b in range(21)
+                                ],
+                                preflag=0,
+                                scalefac_scale=(k // 2) % 2,
+                                table=3,
+                                pairs=pairs,
+                                quads=quads,
+                                count1table="A" if gr == 0 else "B",
+                            )
+                        )
+                    grans.append(chans)
+                payloads.append(
+                    build_mp3_layer3(
+                        granules=grans,
+                        mode="stereo" if k % 2 == 0 else "joint_ms",
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                for r in decode_mp3_layer3_spectrum(bytes(blob)):
+                    rows.append({"id": rid, **r})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "frame", "granule", "channel", "sfb",
+                    "window", "width", "n_nonzero", "rms",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        decode,
+        schema=(
+            "id long, frame int, granule int, channel int, sfb int, "
+            "window int, width int, n_nonzero int, rms double"
         ),
     )

@@ -781,6 +781,57 @@ def pdf_images(
         w, h = int(wm.group(1)), int(hm.group(1))
         bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
         bpc = int(bm.group(1)) if bm else 8
+        names = _filter_names(head)
+        parms = _decode_parms(head, len(names))
+        if names and names[-1] in (b"CCITTFaxDecode", b"CCF"):
+            # scanned-document bitonal images (§7.4.6): transport
+            # filters unwrap first, then T.6 MMR decode; bilevel
+            # surfaces as 0/255 grayscale luma. /BlackIs1 does not
+            # change luma (it flips sample ENCODING; the runs decode
+            # to black/white either way). G3 (/K >= 0) and
+            # /EncodedByteAlign gate honestly.
+            if bpc != 1:
+                raise ValueError("CCITTFaxDecode needs /BitsPerComponent 1")
+            for nm, parm in zip(names[:-1], parms[:-1]):
+                data = _apply_pdf_filter(nm, parm, data, unpredict=True)
+            cparm = parms[-1]
+            km = re.search(rb"/K\s+(-?\d+)", cparm)
+            if km is None or int(km.group(1)) >= 0:
+                raise NotImplementedError(
+                    "CCITTFaxDecode /K >= 0 (Group 3)"
+                )
+            if re.search(rb"/EncodedByteAlign\s+true", cparm):
+                raise NotImplementedError(
+                    "CCITTFaxDecode /EncodedByteAlign"
+                )
+            cm_ = re.search(rb"/Columns\s+(\d+)", cparm)
+            cols = int(cm_.group(1)) if cm_ else 1728
+            rm_ = re.search(rb"/Rows\s+(\d+)", cparm)
+            rows_n = int(rm_.group(1)) if rm_ else h
+            if (cols, rows_n) != (w, h):
+                raise ValueError(
+                    "CCITT /Columns//Rows disagree with the image dict"
+                )
+            from ccgp_data_wrangling_spark.operators.media_codecs import (
+                decode_ccitt_g4,
+            )
+
+            black = decode_ccitt_g4(bytes(data), w, h)
+            lum = round(
+                float(np.where(black, 0.0, 255.0).mean()), 4
+            )
+            out.append(
+                {
+                    "obj": int(om.group(1)),
+                    "width": w,
+                    "height": h,
+                    "n_channels": 1,
+                    "codec": "g4",
+                    "channel_means": [lum],
+                    "luma_mean": lum,
+                }
+            )
+            continue
         if bpc != 8:
             raise NotImplementedError(f"{bpc}-bit PDF image samples")
         if re.search(rb"/ColorSpace\s*/DeviceRGB\b", head):
@@ -789,8 +840,6 @@ def pdf_images(
             ncomp = 1
         else:
             raise NotImplementedError("non-Device PDF image colorspace")
-        names = _filter_names(head)
-        parms = _decode_parms(head, len(names))
         codec = "raw"
         for i, (nm, parm) in enumerate(zip(names, parms)):
             if nm in (b"DCTDecode", b"DCT"):
@@ -1177,8 +1226,11 @@ def build_pdf(
     ``("dct", jpeg_bytes, w, h, n_channels)`` stores a JPEG stream
     behind /DCTDecode; ``("flate", px)`` (a uint8 (h,w) or (h,w,3)
     numpy array) stores Flate-compressed raw samples with the
-    matching /DeviceGray or /DeviceRGB colorspace. Each page's
-    content stream paints its images with ``Do`` operators.
+    matching /DeviceGray or /DeviceRGB colorspace; ``("g4", mask)``
+    (a boolean (h,w) black-mask) stores a CCITT Group 4 stream
+    behind /CCITTFaxDecode with ``/K -1`` (§7.4.6 — the
+    scanned-document layout). Each page's content stream paints its
+    images with ``Do`` operators.
     """
     objects: list[bytes] = []
     content_for = _content_for
@@ -1223,6 +1275,22 @@ def build_pdf(
                         b" /Width %d /Height %d /ColorSpace %s"
                         b" /BitsPerComponent 8 /Filter /FlateDecode"
                         b" /Length %d >>" % (iw, ih, cs, len(data))
+                    )
+                    body = head + b"\nstream\n" + data + b"\nendstream"
+                elif spec[0] == "g4":
+                    from ccgp_data_wrangling_spark.operators.media_codecs import (  # noqa: E501
+                        encode_ccitt_g4,
+                    )
+
+                    mask = spec[1]
+                    ih, iw = mask.shape
+                    data = encode_ccitt_g4(mask)
+                    head = (
+                        b"<< /Type /XObject /Subtype /Image"
+                        b" /Width %d /Height %d /ColorSpace /DeviceGray"
+                        b" /BitsPerComponent 1 /Filter /CCITTFaxDecode"
+                        b" /DecodeParms << /K -1 /Columns %d /Rows %d >>"
+                        b" /Length %d >>" % (iw, ih, iw, ih, len(data))
                     )
                     body = head + b"\nstream\n" + data + b"\nendstream"
                 else:

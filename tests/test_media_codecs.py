@@ -2142,10 +2142,15 @@ def test_mp3_layer3_sideinfo_and_spectrum():
     bad[4] = 0x80  # frame 0 claims 256 reservoir bytes that don't exist
     with _pytest.raises(ValueError, match="reservoir underflow"):
         decode_mp3_layer3_spectrum(bytes(bad))
+    # stereo PARSES now (r9) — a mono frame re-tagged stereo reads the
+    # 32-byte side-info layout and yields 2-channel records (the
+    # values are garbage since the bytes were laid out for mono, but
+    # the structure walk itself must not raise)
     stereo = bytearray(blob)
     stereo[3] &= 0x3F  # channel mode 00 = stereo
-    with _pytest.raises(NotImplementedError, match="stereo"):
-        parse_mp3_layer3_sideinfo(bytes(stereo))
+    assert {
+        s["channel"] for s in parse_mp3_layer3_sideinfo(bytes(stereo))
+    } == {0, 1}
     with _pytest.raises(ValueError, match="need 21"):
         build_mp3_layer3(granules=[dict(g1, scalefac=[0] * 5), g2])
     # an untranscribed Huffman table id in table_select
@@ -2230,3 +2235,293 @@ def test_mp4_fragmented_multi_trun_cursor():
         (1, 30, 0), (2, 40, 30),
     ]
     assert [r["dts"] for r in rows] == [0, 100]
+
+
+def test_ccitt_g4_roundtrip_and_modes():
+    """T.6 MMR codec: round-trip over patterns that force every mode
+    (pass / all seven vertical offsets / horizontal with terminating,
+    makeup and extended-makeup runs), plus degenerate all-white /
+    all-black rows and >2560-pixel runs chained through repeated max
+    makeups."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_ccitt_g4,
+        encode_ccitt_g4,
+    )
+
+    rng = np.random.default_rng(41)
+    cases = [
+        np.zeros((3, 10), bool),
+        np.ones((3, 10), bool),
+    ]
+    bar = np.zeros((4, 16), bool)
+    bar[:, 4:9] = True
+    cases.append(bar)  # pure V0 after row 1
+    stair = np.zeros((8, 32), bool)
+    for y in range(8):
+        stair[y, y : y + 9] = True  # VR/VL offsets ±1
+    cases.append(stair)
+    jump = np.zeros((6, 64), bool)
+    for y in range(6):
+        jump[y, 10 * y : 10 * y + 4] = True  # forces horizontal mode
+    cases.append(jump)
+    wide = np.zeros((3, 6000), bool)
+    wide[:, 100:5900] = True  # extended makeups + 2560-chaining
+    cases.append(wide)
+    dots = np.zeros((5, 40), bool)
+    dots[::2, ::2] = True  # dense change elements, pass mode
+    cases.append(dots)
+    for _ in range(8):  # adversarial noise
+        h, w = int(rng.integers(1, 20)), int(rng.integers(1, 90))
+        cases.append(rng.random((h, w)) < rng.random())
+    for i, img in enumerate(cases):
+        enc = encode_ccitt_g4(img)
+        dec = decode_ccitt_g4(enc, img.shape[1], img.shape[0])
+        assert (dec == img).all(), f"case {i}"
+    # a mostly-white page compresses by orders of magnitude
+    page = np.zeros((200, 1728), bool)
+    page[50:60, 100:1600] = True
+    assert len(encode_ccitt_g4(page)) < 200 * 1728 // 8 / 100
+
+
+def test_ccitt_g4_honest_gates():
+    import numpy as np
+    import pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_ccitt_g4,
+    )
+
+    # the 2-D extension escape (T.6 §2.2.4) gates honestly
+    with pytest.raises(NotImplementedError, match="extension"):
+        decode_ccitt_g4(bytes([0b00000010, 0]), 8, 1)
+    # garbage that matches no mode code fails loudly
+    with pytest.raises(ValueError, match="mode code"):
+        decode_ccitt_g4(bytes([0b00000000, 0]), 8, 1)
+
+
+def test_tiff_g4_bilevel_roundtrip():
+    """TIFF Compression=4: bilevel strips decode with an all-white
+    reference at STRIP starts (TIFF 6.0 §11), in both byte orders,
+    surfacing 0/255 grayscale luma."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    img = np.zeros((18, 40), bool)
+    img[2:9, 5:30] = True
+    img[12:17, 0:40:2] = True
+    want = round(float(np.where(img, 0, 255).mean()), 4)
+    for bo in ("II", "MM"):
+        for rps in (None, 4, 7):
+            m = decode_tiff(
+                encode_tiff(
+                    img, byte_order=bo, rows_per_strip=rps,
+                    compression="g4",
+                )
+            )
+            assert (
+                m["width"], m["height"], m["n_channels"],
+                m["bit_depth"], m["compression"], m["luma_mean"],
+            ) == (40, 18, 1, 1, 4, want), (bo, rps)
+
+
+def test_pdf_g4_image_extraction():
+    """CCITTFaxDecode (/K -1) image XObjects: embed → extract →
+    black-fraction luma; G3 (/K 0) and /EncodedByteAlign gate."""
+    import numpy as np
+    import pytest
+
+    from ccgp_data_wrangling_spark.sources.pdf import (
+        build_pdf,
+        extract_pdf_pages,
+        pdf_images,
+    )
+
+    mask = np.zeros((10, 30), bool)
+    mask[2:8, 5:25] = True
+    blob = build_pdf(
+        [["scan caption"]], page_images=[[("g4", mask)]]
+    )
+    assert extract_pdf_pages(blob) == ["scan caption"]
+    got = pdf_images(blob)
+    want = round(float(np.where(mask, 0.0, 255.0).mean()), 4)
+    assert [(g["codec"], g["width"], g["height"], g["n_channels"],
+             g["luma_mean"]) for g in got] == [("g4", 30, 10, 1, want)]
+    with pytest.raises(NotImplementedError, match="Group 3"):
+        pdf_images(blob.replace(b"/K -1", b"/K 0 ", 1))
+    with pytest.raises(NotImplementedError, match="EncodedByteAlign"):
+        pdf_images(
+            blob.replace(
+                b"/K -1", b"/K -1 /EncodedByteAlign true", 1
+            )
+        )
+
+
+def test_mp3_layer3_stereo_and_ms():
+    """Two-channel Layer III: the 32-byte side-info layout parses per
+    (granule, channel); plain stereo requantizes the channels
+    independently; joint stereo applies the full-spectrum M/S matrix
+    L=(M+S)/√2, R=(M−S)/√2 (§2.4.3.4.9.2); intensity stereo gates."""
+    import math
+
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3_layer3,
+        decode_mp3_layer3_spectrum,
+        parse_mp3_layer3_sideinfo,
+    )
+
+    def long_g(gg, sfv, pairs, quads, **kw):
+        return dict(
+            global_gain=gg, scalefac_compress=9, scalefac=[sfv] * 21,
+            preflag=0, scalefac_scale=0, table=3, pairs=pairs,
+            quads=quads, count1table="A", **kw,
+        )
+
+    gl = long_g(160, 1, [(1, -2), (0, 2)], [(1, 0, -1, 1)])
+    gr_ = long_g(150, 2, [(2, 1)], [(0, 1, 1, 0)])
+    blob = build_mp3_layer3(granules=[[gl, gr_], [gl, gr_]], mode="stereo")
+    si = parse_mp3_layer3_sideinfo(blob)
+    assert {(s["granule"], s["channel"]) for s in si} == {
+        (0, 0), (0, 1), (1, 0), (1, 1),
+    }
+    assert all(s["mode"] == 0 for s in si)
+    rows = decode_mp3_layer3_spectrum(blob)
+    assert len(rows) == 2 * 2 * 22
+
+    def xr(v, gg, sf):
+        return (abs(v) ** (4 / 3)) * 2.0 ** (0.25 * (gg - 210)) \
+            * 2.0 ** (-0.5 * sf)
+
+    vals0, vals1 = [1, -2, 0, 2], [2, 1, 0, 1]
+    r0 = next(
+        r for r in rows
+        if (r["granule"], r["channel"], r["sfb"]) == (0, 0, 0)
+    )
+    assert r0["rms"] == round(
+        math.sqrt(sum(xr(v, 160, 1) ** 2 for v in vals0) / 4), 6
+    )
+    assert r0["n_nonzero"] == 3 and r0["window"] == -1
+    r1 = next(
+        r for r in rows
+        if (r["granule"], r["channel"], r["sfb"]) == (0, 1, 0)
+    )
+    assert r1["rms"] == round(
+        math.sqrt(sum(xr(v, 150, 2) ** 2 for v in vals1) / 4), 6
+    )
+
+    # M/S: left channel of the matrixed output
+    ms = build_mp3_layer3(granules=[[gl, gr_], [gl, gr_]], mode="joint_ms")
+    mrows = decode_mp3_layer3_spectrum(ms)
+    m = [xr(v, 160, 1) * (1 if v >= 0 else -1) for v in vals0]
+    s_ = [xr(v, 150, 2) * (1 if v >= 0 else -1) for v in vals1]
+    left = [(a + b) * 2.0 ** -0.5 for a, b in zip(m, s_)]
+    rl = next(
+        r for r in mrows
+        if (r["granule"], r["channel"], r["sfb"]) == (0, 0, 0)
+    )
+    assert rl["rms"] == round(
+        math.sqrt(sum(x * x for x in left) / 4), 6
+    )
+    # intensity stereo gates (mode_extension bit 0)
+    bad = bytearray(ms)
+    bad[3] |= 0x10
+    with _pytest.raises(NotImplementedError, match="intensity"):
+        decode_mp3_layer3_spectrum(bytes(bad))
+
+
+def test_mp3_layer3_short_blocks():
+    """block_type 2: short scalefactors (12 bands × 3 windows, slen1/
+    slen2 halves), window-interleaved spectrum, per-window
+    subblock_gain in the requant exponent, no preemphasis; scfsi over
+    a short granule raises; rows carry (sfb, window) at short-band
+    granularity."""
+    import math
+
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _L3_SFB_SHORT,
+        build_mp3_layer3,
+        decode_mp3_layer3_spectrum,
+    )
+
+    gsh = dict(
+        global_gain=170, scalefac_compress=9,
+        scalefac_short=[[1, 2, 0]] * 6 + [[0, 1, 2]] * 6,
+        block_type=2, subblock_gain=[0, 1, 2], table=3,
+        pairs=[(1, -1), (2, 0), (0, -2)], quads=[(1, -1, 0, 1)],
+        scalefac_scale=0, count1table="A",
+    )
+    blob = build_mp3_layer3(granules=[gsh, gsh])
+    rows = decode_mp3_layer3_spectrum(blob)
+    short0 = [r for r in rows if r["granule"] == 0]
+    assert len(short0) == 13 * 3  # 13 short bands × 3 windows
+    assert _L3_SFB_SHORT[44100][-1] == 192
+    vals = [1, -1, 2, 0, 0, -2, 1, -1, 0, 1] + [0] * 26
+
+    def xr(v, sfw, sbg):
+        return (abs(v) ** (4 / 3)) \
+            * 2.0 ** (0.25 * (170 - 210 - 8 * sbg)) \
+            * 2.0 ** (-0.5 * sfw)
+
+    # band 0 (width 4) interleaves: win0 lines 0-3, win1 4-7, win2 8-11
+    for win, sfw, sbg, seg in (
+        (0, 1, 0, vals[0:4]), (1, 2, 1, vals[4:8]), (2, 0, 2, vals[8:12]),
+    ):
+        r = next(
+            x for x in short0 if x["sfb"] == 0 and x["window"] == win
+        )
+        assert r["rms"] == round(
+            math.sqrt(sum(xr(v, sfw, sbg) ** 2 for v in seg) / 4), 6
+        ), win
+        assert r["width"] == 4
+    # scfsi over a short granule is refused by the writer (and would
+    # raise in the decoder too — the spec forbids the combination)
+    with _pytest.raises(ValueError, match="scfsi"):
+        build_mp3_layer3(
+            frames=[{"granules": [gsh, gsh], "scfsi": 8}]
+        )
+
+
+def test_mp3_layer3_stereo_short_reservoir_compose():
+    """The three r9 features compose: a stereo stream whose granules
+    mix short- and long-block channels, packed through the bit
+    reservoir across two frames, decodes frame-identically."""
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3_layer3,
+        decode_mp3_layer3_spectrum,
+    )
+
+    gl = dict(
+        global_gain=160, scalefac_compress=9, scalefac=[1] * 21,
+        preflag=0, scalefac_scale=0, table=3,
+        pairs=[(1, -2), (0, 2)], quads=[(1, 0, -1, 1)],
+        count1table="A",
+    )
+    gsh = dict(
+        global_gain=170, scalefac_compress=9,
+        scalefac_short=[[1, 2, 0]] * 6 + [[0, 1, 2]] * 6,
+        block_type=2, subblock_gain=[0, 1, 2], table=3,
+        pairs=[(1, -1)], quads=[(0, 1, 0, -1)],
+        scalefac_scale=1, count1table="B",
+    )
+    blob = build_mp3_layer3(
+        frames=[{"granules": [[gsh, gl], [gl, gsh]]}] * 2,
+        bitrate_kbps=64, reservoir=True, mode="stereo",
+    )
+    rows = decode_mp3_layer3_spectrum(blob)
+    key = lambda r: (r["granule"], r["channel"], r["sfb"], r["window"])  # noqa: E731
+    f0 = sorted(
+        ((key(r), r["rms"]) for r in rows if r["frame"] == 0)
+    )
+    f1 = sorted(
+        ((key(r), r["rms"]) for r in rows if r["frame"] == 1)
+    )
+    assert f0 == f1 and len(f0) == 2 * (13 * 3 + 22)
