@@ -163,6 +163,7 @@ HEADLINE = [
     "pdf_g4_image_extract",
     "multimodal_mp3_stereo_spectrum",
     "multimodal_mp3_shortblock_spectrum",
+    "multimodal_webm_keyframes",
 ]
 
 

@@ -5413,3 +5413,397 @@ def build_mp3(
     if id3v1:
         out += b"TAG" + bytes(125)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# WebM / Matroska (EBML) — the other half of real web video next to
+# MP4: an EBML varint walk (RFC 8794) over Segment → Info / Tracks /
+# Cluster, surfacing container metadata and per-block keyframe byte
+# ranges WITHOUT any codec — the same filter-before-decode shape as
+# mp4_sample_table. SimpleBlock keyframes come from the 0x80 flag
+# bit; BlockGroup keyframes from the ABSENCE of a ReferenceBlock
+# sibling (Matroska semantics). Lacing and unknown-size elements
+# gate honestly.
+# ---------------------------------------------------------------------------
+
+_EBML_IDS = {
+    "ebml": 0x1A45DFA3, "doctype": 0x4282, "segment": 0x18538067,
+    "info": 0x1549A966, "timestamp_scale": 0x2AD7B1, "duration": 0x4489,
+    "tracks": 0x1654AE6B, "track_entry": 0xAE, "track_number": 0xD7,
+    "track_type": 0x83, "codec_id": 0x86, "video": 0xE0,
+    "pixel_width": 0xB0, "pixel_height": 0xBA, "audio": 0xE1,
+    "cluster": 0x1F43B675, "cluster_ts": 0xE7, "simple_block": 0xA3,
+    "block_group": 0xA0, "block": 0xA1, "reference_block": 0xFB,
+    "void": 0xEC,
+}
+
+
+def _ebml_vint(buf: bytes, pos: int, *, keep_marker: bool) -> tuple[int, int]:
+    """Read one EBML variable-length integer at ``pos`` (RFC 8794
+    §4): the count of leading zero bits in the first byte gives the
+    total width; element IDs keep the marker bit, sizes strip it.
+    Returns (value, width)."""
+    if pos >= len(buf):
+        raise ValueError("EBML varint past end of buffer")
+    first = buf[pos]
+    if first == 0:
+        raise ValueError("invalid EBML varint (>8 bytes)")
+    width = 9 - first.bit_length()
+    if pos + width > len(buf):
+        raise ValueError("truncated EBML varint")
+    val = int.from_bytes(buf[pos : pos + width], "big")
+    if not keep_marker:
+        marker_bits = 7 * width
+        val &= (1 << marker_bits) - 1
+        if val == (1 << marker_bits) - 1:
+            raise NotImplementedError("unknown-size EBML element")
+    return val, width
+
+
+def _ebml_elements(buf: bytes, start: int, end: int):
+    """Yield (element_id, data_start, data_end) for the children of a
+    master element's span."""
+    pos = start
+    while pos < end:
+        eid, idw = _ebml_vint(buf, pos, keep_marker=True)
+        size, szw = _ebml_vint(buf, pos + idw, keep_marker=False)
+        data_start = pos + idw + szw
+        data_end = data_start + size
+        if data_end > end:
+            raise ValueError("EBML element escapes its parent")
+        yield eid, data_start, data_end
+        pos = data_end
+
+
+def _ebml_uint(buf: bytes, s: int, e: int) -> int:
+    return int.from_bytes(buf[s:e], "big")
+
+
+def parse_webm(payload: bytes) -> dict[str, Any]:
+    """Container metadata: doctype, timestamp scale (ns per tick,
+    default 1,000,000), duration in seconds, and one dict per
+    TrackEntry (number, type video/audio, codec id, pixel
+    dimensions)."""
+    it = _ebml_elements(payload, 0, len(payload))
+    eid, s, e = next(it)
+    if eid != _EBML_IDS["ebml"]:
+        raise ValueError("not an EBML stream (missing header)")
+    doctype = ""
+    for ceid, cs, ce in _ebml_elements(payload, s, e):
+        if ceid == _EBML_IDS["doctype"]:
+            doctype = payload[cs:ce].decode("ascii")
+    eid, s, e = next(it)
+    if eid != _EBML_IDS["segment"]:
+        raise ValueError("EBML header not followed by a Segment")
+    scale = 1_000_000
+    duration_ticks: float | None = None
+    tracks: list[dict[str, Any]] = []
+    for ceid, cs, ce in _ebml_elements(payload, s, e):
+        if ceid == _EBML_IDS["info"]:
+            for ieid, is_, ie in _ebml_elements(payload, cs, ce):
+                if ieid == _EBML_IDS["timestamp_scale"]:
+                    scale = _ebml_uint(payload, is_, ie)
+                elif ieid == _EBML_IDS["duration"]:
+                    import struct as _struct
+
+                    raw = payload[is_:ie]
+                    duration_ticks = (
+                        _struct.unpack(">f", raw)[0]
+                        if len(raw) == 4
+                        else _struct.unpack(">d", raw)[0]
+                    )
+        elif ceid == _EBML_IDS["tracks"]:
+            for teid, ts, te in _ebml_elements(payload, cs, ce):
+                if teid != _EBML_IDS["track_entry"]:
+                    continue
+                tr: dict[str, Any] = {
+                    "number": None, "type": None, "codec": None,
+                    "width": None, "height": None,
+                }
+                for feid, fs, fe in _ebml_elements(payload, ts, te):
+                    if feid == _EBML_IDS["track_number"]:
+                        tr["number"] = _ebml_uint(payload, fs, fe)
+                    elif feid == _EBML_IDS["track_type"]:
+                        t = _ebml_uint(payload, fs, fe)
+                        tr["type"] = {1: "video", 2: "audio"}.get(
+                            t, str(t)
+                        )
+                    elif feid == _EBML_IDS["codec_id"]:
+                        tr["codec"] = payload[fs:fe].decode("ascii")
+                    elif feid == _EBML_IDS["video"]:
+                        for veid, vs, ve in _ebml_elements(
+                            payload, fs, fe
+                        ):
+                            if veid == _EBML_IDS["pixel_width"]:
+                                tr["width"] = _ebml_uint(
+                                    payload, vs, ve
+                                )
+                            elif veid == _EBML_IDS["pixel_height"]:
+                                tr["height"] = _ebml_uint(
+                                    payload, vs, ve
+                                )
+                tracks.append(tr)
+    return {
+        "doctype": doctype,
+        "timestamp_scale": scale,
+        "duration_sec": (
+            round(duration_ticks * scale / 1e9, 6)
+            if duration_ticks is not None
+            else None
+        ),
+        "tracks": tracks,
+    }
+
+
+def _webm_block_header(
+    payload: bytes, s: int, e: int
+) -> tuple[int, int, int, int]:
+    """(track, rel_ts, flags, frame_data_start) of a (Simple)Block."""
+    track, tw = _ebml_vint(payload, s, keep_marker=False)
+    if s + tw + 3 > e:
+        raise ValueError("truncated block header")
+    rel = int.from_bytes(payload[s + tw : s + tw + 2], "big", signed=True)
+    flags = payload[s + tw + 2]
+    if flags & 0x06:
+        raise NotImplementedError("WebM block lacing")
+    return track, rel, flags, s + tw + 3
+
+
+def webm_blocks(payload: bytes) -> list[dict[str, Any]]:
+    """One row per (Simple)Block across all Clusters: track, cluster
+    index, timestamps (ticks and seconds), the KEYFRAME flag
+    (SimpleBlock bit 0x80, or no-ReferenceBlock for BlockGroup), and
+    the frame payload's absolute byte range — the screening layer
+    that lets a 100 TB pipeline fetch only keyframe ranges for
+    thumbnailing, exactly like mp4_sample_table's."""
+    meta = parse_webm(payload)
+    scale = meta["timestamp_scale"]
+    it = _ebml_elements(payload, 0, len(payload))
+    next(it)  # EBML header (validated by parse_webm)
+    _eid, seg_s, seg_e = next(it)
+    out: list[dict[str, Any]] = []
+    cluster_idx = -1
+    for ceid, cs, ce in _ebml_elements(payload, seg_s, seg_e):
+        if ceid != _EBML_IDS["cluster"]:
+            continue
+        cluster_idx += 1
+        cluster_ts = 0
+        for beid, bs, be in _ebml_elements(payload, cs, ce):
+            if beid == _EBML_IDS["cluster_ts"]:
+                cluster_ts = _ebml_uint(payload, bs, be)
+            elif beid == _EBML_IDS["simple_block"]:
+                track, rel, flags, ds = _webm_block_header(
+                    payload, bs, be
+                )
+                out.append(
+                    {
+                        "track": track,
+                        "cluster": cluster_idx,
+                        "ts_ticks": cluster_ts + rel,
+                        "time_sec": round(
+                            (cluster_ts + rel) * scale / 1e9, 6
+                        ),
+                        "keyframe": bool(flags & 0x80),
+                        "offset": ds,
+                        "size": be - ds,
+                    }
+                )
+            elif beid == _EBML_IDS["block_group"]:
+                block = None
+                has_ref = False
+                for geid, gs, ge in _ebml_elements(payload, bs, be):
+                    if geid == _EBML_IDS["block"]:
+                        block = (gs, ge)
+                    elif geid == _EBML_IDS["reference_block"]:
+                        has_ref = True
+                if block is None:
+                    raise ValueError("BlockGroup without a Block")
+                track, rel, _flags, ds = _webm_block_header(
+                    payload, *block
+                )
+                out.append(
+                    {
+                        "track": track,
+                        "cluster": cluster_idx,
+                        "ts_ticks": cluster_ts + rel,
+                        "time_sec": round(
+                            (cluster_ts + rel) * scale / 1e9, 6
+                        ),
+                        "keyframe": not has_ref,
+                        "offset": ds,
+                        "size": block[1] - ds,
+                    }
+                )
+    # byte ranges must land inside the file (mirrors the mp4 check)
+    for r in out:
+        if r["offset"] + r["size"] > len(payload):
+            raise ValueError("WebM block range escapes the file")
+    return out
+
+
+def _ebml_encode_vint(value: int, *, min_width: int = 1) -> bytes:
+    """Encode a size/track VINT with the marker bit."""
+    for width in range(min_width, 9):
+        if value < (1 << (7 * width)) - 1:  # all-ones = unknown size
+            return (value | (1 << (7 * width))).to_bytes(width, "big")
+    raise ValueError("EBML varint overflow")
+
+
+def _ebml_el(eid: int, data: bytes) -> bytes:
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    return idb + _ebml_encode_vint(len(data)) + data
+
+
+def _ebml_uint_el(eid: int, v: int) -> bytes:
+    return _ebml_el(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
+
+
+def build_webm(
+    *,
+    tracks: list[dict[str, Any]],
+    clusters: list[dict[str, Any]],
+    timestamp_scale: int = 1_000_000,
+    duration_ticks: float | None = None,
+    doctype: str = "webm",
+) -> bytes:
+    """Fixture writer: EBML header + Segment(Info, Tracks, Clusters).
+    ``tracks``: dicts with number, type ('video'/'audio'), codec, and
+    width/height for video. ``clusters``: dicts with ``timestamp``
+    (ticks) and ``blocks`` — tuples ``(track, rel_ts, keyframe,
+    payload)``; a dict entry with ``group=True`` writes a BlockGroup
+    (keyframe = omit ReferenceBlock) instead of a SimpleBlock."""
+    import struct as _struct
+
+    head = _ebml_el(
+        _EBML_IDS["ebml"],
+        _ebml_uint_el(0x4286, 1)        # EBMLVersion
+        + _ebml_uint_el(0x42F7, 1)      # EBMLReadVersion
+        + _ebml_uint_el(0x42F2, 4)      # EBMLMaxIDLength
+        + _ebml_uint_el(0x42F3, 8)      # EBMLMaxSizeLength
+        + _ebml_el(_EBML_IDS["doctype"], doctype.encode("ascii"))
+        + _ebml_uint_el(0x4287, 4)      # DocTypeVersion
+        + _ebml_uint_el(0x4285, 2),     # DocTypeReadVersion
+    )
+    info = _ebml_uint_el(_EBML_IDS["timestamp_scale"], timestamp_scale)
+    if duration_ticks is not None:
+        info += _ebml_el(
+            _EBML_IDS["duration"],
+            _struct.pack(">d", float(duration_ticks)),
+        )
+    seg = _ebml_el(_EBML_IDS["info"], info)
+    tr_payload = b""
+    for t in tracks:
+        entry = (
+            _ebml_uint_el(_EBML_IDS["track_number"], t["number"])
+            + _ebml_uint_el(
+                _EBML_IDS["track_type"],
+                {"video": 1, "audio": 2}[t["type"]],
+            )
+            + _ebml_el(
+                _EBML_IDS["codec_id"], t["codec"].encode("ascii")
+            )
+        )
+        if t["type"] == "video":
+            entry += _ebml_el(
+                _EBML_IDS["video"],
+                _ebml_uint_el(_EBML_IDS["pixel_width"], t["width"])
+                + _ebml_uint_el(_EBML_IDS["pixel_height"], t["height"]),
+            )
+        tr_payload += _ebml_el(_EBML_IDS["track_entry"], entry)
+    seg += _ebml_el(_EBML_IDS["tracks"], tr_payload)
+    for cl in clusters:
+        body = _ebml_uint_el(_EBML_IDS["cluster_ts"], cl["timestamp"])
+        for blk in cl["blocks"]:
+            if isinstance(blk, dict):
+                track, rel, key, data = (
+                    blk["track"], blk["rel_ts"], blk["keyframe"],
+                    blk["payload"],
+                )
+                group = blk.get("group", False)
+            else:
+                track, rel, key, data = blk
+                group = False
+            hdr = (
+                _ebml_encode_vint(track)
+                + rel.to_bytes(2, "big", signed=True)
+            )
+            if group:
+                inner = _ebml_el(
+                    _EBML_IDS["block"], hdr + b"\x00" + data
+                )
+                if not key:
+                    inner += _ebml_el(
+                        _EBML_IDS["reference_block"],
+                        (-1 & 0xFF).to_bytes(1, "big"),
+                    )
+                body += _ebml_el(_EBML_IDS["block_group"], inner)
+            else:
+                flags = 0x80 if key else 0x00
+                body += _ebml_el(
+                    _EBML_IDS["simple_block"],
+                    hdr + bytes([flags]) + data,
+                )
+        seg += _ebml_el(_EBML_IDS["cluster"], body)
+    return head + _ebml_el(_EBML_IDS["segment"], seg)
+
+
+def mp4_split_segments(payload: bytes) -> tuple[bytes, list[bytes]]:
+    """Split a fragmented ISO-BMFF file into DASH-style pieces: the
+    INIT segment (everything up to the first moof — ftyp + moov, ISO
+    23009-1 §6.3.3) and one MEDIA segment per moof (the moof plus its
+    following boxes through the next moof). Segments produced this
+    way are relocatable only when fragments use default-base-is-moof
+    (the CMAF layout) — an explicit 64-bit base-data-offset points
+    into the ORIGINAL file and is refused here rather than silently
+    emitting segments whose offsets dangle."""
+    cuts: list[int] = []
+    pos = 0
+    while pos + 8 <= len(payload):  # top-level walk keeping box STARTS
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = len(payload) - pos
+        if size < 8 or pos + size > len(payload):
+            raise ValueError(f"invalid MP4 box size at byte {pos}")
+        if typ == b"moof":
+            cuts.append(pos)
+            for bt, bs, be in _mp4_boxes(payload, body, pos + size):
+                if bt != b"traf":
+                    continue
+                for tt, ts_, _te in _mp4_boxes(payload, bs, be):
+                    if tt == b"tfhd":
+                        flags = int.from_bytes(
+                            payload[ts_ + 1 : ts_ + 4], "big"
+                        )
+                        if flags & 0x1:  # base-data-offset present
+                            raise ValueError(
+                                "explicit base-data-offset fragments "
+                                "are not relocatable into DASH "
+                                "segments"
+                            )
+        pos += size
+    if not cuts:
+        raise ValueError("no moof boxes: not a fragmented MP4")
+    init = payload[: cuts[0]]
+    segs = [
+        payload[cuts[i] : cuts[i + 1] if i + 1 < len(cuts) else len(payload)]
+        for i in range(len(cuts))
+    ]
+    return init, segs
+
+
+def mp4_segment_table(
+    init: bytes, segment: bytes
+) -> list[dict[str, Any]]:
+    """Sample rows for ONE media segment given its init segment: the
+    concatenation init+segment IS a conformant fragmented file (the
+    init carries ftyp + moov with empty sample tables + mvex), so the
+    existing fragment walker runs unchanged — per-segment incremental
+    processing without ever materializing the whole presentation.
+    ``chunk`` (the mfhd sequence number) orders segments globally, so
+    (track, chunk, sample) is a stable cross-segment key."""
+    return mp4_sample_table(init + segment)

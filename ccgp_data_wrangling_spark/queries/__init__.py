@@ -55,6 +55,7 @@ _PRIORITY: list[str] = [
     "pdf_g4_image_extract",
     "multimodal_mp3_shortblock_spectrum",
     "multimodal_mp3_stereo_spectrum",
+    "multimodal_webm_keyframes",
     "bloom_prefilter_revenue",
     "dsir_target_select",
     "semantic_dedup_planted",

@@ -5702,3 +5702,158 @@ def multimodal_mp3_stereo_spectrum(
             "window int, width int, n_nonzero int, rms double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# WebM keyframe ranges through the driver gate — the EBML half of
+# real web video (RFC 8794 + Matroska): Segment → Tracks → Cluster →
+# SimpleBlock / BlockGroup walk, surfacing per-block keyframe flags
+# and byte ranges with NO codec, the same screening shape as
+# multimodal_mp4_keyframes. Fixtures rotate SimpleBlock vs BlockGroup
+# carriage (where keyframe = no ReferenceBlock) and an optional audio
+# track; every field is event arithmetic, so the oracle replays the
+# construction with generate_series and no parser. Byte offsets are
+# layout-dependent and byte-verified in tests/test_media_codecs.py.
+# ---------------------------------------------------------------------------
+
+_WEBM_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k, 3 + event_id % 4 AS n
+  FROM events WHERE event_id % 20 = 17
+),
+c AS (
+  SELECT id, k, UNNEST(generate_series(0, n - 1)) AS cluster FROM g
+),
+rows_ AS (
+  SELECT id, k, cluster, 1 AS track, cluster * 1000 AS ts,
+         (cluster % 3 = 0) AS keyframe,
+         CAST(20 + (id + cluster) % 30 AS INT) AS size
+  FROM c
+  UNION ALL
+  SELECT id, k, cluster, 1, cluster * 1000 + 33, FALSE,
+         CAST(5 + (id + cluster) % 7 AS INT)
+  FROM c
+  UNION ALL
+  SELECT id, k, cluster, 2, cluster * 1000 + 5, TRUE,
+         CAST(3 + (id + cluster) % 5 AS INT)
+  FROM c WHERE k % 2 = 1
+)
+SELECT id,
+       CAST(cluster AS INT) AS cluster,
+       CAST(track AS INT) AS track,
+       CAST(ts AS BIGINT) AS ts_ticks,
+       ROUND(ts / 1000.0, 6) AS time_sec,
+       keyframe,
+       size
+FROM rows_
+"""
+
+
+@register("multimodal_webm_keyframes", _WEBM_SQL)
+def multimodal_webm_keyframes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EBML container walk end-to-end: build_webm fixtures (VP9 video
+    track, optional Opus audio on k-parity, per-cluster key/delta
+    blocks; k%2==0 carries video frames as BlockGroups whose
+    keyframes are signalled by ReferenceBlock ABSENCE, k%2==1 as
+    SimpleBlocks with the 0x80 flag) → operators/media_codecs
+    webm_blocks → one row per block with keyframe flag and timing.
+    Two Arrow stages; codec payloads are opaque by design."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_webm,
+        webm_blocks,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 17
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                n = 3 + e % 4
+                group = k % 2 == 0
+                tracks = [
+                    {
+                        "number": 1, "type": "video", "codec": "V_VP9",
+                        "width": 640, "height": 360,
+                    }
+                ]
+                if k % 2 == 1:
+                    tracks.append(
+                        {"number": 2, "type": "audio", "codec": "A_OPUS"}
+                    )
+                clusters = []
+                for c in range(n):
+                    blocks: list = [
+                        {
+                            "track": 1, "rel_ts": 0,
+                            "keyframe": c % 3 == 0,
+                            "payload": b"v" * (20 + (e + c) % 30),
+                            "group": group,
+                        },
+                        {
+                            "track": 1, "rel_ts": 33,
+                            "keyframe": False,
+                            "payload": b"d" * (5 + (e + c) % 7),
+                            "group": group,
+                        },
+                    ]
+                    if k % 2 == 1:
+                        blocks.append(
+                            (2, 5, True, b"a" * (3 + (e + c) % 5))
+                        )
+                    clusters.append(
+                        {"timestamp": c * 1000, "blocks": blocks}
+                    )
+                payloads.append(
+                    build_webm(
+                        tracks=tracks, clusters=clusters,
+                        duration_ticks=float(n * 1000),
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                for r in webm_blocks(bytes(blob)):
+                    rows.append(
+                        {
+                            "id": rid,
+                            "cluster": r["cluster"],
+                            "track": r["track"],
+                            "ts_ticks": r["ts_ticks"],
+                            "time_sec": r["time_sec"],
+                            "keyframe": r["keyframe"],
+                            "size": r["size"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "cluster", "track", "ts_ticks", "time_sec",
+                    "keyframe", "size",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        walk,
+        schema=(
+            "id long, cluster int, track int, ts_ticks bigint, "
+            "time_sec double, keyframe boolean, size int"
+        ),
+    )

@@ -2525,3 +2525,101 @@ def test_mp3_layer3_stereo_short_reservoir_compose():
         ((key(r), r["rms"]) for r in rows if r["frame"] == 1)
     )
     assert f0 == f1 and len(f0) == 2 * (13 * 3 + 22)
+
+
+def test_webm_container_walk():
+    """EBML walk (RFC 8794 + Matroska): header/doctype, Info
+    (timestamp scale, duration), TrackEntry fields, and per-block
+    rows from both carriage forms — SimpleBlock (0x80 keyframe flag)
+    and BlockGroup (keyframe = no ReferenceBlock) — with byte ranges
+    verified against the actual payload bytes."""
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_webm,
+        parse_webm,
+        webm_blocks,
+    )
+
+    blob = build_webm(
+        tracks=[
+            {"number": 1, "type": "video", "codec": "V_VP9",
+             "width": 640, "height": 360},
+            {"number": 2, "type": "audio", "codec": "A_OPUS"},
+        ],
+        clusters=[
+            {"timestamp": 0, "blocks": [
+                (1, 0, True, b"kf0data"), (2, 5, True, b"aud"),
+                (1, 33, False, b"p1"),
+            ]},
+            {"timestamp": 1000, "blocks": [
+                {"track": 1, "rel_ts": 0, "keyframe": True,
+                 "payload": b"kf1", "group": True},
+                {"track": 1, "rel_ts": 33, "keyframe": False,
+                 "payload": b"p2", "group": True},
+            ]},
+        ],
+        duration_ticks=2000.0,
+    )
+    m = parse_webm(blob)
+    assert m["doctype"] == "webm"
+    assert m["timestamp_scale"] == 1_000_000
+    assert m["duration_sec"] == 2.0
+    assert m["tracks"][0] == {
+        "number": 1, "type": "video", "codec": "V_VP9",
+        "width": 640, "height": 360,
+    }
+    assert m["tracks"][1]["type"] == "audio"
+    rows = webm_blocks(blob)
+    assert [
+        (r["track"], r["cluster"], r["ts_ticks"], r["keyframe"],
+         r["size"]) for r in rows
+    ] == [
+        (1, 0, 0, True, 7), (2, 0, 5, True, 3), (1, 0, 33, False, 2),
+        (1, 1, 1000, True, 3), (1, 1, 1033, False, 2),
+    ]
+    # byte ranges slice the real frame payloads
+    assert blob[rows[0]["offset"]:][: rows[0]["size"]] == b"kf0data"
+    assert blob[rows[3]["offset"]:][: rows[3]["size"]] == b"kf1"
+    assert rows[3]["time_sec"] == 1.0  # 1000 ticks × 1 ms/tick
+
+
+def test_webm_honest_gates():
+    import pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _EBML_IDS,
+        _ebml_el,
+        _ebml_encode_vint,
+        build_webm,
+        parse_webm,
+        webm_blocks,
+    )
+
+    with pytest.raises(ValueError, match="varint"):
+        parse_webm(b"\x00\x00\x00\x00")  # 0x00 first byte: >8-byte VINT
+    with pytest.raises(ValueError, match="not an EBML"):
+        parse_webm(_ebml_el(0x1A45DFA4, b""))  # wrong top-level id
+    blob = build_webm(
+        tracks=[{"number": 1, "type": "video", "codec": "V_VP8",
+                 "width": 8, "height": 8}],
+        clusters=[{"timestamp": 0, "blocks": [(1, 0, True, b"xy")]}],
+    )
+    # lacing bits in a SimpleBlock gate honestly
+    laced = blob.replace(
+        bytes([0x81, 0, 0, 0x80]) + b"xy",
+        bytes([0x81, 0, 0, 0x86]) + b"xy",
+    )
+    assert laced != blob
+    with pytest.raises(NotImplementedError, match="lacing"):
+        webm_blocks(laced)
+    # unknown-size elements gate honestly
+    unk = _ebml_el(_EBML_IDS["ebml"], b"") + bytes(
+        _EBML_IDS["segment"].to_bytes(4, "big")
+    ) + b"\xff"  # 1-byte VINT with all value bits set = unknown size
+    with pytest.raises(NotImplementedError, match="unknown-size"):
+        parse_webm(unk)
+    # a child escaping its parent fails loudly
+    bad = bytearray(blob)
+    i = bad.find(bytes([0xA3]))  # SimpleBlock id
+    bad[i + 1] = _ebml_encode_vint(200)[0]  # size beyond the cluster
+    with pytest.raises(ValueError, match="escapes its parent"):
+        webm_blocks(bytes(bad))

@@ -14,7 +14,7 @@ are delta-bound" claim into numbers:
   flat (late/early ratio ≈ 1, noise aside);
 * state rows after every batch: linear in DISTINCT content folded.
 
-Writes SCALING_SWEEP_r08.json.  Usage:
+Writes SCALING_SWEEP_r09.json.  Usage:
     python tools/make_scaled_sf.py          # once, builds /tmp/sf_scaled
     python tools/scaling_sweep.py           # full sweep (~1 h idle box)
     python tools/scaling_sweep.py q1 q2     # subset, for iteration
@@ -43,7 +43,7 @@ from ccgp_data_wrangling_spark.session import get_spark
 SMALL = "/root/testdata/sf0.1"
 BIG = os.environ.get("SPARK_GRAFT_SCALED_DIR", "/tmp/sf_scaled")
 FACTOR = float(os.environ.get("SPARK_GRAFT_SCALED_FACTOR", "10"))
-OUT = os.environ.get("SPARK_GRAFT_SWEEP_OUT", "SCALING_SWEEP_r08.json")
+OUT = os.environ.get("SPARK_GRAFT_SWEEP_OUT", "SCALING_SWEEP_r09.json")
 
 FLAGSHIP = [
     "j1_linkage_fileset",
@@ -83,6 +83,14 @@ R8_FAMILIES = [
     # late-r8 fixture-bearing gates (filter chains / low-bpp / 16-bit
     # / reservoir variants rotate inside these)
     "pdf_text_extract", "audio_id3_metadata", "multimodal_bmp_decode",
+]
+
+# r9 additions: embedded-image extraction (plain / encrypted / G4
+# scanned), MP3 stereo + short blocks, the EBML/WebM container walk
+R9_FAMILIES = [
+    "pdf_image_extract", "pdf_encrypted_image_extract",
+    "pdf_g4_image_extract", "multimodal_mp3_stereo_spectrum",
+    "multimodal_mp3_shortblock_spectrum", "multimodal_webm_keyframes",
 ]
 
 
@@ -253,7 +261,8 @@ def main() -> None:
     sections: dict[str, list[str]] = (
         {"families": names}
         if names
-        else {"flagship": FLAGSHIP, "families": R7_FAMILIES + R8_FAMILIES}
+        else {"flagship": FLAGSHIP,
+              "families": R7_FAMILIES + R8_FAMILIES + R9_FAMILIES}
     )
     result: dict[str, dict] = {}
     tmpdir = tempfile.mkdtemp(prefix="sweep_parts_")
