@@ -502,8 +502,10 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
     the same structure the EXIF layer walks, strip layout, 8- or
     16-bit (file byte order) grayscale (PhotometricInterpretation 1)
     or RGB (2). Compression
-    1 (none), 4 (CCITT Group 4 — T.6 MMR over bilevel strips, TIFF
-    6.0 §11; the dominant compression in scanned-document archives),
+    1 (none), 2/3/4 (the CCITT bilevel family, TIFF 6.0 §11: MH RLE
+    with byte-aligned rows / Group 3 1-D with EOL framing / Group 4
+    T.6 MMR — the compressions scanned-document archives actually
+    carry; G3 2-D gates via T4Options),
     5 (LZW, §7, with Predictor 2 horizontal differencing,
     §14), 8/32946 (Deflate — zlib streams per strip, TIFF TechNote 2;
     32946 is the pre-standard code some writers still emit) and 32773
@@ -541,42 +543,61 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
         ]
 
     comp = num(0x0103, 1)
-    if comp not in (1, 4, 5, 8, 32773, 32946):
+    if comp not in (1, 2, 3, 4, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {comp}")
+    bilevel = comp in (2, 3, 4)
     predictor = num(0x013D, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
     w, h = num(0x0100), num(0x0101)
     photo = num(0x0106)
     spp = num(0x0115, 1)
-    if comp == 4:
+    if bilevel:
         if photo not in (0, 1) or spp != 1:
             raise NotImplementedError(
-                f"TIFF G4 photometric {photo} / {spp} samples"
+                f"TIFF CCITT photometric {photo} / {spp} samples"
             )
     elif photo not in (1, 2) or spp not in (1, 3):
         raise NotImplementedError(
             f"TIFF photometric {photo} / {spp} samples"
         )
-    bits = nums(0x0102) if 0x0102 in ifd else [8 if comp != 4 else 1]
+    bits = nums(0x0102) if 0x0102 in ifd else [8 if not bilevel else 1]
     depth = bits[0]
-    if comp == 4:
+    if bilevel:
         if depth != 1 or len(bits) != 1:
-            raise NotImplementedError(f"{bits}-bit TIFF G4 samples")
+            raise NotImplementedError(f"{bits}-bit TIFF CCITT samples")
     elif depth not in (8, 16) or any(b != depth for b in bits):
         raise NotImplementedError(f"{bits}-bit TIFF samples")
     offsets, counts = nums(0x0111), nums(0x0117)
     strips = [payload[o : o + c] for o, c in zip(offsets, counts)]
     if any(len(s) != c for s, c in zip(strips, nums(0x0117))):
         raise ValueError("TIFF strip byte range escapes the file")
-    if comp == 4:
-        # each strip is an independent T.6 block (all-white reference
-        # at strip start, TIFF 6.0 §11); surface bilevel as 0/255 gray
+    if bilevel:
+        # each strip is an independent CCITT block (all-white
+        # reference at strip start, TIFF 6.0 §11); 2 = MH RLE with
+        # byte-aligned rows, 3 = Group 3 (T4Options: bit0 2-D gates,
+        # bit2 = fill-to-byte; classic EOL framing), 4 = Group 4 T.6.
+        # Bilevel surfaces as 0/255 gray whatever the photometric.
         rps = num(0x0116, h)
+        t4opts = num(0x0124, 0)
+        if comp == 3 and t4opts & 1:
+            raise NotImplementedError("TIFF Group 3 two-dimensional")
         parts = []
         for si, s in enumerate(strips):
             rows_here = min(rps, h - si * rps)
-            parts.append(decode_ccitt_g4(s, w, rows_here))
+            if comp == 4:
+                parts.append(decode_ccitt_g4(s, w, rows_here))
+            elif comp == 2:
+                parts.append(
+                    decode_ccitt_mh(s, w, rows_here, byte_align=True)
+                )
+            else:
+                parts.append(
+                    decode_ccitt_mh(
+                        s, w, rows_here,
+                        byte_align=bool(t4opts & 4), eol=True,
+                    )
+                )
         black = np.concatenate(parts, axis=0)
         px = np.where(black, 0, 255).astype(np.uint8)[:, :, None]
         mean = float(px.astype(np.float64).mean())
@@ -645,29 +666,40 @@ def encode_tiff(
 ) -> bytes:
     """Fixture writer: 8-bit grayscale/RGB TIFF (multi-strip when
     ``rows_per_strip`` is set) in either byte order; ``compression``
-    in {"none", "lzw", "deflate", "packbits", "g4"}, with TIFF
-    Predictor 2 (horizontal differencing) available under LZW/Deflate
-    as real scanner output carries it. A uint16 input writes 16-bit
-    samples in the file's byte order (archival/scientific scans).
-    ``"g4"`` takes a 2-D BOOLEAN black-mask and writes bilevel CCITT
-    Group 4 strips (BitsPerSample 1, PhotometricInterpretation 0 —
-    WhiteIsZero, the fax convention; each strip an independent T.6
-    block per TIFF 6.0 §11)."""
-    if compression == "g4":
+    in {"none", "lzw", "deflate", "packbits", "g4", "g3", "mh"}, with
+    TIFF Predictor 2 (horizontal differencing) available under
+    LZW/Deflate as real scanner output carries it. A uint16 input
+    writes 16-bit samples in the file's byte order
+    (archival/scientific scans). The CCITT trio take a 2-D BOOLEAN
+    black-mask and write bilevel strips (BitsPerSample 1,
+    PhotometricInterpretation 0 — WhiteIsZero, the fax convention;
+    each strip an independent block per TIFF 6.0 §11): ``"g4"`` T.6
+    MMR, ``"g3"`` Group 3 1-D with EOL framing, ``"mh"`` Compression
+    2 MH RLE with byte-aligned rows."""
+    if compression in ("g4", "mh", "g3"):
         if px.ndim != 2 or px.dtype != np.bool_:
-            raise ValueError("g4 compression needs a 2-D boolean mask")
+            raise ValueError(
+                "CCITT compression needs a 2-D boolean mask"
+            )
         h, w = px.shape
-        spp, depth, comp_tag, photo = 1, 1, 4, 0
+        comp_tag = {"mh": 2, "g3": 3, "g4": 4}[compression]
         bo = "little" if byte_order == "II" else "big"
         rps = rows_per_strip or h
         strips = [
-            encode_ccitt_g4(px[r : r + rps]) for r in range(0, h, rps)
+            encode_ccitt_g4(px[r : r + rps])
+            if compression == "g4"
+            else encode_ccitt_mh(
+                px[r : r + rps],
+                byte_align=compression == "mh",
+                eol=compression == "g3",
+            )
+            for r in range(0, h, rps)
         ]
         tags = [
             (0x0100, 4, [w]),
             (0x0101, 4, [h]),
             (0x0102, 3, [1]),
-            (0x0103, 3, [4]),
+            (0x0103, 3, [comp_tag]),
             (0x0106, 3, [0]),  # WhiteIsZero
             (0x0115, 3, [1]),
             (0x0116, 4, [rps]),
@@ -948,6 +980,14 @@ class _MsbBitWriter:
                 self.acc = 0
                 self.nbits = 0
 
+    def align(self) -> None:
+        """Zero-fill to the next byte boundary (T.4 fill bits /
+        /EncodedByteAlign row starts)."""
+        if self.nbits:
+            self.buf.append(self.acc << (8 - self.nbits))
+            self.acc = 0
+            self.nbits = 0
+
     def done(self) -> bytes:
         if self.nbits:
             self.buf.append(self.acc << (8 - self.nbits))
@@ -1118,6 +1158,89 @@ def decode_ccitt_g4(data: bytes, width: int, height: int) -> "np.ndarray":
         ref = cur
         if y == height - 1 and bits.startswith("000000000001" * 2, pos):
             pos += 24
+    return rows
+
+
+def encode_ccitt_mh(
+    black: "np.ndarray", *, byte_align: bool = False, eol: bool = False
+) -> bytes:
+    """T.4 one-dimensional (Modified Huffman) encoder over a (h, w)
+    boolean black-mask: each row is an independent sequence of
+    alternating white/black run codes starting with white (a row that
+    begins black emits white-0 first). ``eol`` prefixes every row
+    with the T.4 EOL code (000000000001 — classic G3 framing);
+    ``byte_align`` starts every row on a byte boundary (TIFF
+    Compression=2 'MH RLE' and PDF /EncodedByteAlign)."""
+    h, w_px = black.shape
+    bw = _MsbBitWriter()
+    for y in range(h):
+        if byte_align:
+            bw.align()
+        if eol:
+            bw.write("000000000001")
+        changes = _row_changes(black[y]) + [w_px]
+        prev, color = 0, False
+        for c in changes:
+            _t4_emit_run(bw, c - prev, color)
+            prev, color = c, not color
+    return bw.done()
+
+
+def decode_ccitt_mh(
+    data: bytes,
+    width: int,
+    height: int,
+    *,
+    byte_align: bool = False,
+    eol: bool = False,
+) -> "np.ndarray":
+    """T.4 one-dimensional (MH) decoder → (height, width) boolean
+    black-mask — Group 3 1-D (PDF /CCITTFaxDecode /K 0, TIFF
+    Compression 2/3). With ``eol`` each row is framed by an EOL code,
+    optionally preceded by zero fill bits (§4.1.2); with
+    ``byte_align`` each row starts on a byte boundary. Runs must sum
+    exactly to ``width`` — an overrun means a mis-read code and
+    fails loudly."""
+    bits = "".join(f"{byte:08b}" for byte in data)
+    pos = 0
+
+    def take_run(black: bool) -> int:
+        nonlocal pos
+        table = _T4_DEC_BLACK if black else _T4_DEC_WHITE
+        total = 0
+        while True:
+            for ln in range(2, _T4_MAX_CODE_LEN + 1):
+                run = table.get(bits[pos : pos + ln])
+                if run is not None:
+                    pos += ln
+                    total += run
+                    if run < 64:
+                        return total
+                    break
+            else:
+                raise ValueError("unrecognized T.4 run-length code")
+
+    rows = np.zeros((height, width), bool)
+    for y in range(height):
+        if byte_align and pos % 8:
+            if "1" in bits[pos : pos + (8 - pos % 8)]:
+                raise ValueError("nonzero T.4 byte-align fill bits")
+            pos += 8 - pos % 8
+        if eol:
+            # fill zeros then the EOL's terminating 1 (§4.1.2)
+            one = bits.find("1", pos)
+            if one < 0 or one - pos < 11:
+                raise ValueError("missing T.4 EOL")
+            pos = one + 1
+        x, color = 0, False
+        while x < width:
+            run = take_run(color)
+            if x + run > width:
+                raise ValueError("T.4 run overruns the row width")
+            if color:
+                rows[y, x : x + run] = True
+            x += run
+            color = not color
     return rows
 
 

@@ -5222,7 +5222,7 @@ SELECT id,
        CAST(24 AS INT) AS width,
        CAST(16 AS INT) AS height,
        CAST(1 AS INT) AS n_channels,
-       'g4' AS codec,
+       CASE WHEN k % 3 = 0 THEN 'g4' ELSE 'g3' END AS codec,
        ROUND(255.0 * (24 - id % 25) / 24.0, 4) AS luma_mean
 FROM g
 """
@@ -5230,14 +5230,15 @@ FROM g
 
 @register("pdf_g4_image_extract", _PDF_G4_SQL)
 def pdf_g4_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCITT Group 4 image extraction end-to-end: build_pdf fixtures
-    embedding /CCITTFaxDecode (/K -1) image XObjects over a
-    deterministic bitonal bar mask → object scan → T.6 MMR decode
-    (pass/vertical/horizontal modes against the row above, T.4
-    modified-Huffman run tables for horizontal mode) → black-fraction
-    luma. The from-scratch codec lives in
-    operators/media_codecs.decode_ccitt_g4; two Arrow stages as in
-    every media gate."""
+    """CCITT fax image extraction end-to-end: build_pdf fixtures
+    embedding /CCITTFaxDecode image XObjects over a deterministic
+    bitonal bar mask, the coding rotating on k%3 — Group 4 (/K -1,
+    T.6 MMR against the row above), Group 3 one-dimensional (/K 0,
+    pure T.4 MH runs), and G3 with /EncodedByteAlign rows — →
+    object scan → fax decode → black-fraction luma. The from-scratch
+    codecs live in operators/media_codecs (decode_ccitt_g4 /
+    decode_ccitt_mh, sharing the transcribed T.4 run tables); two
+    Arrow stages as in every media gate."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -5256,12 +5257,14 @@ def pdf_g4_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for eid in pdf["id"]:
                 e = int(eid)
+                k = e // 20
                 mask = np.zeros((16, 24), bool)
                 mask[:, : e % 25] = True
+                spec = ("g4", "g3", "g3a")[k % 3]
                 payloads.append(
                     build_pdf(
                         [[f"scanned sheet {e}"]],
-                        page_images=[[("g4", mask)]],
+                        page_images=[[(spec, mask)]],
                     )
                 )
             yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})

@@ -796,14 +796,10 @@ def pdf_images(
                 data = _apply_pdf_filter(nm, parm, data, unpredict=True)
             cparm = parms[-1]
             km = re.search(rb"/K\s+(-?\d+)", cparm)
-            if km is None or int(km.group(1)) >= 0:
-                raise NotImplementedError(
-                    "CCITTFaxDecode /K >= 0 (Group 3)"
-                )
-            if re.search(rb"/EncodedByteAlign\s+true", cparm):
-                raise NotImplementedError(
-                    "CCITTFaxDecode /EncodedByteAlign"
-                )
+            kval = int(km.group(1)) if km else 0
+            byte_align = bool(
+                re.search(rb"/EncodedByteAlign\s+true", cparm)
+            )
             cm_ = re.search(rb"/Columns\s+(\d+)", cparm)
             cols = int(cm_.group(1)) if cm_ else 1728
             rm_ = re.search(rb"/Rows\s+(\d+)", cparm)
@@ -812,11 +808,32 @@ def pdf_images(
                 raise ValueError(
                     "CCITT /Columns//Rows disagree with the image dict"
                 )
-            from ccgp_data_wrangling_spark.operators.media_codecs import (
-                decode_ccitt_g4,
-            )
+            if kval < 0:  # Group 4 (T.6 MMR)
+                if byte_align:
+                    raise NotImplementedError(
+                        "CCITTFaxDecode /EncodedByteAlign with /K < 0"
+                    )
+                from ccgp_data_wrangling_spark.operators.media_codecs import (  # noqa: E501
+                    decode_ccitt_g4,
+                )
 
-            black = decode_ccitt_g4(bytes(data), w, h)
+                black = decode_ccitt_g4(bytes(data), w, h)
+                codec_name = "g4"
+            elif kval == 0:  # Group 3 one-dimensional (T.4 MH)
+                from ccgp_data_wrangling_spark.operators.media_codecs import (  # noqa: E501
+                    decode_ccitt_mh,
+                )
+
+                black = decode_ccitt_mh(
+                    bytes(data), w, h,
+                    byte_align=byte_align,
+                    eol=bool(re.search(rb"/EndOfLine\s+true", cparm)),
+                )
+                codec_name = "g3"
+            else:
+                raise NotImplementedError(
+                    "CCITTFaxDecode /K > 0 (mixed 2-D Group 3)"
+                )
             lum = round(
                 float(np.where(black, 0.0, 255.0).mean()), 4
             )
@@ -826,7 +843,7 @@ def pdf_images(
                     "width": w,
                     "height": h,
                     "n_channels": 1,
-                    "codec": "g4",
+                    "codec": codec_name,
                     "channel_means": [lum],
                     "luma_mean": lum,
                 }
@@ -1277,20 +1294,30 @@ def build_pdf(
                         b" /Length %d >>" % (iw, ih, cs, len(data))
                     )
                     body = head + b"\nstream\n" + data + b"\nendstream"
-                elif spec[0] == "g4":
+                elif spec[0] in ("g4", "g3", "g3a"):
                     from ccgp_data_wrangling_spark.operators.media_codecs import (  # noqa: E501
                         encode_ccitt_g4,
+                        encode_ccitt_mh,
                     )
 
                     mask = spec[1]
                     ih, iw = mask.shape
-                    data = encode_ccitt_g4(mask)
+                    if spec[0] == "g4":
+                        data = encode_ccitt_g4(mask)
+                        kparm = b"/K -1 "
+                    else:  # g3 = 1-D MH; g3a = byte-aligned rows
+                        ba = spec[0] == "g3a"
+                        data = encode_ccitt_mh(mask, byte_align=ba)
+                        kparm = b"/K 0 " + (
+                            b"/EncodedByteAlign true " if ba else b""
+                        )
                     head = (
                         b"<< /Type /XObject /Subtype /Image"
                         b" /Width %d /Height %d /ColorSpace /DeviceGray"
                         b" /BitsPerComponent 1 /Filter /CCITTFaxDecode"
-                        b" /DecodeParms << /K -1 /Columns %d /Rows %d >>"
-                        b" /Length %d >>" % (iw, ih, iw, ih, len(data))
+                        b" /DecodeParms << %s/Columns %d /Rows %d >>"
+                        b" /Length %d >>"
+                        % (iw, ih, kparm, iw, ih, len(data))
                     )
                     body = head + b"\nstream\n" + data + b"\nendstream"
                 else:

@@ -2352,8 +2352,21 @@ def test_pdf_g4_image_extraction():
     want = round(float(np.where(mask, 0.0, 255.0).mean()), 4)
     assert [(g["codec"], g["width"], g["height"], g["n_channels"],
              g["luma_mean"]) for g in got] == [("g4", 30, 10, 1, want)]
-    with pytest.raises(NotImplementedError, match="Group 3"):
-        pdf_images(blob.replace(b"/K -1", b"/K 0 ", 1))
+    # Group 3 ONE-dimensional decodes (plain and byte-aligned rows);
+    # mixed 2-D (/K > 0) gates
+    for spec in ("g3", "g3a"):
+        g3got = pdf_images(
+            build_pdf([["scan"]], page_images=[[(spec, mask)]])
+        )
+        assert [(g["codec"], g["luma_mean"]) for g in g3got] == [
+            ("g3", want)
+        ], spec
+    with pytest.raises(NotImplementedError, match="K > 0"):
+        pdf_images(
+            build_pdf(
+                [["s"]], page_images=[[("g3", mask)]]
+            ).replace(b"/K 0 ", b"/K 2 ", 1)
+        )
     with pytest.raises(NotImplementedError, match="EncodedByteAlign"):
         pdf_images(
             blob.replace(
@@ -2623,3 +2636,53 @@ def test_webm_honest_gates():
     bad[i + 1] = _ebml_encode_vint(200)[0]  # size beyond the cluster
     with pytest.raises(ValueError, match="escapes its parent"):
         webm_blocks(bytes(bad))
+
+
+def test_ccitt_mh_and_g3_roundtrip():
+    """T.4 one-dimensional (MH) codec: alternating white/black run
+    codes per row (white-0 leads a black-starting row), long runs
+    through makeups, EOL framing with fill bits, and byte-aligned
+    rows — both PDF /K 0 framings and the TIFF Compression 2/3
+    strips."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_ccitt_mh,
+        decode_tiff,
+        encode_ccitt_mh,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(13)
+    cases = [
+        np.zeros((3, 10), bool),
+        np.ones((3, 10), bool),
+    ]
+    a = np.zeros((4, 20), bool)
+    a[:, 0:5] = True  # black-starting rows (white-0 lead)
+    cases.append(a)
+    b = np.zeros((2, 5000), bool)
+    b[:, 10:4900] = True  # makeup + extended-makeup runs
+    cases.append(b)
+    for _ in range(6):
+        h, w = int(rng.integers(1, 15)), int(rng.integers(1, 90))
+        cases.append(rng.random((h, w)) < rng.random())
+    for ba in (False, True):
+        for eol in (False, True):
+            for i, img in enumerate(cases):
+                enc = encode_ccitt_mh(img, byte_align=ba, eol=eol)
+                dec = decode_ccitt_mh(
+                    enc, img.shape[1], img.shape[0],
+                    byte_align=ba, eol=eol,
+                )
+                assert (dec == img).all(), (ba, eol, i)
+    # TIFF Compression 2 (MH RLE) and 3 (G3 + EOL) strips round-trip
+    img = cases[2]
+    want = round(float(np.where(img, 0, 255).mean()), 4)
+    for comp, tag in (("mh", 2), ("g3", 3)):
+        m = decode_tiff(
+            encode_tiff(img, compression=comp, rows_per_strip=2)
+        )
+        assert (m["compression"], m["bit_depth"], m["luma_mean"]) == (
+            tag, 1, want,
+        ), comp
