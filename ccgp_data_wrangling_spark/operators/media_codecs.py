@@ -578,6 +578,11 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
         # byte-aligned rows, 3 = Group 3 (T4Options: bit0 2-D gates,
         # bit2 = fill-to-byte; classic EOL framing), 4 = Group 4 T.6.
         # Bilevel surfaces as 0/255 gray whatever the photometric.
+        # FillOrder 2 (§p.33 — the native order of fax hardware,
+        # common in scanned TIFFs): bits are LSB-first within each
+        # byte; reverse per byte before the MSB-first bit walk.
+        if num(0x010A, 1) == 2:
+            strips = [bytes(_BITREV[b] for b in s) for s in strips]
         rps = num(0x0116, h)
         t4opts = num(0x0124, 0)
         if comp == 3 and t4opts & 1:
@@ -663,6 +668,7 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     compression: str = "none",
     predictor: int = 1,
+    fill_order: int = 1,
 ) -> bytes:
     """Fixture writer: 8-bit grayscale/RGB TIFF (multi-strip when
     ``rows_per_strip`` is set) in either byte order; ``compression``
@@ -695,12 +701,15 @@ def encode_tiff(
             )
             for r in range(0, h, rps)
         ]
+        if fill_order == 2:  # fax-native LSB-first bit order
+            strips = [bytes(_BITREV[b] for b in s_) for s_ in strips]
         tags = [
             (0x0100, 4, [w]),
             (0x0101, 4, [h]),
             (0x0102, 3, [1]),
             (0x0103, 3, [comp_tag]),
             (0x0106, 3, [0]),  # WhiteIsZero
+            (0x010A, 3, [fill_order]),
             (0x0115, 3, [1]),
             (0x0116, 4, [rps]),
         ]
@@ -933,6 +942,11 @@ _T4_EXT = {
     2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
     2560: "000000011111",
 }
+
+
+_BITREV = bytes(
+    int(f"{b:08b}"[::-1], 2) for b in range(256)
+)  # per-byte bit reversal for TIFF FillOrder 2
 
 
 def _t4_decode_maps() -> tuple[dict, dict]:
@@ -5678,18 +5692,69 @@ def parse_webm(payload: bytes) -> dict[str, Any]:
     }
 
 
-def _webm_block_header(
+def _webm_block_frames(
     payload: bytes, s: int, e: int
-) -> tuple[int, int, int, int]:
-    """(track, rel_ts, flags, frame_data_start) of a (Simple)Block."""
+) -> tuple[int, int, int, list[tuple[int, int]]]:
+    """(track, rel_ts, flags, [(frame_start, frame_size), ...]) of a
+    (Simple)Block — all four lacing modes (Matroska §Lacing): none,
+    Xiph (255-run size bytes), EBML (first size VINT + signed-VINT
+    deltas), and fixed-size (equal split). The LAST laced frame's
+    size is the remainder, in every mode."""
     track, tw = _ebml_vint(payload, s, keep_marker=False)
     if s + tw + 3 > e:
         raise ValueError("truncated block header")
     rel = int.from_bytes(payload[s + tw : s + tw + 2], "big", signed=True)
     flags = payload[s + tw + 2]
-    if flags & 0x06:
-        raise NotImplementedError("WebM block lacing")
-    return track, rel, flags, s + tw + 3
+    pos = s + tw + 3
+    lacing = (flags >> 1) & 0x3
+    if lacing == 0:
+        return track, rel, flags, [(pos, e - pos)]
+    if pos >= e:
+        raise ValueError("laced block missing frame count")
+    nframes = payload[pos] + 1
+    pos += 1
+    sizes: list[int] = []
+    if lacing == 2:  # fixed-size: equal split, no size table
+        total = e - pos
+        if total % nframes:
+            raise ValueError("fixed lacing does not divide evenly")
+        sizes = [total // nframes] * nframes
+    elif lacing == 1:  # Xiph: 255-run bytes for all but the last
+        for _ in range(nframes - 1):
+            sz = 0
+            while True:
+                if pos >= e:
+                    raise ValueError("truncated Xiph lacing sizes")
+                b = payload[pos]
+                pos += 1
+                sz += b
+                if b != 255:
+                    break
+            sizes.append(sz)
+    else:  # 3 = EBML: first size VINT, then signed-VINT deltas
+        if nframes > 1:
+            first, w = _ebml_vint(payload, pos, keep_marker=False)
+            pos += w
+            sizes.append(first)
+            for _ in range(nframes - 2):
+                raw, w = _ebml_vint(payload, pos, keep_marker=False)
+                pos += w
+                # signed VINT: raw - (2^(7w-1) - 1)
+                sizes.append(sizes[-1] + raw - ((1 << (7 * w - 1)) - 1))
+    if lacing != 2:
+        used = sum(sizes)
+        if pos + used > e:
+            raise ValueError("laced frame sizes escape the block")
+        sizes.append(e - pos - used)  # last frame = remainder
+    frames: list[tuple[int, int]] = []
+    for sz in sizes:
+        if sz < 0:
+            raise ValueError("negative laced frame size")
+        frames.append((pos, sz))
+        pos += sz
+    if pos != e:
+        raise ValueError("laced frames do not fill the block")
+    return track, rel, flags, frames
 
 
 def webm_blocks(payload: bytes) -> list[dict[str, Any]]:
@@ -5715,22 +5780,24 @@ def webm_blocks(payload: bytes) -> list[dict[str, Any]]:
             if beid == _EBML_IDS["cluster_ts"]:
                 cluster_ts = _ebml_uint(payload, bs, be)
             elif beid == _EBML_IDS["simple_block"]:
-                track, rel, flags, ds = _webm_block_header(
+                track, rel, flags, frames = _webm_block_frames(
                     payload, bs, be
                 )
-                out.append(
-                    {
-                        "track": track,
-                        "cluster": cluster_idx,
-                        "ts_ticks": cluster_ts + rel,
-                        "time_sec": round(
-                            (cluster_ts + rel) * scale / 1e9, 6
-                        ),
-                        "keyframe": bool(flags & 0x80),
-                        "offset": ds,
-                        "size": be - ds,
-                    }
-                )
+                for li, (ds, sz) in enumerate(frames):
+                    out.append(
+                        {
+                            "track": track,
+                            "cluster": cluster_idx,
+                            "ts_ticks": cluster_ts + rel,
+                            "time_sec": round(
+                                (cluster_ts + rel) * scale / 1e9, 6
+                            ),
+                            "keyframe": bool(flags & 0x80),
+                            "lace": li,
+                            "offset": ds,
+                            "size": sz,
+                        }
+                    )
             elif beid == _EBML_IDS["block_group"]:
                 block = None
                 has_ref = False
@@ -5741,22 +5808,24 @@ def webm_blocks(payload: bytes) -> list[dict[str, Any]]:
                         has_ref = True
                 if block is None:
                     raise ValueError("BlockGroup without a Block")
-                track, rel, _flags, ds = _webm_block_header(
+                track, rel, _flags, frames = _webm_block_frames(
                     payload, *block
                 )
-                out.append(
-                    {
-                        "track": track,
-                        "cluster": cluster_idx,
-                        "ts_ticks": cluster_ts + rel,
-                        "time_sec": round(
-                            (cluster_ts + rel) * scale / 1e9, 6
-                        ),
-                        "keyframe": not has_ref,
-                        "offset": ds,
-                        "size": block[1] - ds,
-                    }
-                )
+                for li, (ds, sz) in enumerate(frames):
+                    out.append(
+                        {
+                            "track": track,
+                            "cluster": cluster_idx,
+                            "ts_ticks": cluster_ts + rel,
+                            "time_sec": round(
+                                (cluster_ts + rel) * scale / 1e9, 6
+                            ),
+                            "keyframe": not has_ref,
+                            "lace": li,
+                            "offset": ds,
+                            "size": sz,
+                        }
+                    )
     # byte ranges must land inside the file (mirrors the mp4 check)
     for r in out:
         if r["offset"] + r["size"] > len(payload):
@@ -5838,21 +5907,55 @@ def build_webm(
         body = _ebml_uint_el(_EBML_IDS["cluster_ts"], cl["timestamp"])
         for blk in cl["blocks"]:
             if isinstance(blk, dict):
-                track, rel, key, data = (
-                    blk["track"], blk["rel_ts"], blk["keyframe"],
-                    blk["payload"],
+                track, rel, key = (
+                    blk["track"], blk["rel_ts"], blk["keyframe"]
                 )
                 group = blk.get("group", False)
+                lacing = blk.get("lacing")
+                frames = (
+                    blk["payloads"] if lacing else [blk["payload"]]
+                )
             else:
-                track, rel, key, data = blk
-                group = False
+                track, rel, key = blk[0], blk[1], blk[2]
+                frames = [blk[3]]
+                group, lacing = False, None
             hdr = (
                 _ebml_encode_vint(track)
                 + rel.to_bytes(2, "big", signed=True)
             )
+            if lacing is None:
+                lace_bits, lace_body = 0, frames[0]
+            else:
+                lace_bits = {"xiph": 1, "fixed": 2, "ebml": 3}[lacing]
+                tail = bytearray([len(frames) - 1])
+                if lacing == "xiph":
+                    for f in frames[:-1]:
+                        n = len(f)
+                        while n >= 255:
+                            tail.append(255)
+                            n -= 255
+                        tail.append(n)
+                elif lacing == "ebml":
+                    if len(frames) > 1:
+                        tail += _ebml_encode_vint(len(frames[0]))
+                        prev = len(frames[0])
+                        for f in frames[1:-1]:
+                            delta = len(f) - prev
+                            # signed VINT, 2-byte form: raw = delta
+                            # + (2^13 - 1), marker 0x4000
+                            raw = delta + ((1 << 13) - 1)
+                            tail += (raw | (1 << 14)).to_bytes(2, "big")
+                            prev = len(f)
+                else:  # fixed
+                    if len({len(f) for f in frames}) != 1:
+                        raise ValueError(
+                            "fixed lacing needs equal frame sizes"
+                        )
+                lace_body = bytes(tail) + b"".join(frames)
             if group:
                 inner = _ebml_el(
-                    _EBML_IDS["block"], hdr + b"\x00" + data
+                    _EBML_IDS["block"],
+                    hdr + bytes([lace_bits << 1]) + lace_body,
                 )
                 if not key:
                     inner += _ebml_el(
@@ -5861,10 +5964,10 @@ def build_webm(
                     )
                 body += _ebml_el(_EBML_IDS["block_group"], inner)
             else:
-                flags = 0x80 if key else 0x00
+                flags = (0x80 if key else 0x00) | (lace_bits << 1)
                 body += _ebml_el(
                     _EBML_IDS["simple_block"],
-                    hdr + bytes([flags]) + data,
+                    hdr + bytes([flags]) + lace_body,
                 )
         seg += _ebml_el(_EBML_IDS["cluster"], body)
     return head + _ebml_el(_EBML_IDS["segment"], seg)

@@ -2616,14 +2616,36 @@ def test_webm_honest_gates():
                  "width": 8, "height": 8}],
         clusters=[{"timestamp": 0, "blocks": [(1, 0, True, b"xy")]}],
     )
-    # lacing bits in a SimpleBlock gate honestly
-    laced = blob.replace(
-        bytes([0x81, 0, 0, 0x80]) + b"xy",
-        bytes([0x81, 0, 0, 0x86]) + b"xy",
+    # all three lacing modes expand to one row per frame, byte-exact
+    atr = [{"number": 1, "type": "audio", "codec": "A_OPUS"}]
+    for mode in ("xiph", "ebml", "fixed"):
+        pls = (
+            [b"a" * 10, b"b" * 10, b"c" * 10]
+            if mode == "fixed"
+            else [b"a" * 300, b"bb", b"c" * 7]  # >255 Xiph run, deltas
+        )
+        lblob = build_webm(
+            tracks=atr,
+            clusters=[{"timestamp": 0, "blocks": [
+                {"track": 1, "rel_ts": 0, "keyframe": True,
+                 "lacing": mode, "payloads": pls},
+            ]}],
+        )
+        lrows = webm_blocks(lblob)
+        assert [r["size"] for r in lrows] == [len(p) for p in pls], mode
+        assert [r["lace"] for r in lrows] == [0, 1, 2]
+        for r, p in zip(lrows, pls):
+            assert lblob[r["offset"]:][: r["size"]] == p, mode
+    # malformed lacing fails loudly: fixed split that doesn't divide
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _webm_block_frames,
     )
-    assert laced != blob
-    with pytest.raises(NotImplementedError, match="lacing"):
-        webm_blocks(laced)
+
+    # track 0x81, rel 0, flags fixed-lacing, count byte 1 (2 frames),
+    # 5 payload bytes — not divisible by 2
+    bad = bytes([0x81, 0, 0, 0x04, 0x01]) + b"aaabb"
+    with pytest.raises(ValueError, match="divide evenly"):
+        _webm_block_frames(bad, 0, len(bad))
     # unknown-size elements gate honestly
     unk = _ebml_el(_EBML_IDS["ebml"], b"") + bytes(
         _EBML_IDS["segment"].to_bytes(4, "big")
@@ -2686,3 +2708,25 @@ def test_ccitt_mh_and_g3_roundtrip():
         assert (m["compression"], m["bit_depth"], m["luma_mean"]) == (
             tag, 1, want,
         ), comp
+
+
+def test_tiff_fill_order_2():
+    """FillOrder 2 (LSB-first bits within bytes — the native order of
+    fax hardware, common in scanned TIFFs): CCITT strips bit-reverse
+    per byte before the MSB-first walk, for all three compressions."""
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    img = np.zeros((12, 30), bool)
+    img[3:9, 4:20] = True
+    want = round(float(np.where(img, 0, 255).mean()), 4)
+    for comp in ("g4", "mh", "g3"):
+        blob1 = encode_tiff(img, compression=comp, fill_order=1)
+        blob2 = encode_tiff(img, compression=comp, fill_order=2)
+        assert blob1 != blob2  # the bits really are reversed
+        for blob in (blob1, blob2):
+            assert decode_tiff(blob)["luma_mean"] == want, comp
