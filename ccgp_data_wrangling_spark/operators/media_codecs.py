@@ -4505,11 +4505,15 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
     * long / start / stop blocks (block_type 0/1/3):
       ``xr = sign·|is|^(4/3)·2^((global_gain−210)/4)
       ·2^(−mult·(scalefac+preflag·pretab))``
-    * short blocks (block_type 2, not mixed): the spectrum interleaves
-      the three windows per band (window-minor), and
+    * short blocks (block_type 2): the spectrum interleaves the
+      three windows per band (window-minor), and
       ``xr = sign·|is|^(4/3)
       ·2^((global_gain−210−8·subblock_gain[win])/4)
       ·2^(−mult·scalefac[band][win])`` — no preemphasis (§2.4.3.4.10)
+    * MIXED blocks (block_type 2, mixed_block_flag): lines 0-35 are
+      long-coded (sfb 0-7, preemphasis applies), the short interleave
+      starts at band 3 — 3·sbounds[3] == 36 at every MPEG-1 rate, so
+      the two layouts butt exactly (§2.4.2.7)
 
     — and emit one row per scalefactor band (and per window for short
     blocks, ``window`` −1 marking long): (frame, granule, channel,
@@ -4533,7 +4537,7 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
     short granule raises, as the spec forbids it).
 
     Scope gates (each raises honestly): MPEG-1; Huffman tables beyond
-    0-3/A/B; mixed blocks; intensity stereo."""
+    0-3/A/B; intensity stereo."""
     sis = parse_mp3_layer3_sideinfo(payload)
     by_key = {
         (s["frame"], s["granule"], s["channel"]): s for s in sis
@@ -4587,10 +4591,7 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
             for ch in range(nch):
                 g = by_key[(frame_no, gr, ch)]
                 short = g["window_switching"] and g["block_type"] == 2
-                if short and g["mixed_block"]:
-                    raise NotImplementedError(
-                        "mixed-block Layer III decode"
-                    )
+                mixed = short and g["mixed_block"]
                 bits_before = main.bits_read()
                 slen1, slen2 = _L3_SLEN[g["scalefac_compress"]]
                 gain = 2.0 ** (0.25 * (g["global_gain"] - 210))
@@ -4602,18 +4603,52 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
                         raise ValueError(
                             "scfsi set over a short-block granule"
                         )
-                    # 12 transmitted bands × 3 windows (§2.4.2.7);
-                    # band 12 is untransmitted (scalefactor 0)
                     ssf = [[0] * 3 for _ in range(13)]
-                    for b in range(12):
-                        sl = slen1 if b < 6 else slen2
-                        for win in range(3):
-                            ssf[b][win] = (
-                                main.read_bits(sl) if sl else 0
+                    lsf = [0] * 8
+                    if mixed:
+                        # §2.4.2.7 mixed layout: long sfb 0-7 (slen1),
+                        # then short bands 3-5 ×3 windows (slen1) and
+                        # 6-11 ×3 (slen2); lines 0-35 stay long-coded,
+                        # the short interleave starts at band 3
+                        # (3·sbounds[3] == 36 at every MPEG-1 rate)
+                        for b in range(8):
+                            lsf[b] = (
+                                main.read_bits(slen1) if slen1 else 0
                             )
+                        for b in range(3, 12):
+                            sl = slen1 if b < 6 else slen2
+                            for win in range(3):
+                                ssf[b][win] = (
+                                    main.read_bits(sl) if sl else 0
+                                )
+                    else:
+                        # 12 transmitted bands × 3 windows (§2.4.2.7);
+                        # band 12 is untransmitted (scalefactor 0)
+                        for b in range(12):
+                            sl = slen1 if b < 6 else slen2
+                            for win in range(3):
+                                ssf[b][win] = (
+                                    main.read_bits(sl) if sl else 0
+                                )
                     sbgain = g["subblock_gain"]
 
                     def requant(i: int, val: int, neg: bool) -> None:
+                        if mixed and i < 36:
+                            # long-coded head of a mixed granule
+                            for b in range(8):
+                                if bounds[b] <= i < bounds[b + 1]:
+                                    break
+                            fac = 2.0 ** (
+                                -mult
+                                * (
+                                    lsf[b]
+                                    + g["preflag"] * _L3_PRETAB[b]
+                                )
+                            )
+                            v = (abs(val) ** (4.0 / 3.0)) * gain * fac
+                            xr[i] = -v if neg else v
+                            is_nonzero[i] = val != 0
+                            return
                         # interleaved layout: band s spans lines
                         # [3·lo, 3·hi); window-minor within
                         for b in range(13):
@@ -4736,7 +4771,7 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
                     )
                 gxr.append(xr)
                 gnz.append(is_nonzero)
-                gshort.append(short)
+                gshort.append("mixed" if mixed else ("short" if short else "long"))
             if ms_on:
                 # §2.4.3.4.9.2: full-spectrum M/S matrix
                 m_xr, s_xr = gxr
@@ -4753,7 +4788,59 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
                 ]
             for ch in range(nch):
                 xr, is_nonzero = gxr[ch], gnz[ch]
-                if gshort[ch]:
+                if gshort[ch] == "mixed":
+                    # long head: bands 0-7 at window −1
+                    for b in range(8):
+                        lo, hi = bounds[b], bounds[b + 1]
+                        acc = sum(
+                            xr[i] * xr[i] for i in range(lo, hi)
+                        )
+                        out.append(
+                            {
+                                "frame": frame_no,
+                                "granule": gr,
+                                "channel": ch,
+                                "sfb": b,
+                                "window": -1,
+                                "width": hi - lo,
+                                "n_nonzero": sum(
+                                    1
+                                    for i in range(lo, hi)
+                                    if is_nonzero[i]
+                                ),
+                                "rms": round(
+                                    (acc / (hi - lo)) ** 0.5, 6
+                                ),
+                            }
+                        )
+                    # short tail: bands 3-12 × 3 windows
+                    for b in range(3, 13):
+                        ln = sbounds[b + 1] - sbounds[b]
+                        for win in range(3):
+                            lo = 3 * sbounds[b] + win * ln
+                            hi = lo + ln
+                            acc = sum(
+                                xr[i] * xr[i] for i in range(lo, hi)
+                            )
+                            out.append(
+                                {
+                                    "frame": frame_no,
+                                    "granule": gr,
+                                    "channel": ch,
+                                    "sfb": b,
+                                    "window": win,
+                                    "width": ln,
+                                    "n_nonzero": sum(
+                                        1
+                                        for i in range(lo, hi)
+                                        if is_nonzero[i]
+                                    ),
+                                    "rms": round(
+                                        (acc / ln) ** 0.5, 6
+                                    ),
+                                }
+                            )
+                elif gshort[ch] == "short":
                     for b in range(13):
                         ln = sbounds[b + 1] - sbounds[b]
                         for win in range(3):
@@ -4897,21 +4984,62 @@ def build_mp3_layer3(
             if skip_groups:
                 raise ValueError("scfsi is invalid over short blocks")
             ssf = g["scalefac_short"]
-            if len(ssf) != 12 or any(len(w) != 3 for w in ssf):
-                raise ValueError("need 12×3 short scalefactors")
-            for b in range(12):
-                sl = slen1 if b < 6 else slen2
-                for win in range(3):
-                    if sl:
-                        if ssf[b][win] >= (1 << sl):
+            if g.get("mixed", False):
+                # §2.4.2.7 mixed: long sfb 0-7 (slen1), then short
+                # bands 3-11 (3-5 slen1, 6-11 slen2), window-minor
+                lsf = g["scalefac"]
+                if len(lsf) != 8:
+                    raise ValueError(
+                        "mixed blocks need 8 long scalefactors"
+                    )
+                if len(ssf) != 9 or any(len(w) != 3 for w in ssf):
+                    raise ValueError(
+                        "mixed blocks need 9×3 short scalefactors "
+                        "(bands 3-11)"
+                    )
+                for v in lsf:
+                    if slen1:
+                        if v >= (1 << slen1):
                             raise ValueError(
-                                "short scalefactor exceeds slen width"
+                                "scalefactor exceeds slen width"
                             )
-                        bits.append((ssf[b][win], sl))
-                    elif ssf[b][win]:
+                        bits.append((v, slen1))
+                    elif v:
                         raise ValueError(
-                            "nonzero short scalefactor with slen 0"
+                            "nonzero scalefactor with slen 0"
                         )
+                for b in range(3, 12):
+                    sl = slen1 if b < 6 else slen2
+                    for win in range(3):
+                        v = ssf[b - 3][win]
+                        if sl:
+                            if v >= (1 << sl):
+                                raise ValueError(
+                                    "short scalefactor exceeds slen "
+                                    "width"
+                                )
+                            bits.append((v, sl))
+                        elif v:
+                            raise ValueError(
+                                "nonzero short scalefactor with slen 0"
+                            )
+            else:
+                if len(ssf) != 12 or any(len(w) != 3 for w in ssf):
+                    raise ValueError("need 12×3 short scalefactors")
+                for b in range(12):
+                    sl = slen1 if b < 6 else slen2
+                    for win in range(3):
+                        if sl:
+                            if ssf[b][win] >= (1 << sl):
+                                raise ValueError(
+                                    "short scalefactor exceeds slen "
+                                    "width"
+                                )
+                            bits.append((ssf[b][win], sl))
+                        elif ssf[b][win]:
+                            raise ValueError(
+                                "nonzero short scalefactor with slen 0"
+                            )
         else:
             sf = g["scalefac"]
             if len(sf) != 21:
@@ -4978,12 +5106,10 @@ def build_mp3_layer3(
         ]
         bt = g.get("block_type", 0)
         if bt:
-            if bt == 2 and g.get("mixed", False):
-                raise ValueError("mixed blocks not written by this fixture")
             side += [
                 (1, 1),  # window_switching_flag
                 (bt, 2),
-                (0, 1),  # mixed_block_flag
+                (1 if g.get("mixed", False) else 0, 1),
                 (g["table"], 5), (g["table"], 5),
             ]
             for sb in g.get("subblock_gain", [0, 0, 0]):

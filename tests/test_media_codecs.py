@@ -2730,3 +2730,73 @@ def test_tiff_fill_order_2():
         assert blob1 != blob2  # the bits really are reversed
         for blob in (blob1, blob2):
             assert decode_tiff(blob)["luma_mean"] == want, comp
+
+
+def test_mp3_layer3_mixed_blocks():
+    """block_type 2 with mixed_block_flag: lines 0-35 long-coded
+    (sfb 0-7 slen1 scalefactors, preemphasis applies), short
+    interleave from band 3 (3·sbounds[3] == 36 at every rate), short
+    tail under per-window subblock_gain; rows = 8 long + 10×3 short."""
+    import math
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _L3_SFB_LONG,
+        _L3_SFB_SHORT,
+        build_mp3_layer3,
+        decode_mp3_layer3_spectrum,
+    )
+
+    gmx = dict(
+        global_gain=165, scalefac_compress=9,
+        scalefac=[1, 2, 3, 0, 1, 2, 3, 0],
+        scalefac_short=[[1, 0, 2]] * 3 + [[0, 1, 2]] * 6,
+        block_type=2, mixed=True, subblock_gain=[0, 1, 2], table=3,
+        pairs=[(1, -1)] * 20, quads=[(1, 0, -1, 1)],
+        preflag=1, scalefac_scale=0, count1table="A",
+    )
+    rows = decode_mp3_layer3_spectrum(
+        build_mp3_layer3(granules=[gmx, gmx])
+    )
+    g0 = [r for r in rows if r["granule"] == 0]
+    assert len(g0) == 8 + 10 * 3
+    bounds, sb = _L3_SFB_LONG[44100], _L3_SFB_SHORT[44100]
+    pretab = [0] * 8
+    vals = []
+    for _ in range(20):
+        vals += [1, -1]
+    vals += [1, 0, -1, 1]
+    vals += [0] * (576 - len(vals))
+    lsf = [1, 2, 3, 0, 1, 2, 3, 0]
+    ssf = [[0] * 3] * 3 + [[1, 0, 2]] * 3 + [[0, 1, 2]] * 6 + [[0] * 3]
+
+    def xr(i):
+        v = vals[i]
+        sign, av = (-1 if v < 0 else 1), abs(v)
+        if i < 36:
+            b = next(
+                b for b in range(8) if bounds[b] <= i < bounds[b + 1]
+            )
+            return sign * av ** (4 / 3) \
+                * 2.0 ** (0.25 * (165 - 210)) \
+                * 2.0 ** (-0.5 * (lsf[b] + pretab[b]))
+        b = next(
+            b for b in range(13) if 3 * sb[b] <= i < 3 * sb[b + 1]
+        )
+        ln = sb[b + 1] - sb[b]
+        win = (i - 3 * sb[b]) // ln
+        return sign * av ** (4 / 3) \
+            * 2.0 ** (0.25 * (165 - 210 - 8 * [0, 1, 2][win])) \
+            * 2.0 ** (-0.5 * ssf[b][win])
+
+    for r in g0:
+        if r["window"] == -1:
+            lo, hi = bounds[r["sfb"]], bounds[r["sfb"] + 1]
+        else:
+            ln = sb[r["sfb"] + 1] - sb[r["sfb"]]
+            lo = 3 * sb[r["sfb"]] + r["window"] * ln
+            hi = lo + ln
+        exp = round(
+            math.sqrt(sum(xr(i) ** 2 for i in range(lo, hi)) / (hi - lo)),
+            6,
+        )
+        assert r["rms"] == exp, r
