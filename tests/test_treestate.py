@@ -81,3 +81,35 @@ def test_lookalike_directory_path_is_dirty(scratch_repo):
     sub.mkdir()
     (sub / "PYTEST_RUN.json").write_text("{}\n")
     assert treestate.tree_dirty()
+
+
+def _head(cwd: Path) -> str:
+    return subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=str(cwd), check=True,
+        capture_output=True, text=True,
+    ).stdout.strip()
+
+
+def test_records_only_descendant(scratch_repo):
+    """The snapshot commit that carries a stamped record necessarily
+    postdates the record's head — the record stays FRESH when the
+    diff between the two commits touches only record artifacts (and
+    the changelog), and goes stale the moment code changes ride
+    along."""
+    record_head = _head(scratch_repo)
+    # snapshot commit: records + changelog only → still fresh
+    (scratch_repo / "PYTEST_RUN.json").write_text("{}\n")
+    (scratch_repo / "CHANGELOG_r9.md").write_text("notes\n")
+    _git(scratch_repo, "add", ".")
+    _git(scratch_repo, "commit", "-qm", "snapshot")
+    assert treestate.records_only_descendant(record_head)
+    # identical shas are trivially fresh
+    assert treestate.records_only_descendant(_head(scratch_repo))
+    # a code change after the record makes it stale
+    (scratch_repo / "code.py").write_text("x = 3\n")
+    _git(scratch_repo, "add", ".")
+    _git(scratch_repo, "commit", "-qm", "code change")
+    assert not treestate.records_only_descendant(record_head)
+    # unknown/garbage shas are stale, not an error
+    assert not treestate.records_only_descendant("0" * 40)
+    assert not treestate.records_only_descendant("")

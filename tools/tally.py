@@ -42,7 +42,7 @@ def main() -> None:
     # the PASSED line only prints from a stamped full run of THIS tree
     # (round-7 verdict task 3; tools/full_test_run.py writes the record)
     sys.path.insert(0, str(REPO / "tools"))
-    from treestate import head_sha, tree_dirty
+    from treestate import head_sha, records_only_descendant, tree_dirty
 
     head = head_sha()
     dirty = tree_dirty()
@@ -52,7 +52,9 @@ def main() -> None:
         pytest_line = (
             "tests passed: NO FULL-RUN RECORD — run tools/full_test_run.py"
         )
-    elif run["head"] != head or run["tree_dirty"] or dirty:
+    elif (
+        run["head"] != head and not records_only_descendant(run["head"])
+    ) or run["tree_dirty"] or dirty:
         pytest_line = (
             f"tests passed: STALE RECORD (ran at {run['head'][:12]}"
             f"{' dirty' if run['tree_dirty'] else ''}, HEAD is "

@@ -39,6 +39,32 @@ def head_sha() -> str:
     ).stdout.strip()
 
 
+def records_only_descendant(record_head: str) -> bool:
+    """True when HEAD differs from ``record_head`` ONLY by the
+    round-record artifacts (and docs snapshotting them: CHANGELOG).
+
+    The snapshot commit that carries a stamped record into history
+    necessarily has a different sha than the record's own ``head``
+    field — the record cannot cite the commit that contains it. A
+    record is still FRESH for that HEAD when every path changed
+    between the two commits is itself a record artifact: provenance
+    files cannot change query or test behavior."""
+    if not record_head:
+        return False
+    proc = subprocess.run(
+        ["git", "diff", "--name-only", f"{record_head}..HEAD"],
+        capture_output=True, text=True, cwd=str(REPO),
+    )
+    if proc.returncode != 0:
+        return False  # unknown sha — treat as stale
+    allowed = RECORD_PATTERNS + ("CHANGELOG_r*.md",)
+    for path in proc.stdout.splitlines():
+        path = path.strip()
+        if path and not any(fnmatch.fnmatch(path, p) for p in allowed):
+            return False
+    return True
+
+
 def tree_dirty() -> bool:
     """True when any TRACKED-OR-UNTRACKED path other than the round's
     record artifacts differs from HEAD."""
