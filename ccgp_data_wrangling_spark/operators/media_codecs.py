@@ -23,6 +23,7 @@ rounded at the edge so results are engine-reproducible.
 from __future__ import annotations
 
 import io
+import math
 import wave
 from typing import Any
 
@@ -503,9 +504,10 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
     16-bit (file byte order) grayscale (PhotometricInterpretation 1)
     or RGB (2). Compression
     1 (none), 2/3/4 (the CCITT bilevel family, TIFF 6.0 §11: MH RLE
-    with byte-aligned rows / Group 3 1-D with EOL framing / Group 4
+    with byte-aligned rows / Group 3 with EOL framing — 1-D, or the
+    T.4 mixed 1-D/2-D rows when T4Options bit 0 is set / Group 4
     T.6 MMR — the compressions scanned-document archives actually
-    carry; G3 2-D gates via T4Options),
+    carry),
     5 (LZW, §7, with Predictor 2 horizontal differencing,
     §14), 8/32946 (Deflate — zlib streams per strip, TIFF TechNote 2;
     32946 is the pre-standard code some writers still emit) and 32773
@@ -585,8 +587,6 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
             strips = [bytes(_BITREV[b] for b in s) for s in strips]
         rps = num(0x0116, h)
         t4opts = num(0x0124, 0)
-        if comp == 3 and t4opts & 1:
-            raise NotImplementedError("TIFF Group 3 two-dimensional")
         parts = []
         for si, s in enumerate(strips):
             rows_here = min(rps, h - si * rps)
@@ -595,6 +595,13 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
             elif comp == 2:
                 parts.append(
                     decode_ccitt_mh(s, w, rows_here, byte_align=True)
+                )
+            elif t4opts & 1:  # T4Options bit 0: mixed 1-D/2-D rows
+                parts.append(
+                    decode_ccitt_g3_mixed(
+                        s, w, rows_here,
+                        byte_align=bool(t4opts & 4),
+                    )
                 )
             else:
                 parts.append(
@@ -672,35 +679,39 @@ def encode_tiff(
 ) -> bytes:
     """Fixture writer: 8-bit grayscale/RGB TIFF (multi-strip when
     ``rows_per_strip`` is set) in either byte order; ``compression``
-    in {"none", "lzw", "deflate", "packbits", "g4", "g3", "mh"}, with
-    TIFF Predictor 2 (horizontal differencing) available under
-    LZW/Deflate as real scanner output carries it. A uint16 input
-    writes 16-bit samples in the file's byte order
-    (archival/scientific scans). The CCITT trio take a 2-D BOOLEAN
+    in {"none", "lzw", "deflate", "packbits", "g4", "g3", "g3_2d",
+    "mh"}, with TIFF Predictor 2 (horizontal differencing) available
+    under LZW/Deflate as real scanner output carries it. A uint16
+    input writes 16-bit samples in the file's byte order
+    (archival/scientific scans). The CCITT family take a 2-D BOOLEAN
     black-mask and write bilevel strips (BitsPerSample 1,
     PhotometricInterpretation 0 — WhiteIsZero, the fax convention;
     each strip an independent block per TIFF 6.0 §11): ``"g4"`` T.6
-    MMR, ``"g3"`` Group 3 1-D with EOL framing, ``"mh"`` Compression
-    2 MH RLE with byte-aligned rows."""
-    if compression in ("g4", "mh", "g3"):
+    MMR, ``"g3"`` Group 3 1-D with EOL framing, ``"g3_2d"`` T.4
+    mixed 1-D/2-D rows (Compression 3 with T4Options bit 0, K=4),
+    ``"mh"`` Compression 2 MH RLE with byte-aligned rows."""
+    if compression in ("g4", "mh", "g3", "g3_2d"):
         if px.ndim != 2 or px.dtype != np.bool_:
             raise ValueError(
                 "CCITT compression needs a 2-D boolean mask"
             )
         h, w = px.shape
-        comp_tag = {"mh": 2, "g3": 3, "g4": 4}[compression]
+        comp_tag = {"mh": 2, "g3": 3, "g3_2d": 3, "g4": 4}[compression]
         bo = "little" if byte_order == "II" else "big"
         rps = rows_per_strip or h
-        strips = [
-            encode_ccitt_g4(px[r : r + rps])
-            if compression == "g4"
-            else encode_ccitt_mh(
-                px[r : r + rps],
+
+        def _strip(sub: np.ndarray) -> bytes:
+            if compression == "g4":
+                return encode_ccitt_g4(sub)
+            if compression == "g3_2d":
+                return encode_ccitt_g3_mixed(sub, k=4)
+            return encode_ccitt_mh(
+                sub,
                 byte_align=compression == "mh",
                 eol=compression == "g3",
             )
-            for r in range(0, h, rps)
-        ]
+
+        strips = [_strip(px[r : r + rps]) for r in range(0, h, rps)]
         if fill_order == 2:  # fax-native LSB-first bit order
             strips = [bytes(_BITREV[b] for b in s_) for s_ in strips]
         tags = [
@@ -713,6 +724,8 @@ def encode_tiff(
             (0x0115, 3, [1]),
             (0x0116, 4, [rps]),
         ]
+        if compression == "g3_2d":
+            tags.append((0x0124, 4, [1]))  # T4Options: 2-D coding
         return _tiff_container(byte_order, bo, strips, tags)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -1033,50 +1046,151 @@ def _row_changes(row) -> list[int]:
     return changes
 
 
+def _t4_encode_2d_row(
+    bw: _MsbBitWriter, cur: list[int], ref: list[int], w_px: int
+) -> None:
+    """Encode ONE two-dimensional row (shared by T.6 MMR and T.4
+    mixed G3): pass / vertical / horizontal modes against the
+    reference row's changing elements."""
+    a0, color = -1, False  # start left of the row, white
+    while True:
+        # a1: first change after a0 (first change at all when a0<0)
+        a1 = next((c for c in cur if c > a0), w_px) if a0 >= 0 else (
+            cur[0] if cur else w_px
+        )
+        # b1: first change on ref past a0 with colour opposite the
+        # current colour — change parity: even index = →black
+        b1 = w_px
+        for idx, c in enumerate(ref):
+            if (c > a0 or (a0 < 0 and c >= 0)) and (idx % 2 == 0) != color:
+                b1 = c
+                break
+        b2 = next((c for c in ref if c > b1), w_px)
+        if b2 < a1:  # pass mode
+            bw.write("0001")
+            a0 = b2
+        elif abs(a1 - b1) <= 3:  # vertical mode
+            bw.write(
+                {0: "1", 1: "011", 2: "000011", 3: "0000011",
+                 -1: "010", -2: "000010", -3: "0000010"}[a1 - b1]
+            )
+            a0, color = a1, not color
+        else:  # horizontal mode: two runs from a0
+            a2 = next((c for c in cur if c > a1), w_px)
+            start = a0 if a0 >= 0 else 0
+            bw.write("001")
+            _t4_emit_run(bw, a1 - start, color)
+            _t4_emit_run(bw, a2 - a1, not color)
+            a0 = a2
+        if a0 >= w_px:
+            break
+
+
 def encode_ccitt_g4(black: "np.ndarray") -> bytes:
     """T.6 MMR encoder over a (h, w) boolean black-mask, EOFB
     terminated — the fixture writer for TIFF Compression=4 strips and
     PDF /CCITTFaxDecode (/K -1) streams."""
-    h, w_px = black.shape
+    h, _w_px = black.shape
     bw = _MsbBitWriter()
     ref: list[int] = []  # imaginary all-white reference row
     for y in range(h):
         cur = _row_changes(black[y])
-        a0, color = -1, False  # start left of the row, white
-        while True:
-            # a1: first change after a0 (first change at all when a0<0)
-            a1 = next((c for c in cur if c > a0), w_px) if a0 >= 0 else (
-                cur[0] if cur else w_px
-            )
-            # b1: first change on ref past a0 with colour opposite the
-            # current colour — change parity: even index = →black
-            b1 = w_px
-            for idx, c in enumerate(ref):
-                if (c > a0 or (a0 < 0 and c >= 0)) and (idx % 2 == 0) != color:
-                    b1 = c
-                    break
-            b2 = next((c for c in ref if c > b1), w_px)
-            if b2 < a1:  # pass mode
-                bw.write("0001")
-                a0 = b2
-            elif abs(a1 - b1) <= 3:  # vertical mode
-                bw.write(
-                    {0: "1", 1: "011", 2: "000011", 3: "0000011",
-                     -1: "010", -2: "000010", -3: "0000010"}[a1 - b1]
-                )
-                a0, color = a1, not color
-            else:  # horizontal mode: two runs from a0
-                a2 = next((c for c in cur if c > a1), w_px)
-                start = a0 if a0 >= 0 else 0
-                bw.write("001")
-                _t4_emit_run(bw, a1 - start, color)
-                _t4_emit_run(bw, a2 - a1, not color)
-                a0 = a2
-            if a0 >= w_px:
-                break
+        _t4_encode_2d_row(bw, cur, ref, black.shape[1])
         ref = cur
     bw.write("000000000001" * 2)  # EOFB
     return bw.done()
+
+
+def _t4_take_run(bits: str, pos: int, black: bool) -> tuple[int, int]:
+    """Decode one T.4 run (makeups accumulate until a terminating
+    code). Returns (run, new_pos)."""
+    table = _T4_DEC_BLACK if black else _T4_DEC_WHITE
+    total = 0
+    while True:
+        for ln in range(2, _T4_MAX_CODE_LEN + 1):
+            run = table.get(bits[pos : pos + ln])
+            if run is not None:
+                pos += ln
+                total += run
+                if run < 64:
+                    return total, pos
+                break
+        else:
+            raise ValueError("unrecognized T.4 run-length code")
+
+
+def _t4_decode_2d_row(
+    bits: str, pos: int, ref: list[int], width: int
+) -> tuple[list[int], int]:
+    """Decode ONE two-dimensional row (shared by T.6 MMR and T.4
+    mixed G3) against the reference row's changing elements.
+    Returns (changing elements < width, new_pos)."""
+    cur: list[int] = []
+    a0, color = -1, False
+    while True:
+        mode = None
+        for code, m in (
+            ("1", "v0"), ("011", "vr1"), ("010", "vl1"), ("001", "h"),
+            ("0001", "p"), ("000011", "vr2"), ("000010", "vl2"),
+            ("0000011", "vr3"), ("0000010", "vl3"),
+        ):
+            if bits.startswith(code, pos):
+                pos += len(code)
+                mode = m
+                break
+        if mode is None:
+            if bits.startswith("0000001", pos):
+                raise NotImplementedError("T.6 2-D extension code")
+            raise ValueError("unrecognized T.6 mode code")
+        if mode == "p":
+            b1 = width
+            for idx, c in enumerate(ref):
+                if (c > a0 or (a0 < 0 and c >= 0)) and (
+                    idx % 2 == 0
+                ) != color:
+                    b1 = c
+                    break
+            b2 = next((c for c in ref if c > b1), width)
+            a0 = b2
+        elif mode == "h":
+            start = a0 if a0 >= 0 else 0
+            r1, pos = _t4_take_run(bits, pos, color)
+            r2, pos = _t4_take_run(bits, pos, not color)
+            a1 = start + r1
+            a2 = a1 + r2
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+        else:
+            d = {"v0": 0, "vr1": 1, "vr2": 2, "vr3": 3,
+                 "vl1": -1, "vl2": -2, "vl3": -3}[mode]
+            b1 = width
+            for idx, c in enumerate(ref):
+                if (c > a0 or (a0 < 0 and c >= 0)) and (
+                    idx % 2 == 0
+                ) != color:
+                    b1 = c
+                    break
+            a1 = b1 + d
+            cur.append(a1)
+            a0, color = a1, not color
+        if a0 >= width:
+            break
+    # trim the sentinel width-change pairs horizontal mode appends
+    return [c for c in cur if c < width], pos
+
+
+def _t4_paint_row(rows: "np.ndarray", y: int, cur: list[int]) -> None:
+    """Paint a row from its changing elements (black runs between
+    even→odd change pairs; an unpaired final change runs to width)."""
+    run_start = None
+    for i, c in enumerate(cur):
+        if i % 2 == 0:
+            run_start = c
+        else:
+            rows[y, run_start:c] = True
+    if len(cur) % 2 == 1:
+        rows[y, cur[-1] :] = True
 
 
 def decode_ccitt_g4(data: bytes, width: int, height: int) -> "np.ndarray":
@@ -1086,92 +1200,95 @@ def decode_ccitt_g4(data: bytes, width: int, height: int) -> "np.ndarray":
     present). The 2-D extension escape (T.6 §2.2.4) gates honestly."""
     bits = "".join(f"{byte:08b}" for byte in data)
     pos = 0
-    n = len(bits)
-
-    def take_mode() -> str:
-        nonlocal pos
-        for code, mode in (
-            ("1", "v0"), ("011", "vr1"), ("010", "vl1"), ("001", "h"),
-            ("0001", "p"), ("000011", "vr2"), ("000010", "vl2"),
-            ("0000011", "vr3"), ("0000010", "vl3"),
-        ):
-            if bits.startswith(code, pos):
-                pos += len(code)
-                return mode
-        if bits.startswith("0000001", pos):
-            raise NotImplementedError("T.6 2-D extension code")
-        raise ValueError("unrecognized T.6 mode code")
-
-    def take_run(black: bool) -> int:
-        nonlocal pos
-        table = _T4_DEC_BLACK if black else _T4_DEC_WHITE
-        total = 0
-        while True:  # makeups accumulate until a terminating code
-            for ln in range(2, _T4_MAX_CODE_LEN + 1):
-                run = table.get(bits[pos : pos + ln])
-                if run is not None:
-                    pos += ln
-                    total += run
-                    if run < 64:
-                        return total
-                    break
-            else:
-                raise ValueError("unrecognized T.4 run-length code")
-
     rows = np.zeros((height, width), bool)
     ref: list[int] = []
     for y in range(height):
-        cur: list[int] = []
-        a0, color = -1, False
-        while True:
-            mode = take_mode()
-            if mode == "p":
-                b1 = width
-                for idx, c in enumerate(ref):
-                    if (c > a0 or (a0 < 0 and c >= 0)) and (
-                        idx % 2 == 0
-                    ) != color:
-                        b1 = c
-                        break
-                b2 = next((c for c in ref if c > b1), width)
-                a0 = b2
-            elif mode == "h":
-                start = a0 if a0 >= 0 else 0
-                r1 = take_run(color)
-                r2 = take_run(not color)
-                a1 = start + r1
-                a2 = a1 + r2
-                cur.append(a1)
-                cur.append(a2)
-                a0 = a2
-            else:
-                d = {"v0": 0, "vr1": 1, "vr2": 2, "vr3": 3,
-                     "vl1": -1, "vl2": -2, "vl3": -3}[mode]
-                b1 = width
-                for idx, c in enumerate(ref):
-                    if (c > a0 or (a0 < 0 and c >= 0)) and (
-                        idx % 2 == 0
-                    ) != color:
-                        b1 = c
-                        break
-                a1 = b1 + d
-                cur.append(a1)
-                a0, color = a1, not color
-            if a0 >= width:
-                break
-        # trim the sentinel width-change pairs horizontal mode appends
-        cur = [c for c in cur if c < width]
-        run_start = None
-        for i, c in enumerate(cur):
-            if i % 2 == 0:
-                run_start = c
-            else:
-                rows[y, run_start:c] = True
-        if len(cur) % 2 == 1:
-            rows[y, cur[-1] :] = True
+        cur, pos = _t4_decode_2d_row(bits, pos, ref, width)
+        _t4_paint_row(rows, y, cur)
         ref = cur
         if y == height - 1 and bits.startswith("000000000001" * 2, pos):
             pos += 24
+    return rows
+
+
+def encode_ccitt_g3_mixed(
+    black: "np.ndarray", *, k: int = 4, byte_align: bool = False
+) -> bytes:
+    """T.4 §4.2 mixed one/two-dimensional (Group 3 2-D) encoder —
+    the fixture writer for TIFF Compression=3 with T4Options bit 0
+    and PDF /CCITTFaxDecode ``/K > 0``. Every row is framed by an EOL
+    followed by the tag bit (1 = this row is 1-D MH, 0 = 2-D coded
+    against the previous row); a 1-D row leads each group of ``k``
+    rows, bounding error propagation the way real fax encoders do.
+    ``byte_align`` zero-fills before each EOL (/EncodedByteAlign)."""
+    if k < 1:
+        raise ValueError("T.4 /K must be >= 1 for mixed G3")
+    h, w_px = black.shape
+    bw = _MsbBitWriter()
+    ref: list[int] = []
+    for y in range(h):
+        if byte_align:
+            bw.align()
+        bw.write("000000000001")
+        one_d = y % k == 0
+        bw.write("1" if one_d else "0")
+        cur = _row_changes(black[y])
+        if one_d:
+            prev, color = 0, False
+            for c in cur + [w_px]:
+                _t4_emit_run(bw, c - prev, color)
+                prev, color = c, not color
+        else:
+            _t4_encode_2d_row(bw, cur, ref, w_px)
+        ref = cur
+    return bw.done()
+
+
+def decode_ccitt_g3_mixed(
+    data: bytes, width: int, height: int, *, byte_align: bool = False
+) -> "np.ndarray":
+    """T.4 §4.2 mixed G3 decoder → (height, width) boolean black-mask
+    (TIFF Compression=3 + T4Options bit 0, PDF ``/K > 0``): each row
+    is an EOL (with optional zero fill), the 1-D/2-D tag bit, then
+    either MH runs summing exactly to the width or a 2-D row coded
+    against the previous row's changing elements. Stops after
+    ``height`` rows; a trailing RTC (six EOL+1 tags) is tolerated."""
+    bits = "".join(f"{byte:08b}" for byte in data)
+    pos = 0
+    rows = np.zeros((height, width), bool)
+    ref: list[int] = []
+    for y in range(height):
+        if byte_align and pos % 8:
+            if "1" in bits[pos : pos + (8 - pos % 8)]:
+                raise ValueError("nonzero T.4 byte-align fill bits")
+            pos += 8 - pos % 8
+        one = bits.find("1", pos)
+        if one < 0 or one - pos < 11:
+            raise ValueError("missing T.4 EOL")
+        pos = one + 1
+        if pos >= len(bits):
+            raise ValueError("T.4 stream ends at the 1-D/2-D tag bit")
+        tag = bits[pos]
+        pos += 1
+        if tag == "1":
+            x, color = 0, False
+            while x < width:
+                run, pos = _t4_take_run(bits, pos, color)
+                if x + run > width:
+                    raise ValueError("T.4 run overruns the row width")
+                if color:
+                    rows[y, x : x + run] = True
+                x += run
+                color = not color
+            cur = _row_changes(rows[y])
+        else:
+            if y == 0:
+                raise ValueError(
+                    "T.4 2-D tag on the first row (no reference)"
+                )
+            cur, pos = _t4_decode_2d_row(bits, pos, ref, width)
+            _t4_paint_row(rows, y, cur)
+        ref = cur
     return rows
 
 
@@ -4340,6 +4457,73 @@ _L3_SFB_SHORT = {
     32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
 }
 
+# LSF (MPEG-2 / MPEG-2.5, ISO 13818-3 Table B.2) long-block
+# scalefactor band boundaries. 16, 22.05, 11.025 and 12 kHz share one
+# band layout; 24 kHz and the 8 kHz tail-heavy layout are their own.
+_L3_SFB_LONG_LSF_COMMON = [
+    0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168, 200,
+    238, 284, 336, 396, 464, 522, 576,
+]
+_L3_SFB_LONG.update(
+    {
+        22050: _L3_SFB_LONG_LSF_COMMON,
+        16000: _L3_SFB_LONG_LSF_COMMON,
+        11025: _L3_SFB_LONG_LSF_COMMON,
+        12000: _L3_SFB_LONG_LSF_COMMON,
+        24000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114,
+                136, 162, 194, 232, 278, 332, 394, 464, 540, 576],
+        8000: [0, 12, 24, 36, 48, 60, 72, 88, 108, 132, 160, 192, 232,
+               280, 336, 400, 476, 566, 568, 570, 572, 574, 576],
+    }
+)
+# LSF short-block boundaries per window (13 bands, last untransmitted)
+_L3_SFB_SHORT_LSF_COMMON = [
+    0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192,
+]
+_L3_SFB_SHORT.update(
+    {
+        22050: _L3_SFB_SHORT_LSF_COMMON,
+        11025: _L3_SFB_SHORT_LSF_COMMON,
+        12000: _L3_SFB_SHORT_LSF_COMMON,
+        24000: [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192],
+        16000: [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192],
+        8000: [0, 8, 16, 24, 36, 52, 72, 96, 124, 160, 162, 164, 166, 192],
+    }
+)
+
+# LSF scalefactor group sizes by blocktypenumber (ISO 13818-3
+# §2.4.3.2 nr_of_sfb): four groups, read with slen1..slen4, covering
+# 21 long bands / 12×3 short slots / 6 long + 9×3 short mixed slots.
+_L3_LSF_NSFB = {
+    0: {"long": (6, 5, 5, 5), "short": (9, 9, 9, 9), "mixed": (6, 9, 9, 9)},
+    1: {"long": (6, 5, 7, 3), "short": (9, 9, 12, 6), "mixed": (6, 9, 12, 6)},
+    2: {"long": (11, 10, 0, 0), "short": (18, 18, 0, 0),
+        "mixed": (15, 18, 0, 0)},
+}
+
+
+def _l3_lsf_slens(scalefac_compress: int) -> tuple[list[int], int, int]:
+    """LSF scalefactor field widths (ISO 13818-3 §2.4.3.2, the
+    non-intensity branch): the 9-bit scalefac_compress selects four
+    slen widths, an implied preflag (no preflag bit exists in LSF
+    side info) and the blocktypenumber that picks the nr_of_sfb
+    group-partition row. Intensity-stereo right channels interpret
+    the field differently and gate in the caller."""
+    sc = scalefac_compress
+    if not 0 <= sc < 512:
+        raise ValueError("LSF scalefac_compress is a 9-bit field")
+    if sc < 400:
+        return (
+            [(sc >> 4) // 5, (sc >> 4) % 5, (sc % 16) >> 2, sc % 4],
+            0,
+            0,
+        )
+    if sc < 500:
+        t = sc - 400
+        return [(t >> 2) // 5, (t >> 2) % 5, t % 4, 0], 0, 1
+    t = sc - 500
+    return [t // 3, t % 3, 0, 0], 1, 2
+
 # pair tables: {(x, y): (hlen, hcod)} — Table B.7, tables 1-3
 _L3_PAIR_TABLES: dict[int, dict[tuple[int, int], tuple[int, int]]] = {
     1: {
@@ -4408,12 +4592,19 @@ def parse_mp3_layer3_sideinfo(payload: bytes) -> list[dict[str, Any]]:
     scalefac_compress, window switching / block type, table_select,
     region counts, preflag, scalefac_scale, count1table_select.
 
-    All four MPEG-1 channel modes parse: mono reads the 17-byte side
+    All four channel modes parse: MPEG-1 mono reads the 17-byte side
     info (5 private bits), stereo / joint stereo / dual channel the
     32-byte layout (3 private bits, scfsi and the 59-bit granule
     struct PER CHANNEL, granule-major channel-minor). The dict also
     carries ``mode`` and ``mode_extension`` so the spectrum stage can
-    apply (or gate) the joint-stereo matrix."""
+    apply (or gate) the joint-stereo matrix.
+
+    LSF frames (MPEG-2 / MPEG-2.5, ISO 13818-3 §2.4.1.7) parse too:
+    ONE granule per frame, 9/17-byte side info (1/2 private bits), an
+    8-bit main_data_begin, NO scfsi, a 9-bit scalefac_compress and NO
+    preflag bit — ``preflag`` is the value §2.4.3.2 implies from
+    scalefac_compress (blocktypenumber 2 → 1). Each dict carries
+    ``version`` and ``n_granules`` so the spectrum stage can branch."""
     pos = 0
     end = len(payload)
     out: list[dict[str, Any]] = []
@@ -4424,37 +4615,49 @@ def parse_mp3_layer3_sideinfo(payload: bytes) -> list[dict[str, Any]]:
         hdr = int.from_bytes(payload[pos : pos + 4], "big")
         if hdr >> 21 != 0x7FF:
             raise ValueError(f"lost frame sync at byte {pos}")
-        if (hdr >> 19) & 0x3 != 3 or (hdr >> 17) & 0x3 != 1:
+        vcode = (hdr >> 19) & 0x3
+        if vcode == 1 or (hdr >> 17) & 0x3 != 1:
             raise NotImplementedError(
-                "side-info parse implemented for MPEG-1 Layer III only"
+                "side-info parse implemented for Layer III only"
             )
+        version = _MP3_VERSIONS[vcode]
+        lsf = version != "MPEG1"
+        n_gr = 1 if lsf else 2
         mode = (hdr >> 6) & 0x3
         mode_ext = (hdr >> 4) & 0x3
         nch = 1 if mode == 3 else 2
         crc = not (hdr >> 16) & 0x1
         bidx = (hdr >> 12) & 0xF
         ridx = (hdr >> 10) & 0x3
-        bitrate = _MP3_BITRATES[("MPEG1", 3)][bidx]
+        bitrate = _MP3_BITRATES[
+            ("MPEG2" if lsf else "MPEG1", 3)
+        ][bidx]
         if bitrate == 0:
             raise NotImplementedError("free-format Layer III bitrate")
-        rate = _MP3_RATES["MPEG1"][ridx]
+        rate = _MP3_RATES[version][ridx]
         padding = (hdr >> 9) & 0x1
-        flen = _mp3_frame_len("MPEG1", 3, bitrate, rate, padding)
+        flen = _mp3_frame_len(version, 3, bitrate, rate, padding)
         if pos + flen > end:
             raise ValueError("truncated final Layer III frame")
         si = _BitReader(
             payload[pos + 4 + (2 if crc else 0) : pos + flen]
         )
-        main_data_begin = si.read_bits(9)
-        si.read_bits(5 if nch == 1 else 3)  # private_bits
-        scfsi = [si.read_bits(4) for _ in range(nch)]
-        for gr in range(2):
+        main_data_begin = si.read_bits(8 if lsf else 9)
+        if lsf:
+            si.read_bits(1 if nch == 1 else 2)  # private_bits
+            scfsi = [0] * nch
+        else:
+            si.read_bits(5 if nch == 1 else 3)  # private_bits
+            scfsi = [si.read_bits(4) for _ in range(nch)]
+        for gr in range(n_gr):
             for ch in range(nch):
                 g: dict[str, Any] = {
                     "frame": frame_no,
                     "granule": gr,
                     "channel": ch,
                     "n_channels": nch,
+                    "n_granules": n_gr,
+                    "version": version,
                     "mode": mode,
                     "mode_extension": mode_ext,
                     "sample_rate": rate,
@@ -4463,7 +4666,7 @@ def parse_mp3_layer3_sideinfo(payload: bytes) -> list[dict[str, Any]]:
                     "part2_3_length": si.read_bits(12),
                     "big_values": si.read_bits(9),
                     "global_gain": si.read_bits(8),
-                    "scalefac_compress": si.read_bits(4),
+                    "scalefac_compress": si.read_bits(9 if lsf else 4),
                 }
                 wsf = si.read_bits(1)
                 g["window_switching"] = bool(wsf)
@@ -4472,9 +4675,9 @@ def parse_mp3_layer3_sideinfo(payload: bytes) -> list[dict[str, Any]]:
                     g["mixed_block"] = bool(si.read_bits(1))
                     g["table_select"] = [si.read_bits(5) for _ in range(2)]
                     g["subblock_gain"] = [si.read_bits(3) for _ in range(3)]
-                    # §2.4.2.7 implied regions: the boundary is line 36
-                    # for every window-switched granule (8 long bands,
-                    # or 3 short bands × 3 windows)
+                    # §2.4.2.7 implied regions: the boundary is the
+                    # first three short bands (line 36 in MPEG-1,
+                    # 3·sbounds[3] generally)
                     g["region0_count"] = (
                         8 if g["block_type"] == 2 and not g["mixed_block"]
                         else 7
@@ -4486,7 +4689,12 @@ def parse_mp3_layer3_sideinfo(payload: bytes) -> list[dict[str, Any]]:
                     g["table_select"] = [si.read_bits(5) for _ in range(3)]
                     g["region0_count"] = si.read_bits(4)
                     g["region1_count"] = si.read_bits(3)
-                g["preflag"] = si.read_bits(1)
+                if lsf:
+                    g["preflag"] = _l3_lsf_slens(
+                        g["scalefac_compress"]
+                    )[1]
+                else:
+                    g["preflag"] = si.read_bits(1)
                 g["scalefac_scale"] = si.read_bits(1)
                 g["count1table_select"] = si.read_bits(1)
                 out.append(g)
@@ -4536,8 +4744,16 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
     reads none from the stream (long blocks only — a set scfsi over a
     short granule raises, as the spec forbids it).
 
-    Scope gates (each raises honestly): MPEG-1; Huffman tables beyond
-    0-3/A/B; intensity stereo."""
+    LSF frames (MPEG-2 / MPEG-2.5) decode through the same chain with
+    the §2.4.3.2 differences applied: one 576-line granule per frame,
+    8-bit main_data_begin, no scfsi, the 9-bit scalefac_compress
+    driving the four-slen group partition (nr_of_sfb by implied
+    blocktypenumber), implied preflag, LSF band tables (Table B.2),
+    and a 6-band long head for mixed blocks (vs MPEG-1's 8).
+
+    Scope gates (each raises honestly): Huffman tables beyond
+    0-3/A/B; intensity stereo (both the MPEG-1 mode_extension bit
+    and the LSF intensity scalefac_compress interpretation)."""
     sis = parse_mp3_layer3_sideinfo(payload)
     by_key = {
         (s["frame"], s["granule"], s["channel"]): s for s in sis
@@ -4556,18 +4772,30 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
         mode = (hdr >> 6) & 0x3
         mode_ext = (hdr >> 4) & 0x3
         nch = 1 if mode == 3 else 2
-        if mode == 1 and mode_ext & 1:
-            raise NotImplementedError("intensity stereo")
         ms_on = mode == 1 and bool(mode_ext & 2)
+        is_on = mode == 1 and bool(mode_ext & 1)
+        version = _MP3_VERSIONS[(hdr >> 19) & 0x3]
+        is_lsf = version != "MPEG1"
+        if is_on and is_lsf:
+            # 13818-3 §2.4.3.2 reinterprets the intensity channel's
+            # scalefac_compress (intensity_scale, io = 2^-1/4 bases)
+            raise NotImplementedError("LSF intensity stereo")
+        n_gr = 1 if is_lsf else 2
         bidx = (hdr >> 12) & 0xF
         ridx = (hdr >> 10) & 0x3
-        bitrate = _MP3_BITRATES[("MPEG1", 3)][bidx]
-        rate = _MP3_RATES["MPEG1"][ridx]
+        bitrate = _MP3_BITRATES[
+            ("MPEG2" if is_lsf else "MPEG1", 3)
+        ][bidx]
+        rate = _MP3_RATES[version][ridx]
         padding = (hdr >> 9) & 0x1
-        flen = _mp3_frame_len("MPEG1", 3, bitrate, rate, padding)
+        flen = _mp3_frame_len(version, 3, bitrate, rate, padding)
         bounds = _L3_SFB_LONG[rate]
         sbounds = _L3_SFB_SHORT[rate]
-        si_bytes = 17 if nch == 1 else 32
+        # mixed-block long head: MPEG-1 keeps 8 long bands, LSF 6;
+        # both end exactly where the short interleave starts
+        n_long_mixed = 6 if is_lsf else 8
+        mixed_head = 3 * sbounds[3]
+        si_bytes = _mp3_side_info_len(version, nch == 1)
         md_region = payload[
             pos + 4 + (2 if crc else 0) + si_bytes : pos + flen
         ]
@@ -4584,16 +4812,23 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
             else md_region
         )
         prev_scalefac: list[list[int]] = [[0] * 22 for _ in range(nch)]
-        for gr in range(2):
+        for gr in range(n_gr):
             gxr: list[list[float]] = []
             gnz: list[list[bool]] = []
             gshort: list[bool] = []
+            gsf: list[list[int] | None] = []
             for ch in range(nch):
                 g = by_key[(frame_no, gr, ch)]
                 short = g["window_switching"] and g["block_type"] == 2
                 mixed = short and g["mixed_block"]
                 bits_before = main.bits_read()
-                slen1, slen2 = _L3_SLEN[g["scalefac_compress"]]
+                if is_lsf:
+                    lsf_slens, _lsf_pre, lsf_btn = _l3_lsf_slens(
+                        g["scalefac_compress"]
+                    )
+                    slen1 = slen2 = 0  # unused on the LSF path
+                else:
+                    slen1, slen2 = _L3_SLEN[g["scalefac_compress"]]
                 gain = 2.0 ** (0.25 * (g["global_gain"] - 210))
                 mult = 0.5 * (g["scalefac_scale"] + 1)
                 xr = [0.0] * 576
@@ -4604,15 +4839,52 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
                             "scfsi set over a short-block granule"
                         )
                     ssf = [[0] * 3 for _ in range(13)]
-                    lsf = [0] * 8
-                    if mixed:
+                    lhead = [0] * n_long_mixed
+                    if is_lsf:
+                        # §2.4.3.2: four slen groups partition the
+                        # slot sequence — mixed: 6 long bands then
+                        # bands 3-11 ×3 windows; short: bands 0-11
+                        # ×3 windows (window-minor, as in MPEG-1)
+                        if mixed:
+                            slots: list[tuple] = [
+                                ("L", b) for b in range(6)
+                            ] + [
+                                ("S", b, w)
+                                for b in range(3, 12)
+                                for w in range(3)
+                            ]
+                        else:
+                            slots = [
+                                ("S", b, w)
+                                for b in range(12)
+                                for w in range(3)
+                            ]
+                        groups = _L3_LSF_NSFB[lsf_btn][
+                            "mixed" if mixed else "short"
+                        ]
+                        if sum(groups) != len(slots):
+                            raise ValueError(
+                                "LSF scalefactor groups do not cover "
+                                "the block layout"
+                            )
+                        it = iter(slots)
+                        for gi, cnt in enumerate(groups):
+                            sl = lsf_slens[gi]
+                            for _ in range(cnt):
+                                slot = next(it)
+                                v = main.read_bits(sl) if sl else 0
+                                if slot[0] == "L":
+                                    lhead[slot[1]] = v
+                                else:
+                                    ssf[slot[1]][slot[2]] = v
+                    elif mixed:
                         # §2.4.2.7 mixed layout: long sfb 0-7 (slen1),
                         # then short bands 3-5 ×3 windows (slen1) and
                         # 6-11 ×3 (slen2); lines 0-35 stay long-coded,
                         # the short interleave starts at band 3
                         # (3·sbounds[3] == 36 at every MPEG-1 rate)
                         for b in range(8):
-                            lsf[b] = (
+                            lhead[b] = (
                                 main.read_bits(slen1) if slen1 else 0
                             )
                         for b in range(3, 12):
@@ -4633,15 +4905,15 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
                     sbgain = g["subblock_gain"]
 
                     def requant(i: int, val: int, neg: bool) -> None:
-                        if mixed and i < 36:
+                        if mixed and i < mixed_head:
                             # long-coded head of a mixed granule
-                            for b in range(8):
+                            for b in range(n_long_mixed):
                                 if bounds[b] <= i < bounds[b + 1]:
                                     break
                             fac = 2.0 ** (
                                 -mult
                                 * (
-                                    lsf[b]
+                                    lhead[b]
                                     + g["preflag"] * _L3_PRETAB[b]
                                 )
                             )
@@ -4669,22 +4941,42 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
 
                 else:
                     scalefac = [0] * 22
-                    # scfsi band groups (§2.4.2.7): granule 1 reuses
-                    # granule 0's scalefactors for each set group and
-                    # reads NO bits for them
-                    for gi, (lo, hi, sl) in enumerate(
-                        ((0, 6, slen1), (6, 11, slen1),
-                         (11, 16, slen2), (16, 21, slen2))
-                    ):
-                        if gr == 1 and (g["scfsi"] >> (3 - gi)) & 1:
-                            scalefac[lo:hi] = prev_scalefac[ch][lo:hi]
-                        else:
-                            for b in range(lo, hi):
+                    if is_lsf:
+                        # §2.4.3.2: the four nr_of_sfb groups cover
+                        # the 21 transmitted bands sequentially; no
+                        # scfsi exists in LSF side info
+                        b = 0
+                        for gi, cnt in enumerate(
+                            _L3_LSF_NSFB[lsf_btn]["long"]
+                        ):
+                            sl = lsf_slens[gi]
+                            for _ in range(cnt):
                                 scalefac[b] = (
                                     main.read_bits(sl) if sl else 0
                                 )
-                    if gr == 0:
-                        prev_scalefac[ch] = list(scalefac)
+                                b += 1
+                        if b != 21:
+                            raise ValueError(
+                                "LSF long scalefactor groups do not "
+                                "cover 21 bands"
+                            )
+                    else:
+                        # scfsi band groups (§2.4.2.7): granule 1
+                        # reuses granule 0's scalefactors for each set
+                        # group and reads NO bits for them
+                        for gi, (lo, hi, sl) in enumerate(
+                            ((0, 6, slen1), (6, 11, slen1),
+                             (11, 16, slen2), (16, 21, slen2))
+                        ):
+                            if gr == 1 and (g["scfsi"] >> (3 - gi)) & 1:
+                                scalefac[lo:hi] = prev_scalefac[ch][lo:hi]
+                            else:
+                                for b in range(lo, hi):
+                                    scalefac[b] = (
+                                        main.read_bits(sl) if sl else 0
+                                    )
+                        if gr == 0:
+                            prev_scalefac[ch] = list(scalefac)
 
                     def band_of(i: int) -> int:
                         for b in range(22):
@@ -4711,7 +5003,7 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
                 line = 0
                 for _p in range(g["big_values"]):
                     if g["window_switching"]:
-                        r0_end, r1_end = 36, 576
+                        r0_end, r1_end = mixed_head, 576
                     else:
                         r0_end = bounds[
                             min(g["region0_count"] + 1, 22)
@@ -4772,7 +5064,51 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
                 gxr.append(xr)
                 gnz.append(is_nonzero)
                 gshort.append("mixed" if mixed else ("short" if short else "long"))
-            if ms_on:
+                gsf.append(None if short else scalefac)
+            if is_on:
+                # §2.4.3.4.9.3 intensity stereo: every scalefactor
+                # band lying entirely in the RIGHT channel's zero
+                # part (above its last Huffman-decoded nonzero line)
+                # is intensity-coded — the right channel's
+                # scalefactor there is the position is_pos, and the
+                # left (carrier) spectrum splits by the tan ratio
+                #   L = xr·ratio/(1+ratio), R = xr·1/(1+ratio),
+                #   ratio = tan(is_pos·π/12)
+                # is_pos = 7 is forbidden and falls back to M/S (if
+                # mode_extension bit 1 is set) or plain L/R. Bands
+                # below the boundary use M/S or L/R the same way.
+                if any(s != "long" for s in gshort):
+                    raise NotImplementedError(
+                        "intensity stereo over window-switched "
+                        "granules"
+                    )
+                last_nz = 0
+                for i in range(575, -1, -1):
+                    if gnz[1][i]:
+                        last_nz = i + 1
+                        break
+                left = list(gxr[0])
+                right = list(gxr[1])
+                for b in range(22):
+                    lo, hi = bounds[b], bounds[b + 1]
+                    is_pos = gsf[1][b]
+                    if lo >= last_nz and is_pos != 7:
+                        ratio = math.tan(is_pos * math.pi / 12.0)
+                        for i in range(lo, hi):
+                            v = gxr[0][i]
+                            left[i] = v * (ratio / (1 + ratio))
+                            right[i] = v * (1 / (1 + ratio))
+                    elif ms_on:
+                        for i in range(lo, hi):
+                            m_v, s_v = gxr[0][i], gxr[1][i]
+                            left[i] = (m_v + s_v) * sqrt_half
+                            right[i] = (m_v - s_v) * sqrt_half
+                gxr = [left, right]
+                gnz = [
+                    [v != 0.0 for v in left],
+                    [v != 0.0 for v in right],
+                ]
+            elif ms_on:
                 # §2.4.3.4.9.2: full-spectrum M/S matrix
                 m_xr, s_xr = gxr
                 left = [
@@ -4789,8 +5125,8 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
             for ch in range(nch):
                 xr, is_nonzero = gxr[ch], gnz[ch]
                 if gshort[ch] == "mixed":
-                    # long head: bands 0-7 at window −1
-                    for b in range(8):
+                    # long head (8 bands MPEG-1, 6 LSF) at window −1
+                    for b in range(n_long_mixed):
                         lo, hi = bounds[b], bounds[b + 1]
                         acc = sum(
                             xr[i] * xr[i] for i in range(lo, hi)
@@ -4899,6 +5235,31 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
     return out
 
 
+def _l3_pack_pairs_quads(
+    g: dict[str, Any], bits: list[tuple[int, int]]
+) -> None:
+    """Append a granule's Huffman-coded big-value pairs and count1
+    quads (shared by the MPEG-1 and LSF builder paths)."""
+    table = _L3_PAIR_TABLES[g["table"]]
+    for x, y in g["pairs"]:
+        ln, code = table[(abs(x), abs(y))]
+        bits.append((code, ln))
+        if x:
+            bits.append((1 if x < 0 else 0, 1))
+        if y:
+            bits.append((1 if y < 0 else 0, 1))
+    c1 = _L3_COUNT1_A if g.get("count1table", "A") == "A" else _L3_COUNT1_B
+    for quad in g.get("quads", []):
+        idx = 0
+        for v in quad:
+            idx = (idx << 1) | (1 if v else 0)
+        ln, code = c1[idx]
+        bits.append((code, ln))
+        for v in quad:
+            if v:
+                bits.append((1 if v < 0 else 0, 1))
+
+
 def build_mp3_layer3(
     *,
     sample_rate: int = 44100,
@@ -4908,8 +5269,9 @@ def build_mp3_layer3(
     frames: list[dict[str, Any]] | None = None,
     reservoir: bool = False,
     mode: str = "mono",
+    version: str = "MPEG1",
 ) -> bytes:
-    """Fixture writer: MPEG-1 Layer III frames with REAL side info
+    """Fixture writer: Layer III frames with REAL side info
     and Huffman-coded main data (§2.4.1.7). Each granule dict:
     ``global_gain``, ``scalefac_compress``, ``scalefac`` (21 values
     fitting the slen widths), ``preflag``, ``scalefac_scale``,
@@ -4941,9 +5303,23 @@ def build_mp3_layer3(
     frame's ``main_data_begin`` is the distance back into the
     accumulated prior regions where its granules start. With
     ``False`` every frame's main data sits in its own region
-    (main_data_begin 0)."""
-    mode_bits = {"stereo": 0, "joint_ms": 1, "dual": 2, "mono": 3}[mode]
-    mode_ext = 2 if mode == "joint_ms" else 0
+    (main_data_begin 0).
+
+    ``version``: "MPEG1" (default) or the LSF variants "MPEG2" /
+    "MPEG2.5" (ISO 13818-3): ONE granule per frame, 8-bit
+    main_data_begin, no scfsi, 9-bit scalefac_compress whose
+    §2.4.3.2 derivation fixes the four slen widths, the implied
+    preflag (an explicit ``preflag`` must match it) and the
+    nr_of_sfb group partition — long blocks still take 21
+    scalefactors, mixed blocks a 6-long + 9×3-short layout."""
+    mode_bits = {
+        "stereo": 0, "joint_ms": 1, "joint_is": 1, "joint_is_ms": 1,
+        "dual": 2, "mono": 3,
+    }[mode]
+    vbits = {"MPEG1": 3, "MPEG2": 2, "MPEG2.5": 0}[version]
+    lsf_mode = version != "MPEG1"
+    n_gr = 1 if lsf_mode else 2
+    mode_ext = {"joint_ms": 2, "joint_is": 1, "joint_is_ms": 3}.get(mode, 0)
     nch = 1 if mode == "mono" else 2
     if frames is None:
         if granules is None:
@@ -4951,8 +5327,11 @@ def build_mp3_layer3(
         frames = [{"granules": granules}] * n_frames
     norm_frames: list[dict[str, Any]] = []
     for fr in frames:
-        if len(fr["granules"]) != 2:
-            raise ValueError("Layer III frame carries exactly 2 granules")
+        if len(fr["granules"]) != n_gr:
+            raise ValueError(
+                f"{version} Layer III frames carry exactly {n_gr} "
+                "granule(s)"
+            )
         grs = []
         for entry in fr["granules"]:
             chans = entry if isinstance(entry, (list, tuple)) else [entry]
@@ -4964,13 +5343,17 @@ def build_mp3_layer3(
         scfsi = fr.get("scfsi", 0)
         if isinstance(scfsi, int):
             scfsi = [scfsi] * nch
+        if lsf_mode and any(scfsi):
+            raise ValueError("scfsi does not exist in LSF side info")
         norm_frames.append({"granules": grs, "scfsi": list(scfsi)})
-    ridx = _MP3_RATES["MPEG1"].index(sample_rate)
-    bidx = _MP3_BITRATES[("MPEG1", 3)].index(bitrate_kbps)
-    flen = _mp3_frame_len("MPEG1", 3, bitrate_kbps, sample_rate, 0)
-    si_bytes = 17 if nch == 1 else 32
+    ridx = _MP3_RATES[version].index(sample_rate)
+    bidx = _MP3_BITRATES[
+        ("MPEG2" if lsf_mode else "MPEG1", 3)
+    ].index(bitrate_kbps)
+    flen = _mp3_frame_len(version, 3, bitrate_kbps, sample_rate, 0)
+    si_bytes = _mp3_side_info_len(version, nch == 1)
     hdr = (
-        (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+        (0x7FF << 21) | (vbits << 19) | (1 << 17) | (1 << 16)
         | (bidx << 12) | (ridx << 10) | (mode_bits << 6)
         | (mode_ext << 4)
     )
@@ -4979,6 +5362,72 @@ def build_mp3_layer3(
         g: dict[str, Any], skip_groups: frozenset[int] = frozenset()
     ) -> list[tuple[int, int]]:
         bits: list[tuple[int, int]] = []
+        if lsf_mode:
+            lsf_slens, pre_implied, btn = _l3_lsf_slens(
+                g["scalefac_compress"]
+            )
+            if "preflag" in g and g["preflag"] != pre_implied:
+                raise ValueError(
+                    "LSF preflag is implied by scalefac_compress "
+                    f"({pre_implied}); no preflag bit exists"
+                )
+            if skip_groups:
+                raise ValueError("scfsi does not exist in LSF side info")
+            if g.get("block_type", 0) == 2:
+                ssf = g["scalefac_short"]
+                if g.get("mixed", False):
+                    lhead = g["scalefac"]
+                    if len(lhead) != 6:
+                        raise ValueError(
+                            "LSF mixed blocks need 6 long scalefactors"
+                        )
+                    if len(ssf) != 9 or any(len(w) != 3 for w in ssf):
+                        raise ValueError(
+                            "LSF mixed blocks need 9×3 short "
+                            "scalefactors (bands 3-11)"
+                        )
+                    vals = list(lhead) + [
+                        ssf[b - 3][w]
+                        for b in range(3, 12)
+                        for w in range(3)
+                    ]
+                    kind = "mixed"
+                else:
+                    if len(ssf) != 12 or any(len(w) != 3 for w in ssf):
+                        raise ValueError("need 12×3 short scalefactors")
+                    vals = [
+                        ssf[b][w] for b in range(12) for w in range(3)
+                    ]
+                    kind = "short"
+            else:
+                sf = g["scalefac"]
+                if len(sf) != 21:
+                    raise ValueError("need 21 long-block scalefactors")
+                vals = list(sf)
+                kind = "long"
+            groups = _L3_LSF_NSFB[btn][kind]
+            if sum(groups) != len(vals):
+                raise ValueError(
+                    "LSF scalefactor groups do not cover the layout"
+                )
+            i = 0
+            for gi, cnt in enumerate(groups):
+                sl = lsf_slens[gi]
+                for _ in range(cnt):
+                    v = vals[i]
+                    i += 1
+                    if sl:
+                        if v >= (1 << sl):
+                            raise ValueError(
+                                "scalefactor exceeds slen width"
+                            )
+                        bits.append((v, sl))
+                    elif v:
+                        raise ValueError(
+                            "nonzero scalefactor with slen 0"
+                        )
+            _l3_pack_pairs_quads(g, bits)
+            return bits
         slen1, slen2 = _L3_SLEN[g["scalefac_compress"]]
         if g.get("block_type", 0) == 2:
             if skip_groups:
@@ -5059,24 +5508,7 @@ def build_mp3_layer3(
                         bits.append((sf[b], sl))
                     elif sf[b]:
                         raise ValueError("nonzero scalefactor with slen 0")
-        table = _L3_PAIR_TABLES[g["table"]]
-        for x, y in g["pairs"]:
-            ln, code = table[(abs(x), abs(y))]
-            bits.append((code, ln))
-            if x:
-                bits.append((1 if x < 0 else 0, 1))
-            if y:
-                bits.append((1 if y < 0 else 0, 1))
-        c1 = _L3_COUNT1_A if g.get("count1table", "A") == "A" else _L3_COUNT1_B
-        for quad in g.get("quads", []):
-            idx = 0
-            for v in quad:
-                idx = (idx << 1) | (1 if v else 0)
-            ln, code = c1[idx]
-            bits.append((code, ln))
-            for v in quad:
-                if v:
-                    bits.append((1 if v < 0 else 0, 1))
+        _l3_pack_pairs_quads(g, bits)
         return bits
 
     def pack(bits: list[tuple[int, int]]) -> bytes:
@@ -5102,7 +5534,7 @@ def build_mp3_layer3(
             (part23, 12),
             (len(g["pairs"]), 9),
             (g["global_gain"], 8),
-            (g["scalefac_compress"], 4),
+            (g["scalefac_compress"], 9 if lsf_mode else 4),
         ]
         bt = g.get("block_type", 0)
         if bt:
@@ -5121,8 +5553,9 @@ def build_mp3_layer3(
                 (g.get("region0_count", 3), 4),
                 (g.get("region1_count", 3), 3),
             ]
+        if not lsf_mode:  # LSF has no preflag bit (§2.4.3.2 implies it)
+            side.append((g.get("preflag", 0), 1))
         side += [
-            (g.get("preflag", 0), 1),
             (g.get("scalefac_scale", 0), 1),
             (1 if g.get("count1table", "A") == "B" else 0, 1),
         ]
@@ -5132,45 +5565,53 @@ def build_mp3_layer3(
     frame_md: list[bytes] = []
     frame_side: list[list[tuple[int, int]]] = []
     for fr in norm_frames:
-        (g0s, g1s), scfsi = fr["granules"], fr["scfsi"]
-        skips = []
-        for ch in range(nch):
-            sk = frozenset(
-                gi for gi in range(4) if (scfsi[ch] >> (3 - gi)) & 1
-            )
-            if sk and (
-                g0s[ch].get("block_type", 0) == 2
-                or g1s[ch].get("block_type", 0) == 2
-            ):
-                raise ValueError("scfsi is invalid over short blocks")
-            for gi in sk:
-                lo, hi = groups[gi]
-                if (
-                    g0s[ch]["scalefac"][lo:hi]
-                    != g1s[ch]["scalefac"][lo:hi]
+        grans_fr, scfsi = fr["granules"], fr["scfsi"]
+        skips: list[frozenset[int]] = [frozenset()] * nch
+        if not lsf_mode:
+            (g0s, g1s) = grans_fr
+            skips = []
+            for ch in range(nch):
+                sk = frozenset(
+                    gi for gi in range(4) if (scfsi[ch] >> (3 - gi)) & 1
+                )
+                if sk and (
+                    g0s[ch].get("block_type", 0) == 2
+                    or g1s[ch].get("block_type", 0) == 2
                 ):
-                    raise ValueError(
-                        "scfsi group reuses unequal scalefactors"
-                    )
-            skips.append(sk)
+                    raise ValueError("scfsi is invalid over short blocks")
+                for gi in sk:
+                    lo, hi = groups[gi]
+                    if (
+                        g0s[ch]["scalefac"][lo:hi]
+                        != g1s[ch]["scalefac"][lo:hi]
+                    ):
+                        raise ValueError(
+                            "scfsi group reuses unequal scalefactors"
+                        )
+                skips.append(sk)
         # main data packs granule-major channel-minor (§2.4.2.7)
         mains = [
-            [granule_main_bits(g0s[ch]) for ch in range(nch)],
             [
-                granule_main_bits(g1s[ch], skips[ch])
+                granule_main_bits(
+                    grans_fr[gr][ch], skips[ch] if gr else frozenset()
+                )
                 for ch in range(nch)
-            ],
+            ]
+            for gr in range(n_gr)
         ]
         side: list[tuple[int, int]] = [
-            (0, 9),  # main_data_begin — patched at layout time
-            (0, 5 if nch == 1 else 3),  # private_bits
+            # main_data_begin — patched at layout time (8-bit in LSF)
+            (0, 8 if lsf_mode else 9),
+            (0, (1 if nch == 1 else 2) if lsf_mode
+             else (5 if nch == 1 else 3)),  # private_bits
         ]
-        for ch in range(nch):
-            side.append((scfsi[ch], 4))
-        for gr, gchs in enumerate((g0s, g1s)):
+        if not lsf_mode:
+            for ch in range(nch):
+                side.append((scfsi[ch], 4))
+        for gr in range(n_gr):
             for ch in range(nch):
                 part23 = sum(ln for _v, ln in mains[gr][ch])
-                side += granule_side_bits(gchs[ch], part23)
+                side += granule_side_bits(grans_fr[gr][ch], part23)
         frame_side.append(side)
         frame_md.append(
             pack([b for gr in mains for chbits in gr for b in chbits])
@@ -5189,10 +5630,11 @@ def build_mp3_layer3(
     for i, (side, md) in enumerate(zip(frame_side, frame_md)):
         if reservoir:
             mdb = region_bytes - stream_off
-            if mdb > 511:
+            if mdb > (255 if lsf_mode else 511):
                 raise ValueError(
                     f"frame {i}: reservoir back-pointer {mdb} exceeds "
-                    "the 9-bit field — shrink earlier frames' slack"
+                    f"the {8 if lsf_mode else 9}-bit field — shrink "
+                    "earlier frames' slack"
                 )
             if stream_off + len(md) > region_bytes + region_cap:
                 raise ValueError(
@@ -5209,7 +5651,7 @@ def build_mp3_layer3(
                     f"bits, holds {flen * 8}"
                 )
             region = md.ljust(region_cap, b"\x00")
-        side[0] = (mdb, 9)
+        side[0] = (mdb, 8 if lsf_mode else 9)
         side_bytes = pack(side)
         assert len(side_bytes) == si_bytes
         out += hdr.to_bytes(4, "big") + side_bytes + region
@@ -5685,8 +6127,9 @@ def build_mp3(
 # ranges WITHOUT any codec — the same filter-before-decode shape as
 # mp4_sample_table. SimpleBlock keyframes come from the 0x80 flag
 # bit; BlockGroup keyframes from the ABSENCE of a ReferenceBlock
-# sibling (Matroska semantics). Lacing and unknown-size elements
-# gate honestly.
+# sibling (Matroska semantics). All four lacing modes decode, and
+# unknown-size Segments/Clusters (live-remuxed WebM) terminate per
+# RFC 8794 §6.2's schema rule; other unknown-size elements gate.
 # ---------------------------------------------------------------------------
 
 _EBML_IDS = {
@@ -5701,11 +6144,17 @@ _EBML_IDS = {
 }
 
 
-def _ebml_vint(buf: bytes, pos: int, *, keep_marker: bool) -> tuple[int, int]:
+def _ebml_vint(
+    buf: bytes, pos: int, *, keep_marker: bool, size_field: bool = False
+) -> tuple[int | None, int]:
     """Read one EBML variable-length integer at ``pos`` (RFC 8794
     §4): the count of leading zero bits in the first byte gives the
     total width; element IDs keep the marker bit, sizes strip it.
-    Returns (value, width)."""
+    Returns (value, width). The all-ones VINT_DATA value is reserved
+    ONLY in element-size fields (RFC 8794 §6.2 "unknown size") —
+    there ``size_field=True`` returns ``(None, width)``; in plain
+    data vints (track numbers, lace lengths) it is an ordinary
+    value."""
     if pos >= len(buf):
         raise ValueError("EBML varint past end of buffer")
     first = buf[pos]
@@ -5718,22 +6167,69 @@ def _ebml_vint(buf: bytes, pos: int, *, keep_marker: bool) -> tuple[int, int]:
     if not keep_marker:
         marker_bits = 7 * width
         val &= (1 << marker_bits) - 1
-        if val == (1 << marker_bits) - 1:
-            raise NotImplementedError("unknown-size EBML element")
+        if size_field and val == (1 << marker_bits) - 1:
+            return None, width
     return val, width
+
+
+# Matroska Cluster child IDs — the set that decides where an
+# unknown-size Cluster ends (Timestamp, Position, PrevSize,
+# SimpleBlock, BlockGroup, EncryptedBlock, Void, CRC-32)
+_EBML_CLUSTER_CHILDREN = frozenset(
+    {0xE7, 0xA7, 0xAB, 0xA3, 0xA0, 0xAF, 0xEC, 0xBF}
+)
+
+
+def _ebml_unknown_end(buf: bytes, eid: int, data_start: int, end: int) -> int:
+    """RFC 8794 §6.2 termination for an unknown-size element: it ends
+    at the first element that is not one of its valid children (or at
+    the parent's end). Live-remuxed WebM writes exactly two shapes —
+    an unknown-size Segment (ends at EOF) and unknown-size Clusters
+    (end at the next Cluster / top-level element); anything else
+    still gates honestly."""
+    if eid == _EBML_IDS["segment"]:
+        return end
+    if eid != _EBML_IDS["cluster"]:
+        raise NotImplementedError(
+            "unknown-size EBML element (only Segment and Cluster "
+            "terminate per the Matroska schema)"
+        )
+    pos = data_start
+    while pos < end:
+        ceid, idw = _ebml_vint(buf, pos, keep_marker=True)
+        if ceid not in _EBML_CLUSTER_CHILDREN:
+            break
+        csize, szw = _ebml_vint(
+            buf, pos + idw, keep_marker=False, size_field=True
+        )
+        if csize is None:
+            raise NotImplementedError(
+                "unknown-size element inside an unknown-size Cluster"
+            )
+        nxt = pos + idw + szw + csize
+        if nxt > end:
+            raise ValueError("EBML element escapes its parent")
+        pos = nxt
+    return pos
 
 
 def _ebml_elements(buf: bytes, start: int, end: int):
     """Yield (element_id, data_start, data_end) for the children of a
-    master element's span."""
+    master element's span. Unknown-size children (streamed Segment /
+    Cluster) are terminated per RFC 8794 §6.2."""
     pos = start
     while pos < end:
         eid, idw = _ebml_vint(buf, pos, keep_marker=True)
-        size, szw = _ebml_vint(buf, pos + idw, keep_marker=False)
+        size, szw = _ebml_vint(
+            buf, pos + idw, keep_marker=False, size_field=True
+        )
         data_start = pos + idw + szw
-        data_end = data_start + size
-        if data_end > end:
-            raise ValueError("EBML element escapes its parent")
+        if size is None:
+            data_end = _ebml_unknown_end(buf, eid, data_start, end)
+        else:
+            data_end = data_start + size
+            if data_end > end:
+                raise ValueError("EBML element escapes its parent")
         yield eid, data_start, data_end
         pos = data_end
 
@@ -5983,13 +6479,20 @@ def build_webm(
     timestamp_scale: int = 1_000_000,
     duration_ticks: float | None = None,
     doctype: str = "webm",
+    unknown_size_segment: bool = False,
+    unknown_size_clusters: bool = False,
 ) -> bytes:
     """Fixture writer: EBML header + Segment(Info, Tracks, Clusters).
     ``tracks``: dicts with number, type ('video'/'audio'), codec, and
     width/height for video. ``clusters``: dicts with ``timestamp``
     (ticks) and ``blocks`` — tuples ``(track, rel_ts, keyframe,
     payload)``; a dict entry with ``group=True`` writes a BlockGroup
-    (keyframe = omit ReferenceBlock) instead of a SimpleBlock."""
+    (keyframe = omit ReferenceBlock) instead of a SimpleBlock.
+
+    ``unknown_size_segment`` / ``unknown_size_clusters`` write the
+    1-byte all-ones size (0xFF) live remuxers emit for a Segment (and
+    often Clusters) whose extent isn't known at write time — the RFC
+    8794 §6.2 shapes the parser terminates by schema."""
     import struct as _struct
 
     head = _ebml_el(
@@ -6095,7 +6598,16 @@ def build_webm(
                     _EBML_IDS["simple_block"],
                     hdr + bytes([flags]) + lace_body,
                 )
-        seg += _ebml_el(_EBML_IDS["cluster"], body)
+        if unknown_size_clusters:
+            seg += (
+                _EBML_IDS["cluster"].to_bytes(4, "big") + b"\xff" + body
+            )
+        else:
+            seg += _ebml_el(_EBML_IDS["cluster"], body)
+    if unknown_size_segment:
+        return (
+            head + _EBML_IDS["segment"].to_bytes(4, "big") + b"\xff" + seg
+        )
     return head + _ebml_el(_EBML_IDS["segment"], seg)
 
 

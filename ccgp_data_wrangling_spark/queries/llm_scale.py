@@ -5222,7 +5222,9 @@ SELECT id,
        CAST(24 AS INT) AS width,
        CAST(16 AS INT) AS height,
        CAST(1 AS INT) AS n_channels,
-       CASE WHEN k % 3 = 0 THEN 'g4' ELSE 'g3' END AS codec,
+       CASE WHEN k % 4 = 0 THEN 'g4'
+            WHEN k % 4 = 3 THEN 'g3_2d'
+            ELSE 'g3' END AS codec,
        ROUND(255.0 * (24 - id % 25) / 24.0, 4) AS luma_mean
 FROM g
 """
@@ -5232,13 +5234,17 @@ FROM g
 def pdf_g4_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCITT fax image extraction end-to-end: build_pdf fixtures
     embedding /CCITTFaxDecode image XObjects over a deterministic
-    bitonal bar mask, the coding rotating on k%3 — Group 4 (/K -1,
+    bitonal bar mask, the coding rotating on k%4 — Group 4 (/K -1,
     T.6 MMR against the row above), Group 3 one-dimensional (/K 0,
-    pure T.4 MH runs), and G3 with /EncodedByteAlign rows — →
-    object scan → fax decode → black-fraction luma. The from-scratch
-    codecs live in operators/media_codecs (decode_ccitt_g4 /
-    decode_ccitt_mh, sharing the transcribed T.4 run tables); two
-    Arrow stages as in every media gate."""
+    pure T.4 MH runs), G3 with /EncodedByteAlign rows, and T.4
+    MIXED one/two-dimensional (/K 4: EOL + tag bit per row, a 1-D
+    row leading every group of four — what real scanned faxes
+    predominantly carry) — → object scan → fax decode →
+    black-fraction luma. The from-scratch codecs live in
+    operators/media_codecs (decode_ccitt_g4 / decode_ccitt_mh /
+    decode_ccitt_g3_mixed, sharing the transcribed T.4 run tables
+    and the G4 2-D row machinery); two Arrow stages as in every
+    media gate."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -5260,7 +5266,7 @@ def pdf_g4_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k = e // 20
                 mask = np.zeros((16, 24), bool)
                 mask[:, : e % 25] = True
-                spec = ("g4", "g3", "g3a")[k % 3]
+                spec = ("g4", "g3", "g3a", "g3_2d")[k % 4]
                 payloads.append(
                     build_pdf(
                         [[f"scanned sheet {e}"]],
@@ -5504,11 +5510,15 @@ def multimodal_mp3_shortblock_spectrum(
 # two-channel: the 32-byte side info carries per-(granule, channel)
 # structs and the main data packs granule-major channel-minor; joint
 # stereo applies the full-spectrum M/S matrix L=(M+S)/√2, R=(M−S)/√2
-# (§2.4.3.4.9.2). The mode rotates on k-parity (plain LR / joint MS),
-# and the oracle replays BOTH: per-channel requantization with
-# per-line SIGNED spectra, pivoted by channel, matrixed in SQL for
-# the MS rows. A decoder that mixed up channel interleaving or
-# matrixed the wrong pair would shift every line.
+# (§2.4.3.4.9.2) and/or INTENSITY positions (§2.4.3.4.9.3): bands in
+# the right channel's zero part carry is_pos in their scalefactors
+# and the carrier spectrum splits L=xr·ρ/(1+ρ), R=xr/(1+ρ) with
+# ρ=tan(is_pos·π/12); is_pos 7 is forbidden and falls back to M/S or
+# L/R. The mode rotates on k%4 (plain LR / joint MS / joint IS /
+# joint IS+MS — all four mode_extension values), and the oracle
+# replays ALL of it: per-channel requantization with per-line SIGNED
+# spectra, pivoted by channel, the right channel's zero-part boundary
+# recomputed in SQL and each band matrixed per its classification.
 # ---------------------------------------------------------------------------
 
 _MP3_STEREO_SQL = """
@@ -5520,16 +5530,25 @@ gr AS (
   SELECT id, k, UNNEST([0, 1]) AS granule FROM g
 ),
 p AS (
-  SELECT id, k, granule, 3 + id % 3 AS np, 1 + k % 3 AS nq,
-         (k // 2) % 2 AS scale, k % 2 AS ms
+  SELECT id, k, granule, 1 + k % 3 AS nq,
+         (k // 2) % 2 AS scale,
+         CASE WHEN k % 4 IN (1, 3) THEN 1 ELSE 0 END AS ms,
+         CASE WHEN k % 4 >= 2 THEN 1 ELSE 0 END AS iss
   FROM gr
 ),
 chlines AS (
-  SELECT p.*, c.ch, l.line
+  SELECT p.*, c.ch,
+         CASE WHEN p.iss = 1 AND c.ch = 0 THEN 24 + p.id % 3
+              ELSE 3 + p.id % 3 END AS np,
+         l.line
   FROM p
   CROSS JOIN (SELECT UNNEST([0, 1]) AS ch) c
   CROSS JOIN LATERAL (
-    SELECT UNNEST(generate_series(0, 2 * np + 4 * nq - 1)) AS line
+    SELECT UNNEST(generate_series(
+      0,
+      2 * (CASE WHEN p.iss = 1 AND c.ch = 0 THEN 24 + p.id % 3
+                ELSE 3 + p.id % 3 END) + 4 * p.nq - 1
+    )) AS line
   ) l
 ),
 bands AS (
@@ -5542,7 +5561,7 @@ bands AS (
   ) AS b(sfb, lo, hi)
 ),
 vals AS (
-  SELECT cl.*, b.sfb, b.hi - b.lo AS width,
+  SELECT cl.*, b.sfb, b.lo, b.hi, b.hi - b.lo AS width,
          CASE
            WHEN cl.line < 2 * cl.np
              THEN ((cl.line * (3 + cl.ch) + cl.id + cl.granule) % 5) - 2
@@ -5557,22 +5576,52 @@ xr AS (
          * POWER(ABS(c), 4.0 / 3.0)
          * POWER(2.0, 0.25 * (gg - 210))
          * POWER(2.0, -(0.5 * (scale + 1))
-                 * ((id + sfb + granule + 2 * ch) % 4)) AS x
+                 * (CASE WHEN iss = 1 AND ch = 1
+                         THEN (id + sfb + granule) % 8
+                         ELSE (id + sfb + granule + 2 * ch) % 4 END)) AS x
   FROM vals
 ),
+zp AS (  -- right channel's zero-part start per (id, granule)
+  SELECT id, granule,
+         COALESCE(MAX(CASE WHEN ch = 1 AND c <> 0
+                           THEN line + 1 END), 0) AS last_nz
+  FROM vals GROUP BY 1, 2
+),
 pivoted AS (
-  SELECT id, k, granule, ms, line, sfb, width,
-         MAX(CASE WHEN ch = 0 THEN x END) AS x0,
-         MAX(CASE WHEN ch = 1 THEN x END) AS x1
-  FROM xr GROUP BY 1, 2, 3, 4, 5, 6, 7
+  SELECT x.id, x.k, x.granule, x.ms, x.iss, x.line, x.sfb, x.lo,
+         x.width, z.last_nz,
+         MAX(CASE WHEN ch = 0 THEN x.x END) AS x0,
+         MAX(CASE WHEN ch = 1 THEN x.x END) AS x1
+  FROM xr x JOIN zp z ON z.id = x.id AND z.granule = x.granule
+  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
+),
+classified AS (
+  SELECT *,
+         (id + sfb + granule) % 8 AS is_pos,
+         CASE WHEN iss = 1 AND lo >= last_nz
+                   AND (id + sfb + granule) % 8 <> 7
+              THEN 1 ELSE 0 END AS is_band
+  FROM pivoted
 ),
 outch AS (
   SELECT id, granule, line, sfb, width, o.ch,
-         CASE WHEN ms = 0 AND o.ch = 0 THEN x0
-              WHEN ms = 0 THEN x1
-              WHEN o.ch = 0 THEN (x0 + x1) * POWER(2.0, -0.5)
-              ELSE (x0 - x1) * POWER(2.0, -0.5) END AS v
-  FROM pivoted CROSS JOIN (SELECT UNNEST([0, 1]) AS ch) o
+         CASE
+           WHEN is_band = 1 AND o.ch = 0
+             THEN COALESCE(x0, 0.0)
+                  * (TAN(is_pos * PI() / 12)
+                     / (1 + TAN(is_pos * PI() / 12)))
+           WHEN is_band = 1
+             THEN COALESCE(x0, 0.0)
+                  * (1 / (1 + TAN(is_pos * PI() / 12)))
+           WHEN ms = 1 AND o.ch = 0
+             THEN (COALESCE(x0, 0.0) + COALESCE(x1, 0.0))
+                  * POWER(2.0, -0.5)
+           WHEN ms = 1
+             THEN (COALESCE(x0, 0.0) - COALESCE(x1, 0.0))
+                  * POWER(2.0, -0.5)
+           WHEN o.ch = 0 THEN COALESCE(x0, 0.0)
+           ELSE COALESCE(x1, 0.0) END AS v
+  FROM classified CROSS JOIN (SELECT UNNEST([0, 1]) AS ch) o
 ),
 agg AS (
   SELECT id, granule, ch, sfb,
@@ -5605,13 +5654,18 @@ def multimodal_mp3_stereo_spectrum(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Layer III STEREO decode end-to-end: build_mp3_layer3 fixtures
-    in plain-stereo / joint-MS rotation (k-parity) with per-channel
-    planted spectra (table-3 pairs, count1 quads, 21 scalefactors
-    under compress index 9) → two-channel side-info walk →
-    channel-minor main-data decode → requantize → M/S matrix where
-    the header's mode_extension demands it → per-band RMS per output
-    channel. scalefac_scale rotates so both exponent multipliers run;
-    no preemphasis keeps the oracle's exponent closed-form."""
+    rotating ALL FOUR mode_extension values on k%4 (plain LR /
+    joint MS / joint IS / joint IS+MS) with per-channel planted
+    spectra (table-3 pairs, count1 quads, 21 scalefactors) →
+    two-channel side-info walk → channel-minor main-data decode →
+    requantize → per-band stereo processing: intensity bands (right
+    channel's zero part, §2.4.3.4.9.3) split the carrier by
+    tan(is_pos·π/12) with is_pos planted in the right channel's
+    scalefactors (compress index 13 → %8, so the forbidden is_pos 7
+    exercises the M/S / L-R fallback), the rest M/S-matrixed where
+    mode_extension bit 1 demands → per-band RMS per output channel.
+    Intensity rows give the LEFT channel ~8× the spectral reach so
+    the projection lands on energized bands."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -5633,11 +5687,16 @@ def multimodal_mp3_stereo_spectrum(
             for eid in pdf["id"]:
                 e = int(eid)
                 k = e // 20
-                np_, nq = 3 + e % 3, 1 + k % 3
+                iss = k % 4 >= 2
+                nq = 1 + k % 3
                 grans = []
                 for gr in range(2):
                     chans = []
                     for ch in range(2):
+                        np_ = (
+                            24 + e % 3 if iss and ch == 0
+                            else 3 + e % 3
+                        )
                         pairs = [
                             (
                                 ((2 * i) * (3 + ch) + e + gr) % 5 - 2,
@@ -5660,9 +5719,13 @@ def multimodal_mp3_stereo_spectrum(
                             dict(
                                 global_gain=140 + e % 40
                                 + 10 * gr + 5 * ch,
-                                scalefac_compress=9,
+                                scalefac_compress=(
+                                    13 if iss and ch == 1 else 9
+                                ),
                                 scalefac=[
-                                    (e + b + gr + 2 * ch) % 4
+                                    (e + b + gr) % 8
+                                    if iss and ch == 1
+                                    else (e + b + gr + 2 * ch) % 4
                                     for b in range(21)
                                 ],
                                 preflag=0,
@@ -5674,11 +5737,11 @@ def multimodal_mp3_stereo_spectrum(
                             )
                         )
                     grans.append(chans)
+                mode = (
+                    "stereo", "joint_ms", "joint_is", "joint_is_ms"
+                )[k % 4]
                 payloads.append(
-                    build_mp3_layer3(
-                        granules=grans,
-                        mode="stereo" if k % 2 == 0 else "joint_ms",
-                    )
+                    build_mp3_layer3(granules=grans, mode=mode)
                 )
             yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
 
@@ -5762,7 +5825,12 @@ def multimodal_webm_keyframes(
     keyframes are signalled by ReferenceBlock ABSENCE, k%2==1 as
     SimpleBlocks with the 0x80 flag) → operators/media_codecs
     webm_blocks → one row per block with keyframe flag and timing.
-    Two Arrow stages; codec payloads are opaque by design."""
+    k%3 rotates the live-stream shapes: an UNKNOWN-SIZE Segment
+    (k%3==0), unknown-size Segment AND Clusters (k%3==1 — what a
+    live remuxer actually writes), sized throughout (k%3==2); the
+    RFC 8794 §6.2 schema-termination walk must yield byte-identical
+    block rows for all three. Two Arrow stages; codec payloads are
+    opaque by design."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -5823,6 +5891,8 @@ def multimodal_webm_keyframes(
                     build_webm(
                         tracks=tracks, clusters=clusters,
                         duration_ticks=float(n * 1000),
+                        unknown_size_segment=k % 3 < 2,
+                        unknown_size_clusters=k % 3 == 1,
                     )
                 )
             yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
@@ -5858,5 +5928,239 @@ def multimodal_webm_keyframes(
         schema=(
             "id long, cluster int, track int, ts_ticks bigint, "
             "time_sec double, keyframe boolean, size int"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MP3 LSF (MPEG-2 / MPEG-2.5) Layer III through the driver gate —
+# low-sample-rate voice/podcast MP3s are the most common real files a
+# crawl's audio slice hits: ONE 576-line granule per frame, 9-byte
+# mono side info with an 8-bit main_data_begin, no scfsi, and the
+# 9-bit scalefac_compress whose ISO 13818-3 §2.4.3.2 derivation fixes
+# the four slen widths, the nr_of_sfb group partition AND the implied
+# preflag (no preflag bit exists). The rotation covers all three
+# derivation branches (blocktypenumber 0/1/2 — the last with implied
+# preemphasis exercised on energized high bands), both LSF band
+# tables that differ from MPEG-1 (24 kHz MPEG-2 and the tail-heavy
+# 8 kHz MPEG-2.5), and the 8-bit bit reservoir across two frames.
+# The oracle replays the full requant chain closed-form.
+# ---------------------------------------------------------------------------
+
+_MP3_LSF_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 11
+),
+p AS (
+  SELECT id, k, k % 3 AS v, k % 2 AS vr,
+         CASE WHEN k % 3 = 2 THEN 96 + id % 3 ELSE 3 + id % 3 END AS np,
+         1 + k % 3 AS nq,
+         150 + id % 40 AS gg,
+         (k // 2) % 2 AS scale,
+         CASE WHEN k % 3 = 2 THEN 1 ELSE 0 END AS pre,
+         CASE WHEN k % 5 = 1 THEN 2 ELSE 1 END AS nf
+  FROM g
+),
+bands AS (
+  SELECT 0 AS vr, * FROM (VALUES
+    (0,0,6,0),(1,6,12,0),(2,12,18,0),(3,18,24,0),(4,24,30,0),(5,30,36,0),
+    (6,36,44,0),(7,44,54,0),(8,54,66,0),(9,66,80,0),(10,80,96,0),
+    (11,96,114,1),(12,114,136,1),(13,136,162,1),(14,162,194,1),
+    (15,194,232,2),(16,232,278,2),(17,278,332,3),(18,332,394,3),
+    (19,394,464,3),(20,464,540,2),(21,540,576,0)
+  ) AS b(sfb, lo, hi, pretab)
+  UNION ALL
+  SELECT 1 AS vr, * FROM (VALUES
+    (0,0,12,0),(1,12,24,0),(2,24,36,0),(3,36,48,0),(4,48,60,0),(5,60,72,0),
+    (6,72,88,0),(7,88,108,0),(8,108,132,0),(9,132,160,0),(10,160,192,0),
+    (11,192,232,1),(12,232,280,1),(13,280,336,1),(14,336,400,1),
+    (15,400,476,2),(16,476,566,2),(17,566,568,3),(18,568,570,3),
+    (19,570,572,3),(20,572,574,2),(21,574,576,0)
+  ) AS b(sfb, lo, hi, pretab)
+),
+bb AS (
+  SELECT p.*, b.sfb, b.lo, b.hi, b.pretab,
+         CASE WHEN b.sfb = 21 THEN 0
+              WHEN p.v = 0 THEN
+                CASE WHEN b.sfb < 6 THEN 0
+                     WHEN b.sfb < 11 THEN (p.id + b.sfb) % 16
+                     WHEN b.sfb < 16 THEN (p.id + b.sfb) % 8
+                     ELSE (p.id + b.sfb) % 2 END
+              WHEN p.v = 1 THEN
+                CASE WHEN b.sfb < 6 THEN (p.id + b.sfb) % 2
+                     WHEN b.sfb < 11 THEN (p.id + b.sfb) % 16
+                     ELSE 0 END
+              ELSE
+                CASE WHEN b.sfb < 11 THEN (p.id + b.sfb) % 2
+                     ELSE (p.id + b.sfb) % 4 END
+         END AS sf
+  FROM p JOIN bands b ON b.vr = p.vr
+),
+lines AS (
+  SELECT p.id, UNNEST(generate_series(0, 2 * np + 4 * nq - 1)) AS line
+  FROM p
+),
+vals AS (
+  SELECT l.id, l.line, CASE
+      WHEN l.line < 2 * p.np AND l.line % 2 = 0
+        THEN ((l.line // 2) * 3 + l.id) % 5 - 2
+      WHEN l.line < 2 * p.np
+        THEN ((l.line // 2) * 5 + l.id) % 5 - 2
+      ELSE ((l.id + ((l.line - 2 * p.np) // 4) * 4
+             + (l.line - 2 * p.np) % 4) % 3) - 1
+    END AS c
+  FROM lines l JOIN p ON p.id = l.id
+),
+agg AS (
+  SELECT bb.id, bb.sfb,
+         CAST(SUM(CASE WHEN v.c <> 0 THEN 1 ELSE 0 END) AS INT) AS nnz,
+         SUM(POWER(
+           POWER(ABS(v.c), 4.0 / 3.0)
+           * POWER(2.0, 0.25 * (bb.gg - 210))
+           * POWER(2.0, -(0.5 * (bb.scale + 1))
+                   * (bb.sf + bb.pre * bb.pretab)),
+           2)) AS e
+  FROM bb JOIN vals v
+    ON v.id = bb.id AND v.line >= bb.lo AND v.line < bb.hi
+  GROUP BY 1, 2
+),
+frames AS (
+  SELECT id, UNNEST(generate_series(0, nf - 1)) AS frame FROM p
+)
+SELECT bb.id,
+       CAST(f.frame AS INT) AS frame,
+       CAST(0 AS INT) AS granule,
+       CAST(bb.sfb AS INT) AS sfb,
+       CAST(bb.hi - bb.lo AS INT) AS width,
+       CAST(COALESCE(a.nnz, 0) AS INT) AS n_nonzero,
+       ROUND(SQRT(COALESCE(a.e, 0.0) / (bb.hi - bb.lo)), 6) AS rms
+FROM bb
+JOIN frames f ON f.id = bb.id
+LEFT JOIN agg a ON a.id = bb.id AND a.sfb = bb.sfb
+"""
+
+
+@register("multimodal_mp3_lsf_spectrum", _MP3_LSF_SQL)
+def multimodal_mp3_lsf_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LSF (MPEG-2 / MPEG-2.5) Layer III decode-to-requantization
+    end-to-end: build_mp3_layer3(version=...) fixtures rotating
+    MPEG-2 @ 24 kHz / MPEG-2.5 @ 8 kHz (k-parity — both band tables
+    differ from every MPEG-1 layout), all three §2.4.3.2
+    scalefac_compress derivation branches on k%3 (slen widths
+    [0,4,3,1] / [1,4,0,0] / [1,2,0,0]; the last implies preflag=1 and
+    plants ~200 spectral lines so the preemphasis lands on energized
+    bands), and two-frame 8-bit bit-reservoir packing on k%5==1 →
+    parse_mp3_layer3_sideinfo (one granule, no scfsi) →
+    decode_mp3_layer3_spectrum → per-scalefactor-band RMS envelope.
+    Two Arrow stages; IMDCT/synthesis still raise."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3_layer3,
+        decode_mp3_layer3_spectrum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 11
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                v = k % 3
+                version, rate, kbps = (
+                    ("MPEG2", 24000, 48) if k % 2 == 0
+                    else ("MPEG2.5", 8000, 24)
+                )
+                np_ = 96 + e % 3 if v == 2 else 3 + e % 3
+                nq = 1 + k % 3
+                sc = (77, 436, 505)[v]
+                sf = []
+                for b in range(21):
+                    if v == 0:
+                        sf.append(
+                            0 if b < 6
+                            else (e + b) % 16 if b < 11
+                            else (e + b) % 8 if b < 16
+                            else (e + b) % 2
+                        )
+                    elif v == 1:
+                        sf.append(
+                            (e + b) % 2 if b < 6
+                            else (e + b) % 16 if b < 11
+                            else 0
+                        )
+                    else:
+                        sf.append((e + b) % 2 if b < 11 else (e + b) % 4)
+                gran = dict(
+                    global_gain=150 + e % 40,
+                    scalefac_compress=sc,
+                    scalefac=sf,
+                    scalefac_scale=(k // 2) % 2,
+                    table=3,
+                    pairs=[
+                        ((i * 3 + e) % 5 - 2, (i * 5 + e) % 5 - 2)
+                        for i in range(np_)
+                    ],
+                    quads=[
+                        tuple((e + j * 4 + q) % 3 - 1 for q in range(4))
+                        for j in range(nq)
+                    ],
+                    count1table="A" if k % 2 == 0 else "B",
+                    region0_count=4,
+                    region1_count=5,
+                )
+                if k % 5 == 1:
+                    payloads.append(
+                        build_mp3_layer3(
+                            frames=[{"granules": [gran]}] * 2,
+                            version=version,
+                            sample_rate=rate,
+                            bitrate_kbps=kbps,
+                            reservoir=True,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        build_mp3_layer3(
+                            granules=[gran],
+                            version=version,
+                            sample_rate=rate,
+                            bitrate_kbps=kbps,
+                        )
+                    )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                for r in decode_mp3_layer3_spectrum(bytes(blob)):
+                    rows.append({"id": rid, **r})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "frame", "granule", "sfb", "width",
+                    "n_nonzero", "rms",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        decode,
+        schema=(
+            "id long, frame int, granule int, sfb int, width int, "
+            "n_nonzero int, rms double"
         ),
     )

@@ -785,11 +785,11 @@ def pdf_images(
         parms = _decode_parms(head, len(names))
         if names and names[-1] in (b"CCITTFaxDecode", b"CCF"):
             # scanned-document bitonal images (§7.4.6): transport
-            # filters unwrap first, then T.6 MMR decode; bilevel
-            # surfaces as 0/255 grayscale luma. /BlackIs1 does not
-            # change luma (it flips sample ENCODING; the runs decode
-            # to black/white either way). G3 (/K >= 0) and
-            # /EncodedByteAlign gate honestly.
+            # filters unwrap first, then the CCITT decode — /K < 0
+            # T.6 MMR, /K 0 T.4 1-D MH, /K > 0 T.4 mixed 1-D/2-D;
+            # bilevel surfaces as 0/255 grayscale luma. /BlackIs1
+            # does not change luma (it flips sample ENCODING; the
+            # runs decode to black/white either way).
             if bpc != 1:
                 raise ValueError("CCITTFaxDecode needs /BitsPerComponent 1")
             for nm, parm in zip(names[:-1], parms[:-1]):
@@ -830,10 +830,15 @@ def pdf_images(
                     eol=bool(re.search(rb"/EndOfLine\s+true", cparm)),
                 )
                 codec_name = "g3"
-            else:
-                raise NotImplementedError(
-                    "CCITTFaxDecode /K > 0 (mixed 2-D Group 3)"
+            else:  # /K > 0: T.4 mixed one/two-dimensional Group 3
+                from ccgp_data_wrangling_spark.operators.media_codecs import (  # noqa: E501
+                    decode_ccitt_g3_mixed,
                 )
+
+                black = decode_ccitt_g3_mixed(
+                    bytes(data), w, h, byte_align=byte_align
+                )
+                codec_name = "g3_2d"
             lum = round(
                 float(np.where(black, 0.0, 255.0).mean()), 4
             )
@@ -1294,8 +1299,9 @@ def build_pdf(
                         b" /Length %d >>" % (iw, ih, cs, len(data))
                     )
                     body = head + b"\nstream\n" + data + b"\nendstream"
-                elif spec[0] in ("g4", "g3", "g3a"):
+                elif spec[0] in ("g4", "g3", "g3a", "g3_2d"):
                     from ccgp_data_wrangling_spark.operators.media_codecs import (  # noqa: E501
+                        encode_ccitt_g3_mixed,
                         encode_ccitt_g4,
                         encode_ccitt_mh,
                     )
@@ -1305,6 +1311,9 @@ def build_pdf(
                     if spec[0] == "g4":
                         data = encode_ccitt_g4(mask)
                         kparm = b"/K -1 "
+                    elif spec[0] == "g3_2d":  # mixed 1-D/2-D rows
+                        data = encode_ccitt_g3_mixed(mask, k=4)
+                        kparm = b"/K 4 "
                     else:  # g3 = 1-D MH; g3a = byte-aligned rows
                         ba = spec[0] == "g3a"
                         data = encode_ccitt_mh(mask, byte_align=ba)

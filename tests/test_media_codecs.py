@@ -2353,15 +2353,16 @@ def test_pdf_g4_image_extraction():
     assert [(g["codec"], g["width"], g["height"], g["n_channels"],
              g["luma_mean"]) for g in got] == [("g4", 30, 10, 1, want)]
     # Group 3 ONE-dimensional decodes (plain and byte-aligned rows);
-    # mixed 2-D (/K > 0) gates
-    for spec in ("g3", "g3a"):
+    # /K > 0 carries T.4 MIXED rows (EOL + 1-D/2-D tag bit per row)
+    for spec in ("g3", "g3a", "g3_2d"):
         g3got = pdf_images(
             build_pdf([["scan"]], page_images=[[(spec, mask)]])
         )
         assert [(g["codec"], g["luma_mean"]) for g in g3got] == [
-            ("g3", want)
+            ("g3_2d" if spec == "g3_2d" else "g3", want)
         ], spec
-    with pytest.raises(NotImplementedError, match="K > 0"):
+    # a /K > 0 stream without EOL framing fails loudly, not silently
+    with pytest.raises(ValueError, match="EOL"):
         pdf_images(
             build_pdf(
                 [["s"]], page_images=[[("g3", mask)]]
@@ -2373,6 +2374,61 @@ def test_pdf_g4_image_extraction():
                 b"/K -1", b"/K -1 /EncodedByteAlign true", 1
             )
         )
+
+
+def test_ccitt_g3_mixed_roundtrip():
+    """T.4 §4.2 mixed one/two-dimensional G3: EOL + tag bit per row,
+    1-D rows bounding each K-group, 2-D rows reusing the T.6 mode
+    machinery against the previous row — TIFF Compression 3 with
+    T4Options bit 0 and PDF /K > 0."""
+    import numpy as np
+    import pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_ccitt_g3_mixed,
+        decode_tiff,
+        encode_ccitt_g3_mixed,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(41)
+    cases = [
+        np.zeros((3, 10), bool),
+        np.ones((5, 9), bool),
+    ]
+    a = np.zeros((9, 40), bool)
+    a[:, 3:17] = True
+    a[4:, 25:] = True
+    cases.append(a)
+    for _ in range(6):
+        h, w = int(rng.integers(1, 16)), int(rng.integers(1, 100))
+        cases.append(rng.random((h, w)) < rng.random())
+    for k in (1, 2, 4, 8):
+        for ba in (False, True):
+            for i, img in enumerate(cases):
+                enc = encode_ccitt_g3_mixed(img, k=k, byte_align=ba)
+                dec = decode_ccitt_g3_mixed(
+                    enc, img.shape[1], img.shape[0], byte_align=ba
+                )
+                assert (dec == img).all(), (k, ba, i)
+    # the tag bits really alternate: k=4 writes a 1-D row then three
+    # 2-D rows — flipping row 0's tag to 2-D must fail (no reference)
+    img = cases[2]
+    enc = encode_ccitt_g3_mixed(img, k=4)
+    first_tag_bit = 12  # after the leading 12-bit EOL
+    flipped = bytearray(enc)
+    flipped[first_tag_bit // 8] &= ~(1 << (7 - first_tag_bit % 8))
+    with pytest.raises(ValueError, match="first row"):
+        decode_ccitt_g3_mixed(bytes(flipped), img.shape[1], img.shape[0])
+    # TIFF Compression 3 + T4Options bit 0 decodes through the same
+    # path, multi-strip and both fill orders
+    for fo in (1, 2):
+        blob = encode_tiff(
+            img, compression="g3_2d", fill_order=fo, rows_per_strip=4
+        )
+        m = decode_tiff(blob)
+        want = round(float(np.where(img, 0, 255).mean()), 4)
+        assert (m["compression"], m["luma_mean"]) == (3, want), fo
 
 
 def test_mp3_layer3_stereo_and_ms():
@@ -2442,11 +2498,11 @@ def test_mp3_layer3_stereo_and_ms():
     assert rl["rms"] == round(
         math.sqrt(sum(x * x for x in left) / 4), 6
     )
-    # intensity stereo gates (mode_extension bit 0)
-    bad = bytearray(ms)
-    bad[3] |= 0x10
-    with _pytest.raises(NotImplementedError, match="intensity"):
-        decode_mp3_layer3_spectrum(bytes(bad))
+    # mode_extension bit 0 (intensity) now decodes — the full
+    # semantics are covered in test_mp3_layer3_intensity_stereo
+    patched = bytearray(ms)
+    patched[3] |= 0x10
+    assert len(decode_mp3_layer3_spectrum(bytes(patched))) == len(mrows)
 
 
 def test_mp3_layer3_short_blocks():
@@ -2646,12 +2702,21 @@ def test_webm_honest_gates():
     bad = bytes([0x81, 0, 0, 0x04, 0x01]) + b"aaabb"
     with pytest.raises(ValueError, match="divide evenly"):
         _webm_block_frames(bad, 0, len(bad))
-    # unknown-size elements gate honestly
-    unk = _ebml_el(_EBML_IDS["ebml"], b"") + bytes(
-        _EBML_IDS["segment"].to_bytes(4, "big")
-    ) + b"\xff"  # 1-byte VINT with all value bits set = unknown size
+    # an unknown-size SEGMENT now terminates at EOF (RFC 8794 §6.2,
+    # covered in test_webm_unknown_size_elements) — but unknown size
+    # on an element with no schema termination still gates honestly
+    unk = (
+        _ebml_el(_EBML_IDS["ebml"], b"")
+        + _EBML_IDS["segment"].to_bytes(4, "big") + b"\xff"
+        + _EBML_IDS["tracks"].to_bytes(4, "big") + b"\xff"
+    )
     with pytest.raises(NotImplementedError, match="unknown-size"):
         parse_webm(unk)
+    empty_stream = (
+        _ebml_el(_EBML_IDS["ebml"], b"")
+        + _EBML_IDS["segment"].to_bytes(4, "big") + b"\xff"
+    )
+    assert parse_webm(empty_stream)["tracks"] == []
     # a child escaping its parent fails loudly
     bad = bytearray(blob)
     i = bad.find(bytes([0xA3]))  # SimpleBlock id
@@ -2800,3 +2865,410 @@ def test_mp3_layer3_mixed_blocks():
             6,
         )
         assert r["rms"] == exp, r
+
+
+def test_mp3_layer3_lsf_sideinfo_and_spectrum():
+    """LSF (MPEG-2/2.5) Layer III: one 576-line granule per frame,
+    9-byte mono side info with 8-bit main_data_begin and no scfsi, a
+    9-bit scalefac_compress driving the §2.4.3.2 slen/nr_of_sfb/
+    preflag derivation, and LSF band tables (13818-3 Table B.2)."""
+    import pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _l3_lsf_slens,
+        build_mp3_layer3,
+        decode_mp3_layer3_spectrum,
+        parse_mp3_layer3_sideinfo,
+    )
+
+    # §2.4.3.2 derivation branches
+    assert _l3_lsf_slens(77) == ([0, 4, 3, 1], 0, 0)
+    assert _l3_lsf_slens(436) == ([1, 4, 0, 0], 0, 1)
+    assert _l3_lsf_slens(505) == ([1, 2, 0, 0], 1, 2)
+    with pytest.raises(ValueError):
+        _l3_lsf_slens(512)
+
+    g = dict(
+        global_gain=160,
+        scalefac_compress=77,
+        scalefac=[0] * 6
+        + [i % 16 for i in range(5)]
+        + [i % 8 for i in range(5)]
+        + [i % 2 for i in range(5)],
+        table=3,
+        pairs=[(1, -2), (0, 2), (-1, 1)],
+        quads=[(1, 0, -1, 1)],
+        count1table="A",
+        region0_count=4,
+        region1_count=5,
+    )
+    for ver, rate, width0 in (
+        ("MPEG2", 22050, 6),
+        ("MPEG2", 24000, 6),
+        ("MPEG2.5", 8000, 12),
+    ):
+        blob = build_mp3_layer3(
+            granules=[g], version=ver, sample_rate=rate, bitrate_kbps=64
+        )
+        si = parse_mp3_layer3_sideinfo(blob)
+        assert len(si) == 1
+        assert si[0]["version"] == ver
+        assert si[0]["n_granules"] == 1
+        assert si[0]["scalefac_compress"] == 77
+        assert si[0]["preflag"] == 0
+        rows = decode_mp3_layer3_spectrum(blob)
+        assert len(rows) == 22 and rows[0]["width"] == width0
+        assert sum(r["n_nonzero"] for r in rows) == 8  # 5 pair + 3 quad
+
+    # implied preflag: sc >= 500 requantizes WITH pretab and parses
+    # preflag 1 although no bit exists; an explicit mismatch raises
+    gp = dict(
+        g,
+        scalefac_compress=505,
+        scalefac=[i % 2 for i in range(11)] + [i % 4 for i in range(10)],
+        pairs=[(1, 0)] * 60,  # reach band 11+ where pretab is nonzero
+        quads=[],
+    )
+    blob_pre = build_mp3_layer3(
+        granules=[gp], version="MPEG2", sample_rate=22050, bitrate_kbps=64
+    )
+    assert parse_mp3_layer3_sideinfo(blob_pre)[0]["preflag"] == 1
+    no_pre = decode_mp3_layer3_spectrum(blob_pre)
+    # isolate the implied preemphasis: sc=500 (slens [0,0] → all
+    # scalefactors zero, preflag 1) vs sc=0 (same zeros, preflag 0) —
+    # any spectral difference in bands ≥ 11 is pretab alone
+    pre_on = decode_mp3_layer3_spectrum(
+        build_mp3_layer3(
+            granules=[dict(gp, scalefac_compress=500, scalefac=[0] * 21)],
+            version="MPEG2",
+            sample_rate=22050,
+            bitrate_kbps=64,
+        )
+    )
+    pre_off = decode_mp3_layer3_spectrum(
+        build_mp3_layer3(
+            granules=[dict(gp, scalefac_compress=0, scalefac=[0] * 21)],
+            version="MPEG2",
+            sample_rate=22050,
+            bitrate_kbps=64,
+        )
+    )
+    assert no_pre[12]["rms"] != pre_on[12]["rms"]  # scalefactors act
+    assert [r["rms"] for r in pre_on[:11]] == [
+        r["rms"] for r in pre_off[:11]
+    ]
+    assert pre_on[12]["rms"] < pre_off[12]["rms"]  # pretab attenuates
+    with pytest.raises(ValueError, match="implied"):
+        build_mp3_layer3(
+            granules=[dict(gp, preflag=0)],
+            version="MPEG2",
+            sample_rate=22050,
+            bitrate_kbps=64,
+        )
+
+    # LSF frames carry exactly one granule; scfsi does not exist
+    with pytest.raises(ValueError, match="1 granule"):
+        build_mp3_layer3(
+            granules=[g, g], version="MPEG2", sample_rate=22050,
+            bitrate_kbps=64,
+        )
+    with pytest.raises(ValueError, match="scfsi"):
+        build_mp3_layer3(
+            frames=[{"granules": [g], "scfsi": 8}],
+            version="MPEG2.5",
+            sample_rate=8000,
+            bitrate_kbps=32,
+        )
+
+
+def test_mp3_layer3_lsf_short_mixed_and_reservoir():
+    """LSF short/mixed blocks use the nr_of_sfb group partition (9/9/
+    9/9 and 6/9/9/9 for blocktypenumber 0) and a 6-band long head;
+    the 8-bit reservoir packs across frames like MPEG-1's 9-bit one."""
+    import pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3_layer3,
+        decode_mp3_layer3_spectrum,
+        parse_mp3_layer3_sideinfo,
+    )
+
+    gs = dict(
+        global_gain=170,
+        scalefac_compress=36,  # slens [0,2,1,0], blocktypenumber 0
+        block_type=2,
+        scalefac_short=[[0] * 3] * 3
+        + [[(b + w) % 4 for w in range(3)] for b in range(3)]
+        + [[(b * w) % 2 for w in range(3)] for b in range(3)]
+        + [[0] * 3] * 3,
+        subblock_gain=[0, 1, 2],
+        table=2,
+        pairs=[(1, 2), (2, 0)],
+        quads=[(0, 1, 1, 0)],
+        count1table="B",
+    )
+    rows = decode_mp3_layer3_spectrum(
+        build_mp3_layer3(
+            granules=[gs], version="MPEG2", sample_rate=24000,
+            bitrate_kbps=64,
+        )
+    )
+    assert len(rows) == 39  # 13 bands × 3 windows
+    assert {r["window"] for r in rows} == {0, 1, 2}
+
+    gm = dict(
+        global_gain=165,
+        scalefac_compress=36,
+        block_type=2,
+        mixed=True,
+        scalefac=[0] * 6,  # 6-band long head (MPEG-1 mixed has 8)
+        scalefac_short=[[(b + w) % 2 for w in range(3)] for b in range(6)]
+        + [[0] * 3] * 3,
+        subblock_gain=[1, 0, 1],
+        table=3,
+        pairs=[(2, 1), (0, -2), (1, 1)],
+        quads=[],
+        count1table="A",
+    )
+    rows = decode_mp3_layer3_spectrum(
+        build_mp3_layer3(
+            granules=[gm], version="MPEG2.5", sample_rate=8000,
+            bitrate_kbps=32,
+        )
+    )
+    # 6 long head bands (window −1) + bands 3-12 × 3 windows
+    assert len(rows) == 36
+    assert sum(1 for r in rows if r["window"] == -1) == 6
+    with pytest.raises(ValueError, match="6 long"):
+        build_mp3_layer3(
+            granules=[dict(gm, scalefac=[0] * 8)],
+            version="MPEG2.5",
+            sample_rate=8000,
+            bitrate_kbps=32,
+        )
+
+    # two-channel LSF joint MS through the 8-bit reservoir: packed ≡
+    # flat spectra, nonzero main_data_begin actually exercised
+    gl = dict(
+        global_gain=160, scalefac_compress=0, scalefac=[0] * 21,
+        table=3, pairs=[(1, 1), (2, -1)], quads=[], count1table="A",
+        region0_count=4, region1_count=4,
+    )
+    gr_ = dict(gl, pairs=[(1, -1), (0, 2)])
+    packed = build_mp3_layer3(
+        frames=[{"granules": [[gl, gr_]]}] * 3,
+        version="MPEG2",
+        sample_rate=22050,
+        bitrate_kbps=16,
+        mode="joint_ms",
+        reservoir=True,
+    )
+    flat = build_mp3_layer3(
+        frames=[{"granules": [[gl, gr_]]}] * 3,
+        version="MPEG2",
+        sample_rate=22050,
+        bitrate_kbps=16,
+        mode="joint_ms",
+    )
+    si = parse_mp3_layer3_sideinfo(packed)
+    assert any(s["main_data_begin"] for s in si)
+
+    def strip(rows):
+        return [tuple(sorted(r.items())) for r in rows]
+
+    assert strip(decode_mp3_layer3_spectrum(packed)) == strip(
+        decode_mp3_layer3_spectrum(flat)
+    )
+
+
+def test_mp3_layer3_intensity_stereo():
+    """§2.4.3.4.9.3: bands in the right channel's zero part split the
+    carrier by tan(is_pos·π/12); is_pos 7 is forbidden and falls back
+    to M/S (mode_extension 3) or plain L/R (mode_extension 1)."""
+    import math
+
+    import pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3_layer3,
+        decode_mp3_layer3_spectrum,
+    )
+
+    # left: 25 pairs reach band 9; right: 3 pairs end inside band 2,
+    # so bands ≥ 3 are intensity-coded with is_pos from its scalefacs
+    gl = dict(
+        global_gain=160, scalefac_compress=9,
+        scalefac=[b % 4 for b in range(21)], preflag=0,
+        scalefac_scale=0, table=3,
+        pairs=[(1, -1)] * 25, quads=[], count1table="A",
+        region0_count=4, region1_count=5,
+    )
+    is_pos = [0, 0, 0, 0, 3, 6, 7, 1, 2, 4, 5] + [0] * 10
+    gr_ = dict(
+        gl,
+        scalefac_compress=13,  # slens (3,3): values up to 7
+        scalefac=is_pos,
+        pairs=[(1, -1), (0, 2), (1, 0)],
+    )
+    rows = decode_mp3_layer3_spectrum(
+        build_mp3_layer3(granules=[[gl, gr_], [gl, gr_]], mode="joint_is")
+    )
+    by = {
+        (r["granule"], r["channel"], r["sfb"]): r
+        for r in rows if r["frame"] == 0
+    }
+
+    def carrier_rms(sfb, lo, hi):
+        # left channel's own requantized band RMS (plain L/R would
+        # emit exactly this on channel 0)
+        plain = decode_mp3_layer3_spectrum(
+            build_mp3_layer3(granules=[[gl, gr_], [gl, gr_]], mode="stereo")
+        )
+        return [
+            r for r in plain
+            if r["frame"] == 0 and r["granule"] == 0
+            and r["channel"] == 0 and r["sfb"] == sfb
+        ][0]["rms"]
+
+    # is_pos 3 → ratio 1: both channels get xr/2 → equal rms
+    assert by[(0, 0, 4)]["rms"] == by[(0, 1, 4)]["rms"] > 0
+    # is_pos 0 → ratio 0: all energy to the RIGHT channel
+    assert by[(0, 0, 3)]["rms"] == 0.0 and by[(0, 1, 3)]["rms"] > 0
+    # is_pos 6 → ratio tan(π/2): numerically all energy LEFT
+    assert by[(0, 0, 5)]["rms"] > 0
+    assert by[(0, 1, 5)]["rms"] == 0.0  # 6e-17·xr rounds to 0 at 6 dp
+    # forbidden is_pos 7 (band 6): joint_is keeps plain L/R — right
+    # channel has no data there, left keeps its carrier energy
+    assert by[(0, 0, 6)]["rms"] == pytest.approx(
+        carrier_rms(6, 24, 30), abs=1e-6
+    )
+    assert by[(0, 1, 6)]["rms"] == 0.0
+    # ratio algebra on is_pos 4: L/R = tan(4π/12) (rms is rounded to
+    # 6 dp at ~1e-4 magnitude, so only ~2 significant digits survive)
+    l_, r_ = by[(0, 0, 9)]["rms"], by[(0, 1, 9)]["rms"]
+    assert l_ / r_ == pytest.approx(math.tan(4 * math.pi / 12), rel=0.05)
+
+    # mode_extension 3: is_pos-7 band now M/S-matrixes instead
+    rows_ms = decode_mp3_layer3_spectrum(
+        build_mp3_layer3(
+            granules=[[gl, gr_], [gl, gr_]], mode="joint_is_ms"
+        )
+    )
+    by_ms = {
+        (r["granule"], r["channel"], r["sfb"]): r
+        for r in rows_ms if r["frame"] == 0
+    }
+    ms_expected = carrier_rms(6, 24, 30) * 2 ** -0.5
+    assert by_ms[(0, 0, 6)]["rms"] == pytest.approx(ms_expected, abs=1e-6)
+    assert by_ms[(0, 1, 6)]["rms"] == pytest.approx(ms_expected, abs=1e-6)
+    # intensity bands identical under both joint modes
+    assert by_ms[(0, 0, 9)]["rms"] == by[(0, 0, 9)]["rms"]
+
+    # window-switched granules gate honestly
+    gshort = dict(
+        global_gain=160, scalefac_compress=0, block_type=2,
+        scalefac_short=[[0] * 3] * 12, subblock_gain=[0, 0, 0],
+        table=3, pairs=[(1, 1)], quads=[], count1table="A",
+    )
+    with pytest.raises(NotImplementedError, match="intensity"):
+        decode_mp3_layer3_spectrum(
+            build_mp3_layer3(
+                granules=[[gshort, gshort], [gshort, gshort]],
+                mode="joint_is",
+            )
+        )
+    # LSF intensity gates honestly
+    glsf = dict(
+        global_gain=160, scalefac_compress=0, scalefac=[0] * 21,
+        table=3, pairs=[(1, 1)], quads=[], count1table="A",
+        region0_count=4, region1_count=4,
+    )
+    with pytest.raises(NotImplementedError, match="LSF intensity"):
+        decode_mp3_layer3_spectrum(
+            build_mp3_layer3(
+                granules=[[glsf, glsf]], version="MPEG2",
+                sample_rate=22050, bitrate_kbps=64, mode="joint_is",
+            )
+        )
+
+
+def test_webm_unknown_size_elements():
+    """RFC 8794 §6.2: a live-remuxed WebM writes an unknown-size
+    Segment (all-ones size) ended by EOF and often unknown-size
+    Clusters ended by the next non-child element; the walk must
+    produce the same block rows as the sized layout. Unknown size
+    anywhere else still gates."""
+    import pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_webm,
+        parse_webm,
+        webm_blocks,
+    )
+
+    tracks = [
+        {
+            "number": 1, "type": "video", "codec": "V_VP9",
+            "width": 640, "height": 360,
+        },
+        {"number": 2, "type": "audio", "codec": "A_OPUS"},
+    ]
+    clusters = [
+        {
+            "timestamp": 0,
+            "blocks": [(1, 0, True, b"abcdef"), (2, 5, False, b"xy")],
+        },
+        {
+            "timestamp": 1000,
+            "blocks": [
+                {
+                    "track": 1, "rel_ts": 2, "keyframe": False,
+                    "group": True, "payload": b"ppp",
+                },
+                (1, 9, True, b"qrstu"),
+                {
+                    "track": 1, "rel_ts": 20, "keyframe": True,
+                    "lacing": "xiph", "payloads": [b"aa", b"bbb", b"c"],
+                },
+            ],
+        },
+    ]
+
+    def rows_no_offset(blob):
+        return [
+            {k: v for k, v in r.items() if k != "offset"}
+            for r in webm_blocks(blob)
+        ]
+
+    sized = build_webm(tracks=tracks, clusters=clusters, duration_ticks=2e3)
+    want = rows_no_offset(sized)
+    assert len(want) == 7  # 2 + (1 group + 1 simple + 3 laced)
+    for kw in (
+        {"unknown_size_segment": True},
+        {"unknown_size_clusters": True},
+        {"unknown_size_segment": True, "unknown_size_clusters": True},
+    ):
+        blob = build_webm(
+            tracks=tracks, clusters=clusters, duration_ticks=2e3, **kw
+        )
+        assert parse_webm(blob)["tracks"] == parse_webm(sized)["tracks"]
+        assert rows_no_offset(blob) == want, kw
+        # byte ranges still verified in-file by webm_blocks itself
+
+    # an unknown-size element that is neither Segment nor Cluster
+    # has no schema termination here — honest gate
+    bad = bytearray(
+        build_webm(tracks=tracks, clusters=clusters, duration_ticks=2e3)
+    )
+    # rewrite the Tracks element's size vint (4-byte id 0x1654AE6B)
+    idx = bytes(bad).find(bytes.fromhex("1654AE6B"))
+    assert idx > 0
+    size_w = 9 - bad[idx + 4].bit_length()
+    assert size_w == 1
+    saved = bad[idx + 4]
+    bad[idx + 4] = 0xFF
+    # keep total length parseable: an unknown-size Tracks must raise
+    with pytest.raises(NotImplementedError, match="unknown-size"):
+        webm_blocks(bytes(bad))
+    bad[idx + 4] = saved
+    assert rows_no_offset(bytes(bad)) == want
