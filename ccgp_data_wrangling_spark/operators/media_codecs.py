@@ -6410,6 +6410,7 @@ def webm_blocks(payload: bytes) -> list[dict[str, Any]]:
                         {
                             "track": track,
                             "cluster": cluster_idx,
+                            "cluster_ts": cluster_ts,
                             "ts_ticks": cluster_ts + rel,
                             "time_sec": round(
                                 (cluster_ts + rel) * scale / 1e9, 6
@@ -6438,6 +6439,7 @@ def webm_blocks(payload: bytes) -> list[dict[str, Any]]:
                         {
                             "track": track,
                             "cluster": cluster_idx,
+                            "cluster_ts": cluster_ts,
                             "ts_ticks": cluster_ts + rel,
                             "time_sec": round(
                                 (cluster_ts + rel) * scale / 1e9, 6
@@ -6609,6 +6611,58 @@ def build_webm(
             head + _EBML_IDS["segment"].to_bytes(4, "big") + b"\xff" + seg
         )
     return head + _ebml_el(_EBML_IDS["segment"], seg)
+
+
+def webm_split_stream(payload: bytes) -> tuple[bytes, list[bytes]]:
+    """Split a WebM file into live-stream pieces the way a remuxer
+    delivers them (the EBML twin of :func:`mp4_split_segments`): the
+    INIT chunk — EBML header plus the Segment rewritten to UNKNOWN
+    size (all-ones, RFC 8794 §6.2) carrying everything before the
+    first Cluster — and one chunk per Cluster. ``init + chunk``
+    concatenations parse with the ordinary walkers because the
+    unknown-size Segment terminates at end-of-bytes."""
+    it = _ebml_elements(payload, 0, len(payload))
+    eid, hs, he = next(it)
+    if eid != _EBML_IDS["ebml"]:
+        raise ValueError("not an EBML stream (missing header)")
+    # locate the Segment's own header to rewrite its size
+    seg_id_at = he
+    seg_eid, idw = _ebml_vint(payload, seg_id_at, keep_marker=True)
+    if seg_eid != _EBML_IDS["segment"]:
+        raise ValueError("EBML header not followed by a Segment")
+    _size, szw = _ebml_vint(
+        payload, seg_id_at + idw, keep_marker=False, size_field=True
+    )
+    seg_s = seg_id_at + idw + szw
+    _eid2, seg_s2, seg_e = next(it)
+    assert seg_s2 == seg_s
+    # walk Segment children tracking HEADER starts (not data starts)
+    chunks: list[bytes] = []
+    first_cluster_at: int | None = None
+    pos = seg_s
+    while pos < seg_e:
+        ceid, cidw = _ebml_vint(payload, pos, keep_marker=True)
+        csize, cszw = _ebml_vint(
+            payload, pos + cidw, keep_marker=False, size_field=True
+        )
+        data_start = pos + cidw + cszw
+        if csize is None:
+            data_end = _ebml_unknown_end(payload, ceid, data_start, seg_e)
+        else:
+            data_end = data_start + csize
+        if ceid == _EBML_IDS["cluster"]:
+            if first_cluster_at is None:
+                first_cluster_at = pos
+            chunks.append(payload[pos:data_end])
+        pos = data_end
+    cut = first_cluster_at if first_cluster_at is not None else seg_e
+    init = (
+        payload[:seg_id_at]
+        + _EBML_IDS["segment"].to_bytes(4, "big")
+        + b"\xff"
+        + payload[seg_s:cut]
+    )
+    return init, chunks
 
 
 def mp4_split_segments(payload: bytes) -> tuple[bytes, list[bytes]]:

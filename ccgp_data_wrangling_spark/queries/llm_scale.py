@@ -6164,3 +6164,100 @@ def multimodal_mp3_lsf_spectrum(
             "n_nonzero int, rms double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# DOCX text extraction through the driver gate — the document-corpus
+# format next to PDF: OOXML WordprocessingML is a zip whose
+# word/document.xml carries w:p paragraphs of w:r runs (ECMA-376
+# §17.3), fully stdlib-decodable with the same zip+XML machinery the
+# engine's xlsx reader uses. Fixtures exercise the run-scoped
+# character elements (w:tab / w:br — and plant a w:pPr tab-STOP
+# definition that must NOT leak a character), XML escaping, empty
+# paragraphs, and table-cell paragraphs in document order; the
+# oracle replays the construction closed-form, paragraph by
+# paragraph.
+# ---------------------------------------------------------------------------
+
+_DOCX_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         'doc ' || CAST(doc_id AS VARCHAR) || ' heading' AS p0,
+         regexp_replace(substr(text, 1, 40), '[^ -~]', '', 'g') AS p1
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, 0 AS para, p0 AS text FROM base
+  UNION ALL
+  SELECT doc_id, 1, p1 FROM base
+  UNION ALL
+  SELECT doc_id, 2,
+         'part' || chr(9) || 'A' || CAST(doc_id AS VARCHAR)
+           || chr(10) || 'B' || CAST(doc_id % 7 AS VARCHAR)
+  FROM base WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END,
+         'cell ' || CAST(doc_id % 5 AS VARCHAR)
+  FROM base WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END,
+         'tail & <' || CAST(doc_id % 3 AS VARCHAR) || '>'
+  FROM base WHERE doc_id % 4 = 0
+)
+SELECT doc_id, CAST(para AS INT) AS para, text,
+       CAST(length(text) AS INT) AS n_chars
+FROM paras
+"""
+
+
+@register("docx_text_extract", _DOCX_SQL)
+def docx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX corpus ingest end-to-end: build_docx fixtures carrying
+    the documents table's (ASCII-cleaned) text plus run-token and
+    table constructs → OPC zip walk → w:p/w:r text reconstruction →
+    one row per paragraph (sources/docx.docx_documents). Every
+    fixture paragraph plants a w:pPr tab-stop definition sharing the
+    w:tab tag, so the extractor's run-scoped matching is what keeps
+    the hash stable; doc_id%3 rows add a tab+break run paragraph,
+    doc_id%4 rows a one-row table whose cell paragraphs must surface
+    in document order with XML entities unescaped."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.docx import (
+        build_docx,
+        docx_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, 40), "[^ -~]", "").alias(
+            "__prefix"
+        ),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, prefix in zip(pdf["doc_id"], pdf["__prefix"]):
+                d = int(did)
+                paragraphs: list = [
+                    f"doc {d} heading",
+                    str(prefix),
+                ]
+                if d % 3 == 0:
+                    paragraphs.append(
+                        ["part", ("tab",), f"A{d}", ("br",), f"B{d % 7}"]
+                    )
+                if d % 4 == 0:
+                    paragraphs.append(
+                        {"cells": [f"cell {d % 5}", f"tail & <{d % 3}>"]}
+                    )
+                payloads.append(build_docx(paragraphs))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return docx_documents(media)

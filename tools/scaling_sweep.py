@@ -14,7 +14,7 @@ are delta-bound" claim into numbers:
   flat (late/early ratio ≈ 1, noise aside);
 * state rows after every batch: linear in DISTINCT content folded.
 
-Writes SCALING_SWEEP_r09.json.  Usage:
+Writes SCALING_SWEEP_r10.json.  Usage:
     python tools/make_scaled_sf.py          # once, builds /tmp/sf_scaled
     python tools/scaling_sweep.py           # full sweep (~1 h idle box)
     python tools/scaling_sweep.py q1 q2     # subset, for iteration
@@ -43,7 +43,7 @@ from ccgp_data_wrangling_spark.session import get_spark
 SMALL = "/root/testdata/sf0.1"
 BIG = os.environ.get("SPARK_GRAFT_SCALED_DIR", "/tmp/sf_scaled")
 FACTOR = float(os.environ.get("SPARK_GRAFT_SCALED_FACTOR", "10"))
-OUT = os.environ.get("SPARK_GRAFT_SWEEP_OUT", "SCALING_SWEEP_r09.json")
+OUT = os.environ.get("SPARK_GRAFT_SWEEP_OUT", "SCALING_SWEEP_r10.json")
 
 FLAGSHIP = [
     "j1_linkage_fileset",
@@ -92,6 +92,53 @@ R9_FAMILIES = [
     "pdf_g4_image_extract", "multimodal_mp3_stereo_spectrum",
     "multimodal_mp3_shortblock_spectrum", "multimodal_webm_keyframes",
 ]
+
+# r10 additions: LSF MP3 decode, DOCX ingest, and the density-constant
+# trajectory re-fit the r9 verdict asked for (task #7)
+R10_FAMILIES = [
+    "multimodal_mp3_lsf_spectrum", "docx_text_extract",
+    "trajectory_hausdorff_density_const",
+]
+
+
+def _traj_density_const(spark, d: str):
+    """Sweep-only variant of trajectory_hausdorff_pairs (r9 verdict
+    task #7): the registered query's 12×9 home-region arena is FIXED,
+    so a 10× user scale-up packs 10× users per cell and the TRUE pair
+    count grows ~quadratically (output exponent ≈ 2 — the fixture's
+    truth growth, not the operator's cost). This variant scales the
+    arena with √(distinct users) so per-cell occupancy — and planted
+    pair density — stays constant across the decade; its runtime fit
+    should track its output fit ≈ 1.0, proving the operator. One
+    bounded scalar action (the distinct-user count) sizes the grid."""
+    import math as _math
+
+    from pyspark.sql import functions as _F
+
+    from ccgp_data_wrangling_spark.catalog import load_table
+    from ccgp_data_wrangling_spark.operators.trajectory import (
+        trajectory_hausdorff_pairs,
+    )
+
+    ev = load_table(spark, d, "events")
+    n_users = ev.select(
+        _F.countDistinct("user_id").alias("n")
+    ).first()["n"]
+    # ~40 users per home cell at any scale, 4:3 grid aspect
+    gx = max(4, round(_math.sqrt(n_users / 40.0 * 4.0 / 3.0)))
+    gy = max(3, round(gx * 3.0 / 4.0))
+    pts = ev.select(
+        _F.col("user_id").alias("uid"),
+        ((_F.col("user_id") % gx) * 8 + _F.col("event_id") % 7)
+        .cast("double").alias("x"),
+        ((_F.col("user_id") % gy) * 8 + _F.col("event_id") % 5)
+        .cast("double").alias("y"),
+        _F.col("event_id"),
+    )
+    return trajectory_hausdorff_pairs(
+        pts, "uid", "x", "y", "event_id",
+        cell_size=8.0, threshold=8.0, max_points=30,
+    )
 
 
 def time_query(qs, spark, name: str, d: str) -> float:
@@ -220,7 +267,8 @@ def stream_harness(spark, n_batches: int = 6) -> dict:
 
 
 def _child_fit(out_path: str, names: list[str]) -> None:
-    qs = all_queries()
+    qs = dict(all_queries())
+    qs["trajectory_hausdorff_density_const"] = _traj_density_const
     spark = get_spark()
     res = fit(qs, spark, names)
     with open(out_path, "w") as fh:
@@ -262,7 +310,8 @@ def main() -> None:
         {"families": names}
         if names
         else {"flagship": FLAGSHIP,
-              "families": R7_FAMILIES + R8_FAMILIES + R9_FAMILIES}
+              "families": R7_FAMILIES + R8_FAMILIES + R9_FAMILIES
+              + R10_FAMILIES}
     )
     result: dict[str, dict] = {}
     tmpdir = tempfile.mkdtemp(prefix="sweep_parts_")
