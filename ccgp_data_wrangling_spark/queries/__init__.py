@@ -51,56 +51,8 @@ def register(name: str, oracle: str | None):
 # row — the stalest-first re-verification cycle the round-5 verdict
 # prescribed (regression freshness, not new coverage).
 _PRIORITY: list[str] = [
-    "pdf_encrypted_image_extract",
-    "pdf_g4_image_extract",
-    "multimodal_mp3_shortblock_spectrum",
-    "multimodal_mp3_stereo_spectrum",
-    "multimodal_webm_keyframes",
-    "bloom_prefilter_revenue",
-    "dsir_target_select",
-    "semantic_dedup_planted",
-    "psi_value_drift",
-    "perplexity_bucket_mix",
-    "quality_classifier_linear",
-    "geo_radius_pairs",
-    "entity_resolution_golden",
-    "grouping_sets_events",
-    "unpivot_daily_counts",
-    "incremental_rollup_fold",
-    "interval_coverage_users",
-    "minhash_incremental_newbatch",
-    "bitext_margin_mine",
-    "rag_retrieve_chunks",
-    "cdc_chunk_dedup_shifted",
-    "pit_scd2_segment_at_order",
-    "hll_distinct_users",
-    "heavy_hitters_users",
-    "q2_min_cost_supplier",
-    "q11_important_value",
-    "q12_priority_lateness",
-    "q16_supplier_count",
-    "q20_excess_supply",
-    "q21_waiting_supplier",
-    "snapshot_diff_documents",
-    "quota_cap_per_source",
-    "daily_refresh_e2e",
-    "tokenize_customer_names",
-    "k_anonymity_customer",
-    "event_path_trigrams",
-    "skew_profile_events",
-    "multimodal_wav_real_decode",
-    "multimodal_pgm_real_decode",
-    "data_expectations_orders",
-    "window_suite_orders",
-    "negative_samples_contrastive",
-    "q14_promo_share",
-    "q13_order_distribution",
-    "calendar_gap_days",
-    "sliding_rate_per_user",
-    "attribution_first_last",
-    "containment_join_retrieval",
-    "market_basket_pairs",
-    "skew_salted_join_revenue",
+    "multimodal_mp3_lsf_spectrum",
+    "docx_text_extract",
     "ab_test_conversion",
     "wow_revenue_growth",
     "nullsafe_join_segments",
@@ -292,6 +244,56 @@ _PRIORITY: list[str] = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    "pdf_encrypted_image_extract",
+    "pdf_g4_image_extract",
+    "multimodal_mp3_shortblock_spectrum",
+    "multimodal_mp3_stereo_spectrum",
+    "multimodal_webm_keyframes",
+    "bloom_prefilter_revenue",
+    "dsir_target_select",
+    "semantic_dedup_planted",
+    "psi_value_drift",
+    "perplexity_bucket_mix",
+    "quality_classifier_linear",
+    "geo_radius_pairs",
+    "entity_resolution_golden",
+    "grouping_sets_events",
+    "unpivot_daily_counts",
+    "incremental_rollup_fold",
+    "interval_coverage_users",
+    "minhash_incremental_newbatch",
+    "bitext_margin_mine",
+    "rag_retrieve_chunks",
+    "cdc_chunk_dedup_shifted",
+    "pit_scd2_segment_at_order",
+    "hll_distinct_users",
+    "heavy_hitters_users",
+    "q2_min_cost_supplier",
+    "q11_important_value",
+    "q12_priority_lateness",
+    "q16_supplier_count",
+    "q20_excess_supply",
+    "q21_waiting_supplier",
+    "snapshot_diff_documents",
+    "quota_cap_per_source",
+    "daily_refresh_e2e",
+    "tokenize_customer_names",
+    "k_anonymity_customer",
+    "event_path_trigrams",
+    "skew_profile_events",
+    "multimodal_wav_real_decode",
+    "multimodal_pgm_real_decode",
+    "data_expectations_orders",
+    "window_suite_orders",
+    "negative_samples_contrastive",
+    "q14_promo_share",
+    "q13_order_distribution",
+    "calendar_gap_days",
+    "sliding_rate_per_user",
+    "attribution_first_last",
+    "containment_join_retrieval",
+    "market_basket_pairs",
+    "skew_salted_join_revenue",
 ]
 
 
