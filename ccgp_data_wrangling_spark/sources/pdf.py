@@ -854,6 +854,45 @@ def pdf_images(
                 }
             )
             continue
+        if names and names[-1] == b"JBIG2Decode":
+            # the other scanned-document codec (§7.4.7): an embedded
+            # T.88 segment stream — page info + generic regions for
+            # scanner output; symbol/text segments gate inside the
+            # decoder. 1-pixels are black, same surface as CCITT.
+            if bpc != 1:
+                raise ValueError("JBIG2Decode needs /BitsPerComponent 1")
+            for nm, parm in zip(names[:-1], parms[:-1]):
+                data = _apply_pdf_filter(nm, parm, data, unpredict=True)
+            if re.search(rb"/JBIG2Globals\b", parms[-1]) or re.search(
+                rb"/JBIG2Globals\b", head
+            ):
+                raise NotImplementedError(
+                    "/JBIG2Globals (shared symbol dictionaries)"
+                )
+            from ccgp_data_wrangling_spark.operators.jbig2 import (
+                decode_jbig2_embedded,
+            )
+
+            page = decode_jbig2_embedded(bytes(data))
+            if (page["width"], page["height"]) != (w, h):
+                raise ValueError(
+                    "JBIG2 page dimensions disagree with the image dict"
+                )
+            lum = round(
+                float(np.where(page["black"], 0.0, 255.0).mean()), 4
+            )
+            out.append(
+                {
+                    "obj": int(om.group(1)),
+                    "width": w,
+                    "height": h,
+                    "n_channels": 1,
+                    "codec": "jbig2",
+                    "channel_means": [lum],
+                    "luma_mean": lum,
+                }
+            )
+            continue
         if bpc != 8:
             raise NotImplementedError(f"{bpc}-bit PDF image samples")
         if re.search(rb"/ColorSpace\s*/DeviceRGB\b", head):
@@ -879,7 +918,7 @@ def pdf_images(
                     )
                 stats = m
                 break
-            if nm in (b"JPXDecode", b"CCITTFaxDecode", b"JBIG2Decode"):
+            if nm in (b"JPXDecode", b"CCITTFaxDecode"):
                 raise NotImplementedError(
                     f"PDF image codec /{nm.decode('latin-1')}"
                 )
@@ -1327,6 +1366,22 @@ def build_pdf(
                         b" /DecodeParms << %s/Columns %d /Rows %d >>"
                         b" /Length %d >>"
                         % (iw, ih, kparm, iw, ih, len(data))
+                    )
+                    body = head + b"\nstream\n" + data + b"\nendstream"
+                elif spec[0] == "jbig2":
+                    from ccgp_data_wrangling_spark.operators.jbig2 import (  # noqa: E501
+                        build_jbig2_embedded,
+                    )
+
+                    mask = spec[1]
+                    opts = dict(spec[2]) if len(spec) > 2 else {}
+                    ih, iw = mask.shape
+                    data = build_jbig2_embedded(mask, **opts)
+                    head = (
+                        b"<< /Type /XObject /Subtype /Image"
+                        b" /Width %d /Height %d /ColorSpace /DeviceGray"
+                        b" /BitsPerComponent 1 /Filter /JBIG2Decode"
+                        b" /Length %d >>" % (iw, ih, len(data))
                     )
                     body = head + b"\nstream\n" + data + b"\nendstream"
                 else:

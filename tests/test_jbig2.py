@@ -1,0 +1,251 @@
+"""JBIG2 (ITU-T T.88) — MQ coder, generic regions, embedded streams.
+
+The encoder exists for fixtures, so every decode test is a true
+round-trip through real T.88 bitstreams; the MMR test additionally
+cross-checks the arithmetic path against the T.6 path (two
+independent codings of the same bitmap must decode identically).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ccgp_data_wrangling_spark.operators.jbig2 import (
+    MQDecoder,
+    MQEncoder,
+    build_jbig2_embedded,
+    decode_generic_region,
+    decode_jbig2_embedded,
+    encode_generic_region,
+    parse_jbig2_segments,
+)
+
+
+class TestMQCoder:
+    def test_round_trip_random_bits(self):
+        rng = np.random.default_rng(11)
+        for _ in range(6):
+            n = int(rng.integers(1, 4000))
+            bits = rng.integers(0, 2, n)
+            cxs = rng.integers(0, 19, n)
+            enc = MQEncoder(19)
+            for c, b in zip(cxs, bits):
+                enc.encode(int(c), int(b))
+            data = enc.flush()
+            dec = MQDecoder(data, 19)
+            assert [dec.decode(int(c)) for c in cxs] == list(bits)
+
+    def test_skewed_source_compresses(self):
+        # 2000 highly-predictable bits should code far below 250 bytes
+        rng = np.random.default_rng(3)
+        bits = (rng.random(2000) < 0.02).astype(int)
+        enc = MQEncoder(1)
+        for b in bits:
+            enc.encode(0, int(b))
+        data = enc.flush()
+        assert len(data) < 120
+        dec = MQDecoder(data, 1)
+        assert [dec.decode(0) for _ in bits] == list(bits)
+
+    def test_terminator_and_past_end_reads(self):
+        # decoder must keep producing once the buffer is exhausted
+        # (Figure E.19 feeds 1-bits) — drop the FF AC terminator
+        enc = MQEncoder(1)
+        bits = [1, 0, 1, 1, 0, 0, 1, 0] * 8
+        for b in bits:
+            enc.encode(0, b)
+        data = enc.flush()
+        assert data.endswith(b"\xff\xac")
+        dec = MQDecoder(data[:-2], 1)
+        assert [dec.decode(0) for b in bits] == bits
+
+
+class TestGenericRegion:
+    @pytest.mark.parametrize("template", [0, 1, 2, 3])
+    @pytest.mark.parametrize("tpgdon", [False, True])
+    def test_round_trip(self, template, tpgdon):
+        rng = np.random.default_rng(template * 2 + tpgdon)
+        bm = rng.random((29, 41)) < 0.35
+        bm[12:17] = bm[11]  # typical rows exercise TPGDON
+        data = encode_generic_region(bm, template, tpgdon)
+        out = decode_generic_region(data, 41, 29, template, tpgdon)
+        assert np.array_equal(out, bm)
+
+    def test_custom_at_pixels(self):
+        rng = np.random.default_rng(5)
+        bm = rng.random((15, 20)) < 0.5
+        at = ((1, -1), (-2, -1), (3, -2), (-4, -2))
+        data = encode_generic_region(bm, 0, False, at)
+        assert np.array_equal(
+            decode_generic_region(data, 20, 15, 0, False, at), bm
+        )
+        # nominal AT with the same payload must NOT decode the same
+        # stream (the context model differs) — guards against taps
+        # silently ignoring the AT parameters
+        other = decode_generic_region(data, 20, 15, 0, False)
+        assert not np.array_equal(other, bm)
+
+    def test_future_at_pixel_gates(self):
+        bm = np.zeros((4, 4), bool)
+        with pytest.raises(NotImplementedError, match="undecoded"):
+            encode_generic_region(bm, 0, False,
+                                  ((1, 0), (-3, -1), (2, -2), (-2, -2)))
+
+    def test_tpgdon_saves_bits_on_banded_image(self):
+        bm = np.zeros((64, 64), bool)
+        bm[:32] = True  # two uniform bands → almost all rows typical
+        plain = encode_generic_region(bm, 0, False)
+        typical = encode_generic_region(bm, 0, True)
+        assert len(typical) < len(plain)
+        assert np.array_equal(
+            decode_generic_region(typical, 64, 64, 0, True), bm
+        )
+
+    def test_all_black_all_white(self):
+        for v in (0, 1):
+            bm = np.full((9, 31), bool(v))
+            data = encode_generic_region(bm, 2)
+            assert np.array_equal(
+                decode_generic_region(data, 31, 9, 2), bm
+            )
+
+
+class TestEmbeddedStream:
+    def test_segment_walk_shapes(self):
+        bm = np.eye(8, dtype=bool)
+        stream = build_jbig2_embedded(bm)
+        segs = parse_jbig2_segments(stream)
+        assert [s["type"] for s in segs] == [48, 39, 49]
+        assert all(s["page"] == 1 for s in segs)
+        assert [s["number"] for s in segs] == [0, 1, 2]
+
+    def test_mmr_equals_arithmetic(self):
+        rng = np.random.default_rng(9)
+        bm = rng.random((22, 40)) < 0.25
+        a = decode_jbig2_embedded(build_jbig2_embedded(bm, mmr=True))
+        b = decode_jbig2_embedded(build_jbig2_embedded(bm, mmr=False))
+        assert np.array_equal(a["black"], b["black"])
+        assert np.array_equal(a["black"], bm)
+
+    @pytest.mark.parametrize(
+        "op,expect",
+        [
+            (0, lambda p, r: p | r),
+            (2, lambda p, r: p ^ r),
+            (4, lambda p, r: r),
+        ],
+    )
+    def test_composition_ops(self, op, expect):
+        rng = np.random.default_rng(op)
+        base = rng.random((12, 12)) < 0.5
+        top = rng.random((12, 12)) < 0.5
+        stream = build_jbig2_embedded(
+            [(base, 0, 0)], page_wh=(12, 12)
+        )
+        # append a second region with the op under test
+        second = build_jbig2_embedded(
+            [(top, 0, 0)], page_wh=(12, 12), comb_op=op
+        )
+        segs = parse_jbig2_segments(second)
+        region_seg = next(s for s in segs if s["type"] == 39)
+        raw = (
+            struct.pack(">IB", 5, 39)
+            + b"\x00"
+            + struct.pack(">B", 1)
+            + struct.pack(">I", len(region_seg["data"]))
+            + region_seg["data"]
+        )
+        # splice before the end-of-page segment
+        eop = stream.rindex(struct.pack(">IB", 2, 49))
+        spliced = stream[:eop] + raw + stream[eop:]
+        out = decode_jbig2_embedded(spliced)
+        assert np.array_equal(out["black"], expect(base, top))
+
+    def test_default_pixel_one(self):
+        bm = np.zeros((6, 6), bool)
+        bm[2, 2] = True
+        stream = build_jbig2_embedded(
+            bm, default_pixel=1, comb_op=4
+        )
+        out = decode_jbig2_embedded(stream)
+        assert np.array_equal(out["black"], bm)  # REPLACE wins
+        stream_or = build_jbig2_embedded(bm, default_pixel=1)
+        assert decode_jbig2_embedded(stream_or)["black"].all()
+
+    def test_symbol_segment_gates(self):
+        stream = build_jbig2_embedded(np.zeros((4, 4), bool))
+        bad = struct.pack(">IB", 9, 0) + b"\x00\x01" + struct.pack(
+            ">I", 0
+        )
+        with pytest.raises(NotImplementedError, match="symbol"):
+            decode_jbig2_embedded(stream + bad)
+
+    def test_unknown_length_gates(self):
+        bad = struct.pack(">IB", 0, 38) + b"\x00\x01" + struct.pack(
+            ">I", 0xFFFFFFFF
+        )
+        with pytest.raises(NotImplementedError, match="unknown-length"):
+            parse_jbig2_segments(bad)
+
+    def test_truncated_header_raises(self):
+        with pytest.raises(ValueError, match="truncated"):
+            parse_jbig2_segments(b"\x00\x00\x00\x01\x30")
+
+
+class TestPdfIntegration:
+    def test_pdf_jbig2_variants(self):
+        from ccgp_data_wrangling_spark.sources.pdf import (
+            build_pdf,
+            pdf_images,
+        )
+
+        mask = np.zeros((16, 24), bool)
+        mask[:, :9] = True
+        exp = round(255.0 * 15 / 24.0, 4)
+        for opts in (
+            {},
+            {"template": 1},
+            {"template": 2, "tpgdon": True},
+            {"mmr": True},
+        ):
+            blob = build_pdf(
+                [["scan"]], page_images=[[("jbig2", mask, opts)]]
+            )
+            (r,) = pdf_images(blob)
+            assert r["codec"] == "jbig2"
+            assert (r["width"], r["height"]) == (24, 16)
+            assert r["luma_mean"] == pytest.approx(exp)
+
+    def test_globals_gate(self):
+        from ccgp_data_wrangling_spark.sources.pdf import (
+            build_pdf,
+            pdf_images,
+        )
+
+        mask = np.zeros((8, 8), bool)
+        blob = build_pdf(
+            [["scan"]], page_images=[[("jbig2", mask)]]
+        )
+        blob = blob.replace(
+            b"/Filter /JBIG2Decode",
+            b"/Filter /JBIG2Decode /DecodeParms << /JBIG2Globals 99 0 R >>",  # noqa: E501
+        )
+        with pytest.raises(NotImplementedError, match="JBIG2Globals"):
+            pdf_images(blob)
+
+    def test_dimension_mismatch_raises(self):
+        from ccgp_data_wrangling_spark.sources.pdf import (
+            build_pdf,
+            pdf_images,
+        )
+
+        mask = np.zeros((8, 8), bool)
+        blob = build_pdf(
+            [["scan"]], page_images=[[("jbig2", mask)]]
+        )
+        blob = blob.replace(b"/Width 8", b"/Width 9")
+        with pytest.raises(ValueError, match="disagree"):
+            pdf_images(blob)
