@@ -53,6 +53,8 @@ def register(name: str, oracle: str | None):
 _PRIORITY: list[str] = [
     "multimodal_mp3_lsf_spectrum",
     "docx_text_extract",
+    "pdf_jbig2_image_extract",
+    "odt_text_extract",
     "ab_test_conversion",
     "wow_revenue_growth",
     "nullsafe_join_segments",

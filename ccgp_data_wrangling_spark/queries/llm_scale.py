@@ -5310,6 +5310,130 @@ def pdf_g4_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JBIG2 scanned-document image extraction through the driver gate —
+# the OTHER bitonal scan codec besides CCITT fax (ISO 32000 §7.4.7,
+# ITU-T T.88): an embedded segment stream of page-info + generic
+# regions coded with the MQ arithmetic coder (or MMR = T.6). The
+# rotation covers all four GB templates, TPGDON typical-prediction
+# rows, and the MMR branch; fixtures paint the same closed-form bar
+# as the G4 family so the oracle needs no codec — any mis-decoded
+# context tap, Qe transition, or SLTP row shifts the black count and
+# breaks the hash.
+# ---------------------------------------------------------------------------
+
+_PDF_JBIG2_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 6
+)
+SELECT id,
+       CAST(24 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CASE k % 5 WHEN 0 THEN 't0' WHEN 1 THEN 't1'
+                  WHEN 2 THEN 't2_tpgdon' WHEN 3 THEN 't3_tpgdon'
+                  ELSE 'mmr' END AS variant,
+       CAST('jbig2' AS VARCHAR) AS codec,
+       ROUND(255.0 * (24 - id % 25) / 24.0, 4) AS luma_mean
+FROM g
+"""
+
+
+@register("pdf_jbig2_image_extract", _PDF_JBIG2_SQL)
+def pdf_jbig2_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JBIG2 image extraction end-to-end: build_pdf fixtures embed
+    /JBIG2Decode XObjects whose payload is a real T.88 embedded
+    segment stream (page information + immediate lossless generic
+    region + end of page) built by operators/jbig2.build_jbig2_embedded
+    — the MQ arithmetic coder (T.88 Annex E) run forward over the
+    §6.2.5.7 context model. The k%5 rotation exercises GB template 0
+    (16-bit contexts, 4 AT pixels), template 1, templates 2/3 with
+    TPGDON typical-prediction rows, and MMR=1 (T.6 coding via the
+    shared CCITT machinery). pdf_images walks the objects, decodes
+    the page bitmap, and reports the black-fraction luma; two Arrow
+    stages as in every media gate. Reference N/A (north-star
+    multimodal surface; the reference has no image pipeline)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf, pdf_images
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 6
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    _VARIANTS = (
+        ("t0", {"template": 0}),
+        ("t1", {"template": 1}),
+        ("t2_tpgdon", {"template": 2, "tpgdon": True}),
+        ("t3_tpgdon", {"template": 3, "tpgdon": True}),
+        ("mmr", {"mmr": True}),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, variants = [], []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                mask = np.zeros((16, 24), bool)
+                mask[:, : e % 25] = True
+                name, opts = _VARIANTS[k % 5]
+                payloads.append(
+                    build_pdf(
+                        [[f"jbig2 scan {e}"]],
+                        page_images=[[("jbig2", mask, opts)]],
+                    )
+                )
+                variants.append(name)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "variant": variants,
+                    "payload": payloads,
+                }
+            )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, var, blob in zip(
+                pdf["id"], pdf["variant"], pdf["payload"]
+            ):
+                for r in pdf_images(bytes(blob)):
+                    rows.append(
+                        {
+                            "id": rid,
+                            "width": r["width"],
+                            "height": r["height"],
+                            "variant": var,
+                            "codec": r["codec"],
+                            "luma_mean": r["luma_mean"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "variant", "codec",
+                    "luma_mean",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, variant string, payload binary"
+    ).mapInPandas(
+        extract,
+        schema=(
+            "id long, width int, height int, variant string, "
+            "codec string, luma_mean double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MP3 Layer III SHORT BLOCKS through the driver gate — transients in
 # real music switch to block_type 2: 12 scalefactor bands × 3 windows
 # (slen1/slen2 halves), a window-interleaved spectrum and per-window
@@ -6261,3 +6385,104 @@ def docx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
     return docx_documents(media)
+
+
+# ---------------------------------------------------------------------------
+# ODT text extraction through the driver gate — the OpenDocument half
+# of the office-document corpus (ODF 1.2): content.xml carries MIXED
+# paragraph content (character data directly in text:p and inside
+# text:span, so tails matter), plus the §6.1 whitespace elements
+# (text:tab / text:line-break / text:s with a count). Fixtures split
+# the documents-table prefix across a span boundary, add a
+# tab+break+spaces paragraph and a one-row table; the oracle replays
+# the construction closed-form.
+# ---------------------------------------------------------------------------
+
+_ODT_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         'doc ' || CAST(doc_id AS VARCHAR) || ' heading' AS p0,
+         regexp_replace(substr(text, 1, 40), '[^ -~]', '', 'g') AS p1
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, 0 AS para, p0 AS text FROM base
+  UNION ALL
+  SELECT doc_id, 1, p1 FROM base
+  UNION ALL
+  SELECT doc_id, 2,
+         'part' || chr(9) || 'A' || CAST(doc_id AS VARCHAR)
+           || chr(10) || '   B' || CAST(doc_id % 7 AS VARCHAR)
+  FROM base WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 3 = 1 THEN 3 ELSE 2 END,
+         'cell ' || CAST(doc_id % 5 AS VARCHAR)
+  FROM base WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 3 = 1 THEN 4 ELSE 3 END,
+         'tail & <' || CAST(doc_id % 3 AS VARCHAR) || '>'
+  FROM base WHERE doc_id % 4 = 1
+)
+SELECT doc_id, CAST(para AS INT) AS para, text,
+       CAST(length(text) AS INT) AS n_chars
+FROM paras
+"""
+
+
+@register("odt_text_extract", _ODT_SQL)
+def odt_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODT corpus ingest end-to-end: build_odt fixtures carrying the
+    documents table's (ASCII-cleaned) text plus whitespace-element
+    and table constructs → ODF zip walk (mimetype-first package) →
+    mixed-content paragraph reconstruction → one row per paragraph
+    (sources/odt.odt_documents). The heading rides text:h, the prefix
+    paragraph splits mid-string across a text:span boundary (so span
+    recursion AND tail text are load-bearing), doc_id%3==1 rows add a
+    text:tab + text:line-break + text:s(3) paragraph, doc_id%4==1
+    rows a one-row table whose cell paragraphs must surface in
+    document order with XML entities unescaped."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.odt import (
+        build_odt,
+        odt_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, 40), "[^ -~]", "").alias(
+            "__prefix"
+        ),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, prefix in zip(pdf["doc_id"], pdf["__prefix"]):
+                d = int(did)
+                pre = str(prefix)
+                cut = len(pre) // 2
+                paragraphs: list = [
+                    {"heading": f"doc {d} heading"},
+                    [pre[:cut], ("span", pre[cut:])],
+                ]
+                if d % 3 == 1:
+                    paragraphs.append(
+                        [
+                            "part", ("tab",), f"A{d}", ("br",),
+                            ("s", 3), f"B{d % 7}",
+                        ]
+                    )
+                if d % 4 == 1:
+                    paragraphs.append(
+                        {"cells": [f"cell {d % 5}", f"tail & <{d % 3}>"]}
+                    )
+                payloads.append(build_odt(paragraphs))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return odt_documents(media)
