@@ -65,20 +65,33 @@ _QE = (
 )
 
 
+class ArithStats:
+    """One bank of adaptive contexts (Table E.1 index + MPS sense).
+
+    A JBIG2 segment runs SEVERAL independent banks over ONE MQ coder
+    stream — the GB generic contexts plus an IAx bank per Annex A
+    integer procedure — so the banks live outside the coder."""
+
+    __slots__ = ("icx", "mps")
+
+    def __init__(self, n: int) -> None:
+        self.icx = np.zeros(n, np.uint8)
+        self.mps = np.zeros(n, np.uint8)
+
+
 class MQDecoder:
     """T.88 E.3.2/E.3.4 software-convention decoder.
 
-    Context state (index into Table E.1 + current MPS sense) is held
-    per integer context label in caller-owned arrays so one decoder
-    instance serves a whole region's 2**16 generic contexts. Bytes
-    past the end of the buffer read as 0xFF (marker-terminated
+    ``decode(cx)`` uses the default bank sized at construction;
+    ``decode(cx, stats)`` uses a caller-owned :class:`ArithStats`
+    bank (how one segment stream serves generic + integer contexts).
+    Bytes past the end of the buffer read as 0xFF (marker-terminated
     streams decode to completion, Figure E.19's B1 > 0x8F branch).
     """
 
-    def __init__(self, data: bytes, n_contexts: int) -> None:
+    def __init__(self, data: bytes, n_contexts: int = 1) -> None:
         self._d = data
-        self.icx = np.zeros(n_contexts, np.uint8)
-        self.mps = np.zeros(n_contexts, np.uint8)
+        self._default = ArithStats(n_contexts)
         self._bp = 0
         b = self._byte(0)
         self._c = b << 16
@@ -104,33 +117,34 @@ class MQDecoder:
             self._c += self._byte(self._bp) << 8
             self._ct = 8
 
-    def decode(self, cx: int) -> int:
-        qe, nmps, nlps, switch = _QE[self.icx[cx]]
+    def decode(self, cx: int, stats: ArithStats | None = None) -> int:
+        st = stats if stats is not None else self._default
+        qe, nmps, nlps, switch = _QE[st.icx[cx]]
         self._a -= qe
         if (self._c >> 16) < qe:
             # LPS exchange (Figure E.17)
             if self._a < qe:
-                d = int(self.mps[cx])
-                self.icx[cx] = nmps
+                d = int(st.mps[cx])
+                st.icx[cx] = nmps
             else:
-                d = 1 - int(self.mps[cx])
+                d = 1 - int(st.mps[cx])
                 if switch:
-                    self.mps[cx] ^= 1
-                self.icx[cx] = nlps
+                    st.mps[cx] ^= 1
+                st.icx[cx] = nlps
             self._a = qe
         else:
             self._c -= qe << 16
             if self._a & 0x8000:
-                return int(self.mps[cx])
+                return int(st.mps[cx])
             # MPS exchange (Figure E.18)
             if self._a < qe:
-                d = 1 - int(self.mps[cx])
+                d = 1 - int(st.mps[cx])
                 if switch:
-                    self.mps[cx] ^= 1
-                self.icx[cx] = nlps
+                    st.mps[cx] ^= 1
+                st.icx[cx] = nlps
             else:
-                d = int(self.mps[cx])
-                self.icx[cx] = nmps
+                d = int(st.mps[cx])
+                st.icx[cx] = nmps
         # RENORMD (Figure E.18 tail)
         while True:
             if self._ct == 0:
@@ -144,11 +158,13 @@ class MQDecoder:
 
 
 class MQEncoder:
-    """T.88 E.3.1/E.3.3 software-convention encoder (fixture side)."""
+    """T.88 E.3.1/E.3.3 software-convention encoder (fixture side).
 
-    def __init__(self, n_contexts: int) -> None:
-        self.icx = np.zeros(n_contexts, np.uint8)
-        self.mps = np.zeros(n_contexts, np.uint8)
+    ``encode(cx, d)`` uses the default bank; ``encode(cx, d, stats)``
+    a caller-owned bank, mirroring :class:`MQDecoder`."""
+
+    def __init__(self, n_contexts: int = 1) -> None:
+        self._default = ArithStats(n_contexts)
         self._a = 0x8000
         self._c = 0
         self._ct = 12
@@ -157,9 +173,12 @@ class MQEncoder:
         # dropped by flush().
         self._out = bytearray([0])
 
-    def encode(self, cx: int, d: int) -> None:
-        qe, nmps, nlps, switch = _QE[self.icx[cx]]
-        if d == self.mps[cx]:
+    def encode(
+        self, cx: int, d: int, stats: ArithStats | None = None
+    ) -> None:
+        st = stats if stats is not None else self._default
+        qe, nmps, nlps, switch = _QE[st.icx[cx]]
+        if d == st.mps[cx]:
             # CODEMPS (Figure E.7)
             self._a -= qe
             if self._a & 0x8000:
@@ -169,7 +188,7 @@ class MQEncoder:
                 self._a = qe
             else:
                 self._c += qe
-            self.icx[cx] = nmps
+            st.icx[cx] = nmps
         else:
             # CODELPS (Figure E.6)
             self._a -= qe
@@ -178,8 +197,8 @@ class MQEncoder:
             else:
                 self._a = qe
             if switch:
-                self.mps[cx] ^= 1
-            self.icx[cx] = nlps
+                st.mps[cx] ^= 1
+            st.icx[cx] = nlps
         # RENORME (Figure E.8)
         while True:
             self._a = (self._a << 1) & 0xFFFF
@@ -305,6 +324,70 @@ def _check_at(at: tuple[tuple[int, int], ...]) -> None:
             )
 
 
+def _decode_generic_bitmap(
+    dec: MQDecoder,
+    gb: ArithStats,
+    width: int,
+    height: int,
+    template: int,
+    tpgdon: bool,
+    at: tuple[tuple[int, int], ...],
+) -> np.ndarray:
+    """§6.2.5.7 row loop over an ALREADY-RUNNING coder and GB context
+    bank (symbol dictionaries decode many bitmaps through one)."""
+    taps = _template_taps(template, at)
+    sltp_cx = _SLTP_CX[template]
+    pad = _PAD
+    img = np.zeros((height + 2 * pad, width + 2 * pad), np.uint8)
+    ltp = 0
+    for y in range(height):
+        if tpgdon:
+            ltp ^= dec.decode(sltp_cx, gb)
+            if ltp:
+                img[pad + y] = img[pad + y - 1]
+                continue
+        row = img[pad + y]
+        for x in range(width):
+            cx = 0
+            for shift, (dx, dy) in enumerate(taps):
+                cx |= int(img[pad + y + dy, pad + x + dx]) << shift
+            row[pad + x] = dec.decode(cx, gb)
+    return img[pad : pad + height, pad : pad + width].astype(bool)
+
+
+def _encode_generic_bitmap(
+    enc: MQEncoder,
+    gb: ArithStats,
+    black: np.ndarray,
+    template: int,
+    tpgdon: bool,
+    at: tuple[tuple[int, int], ...],
+) -> None:
+    """Forward context model over a shared encoder + GB bank."""
+    taps = _template_taps(template, at)
+    sltp_cx = _SLTP_CX[template]
+    pad = _PAD
+    height, width = black.shape
+    img = np.zeros((height + 2 * pad, width + 2 * pad), np.uint8)
+    img[pad : pad + height, pad : pad + width] = black
+    ltp = 0
+    for y in range(height):
+        if tpgdon:
+            typical = y > 0 and bool(
+                np.array_equal(img[pad + y], img[pad + y - 1])
+            )
+            want = 1 if typical else 0
+            enc.encode(sltp_cx, ltp ^ want, gb)
+            ltp = want
+            if ltp:
+                continue
+        for x in range(width):
+            cx = 0
+            for shift, (dx, dy) in enumerate(taps):
+                cx |= int(img[pad + y + dy, pad + x + dx]) << shift
+            enc.encode(cx, int(img[pad + y, pad + x]), gb)
+
+
 def decode_generic_region(
     data: bytes,
     width: int,
@@ -318,25 +401,11 @@ def decode_generic_region(
     TPGDON SLTP handling."""
     at = tuple(at) if at is not None else _NOMINAL_AT[template]
     _check_at(at)
-    taps = _template_taps(template, at)
-    dec = MQDecoder(data, 1 << _CX_BITS[template])
-    sltp_cx = _SLTP_CX[template]
-    pad = _PAD
-    img = np.zeros((height + 2 * pad, width + 2 * pad), np.uint8)
-    ltp = 0
-    for y in range(height):
-        if tpgdon:
-            ltp ^= dec.decode(sltp_cx)
-            if ltp:
-                img[pad + y] = img[pad + y - 1]
-                continue
-        row = img[pad + y]
-        for x in range(width):
-            cx = 0
-            for shift, (dx, dy) in enumerate(taps):
-                cx |= int(img[pad + y + dy, pad + x + dx]) << shift
-            row[pad + x] = dec.decode(cx)
-    return img[pad : pad + height, pad : pad + width].astype(bool)
+    dec = MQDecoder(data)
+    gb = ArithStats(1 << _CX_BITS[template])
+    return _decode_generic_bitmap(
+        dec, gb, width, height, template, tpgdon, at
+    )
 
 
 def encode_generic_region(
@@ -350,30 +419,399 @@ def encode_generic_region(
     (SLTP toggles LTP) and not coded — the decoder copies them."""
     at = tuple(at) if at is not None else _NOMINAL_AT[template]
     _check_at(at)
-    taps = _template_taps(template, at)
-    enc = MQEncoder(1 << _CX_BITS[template])
-    sltp_cx = _SLTP_CX[template]
-    pad = _PAD
-    height, width = black.shape
-    img = np.zeros((height + 2 * pad, width + 2 * pad), np.uint8)
-    img[pad : pad + height, pad : pad + width] = black
-    ltp = 0
-    for y in range(height):
-        if tpgdon:
-            typical = y > 0 and bool(
-                np.array_equal(img[pad + y], img[pad + y - 1])
-            )
-            want = 1 if typical else 0
-            enc.encode(sltp_cx, ltp ^ want)
-            ltp = want
-            if ltp:
-                continue
-        for x in range(width):
-            cx = 0
-            for shift, (dx, dy) in enumerate(taps):
-                cx |= int(img[pad + y + dy, pad + x + dx]) << shift
-            enc.encode(cx, int(img[pad + y, pad + x]))
+    enc = MQEncoder()
+    gb = ArithStats(1 << _CX_BITS[template])
+    _encode_generic_bitmap(enc, gb, black, template, tpgdon, at)
     return enc.flush()
+
+
+# ---------------------------------------------------------------------------
+# Annex A — arithmetic integer + symbol-ID decoding (IAx / IAID)
+# ---------------------------------------------------------------------------
+
+# (prefix-length, value-bits, offset) ladder of A.2 step 2
+_IA_RANGES = ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436))
+
+OOB = object()  # A.2's out-of-band marker (ends IADW/IADS runs)
+
+
+class _IntDecoder:
+    """One Annex A integer decoding procedure: a 512-context bank
+    whose context label is the PREV bit-history register (A.2)."""
+
+    def __init__(self) -> None:
+        self.stats = ArithStats(512)
+
+    def _bit(self, dec: MQDecoder, prev: int) -> tuple[int, int]:
+        bit = dec.decode(prev, self.stats)
+        if prev < 256:
+            prev = (prev << 1) | bit
+        else:
+            prev = ((((prev << 1) | bit) & 511) | 256)
+        return bit, prev
+
+    def decode(self, dec: MQDecoder):
+        prev = 1
+        s, prev = self._bit(dec, prev)
+        for i, (nbits, offset) in enumerate(_IA_RANGES):
+            if i < len(_IA_RANGES) - 1:
+                more, prev = self._bit(dec, prev)
+                if more:
+                    continue
+            v = 0
+            for _ in range(nbits):
+                bit, prev = self._bit(dec, prev)
+                v = (v << 1) | bit
+            v += offset
+            if s and v == 0:
+                return OOB  # A.2 step 4
+            return -v if s else v
+        raise AssertionError("unreachable")
+
+
+class _IntEncoder:
+    """Inverse of :class:`_IntDecoder` (fixture side)."""
+
+    def __init__(self) -> None:
+        self.stats = ArithStats(512)
+
+    def _bit(self, enc: MQEncoder, prev: int, bit: int) -> int:
+        enc.encode(prev, bit, self.stats)
+        if prev < 256:
+            return (prev << 1) | bit
+        return (((prev << 1) | bit) & 511) | 256
+
+    def encode(self, enc: MQEncoder, value) -> None:
+        prev = 1
+        if value is OOB:
+            s, v = 1, 0
+        else:
+            s = 1 if value < 0 else 0
+            v = -value if value < 0 else value
+            if s and v == 0:
+                raise ValueError("-0 is not encodable (means OOB)")
+        prev = self._bit(enc, prev, s)
+        for i, (nbits, offset) in enumerate(_IA_RANGES):
+            last = i == len(_IA_RANGES) - 1
+            hi = (offset + (1 << nbits)) if not last else None
+            if not last and v >= hi:
+                prev = self._bit(enc, prev, 1)
+                continue
+            if not last:
+                prev = self._bit(enc, prev, 0)
+            rem = v - offset
+            for k in range(nbits - 1, -1, -1):
+                prev = self._bit(enc, prev, (rem >> k) & 1)
+            return
+
+
+def _decode_iaid(
+    dec: MQDecoder, stats: ArithStats, symcodelen: int
+) -> int:
+    """A.3 — symbol ID: SYMCODELEN bits through a tree of contexts."""
+    prev = 1
+    for _ in range(symcodelen):
+        prev = (prev << 1) | dec.decode(prev, stats)
+    return prev - (1 << symcodelen)
+
+
+def _encode_iaid(
+    enc: MQEncoder, stats: ArithStats, symcodelen: int, value: int
+) -> None:
+    prev = 1
+    for k in range(symcodelen - 1, -1, -1):
+        bit = (value >> k) & 1
+        enc.encode(prev, bit, stats)
+        prev = (prev << 1) | bit
+
+
+# ---------------------------------------------------------------------------
+# Symbol dictionary (§6.5) and text region (§6.4) — the coding real
+# scanned-PDF encoders emit for text areas (generic regions carry the
+# halftone/graphics remainder). Arithmetic path only: SDHUFF/SBHUFF
+# (Annex B Huffman tables) and refinement/aggregation gate honestly.
+# ---------------------------------------------------------------------------
+
+
+def decode_symbol_dict_segment(
+    data: bytes, input_syms: list[np.ndarray] | None = None
+) -> list[np.ndarray]:
+    """§7.4.3 header + §6.5.5 height-class decode → exported symbol
+    bitmaps in export order. One MQ coder stream serves the IADH /
+    IADW / IAEX integer banks and the shared GB generic contexts."""
+    input_syms = input_syms or []
+    (flags,) = struct.unpack_from(">H", data, 0)
+    pos = 2
+    if flags & 1:
+        raise NotImplementedError("SDHUFF symbol dictionary")
+    if flags & 2:
+        raise NotImplementedError(
+            "SDREFAGG refinement/aggregate symbol coding"
+        )
+    template = (flags >> 10) & 3
+    if (flags >> 8) & 1 or (flags >> 9) & 1:
+        raise NotImplementedError(
+            "retained/shared bitmap coding contexts across segments"
+        )
+    n_at = 4 if template == 0 else 1
+    at = []
+    for _ in range(n_at):
+        at.append(
+            (
+                struct.unpack_from(">b", data, pos)[0],
+                struct.unpack_from(">b", data, pos + 1)[0],
+            )
+        )
+        pos += 2
+    at = tuple(at)
+    _check_at(at)
+    num_ex, num_new = struct.unpack_from(">II", data, pos)
+    pos += 8
+    dec = MQDecoder(data[pos:])
+    gb = ArithStats(1 << _CX_BITS[template])
+    iadh, iadw, iaex = _IntDecoder(), _IntDecoder(), _IntDecoder()
+    new_syms: list[np.ndarray] = []
+    hcheight = 0
+    while len(new_syms) < num_new:
+        dh = iadh.decode(dec)
+        if dh is OOB:
+            raise ValueError("OOB height-class delta")
+        hcheight += dh
+        if hcheight <= 0:
+            raise ValueError("non-positive symbol height class")
+        symwidth = 0
+        while True:
+            dw = iadw.decode(dec)
+            if dw is OOB:
+                break  # height class ends (§6.5.5 step 4(c))
+            symwidth += dw
+            if symwidth <= 0 or len(new_syms) >= num_new:
+                raise ValueError("symbol dictionary overrun")
+            new_syms.append(
+                _decode_generic_bitmap(
+                    dec, gb, symwidth, hcheight, template, False, at
+                )
+            )
+    # export flags (§6.5.10): alternating runs over input + new
+    all_syms = input_syms + new_syms
+    exported: list[np.ndarray] = []
+    curex, idx = 0, 0
+    while idx < len(all_syms):
+        run = iaex.decode(dec)
+        if run is OOB or run < 0 or idx + run > len(all_syms):
+            raise ValueError("bad symbol export run")
+        if curex:
+            exported.extend(all_syms[idx : idx + run])
+        idx += run
+        curex ^= 1
+    if len(exported) != num_ex:
+        raise ValueError("SDNUMEXSYMS disagrees with export runs")
+    return exported
+
+
+def _build_symbol_dict_data(
+    symbols: list[np.ndarray], template: int = 0
+) -> tuple[bytes, list[int]]:
+    """Encode a symbol dictionary (arith, export-all) and return
+    (segment data, mapping original-index → export-order index).
+    Symbols are grouped into non-decreasing height classes the way
+    §6.5.5's delta coding expects natural encoders to."""
+    order = sorted(
+        range(len(symbols)),
+        key=lambda i: (symbols[i].shape[0], symbols[i].shape[1], i),
+    )
+    remap = [0] * len(symbols)
+    for new_idx, orig in enumerate(order):
+        remap[orig] = new_idx
+    at = _NOMINAL_AT[template]
+    enc = MQEncoder()
+    gb = ArithStats(1 << _CX_BITS[template])
+    iadh, iadw, iaex = _IntEncoder(), _IntEncoder(), _IntEncoder()
+    hcheight = 0
+    i = 0
+    while i < len(order):
+        h = symbols[order[i]].shape[0]
+        iadh.encode(enc, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(order) and symbols[order[i]].shape[0] == h:
+            w = symbols[order[i]].shape[1]
+            iadw.encode(enc, w - symwidth)
+            symwidth = w
+            _encode_generic_bitmap(
+                enc, gb, symbols[order[i]].astype(bool), template,
+                False, at,
+            )
+            i += 1
+        iadw.encode(enc, OOB)
+    iaex.encode(enc, 0)  # run of not-exported
+    iaex.encode(enc, len(symbols))  # export everything
+    flags = (template & 3) << 10
+    head = struct.pack(">H", flags)
+    for dx, dy in at:
+        head += struct.pack(">bb", dx, dy)
+    head += struct.pack(">II", len(symbols), len(symbols))
+    return head + enc.flush(), remap
+
+
+_REFCORNERS = ("bl", "tl", "br", "tr")  # §7.4.4.1.1 values 0-3
+
+
+def decode_text_region_segment(
+    data: bytes, syms: list[np.ndarray]
+) -> dict:
+    """§7.4.4 header + §6.4.5 strip decode → placed-symbol bitmap
+    with region placement, shaped like ``_decode_region_segment``."""
+    w, h, x, y = struct.unpack_from(">IIII", data, 0)
+    comb_op = data[16] & 0x07
+    (flags,) = struct.unpack_from(">H", data, 17)
+    pos = 19
+    if flags & 1:
+        raise NotImplementedError("SBHUFF text region")
+    if flags & 2:
+        raise NotImplementedError("text region refinement (SBREFINE)")
+    log_strips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    if (flags >> 6) & 1:
+        raise NotImplementedError("TRANSPOSED text region")
+    sbcombop = (flags >> 7) & 3
+    defpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32  # signed 5-bit
+    (num_inst,) = struct.unpack_from(">I", data, pos)
+    pos += 4
+    strips = 1 << log_strips
+    if not syms:
+        raise ValueError("text region with no referred symbols")
+    symcodelen = max(1, (len(syms) - 1).bit_length())
+    dec = MQDecoder(data[pos:])
+    iadt, iafs, iads, iait = (
+        _IntDecoder(), _IntDecoder(), _IntDecoder(), _IntDecoder(),
+    )
+    iaid_stats = ArithStats(1 << (symcodelen + 1))
+    region = np.full((h, w), bool(defpixel))
+    dt0 = iadt.decode(dec)
+    if dt0 is OOB:
+        raise ValueError("OOB STRIPT")
+    stript = -dt0 * strips
+    firsts = 0
+    ninst = 0
+    while ninst < num_inst:
+        dt = iadt.decode(dec)
+        if dt is OOB:
+            raise ValueError("OOB strip delta")
+        stript += dt * strips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                dfs = iafs.decode(dec)
+                if dfs is OOB:
+                    raise ValueError("OOB first-symbol S")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = iads.decode(dec)
+                if ids is OOB:
+                    break  # strip ends (§6.4.5 3(c)(ii))
+                curs += ids + dsoffset
+            curt = 0 if strips == 1 else iait.decode(dec)
+            t = stript + curt
+            sid = _decode_iaid(dec, iaid_stats, symcodelen)
+            if sid >= len(syms):
+                raise ValueError("symbol ID out of range")
+            bm = syms[sid]
+            hi, wi = bm.shape
+            if refcorner in (2, 3):  # BR / TR: S advances first
+                curs += wi - 1
+                x0 = curs - wi + 1
+            else:
+                x0 = curs
+            y0 = t if refcorner in (1, 3) else t - hi + 1
+            tgt = region[y0 : y0 + hi, x0 : x0 + wi]
+            if tgt.shape != bm.shape or x0 < 0 or y0 < 0:
+                raise ValueError("symbol instance exceeds the region")
+            if sbcombop == 0:
+                tgt |= bm
+            elif sbcombop == 1:
+                tgt &= bm
+            elif sbcombop == 2:
+                tgt ^= bm
+            else:
+                tgt[...] = ~(tgt ^ bm)
+            if refcorner in (0, 1):  # BL / TL: S advances after
+                curs += wi - 1
+            ninst += 1
+            if ninst > num_inst:
+                raise ValueError("SBNUMINSTANCES overrun")
+    return {
+        "x": x,
+        "y": y,
+        "comb_op": comb_op,
+        "bitmap": region,
+        "kind": "text",
+        "n_instances": ninst,
+    }
+
+
+def _build_text_region_data(
+    instances: list[tuple[int, int, int]],
+    syms: list[np.ndarray],
+    region_wh: tuple[int, int],
+    region_xy: tuple[int, int] = (0, 0),
+    refcorner: str = "tl",
+    comb_op: int = 0,
+) -> bytes:
+    """Encode a text region (arith, SBSTRIPS=1, TRANSPOSED=0).
+    ``instances`` hold (symbol-index, x, y) TOP-LEFT placements; the
+    refcorner only changes the coded (S, T) representation."""
+    rc = _REFCORNERS.index(refcorner)
+    w, h = region_wh
+    symcodelen = max(1, (len(syms) - 1).bit_length())
+    enc = MQEncoder()
+    iadt, iafs, iads = _IntEncoder(), _IntEncoder(), _IntEncoder()
+    iaid_stats = ArithStats(1 << (symcodelen + 1))
+
+    def s_t(sid: int, x0: int, y0: int) -> tuple[int, int]:
+        hi, wi = syms[sid].shape
+        t = y0 if rc in (1, 3) else y0 + hi - 1
+        return x0, t  # S is the left edge for every refcorner
+
+    coded = sorted(
+        (s_t(sid, x0, y0) + (sid,) for sid, x0, y0 in instances),
+        key=lambda r: (r[1], r[0]),
+    )
+    iadt.encode(enc, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    i = 0
+    while i < len(coded):
+        t = coded[i][1]
+        iadt.encode(enc, t - stript)
+        stript = t
+        first = True
+        curs = 0
+        while i < len(coded) and coded[i][1] == t:
+            s, _, sid = coded[i]
+            wi = syms[sid].shape[1]
+            if first:
+                iafs.encode(enc, s - firsts)
+                firsts = s
+                first = False
+            else:
+                iads.encode(enc, s - curs)
+            curs = s + wi - 1  # right edge, every refcorner
+            _encode_iaid(enc, iaid_stats, symcodelen, sid)
+            i += 1
+        iads.encode(enc, OOB)
+    flags = rc << 4  # SBHUFF/REFINE/TRANSPOSED 0, SBCOMBOP OR
+    body = struct.pack(">IIII", w, h, *region_xy)
+    body += bytes([comb_op & 7])
+    body += struct.pack(">H", flags)
+    body += struct.pack(">I", len(instances))
+    return body + enc.flush()
 
 
 # ---------------------------------------------------------------------------
@@ -388,12 +826,12 @@ _SEG_GENERIC_IMMEDIATE = 38
 _SEG_GENERIC_IMMEDIATE_LOSSLESS = 39
 _SEG_GENERIC_INTERMEDIATE = 36
 
+_SEG_SYMBOL_DICT = 0
+_SEG_TEXT_INTERMEDIATE = 4
+_SEG_TEXT_IMMEDIATE = 5
+_SEG_TEXT_IMMEDIATE_LOSSLESS = 6
+
 _GATED_SEGMENTS = {
-    0: "symbol dictionary",
-    4: "intermediate text region",
-    5: "immediate text region",
-    6: "immediate lossless text region",
-    7: "immediate text region (type 7)",
     16: "pattern dictionary",
     20: "intermediate halftone region",
     22: "immediate halftone region",
@@ -542,9 +980,29 @@ def decode_jbig2_embedded(
     page: np.ndarray | None = None
     default_pixel = 0
     regions: list[dict] = []
+    exports: dict[int, list[np.ndarray]] = {}
     for seg in segments:
         t = seg["type"]
-        if t == _SEG_PAGE_INFO:
+        if t == _SEG_SYMBOL_DICT:
+            input_syms: list[np.ndarray] = []
+            for ref in seg["refs"]:
+                input_syms.extend(exports.get(ref, []))
+            exports[seg["number"]] = decode_symbol_dict_segment(
+                seg["data"], input_syms
+            )
+        elif t in (
+            _SEG_TEXT_IMMEDIATE,
+            _SEG_TEXT_IMMEDIATE_LOSSLESS,
+        ):
+            syms: list[np.ndarray] = []
+            for ref in seg["refs"]:
+                syms.extend(exports.get(ref, []))
+            regions.append(decode_text_region_segment(seg["data"], syms))
+        elif t == _SEG_TEXT_INTERMEDIATE:
+            raise NotImplementedError(
+                "intermediate text region (auxiliary buffers)"
+            )
+        elif t == _SEG_PAGE_INFO:
             page_w, page_h, _xres, _yres = struct.unpack_from(
                 ">IIII", seg["data"], 0
             )
@@ -597,11 +1055,21 @@ def decode_jbig2_embedded(
 # ---------------------------------------------------------------------------
 
 
-def _segment(number: int, seg_type: int, page: int, data: bytes) -> bytes:
-    """§7.2 header with no referred-to segments, 1-byte page assoc."""
+def _segment(
+    number: int,
+    seg_type: int,
+    page: int,
+    data: bytes,
+    refs: tuple[int, ...] = (),
+) -> bytes:
+    """§7.2 header with ≤4 referred-to segments, 1-byte page assoc
+    (fixture segment numbers stay ≤ 256 so refs code in 1 byte)."""
+    if len(refs) > 4 or number > 256:
+        raise ValueError("fixture segment header limits exceeded")
     return (
         struct.pack(">IB", number, seg_type & 0x3F)
-        + b"\x00"  # referred-to count 0, retain bits 0
+        + bytes([len(refs) << 5])  # count in top 3 bits, retain 0
+        + bytes(refs)
         + struct.pack(">B", page)
         + struct.pack(">I", len(data))
         + data
@@ -656,4 +1124,49 @@ def build_jbig2_embedded(
             1 + i, _SEG_GENERIC_IMMEDIATE_LOSSLESS, 1, body
         )
     out += _segment(1 + len(regions), _SEG_END_OF_PAGE, 1, b"")
+    return out
+
+
+def build_jbig2_text_embedded(
+    symbols: list[np.ndarray],
+    instances: list[tuple[int, int, int]],
+    page_wh: tuple[int, int],
+    template: int = 0,
+    refcorner: str = "tl",
+    extra_generic: tuple[np.ndarray, int, int] | None = None,
+) -> bytes:
+    """Embedded stream for the symbol/text path: page info + symbol
+    dictionary (type 0, export-all) + one immediate lossless text
+    region (type 6) referring to it + end of page. ``instances`` are
+    (symbol-index, x, y) top-left placements on the page;
+    ``extra_generic`` optionally appends a generic region (a page mix
+    of text + graphics, the real scanned-document layout)."""
+    pw, ph = page_wh
+    page_data = struct.pack(">IIII", pw, ph, 0, 0)
+    page_data += b"\x00" + struct.pack(">H", 0)
+    out = _segment(0, _SEG_PAGE_INFO, 1, page_data)
+    dict_data, remap = _build_symbol_dict_data(symbols, template)
+    out += _segment(1, _SEG_SYMBOL_DICT, 1, dict_data)
+    coded = [(remap[sid], x, y) for sid, x, y in instances]
+    order = sorted(range(len(symbols)), key=lambda i: remap[i])
+    sorted_syms = [symbols[i].astype(bool) for i in order]
+    text_data = _build_text_region_data(
+        coded, sorted_syms, page_wh, (0, 0), refcorner
+    )
+    out += _segment(
+        2, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, text_data, refs=(1,)
+    )
+    nseg = 3
+    if extra_generic is not None:
+        bm, gx, gy = extra_generic
+        h, w = bm.shape
+        body = struct.pack(">IIII", w, h, gx, gy)
+        body += bytes([0])  # OR onto the page
+        body += bytes([template << 1])
+        for dx, dy in _NOMINAL_AT[template]:
+            body += struct.pack(">bb", dx, dy)
+        body += encode_generic_region(bm.astype(bool), template)
+        out += _segment(nseg, _SEG_GENERIC_IMMEDIATE_LOSSLESS, 1, body)
+        nseg += 1
+    out += _segment(nseg, _SEG_END_OF_PAGE, 1, b"")
     return out

@@ -5434,6 +5434,157 @@ def pdf_jbig2_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JBIG2 SYMBOL/TEXT region extraction through the driver gate — the
+# coding real scanned-PDF encoders emit for text areas (T.88 §6.4/
+# §6.5): a symbol dictionary of glyph bitmaps (height-class delta
+# coding, shared GB contexts) + a text region placing them by strip
+# (IADT/IAFS/IADS/IAID integer-arithmetic procedures of Annex A).
+# Every glyph carries exactly 5 black pixels, so the page luma is
+# closed-form no matter which glyphs the rotation picks; k%4 rotates
+# all four REFCORNER codings (same decoded page), k%2 adds a generic
+# region to the same page (the mixed text+graphics layout of real
+# scanner output).
+# ---------------------------------------------------------------------------
+
+_PDF_JBIG2_TEXT_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k, event_id % 4 + 2 AS n
+  FROM events WHERE event_id % 20 = 8
+)
+SELECT id,
+       CAST(32 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CASE k % 4 WHEN 0 THEN 'tl' WHEN 1 THEN 'bl'
+                  WHEN 2 THEN 'tr' ELSE 'br' END AS refcorner,
+       CAST(k % 2 = 0 AS BOOLEAN) AS has_generic,
+       CAST('jbig2' AS VARCHAR) AS codec,
+       ROUND(255.0 * (512 - 5 * n
+             - CASE WHEN k % 2 = 0 THEN 16 ELSE 0 END) / 512.0, 4)
+         AS luma_mean
+FROM g
+"""
+
+
+@register("pdf_jbig2_text_extract", _PDF_JBIG2_TEXT_SQL)
+def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JBIG2 symbol/text path end-to-end: build_jbig2_text_embedded
+    writes a page-info + symbol-dictionary (type 0, export-all,
+    height-class IADH/IADW deltas, per-glyph generic bitmaps over
+    shared GB contexts) + immediate lossless text region (type 6,
+    strip-decoded IADT/IAFS/IADS + IAID symbol codes) stream;
+    build_pdf embeds it behind /JBIG2Decode and pdf_images decodes
+    the composed page. Fixtures place n = id%4+2 five-pixel glyphs
+    at non-overlapping spots — glyph CHOICE varies with id but the
+    black count doesn't, keeping the oracle closed-form; k%2 docs
+    append a generic region to the same page so the multi-region
+    composition path runs inside one image. Annex A integer coders
+    and the Annex E MQ coder are from-scratch
+    (operators/jbig2.py)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.jbig2 import (
+        build_jbig2_text_embedded,
+    )
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf, pdf_images
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 8
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    _GLYPHS = (
+        np.array([[1, 0, 1], [0, 1, 0], [1, 0, 1]], bool),  # X
+        np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], bool),  # +
+        np.array([[1, 1, 1], [0, 1, 0], [0, 1, 0]], bool),  # T
+    )
+    _RC = ("tl", "bl", "tr", "br")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, rcs, gens = [], [], []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                n = e % 4 + 2
+                insts = [
+                    ((e + i) % 3, 1 + 6 * i, 2 + ((e + i) % 2) * 8)
+                    for i in range(n)
+                ]
+                rc = _RC[k % 4]
+                extra = (
+                    (np.ones((4, 4), bool), 28, 12)
+                    if k % 2 == 0
+                    else None
+                )
+                stream = build_jbig2_text_embedded(
+                    list(_GLYPHS), insts, (32, 16),
+                    template=k % 3, refcorner=rc,
+                    extra_generic=extra,
+                )
+                payloads.append(
+                    build_pdf(
+                        [[f"jbig2 text {e}"]],
+                        page_images=[[("jbig2_stream", stream, 32, 16)]],
+                    )
+                )
+                rcs.append(rc)
+                gens.append(k % 2 == 0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "refcorner": rcs,
+                    "has_generic": gens,
+                    "payload": payloads,
+                }
+            )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, rc, hg, blob in zip(
+                pdf["id"], pdf["refcorner"], pdf["has_generic"],
+                pdf["payload"],
+            ):
+                for r in pdf_images(bytes(blob)):
+                    rows.append(
+                        {
+                            "id": rid,
+                            "width": r["width"],
+                            "height": r["height"],
+                            "refcorner": rc,
+                            "has_generic": hg,
+                            "codec": r["codec"],
+                            "luma_mean": r["luma_mean"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "refcorner",
+                    "has_generic", "codec", "luma_mean",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth,
+        schema=(
+            "id long, refcorner string, has_generic boolean, "
+            "payload binary"
+        ),
+    ).mapInPandas(
+        extract,
+        schema=(
+            "id long, width int, height int, refcorner string, "
+            "has_generic boolean, codec string, luma_mean double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MP3 Layer III SHORT BLOCKS through the driver gate — transients in
 # real music switch to block_type 2: 12 scalefactor bands × 3 windows
 # (slen1/slen2 halves), a window-interleaved spectrum and per-window

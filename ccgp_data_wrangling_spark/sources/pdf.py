@@ -1368,15 +1368,20 @@ def build_pdf(
                         % (iw, ih, kparm, iw, ih, len(data))
                     )
                     body = head + b"\nstream\n" + data + b"\nendstream"
-                elif spec[0] == "jbig2":
-                    from ccgp_data_wrangling_spark.operators.jbig2 import (  # noqa: E501
-                        build_jbig2_embedded,
-                    )
+                elif spec[0] in ("jbig2", "jbig2_stream"):
+                    if spec[0] == "jbig2_stream":
+                        # a pre-built embedded stream (e.g. the
+                        # symbol/text path from build_jbig2_text_embedded)
+                        _, data, iw, ih = spec
+                    else:
+                        from ccgp_data_wrangling_spark.operators.jbig2 import (  # noqa: E501
+                            build_jbig2_embedded,
+                        )
 
-                    mask = spec[1]
-                    opts = dict(spec[2]) if len(spec) > 2 else {}
-                    ih, iw = mask.shape
-                    data = build_jbig2_embedded(mask, **opts)
+                        mask = spec[1]
+                        opts = dict(spec[2]) if len(spec) > 2 else {}
+                        ih, iw = mask.shape
+                        data = build_jbig2_embedded(mask, **opts)
                     head = (
                         b"<< /Type /XObject /Subtype /Image"
                         b" /Width %d /Height %d /ColorSpace /DeviceGray"

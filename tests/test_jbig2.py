@@ -175,12 +175,12 @@ class TestEmbeddedStream:
         stream_or = build_jbig2_embedded(bm, default_pixel=1)
         assert decode_jbig2_embedded(stream_or)["black"].all()
 
-    def test_symbol_segment_gates(self):
+    def test_halftone_segment_gates(self):
         stream = build_jbig2_embedded(np.zeros((4, 4), bool))
-        bad = struct.pack(">IB", 9, 0) + b"\x00\x01" + struct.pack(
+        bad = struct.pack(">IB", 9, 16) + b"\x00\x01" + struct.pack(
             ">I", 0
         )
-        with pytest.raises(NotImplementedError, match="symbol"):
+        with pytest.raises(NotImplementedError, match="pattern"):
             decode_jbig2_embedded(stream + bad)
 
     def test_unknown_length_gates(self):
@@ -193,6 +193,171 @@ class TestEmbeddedStream:
     def test_truncated_header_raises(self):
         with pytest.raises(ValueError, match="truncated"):
             parse_jbig2_segments(b"\x00\x00\x00\x01\x30")
+
+
+class TestIntegerCoding:
+    def test_round_trip_ladder_boundaries(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            OOB,
+            MQDecoder,
+            MQEncoder,
+            _IntDecoder,
+            _IntEncoder,
+        )
+
+        vals = [
+            0, 1, -1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+            100000, -4436, -99999, 2**31, OOB, 7, OOB, -2,
+        ]
+        enc = MQEncoder()
+        ie = _IntEncoder()
+        for v in vals:
+            ie.encode(enc, v)
+        dec = MQDecoder(enc.flush())
+        idd = _IntDecoder()
+        out = [idd.decode(dec) for _ in vals]
+        assert all(
+            (a is OOB and b is OOB) or a == b
+            for a, b in zip(vals, out)
+        )
+
+    def test_context_history_isolation(self):
+        # two interleaved IAx procedures must not share adaptation
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            MQDecoder,
+            MQEncoder,
+            _IntDecoder,
+            _IntEncoder,
+        )
+
+        enc = MQEncoder()
+        a, b = _IntEncoder(), _IntEncoder()
+        seq = [(a, 3), (b, -500), (a, 3), (b, -500), (a, 7), (b, 21)]
+        for proc, v in seq:
+            proc.encode(enc, v)
+        dec = MQDecoder(enc.flush())
+        da, db = _IntDecoder(), _IntDecoder()
+        got = [
+            (da if proc is a else db).decode(dec) for proc, v in seq
+        ]
+        assert got == [v for _, v in seq]
+
+
+class TestSymbolText:
+    def _glyphs(self):
+        return [
+            np.array([[1, 0, 1], [0, 1, 0], [1, 0, 1]], bool),
+            np.ones((4, 2), bool),
+            np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]], bool),
+        ]
+
+    def test_symbol_dict_round_trip_and_remap(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            _build_symbol_dict_data,
+            decode_symbol_dict_segment,
+        )
+
+        rng = np.random.default_rng(42)
+        syms = [
+            rng.random((h, w)) < 0.5
+            for h, w in [(5, 4), (5, 7), (3, 3), (8, 2), (5, 4)]
+        ]
+        data, remap = _build_symbol_dict_data(syms)
+        exported = decode_symbol_dict_segment(data)
+        assert len(exported) == 5
+        for i, s in enumerate(syms):
+            assert np.array_equal(exported[remap[i]], s)
+        # height classes are non-decreasing in export order
+        heights = [s.shape[0] for s in exported]
+        assert heights == sorted(heights)
+
+    @pytest.mark.parametrize("rc", ["tl", "bl", "tr", "br"])
+    def test_text_region_all_refcorners(self, rc):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_text_embedded,
+            decode_jbig2_embedded,
+        )
+
+        glyphs = self._glyphs()
+        insts = [
+            (0, 2, 1), (1, 7, 0), (2, 11, 2),
+            (0, 16, 1), (1, 2, 8), (2, 8, 8),
+        ]
+        stream = build_jbig2_text_embedded(
+            glyphs, insts, (24, 16), refcorner=rc
+        )
+        out = decode_jbig2_embedded(stream)
+        exp = np.zeros((16, 24), bool)
+        for sid, x, y in insts:
+            g = glyphs[sid]
+            exp[y : y + g.shape[0], x : x + g.shape[1]] |= g
+        assert np.array_equal(out["black"], exp)
+
+    def test_mixed_text_and_generic_page(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_text_embedded,
+            decode_jbig2_embedded,
+        )
+
+        glyphs = self._glyphs()
+        insts = [(0, 1, 1), (2, 6, 1)]
+        extra = np.tri(6, 9, dtype=bool)
+        stream = build_jbig2_text_embedded(
+            glyphs, insts, (24, 16), template=2,
+            extra_generic=(extra, 14, 9),
+        )
+        out = decode_jbig2_embedded(stream)
+        assert out["n_regions"] == 2
+        exp = np.zeros((16, 24), bool)
+        for sid, x, y in insts:
+            g = glyphs[sid]
+            exp[y : y + g.shape[0], x : x + g.shape[1]] |= g
+        exp[9:15, 14:23] |= extra
+        assert np.array_equal(out["black"], exp)
+
+    def test_single_symbol_alphabet(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_text_embedded,
+            decode_jbig2_embedded,
+        )
+
+        g = np.ones((2, 2), bool)
+        stream = build_jbig2_text_embedded(
+            [g], [(0, 0, 0), (0, 4, 4)], (8, 8)
+        )
+        out = decode_jbig2_embedded(stream)
+        exp = np.zeros((8, 8), bool)
+        exp[0:2, 0:2] = True
+        exp[4:6, 4:6] = True
+        assert np.array_equal(out["black"], exp)
+
+    def test_sdhuff_gates(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            decode_symbol_dict_segment,
+        )
+
+        with pytest.raises(NotImplementedError, match="SDHUFF"):
+            decode_symbol_dict_segment(b"\x00\x01" + b"\x00" * 20)
+
+    def test_refagg_gates(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            decode_symbol_dict_segment,
+        )
+
+        with pytest.raises(NotImplementedError, match="SDREFAGG"):
+            decode_symbol_dict_segment(b"\x00\x02" + b"\x00" * 20)
+
+    def test_transposed_gates(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            decode_text_region_segment,
+        )
+
+        data = struct.pack(">IIII", 8, 8, 0, 0) + b"\x00"
+        data += struct.pack(">H", 1 << 6) + struct.pack(">I", 0)
+        with pytest.raises(NotImplementedError, match="TRANSPOSED"):
+            decode_text_region_segment(
+                data, [np.ones((1, 1), bool)]
+            )
 
 
 class TestPdfIntegration:
