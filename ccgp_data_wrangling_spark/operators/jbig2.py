@@ -16,19 +16,31 @@ module implements the JBIG2 subset those PDFs actually need for the
   per-template SLTP contexts (0x9B25 / 0x0795 / 0x00E5 / 0x0195), and
   the MMR=1 branch which is T.6 two-dimensional coding — reusing
   ``media_codecs.decode_ccitt_g4``;
+* **symbol dictionaries + text regions** (§6.5/§6.4) — the coding
+  real scanned-PDF encoders emit for text areas: Annex A arithmetic
+  integer procedures (IADH/IADW/IAEX/IADT/IAFS/IADS and the IAID
+  symbol-code trees), height-class symbol decode over shared GB
+  contexts, §6.5.10 export runs, and strip-based instance placement
+  with all four REFCORNER codings;
+* **pattern dictionaries + halftone regions** (§6.7/§6.6) — the
+  grayscale-stamping path for dithered photo areas: the collective
+  pattern bitmap with its A1 = (−HDPW, 0) adaptive pixel, Annex C.5
+  Gray-coded bitplane decoding, and 8.8 fixed-point grid stamping;
 * the **embedded segment stream** organization PDF carries (§7.2
   segment headers; PDF 32000-1 §7.4.7 /JBIG2Decode): page information
   (type 48), immediate (lossless) generic regions (38/39), end of
   page / stripe / file (49/50/51), with the §8.2 page composition
   operators (OR / AND / XOR / XNOR / REPLACE);
-* a **generic-region encoder** (the exact context model run forward
-  through the MQ encoder) and an embedded-stream builder so fixtures
-  are real JBIG2 bitstreams, not replayed buffers.
+* **encoders for every implemented region kind** (the exact context
+  models run forward through the MQ encoder) and embedded-stream
+  builders, so fixtures are real JBIG2 bitstreams, not replayed
+  buffers.
 
-Out-of-scope segment kinds gate honestly with ``NotImplementedError``:
-symbol dictionaries / text regions (type 0, 4–7), pattern/halftone
-(16, 20–23), and refinement (40–43) are the OCR-oriented half of the
-spec; the generic region is what scanner output uses.
+Out-of-scope pieces gate honestly with ``NotImplementedError``:
+refinement regions (types 40–43, SDREFAGG, SBREFINE), the Annex B
+Huffman-table alternative (SDHUFF/SBHUFF/HMMR gray-scale),
+TRANSPOSED text regions, HENABLESKIP, and intermediate regions
+(auxiliary-buffer composition).
 
 Reference parity: the reference repo has no image pipeline at all —
 this is north-star multimodal surface, same as the CCITT/JPEG work.
@@ -306,16 +318,14 @@ def _template_taps(
     raise ValueError(f"GBTEMPLATE {template}")
 
 
-_PAD = 8  # zero border; AT offsets are validated against it
+def _taps_pad(taps: list[tuple[int, int]]) -> int:
+    """Zero-border width covering every tap (the pattern dictionary's
+    A1 = (−HDPW, 0) reaches arbitrarily far left, §6.7.5)."""
+    return 1 + max(max(abs(dx), abs(dy)) for dx, dy in taps)
 
 
 def _check_at(at: tuple[tuple[int, int], ...]) -> None:
     for dx, dy in at:
-        if abs(dx) > _PAD or abs(dy) > _PAD:
-            raise NotImplementedError(
-                f"AT pixel offset ({dx},{dy}) beyond the ±{_PAD} "
-                "fast-path border"
-            )
         if dy > 0 or (dy == 0 and dx >= 0):
             # T.88 permits these (they read as 0); our encoder would
             # read true future pixels and diverge, so gate.
@@ -337,7 +347,7 @@ def _decode_generic_bitmap(
     bank (symbol dictionaries decode many bitmaps through one)."""
     taps = _template_taps(template, at)
     sltp_cx = _SLTP_CX[template]
-    pad = _PAD
+    pad = _taps_pad(taps)
     img = np.zeros((height + 2 * pad, width + 2 * pad), np.uint8)
     ltp = 0
     for y in range(height):
@@ -366,7 +376,7 @@ def _encode_generic_bitmap(
     """Forward context model over a shared encoder + GB bank."""
     taps = _template_taps(template, at)
     sltp_cx = _SLTP_CX[template]
-    pad = _PAD
+    pad = _taps_pad(taps)
     height, width = black.shape
     img = np.zeros((height + 2 * pad, width + 2 * pad), np.uint8)
     img[pad : pad + height, pad : pad + width] = black
@@ -815,8 +825,204 @@ def _build_text_region_data(
 
 
 # ---------------------------------------------------------------------------
-# Embedded segment stream (§7.2) — the organization PDF carries
+# Pattern dictionary (§6.7) and halftone region (§6.6) — the
+# grayscale-stamping path scanners use for dithered photo areas. The
+# pattern dictionary is ONE wide generic bitmap (all patterns side by
+# side, A1 = (−HDPW, 0) so each pattern predicts from its left
+# neighbour); the halftone region decodes a gray-scale index image as
+# Gray-coded bitplanes (Annex C.5) and stamps patterns on a grid.
 # ---------------------------------------------------------------------------
+
+
+def _pattern_at(hdpw: int, template: int) -> tuple[tuple[int, int], ...]:
+    """§6.7.5 nominal AT pixels for the collective pattern bitmap."""
+    if template == 0:
+        return ((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))
+    return ((-hdpw, 0),)
+
+
+def decode_pattern_dict_segment(data: bytes) -> list[np.ndarray]:
+    """§7.4.4-style header + §6.7.5 collective-bitmap decode → the
+    GRAYMAX+1 pattern bitmaps."""
+    flags = data[0]
+    mmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw, hdph = data[1], data[2]
+    if hdpw == 0 or hdph == 0:
+        raise ValueError("zero-sized halftone pattern")
+    (graymax,) = struct.unpack_from(">I", data, 3)
+    payload = data[7:]
+    width = (graymax + 1) * hdpw
+    if mmr:
+        from ccgp_data_wrangling_spark.operators.media_codecs import (
+            decode_ccitt_g4,
+        )
+
+        collective = decode_ccitt_g4(bytes(payload), width, hdph)
+    else:
+        dec = MQDecoder(payload)
+        gb = ArithStats(1 << _CX_BITS[template])
+        collective = _decode_generic_bitmap(
+            dec, gb, width, hdph, template, False,
+            _pattern_at(hdpw, template),
+        )
+    return [
+        collective[:, i * hdpw : (i + 1) * hdpw]
+        for i in range(graymax + 1)
+    ]
+
+
+def _build_pattern_dict_data(
+    patterns: list[np.ndarray], template: int = 0
+) -> bytes:
+    """Encode patterns (all HDPH×HDPW) as the collective bitmap."""
+    hdph, hdpw = patterns[0].shape
+    if hdpw > 255 or hdph > 255:
+        raise ValueError("halftone pattern exceeds 255×255")
+    for p in patterns:
+        if p.shape != (hdph, hdpw):
+            raise ValueError("halftone patterns must share one shape")
+    collective = np.concatenate(
+        [p.astype(bool) for p in patterns], axis=1
+    )
+    enc = MQEncoder()
+    gb = ArithStats(1 << _CX_BITS[template])
+    _encode_generic_bitmap(
+        enc, gb, collective, template, False,
+        _pattern_at(hdpw, template),
+    )
+    head = bytes([(template & 3) << 1, hdpw, hdph])
+    head += struct.pack(">I", len(patterns) - 1)
+    return head + enc.flush()
+
+
+def _decode_grayscale(
+    dec: MQDecoder,
+    gb: ArithStats,
+    width: int,
+    height: int,
+    bpp: int,
+    template: int,
+) -> np.ndarray:
+    """Annex C.5 — Gray-coded bitplanes, most significant first, all
+    through one coder + GB bank; XOR-unfold to plain binary."""
+    at = _NOMINAL_AT[template]
+    prev = _decode_generic_bitmap(
+        dec, gb, width, height, template, False, at
+    ).astype(np.uint8)
+    acc = prev.astype(np.int64) << (bpp - 1)
+    for j in range(bpp - 2, -1, -1):
+        plane = _decode_generic_bitmap(
+            dec, gb, width, height, template, False, at
+        ).astype(np.uint8)
+        prev = plane ^ prev
+        acc |= prev.astype(np.int64) << j
+    return acc
+
+
+def _encode_grayscale(
+    enc: MQEncoder,
+    gb: ArithStats,
+    values: np.ndarray,
+    bpp: int,
+    template: int,
+) -> None:
+    at = _NOMINAL_AT[template]
+    prev = ((values >> (bpp - 1)) & 1).astype(np.uint8)
+    _encode_generic_bitmap(enc, gb, prev.astype(bool), template, False, at)
+    for j in range(bpp - 2, -1, -1):
+        bit = ((values >> j) & 1).astype(np.uint8)
+        _encode_generic_bitmap(
+            enc, gb, (bit ^ prev).astype(bool), template, False, at
+        )
+        prev = bit
+
+
+def decode_halftone_region_segment(
+    data: bytes, patterns: list[np.ndarray]
+) -> dict:
+    """§6.6.5 — gray-scale image over the referred pattern dictionary,
+    stamped on the (possibly skewed) 8.8 fixed-point grid."""
+    w, h, x, y = struct.unpack_from(">IIII", data, 0)
+    comb_op = data[16] & 0x07
+    flags = data[17]
+    if flags & 1:
+        raise NotImplementedError("HMMR halftone gray-scale coding")
+    template = (flags >> 1) & 3
+    if (flags >> 3) & 1:
+        raise NotImplementedError("HENABLESKIP halftone skip bitmap")
+    hcombop = (flags >> 4) & 7
+    hdefpixel = (flags >> 7) & 1
+    hgw, hgh, hgx, hgy = struct.unpack_from(">IIii", data, 18)
+    hrx, hry = struct.unpack_from(">HH", data, 34)
+    if not patterns:
+        raise ValueError("halftone region with no referred patterns")
+    bpp = max(1, (len(patterns) - 1).bit_length())
+    dec = MQDecoder(data[38:])
+    gb = ArithStats(1 << _CX_BITS[template])
+    gray = _decode_grayscale(dec, gb, hgw, hgh, bpp, template)
+    region = np.full((h, w), bool(hdefpixel))
+    hph, hpw = patterns[0].shape
+    for m in range(hgh):
+        for n in range(hgw):
+            xx = (hgx + m * hry + n * hrx) >> 8
+            yy = (hgy + m * hrx - n * hry) >> 8
+            val = int(gray[m, n])
+            if val >= len(patterns):
+                raise ValueError("gray value exceeds the dictionary")
+            bm = patterns[val]
+            tgt = region[yy : yy + hph, xx : xx + hpw]
+            if yy < 0 or xx < 0 or tgt.shape != bm.shape:
+                raise ValueError("halftone cell exceeds the region")
+            if hcombop == 0:
+                tgt |= bm
+            elif hcombop == 1:
+                tgt &= bm
+            elif hcombop == 2:
+                tgt ^= bm
+            elif hcombop == 3:
+                tgt[...] = ~(tgt ^ bm)
+            else:
+                tgt[...] = bm
+    return {
+        "x": x,
+        "y": y,
+        "comb_op": comb_op,
+        "bitmap": region,
+        "kind": "halftone",
+        "gray": gray,
+    }
+
+
+def _build_halftone_region_data(
+    gray: np.ndarray,
+    patterns: list[np.ndarray],
+    region_wh: tuple[int, int],
+    region_xy: tuple[int, int] = (0, 0),
+    template: int = 0,
+) -> bytes:
+    """Encode an axis-aligned halftone region: grid cell (m, n) takes
+    pattern ``gray[m, n]``, stamped at (n·HDPW, m·HDPH)."""
+    hgh, hgw = gray.shape
+    hph, hpw = patterns[0].shape
+    bpp = max(1, (len(patterns) - 1).bit_length())
+    if int(gray.max(initial=0)) >= len(patterns):
+        raise ValueError("gray value exceeds the dictionary")
+    enc = MQEncoder()
+    gb = ArithStats(1 << _CX_BITS[template])
+    _encode_grayscale(enc, gb, gray.astype(np.int64), bpp, template)
+    w, h = region_wh
+    body = struct.pack(">IIII", w, h, *region_xy)
+    body += bytes([0])  # OR onto the page
+    body += bytes([(template & 3) << 1])  # arithmetic, no skip, HCOMBOP OR
+    # axis-aligned 8.8 grid: X vector (HDPW, 0), origin (0, 0); the
+    # mg step (HRY, HRX) = (0, HDPW<<8)... HRX drives BOTH the ng
+    # x-step and the mg y-step, so square stamping needs HPW == HPH
+    if hpw != hph:
+        raise ValueError("axis-aligned grid needs square patterns")
+    body += struct.pack(">IIii", hgw, hgh, 0, 0)
+    body += struct.pack(">HH", hpw << 8, 0)
+    return body + enc.flush()
 
 _SEG_PAGE_INFO = 48
 _SEG_END_OF_PAGE = 49
@@ -831,11 +1037,12 @@ _SEG_TEXT_INTERMEDIATE = 4
 _SEG_TEXT_IMMEDIATE = 5
 _SEG_TEXT_IMMEDIATE_LOSSLESS = 6
 
+_SEG_PATTERN_DICT = 16
+_SEG_HALFTONE_INTERMEDIATE = 20
+_SEG_HALFTONE_IMMEDIATE = 22
+_SEG_HALFTONE_IMMEDIATE_LOSSLESS = 23
+
 _GATED_SEGMENTS = {
-    16: "pattern dictionary",
-    20: "intermediate halftone region",
-    22: "immediate halftone region",
-    23: "immediate lossless halftone region",
     40: "intermediate refinement region",
     42: "immediate refinement region",
     43: "immediate lossless refinement region",
@@ -1001,6 +1208,24 @@ def decode_jbig2_embedded(
         elif t == _SEG_TEXT_INTERMEDIATE:
             raise NotImplementedError(
                 "intermediate text region (auxiliary buffers)"
+            )
+        elif t == _SEG_PATTERN_DICT:
+            exports[seg["number"]] = decode_pattern_dict_segment(
+                seg["data"]
+            )
+        elif t in (
+            _SEG_HALFTONE_IMMEDIATE,
+            _SEG_HALFTONE_IMMEDIATE_LOSSLESS,
+        ):
+            pats: list[np.ndarray] = []
+            for ref in seg["refs"]:
+                pats.extend(exports.get(ref, []))
+            regions.append(
+                decode_halftone_region_segment(seg["data"], pats)
+            )
+        elif t == _SEG_HALFTONE_INTERMEDIATE:
+            raise NotImplementedError(
+                "intermediate halftone region (auxiliary buffers)"
             )
         elif t == _SEG_PAGE_INFO:
             page_w, page_h, _xres, _yres = struct.unpack_from(
@@ -1169,4 +1394,38 @@ def build_jbig2_text_embedded(
         out += _segment(nseg, _SEG_GENERIC_IMMEDIATE_LOSSLESS, 1, body)
         nseg += 1
     out += _segment(nseg, _SEG_END_OF_PAGE, 1, b"")
+    return out
+
+
+def build_jbig2_halftone_embedded(
+    gray: np.ndarray,
+    patterns: list[np.ndarray],
+    page_wh: tuple[int, int] | None = None,
+    template: int = 0,
+) -> bytes:
+    """Embedded stream for the halftone path: page info + pattern
+    dictionary (type 16) + one immediate lossless halftone region
+    (type 23) referring to it + end of page. ``gray`` is the (HGH,
+    HGW) pattern-index grid, stamped axis-aligned at (n·HDPW,
+    m·HDPH)."""
+    hgh, hgw = gray.shape
+    hph, hpw = patterns[0].shape
+    if page_wh is None:
+        page_wh = (hgw * hpw, hgh * hph)
+    pw, ph = page_wh
+    page_data = struct.pack(">IIII", pw, ph, 0, 0)
+    page_data += b"\x00" + struct.pack(">H", 0)
+    out = _segment(0, _SEG_PAGE_INFO, 1, page_data)
+    out += _segment(
+        1, _SEG_PATTERN_DICT, 1,
+        _build_pattern_dict_data(patterns, template),
+    )
+    out += _segment(
+        2, _SEG_HALFTONE_IMMEDIATE_LOSSLESS, 1,
+        _build_halftone_region_data(
+            gray, patterns, page_wh, (0, 0), template
+        ),
+        refs=(1,),
+    )
+    out += _segment(3, _SEG_END_OF_PAGE, 1, b"")
     return out

@@ -56,6 +56,7 @@ _PRIORITY: list[str] = [
     "pdf_jbig2_image_extract",
     "odt_text_extract",
     "pdf_jbig2_text_extract",
+    "pdf_jbig2_halftone_extract",
     "ab_test_conversion",
     "wow_revenue_growth",
     "nullsafe_join_segments",

@@ -5585,6 +5585,131 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JBIG2 HALFTONE region extraction through the driver gate — the
+# grayscale-stamping path scanners use for dithered photo areas
+# (T.88 §6.6/§6.7): a pattern dictionary decoded as ONE collective
+# generic bitmap (A1 = (−HDPW, 0)), a gray-scale index image decoded
+# as Annex C.5 Gray-coded bitplanes, and grid stamping. Patterns form
+# a density ramp (pattern i has exactly i black pixels), so the page
+# black count is literally the SUM of the gray image — the oracle
+# replays the fixture's gray arithmetic in SQL, and any bitplane /
+# Gray-unfold / stamping error shifts the count.
+# ---------------------------------------------------------------------------
+
+_PDF_JBIG2_HALFTONE_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 16
+)
+SELECT id,
+       CAST(32 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST(k % 3 AS INT) AS template,
+       CAST('jbig2' AS VARCHAR) AS codec,
+       ROUND(255.0 * (512 - (60 + (id + 3) % 5 + id % 5)) / 512.0, 4)
+         AS luma_mean
+FROM g
+"""
+
+
+@register("pdf_jbig2_halftone_extract", _PDF_JBIG2_HALFTONE_SQL)
+def pdf_jbig2_halftone_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JBIG2 halftone path end-to-end: build_jbig2_halftone_embedded
+    writes page-info + pattern-dictionary (type 16, the collective
+    bitmap with its long-reach A1 adaptive pixel) + immediate
+    lossless halftone region (type 23: Gray-coded bitplanes over one
+    shared coder, 8.8 fixed-point grid stamping) streams; build_pdf
+    embeds them behind /JBIG2Decode and pdf_images decodes the page.
+    The 4×8 gray grid is ``(id + 7·idx + 3) % 5`` over a 5-pattern
+    density ramp, so the black count is 60 + (id+3)%5 + id%5 in
+    closed form (the 7·idx term walks all residues mod 5 per block of
+    five cells); k%3 rotates the bitplane coding template."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.jbig2 import (
+        build_jbig2_halftone_embedded,
+    )
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf, pdf_images
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 16
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    _PATS = []
+    for i in range(5):
+        p = np.zeros(16, bool)
+        p[:i] = True
+        _PATS.append(p.reshape(4, 4))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, templates = [], []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                gray = (np.arange(32).reshape(4, 8) * 7 + e + 3) % 5
+                stream = build_jbig2_halftone_embedded(
+                    gray, _PATS, template=k % 3
+                )
+                payloads.append(
+                    build_pdf(
+                        [[f"jbig2 halftone {e}"]],
+                        page_images=[[("jbig2_stream", stream, 32, 16)]],
+                    )
+                )
+                templates.append(k % 3)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "template": templates,
+                    "payload": payloads,
+                }
+            )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, tmpl, blob in zip(
+                pdf["id"], pdf["template"], pdf["payload"]
+            ):
+                for r in pdf_images(bytes(blob)):
+                    rows.append(
+                        {
+                            "id": rid,
+                            "width": r["width"],
+                            "height": r["height"],
+                            "template": tmpl,
+                            "codec": r["codec"],
+                            "luma_mean": r["luma_mean"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "template", "codec",
+                    "luma_mean",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, template int, payload binary"
+    ).mapInPandas(
+        extract,
+        schema=(
+            "id long, width int, height int, template int, "
+            "codec string, luma_mean double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MP3 Layer III SHORT BLOCKS through the driver gate — transients in
 # real music switch to block_type 2: 12 scalefactor bands × 3 windows
 # (slen1/slen2 halves), a window-interleaved spectrum and per-window

@@ -175,12 +175,12 @@ class TestEmbeddedStream:
         stream_or = build_jbig2_embedded(bm, default_pixel=1)
         assert decode_jbig2_embedded(stream_or)["black"].all()
 
-    def test_halftone_segment_gates(self):
+    def test_refinement_segment_gates(self):
         stream = build_jbig2_embedded(np.zeros((4, 4), bool))
-        bad = struct.pack(">IB", 9, 16) + b"\x00\x01" + struct.pack(
+        bad = struct.pack(">IB", 9, 42) + b"\x00\x01" + struct.pack(
             ">I", 0
         )
-        with pytest.raises(NotImplementedError, match="pattern"):
+        with pytest.raises(NotImplementedError, match="refinement"):
             decode_jbig2_embedded(stream + bad)
 
     def test_unknown_length_gates(self):
@@ -357,6 +357,96 @@ class TestSymbolText:
         with pytest.raises(NotImplementedError, match="TRANSPOSED"):
             decode_text_region_segment(
                 data, [np.ones((1, 1), bool)]
+            )
+
+
+class TestHalftone:
+    def _ramp_patterns(self):
+        pats = []
+        for i in range(5):
+            p = np.zeros(16, bool)
+            p[:i] = True
+            pats.append(p.reshape(4, 4))
+        return pats
+
+    def test_pattern_dict_round_trip(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            _build_pattern_dict_data,
+            decode_pattern_dict_segment,
+        )
+
+        rng = np.random.default_rng(13)
+        pats = [rng.random((3, 5)) < (i / 6) for i in range(7)]
+        out = decode_pattern_dict_segment(
+            _build_pattern_dict_data(pats)
+        )
+        assert len(out) == 7
+        assert all(np.array_equal(a, b) for a, b in zip(pats, out))
+
+    @pytest.mark.parametrize("template", [0, 1, 2, 3])
+    def test_halftone_region_round_trip(self, template):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_halftone_embedded,
+            decode_jbig2_embedded,
+        )
+
+        pats = self._ramp_patterns()
+        gray = (np.arange(32).reshape(4, 8) * 7 + 3) % 5
+        stream = build_jbig2_halftone_embedded(
+            gray, pats, template=template
+        )
+        res = decode_jbig2_embedded(stream)
+        assert (res["width"], res["height"]) == (32, 16)
+        exp = np.zeros((16, 32), bool)
+        for m in range(4):
+            for n in range(8):
+                exp[m * 4 : m * 4 + 4, n * 4 : n * 4 + 4] = pats[
+                    gray[m, n]
+                ]
+        assert np.array_equal(res["black"], exp)
+        # density-ramp patterns: black pixels == sum of gray values
+        assert int(res["black"].sum()) == int(gray.sum())
+
+    def test_grayscale_bitplanes_round_trip(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            ArithStats,
+            MQDecoder,
+            MQEncoder,
+            _CX_BITS,
+            _decode_grayscale,
+            _encode_grayscale,
+        )
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 13, (9, 14)).astype(np.int64)
+        enc = MQEncoder()
+        gbe = ArithStats(1 << _CX_BITS[0])
+        _encode_grayscale(enc, gbe, vals, 4, 0)
+        dec = MQDecoder(enc.flush())
+        gbd = ArithStats(1 << _CX_BITS[0])
+        out = _decode_grayscale(dec, gbd, 14, 9, 4, 0)
+        assert np.array_equal(out, vals)
+
+    def test_hmmr_gates(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            decode_halftone_region_segment,
+        )
+
+        data = struct.pack(">IIII", 8, 8, 0, 0) + b"\x00\x01"
+        data += b"\x00" * 24
+        with pytest.raises(NotImplementedError, match="HMMR"):
+            decode_halftone_region_segment(
+                data, [np.ones((2, 2), bool)]
+            )
+
+    def test_gray_value_overflow_raises(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            _build_halftone_region_data,
+        )
+
+        with pytest.raises(ValueError, match="exceeds"):
+            _build_halftone_region_data(
+                np.array([[5]]), [np.ones((2, 2), bool)] * 2, (2, 2)
             )
 
 

@@ -93,10 +93,13 @@ R9_FAMILIES = [
     "multimodal_mp3_shortblock_spectrum", "multimodal_webm_keyframes",
 ]
 
-# r10 additions: LSF MP3 decode, DOCX ingest, and the density-constant
-# trajectory re-fit the r9 verdict asked for (task #7)
+# r10 additions: LSF MP3 decode, DOCX/ODT ingest, the JBIG2 generic
+# and symbol/text paths, and the density-constant trajectory re-fit
+# the r9 verdict asked for (task #7)
 R10_FAMILIES = [
     "multimodal_mp3_lsf_spectrum", "docx_text_extract",
+    "odt_text_extract", "pdf_jbig2_image_extract",
+    "pdf_jbig2_text_extract", "pdf_jbig2_halftone_extract",
     "trajectory_hausdorff_density_const",
 ]
 
