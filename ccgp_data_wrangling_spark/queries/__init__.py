@@ -57,6 +57,8 @@ _PRIORITY: list[str] = [
     "odt_text_extract",
     "pdf_jbig2_text_extract",
     "pdf_jbig2_halftone_extract",
+    "epub_text_extract",
+    "rtf_text_extract",
     "ab_test_conversion",
     "wow_revenue_growth",
     "nullsafe_join_segments",

@@ -6762,3 +6762,178 @@ def odt_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
     return odt_documents(media)
+
+
+# ---------------------------------------------------------------------------
+# EPUB text extraction through the driver gate — the packaged-web
+# document container (OCF zip → container.xml → .opf package →
+# spine-ordered XHTML). The fixture deliberately STORES chapter
+# documents in reverse zip order while the spine orders them forward,
+# wraps every plain paragraph's second half in <em> (inline
+# flattening is load-bearing), and plants <script>/<style> content
+# that must never surface; the oracle replays the construction
+# closed-form with the (chapter, para) spine coordinates.
+# ---------------------------------------------------------------------------
+
+_EPUB_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(substr(text, 1, 40), '[^ -~]', '', 'g') AS p1
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, 0 AS chapter, 0 AS para,
+         'doc ' || CAST(doc_id AS VARCHAR) AS text FROM base
+  UNION ALL
+  SELECT doc_id, 0, 1, p1 FROM base
+  UNION ALL
+  SELECT doc_id, 1, 0, 'item A' || CAST(doc_id AS VARCHAR)
+  FROM base WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id, 1, 1, 'item B' || CAST(doc_id % 7 AS VARCHAR)
+  FROM base WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id, 1, 2,
+         'x' || CAST(doc_id % 4 AS VARCHAR) || chr(10) || 'y'
+  FROM base WHERE doc_id % 3 = 2
+)
+SELECT doc_id, CAST(chapter AS INT) AS chapter,
+       CAST(para AS INT) AS para, text,
+       CAST(length(text) AS INT) AS n_chars
+FROM paras
+"""
+
+
+@register("epub_text_extract", _EPUB_SQL)
+def epub_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB corpus ingest end-to-end: build_epub fixtures carrying
+    the documents table's (ASCII-cleaned) text → OCF container walk
+    (container.xml → package.opf) → spine-ordered XHTML chapter
+    parse → innermost-block paragraph rows (sources/epub
+    .epub_documents). Chapter documents are stored in REVERSE zip
+    order so manifest/spine resolution is what fixes reading order;
+    every fixture chapter carries a <style> and <script> head that
+    must never leak; doc_id%3==2 docs add a second chapter with a
+    list and a <br/> paragraph."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.epub import (
+        build_epub,
+        epub_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, 40), "[^ -~]", "").alias(
+            "__prefix"
+        ),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, prefix in zip(pdf["doc_id"], pdf["__prefix"]):
+                d = int(did)
+                chapters: list = [
+                    [("h1", f"doc {d}"), str(prefix)],
+                ]
+                if d % 3 == 2:
+                    chapters.append(
+                        [
+                            ("li", [f"item A{d}", f"item B{d % 7}"]),
+                            ("brp", f"x{d % 4}", "y"),
+                        ]
+                    )
+                payloads.append(build_epub(chapters))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return epub_documents(media)
+
+
+# ---------------------------------------------------------------------------
+# RTF text extraction through the driver gate — the legacy rich-text
+# format of e-mail archives and old document dumps: a control-word
+# stream with group-scoped state. Fixtures carry a font table, a
+# colour table and an {\\*\\generator} block full of decoy text the
+# extractor must skip as destinations, cp1252 \\'hh escapes, and the
+# documents-table prefix; the oracle replays the construction
+# closed-form.
+# ---------------------------------------------------------------------------
+
+_RTF_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         'doc ' || CAST(doc_id AS VARCHAR) || ' rtf' AS p0,
+         regexp_replace(substr(text, 1, 40), '[^ -~]', '', 'g') AS p1
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, 0 AS para, p0 AS text FROM base
+  UNION ALL
+  SELECT doc_id, 1, p1 FROM base
+  UNION ALL
+  SELECT doc_id, 2,
+         'k' || chr(9) || 'v' || CAST(doc_id % 9 AS VARCHAR)
+           || chr(10) || '{' || CAST(doc_id % 4 AS VARCHAR) || '}'
+  FROM base WHERE doc_id % 5 = 3
+)
+SELECT doc_id, CAST(para AS INT) AS para, text,
+       CAST(length(text) AS INT) AS n_chars
+FROM paras
+"""
+
+
+@register("rtf_text_extract", _RTF_SQL)
+def rtf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF corpus ingest end-to-end: build_rtf fixtures carrying the
+    documents table's (ASCII-cleaned) text plus control-word
+    constructs → group-state parse → one row per \\par paragraph
+    (sources/rtf.rtf_documents). Every fixture document plants
+    fonttbl/colortbl/{\\*\\generator} destinations whose decoy text
+    must be skipped as whole groups; doc_id%5==3 rows add a
+    tab+line paragraph with ESCAPED braces (\\{ \\}) that must
+    surface as literal braces, not group delimiters."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.rtf import (
+        build_rtf,
+        rtf_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, 40), "[^ -~]", "").alias(
+            "__prefix"
+        ),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, prefix in zip(pdf["doc_id"], pdf["__prefix"]):
+                d = int(did)
+                paragraphs: list = [
+                    f"doc {d} rtf",
+                    str(prefix),
+                ]
+                if d % 5 == 3:
+                    paragraphs.append(
+                        [
+                            "k", ("tab",), f"v{d % 9}", ("br",),
+                            "{" + f"{d % 4}" + "}",
+                        ]
+                    )
+                payloads.append(build_rtf(paragraphs))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return rtf_documents(media)
