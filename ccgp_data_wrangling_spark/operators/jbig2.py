@@ -26,6 +26,9 @@ module implements the JBIG2 subset those PDFs actually need for the
   grayscale-stamping path for dithered photo areas: the collective
   pattern bitmap with its A1 = (−HDPW, 0) adaptive pixel, Annex C.5
   Gray-coded bitplane decoding, and 8.8 fixed-point grid stamping;
+* **generic refinement regions** (§6.3) — re-coding a bitmap against
+  the page content under the region box (templates 0/1, TPGRON
+  typical prediction, displaced references);
 * the **embedded segment stream** organization PDF carries (§7.2
   segment headers; PDF 32000-1 §7.4.7 /JBIG2Decode): page information
   (type 48), immediate (lossless) generic regions (38/39), end of
@@ -36,11 +39,12 @@ module implements the JBIG2 subset those PDFs actually need for the
   builders, so fixtures are real JBIG2 bitstreams, not replayed
   buffers.
 
-Out-of-scope pieces gate honestly with ``NotImplementedError``:
-refinement regions (types 40–43, SDREFAGG, SBREFINE), the Annex B
+Every region family of the spec decodes. The remaining honest
+``NotImplementedError`` gates are coding-variant tails: the Annex B
 Huffman-table alternative (SDHUFF/SBHUFF/HMMR gray-scale),
-TRANSPOSED text regions, HENABLESKIP, and intermediate regions
-(auxiliary-buffer composition).
+refinement INSIDE symbol/text coding (SDREFAGG/SBREFINE), TRANSPOSED
+text regions, HENABLESKIP, unknown-length segment data, and
+intermediate regions (auxiliary-buffer composition).
 
 Reference parity: the reference repo has no image pipeline at all —
 this is north-star multimodal surface, same as the CCITT/JPEG work.
@@ -825,6 +829,192 @@ def _build_text_region_data(
 
 
 # ---------------------------------------------------------------------------
+# Generic refinement region (§6.3) — re-code a bitmap against a
+# reference (here: the page content under the region box, §7.4.7.2's
+# no-referred-segment case). Lossy encoders refine coarse passes this
+# way; the context mixes CURRENT-bitmap neighbours with a 3×3
+# REFERENCE window displaced by (GRREFERENCEDX, GRREFERENCEDY).
+# ---------------------------------------------------------------------------
+
+# (layer, dx, dy) taps in shift order; layer 0 = current, 1 = reference
+_GR_SLTP_CX = {0: 0x0100, 1: 0x0080}
+
+
+def _refinement_taps(
+    template: int,
+    at: tuple[tuple[int, int], ...],
+) -> list[tuple[int, int, int]]:
+    if template == 0:
+        a1, a2 = at
+        return [
+            (0, -1, 0), (0, 1, -1), (0, 0, -1), (0, a1[0], a1[1]),
+            (1, 1, 1), (1, 0, 1), (1, -1, 1),
+            (1, 1, 0), (1, 0, 0), (1, -1, 0),
+            (1, 1, -1), (1, 0, -1),
+            (1, a2[0], a2[1]),
+        ]
+    if template == 1:
+        return [
+            (0, -1, 0), (0, 1, -1), (0, 0, -1), (0, -1, -1),
+            (1, 1, 1), (1, 0, 1),
+            (1, 1, 0), (1, 0, 0), (1, -1, 0),
+            (1, 0, -1),
+        ]
+    raise ValueError(f"GRTEMPLATE {template}")
+
+
+_GR_NOMINAL_AT = ((-1, -1), (-1, -1))
+
+
+def _refine_loop(
+    coder,
+    gr: ArithStats,
+    width: int,
+    height: int,
+    ref: np.ndarray,
+    rdx: int,
+    rdy: int,
+    template: int,
+    tpgron: bool,
+    at: tuple[tuple[int, int], ...],
+    target: np.ndarray | None,
+) -> np.ndarray:
+    """Shared §6.3.5.6 row loop: decodes when ``target`` is None,
+    encodes ``target`` otherwise (the context model is identical, so
+    one transcription serves both directions)."""
+    taps = _refinement_taps(template, at)
+    pad = 1 + max(
+        max(abs(dx), abs(dy)) for _, dx, dy in taps
+    ) + max(abs(rdx), abs(rdy))
+    img = np.zeros((height + 2 * pad, width + 2 * pad), np.uint8)
+    rimg = np.zeros_like(img)
+    rh, rw = ref.shape
+    rimg[pad : pad + rh, pad : pad + rw] = ref
+    if target is not None:
+        tgt = np.zeros_like(img)
+        tgt[pad : pad + height, pad : pad + width] = target
+    sltp_cx = _GR_SLTP_CX[template]
+    ltp = 0
+    for y in range(height):
+        if tpgron:
+            if target is None:
+                ltp ^= coder.decode(sltp_cx, gr)
+            else:
+                # a row may ride typical prediction only if every
+                # uniform-reference-window pixel equals that value
+                want = 1
+                for x in range(width):
+                    win = rimg[
+                        pad + y - rdy - 1 : pad + y - rdy + 2,
+                        pad + x - rdx - 1 : pad + x - rdx + 2,
+                    ]
+                    s = int(win.sum())
+                    if (s == 0 and tgt[pad + y, pad + x]) or (
+                        s == 9 and not tgt[pad + y, pad + x]
+                    ):
+                        want = 0
+                        break
+                coder.encode(sltp_cx, ltp ^ want, gr)
+                ltp = want
+        row = img[pad + y]
+        for x in range(width):
+            if tpgron and ltp:
+                # typical pixel: uniform 3×3 reference window
+                # (§6.3.5.6) is copied, not coded
+                win = rimg[
+                    pad + y - rdy - 1 : pad + y - rdy + 2,
+                    pad + x - rdx - 1 : pad + x - rdx + 2,
+                ]
+                s = int(win.sum())
+                if s == 0 or s == 9:
+                    row[pad + x] = 1 if s == 9 else 0
+                    continue
+            cx = 0
+            for shift, (layer, dx, dy) in enumerate(taps):
+                src = img if layer == 0 else rimg
+                ox = dx if layer == 0 else dx - rdx
+                oy = dy if layer == 0 else dy - rdy
+                cx |= int(src[pad + y + oy, pad + x + ox]) << shift
+            if target is None:
+                row[pad + x] = coder.decode(cx, gr)
+            else:
+                bit = int(tgt[pad + y, pad + x])
+                coder.encode(cx, bit, gr)
+                row[pad + x] = bit
+    return img[pad : pad + height, pad : pad + width].astype(bool)
+
+
+def decode_refinement_bitmap(
+    dec: MQDecoder,
+    width: int,
+    height: int,
+    ref: np.ndarray,
+    rdx: int = 0,
+    rdy: int = 0,
+    template: int = 0,
+    tpgron: bool = False,
+    at: tuple[tuple[int, int], ...] = _GR_NOMINAL_AT,
+) -> np.ndarray:
+    gr = ArithStats(1 << 13)
+    return _refine_loop(
+        dec, gr, width, height, ref, rdx, rdy, template, tpgron, at,
+        None,
+    )
+
+
+def encode_refinement_bitmap(
+    enc: MQEncoder,
+    target: np.ndarray,
+    ref: np.ndarray,
+    rdx: int = 0,
+    rdy: int = 0,
+    template: int = 0,
+    tpgron: bool = False,
+    at: tuple[tuple[int, int], ...] = _GR_NOMINAL_AT,
+) -> None:
+    gr = ArithStats(1 << 13)
+    h, w = target.shape
+    _refine_loop(
+        enc, gr, w, h, ref, rdx, rdy, template, tpgron, at, target
+    )
+
+
+def _parse_refinement_region(data: bytes) -> dict:
+    """§7.4.7 header — decoding is deferred until composition time
+    because the reference is the PAGE content under the region box."""
+    w, h, x, y = struct.unpack_from(">IIII", data, 0)
+    comb_op = data[16] & 0x07
+    flags = data[17]
+    template = flags & 1
+    tpgron = bool(flags & 2)
+    pos = 18
+    at: tuple[tuple[int, int], ...] = _GR_NOMINAL_AT
+    if template == 0:
+        pairs = []
+        for _ in range(2):
+            pairs.append(
+                (
+                    struct.unpack_from(">b", data, pos)[0],
+                    struct.unpack_from(">b", data, pos + 1)[0],
+                )
+            )
+            pos += 2
+        at = tuple(pairs)
+    return {
+        "x": x,
+        "y": y,
+        "comb_op": comb_op,
+        "kind": "refine_pending",
+        "w": w,
+        "h": h,
+        "template": template,
+        "tpgron": tpgron,
+        "at": at,
+        "payload": data[pos:],
+    }
+
+
+# ---------------------------------------------------------------------------
 # Pattern dictionary (§6.7) and halftone region (§6.6) — the
 # grayscale-stamping path scanners use for dithered photo areas. The
 # pattern dictionary is ONE wide generic bitmap (all patterns side by
@@ -1042,11 +1232,11 @@ _SEG_HALFTONE_INTERMEDIATE = 20
 _SEG_HALFTONE_IMMEDIATE = 22
 _SEG_HALFTONE_IMMEDIATE_LOSSLESS = 23
 
-_GATED_SEGMENTS = {
-    40: "intermediate refinement region",
-    42: "immediate refinement region",
-    43: "immediate lossless refinement region",
-}
+_SEG_REFINE_INTERMEDIATE = 40
+_SEG_REFINE_IMMEDIATE = 42
+_SEG_REFINE_IMMEDIATE_LOSSLESS = 43
+
+_GATED_SEGMENTS: dict[int, str] = {}
 
 
 def parse_jbig2_segments(buf: bytes) -> list[dict]:
@@ -1227,6 +1417,15 @@ def decode_jbig2_embedded(
             raise NotImplementedError(
                 "intermediate halftone region (auxiliary buffers)"
             )
+        elif t in (
+            _SEG_REFINE_IMMEDIATE,
+            _SEG_REFINE_IMMEDIATE_LOSSLESS,
+        ):
+            regions.append(_parse_refinement_region(seg["data"]))
+        elif t == _SEG_REFINE_INTERMEDIATE:
+            raise NotImplementedError(
+                "intermediate refinement region (auxiliary buffers)"
+            )
         elif t == _SEG_PAGE_INFO:
             page_w, page_h, _xres, _yres = struct.unpack_from(
                 ">IIII", seg["data"], 0
@@ -1266,6 +1465,23 @@ def decode_jbig2_embedded(
                      default=0)
     page = np.full((page_h, page_w), bool(default_pixel))
     for reg in regions:
+        if reg.get("kind") == "refine_pending":
+            # §7.4.7.2 no-referred-segment case: the reference is the
+            # page content under the region box AT THIS POINT of the
+            # segment sequence — decode now, then compose
+            x, y, w, h = reg["x"], reg["y"], reg["w"], reg["h"]
+            ref = page[y : y + h, x : x + w]
+            if ref.shape != (h, w):
+                raise ValueError(
+                    "refinement region exceeds the page bitmap"
+                )
+            dec = MQDecoder(reg["payload"])
+            reg = dict(reg)
+            reg["bitmap"] = decode_refinement_bitmap(
+                dec, w, h, ref.astype(np.uint8),
+                template=reg["template"], tpgron=reg["tpgron"],
+                at=reg["at"],
+            )
         _compose(page, reg)
     return {
         "width": page_w,
@@ -1394,6 +1610,47 @@ def build_jbig2_text_embedded(
         out += _segment(nseg, _SEG_GENERIC_IMMEDIATE_LOSSLESS, 1, body)
         nseg += 1
     out += _segment(nseg, _SEG_END_OF_PAGE, 1, b"")
+    return out
+
+
+def build_jbig2_refined_embedded(
+    base: np.ndarray,
+    target: np.ndarray,
+    template: int = 0,
+    tpgron: bool = False,
+    gen_template: int = 0,
+) -> bytes:
+    """Embedded stream for the refinement path: page info + a generic
+    region carrying ``base`` + an immediate lossless refinement
+    region (type 43) re-coding the page box into ``target`` (REPLACE
+    composition) + end of page."""
+    h, w = base.shape
+    if target.shape != base.shape:
+        raise ValueError("refinement target must match the base shape")
+    page_data = struct.pack(">IIII", w, h, 0, 0)
+    page_data += b"\x00" + struct.pack(">H", 0)
+    out = _segment(0, _SEG_PAGE_INFO, 1, page_data)
+    gbody = struct.pack(">IIII", w, h, 0, 0)
+    gbody += bytes([0])  # OR onto the blank page
+    gbody += bytes([gen_template << 1])
+    for dx, dy in _NOMINAL_AT[gen_template]:
+        gbody += struct.pack(">bb", dx, dy)
+    gbody += encode_generic_region(base.astype(bool), gen_template)
+    out += _segment(1, _SEG_GENERIC_IMMEDIATE_LOSSLESS, 1, gbody)
+    rbody = struct.pack(">IIII", w, h, 0, 0)
+    rbody += bytes([4])  # REPLACE: the refined bitmap IS the new page
+    rbody += bytes([(template & 1) | (2 if tpgron else 0)])
+    if template == 0:
+        for dx, dy in _GR_NOMINAL_AT:
+            rbody += struct.pack(">bb", dx, dy)
+    enc = MQEncoder()
+    encode_refinement_bitmap(
+        enc, target.astype(bool), base.astype(np.uint8),
+        template=template, tpgron=tpgron,
+    )
+    rbody += enc.flush()
+    out += _segment(2, _SEG_REFINE_IMMEDIATE_LOSSLESS, 1, rbody)
+    out += _segment(3, _SEG_END_OF_PAGE, 1, b"")
     return out
 
 

@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     "pdf_jbig2_halftone_extract",
     "epub_text_extract",
     "rtf_text_extract",
+    "pdf_jbig2_refine_extract",
     "ab_test_conversion",
     "wow_revenue_growth",
     "nullsafe_join_segments",

@@ -5710,6 +5710,137 @@ def pdf_jbig2_halftone_extract(
 
 
 # ---------------------------------------------------------------------------
+# JBIG2 REFINEMENT region extraction through the driver gate — the
+# last region family (T.88 §6.3): a generic region lays down a coarse
+# bar, then an immediate lossless refinement region re-codes the page
+# box against that content (REPLACE composition) into the true page —
+# first row inverted, last row cleared. Any error in the 13/10-bit
+# refinement contexts, the TPGRON typical-pixel copy, or the
+# composition ORDER (the reference is the page AFTER the base region)
+# shifts the black count away from the closed form 24 + 13·(id%25).
+# ---------------------------------------------------------------------------
+
+_PDF_JBIG2_REFINE_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 18
+)
+SELECT id,
+       CAST(24 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST(k % 2 AS INT) AS gr_template,
+       CAST(k % 4 >= 2 AS BOOLEAN) AS tpgron,
+       CAST('jbig2' AS VARCHAR) AS codec,
+       ROUND(255.0 * (384 - (24 + 13 * (id % 25))) / 384.0, 4)
+         AS luma_mean
+FROM g
+"""
+
+
+@register("pdf_jbig2_refine_extract", _PDF_JBIG2_REFINE_SQL)
+def pdf_jbig2_refine_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JBIG2 refinement path end-to-end: build_jbig2_refined_embedded
+    writes page-info + generic base region + immediate lossless
+    refinement region (type 43, §7.4.7.2's no-referred-segment case:
+    the reference is the page content under the box at that point of
+    the segment sequence) streams; build_pdf embeds them behind
+    /JBIG2Decode and pdf_images decodes the refined page. The base is
+    the b = id%25 column bar; the target inverts row 0 and clears row
+    15, so black = (24−b) + 14·b + 0 = 24 + 13·b in closed form. k
+    rotates GRTEMPLATE 0/1 and TPGRON."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.jbig2 import (
+        build_jbig2_refined_embedded,
+    )
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf, pdf_images
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 18
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, tmpls, tps = [], [], []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                base = np.zeros((16, 24), bool)
+                base[:, : e % 25] = True
+                target = base.copy()
+                target[0] = ~target[0]
+                target[15] = False
+                tmpl, tp = k % 2, k % 4 >= 2
+                stream = build_jbig2_refined_embedded(
+                    base, target, template=tmpl, tpgron=tp,
+                    gen_template=k % 3,
+                )
+                payloads.append(
+                    build_pdf(
+                        [[f"jbig2 refine {e}"]],
+                        page_images=[[("jbig2_stream", stream, 24, 16)]],
+                    )
+                )
+                tmpls.append(tmpl)
+                tps.append(tp)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "gr_template": tmpls,
+                    "tpgron": tps,
+                    "payload": payloads,
+                }
+            )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, tmpl, tp, blob in zip(
+                pdf["id"], pdf["gr_template"], pdf["tpgron"],
+                pdf["payload"],
+            ):
+                for r in pdf_images(bytes(blob)):
+                    rows.append(
+                        {
+                            "id": rid,
+                            "width": r["width"],
+                            "height": r["height"],
+                            "gr_template": tmpl,
+                            "tpgron": tp,
+                            "codec": r["codec"],
+                            "luma_mean": r["luma_mean"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "gr_template", "tpgron",
+                    "codec", "luma_mean",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth,
+        schema=(
+            "id long, gr_template int, tpgron boolean, payload binary"
+        ),
+    ).mapInPandas(
+        extract,
+        schema=(
+            "id long, width int, height int, gr_template int, "
+            "tpgron boolean, codec string, luma_mean double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MP3 Layer III SHORT BLOCKS through the driver gate — transients in
 # real music switch to block_type 2: 12 scalefactor bands × 3 windows
 # (slen1/slen2 halves), a window-interleaved spectrum and per-window

@@ -175,12 +175,12 @@ class TestEmbeddedStream:
         stream_or = build_jbig2_embedded(bm, default_pixel=1)
         assert decode_jbig2_embedded(stream_or)["black"].all()
 
-    def test_refinement_segment_gates(self):
+    def test_unknown_segment_type_raises(self):
         stream = build_jbig2_embedded(np.zeros((4, 4), bool))
-        bad = struct.pack(">IB", 9, 42) + b"\x00\x01" + struct.pack(
+        bad = struct.pack(">IB", 9, 33) + b"\x00\x01" + struct.pack(
             ">I", 0
         )
-        with pytest.raises(NotImplementedError, match="refinement"):
+        with pytest.raises(ValueError, match="segment type"):
             decode_jbig2_embedded(stream + bad)
 
     def test_unknown_length_gates(self):
@@ -448,6 +448,125 @@ class TestHalftone:
             _build_halftone_region_data(
                 np.array([[5]]), [np.ones((2, 2), bool)] * 2, (2, 2)
             )
+
+
+class TestRefinement:
+    @pytest.mark.parametrize("template", [0, 1])
+    @pytest.mark.parametrize("tpgron", [False, True])
+    def test_bitmap_round_trip(self, template, tpgron):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            MQDecoder,
+            MQEncoder,
+            decode_refinement_bitmap,
+            encode_refinement_bitmap,
+        )
+
+        rng = np.random.default_rng(template * 2 + tpgron)
+        ref = rng.random((14, 22)) < 0.4
+        target = ref.copy()
+        target.flat[rng.integers(0, ref.size, 9)] ^= True
+        enc = MQEncoder()
+        encode_refinement_bitmap(
+            enc, target, ref.astype(np.uint8),
+            template=template, tpgron=tpgron,
+        )
+        dec = MQDecoder(enc.flush())
+        out = decode_refinement_bitmap(
+            dec, 22, 14, ref.astype(np.uint8),
+            template=template, tpgron=tpgron,
+        )
+        assert np.array_equal(out, target)
+
+    def test_displaced_reference_predicts(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            MQDecoder,
+            MQEncoder,
+            decode_refinement_bitmap,
+            encode_refinement_bitmap,
+        )
+
+        rng = np.random.default_rng(8)
+        ref = rng.random((12, 12)) < 0.5
+        target = np.roll(ref, (1, 2), (0, 1))
+        enc = MQEncoder()
+        encode_refinement_bitmap(
+            enc, target, ref.astype(np.uint8), rdx=2, rdy=1
+        )
+        data = enc.flush()
+        out = decode_refinement_bitmap(
+            MQDecoder(data), 12, 12, ref.astype(np.uint8),
+            rdx=2, rdy=1,
+        )
+        assert np.array_equal(out, target)
+        # a perfectly-predicted bitmap codes into a handful of bytes
+        assert len(data) <= 24
+
+    @pytest.mark.parametrize("template", [0, 1])
+    def test_embedded_refined_page(self, template):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_refined_embedded,
+            decode_jbig2_embedded,
+        )
+
+        base = np.zeros((16, 24), bool)
+        base[:, :11] = True
+        target = base.copy()
+        target[0] = ~target[0]
+        target[15] = False
+        stream = build_jbig2_refined_embedded(
+            base, target, template=template, tpgron=(template == 1)
+        )
+        res = decode_jbig2_embedded(stream)
+        assert np.array_equal(res["black"], target)
+
+    def test_refinement_reads_page_state_in_order(self):
+        # the reference is the page AFTER the base region composed —
+        # dropping the base segment must change the refined output
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_refined_embedded,
+            decode_jbig2_embedded,
+            parse_jbig2_segments,
+        )
+
+        rng = np.random.default_rng(4)
+        base = rng.random((10, 12)) < 0.5
+        target = base.copy()
+        target[3, 4] ^= True
+        stream = build_jbig2_refined_embedded(base, target)
+        segs = parse_jbig2_segments(stream)
+        assert [s["type"] for s in segs] == [48, 39, 43, 49]
+        ok = decode_jbig2_embedded(stream)
+        assert np.array_equal(ok["black"], target)
+        # splice the generic (base) segment out: reference = blank
+        import struct as _s
+
+        rebuilt = b""
+        pos_map = []
+        pos = 0
+        for s in segs:
+            hdr_len = 11  # 4 num + 1 flags + 1 refcount + 1 page + 4 len
+            body = len(s["data"])
+            pos_map.append((pos, pos + hdr_len + body))
+            pos += hdr_len + body
+        keep = [0, 2, 3]  # drop the type-39 base region
+        for k in keep:
+            a, b = pos_map[k]
+            rebuilt += stream[a:b]
+        degraded = decode_jbig2_embedded(rebuilt)
+        assert not np.array_equal(degraded["black"], target)
+
+    def test_intermediate_refinement_gates(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_embedded,
+            decode_jbig2_embedded,
+        )
+
+        stream = build_jbig2_embedded(np.zeros((4, 4), bool))
+        bad = struct.pack(">IB", 9, 40) + b"\x00\x01" + struct.pack(
+            ">I", 0
+        )
+        with pytest.raises(NotImplementedError, match="refinement"):
+            decode_jbig2_embedded(stream + bad)
 
 
 class TestPdfIntegration:
