@@ -167,6 +167,13 @@ HEADLINE = [
     # r10 additions
     "multimodal_mp3_lsf_spectrum",
     "docx_text_extract",
+    "odt_text_extract",
+    "epub_text_extract",
+    "rtf_text_extract",
+    "pdf_jbig2_image_extract",
+    "pdf_jbig2_text_extract",
+    "pdf_jbig2_halftone_extract",
+    "pdf_jbig2_refine_extract",
 ]
 
 
