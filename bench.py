@@ -166,6 +166,7 @@ HEADLINE = [
     "multimodal_webm_keyframes",
     # r10 additions
     "multimodal_mp3_lsf_spectrum",
+    "multimodal_mp3_lsf_intensity_spectrum",
     "docx_text_extract",
     "odt_text_extract",
     "epub_text_extract",

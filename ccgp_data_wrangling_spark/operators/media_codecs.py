@@ -4524,6 +4524,37 @@ def _l3_lsf_slens(scalefac_compress: int) -> tuple[list[int], int, int]:
     t = sc - 500
     return [t // 3, t % 3, 0, 0], 1, 2
 
+
+# Table B.2, intensity rows (blocktypenumbers 3-5): the group
+# partitions the INTENSITY channel's scalefactors use in LSF frames
+_L3_LSF_INT_NSFB = {
+    3: {"long": (7, 7, 7, 0), "short": (12, 12, 12, 0),
+        "mixed": (6, 15, 12, 0)},
+    4: {"long": (6, 6, 6, 3), "short": (12, 9, 9, 6),
+        "mixed": (6, 12, 9, 6)},
+    5: {"long": (8, 8, 5, 0), "short": (15, 12, 9, 0),
+        "mixed": (6, 18, 9, 0)},
+}
+
+
+def _l3_lsf_int_slens(
+    scalefac_compress: int,
+) -> tuple[list[int], int, int]:
+    """LSF scalefactor widths for the INTENSITY channel (ISO 13818-3
+    §2.4.3.2, intensity branch): the LSB is intensity_scale and the
+    remaining 8 bits partition as int_scalefac_compress; the implied
+    preflag is always 0 and blocktypenumber runs 3-5."""
+    int_sc = scalefac_compress >> 1
+    if int_sc < 180:
+        return [int_sc // 36, (int_sc % 36) // 6, int_sc % 6, 0], 0, 3
+    if int_sc < 244:
+        t = int_sc - 180
+        return [(t % 64) >> 4, (t % 16) >> 2, t % 4, 0], 0, 4
+    if int_sc < 255:
+        t = int_sc - 244
+        return [t // 3, t % 3, 0, 0], 0, 5
+    raise ValueError("intensity scalefac_compress 255 is reserved")
+
 # pair tables: {(x, y): (hlen, hcod)} — Table B.7, tables 1-3
 _L3_PAIR_TABLES: dict[int, dict[tuple[int, int], tuple[int, int]]] = {
     1: {
@@ -4690,9 +4721,15 @@ def parse_mp3_layer3_sideinfo(payload: bytes) -> list[dict[str, Any]]:
                     g["region0_count"] = si.read_bits(4)
                     g["region1_count"] = si.read_bits(3)
                 if lsf:
-                    g["preflag"] = _l3_lsf_slens(
-                        g["scalefac_compress"]
-                    )[1]
+                    if mode == 1 and (mode_ext & 1) and ch == 1:
+                        # intensity channel: §2.4.3.2 reinterprets the
+                        # field (intensity_scale LSB + 8-bit int part);
+                        # no preflag in either reading
+                        g["preflag"] = 0
+                    else:
+                        g["preflag"] = _l3_lsf_slens(
+                            g["scalefac_compress"]
+                        )[1]
                 else:
                     g["preflag"] = si.read_bits(1)
                 g["scalefac_scale"] = si.read_bits(1)
@@ -4776,10 +4813,6 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
         is_on = mode == 1 and bool(mode_ext & 1)
         version = _MP3_VERSIONS[(hdr >> 19) & 0x3]
         is_lsf = version != "MPEG1"
-        if is_on and is_lsf:
-            # 13818-3 §2.4.3.2 reinterprets the intensity channel's
-            # scalefac_compress (intensity_scale, io = 2^-1/4 bases)
-            raise NotImplementedError("LSF intensity stereo")
         n_gr = 1 if is_lsf else 2
         bidx = (hdr >> 12) & 0xF
         ridx = (hdr >> 10) & 0x3
@@ -4817,15 +4850,28 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
             gnz: list[list[bool]] = []
             gshort: list[bool] = []
             gsf: list[list[int] | None] = []
+            gslen: list[list[int] | None] = []
             for ch in range(nch):
                 g = by_key[(frame_no, gr, ch)]
                 short = g["window_switching"] and g["block_type"] == 2
                 mixed = short and g["mixed_block"]
                 bits_before = main.bits_read()
+                int_ch = is_lsf and is_on and ch == 1
                 if is_lsf:
-                    lsf_slens, _lsf_pre, lsf_btn = _l3_lsf_slens(
-                        g["scalefac_compress"]
-                    )
+                    if int_ch:
+                        # §2.4.3.2 intensity branch: LSB is
+                        # intensity_scale, the rest partitions with
+                        # the Table B.2 intensity rows (btn 3-5)
+                        lsf_slens, _lsf_pre, lsf_btn = (
+                            _l3_lsf_int_slens(g["scalefac_compress"])
+                        )
+                    else:
+                        lsf_slens, _lsf_pre, lsf_btn = _l3_lsf_slens(
+                            g["scalefac_compress"]
+                        )
+                    lsf_nsfb = (
+                        _L3_LSF_INT_NSFB if int_ch else _L3_LSF_NSFB
+                    )[lsf_btn]
                     slen1 = slen2 = 0  # unused on the LSF path
                 else:
                     slen1, slen2 = _L3_SLEN[g["scalefac_compress"]]
@@ -4859,9 +4905,7 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
                                 for b in range(12)
                                 for w in range(3)
                             ]
-                        groups = _L3_LSF_NSFB[lsf_btn][
-                            "mixed" if mixed else "short"
-                        ]
+                        groups = lsf_nsfb["mixed" if mixed else "short"]
                         if sum(groups) != len(slots):
                             raise ValueError(
                                 "LSF scalefactor groups do not cover "
@@ -4941,19 +4985,19 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
 
                 else:
                     scalefac = [0] * 22
+                    band_slen = [0] * 22
                     if is_lsf:
                         # §2.4.3.2: the four nr_of_sfb groups cover
                         # the 21 transmitted bands sequentially; no
                         # scfsi exists in LSF side info
                         b = 0
-                        for gi, cnt in enumerate(
-                            _L3_LSF_NSFB[lsf_btn]["long"]
-                        ):
+                        for gi, cnt in enumerate(lsf_nsfb["long"]):
                             sl = lsf_slens[gi]
                             for _ in range(cnt):
                                 scalefac[b] = (
                                     main.read_bits(sl) if sl else 0
                                 )
+                                band_slen[b] = sl
                                 b += 1
                         if b != 21:
                             raise ValueError(
@@ -5065,6 +5109,7 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
                 gnz.append(is_nonzero)
                 gshort.append("mixed" if mixed else ("short" if short else "long"))
                 gsf.append(None if short else scalefac)
+                gslen.append(None if short else band_slen)
             if is_on:
                 # §2.4.3.4.9.3 intensity stereo: every scalefactor
                 # band lying entirely in the RIGHT channel's zero
@@ -5089,10 +5134,44 @@ def decode_mp3_layer3_spectrum(payload: bytes) -> list[dict[str, Any]]:
                         break
                 left = list(gxr[0])
                 right = list(gxr[1])
+                if is_lsf:
+                    # §2.4.3.2: intensity_scale (the LSB the slen
+                    # derivation stripped) picks the io ladder base
+                    io = 2.0 ** (
+                        -0.25
+                        * ((by_key[(frame_no, gr, 1)][
+                            "scalefac_compress"] & 1) + 1)
+                    )
                 for b in range(22):
                     lo, hi = bounds[b], bounds[b + 1]
                     is_pos = gsf[1][b]
-                    if lo >= last_nz and is_pos != 7:
+                    if is_lsf:
+                        # illegal marker = all-ones of the band's
+                        # slen field (slen 0 → is_pos 0, legal)
+                        sl = gslen[1][b]
+                        illegal = (1 << sl) - 1 if sl else None
+                        intensity_band = (
+                            lo >= last_nz and is_pos != illegal
+                        )
+                    else:
+                        intensity_band = lo >= last_nz and is_pos != 7
+                    if intensity_band and is_lsf:
+                        # §2.4.3.2 reconstruction: odd positions
+                        # scale the LEFT by io^((p+1)/2), even ones
+                        # the RIGHT by io^(p/2); p = 0 passes both
+                        if is_pos == 0:
+                            kl = kr = 1.0
+                        elif is_pos & 1:
+                            kl = io ** ((is_pos + 1) // 2)
+                            kr = 1.0
+                        else:
+                            kl = 1.0
+                            kr = io ** (is_pos // 2)
+                        for i in range(lo, hi):
+                            v = gxr[0][i]
+                            left[i] = v * kl
+                            right[i] = v * kr
+                    elif intensity_band:
                         ratio = math.tan(is_pos * math.pi / 12.0)
                         for i in range(lo, hi):
                             v = gxr[0][i]
@@ -5359,13 +5438,20 @@ def build_mp3_layer3(
     )
 
     def granule_main_bits(
-        g: dict[str, Any], skip_groups: frozenset[int] = frozenset()
+        g: dict[str, Any],
+        skip_groups: frozenset[int] = frozenset(),
+        intensity_ch: bool = False,
     ) -> list[tuple[int, int]]:
         bits: list[tuple[int, int]] = []
         if lsf_mode:
-            lsf_slens, pre_implied, btn = _l3_lsf_slens(
-                g["scalefac_compress"]
-            )
+            if intensity_ch:
+                lsf_slens, pre_implied, btn = _l3_lsf_int_slens(
+                    g["scalefac_compress"]
+                )
+            else:
+                lsf_slens, pre_implied, btn = _l3_lsf_slens(
+                    g["scalefac_compress"]
+                )
             if "preflag" in g and g["preflag"] != pre_implied:
                 raise ValueError(
                     "LSF preflag is implied by scalefac_compress "
@@ -5405,7 +5491,9 @@ def build_mp3_layer3(
                     raise ValueError("need 21 long-block scalefactors")
                 vals = list(sf)
                 kind = "long"
-            groups = _L3_LSF_NSFB[btn][kind]
+            groups = (
+                _L3_LSF_INT_NSFB if intensity_ch else _L3_LSF_NSFB
+            )[btn][kind]
             if sum(groups) != len(vals):
                 raise ValueError(
                     "LSF scalefactor groups do not cover the layout"
@@ -5593,7 +5681,11 @@ def build_mp3_layer3(
         mains = [
             [
                 granule_main_bits(
-                    grans_fr[gr][ch], skips[ch] if gr else frozenset()
+                    grans_fr[gr][ch],
+                    skips[ch] if gr else frozenset(),
+                    intensity_ch=(
+                        lsf_mode and bool(mode_ext & 1) and ch == 1
+                    ),
                 )
                 for ch in range(nch)
             ]

@@ -60,6 +60,7 @@ _PRIORITY: list[str] = [
     "epub_text_extract",
     "rtf_text_extract",
     "pdf_jbig2_refine_extract",
+    "multimodal_mp3_lsf_intensity_spectrum",
     "ab_test_conversion",
     "wow_revenue_growth",
     "nullsafe_join_segments",

@@ -6572,6 +6572,202 @@ LEFT JOIN agg a ON a.id = bb.id AND a.sfb = bb.sfb
 """
 
 
+# ---------------------------------------------------------------------------
+# LSF INTENSITY STEREO through the driver gate — the §2.4.3.2
+# reinterpretation low-bitrate stereo voice MP3s carry: the intensity
+# channel's scalefac_compress LSB picks the io ladder base
+# (2^-1/4 / 2^-1/2), int_sfc = sc>>1 partitions with the Table B.2
+# intensity rows, and zero-part bands scale the carrier by io powers
+# (odd positions → left, even → right; all-ones of the band's slen is
+# illegal and falls back to plain L/R under mode_extension 1). The
+# oracle replays carrier requantization AND the multiplier ladder in
+# closed form per (channel, band).
+# ---------------------------------------------------------------------------
+
+_MP3_LSF_IS_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 14
+),
+p AS (
+  SELECT id, k, 48 + id % 5 AS np, 150 + id % 40 AS gg,
+         k % 2 AS iscale
+  FROM g
+),
+bands AS (
+  SELECT * FROM (VALUES
+    (0,0,6),(1,6,12),(2,12,18),(3,18,24),(4,24,30),(5,30,36),
+    (6,36,44),(7,44,54),(8,54,66),(9,66,80),(10,80,96),
+    (11,96,114),(12,114,136),(13,136,162),(14,162,194),
+    (15,194,232),(16,232,278),(17,278,332),(18,332,394),
+    (19,394,464),(20,464,540),(21,540,576)
+  ) AS b(sfb, lo, hi)
+),
+lines AS (
+  SELECT id, UNNEST(generate_series(0, 2 * np - 1)) AS line FROM p
+),
+vals AS (
+  SELECT l.id, l.line, CASE WHEN l.line % 2 = 0
+      THEN ((l.line // 2) * 3 + l.id) % 5 - 2
+      ELSE ((l.line // 2) * 5 + l.id) % 5 - 2 END AS c
+  FROM lines l
+),
+carrier AS (
+  SELECT p.id, b.sfb, b.lo, b.hi, p.gg, p.iscale,
+         CAST(COALESCE(SUM(
+           CASE WHEN v.c <> 0 THEN 1 ELSE 0 END), 0) AS INT) AS nnz,
+         COALESCE(SUM(POWER(
+           POWER(ABS(v.c), 4.0 / 3.0)
+           * POWER(2.0, 0.25 * (p.gg - 210)), 2)), 0.0) AS e
+  FROM p
+  JOIN bands b ON TRUE
+  LEFT JOIN vals v
+    ON v.id = p.id AND v.line >= b.lo AND v.line < b.hi
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+m AS (
+  SELECT c.*,
+         SQRT(c.e / (c.hi - c.lo)) AS crms,
+         CASE WHEN c.sfb = 0 OR c.sfb >= 14 THEN 0
+              ELSE (c.id + c.sfb) % 8 END AS pos,
+         POWER(2.0, -0.25 * (c.iscale + 1)) AS io
+  FROM carrier c
+)
+SELECT id, CAST(ch AS INT) AS channel, CAST(sfb AS INT) AS sfb,
+       CAST(hi - lo AS INT) AS width,
+       CAST(nnz_out AS INT) AS n_nonzero,
+       ROUND(rms_out, 6) AS rms
+FROM (
+  -- left channel
+  SELECT id, 0 AS ch, sfb, lo, hi, nnz AS nnz_out,
+         CASE WHEN sfb = 0 THEN crms          -- below the zero part
+              WHEN pos = 7 THEN crms          -- illegal → plain L/R
+              WHEN pos % 2 = 1
+                THEN crms * POWER(io, (pos + 1) // 2)
+              ELSE crms END AS rms_out
+  FROM m
+  UNION ALL
+  -- right (intensity) channel
+  SELECT id, 1 AS ch, sfb, lo, hi,
+         CASE WHEN sfb = 0 THEN 2
+              WHEN pos = 7 THEN 0 ELSE nnz END AS nnz_out,
+         CASE WHEN sfb = 0
+                THEN SQRT(2 * POWER(
+                  POWER(2.0, 0.25 * (gg - 210)), 2) / 6)
+              WHEN pos = 7 THEN 0.0
+              WHEN pos % 2 = 0 AND pos > 0
+                THEN crms * POWER(io, pos // 2)
+              ELSE crms END AS rms_out
+  FROM m
+)
+"""
+
+
+@register("multimodal_mp3_lsf_intensity_spectrum", _MP3_LSF_IS_SQL)
+def multimodal_mp3_lsf_intensity_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LSF intensity-stereo decode end-to-end: build_mp3_layer3
+    fixtures (MPEG-2 @ 24 kHz, mode joint_is) whose carrier channel
+    plants 48-52 big-value pairs and whose intensity channel carries
+    one pair (so every band ≥ 1 is intensity-coded) with positions
+    (id+b)%8 under sc = 252+k%2 (int slens (3,3,0,0), btn 3, both
+    intensity_scale readings) → decode_mp3_layer3_spectrum applies
+    the §2.4.3.2 io-ladder reconstruction → per-(channel, band) RMS.
+    Position 7 = (1<<3)−1 is the illegal marker and falls back to
+    plain L/R (mode_extension 1 carries no M/S)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3_layer3,
+        decode_mp3_layer3_spectrum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 14
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                np_ = 48 + e % 5
+                left = dict(
+                    global_gain=150 + e % 40,
+                    scalefac_compress=0,  # slens [0,0,0,0]
+                    scalefac=[0] * 21,
+                    scalefac_scale=0,
+                    table=3,
+                    pairs=[
+                        ((i * 3 + e) % 5 - 2, (i * 5 + e) % 5 - 2)
+                        for i in range(np_)
+                    ],
+                    quads=[],
+                    count1table="A",
+                    region0_count=4,
+                    region1_count=5,
+                )
+                right = dict(
+                    left,
+                    scalefac_compress=252 + k % 2,
+                    scalefac=[0]
+                    + [(e + b) % 8 for b in range(1, 14)]
+                    + [0] * 7,
+                    pairs=[(1, -1)],
+                )
+                payloads.append(
+                    build_mp3_layer3(
+                        granules=[[left, right]],
+                        version="MPEG2",
+                        sample_rate=24000,
+                        bitrate_kbps=48,
+                        mode="joint_is",
+                    )
+                )
+            yield pd.DataFrame(
+                {"id": pdf["id"].values, "payload": payloads}
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                for r in decode_mp3_layer3_spectrum(bytes(blob)):
+                    rows.append(
+                        {
+                            "id": rid,
+                            "channel": r["channel"],
+                            "sfb": r["sfb"],
+                            "width": r["width"],
+                            "n_nonzero": r["n_nonzero"],
+                            "rms": r["rms"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "channel", "sfb", "width", "n_nonzero",
+                    "rms",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        decode,
+        schema=(
+            "id long, channel int, sfb int, width int, "
+            "n_nonzero int, rms double"
+        ),
+    )
+
+
 @register("multimodal_mp3_lsf_spectrum", _MP3_LSF_SQL)
 def multimodal_mp3_lsf_spectrum(
     spark: SparkSession, sf_dir: str

@@ -3177,19 +3177,64 @@ def test_mp3_layer3_intensity_stereo():
                 mode="joint_is",
             )
         )
-    # LSF intensity gates honestly
-    glsf = dict(
-        global_gain=160, scalefac_compress=0, scalefac=[0] * 21,
-        table=3, pairs=[(1, 1)], quads=[], count1table="A",
-        region0_count=4, region1_count=4,
+    # LSF intensity stereo (ISO 13818-3 §2.4.3.2): the intensity
+    # channel's scalefac_compress LSB is intensity_scale (io base);
+    # int_sfc = sc>>1 = 126 → slens (3,3,0,0), btn 3 → long groups
+    # (7,7,7,0); odd positions scale LEFT by io^((p+1)/2), even ones
+    # RIGHT by io^(p/2); all-ones of the band's slen (7) is illegal
+    gl_lsf = dict(
+        global_gain=160, scalefac_compress=77,  # slens [0,4,3,1]
+        scalefac=[0] * 6 + [i % 16 for i in range(5)]
+        + [i % 8 for i in range(5)] + [i % 2 for i in range(5)],
+        scalefac_scale=0, table=3,
+        pairs=[(1, -1)] * 25, quads=[], count1table="A",
+        region0_count=4, region1_count=5,
     )
-    with pytest.raises(NotImplementedError, match="LSF intensity"):
-        decode_mp3_layer3_spectrum(
+    lsf_pos = [0, 0, 3, 6, 7, 1, 2, 4, 0, 0, 0, 0, 0, 0] + [0] * 7
+    for int_scale in (0, 1):
+        gr_lsf = dict(
+            gl_lsf,
+            scalefac_compress=252 + int_scale,
+            scalefac=lsf_pos,
+            pairs=[(1, -1), (0, 2), (1, 0)],  # 6 lines → band 0 only
+        )
+        rows_lsf = decode_mp3_layer3_spectrum(
             build_mp3_layer3(
-                granules=[[glsf, glsf]], version="MPEG2",
-                sample_rate=22050, bitrate_kbps=64, mode="joint_is",
+                granules=[[gl_lsf, gr_lsf]], version="MPEG2",
+                sample_rate=22050, bitrate_kbps=64, mode="joint_is_ms",
             )
         )
+        carrier = decode_mp3_layer3_spectrum(
+            build_mp3_layer3(
+                granules=[[gl_lsf, gl_lsf]], version="MPEG2",
+                sample_rate=22050, bitrate_kbps=64, mode="stereo",
+            )
+        )
+        c = {
+            r["sfb"]: r["rms"] for r in carrier if r["channel"] == 0
+        }
+        bl = {
+            (r["channel"], r["sfb"]): r["rms"] for r in rows_lsf
+        }
+        io = 2.0 ** (-0.25 * (int_scale + 1))
+        # p = 0 (band 1): both channels pass the carrier at unity
+        assert bl[(0, 1)] == pytest.approx(c[1], abs=1e-6)
+        assert bl[(1, 1)] == pytest.approx(c[1], abs=1e-6)
+        # p = 3 (band 2, odd): left = io^2 · carrier, right = carrier
+        assert bl[(0, 2)] == pytest.approx(c[2] * io ** 2, abs=1e-6)
+        assert bl[(1, 2)] == pytest.approx(c[2], abs=1e-6)
+        # p = 6 (band 3, even): right = io^3 · carrier, left = carrier
+        assert bl[(0, 3)] == pytest.approx(c[3], abs=1e-6)
+        assert bl[(1, 3)] == pytest.approx(c[3] * io ** 3, abs=1e-6)
+        # p = 7 = (1<<3)-1 (band 4): illegal → falls back to M/S
+        ms = c[4] * 2 ** -0.5
+        assert bl[(0, 4)] == pytest.approx(ms, abs=1e-6)
+        assert bl[(1, 4)] == pytest.approx(ms, abs=1e-6)
+        # p = 1 (band 5, odd): left = io · carrier
+        assert bl[(0, 5)] == pytest.approx(c[5] * io, abs=1e-6)
+        assert bl[(1, 5)] == pytest.approx(c[5], abs=1e-6)
+    # the io ladder differs between the two intensity_scale readings
+    assert 2.0 ** -0.25 != 2.0 ** -0.5
 
 
 def test_webm_unknown_size_elements():

@@ -97,7 +97,8 @@ R9_FAMILIES = [
 # and symbol/text paths, and the density-constant trajectory re-fit
 # the r9 verdict asked for (task #7)
 R10_FAMILIES = [
-    "multimodal_mp3_lsf_spectrum", "docx_text_extract",
+    "multimodal_mp3_lsf_spectrum",
+    "multimodal_mp3_lsf_intensity_spectrum", "docx_text_extract",
     "odt_text_extract", "epub_text_extract", "rtf_text_extract",
     "pdf_jbig2_image_extract",
     "pdf_jbig2_text_extract", "pdf_jbig2_halftone_extract",
