@@ -39,12 +39,13 @@ module implements the JBIG2 subset those PDFs actually need for the
   builders, so fixtures are real JBIG2 bitstreams, not replayed
   buffers.
 
-Every region family of the spec decodes. The remaining honest
+Every region family of the spec decodes, including all eight text
+placement codings (4 REFCORNERs × TRANSPOSED). The remaining honest
 ``NotImplementedError`` gates are coding-variant tails: the Annex B
 Huffman-table alternative (SDHUFF/SBHUFF/HMMR gray-scale),
-refinement INSIDE symbol/text coding (SDREFAGG/SBREFINE), TRANSPOSED
-text regions, HENABLESKIP, unknown-length segment data, and
-intermediate regions (auxiliary-buffer composition).
+refinement INSIDE symbol/text coding (SDREFAGG/SBREFINE),
+HENABLESKIP, unknown-length segment data, and intermediate regions
+(auxiliary-buffer composition).
 
 Reference parity: the reference repo has no image pipeline at all —
 this is north-star multimodal surface, same as the CCITT/JPEG work.
@@ -686,8 +687,7 @@ def decode_text_region_segment(
         raise NotImplementedError("text region refinement (SBREFINE)")
     log_strips = (flags >> 2) & 3
     refcorner = (flags >> 4) & 3
-    if (flags >> 6) & 1:
-        raise NotImplementedError("TRANSPOSED text region")
+    transposed = bool((flags >> 6) & 1)
     sbcombop = (flags >> 7) & 3
     defpixel = (flags >> 9) & 1
     dsoffset = (flags >> 10) & 0x1F
@@ -738,12 +738,22 @@ def decode_text_region_segment(
                 raise ValueError("symbol ID out of range")
             bm = syms[sid]
             hi, wi = bm.shape
-            if refcorner in (2, 3):  # BR / TR: S advances first
-                curs += wi - 1
-                x0 = curs - wi + 1
+            if transposed:
+                # §6.4.5 3(c) TRANSPOSED=1: S runs down the page,
+                # T across; bottom corners pre-advance S
+                if refcorner in (0, 2):  # BL / BR
+                    curs += hi - 1
+                    y0 = curs - hi + 1
+                else:
+                    y0 = curs
+                x0 = t if refcorner in (0, 1) else t - wi + 1
             else:
-                x0 = curs
-            y0 = t if refcorner in (1, 3) else t - hi + 1
+                if refcorner in (2, 3):  # BR / TR: S advances first
+                    curs += wi - 1
+                    x0 = curs - wi + 1
+                else:
+                    x0 = curs
+                y0 = t if refcorner in (1, 3) else t - hi + 1
             tgt = region[y0 : y0 + hi, x0 : x0 + wi]
             if tgt.shape != bm.shape or x0 < 0 or y0 < 0:
                 raise ValueError("symbol instance exceeds the region")
@@ -755,7 +765,9 @@ def decode_text_region_segment(
                 tgt ^= bm
             else:
                 tgt[...] = ~(tgt ^ bm)
-            if refcorner in (0, 1):  # BL / TL: S advances after
+            if transposed and refcorner in (1, 3):  # TL / TR
+                curs += hi - 1
+            elif not transposed and refcorner in (0, 1):  # BL / TL
                 curs += wi - 1
             ninst += 1
             if ninst > num_inst:
@@ -777,10 +789,11 @@ def _build_text_region_data(
     region_xy: tuple[int, int] = (0, 0),
     refcorner: str = "tl",
     comb_op: int = 0,
+    transposed: bool = False,
 ) -> bytes:
-    """Encode a text region (arith, SBSTRIPS=1, TRANSPOSED=0).
-    ``instances`` hold (symbol-index, x, y) TOP-LEFT placements; the
-    refcorner only changes the coded (S, T) representation."""
+    """Encode a text region (arith, SBSTRIPS=1). ``instances`` hold
+    (symbol-index, x, y) TOP-LEFT placements; refcorner and
+    TRANSPOSED only change the coded (S, T) representation."""
     rc = _REFCORNERS.index(refcorner)
     w, h = region_wh
     symcodelen = max(1, (len(syms) - 1).bit_length())
@@ -790,6 +803,10 @@ def _build_text_region_data(
 
     def s_t(sid: int, x0: int, y0: int) -> tuple[int, int]:
         hi, wi = syms[sid].shape
+        if transposed:
+            # S runs down the page (top edge), T across
+            t = x0 if rc in (0, 1) else x0 + wi - 1
+            return y0, t
         t = y0 if rc in (1, 3) else y0 + hi - 1
         return x0, t  # S is the left edge for every refcorner
 
@@ -809,18 +826,19 @@ def _build_text_region_data(
         curs = 0
         while i < len(coded) and coded[i][1] == t:
             s, _, sid = coded[i]
-            wi = syms[sid].shape[1]
+            hi, wi = syms[sid].shape
             if first:
                 iafs.encode(enc, s - firsts)
                 firsts = s
                 first = False
             else:
                 iads.encode(enc, s - curs)
-            curs = s + wi - 1  # right edge, every refcorner
+            # far edge along the S axis, every refcorner
+            curs = s + (hi if transposed else wi) - 1
             _encode_iaid(enc, iaid_stats, symcodelen, sid)
             i += 1
         iads.encode(enc, OOB)
-    flags = rc << 4  # SBHUFF/REFINE/TRANSPOSED 0, SBCOMBOP OR
+    flags = (rc << 4) | ((1 if transposed else 0) << 6)
     body = struct.pack(">IIII", w, h, *region_xy)
     body += bytes([comb_op & 7])
     body += struct.pack(">H", flags)
@@ -1575,6 +1593,7 @@ def build_jbig2_text_embedded(
     template: int = 0,
     refcorner: str = "tl",
     extra_generic: tuple[np.ndarray, int, int] | None = None,
+    transposed: bool = False,
 ) -> bytes:
     """Embedded stream for the symbol/text path: page info + symbol
     dictionary (type 0, export-all) + one immediate lossless text
@@ -1592,7 +1611,8 @@ def build_jbig2_text_embedded(
     order = sorted(range(len(symbols)), key=lambda i: remap[i])
     sorted_syms = [symbols[i].astype(bool) for i in order]
     text_data = _build_text_region_data(
-        coded, sorted_syms, page_wh, (0, 0), refcorner
+        coded, sorted_syms, page_wh, (0, 0), refcorner,
+        transposed=transposed,
     )
     out += _segment(
         2, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, text_data, refs=(1,)

@@ -5456,6 +5456,7 @@ SELECT id,
        CAST(16 AS INT) AS height,
        CASE k % 4 WHEN 0 THEN 'tl' WHEN 1 THEN 'bl'
                   WHEN 2 THEN 'tr' ELSE 'br' END AS refcorner,
+       CAST((k // 4) % 2 = 1 AS BOOLEAN) AS transposed,
        CAST(k % 2 = 0 AS BOOLEAN) AS has_generic,
        CAST('jbig2' AS VARCHAR) AS codec,
        ROUND(255.0 * (512 - 5 * n
@@ -5505,7 +5506,7 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads, rcs, gens = [], [], []
+            payloads, rcs, tps, gens = [], [], [], []
             for eid in pdf["id"]:
                 e = int(eid)
                 k = e // 20
@@ -5515,6 +5516,7 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(n)
                 ]
                 rc = _RC[k % 4]
+                tp = (k // 4) % 2 == 1
                 extra = (
                     (np.ones((4, 4), bool), 28, 12)
                     if k % 2 == 0
@@ -5523,7 +5525,7 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 stream = build_jbig2_text_embedded(
                     list(_GLYPHS), insts, (32, 16),
                     template=k % 3, refcorner=rc,
-                    extra_generic=extra,
+                    extra_generic=extra, transposed=tp,
                 )
                 payloads.append(
                     build_pdf(
@@ -5532,11 +5534,13 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
                 rcs.append(rc)
+                tps.append(tp)
                 gens.append(k % 2 == 0)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].values,
                     "refcorner": rcs,
+                    "transposed": tps,
                     "has_generic": gens,
                     "payload": payloads,
                 }
@@ -5545,9 +5549,9 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for rid, rc, hg, blob in zip(
-                pdf["id"], pdf["refcorner"], pdf["has_generic"],
-                pdf["payload"],
+            for rid, rc, tp, hg, blob in zip(
+                pdf["id"], pdf["refcorner"], pdf["transposed"],
+                pdf["has_generic"], pdf["payload"],
             ):
                 for r in pdf_images(bytes(blob)):
                     rows.append(
@@ -5556,6 +5560,7 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "width": r["width"],
                             "height": r["height"],
                             "refcorner": rc,
+                            "transposed": tp,
                             "has_generic": hg,
                             "codec": r["codec"],
                             "luma_mean": r["luma_mean"],
@@ -5565,21 +5570,22 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows,
                 columns=[
                     "id", "width", "height", "refcorner",
-                    "has_generic", "codec", "luma_mean",
+                    "transposed", "has_generic", "codec", "luma_mean",
                 ],
             )
 
     return ev.mapInPandas(
         synth,
         schema=(
-            "id long, refcorner string, has_generic boolean, "
-            "payload binary"
+            "id long, refcorner string, transposed boolean, "
+            "has_generic boolean, payload binary"
         ),
     ).mapInPandas(
         extract,
         schema=(
             "id long, width int, height int, refcorner string, "
-            "has_generic boolean, codec string, luma_mean double"
+            "transposed boolean, has_generic boolean, codec string, "
+            "luma_mean double"
         ),
     )
 

@@ -271,8 +271,9 @@ class TestSymbolText:
         heights = [s.shape[0] for s in exported]
         assert heights == sorted(heights)
 
+    @pytest.mark.parametrize("transposed", [False, True])
     @pytest.mark.parametrize("rc", ["tl", "bl", "tr", "br"])
-    def test_text_region_all_refcorners(self, rc):
+    def test_text_region_all_refcorners(self, rc, transposed):
         from ccgp_data_wrangling_spark.operators.jbig2 import (
             build_jbig2_text_embedded,
             decode_jbig2_embedded,
@@ -284,7 +285,8 @@ class TestSymbolText:
             (0, 16, 1), (1, 2, 8), (2, 8, 8),
         ]
         stream = build_jbig2_text_embedded(
-            glyphs, insts, (24, 16), refcorner=rc
+            glyphs, insts, (24, 16), refcorner=rc,
+            transposed=transposed,
         )
         out = decode_jbig2_embedded(stream)
         exp = np.zeros((16, 24), bool)
@@ -347,14 +349,14 @@ class TestSymbolText:
         with pytest.raises(NotImplementedError, match="SDREFAGG"):
             decode_symbol_dict_segment(b"\x00\x02" + b"\x00" * 20)
 
-    def test_transposed_gates(self):
+    def test_sbhuff_text_region_gates(self):
         from ccgp_data_wrangling_spark.operators.jbig2 import (
             decode_text_region_segment,
         )
 
         data = struct.pack(">IIII", 8, 8, 0, 0) + b"\x00"
-        data += struct.pack(">H", 1 << 6) + struct.pack(">I", 0)
-        with pytest.raises(NotImplementedError, match="TRANSPOSED"):
+        data += struct.pack(">H", 1) + struct.pack(">I", 0)
+        with pytest.raises(NotImplementedError, match="SBHUFF"):
             decode_text_region_segment(
                 data, [np.ones((1, 1), bool)]
             )
