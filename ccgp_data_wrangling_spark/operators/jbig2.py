@@ -40,11 +40,14 @@ module implements the JBIG2 subset those PDFs actually need for the
   buffers.
 
 Every region family of the spec decodes, including all eight text
-placement codings (4 REFCORNERs × TRANSPOSED). The remaining honest
-``NotImplementedError`` gates are coding-variant tails: the Annex B
-Huffman-table alternative (SDHUFF/SBHUFF/HMMR gray-scale),
-refinement INSIDE symbol/text coding (SDREFAGG/SBREFINE),
-HENABLESKIP, unknown-length segment data, and intermediate regions
+placement codings (4 REFCORNERs × TRANSPOSED) and BOTH symbol
+dictionary coding alternatives — arithmetic and SDHUFF=1 (Annex B
+standard tables B.1–B.5, Kraft-asserted at import, with §6.5.9
+MMR/uncompressed collective bitmaps). The remaining honest
+``NotImplementedError`` gates are coding-variant tails: SBHUFF text
+regions and custom Annex B tables, HMMR gray-scale, refinement
+INSIDE symbol/text coding (SDREFAGG/SBREFINE), HENABLESKIP,
+unknown-length segment data, and intermediate regions
 (auxiliary-buffer composition).
 
 Reference parity: the reference repo has no image pipeline at all —
@@ -541,10 +544,203 @@ def _encode_iaid(
 
 
 # ---------------------------------------------------------------------------
+# Annex B — standard Huffman tables (the SDHUFF=1 coding legacy
+# scanner encoders emit for symbol dictionaries). A table is a list
+# of lines (preflen, rangelen, rangelow, kind); codes are assigned
+# canonically by prefix length in table order (B.3's procedure), and
+# each table asserts Kraft completeness at import so a transcription
+# slip in any prefix length fails loudly.
+# ---------------------------------------------------------------------------
+
+
+class HuffTable:
+    """One Annex B table: MSB-first prefix decode + range offset."""
+
+    def __init__(self, lines: list[tuple]) -> None:
+        self.lines = lines
+        counts: dict[int, int] = {}
+        for ln in lines:
+            counts[ln[0]] = counts.get(ln[0], 0) + 1
+        kraft = sum(n / (1 << plen) for plen, n in counts.items())
+        if abs(kraft - 1.0) > 1e-12:
+            raise AssertionError(
+                f"Huffman table is not Kraft-complete ({kraft})"
+            )
+        # canonical assignment (B.3): increasing preflen, table order
+        self.codes: list[int] = [0] * len(lines)
+        code = 0
+        prev_len = 0
+        order = sorted(
+            range(len(lines)), key=lambda i: (lines[i][0], i)
+        )
+        for i in order:
+            plen = lines[i][0]
+            code <<= plen - prev_len
+            self.codes[i] = code
+            code += 1
+            prev_len = plen
+
+    def decode(self, reader: "_HuffReader"):
+        code = 0
+        plen = 0
+        while plen <= 32:
+            code = (code << 1) | reader.bit()
+            plen += 1
+            for i, ln in enumerate(self.lines):
+                if ln[0] == plen and self.codes[i] == code:
+                    kind = ln[3] if len(ln) > 3 else "norm"
+                    if kind == "oob":
+                        return OOB
+                    off = reader.bits(ln[1])
+                    if kind == "lower":
+                        return ln[2] - off
+                    return ln[2] + off
+        raise ValueError("invalid Huffman code")
+
+    def encode(self, writer: "_HuffWriter", value) -> None:
+        if value is OOB:
+            for i, ln in enumerate(self.lines):
+                if len(ln) > 3 and ln[3] == "oob":
+                    writer.bits(self.codes[i], ln[0])
+                    return
+            raise ValueError("table has no OOB line")
+        best = None
+        for i, ln in enumerate(self.lines):
+            kind = ln[3] if len(ln) > 3 else "norm"
+            if kind == "oob":
+                continue
+            if kind == "lower":
+                if value <= ln[2]:
+                    best = (i, ln[2] - value)
+                    break
+                continue
+            lo = ln[2]
+            if kind == "upper":
+                if value >= lo:
+                    best = (i, value - lo)
+                    break
+                continue
+            if lo <= value < lo + (1 << ln[1]):
+                best = (i, value - lo)
+                break
+        if best is None:
+            raise ValueError(f"value {value} not coverable")
+        i, off = best
+        writer.bits(self.codes[i], self.lines[i][0])
+        writer.bits(off, self.lines[i][1])
+
+
+class _HuffReader:
+    """MSB-first bit reader with byte alignment (§6.5.9 collective
+    bitmaps start on a byte boundary)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self._d = data
+        self._byte = pos
+        self._bit = 0
+
+    def bit(self) -> int:
+        if self._byte >= len(self._d):
+            raise ValueError("Huffman stream exhausted")
+        b = (self._d[self._byte] >> (7 - self._bit)) & 1
+        self._bit += 1
+        if self._bit == 8:
+            self._bit = 0
+            self._byte += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        if self._bit:
+            self._bit = 0
+            self._byte += 1
+
+    def take(self, n: int) -> bytes:
+        if self._bit:
+            raise ValueError("byte read on unaligned stream")
+        out = self._d[self._byte : self._byte + n]
+        if len(out) != n:
+            raise ValueError("Huffman stream exhausted")
+        self._byte += n
+        return out
+
+
+class _HuffWriter:
+    def __init__(self) -> None:
+        self._out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def bits(self, value: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> k) & 1)
+            self._n += 1
+            if self._n == 8:
+                self._out.append(self._acc)
+                self._acc = 0
+                self._n = 0
+
+    def align(self) -> None:
+        while self._n:
+            self.bits(0, 1)
+
+    def raw(self, data: bytes) -> None:
+        self.align()
+        self._out += data
+
+    def getvalue(self) -> bytes:
+        self.align()
+        return bytes(self._out)
+
+
+# Standard tables (Annex B, Tables B.1–B.5): kind "upper"/"lower"
+# lines carry a 32-bit offset extending the range outward; "oob" is
+# the out-of-band marker ending DW runs.
+HUFF_B1 = HuffTable(
+    [(1, 4, 0), (2, 8, 16), (3, 16, 272), (3, 32, 65808, "upper")]
+)
+HUFF_B2 = HuffTable(
+    [
+        (1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3), (5, 6, 11),
+        (6, 32, 75, "upper"), (6, 0, 0, "oob"),
+    ]
+)
+HUFF_B3 = HuffTable(
+    [
+        (8, 8, -256), (1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3),
+        (5, 6, 11), (8, 32, -257, "lower"), (7, 32, 75, "upper"),
+        (6, 0, 0, "oob"),
+    ]
+)
+HUFF_B4 = HuffTable(
+    [
+        (1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4), (5, 7, 12),
+        (5, 32, 76, "upper"),
+    ]
+)
+HUFF_B5 = HuffTable(
+    [
+        (7, 8, -255), (1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4),
+        (5, 7, 12), (7, 32, -256, "lower"), (6, 32, 76, "upper"),
+    ]
+)
+
+_SDHUFF_DH = {0: HUFF_B4, 1: HUFF_B5}
+_SDHUFF_DW = {0: HUFF_B2, 1: HUFF_B3}
+
+
+# ---------------------------------------------------------------------------
 # Symbol dictionary (§6.5) and text region (§6.4) — the coding real
 # scanned-PDF encoders emit for text areas (generic regions carry the
-# halftone/graphics remainder). Arithmetic path only: SDHUFF/SBHUFF
-# (Annex B Huffman tables) and refinement/aggregation gate honestly.
+# halftone/graphics remainder). Both coding alternatives decode for
+# the dictionary: the arithmetic path AND the SDHUFF=1 Huffman path
+# with §6.5.9 collective bitmaps (MMR or uncompressed). SBHUFF text
+# regions and refinement/aggregation gate honestly.
 # ---------------------------------------------------------------------------
 
 
@@ -557,12 +753,12 @@ def decode_symbol_dict_segment(
     input_syms = input_syms or []
     (flags,) = struct.unpack_from(">H", data, 0)
     pos = 2
-    if flags & 1:
-        raise NotImplementedError("SDHUFF symbol dictionary")
     if flags & 2:
         raise NotImplementedError(
             "SDREFAGG refinement/aggregate symbol coding"
         )
+    if flags & 1:
+        return _decode_symbol_dict_huffman(data, flags, input_syms)
     template = (flags >> 10) & 3
     if (flags >> 8) & 1 or (flags >> 9) & 1:
         raise NotImplementedError(
@@ -624,13 +820,96 @@ def decode_symbol_dict_segment(
     return exported
 
 
+def _decode_symbol_dict_huffman(
+    data: bytes, flags: int, input_syms: list[np.ndarray]
+) -> list[np.ndarray]:
+    """§6.5.5 with SDHUFF=1 (the legacy-scanner coding): height and
+    width deltas through the Annex B standard tables, per-height-class
+    COLLECTIVE bitmaps (§6.5.9) — MMR-coded when BMSIZE > 0, raw
+    byte-padded rows when BMSIZE == 0 — split by the decoded widths."""
+    sel_dh = (flags >> 2) & 3
+    sel_dw = (flags >> 4) & 3
+    if sel_dh not in _SDHUFF_DH or sel_dw not in _SDHUFF_DW:
+        raise NotImplementedError("custom symbol-dictionary tables")
+    if (flags >> 6) & 1 or (flags >> 7) & 1:
+        raise NotImplementedError(
+            "custom BMSIZE/AGG symbol-dictionary tables"
+        )
+    dh_tab, dw_tab = _SDHUFF_DH[sel_dh], _SDHUFF_DW[sel_dw]
+    num_ex, num_new = struct.unpack_from(">II", data, 2)
+    reader = _HuffReader(data, 10)
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_ccitt_g4,
+    )
+
+    new_syms: list[np.ndarray] = []
+    hcheight = 0
+    while len(new_syms) < num_new:
+        dh = dh_tab.decode(reader)
+        if dh is OOB:
+            raise ValueError("OOB height-class delta")
+        hcheight += dh
+        if hcheight <= 0:
+            raise ValueError("non-positive symbol height class")
+        symwidth = 0
+        widths: list[int] = []
+        while True:
+            dw = dw_tab.decode(reader)
+            if dw is OOB:
+                break
+            symwidth += dw
+            if symwidth <= 0 or (
+                len(new_syms) + len(widths) >= num_new
+            ):
+                raise ValueError("symbol dictionary overrun")
+            widths.append(symwidth)
+        total = sum(widths)
+        bmsize = HUFF_B1.decode(reader)
+        reader.align()
+        if bmsize == 0:
+            rowbytes = (total + 7) // 8
+            raw = reader.take(rowbytes * hcheight)
+            rows = np.frombuffer(raw, np.uint8).reshape(
+                hcheight, rowbytes
+            )
+            collective = np.unpackbits(rows, axis=1)[
+                :, :total
+            ].astype(bool)
+        else:
+            collective = decode_ccitt_g4(
+                bytes(reader.take(bmsize)), total, hcheight
+            )
+        x = 0
+        for w in widths:
+            new_syms.append(collective[:, x : x + w])
+            x += w
+    # export flags: runlengths through Table B.1 (§6.5.10)
+    all_syms = input_syms + new_syms
+    exported: list[np.ndarray] = []
+    curex, idx = 0, 0
+    while idx < len(all_syms):
+        run = HUFF_B1.decode(reader)
+        if run < 0 or idx + run > len(all_syms):
+            raise ValueError("bad symbol export run")
+        if curex:
+            exported.extend(all_syms[idx : idx + run])
+        idx += run
+        curex ^= 1
+    if len(exported) != num_ex:
+        raise ValueError("SDNUMEXSYMS disagrees with export runs")
+    return exported
+
+
 def _build_symbol_dict_data(
-    symbols: list[np.ndarray], template: int = 0
+    symbols: list[np.ndarray], template: int = 0, huffman: bool = False
 ) -> tuple[bytes, list[int]]:
-    """Encode a symbol dictionary (arith, export-all) and return
-    (segment data, mapping original-index → export-order index).
-    Symbols are grouped into non-decreasing height classes the way
-    §6.5.5's delta coding expects natural encoders to."""
+    """Encode a symbol dictionary (export-all) and return (segment
+    data, mapping original-index → export-order index). Symbols are
+    grouped into non-decreasing height classes the way §6.5.5's
+    delta coding expects natural encoders to. With ``huffman`` the
+    SDHUFF=1 standard-table coding is used (widths sorted ascending
+    within a class so B.2's non-negative deltas suffice), each class
+    carried as one MMR collective bitmap (§6.5.9)."""
     order = sorted(
         range(len(symbols)),
         key=lambda i: (symbols[i].shape[0], symbols[i].shape[1], i),
@@ -638,6 +917,8 @@ def _build_symbol_dict_data(
     remap = [0] * len(symbols)
     for new_idx, orig in enumerate(order):
         remap[orig] = new_idx
+    if huffman:
+        return _build_symbol_dict_huffman(symbols, order), remap
     at = _NOMINAL_AT[template]
     enc = MQEncoder()
     gb = ArithStats(1 << _CX_BITS[template])
@@ -667,6 +948,42 @@ def _build_symbol_dict_data(
         head += struct.pack(">bb", dx, dy)
     head += struct.pack(">II", len(symbols), len(symbols))
     return head + enc.flush(), remap
+
+
+def _build_symbol_dict_huffman(
+    symbols: list[np.ndarray], order: list[int]
+) -> bytes:
+    """SDHUFF=1 segment data: B.4 height deltas, B.2 width deltas,
+    B.1 BMSIZE + export runs, byte-aligned MMR collective bitmaps."""
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        encode_ccitt_g4,
+    )
+
+    w = _HuffWriter()
+    hcheight = 0
+    i = 0
+    while i < len(order):
+        h = symbols[order[i]].shape[0]
+        HUFF_B4.encode(w, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        cls: list[np.ndarray] = []
+        while i < len(order) and symbols[order[i]].shape[0] == h:
+            bm = symbols[order[i]].astype(bool)
+            HUFF_B2.encode(w, bm.shape[1] - symwidth)
+            symwidth = bm.shape[1]
+            cls.append(bm)
+            i += 1
+        HUFF_B2.encode(w, OOB)
+        collective = np.concatenate(cls, axis=1)
+        mmr = encode_ccitt_g4(collective)
+        HUFF_B1.encode(w, len(mmr))
+        w.raw(mmr)
+    HUFF_B1.encode(w, 0)  # run of not-exported
+    HUFF_B1.encode(w, len(symbols))  # export everything
+    head = struct.pack(">H", 1)  # SDHUFF=1, standard tables
+    head += struct.pack(">II", len(symbols), len(symbols))
+    return head + w.getvalue()
 
 
 _REFCORNERS = ("bl", "tl", "br", "tr")  # §7.4.4.1.1 values 0-3
@@ -1594,6 +1911,7 @@ def build_jbig2_text_embedded(
     refcorner: str = "tl",
     extra_generic: tuple[np.ndarray, int, int] | None = None,
     transposed: bool = False,
+    huffman_dict: bool = False,
 ) -> bytes:
     """Embedded stream for the symbol/text path: page info + symbol
     dictionary (type 0, export-all) + one immediate lossless text
@@ -1605,7 +1923,9 @@ def build_jbig2_text_embedded(
     page_data = struct.pack(">IIII", pw, ph, 0, 0)
     page_data += b"\x00" + struct.pack(">H", 0)
     out = _segment(0, _SEG_PAGE_INFO, 1, page_data)
-    dict_data, remap = _build_symbol_dict_data(symbols, template)
+    dict_data, remap = _build_symbol_dict_data(
+        symbols, template, huffman=huffman_dict
+    )
     out += _segment(1, _SEG_SYMBOL_DICT, 1, dict_data)
     coded = [(remap[sid], x, y) for sid, x, y in instances]
     order = sorted(range(len(symbols)), key=lambda i: remap[i])

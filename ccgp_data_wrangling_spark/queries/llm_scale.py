@@ -5457,6 +5457,8 @@ SELECT id,
        CASE k % 4 WHEN 0 THEN 'tl' WHEN 1 THEN 'bl'
                   WHEN 2 THEN 'tr' ELSE 'br' END AS refcorner,
        CAST((k // 4) % 2 = 1 AS BOOLEAN) AS transposed,
+       CASE WHEN (k // 8) % 2 = 1 THEN 'huffman' ELSE 'arith' END
+         AS dict_coding,
        CAST(k % 2 = 0 AS BOOLEAN) AS has_generic,
        CAST('jbig2' AS VARCHAR) AS codec,
        ROUND(255.0 * (512 - 5 * n
@@ -5478,9 +5480,11 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     at non-overlapping spots — glyph CHOICE varies with id but the
     black count doesn't, keeping the oracle closed-form; k%2 docs
     append a generic region to the same page so the multi-region
-    composition path runs inside one image. Annex A integer coders
-    and the Annex E MQ coder are from-scratch
-    (operators/jbig2.py)."""
+    composition path runs inside one image; (k//4)%2 rotates
+    TRANSPOSED placement and (k//8)%2 the symbol-dictionary coding
+    (arithmetic vs SDHUFF=1 Annex B standard tables with MMR
+    collective bitmaps). Annex A integer coders and the Annex E MQ
+    coder are from-scratch (operators/jbig2.py)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -5506,7 +5510,7 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads, rcs, tps, gens = [], [], [], []
+            payloads, rcs, tps, dcs, gens = [], [], [], [], []
             for eid in pdf["id"]:
                 e = int(eid)
                 k = e // 20
@@ -5517,6 +5521,7 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
                 rc = _RC[k % 4]
                 tp = (k // 4) % 2 == 1
+                huff = (k // 8) % 2 == 1
                 extra = (
                     (np.ones((4, 4), bool), 28, 12)
                     if k % 2 == 0
@@ -5526,6 +5531,7 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     list(_GLYPHS), insts, (32, 16),
                     template=k % 3, refcorner=rc,
                     extra_generic=extra, transposed=tp,
+                    huffman_dict=huff,
                 )
                 payloads.append(
                     build_pdf(
@@ -5535,12 +5541,14 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 rcs.append(rc)
                 tps.append(tp)
+                dcs.append("huffman" if huff else "arith")
                 gens.append(k % 2 == 0)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].values,
                     "refcorner": rcs,
                     "transposed": tps,
+                    "dict_coding": dcs,
                     "has_generic": gens,
                     "payload": payloads,
                 }
@@ -5549,9 +5557,10 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for rid, rc, tp, hg, blob in zip(
+            for rid, rc, tp, dc, hg, blob in zip(
                 pdf["id"], pdf["refcorner"], pdf["transposed"],
-                pdf["has_generic"], pdf["payload"],
+                pdf["dict_coding"], pdf["has_generic"],
+                pdf["payload"],
             ):
                 for r in pdf_images(bytes(blob)):
                     rows.append(
@@ -5561,6 +5570,7 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "height": r["height"],
                             "refcorner": rc,
                             "transposed": tp,
+                            "dict_coding": dc,
                             "has_generic": hg,
                             "codec": r["codec"],
                             "luma_mean": r["luma_mean"],
@@ -5570,7 +5580,8 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows,
                 columns=[
                     "id", "width", "height", "refcorner",
-                    "transposed", "has_generic", "codec", "luma_mean",
+                    "transposed", "dict_coding", "has_generic",
+                    "codec", "luma_mean",
                 ],
             )
 
@@ -5578,14 +5589,14 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth,
         schema=(
             "id long, refcorner string, transposed boolean, "
-            "has_generic boolean, payload binary"
+            "dict_coding string, has_generic boolean, payload binary"
         ),
     ).mapInPandas(
         extract,
         schema=(
             "id long, width int, height int, refcorner string, "
-            "transposed boolean, has_generic boolean, codec string, "
-            "luma_mean double"
+            "transposed boolean, dict_coding string, "
+            "has_generic boolean, codec string, luma_mean double"
         ),
     )
 

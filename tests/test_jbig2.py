@@ -333,14 +333,6 @@ class TestSymbolText:
         exp[4:6, 4:6] = True
         assert np.array_equal(out["black"], exp)
 
-    def test_sdhuff_gates(self):
-        from ccgp_data_wrangling_spark.operators.jbig2 import (
-            decode_symbol_dict_segment,
-        )
-
-        with pytest.raises(NotImplementedError, match="SDHUFF"):
-            decode_symbol_dict_segment(b"\x00\x01" + b"\x00" * 20)
-
     def test_refagg_gates(self):
         from ccgp_data_wrangling_spark.operators.jbig2 import (
             decode_symbol_dict_segment,
@@ -359,6 +351,126 @@ class TestSymbolText:
         with pytest.raises(NotImplementedError, match="SBHUFF"):
             decode_text_region_segment(
                 data, [np.ones((1, 1), bool)]
+            )
+
+
+class TestHuffmanTables:
+    def test_standard_tables_round_trip(self):
+        import random
+
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            HUFF_B1,
+            HUFF_B2,
+            HUFF_B3,
+            HUFF_B4,
+            HUFF_B5,
+            OOB,
+            _HuffReader,
+            _HuffWriter,
+        )
+
+        rng = random.Random(5)
+        cases = [
+            (HUFF_B1, lambda: rng.randrange(0, 200000)),
+            (HUFF_B2, lambda: rng.choice([rng.randrange(0, 200), OOB])),
+            (HUFF_B3, lambda: rng.choice([rng.randrange(-500, 500), OOB])),
+            (HUFF_B4, lambda: rng.randrange(1, 300)),
+            (HUFF_B5, lambda: rng.randrange(-400, 400)),
+        ]
+        for tab, domain in cases:
+            vals = [domain() for _ in range(400)]
+            w = _HuffWriter()
+            for v in vals:
+                tab.encode(w, v)
+            r = _HuffReader(w.getvalue())
+            out = [tab.decode(r) for _ in vals]
+            assert all(
+                (a is OOB and b is OOB) or a == b
+                for a, b in zip(vals, out)
+            )
+
+    def test_kraft_assertion_fires(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import HuffTable
+
+        with pytest.raises(AssertionError, match="Kraft"):
+            HuffTable([(1, 0, 0), (3, 0, 1)])  # 1/2 + 1/8 != 1
+
+    def test_sdhuff_dict_round_trip(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            _build_symbol_dict_data,
+            decode_symbol_dict_segment,
+        )
+
+        rng = np.random.default_rng(6)
+        syms = [
+            rng.random((h, w)) < 0.5
+            for h, w in [(5, 4), (5, 7), (3, 3), (8, 2), (5, 4), (3, 9)]
+        ]
+        data, remap = _build_symbol_dict_data(syms, huffman=True)
+        exported = decode_symbol_dict_segment(data)
+        assert len(exported) == 6
+        for i, s in enumerate(syms):
+            assert np.array_equal(exported[remap[i]], s)
+
+    def test_sdhuff_uncompressed_collective(self):
+        # BMSIZE == 0: raw byte-padded rows (§6.5.9)
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            HUFF_B1,
+            HUFF_B2,
+            HUFF_B4,
+            OOB,
+            _HuffWriter,
+            decode_symbol_dict_segment,
+        )
+
+        rng = np.random.default_rng(2)
+        a = rng.random((3, 5)) < 0.5
+        b = rng.random((3, 6)) < 0.5
+        collective = np.concatenate([a, b], axis=1)  # 3 x 11
+        w = _HuffWriter()
+        HUFF_B4.encode(w, 3)  # height class 3
+        HUFF_B2.encode(w, 5)
+        HUFF_B2.encode(w, 1)  # widths 5, 6
+        HUFF_B2.encode(w, OOB)
+        HUFF_B1.encode(w, 0)  # BMSIZE 0 → uncompressed
+        w.raw(np.packbits(collective, axis=1).tobytes())
+        HUFF_B1.encode(w, 0)
+        HUFF_B1.encode(w, 2)  # export both
+        data = struct.pack(">HII", 1, 2, 2) + w.getvalue()
+        out = decode_symbol_dict_segment(data)
+        assert np.array_equal(out[0], a)
+        assert np.array_equal(out[1], b)
+
+    def test_huffman_dict_page_equals_arith(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_text_embedded,
+            decode_jbig2_embedded,
+        )
+
+        glyphs = [
+            np.array([[1, 0, 1], [0, 1, 0], [1, 0, 1]], bool),
+            np.ones((4, 2), bool),
+        ]
+        insts = [(0, 2, 1), (1, 7, 0), (0, 16, 9)]
+        a = decode_jbig2_embedded(
+            build_jbig2_text_embedded(glyphs, insts, (24, 16))
+        )
+        b = decode_jbig2_embedded(
+            build_jbig2_text_embedded(
+                glyphs, insts, (24, 16), huffman_dict=True
+            )
+        )
+        assert np.array_equal(a["black"], b["black"])
+
+    def test_custom_tables_gate(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            decode_symbol_dict_segment,
+        )
+
+        # SDHUFFDH selector 3 = custom table
+        with pytest.raises(NotImplementedError, match="custom"):
+            decode_symbol_dict_segment(
+                struct.pack(">HII", 1 | (3 << 2), 0, 0)
             )
 
 
