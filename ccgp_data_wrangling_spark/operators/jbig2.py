@@ -46,9 +46,10 @@ standard tables B.1–B.5, Kraft-asserted at import, with §6.5.9
 MMR/uncompressed collective bitmaps). The remaining honest
 ``NotImplementedError`` gates are coding-variant tails: SBHUFF text
 regions and custom Annex B tables, HMMR gray-scale, refinement
-INSIDE symbol/text coding (SDREFAGG/SBREFINE), HENABLESKIP,
-unknown-length segment data, and intermediate regions
-(auxiliary-buffer composition).
+INSIDE symbol/text coding (SDREFAGG/SBREFINE), unknown-length
+segment data, and intermediate regions (auxiliary-buffer
+composition). HENABLESKIP halftones decode (USESKIP pixels carry no
+coded bits).
 
 Reference parity: the reference repo has no image pipeline at all —
 this is north-star multimodal surface, same as the CCITT/JPEG work.
@@ -350,9 +351,12 @@ def _decode_generic_bitmap(
     template: int,
     tpgdon: bool,
     at: tuple[tuple[int, int], ...],
+    skip: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """§6.2.5.7 row loop over an ALREADY-RUNNING coder and GB context
-    bank (symbol dictionaries decode many bitmaps through one)."""
+    bank (symbol dictionaries decode many bitmaps through one).
+    ``skip`` pixels (USESKIP, §6.2.5.7 step 3(c)(ii)) are 0 and not
+    coded — the halftone HENABLESKIP path."""
     taps = _template_taps(template, at)
     sltp_cx = _SLTP_CX[template]
     pad = _taps_pad(taps)
@@ -366,6 +370,8 @@ def _decode_generic_bitmap(
                 continue
         row = img[pad + y]
         for x in range(width):
+            if skip is not None and skip[y, x]:
+                continue  # stays 0, no bit coded
             cx = 0
             for shift, (dx, dy) in enumerate(taps):
                 cx |= int(img[pad + y + dy, pad + x + dx]) << shift
@@ -380,6 +386,7 @@ def _encode_generic_bitmap(
     template: int,
     tpgdon: bool,
     at: tuple[tuple[int, int], ...],
+    skip: "np.ndarray | None" = None,
 ) -> None:
     """Forward context model over a shared encoder + GB bank."""
     taps = _template_taps(template, at)
@@ -400,6 +407,10 @@ def _encode_generic_bitmap(
             if ltp:
                 continue
         for x in range(width):
+            if skip is not None and skip[y, x]:
+                if img[pad + y, pad + x]:
+                    raise ValueError("skip pixel must be 0")
+                continue
             cx = 0
             for shift, (dx, dy) in enumerate(taps):
                 cx |= int(img[pad + y + dy, pad + x + dx]) << shift
@@ -1428,17 +1439,18 @@ def _decode_grayscale(
     height: int,
     bpp: int,
     template: int,
+    skip: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Annex C.5 — Gray-coded bitplanes, most significant first, all
     through one coder + GB bank; XOR-unfold to plain binary."""
     at = _NOMINAL_AT[template]
     prev = _decode_generic_bitmap(
-        dec, gb, width, height, template, False, at
+        dec, gb, width, height, template, False, at, skip
     ).astype(np.uint8)
     acc = prev.astype(np.int64) << (bpp - 1)
     for j in range(bpp - 2, -1, -1):
         plane = _decode_generic_bitmap(
-            dec, gb, width, height, template, False, at
+            dec, gb, width, height, template, False, at, skip
         ).astype(np.uint8)
         prev = plane ^ prev
         acc |= prev.astype(np.int64) << j
@@ -1451,14 +1463,18 @@ def _encode_grayscale(
     values: np.ndarray,
     bpp: int,
     template: int,
+    skip: "np.ndarray | None" = None,
 ) -> None:
     at = _NOMINAL_AT[template]
     prev = ((values >> (bpp - 1)) & 1).astype(np.uint8)
-    _encode_generic_bitmap(enc, gb, prev.astype(bool), template, False, at)
+    _encode_generic_bitmap(
+        enc, gb, prev.astype(bool), template, False, at, skip
+    )
     for j in range(bpp - 2, -1, -1):
         bit = ((values >> j) & 1).astype(np.uint8)
         _encode_generic_bitmap(
-            enc, gb, (bit ^ prev).astype(bool), template, False, at
+            enc, gb, (bit ^ prev).astype(bool), template, False, at,
+            skip,
         )
         prev = bit
 
@@ -1474,8 +1490,7 @@ def decode_halftone_region_segment(
     if flags & 1:
         raise NotImplementedError("HMMR halftone gray-scale coding")
     template = (flags >> 1) & 3
-    if (flags >> 3) & 1:
-        raise NotImplementedError("HENABLESKIP halftone skip bitmap")
+    enable_skip = bool((flags >> 3) & 1)
     hcombop = (flags >> 4) & 7
     hdefpixel = (flags >> 7) & 1
     hgw, hgh, hgx, hgy = struct.unpack_from(">IIii", data, 18)
@@ -1483,13 +1498,20 @@ def decode_halftone_region_segment(
     if not patterns:
         raise ValueError("halftone region with no referred patterns")
     bpp = max(1, (len(patterns) - 1).bit_length())
+    hph, hpw = patterns[0].shape
+    skip = (
+        _halftone_skip(hgw, hgh, hgx, hgy, hrx, hry, hpw, hph, w, h)
+        if enable_skip
+        else None
+    )
     dec = MQDecoder(data[38:])
     gb = ArithStats(1 << _CX_BITS[template])
-    gray = _decode_grayscale(dec, gb, hgw, hgh, bpp, template)
+    gray = _decode_grayscale(dec, gb, hgw, hgh, bpp, template, skip)
     region = np.full((h, w), bool(hdefpixel))
-    hph, hpw = patterns[0].shape
     for m in range(hgh):
         for n in range(hgw):
+            if skip is not None and skip[m, n]:
+                continue  # cell lies outside the region (§6.6.5.1)
             xx = (hgx + m * hry + n * hrx) >> 8
             yy = (hgy + m * hrx - n * hry) >> 8
             val = int(gray[m, n])
@@ -1519,33 +1541,73 @@ def decode_halftone_region_segment(
     }
 
 
+def _halftone_skip(
+    hgw: int,
+    hgh: int,
+    hgx: int,
+    hgy: int,
+    hrx: int,
+    hry: int,
+    hpw: int,
+    hph: int,
+    w: int,
+    h: int,
+) -> np.ndarray:
+    """§6.6.5.1 HSKIP: a grid cell whose pattern stamp lies entirely
+    outside the region bitmap is skipped (not even gray-coded)."""
+    skip = np.zeros((hgh, hgw), bool)
+    for m in range(hgh):
+        for n in range(hgw):
+            x = (hgx + m * hry + n * hrx) >> 8
+            y = (hgy + m * hrx - n * hry) >> 8
+            if x + hpw <= 0 or x >= w or y + hph <= 0 or y >= h:
+                skip[m, n] = True
+    return skip
+
+
 def _build_halftone_region_data(
     gray: np.ndarray,
     patterns: list[np.ndarray],
     region_wh: tuple[int, int],
     region_xy: tuple[int, int] = (0, 0),
     template: int = 0,
+    grid_origin: tuple[int, int] = (0, 0),
+    enable_skip: bool = False,
 ) -> bytes:
     """Encode an axis-aligned halftone region: grid cell (m, n) takes
-    pattern ``gray[m, n]``, stamped at (n·HDPW, m·HDPH)."""
+    pattern ``gray[m, n]``, stamped at grid_origin + (n·HDPW,
+    m·HDPH). With ``enable_skip``, cells outside the region are not
+    gray-coded (their gray values must be 0)."""
     hgh, hgw = gray.shape
     hph, hpw = patterns[0].shape
     bpp = max(1, (len(patterns) - 1).bit_length())
     if int(gray.max(initial=0)) >= len(patterns):
         raise ValueError("gray value exceeds the dictionary")
+    w, h = region_wh
+    gx, gy = grid_origin
+    skip = None
+    if enable_skip:
+        skip = _halftone_skip(
+            hgw, hgh, gx << 8, gy << 8, hpw << 8, 0, hpw, hph, w, h
+        )
+        if gray[skip].any():
+            raise ValueError("skipped cells must carry gray value 0")
     enc = MQEncoder()
     gb = ArithStats(1 << _CX_BITS[template])
-    _encode_grayscale(enc, gb, gray.astype(np.int64), bpp, template)
-    w, h = region_wh
+    _encode_grayscale(
+        enc, gb, gray.astype(np.int64), bpp, template, skip
+    )
     body = struct.pack(">IIII", w, h, *region_xy)
     body += bytes([0])  # OR onto the page
-    body += bytes([(template & 3) << 1])  # arithmetic, no skip, HCOMBOP OR
-    # axis-aligned 8.8 grid: X vector (HDPW, 0), origin (0, 0); the
-    # mg step (HRY, HRX) = (0, HDPW<<8)... HRX drives BOTH the ng
-    # x-step and the mg y-step, so square stamping needs HPW == HPH
+    body += bytes(
+        [((template & 3) << 1) | (8 if enable_skip else 0)]
+    )  # arithmetic, HCOMBOP OR
+    # axis-aligned 8.8 grid: X vector (HDPW, 0); the mg step
+    # (HRY, HRX) = (0, HDPW<<8) — HRX drives BOTH the ng x-step and
+    # the mg y-step, so square stamping needs HPW == HPH
     if hpw != hph:
         raise ValueError("axis-aligned grid needs square patterns")
-    body += struct.pack(">IIii", hgw, hgh, 0, 0)
+    body += struct.pack(">IIii", hgw, hgh, gx << 8, gy << 8)
     body += struct.pack(">HH", hpw << 8, 0)
     return body + enc.flush()
 

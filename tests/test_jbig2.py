@@ -541,6 +541,36 @@ class TestHalftone:
         out = _decode_grayscale(dec, gbd, 14, 9, 4, 0)
         assert np.array_equal(out, vals)
 
+    def test_enable_skip_round_trip(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            _build_halftone_region_data,
+            decode_halftone_region_segment,
+        )
+
+        pats = self._ramp_patterns()
+        gray = (np.arange(32).reshape(4, 8) * 7 + 3) % 5
+        gray[:, 0] = 0  # the skipped column is never gray-coded
+        data = _build_halftone_region_data(
+            gray, pats, (28, 16), grid_origin=(-4, 0),
+            enable_skip=True,
+        )
+        res = decode_halftone_region_segment(data, pats)
+        exp = np.zeros((16, 28), bool)
+        for m in range(4):
+            for n in range(1, 8):
+                x = -4 + n * 4
+                exp[m * 4 : m * 4 + 4, x : x + 4] = pats[gray[m, n]]
+        assert np.array_equal(res["bitmap"], exp)
+        # skipped cells carry no coded bits: a nonzero gray there
+        # is an encoder error
+        bad = gray.copy()
+        bad[0, 0] = 3
+        with pytest.raises(ValueError, match="skipped cells"):
+            _build_halftone_region_data(
+                bad, pats, (28, 16), grid_origin=(-4, 0),
+                enable_skip=True,
+            )
+
     def test_hmmr_gates(self):
         from ccgp_data_wrangling_spark.operators.jbig2 import (
             decode_halftone_region_segment,
