@@ -175,6 +175,7 @@ HEADLINE = [
     "pdf_jbig2_text_extract",
     "pdf_jbig2_halftone_extract",
     "pdf_jbig2_refine_extract",
+    "pdf_bpc_image_extract",
 ]
 
 

@@ -61,6 +61,7 @@ _PRIORITY: list[str] = [
     "rtf_text_extract",
     "pdf_jbig2_refine_extract",
     "multimodal_mp3_lsf_intensity_spectrum",
+    "pdf_bpc_image_extract",
     "ab_test_conversion",
     "wow_revenue_growth",
     "nullsafe_join_segments",

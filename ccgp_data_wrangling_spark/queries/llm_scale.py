@@ -5434,6 +5434,140 @@ def pdf_jbig2_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PDF bit-depth breadth through the driver gate — real PDFs carry
+# grayscale images at 1/2/4 bits (packed MSB-first, rows padded to
+# bytes, §8.9.5.1) and 16 bits (big-endian), and invert the sample
+# scale with a /Decode [1 0] array (§8.9.5.2). The fixture ramp
+# (id + x²) mod 2^bpc makes the mean id-dependent at every depth, so
+# the oracle replays it with a generate_series over the row — a bit
+# mis-packed at any depth, or /Decode applied at the wrong point,
+# shifts the luma.
+# ---------------------------------------------------------------------------
+
+_PDF_BPC_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 4
+),
+p AS (
+  SELECT id, k,
+         CASE k % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    WHEN 2 THEN 4 ELSE 16 END AS bpc,
+         CASE k % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+                    WHEN 2 THEN 15 ELSE 65535 END AS maxval,
+         (k // 4) % 2 = 1 AS inv
+  FROM g
+),
+m AS (
+  SELECT p.id, p.bpc, p.maxval, p.inv,
+         AVG(CASE WHEN p.inv
+             THEN p.maxval - (p.id + x.x * x.x) % (p.maxval + 1)
+             ELSE (p.id + x.x * x.x) % (p.maxval + 1) END) AS mean_s
+  FROM p, (SELECT UNNEST(generate_series(0, 23)) AS x) x
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id,
+       CAST(24 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST(bpc AS INT) AS bpc,
+       inv AS inverted,
+       CAST('raw' AS VARCHAR) AS codec,
+       ROUND(mean_s * 255.0 / maxval, 4) AS luma_mean
+FROM m
+"""
+
+
+@register("pdf_bpc_image_extract", _PDF_BPC_SQL)
+def pdf_bpc_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-depth image extraction end-to-end: build_pdf embeds
+    ("packed", ramp, bpc, invert) grayscale XObjects — 1/2/4-bit
+    samples packed MSB-first with byte-padded rows, or 16-bit
+    big-endian — behind /FlateDecode, with a full-range /Decode
+    [1 0] array on the inverted rotation; pdf_images unpacks the
+    planes, applies the inversion, and normalizes channel means to
+    the 0-255 luma scale whatever the depth. All rows of a fixture
+    share the (id + x²) mod 2^bpc ramp, so the oracle is one
+    generate_series average per document."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf, pdf_images
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 4
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, bpcs, invs = [], [], []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                bpc = (1, 2, 4, 16)[k % 4]
+                inv = (k // 4) % 2 == 1
+                xs = np.arange(24)
+                row = (e + xs * xs) % (1 << bpc)
+                arr = np.tile(row, (16, 1))
+                payloads.append(
+                    build_pdf(
+                        [[f"depth ramp {e}"]],
+                        page_images=[[("packed", arr, bpc, inv)]],
+                    )
+                )
+                bpcs.append(bpc)
+                invs.append(inv)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "bpc": bpcs,
+                    "inverted": invs,
+                    "payload": payloads,
+                }
+            )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, bpc, inv, blob in zip(
+                pdf["id"], pdf["bpc"], pdf["inverted"], pdf["payload"]
+            ):
+                for r in pdf_images(bytes(blob)):
+                    rows.append(
+                        {
+                            "id": rid,
+                            "width": r["width"],
+                            "height": r["height"],
+                            "bpc": bpc,
+                            "inverted": inv,
+                            "codec": r["codec"],
+                            "luma_mean": r["luma_mean"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "bpc", "inverted",
+                    "codec", "luma_mean",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth,
+        schema="id long, bpc int, inverted boolean, payload binary",
+    ).mapInPandas(
+        extract,
+        schema=(
+            "id long, width int, height int, bpc int, "
+            "inverted boolean, codec string, luma_mean double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # JBIG2 SYMBOL/TEXT region extraction through the driver gate — the
 # coding real scanned-PDF encoders emit for text areas (T.88 §6.4/
 # §6.5): a symbol dictionary of glyph bitmaps (height-class delta

@@ -893,17 +893,36 @@ def pdf_images(
                 }
             )
             continue
-        if bpc != 8:
-            raise NotImplementedError(f"{bpc}-bit PDF image samples")
+        if bpc not in (1, 2, 4, 8, 16):
+            raise ValueError(f"invalid /BitsPerComponent {bpc}")
         if re.search(rb"/ColorSpace\s*/DeviceRGB\b", head):
             ncomp = 3
         elif re.search(rb"/ColorSpace\s*/DeviceGray\b", head):
             ncomp = 1
         else:
             raise NotImplementedError("non-Device PDF image colorspace")
+        # /Decode array (§8.9.5.2): [1 0] per gray component inverts
+        # the sample scale; only default and fully-inverted arrays of
+        # the right arity are meaningful for Device spaces
+        dm = re.search(rb"/Decode\s*\[([^\]]*)\]", head)
+        inverted = False
+        if dm:
+            nums = [float(x) for x in dm.group(1).split()]
+            if nums == [0.0, 1.0] * ncomp:
+                inverted = False
+            elif nums == [1.0, 0.0] * ncomp:
+                inverted = True
+            else:
+                raise NotImplementedError(
+                    "partial-range /Decode array"
+                )
         codec = "raw"
         for i, (nm, parm) in enumerate(zip(names, parms)):
             if nm in (b"DCTDecode", b"DCT"):
+                if bpc != 8 or inverted:
+                    raise NotImplementedError(
+                        "non-8-bit or /Decode-inverted JPEG"
+                    )
                 if i != len(names) - 1:
                     raise ValueError("/DCTDecode must be the final filter")
                 codec = "jpeg"
@@ -928,12 +947,46 @@ def pdf_images(
             # a declared predictor on a raw image is undone here)
             data = _apply_pdf_filter(nm, parm, data, unpredict=True)
         else:
-            if len(data) != w * h * ncomp:
-                raise ValueError(
-                    "raw image samples disagree with dimensions"
-                )
-            px = np.frombuffer(data, np.uint8).reshape(h, w, ncomp)
-            means = px.astype(np.float64).mean(axis=(0, 1))
+            maxval = (1 << bpc) - 1
+            if bpc == 8:
+                if len(data) != w * h * ncomp:
+                    raise ValueError(
+                        "raw image samples disagree with dimensions"
+                    )
+                px = np.frombuffer(data, np.uint8).reshape(
+                    h, w, ncomp
+                ).astype(np.float64)
+            elif bpc == 16:
+                # §8.9.5: 16-bit components are big-endian
+                if len(data) != w * h * ncomp * 2:
+                    raise ValueError(
+                        "raw image samples disagree with dimensions"
+                    )
+                px = np.frombuffer(data, ">u2").reshape(
+                    h, w, ncomp
+                ).astype(np.float64)
+            else:
+                # 1/2/4-bit samples pack MSB-first, each row padded
+                # to a byte boundary (§8.9.5.1)
+                if ncomp != 1:
+                    raise NotImplementedError(
+                        f"{bpc}-bit RGB PDF image samples"
+                    )
+                stride = (w * bpc + 7) // 8
+                if len(data) != stride * h:
+                    raise ValueError(
+                        "raw image samples disagree with dimensions"
+                    )
+                rows = np.frombuffer(data, np.uint8).reshape(h, stride)
+                bits = np.unpackbits(rows, axis=1)[:, : w * bpc]
+                px = np.zeros((h, w), np.float64)
+                for k in range(bpc):
+                    px = px * 2 + bits[:, k::bpc]
+                px = px.reshape(h, w, 1)
+            if inverted:
+                px = maxval - px
+            # means on the 0-255 luma scale whatever the bit depth
+            means = px.mean(axis=(0, 1)) * (255.0 / maxval)
             stats = {
                 "channel_means": [round(float(x), 4) for x in means],
                 "luma_mean": round(
@@ -1366,6 +1419,39 @@ def build_pdf(
                         b" /DecodeParms << %s/Columns %d /Rows %d >>"
                         b" /Length %d >>"
                         % (iw, ih, kparm, iw, ih, len(data))
+                    )
+                    body = head + b"\nstream\n" + data + b"\nendstream"
+                elif spec[0] == "packed":
+                    # low-/high-bit-depth grayscale: ("packed", arr,
+                    # bpc, invert) — 1/2/4-bit rows pack MSB-first
+                    # padded to bytes (§8.9.5.1), 16-bit big-endian;
+                    # invert rides a full-range /Decode [1 0] array
+                    import numpy as np
+
+                    _, arr, pbpc, invert = spec
+                    ih, iw = arr.shape
+                    if pbpc == 16:
+                        raw16 = arr.astype(">u2").tobytes()
+                        data = zlib.compress(raw16)
+                    else:
+                        vals = arr.astype(np.uint8)
+                        bits = np.zeros((ih, iw * pbpc), np.uint8)
+                        for kk in range(pbpc):
+                            bits[:, kk::pbpc] = (
+                                vals >> (pbpc - 1 - kk)
+                            ) & 1
+                        data = zlib.compress(
+                            np.packbits(bits, axis=1).tobytes()
+                        )
+                    dec_frag = (
+                        b" /Decode [1 0]" if invert else b""
+                    )
+                    head = (
+                        b"<< /Type /XObject /Subtype /Image"
+                        b" /Width %d /Height %d /ColorSpace /DeviceGray"
+                        b" /BitsPerComponent %d /Filter /FlateDecode%s"
+                        b" /Length %d >>"
+                        % (iw, ih, pbpc, dec_frag, len(data))
                     )
                     body = head + b"\nstream\n" + data + b"\nendstream"
                 elif spec[0] in ("jbig2", "jbig2_stream"):

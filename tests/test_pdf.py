@@ -515,7 +515,8 @@ def test_pdf_images_extraction():
     bp = bytearray(blob)
     m = bp.find(b"/BitsPerComponent 8")
     bp[m : m + 19] = b"/BitsPerComponent 4"
-    with pytest.raises(NotImplementedError, match="4-bit"):
+    # 4-bit now decodes on the RAW path; a 4-bit DCT payload gates
+    with pytest.raises(NotImplementedError, match="non-8-bit"):
         pdf_images(bytes(bp))
 
 
@@ -628,3 +629,46 @@ def test_pdf_images_encrypted():
         ]
         with pytest.raises(ValueError, match="invalid PDF password"):
             pdf_images(blob, password=b"wrong")
+
+
+def test_pdf_bit_depth_images_and_decode_array():
+    """§8.9.5: 1/2/4-bit grayscale packs MSB-first with byte-padded
+    rows, 16-bit components are big-endian, and a full-range /Decode
+    [1 0] inverts the sample scale; channel means normalize to the
+    0-255 luma scale at every depth. Partial-range arrays gate."""
+    import numpy as np
+    import pytest
+
+    from ccgp_data_wrangling_spark.sources.pdf import (
+        build_pdf,
+        pdf_images,
+    )
+
+    for bpc in (1, 2, 4, 16):
+        m = (1 << bpc) - 1
+        arr = np.tile(
+            (37 + np.arange(24) ** 2) % (m + 1), (16, 1)
+        )
+        for inv in (False, True):
+            blob = build_pdf(
+                [["img"]], page_images=[[("packed", arr, bpc, inv)]]
+            )
+            (r,) = pdf_images(blob)
+            vals = (m - arr) if inv else arr
+            exp = round(float(vals.mean()) * 255.0 / m, 4)
+            assert r["codec"] == "raw"
+            assert r["luma_mean"] == pytest.approx(exp, abs=1e-6)
+    blob = build_pdf(
+        [["img"]],
+        page_images=[[("packed", np.zeros((4, 8), int), 4, False)]],
+    )
+    bad = blob.replace(
+        b"/BitsPerComponent 4",
+        b"/BitsPerComponent 4 /Decode [0 0.5]",
+    )
+    with pytest.raises(NotImplementedError, match="partial-range"):
+        pdf_images(bad)
+    # a truncated low-bpc payload must not mis-reshape
+    short = blob.replace(b"/Width 8", b"/Width 9")
+    with pytest.raises(ValueError, match="disagree"):
+        pdf_images(short)

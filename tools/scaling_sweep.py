@@ -102,7 +102,7 @@ R10_FAMILIES = [
     "odt_text_extract", "epub_text_extract", "rtf_text_extract",
     "pdf_jbig2_image_extract",
     "pdf_jbig2_text_extract", "pdf_jbig2_halftone_extract",
-    "pdf_jbig2_refine_extract",
+    "pdf_jbig2_refine_extract", "pdf_bpc_image_extract",
     "trajectory_hausdorff_density_const",
 ]
 
