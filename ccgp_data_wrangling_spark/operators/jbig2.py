@@ -46,10 +46,12 @@ standard tables B.1–B.5, Kraft-asserted at import, with §6.5.9
 MMR/uncompressed collective bitmaps). The remaining honest
 ``NotImplementedError`` gates are coding-variant tails: SBHUFF text
 regions and custom Annex B tables, HMMR gray-scale, refinement
-INSIDE symbol/text coding (SDREFAGG/SBREFINE), unknown-length
-segment data, and intermediate regions (auxiliary-buffer
-composition). HENABLESKIP halftones decode (USESKIP pixels carry no
-coded bits).
+INSIDE symbol/text coding (SDREFAGG/SBREFINE), unknown-length MMR
+regions (0x00 0x00 can occur mid-stream), and intermediate regions
+(auxiliary-buffer composition). HENABLESKIP halftones decode
+(USESKIP pixels carry no coded bits), and §7.2.7 unknown-length
+arithmetic generic regions resolve through the stuffing-guaranteed
+0xFF 0xAC terminator plus trailing row count.
 
 Reference parity: the reference repo has no image pipeline at all —
 this is north-star multimodal surface, same as the CCITT/JPEG work.
@@ -1681,9 +1683,32 @@ def parse_jbig2_segments(buf: bytes) -> list[dict]:
         (dlen,) = struct.unpack_from(">I", buf, pos)
         pos += 4
         if dlen == 0xFFFFFFFF:
-            raise NotImplementedError(
-                "JBIG2 unknown-length segment data (§7.2.7)"
-            )
+            # §7.2.7: unknown data length — only immediate generic
+            # regions; the MQ stream ends with 0xFF 0xAC (which bit
+            # stuffing guarantees never appears mid-stream), followed
+            # by the 4-byte true row count
+            if seg_type not in (
+                _SEG_GENERIC_INTERMEDIATE,
+                _SEG_GENERIC_IMMEDIATE,
+                _SEG_GENERIC_IMMEDIATE_LOSSLESS,
+            ):
+                raise ValueError(
+                    "unknown length on a non-generic-region segment"
+                )
+            rflags = buf[pos + 17]
+            if rflags & 1:
+                raise NotImplementedError(
+                    "unknown-length MMR generic region (0x00 0x00 "
+                    "can occur mid-stream)"
+                )
+            template_ul = (rflags >> 1) & 3
+            search_from = pos + 18 + (8 if template_ul == 0 else 2)
+            idx = buf.find(b"\xff\xac", search_from)
+            if idx < 0:
+                raise ValueError(
+                    "unknown-length region without a terminator"
+                )
+            dlen = idx + 2 + 4 - pos
         if pos + dlen > n:
             raise ValueError("JBIG2 segment data overruns the stream")
         out.append(
@@ -1709,6 +1734,15 @@ def _decode_region_segment(data: bytes) -> dict:
     mmr = flags & 1
     template = (flags >> 1) & 3
     tpgdon = bool(flags & 8)
+    if h == 0xFFFFFFFF:
+        # §7.2.7 unknown-length carriage: the true row count trails
+        # the 0xFF 0xAC terminator
+        if not data[-6:-4] == b"\xff\xac":
+            raise ValueError(
+                "unknown-height region without a terminator"
+            )
+        (h,) = struct.unpack_from(">I", data, len(data) - 4)
+        data = data[:-4]
     pos = 18
     if not mmr:
         n_at = 4 if template == 0 else 1
@@ -1899,6 +1933,7 @@ def _segment(
     page: int,
     data: bytes,
     refs: tuple[int, ...] = (),
+    unknown_length: bool = False,
 ) -> bytes:
     """§7.2 header with ≤4 referred-to segments, 1-byte page assoc
     (fixture segment numbers stay ≤ 256 so refs code in 1 byte)."""
@@ -1909,7 +1944,9 @@ def _segment(
         + bytes([len(refs) << 5])  # count in top 3 bits, retain 0
         + bytes(refs)
         + struct.pack(">B", page)
-        + struct.pack(">I", len(data))
+        + struct.pack(
+            ">I", 0xFFFFFFFF if unknown_length else len(data)
+        )
         + data
     )
 
@@ -1923,10 +1960,14 @@ def build_jbig2_embedded(
     at: tuple[tuple[int, int], ...] | None = None,
     comb_op: int = 0,
     default_pixel: int = 0,
+    unknown_length: bool = False,
 ) -> bytes:
     """Build the PDF-embedded segment stream: page info (48) + one
     immediate lossless generic region (39) per bitmap + end of page
-    (49). ``regions`` is a black-mask or a list of (mask, x, y)."""
+    (49). ``regions`` is a black-mask or a list of (mask, x, y).
+    ``unknown_length`` writes §7.2.7 carriage: 0xFFFFFFFF header
+    length AND region height, the true row count trailing the
+    0xFF 0xAC terminator (arithmetic coding only)."""
     if isinstance(regions, np.ndarray):
         regions = [(regions, 0, 0)]
     if page_wh is None:
@@ -1940,9 +1981,16 @@ def build_jbig2_embedded(
     page_data += struct.pack(">H", 0)  # not striped
     out = _segment(0, _SEG_PAGE_INFO, 1, page_data)
     at = tuple(at) if at is not None else _NOMINAL_AT[template]
+    if unknown_length and mmr:
+        raise NotImplementedError(
+            "unknown-length MMR generic region (0x00 0x00 can occur "
+            "mid-stream)"
+        )
     for i, (bm, x, y) in enumerate(regions):
         h, w = bm.shape
-        body = struct.pack(">IIII", w, h, x, y)
+        body = struct.pack(
+            ">IIII", w, 0xFFFFFFFF if unknown_length else h, x, y
+        )
         body += bytes([comb_op & 7])
         flags = (1 if mmr else 0) | ((template & 3) << 1) | (
             8 if tpgdon else 0
@@ -1958,8 +2006,11 @@ def build_jbig2_embedded(
             for dx, dy in at:
                 body += struct.pack(">bb", dx, dy)
             body += encode_generic_region(bm, template, tpgdon, at)
+        if unknown_length:
+            body += struct.pack(">I", h)  # true row count (§7.2.7)
         out += _segment(
-            1 + i, _SEG_GENERIC_IMMEDIATE_LOSSLESS, 1, body
+            1 + i, _SEG_GENERIC_IMMEDIATE_LOSSLESS, 1, body,
+            unknown_length=unknown_length,
         )
     out += _segment(1 + len(regions), _SEG_END_OF_PAGE, 1, b"")
     return out

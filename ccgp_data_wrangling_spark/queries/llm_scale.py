@@ -5329,7 +5329,7 @@ WITH g AS (
 SELECT id,
        CAST(24 AS INT) AS width,
        CAST(16 AS INT) AS height,
-       CASE k % 5 WHEN 0 THEN 't0' WHEN 1 THEN 't1'
+       CASE k % 5 WHEN 0 THEN 't0' WHEN 1 THEN 't1_unklen'
                   WHEN 2 THEN 't2_tpgdon' WHEN 3 THEN 't3_tpgdon'
                   ELSE 'mmr' END AS variant,
        CAST('jbig2' AS VARCHAR) AS codec,
@@ -5346,9 +5346,12 @@ def pdf_jbig2_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     region + end of page) built by operators/jbig2.build_jbig2_embedded
     — the MQ arithmetic coder (T.88 Annex E) run forward over the
     §6.2.5.7 context model. The k%5 rotation exercises GB template 0
-    (16-bit contexts, 4 AT pixels), template 1, templates 2/3 with
-    TPGDON typical-prediction rows, and MMR=1 (T.6 coding via the
-    shared CCITT machinery). pdf_images walks the objects, decodes
+    (16-bit contexts, 4 AT pixels), template 1 under the §7.2.7
+    unknown-length carriage (0xFFFFFFFF header length AND region
+    height, true row count after the 0xFF 0xAC terminator — the
+    live-producer layout), templates 2/3 with TPGDON
+    typical-prediction rows, and MMR=1 (T.6 coding via the shared
+    CCITT machinery). pdf_images walks the objects, decodes
     the page bitmap, and reports the black-fraction luma; two Arrow
     stages as in every media gate. Reference N/A (north-star
     multimodal surface; the reference has no image pipeline)."""
@@ -5367,7 +5370,7 @@ def pdf_jbig2_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _VARIANTS = (
         ("t0", {"template": 0}),
-        ("t1", {"template": 1}),
+        ("t1_unklen", {"template": 1, "unknown_length": True}),
         ("t2_tpgdon", {"template": 2, "tpgdon": True}),
         ("t3_tpgdon", {"template": 3, "tpgdon": True}),
         ("mmr", {"mmr": True}),

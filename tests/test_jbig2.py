@@ -183,11 +183,49 @@ class TestEmbeddedStream:
         with pytest.raises(ValueError, match="segment type"):
             decode_jbig2_embedded(stream + bad)
 
-    def test_unknown_length_gates(self):
-        bad = struct.pack(">IB", 0, 38) + b"\x00\x01" + struct.pack(
+    def test_unknown_length_round_trip(self):
+        # §7.2.7 carriage: 0xFFFFFFFF header length AND region
+        # height, true row count after the 0xFF 0xAC terminator
+        rng = np.random.default_rng(3)
+        bm = rng.random((13, 21)) < 0.4
+        stream = build_jbig2_embedded(bm, unknown_length=True)
+        assert struct.pack(">I", 0xFFFFFFFF) in stream
+        out = decode_jbig2_embedded(stream)
+        assert np.array_equal(out["black"], bm)
+        # multi-region: the terminator search must not eat the next
+        # segment header
+        a = rng.random((6, 9)) < 0.5
+        b = rng.random((5, 7)) < 0.5
+        stream2 = build_jbig2_embedded(
+            [(a, 0, 0), (b, 10, 7)], page_wh=(20, 14),
+            unknown_length=True,
+        )
+        exp = np.zeros((14, 20), bool)
+        exp[0:6, 0:9] |= a
+        exp[7:12, 10:17] |= b
+        assert np.array_equal(
+            decode_jbig2_embedded(stream2)["black"], exp
+        )
+
+    def test_unknown_length_mmr_gates(self):
+        with pytest.raises(NotImplementedError, match="0x00 0x00"):
+            build_jbig2_embedded(
+                np.zeros((4, 4), bool), mmr=True, unknown_length=True
+            )
+        # decoder side: a crafted MMR unknown-length header gates too
+        body = struct.pack(">IIII", 4, 0xFFFFFFFF, 0, 0)
+        body += b"\x00\x01"  # comb op, flags: MMR=1
+        seg = struct.pack(">IB", 0, 38) + b"\x00\x01" + struct.pack(
+            ">I", 0xFFFFFFFF
+        ) + body
+        with pytest.raises(NotImplementedError, match="0x00 0x00"):
+            parse_jbig2_segments(seg)
+
+    def test_unknown_length_non_region_raises(self):
+        bad = struct.pack(">IB", 0, 48) + b"\x00\x01" + struct.pack(
             ">I", 0xFFFFFFFF
         )
-        with pytest.raises(NotImplementedError, match="unknown-length"):
+        with pytest.raises(ValueError, match="non-generic-region"):
             parse_jbig2_segments(bad)
 
     def test_truncated_header_raises(self):
