@@ -80,20 +80,50 @@ def _paragraphs(root: ET.Element) -> list[str]:
     """One string per innermost block element, document order."""
     out: list[str] = []
 
+    def _has_block(el: ET.Element) -> bool:
+        return any(
+            c is not el and _local(c.tag) in _BLOCK_TAGS
+            for c in el.iter()
+        )
+
     def walk(el: ET.Element) -> None:
         tag = _local(el.tag)
         if tag in _SKIP_TAGS:
             return
         if tag in _BLOCK_TAGS:
-            inner_blocks = [
-                c for c in el.iter()
-                if c is not el and _local(c.tag) in _BLOCK_TAGS
-            ]
-            if not inner_blocks:
+            if not _has_block(el):
                 parts: list[str] = []
                 _flatten(el, parts)
                 out.append("".join(parts))
                 return
+            # Mixed content (<li>intro<ul>…</ul>after</li>): direct
+            # character data around the nested blocks becomes its own
+            # paragraph run, document order preserved.
+            run: list[str] = []
+
+            def flush() -> None:
+                s = "".join(run)
+                if s.strip():
+                    out.append(s)
+                run.clear()
+
+            if el.text:
+                run.append(el.text)
+            for child in el:
+                ctag = _local(child.tag)
+                if ctag in _SKIP_TAGS:
+                    pass
+                elif ctag in _BLOCK_TAGS or _has_block(child):
+                    flush()
+                    walk(child)
+                elif ctag == "br":
+                    run.append("\n")
+                else:
+                    _flatten(child, run)
+                if child.tail:
+                    run.append(child.tail)
+            flush()
+            return
         for child in el:
             walk(child)
 

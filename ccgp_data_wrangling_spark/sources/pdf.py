@@ -878,8 +878,21 @@ def pdf_images(
                 raise ValueError(
                     "JBIG2 page dimensions disagree with the image dict"
                 )
+            # /Decode (§8.9.5.2) applies to JBIG2 output like any
+            # other 1-bit image: [1 0] flips the sample polarity, so
+            # the decoded black mask inverts; partial ranges raise.
+            jb_black = page["black"]
+            jdm = re.search(rb"/Decode\s*\[([^\]]*)\]", head)
+            if jdm:
+                jnums = [float(x) for x in jdm.group(1).split()]
+                if jnums == [1.0, 0.0]:
+                    jb_black = ~jb_black
+                elif jnums != [0.0, 1.0]:
+                    raise NotImplementedError(
+                        "partial-range /Decode array on JBIG2 image"
+                    )
             lum = round(
-                float(np.where(page["black"], 0.0, 255.0).mean()), 4
+                float(np.where(jb_black, 0.0, 255.0).mean()), 4
             )
             out.append(
                 {

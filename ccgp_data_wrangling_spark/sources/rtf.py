@@ -135,9 +135,15 @@ def extract_rtf_paragraphs(payload: bytes) -> list[str]:
                         # uc chars are this escape's fallback
                         pending_skip += uc
                 elif word == b"par":
-                    if skip_above is None and pending_skip == 0:
-                        paras.append("".join(cur))
-                        cur.clear()
+                    # a character-emitting control word inside a \uN
+                    # fallback window counts as the swallowed fallback
+                    # (RTF 1.9 Unicode skipping) — consume, no break
+                    if skip_above is None:
+                        if pending_skip:
+                            pending_skip -= 1
+                        else:
+                            paras.append("".join(cur))
+                            cur.clear()
                 elif word == b"line":
                     emit("\n")
                 elif word == b"tab":

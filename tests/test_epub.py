@@ -43,8 +43,9 @@ class TestExtract:
                 assert "color" not in p
 
     def test_innermost_block_wins(self):
-        # a <li> nested under a block-ish div: only the li is a
-        # paragraph — build by patching a chapter document
+        # a block with nested blocks: the nested block is its own
+        # paragraph AND the outer block's direct character data
+        # survives as paragraph runs (document order)
         blob = build_epub([["placeholder"]])
         with zipfile.ZipFile(io.BytesIO(blob)) as zf:
             doc = zf.read("OEBPS/text/ch0.xhtml").decode()
@@ -64,7 +65,9 @@ class TestExtract:
                 zf.writestr(n, b)
             zf.writestr("OEBPS/text/ch0.xhtml", doc)
         chapters = extract_epub_chapters(buf.getvalue())
-        assert chapters == [["inner para", "placeholder"]]
+        assert chapters == [
+            ["lead ", "inner para", " tail", "placeholder"]
+        ]
 
     def test_entities_unescape(self):
         blob = build_epub([["a & b < c"]])

@@ -775,6 +775,43 @@ class TestPdfIntegration:
             assert (r["width"], r["height"]) == (24, 16)
             assert r["luma_mean"] == pytest.approx(exp)
 
+    def test_decode_array_inverts_polarity(self):
+        from ccgp_data_wrangling_spark.sources.pdf import (
+            build_pdf,
+            pdf_images,
+        )
+
+        mask = np.zeros((16, 24), bool)
+        mask[:, :9] = True
+        blob = build_pdf(
+            [["scan"]], page_images=[[("jbig2", mask)]]
+        )
+        blob = blob.replace(
+            b"/Filter /JBIG2Decode",
+            b"/Filter /JBIG2Decode /Decode [1 0]",
+        )
+        (r,) = pdf_images(blob)
+        assert r["luma_mean"] == pytest.approx(
+            round(255.0 * 9 / 24.0, 4)
+        )
+
+    def test_partial_decode_array_gates(self):
+        from ccgp_data_wrangling_spark.sources.pdf import (
+            build_pdf,
+            pdf_images,
+        )
+
+        mask = np.zeros((8, 8), bool)
+        blob = build_pdf(
+            [["scan"]], page_images=[[("jbig2", mask)]]
+        )
+        blob = blob.replace(
+            b"/Filter /JBIG2Decode",
+            b"/Filter /JBIG2Decode /Decode [0.2 0.8]",
+        )
+        with pytest.raises(NotImplementedError, match="partial-range"):
+            pdf_images(blob)
+
     def test_globals_gate(self):
         from ccgp_data_wrangling_spark.sources.pdf import (
             build_pdf,

@@ -55,6 +55,16 @@ class TestExtract:
         # \uc2 → the two chars after \u945 are fallback, skipped
         assert extract_rtf_paragraphs(raw) == ["pre α post"]
 
+    def test_par_inside_fallback_window_consumed(self):
+        # \par while a \uN fallback skip is pending counts as the
+        # swallowed fallback char: no break, skip consumed
+        raw = b"{\\rtf1 a\\u945\\par b\\par}"
+        assert extract_rtf_paragraphs(raw) == ["aαb"]
+
+    def test_tab_inside_fallback_window_consumed(self):
+        raw = b"{\\rtf1 x\\u233\\tab y\\par}"
+        assert extract_rtf_paragraphs(raw) == ["xéy"]
+
     def test_bin_skips_raw_bytes(self):
         raw = (
             b"{\\rtf1 a\\bin3 \x01{\\x b\\par}"
