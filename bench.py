@@ -176,6 +176,9 @@ HEADLINE = [
     "pdf_jbig2_halftone_extract",
     "pdf_jbig2_refine_extract",
     "pdf_bpc_image_extract",
+    # r11 additions
+    "pptx_text_extract",
+    "html_text_extract",
 ]
 
 
@@ -215,12 +218,15 @@ def main() -> None:
     # with idle-box reruns because the driver box was contended, and
     # BENCH_r05 passed the old ncpu/4 gate at loadavg 7.34 yet still
     # showed phantom 1.6x regressions that vanished on an idle box.
-    # Gate tightened to ncpu/8 with a longer wait budget (8×30 s): if
-    # the 1-min loadavg exceeds it we warn on stderr and wait; if the
-    # box never quiets, the run proceeds but the JSON carries
-    # "contended": true so the artifact self-reports.
+    # BENCH_r10 then passed the ncpu/8 gate (4.0) at loadavg 3.5 and
+    # still inflated the centroid-kernel rows ~2× vs the idle-box
+    # artifact (r10 verdict #2), so the gate is now ncpu/16 with the
+    # same 8×30 s wait budget: if the 1-min loadavg exceeds it we
+    # warn on stderr and wait; if the box never quiets, the run
+    # proceeds but the JSON carries "contended": true so the
+    # artifact self-reports.
     ncpu = os.cpu_count() or 1
-    gate = ncpu / 8
+    gate = ncpu / 16
     load_start = os.getloadavg()
     for _ in range(8):
         if load_start[0] <= gate:
@@ -246,6 +252,12 @@ def main() -> None:
     # across its three runs (so repeats measure steady-state plan cost,
     # not signature-table rebuilds) and released before the next query
     # — the session never accumulates cache entries.
+    # sub-second queries dominate the registry count, and their
+    # single medians wobble enough that r10's same-HEAD totals spread
+    # 20% (68.7 vs 83.2 s — r10 verdict #3). Adaptive depth: every
+    # query gets 3 samples; if the median lands under 1 s — where
+    # scheduler/page-cache noise is proportionally largest — two more
+    # samples are taken and the median-of-5 stands.
     def run_once(name: str) -> float:
         samples: list[float] = []
         with CacheScope() as bench_scope, use_scope(bench_scope):
@@ -254,7 +266,13 @@ def main() -> None:
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(time.perf_counter() - t0)
-        return round(sorted(samples)[1], 3)
+            if sorted(samples)[1] < 1.0:
+                for _ in range(2):
+                    df = qs[name](spark, sf_dir)
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    samples.append(time.perf_counter() - t0)
+        return round(sorted(samples)[len(samples) // 2], 3)
 
     prior: dict[str, float] = {}
     prior_path = os.environ.get(

@@ -7418,3 +7418,186 @@ def rtf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
     return rtf_documents(media)
+
+
+# ---------------------------------------------------------------------------
+# PPTX text extraction through the driver gate — the third OOXML
+# container (PresentationML): slide decks are common in web corpora
+# and their text lives in a:p paragraphs of a:r runs inside shape
+# text bodies, with slide ORDER defined by p:sldIdLst resolved
+# through the presentation relationships part (not file names — the
+# fixture writer stores the first presented slide under the HIGHEST
+# slide number to make the rels walk load-bearing). Fixtures add a
+# break-run slide, a multi-shape slide with a cached slide-number
+# field, and a planted notes-slide part whose decoy text must never
+# surface; the oracle replays the construction closed-form.
+# ---------------------------------------------------------------------------
+
+_PPTX_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         'doc ' || CAST(doc_id AS VARCHAR) || ' title' AS p0,
+         regexp_replace(substr(text, 1, 40), '[^ -~]', '', 'g') AS p1
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, 0 AS slide, 0 AS para, p0 AS text FROM base
+  UNION ALL
+  SELECT doc_id, 0, 1, p1 FROM base
+  UNION ALL
+  SELECT doc_id, 1, 0,
+         'part' || chr(10) || 'A' || CAST(doc_id AS VARCHAR)
+  FROM base WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id, 1, 1, 'B' || CAST(doc_id % 7 AS VARCHAR)
+  FROM base WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END, 0,
+         'tail & <' || CAST(doc_id % 3 AS VARCHAR) || '>'
+  FROM base WHERE doc_id % 4 = 2
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END, 1,
+         'page ' || CAST(doc_id % 10 AS VARCHAR)
+  FROM base WHERE doc_id % 4 = 2
+)
+SELECT doc_id, CAST(slide AS INT) AS slide, CAST(para AS INT) AS para,
+       text, CAST(length(text) AS INT) AS n_chars
+FROM paras
+"""
+
+
+@register("pptx_text_extract", _PPTX_SQL)
+def pptx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPTX corpus ingest end-to-end: build_pptx fixtures carrying
+    the documents table's (ASCII-cleaned) text → OPC zip walk →
+    sldIdLst+rels slide ordering → a:p/a:r text reconstruction →
+    one row per slide paragraph (sources/pptx.pptx_documents).
+    Slide part names are REVERSED relative to presentation order and
+    every deck plants a notes slide with decoy text, so both the
+    relationship walk and the slide-part scoping are what keep the
+    hash stable; doc_id%3==2 decks add a break-run slide, doc_id%4==2
+    decks a two-shape slide whose second shape ends in a cached
+    slide-number field."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.pptx import (
+        build_pptx,
+        pptx_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, 40), "[^ -~]", "").alias(
+            "__prefix"
+        ),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, prefix in zip(pdf["doc_id"], pdf["__prefix"]):
+                d = int(did)
+                slides: list = [[f"doc {d} title", str(prefix)]]
+                if d % 3 == 2:
+                    slides.append(
+                        [["part", ("br",), f"A{d}"], f"B{d % 7}"]
+                    )
+                if d % 4 == 2:
+                    slides.append(
+                        {
+                            "shapes": [
+                                [f"tail & <{d % 3}>"],
+                                [["page ", ("fld", str(d % 10))]],
+                            ]
+                        }
+                    )
+                payloads.append(build_pptx(slides))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return pptx_documents(media)
+
+
+# ---------------------------------------------------------------------------
+# Standalone HTML text extraction through the driver gate — loose
+# .html files for non-WARC web corpora (sources/html): comment →
+# script/style → head stripping in pinned order, <title> capture,
+# block-tag paragraph segmentation, entities unescaped last. Every
+# fixture page plants a <style> block and both a commented-out and a
+# live <script> whose decoy text must never surface; the oracle
+# replays the construction with the extractor's whitespace collapse.
+# ---------------------------------------------------------------------------
+
+_HTML_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         'Title ' || CAST(doc_id % 11 AS VARCHAR) AS title,
+         trim(regexp_replace(
+           'body ' || regexp_replace(substr(text, 1, 40),
+                                     '[^ -~]', '', 'g'),
+           ' +', ' ', 'g')) AS p1
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, 0 AS para, title,
+         'doc ' || CAST(doc_id AS VARCHAR) || ' intro' AS text
+  FROM base
+  UNION ALL
+  SELECT doc_id, 1, title, p1 FROM base
+  UNION ALL
+  SELECT doc_id, 2, title,
+         'tail & <' || CAST(doc_id % 3 AS VARCHAR) || '>'
+  FROM base WHERE doc_id % 4 = 1
+)
+SELECT doc_id, CAST(para AS INT) AS para, title, text,
+       CAST(length(text) AS INT) AS n_chars
+FROM paras
+"""
+
+
+@register("html_text_extract", _HTML_SQL)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loose-HTML corpus ingest end-to-end: build_html fixtures
+    carrying the documents table's (ASCII-cleaned, 'body '-prefixed
+    so the paragraph never collapses to empty) text → ordered decoy
+    strip → block segmentation → one row per paragraph with the page
+    title (sources/html.html_documents). doc_id%4==1 pages add an
+    entity-escaped tail paragraph that must unescape back to literal
+    angle brackets."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.html import (
+        build_html,
+        html_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, 40), "[^ -~]", "").alias(
+            "__prefix"
+        ),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, prefix in zip(pdf["doc_id"], pdf["__prefix"]):
+                d = int(did)
+                paras = [f"doc {d} intro", f"body {prefix}"]
+                if d % 4 == 1:
+                    paras.append(f"tail & <{d % 3}>")
+                payloads.append(
+                    build_html(f"Title {d % 11}", paras)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return html_documents(media)
