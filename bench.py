@@ -179,6 +179,8 @@ HEADLINE = [
     # r11 additions
     "pptx_text_extract",
     "html_text_extract",
+    "multimodal_mp3_layer2_subband_decode",
+    "pdf_jpx_image_extract",
 ]
 
 

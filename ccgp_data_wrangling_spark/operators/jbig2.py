@@ -40,18 +40,22 @@ module implements the JBIG2 subset those PDFs actually need for the
   buffers.
 
 Every region family of the spec decodes, including all eight text
-placement codings (4 REFCORNERs × TRANSPOSED) and BOTH symbol
+placement codings (4 REFCORNERs × TRANSPOSED), BOTH symbol
 dictionary coding alternatives — arithmetic and SDHUFF=1 (Annex B
-standard tables B.1–B.5, Kraft-asserted at import, with §6.5.9
-MMR/uncompressed collective bitmaps). The remaining honest
+standard tables B.1–B.5, Kraft-asserted at import, plus CUSTOM
+type-53 table segments parsed per B.2 and consumed by selector
+order, with §6.5.9 MMR/uncompressed collective bitmaps) — and
+refinement INSIDE text regions (SBREFINE, §6.4.11: per-instance
+IARI-gated RDW/RDH/RDX/RDY headers re-coding the instance against
+its symbol with shared GR stats). The remaining honest
 ``NotImplementedError`` gates are coding-variant tails: SBHUFF text
-regions and custom Annex B tables, HMMR gray-scale, refinement
-INSIDE symbol/text coding (SDREFAGG/SBREFINE), unknown-length MMR
-regions (0x00 0x00 can occur mid-stream), and intermediate regions
-(auxiliary-buffer composition). HENABLESKIP halftones decode
-(USESKIP pixels carry no coded bits), and §7.2.7 unknown-length
-arithmetic generic regions resolve through the stuffing-guaranteed
-0xFF 0xAC terminator plus trailing row count.
+regions, HMMR gray-scale, refinement/aggregation inside symbol
+DICTIONARIES (SDREFAGG), unknown-length MMR regions (0x00 0x00 can
+occur mid-stream), and intermediate regions (auxiliary-buffer
+composition). HENABLESKIP halftones decode (USESKIP pixels carry no
+coded bits), and §7.2.7 unknown-length arithmetic generic regions
+resolve through the stuffing-guaranteed 0xFF 0xAC terminator plus
+trailing row count.
 
 Reference parity: the reference repo has no image pipeline at all —
 this is north-star multimodal surface, same as the CCITT/JPEG work.
@@ -236,7 +240,12 @@ class MQEncoder:
         # Figure E.9 with the 0xFF bit-stuffing branches.
         out = self._out
         if out[-1] == 0xFF:
-            out.append((self._c >> 20) & 0x7F)
+            # the stuffed byte is C bits 27..20 UNMASKED: bit 27 is a
+            # pending carry that must ride the stuffed byte's MSB
+            # (value ≤ 0x8F by the register bound — exactly why the
+            # decoder's marker test is "B1 > 0x8F"); masking to 0x7F
+            # here silently dropped rare carries on skewed streams
+            out.append((self._c >> 20) & 0xFF)
             self._c &= 0xFFFFF
             self._ct = 7
         elif self._c < 0x8000000:
@@ -747,6 +756,87 @@ _SDHUFF_DH = {0: HUFF_B4, 1: HUFF_B5}
 _SDHUFF_DW = {0: HUFF_B2, 1: HUFF_B3}
 
 
+def parse_table_segment(data: bytes) -> HuffTable:
+    """Custom-table segment (type 53) data part → HuffTable, per the
+    Annex B.2 assembly: flags byte (HTOOB; HTPS−1; HTRS−1), signed
+    HTLOW/HTHIGH, then HTPS/HTRS-bit (preflen, rangelen) pairs for
+    consecutive inner ranges from HTLOW up to HTHIGH, a 32-bit lower
+    line at HTLOW−1, a 32-bit upper line at HTHIGH, and an OOB
+    prefix when HTOOB. Zero prefix lengths mark unused lines and are
+    dropped before canonical code assignment (B.3)."""
+    tflags = data[0]
+    htoob = bool(tflags & 1)
+    htps = ((tflags >> 1) & 7) + 1
+    htrs = ((tflags >> 4) & 7) + 1
+    htlow, hthigh = struct.unpack_from(">ii", data, 1)
+    if hthigh <= htlow:
+        raise ValueError("custom table with empty value range")
+    reader = _HuffReader(data, 9)
+    lines: list[tuple] = []
+    cur = htlow
+    while cur < hthigh:
+        pref = reader.bits(htps)
+        rangelen = reader.bits(htrs)
+        if rangelen > 32:
+            raise ValueError("custom table range length over 32")
+        if pref:
+            lines.append((pref, rangelen, cur))
+        cur += 1 << rangelen
+    lower_pref = reader.bits(htps)
+    if lower_pref:
+        lines.append((lower_pref, 32, htlow - 1, "lower"))
+    upper_pref = reader.bits(htps)
+    if upper_pref:
+        lines.append((upper_pref, 32, hthigh, "upper"))
+    if htoob:
+        oob_pref = reader.bits(htps)
+        if oob_pref:
+            lines.append((oob_pref, 0, 0, "oob"))
+    return HuffTable(lines)
+
+
+def _build_table_segment(spec: dict) -> bytes:
+    """Fixture writer for a type-53 custom table: ``spec`` holds
+    ``htlow``/``hthigh``, ``lines`` as consecutive (preflen,
+    rangelen) pairs covering [htlow, hthigh), ``lower_pref``,
+    ``upper_pref`` and optional ``oob_pref``. The equivalent
+    HuffTable for ENCODING comes from running the writer's bytes
+    back through :func:`parse_table_segment`, so the two stay in
+    lock-step by construction."""
+    prefs = [p for p, _ in spec["lines"]]
+    prefs += [spec["lower_pref"], spec["upper_pref"]]
+    if spec.get("oob_pref"):
+        prefs.append(spec["oob_pref"])
+    htps = max(1, max(p.bit_length() for p in prefs))
+    htrs = max(
+        1, max(r.bit_length() for _, r in spec["lines"])
+    )
+    if htps > 8 or htrs > 8:
+        raise ValueError("custom table field widths exceed B.2 limits")
+    tflags = (
+        (1 if spec.get("oob_pref") else 0)
+        | ((htps - 1) << 1)
+        | ((htrs - 1) << 4)
+    )
+    out = bytearray([tflags])
+    out += struct.pack(">ii", spec["htlow"], spec["hthigh"])
+    w = _HuffWriter()
+    cur = spec["htlow"]
+    for pref, rangelen in spec["lines"]:
+        w.bits(pref, htps)
+        w.bits(rangelen, htrs)
+        cur += 1 << rangelen
+    if cur != spec["hthigh"]:
+        raise ValueError(
+            "custom table inner ranges do not tile [htlow, hthigh)"
+        )
+    w.bits(spec["lower_pref"], htps)
+    w.bits(spec["upper_pref"], htps)
+    if spec.get("oob_pref"):
+        w.bits(spec["oob_pref"], htps)
+    return bytes(out) + w.getvalue()
+
+
 # ---------------------------------------------------------------------------
 # Symbol dictionary (§6.5) and text region (§6.4) — the coding real
 # scanned-PDF encoders emit for text areas (generic regions carry the
@@ -758,11 +848,15 @@ _SDHUFF_DW = {0: HUFF_B2, 1: HUFF_B3}
 
 
 def decode_symbol_dict_segment(
-    data: bytes, input_syms: list[np.ndarray] | None = None
+    data: bytes,
+    input_syms: list[np.ndarray] | None = None,
+    tables: list[HuffTable] | None = None,
 ) -> list[np.ndarray]:
     """§7.4.3 header + §6.5.5 height-class decode → exported symbol
     bitmaps in export order. One MQ coder stream serves the IADH /
-    IADW / IAEX integer banks and the shared GB generic contexts."""
+    IADW / IAEX integer banks and the shared GB generic contexts.
+    ``tables`` are the referred custom-table segments in reference
+    order, consumed left-to-right by SDHUFF custom selectors."""
     input_syms = input_syms or []
     (flags,) = struct.unpack_from(">H", data, 0)
     pos = 2
@@ -771,7 +865,9 @@ def decode_symbol_dict_segment(
             "SDREFAGG refinement/aggregate symbol coding"
         )
     if flags & 1:
-        return _decode_symbol_dict_huffman(data, flags, input_syms)
+        return _decode_symbol_dict_huffman(
+            data, flags, input_syms, tables or []
+        )
     template = (flags >> 10) & 3
     if (flags >> 8) & 1 or (flags >> 9) & 1:
         raise NotImplementedError(
@@ -834,21 +930,43 @@ def decode_symbol_dict_segment(
 
 
 def _decode_symbol_dict_huffman(
-    data: bytes, flags: int, input_syms: list[np.ndarray]
+    data: bytes,
+    flags: int,
+    input_syms: list[np.ndarray],
+    tables: list[HuffTable],
 ) -> list[np.ndarray]:
     """§6.5.5 with SDHUFF=1 (the legacy-scanner coding): height and
-    width deltas through the Annex B standard tables, per-height-class
-    COLLECTIVE bitmaps (§6.5.9) — MMR-coded when BMSIZE > 0, raw
-    byte-padded rows when BMSIZE == 0 — split by the decoded widths."""
+    width deltas through Annex B tables — standard B.2–B.5 by
+    selector, or CUSTOM type-53 tables consumed from the referred
+    segments in order (§7.4.3.1.1: each selector value 3 takes the
+    next one) — then per-height-class COLLECTIVE bitmaps (§6.5.9),
+    MMR-coded when BMSIZE > 0, raw byte-padded rows when BMSIZE == 0,
+    split by the decoded widths."""
     sel_dh = (flags >> 2) & 3
     sel_dw = (flags >> 4) & 3
-    if sel_dh not in _SDHUFF_DH or sel_dw not in _SDHUFF_DW:
-        raise NotImplementedError("custom symbol-dictionary tables")
+    table_idx = 0
+
+    def take_table(sel: int, std: dict, what: str) -> HuffTable:
+        nonlocal table_idx
+        if sel in std:
+            return std[sel]
+        if sel != 3:
+            raise ValueError(f"reserved {what} table selector {sel}")
+        if table_idx >= len(tables):
+            raise ValueError(
+                f"custom {what} table selected but no unconsumed "
+                "referred table segment remains"
+            )
+        t = tables[table_idx]
+        table_idx += 1
+        return t
+
+    dh_tab = take_table(sel_dh, _SDHUFF_DH, "DH")
+    dw_tab = take_table(sel_dw, _SDHUFF_DW, "DW")
     if (flags >> 6) & 1 or (flags >> 7) & 1:
         raise NotImplementedError(
             "custom BMSIZE/AGG symbol-dictionary tables"
         )
-    dh_tab, dw_tab = _SDHUFF_DH[sel_dh], _SDHUFF_DW[sel_dw]
     num_ex, num_new = struct.unpack_from(">II", data, 2)
     reader = _HuffReader(data, 10)
     from ccgp_data_wrangling_spark.operators.media_codecs import (
@@ -914,7 +1032,10 @@ def _decode_symbol_dict_huffman(
 
 
 def _build_symbol_dict_data(
-    symbols: list[np.ndarray], template: int = 0, huffman: bool = False
+    symbols: list[np.ndarray],
+    template: int = 0,
+    huffman: bool = False,
+    custom_dw: HuffTable | None = None,
 ) -> tuple[bytes, list[int]]:
     """Encode a symbol dictionary (export-all) and return (segment
     data, mapping original-index → export-order index). Symbols are
@@ -931,7 +1052,10 @@ def _build_symbol_dict_data(
     for new_idx, orig in enumerate(order):
         remap[orig] = new_idx
     if huffman:
-        return _build_symbol_dict_huffman(symbols, order), remap
+        return (
+            _build_symbol_dict_huffman(symbols, order, custom_dw),
+            remap,
+        )
     at = _NOMINAL_AT[template]
     enc = MQEncoder()
     gb = ArithStats(1 << _CX_BITS[template])
@@ -964,14 +1088,19 @@ def _build_symbol_dict_data(
 
 
 def _build_symbol_dict_huffman(
-    symbols: list[np.ndarray], order: list[int]
+    symbols: list[np.ndarray],
+    order: list[int],
+    custom_dw: HuffTable | None = None,
 ) -> bytes:
-    """SDHUFF=1 segment data: B.4 height deltas, B.2 width deltas,
-    B.1 BMSIZE + export runs, byte-aligned MMR collective bitmaps."""
+    """SDHUFF=1 segment data: B.4 height deltas, B.2 width deltas
+    (or a referred CUSTOM width table when ``custom_dw`` is given —
+    selector 3, §7.4.3.1.1), B.1 BMSIZE + export runs, byte-aligned
+    MMR collective bitmaps."""
     from ccgp_data_wrangling_spark.operators.media_codecs import (
         encode_ccitt_g4,
     )
 
+    dw_tab = custom_dw if custom_dw is not None else HUFF_B2
     w = _HuffWriter()
     hcheight = 0
     i = 0
@@ -983,18 +1112,19 @@ def _build_symbol_dict_huffman(
         cls: list[np.ndarray] = []
         while i < len(order) and symbols[order[i]].shape[0] == h:
             bm = symbols[order[i]].astype(bool)
-            HUFF_B2.encode(w, bm.shape[1] - symwidth)
+            dw_tab.encode(w, bm.shape[1] - symwidth)
             symwidth = bm.shape[1]
             cls.append(bm)
             i += 1
-        HUFF_B2.encode(w, OOB)
+        dw_tab.encode(w, OOB)
         collective = np.concatenate(cls, axis=1)
         mmr = encode_ccitt_g4(collective)
         HUFF_B1.encode(w, len(mmr))
         w.raw(mmr)
     HUFF_B1.encode(w, 0)  # run of not-exported
     HUFF_B1.encode(w, len(symbols))  # export everything
-    head = struct.pack(">H", 1)  # SDHUFF=1, standard tables
+    flags = 1 | ((3 << 4) if custom_dw is not None else 0)
+    head = struct.pack(">H", flags)
     head += struct.pack(">II", len(symbols), len(symbols))
     return head + w.getvalue()
 
@@ -1013,8 +1143,8 @@ def decode_text_region_segment(
     pos = 19
     if flags & 1:
         raise NotImplementedError("SBHUFF text region")
-    if flags & 2:
-        raise NotImplementedError("text region refinement (SBREFINE)")
+    refine = bool(flags & 2)
+    rtemplate = (flags >> 15) & 1
     log_strips = (flags >> 2) & 3
     refcorner = (flags >> 4) & 3
     transposed = bool((flags >> 6) & 1)
@@ -1023,6 +1153,15 @@ def decode_text_region_segment(
     dsoffset = (flags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32  # signed 5-bit
+    rat: tuple[tuple[int, int], ...] = _GR_NOMINAL_AT
+    if refine and rtemplate == 0:
+        rat = (
+            (struct.unpack_from(">b", data, pos)[0],
+             struct.unpack_from(">b", data, pos + 1)[0]),
+            (struct.unpack_from(">b", data, pos + 2)[0],
+             struct.unpack_from(">b", data, pos + 3)[0]),
+        )
+        pos += 4
     (num_inst,) = struct.unpack_from(">I", data, pos)
     pos += 4
     strips = 1 << log_strips
@@ -1033,6 +1172,15 @@ def decode_text_region_segment(
     iadt, iafs, iads, iait = (
         _IntDecoder(), _IntDecoder(), _IntDecoder(), _IntDecoder(),
     )
+    # §6.4.11 refinement-in-text: one IARI per instance gates an
+    # (RDW, RDH, RDX, RDY) header plus a §6.3 refinement pass whose
+    # reference is the symbol's own bitmap; GR stats are shared
+    # across the region like the GB stats of a generic region
+    iari, iardw, iardh, iardx, iardy = (
+        _IntDecoder(), _IntDecoder(), _IntDecoder(), _IntDecoder(),
+        _IntDecoder(),
+    )
+    gr_stats = ArithStats(1 << 13)
     iaid_stats = ArithStats(1 << (symcodelen + 1))
     region = np.full((h, w), bool(defpixel))
     dt0 = iadt.decode(dec)
@@ -1067,6 +1215,31 @@ def decode_text_region_segment(
             if sid >= len(syms):
                 raise ValueError("symbol ID out of range")
             bm = syms[sid]
+            if refine:
+                ri = iari.decode(dec)
+                if ri is OOB:
+                    raise ValueError("OOB refinement flag")
+                if ri:
+                    rdw = iardw.decode(dec)
+                    rdh = iardh.decode(dec)
+                    rdx_ = iardx.decode(dec)
+                    rdy_ = iardy.decode(dec)
+                    if OOB in (rdw, rdh, rdx_, rdy_):
+                        raise ValueError("OOB refinement delta")
+                    wo = bm.shape[1] + rdw
+                    ho = bm.shape[0] + rdh
+                    if wo <= 0 or ho <= 0:
+                        raise ValueError(
+                            "refined symbol instance has no pixels"
+                        )
+                    # GRREFERENCEDX/DY = ⌊RDW/2⌋+RDX, ⌊RDH/2⌋+RDY;
+                    # TPGRON is 0 inside text regions (§6.4.11 step 6)
+                    bm = _refine_loop(
+                        dec, gr_stats, wo, ho,
+                        bm.astype(np.uint8),
+                        rdw // 2 + rdx_, rdh // 2 + rdy_,
+                        rtemplate, False, rat, None,
+                    )
             hi, wi = bm.shape
             if transposed:
                 # §6.4.5 3(c) TRANSPOSED=1: S runs down the page,
@@ -1113,26 +1286,43 @@ def decode_text_region_segment(
 
 
 def _build_text_region_data(
-    instances: list[tuple[int, int, int]],
+    instances: list[tuple],
     syms: list[np.ndarray],
     region_wh: tuple[int, int],
     region_xy: tuple[int, int] = (0, 0),
     refcorner: str = "tl",
     comb_op: int = 0,
     transposed: bool = False,
+    rtemplate: int = 0,
 ) -> bytes:
     """Encode a text region (arith, SBSTRIPS=1). ``instances`` hold
-    (symbol-index, x, y) TOP-LEFT placements; refcorner and
-    TRANSPOSED only change the coded (S, T) representation."""
+    (symbol-index, x, y) TOP-LEFT placements — optionally a fourth
+    element ``{"bitmap": refined-output, "rdx": int, "rdy": int}``
+    switching the region to SBREFINE=1 (§6.4.11): the instance is
+    re-coded as a refinement of its symbol, RDW/RDH derived from the
+    output shape. Refcorner and TRANSPOSED only change the coded
+    (S, T) representation."""
     rc = _REFCORNERS.index(refcorner)
     w, h = region_wh
     symcodelen = max(1, (len(syms) - 1).bit_length())
+    refine = any(len(inst) > 3 and inst[3] for inst in instances)
     enc = MQEncoder()
     iadt, iafs, iads = _IntEncoder(), _IntEncoder(), _IntEncoder()
+    iari, iardw, iardh, iardx, iardy = (
+        _IntEncoder(), _IntEncoder(), _IntEncoder(), _IntEncoder(),
+        _IntEncoder(),
+    )
+    gr_stats = ArithStats(1 << 13)
     iaid_stats = ArithStats(1 << (symcodelen + 1))
 
-    def s_t(sid: int, x0: int, y0: int) -> tuple[int, int]:
-        hi, wi = syms[sid].shape
+    def eff_shape(inst) -> tuple[int, int]:
+        if len(inst) > 3 and inst[3]:
+            return inst[3]["bitmap"].shape
+        return syms[inst[0]].shape
+
+    def s_t(inst) -> tuple[int, int]:
+        _sid, x0, y0 = inst[0], inst[1], inst[2]
+        hi, wi = eff_shape(inst)
         if transposed:
             # S runs down the page (top edge), T across
             t = x0 if rc in (0, 1) else x0 + wi - 1
@@ -1141,7 +1331,7 @@ def _build_text_region_data(
         return x0, t  # S is the left edge for every refcorner
 
     coded = sorted(
-        (s_t(sid, x0, y0) + (sid,) for sid, x0, y0 in instances),
+        ((*s_t(inst), inst) for inst in instances),
         key=lambda r: (r[1], r[0]),
     )
     iadt.encode(enc, 0)  # STRIPT starts at 0
@@ -1155,8 +1345,9 @@ def _build_text_region_data(
         first = True
         curs = 0
         while i < len(coded) and coded[i][1] == t:
-            s, _, sid = coded[i]
-            hi, wi = syms[sid].shape
+            s, _, inst = coded[i]
+            sid = inst[0]
+            hi, wi = eff_shape(inst)
             if first:
                 iafs.encode(enc, s - firsts)
                 firsts = s
@@ -1166,12 +1357,42 @@ def _build_text_region_data(
             # far edge along the S axis, every refcorner
             curs = s + (hi if transposed else wi) - 1
             _encode_iaid(enc, iaid_stats, symcodelen, sid)
+            if refine:
+                ref = inst[3] if len(inst) > 3 else None
+                if not ref:
+                    iari.encode(enc, 0)
+                else:
+                    out_bm = ref["bitmap"].astype(bool)
+                    base = syms[sid].astype(np.uint8)
+                    rdw = out_bm.shape[1] - base.shape[1]
+                    rdh = out_bm.shape[0] - base.shape[0]
+                    rdx_ = ref.get("rdx", 0)
+                    rdy_ = ref.get("rdy", 0)
+                    iari.encode(enc, 1)
+                    iardw.encode(enc, rdw)
+                    iardh.encode(enc, rdh)
+                    iardx.encode(enc, rdx_)
+                    iardy.encode(enc, rdy_)
+                    _refine_loop(
+                        enc, gr_stats,
+                        out_bm.shape[1], out_bm.shape[0], base,
+                        rdw // 2 + rdx_, rdh // 2 + rdy_,
+                        rtemplate, False, _GR_NOMINAL_AT, out_bm,
+                    )
             i += 1
         iads.encode(enc, OOB)
-    flags = (rc << 4) | ((1 if transposed else 0) << 6)
+    flags = (
+        (2 if refine else 0)
+        | (rc << 4)
+        | ((1 if transposed else 0) << 6)
+        | ((rtemplate & 1) << 15)
+    )
     body = struct.pack(">IIII", w, h, *region_xy)
     body += bytes([comb_op & 7])
     body += struct.pack(">H", flags)
+    if refine and rtemplate == 0:
+        for dx, dy in _GR_NOMINAL_AT:
+            body += struct.pack(">bb", dx, dy)
     body += struct.pack(">I", len(instances))
     return body + enc.flush()
 
@@ -1809,6 +2030,7 @@ def decode_jbig2_embedded(
     default_pixel = 0
     regions: list[dict] = []
     exports: dict[int, list[np.ndarray]] = {}
+    huff_tables: dict[int, HuffTable] = {}
     for seg in segments:
         t = seg["type"]
         if t == _SEG_SYMBOL_DICT:
@@ -1816,7 +2038,10 @@ def decode_jbig2_embedded(
             for ref in seg["refs"]:
                 input_syms.extend(exports.get(ref, []))
             exports[seg["number"]] = decode_symbol_dict_segment(
-                seg["data"], input_syms
+                seg["data"],
+                input_syms,
+                [huff_tables[r] for r in seg["refs"]
+                 if r in huff_tables],
             )
         elif t in (
             _SEG_TEXT_IMMEDIATE,
@@ -1874,13 +2099,16 @@ def decode_jbig2_embedded(
             raise NotImplementedError(
                 "intermediate generic region (auxiliary buffers)"
             )
+        elif t == 53:  # custom Huffman table (Annex B.2)
+            huff_tables[seg["number"]] = parse_table_segment(
+                seg["data"]
+            )
         elif t in (
             _SEG_END_OF_PAGE,
             _SEG_END_OF_STRIPE,
             _SEG_END_OF_FILE,
             62,  # extension
             52,  # profiles
-            53,  # custom tables (only meaningful with gated kinds)
         ):
             continue
         elif t in _GATED_SEGMENTS:
@@ -2025,22 +2253,40 @@ def build_jbig2_text_embedded(
     extra_generic: tuple[np.ndarray, int, int] | None = None,
     transposed: bool = False,
     huffman_dict: bool = False,
+    custom_dw_spec: dict | None = None,
 ) -> bytes:
     """Embedded stream for the symbol/text path: page info + symbol
     dictionary (type 0, export-all) + one immediate lossless text
     region (type 6) referring to it + end of page. ``instances`` are
-    (symbol-index, x, y) top-left placements on the page;
+    (symbol-index, x, y) top-left placements on the page — optionally
+    a fourth refinement dict per ``_build_text_region_data``
+    (SBREFINE, the lossy-plus-residual layout scanner encoders emit);
     ``extra_generic`` optionally appends a generic region (a page mix
     of text + graphics, the real scanned-document layout)."""
     pw, ph = page_wh
     page_data = struct.pack(">IIII", pw, ph, 0, 0)
     page_data += b"\x00" + struct.pack(">H", 0)
     out = _segment(0, _SEG_PAGE_INFO, 1, page_data)
+    dict_refs: tuple[int, ...] = ()
+    dict_num = 1
+    custom_dw = None
+    if custom_dw_spec is not None:
+        if not huffman_dict:
+            raise ValueError("custom tables need the SDHUFF dictionary")
+        table_data = _build_table_segment(custom_dw_spec)
+        # encode with the PARSED table so writer and decoder share
+        # one canonical-code assignment by construction
+        custom_dw = parse_table_segment(table_data)
+        out += _segment(1, 53, 1, table_data)
+        dict_refs = (1,)
+        dict_num = 2
     dict_data, remap = _build_symbol_dict_data(
-        symbols, template, huffman=huffman_dict
+        symbols, template, huffman=huffman_dict, custom_dw=custom_dw
     )
-    out += _segment(1, _SEG_SYMBOL_DICT, 1, dict_data)
-    coded = [(remap[sid], x, y) for sid, x, y in instances]
+    out += _segment(
+        dict_num, _SEG_SYMBOL_DICT, 1, dict_data, refs=dict_refs
+    )
+    coded = [(remap[inst[0]], *inst[1:]) for inst in instances]
     order = sorted(range(len(symbols)), key=lambda i: remap[i])
     sorted_syms = [symbols[i].astype(bool) for i in order]
     text_data = _build_text_region_data(
@@ -2048,9 +2294,10 @@ def build_jbig2_text_embedded(
         transposed=transposed,
     )
     out += _segment(
-        2, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, text_data, refs=(1,)
+        dict_num + 1, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, text_data,
+        refs=(dict_num,),
     )
-    nseg = 3
+    nseg = dict_num + 2
     if extra_generic is not None:
         bm, gx, gy = extra_generic
         h, w = bm.shape
@@ -2112,12 +2359,14 @@ def build_jbig2_halftone_embedded(
     patterns: list[np.ndarray],
     page_wh: tuple[int, int] | None = None,
     template: int = 0,
+    enable_skip: bool = False,
 ) -> bytes:
     """Embedded stream for the halftone path: page info + pattern
     dictionary (type 16) + one immediate lossless halftone region
     (type 23) referring to it + end of page. ``gray`` is the (HGH,
     HGW) pattern-index grid, stamped axis-aligned at (n·HDPW,
-    m·HDPH)."""
+    m·HDPH). With ``enable_skip`` (HENABLESKIP), grid cells falling
+    outside the region carry no coded bits — they must hold gray 0."""
     hgh, hgw = gray.shape
     hph, hpw = patterns[0].shape
     if page_wh is None:
@@ -2133,7 +2382,8 @@ def build_jbig2_halftone_embedded(
     out += _segment(
         2, _SEG_HALFTONE_IMMEDIATE_LOSSLESS, 1,
         _build_halftone_region_data(
-            gray, patterns, page_wh, (0, 0), template
+            gray, patterns, page_wh, (0, 0), template,
+            enable_skip=enable_skip,
         ),
         refs=(1,),
     )

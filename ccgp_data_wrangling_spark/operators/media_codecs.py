@@ -4418,6 +4418,305 @@ def decode_mp3_layer1_subbands(payload: bytes) -> list[dict[str, Any]]:
 
 
 # ---------------------------------------------------------------------------
+# MPEG-1 Layer II (ISO 11172-3 §2.4.1.6 / §2.4.2.6 / §2.4.3.3) — the
+# broadcast/archive layer between I and III: 1152 samples per frame
+# (12 granules × 3 samples per subband), per-subband allocation read
+# against one of four quantization tables (3-B.2a–d) selected by
+# sample rate and per-channel bitrate, scfsi-shared scalefactors over
+# three 12-sample parts, and grouped 3/5/9-level sample codes packed
+# three-to-a-codeword. Table CONTENTS (nbal widths and steps lists)
+# follow the widely-reproduced public form of Tables 3-B.2a–d;
+# encode/decode share one definition so round-trip tests pin the
+# internal consistency, and the C/D requant constants are DERIVED
+# (C = 2^k/steps, D = 0.5 grouped else 2^(1-k)) rather than
+# transcribed, matching Table 3-B.4's published values.
+# ---------------------------------------------------------------------------
+
+# per-subband rows: (nbal, steps-per-allocation-index)
+_L2_STEPS_HI = (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047,
+                4095, 8191, 16383, 32767, 65535)
+_L2_STEPS_MID = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023,
+                 2047, 4095, 8191, 65535)
+_L2_STEPS_LOW = (3, 5, 7, 9, 15, 31, 65535)
+_L2_STEPS_TAIL = (3, 5, 65535)
+_L2_STEPS_LB0 = (5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+                 4095, 8191, 16383, 32767)
+_L2_STEPS_LB = (5, 7, 9, 15, 31, 63, 127)
+
+_L2_TABLES = {
+    # Table 3-B.2a: sblimit 27
+    "a": [(4, _L2_STEPS_HI)] * 3 + [(4, _L2_STEPS_MID)] * 8
+         + [(3, _L2_STEPS_LOW)] * 12 + [(2, _L2_STEPS_TAIL)] * 4,
+    # Table 3-B.2b: sblimit 30
+    "b": [(4, _L2_STEPS_HI)] * 3 + [(4, _L2_STEPS_MID)] * 8
+         + [(3, _L2_STEPS_LOW)] * 12 + [(2, _L2_STEPS_TAIL)] * 7,
+    # Table 3-B.2c: sblimit 8
+    "c": [(4, _L2_STEPS_LB0)] * 2 + [(3, _L2_STEPS_LB)] * 6,
+    # Table 3-B.2d: sblimit 12
+    "d": [(4, _L2_STEPS_LB0)] * 2 + [(3, _L2_STEPS_LB)] * 10,
+}
+
+_L2_GROUPED = (3, 5, 9)  # classes coded three-samples-per-codeword
+_L2_GROUP_BITS = {3: 5, 5: 7, 9: 10}
+
+
+def _l2_select_table(sample_rate: int, kbps_per_channel: int) -> str:
+    """Quantization-table selection (§2.4.2.6): low per-channel rates
+    take the 8/12-band tables, 44.1/32 kHz high rates the 30-band
+    table, everything else the 27-band table."""
+    if sample_rate not in _MP3_RATES["MPEG1"]:
+        raise NotImplementedError(
+            "Layer II subband decode implemented for MPEG-1 rates only"
+        )
+    if kbps_per_channel in (32, 48):
+        return "d" if sample_rate == 32000 else "c"
+    if kbps_per_channel in (56, 64, 80):
+        return "a"
+    if kbps_per_channel in (96, 112, 128, 160, 192):
+        return "a" if sample_rate == 48000 else "b"
+    raise ValueError(
+        f"invalid Layer II per-channel bitrate {kbps_per_channel} kbps"
+    )
+
+
+def _l2_class(steps: int) -> tuple[int, bool, int]:
+    """→ (k, grouped, code_bits): k is the fraction width in the
+    requant formula (2^k ≥ steps+1), code_bits the serialized width
+    (per codeword when grouped, per sample otherwise)."""
+    grouped = steps in _L2_GROUPED
+    k = (steps).bit_length() if not grouped else {3: 2, 5: 3, 9: 4}[steps]
+    return k, grouped, _L2_GROUP_BITS[steps] if grouped else k
+
+
+_L2_SCFSI_PARTS = {  # scfsi → transmitted-scalefactor ordinal per part
+    0: (0, 1, 2),
+    1: (0, 0, 1),
+    2: (0, 0, 0),
+    3: (0, 1, 1),
+}
+_L2_SCFSI_COUNT = {0: 3, 1: 2, 2: 1, 3: 2}
+
+
+def build_mp3_layer2(
+    *,
+    sample_rate: int = 44100,
+    bitrate_kbps: int = 96,
+    alloc_idx: list[int],
+    scfsi: list[int],
+    scf_idx,  # callable (sb, ordinal) -> 6-bit index, or nested list
+    codes,  # callable (t, sb) -> sample code for sample t in 0..35
+    n_frames: int = 1,
+) -> bytes:
+    """Fixture writer: mono MPEG-1 Layer II frames with a REAL coded
+    payload (§2.4.1.6): sblimit allocation indices at the selected
+    table's nbal widths, 2-bit scfsi per allocated subband, 6-bit
+    scalefactors (1–3 per subband by scfsi), then 12 granules of
+    sample codes — grouped classes pack s0 + steps·s1 + steps²·s2
+    into one codeword. ``alloc_idx`` must cover exactly the table's
+    sblimit."""
+    table = _l2_select_table(sample_rate, bitrate_kbps)
+    rows = _L2_TABLES[table]
+    sblimit = len(rows)
+    if len(alloc_idx) != sblimit or len(scfsi) != sblimit:
+        raise ValueError(
+            f"alloc_idx and scfsi must cover sblimit={sblimit} "
+            f"subbands (table {table})"
+        )
+    ridx = _MP3_RATES["MPEG1"].index(sample_rate)
+    bidx = _MP3_BITRATES[("MPEG1", 2)].index(bitrate_kbps)
+    flen = _mp3_frame_len("MPEG1", 2, bitrate_kbps, sample_rate, 0)
+    hdr = (
+        (0x7FF << 21)
+        | (3 << 19)            # MPEG1
+        | (2 << 17)            # layer II
+        | (1 << 16)            # no CRC
+        | (bidx << 12)
+        | (ridx << 10)
+        | (3 << 6)             # single_channel
+    )
+    out = bytearray()
+    for _ in range(n_frames):
+        bits: list[tuple[int, int]] = []
+        for sb in range(sblimit):
+            nbal, steps_row = rows[sb]
+            if not 0 <= alloc_idx[sb] <= len(steps_row):
+                raise ValueError(
+                    f"allocation index {alloc_idx[sb]} out of range "
+                    f"for subband {sb} (table {table})"
+                )
+            bits.append((alloc_idx[sb], nbal))
+        for sb in range(sblimit):
+            if alloc_idx[sb]:
+                if not 0 <= scfsi[sb] <= 3:
+                    raise ValueError("scfsi out of range")
+                bits.append((scfsi[sb], 2))
+        for sb in range(sblimit):
+            if alloc_idx[sb]:
+                for j in range(_L2_SCFSI_COUNT[scfsi[sb]]):
+                    idx = (
+                        scf_idx(sb, j) if callable(scf_idx)
+                        else scf_idx[sb][j]
+                    )
+                    if not 0 <= idx <= 62:
+                        raise ValueError("scalefactor index out of range")
+                    bits.append((idx, 6))
+        for gr in range(12):
+            for sb in range(sblimit):
+                if not alloc_idx[sb]:
+                    continue
+                steps = rows[sb][1][alloc_idx[sb] - 1]
+                _k, grouped, cbits = _l2_class(steps)
+                s = [codes(gr * 3 + j, sb) for j in range(3)]
+                if any(not 0 <= v < steps for v in s):
+                    raise ValueError(
+                        f"sample code out of range for {steps}-step "
+                        f"class in subband {sb}"
+                    )
+                if grouped:
+                    bits.append(
+                        (s[0] + steps * s[1] + steps * steps * s[2],
+                         cbits)
+                    )
+                else:
+                    for v in s:
+                        bits.append((v, cbits))
+        need = sum(ln for _, ln in bits)
+        if need > (flen - 4) * 8:
+            raise ValueError(
+                f"payload needs {need} bits, frame holds {(flen - 4) * 8}"
+            )
+        frame = bytearray(flen)
+        frame[0:4] = hdr.to_bytes(4, "big")
+        acc, n, pos = 0, 0, 4
+        for v, ln in bits:
+            for i in range(ln - 1, -1, -1):
+                acc = (acc << 1) | ((v >> i) & 1)
+                n += 1
+                if n == 8:
+                    frame[pos] = acc
+                    pos += 1
+                    acc, n = 0, 0
+        if n:
+            frame[pos] = acc << (8 - n)
+        out += frame
+    return bytes(out)
+
+
+def decode_mp3_layer2_subbands(payload: bytes) -> list[dict[str, Any]]:
+    """REAL Layer II decode through dequantization (§2.4.3.3): per
+    frame and allocated subband, read allocation / scfsi /
+    scalefactors / 12 granules of (de)grouped sample codes and apply
+    s' = sf · C · (s/2^(k−1) − 1 + D) with C = 2^k/steps and
+    D = 0.5 (grouped) or 2^(1−k) — the 30-band spectral envelope at
+    Layer II's granularity, every stage before the synthesis
+    filterbank (PCM synthesis still raises elsewhere).
+
+    Mono MPEG-1 Layer II only; stereo modes, MPEG-2 LSF Layer II and
+    free-format raise. Returns one dict per (frame, subband): frame,
+    subband, steps, scfsi, rms (6 dp over the 36 samples)."""
+    pos = 0
+    end = len(payload)
+    out: list[dict[str, Any]] = []
+    frame_no = 0
+    while pos < end:
+        if end - pos < 4:
+            raise ValueError("truncated Layer II frame header")
+        hdr = int.from_bytes(payload[pos : pos + 4], "big")
+        if hdr >> 21 != 0x7FF:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        if (hdr >> 19) & 0x3 != 3 or (hdr >> 17) & 0x3 != 2:
+            raise NotImplementedError(
+                "subband decode implemented for MPEG-1 Layer II only"
+            )
+        if (hdr >> 6) & 0x3 != 3:
+            raise NotImplementedError("stereo Layer II subband decode")
+        crc = not (hdr >> 16) & 0x1
+        bidx = (hdr >> 12) & 0xF
+        if bidx == 0:
+            raise NotImplementedError("free-format Layer II bitrate")
+        ridx = (hdr >> 10) & 0x3
+        bitrate = _MP3_BITRATES[("MPEG1", 2)][bidx]
+        rate = _MP3_RATES["MPEG1"][ridx]
+        padding = (hdr >> 9) & 0x1
+        flen = _mp3_frame_len("MPEG1", 2, bitrate, rate, padding)
+        if pos + flen > end:
+            raise ValueError("truncated final Layer II frame")
+        table = _l2_select_table(rate, bitrate)
+        rows = _L2_TABLES[table]
+        sblimit = len(rows)
+        r = _BitReader(payload[pos + 4 + (2 if crc else 0) : pos + flen])
+        alloc = [r.read_bits(rows[sb][0]) for sb in range(sblimit)]
+        for sb in range(sblimit):
+            if alloc[sb] > len(rows[sb][1]):
+                raise ValueError(
+                    f"allocation index {alloc[sb]} exceeds table "
+                    f"{table} row for subband {sb}"
+                )
+        scfsi = [
+            r.read_bits(2) if alloc[sb] else 0 for sb in range(sblimit)
+        ]
+        scf: list[list[int]] = []
+        for sb in range(sblimit):
+            if alloc[sb]:
+                sent = [
+                    r.read_bits(6)
+                    for _ in range(_L2_SCFSI_COUNT[scfsi[sb]])
+                ]
+                scf.append(
+                    [sent[j] for j in _L2_SCFSI_PARTS[scfsi[sb]]]
+                )
+            else:
+                scf.append([0, 0, 0])
+        acc = [0.0] * sblimit
+        for gr in range(12):
+            for sb in range(sblimit):
+                if not alloc[sb]:
+                    continue
+                steps = rows[sb][1][alloc[sb] - 1]
+                k, grouped, cbits = _l2_class(steps)
+                if grouped:
+                    c = r.read_bits(cbits)
+                    s = [c % steps, (c // steps) % steps,
+                         c // (steps * steps)]
+                    if s[2] >= steps:
+                        raise ValueError(
+                            f"grouped codeword {c} out of range for "
+                            f"{steps}-step class"
+                        )
+                    d_const = 0.5
+                else:
+                    s = [r.read_bits(cbits) for _ in range(3)]
+                    d_const = 2.0 ** (1 - k)
+                idx = scf[sb][gr // 4]
+                sf = (
+                    2.0 * 2.0 ** (-(idx // 3))
+                    if idx % 3 == 0
+                    else 2.0 * 2.0 ** (-idx / 3.0)
+                )
+                for v in s:
+                    x = sf * (
+                        (2.0**k / steps)
+                        * (v / 2.0 ** (k - 1) - 1 + d_const)
+                    )
+                    acc[sb] += x * x
+        for sb in range(sblimit):
+            if alloc[sb]:
+                steps = rows[sb][1][alloc[sb] - 1]
+                out.append(
+                    {
+                        "frame": frame_no,
+                        "subband": sb,
+                        "steps": steps,
+                        "scfsi": scfsi[sb],
+                        "rms": round((acc[sb] / 36.0) ** 0.5, 6),
+                    }
+                )
+        frame_no += 1
+        pos += flen
+    return out
+
+
+# ---------------------------------------------------------------------------
 # MPEG-1 Layer III (ISO 11172-3 §2.4.1.7 / §2.4.2.7) — side info,
 # scalefactors, big-value + count1 Huffman regions and spectral
 # requantization: every decode stage BEFORE the IMDCT/polyphase

@@ -51,56 +51,10 @@ def register(name: str, oracle: str | None):
 # row — the stalest-first re-verification cycle the round-5 verdict
 # prescribed (regression freshness, not new coverage).
 _PRIORITY: list[str] = [
-    "multimodal_mp3_lsf_spectrum",
-    "docx_text_extract",
-    "pdf_jbig2_image_extract",
-    "odt_text_extract",
-    "pdf_jbig2_text_extract",
-    "pdf_jbig2_halftone_extract",
-    "epub_text_extract",
-    "rtf_text_extract",
-    "pdf_jbig2_refine_extract",
-    "multimodal_mp3_lsf_intensity_spectrum",
-    "pdf_bpc_image_extract",
-    "ab_test_conversion",
-    "wow_revenue_growth",
-    "nullsafe_join_segments",
-    "triangle_count_links",
-    "reachability_3hops",
-    "vhist_quantiles_by_type",
-    "hll_rolling_7d_users",
-    "dataset_card_metrics",
-    "tfidf_cosine_neardup",
-    "sql_api_nation_revenue",
-    "classifier_decile_profile",
-    "interval_intersect_click_error",
-    "ann_ivf_multiquery_planted",
-    "semantic_dedup_lsh_planted",
-    "biosample_sheet_e2e",
-    "multimodal_jpeg_real_decode",
-    "multimodal_png_real_decode",
-    "bpe_train_merges",
-    "bpe_encode_token_count",
-    "multimodal_wav_spectral",
-    "warc_ingest_extract",
-    "trajectory_hausdorff_pairs",
-    "image_phash_dedup",
-    "fingerprint_hamming_neardup",
-    "a1_segment_summary",
-    "a2_flag_share",
-    "f4_urgent_customers",
-    "j6_customers_without_orders",
-    "j7_lang_family_lookup",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_regional_revenue",
-    "r1_adjacent_pairs",
-    "w2_top_order_per_customer",
-    "x12_fuzzy_best_match",
-    "x7_part_labels",
-    "m2_insert_only_then_delete",
-    "m7_scd2_segment_migration",
-    "k1_s5_tsv_roundtrip",
+    "pptx_text_extract",
+    "html_text_extract",
+    "multimodal_mp3_layer2_subband_decode",
+    "pdf_jpx_image_extract",
     "s4_sheet_probe_tsv",
     "s4_sheet_probe_xlsx",
     "multimodal_mp3_metadata",
@@ -303,6 +257,56 @@ _PRIORITY: list[str] = [
     "containment_join_retrieval",
     "market_basket_pairs",
     "skew_salted_join_revenue",
+    "multimodal_mp3_lsf_spectrum",
+    "docx_text_extract",
+    "pdf_jbig2_image_extract",
+    "odt_text_extract",
+    "pdf_jbig2_text_extract",
+    "pdf_jbig2_halftone_extract",
+    "epub_text_extract",
+    "rtf_text_extract",
+    "pdf_jbig2_refine_extract",
+    "multimodal_mp3_lsf_intensity_spectrum",
+    "pdf_bpc_image_extract",
+    "ab_test_conversion",
+    "wow_revenue_growth",
+    "nullsafe_join_segments",
+    "triangle_count_links",
+    "reachability_3hops",
+    "vhist_quantiles_by_type",
+    "hll_rolling_7d_users",
+    "dataset_card_metrics",
+    "tfidf_cosine_neardup",
+    "sql_api_nation_revenue",
+    "classifier_decile_profile",
+    "interval_intersect_click_error",
+    "ann_ivf_multiquery_planted",
+    "semantic_dedup_lsh_planted",
+    "biosample_sheet_e2e",
+    "multimodal_jpeg_real_decode",
+    "multimodal_png_real_decode",
+    "bpe_train_merges",
+    "bpe_encode_token_count",
+    "multimodal_wav_spectral",
+    "warc_ingest_extract",
+    "trajectory_hausdorff_pairs",
+    "image_phash_dedup",
+    "fingerprint_hamming_neardup",
+    "a1_segment_summary",
+    "a2_flag_share",
+    "f4_urgent_customers",
+    "j6_customers_without_orders",
+    "j7_lang_family_lookup",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_regional_revenue",
+    "r1_adjacent_pairs",
+    "w2_top_order_per_customer",
+    "x12_fuzzy_best_match",
+    "x7_part_labels",
+    "m2_insert_only_then_delete",
+    "m7_scd2_segment_migration",
+    "k1_s5_tsv_roundtrip",
 ]
 
 

@@ -5597,6 +5597,9 @@ SELECT id,
        CASE WHEN (k // 8) % 2 = 1 THEN 'huffman' ELSE 'arith' END
          AS dict_coding,
        CAST(k % 2 = 0 AS BOOLEAN) AS has_generic,
+       CAST((k // 16) % 2 = 1 AS BOOLEAN) AS refined,
+       CAST((k // 8) % 2 = 1 AND k % 2 = 1 AS BOOLEAN)
+         AS custom_table,
        CAST('jbig2' AS VARCHAR) AS codec,
        ROUND(255.0 * (512 - 5 * n
              - CASE WHEN k % 2 = 0 THEN 16 ELSE 0 END) / 512.0, 4)
@@ -5620,8 +5623,14 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition path runs inside one image; (k//4)%2 rotates
     TRANSPOSED placement and (k//8)%2 the symbol-dictionary coding
     (arithmetic vs SDHUFF=1 Annex B standard tables with MMR
-    collective bitmaps). Annex A integer coders and the Annex E MQ
-    coder are from-scratch (operators/jbig2.py)."""
+    collective bitmaps); (k//16)%2 docs re-code their first instance
+    as an SBREFINE refinement (§6.4.11) of its glyph into a 4×4
+    pattern that ALSO carries exactly 5 black pixels — the luma stays
+    closed-form while a refinement decode slip corrupts the count;
+    huffman docs with k%2==1 route their width deltas through a
+    referred CUSTOM type-53 Annex B table (selector 3). Annex A
+    integer coders and the Annex E MQ coder are from-scratch
+    (operators/jbig2.py)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -5644,21 +5653,43 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         np.array([[1, 1, 1], [0, 1, 0], [0, 1, 0]], bool),  # T
     )
     _RC = ("tl", "bl", "tr", "br")
+    # SBREFINE output pattern: 4×4 with EXACTLY 5 black pixels, same
+    # count as every glyph, so refined pages keep the closed-form luma
+    _REFINED_BM = np.zeros((4, 4), bool)
+    _REFINED_BM[0, 0] = _REFINED_BM[1, 2] = _REFINED_BM[2, 1] = True
+    _REFINED_BM[2, 3] = _REFINED_BM[3, 0] = True
+    _CUSTOM_DW_SPEC = {
+        "htlow": 0, "hthigh": 8, "lines": [(1, 3)],
+        "lower_pref": 3, "upper_pref": 3, "oob_pref": 2,
+    }
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, rcs, tps, dcs, gens = [], [], [], [], []
+            refs, customs = [], []
             for eid in pdf["id"]:
                 e = int(eid)
                 k = e // 20
                 n = e % 4 + 2
-                insts = [
+                insts: list = [
                     ((e + i) % 3, 1 + 6 * i, 2 + ((e + i) % 2) * 8)
                     for i in range(n)
                 ]
+                refined = (k // 16) % 2 == 1
+                if refined:
+                    sid, x0, y0 = insts[0]
+                    insts[0] = (
+                        sid, x0, y0,
+                        {
+                            "bitmap": _REFINED_BM,
+                            "rdx": e % 3 - 1,
+                            "rdy": (e // 3) % 3 - 1,
+                        },
+                    )
                 rc = _RC[k % 4]
                 tp = (k // 4) % 2 == 1
                 huff = (k // 8) % 2 == 1
+                custom = huff and k % 2 == 1
                 extra = (
                     (np.ones((4, 4), bool), 28, 12)
                     if k % 2 == 0
@@ -5669,6 +5700,7 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     template=k % 3, refcorner=rc,
                     extra_generic=extra, transposed=tp,
                     huffman_dict=huff,
+                    custom_dw_spec=_CUSTOM_DW_SPEC if custom else None,
                 )
                 payloads.append(
                     build_pdf(
@@ -5680,6 +5712,8 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tps.append(tp)
                 dcs.append("huffman" if huff else "arith")
                 gens.append(k % 2 == 0)
+                refs.append(refined)
+                customs.append(custom)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].values,
@@ -5687,6 +5721,8 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "transposed": tps,
                     "dict_coding": dcs,
                     "has_generic": gens,
+                    "refined": refs,
+                    "custom_table": customs,
                     "payload": payloads,
                 }
             )
@@ -5694,9 +5730,10 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for rid, rc, tp, dc, hg, blob in zip(
+            for rid, rc, tp, dc, hg, rf, ct, blob in zip(
                 pdf["id"], pdf["refcorner"], pdf["transposed"],
                 pdf["dict_coding"], pdf["has_generic"],
+                pdf["refined"], pdf["custom_table"],
                 pdf["payload"],
             ):
                 for r in pdf_images(bytes(blob)):
@@ -5709,6 +5746,8 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "transposed": tp,
                             "dict_coding": dc,
                             "has_generic": hg,
+                            "refined": rf,
+                            "custom_table": ct,
                             "codec": r["codec"],
                             "luma_mean": r["luma_mean"],
                         }
@@ -5718,7 +5757,7 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=[
                     "id", "width", "height", "refcorner",
                     "transposed", "dict_coding", "has_generic",
-                    "codec", "luma_mean",
+                    "refined", "custom_table", "codec", "luma_mean",
                 ],
             )
 
@@ -5726,14 +5765,16 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth,
         schema=(
             "id long, refcorner string, transposed boolean, "
-            "dict_coding string, has_generic boolean, payload binary"
+            "dict_coding string, has_generic boolean, "
+            "refined boolean, custom_table boolean, payload binary"
         ),
     ).mapInPandas(
         extract,
         schema=(
             "id long, width int, height int, refcorner string, "
             "transposed boolean, dict_coding string, "
-            "has_generic boolean, codec string, luma_mean double"
+            "has_generic boolean, refined boolean, "
+            "custom_table boolean, codec string, luma_mean double"
         ),
     )
 
@@ -5759,6 +5800,7 @@ SELECT id,
        CAST(32 AS INT) AS width,
        CAST(16 AS INT) AS height,
        CAST(k % 3 AS INT) AS template,
+       CAST((k // 3) % 2 = 1 AS BOOLEAN) AS enableskip,
        CAST('jbig2' AS VARCHAR) AS codec,
        ROUND(255.0 * (512 - (60 + (id + 3) % 5 + id % 5)) / 512.0, 4)
          AS luma_mean
@@ -5779,7 +5821,12 @@ def pdf_jbig2_halftone_extract(
     The 4×8 gray grid is ``(id + 7·idx + 3) % 5`` over a 5-pattern
     density ramp, so the black count is 60 + (id+3)%5 + id%5 in
     closed form (the 7·idx term walks all residues mod 5 per block of
-    five cells); k%3 rotates the bitplane coding template."""
+    five cells); k%3 rotates the bitplane coding template, and
+    (k//3)%2 docs widen the grid to 4×9 with HENABLESKIP on — the
+    ninth column stamps at x=32, entirely outside the 32-wide
+    region, so its cells carry NO coded bits (gray forced 0) and the
+    closed-form luma is unchanged while the USESKIP context path
+    provably executes."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -5804,13 +5851,19 @@ def pdf_jbig2_halftone_extract(
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads, templates = [], []
+            payloads, templates, skips = [], [], []
             for eid in pdf["id"]:
                 e = int(eid)
                 k = e // 20
                 gray = (np.arange(32).reshape(4, 8) * 7 + e + 3) % 5
+                skip = (k // 3) % 2 == 1
+                if skip:
+                    gray = np.concatenate(
+                        [gray, np.zeros((4, 1), gray.dtype)], axis=1
+                    )
                 stream = build_jbig2_halftone_embedded(
-                    gray, _PATS, template=k % 3
+                    gray, _PATS, page_wh=(32, 16), template=k % 3,
+                    enable_skip=skip,
                 )
                 payloads.append(
                     build_pdf(
@@ -5819,10 +5872,12 @@ def pdf_jbig2_halftone_extract(
                     )
                 )
                 templates.append(k % 3)
+                skips.append(skip)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].values,
                     "template": templates,
+                    "enableskip": skips,
                     "payload": payloads,
                 }
             )
@@ -5830,8 +5885,9 @@ def pdf_jbig2_halftone_extract(
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for rid, tmpl, blob in zip(
-                pdf["id"], pdf["template"], pdf["payload"]
+            for rid, tmpl, sk, blob in zip(
+                pdf["id"], pdf["template"], pdf["enableskip"],
+                pdf["payload"],
             ):
                 for r in pdf_images(bytes(blob)):
                     rows.append(
@@ -5840,6 +5896,7 @@ def pdf_jbig2_halftone_extract(
                             "width": r["width"],
                             "height": r["height"],
                             "template": tmpl,
+                            "enableskip": sk,
                             "codec": r["codec"],
                             "luma_mean": r["luma_mean"],
                         }
@@ -5847,18 +5904,21 @@ def pdf_jbig2_halftone_extract(
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "id", "width", "height", "template", "codec",
-                    "luma_mean",
+                    "id", "width", "height", "template", "enableskip",
+                    "codec", "luma_mean",
                 ],
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, template int, payload binary"
+        synth,
+        schema=(
+            "id long, template int, enableskip boolean, payload binary"
+        ),
     ).mapInPandas(
         extract,
         schema=(
             "id long, width int, height int, template int, "
-            "codec string, luma_mean double"
+            "enableskip boolean, codec string, luma_mean double"
         ),
     )
 
@@ -7601,3 +7661,333 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
     return html_documents(media)
+
+
+# ---------------------------------------------------------------------------
+# MP3 Layer II subband decode through the driver gate — fills the
+# Layer I/III sandwich (ISO 11172-3 §2.4.3.3 for Layer II):
+# table-selected allocation (3-B.2a–d), scfsi scalefactor sharing
+# over the three 12-sample parts, grouped 3/5/9-level degrouping,
+# and the derived C/D requantization. Fixtures rotate three
+# rate/bitrate variants that exercise tables b, c and d plus 1- and
+# 2-frame streams; scalefactor indices are multiples of 3 so factors
+# are exact powers of two and the oracle's POWER() arithmetic
+# replays the kernel's doubles bit-for-bit at the 6-dp round.
+# ---------------------------------------------------------------------------
+
+_MP3_L2_SQL = """
+WITH g AS (
+  SELECT event_id AS id FROM events WHERE event_id % 20 = 13
+),
+bands(v, subband, steps, grp, k) AS (
+  VALUES
+    (0, 0, 3, true, 2), (0, 1, 15, false, 4), (0, 3, 5, true, 3),
+    (0, 5, 9, true, 4), (0, 11, 7, false, 3), (0, 23, 5, true, 3),
+    (0, 27, 3, true, 2),
+    (1, 0, 5, true, 3), (1, 1, 7, false, 3), (1, 2, 5, true, 3),
+    (1, 4, 15, false, 4), (1, 7, 127, false, 7),
+    (2, 0, 7, false, 3), (2, 2, 7, false, 3), (2, 9, 15, false, 4),
+    (2, 11, 5, true, 3)
+),
+b AS (
+  SELECT id, subband, steps, grp, k, (id + subband) % 4 AS scfsi
+  FROM g JOIN bands ON bands.v = id % 3
+),
+samp AS (
+  SELECT id, subband, steps, grp, k, scfsi,
+         UNNEST(generate_series(0, 35)) AS t
+  FROM b
+),
+vals AS (
+  SELECT id, subband, steps, scfsi,
+    (2.0 * POWER(2.0, -((id + subband + (
+        CASE scfsi
+          WHEN 0 THEN (t // 12)
+          WHEN 1 THEN CASE WHEN t // 12 < 2 THEN 0 ELSE 1 END
+          WHEN 2 THEN 0
+          ELSE CASE WHEN t // 12 = 0 THEN 0 ELSE 1 END
+        END)) % 5)))
+    * ((POWER(2.0, k) / steps)
+       * (((t * (subband + 1) + id) % steps) / POWER(2.0, k - 1)
+          - 1 + CASE WHEN grp THEN 0.5
+                     ELSE POWER(2.0, 1 - k) END)) AS x
+  FROM samp
+),
+frames AS (
+  SELECT id AS fid, UNNEST(generate_series(0, id % 2)) AS frame FROM g
+)
+SELECT v.id, CAST(f.frame AS INT) AS frame,
+       CAST(v.subband AS INT) AS subband,
+       CAST(v.steps AS INT) AS steps,
+       CAST(v.scfsi AS INT) AS scfsi,
+       ROUND(SQRT(SUM(v.x * v.x) / 36.0), 6) AS rms
+FROM vals v JOIN frames f ON v.id = f.fid
+GROUP BY v.id, f.frame, v.subband, v.steps, v.scfsi
+"""
+
+_L2_QUERY_BANDS = {
+    0: [(0, 1), (1, 3), (3, 2), (5, 4), (11, 3), (23, 2), (27, 1)],
+    1: [(0, 1), (1, 2), (2, 1), (4, 4), (7, 7)],
+    2: [(0, 2), (2, 2), (9, 4), (11, 1)],
+}
+_L2_QUERY_STEPS = {
+    0: {0: 3, 1: 15, 3: 5, 5: 9, 11: 7, 23: 5, 27: 3},
+    1: {0: 5, 1: 7, 2: 5, 4: 15, 7: 127},
+    2: {0: 7, 2: 7, 9: 15, 11: 5},
+}
+_L2_QUERY_CFG = {0: (44100, 96, 30), 1: (44100, 48, 8), 2: (32000, 48, 12)}
+
+
+@register("multimodal_mp3_layer2_subband_decode", _MP3_L2_SQL)
+def multimodal_mp3_layer2_subband_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Layer II subband decode end-to-end: build_mp3_layer2 fixtures
+    (real bit-packed allocation/scfsi/scalefactor/grouped-sample
+    payload across quantization tables b, c and d) →
+    decode_mp3_layer2_subbands → per-band RMS envelope over the 36
+    samples. Two Arrow stages; PCM synthesis still raises honestly."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3_layer2,
+        decode_mp3_layer2_subbands,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 13
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                v = e % 3
+                rate, kbps, sblimit = _L2_QUERY_CFG[v]
+                steps_map = _L2_QUERY_STEPS[v]
+                alloc = [0] * sblimit
+                for sb, idx in _L2_QUERY_BANDS[v]:
+                    alloc[sb] = idx
+                scfsi = [
+                    (e + sb) % 4 if alloc[sb] else 0
+                    for sb in range(sblimit)
+                ]
+                payloads.append(
+                    build_mp3_layer2(
+                        sample_rate=rate,
+                        bitrate_kbps=kbps,
+                        alloc_idx=alloc,
+                        scfsi=scfsi,
+                        scf_idx=lambda sb, j, _e=e: 3 * ((_e + sb + j) % 5),
+                        codes=lambda t, sb, _e=e, _m=steps_map: (
+                            (t * (sb + 1) + _e) % _m[sb]
+                        ),
+                        n_frames=1 + e % 2,
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                for r in decode_mp3_layer2_subbands(bytes(blob)):
+                    rows.append({"id": rid, **r})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "frame", "subband", "steps", "scfsi", "rms",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        decode,
+        schema=(
+            "id long, frame int, subband int, steps int, scfsi int, "
+            "rms double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JPEG 2000 image extraction through the driver gate — the last
+# mainstream scanned-PDF codec (/JPXDecode, ISO 15444-1): fixtures
+# rotate a 2-level grayscale codestream, a 1-level RGB/RCT
+# codestream, and a JP2-container grayscale with zero-bitplane slack
+# (the tag-tree P0 path carrying real work). Pixel formulas are
+# modular-integer, so the oracle replays the exact per-channel means
+# in SQL and any Tier-1/wavelet/RCT slip shifts them. The entropy
+# layer is the SAME from-scratch MQ coder as the JBIG2 family
+# (operators/jbig2.py), wrapped in EBCOT Tier-1/Tier-2 and the 5/3
+# reversible lifting (operators/jpeg2000.py).
+# ---------------------------------------------------------------------------
+
+_PDF_JPX_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id % 3 AS v
+  FROM events WHERE event_id % 20 = 14
+),
+dims AS (
+  SELECT id, v,
+         CASE v WHEN 0 THEN 20 WHEN 1 THEN 12 ELSE 24 END AS w,
+         CASE v WHEN 0 THEN 16 WHEN 1 THEN 12 ELSE 8 END AS h
+  FROM g
+),
+px AS (
+  SELECT id, v, w, h, UNNEST(generate_series(0, h - 1)) AS y
+  FROM dims
+),
+px2 AS (
+  SELECT id, v, w, h, y, UNNEST(generate_series(0, w - 1)) AS x
+  FROM px
+),
+vals AS (
+  SELECT id, v, w, h,
+         ((x + 1) * (y + 2) + id) % 256 AS g0,
+         (x * 3 + y * 5 + id + 1) % 256 AS g1,
+         (x * 7 + y * 2 + id + 2) % 256 AS g2
+  FROM px2
+),
+agg AS (
+  SELECT id, v, w, h,
+         CAST(SUM(g0) AS DOUBLE) AS s0,
+         CAST(SUM(g1) AS DOUBLE) AS s1,
+         CAST(SUM(g2) AS DOUBLE) AS s2
+  FROM vals GROUP BY id, v, w, h
+)
+SELECT id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(CASE WHEN v = 1 THEN 3 ELSE 1 END AS INT) AS n_channels,
+       CAST(CASE v WHEN 1 THEN 1 ELSE 2 END AS INT) AS levels,
+       CAST(v = 2 AS BOOLEAN) AS container,
+       CAST('jpx' AS VARCHAR) AS codec,
+       ROUND(s0 / (w * h), 4) AS cm0,
+       CASE WHEN v = 1 THEN ROUND(s1 / (w * h), 4)
+            ELSE ROUND(s0 / (w * h), 4) END AS cm1,
+       CASE WHEN v = 1 THEN ROUND(s2 / (w * h), 4)
+            ELSE ROUND(s0 / (w * h), 4) END AS cm2
+FROM agg
+"""
+
+
+@register("pdf_jpx_image_extract", _PDF_JPX_SQL)
+def pdf_jpx_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG 2000 path end-to-end: encode_jpx writes a real Part 1
+    codestream (SIZ/COD/QCD markers, tag-tree packet headers, EBCOT
+    Tier-1 over the shared MQ coder, 5/3 reversible lifting, RCT for
+    RGB), build_pdf embeds it behind /JPXDecode, and pdf_images
+    decodes it back to pixel statistics. Variant rotation: v0 =
+    2-level grayscale, v1 = 1-level RGB through the reversible
+    colour transform, v2 = JP2 container + eps_slack=2 (signalled
+    zero bitplanes). Lossless reconstruction means the oracle's
+    modular pixel formulas replay the means exactly."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf, pdf_images
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 14
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, levels_l, containers = [], [], []
+            for eid in pdf["id"]:
+                e = int(eid)
+                v = e % 3
+                if v == 0:
+                    w, h, lv, opts = 20, 16, 2, {"levels": 2}
+                elif v == 1:
+                    w, h, lv, opts = 12, 12, 1, {"levels": 1}
+                else:
+                    w, h, lv = 24, 8, 2
+                    opts = {
+                        "levels": 2, "eps_slack": 2,
+                        "jp2_container": True,
+                    }
+                yy, xx = np.mgrid[0:h, 0:w]
+                g0 = ((xx + 1) * (yy + 2) + e) % 256
+                if v == 1:
+                    g1 = (xx * 3 + yy * 5 + e + 1) % 256
+                    g2 = (xx * 7 + yy * 2 + e + 2) % 256
+                    arr = np.stack([g0, g1, g2], axis=-1)
+                else:
+                    arr = g0
+                payloads.append(
+                    build_pdf(
+                        [[f"jpx {e}"]],
+                        page_images=[[("jpx", arr, opts)]],
+                    )
+                )
+                levels_l.append(lv)
+                containers.append(v == 2)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "levels": levels_l,
+                    "container": containers,
+                    "payload": payloads,
+                }
+            )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, lv, ct, blob in zip(
+                pdf["id"], pdf["levels"], pdf["container"],
+                pdf["payload"],
+            ):
+                for r in pdf_images(bytes(blob)):
+                    # per-channel means rather than a weighted luma:
+                    # the 0.299/0.587/0.114 sum of 4-dp means lands
+                    # on .00005 round boundaries where Python and
+                    # SQL ROUND diverge by an ulp; three exact means
+                    # verify strictly more than one weighted one
+                    cm = r["channel_means"]
+                    rows.append(
+                        {
+                            "id": rid,
+                            "width": r["width"],
+                            "height": r["height"],
+                            "n_channels": r["n_channels"],
+                            "levels": lv,
+                            "container": ct,
+                            "codec": r["codec"],
+                            "cm0": cm[0],
+                            "cm1": cm[1 % len(cm)],
+                            "cm2": cm[2 % len(cm)],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "n_channels", "levels",
+                    "container", "codec", "cm0", "cm1", "cm2",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth,
+        schema=(
+            "id long, levels int, container boolean, payload binary"
+        ),
+    ).mapInPandas(
+        extract,
+        schema=(
+            "id long, width int, height int, n_channels int, "
+            "levels int, container boolean, codec string, "
+            "cm0 double, cm1 double, cm2 double"
+        ),
+    )

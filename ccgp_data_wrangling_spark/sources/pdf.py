@@ -719,13 +719,16 @@ def pdf_images(
 
     ``/DCTDecode`` payloads run through the from-scratch baseline/
     progressive JPEG decoder (operators/media_codecs.decode_jpeg);
-    transport filters ahead of the image codec (ASCII85/Hex, RunLength,
-    LZW, Flate) are unwrapped first; declared vs decoded dimensions
-    are cross-checked (a mismatch means corrupt data, not a different
-    picture). Raw-sample images (Flate or unfiltered) are interpreted
-    via /ColorSpace + /BitsPerComponent (8-bit DeviceGray/DeviceRGB;
-    other spaces and depths raise honestly, as do JPXDecode/
-    CCITTFaxDecode). Encrypted documents open through the standard
+    ``/JPXDecode`` through the from-scratch JPEG 2000 decoder
+    (operators/jpeg2000.decode_jpx — the codestream overrides dict
+    /ColorSpace and /BitsPerComponent per §7.4.9); transport filters
+    ahead of the image codec (ASCII85/Hex, RunLength, LZW, Flate) are
+    unwrapped first; declared vs decoded dimensions are cross-checked
+    (a mismatch means corrupt data, not a different picture).
+    Raw-sample images (Flate or unfiltered) are interpreted via
+    /ColorSpace + /BitsPerComponent (8-bit DeviceGray/DeviceRGB;
+    other spaces and depths raise honestly).
+    Encrypted documents open through the standard
     security handler (the same ``_CryptState`` the text path uses —
     image XObject stream bodies decrypt with the same per-object
     keys, §7.6.2)."""
@@ -903,6 +906,47 @@ def pdf_images(
                     "codec": "jbig2",
                     "channel_means": [lum],
                     "luma_mean": lum,
+                }
+            )
+            continue
+        if names and names[-1] == b"JPXDecode":
+            # JPEG 2000 (§7.4.9): the codestream defines bit depth
+            # and component count — dict /BitsPerComponent and
+            # /ColorSpace, when present, are overridden by the JPX
+            # data per the spec, so neither is validated here
+            for nm, parm in zip(names[:-1], parms[:-1]):
+                data = _apply_pdf_filter(nm, parm, data, unpredict=True)
+            from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+                decode_jpx,
+            )
+
+            m = decode_jpx(bytes(data))
+            if (m["width"], m["height"]) != (w, h):
+                raise ValueError(
+                    "JPX dimensions disagree with the image dict"
+                )
+            jmax = (1 << m["bit_depth"]) - 1
+            jmeans = m["samples"].astype(np.float64).mean(
+                axis=(0, 1)
+            ) * (255.0 / jmax)
+            out.append(
+                {
+                    "obj": int(om.group(1)),
+                    "width": w,
+                    "height": h,
+                    "n_channels": m["n_channels"],
+                    "codec": "jpx",
+                    "channel_means": [
+                        round(float(x), 4) for x in jmeans
+                    ],
+                    "luma_mean": round(
+                        float(
+                            jmeans @ np.array([0.299, 0.587, 0.114])
+                            if m["n_channels"] == 3
+                            else jmeans[0]
+                        ),
+                        4,
+                    ),
                 }
             )
             continue
@@ -1465,6 +1509,26 @@ def build_pdf(
                         b" /BitsPerComponent %d /Filter /FlateDecode%s"
                         b" /Length %d >>"
                         % (iw, ih, pbpc, dec_frag, len(data))
+                    )
+                    body = head + b"\nstream\n" + data + b"\nendstream"
+                elif spec[0] == "jpx":
+                    # JPEG 2000: ("jpx", samples, opts?) — samples is
+                    # (h, w) gray or (h, w, 3) RGB; opts pass through
+                    # to encode_jpx (levels, eps_slack, bit_depth,
+                    # jp2_container)
+                    from ccgp_data_wrangling_spark.operators.jpeg2000 import (  # noqa: E501
+                        encode_jpx,
+                    )
+
+                    arr = spec[1]
+                    jopts = dict(spec[2]) if len(spec) > 2 else {}
+                    ih, iw = arr.shape[:2]
+                    data = encode_jpx(arr, **jopts)
+                    head = (
+                        b"<< /Type /XObject /Subtype /Image"
+                        b" /Width %d /Height %d"
+                        b" /Filter /JPXDecode"
+                        b" /Length %d >>" % (iw, ih, len(data))
                     )
                     body = head + b"\nstream\n" + data + b"\nendstream"
                 elif spec[0] in ("jbig2", "jbig2_stream"):

@@ -500,16 +500,175 @@ class TestHuffmanTables:
         )
         assert np.array_equal(a["black"], b["black"])
 
-    def test_custom_tables_gate(self):
+    def test_custom_table_parse_roundtrip(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            OOB,
+            _build_table_segment,
+            _HuffReader,
+            _HuffWriter,
+            parse_table_segment,
+        )
+
+        spec = {
+            "htlow": -4, "hthigh": 12,
+            "lines": [(2, 2), (2, 2), (2, 3)],  # [-4,0) [0,4) [4,12)
+            "lower_pref": 3, "upper_pref": 4, "oob_pref": 4,
+        }
+        tab = parse_table_segment(_build_table_segment(spec))
+        w = _HuffWriter()
+        vals = [-4, -1, 0, 3, 4, 11, 12, 99, -5, -30, OOB]
+        for v in vals:
+            tab.encode(w, v)
+        r = _HuffReader(w.getvalue())
+        assert [tab.decode(r) for _ in vals] == vals
+
+    def test_custom_table_bad_tiling_raises(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            _build_table_segment,
+        )
+
+        with pytest.raises(ValueError, match="tile"):
+            _build_table_segment(
+                {
+                    "htlow": 0, "hthigh": 5, "lines": [(1, 2)],
+                    "lower_pref": 2, "upper_pref": 2,
+                }
+            )
+
+    def test_custom_dw_dictionary_end_to_end(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_text_embedded,
+            decode_jbig2_embedded,
+        )
+
+        spec = {
+            "htlow": 0, "hthigh": 8, "lines": [(1, 3)],
+            "lower_pref": 3, "upper_pref": 3, "oob_pref": 2,
+        }
+        symA = np.zeros((5, 4), bool)
+        symA[1:4, 1:3] = True
+        symB = np.zeros((5, 9), bool)
+        symB[::2, ::3] = True
+        blob = build_jbig2_text_embedded(
+            [symA, symB],
+            [(0, 1, 1), (1, 7, 1), (0, 1, 8)],
+            (18, 14),
+            huffman_dict=True,
+            custom_dw_spec=spec,
+        )
+        page = decode_jbig2_embedded(blob)
+        exp = np.zeros((14, 18), bool)
+        exp[1:6, 1:5] |= symA
+        exp[1:6, 7:16] |= symB
+        exp[8:13, 1:5] |= symA
+        assert (page["black"] == exp).all()
+
+    def test_custom_selector_without_table_raises(self):
         from ccgp_data_wrangling_spark.operators.jbig2 import (
             decode_symbol_dict_segment,
         )
 
-        # SDHUFFDH selector 3 = custom table
-        with pytest.raises(NotImplementedError, match="custom"):
+        # SDHUFFDH selector 3 = custom table, none referred
+        with pytest.raises(ValueError, match="no unconsumed"):
             decode_symbol_dict_segment(
                 struct.pack(">HII", 1 | (3 << 2), 0, 0)
             )
+
+    def test_reserved_selector_raises(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            decode_symbol_dict_segment,
+        )
+
+        with pytest.raises(ValueError, match="reserved"):
+            decode_symbol_dict_segment(
+                struct.pack(">HII", 1 | (2 << 2), 0, 0)
+            )
+
+
+class TestTextRefinement:
+    def _syms(self):
+        symA = np.zeros((6, 5), bool)
+        symA[1:5, 1:4] = True
+        symB = np.zeros((4, 7), bool)
+        symB[::2, :] = True
+        return symA, symB
+
+    def test_refined_instance_roundtrip(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_text_embedded,
+            decode_jbig2_embedded,
+        )
+
+        symA, symB = self._syms()
+        refined = np.zeros((7, 7), bool)
+        refined[1:6, 1:5] = symA[0:5, 0:4]
+        refined[0, 0] = True
+        refined[6, 6] = True
+        blob = build_jbig2_text_embedded(
+            [symA, symB],
+            [
+                (0, 2, 2),
+                (1, 12, 3, None),
+                (0, 2, 12, {"bitmap": refined, "rdx": 1, "rdy": -1}),
+                (1, 14, 13),
+            ],
+            (24, 22),
+        )
+        page = decode_jbig2_embedded(blob)
+        exp = np.zeros((22, 24), bool)
+        exp[2:8, 2:7] |= symA
+        exp[3:7, 12:19] |= symB
+        exp[12:19, 2:9] |= refined
+        exp[13:17, 14:21] |= symB
+        assert (page["black"] == exp).all()
+
+    def test_refined_shrunk_instance(self):
+        # negative RDW/RDH: the refined output is SMALLER than the
+        # symbol (exercises floor-division reference offsets)
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_text_embedded,
+            decode_jbig2_embedded,
+        )
+
+        symA, _ = self._syms()
+        shrunk = symA[1:4, 1:4].copy()
+        shrunk[0, 0] = not shrunk[0, 0]
+        blob = build_jbig2_text_embedded(
+            [symA],
+            [(0, 1, 1), (0, 8, 1, {"bitmap": shrunk})],
+            (14, 9),
+        )
+        page = decode_jbig2_embedded(blob)
+        exp = np.zeros((9, 14), bool)
+        exp[1:7, 1:6] |= symA
+        exp[1:4, 8:11] |= shrunk
+        assert (page["black"] == exp).all()
+
+    def test_refined_transposed_refcorners(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_text_embedded,
+            decode_jbig2_embedded,
+        )
+
+        symA, symB = self._syms()
+        refined = ~symB.copy()
+        for transposed in (False, True):
+            for rc in ("bl", "tl", "br", "tr"):
+                blob = build_jbig2_text_embedded(
+                    [symA, symB],
+                    [
+                        (0, 1, 1),
+                        (1, 9, 2, {"bitmap": refined}),
+                    ],
+                    (20, 10),
+                    refcorner=rc,
+                    transposed=transposed,
+                )
+                page = decode_jbig2_embedded(blob)
+                exp = np.zeros((10, 20), bool)
+                exp[1:7, 1:6] |= symA
+                exp[2:6, 9:16] |= refined
+                assert (page["black"] == exp).all(), (transposed, rc)
 
 
 class TestHalftone:
@@ -842,3 +1001,43 @@ class TestPdfIntegration:
         blob = blob.replace(b"/Width 8", b"/Width 9")
         with pytest.raises(ValueError, match="disagree"):
             pdf_images(blob)
+
+
+class TestMQCarry:
+    def test_stuffed_byte_carries_bit27(self):
+        """Regression: Figure E.9's shortened branch emits C bits
+        27..20 UNMASKED — the carry rides the stuffed byte's MSB and
+        the decoder recovers it via the <<9 window. Skewed streams
+        (long MPS runs at high states) hit the case; masking to 0x7F
+        silently corrupted them."""
+        import numpy as np
+
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            ArithStats,
+            MQDecoder,
+            MQEncoder,
+        )
+
+        rng = np.random.default_rng(1)
+        saw_high_stuffed = False
+        for _ in range(60):
+            n = 1500
+            cxs = rng.integers(0, 19, n)
+            bias = rng.random()
+            bits = (rng.random(n) < bias).astype(int)
+            enc = MQEncoder()
+            st = ArithStats(19)
+            st.icx[:] = 46  # high states → long MPS runs → carries
+            for c, b in zip(cxs, bits):
+                enc.encode(int(c), int(b), st)
+            payload = enc.flush()
+            for i in range(len(payload) - 2):  # skip terminal FFAC
+                if payload[i] == 0xFF and 0x80 <= payload[i + 1] <= 0x8F:
+                    saw_high_stuffed = True
+            dec = MQDecoder(payload)
+            st2 = ArithStats(19)
+            st2.icx[:] = 46
+            got = [dec.decode(int(c), st2) for c in cxs]
+            assert got == list(bits)
+        # the fuzz corpus must actually exercise the carry case
+        assert saw_high_stuffed

@@ -3317,3 +3317,123 @@ def test_webm_unknown_size_elements():
         webm_blocks(bytes(bad))
     bad[idx + 4] = saved
     assert rows_no_offset(bytes(bad)) == want
+
+
+def test_mp3_layer2_subband_decode():
+    """Layer II dequantization against independently-computed spec
+    formulas: grouped 3/5/9-level degrouping, scfsi scalefactor
+    sharing across the three 12-sample parts, table selection, and
+    honest gates."""
+    import math
+
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _l2_select_table,
+        build_mp3_layer2,
+        decode_mp3_layer2_subbands,
+    )
+
+    # table selection (§2.4.2.6)
+    assert _l2_select_table(44100, 48) == "c"
+    assert _l2_select_table(32000, 32) == "d"
+    assert _l2_select_table(44100, 64) == "a"
+    assert _l2_select_table(48000, 128) == "a"
+    assert _l2_select_table(44100, 128) == "b"
+    assert _l2_select_table(32000, 96) == "b"
+    with _pytest.raises(ValueError, match="per-channel bitrate"):
+        _l2_select_table(44100, 224)
+
+    # 96 kbps @ 44.1 kHz mono → table b, sblimit 30
+    alloc = [0] * 30
+    alloc[0] = 1   # steps 3 (grouped, k=2)
+    alloc[1] = 3   # steps 15 (ungrouped, k=4)
+    alloc[3] = 2   # steps 5 (grouped, k=3)
+    alloc[23] = 2  # steps 5 (grouped)
+    scfsi = [0] * 30
+    scfsi[0], scfsi[1], scfsi[3], scfsi[23] = 0, 1, 2, 3
+    scf_sent = {0: [0, 3, 6], 1: [6, 9], 3: [12], 23: [0, 3]}
+    steps_of = {0: 3, 1: 15, 3: 5, 23: 5}
+
+    def codes(t, sb):
+        return (t * (sb + 1) + 1) % steps_of[sb]
+
+    blob = build_mp3_layer2(
+        sample_rate=44100, bitrate_kbps=96,
+        alloc_idx=alloc, scfsi=scfsi,
+        scf_idx=lambda sb, j: scf_sent[sb][j],
+        codes=codes, n_frames=2,
+    )
+    rows = decode_mp3_layer2_subbands(blob)
+    assert [(r["frame"], r["subband"]) for r in rows] == [
+        (0, 0), (0, 1), (0, 3), (0, 23),
+        (1, 0), (1, 1), (1, 3), (1, 23),
+    ]
+    assert [r["steps"] for r in rows[:4]] == [3, 15, 5, 5]
+    assert [r["scfsi"] for r in rows[:4]] == [0, 1, 2, 3]
+
+    parts = {0: (0, 1, 2), 1: (0, 0, 1), 2: (0, 0, 0), 3: (0, 1, 1)}
+
+    def ref_rms(sb):
+        steps = steps_of[sb]
+        grouped = steps in (3, 5, 9)
+        k = {3: 2, 5: 3, 9: 4, 15: 4}[steps]
+        d = 0.5 if grouped else 2.0 ** (1 - k)
+        acc = 0.0
+        for t in range(36):
+            idx = scf_sent[sb][parts[scfsi[sb]][t // 12]]
+            sf = (2.0 * 2.0 ** (-(idx // 3)) if idx % 3 == 0
+                  else 2.0 * 2.0 ** (-idx / 3.0))
+            s = codes(t, sb)
+            x = sf * ((2.0**k / steps) * (s / 2.0 ** (k - 1) - 1 + d))
+            acc += x * x
+        return round(math.sqrt(acc / 36.0), 6)
+
+    for r in rows[:4]:
+        assert r["rms"] == ref_rms(r["subband"]), r
+
+    # low-rate table c path round-trips too
+    alloc_c = [0] * 8
+    alloc_c[0], alloc_c[7] = 1, 7  # steps 5 grouped / 127 ungrouped
+    blob_c = build_mp3_layer2(
+        sample_rate=44100, bitrate_kbps=48,
+        alloc_idx=alloc_c, scfsi=[0] * 8,
+        scf_idx=lambda sb, j: 3 * j,
+        codes=lambda t, sb: (t + sb) % (5 if sb == 0 else 127),
+    )
+    rows_c = decode_mp3_layer2_subbands(blob_c)
+    assert [(r["subband"], r["steps"]) for r in rows_c] == [
+        (0, 5), (7, 127),
+    ]
+
+    # honest gates
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        build_mp3,
+        build_mp3_layer1,
+    )
+
+    with _pytest.raises(NotImplementedError, match="Layer II only"):
+        decode_mp3_layer2_subbands(build_mp3(n_frames=1))
+    with _pytest.raises(NotImplementedError, match="Layer II only"):
+        decode_mp3_layer2_subbands(
+            build_mp3_layer1(
+                alloc=[0] * 32, scf_idx=[0] * 32, codes=lambda t, sb: 0
+            )
+        )
+    stereo = bytearray(blob)
+    stereo[3] &= 0b00111111
+    with _pytest.raises(NotImplementedError, match="stereo"):
+        decode_mp3_layer2_subbands(bytes(stereo))
+    with _pytest.raises(ValueError, match="must cover sblimit"):
+        build_mp3_layer2(
+            sample_rate=44100, bitrate_kbps=96,
+            alloc_idx=[0] * 8, scfsi=[0] * 8,
+            scf_idx=lambda sb, j: 0, codes=lambda t, sb: 0,
+        )
+    with _pytest.raises(ValueError, match="out of range"):
+        build_mp3_layer2(
+            sample_rate=44100, bitrate_kbps=96,
+            alloc_idx=alloc, scfsi=scfsi,
+            scf_idx=lambda sb, j: scf_sent[sb][j],
+            codes=lambda t, sb: steps_of[sb],  # == steps: invalid
+        )

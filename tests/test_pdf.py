@@ -502,10 +502,12 @@ def test_pdf_images_extraction():
     bad[m : m + 9] = b"/Width 23"
     with pytest.raises(ValueError, match="disagree"):
         pdf_images(bytes(bad))
+    # /JPXDecode now decodes (operators/jpeg2000) — JPEG bytes behind
+    # the JPX filter are a corrupt codestream, not an unimplemented one
     jpx = bytearray(blob)
     m = jpx.find(b"/DCTDecode")
     jpx[m : m + 10] = b"/JPXDecode"
-    with pytest.raises(NotImplementedError, match="JPXDecode"):
+    with pytest.raises(ValueError, match="SOC"):
         pdf_images(bytes(jpx))
     cs = bytearray(blob)
     m = cs.find(b"/DeviceGray")

@@ -106,6 +106,70 @@ R10_FAMILIES = [
     "trajectory_hausdorff_density_const",
 ]
 
+# r11 additions: the third OOXML format + loose HTML, MP3 Layer II,
+# JPEG 2000 (/JPXDecode)
+R11_FAMILIES = [
+    "pptx_text_extract", "html_text_extract",
+    "multimodal_mp3_layer2_subband_decode", "pdf_jpx_image_extract",
+]
+
+# r10-verdict task #8: coding-variant rotations that ride INSIDE a
+# family (SDHUFF, TRANSPOSED, SBREFINE, custom tables, HENABLESKIP,
+# unknown-length, JPX containers/RCT/slack, Layer II tables) must
+# PROVABLY execute at the decade scale — each family below exposes
+# its rotation as output columns, and the sweep records the distinct
+# variant combinations seen at BOTH scales. A variant present at
+# sf0.1 but absent at 10× (or vice versa) is a silent coverage hole.
+VARIANT_COLUMNS: dict[str, list[str]] = {
+    "pdf_jbig2_text_extract": [
+        "refcorner", "transposed", "dict_coding", "has_generic",
+        "refined", "custom_table",
+    ],
+    "pdf_jbig2_image_extract": ["variant"],
+    "pdf_jbig2_halftone_extract": ["template", "enableskip"],
+    "pdf_bpc_image_extract": ["bpc", "inverted"],
+    "multimodal_mp3_layer2_subband_decode": ["steps", "scfsi"],
+    "pdf_jpx_image_extract": ["n_channels", "levels", "container"],
+}
+
+
+def variant_coverage(qs, spark, names: list[str]) -> dict[str, dict]:
+    """Distinct variant-column combinations (with row counts) per
+    family at both scales — the rotation-execution proof."""
+    out: dict[str, dict] = {}
+    for name in names:
+        cols = VARIANT_COLUMNS[name]
+        try:
+            rec: dict[str, object] = {"columns": cols}
+            for label, d in (("sf0.1", SMALL), ("10x", BIG)):
+                with CacheScope() as sc, use_scope(sc):
+                    rows = (
+                        qs[name](spark, d)
+                        .groupBy(*cols)
+                        .count()
+                        .collect()
+                    )
+                rec[label] = sorted(
+                    "|".join(str(r[c]) for c in cols)
+                    + f" x{r['count']}"
+                    for r in rows
+                )
+                rec[f"n_variants_{label}"] = len(rows)
+            rec["variants_match"] = [
+                v.rsplit(" x", 1)[0] for v in rec["sf0.1"]
+            ] == [v.rsplit(" x", 1)[0] for v in rec["10x"]]
+            out[name] = rec
+            print(
+                f"{name}: {rec['n_variants_sf0.1']} variants at "
+                f"sf0.1, {rec['n_variants_10x']} at 10x, match="
+                f"{rec['variants_match']}",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001 — sweep must not die
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"{name}: ERROR {e}", flush=True)
+    return out
+
 
 def _traj_density_const(spark, d: str):
     """Sweep-only variant of trajectory_hausdorff_pairs (r9 verdict
@@ -281,6 +345,14 @@ def _child_fit(out_path: str, names: list[str]) -> None:
         json.dump(res, fh)
 
 
+def _child_variants(out_path: str) -> None:
+    qs = all_queries()
+    spark = get_spark()
+    res = variant_coverage(qs, spark, list(VARIANT_COLUMNS))
+    with open(out_path, "w") as fh:
+        json.dump(res, fh)
+
+
 def _child_streams(out_path: str) -> None:
     spark = get_spark()
     try:
@@ -310,6 +382,9 @@ def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--streams":
         _child_streams(sys.argv[2])
         return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--variants":
+        _child_variants(sys.argv[2])
+        return
     names = sys.argv[1:]
     t0 = time.time()
     sections: dict[str, list[str]] = (
@@ -317,7 +392,7 @@ def main() -> None:
         if names
         else {"flagship": FLAGSHIP,
               "families": R7_FAMILIES + R8_FAMILIES + R9_FAMILIES
-              + R10_FAMILIES}
+              + R10_FAMILIES + R11_FAMILIES}
     )
     result: dict[str, dict] = {}
     tmpdir = tempfile.mkdtemp(prefix="sweep_parts_")
@@ -348,6 +423,17 @@ def main() -> None:
                 cwd=str(Path(__file__).resolve().parent.parent),
             )
             result["streams"] = (
+                json.load(open(part))
+                if proc.returncode == 0 and os.path.exists(part)
+                else {"error": "child process died"}
+            )
+        if not names:
+            part = os.path.join(tmpdir, "variants.json")
+            proc = subprocess.run(
+                [sys.executable, __file__, "--variants", part],
+                cwd=str(Path(__file__).resolve().parent.parent),
+            )
+            result["variant_coverage"] = (
                 json.load(open(part))
                 if proc.returncode == 0 and os.path.exists(part)
                 else {"error": "child process died"}
