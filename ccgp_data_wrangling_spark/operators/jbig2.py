@@ -47,12 +47,16 @@ type-53 table segments parsed per B.2 and consumed by selector
 order, with §6.5.9 MMR/uncompressed collective bitmaps) — and
 refinement INSIDE text regions (SBREFINE, §6.4.11: per-instance
 IARI-gated RDW/RDH/RDX/RDY headers re-coding the instance against
-its symbol with shared GR stats). The remaining honest
-``NotImplementedError`` gates are coding-variant tails: SBHUFF text
-regions, HMMR gray-scale, refinement/aggregation inside symbol
-DICTIONARIES (SDREFAGG), unknown-length MMR regions (0x00 0x00 can
-occur mid-stream), and intermediate regions (auxiliary-buffer
-composition). HENABLESKIP halftones decode (USESKIP pixels carry no
+its symbol with shared GR stats), and SBHUFF=1 text regions (the
+§7.4.4.1.1.1 runcode symbol-ID table, Huffman FS/DS/DT strip reads
+through referred custom tables, raw CURT bits, byte-aligned
+per-instance MQ refinement blocks). The remaining honest
+``NotImplementedError`` gates are coding-variant tails: the
+UNTRANSCRIBED standard tables B.6–B.15 (SBHUFF selectors 0–2 —
+custom type-53 tables decode), HMMR gray-scale, refinement/
+aggregation inside symbol DICTIONARIES (SDREFAGG), unknown-length
+MMR regions (0x00 0x00 can occur mid-stream), and intermediate
+regions (auxiliary-buffer composition). HENABLESKIP halftones decode (USESKIP pixels carry no
 coded bits), and §7.2.7 unknown-length arithmetic generic regions
 resolve through the stuffing-guaranteed 0xFF 0xAC terminator plus
 trailing row count.
@@ -1133,16 +1137,49 @@ _REFCORNERS = ("bl", "tl", "br", "tr")  # §7.4.4.1.1 values 0-3
 
 
 def decode_text_region_segment(
-    data: bytes, syms: list[np.ndarray]
+    data: bytes,
+    syms: list[np.ndarray],
+    tables: list[HuffTable] | None = None,
 ) -> dict:
     """§7.4.4 header + §6.4.5 strip decode → placed-symbol bitmap
-    with region placement, shaped like ``_decode_region_segment``."""
+    with region placement, shaped like ``_decode_region_segment``.
+
+    BOTH coding alternatives decode: arithmetic (Annex A integer
+    procedures over one MQ stream) and SBHUFF=1 — the §7.4.4.1.1.1
+    runcode-coded symbol-ID table, Huffman FS/DS/DT reads through
+    referred CUSTOM type-53 tables (selector 3, consumed in the
+    §7.4.4.1.6 order FS, DS, DT, RDW, RDH, RDX, RDY, RSIZE), raw
+    CURT bits, and per-instance byte-aligned MQ refinement blocks of
+    RSIZE bytes. The UNTRANSCRIBED standard tables B.6–B.15
+    (selectors 0–2) gate honestly."""
     w, h, x, y = struct.unpack_from(">IIII", data, 0)
     comb_op = data[16] & 0x07
     (flags,) = struct.unpack_from(">H", data, 17)
     pos = 19
-    if flags & 1:
-        raise NotImplementedError("SBHUFF text region")
+    huff = bool(flags & 1)
+    tables = tables or []
+    table_idx = 0
+
+    def take_custom(sel: int, what: str) -> HuffTable:
+        nonlocal table_idx
+        if sel != 3:
+            raise NotImplementedError(
+                f"SBHUFF standard table for {what} (Annex B.6-B.15 "
+                "untranscribed; custom type-53 tables decode)"
+            )
+        if table_idx >= len(tables):
+            raise ValueError(
+                f"custom {what} table selected but no unconsumed "
+                "referred table segment remains"
+            )
+        t = tables[table_idx]
+        table_idx += 1
+        return t
+
+    hflags = 0
+    if huff:
+        (hflags,) = struct.unpack_from(">H", data, pos)
+        pos += 2
     refine = bool(flags & 2)
     rtemplate = (flags >> 15) & 1
     log_strips = (flags >> 2) & 3
@@ -1168,7 +1205,50 @@ def decode_text_region_segment(
     if not syms:
         raise ValueError("text region with no referred symbols")
     symcodelen = max(1, (len(syms) - 1).bit_length())
-    dec = MQDecoder(data[pos:])
+    if huff:
+        fs_tab = take_custom(hflags & 3, "FS")
+        ds_tab = take_custom((hflags >> 2) & 3, "DS")
+        dt_tab = take_custom((hflags >> 4) & 3, "DT")
+        if refine:
+            rdw_tab = take_custom((hflags >> 6) & 3, "RDW")
+            rdh_tab = take_custom((hflags >> 8) & 3, "RDH")
+            rdx_tab = take_custom((hflags >> 10) & 3, "RDX")
+            rdy_tab = take_custom((hflags >> 12) & 3, "RDY")
+            rsize_tab = (
+                take_custom(3, "RSIZE")
+                if (hflags >> 14) & 1
+                else HUFF_B1
+            )
+        reader = _HuffReader(data, pos)
+        # §7.4.4.1.1.1 symbol-ID code table: 35 4-bit runcode
+        # lengths → runcode Huffman table → SBNUMSYMS symbol code
+        # lengths (runcodes 32/33/34 are repeat escapes) → canonical
+        # symbol-ID table; the section ends byte-aligned
+        run_lens = [reader.bits(4) for _ in range(35)]
+        runtab = HuffTable(
+            [(ln, 0, i) for i, ln in enumerate(run_lens) if ln]
+        )
+        sym_lens: list[int] = []
+        prev_len = 0
+        while len(sym_lens) < len(syms):
+            c = runtab.decode(reader)
+            if c < 32:
+                sym_lens.append(c)
+                prev_len = c
+            elif c == 32:
+                sym_lens.extend([prev_len] * (reader.bits(2) + 3))
+            elif c == 33:
+                sym_lens.extend([0] * (reader.bits(3) + 3))
+            else:
+                sym_lens.extend([0] * (reader.bits(7) + 11))
+        if len(sym_lens) != len(syms):
+            raise ValueError("symbol-ID length run overshoots")
+        symtab = HuffTable(
+            [(ln, 0, i) for i, ln in enumerate(sym_lens) if ln]
+        )
+        reader.align()
+    else:
+        dec = MQDecoder(data[pos:])
     iadt, iafs, iads, iait = (
         _IntDecoder(), _IntDecoder(), _IntDecoder(), _IntDecoder(),
     )
@@ -1182,15 +1262,36 @@ def decode_text_region_segment(
     )
     gr_stats = ArithStats(1 << 13)
     iaid_stats = ArithStats(1 << (symcodelen + 1))
+
+    def read_dt():
+        return dt_tab.decode(reader) if huff else iadt.decode(dec)
+
+    def read_fs():
+        return fs_tab.decode(reader) if huff else iafs.decode(dec)
+
+    def read_ds():
+        return ds_tab.decode(reader) if huff else iads.decode(dec)
+
+    def read_t():
+        if strips == 1:
+            return 0
+        # SBHUFF CURT is log2(SBSTRIPS) RAW bits (§6.4.5 3(c)(iv))
+        return reader.bits(log_strips) if huff else iait.decode(dec)
+
+    def read_sid() -> int:
+        if huff:
+            return symtab.decode(reader)
+        return _decode_iaid(dec, iaid_stats, symcodelen)
+
     region = np.full((h, w), bool(defpixel))
-    dt0 = iadt.decode(dec)
+    dt0 = read_dt()
     if dt0 is OOB:
         raise ValueError("OOB STRIPT")
     stript = -dt0 * strips
     firsts = 0
     ninst = 0
     while ninst < num_inst:
-        dt = iadt.decode(dec)
+        dt = read_dt()
         if dt is OOB:
             raise ValueError("OOB strip delta")
         stript += dt * strips
@@ -1198,32 +1299,40 @@ def decode_text_region_segment(
         curs = 0
         while True:
             if first:
-                dfs = iafs.decode(dec)
+                dfs = read_fs()
                 if dfs is OOB:
                     raise ValueError("OOB first-symbol S")
                 firsts += dfs
                 curs = firsts
                 first = False
             else:
-                ids = iads.decode(dec)
+                ids = read_ds()
                 if ids is OOB:
                     break  # strip ends (§6.4.5 3(c)(ii))
                 curs += ids + dsoffset
-            curt = 0 if strips == 1 else iait.decode(dec)
+            curt = read_t()
             t = stript + curt
-            sid = _decode_iaid(dec, iaid_stats, symcodelen)
+            sid = read_sid()
             if sid >= len(syms):
                 raise ValueError("symbol ID out of range")
             bm = syms[sid]
             if refine:
-                ri = iari.decode(dec)
+                ri = reader.bit() if huff else iari.decode(dec)
                 if ri is OOB:
                     raise ValueError("OOB refinement flag")
                 if ri:
-                    rdw = iardw.decode(dec)
-                    rdh = iardh.decode(dec)
-                    rdx_ = iardx.decode(dec)
-                    rdy_ = iardy.decode(dec)
+                    if huff:
+                        rdw = rdw_tab.decode(reader)
+                        rdh = rdh_tab.decode(reader)
+                        rdx_ = rdx_tab.decode(reader)
+                        rdy_ = rdy_tab.decode(reader)
+                        rsize = rsize_tab.decode(reader)
+                        reader.align()
+                    else:
+                        rdw = iardw.decode(dec)
+                        rdh = iardh.decode(dec)
+                        rdx_ = iardx.decode(dec)
+                        rdy_ = iardy.decode(dec)
                     if OOB in (rdw, rdh, rdx_, rdy_):
                         raise ValueError("OOB refinement delta")
                     wo = bm.shape[1] + rdw
@@ -1234,12 +1343,24 @@ def decode_text_region_segment(
                         )
                     # GRREFERENCEDX/DY = ⌊RDW/2⌋+RDX, ⌊RDH/2⌋+RDY;
                     # TPGRON is 0 inside text regions (§6.4.11 step 6)
-                    bm = _refine_loop(
-                        dec, gr_stats, wo, ho,
-                        bm.astype(np.uint8),
-                        rdw // 2 + rdx_, rdh // 2 + rdy_,
-                        rtemplate, False, rat, None,
-                    )
+                    if huff:
+                        # an independent byte-aligned MQ block of
+                        # RSIZE bytes per instance (§6.4.11 for
+                        # SBHUFF), fresh GR stats per block
+                        rdec = MQDecoder(reader.take(rsize))
+                        bm = _refine_loop(
+                            rdec, ArithStats(1 << 13), wo, ho,
+                            bm.astype(np.uint8),
+                            rdw // 2 + rdx_, rdh // 2 + rdy_,
+                            rtemplate, False, rat, None,
+                        )
+                    else:
+                        bm = _refine_loop(
+                            dec, gr_stats, wo, ho,
+                            bm.astype(np.uint8),
+                            rdw // 2 + rdx_, rdh // 2 + rdy_,
+                            rtemplate, False, rat, None,
+                        )
             hi, wi = bm.shape
             if transposed:
                 # §6.4.5 3(c) TRANSPOSED=1: S runs down the page,
@@ -1294,6 +1415,7 @@ def _build_text_region_data(
     comb_op: int = 0,
     transposed: bool = False,
     rtemplate: int = 0,
+    huffman_tabs: dict | None = None,
 ) -> bytes:
     """Encode a text region (arith, SBSTRIPS=1). ``instances`` hold
     (symbol-index, x, y) TOP-LEFT placements — optionally a fourth
@@ -1301,11 +1423,24 @@ def _build_text_region_data(
     switching the region to SBREFINE=1 (§6.4.11): the instance is
     re-coded as a refinement of its symbol, RDW/RDH derived from the
     output shape. Refcorner and TRANSPOSED only change the coded
-    (S, T) representation."""
+    (S, T) representation. ``huffman_tabs`` ({"fs","ds","dt"}:
+    HuffTable) switches the region to SBHUFF=1 with custom-table
+    selectors — the symbol-ID code table is emitted through the
+    §7.4.4.1.1.1 runcode mechanism (balanced canonical lengths over
+    ≥2 symbols); refinement inside SBHUFF is decode-only."""
     rc = _REFCORNERS.index(refcorner)
     w, h = region_wh
     symcodelen = max(1, (len(syms) - 1).bit_length())
     refine = any(len(inst) > 3 and inst[3] for inst in instances)
+    if huffman_tabs is not None:
+        if refine:
+            raise NotImplementedError(
+                "fixture encoder does not combine SBHUFF with SBREFINE"
+            )
+        return _build_text_region_huffman(
+            instances, syms, region_wh, region_xy, refcorner,
+            comb_op, transposed, huffman_tabs,
+        )
     enc = MQEncoder()
     iadt, iafs, iads = _IntEncoder(), _IntEncoder(), _IntEncoder()
     iari, iardw, iardh, iardx, iardy = (
@@ -1395,6 +1530,97 @@ def _build_text_region_data(
             body += struct.pack(">bb", dx, dy)
     body += struct.pack(">I", len(instances))
     return body + enc.flush()
+
+
+def _build_text_region_huffman(
+    instances: list[tuple],
+    syms: list[np.ndarray],
+    region_wh: tuple[int, int],
+    region_xy: tuple[int, int],
+    refcorner: str,
+    comb_op: int,
+    transposed: bool,
+    tabs: dict,
+) -> bytes:
+    """SBHUFF=1 text region data (SBSTRIPS=1): huffman flags select
+    CUSTOM tables for FS/DS/DT (value 3 each — the referred type-53
+    segments are consumed in that order), the symbol-ID code table
+    rides the runcode mechanism with balanced canonical lengths, and
+    the strip stream is one byte-aligned Huffman bitstream."""
+    rc = _REFCORNERS.index(refcorner)
+    w, h = region_wh
+    n = len(syms)
+    if n < 2:
+        raise ValueError(
+            "SBHUFF fixture needs >= 2 symbols (a 1-symbol canonical "
+            "code cannot be Kraft-complete)"
+        )
+    k = (n - 1).bit_length()
+    m = (1 << k) - n  # this many symbols take the shorter length
+    sym_lens = [k - 1 if i < m else k for i in range(n)]
+    symtab = HuffTable(
+        [(ln, 0, i) for i, ln in enumerate(sym_lens) if ln]
+    )
+    used = sorted(set(sym_lens))
+    if len(used) == 1:
+        # a second 1-bit runcode completes the runcode table; the
+        # stream never emits it
+        used.append(used[0] + 1 if used[0] + 1 <= 34 else used[0] - 1)
+    run_lens = [1 if i in used else 0 for i in range(35)]
+    runtab = HuffTable(
+        [(ln, 0, i) for i, ln in enumerate(run_lens) if ln]
+    )
+    wtr = _HuffWriter()
+    for ln in run_lens:
+        wtr.bits(ln, 4)
+    for ln in sym_lens:
+        runtab.encode(wtr, ln)
+    wtr.align()
+
+    def s_t(inst) -> tuple[int, int]:
+        _sid, x0, y0 = inst[0], inst[1], inst[2]
+        hi, wi = syms[inst[0]].shape
+        if transposed:
+            t = x0 if rc in (0, 1) else x0 + wi - 1
+            return y0, t
+        t = y0 if rc in (1, 3) else y0 + hi - 1
+        return x0, t
+
+    coded = sorted(
+        ((*s_t(inst), inst) for inst in instances),
+        key=lambda r: (r[1], r[0]),
+    )
+    tabs["dt"].encode(wtr, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    i = 0
+    while i < len(coded):
+        t = coded[i][1]
+        tabs["dt"].encode(wtr, t - stript)
+        stript = t
+        first = True
+        curs = 0
+        while i < len(coded) and coded[i][1] == t:
+            s, _, inst = coded[i]
+            sid = inst[0]
+            hi, wi = syms[sid].shape
+            if first:
+                tabs["fs"].encode(wtr, s - firsts)
+                firsts = s
+                first = False
+            else:
+                tabs["ds"].encode(wtr, s - curs)
+            curs = s + (hi if transposed else wi) - 1
+            symtab.encode(wtr, sid)
+            i += 1
+        tabs["ds"].encode(wtr, OOB)
+    flags = 1 | (rc << 4) | ((1 if transposed else 0) << 6)
+    hflags = 3 | (3 << 2) | (3 << 4)  # custom FS, DS, DT
+    body = struct.pack(">IIII", w, h, *region_xy)
+    body += bytes([comb_op & 7])
+    body += struct.pack(">HH", flags, hflags)
+    body += struct.pack(">I", len(instances))
+    return body + wtr.getvalue()
 
 
 # ---------------------------------------------------------------------------
@@ -2050,7 +2276,14 @@ def decode_jbig2_embedded(
             syms: list[np.ndarray] = []
             for ref in seg["refs"]:
                 syms.extend(exports.get(ref, []))
-            regions.append(decode_text_region_segment(seg["data"], syms))
+            regions.append(
+                decode_text_region_segment(
+                    seg["data"],
+                    syms,
+                    [huff_tables[r] for r in seg["refs"]
+                     if r in huff_tables],
+                )
+            )
         elif t == _SEG_TEXT_INTERMEDIATE:
             raise NotImplementedError(
                 "intermediate text region (auxiliary buffers)"
@@ -2254,6 +2487,7 @@ def build_jbig2_text_embedded(
     transposed: bool = False,
     huffman_dict: bool = False,
     custom_dw_spec: dict | None = None,
+    huffman_text: bool = False,
 ) -> bytes:
     """Embedded stream for the symbol/text path: page info + symbol
     dictionary (type 0, export-all) + one immediate lossless text
@@ -2289,15 +2523,38 @@ def build_jbig2_text_embedded(
     coded = [(remap[inst[0]], *inst[1:]) for inst in instances]
     order = sorted(range(len(symbols)), key=lambda i: remap[i])
     sorted_syms = [symbols[i].astype(bool) for i in order]
+    text_refs: tuple[int, ...] = (dict_num,)
+    huff_tabs = None
+    nseg = dict_num + 1
+    if huffman_text:
+        # custom FS/DS/DT tables: inner ranges sized for fixture
+        # deltas, 32-bit lower/upper escapes make coverage universal
+        specs = {
+            "fs": {"htlow": -64, "hthigh": 64,
+                   "lines": [(2, 6), (2, 5), (2, 5)],
+                   "lower_pref": 3, "upper_pref": 3},
+            "ds": {"htlow": -16, "hthigh": 48,
+                   "lines": [(2, 4), (2, 5), (3, 4)],
+                   "lower_pref": 4, "upper_pref": 4, "oob_pref": 2},
+            "dt": {"htlow": 0, "hthigh": 16, "lines": [(1, 4)],
+                   "lower_pref": 2, "upper_pref": 2},
+        }
+        huff_tabs = {}
+        for key in ("fs", "ds", "dt"):
+            tdata = _build_table_segment(specs[key])
+            huff_tabs[key] = parse_table_segment(tdata)
+            out += _segment(nseg, 53, 1, tdata)
+            text_refs = text_refs + (nseg,)
+            nseg += 1
     text_data = _build_text_region_data(
         coded, sorted_syms, page_wh, (0, 0), refcorner,
-        transposed=transposed,
+        transposed=transposed, huffman_tabs=huff_tabs,
     )
     out += _segment(
-        dict_num + 1, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, text_data,
-        refs=(dict_num,),
+        nseg, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, text_data,
+        refs=text_refs,
     )
-    nseg = dict_num + 2
+    nseg += 1
     if extra_generic is not None:
         bm, gx, gy = extra_generic
         h, w = bm.shape

@@ -5597,9 +5597,12 @@ SELECT id,
        CASE WHEN (k // 8) % 2 = 1 THEN 'huffman' ELSE 'arith' END
          AS dict_coding,
        CAST(k % 2 = 0 AS BOOLEAN) AS has_generic,
-       CAST((k // 16) % 2 = 1 AS BOOLEAN) AS refined,
+       CAST((k // 16) % 2 = 1 AND (k // 32) % 2 = 0 AS BOOLEAN)
+         AS refined,
        CAST((k // 8) % 2 = 1 AND k % 2 = 1 AS BOOLEAN)
          AS custom_table,
+       CASE WHEN (k // 32) % 2 = 1 THEN 'huffman' ELSE 'arith' END
+         AS text_coding,
        CAST('jbig2' AS VARCHAR) AS codec,
        ROUND(255.0 * (512 - 5 * n
              - CASE WHEN k % 2 = 0 THEN 16 ELSE 0 END) / 512.0, 4)
@@ -5628,9 +5631,12 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern that ALSO carries exactly 5 black pixels — the luma stays
     closed-form while a refinement decode slip corrupts the count;
     huffman docs with k%2==1 route their width deltas through a
-    referred CUSTOM type-53 Annex B table (selector 3). Annex A
-    integer coders and the Annex E MQ coder are from-scratch
-    (operators/jbig2.py)."""
+    referred CUSTOM type-53 Annex B table (selector 3); (k//32)%2
+    docs code the TEXT REGION itself with SBHUFF=1 (runcode
+    symbol-ID table + custom FS/DS/DT tables — three more referred
+    type-53 segments), which excludes the refined rotation (the
+    fixture encoder does not combine them). Annex A integer coders
+    and the Annex E MQ coder are from-scratch (operators/jbig2.py)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -5666,7 +5672,7 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, rcs, tps, dcs, gens = [], [], [], [], []
-            refs, customs = [], []
+            refs, customs, tcs = [], [], []
             for eid in pdf["id"]:
                 e = int(eid)
                 k = e // 20
@@ -5675,7 +5681,8 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((e + i) % 3, 1 + 6 * i, 2 + ((e + i) % 2) * 8)
                     for i in range(n)
                 ]
-                refined = (k // 16) % 2 == 1
+                huff_text = (k // 32) % 2 == 1
+                refined = (k // 16) % 2 == 1 and not huff_text
                 if refined:
                     sid, x0, y0 = insts[0]
                     insts[0] = (
@@ -5701,6 +5708,7 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     extra_generic=extra, transposed=tp,
                     huffman_dict=huff,
                     custom_dw_spec=_CUSTOM_DW_SPEC if custom else None,
+                    huffman_text=huff_text,
                 )
                 payloads.append(
                     build_pdf(
@@ -5714,6 +5722,7 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 gens.append(k % 2 == 0)
                 refs.append(refined)
                 customs.append(custom)
+                tcs.append("huffman" if huff_text else "arith")
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].values,
@@ -5723,6 +5732,7 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "has_generic": gens,
                     "refined": refs,
                     "custom_table": customs,
+                    "text_coding": tcs,
                     "payload": payloads,
                 }
             )
@@ -5730,11 +5740,11 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for rid, rc, tp, dc, hg, rf, ct, blob in zip(
+            for rid, rc, tp, dc, hg, rf, ct, tc, blob in zip(
                 pdf["id"], pdf["refcorner"], pdf["transposed"],
                 pdf["dict_coding"], pdf["has_generic"],
                 pdf["refined"], pdf["custom_table"],
-                pdf["payload"],
+                pdf["text_coding"], pdf["payload"],
             ):
                 for r in pdf_images(bytes(blob)):
                     rows.append(
@@ -5748,6 +5758,7 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "has_generic": hg,
                             "refined": rf,
                             "custom_table": ct,
+                            "text_coding": tc,
                             "codec": r["codec"],
                             "luma_mean": r["luma_mean"],
                         }
@@ -5757,7 +5768,8 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=[
                     "id", "width", "height", "refcorner",
                     "transposed", "dict_coding", "has_generic",
-                    "refined", "custom_table", "codec", "luma_mean",
+                    "refined", "custom_table", "text_coding",
+                    "codec", "luma_mean",
                 ],
             )
 
@@ -5766,7 +5778,8 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "id long, refcorner string, transposed boolean, "
             "dict_coding string, has_generic boolean, "
-            "refined boolean, custom_table boolean, payload binary"
+            "refined boolean, custom_table boolean, "
+            "text_coding string, payload binary"
         ),
     ).mapInPandas(
         extract,
@@ -5774,7 +5787,8 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id long, width int, height int, refcorner string, "
             "transposed boolean, dict_coding string, "
             "has_generic boolean, refined boolean, "
-            "custom_table boolean, codec string, luma_mean double"
+            "custom_table boolean, text_coding string, "
+            "codec string, luma_mean double"
         ),
     )
 

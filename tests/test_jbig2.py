@@ -380,13 +380,15 @@ class TestSymbolText:
             decode_symbol_dict_segment(b"\x00\x02" + b"\x00" * 20)
 
     def test_sbhuff_text_region_gates(self):
+        # SBHUFF decodes with custom tables (r11); the default
+        # selector 0 = standard table B.6 stays an honest gate
         from ccgp_data_wrangling_spark.operators.jbig2 import (
             decode_text_region_segment,
         )
 
         data = struct.pack(">IIII", 8, 8, 0, 0) + b"\x00"
-        data += struct.pack(">H", 1) + struct.pack(">I", 0)
-        with pytest.raises(NotImplementedError, match="SBHUFF"):
+        data += struct.pack(">HH", 1, 0) + struct.pack(">I", 0)
+        with pytest.raises(NotImplementedError, match="SBHUFF standard"):
             decode_text_region_segment(
                 data, [np.ones((1, 1), bool)]
             )
@@ -1041,3 +1043,133 @@ class TestMQCarry:
             assert got == list(bits)
         # the fuzz corpus must actually exercise the carry case
         assert saw_high_stuffed
+
+
+class TestSBHuffText:
+    def _syms(self):
+        symA = np.zeros((6, 5), bool)
+        symA[1:5, 1:4] = True
+        symB = np.zeros((4, 7), bool)
+        symB[::2, :] = True
+        symC = np.eye(5, dtype=bool)
+        return [symA, symB, symC]
+
+    def test_all_placements_round_trip(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_text_embedded,
+            decode_jbig2_embedded,
+        )
+
+        syms = self._syms()
+        symA, symB, symC = syms
+        for rc in ("tl", "bl", "br", "tr"):
+            for tp in (False, True):
+                blob = build_jbig2_text_embedded(
+                    syms,
+                    [(0, 2, 2), (1, 12, 3), (2, 2, 12),
+                     (1, 14, 13), (2, 9, 12)],
+                    (24, 22), refcorner=rc, transposed=tp,
+                    huffman_text=True,
+                )
+                page = decode_jbig2_embedded(blob)
+                exp = np.zeros((22, 24), bool)
+                exp[2:8, 2:7] |= symA
+                exp[3:7, 12:19] |= symB
+                exp[12:17, 2:7] |= symC
+                exp[13:17, 14:21] |= symB
+                exp[12:17, 9:14] |= symC
+                assert (page["black"] == exp).all(), (rc, tp)
+
+    def test_full_huffman_pipeline(self):
+        # SDHUFF dictionary with a custom DW table AND an SBHUFF text
+        # region in one stream — four custom tables consumed by two
+        # different segments in reference order
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_text_embedded,
+            decode_jbig2_embedded,
+        )
+
+        syms = self._syms()
+        symA, _, symC = syms
+        spec = {
+            "htlow": 0, "hthigh": 8, "lines": [(1, 3)],
+            "lower_pref": 3, "upper_pref": 3, "oob_pref": 2,
+        }
+        blob = build_jbig2_text_embedded(
+            syms, [(0, 1, 1), (2, 8, 1)], (16, 9),
+            huffman_dict=True, custom_dw_spec=spec,
+            huffman_text=True,
+        )
+        page = decode_jbig2_embedded(blob)
+        exp = np.zeros((9, 16), bool)
+        exp[1:7, 1:6] |= symA
+        exp[1:6, 8:13] |= symC
+        assert (page["black"] == exp).all()
+
+    def test_non_power_of_two_alphabet(self):
+        # 3 symbols → balanced canonical lengths (1, 2, 2): the
+        # runcode table carries two distinct lengths
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_text_embedded,
+            decode_jbig2_embedded,
+        )
+
+        syms = self._syms()
+        blob = build_jbig2_text_embedded(
+            syms, [(i, 1 + 8 * i, 1) for i in range(3)], (28, 8),
+            huffman_text=True,
+        )
+        page = decode_jbig2_embedded(blob)
+        exp = np.zeros((8, 28), bool)
+        for i, s in enumerate(syms):
+            exp[1 : 1 + s.shape[0], 1 + 8 * i : 1 + 8 * i + s.shape[1]] |= s
+        assert (page["black"] == exp).all()
+
+    def test_standard_table_selectors_gate(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_text_embedded,
+            decode_jbig2_embedded,
+        )
+
+        syms = self._syms()
+        blob = build_jbig2_text_embedded(
+            syms, [(0, 1, 1), (1, 8, 1)], (18, 8),
+            huffman_text=True,
+        )
+        # flip the FS selector from custom (3) to standard B.6 (0):
+        # hflags is the 2 bytes after the text-region flags
+        import re as _re
+
+        # the text segment flags start with bit0=1 (SBHUFF); find the
+        # hflags value 0x003F (custom FS|DS|DT) and clear FS bits
+        bad = blob.replace(
+            struct.pack(">H", 0x003F), struct.pack(">H", 0x003C), 1
+        )
+        assert bad != blob
+        with pytest.raises(NotImplementedError, match="B.6-B.15"):
+            decode_jbig2_embedded(bad)
+
+    def test_single_symbol_raises(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_text_embedded,
+        )
+
+        with pytest.raises(ValueError, match="2 symbols"):
+            build_jbig2_text_embedded(
+                [np.eye(3, dtype=bool)], [(0, 1, 1)], (8, 8),
+                huffman_text=True,
+            )
+
+    def test_huffman_refine_encoder_gates(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_text_embedded,
+        )
+
+        syms = self._syms()
+        with pytest.raises(NotImplementedError, match="SBREFINE"):
+            build_jbig2_text_embedded(
+                syms,
+                [(0, 1, 1, {"bitmap": syms[1]})],
+                (16, 9),
+                huffman_text=True,
+            )

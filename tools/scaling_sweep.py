@@ -123,7 +123,7 @@ R11_FAMILIES = [
 VARIANT_COLUMNS: dict[str, list[str]] = {
     "pdf_jbig2_text_extract": [
         "refcorner", "transposed", "dict_coding", "has_generic",
-        "refined", "custom_table",
+        "refined", "custom_table", "text_coding",
     ],
     "pdf_jbig2_image_extract": ["variant"],
     "pdf_jbig2_halftone_extract": ["template", "enableskip"],
