@@ -181,6 +181,7 @@ HEADLINE = [
     "html_text_extract",
     "multimodal_mp3_layer2_subband_decode",
     "pdf_jpx_image_extract",
+    "pdf_jbig2_refagg_extract",
 ]
 
 

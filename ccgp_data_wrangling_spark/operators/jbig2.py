@@ -50,13 +50,15 @@ IARI-gated RDW/RDH/RDX/RDY headers re-coding the instance against
 its symbol with shared GR stats), and SBHUFF=1 text regions (the
 §7.4.4.1.1.1 runcode symbol-ID table, Huffman FS/DS/DT strip reads
 through referred custom tables, raw CURT bits, byte-aligned
-per-instance MQ refinement blocks). The remaining honest
+per-instance MQ refinement blocks). SDREFAGG dictionaries decode in their
+single-instance form (§6.5.8.2: IAAI=1 → IAID/IARDX/IARDY +
+refinement of an earlier symbol). The remaining honest
 ``NotImplementedError`` gates are coding-variant tails: the
 UNTRANSCRIBED standard tables B.6–B.15 (SBHUFF selectors 0–2 —
-custom type-53 tables decode), HMMR gray-scale, refinement/
-aggregation inside symbol DICTIONARIES (SDREFAGG), unknown-length
-MMR regions (0x00 0x00 can occur mid-stream), and intermediate
-regions (auxiliary-buffer composition). HENABLESKIP halftones decode (USESKIP pixels carry no
+custom type-53 tables decode), HMMR gray-scale, REFAGGNINST > 1
+(a full text region nested inside a dictionary), SDHUFF+SDREFAGG,
+unknown-length MMR regions (0x00 0x00 can occur mid-stream), and
+intermediate regions (auxiliary-buffer composition). HENABLESKIP halftones decode (USESKIP pixels carry no
 coded bits), and §7.2.7 unknown-length arithmetic generic regions
 resolve through the stuffing-guaranteed 0xFF 0xAC terminator plus
 trailing row count.
@@ -864,15 +866,15 @@ def decode_symbol_dict_segment(
     input_syms = input_syms or []
     (flags,) = struct.unpack_from(">H", data, 0)
     pos = 2
-    if flags & 2:
-        raise NotImplementedError(
-            "SDREFAGG refinement/aggregate symbol coding"
-        )
+    refagg = bool(flags & 2)
+    if refagg and flags & 1:
+        raise NotImplementedError("SDHUFF + SDREFAGG combination")
     if flags & 1:
         return _decode_symbol_dict_huffman(
             data, flags, input_syms, tables or []
         )
     template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
     if (flags >> 8) & 1 or (flags >> 9) & 1:
         raise NotImplementedError(
             "retained/shared bitmap coding contexts across segments"
@@ -889,11 +891,28 @@ def decode_symbol_dict_segment(
         pos += 2
     at = tuple(at)
     _check_at(at)
+    rat: tuple[tuple[int, int], ...] = _GR_NOMINAL_AT
+    if refagg and rtemplate == 0:
+        rat = (
+            (struct.unpack_from(">b", data, pos)[0],
+             struct.unpack_from(">b", data, pos + 1)[0]),
+            (struct.unpack_from(">b", data, pos + 2)[0],
+             struct.unpack_from(">b", data, pos + 3)[0]),
+        )
+        pos += 4
     num_ex, num_new = struct.unpack_from(">II", data, pos)
     pos += 8
     dec = MQDecoder(data[pos:])
     gb = ArithStats(1 << _CX_BITS[template])
     iadh, iadw, iaex = _IntDecoder(), _IntDecoder(), _IntDecoder()
+    # SDREFAGG (§6.5.8.2): every new symbol is coded as a refinement
+    # (or, gated, a text-region aggregate) of already-decoded symbols
+    # — IAAI instance count, IAID over ⌈log2(inputs + new)⌉ bits,
+    # IARDX/IARDY reference offsets, GR stats shared per dictionary
+    iaai, iardx, iardy = _IntDecoder(), _IntDecoder(), _IntDecoder()
+    agg_codelen = max(1, (len(input_syms) + num_new - 1).bit_length())
+    agg_id_stats = ArithStats(1 << (agg_codelen + 1))
+    gr_stats = ArithStats(1 << 13)
     new_syms: list[np.ndarray] = []
     hcheight = 0
     while len(new_syms) < num_new:
@@ -911,9 +930,37 @@ def decode_symbol_dict_segment(
             symwidth += dw
             if symwidth <= 0 or len(new_syms) >= num_new:
                 raise ValueError("symbol dictionary overrun")
+            if not refagg:
+                new_syms.append(
+                    _decode_generic_bitmap(
+                        dec, gb, symwidth, hcheight, template, False,
+                        at,
+                    )
+                )
+                continue
+            nagg = iaai.decode(dec)
+            if nagg is OOB or nagg < 1:
+                raise ValueError("bad REFAGGNINST")
+            if nagg != 1:
+                raise NotImplementedError(
+                    "REFAGGNINST > 1 (text-region aggregation inside "
+                    "a symbol dictionary)"
+                )
+            sid = _decode_iaid(dec, agg_id_stats, agg_codelen)
+            pool = input_syms + new_syms
+            if sid >= len(pool):
+                raise ValueError(
+                    "refinement references an undecoded symbol"
+                )
+            rdx = iardx.decode(dec)
+            rdy = iardy.decode(dec)
+            if OOB in (rdx, rdy):
+                raise ValueError("OOB refinement offset")
             new_syms.append(
-                _decode_generic_bitmap(
-                    dec, gb, symwidth, hcheight, template, False, at
+                _refine_loop(
+                    dec, gr_stats, symwidth, hcheight,
+                    pool[sid].astype(np.uint8), rdx, rdy,
+                    rtemplate, False, rat, None,
                 )
             )
     # export flags (§6.5.10): alternating runs over input + new
@@ -1131,6 +1178,131 @@ def _build_symbol_dict_huffman(
     head = struct.pack(">H", flags)
     head += struct.pack(">II", len(symbols), len(symbols))
     return head + w.getvalue()
+
+
+def _build_symbol_dict_refagg(
+    refined: list[tuple[int, np.ndarray, int, int]],
+    input_syms: list[np.ndarray],
+    rtemplate: int = 0,
+) -> tuple[bytes, list[int]]:
+    """Encode an SDREFAGG=1 dictionary (export-all): each new symbol
+    is (referenced-global-id, bitmap, rdx, rdy) — coded as IAAI=1,
+    IAID over ⌈log2(inputs+new)⌉ bits, IARDX/IARDY, then a §6.3
+    refinement of the referenced symbol into the new bitmap (GR
+    stats shared per dictionary, TPGRON=0). References may point at
+    input symbols or earlier-decoded new symbols. Height classes
+    sort like the generic builder; returns (data, remap)."""
+    order = sorted(
+        range(len(refined)),
+        key=lambda i: (refined[i][1].shape[0],
+                       refined[i][1].shape[1], i),
+    )
+    remap = [0] * len(refined)
+    for new_idx, orig in enumerate(order):
+        remap[orig] = new_idx
+    n_input = len(input_syms)
+    num_new = len(refined)
+    agg_codelen = max(1, (n_input + num_new - 1).bit_length())
+    enc = MQEncoder()
+    iadh, iadw, iaex = _IntEncoder(), _IntEncoder(), _IntEncoder()
+    iaai, iardx, iardy = _IntEncoder(), _IntEncoder(), _IntEncoder()
+    agg_id_stats = ArithStats(1 << (agg_codelen + 1))
+    gr_stats = ArithStats(1 << 13)
+    pool = [s.astype(np.uint8) for s in input_syms]
+    hcheight = 0
+    i = 0
+    while i < len(order):
+        h = refined[order[i]][1].shape[0]
+        iadh.encode(enc, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(order) and refined[order[i]][1].shape[0] == h:
+            ref_id, bm, rdx, rdy = refined[order[i]]
+            bm = bm.astype(bool)
+            if not 0 <= ref_id < len(pool):
+                raise ValueError(
+                    "refagg reference must be an input symbol or an "
+                    "earlier-coded new symbol (decode order)"
+                )
+            iadw.encode(enc, bm.shape[1] - symwidth)
+            symwidth = bm.shape[1]
+            iaai.encode(enc, 1)
+            _encode_iaid(enc, agg_id_stats, agg_codelen, ref_id)
+            iardx.encode(enc, rdx)
+            iardy.encode(enc, rdy)
+            _refine_loop(
+                enc, gr_stats, bm.shape[1], bm.shape[0],
+                pool[ref_id], rdx, rdy, rtemplate, False,
+                _GR_NOMINAL_AT, bm,
+            )
+            pool.append(bm.astype(np.uint8))
+            i += 1
+        iadw.encode(enc, OOB)
+    total = n_input + num_new
+    iaex.encode(enc, 0)
+    iaex.encode(enc, total)  # export inputs AND new symbols
+    flags = 2 | ((rtemplate & 1) << 12)
+    head = struct.pack(">H", flags)
+    for dx, dy in _NOMINAL_AT[0]:
+        head += struct.pack(">bb", dx, dy)
+    if rtemplate == 0:
+        for dx, dy in _GR_NOMINAL_AT:
+            head += struct.pack(">bb", dx, dy)
+    head += struct.pack(">II", total, num_new)
+    return head + enc.flush(), remap
+
+
+def build_jbig2_refagg_text_embedded(
+    bases: list[np.ndarray],
+    refined: list[tuple[int, np.ndarray, int, int]],
+    instances: list[tuple[int, int, int]],
+    page_wh: tuple[int, int],
+    rtemplate: int = 0,
+    refcorner: str = "tl",
+) -> bytes:
+    """Embedded stream for the SDREFAGG path: page info + a GENERIC
+    symbol dictionary carrying ``bases`` + an SDREFAGG dictionary
+    whose new symbols each refine a base (``refined`` entries are
+    (base-index, bitmap, rdx, rdy)) + a text region referring to the
+    refagg dictionary (its exports = bases then refined symbols).
+    ``instances`` index that combined alphabet: 0..len(bases)-1 are
+    bases, len(bases)+j is refined[j]."""
+    pw, ph = page_wh
+    page_data = struct.pack(">IIII", pw, ph, 0, 0)
+    page_data += b"\x00" + struct.pack(">H", 0)
+    out = _segment(0, _SEG_PAGE_INFO, 1, page_data)
+    dict1, remap1 = _build_symbol_dict_data(bases)
+    out += _segment(1, _SEG_SYMBOL_DICT, 1, dict1)
+    order1 = sorted(range(len(bases)), key=lambda i: remap1[i])
+    dict1_exports = [bases[i].astype(bool) for i in order1]
+    specs = [
+        (remap1[b], bm, rdx, rdy) for b, bm, rdx, rdy in refined
+    ]
+    dict2, remap2 = _build_symbol_dict_refagg(
+        specs, dict1_exports, rtemplate
+    )
+    out += _segment(2, _SEG_SYMBOL_DICT, 1, dict2, refs=(1,))
+    order2 = sorted(range(len(refined)), key=lambda j: remap2[j])
+    text_syms = dict1_exports + [
+        refined[j][1].astype(bool) for j in order2
+    ]
+    nb = len(bases)
+    coded = [
+        (
+            remap1[inst[0]] if inst[0] < nb
+            else nb + remap2[inst[0] - nb],
+            *inst[1:],
+        )
+        for inst in instances
+    ]
+    text_data = _build_text_region_data(
+        coded, text_syms, page_wh, (0, 0), refcorner
+    )
+    out += _segment(
+        3, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, text_data, refs=(2,)
+    )
+    out += _segment(4, _SEG_END_OF_PAGE, 1, b"")
+    return out
 
 
 _REFCORNERS = ("bl", "tl", "br", "tr")  # §7.4.4.1.1 values 0-3

@@ -55,6 +55,7 @@ _PRIORITY: list[str] = [
     "html_text_extract",
     "multimodal_mp3_layer2_subband_decode",
     "pdf_jpx_image_extract",
+    "pdf_jbig2_refagg_extract",
     "s4_sheet_probe_tsv",
     "s4_sheet_probe_xlsx",
     "multimodal_mp3_metadata",

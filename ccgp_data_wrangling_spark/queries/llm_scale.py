@@ -8005,3 +8005,150 @@ def pdf_jpx_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cm0 double, cm1 double, cm2 double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# JBIG2 SDREFAGG extraction through the driver gate — the
+# refinement-coded symbol dictionary (T.88 §6.5.8.2): a generic base
+# dictionary, a second dictionary whose NEW symbols are each coded as
+# IAAI=1 + IAID + IARDX/IARDY + a §6.3 refinement of a base symbol,
+# and a text region over the combined alphabet. Bases carry exactly
+# 5 black pixels and both refined patterns exactly 6, so the page
+# luma is closed-form whatever the id-driven reference/offset
+# rotation picks; k%2 rotates the refinement template, k%4 the
+# placement corner.
+# ---------------------------------------------------------------------------
+
+_PDF_JBIG2_REFAGG_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k, event_id % 3 + 2 AS n
+  FROM events WHERE event_id % 20 = 7
+)
+SELECT id,
+       CAST(32 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST(k % 2 AS INT) AS rtemplate,
+       CASE k % 4 WHEN 0 THEN 'tl' WHEN 1 THEN 'bl'
+                  WHEN 2 THEN 'tr' ELSE 'br' END AS refcorner,
+       CAST('jbig2' AS VARCHAR) AS codec,
+       ROUND(255.0 * (512 - (5 * n + 12)) / 512.0, 4) AS luma_mean
+FROM g
+"""
+
+
+@register("pdf_jbig2_refagg_extract", _PDF_JBIG2_REFAGG_SQL)
+def pdf_jbig2_refagg_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SDREFAGG path end-to-end: build_jbig2_refagg_text_embedded
+    writes page-info + generic base dictionary + refinement-coded
+    dictionary (every new symbol IAAI=1 aggregate-refined from an
+    id-rotated base with id-rotated IARDX/IARDY offsets) + text
+    region over the combined alphabet; build_pdf embeds the stream
+    behind /JBIG2Decode and pdf_images decodes the composed page.
+    Base glyphs have 5 black pixels, refined patterns 6 — black =
+    5n + 12 in closed form; a refinement-decode slip shifts it."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.jbig2 import (
+        build_jbig2_refagg_text_embedded,
+    )
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf, pdf_images
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 7
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    _GLYPHS = (
+        np.array([[1, 0, 1], [0, 1, 0], [1, 0, 1]], bool),  # X
+        np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], bool),  # +
+        np.array([[1, 1, 1], [0, 1, 0], [0, 1, 0]], bool),  # T
+    )
+    # refined outputs: 4×4 patterns with EXACTLY 6 black pixels
+    _REF_A = np.zeros((4, 4), bool)
+    _REF_A[0, 0] = _REF_A[0, 3] = _REF_A[1, 1] = True
+    _REF_A[2, 2] = _REF_A[3, 0] = _REF_A[3, 3] = True
+    _REF_B = np.zeros((4, 4), bool)
+    _REF_B[0, 1] = _REF_B[1, 0] = _REF_B[1, 3] = True
+    _REF_B[2, 1] = _REF_B[3, 2] = _REF_B[2, 3] = True
+    _RC = ("tl", "bl", "tr", "br")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, rts, rcs = [], [], []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                n = e % 3 + 2
+                refined = [
+                    (e % 3, _REF_A, e % 3 - 1, (e // 3) % 3 - 1),
+                    ((e + 1) % 3, _REF_B, (e // 9) % 3 - 1, e % 2),
+                ]
+                insts = [
+                    ((e + i) % 3, 1 + 6 * i, 2) for i in range(n)
+                ] + [(3, 26, 2), (4, 26, 10)]
+                stream = build_jbig2_refagg_text_embedded(
+                    list(_GLYPHS), refined, insts, (32, 16),
+                    rtemplate=k % 2, refcorner=_RC[k % 4],
+                )
+                payloads.append(
+                    build_pdf(
+                        [[f"jbig2 refagg {e}"]],
+                        page_images=[[("jbig2_stream", stream, 32, 16)]],
+                    )
+                )
+                rts.append(k % 2)
+                rcs.append(_RC[k % 4])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "rtemplate": rts,
+                    "refcorner": rcs,
+                    "payload": payloads,
+                }
+            )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, rt, rc, blob in zip(
+                pdf["id"], pdf["rtemplate"], pdf["refcorner"],
+                pdf["payload"],
+            ):
+                for r in pdf_images(bytes(blob)):
+                    rows.append(
+                        {
+                            "id": rid,
+                            "width": r["width"],
+                            "height": r["height"],
+                            "rtemplate": rt,
+                            "refcorner": rc,
+                            "codec": r["codec"],
+                            "luma_mean": r["luma_mean"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "rtemplate", "refcorner",
+                    "codec", "luma_mean",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth,
+        schema=(
+            "id long, rtemplate int, refcorner string, payload binary"
+        ),
+    ).mapInPandas(
+        extract,
+        schema=(
+            "id long, width int, height int, rtemplate int, "
+            "refcorner string, codec string, luma_mean double"
+        ),
+    )

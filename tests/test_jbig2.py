@@ -371,13 +371,29 @@ class TestSymbolText:
         exp[4:6, 4:6] = True
         assert np.array_equal(out["black"], exp)
 
-    def test_refagg_gates(self):
+    def test_refagg_decodes_empty_dict(self):
+        # SDREFAGG decodes since r11 (single-instance refinement);
+        # an empty REFAGG dict (0 new symbols, export run 0+0)
+        # parses its widened header (GB AT + 2 SDRAT pairs)
         from ccgp_data_wrangling_spark.operators.jbig2 import (
+            MQEncoder,
+            _IntEncoder,
             decode_symbol_dict_segment,
         )
 
-        with pytest.raises(NotImplementedError, match="SDREFAGG"):
-            decode_symbol_dict_segment(b"\x00\x02" + b"\x00" * 20)
+        enc = MQEncoder()
+        iaex = _IntEncoder()
+        iaex.encode(enc, 0)
+        head = struct.pack(">H", 2)
+        head += b"".join(
+            struct.pack(">bb", dx, dy)
+            for dx, dy in ((3, -1), (-3, -1), (2, -2), (-2, -2))
+        )
+        head += b"".join(
+            struct.pack(">bb", -1, -1) for _ in range(2)
+        )
+        head += struct.pack(">II", 0, 0)
+        assert decode_symbol_dict_segment(head + enc.flush()) == []
 
     def test_sbhuff_text_region_gates(self):
         # SBHUFF decodes with custom tables (r11); the default
@@ -1173,3 +1189,81 @@ class TestSBHuffText:
                 (16, 9),
                 huffman_text=True,
             )
+
+
+class TestSDRefAgg:
+    def _fixture(self):
+        symA = np.zeros((6, 5), bool)
+        symA[1:5, 1:4] = True
+        symB = np.zeros((4, 7), bool)
+        symB[::2, :] = True
+        refA = np.zeros((7, 6), bool)
+        refA[1:7, 1:6] = symA
+        refA[0, 0] = True
+        refB = symB.copy()
+        refB[1, 3] = True
+        refB[0, 0] = False
+        return symA, symB, refA, refB
+
+    @pytest.mark.parametrize("rtemplate", [0, 1])
+    def test_refagg_dictionary_round_trip(self, rtemplate):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_refagg_text_embedded,
+            decode_jbig2_embedded,
+        )
+
+        symA, symB, refA, refB = self._fixture()
+        blob = build_jbig2_refagg_text_embedded(
+            [symA, symB],
+            [(0, refA, 0, -1), (1, refB, 1, 0)],
+            [(0, 1, 1), (2, 8, 1), (1, 16, 1), (3, 1, 10),
+             (2, 9, 10)],
+            (26, 18),
+            rtemplate=rtemplate,
+        )
+        page = decode_jbig2_embedded(blob)
+        exp = np.zeros((18, 26), bool)
+        exp[1:7, 1:6] |= symA
+        exp[1:8, 8:14] |= refA
+        exp[1:5, 16:23] |= symB
+        exp[10:14, 1:8] |= refB
+        exp[10:17, 9:15] |= refA
+        assert (page["black"] == exp).all()
+
+    def test_refagg_ninst_gt_one_gates(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            MQEncoder,
+            _encode_iaid,
+            _IntEncoder,
+            ArithStats,
+            decode_symbol_dict_segment,
+        )
+
+        # hand-build a REFAGG dict whose first symbol claims 2
+        # aggregate instances
+        enc = MQEncoder()
+        iadh, iadw, iaai = _IntEncoder(), _IntEncoder(), _IntEncoder()
+        iadh.encode(enc, 3)
+        iadw.encode(enc, 3)
+        iaai.encode(enc, 2)
+        head = struct.pack(">H", 2)
+        head += b"".join(
+            struct.pack(">bb", dx, dy)
+            for dx, dy in ((3, -1), (-3, -1), (2, -2), (-2, -2))
+        )
+        head += b"".join(
+            struct.pack(">bb", dx, dy) for dx, dy in ((-1, -1),) * 2
+        )
+        head += struct.pack(">II", 1, 1)
+        with pytest.raises(NotImplementedError, match="REFAGGNINST"):
+            decode_symbol_dict_segment(
+                head + enc.flush(), [np.ones((2, 2), bool)]
+            )
+
+    def test_sdhuff_refagg_combination_gates(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            decode_symbol_dict_segment,
+        )
+
+        with pytest.raises(NotImplementedError, match="SDHUFF"):
+            decode_symbol_dict_segment(struct.pack(">HII", 3, 0, 0))

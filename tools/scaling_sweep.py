@@ -111,6 +111,7 @@ R10_FAMILIES = [
 R11_FAMILIES = [
     "pptx_text_extract", "html_text_extract",
     "multimodal_mp3_layer2_subband_decode", "pdf_jpx_image_extract",
+    "pdf_jbig2_refagg_extract",
 ]
 
 # r10-verdict task #8: coding-variant rotations that ride INSIDE a
@@ -130,6 +131,7 @@ VARIANT_COLUMNS: dict[str, list[str]] = {
     "pdf_bpc_image_extract": ["bpc", "inverted"],
     "multimodal_mp3_layer2_subband_decode": ["steps", "scfsi"],
     "pdf_jpx_image_extract": ["n_channels", "levels", "container"],
+    "pdf_jbig2_refagg_extract": ["rtemplate", "refcorner"],
 }
 
 
