@@ -548,6 +548,8 @@ _COM = 0xFF64
 _BAND_CODE = {"LL": _BAND_LL_LH, "LH": _BAND_LL_LH,
               "HL": _BAND_HL, "HH": _BAND_HH}
 
+_CB = 64  # fixed 64x64 code-blocks (exponent 6 in COD SPcod)
+
 
 def _band_dims(w: int, h: int, levels: int) -> list[dict[str, tuple]]:
     """Subband extents by repeated ceil/floor halving, mirroring the
@@ -631,13 +633,6 @@ def encode_jpx(
     # per-component wavelet
     all_bands = [_fdwt53(c, levels) for c in comps]
     dims = _band_dims(w, h, levels)
-    for res in dims:
-        for _name, (bw, bh) in res.items():
-            if bw > 64 or bh > 64:
-                raise ValueError(
-                    "fixture encoder keeps one 64x64 code-block per "
-                    f"subband; band {bw}x{bh} exceeds it"
-                )
     # quantization exponents: enough magnitude bits for the actual
     # coefficients (+ slack), G = 2 guard bits → Mb = G + eps - 1
     guard = 2
@@ -690,45 +685,66 @@ def encode_jpx(
                     continue
                 coeffs = all_bands[c][r][name]
                 bh, bw = coeffs.shape
-                inc = TagTree(1, 1)
-                zbp = TagTree(1, 1)
                 if bw == 0 or bh == 0:
                     continue
+                # code-block grid over the band (the whole band is
+                # one precinct at the default 2^15 size); inclusion
+                # and zero-bitplane tag trees span the grid
+                gw = (bw + _CB - 1) // _CB
+                gh = (bh + _CB - 1) // _CB
+                inc = TagTree(gw, gh)
+                zbp = TagTree(gw, gh)
                 mb = guard + eps[_qcd_index(r, name)] - 1
-                m = int(np.abs(coeffs).max())
-                planes = max(1, m.bit_length())
-                p0 = mb - planes
-                if p0 < 0:
-                    raise AssertionError("exponent under-sized")
-                empty = m == 0
-                inc.set_leaves(np.array([[1 if empty else 0]]))
-                inc.encode(hdr, 0, 0, 1)
-                if empty:
-                    continue
-                zbp.set_leaves(np.array([[p0]]))
-                zbp.encode(hdr, 0, 0, p0 + 1)
-                npass = 3 * planes - 2
-                _code_numpasses_w(hdr, npass)
-                enc = MQEncoder()
-                stats = _fresh_stats()
-                _t1_code_block(
-                    enc, stats, _BAND_CODE[name], bw, bh, planes,
-                    coeffs,
-                )
-                payload = enc.flush()
-                if payload.endswith(b"\xff\xac"):
-                    payload = payload[:-2]
-                while payload.endswith(b"\xff"):
-                    payload = payload[:-1]
-                lblock = 3
-                nbits = lblock + _ilog2(npass)
-                while len(payload) >= (1 << nbits):
-                    hdr.bit(1)
-                    lblock += 1
-                    nbits += 1
-                hdr.bit(0)
-                hdr.bits(len(payload), nbits)
-                cb_payloads.append(payload)
+                inc_leaves = np.zeros((gh, gw), np.int64)
+                zbp_leaves = np.full((gh, gw), mb, np.int64)
+                blocks: dict[tuple[int, int], tuple] = {}
+                for by in range(gh):
+                    for bx in range(gw):
+                        blk = coeffs[
+                            by * _CB : (by + 1) * _CB,
+                            bx * _CB : (bx + 1) * _CB,
+                        ]
+                        m = int(np.abs(blk).max())
+                        if m == 0:
+                            inc_leaves[by, bx] = 1  # not included
+                            continue
+                        planes = m.bit_length()
+                        p0 = mb - planes
+                        if p0 < 0:
+                            raise AssertionError("exponent under-sized")
+                        zbp_leaves[by, bx] = p0
+                        blocks[(by, bx)] = (blk, planes, p0)
+                inc.set_leaves(inc_leaves)
+                zbp.set_leaves(zbp_leaves)
+                for by in range(gh):
+                    for bx in range(gw):
+                        inc.encode(hdr, bx, by, 1)
+                        if (by, bx) not in blocks:
+                            continue
+                        blk, planes, p0 = blocks[(by, bx)]
+                        zbp.encode(hdr, bx, by, p0 + 1)
+                        npass = 3 * planes - 2
+                        _code_numpasses_w(hdr, npass)
+                        enc = MQEncoder()
+                        stats = _fresh_stats()
+                        _t1_code_block(
+                            enc, stats, _BAND_CODE[name],
+                            blk.shape[1], blk.shape[0], planes, blk,
+                        )
+                        payload = enc.flush()
+                        if payload.endswith(b"\xff\xac"):
+                            payload = payload[:-2]
+                        while payload.endswith(b"\xff"):
+                            payload = payload[:-1]
+                        lblock = 3
+                        nbits = lblock + _ilog2(npass)
+                        while len(payload) >= (1 << nbits):
+                            hdr.bit(1)
+                            lblock += 1
+                            nbits += 1
+                        hdr.bit(0)
+                        hdr.bits(len(payload), nbits)
+                        cb_payloads.append(payload)
             body += hdr.flush()
             for pl in cb_payloads:
                 body += pl
@@ -905,12 +921,11 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
     dims = _band_dims(w, h, levels)
     if cod["cbw"] > 10 or cod["cbh"] > 10:
         raise ValueError("code-block exponent over 2^10")
-    for res in dims:
-        for _n, (bw, bh) in res.items():
-            if bw > (1 << cod["cbw"]) or bh > (1 << cod["cbh"]):
-                raise NotImplementedError(
-                    "multiple code-blocks per subband"
-                )
+    if (1 << cod["cbw"]) != _CB or (1 << cod["cbh"]) != _CB:
+        raise NotImplementedError(
+            f"code-block size {1 << cod['cbw']}x{1 << cod['cbh']} "
+            f"(grid logic is pinned to {_CB}x{_CB})"
+        )
     rd = _PkBitReader(body)
     comps_bands: list[list[dict[str, np.ndarray]]] = [
         [dict() for _ in range(levels + 1)] for _ in range(ncomp)
@@ -927,51 +942,60 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
                         (bh, bw), np.int64
                     )
                 continue
-            pending: list[tuple[str, int, int, int, int]] = []
+            pending: list[tuple[str, int, int, int, int, int]] = []
             for name in ("LL", "HL", "LH", "HH"):
                 if name not in dims[r]:
                     continue
                 bw, bh = dims[r][name]
+                comps_bands[c][r][name] = np.zeros(
+                    (bh, bw), np.int64
+                )
                 if bw == 0 or bh == 0:
-                    comps_bands[c][r][name] = np.zeros(
-                        (bh, bw), np.int64
-                    )
                     continue
-                inc = TagTree(1, 1)
-                zbp = TagTree(1, 1)
-                if not inc.decode(rd, 0, 0, 1):
-                    comps_bands[c][r][name] = np.zeros(
-                        (bh, bw), np.int64
-                    )
-                    continue
-                t = 1
-                while not zbp.decode(rd, 0, 0, t):
-                    t += 1
-                p0 = zbp.leaf_value(0, 0)
-                npass = _code_numpasses_r(rd)
-                lblock = 3
-                while rd.bit():
-                    lblock += 1
-                nbits = lblock + _ilog2(npass)
-                plen = rd.bits(nbits)
+                gw = (bw + _CB - 1) // _CB
+                gh = (bh + _CB - 1) // _CB
+                inc = TagTree(gw, gh)
+                zbp = TagTree(gw, gh)
                 mb = guard + qcd_eps[_qcd_index(r, name)] - 1
-                planes = mb - p0
-                if planes <= 0 or (npass != 3 * planes - 2):
-                    raise ValueError(
-                        "inconsistent pass count for bitplanes"
-                    )
-                pending.append((name, bw, bh, planes, plen))
+                for by in range(gh):
+                    for bx in range(gw):
+                        if not inc.decode(rd, bx, by, 1):
+                            continue
+                        t = 1
+                        while not zbp.decode(rd, bx, by, t):
+                            t += 1
+                        p0 = zbp.leaf_value(bx, by)
+                        npass = _code_numpasses_r(rd)
+                        lblock = 3
+                        while rd.bit():
+                            lblock += 1
+                        nbits = lblock + _ilog2(npass)
+                        plen = rd.bits(nbits)
+                        planes = mb - p0
+                        if planes <= 0 or npass != 3 * planes - 2:
+                            raise ValueError(
+                                "inconsistent pass count for bitplanes"
+                            )
+                        pending.append(
+                            (name, bx, by, planes, plen, 0)
+                        )
             hdr_end = rd.align()
             off = hdr_end
-            for name, bw, bh, planes, plen in pending:
+            for name, bx, by, planes, plen, _pad in pending:
                 payload = body[off : off + plen]
                 off += plen
                 dec = MQDecoder(payload)
                 stats = _fresh_stats()
-                comps_bands[c][r][name] = _t1_code_block(
-                    dec, stats, _BAND_CODE[name], bw, bh, planes,
-                    None,
+                band = comps_bands[c][r][name]
+                blk = band[
+                    by * _CB : (by + 1) * _CB,
+                    bx * _CB : (bx + 1) * _CB,
+                ]
+                out_blk = _t1_code_block(
+                    dec, stats, _BAND_CODE[name],
+                    blk.shape[1], blk.shape[0], planes, None,
                 )
+                blk[...] = out_blk
             bpos = off
     comps = [_idwt53(cb) for cb in comps_bands]
     depth = siz["depth"]

@@ -225,3 +225,35 @@ class TestPdfIntegration:
         blob = blob.replace(b"/Width 6", b"/Width 7")
         with pytest.raises(ValueError, match="disagree"):
             pdf_images(blob)
+
+
+class TestMultiCodeBlock:
+    def test_grid_lossless(self):
+        rng = np.random.default_rng(17)
+        img = rng.integers(0, 256, (140, 150), dtype=np.int64)
+        out = decode_jpx(encode_jpx(img, levels=2))
+        assert (out["samples"][..., 0] == img).all()
+
+    def test_sparse_grid_skips_empty_blocks(self):
+        img = np.zeros((130, 130), np.int64)
+        img[5:20, 100:120] = 200
+        blob = encode_jpx(img, levels=1)
+        out = decode_jpx(blob)
+        assert (out["samples"][..., 0] == img).all()
+        # empty blocks must shrink the stream vs a dense image
+        dense = encode_jpx(
+            np.full((130, 130), 200, np.int64) - img, levels=1
+        )
+        assert len(blob) < len(dense)
+
+    def test_rgb_grid(self):
+        rng = np.random.default_rng(19)
+        img = rng.integers(0, 256, (70, 80, 3), dtype=np.int64)
+        out = decode_jpx(encode_jpx(img, levels=1))
+        assert (out["samples"] == img).all()
+
+    def test_block_boundary_exact_multiple(self):
+        rng = np.random.default_rng(23)
+        img = rng.integers(0, 256, (128, 64), dtype=np.int64)
+        out = decode_jpx(encode_jpx(img, levels=1))
+        assert (out["samples"][..., 0] == img).all()
