@@ -15,8 +15,12 @@ per-query map always lands in the $SPARK_GRAFT_BENCH_OUT file
 line survives a 2048-byte tail capture.
 
 Each query is forced end-to-end with the noop sink (full computation,
-no collect/transfer cost). A tiny warm-up query amortizes JVM/codegen
-startup out of the per-query numbers.
+no collect/transfer cost). Queries run in GROUPS of ~24 per fresh
+subprocess JVM (r11): a single long-lived session accumulates enough
+pressure over ~500 timed executions to inflate late queries ~2× above
+their fresh-session medians — the same failure mode the r8 scaling
+sweep fixed the same way. A warm-up query per child amortizes
+JVM/codegen startup out of the timings.
 """
 
 from __future__ import annotations
@@ -212,7 +216,91 @@ def stdout_summary(result: dict, max_queries: int = 10) -> dict:
     }
 
 
+GROUP = 24  # queries per child JVM
+
+
+def _child(out_path: str, names: list[str]) -> None:
+    """Time one group of queries in THIS process and dump the part.
+
+    Groups run in fresh subprocesses because a single long-lived JVM
+    accumulates pressure over ~500 timed executions: the r11 129-query
+    single-session run read late queries ~2× above their fresh-session
+    medians (pdf_jbig2_refine 6.5 s vs 3.3 s, cdc 3.4 s vs 2.0 s) —
+    the same failure mode the r8 scaling sweep fixed the same way."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="ccgp-bench-child")
+    qs = all_queries()
+    # warm-up: JVM, parquet footer cache, codegen paths
+    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    def run_once(name: str) -> float:
+        samples: list[float] = []
+        with CacheScope() as bench_scope, use_scope(bench_scope):
+            for _ in range(3):
+                df = qs[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            if sorted(samples)[1] < 1.0:
+                for _ in range(2):
+                    df = qs[name](spark, sf_dir)
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    samples.append(time.perf_counter() - t0)
+        return round(sorted(samples)[len(samples) // 2], 3)
+
+    prior: dict[str, float] = {}
+    prior_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_PRIOR", "BENCH_LOCAL.json"
+    )
+    try:
+        with open(prior_path) as fh:
+            prior = json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        pass
+
+    timings: dict[str, float] = {}
+    loadavg_per_query: dict[str, float] = {}
+    retimed: list[str] = []
+    retime_samples: dict[str, dict[str, float]] = {}
+    for name in names:
+        loadavg_per_query[name] = round(os.getloadavg()[0], 2)
+        timings[name] = run_once(name)
+    # load noise shows up as phantom regressions (r5/r6 verdicts both
+    # chased medians that vanished on an idle box): any query >1.5×
+    # its previous recorded median gets ONE second in-run pass (the
+    # SECOND run's median stands, both kept in the artifact);
+    # sub-1.5 s queries get the tighter 1.25× trigger (r9 task #8).
+    for name in names:
+        if name not in prior:
+            continue
+        trigger = 1.25 if prior[name] < 1.5 else 1.5
+        if timings[name] > trigger * prior[name]:
+            retimed.append(name)
+            second = run_once(name)
+            retime_samples[name] = {
+                "first": timings[name], "second": second,
+            }
+            timings[name] = second
+    with open(out_path, "w") as fh:
+        json.dump(
+            {
+                "timings": timings,
+                "loadavg_per_query": loadavg_per_query,
+                "retimed": retimed,
+                "retime_samples": retime_samples,
+            },
+            fh,
+        )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--group":
+        _child(sys.argv[2], sys.argv[3:])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -243,81 +331,40 @@ def main() -> None:
         load_start = os.getloadavg()
     contended = load_start[0] > gate
 
-    spark = get_spark(app_name="ccgp-bench")
-    qs = all_queries()
-
-    # warm-up: JVM, parquet footer cache, codegen paths
-    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
-    # median-of-3 per query: single samples on this box vary 2-3x on
-    # identical plans (JIT, page cache, CPU contention). Each query's
-    # persisted intermediates are pinned in one caller-owned CacheScope
-    # across its three runs (so repeats measure steady-state plan cost,
-    # not signature-table rebuilds) and released before the next query
-    # — the session never accumulates cache entries.
-    # sub-second queries dominate the registry count, and their
-    # single medians wobble enough that r10's same-HEAD totals spread
-    # 20% (68.7 vs 83.2 s — r10 verdict #3). Adaptive depth: every
-    # query gets 3 samples; if the median lands under 1 s — where
-    # scheduler/page-cache noise is proportionally largest — two more
-    # samples are taken and the median-of-5 stands.
-    def run_once(name: str) -> float:
-        samples: list[float] = []
-        with CacheScope() as bench_scope, use_scope(bench_scope):
-            for _ in range(3):
-                df = qs[name](spark, sf_dir)
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - t0)
-            if sorted(samples)[1] < 1.0:
-                for _ in range(2):
-                    df = qs[name](spark, sf_dir)
-                    t0 = time.perf_counter()
-                    df.write.format("noop").mode("overwrite").save()
-                    samples.append(time.perf_counter() - t0)
-        return round(sorted(samples)[len(samples) // 2], 3)
-
-    prior: dict[str, float] = {}
-    prior_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_PRIOR", "BENCH_LOCAL.json"
-    )
-    try:
-        with open(prior_path) as fh:
-            prior = json.load(fh).get("queries", {})
-    except (OSError, ValueError):
-        pass
+    # median-of-3 per query (median-of-5 under 1 s), pinned cache
+    # scopes, ONE FRESH JVM PER GROUP of queries — see _child for the
+    # session-pressure rationale. Groups run sequentially; children
+    # inherit the prior map for the in-run regression re-time pass.
+    import subprocess
+    import tempfile
 
     timings: dict[str, float] = {}
     loadavg_per_query: dict[str, float] = {}
     retimed: list[str] = []
-    for name in HEADLINE:
-        loadavg_per_query[name] = round(os.getloadavg()[0], 2)
-        timings[name] = run_once(name)
-    # load noise shows up as phantom regressions (r5/r6 verdicts both
-    # chased medians that vanished on an idle box): any query >1.5×
-    # its previous recorded median gets ONE second in-run pass. The
-    # SECOND run's median stands (not the min of both — r7 advice: a
-    # min records noisy real regressions at their best case while
-    # favorable noise is never re-checked, biasing artifacts
-    # downward), and BOTH samples are kept in the artifact so a
-    # partially-reproducing regression is still visible.
-    # sub-1.5 s queries get a TIGHTER trigger (1.25×): their medians
-    # carry proportionally more scheduler/page-cache noise, and the
-    # r9 run recorded ~12 cheap media-decode rows at ~1.5× purely
-    # under loadavg 3.3 — just below the old uniform 1.5× trigger, so
-    # none was ever re-checked (r9 verdict task #8).
     retime_samples: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
-        if name not in prior:
-            continue
-        trigger = 1.25 if prior[name] < 1.5 else 1.5
-        if timings[name] > trigger * prior[name]:
-            retimed.append(name)
-            second = run_once(name)
-            retime_samples[name] = {
-                "first": timings[name], "second": second,
-            }
-            timings[name] = second
+    tmpdir = tempfile.mkdtemp(prefix="bench_parts_")
+    try:
+        for gi in range(0, len(HEADLINE), GROUP):
+            group = HEADLINE[gi : gi + GROUP]
+            part = os.path.join(tmpdir, f"g{gi}.json")
+            proc = subprocess.run(
+                [sys.executable, __file__, "--group", part, *group],
+                cwd=str(Path(__file__).resolve().parent),
+            )
+            if proc.returncode != 0 or not os.path.exists(part):
+                raise RuntimeError(
+                    f"bench child for group {gi} died "
+                    f"(rc {proc.returncode})"
+                )
+            got = json.load(open(part))
+            timings.update(got["timings"])
+            loadavg_per_query.update(got["loadavg_per_query"])
+            retimed.extend(got["retimed"])
+            retime_samples.update(got["retime_samples"])
+    finally:
+        import shutil
+
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out_file = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
@@ -344,7 +391,6 @@ def main() -> None:
         json.dump(result, fh, indent=1)
         fh.write("\n")
     print(json.dumps(stdout_summary(result), separators=(",", ":")))
-    spark.stop()
 
 
 if __name__ == "__main__":

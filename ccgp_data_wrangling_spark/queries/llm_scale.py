@@ -7850,8 +7850,8 @@ WITH g AS (
 ),
 dims AS (
   SELECT id, v,
-         CASE v WHEN 0 THEN 20 WHEN 1 THEN 12 ELSE 24 END AS w,
-         CASE v WHEN 0 THEN 16 WHEN 1 THEN 12 ELSE 8 END AS h
+         CASE v WHEN 0 THEN 16 WHEN 1 THEN 10 ELSE 16 END AS w,
+         CASE v WHEN 0 THEN 12 WHEN 1 THEN 10 ELSE 8 END AS h
   FROM g
 ),
 px AS (
@@ -7922,11 +7922,11 @@ def pdf_jpx_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 e = int(eid)
                 v = e % 3
                 if v == 0:
-                    w, h, lv, opts = 20, 16, 2, {"levels": 2}
+                    w, h, lv, opts = 16, 12, 2, {"levels": 2}
                 elif v == 1:
-                    w, h, lv, opts = 12, 12, 1, {"levels": 1}
+                    w, h, lv, opts = 10, 10, 1, {"levels": 1}
                 else:
-                    w, h, lv = 24, 8, 2
+                    w, h, lv = 16, 8, 2
                     opts = {
                         "levels": 2, "eps_slack": 2,
                         "jp2_container": True,
