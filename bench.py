@@ -323,7 +323,7 @@ def main() -> None:
         if load_start[0] <= gate:
             break
         print(
-            f"bench: loadavg {load_start[0]:.2f} > ncpu/8 ({gate:.1f}) — "
+            f"bench: loadavg {load_start[0]:.2f} > ncpu/16 ({gate:.1f}) — "
             "contended box, waiting 30s before timing",
             file=sys.stderr,
         )

@@ -1308,6 +1308,39 @@ def build_jbig2_refagg_text_embedded(
 _REFCORNERS = ("bl", "tl", "br", "tr")  # §7.4.4.1.1 values 0-3
 
 
+def _read_symbol_id_code_lengths(
+    reader: "_HuffReader", nsyms: int
+) -> list[int]:
+    """§7.4.4.1.1.1 symbol-ID code table prelude: 35 4-bit runcode
+    lengths → runcode Huffman table → ``nsyms`` symbol code lengths.
+    Runcodes 32/33/34 are repeat escapes; per T.88, runcode 32 repeats
+    the PREVIOUS symbol's length, which is 0 immediately after a
+    zero-run (33/34) — third-party encoders do emit that sequence
+    (r11 ADVICE fix, regression-pinned in test_jbig2)."""
+    run_lens = [reader.bits(4) for _ in range(35)]
+    runtab = HuffTable(
+        [(ln, 0, i) for i, ln in enumerate(run_lens) if ln]
+    )
+    sym_lens: list[int] = []
+    prev_len = 0
+    while len(sym_lens) < nsyms:
+        c = runtab.decode(reader)
+        if c < 32:
+            sym_lens.append(c)
+            prev_len = c
+        elif c == 32:
+            sym_lens.extend([prev_len] * (reader.bits(2) + 3))
+        elif c == 33:
+            sym_lens.extend([0] * (reader.bits(3) + 3))
+            prev_len = 0
+        else:
+            sym_lens.extend([0] * (reader.bits(7) + 11))
+            prev_len = 0
+    if len(sym_lens) != nsyms:
+        raise ValueError("symbol-ID length run overshoots")
+    return sym_lens
+
+
 def decode_text_region_segment(
     data: bytes,
     syms: list[np.ndarray],
@@ -1392,29 +1425,7 @@ def decode_text_region_segment(
                 else HUFF_B1
             )
         reader = _HuffReader(data, pos)
-        # §7.4.4.1.1.1 symbol-ID code table: 35 4-bit runcode
-        # lengths → runcode Huffman table → SBNUMSYMS symbol code
-        # lengths (runcodes 32/33/34 are repeat escapes) → canonical
-        # symbol-ID table; the section ends byte-aligned
-        run_lens = [reader.bits(4) for _ in range(35)]
-        runtab = HuffTable(
-            [(ln, 0, i) for i, ln in enumerate(run_lens) if ln]
-        )
-        sym_lens: list[int] = []
-        prev_len = 0
-        while len(sym_lens) < len(syms):
-            c = runtab.decode(reader)
-            if c < 32:
-                sym_lens.append(c)
-                prev_len = c
-            elif c == 32:
-                sym_lens.extend([prev_len] * (reader.bits(2) + 3))
-            elif c == 33:
-                sym_lens.extend([0] * (reader.bits(3) + 3))
-            else:
-                sym_lens.extend([0] * (reader.bits(7) + 11))
-        if len(sym_lens) != len(syms):
-            raise ValueError("symbol-ID length run overshoots")
+        sym_lens = _read_symbol_id_code_lengths(reader, len(syms))
         symtab = HuffTable(
             [(ln, 0, i) for i, ln in enumerate(sym_lens) if ln]
         )

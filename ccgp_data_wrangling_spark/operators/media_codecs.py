@@ -4662,6 +4662,13 @@ def decode_mp3_layer2_subbands(payload: bytes) -> list[dict[str, Any]]:
                     r.read_bits(6)
                     for _ in range(_L2_SCFSI_COUNT[scfsi[sb]])
                 ]
+                for idx6 in sent:
+                    if idx6 > 62:
+                        # ISO 11172-3 Table 3-B.1: index 63 reserved
+                        raise ValueError(
+                            f"reserved Layer II scalefactor index "
+                            f"{idx6} in subband {sb}"
+                        )
                 scf.append(
                     [sent[j] for j in _L2_SCFSI_PARTS[scfsi[sb]]]
                 )

@@ -107,21 +107,31 @@ def _paragraphs(root: ET.Element) -> list[str]:
                     out.append(s)
                 run.clear()
 
-            if el.text:
-                run.append(el.text)
-            for child in el:
-                ctag = _local(child.tag)
-                if ctag in _SKIP_TAGS:
-                    pass
-                elif ctag in _BLOCK_TAGS or _has_block(child):
-                    flush()
-                    walk(child)
-                elif ctag == "br":
-                    run.append("\n")
-                else:
-                    _flatten(child, run)
-                if child.tail:
-                    run.append(child.tail)
+            def mixed(cur: ET.Element) -> None:
+                # Shared by the block itself and any inline wrapper
+                # that contains a nested block (<li>a<em>b<ul/>c</em>
+                # d</li>): leading text and inline runs join the
+                # current paragraph run; nested blocks flush it and
+                # become their own paragraphs; tails resume the run.
+                if cur.text:
+                    run.append(cur.text)
+                for child in cur:
+                    ctag = _local(child.tag)
+                    if ctag in _SKIP_TAGS:
+                        pass
+                    elif ctag in _BLOCK_TAGS:
+                        flush()
+                        walk(child)
+                    elif _has_block(child):
+                        mixed(child)
+                    elif ctag == "br":
+                        run.append("\n")
+                    else:
+                        _flatten(child, run)
+                    if child.tail:
+                        run.append(child.tail)
+
+            mixed(el)
             flush()
             return
         for child in el:

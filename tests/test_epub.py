@@ -119,3 +119,21 @@ class TestSparkOperator:
             (1, 0, 0): "x",
             (1, 0, 1): "y",
         }
+
+
+def test_block_inside_inline_keeps_wrapper_text():
+    # r11 ADVICE fix: an inline wrapper (<em>) that CONTAINS a nested
+    # block used to be handed to walk(), dropping its leading text and
+    # intermediate tails. All four runs must survive.
+    from xml.etree import ElementTree as ET
+
+    from ccgp_data_wrangling_spark.sources.epub import _paragraphs
+
+    ns = "http://www.w3.org/1999/xhtml"
+    doc = (
+        f'<html xmlns="{ns}"><body><li>intro '
+        "<em>lead <ul><li>nested</li></ul> tail-in-em</em>"
+        " after</li></body></html>"
+    )
+    paras = _paragraphs(ET.fromstring(doc))
+    assert paras == ["intro lead ", "nested", " tail-in-em after"]

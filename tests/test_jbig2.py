@@ -1267,3 +1267,42 @@ class TestSDRefAgg:
 
         with pytest.raises(NotImplementedError, match="SDHUFF"):
             decode_symbol_dict_segment(struct.pack(">HII", 3, 0, 0))
+
+
+def test_symbol_id_runcode_repeat_after_zero_run():
+    # T.88 §7.4.4.1.1.1: runcode 32 repeats the PREVIOUS symbol's
+    # length, which is 0 immediately after a zero-run (33/34).
+    # The in-repo encoder never emits 32 after 33/34, so this pins
+    # the third-party sequence directly (r11 ADVICE fix).
+    from ccgp_data_wrangling_spark.operators.jbig2 import (
+        HuffTable,
+        _HuffReader,
+        _HuffWriter,
+        _read_symbol_id_code_lengths,
+    )
+
+    run_lens = [0] * 35
+    run_lens[4], run_lens[32], run_lens[33] = 1, 2, 2  # Kraft = 1
+    runtab = HuffTable(
+        [(ln, 0, i) for i, ln in enumerate(run_lens) if ln]
+    )
+    w = _HuffWriter()
+    for ln in run_lens:
+        w.bits(ln, 4)
+    runtab.encode(w, 4)                 # explicit length 4
+    runtab.encode(w, 33)
+    w.bits(0, 3)                        # zero-run of 3 → prev := 0
+    runtab.encode(w, 32)
+    w.bits(0, 2)                        # repeat-prev ×3 → three ZEROS
+    r = _HuffReader(w.getvalue())
+    assert _read_symbol_id_code_lengths(r, 7) == [4, 0, 0, 0, 0, 0, 0]
+
+    # and 32 after an explicit length still repeats that length
+    w2 = _HuffWriter()
+    for ln in run_lens:
+        w2.bits(ln, 4)
+    runtab.encode(w2, 4)
+    runtab.encode(w2, 32)
+    w2.bits(0, 2)
+    r2 = _HuffReader(w2.getvalue())
+    assert _read_symbol_id_code_lengths(r2, 4) == [4, 4, 4, 4]

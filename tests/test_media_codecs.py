@@ -3437,3 +3437,40 @@ def test_mp3_layer2_subband_decode():
             scf_idx=lambda sb, j: scf_sent[sb][j],
             codes=lambda t, sb: steps_of[sb],  # == steps: invalid
         )
+
+
+def test_mp3_layer2_reserved_scalefactor_rejected():
+    # ISO 11172-3 Table 3-B.1: scalefactor index 63 is reserved. The
+    # encoder refuses to emit it, so bit-patch the first transmitted
+    # scalefactor of an otherwise-valid frame to 63 (r11 ADVICE fix).
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _L2_TABLES,
+        _l2_select_table,
+        build_mp3_layer2,
+        decode_mp3_layer2_subbands,
+    )
+
+    table = _l2_select_table(44100, 96)
+    rows = _L2_TABLES[table]
+    sblimit = len(rows)
+    alloc = [1] + [0] * (sblimit - 1)
+    blob = bytearray(
+        build_mp3_layer2(
+            sample_rate=44100,
+            bitrate_kbps=96,
+            alloc_idx=alloc,
+            scfsi=[2] + [0] * (sblimit - 1),
+            scf_idx=lambda sb, j: 10,
+            codes=lambda t, sb: 1,
+        )
+    )
+    # bit offset of the first 6-bit scalefactor: 32 header bits +
+    # all allocation fields + one 2-bit scfsi
+    off = 32 + sum(nbal for nbal, _ in rows) + 2
+    for i in range(6):
+        b, bit = divmod(off + i, 8)
+        blob[b] |= 0x80 >> bit  # 63 = all ones
+    with _pytest.raises(ValueError, match="reserved"):
+        decode_mp3_layer2_subbands(bytes(blob))
