@@ -19,11 +19,16 @@ reused verbatim; what this module adds is everything around it:
   (UNIFORM=46, RUN-LENGTH=3, all-zero significance context=4);
 * the 5/3 reversible wavelet (Annex F lifting with whole-sample
   symmetric extension) and the reversible colour transform (RCT);
+* the 9/7 irreversible wavelet (Annex F float lifting, normalization
+  pinned against the published Table F.4 filter taps), the ICT
+  (G.3), and Annex E scalar-expounded dequantization with midpoint
+  reconstruction — the dominant lossy scanned-PDF form;
 * JP2 container walk (Part 1 Annex I boxes) down to the ``jp2c``
   codestream.
 
-Scope (honest gates, each next to its implemented sibling): the 9/7
-irreversible transform, precinct subdivision/SOP/EPH, multiple
+Scope (honest gates, each next to its implemented sibling): scalar
+DERIVED quantization (single-pair QCD), truncated coding passes
+(quality-layer truncation), precinct subdivision/SOP/EPH, multiple
 layers/tiles/tile-parts, non-LRCP progressions, RGN/COC/QCC
 overrides, component subsampling, and >38-bit coefficient depths
 raise ``NotImplementedError``.
@@ -490,6 +495,156 @@ def _isr_1d(y: np.ndarray) -> np.ndarray:
     return x
 
 
+# ---------------------------------------------------------------------------
+# 9/7 irreversible transform (Annex F) — float64 lifting. The four
+# lifting parameters and K are the public T.800 values; the final
+# normalization (lowpass × 1/K, highpass × K) is pinned by a unit
+# test that matches the lifting impulse response against the Annex F
+# Table F.4 analysis filter taps, so a convention slip cannot hide.
+# ---------------------------------------------------------------------------
+
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _fsd97_1d(x: np.ndarray) -> np.ndarray:
+    n = len(x)
+    if n == 1:
+        raise NotImplementedError(
+            "9/7 on a 1-sample subsignal (too many decomposition "
+            "levels for the image extent)"
+        )
+    y = x.astype(np.float64).copy()
+    for a in (_A97, _G97):
+        for k in range(1, n, 2):
+            y[k] += a * (y[_mirror(k - 1, n)] + y[_mirror(k + 1, n)])
+        a_is_last = a is _G97
+        b = _D97 if a_is_last else _B97
+        for k in range(0, n, 2):
+            y[k] += b * (y[_mirror(k - 1, n)] + y[_mirror(k + 1, n)])
+    for k in range(0, n, 2):
+        y[k] *= 1.0 / _K97
+    for k in range(1, n, 2):
+        y[k] *= _K97
+    return y
+
+
+def _isr97_1d(y: np.ndarray) -> np.ndarray:
+    n = len(y)
+    if n == 1:
+        raise NotImplementedError(
+            "9/7 on a 1-sample subsignal (too many decomposition "
+            "levels for the image extent)"
+        )
+    x = y.astype(np.float64).copy()
+    for k in range(0, n, 2):
+        x[k] *= _K97
+    for k in range(1, n, 2):
+        x[k] *= 1.0 / _K97
+    for a in (_D97, _B97):
+        for k in range(0, n, 2):
+            x[k] -= a * (x[_mirror(k - 1, n)] + x[_mirror(k + 1, n)])
+        b = _G97 if a is _D97 else _A97
+        for k in range(1, n, 2):
+            x[k] -= b * (x[_mirror(k - 1, n)] + x[_mirror(k + 1, n)])
+    return x
+
+
+def _fdwt97(img: np.ndarray, levels: int) -> list[dict[str, np.ndarray]]:
+    """Same banding as :func:`_fdwt53`, float64 coefficients."""
+    cur = img.astype(np.float64)
+    triples: list[dict[str, np.ndarray]] = []
+    for _ in range(levels):
+        h, w = cur.shape
+        t = np.empty_like(cur)
+        for r in range(h):
+            t[r] = _fsd97_1d(cur[r])
+        for c in range(w):
+            t[:, c] = _fsd97_1d(t[:, c])
+        triples.append(
+            {"HL": t[0::2, 1::2], "LH": t[1::2, 0::2],
+             "HH": t[1::2, 1::2]}
+        )
+        cur = t[0::2, 0::2]
+    return [{"LL": cur}] + triples[::-1]
+
+
+def _idwt97(bands: list[dict[str, np.ndarray]]) -> np.ndarray:
+    cur = bands[0]["LL"].astype(np.float64)
+    for triple in bands[1:]:
+        hl, lh, hh = triple["HL"], triple["LH"], triple["HH"]
+        h = cur.shape[0] + lh.shape[0]
+        w = cur.shape[1] + hl.shape[1]
+        y = np.empty((h, w), np.float64)
+        y[0::2, 0::2] = cur
+        y[0::2, 1::2] = hl
+        y[1::2, 0::2] = lh
+        y[1::2, 1::2] = hh
+        for c in range(w):
+            y[:, c] = _isr97_1d(y[:, c])
+        for r in range(h):
+            y[r] = _isr97_1d(y[r])
+        cur = y
+    return cur
+
+
+# Quantization (Annex E): Δ_b = 2^(R_b − ε_b) · (1 + μ_b / 2^11) with
+# R_b = component depth + base-2 log of the subband gain (Table E.1).
+_BAND_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+def _q97_delta(depth: int, name: str, eps: int, mu: int) -> float:
+    rb = depth + _BAND_GAIN[name]
+    return (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+
+
+def _q97_select(
+    band_max: float, depth: int, name: str, q_planes: int
+) -> tuple[int, int]:
+    """(ε, μ) so that max |q| stays under ``2**q_planes`` — the
+    fixture encoder's rate knob. The exact Δ both sides use is then
+    recomputed from the marker-coded (ε, μ), never from the target."""
+    rb = depth + _BAND_GAIN[name]
+    if band_max <= 0.0:
+        return min(rb, 31), 0  # any valid step; band codes no blocks
+    target = band_max / (2.0**q_planes - 1.0)
+    f = int(np.floor(np.log2(target)))
+    eps = rb - f
+    mu = int(round((target / (2.0**f) - 1.0) * 2048.0))
+    if mu > 2047:
+        mu = 0
+        eps -= 1
+    if eps > 31:
+        # near-zero band (e.g. highpass of a constant image): the
+        # finest representable step still quantizes everything to 0
+        return 31, 0
+    if eps < 0:
+        raise ValueError(
+            f"9/7 quantization exponent {eps} out of the 5-bit "
+            f"range for band {name} (depth {depth}, max {band_max})"
+        )
+    return eps, mu
+
+
+# ICT (Annex G.3) — the irreversible colour transform paired with the
+# 9/7 wavelet; BT.601 luma weights, public constants.
+def _ict_fwd(r, g, b):
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ict_inv(y, cb, cr):
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return r, g, b
+
+
 def _fdwt53(img: np.ndarray, levels: int) -> list[dict[str, np.ndarray]]:
     """→ per-resolution subbands: index 0 is the final LL, then one
     {HL, LH, HH} triple per resolution from coarsest to finest."""
@@ -599,66 +754,157 @@ def _code_numpasses_r(r: _PkBitReader) -> int:
     return 37 + r.bits(7)
 
 
+def _quantize_97(
+    comps: list[np.ndarray], levels: int, bit_depth: int,
+    q_planes: int,
+) -> tuple[list[list[dict[str, np.ndarray]]], list[int], list[int], int]:
+    """Forward 9/7 + Annex E deadzone quantization for every
+    component → (int quantizer-index bands, ε list, μ list, guard).
+    Shared by the encoder and :func:`jpx97_reference_decode` so the
+    codestream round-trip is checked against one quantizer, not two
+    (the JPEG all-ones-table oracle strategy adapted to lossy)."""
+    bands_f = [_fdwt97(c, levels) for c in comps]
+    eps: list[int] = []
+    mus: list[int] = []
+    deltas: list[float] = []
+    for ri, res in enumerate(bands_f[0]):
+        for name in ("LL", "HL", "LH", "HH"):
+            if name not in res:
+                continue
+            m = 0.0
+            for bf in bands_f:
+                band = bf[ri][name]
+                if band.size:
+                    m = max(m, float(np.abs(band).max()))
+            e, mu = _q97_select(m, bit_depth, name, q_planes)
+            eps.append(e)
+            mus.append(mu)
+            deltas.append(_q97_delta(bit_depth, name, e, mu))
+    all_bands: list[list[dict[str, np.ndarray]]] = []
+    need_bits = [1] * len(eps)
+    for bf in bands_f:
+        per_comp: list[dict[str, np.ndarray]] = []
+        for ri, res in enumerate(bf):
+            out_res: dict[str, np.ndarray] = {}
+            for name in ("LL", "HL", "LH", "HH"):
+                if name not in res:
+                    continue
+                band = res[name]
+                qi = _qcd_index(ri, name)
+                q = np.floor(np.abs(band) / deltas[qi]).astype(
+                    np.int64
+                ) * np.where(band < 0, -1, 1)
+                out_res[name] = q
+                if q.size:
+                    mq = int(np.abs(q).max())
+                    need_bits[qi] = max(
+                        need_bits[qi], max(1, mq.bit_length())
+                    )
+            per_comp.append(out_res)
+        all_bands.append(per_comp)
+    # Mb = guard + ε - 1 must cover the actual quantizer magnitudes
+    guard = max(
+        [2] + [need_bits[i] - eps[i] + 1 for i in range(len(eps))]
+    )
+    if guard > 7:
+        raise ValueError(
+            f"9/7 guard bits {guard} over the 3-bit field "
+            f"(q_planes too large for the band exponents)"
+        )
+    return all_bands, eps, mus, guard
+
+
+def _prep_97_components(
+    samples: np.ndarray, bit_depth: int
+) -> tuple[list[np.ndarray], int]:
+    """DC level shift + ICT (G.3) → float64 component list, mct flag."""
+    shift = float(1 << (bit_depth - 1))
+    if samples.ndim == 2:
+        return [samples.astype(np.float64) - shift], 0
+    r = samples[..., 0].astype(np.float64) - shift
+    g = samples[..., 1].astype(np.float64) - shift
+    b = samples[..., 2].astype(np.float64) - shift
+    y, cb, cr = _ict_fwd(r, g, b)
+    return [y, cb, cr], 1
+
+
 def encode_jpx(
     samples: np.ndarray,
     bit_depth: int = 8,
     levels: int = 2,
     eps_slack: int = 0,
     jp2_container: bool = False,
+    irreversible: bool = False,
+    q_planes: int = 9,
 ) -> bytes:
     """Fixture writer: one tile, one layer, LRCP, 64×64 code-blocks,
-    5/3 reversible transform, RCT for 3-component input. ``samples``
-    is (h, w) grayscale or (h, w, 3) RGB of unsigned ``bit_depth``
-    values. ``eps_slack`` inflates the per-band exponent so the
-    zero-bitplane tag-tree path carries real work."""
-    if samples.ndim == 2:
-        comps = [samples.astype(np.int64)]
-        mct = 0
-    elif samples.ndim == 3 and samples.shape[2] == 3:
-        r = samples[..., 0].astype(np.int64)
-        g = samples[..., 1].astype(np.int64)
-        b = samples[..., 2].astype(np.int64)
-        comps = [(r + 2 * g + b) >> 2, b - g, r - g]  # RCT (G.2)
-        mct = 1
-    else:
-        raise ValueError("samples must be (h, w) or (h, w, 3)")
+    RCT for 3-component input. ``samples`` is (h, w) grayscale or
+    (h, w, 3) RGB of unsigned ``bit_depth`` values. ``eps_slack``
+    inflates the per-band exponent so the zero-bitplane tag-tree path
+    carries real work (reversible path only). ``irreversible=True``
+    switches to the 9/7 float transform + ICT + Annex E scalar
+    expounded quantization with ``q_planes`` magnitude planes as the
+    rate knob."""
     h, w = samples.shape[:2]
     if min(h, w) < 1:
         raise ValueError("empty image")
-    shift = 1 << (bit_depth - 1)
-    comps[0] = comps[0] - shift  # DC level shift (first component
-    # only under RCT; chroma differences are already signed)
-    if mct == 0:
-        pass
-    # per-component wavelet
-    all_bands = [_fdwt53(c, levels) for c in comps]
+    if samples.ndim == 3 and samples.shape[2] != 3:
+        raise ValueError("samples must be (h, w) or (h, w, 3)")
+    if samples.ndim not in (2, 3):
+        raise ValueError("samples must be (h, w) or (h, w, 3)")
+    if irreversible:
+        if eps_slack:
+            raise ValueError(
+                "eps_slack applies to the reversible path only"
+            )
+        comps_f, mct = _prep_97_components(samples, bit_depth)
+        all_bands, eps, mus, guard = _quantize_97(
+            comps_f, levels, bit_depth, q_planes
+        )
+        ncomp = len(comps_f)
+    else:
+        if samples.ndim == 2:
+            comps = [samples.astype(np.int64)]
+            mct = 0
+        else:
+            r = samples[..., 0].astype(np.int64)
+            g = samples[..., 1].astype(np.int64)
+            b = samples[..., 2].astype(np.int64)
+            comps = [(r + 2 * g + b) >> 2, b - g, r - g]  # RCT (G.2)
+            mct = 1
+        shift = 1 << (bit_depth - 1)
+        comps[0] = comps[0] - shift  # DC level shift (first component
+        # only under RCT; chroma differences are already signed)
+        # per-component wavelet
+        all_bands = [_fdwt53(c, levels) for c in comps]
+        ncomp = len(comps)
+        # quantization exponents: enough magnitude bits for the
+        # actual coefficients (+ slack), G = 2 guard bits →
+        # Mb = G + eps - 1
+        guard = 2
+        # QCD is codestream-global (no QCC emitted): one exponent per
+        # subband, sized to the max magnitude across components
+        eps = []
+        for ri, res in enumerate(all_bands[0]):
+            for name in ("LL", "HL", "LH", "HH"):
+                if name not in res:
+                    continue
+                m = 0
+                for bands in all_bands:
+                    band = bands[ri][name]
+                    if band.size:
+                        m = max(m, int(np.abs(band).max()))
+                need = max(1, m.bit_length())
+                e = need - guard + 1 + eps_slack
+                if e < 0:
+                    e = 0
+                if e > 31:
+                    raise ValueError("exponent over 31")
+                eps.append(e)
     dims = _band_dims(w, h, levels)
-    # quantization exponents: enough magnitude bits for the actual
-    # coefficients (+ slack), G = 2 guard bits → Mb = G + eps - 1
-    guard = 2
-    # QCD is codestream-global (no QCC emitted): one exponent per
-    # subband, sized to the max magnitude across components
-    eps: list[int] = []
-    for ri, res in enumerate(all_bands[0]):
-        for name in ("LL", "HL", "LH", "HH"):
-            if name not in res:
-                continue
-            m = 0
-            for bands in all_bands:
-                band = bands[ri][name]
-                if band.size:
-                    m = max(m, int(np.abs(band).max()))
-            need = max(1, m.bit_length())
-            e = need - guard + 1 + eps_slack
-            if e < 0:
-                e = 0
-            if e > 31:
-                raise ValueError("exponent over 31")
-            eps.append(e)
     # markers
     out = bytearray()
     out += struct.pack(">H", _SOC)
-    ncomp = len(comps)
     siz = struct.pack(
         ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp
     )
@@ -667,11 +913,18 @@ def encode_jpx(
     out += struct.pack(">HH", _SIZ, len(siz) + 2) + siz
     cod = bytes([0])  # Scod: default precincts, no SOP/EPH
     cod += bytes([0]) + struct.pack(">H", 1) + bytes([mct])  # SGcod
-    cod += bytes([levels, 6 - 2, 6 - 2, 0, 1])  # SPcod: 64x64 cbs, 5/3
+    # SPcod: 64x64 code-blocks; transform byte 0 = 9/7, 1 = 5/3
+    cod += bytes([levels, 6 - 2, 6 - 2, 0, 0 if irreversible else 1])
     out += struct.pack(">HH", _COD, len(cod) + 2) + cod
-    qcd = bytes([guard << 5])  # Sqcd: no quantization, G guard bits
-    for e in eps:
-        qcd += bytes([e << 3])
+    if irreversible:
+        # Sqcd style 2: scalar expounded, one 16-bit (ε, μ) per band
+        qcd = bytes([(guard << 5) | 2])
+        for e, mu in zip(eps, mus):
+            qcd += struct.pack(">H", (e << 11) | mu)
+    else:
+        qcd = bytes([guard << 5])  # Sqcd: no quantization, G guard
+        for e in eps:
+            qcd += bytes([e << 3])
     out += struct.pack(">HH", _QCD, len(qcd) + 2) + qcd
     # tile: packets LRCP — layer(1) → resolution → component
     body = bytearray()
@@ -803,6 +1056,7 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
     pos = 2
     siz = cod = None
     qcd_eps: list[int] | None = None
+    qcd_mus: list[int] | None = None
     guard = 0
     body = None
     while pos < len(data):
@@ -869,21 +1123,35 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
                     "code-block style modes (bypass/reset/causal/...)"
                 )
             transform = seg[9]
-            if transform != 1:
-                raise NotImplementedError(
-                    "9/7 irreversible wavelet (only 5/3 reversible)"
+            if transform not in (0, 1):
+                raise ValueError(
+                    f"unknown wavelet transform byte {transform}"
                 )
             cod = {"levels": levels, "cbw": cbw, "cbh": cbh,
-                   "mct": mct}
+                   "mct": mct, "transform": transform}
         elif marker == _QCD:
             sqcd = seg[0]
-            if sqcd & 0x1F != 0:
-                raise NotImplementedError(
-                    "scalar quantization (only the reversible "
-                    "no-quantization style)"
-                )
+            style = sqcd & 0x1F
             guard = sqcd >> 5
-            qcd_eps = [b >> 3 for b in seg[1:]]
+            if style == 0:
+                qcd_eps = [b >> 3 for b in seg[1:]]
+                qcd_mus = None
+            elif style == 2:
+                # scalar expounded (E.1): 16-bit (ε, μ) per subband
+                pairs = [
+                    struct.unpack_from(">H", seg, 1 + 2 * i)[0]
+                    for i in range((len(seg) - 1) // 2
+                                   )
+                ]
+                qcd_eps = [p >> 11 for p in pairs]
+                qcd_mus = [p & 0x7FF for p in pairs]
+            elif style == 1:
+                raise NotImplementedError(
+                    "scalar derived quantization (single-pair QCD); "
+                    "only no-quantization and scalar expounded"
+                )
+            else:
+                raise ValueError(f"invalid Sqcd style {style}")
         elif marker in (_COC, _QCC):
             raise NotImplementedError(
                 "per-component COC/QCC overrides"
@@ -916,6 +1184,12 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
         pos += ln
     if siz is None or cod is None or qcd_eps is None or body is None:
         raise ValueError("incomplete JPEG 2000 codestream")
+    irreversible = cod["transform"] == 0
+    if irreversible != (qcd_mus is not None):
+        raise ValueError(
+            "COD transform / QCD quantization style mismatch "
+            "(9/7 requires scalar expounded, 5/3 no-quantization)"
+        )
     w, h, ncomp = siz["w"], siz["h"], siz["ncomp"]
     levels = cod["levels"]
     dims = _band_dims(w, h, levels)
@@ -972,9 +1246,16 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
                         nbits = lblock + _ilog2(npass)
                         plen = rd.bits(nbits)
                         planes = mb - p0
-                        if planes <= 0 or npass != 3 * planes - 2:
+                        if planes <= 0 or npass > 3 * planes - 2:
                             raise ValueError(
                                 "inconsistent pass count for bitplanes"
+                            )
+                        if npass < 3 * planes - 2:
+                            raise NotImplementedError(
+                                "JPX: truncated coding passes "
+                                "(quality-layer truncation) not "
+                                "supported; only complete "
+                                "3*planes-2 pass sets decode"
                             )
                         pending.append(
                             (name, bx, by, planes, plen, 0)
@@ -997,21 +1278,35 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
                 )
                 blk[...] = out_blk
             bpos = off
-    comps = [_idwt53(cb) for cb in comps_bands]
     depth = siz["depth"]
-    shift = 1 << (depth - 1)
-    if ncomp == 3:
-        if cod["mct"]:
-            y, u, v = comps
-            y = y + shift
-            g = y - ((u + v) >> 2)
-            rch = v + g
-            bch = u + g
-            comps = [rch, g, bch]
-        else:
-            comps = [c + shift for c in comps]
+    if irreversible:
+        comps = [
+            _reconstruct_97(cb, depth, qcd_mus, qcd_eps)
+            for cb in comps_bands
+        ]
+        shift_f = float(1 << (depth - 1))
+        if ncomp == 3 and cod["mct"]:
+            rf, gf, bf = _ict_inv(*comps)
+            comps = [rf, gf, bf]
+        comps = [
+            np.floor(c + shift_f + 0.5).astype(np.int64)
+            for c in comps
+        ]
     else:
-        comps = [comps[0] + shift]
+        comps = [_idwt53(cb) for cb in comps_bands]
+        shift = 1 << (depth - 1)
+        if ncomp == 3:
+            if cod["mct"]:
+                y, u, v = comps
+                y = y + shift
+                g = y - ((u + v) >> 2)
+                rch = v + g
+                bch = u + g
+                comps = [rch, g, bch]
+            else:
+                comps = [c + shift for c in comps]
+        else:
+            comps = [comps[0] + shift]
     maxv = (1 << depth) - 1
     stack = np.stack(
         [np.clip(c, 0, maxv) for c in comps], axis=-1
@@ -1021,8 +1316,63 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
         "height": h,
         "n_channels": ncomp,
         "bit_depth": depth,
+        "transform": "9/7" if irreversible else "5/3",
         "samples": stack,
     }
+
+
+def _reconstruct_97(
+    comp_bands: list[dict[str, np.ndarray]],
+    depth: int,
+    qcd_mus: list[int],
+    qcd_eps: list[int],
+) -> np.ndarray:
+    """Dequantize one component's integer quantizer indices (E.1.1.2,
+    midpoint reconstruction r = 0.5) and run the inverse 9/7 — the
+    un-shifted float samples."""
+    fbands: list[dict[str, np.ndarray]] = []
+    for ri, res in enumerate(comp_bands):
+        out_res: dict[str, np.ndarray] = {}
+        for name, q in res.items():
+            qi = _qcd_index(ri, name)
+            delta = _q97_delta(depth, name, qcd_eps[qi], qcd_mus[qi])
+            mag = np.abs(q).astype(np.float64)
+            val = np.where(q != 0, (mag + 0.5) * delta, 0.0)
+            out_res[name] = np.where(q < 0, -val, val)
+        fbands.append(out_res)
+    return _idwt97(fbands)
+
+
+def jpx97_reference_decode(
+    samples: np.ndarray,
+    bit_depth: int = 8,
+    levels: int = 2,
+    q_planes: int = 9,
+) -> np.ndarray:
+    """Straight-line replay of the lossy 9/7 pipeline — forward DWT,
+    quantize, dequantize, inverse DWT, inverse ICT, round, clip —
+    with NO codestream in between. The driver query compares the full
+    marker/Tier-2/Tier-1/MQ decode of ``encode_jpx(irreversible=
+    True)`` against this elementwise; what that comparison genuinely
+    verifies is the entropy + packet + marker layer round-tripping
+    the quantizer indices and (ε, μ) exactly (the float wavelet is
+    pinned independently against the published T.800 Table F.4 filter
+    taps in test_jpeg2000)."""
+    comps_f, mct = _prep_97_components(samples, bit_depth)
+    all_bands, eps, mus, _guard = _quantize_97(
+        comps_f, levels, bit_depth, q_planes
+    )
+    comps = [
+        _reconstruct_97(cb, bit_depth, mus, eps) for cb in all_bands
+    ]
+    if mct:
+        comps = list(_ict_inv(*comps))
+    shift_f = float(1 << (bit_depth - 1))
+    comps = [
+        np.floor(c + shift_f + 0.5).astype(np.int64) for c in comps
+    ]
+    maxv = (1 << bit_depth) - 1
+    return np.stack([np.clip(c, 0, maxv) for c in comps], axis=-1)
 
 
 def _jp2_codestream(data: bytes) -> bytes:

@@ -51,56 +51,7 @@ def register(name: str, oracle: str | None):
 # row — the stalest-first re-verification cycle the round-5 verdict
 # prescribed (regression freshness, not new coverage).
 _PRIORITY: list[str] = [
-    "pptx_text_extract",
-    "html_text_extract",
-    "multimodal_mp3_layer2_subband_decode",
-    "pdf_jpx_image_extract",
-    "pdf_jbig2_refagg_extract",
-    "s4_sheet_probe_tsv",
-    "s4_sheet_probe_xlsx",
-    "multimodal_mp3_metadata",
-    "multimodal_png_subbyte_decode",
-    "pdf15_text_extract",
-    "jsonl_roundtrip_ingest",
-    "jsonl_corrupt_records",
-    "orc_roundtrip_scan",
-    "unicode_nfc_normalize",
-    "mojibake_repair_stats",
-    "sra_sheet_e2e",
-    "multimodal_jpeg_progressive_decode",
-    "image_phash_neardup_dedup",
-    "multimodal_png16_decode",
-    "pii_redaction_stats",
-    "multimodal_gif_frame_sample",
-    "pdf_text_extract",
-    "wds_shard_ingest",
-    "audio_fingerprint_dedup",
-    "multimodal_curation_e2e",
-    "audio_clip_match",
-    "multimodal_mp4_metadata",
-    "s3_t2_discovery_merge",
-    "t1_ledger_ingest",
-    "m5_update_where_in",
-    "k6_text_report_roundtrip",
-    "t3_stream_merge_availablenow",
-    "repetition_filter_gopher",
-    "bigram_lm_score",
-    "tfidf_top_terms",
-    "curation_pipeline_e2e",
-    "j1_linkage_fileset",
-    "a3_depth_model",
-    "j5_array_membership_join",
-    "j8_coalescing_dim_join",
-    "j9_summary_assembly",
-    "f5_file_count_audit",
-    "x9_geo_loc_merge",
-    "x10_coordinate_masking",
-    "x_cleaning_pipeline",
-    "x11_reverse_geocode",
-    "f2_regex_filter",
-    "r2_filename_pivot",
-    "r3_struct_flatten",
-    "r1_legacy_prefix_pairs",
+    "pdf_jpx97_image_extract",
     "p1_taxon_projection",
     "t_hourly_rollup",
     "t_user_sessions",
@@ -308,6 +259,56 @@ _PRIORITY: list[str] = [
     "m2_insert_only_then_delete",
     "m7_scd2_segment_migration",
     "k1_s5_tsv_roundtrip",
+    "pptx_text_extract",
+    "html_text_extract",
+    "multimodal_mp3_layer2_subband_decode",
+    "pdf_jpx_image_extract",
+    "pdf_jbig2_refagg_extract",
+    "s4_sheet_probe_tsv",
+    "s4_sheet_probe_xlsx",
+    "multimodal_mp3_metadata",
+    "multimodal_png_subbyte_decode",
+    "pdf15_text_extract",
+    "jsonl_roundtrip_ingest",
+    "jsonl_corrupt_records",
+    "orc_roundtrip_scan",
+    "unicode_nfc_normalize",
+    "mojibake_repair_stats",
+    "sra_sheet_e2e",
+    "multimodal_jpeg_progressive_decode",
+    "image_phash_neardup_dedup",
+    "multimodal_png16_decode",
+    "pii_redaction_stats",
+    "multimodal_gif_frame_sample",
+    "pdf_text_extract",
+    "wds_shard_ingest",
+    "audio_fingerprint_dedup",
+    "multimodal_curation_e2e",
+    "audio_clip_match",
+    "multimodal_mp4_metadata",
+    "s3_t2_discovery_merge",
+    "t1_ledger_ingest",
+    "m5_update_where_in",
+    "k6_text_report_roundtrip",
+    "t3_stream_merge_availablenow",
+    "repetition_filter_gopher",
+    "bigram_lm_score",
+    "tfidf_top_terms",
+    "curation_pipeline_e2e",
+    "j1_linkage_fileset",
+    "a3_depth_model",
+    "j5_array_membership_join",
+    "j8_coalescing_dim_join",
+    "j9_summary_assembly",
+    "f5_file_count_audit",
+    "x9_geo_loc_merge",
+    "x10_coordinate_masking",
+    "x_cleaning_pipeline",
+    "x11_reverse_geocode",
+    "f2_regex_filter",
+    "r2_filename_pivot",
+    "r3_struct_flatten",
+    "r1_legacy_prefix_pairs",
 ]
 
 

@@ -8008,6 +8008,200 @@ def pdf_jpx_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Lossy JPEG 2000 (9/7 irreversible + ICT + scalar-expounded
+# quantization) through the driver gate — the dominant real-world
+# scanned-PDF JPX form. Lossy decode has no modular closed form, so
+# this gate uses the verify-against-the-forward-transform strategy:
+# the full marker/Tier-2/Tier-1/MQ decode of each codestream is
+# compared ELEMENTWISE inside the query against the straight-line
+# jpx97_reference_decode replay (fwd DWT → quantize → dequantize →
+# inverse → round), and the PDF-path channel means must agree with
+# the direct decode; the oracle pins dims plus those booleans. What
+# the booleans genuinely verify: the entropy/packet/marker layer
+# round-trips quantizer indices and (ε, μ) exactly, and /JPXDecode
+# PDF plumbing agrees with the raw decode. The float wavelet itself
+# is pinned against the published T.800 Table F.4 taps in
+# tests/test_jpeg2000.py.
+# ---------------------------------------------------------------------------
+
+_PDF_JPX97_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id % 3 AS v
+  FROM events WHERE event_id % 20 = 15
+)
+SELECT id,
+       CAST(CASE v WHEN 0 THEN 16 WHEN 1 THEN 10 ELSE 16 END
+            AS INT) AS width,
+       CAST(CASE v WHEN 0 THEN 12 WHEN 1 THEN 10 ELSE 8 END
+            AS INT) AS height,
+       CAST(CASE WHEN v = 1 THEN 3 ELSE 1 END AS INT) AS n_channels,
+       CAST(CASE v WHEN 1 THEN 1 ELSE 2 END AS INT) AS levels,
+       CAST(CASE v WHEN 0 THEN 9 WHEN 1 THEN 8 ELSE 11 END
+            AS INT) AS q_planes,
+       CAST(v = 2 AS BOOLEAN) AS container,
+       CAST('jpx' AS VARCHAR) AS codec,
+       CAST('9/7' AS VARCHAR) AS transform,
+       CAST(TRUE AS BOOLEAN) AS match_replay,
+       CAST(TRUE AS BOOLEAN) AS pdf_means_match,
+       CAST(TRUE AS BOOLEAN) AS err_bounded
+FROM g
+"""
+
+
+@register("pdf_jpx97_image_extract", _PDF_JPX97_SQL)
+def pdf_jpx97_image_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lossy 9/7 JPEG 2000 end-to-end: encode_jpx(irreversible=True)
+    writes a scalar-expounded-quantized codestream, build_pdf embeds
+    it behind /JPXDecode, and the gate checks three things per image:
+    the raw decode equals the jpx97_reference_decode replay
+    elementwise (match_replay), the PDF image-extraction channel
+    means equal the direct decode's means (pdf_means_match), and the
+    reconstruction error against the original stays within the
+    documented bound (err_bounded, an empirical regression bound).
+    Variants: v0 = 2-level grayscale qp9, v1 = 1-level RGB through
+    the ICT qp8, v2 = JP2 container 2-level qp11."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf, pdf_images
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 15
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _variant(e: int):
+        v = e % 3
+        if v == 0:
+            return v, 16, 12, 2, 9, False
+        if v == 1:
+            return v, 10, 10, 1, 8, False
+        return v, 16, 8, 2, 11, True
+
+    def _pixels(e: int, w: int, h: int, rgb: bool) -> np.ndarray:
+        yy, xx = np.mgrid[0:h, 0:w]
+        g0 = ((xx + 1) * (yy + 2) + e) % 256
+        if not rgb:
+            return g0.astype(np.int64)
+        g1 = (xx * 3 + yy * 5 + e + 1) % 256
+        g2 = (xx * 7 + yy * 2 + e + 2) % 256
+        return np.stack([g0, g1, g2], axis=-1).astype(np.int64)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            encode_jpx,
+        )
+
+        for pdf in batches:
+            rows = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                v, w, h, lv, qp, cont = _variant(e)
+                arr = _pixels(e, w, h, v == 1)
+                cs = encode_jpx(
+                    arr, levels=lv, irreversible=True, q_planes=qp,
+                    jp2_container=cont,
+                )
+                blob = build_pdf(
+                    [[f"jpx97 {e}"]],
+                    page_images=[[(
+                        "jpx", arr,
+                        {"levels": lv, "irreversible": True,
+                         "q_planes": qp, "jp2_container": cont},
+                    )]],
+                )
+                rows.append(
+                    {"id": eid, "payload": blob, "codestream": cs}
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "payload", "codestream"]
+            )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            decode_jpx,
+            jpx97_reference_decode,
+        )
+
+        for pdf in batches:
+            rows = []
+            for rid, blob, cs in zip(
+                pdf["id"], pdf["payload"], pdf["codestream"]
+            ):
+                e = int(rid)
+                v, w, h, lv, qp, cont = _variant(e)
+                arr = _pixels(e, w, h, v == 1)
+                m = decode_jpx(bytes(cs))
+                ref = jpx97_reference_decode(
+                    arr, levels=lv, q_planes=qp
+                )
+                got = m["samples"]
+                match_replay = (
+                    m["transform"] == "9/7"
+                    and got.shape == ref.shape
+                    and bool((got == ref).all())
+                )
+                orig = arr if arr.ndim == 3 else arr[..., None]
+                err_bounded = bool(
+                    np.abs(got - orig).max() <= 4
+                )
+                # the PDF path reports round(mean*255/max, 4) per
+                # channel — recompute from the direct decode
+                exp_means = [
+                    round(float(x), 4)
+                    for x in got.astype(np.float64).mean(axis=(0, 1))
+                ]
+                pmm = False
+                for r in pdf_images(bytes(blob)):
+                    pmm = (
+                        r["codec"] == "jpx"
+                        and (r["width"], r["height"]) == (w, h)
+                        and r["channel_means"] == exp_means
+                    )
+                rows.append(
+                    {
+                        "id": rid,
+                        "width": w,
+                        "height": h,
+                        "n_channels": int(got.shape[2]),
+                        "levels": lv,
+                        "q_planes": qp,
+                        "container": cont,
+                        "codec": "jpx",
+                        "transform": m["transform"],
+                        "match_replay": match_replay,
+                        "pdf_means_match": pmm,
+                        "err_bounded": err_bounded,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "n_channels", "levels",
+                    "q_planes", "container", "codec", "transform",
+                    "match_replay", "pdf_means_match", "err_bounded",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary, codestream binary"
+    ).mapInPandas(
+        extract,
+        schema=(
+            "id long, width int, height int, n_channels int, "
+            "levels int, q_planes int, container boolean, "
+            "codec string, transform string, match_replay boolean, "
+            "pdf_means_match boolean, err_bounded boolean"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # JBIG2 SDREFAGG extraction through the driver gate — the
 # refinement-coded symbol dictionary (T.88 §6.5.8.2): a generic base
 # dictionary, a second dictionary whose NEW symbols are each coded as

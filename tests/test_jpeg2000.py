@@ -156,11 +156,16 @@ class TestGates:
         b[pos + 4 + off] = val
         return bytes(b)
 
-    def test_97_transform_gates(self):
-        # SPcod transform byte: offset 9 into the COD segment body
+    def test_transform_byte_validated(self):
+        # SPcod transform byte: offset 9 into the COD segment body.
+        # 0 (9/7) is implemented now but requires scalar-expounded
+        # QCD; a reversible stream claiming 9/7 is inconsistent
         bad = self._patch(self._blob(), 0xFF52, 9, 0)
-        with pytest.raises(NotImplementedError, match="9/7"):
+        with pytest.raises(ValueError, match="mismatch"):
             decode_jpx(bad)
+        bad2 = self._patch(self._blob(), 0xFF52, 9, 2)
+        with pytest.raises(ValueError, match="transform"):
+            decode_jpx(bad2)
 
     def test_progression_gates(self):
         bad = self._patch(self._blob(), 0xFF52, 1, 2)  # RPCL
@@ -173,9 +178,18 @@ class TestGates:
             decode_jpx(bad)
 
     def test_quantization_style_gates(self):
-        bad = self._patch(self._blob(), 0xFF5C, 0, 0x42)
-        with pytest.raises(NotImplementedError, match="quantization"):
+        # style 1 (scalar derived) still gates honestly
+        bad = self._patch(self._blob(), 0xFF5C, 0, 0x41)
+        with pytest.raises(NotImplementedError, match="derived"):
             decode_jpx(bad)
+        # style 3 is not a T.800 value at all
+        bad2 = self._patch(self._blob(), 0xFF5C, 0, 0x43)
+        with pytest.raises(ValueError, match="Sqcd"):
+            decode_jpx(bad2)
+        # style 2 on a 5/3 stream is inconsistent
+        bad3 = self._patch(self._blob(), 0xFF5C, 0, 0x42)
+        with pytest.raises(ValueError, match="mismatch"):
+            decode_jpx(bad3)
 
     def test_not_a_codestream(self):
         with pytest.raises(ValueError, match="SOC"):
@@ -257,3 +271,130 @@ class TestMultiCodeBlock:
         img = rng.integers(0, 256, (128, 64), dtype=np.int64)
         out = decode_jpx(encode_jpx(img, levels=1))
         assert (out["samples"][..., 0] == img).all()
+
+
+class TestIrreversible97:
+    """9/7 float path: normalization pinned against the PUBLISHED
+    T.800 Table F.4 analysis filter taps (an external anchor the
+    lifting cannot game), perfect reconstruction, and codestream
+    round trips checked elementwise against the straight-line
+    jpx97_reference_decode replay — which verifies the marker/
+    Tier-2/Tier-1/MQ layer round-trips quantizer indices exactly."""
+
+    # T.800 Table F.4 (public): 9/7 analysis filter taps
+    _H_LOW = {0: 0.602949018236, 1: 0.266864118443,
+              2: -0.078223266529, 3: -0.016864118443,
+              4: 0.026748757411}
+    _G_HIGH = {0: 1.115087052457, 1: -0.591271763114,
+               2: -0.057543526229, 3: 0.091271763114}
+
+    def test_lifting_matches_table_f4_taps(self):
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            _fsd97_1d,
+        )
+
+        n = 64
+        for j in range(n):
+            x = np.zeros(n)
+            x[j] = 1.0
+            y = _fsd97_1d(x)
+            # lowpass tap at distance |j-32| feeds y[32] (even)
+            d = abs(j - 32)
+            exp_l = self._H_LOW.get(d, 0.0)
+            assert abs(y[32] - exp_l) < 1e-9, (j, y[32], exp_l)
+            # highpass tap at distance |j-33| feeds y[33] (odd)
+            d = abs(j - 33)
+            exp_h = self._G_HIGH.get(d, 0.0)
+            assert abs(y[33] - exp_h) < 1e-9, (j, y[33], exp_h)
+
+    def test_perfect_reconstruction(self):
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            _fdwt97, _fsd97_1d, _idwt97, _isr97_1d,
+        )
+
+        rng = np.random.default_rng(31)
+        for n in (2, 3, 5, 8, 17, 64):
+            x = rng.normal(size=n) * 100
+            assert np.abs(_isr97_1d(_fsd97_1d(x)) - x).max() < 1e-9
+        img = rng.normal(size=(23, 31)) * 100
+        assert np.abs(_idwt97(_fdwt97(img, 3)) - img).max() < 1e-8
+
+    @pytest.mark.parametrize(
+        "h,w,lv,qp,depth",
+        [(16, 12, 2, 9, 8), (10, 10, 1, 7, 8), (33, 17, 2, 10, 8),
+         (8, 8, 1, 9, 12), (70, 66, 2, 9, 8)],
+    )
+    def test_gray_roundtrip_matches_replay(self, h, w, lv, qp, depth):
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            jpx97_reference_decode,
+        )
+
+        rng = np.random.default_rng(h * 1000 + w)
+        px = rng.integers(0, 1 << depth, (h, w)).astype(np.int64)
+        blob = encode_jpx(px, bit_depth=depth, levels=lv,
+                          irreversible=True, q_planes=qp)
+        m = decode_jpx(blob)
+        ref = jpx97_reference_decode(
+            px, bit_depth=depth, levels=lv, q_planes=qp
+        )
+        assert m["transform"] == "9/7"
+        assert (m["samples"] == ref).all()
+        # quantization error through synthesis stays tiny at these
+        # plane budgets (empirical regression bound, not a theorem)
+        assert np.abs(m["samples"][..., 0] - px).max() <= 4
+
+    def test_rgb_ict_jp2_roundtrip(self):
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            jpx97_reference_decode,
+        )
+
+        rng = np.random.default_rng(37)
+        px = rng.integers(0, 256, (14, 18, 3)).astype(np.int64)
+        blob = encode_jpx(px, levels=2, irreversible=True,
+                          q_planes=9, jp2_container=True)
+        m = decode_jpx(blob)
+        ref = jpx97_reference_decode(px, levels=2, q_planes=9)
+        assert m["n_channels"] == 3
+        assert (m["samples"] == ref).all()
+        assert np.abs(m["samples"] - px).max() <= 4
+
+    def test_transform_key_and_53_unchanged(self):
+        rng = np.random.default_rng(41)
+        px = rng.integers(0, 256, (16, 12)).astype(np.int64)
+        m = decode_jpx(encode_jpx(px, levels=2))
+        assert m["transform"] == "5/3"
+        assert (m["samples"][..., 0] == px).all()
+
+    def test_gates(self):
+        rng = np.random.default_rng(43)
+        px = rng.integers(0, 256, (16, 12)).astype(np.int64)
+        # eps_slack is a reversible-path knob
+        with pytest.raises(ValueError, match="eps_slack"):
+            encode_jpx(px, irreversible=True, eps_slack=2)
+        # too many levels -> 1-sample subsignal gate
+        with pytest.raises(NotImplementedError, match="1-sample"):
+            encode_jpx(px, levels=5, irreversible=True)
+        # scalar derived quantization gates
+        blob = bytearray(encode_jpx(px, levels=1, irreversible=True))
+        qpos = blob.find(struct.pack(">H", 0xFF5C))
+        assert qpos > 0
+        sqcd = blob[qpos + 4]
+        blob[qpos + 4] = (sqcd & 0xE0) | 1  # style 2 -> 1 (derived)
+        with pytest.raises(NotImplementedError, match="derived"):
+            decode_jpx(bytes(blob))
+        # COD transform / QCD style mismatch
+        blob2 = bytearray(encode_jpx(px, levels=1))  # reversible
+        cpos = blob2.find(struct.pack(">H", 0xFF52))
+        (clen,) = struct.unpack_from(">H", blob2, cpos + 2)
+        blob2[cpos + 2 + clen - 1] = 0  # claim 9/7
+        with pytest.raises(ValueError, match="mismatch"):
+            decode_jpx(bytes(blob2))
+
+    def test_constant_image_highpass_quantizes_away(self):
+        # constant input: float highpass coefficients are ~1e-13 of
+        # the signal, so every non-LL block quantizes to zero and the
+        # stream stays small
+        px = np.full((32, 32), 200, np.int64)
+        blob = encode_jpx(px, levels=2, irreversible=True)
+        m = decode_jpx(blob)
+        assert np.abs(m["samples"][..., 0] - px).max() <= 1
