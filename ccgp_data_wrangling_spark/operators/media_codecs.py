@@ -4443,6 +4443,11 @@ _L2_STEPS_LB0 = (5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
                  4095, 8191, 16383, 32767)
 _L2_STEPS_LB = (5, 7, 9, 15, 31, 63, 127)
 
+_L2_STEPS_LSF0 = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023,
+                  2047, 4095, 8191, 16383)
+_L2_STEPS_LSF1 = (3, 5, 7, 9, 15, 31, 63)
+_L2_STEPS_LSF2 = (3, 5, 7)
+
 _L2_TABLES = {
     # Table 3-B.2a: sblimit 27
     "a": [(4, _L2_STEPS_HI)] * 3 + [(4, _L2_STEPS_MID)] * 8
@@ -4454,6 +4459,12 @@ _L2_TABLES = {
     "c": [(4, _L2_STEPS_LB0)] * 2 + [(3, _L2_STEPS_LB)] * 6,
     # Table 3-B.2d: sblimit 12
     "d": [(4, _L2_STEPS_LB0)] * 2 + [(3, _L2_STEPS_LB)] * 10,
+    # ISO 13818-3 Annex B Table B.1 — the single LSF Layer II table
+    # (all MPEG-2 rates and bitrates), sblimit 30; contents follow
+    # the widely-reproduced public form, same caveat as 3-B.2a-d
+    # above (encode/decode share one definition, round-trip-pinned)
+    "lsf": [(4, _L2_STEPS_LSF0)] * 4 + [(3, _L2_STEPS_LSF1)] * 7
+           + [(2, _L2_STEPS_LSF2)] * 19,
 }
 
 _L2_GROUPED = (3, 5, 9)  # classes coded three-samples-per-codeword
@@ -4463,10 +4474,14 @@ _L2_GROUP_BITS = {3: 5, 5: 7, 9: 10}
 def _l2_select_table(sample_rate: int, kbps_per_channel: int) -> str:
     """Quantization-table selection (§2.4.2.6): low per-channel rates
     take the 8/12-band tables, 44.1/32 kHz high rates the 30-band
-    table, everything else the 27-band table."""
+    table, everything else the 27-band table. MPEG-2 LSF rates take
+    the single 13818-3 table whatever the bitrate."""
+    if sample_rate in _MP3_RATES["MPEG2"]:
+        return "lsf"
     if sample_rate not in _MP3_RATES["MPEG1"]:
         raise NotImplementedError(
-            "Layer II subband decode implemented for MPEG-1 rates only"
+            "Layer II subband decode implemented for MPEG-1/MPEG-2 "
+            "rates only"
         )
     if kbps_per_channel in (32, 48):
         return "d" if sample_rate == 32000 else "c"
@@ -4497,89 +4512,146 @@ _L2_SCFSI_PARTS = {  # scfsi → transmitted-scalefactor ordinal per part
 _L2_SCFSI_COUNT = {0: 3, 1: 2, 2: 1, 3: 2}
 
 
+_L2_MODES = {"stereo": 0, "joint": 1, "dual": 2, "mono": 3}
+
+
+def _l2_bound(mode: str, mode_ext: int, sblimit: int) -> int:
+    """Intensity-stereo bound (§2.4.2.6): joint stereo shares sample
+    codes from subband 4·(mode_extension+1) up; other modes never."""
+    if mode != "joint":
+        return sblimit
+    return min(4 * (mode_ext + 1), sblimit)
+
+
 def build_mp3_layer2(
     *,
     sample_rate: int = 44100,
     bitrate_kbps: int = 96,
-    alloc_idx: list[int],
-    scfsi: list[int],
-    scf_idx,  # callable (sb, ordinal) -> 6-bit index, or nested list
-    codes,  # callable (t, sb) -> sample code for sample t in 0..35
+    alloc_idx: list,
+    scfsi: list,
+    scf_idx,  # (sb, ordinal) mono / (ch, sb, ordinal) stereo, or list
+    codes,  # (t, sb) mono / (ch, t, sb) stereo, sample t in 0..35
     n_frames: int = 1,
+    mode: str = "mono",
+    mode_ext: int = 0,
+    version: str = "MPEG1",
 ) -> bytes:
-    """Fixture writer: mono MPEG-1 Layer II frames with a REAL coded
-    payload (§2.4.1.6): sblimit allocation indices at the selected
-    table's nbal widths, 2-bit scfsi per allocated subband, 6-bit
-    scalefactors (1–3 per subband by scfsi), then 12 granules of
-    sample codes — grouped classes pack s0 + steps·s1 + steps²·s2
-    into one codeword. ``alloc_idx`` must cover exactly the table's
-    sblimit."""
-    table = _l2_select_table(sample_rate, bitrate_kbps)
+    """Fixture writer: MPEG-1 / MPEG-2-LSF Layer II frames with a
+    REAL coded payload (11172-3 §2.4.1.6 / 13818-3): per-subband
+    channel-interleaved allocation (shared above the intensity bound
+    in joint stereo), 2-bit scfsi, 6-bit scalefactors (1–3 per
+    subband by scfsi), then 12 granules of sample codes — grouped
+    classes pack s0 + steps·s1 + steps²·s2 into one codeword. For
+    stereo modes ``alloc_idx``/``scfsi`` are [ch0, ch1] lists and
+    ``scf_idx``/``codes`` take a leading channel argument; joint
+    stereo requires equal allocation above the bound and reads the
+    shared codes from channel 0."""
+    if mode not in _L2_MODES:
+        raise ValueError(f"unknown Layer II mode {mode!r}")
+    if version not in ("MPEG1", "MPEG2"):
+        raise ValueError("Layer II fixture covers MPEG1/MPEG2 only")
+    nch = 1 if mode == "mono" else 2
+    if mode == "mono":
+        allocs = [alloc_idx]
+        scfsis = [scfsi]
+        scf_f = (
+            (lambda ch, sb, j: scf_idx(sb, j)) if callable(scf_idx)
+            else (lambda ch, sb, j: scf_idx[sb][j])
+        )
+        code_f = lambda ch, t, sb: codes(t, sb)  # noqa: E731
+    else:
+        allocs = list(alloc_idx)
+        scfsis = list(scfsi)
+        if len(allocs) != 2 or len(scfsis) != 2:
+            raise ValueError(
+                "stereo modes take [ch0, ch1] alloc_idx/scfsi"
+            )
+        scf_f = (
+            scf_idx if callable(scf_idx)
+            else (lambda ch, sb, j: scf_idx[ch][sb][j])
+        )
+        code_f = codes
+    table = _l2_select_table(
+        sample_rate,
+        bitrate_kbps // nch if version == "MPEG1" else bitrate_kbps,
+    )
     rows = _L2_TABLES[table]
     sblimit = len(rows)
-    if len(alloc_idx) != sblimit or len(scfsi) != sblimit:
-        raise ValueError(
-            f"alloc_idx and scfsi must cover sblimit={sblimit} "
-            f"subbands (table {table})"
-        )
-    ridx = _MP3_RATES["MPEG1"].index(sample_rate)
-    bidx = _MP3_BITRATES[("MPEG1", 2)].index(bitrate_kbps)
-    flen = _mp3_frame_len("MPEG1", 2, bitrate_kbps, sample_rate, 0)
+    bound = _l2_bound(mode, mode_ext, sblimit)
+    for ch in range(nch):
+        if len(allocs[ch]) != sblimit or len(scfsis[ch]) != sblimit:
+            raise ValueError(
+                f"alloc_idx and scfsi must cover sblimit={sblimit} "
+                f"subbands (table {table})"
+            )
+    for sb in range(bound, sblimit):
+        if nch == 2 and allocs[0][sb] != allocs[1][sb]:
+            raise ValueError(
+                "joint stereo requires equal allocation above the "
+                f"bound (subband {sb})"
+            )
+    ridx = _MP3_RATES[version].index(sample_rate)
+    bidx = _MP3_BITRATES[(version, 2)].index(bitrate_kbps)
+    flen = _mp3_frame_len(version, 2, bitrate_kbps, sample_rate, 0)
     hdr = (
         (0x7FF << 21)
-        | (3 << 19)            # MPEG1
+        | ((3 if version == "MPEG1" else 2) << 19)
         | (2 << 17)            # layer II
         | (1 << 16)            # no CRC
         | (bidx << 12)
         | (ridx << 10)
-        | (3 << 6)             # single_channel
+        | (_L2_MODES[mode] << 6)
+        | (mode_ext << 4)
     )
     out = bytearray()
     for _ in range(n_frames):
         bits: list[tuple[int, int]] = []
         for sb in range(sblimit):
             nbal, steps_row = rows[sb]
-            if not 0 <= alloc_idx[sb] <= len(steps_row):
-                raise ValueError(
-                    f"allocation index {alloc_idx[sb]} out of range "
-                    f"for subband {sb} (table {table})"
-                )
-            bits.append((alloc_idx[sb], nbal))
-        for sb in range(sblimit):
-            if alloc_idx[sb]:
-                if not 0 <= scfsi[sb] <= 3:
-                    raise ValueError("scfsi out of range")
-                bits.append((scfsi[sb], 2))
-        for sb in range(sblimit):
-            if alloc_idx[sb]:
-                for j in range(_L2_SCFSI_COUNT[scfsi[sb]]):
-                    idx = (
-                        scf_idx(sb, j) if callable(scf_idx)
-                        else scf_idx[sb][j]
+            for ch in range(nch if sb < bound else 1):
+                if not 0 <= allocs[ch][sb] <= len(steps_row):
+                    raise ValueError(
+                        f"allocation index {allocs[ch][sb]} out of "
+                        f"range for subband {sb} (table {table})"
                     )
-                    if not 0 <= idx <= 62:
-                        raise ValueError("scalefactor index out of range")
-                    bits.append((idx, 6))
+                bits.append((allocs[ch][sb], nbal))
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if allocs[ch][sb]:
+                    if not 0 <= scfsis[ch][sb] <= 3:
+                        raise ValueError("scfsi out of range")
+                    bits.append((scfsis[ch][sb], 2))
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if allocs[ch][sb]:
+                    for j in range(_L2_SCFSI_COUNT[scfsis[ch][sb]]):
+                        idx = scf_f(ch, sb, j)
+                        if not 0 <= idx <= 62:
+                            raise ValueError(
+                                "scalefactor index out of range"
+                            )
+                        bits.append((idx, 6))
         for gr in range(12):
             for sb in range(sblimit):
-                if not alloc_idx[sb]:
-                    continue
-                steps = rows[sb][1][alloc_idx[sb] - 1]
-                _k, grouped, cbits = _l2_class(steps)
-                s = [codes(gr * 3 + j, sb) for j in range(3)]
-                if any(not 0 <= v < steps for v in s):
-                    raise ValueError(
-                        f"sample code out of range for {steps}-step "
-                        f"class in subband {sb}"
-                    )
-                if grouped:
-                    bits.append(
-                        (s[0] + steps * s[1] + steps * steps * s[2],
-                         cbits)
-                    )
-                else:
-                    for v in s:
-                        bits.append((v, cbits))
+                for ch in range(nch if sb < bound else 1):
+                    if not allocs[ch][sb]:
+                        continue
+                    steps = rows[sb][1][allocs[ch][sb] - 1]
+                    _k, grouped, cbits = _l2_class(steps)
+                    s = [code_f(ch, gr * 3 + j, sb) for j in range(3)]
+                    if any(not 0 <= v < steps for v in s):
+                        raise ValueError(
+                            f"sample code out of range for {steps}-"
+                            f"step class in subband {sb}"
+                        )
+                    if grouped:
+                        bits.append(
+                            (s[0] + steps * s[1]
+                             + steps * steps * s[2], cbits)
+                        )
+                    else:
+                        for v in s:
+                            bits.append((v, cbits))
         need = sum(ln for _, ln in bits)
         if need > (flen - 4) * 8:
             raise ValueError(
@@ -4611,9 +4683,14 @@ def decode_mp3_layer2_subbands(payload: bytes) -> list[dict[str, Any]]:
     Layer II's granularity, every stage before the synthesis
     filterbank (PCM synthesis still raises elsewhere).
 
-    Mono MPEG-1 Layer II only; stereo modes, MPEG-2 LSF Layer II and
-    free-format raise. Returns one dict per (frame, subband): frame,
-    subband, steps, scfsi, rms (6 dp over the 36 samples)."""
+    MPEG-1 and MPEG-2 LSF, all four channel modes: stereo and dual
+    channel carry channel-interleaved allocation/scfsi/scalefactors/
+    samples; joint stereo shares allocation and sample codes above
+    the 4·(mode_extension+1) intensity bound, each channel applying
+    its own scalefactor to the shared codes (§2.4.3.3 intensity
+    dequantization). Free-format and MPEG-2.5 raise. Returns one dict
+    per (frame, channel, subband): frame, channel, subband, steps,
+    scfsi, rms (6 dp over the 36 samples)."""
     pos = 0
     end = len(payload)
     out: list[dict[str, Any]] = []
@@ -4624,43 +4701,71 @@ def decode_mp3_layer2_subbands(payload: bytes) -> list[dict[str, Any]]:
         hdr = int.from_bytes(payload[pos : pos + 4], "big")
         if hdr >> 21 != 0x7FF:
             raise ValueError(f"lost frame sync at byte {pos}")
-        if (hdr >> 19) & 0x3 != 3 or (hdr >> 17) & 0x3 != 2:
+        ver_bits = (hdr >> 19) & 0x3
+        if (hdr >> 17) & 0x3 != 2:
             raise NotImplementedError(
-                "subband decode implemented for MPEG-1 Layer II only"
+                "subband decode implemented for Layer II only"
             )
-        if (hdr >> 6) & 0x3 != 3:
-            raise NotImplementedError("stereo Layer II subband decode")
+        if ver_bits == 3:
+            version = "MPEG1"
+        elif ver_bits == 2:
+            version = "MPEG2"
+        else:
+            raise NotImplementedError(
+                "MPEG-2.5 Layer II subband decode"
+            )
+        mode_bits = (hdr >> 6) & 0x3
+        mode = {0: "stereo", 1: "joint", 2: "dual", 3: "mono"}[
+            mode_bits
+        ]
+        mode_ext = (hdr >> 4) & 0x3
+        nch = 1 if mode == "mono" else 2
         crc = not (hdr >> 16) & 0x1
         bidx = (hdr >> 12) & 0xF
         if bidx == 0:
             raise NotImplementedError("free-format Layer II bitrate")
         ridx = (hdr >> 10) & 0x3
-        bitrate = _MP3_BITRATES[("MPEG1", 2)][bidx]
-        rate = _MP3_RATES["MPEG1"][ridx]
+        bitrate = _MP3_BITRATES[(version, 2)][bidx]
+        rate = _MP3_RATES[version][ridx]
         padding = (hdr >> 9) & 0x1
-        flen = _mp3_frame_len("MPEG1", 2, bitrate, rate, padding)
+        flen = _mp3_frame_len(version, 2, bitrate, rate, padding)
         if pos + flen > end:
             raise ValueError("truncated final Layer II frame")
-        table = _l2_select_table(rate, bitrate)
+        table = _l2_select_table(
+            rate, bitrate // nch if version == "MPEG1" else bitrate
+        )
         rows = _L2_TABLES[table]
         sblimit = len(rows)
+        bound = _l2_bound(mode, mode_ext, sblimit)
         r = _BitReader(payload[pos + 4 + (2 if crc else 0) : pos + flen])
-        alloc = [r.read_bits(rows[sb][0]) for sb in range(sblimit)]
+        alloc = [[0] * sblimit for _ in range(nch)]
         for sb in range(sblimit):
-            if alloc[sb] > len(rows[sb][1]):
-                raise ValueError(
-                    f"allocation index {alloc[sb]} exceeds table "
-                    f"{table} row for subband {sb}"
-                )
-        scfsi = [
-            r.read_bits(2) if alloc[sb] else 0 for sb in range(sblimit)
+            for ch in range(nch if sb < bound else 1):
+                alloc[ch][sb] = r.read_bits(rows[sb][0])
+            if sb >= bound and nch == 2:
+                alloc[1][sb] = alloc[0][sb]
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if alloc[ch][sb] > len(rows[sb][1]):
+                    raise ValueError(
+                        f"allocation index {alloc[ch][sb]} exceeds "
+                        f"table {table} row for subband {sb}"
+                    )
+        scfsi = [[0] * sblimit for _ in range(nch)]
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    scfsi[ch][sb] = r.read_bits(2)
+        scf = [
+            [[0, 0, 0] for _ in range(sblimit)] for _ in range(nch)
         ]
-        scf: list[list[int]] = []
         for sb in range(sblimit):
-            if alloc[sb]:
+            for ch in range(nch):
+                if not alloc[ch][sb]:
+                    continue
                 sent = [
                     r.read_bits(6)
-                    for _ in range(_L2_SCFSI_COUNT[scfsi[sb]])
+                    for _ in range(_L2_SCFSI_COUNT[scfsi[ch][sb]])
                 ]
                 for idx6 in sent:
                     if idx6 > 62:
@@ -4669,55 +4774,65 @@ def decode_mp3_layer2_subbands(payload: bytes) -> list[dict[str, Any]]:
                             f"reserved Layer II scalefactor index "
                             f"{idx6} in subband {sb}"
                         )
-                scf.append(
-                    [sent[j] for j in _L2_SCFSI_PARTS[scfsi[sb]]]
-                )
-            else:
-                scf.append([0, 0, 0])
-        acc = [0.0] * sblimit
+                scf[ch][sb] = [
+                    sent[j] for j in _L2_SCFSI_PARTS[scfsi[ch][sb]]
+                ]
+        acc = [[0.0] * sblimit for _ in range(nch)]
         for gr in range(12):
             for sb in range(sblimit):
-                if not alloc[sb]:
-                    continue
-                steps = rows[sb][1][alloc[sb] - 1]
-                k, grouped, cbits = _l2_class(steps)
-                if grouped:
-                    c = r.read_bits(cbits)
-                    s = [c % steps, (c // steps) % steps,
-                         c // (steps * steps)]
-                    if s[2] >= steps:
-                        raise ValueError(
-                            f"grouped codeword {c} out of range for "
-                            f"{steps}-step class"
+                shared: list[int] | None = None
+                for ch in range(nch if sb < bound else 1):
+                    if not alloc[ch][sb]:
+                        continue
+                    steps = rows[sb][1][alloc[ch][sb] - 1]
+                    k, grouped, cbits = _l2_class(steps)
+                    if grouped:
+                        c = r.read_bits(cbits)
+                        s = [c % steps, (c // steps) % steps,
+                             c // (steps * steps)]
+                        if s[2] >= steps:
+                            raise ValueError(
+                                f"grouped codeword {c} out of range "
+                                f"for {steps}-step class"
+                            )
+                        d_const = 0.5
+                    else:
+                        s = [r.read_bits(cbits) for _ in range(3)]
+                        d_const = 2.0 ** (1 - k)
+                    shared = s
+                    for tch in (
+                        (ch,) if sb < bound else range(nch)
+                    ):
+                        if not alloc[tch][sb]:
+                            continue
+                        idx = scf[tch][sb][gr // 4]
+                        sf = (
+                            2.0 * 2.0 ** (-(idx // 3))
+                            if idx % 3 == 0
+                            else 2.0 * 2.0 ** (-idx / 3.0)
                         )
-                    d_const = 0.5
-                else:
-                    s = [r.read_bits(cbits) for _ in range(3)]
-                    d_const = 2.0 ** (1 - k)
-                idx = scf[sb][gr // 4]
-                sf = (
-                    2.0 * 2.0 ** (-(idx // 3))
-                    if idx % 3 == 0
-                    else 2.0 * 2.0 ** (-idx / 3.0)
-                )
-                for v in s:
-                    x = sf * (
-                        (2.0**k / steps)
-                        * (v / 2.0 ** (k - 1) - 1 + d_const)
-                    )
-                    acc[sb] += x * x
+                        for v in shared:
+                            x = sf * (
+                                (2.0**k / steps)
+                                * (v / 2.0 ** (k - 1) - 1 + d_const)
+                            )
+                            acc[tch][sb] += x * x
         for sb in range(sblimit):
-            if alloc[sb]:
-                steps = rows[sb][1][alloc[sb] - 1]
-                out.append(
-                    {
-                        "frame": frame_no,
-                        "subband": sb,
-                        "steps": steps,
-                        "scfsi": scfsi[sb],
-                        "rms": round((acc[sb] / 36.0) ** 0.5, 6),
-                    }
-                )
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    steps = rows[sb][1][alloc[ch][sb] - 1]
+                    out.append(
+                        {
+                            "frame": frame_no,
+                            "channel": ch,
+                            "subband": sb,
+                            "steps": steps,
+                            "scfsi": scfsi[ch][sb],
+                            "rms": round(
+                                (acc[ch][sb] / 36.0) ** 0.5, 6
+                            ),
+                        }
+                    )
         frame_no += 1
         pos += flen
     return out

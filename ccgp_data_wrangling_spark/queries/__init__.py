@@ -52,6 +52,7 @@ def register(name: str, oracle: str | None):
 # prescribed (regression freshness, not new coverage).
 _PRIORITY: list[str] = [
     "pdf_jpx97_image_extract",
+    "multimodal_mp3_layer2_stereo_decode",
     "p1_taxon_projection",
     "t_hourly_rollup",
     "t_user_sessions",

@@ -8008,6 +8008,200 @@ def pdf_jpx_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MP3 Layer II STEREO modes + MPEG-2 LSF through the driver gate
+# (r12): channel-interleaved allocation/scfsi/scalefactors/samples,
+# intensity (joint) stereo sharing sample codes above the
+# 4·(mode_extension+1) bound with per-channel scalefactors, and the
+# single ISO 13818-3 LSF allocation table at half sample rates.
+# Variants: v0 = MPEG-1 stereo (independent channels, table a),
+# v1 = MPEG-1 joint stereo bound 8 (shared codes read from channel
+# 0 — the oracle's `shared` flag), v2 = MPEG-2 LSF dual channel.
+# Scalefactor indices stay multiples of 3 so the oracle's POWER()
+# arithmetic replays the kernel's doubles bit-for-bit at 6 dp, the
+# mono gate's strategy.
+# ---------------------------------------------------------------------------
+
+_MP3_L2S_SQL = """
+WITH g AS (
+  SELECT event_id AS id FROM events WHERE event_id % 20 = 16
+),
+bands(v, ch, subband, steps, grp, k, shared) AS (
+  VALUES
+    (0, 0, 0, 15, false, 4, false), (0, 0, 3, 5, true, 3, false),
+    (0, 0, 12, 31, false, 5, false),
+    (0, 1, 0, 7, false, 3, false), (0, 1, 5, 9, true, 4, false),
+    (0, 1, 12, 3, true, 2, false),
+    (1, 0, 1, 63, false, 6, false), (1, 1, 2, 3, true, 2, false),
+    (1, 0, 9, 15, false, 4, true), (1, 1, 9, 15, false, 4, true),
+    (1, 0, 20, 5, true, 3, true), (1, 1, 20, 5, true, 3, true),
+    (2, 0, 0, 1023, false, 10, false), (2, 0, 6, 7, false, 3, false),
+    (2, 0, 25, 3, true, 2, false),
+    (2, 1, 0, 9, true, 4, false), (2, 1, 6, 5, true, 3, false),
+    (2, 1, 25, 7, false, 3, false)
+),
+b AS (
+  SELECT id, ch, subband, steps, grp, k, shared,
+         (id + subband + ch) % 4 AS scfsi
+  FROM g JOIN bands ON bands.v = id % 3
+),
+samp AS (
+  SELECT id, ch, subband, steps, grp, k, shared, scfsi,
+         UNNEST(generate_series(0, 35)) AS t
+  FROM b
+),
+vals AS (
+  SELECT id, ch, subband, steps, scfsi,
+    (2.0 * POWER(2.0, -((id + subband + ch + (
+        CASE scfsi
+          WHEN 0 THEN (t // 12)
+          WHEN 1 THEN CASE WHEN t // 12 < 2 THEN 0 ELSE 1 END
+          WHEN 2 THEN 0
+          ELSE CASE WHEN t // 12 = 0 THEN 0 ELSE 1 END
+        END)) % 5)))
+    * ((POWER(2.0, k) / steps)
+       * (((t * (subband + 1) + id
+            + CASE WHEN shared THEN 0 ELSE ch END) % steps)
+          / POWER(2.0, k - 1)
+          - 1 + CASE WHEN grp THEN 0.5
+                     ELSE POWER(2.0, 1 - k) END)) AS x
+  FROM samp
+),
+frames AS (
+  SELECT id AS fid, UNNEST(generate_series(0, id % 2)) AS frame FROM g
+)
+SELECT v.id,
+       CASE v.id % 3 WHEN 0 THEN 'stereo' WHEN 1 THEN 'joint'
+            ELSE 'dual' END AS mode,
+       CASE WHEN v.id % 3 = 2 THEN 'MPEG2' ELSE 'MPEG1' END
+         AS version,
+       CAST(f.frame AS INT) AS frame,
+       CAST(v.ch AS INT) AS channel,
+       CAST(v.subband AS INT) AS subband,
+       CAST(v.steps AS INT) AS steps,
+       CAST(v.scfsi AS INT) AS scfsi,
+       ROUND(SQRT(SUM(v.x * v.x) / 36.0), 6) AS rms
+FROM vals v JOIN frames f ON v.id = f.fid
+GROUP BY v.id, f.frame, v.ch, v.subband, v.steps, v.scfsi
+"""
+
+_L2S_CFG = {
+    0: ("MPEG1", "stereo", 0, 44100, 128),
+    1: ("MPEG1", "joint", 1, 44100, 128),
+    2: ("MPEG2", "dual", 0, 22050, 64),
+}
+_L2S_ALLOC = {
+    0: ({0: 3, 3: 2, 12: 6}, {0: 2, 5: 4, 12: 1}),
+    1: ({1: 5, 9: 5, 20: 2}, {2: 1, 9: 5, 20: 2}),
+    2: ({0: 11, 6: 3, 25: 1}, {0: 4, 6: 2, 25: 3}),
+}
+
+
+@register("multimodal_mp3_layer2_stereo_decode", _MP3_L2S_SQL)
+def multimodal_mp3_layer2_stereo_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Layer II stereo/LSF decode end-to-end: build_mp3_layer2
+    stereo-mode fixtures → decode_mp3_layer2_subbands → per-channel
+    RMS envelopes. v1's joint-stereo bands 9/20 sit above the bound,
+    so both channels decode the SAME codes under different
+    scalefactors — a dequantization slip in the intensity path moves
+    one channel's rms off the oracle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _L2_TABLES,
+        _l2_select_table,
+        build_mp3_layer2,
+        decode_mp3_layer2_subbands,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 16
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                v = e % 3
+                version, mode, mext, rate, kbps = _L2S_CFG[v]
+                table = _l2_select_table(
+                    rate, kbps // 2 if version == "MPEG1" else kbps
+                )
+                rows = _L2_TABLES[table]
+                sbl = len(rows)
+                allocs = []
+                steps_of = {}
+                for ch in (0, 1):
+                    a = [0] * sbl
+                    for sb, idx in _L2S_ALLOC[v][ch].items():
+                        a[sb] = idx
+                        steps_of[(ch, sb)] = rows[sb][1][idx - 1]
+                    allocs.append(a)
+                scfsis = [
+                    [
+                        (e + sb + ch) % 4 if allocs[ch][sb] else 0
+                        for sb in range(sbl)
+                    ]
+                    for ch in (0, 1)
+                ]
+                payloads.append(
+                    build_mp3_layer2(
+                        sample_rate=rate,
+                        bitrate_kbps=kbps,
+                        mode=mode,
+                        mode_ext=mext,
+                        version=version,
+                        alloc_idx=allocs,
+                        scfsi=scfsis,
+                        scf_idx=lambda ch, sb, j, _e=e: (
+                            3 * ((_e + sb + j + ch) % 5)
+                        ),
+                        codes=lambda ch, t, sb, _e=e, _m=steps_of: (
+                            (t * (sb + 1) + _e + ch) % _m[(ch, sb)]
+                        ),
+                        n_frames=1 + e % 2,
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                e = int(rid)
+                version, mode, _, _, _ = _L2S_CFG[e % 3]
+                for r in decode_mp3_layer2_subbands(bytes(blob)):
+                    rows.append(
+                        {"id": rid, "mode": mode,
+                         "version": version, **r}
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "mode", "version", "frame", "channel",
+                    "subband", "steps", "scfsi", "rms",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        decode,
+        schema=(
+            "id long, mode string, version string, frame int, "
+            "channel int, subband int, steps int, scfsi int, "
+            "rms double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Lossy JPEG 2000 (9/7 irreversible + ICT + scalar-expounded
 # quantization) through the driver gate — the dominant real-world
 # scanned-PDF JPX form. Lossy decode has no modular closed form, so

@@ -3420,9 +3420,12 @@ def test_mp3_layer2_subband_decode():
                 alloc=[0] * 32, scf_idx=[0] * 32, codes=lambda t, sb: 0
             )
         )
+    # stereo DECODES now (r12): re-tagging the 96 kbps mono frame as
+    # stereo makes 48 kbps/channel select the 8-band table 3-B.2c,
+    # so the mono payload misparses instead of gating
     stereo = bytearray(blob)
     stereo[3] &= 0b00111111
-    with _pytest.raises(NotImplementedError, match="stereo"):
+    with _pytest.raises(ValueError):
         decode_mp3_layer2_subbands(bytes(stereo))
     with _pytest.raises(ValueError, match="must cover sblimit"):
         build_mp3_layer2(
@@ -3474,3 +3477,110 @@ def test_mp3_layer2_reserved_scalefactor_rejected():
         blob[b] |= 0x80 >> bit  # 63 = all ones
     with _pytest.raises(ValueError, match="reserved"):
         decode_mp3_layer2_subbands(bytes(blob))
+
+
+def test_mp3_layer2_stereo_modes():
+    # r12: stereo / dual / joint (intensity) and MPEG-2 LSF Layer II.
+    import math
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _L2_TABLES,
+        build_mp3_layer2,
+        decode_mp3_layer2_subbands,
+    )
+
+    # stereo MPEG-1: channel-interleaved fields, independent alloc
+    sbl = len(_L2_TABLES["a"])  # 128 kbps stereo -> 64/ch -> table a
+    a0 = [0] * sbl
+    a1 = [0] * sbl
+    a0[0], a0[5] = 3, 1
+    a1[0], a1[7] = 2, 1
+    blob = build_mp3_layer2(
+        sample_rate=44100, bitrate_kbps=128, mode="stereo",
+        alloc_idx=[a0, a1],
+        scfsi=[[2 if a else 0 for a in a0], [0] * sbl],
+        scf_idx=lambda ch, sb, j: 3 * (ch + 1) + sb + j,
+        codes=lambda ch, t, sb: (t + sb + ch) % 3,
+    )
+    rows = decode_mp3_layer2_subbands(blob)
+    assert [(r["channel"], r["subband"], r["steps"]) for r in rows] == [
+        (0, 0, 15), (1, 0, 7), (0, 5, 3), (1, 7, 3),
+    ]
+
+    # joint stereo: above bound=8 (mode_ext=1) codes are SHARED and
+    # each channel applies its own scalefactor — with scf indices 3
+    # apart the rms ratio is exactly 2 (sf halves every 3 indices)
+    aj0 = [0] * sbl
+    aj1 = [0] * sbl
+    aj0[2] = 1
+    aj1[3] = 1
+    aj0[10] = aj1[10] = 1
+    blob = build_mp3_layer2(
+        sample_rate=44100, bitrate_kbps=128, mode="joint", mode_ext=1,
+        alloc_idx=[aj0, aj1], scfsi=[[0] * sbl, [0] * sbl],
+        scf_idx=lambda ch, sb, j: 9 + 3 * ch,
+        codes=lambda ch, t, sb: (t + sb + ch) % 3,
+    )
+    rows = decode_mp3_layer2_subbands(blob)
+    r10 = {r["channel"]: r["rms"] for r in rows if r["subband"] == 10}
+    assert math.isclose(r10[0] / r10[1], 2.0, rel_tol=1e-4)
+    # below the bound the channels are independent
+    assert {(r["channel"], r["subband"]) for r in rows} == {
+        (0, 2), (1, 3), (0, 10), (1, 10),
+    }
+
+    # joint stereo requires equal allocation above the bound
+    bad1 = [0] * sbl
+    bad2 = [0] * sbl
+    bad1[10], bad2[10] = 1, 2
+    with pytest.raises(ValueError, match="equal allocation"):
+        build_mp3_layer2(
+            sample_rate=44100, bitrate_kbps=128, mode="joint",
+            mode_ext=1, alloc_idx=[bad1, bad2],
+            scfsi=[[0] * sbl, [0] * sbl],
+            scf_idx=lambda ch, sb, j: 0,
+            codes=lambda ch, t, sb: 0,
+        )
+
+    # MPEG-2 LSF dual channel: single 13818-3 table, sblimit 30,
+    # 144-coefficient frame length, multi-frame walk
+    sbl = len(_L2_TABLES["lsf"])
+    assert sbl == 30
+    l0 = [0] * sbl
+    l1 = [0] * sbl
+    l0[0], l0[6], l0[20] = 5, 2, 1
+    l1[0], l1[6], l1[20] = 4, 2, 2
+    blob = build_mp3_layer2(
+        sample_rate=22050, bitrate_kbps=64, version="MPEG2",
+        mode="dual",
+        alloc_idx=[l0, l1],
+        scfsi=[[3 if a else 0 for a in l0],
+               [1 if a else 0 for a in l1]],
+        scf_idx=lambda ch, sb, j: 12 + ch + sb + j,
+        codes=lambda ch, t, sb: (t * (sb + 1) + ch) % 3,
+        n_frames=2,
+    )
+    rows = decode_mp3_layer2_subbands(blob)
+    assert sorted({r["frame"] for r in rows}) == [0, 1]
+    assert len(rows) == 12
+    got = {
+        (r["channel"], r["subband"]): r["steps"]
+        for r in rows if r["frame"] == 0
+    }
+    assert got == {
+        (0, 0): 15, (1, 0): 9, (0, 6): 5, (1, 6): 5,
+        (0, 20): 3, (1, 20): 5,
+    }
+
+    # LSF mono also decodes (single table regardless of bitrate)
+    lm = [0] * sbl
+    lm[4] = 1
+    blob = build_mp3_layer2(
+        sample_rate=24000, bitrate_kbps=32, version="MPEG2",
+        alloc_idx=lm, scfsi=[0] * sbl,
+        scf_idx=lambda sb, j: 20, codes=lambda t, sb: t % 3,
+    )
+    rows = decode_mp3_layer2_subbands(blob)
+    assert [(r["channel"], r["subband"], r["steps"]) for r in rows] == [
+        (0, 4, 3)
+    ]
