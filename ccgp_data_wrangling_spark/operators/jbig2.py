@@ -50,13 +50,15 @@ IARI-gated RDW/RDH/RDX/RDY headers re-coding the instance against
 its symbol with shared GR stats), and SBHUFF=1 text regions (the
 §7.4.4.1.1.1 runcode symbol-ID table, Huffman FS/DS/DT strip reads
 through referred custom tables, raw CURT bits, byte-aligned
-per-instance MQ refinement blocks). SDREFAGG dictionaries decode in their
-single-instance form (§6.5.8.2: IAAI=1 → IAID/IARDX/IARDY +
-refinement of an earlier symbol). The remaining honest
+per-instance MQ refinement blocks). SDREFAGG dictionaries decode in
+both forms: single-instance (§6.5.8.2: IAAI=1 → IAID/IARDX/IARDY +
+refinement of an earlier symbol) and REFAGGNINST > 1 (§6.5.8.2.1: a
+full §6.4 text region nested inside the dictionary — SBSTRIPS=1, TL
+corner, OR, REFINE=1 — over the dictionary's persistent integer
+contexts, instances optionally IARI-refined). The remaining honest
 ``NotImplementedError`` gates are coding-variant tails: the
 UNTRANSCRIBED standard tables B.6–B.15 (SBHUFF selectors 0–2 —
-custom type-53 tables decode), HMMR gray-scale, REFAGGNINST > 1
-(a full text region nested inside a dictionary), SDHUFF+SDREFAGG,
+custom type-53 tables decode), HMMR gray-scale, SDHUFF+SDREFAGG,
 unknown-length MMR regions (0x00 0x00 can occur mid-stream), and
 intermediate regions (auxiliary-buffer composition). HENABLESKIP halftones decode (USESKIP pixels carry no
 coded bits), and §7.2.7 unknown-length arithmetic generic regions
@@ -910,9 +912,90 @@ def decode_symbol_dict_segment(
     # — IAAI instance count, IAID over ⌈log2(inputs + new)⌉ bits,
     # IARDX/IARDY reference offsets, GR stats shared per dictionary
     iaai, iardx, iardy = _IntDecoder(), _IntDecoder(), _IntDecoder()
+    # REFAGGNINST > 1 nests a §6.4 text region inside the dictionary
+    # (§6.5.8.2.1, SBSTRIPS=1/TL/OR/REFINE=1); its integer contexts
+    # are the dictionary's own, persistent across aggregates
+    iadt, iafs, iads = _IntDecoder(), _IntDecoder(), _IntDecoder()
+    iari, iardw, iardh = _IntDecoder(), _IntDecoder(), _IntDecoder()
     agg_codelen = max(1, (len(input_syms) + num_new - 1).bit_length())
     agg_id_stats = ArithStats(1 << (agg_codelen + 1))
     gr_stats = ArithStats(1 << 13)
+
+    def read_agg_instance(pool, curs):
+        """One §6.4.5 3(c) instance: (bitmap, new CURS)."""
+        sid = _decode_iaid(dec, agg_id_stats, agg_codelen)
+        if sid >= len(pool):
+            raise ValueError(
+                "aggregate references an undecoded symbol"
+            )
+        bm = pool[sid]
+        ri = iari.decode(dec)
+        if ri is OOB:
+            raise ValueError("OOB refinement flag")
+        if ri:
+            rdw = iardw.decode(dec)
+            rdh = iardh.decode(dec)
+            rdx = iardx.decode(dec)
+            rdy = iardy.decode(dec)
+            if OOB in (rdw, rdh, rdx, rdy):
+                raise ValueError("OOB refinement delta")
+            wo = bm.shape[1] + rdw
+            ho = bm.shape[0] + rdh
+            if wo <= 0 or ho <= 0:
+                raise ValueError("refined instance has no pixels")
+            bm = _refine_loop(
+                dec, gr_stats, wo, ho, bm.astype(np.uint8),
+                rdw // 2 + rdx, rdh // 2 + rdy, rtemplate, False,
+                rat, None,
+            )
+        return bm, curs
+
+    def decode_aggregate(nagg, symwidth, hcheight, pool):
+        """§6.5.8.2.1 aggregate symbol: a text region of exactly
+        (symwidth × hcheight) with REFAGGNINST instances."""
+        region = np.zeros((hcheight, symwidth), bool)
+        dt0 = iadt.decode(dec)
+        if dt0 is OOB:
+            raise ValueError("OOB STRIPT")
+        stript = -dt0
+        firsts = 0
+        ninst = 0
+        while ninst < nagg:
+            dt = iadt.decode(dec)
+            if dt is OOB:
+                raise ValueError("OOB strip delta")
+            stript += dt
+            first_sym = True
+            curs = 0
+            while True:
+                if first_sym:
+                    dfs = iafs.decode(dec)
+                    if dfs is OOB:
+                        raise ValueError("OOB first-symbol S")
+                    firsts += dfs
+                    curs = firsts
+                    first_sym = False
+                else:
+                    ids = iads.decode(dec)
+                    if ids is OOB:
+                        break  # strip ends
+                    curs += ids
+                bm, curs = read_agg_instance(pool, curs)
+                bm = bm.astype(bool)
+                hi, wi = bm.shape
+                tgt = region[
+                    stript : stript + hi, curs : curs + wi
+                ]
+                if tgt.shape != bm.shape or curs < 0 or stript < 0:
+                    raise ValueError(
+                        "aggregate instance exceeds the symbol extent"
+                    )
+                tgt |= bm
+                curs += wi - 1
+                ninst += 1
+                if ninst > nagg:
+                    raise ValueError("REFAGGNINST overrun")
+        return region
     new_syms: list[np.ndarray] = []
     hcheight = 0
     while len(new_syms) < num_new:
@@ -941,13 +1024,13 @@ def decode_symbol_dict_segment(
             nagg = iaai.decode(dec)
             if nagg is OOB or nagg < 1:
                 raise ValueError("bad REFAGGNINST")
-            if nagg != 1:
-                raise NotImplementedError(
-                    "REFAGGNINST > 1 (text-region aggregation inside "
-                    "a symbol dictionary)"
-                )
-            sid = _decode_iaid(dec, agg_id_stats, agg_codelen)
             pool = input_syms + new_syms
+            if nagg != 1:
+                new_syms.append(
+                    decode_aggregate(nagg, symwidth, hcheight, pool)
+                )
+                continue
+            sid = _decode_iaid(dec, agg_id_stats, agg_codelen)
             if sid >= len(pool):
                 raise ValueError(
                     "refinement references an undecoded symbol"
@@ -1180,22 +1263,55 @@ def _build_symbol_dict_huffman(
     return head + w.getvalue()
 
 
+def _compose_agg_symbol(
+    spec: dict, pool: list[np.ndarray]
+) -> np.ndarray:
+    """Composite bitmap an aggregate spec decodes to: instances OR'd
+    at their TL (s, t) placements inside the declared shape."""
+    h, w = spec["shape"]
+    region = np.zeros((h, w), bool)
+    for inst in spec["agg"]:
+        ref, s, t = inst[:3]
+        if len(inst) > 3 and inst[3]:
+            bm = inst[3]["bitmap"].astype(bool)
+        else:
+            bm = pool[ref].astype(bool)
+        hi, wi = bm.shape
+        if t < 0 or s < 0 or t + hi > h or s + wi > w:
+            raise ValueError(
+                "aggregate instance exceeds the symbol extent"
+            )
+        region[t : t + hi, s : s + wi] |= bm
+    return region
+
+
 def _build_symbol_dict_refagg(
-    refined: list[tuple[int, np.ndarray, int, int]],
+    refined: list,
     input_syms: list[np.ndarray],
     rtemplate: int = 0,
 ) -> tuple[bytes, list[int]]:
-    """Encode an SDREFAGG=1 dictionary (export-all): each new symbol
-    is (referenced-global-id, bitmap, rdx, rdy) — coded as IAAI=1,
-    IAID over ⌈log2(inputs+new)⌉ bits, IARDX/IARDY, then a §6.3
-    refinement of the referenced symbol into the new bitmap (GR
-    stats shared per dictionary, TPGRON=0). References may point at
-    input symbols or earlier-decoded new symbols. Height classes
+    """Encode an SDREFAGG=1 dictionary (export-all). Each entry is
+    either (referenced-global-id, bitmap, rdx, rdy) — IAAI=1 with a
+    direct §6.3 refinement — or, for REFAGGNINST > 1, a dict
+    {"shape": (h, w), "agg": [(ref, s, t) | (ref, s, t,
+    {"bitmap", "rdx", "rdy"}), ...]}: a §6.5.8.2.1 nested text
+    region (SBSTRIPS=1, TL, OR, REFINE=1) whose instances place —
+    and optionally refine — already-decoded symbols. Integer
+    contexts are the dictionary's own, persistent across aggregates;
+    GR stats shared per dictionary, TPGRON=0. References may point
+    at input symbols or earlier-decoded new symbols. Height classes
     sort like the generic builder; returns (data, remap)."""
+
+    def shape_of(i: int) -> tuple[int, int]:
+        e = refined[i]
+        return (
+            tuple(e["shape"]) if isinstance(e, dict)
+            else e[1].shape[:2]
+        )
+
     order = sorted(
         range(len(refined)),
-        key=lambda i: (refined[i][1].shape[0],
-                       refined[i][1].shape[1], i),
+        key=lambda i: (*shape_of(i), i),
     )
     remap = [0] * len(refined)
     for new_idx, orig in enumerate(order):
@@ -1206,24 +1322,92 @@ def _build_symbol_dict_refagg(
     enc = MQEncoder()
     iadh, iadw, iaex = _IntEncoder(), _IntEncoder(), _IntEncoder()
     iaai, iardx, iardy = _IntEncoder(), _IntEncoder(), _IntEncoder()
+    iadt, iafs, iads = _IntEncoder(), _IntEncoder(), _IntEncoder()
+    iari, iardw, iardh = _IntEncoder(), _IntEncoder(), _IntEncoder()
     agg_id_stats = ArithStats(1 << (agg_codelen + 1))
     gr_stats = ArithStats(1 << 13)
     pool = [s.astype(np.uint8) for s in input_syms]
+
+    def check_ref(ref_id: int) -> None:
+        if not 0 <= ref_id < len(pool):
+            raise ValueError(
+                "refagg reference must be an input symbol or an "
+                "earlier-coded new symbol (decode order)"
+            )
+
+    def encode_aggregate(spec: dict) -> np.ndarray:
+        insts = list(spec["agg"])
+        if len(insts) < 2:
+            raise ValueError("aggregate specs carry ≥2 instances")
+        iaai.encode(enc, len(insts))
+        iadt.encode(enc, 0)  # initial STRIPT = 0
+        # strips: ascending T, instances within a strip by S —
+        # exactly the decoder's §6.4.5 walk with SBSTRIPS = 1
+        strips: dict[int, list] = {}
+        for inst in insts:
+            strips.setdefault(inst[2], []).append(inst)
+        stript = 0
+        firsts = 0
+        for t in sorted(strips):
+            iadt.encode(enc, t - stript)
+            stript = t
+            curs = 0
+            for j, inst in enumerate(
+                sorted(strips[t], key=lambda x: x[1])
+            ):
+                ref_id, s = inst[0], inst[1]
+                check_ref(ref_id)
+                if j == 0:
+                    iafs.encode(enc, s - firsts)
+                    firsts = s
+                else:
+                    iads.encode(enc, s - curs)
+                curs = s
+                _encode_iaid(enc, agg_id_stats, agg_codelen, ref_id)
+                if len(inst) > 3 and inst[3]:
+                    rspec = inst[3]
+                    out = rspec["bitmap"].astype(bool)
+                    rdx, rdy = rspec["rdx"], rspec["rdy"]
+                    rdw = out.shape[1] - pool[ref_id].shape[1]
+                    rdh = out.shape[0] - pool[ref_id].shape[0]
+                    iari.encode(enc, 1)
+                    iardw.encode(enc, rdw)
+                    iardh.encode(enc, rdh)
+                    iardx.encode(enc, rdx)
+                    iardy.encode(enc, rdy)
+                    _refine_loop(
+                        enc, gr_stats, out.shape[1], out.shape[0],
+                        pool[ref_id], rdw // 2 + rdx,
+                        rdh // 2 + rdy, rtemplate, False,
+                        _GR_NOMINAL_AT, out,
+                    )
+                    wi = out.shape[1]
+                else:
+                    iari.encode(enc, 0)
+                    wi = pool[ref_id].shape[1]
+                curs += wi - 1
+            iads.encode(enc, OOB)
+        return _compose_agg_symbol(spec, pool)
+
     hcheight = 0
     i = 0
     while i < len(order):
-        h = refined[order[i]][1].shape[0]
+        h = shape_of(order[i])[0]
         iadh.encode(enc, h - hcheight)
         hcheight = h
         symwidth = 0
-        while i < len(order) and refined[order[i]][1].shape[0] == h:
-            ref_id, bm, rdx, rdy = refined[order[i]]
+        while i < len(order) and shape_of(order[i])[0] == h:
+            entry = refined[order[i]]
+            if isinstance(entry, dict):
+                iadw.encode(enc, entry["shape"][1] - symwidth)
+                symwidth = entry["shape"][1]
+                bm = encode_aggregate(entry)
+                pool.append(bm.astype(np.uint8))
+                i += 1
+                continue
+            ref_id, bm, rdx, rdy = entry
             bm = bm.astype(bool)
-            if not 0 <= ref_id < len(pool):
-                raise ValueError(
-                    "refagg reference must be an input symbol or an "
-                    "earlier-coded new symbol (decode order)"
-                )
+            check_ref(ref_id)
             iadw.encode(enc, bm.shape[1] - symwidth)
             symwidth = bm.shape[1]
             iaai.encode(enc, 1)
@@ -1266,7 +1450,10 @@ def build_jbig2_refagg_text_embedded(
     (base-index, bitmap, rdx, rdy)) + a text region referring to the
     refagg dictionary (its exports = bases then refined symbols).
     ``instances`` index that combined alphabet: 0..len(bases)-1 are
-    bases, len(bases)+j is refined[j]."""
+    bases, len(bases)+j is refined[j]. Entries of ``refined`` may
+    also be REFAGGNINST>1 aggregate dicts (see
+    :func:`_build_symbol_dict_refagg`) whose instance refs index
+    ``bases``."""
     pw, ph = page_wh
     page_data = struct.pack(">IIII", pw, ph, 0, 0)
     page_data += b"\x00" + struct.pack(">H", 0)
@@ -1275,16 +1462,31 @@ def build_jbig2_refagg_text_embedded(
     out += _segment(1, _SEG_SYMBOL_DICT, 1, dict1)
     order1 = sorted(range(len(bases)), key=lambda i: remap1[i])
     dict1_exports = [bases[i].astype(bool) for i in order1]
-    specs = [
-        (remap1[b], bm, rdx, rdy) for b, bm, rdx, rdy in refined
-    ]
+    specs = []
+    for entry in refined:
+        if isinstance(entry, dict):
+            specs.append(
+                {
+                    "shape": entry["shape"],
+                    "agg": [
+                        (remap1[inst[0]], *inst[1:])
+                        for inst in entry["agg"]
+                    ],
+                }
+            )
+        else:
+            b, bm, rdx, rdy = entry
+            specs.append((remap1[b], bm, rdx, rdy))
     dict2, remap2 = _build_symbol_dict_refagg(
         specs, dict1_exports, rtemplate
     )
     out += _segment(2, _SEG_SYMBOL_DICT, 1, dict2, refs=(1,))
     order2 = sorted(range(len(refined)), key=lambda j: remap2[j])
     text_syms = dict1_exports + [
-        refined[j][1].astype(bool) for j in order2
+        _compose_agg_symbol(specs[j], dict1_exports)
+        if isinstance(refined[j], dict)
+        else refined[j][1].astype(bool)
+        for j in order2
     ]
     nb = len(bases)
     coded = [

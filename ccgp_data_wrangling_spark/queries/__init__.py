@@ -53,6 +53,7 @@ def register(name: str, oracle: str | None):
 _PRIORITY: list[str] = [
     "pdf_jpx97_image_extract",
     "multimodal_mp3_layer2_stereo_decode",
+    "pdf_jbig2_agg_extract",
     "p1_taxon_projection",
     "t_hourly_rollup",
     "t_user_sessions",

@@ -8396,6 +8396,165 @@ def pdf_jpx97_image_extract(
 
 
 # ---------------------------------------------------------------------------
+# JBIG2 REFAGGNINST > 1 through the driver gate (r12): a symbol
+# dictionary whose new symbol is a full §6.5.8.2.1 NESTED TEXT
+# REGION — multiple strips, plain and IARI-refined instances, all
+# over the dictionary's persistent integer contexts — mixed with a
+# single-instance SDREFAGG symbol in the same dictionary so both
+# IAAI branches run per stream. Base glyphs carry exactly 5 black
+# pixels, refined patterns 6; the aggregate composes 2 plain + 1
+# refined instance without overlap (16 black), so the page luma is
+# closed-form: 5n + 6 + 16 black pixels on a 32x16 page.
+# ---------------------------------------------------------------------------
+
+_PDF_JBIG2_AGG_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k, event_id % 3 + 2 AS n
+  FROM events WHERE event_id % 20 = 7
+)
+SELECT id,
+       CAST(32 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST(k % 2 AS INT) AS rtemplate,
+       CASE k % 4 WHEN 0 THEN 'tl' WHEN 1 THEN 'bl'
+                  WHEN 2 THEN 'tr' ELSE 'br' END AS refcorner,
+       CAST(3 AS INT) AS refagg_ninst,
+       CAST('jbig2' AS VARCHAR) AS codec,
+       ROUND(255.0 * (512 - (5 * n + 22)) / 512.0, 4) AS luma_mean
+FROM g
+"""
+
+
+@register("pdf_jbig2_agg_extract", _PDF_JBIG2_AGG_SQL)
+def pdf_jbig2_agg_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REFAGGNINST>1 path end-to-end: the SDREFAGG dictionary's
+    second new symbol is an aggregate of three instances (two plain
+    id-rotated base glyphs in one strip, one refinement-coded
+    instance in a second strip), decoded as a nested text region;
+    build_pdf embeds the stream behind /JBIG2Decode. Black pixels:
+    n bases (5 each) + one single-instance refined symbol (6) + the
+    16-pixel aggregate — any slip in the nested strip walk, the
+    shared integer contexts or the per-instance IARI refinement
+    moves the closed-form luma."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.jbig2 import (
+        build_jbig2_refagg_text_embedded,
+    )
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf, pdf_images
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 7
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    _GLYPHS = (
+        np.array([[1, 0, 1], [0, 1, 0], [1, 0, 1]], bool),  # X
+        np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], bool),  # +
+        np.array([[1, 1, 1], [0, 1, 0], [0, 1, 0]], bool),  # T
+    )
+    _REF_A = np.zeros((4, 4), bool)
+    _REF_A[0, 0] = _REF_A[0, 3] = _REF_A[1, 1] = True
+    _REF_A[2, 2] = _REF_A[3, 0] = _REF_A[3, 3] = True
+    _RC = ("tl", "bl", "tr", "br")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, rts, rcs = [], [], []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                n = e % 3 + 2
+                agg = {
+                    "shape": (8, 8),
+                    "agg": [
+                        (e % 3, 0, 0),
+                        ((e + 1) % 3, 4, 0),
+                        ((e + 2) % 3, 1, 4, {
+                            "bitmap": _REF_A,
+                            "rdx": e % 3 - 1,
+                            "rdy": (e // 3) % 3 - 1,
+                        }),
+                    ],
+                }
+                refined = [
+                    (e % 3, _REF_A, e % 3 - 1, (e // 3) % 3 - 1),
+                    agg,
+                ]
+                insts = [
+                    ((e + i) % 3, 1 + 6 * i, 2) for i in range(n)
+                ] + [(3, 26, 2), (4, 2, 8)]
+                stream = build_jbig2_refagg_text_embedded(
+                    list(_GLYPHS), refined, insts, (32, 16),
+                    rtemplate=k % 2, refcorner=_RC[k % 4],
+                )
+                payloads.append(
+                    build_pdf(
+                        [[f"jbig2 agg {e}"]],
+                        page_images=[[("jbig2_stream", stream, 32, 16)]],
+                    )
+                )
+                rts.append(k % 2)
+                rcs.append(_RC[k % 4])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "rtemplate": rts,
+                    "refcorner": rcs,
+                    "payload": payloads,
+                }
+            )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, rt, rc, blob in zip(
+                pdf["id"], pdf["rtemplate"], pdf["refcorner"],
+                pdf["payload"],
+            ):
+                for r in pdf_images(bytes(blob)):
+                    rows.append(
+                        {
+                            "id": rid,
+                            "width": r["width"],
+                            "height": r["height"],
+                            "rtemplate": rt,
+                            "refcorner": rc,
+                            "refagg_ninst": 3,
+                            "codec": r["codec"],
+                            "luma_mean": r["luma_mean"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "rtemplate", "refcorner",
+                    "refagg_ninst", "codec", "luma_mean",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth,
+        schema=(
+            "id long, rtemplate int, refcorner string, payload binary"
+        ),
+    ).mapInPandas(
+        extract,
+        schema=(
+            "id long, width int, height int, rtemplate int, "
+            "refcorner string, refagg_ninst int, codec string, "
+            "luma_mean double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # JBIG2 SDREFAGG extraction through the driver gate — the
 # refinement-coded symbol dictionary (T.88 §6.5.8.2): a generic base
 # dictionary, a second dictionary whose NEW symbols are each coded as

@@ -1230,7 +1230,7 @@ class TestSDRefAgg:
         exp[10:17, 9:15] |= refA
         assert (page["black"] == exp).all()
 
-    def test_refagg_ninst_gt_one_gates(self):
+    def test_refagg_truncated_aggregate_rejected(self):
         from ccgp_data_wrangling_spark.operators.jbig2 import (
             MQEncoder,
             _encode_iaid,
@@ -1255,7 +1255,10 @@ class TestSDRefAgg:
             struct.pack(">bb", dx, dy) for dx, dy in ((-1, -1),) * 2
         )
         head += struct.pack(">II", 1, 1)
-        with pytest.raises(NotImplementedError, match="REFAGGNINST"):
+        # REFAGGNINST > 1 DECODES now (r12) — this truncated stream
+        # (no nested text-region payload follows the IAAI=2) fails
+        # validation instead of gating
+        with pytest.raises(ValueError, match="undecoded symbol"):
             decode_symbol_dict_segment(
                 head + enc.flush(), [np.ones((2, 2), bool)]
             )
@@ -1306,3 +1309,105 @@ def test_symbol_id_runcode_repeat_after_zero_run():
     w2.bits(0, 2)
     r2 = _HuffReader(w2.getvalue())
     assert _read_symbol_id_code_lengths(r2, 4) == [4, 4, 4, 4]
+
+
+class TestRefAggNInst:
+    """REFAGGNINST > 1 (§6.5.8.2.1): a full text region nested in a
+    symbol dictionary — SBSTRIPS=1, TL corner, OR, REFINE=1 over the
+    dictionary's persistent integer contexts."""
+
+    def _parts(self):
+        A = np.zeros((6, 5), bool)
+        A[1:5, 1:4] = True
+        A[2, 2] = False
+        B = np.zeros((5, 5), bool)
+        B[0, :] = True
+        B[:, 2] = True
+        Br = np.zeros((5, 6), bool)
+        Br[0, :] = True
+        Br[:, 3] = True
+        Br[4, 0] = True
+        return A, B, Br
+
+    @pytest.mark.parametrize("rtemplate", [0, 1])
+    def test_aggregate_roundtrip(self, rtemplate):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            _compose_agg_symbol,
+            build_jbig2_refagg_text_embedded,
+            decode_jbig2_embedded,
+        )
+
+        A, B, Br = self._parts()
+        bases = [A, B]
+        agg = {
+            "shape": (12, 14),
+            "agg": [
+                (0, 0, 0),           # A, strip t=0
+                (1, 6, 0),           # B, same strip
+                (1, 2, 6,            # refined B, strip t=6
+                 {"bitmap": Br, "rdx": 0, "rdy": 0}),
+            ],
+        }
+        single = (0, np.roll(A, 1, axis=1), 0, 0)
+        blob = build_jbig2_refagg_text_embedded(
+            bases, [single, agg],
+            instances=[(0, 1, 1), (2, 8, 1), (3, 1, 9)],
+            page_wh=(40, 24), rtemplate=rtemplate,
+        )
+        page = decode_jbig2_embedded(blob)
+        comp = _compose_agg_symbol(
+            agg, [a.astype(np.uint8) for a in bases]
+        )
+        exp = np.zeros((24, 40), bool)
+        exp[1:7, 1:6] |= A
+        exp[1:7, 8:13] |= np.roll(A, 1, axis=1)
+        exp[9:21, 1:15] |= comp
+        assert (page["black"] == exp).all()
+
+    def test_aggregate_multi_instance_strip_order(self):
+        # three strips incl. one with two instances whose second S
+        # is coded relative to CURS after the first's width advance
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            _compose_agg_symbol,
+            build_jbig2_refagg_text_embedded,
+            decode_jbig2_embedded,
+        )
+
+        A, B, _ = self._parts()
+        agg = {
+            "shape": (18, 20),
+            "agg": [
+                (1, 0, 0), (1, 8, 0), (1, 14, 0),
+                (0, 3, 6),
+                (1, 0, 13), (0, 10, 12),
+            ],
+        }
+        blob = build_jbig2_refagg_text_embedded(
+            [A, B], [agg], instances=[(2, 2, 2)], page_wh=(26, 22),
+        )
+        page = decode_jbig2_embedded(blob)
+        comp = _compose_agg_symbol(
+            agg, [A.astype(np.uint8), B.astype(np.uint8)]
+        )
+        exp = np.zeros((22, 26), bool)
+        exp[2:20, 2:22] |= comp
+        assert (page["black"] == exp).all()
+
+    def test_aggregate_spec_validation(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_refagg_text_embedded,
+        )
+
+        A, B, _ = self._parts()
+        with pytest.raises(ValueError, match="exceeds the symbol"):
+            build_jbig2_refagg_text_embedded(
+                [A, B],
+                [{"shape": (4, 4), "agg": [(0, 0, 0), (1, 1, 1)]}],
+                instances=[(2, 0, 0)], page_wh=(10, 10),
+            )
+        with pytest.raises(ValueError, match="2 instances"):
+            build_jbig2_refagg_text_embedded(
+                [A, B],
+                [{"shape": (8, 8), "agg": [(0, 0, 0)]}],
+                instances=[(2, 0, 0)], page_wh=(10, 10),
+            )
