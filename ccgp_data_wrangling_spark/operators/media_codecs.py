@@ -570,47 +570,69 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
             raise NotImplementedError(f"{bits}-bit TIFF CCITT samples")
     elif depth not in (8, 16) or any(b != depth for b in bits):
         raise NotImplementedError(f"{bits}-bit TIFF samples")
-    offsets, counts = nums(0x0111), nums(0x0117)
+    tiled = 0x0142 in ifd or 0x0144 in ifd
+    if tiled:
+        # tile organization (TIFF 6.0 §15): TileWidth/TileLength/
+        # TileOffsets/TileByteCounts replace the strip tags; tiles
+        # run left-to-right then top-to-bottom, each a full padded
+        # tw×th block compressed independently
+        if 0x0111 in ifd:
+            raise ValueError(
+                "TIFF carries both strip and tile organization"
+            )
+        tw, th = num(0x0142), num(0x0143)
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError(
+                f"TIFF tile dimensions {tw}x{th} must be positive "
+                "multiples of 16 (TIFF 6.0 §15)"
+            )
+        offsets, counts = nums(0x0144), nums(0x0145)
+        ta = (w + tw - 1) // tw
+        td = (h + th - 1) // th
+        if len(offsets) != ta * td:
+            raise ValueError(
+                "TileOffsets count disagrees with the tile grid"
+            )
+    else:
+        offsets, counts = nums(0x0111), nums(0x0117)
     strips = [payload[o : o + c] for o, c in zip(offsets, counts)]
-    if any(len(s) != c for s, c in zip(strips, nums(0x0117))):
+    if any(len(s) != c for s, c in zip(strips, counts)):
         raise ValueError("TIFF strip byte range escapes the file")
     if bilevel:
-        # each strip is an independent CCITT block (all-white
-        # reference at strip start, TIFF 6.0 §11); 2 = MH RLE with
-        # byte-aligned rows, 3 = Group 3 (T4Options: bit0 2-D gates,
-        # bit2 = fill-to-byte; classic EOL framing), 4 = Group 4 T.6.
-        # Bilevel surfaces as 0/255 gray whatever the photometric.
-        # FillOrder 2 (§p.33 — the native order of fax hardware,
-        # common in scanned TIFFs): bits are LSB-first within each
-        # byte; reverse per byte before the MSB-first bit walk.
         if num(0x010A, 1) == 2:
             strips = [bytes(_BITREV[b] for b in s) for s in strips]
-        rps = num(0x0116, h)
         t4opts = num(0x0124, 0)
-        parts = []
-        for si, s in enumerate(strips):
-            rows_here = min(rps, h - si * rps)
+
+        def ccitt_block(s: bytes, bw: int, bh: int) -> np.ndarray:
             if comp == 4:
-                parts.append(decode_ccitt_g4(s, w, rows_here))
-            elif comp == 2:
-                parts.append(
-                    decode_ccitt_mh(s, w, rows_here, byte_align=True)
+                return decode_ccitt_g4(s, bw, bh)
+            if comp == 2:
+                return decode_ccitt_mh(s, bw, bh, byte_align=True)
+            if t4opts & 1:
+                return decode_ccitt_g3_mixed(
+                    s, bw, bh, byte_align=bool(t4opts & 4)
                 )
-            elif t4opts & 1:  # T4Options bit 0: mixed 1-D/2-D rows
-                parts.append(
-                    decode_ccitt_g3_mixed(
-                        s, w, rows_here,
-                        byte_align=bool(t4opts & 4),
-                    )
-                )
-            else:
-                parts.append(
-                    decode_ccitt_mh(
-                        s, w, rows_here,
-                        byte_align=bool(t4opts & 4), eol=True,
-                    )
-                )
-        black = np.concatenate(parts, axis=0)
+            return decode_ccitt_mh(
+                s, bw, bh, byte_align=bool(t4opts & 4), eol=True
+            )
+
+        if tiled:
+            black = np.zeros((h, w), bool)
+            for i, s in enumerate(strips):
+                ty, tx = divmod(i, ta)
+                blk = ccitt_block(s, tw, th)
+                ch = min(th, h - ty * th)
+                cw = min(tw, w - tx * tw)
+                black[
+                    ty * th : ty * th + ch, tx * tw : tx * tw + cw
+                ] = blk[:ch, :cw]
+        else:
+            rps = num(0x0116, h)
+            parts = [
+                ccitt_block(s, w, min(rps, h - si * rps))
+                for si, s in enumerate(strips)
+            ]
+            black = np.concatenate(parts, axis=0)
         px = np.where(black, 0, 255).astype(np.uint8)[:, :, None]
         mean = float(px.astype(np.float64).mean())
         return {
@@ -621,6 +643,7 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
             "bit_depth": 1,
             "compression": comp,
             "predictor": 1,
+            "tiled": tiled,
             "channel_means": [round(mean, 4)],
             "luma_mean": round(mean, 4),
         }
@@ -632,21 +655,46 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
         strips = [zlib.decompress(s) for s in strips]
     elif comp == 32773:
         strips = [_packbits_decode(s) for s in strips]
-    raw = b"".join(strips)
-    if len(raw) != w * h * spp * depth // 8:
-        raise ValueError("TIFF strip bytes disagree with dimensions")
     # 16-bit samples follow the FILE's byte order (TIFF 6.0 p.15)
     dt = np.uint8 if depth == 8 else np.dtype(
         ">u2" if bo == "big" else "<u2"
     )
-    px = np.frombuffer(raw, dt).reshape(h, w, spp)
-    if predictor == 2:
-        # horizontal differencing (§14): each sample stores the delta
-        # from its left neighbor, per channel — undo with a row cumsum
-        # (modulo the sample width)
-        px = np.cumsum(px.astype(np.uint32), axis=1).astype(
-            np.uint8 if depth == 8 else np.uint16
+    narrow = np.uint8 if depth == 8 else np.uint16
+
+    def unpredict(block: np.ndarray) -> np.ndarray:
+        if predictor != 2:
+            return block
+        # horizontal differencing (§14): each sample stores the
+        # delta from its left neighbor, per channel — undo with a
+        # row cumsum (modulo the sample width); tiles difference
+        # independently, so this applies per decompressed block
+        return np.cumsum(block.astype(np.uint32), axis=1).astype(
+            narrow
         )
+
+    if tiled:
+        px = np.zeros((h, w, spp), narrow)
+        for i, traw in enumerate(strips):
+            if len(traw) != tw * th * spp * depth // 8:
+                raise ValueError(
+                    "TIFF tile bytes disagree with tile dimensions"
+                )
+            blk = unpredict(
+                np.frombuffer(traw, dt).reshape(th, tw, spp)
+            )
+            ty, tx = divmod(i, ta)
+            ch = min(th, h - ty * th)
+            cw = min(tw, w - tx * tw)
+            px[ty * th : ty * th + ch, tx * tw : tx * tw + cw] = blk[
+                :ch, :cw
+            ]
+    else:
+        raw = b"".join(strips)
+        if len(raw) != w * h * spp * depth // 8:
+            raise ValueError(
+                "TIFF strip bytes disagree with dimensions"
+            )
+        px = unpredict(np.frombuffer(raw, dt).reshape(h, w, spp))
     means = px.astype(np.float64).mean(axis=(0, 1))
     return {
         "kind": "image",
@@ -656,6 +704,7 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
         "bit_depth": depth,
         "compression": comp,
         "predictor": predictor,
+        "tiled": tiled,
         "channel_means": [round(float(m), 4) for m in means],
         "luma_mean": round(
             float(
@@ -676,6 +725,7 @@ def encode_tiff(
     compression: str = "none",
     predictor: int = 1,
     fill_order: int = 1,
+    tile_wh: tuple[int, int] | None = None,
 ) -> bytes:
     """Fixture writer: 8-bit grayscale/RGB TIFF (multi-strip when
     ``rows_per_strip`` is set) in either byte order; ``compression``
@@ -689,7 +739,19 @@ def encode_tiff(
     each strip an independent block per TIFF 6.0 §11): ``"g4"`` T.6
     MMR, ``"g3"`` Group 3 1-D with EOL framing, ``"g3_2d"`` T.4
     mixed 1-D/2-D rows (Compression 3 with T4Options bit 0, K=4),
-    ``"mh"`` Compression 2 MH RLE with byte-aligned rows."""
+    ``"mh"`` Compression 2 MH RLE with byte-aligned rows.
+    ``tile_wh`` switches to the §15 TILE organization (dimensions
+    must be positive multiples of 16): edge tiles are padded to the
+    full tile extent (zeros — white under WhiteIsZero) and each tile
+    compresses independently, predictor included."""
+    if tile_wh is not None:
+        twd, thd = tile_wh
+        if twd % 16 or thd % 16 or twd <= 0 or thd <= 0:
+            raise ValueError(
+                "tile dimensions must be positive multiples of 16"
+            )
+        if rows_per_strip is not None:
+            raise ValueError("tiles and strips are exclusive")
     if compression in ("g4", "mh", "g3", "g3_2d"):
         if px.ndim != 2 or px.dtype != np.bool_:
             raise ValueError(
@@ -711,9 +773,6 @@ def encode_tiff(
                 eol=compression == "g3",
             )
 
-        strips = [_strip(px[r : r + rps]) for r in range(0, h, rps)]
-        if fill_order == 2:  # fax-native LSB-first bit order
-            strips = [bytes(_BITREV[b] for b in s_) for s_ in strips]
         tags = [
             (0x0100, 4, [w]),
             (0x0101, 4, [h]),
@@ -722,11 +781,26 @@ def encode_tiff(
             (0x0106, 3, [0]),  # WhiteIsZero
             (0x010A, 3, [fill_order]),
             (0x0115, 3, [1]),
-            (0x0116, 4, [rps]),
         ]
+        if tile_wh is not None:
+            blocks = []
+            for ty in range(0, h, thd):
+                for tx in range(0, w, twd):
+                    pad = np.zeros((thd, twd), np.bool_)
+                    sub = px[ty : ty + thd, tx : tx + twd]
+                    pad[: sub.shape[0], : sub.shape[1]] = sub
+                    blocks.append(_strip(pad))
+            tags += [(0x0142, 4, [twd]), (0x0143, 4, [thd])]
+        else:
+            blocks = [_strip(px[r : r + rps]) for r in range(0, h, rps)]
+            tags.append((0x0116, 4, [rps]))
+        if fill_order == 2:  # fax-native LSB-first bit order
+            blocks = [bytes(_BITREV[b] for b in s_) for s_ in blocks]
         if compression == "g3_2d":
             tags.append((0x0124, 4, [1]))  # T4Options: 2-D coding
-        return _tiff_container(byte_order, bo, strips, tags)
+        return _tiff_container(
+            byte_order, bo, blocks, tags, tiled=tile_wh is not None
+        )
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, spp = px.shape
@@ -740,16 +814,31 @@ def encode_tiff(
         raise ValueError("predictor must be 1 or 2")
     wide = np.uint16 if depth == 16 else np.uint8
     src = px.astype(wide)
-    if predictor == 2:
-        src = np.diff(
-            src.astype(np.int32), axis=1, prepend=np.zeros((h, 1, spp), np.int32)
-        ).astype(wide)
-    if depth == 16:  # serialize in the declared byte order
-        src = src.astype(">u2" if bo == "big" else "<u2")
-    strips = [
-        src[r : r + rps].tobytes()
-        for r in range(0, h, rps)
-    ]
+
+    def serialize(block: np.ndarray) -> bytes:
+        out = block
+        if predictor == 2:
+            bh = out.shape[0]
+            out = np.diff(
+                out.astype(np.int32), axis=1,
+                prepend=np.zeros((bh, 1, spp), np.int32),
+            ).astype(wide)
+        if depth == 16:  # serialize in the declared byte order
+            out = out.astype(">u2" if bo == "big" else "<u2")
+        return out.tobytes()
+
+    if tile_wh is not None:
+        strips = []
+        for ty in range(0, h, thd):
+            for tx in range(0, w, twd):
+                pad = np.zeros((thd, twd, spp), wide)
+                sub = src[ty : ty + thd, tx : tx + twd]
+                pad[: sub.shape[0], : sub.shape[1]] = sub
+                strips.append(serialize(pad))
+    else:
+        strips = [
+            serialize(src[r : r + rps]) for r in range(0, h, rps)
+        ]
     if comp_tag == 5:
         strips = [_tiff_lzw_encode(s) for s in strips]
     elif comp_tag == 8:
@@ -765,19 +854,25 @@ def encode_tiff(
         (0x0103, 3, [comp_tag]),   # Compression
         (0x0106, 3, [1 if spp == 1 else 2]),  # Photometric
         (0x0115, 3, [spp]),        # SamplesPerPixel
-        (0x0116, 4, [rps]),        # RowsPerStrip
     ]
+    if tile_wh is not None:
+        tags += [(0x0142, 4, [twd]), (0x0143, 4, [thd])]
+    else:
+        tags.append((0x0116, 4, [rps]))  # RowsPerStrip
     if predictor == 2:
         tags.append((0x013D, 3, [2]))  # Predictor: horizontal diff
-    return _tiff_container(byte_order, bo, strips, tags)
+    return _tiff_container(
+        byte_order, bo, strips, tags, tiled=tile_wh is not None
+    )
 
 
 def _tiff_container(
-    byte_order: str, bo: str, strips: list[bytes], tags: list[tuple]
+    byte_order: str, bo: str, strips: list[bytes],
+    tags: list[tuple], tiled: bool = False,
 ) -> bytes:
-    """Serialize header + IFD + value heap + strip data (shared by
-    the grayscale/RGB and the G4 bilevel writers)."""
-    n_entries = len(tags) + 2  # + StripOffsets + StripByteCounts
+    """Serialize header + IFD + value heap + strip/tile data (shared
+    by the grayscale/RGB and the G4 bilevel writers)."""
+    n_entries = len(tags) + 2  # + offsets + byte counts
     ifd_off = 8
     ifd_size = 2 + 12 * n_entries + 4
     heap = bytearray()
@@ -810,8 +905,10 @@ def _tiff_container(
     for s in strips:
         offs.append(pos)
         pos += len(s)
+    off_tag, cnt_tag = (0x0144, 0x0145) if tiled else (0x0111, 0x0117)
     all_tags = sorted(
-        tags + [(0x0111, 4, offs), (0x0117, 4, [len(s) for s in strips])]
+        tags + [(off_tag, 4, offs),
+                (cnt_tag, 4, [len(s) for s in strips])]
     )
     body = len(all_tags).to_bytes(2, bo)
     for tag, typ, vals in all_tags:
@@ -1468,7 +1565,13 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         prev = bytes([b])
     if prev:
         emit(table[prev], width)
-        if next_code == (1 << width) - 1 and width < 12:
+        # the DECODER adds a table entry for this final code before
+        # reading EOI, so its early-change check sees next_code + 1
+        # entries — mirror that, else EOI desyncs by one bit width
+        # whenever the final data code lands exactly on a 2^w - 1
+        # table boundary (latent bug found by r12 tile fuzzing; the
+        # strip path could hit it too)
+        if next_code + 1 == (1 << width) - 1 and width < 12:
             width += 1
     emit(EOI, width)
     if n_bits:

@@ -54,6 +54,7 @@ _PRIORITY: list[str] = [
     "pdf_jpx97_image_extract",
     "multimodal_mp3_layer2_stereo_decode",
     "pdf_jbig2_agg_extract",
+    "multimodal_tiff_tiled_decode",
     "p1_taxon_projection",
     "t_hourly_rollup",
     "t_user_sessions",

@@ -4846,6 +4846,163 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# TILED TIFF through the driver gate (r12, TIFF 6.0 §15): archival
+# scans tile rather than strip. Fixtures rotate LZW / PackBits /
+# Deflate / LZW+Predictor-2 / 16-bit / CCITT-G4 over a 40x24 ramp
+# with 16x16 or 32x16 tiles — neither dimension divides evenly, so
+# every stream exercises padded edge tiles and the decoder's crop.
+# Per-tile independent compression means a strip-shaped decode (one
+# joined buffer) cannot reproduce the closed-form luma.
+# ---------------------------------------------------------------------------
+
+_TIFF_TILED_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 10
+)
+SELECT id,
+       CAST(40 AS INT) AS width,
+       CAST(24 AS INT) AS height,
+       CAST(CASE WHEN k % 5 = 4 THEN 1
+                 WHEN k % 2 = 0 THEN 1 ELSE 3 END AS INT) AS n_channels,
+       CAST(CASE WHEN k % 5 = 4 THEN 4 ELSE
+            CASE k % 4 WHEN 0 THEN 5 WHEN 1 THEN 32773
+                       WHEN 2 THEN 8 ELSE 5 END END AS INT)
+         AS compression,
+       CAST(CASE WHEN k % 5 <> 4 AND k % 4 = 3 THEN 2 ELSE 1 END
+            AS INT) AS predictor,
+       CAST(TRUE AS BOOLEAN) AS tiled,
+       CAST(CASE WHEN k % 3 = 0 THEN 32 ELSE 16 END AS INT) AS tile_w,
+       CAST(16 AS INT) AS tile_h,
+       CASE WHEN k % 5 = 4 THEN
+         ROUND(255.0 * (40 - id % 41) / 40.0, 4)
+       WHEN k % 2 = 0 THEN
+         ROUND((CAST(id % 100 AS DOUBLE) + 31.0)
+               * CASE WHEN k % 7 = 5 THEN 257 ELSE 1 END, 4)
+       ELSE
+         ROUND((CAST(id % 100 AS DOUBLE) + 31) * 0.299
+               + (CAST((id + 31) % 100 AS DOUBLE) + 31) * 0.587
+               + (CAST((id + 62) % 100 AS DOUBLE) + 31) * 0.114, 4)
+       END AS luma_mean
+FROM g
+"""
+
+
+@register("multimodal_tiff_tiled_decode", _TIFF_TILED_SQL)
+def multimodal_tiff_tiled_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tiled-TIFF decode end-to-end: encode_tiff(tile_wh=...)
+    fixtures rotating compression on k%4 (k%5==4 overrides to Group
+    4 bilevel tiles), tile geometry 32x16/16x16 on k%3, gray/RGB on
+    k-parity and 16-bit on k%7==5 → per-tile decompress + predictor
+    undo + edge crop + luma against the strip queries' closed-form
+    ramp oracle. Two Arrow stages like every media gate."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 10
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ramp = np.add.outer(
+            np.arange(24, dtype=np.uint8), np.arange(40, dtype=np.uint8)
+        )
+        for pdf in batches:
+            payloads, tws = [], []
+            for eid in pdf["id"]:
+                e = int(eid)
+                k = e // 20
+                tw = 32 if k % 3 == 0 else 16
+                tws.append(tw)
+                order = "II" if k % 2 == 0 else "MM"
+                if k % 5 == 4:  # G4 bilevel tiled scan
+                    mask = np.zeros((24, 40), bool)
+                    mask[:, : e % 41] = True
+                    payloads.append(
+                        encode_tiff(
+                            mask, byte_order=order,
+                            compression="g4", tile_wh=(tw, 16),
+                        )
+                    )
+                    continue
+                comp = ("lzw", "packbits", "deflate", "lzw")[k % 4]
+                pred = 2 if k % 4 == 3 else 1
+                if k % 2 == 0:
+                    px = (ramp + e % 100).astype(np.uint8)
+                    if k % 7 == 5:  # 16-bit archival variant
+                        px = px.astype(np.uint16) * 257
+                else:
+                    px = np.zeros((24, 40, 3), np.uint8)
+                    for c in range(3):
+                        px[:, :, c] = ramp + (e + 31 * c) % 100
+                payloads.append(
+                    encode_tiff(
+                        px, byte_order=order, compression=comp,
+                        predictor=pred, tile_wh=(tw, 16),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "tile_w": tws,
+                    "payload": payloads,
+                }
+            )
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, tw, blob in zip(
+                pdf["id"], pdf["tile_w"], pdf["payload"]
+            ):
+                m = decode_tiff(bytes(blob))
+                rows.append(
+                    {
+                        "id": rid,
+                        "width": m["width"],
+                        "height": m["height"],
+                        "n_channels": m["n_channels"],
+                        "compression": m["compression"],
+                        "predictor": m["predictor"],
+                        "tiled": m["tiled"],
+                        "tile_w": tw,
+                        "tile_h": 16,
+                        "luma_mean": m["luma_mean"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "n_channels",
+                    "compression", "predictor", "tiled", "tile_w",
+                    "tile_h", "luma_mean",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, tile_w int, payload binary"
+    ).mapInPandas(
+        meta,
+        schema=(
+            "id long, width int, height int, n_channels int, "
+            "compression int, predictor int, tiled boolean, "
+            "tile_w int, tile_h int, luma_mean double"
+        ),
+    )
+
+
 @register("multimodal_tiff_compressed_decode", _TIFF_COMPRESSED_SQL)
 def multimodal_tiff_compressed_decode(
     spark: SparkSession, sf_dir: str

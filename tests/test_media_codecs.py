@@ -3584,3 +3584,83 @@ def test_mp3_layer2_stereo_modes():
     assert [(r["channel"], r["subband"], r["steps"]) for r in rows] == [
         (0, 4, 3)
     ]
+
+
+def test_tiff_lzw_final_code_on_width_boundary():
+    # r12 regression: the decoder adds a table entry for the FINAL
+    # data code before reading EOI, so the encoder must early-change
+    # with next_code + 1 at flush. 253 incompressible bytes put the
+    # final code exactly on the 511 (9->10 bit) boundary; the old
+    # encoder emitted EOI at 9 bits and the stream desynced.
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    rng = np.random.default_rng(1234)
+    for n in (252, 253, 254, 764, 765, 766, 1788, 1789, 1790):
+        b = bytes(rng.integers(0, 256, n).astype(np.uint8))
+        assert _tiff_lzw_decode(_tiff_lzw_encode(b)) == b, n
+
+
+def test_tiff_tiled_organization():
+    # TIFF 6.0 §15: TileWidth/TileLength/TileOffsets/TileByteCounts;
+    # edge tiles padded to full extent, each tile an independent
+    # compression block (predictor included).
+    import numpy as np
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(77)
+    px = rng.integers(0, 256, (33, 47, 3)).astype(np.uint8)
+    exp = [
+        round(float(m), 4)
+        for m in px.astype(np.float64).mean(axis=(0, 1))
+    ]
+    for comp in ("none", "lzw", "deflate", "packbits"):
+        for pred in (1, 2):
+            t = decode_tiff(
+                encode_tiff(
+                    px, compression=comp, predictor=pred,
+                    tile_wh=(16, 16), byte_order="MM",
+                )
+            )
+            assert t["tiled"] and t["channel_means"] == exp, (
+                comp, pred,
+            )
+    # 16-bit tiled
+    px16 = rng.integers(0, 65536, (20, 34)).astype(np.uint16)
+    t = decode_tiff(
+        encode_tiff(px16, compression="deflate", predictor=2,
+                    tile_wh=(16, 16))
+    )
+    assert t["channel_means"] == [
+        round(float(px16.astype(np.float64).mean()), 4)
+    ]
+    # bilevel CCITT tiles
+    mask = rng.random((45, 70)) < 0.3
+    lum = round(float(np.where(mask, 0, 255).mean()), 4)
+    for comp in ("g4", "mh", "g3", "g3_2d"):
+        t = decode_tiff(
+            encode_tiff(mask, compression=comp, tile_wh=(32, 16),
+                        fill_order=2)
+        )
+        assert t["tiled"] and t["luma_mean"] == lum, comp
+    # validation: non-multiple-of-16 tile dims; strips+tiles clash
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(px, tile_wh=(20, 16))
+    with _pytest.raises(ValueError, match="exclusive"):
+        encode_tiff(px, tile_wh=(16, 16), rows_per_strip=8)
+    blob = bytearray(encode_tiff(px, tile_wh=(16, 16)))
+    # flip TileWidth tag 0x0142 to 0x0111 (StripOffsets) -> both
+    # organizations present -> rejected
+    idx = blob.find((0x0142).to_bytes(2, "little"))
+    blob[idx : idx + 2] = (0x0111).to_bytes(2, "little")
+    with _pytest.raises(ValueError, match="both strip and tile"):
+        decode_tiff(bytes(blob))
