@@ -55,6 +55,8 @@ _PRIORITY: list[str] = [
     "multimodal_mp3_layer2_stereo_decode",
     "pdf_jbig2_agg_extract",
     "multimodal_tiff_tiled_decode",
+    "odp_text_extract",
+    "ods_cell_extract",
     "p1_taxon_projection",
     "t_hourly_rollup",
     "t_user_sessions",

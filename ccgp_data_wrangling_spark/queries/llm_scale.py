@@ -8165,6 +8165,217 @@ def pdf_jpx_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ODP presentation ingest through the driver gate (r12): draw:page →
+# draw:frame/draw:text-box scoping with the ODT mixed-content
+# paragraph walk, speaker-notes exclusion (every fixture slide
+# plants a presentation:notes decoy that must never surface), and
+# line-break rendering. The OpenDocument twin of pptx_text_extract.
+# ---------------------------------------------------------------------------
+
+_ODP_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(substr(text, 1, 40), '[^ -~]', '', 'g') AS p1
+  FROM documents
+),
+rows_ AS (
+  SELECT doc_id, 0 AS slide, 0 AS frame, 0 AS para,
+         'deck ' || CAST(doc_id AS VARCHAR) || ' s'
+           || CAST(doc_id % 5 AS VARCHAR) AS text
+  FROM base
+  UNION ALL
+  SELECT doc_id, 1, 0, 0, 'body ' || p1 FROM base
+  UNION ALL
+  SELECT doc_id, 1, 1, 0,
+         'agenda ' || CAST(doc_id % 7 AS VARCHAR)
+  FROM base WHERE doc_id % 4 = 2
+  UNION ALL
+  SELECT doc_id, 2, 0, 0,
+         'left ' || CAST(doc_id % 9 AS VARCHAR) || chr(10) || 'right'
+  FROM base WHERE doc_id % 3 = 2
+)
+SELECT doc_id, CAST(slide AS INT) AS slide,
+       CAST(frame AS INT) AS frame, CAST(para AS INT) AS para, text,
+       CAST(length(text) AS INT) AS n_chars
+FROM rows_
+"""
+
+
+@register("odp_text_extract", _ODP_SQL)
+def odp_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODP corpus ingest end-to-end: build_odp fixtures carrying the
+    documents table's (ASCII-cleaned) text — a title slide, a body
+    slide (doc_id%4==2 adds a second frame), doc_id%3==2 a
+    line-break slide — through the draw:page walk to one row per
+    (slide, frame, paragraph). Every slide carries a speaker-notes
+    decoy; a scoping slip surfaces it and breaks the hash."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.odp import (
+        build_odp,
+        odp_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, 40), "[^ -~]", "").alias(
+            "__prefix"
+        ),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, prefix in zip(pdf["doc_id"], pdf["__prefix"]):
+                d = int(did)
+                slide1 = [[f"body {prefix}"]]
+                if d % 4 == 2:
+                    slide1.append([f"agenda {d % 7}"])
+                slides = [
+                    [[f"deck {d} s{d % 5}"]],
+                    slide1,
+                ]
+                if d % 3 == 2:
+                    slides.append([[("br", f"left {d % 9}", "right")]])
+                payloads.append(build_odp(slides))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return odp_documents(media)
+
+
+# ---------------------------------------------------------------------------
+# ODS spreadsheet ingest through the driver gate (r12): the ODF
+# typed-value cell model (office:value-type + office:value vs the
+# DISPLAY text:p — deliberately different strings in the fixtures),
+# number-columns/rows-repeated run-length expansion bounded to
+# populated cells, covered/empty positioning cells, multi-sheet
+# order, and cached-formula cells. Extends the xlsx/xls tabular
+# family to the OpenDocument side on the sources/odt zip walk.
+# ---------------------------------------------------------------------------
+
+_ODS_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 4 + 2 AS n FROM documents
+),
+hdr AS (
+  SELECT doc_id, 0 AS sheet, 'data' AS sheet_name, 0 AS "row",
+         0 AS col, 'string' AS value_type, 'key' AS text,
+         CAST(NULL AS DOUBLE) AS number,
+         CAST(NULL AS VARCHAR) AS formula
+  FROM d
+  UNION ALL
+  SELECT doc_id, 0, 'data', 0, 1, 'string', 'val', NULL, NULL FROM d
+),
+body0 AS (
+  SELECT doc_id,
+         UNNEST(generate_series(1, CAST(n AS BIGINT))) AS i
+  FROM d
+),
+body AS (
+  SELECT doc_id, 0 AS sheet, 'data' AS sheet_name,
+         CAST(i AS INT) AS "row", 0 AS col, 'string' AS value_type,
+         'k' || CAST(i AS VARCHAR) AS text,
+         CAST(NULL AS DOUBLE) AS number,
+         CAST(NULL AS VARCHAR) AS formula
+  FROM body0
+  UNION ALL
+  SELECT doc_id, 0, 'data', CAST(i AS INT), 1, 'float',
+         'v' || CAST(i AS VARCHAR),
+         ((doc_id * 7 + i * 13) % 997) + 0.25, NULL
+  FROM body0
+),
+rep AS (
+  SELECT doc_id, 0 AS sheet, 'data' AS sheet_name,
+         CAST(d.n + r AS INT) AS "row", CAST(c AS INT) AS col,
+         'float' AS value_type, 'rr' AS text,
+         (doc_id % 50) + 0.5 AS number,
+         CAST(NULL AS VARCHAR) AS formula
+  FROM d, UNNEST([1, 2]) AS t1(r), UNNEST([0, 1]) AS t2(c)
+  WHERE doc_id % 3 = 1
+),
+extra AS (
+  SELECT doc_id, 1 AS sheet, 'extra' AS sheet_name, 0 AS "row",
+         0 AS col, 'boolean' AS value_type,
+         CASE WHEN doc_id % 2 = 0 THEN 'TRUE' ELSE 'FALSE' END,
+         CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END,
+         CAST(NULL AS VARCHAR)
+  FROM d WHERE doc_id % 4 = 2
+  UNION ALL
+  SELECT doc_id, 1, 'extra', 0, 1, 'float',
+         CAST(doc_id % 7 AS VARCHAR) || '.25',
+         (doc_id % 7) + 0.25, 'of:=A1'
+  FROM d WHERE doc_id % 4 = 2
+)
+SELECT doc_id, CAST(sheet AS INT) AS sheet, sheet_name,
+       "row", col, value_type, text, number, formula
+FROM (SELECT * FROM hdr UNION ALL SELECT * FROM body
+      UNION ALL SELECT * FROM rep UNION ALL SELECT * FROM extra)
+"""
+
+
+@register("ods_cell_extract", _ODS_SQL)
+def ods_cell_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODS corpus ingest end-to-end: build_ods fixtures (header +
+    doc_id%4+2 typed data rows whose display strings deliberately
+    differ from the office:value, a doubly-repeated populated row on
+    doc_id%3==1, and a second sheet with boolean + cached-formula
+    cells on doc_id%4==2) → zip walk → typed cell extraction
+    (sources/ods.ods_documents), one row per populated cell."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.ods import (
+        build_ods,
+        ods_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = d % 4 + 2
+                rows = [["key", "val"]]
+                for i in range(1, n + 1):
+                    rows.append([
+                        f"k{i}",
+                        ("num", ((d * 7 + i * 13) % 997) + 0.25,
+                         f"v{i}"),
+                    ])
+                if d % 3 == 1:
+                    rows.append(
+                        ("rows", 2,
+                         [("rep", 2,
+                           ("num", (d % 50) + 0.5, "rr"))])
+                    )
+                sheets = [("data", rows)]
+                if d % 4 == 2:
+                    sheets.append(
+                        ("extra", [[
+                            d % 2 == 0,
+                            ("formula", "of:=A1", (d % 7) + 0.25),
+                        ]])
+                    )
+                payloads.append(build_ods(sheets))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return ods_documents(media)
+
+
+# ---------------------------------------------------------------------------
 # MP3 Layer II STEREO modes + MPEG-2 LSF through the driver gate
 # (r12): channel-interleaved allocation/scfsi/scalefactors/samples,
 # intensity (joint) stereo sharing sample codes above the
