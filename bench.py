@@ -26,6 +26,7 @@ JVM/codegen startup out of the timings.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -238,17 +239,27 @@ def _child(out_path: str, names: list[str]) -> None:
     def run_once(name: str) -> float:
         samples: list[float] = []
         with CacheScope() as bench_scope, use_scope(bench_scope):
-            for _ in range(3):
+
+            def one() -> None:
                 df = qs[name](spark, sf_dir)
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(time.perf_counter() - t0)
-            if sorted(samples)[1] < 1.0:
-                for _ in range(2):
-                    df = qs[name](spark, sf_dir)
-                    t0 = time.perf_counter()
-                    df.write.format("noop").mode("overwrite").save()
-                    samples.append(time.perf_counter() - t0)
+
+            for _ in range(3):
+                one()
+            # sample count scales with 1/duration (r11 verdict #6:
+            # 3 of 129 rows still moved >1.5x between code-identical
+            # runs, all sub-second): short rows are dominated by
+            # scheduler jitter, so buy stability with repetition the
+            # long rows don't need — the extra cost is bounded by
+            # ~2 s per query (target ~= 2 s of samples, cap 11)
+            med = sorted(samples)[1]
+            target = min(
+                11, max(3, math.ceil(2.0 / max(med, 0.05)))
+            )
+            while len(samples) < target:
+                one()
         return round(sorted(samples)[len(samples) // 2], 3)
 
     prior: dict[str, float] = {}
