@@ -58,7 +58,7 @@ corner, OR, REFINE=1 — over the dictionary's persistent integer
 contexts, instances optionally IARI-refined). The remaining honest
 ``NotImplementedError`` gates are coding-variant tails: the
 UNTRANSCRIBED standard tables B.6–B.15 (SBHUFF selectors 0–2 —
-custom type-53 tables decode), HMMR gray-scale, SDHUFF+SDREFAGG,
+custom type-53 tables decode), SDHUFF+SDREFAGG,
 unknown-length MMR regions (0x00 0x00 can occur mid-stream), and
 intermediate regions (auxiliary-buffer composition). HENABLESKIP halftones decode (USESKIP pixels carry no
 coded bits), and §7.2.7 unknown-length arithmetic generic regions
@@ -2243,9 +2243,10 @@ def decode_pattern_dict_segment(data: bytes) -> list[np.ndarray]:
 
 
 def _build_pattern_dict_data(
-    patterns: list[np.ndarray], template: int = 0
+    patterns: list[np.ndarray], template: int = 0, mmr: bool = False
 ) -> bytes:
-    """Encode patterns (all HDPH×HDPW) as the collective bitmap."""
+    """Encode patterns (all HDPH×HDPW) as the collective bitmap —
+    arithmetic with the §6.7.5 AT layout, or one T.6 block (HDMMR)."""
     hdph, hdpw = patterns[0].shape
     if hdpw > 255 or hdph > 255:
         raise ValueError("halftone pattern exceeds 255×255")
@@ -2255,15 +2256,99 @@ def _build_pattern_dict_data(
     collective = np.concatenate(
         [p.astype(bool) for p in patterns], axis=1
     )
-    enc = MQEncoder()
-    gb = ArithStats(1 << _CX_BITS[template])
-    _encode_generic_bitmap(
-        enc, gb, collective, template, False,
-        _pattern_at(hdpw, template),
+    if mmr:
+        from ccgp_data_wrangling_spark.operators.media_codecs import (
+            encode_ccitt_g4,
+        )
+
+        payload = encode_ccitt_g4(collective)
+    else:
+        enc = MQEncoder()
+        gb = ArithStats(1 << _CX_BITS[template])
+        _encode_generic_bitmap(
+            enc, gb, collective, template, False,
+            _pattern_at(hdpw, template),
+        )
+        payload = enc.flush()
+    head = bytes(
+        [(1 if mmr else 0) | ((template & 3) << 1), hdpw, hdph]
     )
-    head = bytes([(template & 3) << 1, hdpw, hdph])
     head += struct.pack(">I", len(patterns) - 1)
-    return head + enc.flush()
+    return head + payload
+
+
+def _mmr_decode_planes(
+    data: bytes, width: int, height: int, nplanes: int
+) -> list[np.ndarray]:
+    """Annex C.5 with HMMR=1: all bitplanes live in ONE MMR-coded
+    block, each followed by an EOFB; decoding of the next plane
+    resumes at the exact bit position after it (no byte alignment)."""
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _t4_decode_2d_row,
+        _t4_paint_row,
+    )
+
+    bits = "".join(f"{byte:08b}" for byte in data)
+    pos = 0
+    planes: list[np.ndarray] = []
+    for p in range(nplanes):
+        rows = np.zeros((height, width), bool)
+        ref: list[int] = []
+        for y in range(height):
+            cur, pos = _t4_decode_2d_row(bits, pos, ref, width)
+            _t4_paint_row(rows, y, cur)
+            ref = cur
+        if bits.startswith("000000000001" * 2, pos):
+            pos += 24
+        elif p < nplanes - 1:
+            raise ValueError(
+                "missing EOFB between MMR gray-scale bitplanes"
+            )
+        planes.append(rows)
+    return planes
+
+
+def _mmr_encode_planes(planes: list[np.ndarray]) -> bytes:
+    """Inverse of :func:`_mmr_decode_planes`: bit-level concatenation
+    of EOFB-terminated T.6 planes (no per-plane byte padding)."""
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _MsbBitWriter,
+        _row_changes,
+        _t4_encode_2d_row,
+    )
+
+    bw = _MsbBitWriter()
+    for plane in planes:
+        ref: list[int] = []
+        for y in range(plane.shape[0]):
+            cur = _row_changes(plane[y])
+            _t4_encode_2d_row(bw, cur, ref, plane.shape[1])
+            ref = cur
+        bw.write("000000000001" * 2)
+    return bw.done()
+
+
+def _gray_unfold(planes: list[np.ndarray], bpp: int) -> np.ndarray:
+    """Gray-coded bitplanes (MSB first) → plain binary values."""
+    prev = planes[0].astype(np.uint8)
+    acc = prev.astype(np.int64) << (bpp - 1)
+    for j in range(bpp - 2, -1, -1):
+        prev = planes[bpp - 1 - j].astype(np.uint8) ^ prev
+        acc |= prev.astype(np.int64) << j
+    return acc
+
+
+def _gray_fold(values: np.ndarray, bpp: int) -> list[np.ndarray]:
+    """Plain binary values → Gray-coded bitplanes, MSB first."""
+    planes: list[np.ndarray] = [
+        ((values >> (bpp - 1)) & 1).astype(bool)
+    ]
+    prev = ((values >> (bpp - 1)) & 1).astype(np.uint8)
+    for j in range(bpp - 2, -1, -1):
+        bit = ((values >> j) & 1).astype(np.uint8)
+        planes.append((bit ^ prev).astype(bool))
+        prev = bit
+    return planes
 
 
 def _decode_grayscale(
@@ -2321,8 +2406,7 @@ def decode_halftone_region_segment(
     w, h, x, y = struct.unpack_from(">IIII", data, 0)
     comb_op = data[16] & 0x07
     flags = data[17]
-    if flags & 1:
-        raise NotImplementedError("HMMR halftone gray-scale coding")
+    mmr = bool(flags & 1)
     template = (flags >> 1) & 3
     enable_skip = bool((flags >> 3) & 1)
     hcombop = (flags >> 4) & 7
@@ -2333,14 +2417,25 @@ def decode_halftone_region_segment(
         raise ValueError("halftone region with no referred patterns")
     bpp = max(1, (len(patterns) - 1).bit_length())
     hph, hpw = patterns[0].shape
+    if mmr and enable_skip:
+        # §6.6.5.1: HSKIP applies to the arithmetic coder's context
+        # model only — MMR rows carry every pixel
+        raise ValueError("HENABLESKIP requires HMMR = 0")
     skip = (
         _halftone_skip(hgw, hgh, hgx, hgy, hrx, hry, hpw, hph, w, h)
         if enable_skip
         else None
     )
-    dec = MQDecoder(data[38:])
-    gb = ArithStats(1 << _CX_BITS[template])
-    gray = _decode_grayscale(dec, gb, hgw, hgh, bpp, template, skip)
+    if mmr:
+        gray = _gray_unfold(
+            _mmr_decode_planes(data[38:], hgw, hgh, bpp), bpp
+        )
+    else:
+        dec = MQDecoder(data[38:])
+        gb = ArithStats(1 << _CX_BITS[template])
+        gray = _decode_grayscale(
+            dec, gb, hgw, hgh, bpp, template, skip
+        )
     region = np.full((h, w), bool(hdefpixel))
     for m in range(hgh):
         for n in range(hgw):
@@ -2407,16 +2502,21 @@ def _build_halftone_region_data(
     template: int = 0,
     grid_origin: tuple[int, int] = (0, 0),
     enable_skip: bool = False,
+    mmr: bool = False,
 ) -> bytes:
     """Encode an axis-aligned halftone region: grid cell (m, n) takes
     pattern ``gray[m, n]``, stamped at grid_origin + (n·HDPW,
     m·HDPH). With ``enable_skip``, cells outside the region are not
-    gray-coded (their gray values must be 0)."""
+    gray-coded (their gray values must be 0). With ``mmr``
+    (HMMR=1), the Gray-coded bitplanes are one bit-concatenated
+    EOFB-separated T.6 block instead of arithmetic."""
     hgh, hgw = gray.shape
     hph, hpw = patterns[0].shape
     bpp = max(1, (len(patterns) - 1).bit_length())
     if int(gray.max(initial=0)) >= len(patterns):
         raise ValueError("gray value exceeds the dictionary")
+    if mmr and enable_skip:
+        raise ValueError("HENABLESKIP requires HMMR = 0")
     w, h = region_wh
     gx, gy = grid_origin
     skip = None
@@ -2426,16 +2526,23 @@ def _build_halftone_region_data(
         )
         if gray[skip].any():
             raise ValueError("skipped cells must carry gray value 0")
-    enc = MQEncoder()
-    gb = ArithStats(1 << _CX_BITS[template])
-    _encode_grayscale(
-        enc, gb, gray.astype(np.int64), bpp, template, skip
-    )
+    if mmr:
+        payload = _mmr_encode_planes(
+            _gray_fold(gray.astype(np.int64), bpp)
+        )
+    else:
+        enc = MQEncoder()
+        gb = ArithStats(1 << _CX_BITS[template])
+        _encode_grayscale(
+            enc, gb, gray.astype(np.int64), bpp, template, skip
+        )
+        payload = enc.flush()
     body = struct.pack(">IIII", w, h, *region_xy)
     body += bytes([0])  # OR onto the page
     body += bytes(
-        [((template & 3) << 1) | (8 if enable_skip else 0)]
-    )  # arithmetic, HCOMBOP OR
+        [(1 if mmr else 0) | ((template & 3) << 1)
+         | (8 if enable_skip else 0)]
+    )  # HCOMBOP OR
     # axis-aligned 8.8 grid: X vector (HDPW, 0); the mg step
     # (HRY, HRX) = (0, HDPW<<8) — HRX drives BOTH the ng x-step and
     # the mg y-step, so square stamping needs HPW == HPH
@@ -2443,7 +2550,7 @@ def _build_halftone_region_data(
         raise ValueError("axis-aligned grid needs square patterns")
     body += struct.pack(">IIii", hgw, hgh, gx << 8, gy << 8)
     body += struct.pack(">HH", hpw << 8, 0)
-    return body + enc.flush()
+    return body + payload
 
 _SEG_PAGE_INFO = 48
 _SEG_END_OF_PAGE = 49
@@ -3002,6 +3109,7 @@ def build_jbig2_halftone_embedded(
     page_wh: tuple[int, int] | None = None,
     template: int = 0,
     enable_skip: bool = False,
+    mmr: bool = False,
 ) -> bytes:
     """Embedded stream for the halftone path: page info + pattern
     dictionary (type 16) + one immediate lossless halftone region
@@ -3019,13 +3127,13 @@ def build_jbig2_halftone_embedded(
     out = _segment(0, _SEG_PAGE_INFO, 1, page_data)
     out += _segment(
         1, _SEG_PATTERN_DICT, 1,
-        _build_pattern_dict_data(patterns, template),
+        _build_pattern_dict_data(patterns, template, mmr=mmr),
     )
     out += _segment(
         2, _SEG_HALFTONE_IMMEDIATE_LOSSLESS, 1,
         _build_halftone_region_data(
             gray, patterns, page_wh, (0, 0), template,
-            enable_skip=enable_skip,
+            enable_skip=enable_skip, mmr=mmr,
         ),
         refs=(1,),
     )

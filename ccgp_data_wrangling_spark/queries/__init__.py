@@ -57,6 +57,7 @@ _PRIORITY: list[str] = [
     "multimodal_tiff_tiled_decode",
     "odp_text_extract",
     "ods_cell_extract",
+    "pdf_jbig2_hmmr_halftone_extract",
     "p1_taxon_projection",
     "t_hourly_rollup",
     "t_user_sessions",

@@ -5979,6 +5979,117 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# JBIG2 HMMR halftone through the driver gate (r12): the MMR-coded
+# gray-scale variant (T.88 §6.6 with HMMR=1 / Annex C.5) — all
+# Gray-coded bitplanes in ONE bit-concatenated, EOFB-separated T.6
+# block, resuming mid-byte between planes — plus HDMMR pattern
+# dictionaries (the collective bitmap as a single T.6 block). The
+# same density-ramp closed form as the arithmetic halftone gate: a
+# plane-resume slip or Gray-unfold error shifts the black count.
+# ---------------------------------------------------------------------------
+
+_PDF_JBIG2_HMMR_SQL = """
+WITH g AS (
+  SELECT event_id AS id FROM events WHERE event_id % 20 = 16
+)
+SELECT id,
+       CAST(32 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST('mmr' AS VARCHAR) AS gray_coding,
+       CAST('jbig2' AS VARCHAR) AS codec,
+       ROUND(255.0 * (512 - (60 + (id + 3) % 5 + id % 5)) / 512.0, 4)
+         AS luma_mean
+FROM g
+"""
+
+
+@register("pdf_jbig2_hmmr_halftone_extract", _PDF_JBIG2_HMMR_SQL)
+def pdf_jbig2_hmmr_halftone_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HMMR halftone path end-to-end: build_jbig2_halftone_embedded
+    with mmr=True writes an HDMMR pattern dictionary and an HMMR
+    halftone region whose bitplanes live in one EOFB-separated T.6
+    block; build_pdf embeds the stream behind /JBIG2Decode. The 4×8
+    gray grid is ``(id + 7·idx + 3) % 5`` over the 5-pattern density
+    ramp — black count 60 + (id+3)%5 + id%5 in closed form, the
+    arithmetic sibling's oracle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.operators.jbig2 import (
+        build_jbig2_halftone_embedded,
+    )
+    from ccgp_data_wrangling_spark.sources.pdf import build_pdf, pdf_images
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 16
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    _PATS = []
+    for i in range(5):
+        p = np.zeros(16, bool)
+        p[:i] = True
+        _PATS.append(p.reshape(4, 4))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                gray = (np.arange(32).reshape(4, 8) * 7 + e + 3) % 5
+                stream = build_jbig2_halftone_embedded(
+                    gray, _PATS, page_wh=(32, 16), mmr=True,
+                )
+                payloads.append(
+                    build_pdf(
+                        [[f"jbig2 hmmr {e}"]],
+                        page_images=[[("jbig2_stream", stream, 32, 16)]],
+                    )
+                )
+            yield pd.DataFrame(
+                {"id": pdf["id"].values, "payload": payloads}
+            )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                for r in pdf_images(bytes(blob)):
+                    rows.append(
+                        {
+                            "id": rid,
+                            "width": r["width"],
+                            "height": r["height"],
+                            "gray_coding": "mmr",
+                            "codec": r["codec"],
+                            "luma_mean": r["luma_mean"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "gray_coding", "codec",
+                    "luma_mean",
+                ],
+            )
+
+    return ev.mapInPandas(
+        synth, schema="id long, payload binary"
+    ).mapInPandas(
+        extract,
+        schema=(
+            "id long, width int, height int, gray_coding string, "
+            "codec string, luma_mean double"
+        ),
+    )
+
+
 @register("pdf_jbig2_halftone_extract", _PDF_JBIG2_HALFTONE_SQL)
 def pdf_jbig2_halftone_extract(
     spark: SparkSession, sf_dir: str

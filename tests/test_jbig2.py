@@ -786,14 +786,18 @@ class TestHalftone:
                 enable_skip=True,
             )
 
-    def test_hmmr_gates(self):
+    def test_hmmr_truncated_payload_rejected(self):
+        # HMMR DECODES now (r12, TestHMMRHalftone) — a nonzero grid
+        # with an empty MMR payload fails the T.6 walk instead of
+        # gating
         from ccgp_data_wrangling_spark.operators.jbig2 import (
             decode_halftone_region_segment,
         )
 
         data = struct.pack(">IIII", 8, 8, 0, 0) + b"\x00\x01"
-        data += b"\x00" * 24
-        with pytest.raises(NotImplementedError, match="HMMR"):
+        data += struct.pack(">IIii", 2, 2, 0, 0)
+        data += struct.pack(">HH", 2 << 8, 0)
+        with pytest.raises(ValueError, match="T.6"):
             decode_halftone_region_segment(
                 data, [np.ones((2, 2), bool)]
             )
@@ -1410,4 +1414,72 @@ class TestRefAggNInst:
                 [A, B],
                 [{"shape": (8, 8), "agg": [(0, 0, 0)]}],
                 instances=[(2, 0, 0)], page_wh=(10, 10),
+            )
+
+
+class TestHMMRHalftone:
+    """HMMR=1 (§6.6 / Annex C.5): Gray-coded bitplanes as one
+    bit-concatenated EOFB-separated T.6 block; HDMMR pattern dicts."""
+
+    def _pats(self):
+        pats = []
+        for i in range(8):
+            p = np.zeros(16, bool)
+            p[:i] = True
+            pats.append(p.reshape(4, 4))
+        return pats
+
+    def test_mmr_matches_arithmetic(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_halftone_embedded,
+            decode_jbig2_embedded,
+        )
+
+        rng = np.random.default_rng(11)
+        pats = self._pats()
+        gray = rng.integers(0, 8, (6, 9))
+        pages = [
+            decode_jbig2_embedded(
+                build_jbig2_halftone_embedded(gray, pats, mmr=m)
+            )["black"]
+            for m in (False, True)
+        ]
+        assert (pages[0] == pages[1]).all()
+        exp = np.zeros((24, 36), bool)
+        for m in range(6):
+            for n in range(9):
+                exp[m * 4:(m + 1) * 4, n * 4:(n + 1) * 4] |= pats[
+                    gray[m, n]
+                ]
+        assert (pages[1] == exp).all()
+
+    def test_mmr_plane_resume_is_bit_level(self):
+        # 3 bpp over a grid whose planes are incompressible enough
+        # that EOFBs land mid-byte — byte-padding between planes
+        # would shift every later plane
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            _gray_fold,
+            _gray_unfold,
+            _mmr_decode_planes,
+            _mmr_encode_planes,
+        )
+
+        rng = np.random.default_rng(13)
+        vals = rng.integers(0, 8, (7, 11)).astype(np.int64)
+        planes = _gray_fold(vals, 3)
+        blob = _mmr_encode_planes(planes)
+        back = _mmr_decode_planes(blob, 11, 7, 3)
+        for a, b in zip(planes, back):
+            assert (a == b).all()
+        assert (_gray_unfold(back, 3) == vals).all()
+
+    def test_skip_with_mmr_rejected(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            build_jbig2_halftone_embedded,
+        )
+
+        gray = np.zeros((2, 2), np.int64)
+        with pytest.raises(ValueError, match="HENABLESKIP"):
+            build_jbig2_halftone_embedded(
+                gray, self._pats()[:2], mmr=True, enable_skip=True
             )
