@@ -4615,6 +4615,25 @@ _L2_SCFSI_PARTS = {  # scfsi → transmitted-scalefactor ordinal per part
 _L2_SCFSI_COUNT = {0: 3, 1: 2, 2: 1, 3: 2}
 
 
+def _mp3_scan_free_format(
+    payload: bytes, pos: int, hdr: int, end: int
+) -> int:
+    """Free-format frame length: distance to the next frame sync
+    whose version/layer/bitrate-index/samplerate/mode fields equal
+    this header's (padding/private/mode-extension may differ). The
+    final frame extends to the end of the stream."""
+    mask = 0xFFFFFCC0  # sync+ver+layer+prot | bitrate+rate | mode
+    want = hdr & mask
+    q = pos + 4
+    while q + 4 <= end:
+        if payload[q] == 0xFF and (payload[q + 1] & 0xE0) == 0xE0:
+            cand = int.from_bytes(payload[q : q + 4], "big")
+            if cand & mask == want:
+                return q - pos
+        q += 1
+    return end - pos
+
+
 _L2_MODES = {"stereo": 0, "joint": 1, "dual": 2, "mono": 3}
 
 
@@ -4638,6 +4657,7 @@ def build_mp3_layer2(
     mode: str = "mono",
     mode_ext: int = 0,
     version: str = "MPEG1",
+    free_format: bool = False,
 ) -> bytes:
     """Fixture writer: MPEG-1 / MPEG-2-LSF Layer II frames with a
     REAL coded payload (11172-3 §2.4.1.6 / 13818-3): per-subband
@@ -4694,7 +4714,12 @@ def build_mp3_layer2(
                 f"bound (subband {sb})"
             )
     ridx = _MP3_RATES[version].index(sample_rate)
-    bidx = _MP3_BITRATES[(version, 2)].index(bitrate_kbps)
+    # free_format writes bitrate index 0 — the size (and table) still
+    # come from bitrate_kbps; the decoder must rediscover both
+    bidx = (
+        0 if free_format
+        else _MP3_BITRATES[(version, 2)].index(bitrate_kbps)
+    )
     flen = _mp3_frame_len(version, 2, bitrate_kbps, sample_rate, 0)
     hdr = (
         (0x7FF << 21)
@@ -4825,13 +4850,25 @@ def decode_mp3_layer2_subbands(payload: bytes) -> list[dict[str, Any]]:
         nch = 1 if mode == "mono" else 2
         crc = not (hdr >> 16) & 0x1
         bidx = (hdr >> 12) & 0xF
-        if bidx == 0:
-            raise NotImplementedError("free-format Layer II bitrate")
         ridx = (hdr >> 10) & 0x3
-        bitrate = _MP3_BITRATES[(version, 2)][bidx]
         rate = _MP3_RATES[version][ridx]
         padding = (hdr >> 9) & 0x1
-        flen = _mp3_frame_len(version, 2, bitrate, rate, padding)
+        if bidx == 0:
+            # free format (ISO 11172-3 §2.4.2.3): a constant
+            # encoder-chosen frame length, discovered by scanning for
+            # the next sync whose version/layer/rate/mode fields
+            # match; the last frame runs to the end of the stream.
+            # The quantization table is selected from the bitrate the
+            # length implies (nearest allowed value).
+            flen = _mp3_scan_free_format(payload, pos, hdr, end)
+            implied = flen * rate / 144000.0
+            bitrate = min(
+                _MP3_BITRATES[(version, 2)][1:],
+                key=lambda b: abs(b - implied),
+            )
+        else:
+            bitrate = _MP3_BITRATES[(version, 2)][bidx]
+            flen = _mp3_frame_len(version, 2, bitrate, rate, padding)
         if pos + flen > end:
             raise ValueError("truncated final Layer II frame")
         table = _l2_select_table(

@@ -8553,6 +8553,7 @@ SELECT v.id,
             ELSE 'dual' END AS mode,
        CASE WHEN v.id % 3 = 2 THEN 'MPEG2' ELSE 'MPEG1' END
          AS version,
+       CAST((v.id // 3) % 2 = 1 AS BOOLEAN) AS free_format,
        CAST(f.frame AS INT) AS frame,
        CAST(v.ch AS INT) AS channel,
        CAST(v.subband AS INT) AS subband,
@@ -8645,6 +8646,11 @@ def multimodal_mp3_layer2_stereo_decode(
                             (t * (sb + 1) + _e + ch) % _m[(ch, sb)]
                         ),
                         n_frames=1 + e % 2,
+                        # (e//3)%2 rotates the free-format header
+                        # (bitrate index 0): the decoder rediscovers
+                        # the frame length by sync scan and the
+                        # table from the implied bitrate
+                        free_format=(e // 3) % 2 == 1,
                     )
                 )
             yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
@@ -8657,14 +8663,14 @@ def multimodal_mp3_layer2_stereo_decode(
                 version, mode, _, _, _ = _L2S_CFG[e % 3]
                 for r in decode_mp3_layer2_subbands(bytes(blob)):
                     rows.append(
-                        {"id": rid, "mode": mode,
-                         "version": version, **r}
+                        {"id": rid, "mode": mode, "version": version,
+                         "free_format": (e // 3) % 2 == 1, **r}
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "id", "mode", "version", "frame", "channel",
-                    "subband", "steps", "scfsi", "rms",
+                    "id", "mode", "version", "free_format", "frame",
+                    "channel", "subband", "steps", "scfsi", "rms",
                 ],
             )
 
@@ -8673,9 +8679,9 @@ def multimodal_mp3_layer2_stereo_decode(
     ).mapInPandas(
         decode,
         schema=(
-            "id long, mode string, version string, frame int, "
-            "channel int, subband int, steps int, scfsi int, "
-            "rms double"
+            "id long, mode string, version string, "
+            "free_format boolean, frame int, channel int, "
+            "subband int, steps int, scfsi int, rms double"
         ),
     )
 

@@ -3664,3 +3664,31 @@ def test_tiff_tiled_organization():
     blob[idx : idx + 2] = (0x0111).to_bytes(2, "little")
     with _pytest.raises(ValueError, match="both strip and tile"):
         decode_tiff(bytes(blob))
+
+
+def test_mp3_layer2_free_format():
+    # ISO 11172-3 §2.4.2.3: bitrate index 0 = free format. The frame
+    # length comes from scanning for the next matching sync (last
+    # frame runs to the stream end) and the quantization table from
+    # the implied bitrate — decode must equal the standard-header
+    # twin bit for bit.
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _L2_TABLES,
+        build_mp3_layer2,
+        decode_mp3_layer2_subbands,
+    )
+
+    sbl = len(_L2_TABLES["b"])
+    alloc = [0] * sbl
+    alloc[0], alloc[3] = 1, 2
+    kw = dict(
+        sample_rate=44100, bitrate_kbps=96, alloc_idx=alloc,
+        scfsi=[1 if a else 0 for a in alloc],
+        scf_idx=lambda sb, j: 6 + sb + j,
+        codes=lambda t, sb: (t + sb) % 3, n_frames=3,
+    )
+    std = decode_mp3_layer2_subbands(build_mp3_layer2(**kw))
+    ff = decode_mp3_layer2_subbands(
+        build_mp3_layer2(**kw, free_format=True)
+    )
+    assert std == ff and len(ff) == 6
