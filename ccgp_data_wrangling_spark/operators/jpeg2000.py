@@ -26,12 +26,17 @@ reused verbatim; what this module adds is everything around it:
 * JP2 container walk (Part 1 Annex I boxes) down to the ``jp2c``
   codestream.
 
+Component subsampling (XRsiz/YRsiz up to 4, e.g. 4:2:0 chroma)
+decodes on the 9/7 path — per-component band extents, replication
+upsampling before the ICT; it stays gated on the 5/3 path, whose
+RCT needs co-sited components.
+
 Scope (honest gates, each next to its implemented sibling): scalar
 DERIVED quantization (single-pair QCD), truncated coding passes
 (quality-layer truncation), precinct subdivision/SOP/EPH, multiple
 layers/tiles/tile-parts, non-LRCP progressions, RGN/COC/QCC
-overrides, component subsampling, and >38-bit coefficient depths
-raise ``NotImplementedError``.
+overrides, and >38-bit coefficient depths raise
+``NotImplementedError``.
 
 The decoder and the fixture-side encoder share the pass loop and the
 tag-tree transcription, so round-trip tests pin the internal
@@ -814,17 +819,41 @@ def _quantize_97(
     return all_bands, eps, mus, guard
 
 
+def _block_mean(a: np.ndarray, xr: int, yr: int) -> np.ndarray:
+    """Downsample by (yr, xr) block means; partial edge blocks are
+    padded by edge replication first, so the result has
+    ceil(h/yr) × ceil(w/xr) samples — the SIZ component extent."""
+    h, w = a.shape
+    ph = (-h) % yr
+    pw = (-w) % xr
+    if ph or pw:
+        a = np.pad(a, ((0, ph), (0, pw)), mode="edge")
+    return a.reshape(
+        a.shape[0] // yr, yr, a.shape[1] // xr, xr
+    ).mean(axis=(1, 3))
+
+
 def _prep_97_components(
-    samples: np.ndarray, bit_depth: int
+    samples: np.ndarray,
+    bit_depth: int,
+    subsample: tuple[int, int] | None = None,
 ) -> tuple[list[np.ndarray], int]:
-    """DC level shift + ICT (G.3) → float64 component list, mct flag."""
+    """DC level shift + ICT (G.3) → float64 component list, mct flag.
+    ``subsample=(xr, yr)`` block-averages the CHROMA components
+    (4:2:0-style) after the ICT."""
     shift = float(1 << (bit_depth - 1))
     if samples.ndim == 2:
+        if subsample is not None:
+            raise ValueError("subsampling applies to RGB input only")
         return [samples.astype(np.float64) - shift], 0
     r = samples[..., 0].astype(np.float64) - shift
     g = samples[..., 1].astype(np.float64) - shift
     b = samples[..., 2].astype(np.float64) - shift
     y, cb, cr = _ict_fwd(r, g, b)
+    if subsample is not None:
+        xr, yr = subsample
+        cb = _block_mean(cb, xr, yr)
+        cr = _block_mean(cr, xr, yr)
     return [y, cb, cr], 1
 
 
@@ -836,6 +865,7 @@ def encode_jpx(
     jp2_container: bool = False,
     irreversible: bool = False,
     q_planes: int = 9,
+    subsample: tuple[int, int] | None = None,
 ) -> bytes:
     """Fixture writer: one tile, one layer, LRCP, 64×64 code-blocks,
     RCT for 3-component input. ``samples`` is (h, w) grayscale or
@@ -857,11 +887,17 @@ def encode_jpx(
             raise ValueError(
                 "eps_slack applies to the reversible path only"
             )
-        comps_f, mct = _prep_97_components(samples, bit_depth)
+        comps_f, mct = _prep_97_components(
+            samples, bit_depth, subsample
+        )
         all_bands, eps, mus, guard = _quantize_97(
             comps_f, levels, bit_depth, q_planes
         )
         ncomp = len(comps_f)
+    elif subsample is not None:
+        raise ValueError(
+            "subsampling pairs with the irreversible (ICT) path"
+        )
     else:
         if samples.ndim == 2:
             comps = [samples.astype(np.int64)]
@@ -908,8 +944,11 @@ def encode_jpx(
     siz = struct.pack(
         ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp
     )
-    for _ in range(ncomp):
-        siz += bytes([bit_depth - 1, 1, 1])
+    for c in range(ncomp):
+        xr, yr = (
+            subsample if subsample is not None and c > 0 else (1, 1)
+        )
+        siz += bytes([bit_depth - 1, xr, yr])
     out += struct.pack(">HH", _SIZ, len(siz) + 2) + siz
     cod = bytes([0])  # Scod: default precincts, no SOP/EPH
     cod += bytes([0]) + struct.pack(">H", 1) + bytes([mct])  # SGcod
@@ -1081,6 +1120,7 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
                     f"{ncomp}-component JPEG 2000 image"
                 )
             depths = []
+            subs = []
             for c in range(ncomp):
                 ssiz, xr, yr = struct.unpack_from(
                     ">BBB", seg, 38 - 2 + c * 3
@@ -1089,15 +1129,16 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
                     raise NotImplementedError(
                         "signed JPEG 2000 components"
                     )
-                if xr != 1 or yr != 1:
+                if not 1 <= xr <= 4 or not 1 <= yr <= 4:
                     raise NotImplementedError(
-                        "component subsampling (XRsiz/YRsiz != 1)"
+                        f"XRsiz/YRsiz {xr}/{yr} outside 1..4"
                     )
+                subs.append((xr, yr))
                 depths.append((ssiz & 0x7F) + 1)
             if len(set(depths)) != 1:
                 raise NotImplementedError("mixed component depths")
             siz = {"w": xs, "h": ys, "ncomp": ncomp,
-                   "depth": depths[0]}
+                   "depth": depths[0], "subs": subs}
         elif marker == _COD:
             scod = seg[0]
             if scod & 1:
@@ -1192,7 +1233,18 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
         )
     w, h, ncomp = siz["w"], siz["h"], siz["ncomp"]
     levels = cod["levels"]
-    dims = _band_dims(w, h, levels)
+    subs = siz["subs"]
+    if any(s != (1, 1) for s in subs) and not irreversible:
+        raise NotImplementedError(
+            "component subsampling on the 5/3 reversible path "
+            "(RCT requires co-sited components)"
+        )
+    # per-component band extents: component c spans
+    # ceil(w/XRsiz) x ceil(h/YRsiz) samples (SIZ, §A.5.1)
+    dims_pc = [
+        _band_dims((w + xr - 1) // xr, (h + yr - 1) // yr, levels)
+        for xr, yr in subs
+    ]
     if cod["cbw"] > 10 or cod["cbh"] > 10:
         raise ValueError("code-block exponent over 2^10")
     if (1 << cod["cbw"]) != _CB or (1 << cod["cbh"]) != _CB:
@@ -1207,6 +1259,7 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
     bpos = 0
     for r in range(levels + 1):
         for c in range(ncomp):
+            dims = dims_pc[c]
             rd = _PkBitReader(body, bpos)
             if not rd.bit():
                 # empty packet: every band in it decodes to zeros
@@ -1284,6 +1337,14 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
             _reconstruct_97(cb, depth, qcd_mus, qcd_eps)
             for cb in comps_bands
         ]
+        # subsampled components upsample by sample replication
+        # (nearest) to the reference grid before the ICT
+        comps = [
+            np.repeat(np.repeat(a, yr, axis=0), xr, axis=1)[:h, :w]
+            if (xr, yr) != (1, 1)
+            else a
+            for a, (xr, yr) in zip(comps, subs)
+        ]
         shift_f = float(1 << (depth - 1))
         if ncomp == 3 and cod["mct"]:
             rf, gf, bf = _ict_inv(*comps)
@@ -1348,6 +1409,7 @@ def jpx97_reference_decode(
     bit_depth: int = 8,
     levels: int = 2,
     q_planes: int = 9,
+    subsample: tuple[int, int] | None = None,
 ) -> np.ndarray:
     """Straight-line replay of the lossy 9/7 pipeline — forward DWT,
     quantize, dequantize, inverse DWT, inverse ICT, round, clip —
@@ -1358,13 +1420,22 @@ def jpx97_reference_decode(
     the quantizer indices and (ε, μ) exactly (the float wavelet is
     pinned independently against the published T.800 Table F.4 filter
     taps in test_jpeg2000)."""
-    comps_f, mct = _prep_97_components(samples, bit_depth)
+    h0, w0 = samples.shape[:2]
+    comps_f, mct = _prep_97_components(
+        samples, bit_depth, subsample
+    )
     all_bands, eps, mus, _guard = _quantize_97(
         comps_f, levels, bit_depth, q_planes
     )
     comps = [
         _reconstruct_97(cb, bit_depth, mus, eps) for cb in all_bands
     ]
+    if subsample is not None:
+        xr, yr = subsample
+        comps = [comps[0]] + [
+            np.repeat(np.repeat(a, yr, axis=0), xr, axis=1)[:h0, :w0]
+            for a in comps[1:]
+        ]
     if mct:
         comps = list(_ict_inv(*comps))
     shift_f = float(1 << (bit_depth - 1))

@@ -8718,6 +8718,7 @@ SELECT id,
        CAST(CASE v WHEN 0 THEN 9 WHEN 1 THEN 8 ELSE 11 END
             AS INT) AS q_planes,
        CAST(v = 2 AS BOOLEAN) AS container,
+       CAST(v = 1 AS BOOLEAN) AS subsampled,
        CAST('jpx' AS VARCHAR) AS codec,
        CAST('9/7' AS VARCHAR) AS transform,
        CAST(TRUE AS BOOLEAN) AS match_replay,
@@ -8740,7 +8741,10 @@ def pdf_jpx97_image_extract(
     reconstruction error against the original stays within the
     documented bound (err_bounded, an empirical regression bound).
     Variants: v0 = 2-level grayscale qp9, v1 = 1-level RGB through
-    the ICT qp8, v2 = JP2 container 2-level qp11."""
+    the ICT qp8 with 4:2:0 CHROMA SUBSAMPLING (XRsiz=YRsiz=2 in SIZ;
+    pixels are constant on the 2x2 grid so block-mean downsampling +
+    replication upsampling are exact and quantization stays the only
+    error), v2 = JP2 container 2-level qp11."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -8764,11 +8768,16 @@ def pdf_jpx97_image_extract(
 
     def _pixels(e: int, w: int, h: int, rgb: bool) -> np.ndarray:
         yy, xx = np.mgrid[0:h, 0:w]
-        g0 = ((xx + 1) * (yy + 2) + e) % 256
         if not rgb:
-            return g0.astype(np.int64)
-        g1 = (xx * 3 + yy * 5 + e + 1) % 256
-        g2 = (xx * 7 + yy * 2 + e + 2) % 256
+            return (((xx + 1) * (yy + 2) + e) % 256).astype(np.int64)
+        # the RGB variant feeds the 4:2:0 path: every channel is
+        # CONSTANT on the 2x2 subsampling grid, so block-mean
+        # downsampling and replication upsampling reproduce the
+        # chroma exactly and err_bounded stays a quantization bound
+        bx, by = xx // 2, yy // 2
+        g0 = ((bx + 1) * (by + 2) + e) % 256
+        g1 = (bx * 3 + by * 5 + e + 1) % 256
+        g2 = (bx * 7 + by * 2 + e + 2) % 256
         return np.stack([g0, g1, g2], axis=-1).astype(np.int64)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -8782,16 +8791,18 @@ def pdf_jpx97_image_extract(
                 e = int(eid)
                 v, w, h, lv, qp, cont = _variant(e)
                 arr = _pixels(e, w, h, v == 1)
+                sub = (2, 2) if v == 1 else None
                 cs = encode_jpx(
                     arr, levels=lv, irreversible=True, q_planes=qp,
-                    jp2_container=cont,
+                    jp2_container=cont, subsample=sub,
                 )
                 blob = build_pdf(
                     [[f"jpx97 {e}"]],
                     page_images=[[(
                         "jpx", arr,
                         {"levels": lv, "irreversible": True,
-                         "q_planes": qp, "jp2_container": cont},
+                         "q_planes": qp, "jp2_container": cont,
+                         "subsample": sub},
                     )]],
                 )
                 rows.append(
@@ -8817,7 +8828,8 @@ def pdf_jpx97_image_extract(
                 arr = _pixels(e, w, h, v == 1)
                 m = decode_jpx(bytes(cs))
                 ref = jpx97_reference_decode(
-                    arr, levels=lv, q_planes=qp
+                    arr, levels=lv, q_planes=qp,
+                    subsample=(2, 2) if v == 1 else None,
                 )
                 got = m["samples"]
                 match_replay = (
@@ -8851,6 +8863,7 @@ def pdf_jpx97_image_extract(
                         "levels": lv,
                         "q_planes": qp,
                         "container": cont,
+                        "subsampled": v == 1,
                         "codec": "jpx",
                         "transform": m["transform"],
                         "match_replay": match_replay,
@@ -8862,8 +8875,9 @@ def pdf_jpx97_image_extract(
                 rows,
                 columns=[
                     "id", "width", "height", "n_channels", "levels",
-                    "q_planes", "container", "codec", "transform",
-                    "match_replay", "pdf_means_match", "err_bounded",
+                    "q_planes", "container", "subsampled", "codec",
+                    "transform", "match_replay", "pdf_means_match",
+                    "err_bounded",
                 ],
             )
 
@@ -8874,8 +8888,9 @@ def pdf_jpx97_image_extract(
         schema=(
             "id long, width int, height int, n_channels int, "
             "levels int, q_planes int, container boolean, "
-            "codec string, transform string, match_replay boolean, "
-            "pdf_means_match boolean, err_bounded boolean"
+            "subsampled boolean, codec string, transform string, "
+            "match_replay boolean, pdf_means_match boolean, "
+            "err_bounded boolean"
         ),
     )
 

@@ -398,3 +398,60 @@ class TestIrreversible97:
         blob = encode_jpx(px, levels=2, irreversible=True)
         m = decode_jpx(blob)
         assert np.abs(m["samples"][..., 0] - px).max() <= 1
+
+
+class TestSubsampling:
+    """4:2:0-style chroma subsampling on the 9/7 path (SIZ
+    XRsiz/YRsiz): per-component band extents, block-mean downsample
+    in the encoder, replication upsample before the inverse ICT."""
+
+    @pytest.mark.parametrize(
+        "h,w,lv,sub",
+        [(14, 18, 1, (2, 2)), (15, 17, 2, (2, 2)),
+         (12, 16, 1, (2, 1)), (10, 10, 1, (4, 4))],
+    )
+    def test_roundtrip_matches_replay(self, h, w, lv, sub):
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            jpx97_reference_decode,
+        )
+
+        rng = np.random.default_rng(h * 100 + w)
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.int64)
+        blob = encode_jpx(px, levels=lv, irreversible=True,
+                          q_planes=9, subsample=sub)
+        m = decode_jpx(blob)
+        ref = jpx97_reference_decode(px, levels=lv, q_planes=9,
+                                     subsample=sub)
+        assert m["samples"].shape == (h, w, 3)
+        assert (m["samples"] == ref).all()
+
+    def test_block_constant_chroma_is_quantization_only(self):
+        # channels constant on the 2x2 grid: block-mean + replication
+        # are exact, so error reduces to the quantization bound
+        yy, xx = np.mgrid[0:12, 0:14]
+        bx, by = xx // 2, yy // 2
+        px = np.stack(
+            [((bx + 1) * (by + 2)) % 256,
+             (bx * 3 + by * 5 + 1) % 256,
+             (bx * 7 + by * 2 + 2) % 256],
+            axis=-1,
+        ).astype(np.int64)
+        m = decode_jpx(encode_jpx(px, levels=1, irreversible=True,
+                                  q_planes=9, subsample=(2, 2)))
+        assert np.abs(m["samples"] - px).max() <= 4
+
+    def test_gates(self):
+        rng = np.random.default_rng(51)
+        px = rng.integers(0, 256, (12, 14, 3)).astype(np.int64)
+        with pytest.raises(ValueError, match="irreversible"):
+            encode_jpx(px, levels=1, subsample=(2, 2))
+        with pytest.raises(ValueError, match="RGB"):
+            encode_jpx(px[..., 0], levels=1, irreversible=True,
+                       subsample=(2, 2))
+        # 5/3 stream claiming subsampling gates in the decoder
+        blob = bytearray(encode_jpx(px, levels=1))
+        spos = blob.find(struct.pack(">H", 0xFF51))
+        # XRsiz of component 1: SIZ body offset 36 + 3 + 1
+        blob[spos + 4 + 36 + 4] = 2
+        with pytest.raises(NotImplementedError, match="5/3"):
+            decode_jpx(bytes(blob))
