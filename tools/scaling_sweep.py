@@ -114,6 +114,16 @@ R11_FAMILIES = [
     "pdf_jbig2_refagg_extract",
 ]
 
+# r12 additions: lossy 9/7 JPX (+4:2:0), Layer II stereo/LSF/free
+# format, REFAGGNINST>1, tiled TIFF, HMMR halftones, ODS/ODP ingest
+R12_FAMILIES = [
+    "pdf_jpx97_image_extract",
+    "multimodal_mp3_layer2_stereo_decode",
+    "pdf_jbig2_agg_extract", "multimodal_tiff_tiled_decode",
+    "pdf_jbig2_hmmr_halftone_extract",
+    "ods_cell_extract", "odp_text_extract",
+]
+
 # r10-verdict task #8: coding-variant rotations that ride INSIDE a
 # family (SDHUFF, TRANSPOSED, SBREFINE, custom tables, HENABLESKIP,
 # unknown-length, JPX containers/RCT/slack, Layer II tables) must
@@ -132,6 +142,16 @@ VARIANT_COLUMNS: dict[str, list[str]] = {
     "multimodal_mp3_layer2_subband_decode": ["steps", "scfsi"],
     "pdf_jpx_image_extract": ["n_channels", "levels", "container"],
     "pdf_jbig2_refagg_extract": ["rtemplate", "refcorner"],
+    "pdf_jpx97_image_extract": [
+        "n_channels", "levels", "q_planes", "container", "subsampled",
+    ],
+    "multimodal_mp3_layer2_stereo_decode": [
+        "mode", "version", "free_format",
+    ],
+    "pdf_jbig2_agg_extract": ["rtemplate", "refcorner"],
+    "multimodal_tiff_tiled_decode": [
+        "compression", "predictor", "n_channels", "tile_w",
+    ],
 }
 
 
@@ -394,7 +414,7 @@ def main() -> None:
         if names
         else {"flagship": FLAGSHIP,
               "families": R7_FAMILIES + R8_FAMILIES + R9_FAMILIES
-              + R10_FAMILIES + R11_FAMILIES}
+              + R10_FAMILIES + R11_FAMILIES + R12_FAMILIES}
     )
     result: dict[str, dict] = {}
     tmpdir = tempfile.mkdtemp(prefix="sweep_parts_")
