@@ -187,6 +187,14 @@ HEADLINE = [
     "multimodal_mp3_layer2_subband_decode",
     "pdf_jpx_image_extract",
     "pdf_jbig2_refagg_extract",
+    # r12 additions
+    "pdf_jpx97_image_extract",
+    "multimodal_mp3_layer2_stereo_decode",
+    "pdf_jbig2_agg_extract",
+    "pdf_jbig2_hmmr_halftone_extract",
+    "multimodal_tiff_tiled_decode",
+    "ods_cell_extract",
+    "odp_text_extract",
 ]
 
 
@@ -372,6 +380,12 @@ def main() -> None:
             loadavg_per_query.update(got["loadavg_per_query"])
             retimed.extend(got["retimed"])
             retime_samples.update(got["retime_samples"])
+            # settle between child JVMs: the r12 retime-criterion
+            # runs showed sub-second rows near group boundaries
+            # moving 1.5-4x between code-identical runs — the next
+            # group's first queries were timed against the previous
+            # JVM's 32-thread teardown
+            time.sleep(8)
     finally:
         import shutil
 
