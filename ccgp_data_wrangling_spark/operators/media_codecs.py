@@ -580,6 +580,11 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
             raise ValueError(
                 "TIFF carries both strip and tile organization"
             )
+        if not all(t in ifd for t in (0x0142, 0x0143, 0x0144, 0x0145)):
+            raise ValueError(
+                "tiled TIFF is missing one of TileWidth/TileLength/"
+                "TileOffsets/TileByteCounts"
+            )
         tw, th = num(0x0142), num(0x0143)
         if tw % 16 or th % 16 or tw <= 0 or th <= 0:
             raise ValueError(
@@ -589,9 +594,12 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
         offsets, counts = nums(0x0144), nums(0x0145)
         ta = (w + tw - 1) // tw
         td = (h + th - 1) // th
-        if len(offsets) != ta * td:
+        # len(counts) must match too — zip() would otherwise silently
+        # drop tiles and decode them as all-zero blocks
+        if len(offsets) != ta * td or len(counts) != ta * td:
             raise ValueError(
-                "TileOffsets count disagrees with the tile grid"
+                "TileOffsets/TileByteCounts count disagrees with "
+                "the tile grid"
             )
     else:
         offsets, counts = nums(0x0111), nums(0x0117)
@@ -4621,15 +4629,35 @@ def _mp3_scan_free_format(
     """Free-format frame length: distance to the next frame sync
     whose version/layer/bitrate-index/samplerate/mode fields equal
     this header's (padding/private/mode-extension may differ). The
-    final frame extends to the end of the stream."""
+    final frame extends to the end of the stream.
+
+    A candidate is only accepted when a SECOND consistent sync sits
+    one frame length further on (±1 slot for the padding bit), the
+    way reference decoders lock free-format length — sample-code
+    bytes that happen to contain 0xFF + matching header fields no
+    longer truncate the frame early."""
     mask = 0xFFFFFCC0  # sync+ver+layer+prot | bitrate+rate | mode
     want = hdr & mask
+
+    def _sync_at(q: int) -> bool:
+        return (
+            q + 4 <= end
+            and payload[q] == 0xFF
+            and (payload[q + 1] & 0xE0) == 0xE0
+            and int.from_bytes(payload[q : q + 4], "big") & mask
+            == want
+        )
+
     q = pos + 4
     while q + 4 <= end:
-        if payload[q] == 0xFF and (payload[q + 1] & 0xE0) == 0xE0:
-            cand = int.from_bytes(payload[q : q + 4], "big")
-            if cand & mask == want:
-                return q - pos
+        if _sync_at(q):
+            length = q - pos
+            nxt = q + length
+            if nxt + 4 > end or any(
+                _sync_at(nxt + d) for d in (-1, 0, 1)
+            ):
+                return length
+            # false sync inside the payload — keep scanning
         q += 1
     return end - pos
 

@@ -12,9 +12,16 @@ mixed-content model (spans, tabs, line breaks — flattened by
 speaker notes, not slide text, and are skipped — the same scoping
 rule the PPTX walk applies to its notes parts.
 
+Paragraphs are collected RECURSIVELY inside each text container, so
+Impress outline/body placeholders that nest bullet text under
+``text:list``/``text:list-item`` (the dominant slide-body form) and
+shapes that carry ``text:p`` directly under the shape element
+without a ``draw:text-box`` wrapper (legal per ODF §10.4, e.g.
+``draw:custom-shape``) both surface.
+
 Scope (documented, not gated): only ``content.xml`` is read; master
-pages/styles are separate parts, and non-text drawing shapes
-contribute nothing.
+pages/styles are separate parts, and drawing shapes with no text
+descendants contribute nothing.
 
 Reference behavior parity: cademirch/ccgp-data-wrangling has no
 document-ingest layer; north-star corpus surface as with PPTX.
@@ -72,11 +79,25 @@ def extract_odp_slides(payload: bytes) -> list[list[list[str]]]:
         def collect_frames(el: ET.Element) -> None:
             if el.tag == f"{{{_PRES_NS}}}notes":
                 return  # speaker notes are not slide text
-            if el.tag == f"{{{_DRAW_NS}}}text-box":
+            # A text container is draw:text-box, OR any draw-ns shape
+            # (draw:custom-shape &c., ODF §10.4) whose paragraphs sit
+            # directly under the shape without a text-box wrapper.
+            is_text_box = el.tag == f"{{{_DRAW_NS}}}text-box"
+            bare_shape_text = el.tag.startswith(
+                f"{{{_DRAW_NS}}}"
+            ) and any(
+                c.tag
+                in (f"{{{_TEXT_NS}}}p", f"{{{_TEXT_NS}}}list")
+                for c in el
+            )
+            if is_text_box or bare_shape_text:
+                # recursive descendant walk (document order), so
+                # bullet text inside text:list > text:list-item —
+                # the dominant slide-body form from Impress outline
+                # placeholders — is collected like odt's collect
                 paras = [
                     _para_text(p)
-                    for p in el
-                    if p.tag == f"{{{_TEXT_NS}}}p"
+                    for p in el.iter(f"{{{_TEXT_NS}}}p")
                 ]
                 frames.append(paras)
                 return
@@ -153,6 +174,14 @@ def _para_xml(entry: Any) -> str:
             + "<text:line-break/>" + _xml_escape(entry[2])
             + "</text:p>"
         )
+    if isinstance(entry, tuple) and entry[0] == "li":
+        # an Impress-style bullet: text:list > text:list-item >
+        # text:p — exercises the recursive paragraph collection
+        return (
+            "<text:list><text:list-item><text:p>"
+            + _xml_escape(entry[1])
+            + "</text:p></text:list-item></text:list>"
+        )
     raise ValueError(f"unknown ODP fixture entry {entry!r}")
 
 
@@ -167,6 +196,15 @@ def build_odp(slides: list[list[list[Any]]]) -> bytes:
     for si, frames in enumerate(slides):
         fparts: list[str] = []
         for fi, paras in enumerate(frames):
+            if isinstance(paras, tuple) and paras[0] == "shape":
+                # bare-shape text: text:p directly under the shape
+                # element, no draw:text-box wrapper (ODF §10.4)
+                fparts.append(
+                    f'<draw:custom-shape draw:name="s{fi}">'
+                    + "".join(_para_xml(p) for p in paras[1])
+                    + "</draw:custom-shape>"
+                )
+                continue
             fparts.append(
                 f'<draw:frame draw:name="f{fi}"><draw:text-box>'
                 + "".join(_para_xml(p) for p in paras)

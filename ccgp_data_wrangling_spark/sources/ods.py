@@ -13,7 +13,10 @@ value lives in ``office:value`` (or ``office:boolean-value`` /
 header discovery wants the text. ``table:number-columns-repeated`` /
 ``table:number-rows-repeated`` run-length encode the grid (§9.1.3);
 expansion is bounded to populated cells so the 16384-column filler
-run real writers emit never explodes.
+run real writers emit never explodes, and populated-cell expansion
+itself is capped per sheet (``_MAX_POPULATED_CELLS``) so a crafted
+repeat count on a populated cell raises instead of exhausting
+memory.
 
 Scope (documented, not gated): only ``content.xml`` is read; formulas
 surface through their cached value + display text (``table:formula``
@@ -74,10 +77,20 @@ def _cell_record(cell: ET.Element) -> dict[str, Any] | None:
     }
 
 
+# Populated-cell expansion ceiling per sheet: empty-cell repeats cost
+# nothing, but a POPULATED cell with a huge number-rows-repeated ×
+# number-columns-repeated (crafted or degenerate writer output) would
+# materialize rrep·crep dicts; refuse past this rather than exhaust
+# executor memory.
+_MAX_POPULATED_CELLS = 1_000_000
+
+
 def extract_ods_cells(payload: bytes) -> list[dict[str, Any]]:
     """One dict per POPULATED cell in (sheet, row, col) order:
     {sheet, sheet_name, row, col, value_type, text, number,
-    formula}. Repeated rows/columns expand only when populated."""
+    formula}. Repeated rows/columns expand only when populated, and
+    populated expansion is capped at ``_MAX_POPULATED_CELLS`` per
+    sheet (a clear ``ValueError``, never memory exhaustion)."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(payload))
     except zipfile.BadZipFile as exc:
@@ -102,6 +115,7 @@ def extract_ods_cells(payload: bytes) -> list[dict[str, Any]]:
     ):
         name = table.get(f"{{{_TABLE_NS}}}name", f"Sheet{si + 1}")
         ri = 0
+        sheet_cells = 0
         for row in table.findall(f"{{{_TABLE_NS}}}table-row"):
             rrep = int(
                 row.get(f"{{{_TABLE_NS}}}number-rows-repeated", "1")
@@ -126,6 +140,14 @@ def extract_ods_cells(payload: bytes) -> list[dict[str, Any]]:
                         cells.append((ci + k, rec))
                 ci += crep
             if cells:
+                sheet_cells += rrep * len(cells)
+                if sheet_cells > _MAX_POPULATED_CELLS:
+                    raise ValueError(
+                        f"ODS sheet {name!r} expands to over "
+                        f"{_MAX_POPULATED_CELLS} populated cells "
+                        f"(rows-repeated x columns-repeated on "
+                        f"populated cells); refusing to materialize"
+                    )
                 for rk in range(rrep):
                     for col, rec in cells:
                         out.append(

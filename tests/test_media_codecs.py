@@ -3664,6 +3664,23 @@ def test_tiff_tiled_organization():
     blob[idx : idx + 2] = (0x0111).to_bytes(2, "little")
     with _pytest.raises(ValueError, match="both strip and tile"):
         decode_tiff(bytes(blob))
+    # r13 regression: short TileByteCounts must error, not let zip()
+    # silently decode the missing tiles as all-zero blocks — patch the
+    # 0x0145 IFD entry's count dword (tag 2 + type 2, count at +4)
+    blob = bytearray(encode_tiff(px, tile_wh=(16, 16)))
+    idx = blob.find((0x0145).to_bytes(2, "little"))
+    n_tiles = int.from_bytes(blob[idx + 4 : idx + 8], "little")
+    assert n_tiles == 9  # ceil(47/16) * ceil(33/16)
+    blob[idx + 4 : idx + 8] = (n_tiles - 1).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="TileByteCounts"):
+        decode_tiff(bytes(blob))
+    # a tile organization missing TileWidth is a clear ValueError,
+    # never a KeyError — retag 0x0142 to an unknown private tag
+    blob = bytearray(encode_tiff(px, tile_wh=(16, 16)))
+    idx = blob.find((0x0142).to_bytes(2, "little"))
+    blob[idx : idx + 2] = (0x9999).to_bytes(2, "little")
+    with _pytest.raises(ValueError, match="missing one of"):
+        decode_tiff(bytes(blob))
 
 
 def test_mp3_layer2_free_format():
@@ -3688,7 +3705,20 @@ def test_mp3_layer2_free_format():
         codes=lambda t, sb: (t + sb) % 3, n_frames=3,
     )
     std = decode_mp3_layer2_subbands(build_mp3_layer2(**kw))
-    ff = decode_mp3_layer2_subbands(
-        build_mp3_layer2(**kw, free_format=True)
-    )
+    ff_blob = build_mp3_layer2(**kw, free_format=True)
+    ff = decode_mp3_layer2_subbands(ff_blob)
     assert std == ff and len(ff) == 6
+    # r13 regression: a FALSE sync inside the sample-code bytes (4
+    # bytes that replicate the header) must not truncate the frame —
+    # the scanner requires a second consistent sync one frame length
+    # on before accepting a candidate. Only frame 0's codes are
+    # corrupted; framing and the later frames survive.
+    frame_len = len(ff_blob) // 3
+    assert frame_len * 3 == len(ff_blob)
+    bad = bytearray(ff_blob)
+    at = frame_len - 8  # inside frame 0's sample codes
+    bad[at : at + 4] = ff_blob[:4]
+    got = decode_mp3_layer2_subbands(bytes(bad))
+    assert len(got) == len(std)
+    per_frame = len(std) // 3
+    assert got[per_frame:] == std[per_frame:]

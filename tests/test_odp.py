@@ -35,6 +35,23 @@ class TestExtract:
         )
         assert slide == [["a & <b> c"]]
 
+    def test_nested_list_bullets_surface(self):
+        # Impress outline placeholders nest body text in text:list >
+        # text:list-item > text:p — the recursive collect must see it
+        (slide,) = extract_odp_slides(
+            build_odp([[["title", ("li", "bullet one"),
+                         ("li", "bullet two")]]])
+        )
+        assert slide == [["title", "bullet one", "bullet two"]]
+
+    def test_bare_shape_text_surfaces(self):
+        # text:p directly under draw:custom-shape, no draw:text-box
+        # wrapper (ODF §10.4)
+        (slide,) = extract_odp_slides(
+            build_odp([[("shape", ["inside shape"]), ["boxed"]]])
+        )
+        assert slide == [["inside shape"], ["boxed"]]
+
     def test_not_an_odp(self):
         with pytest.raises(ValueError, match="not an ODP"):
             extract_odp_slides(b"junk")

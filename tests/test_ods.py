@@ -72,6 +72,15 @@ class TestExtract:
             (0, "alpha", "a"), (1, "beta & co", "b"),
         ]
 
+    def test_populated_repeat_bomb_rejected(self):
+        # a POPULATED cell with huge rows-repeated x columns-repeated
+        # must raise before materializing, not exhaust memory
+        blob = build_ods([
+            ("S", [("rows", 2000, [("rep", 1000, 5)])]),
+        ])
+        with pytest.raises(ValueError, match="populated cells"):
+            extract_ods_cells(blob)
+
     def test_not_an_ods(self):
         with pytest.raises(ValueError, match="not an ODS"):
             extract_ods_cells(b"nope")
