@@ -272,6 +272,13 @@ class MQEncoder:
                 self._c &= 0x7FFFF
                 self._ct = 8
 
+    def tell(self) -> int:
+        """Bytes emitted so far, excluding the notional pre-BPST byte
+        (pending carry / partial bits not yet byte-out are excluded).
+        JPEG 2000's Tier-2 layer assembly uses this to pick per-layer
+        codeword split points at coding-pass boundaries."""
+        return len(self._out) - 1
+
     def flush(self) -> bytes:
         # SETBITS + FLUSH (Figures E.10/E.11).
         tempc = self._c + self._a - 1

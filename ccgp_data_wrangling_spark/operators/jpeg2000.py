@@ -172,11 +172,20 @@ def _t1_code_block(
     h: int,
     planes: int,
     target: np.ndarray | None,
+    npasses: int | None = None,
+    pass_marks: list[int] | None = None,
 ) -> np.ndarray:
     """Shared Annex D pass loop: decodes when ``target`` is None,
     encodes the signed-coefficient array otherwise — one
     transcription of the context model serves both directions, the
-    operators/jbig2.py ``_refine_loop`` strategy."""
+    operators/jbig2.py ``_refine_loop`` strategy.
+
+    ``npasses`` limits the number of coding passes run (< 3·planes−2
+    is a TRUNCATED pass set — rate-allocated encoders truncate on
+    essentially every real lossy file); ``pass_marks`` (encode side)
+    is appended with ``coder.tell()`` after each pass so Tier-2 can
+    split the single codeword segment across quality layers at pass
+    boundaries."""
     st = _T1State(w, h)
     if target is not None:
         tmag = np.abs(target.astype(np.int64))
@@ -285,11 +294,18 @@ def _t1_code_block(
                         st.mag[yy + 1, x + 1] |= 1 << p
                         code_sign(yy, x)
 
+    total = 3 * planes - 2 if npasses is None else npasses
+    done = 0
     for p in range(planes - 1, -1, -1):
-        if p != planes - 1:
-            spp(p)
-            mrp(p)
-        cup(p)
+        if done >= total:
+            break
+        for fn in ((cup,) if p == planes - 1 else (spp, mrp, cup)):
+            if done >= total:
+                break
+            fn(p)
+            done += 1
+            if pass_marks is not None:
+                pass_marks.append(coder.tell())
         st.pi[...] = 0
     if target is not None:
         return target
@@ -690,7 +706,8 @@ def _idwt53(bands: list[dict[str, np.ndarray]]) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Codestream (Annex A) + packets (Annex B)
+# Codestream (Annex A), tile/precinct geometry (B.3-B.7), packets
+# (Annex B), progression orders (B.12)
 # ---------------------------------------------------------------------------
 
 _SOC = 0xFF4F
@@ -700,7 +717,10 @@ _COC = 0xFF53
 _QCD = 0xFF5C
 _QCC = 0xFF5D
 _RGN = 0xFF5E
+_POC = 0xFF5F
 _SOT = 0xFF90
+_SOP = 0xFF91
+_EPH = 0xFF92
 _SOD = 0xFF93
 _EOC = 0xFFD9
 _COM = 0xFF64
@@ -708,23 +728,30 @@ _COM = 0xFF64
 _BAND_CODE = {"LL": _BAND_LL_LH, "LH": _BAND_LL_LH,
               "HL": _BAND_HL, "HH": _BAND_HH}
 
-_CB = 64  # fixed 64x64 code-blocks (exponent 6 in COD SPcod)
+# Table A.16 progression orders
+_PROGS = {"LRCP": 0, "RLCP": 1, "RPCL": 2, "PCRL": 3, "CPRL": 4}
+_PROG_BY_CODE = {v: k for k, v in _PROGS.items()}
 
 
-def _band_dims(w: int, h: int, levels: int) -> list[dict[str, tuple]]:
-    """Subband extents by repeated ceil/floor halving, mirroring the
-    _fdwt53 slicing."""
-    dims = []
-    cw, ch = w, h
-    triples = []
-    for _ in range(levels):
-        lw, lh = (cw + 1) // 2, (ch + 1) // 2
-        hw, hh = cw // 2, ch // 2
-        triples.append(
-            {"HL": (hw, lh), "LH": (lw, hh), "HH": (hw, hh)}
-        )
-        cw, ch = lw, lh
-    return [{"LL": (cw, ch)}] + triples[::-1]
+def _ceil2(a: int, e: int) -> int:
+    """ceil(a / 2**e); a may be negative (band-orientation offsets)."""
+    return -((-a) >> e)
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _tile_grid(
+    w: int, h: int, xts: int, yts: int
+) -> list[tuple[int, int, int, int]]:
+    """Tile bounds on the reference grid in raster order (B.3; zero
+    image/tile offsets)."""
+    return [
+        (tx0, ty0, min(tx0 + xts, w), min(ty0 + yts, h))
+        for ty0 in range(0, h, yts)
+        for tx0 in range(0, w, xts)
+    ]
 
 
 def _code_numpasses_w(w: _PkBitWriter, n: int) -> None:
@@ -759,64 +786,387 @@ def _code_numpasses_r(r: _PkBitReader) -> int:
     return 37 + r.bits(7)
 
 
-def _quantize_97(
-    comps: list[np.ndarray], levels: int, bit_depth: int,
-    q_planes: int,
-) -> tuple[list[list[dict[str, np.ndarray]]], list[int], list[int], int]:
-    """Forward 9/7 + Annex E deadzone quantization for every
-    component → (int quantizer-index bands, ε list, μ list, guard).
-    Shared by the encoder and :func:`jpx97_reference_decode` so the
-    codestream round-trip is checked against one quantizer, not two
-    (the JPEG all-ones-table oracle strategy adapted to lossy)."""
-    bands_f = [_fdwt97(c, levels) for c in comps]
-    eps: list[int] = []
-    mus: list[int] = []
-    deltas: list[float] = []
-    for ri, res in enumerate(bands_f[0]):
-        for name in ("LL", "HL", "LH", "HH"):
-            if name not in res:
+def _prec_list(precincts, lv: int) -> list[tuple[int, int]]:
+    """Normalize a precinct spec to one (PPx, PPy) exponent pair per
+    resolution 0..lv. ``None`` is the 2^15 maximal default (one
+    precinct per resolution); a single tuple repeats for every
+    resolution."""
+    if precincts is None:
+        return [(15, 15)] * (lv + 1)
+    if isinstance(precincts, tuple):
+        precincts = [precincts] * (lv + 1)
+    pl = [tuple(p) for p in precincts]
+    if len(pl) != lv + 1:
+        raise ValueError(
+            "precincts spec needs one (PPx, PPy) pair per resolution"
+        )
+    for r, (px, py) in enumerate(pl):
+        lo = 1 if r else 0
+        if not lo <= px <= 15 or not lo <= py <= 15:
+            raise ValueError(
+                f"precinct exponent out of range at resolution {r}"
+            )
+    return pl
+
+
+def _tc_geom(
+    tcx0: int, tcy0: int, tcx1: int, tcy1: int,
+    levels: int, prec: list[tuple[int, int]], cbw: int, cbh: int,
+) -> list[dict[str, Any]]:
+    """Tile-component geometry (T.800 B.3-B.7) per resolution r:
+    resolution bounds on its own grid, subbands with ABSOLUTE band
+    coordinates, effective code-block exponents (capped by the
+    precinct size, B.7), and the precinct list in raster order with
+    each precinct's per-band code-block index ranges. Precincts and
+    code-blocks are both anchored at their grid origin 0, so they
+    nest; tile-edge blocks clip against the band extent. Callers
+    guarantee the tile-component origin is 2^levels-aligned, which
+    makes per-tile subband extents equal the halving identities the
+    DWT slicing uses."""
+    out: list[dict[str, Any]] = []
+    for r in range(levels + 1):
+        nd = levels - r
+        trx0, try0 = _ceil2(tcx0, nd), _ceil2(tcy0, nd)
+        trx1, try1 = _ceil2(tcx1, nd), _ceil2(tcy1, nd)
+        ppx, ppy = prec[r]
+        cbw_eff = min(cbw, ppx - 1 if r else ppx)
+        cbh_eff = min(cbh, ppy - 1 if r else ppy)
+        if r == 0:
+            specs = [("LL", levels, 0, 0)]
+        else:
+            n = levels - r + 1
+            specs = [("HL", n, 1, 0), ("LH", n, 0, 1),
+                     ("HH", n, 1, 1)]
+        bands = []
+        for name, n, xob, yob in specs:
+            ox = (1 << (n - 1)) * xob if n else 0
+            oy = (1 << (n - 1)) * yob if n else 0
+            bands.append({
+                "name": name,
+                "bx0": _ceil2(tcx0 - ox, n),
+                "bx1": _ceil2(tcx1 - ox, n),
+                "by0": _ceil2(tcy0 - oy, n),
+                "by1": _ceil2(tcy1 - oy, n),
+            })
+        precs = []
+        if trx0 < trx1 and try0 < try1:
+            for py in range(try0 >> ppy, _ceil2(try1, ppy)):
+                for px in range(trx0 >> ppx, _ceil2(trx1, ppx)):
+                    pbands = []
+                    for b in bands:
+                        pbx, pby = (
+                            (ppx - 1, ppy - 1) if r else (ppx, ppy)
+                        )
+                        x0 = max(px << pbx, b["bx0"])
+                        x1 = min((px + 1) << pbx, b["bx1"])
+                        y0 = max(py << pby, b["by0"])
+                        y1 = min((py + 1) << pby, b["by1"])
+                        if x0 >= x1 or y0 >= y1:
+                            pbands.append({
+                                "band": b, "gx0": 0, "gx1": 0,
+                                "gy0": 0, "gy1": 0,
+                            })
+                            continue
+                        pbands.append({
+                            "band": b, "x0": x0, "x1": x1,
+                            "y0": y0, "y1": y1,
+                            "gx0": x0 >> cbw_eff,
+                            "gx1": _ceil2(x1, cbw_eff),
+                            "gy0": y0 >> cbh_eff,
+                            "gy1": _ceil2(y1, cbh_eff),
+                        })
+                    precs.append(
+                        {"px": px, "py": py, "pbands": pbands}
+                    )
+        out.append({
+            "r": r, "trx0": trx0, "try0": try0, "trx1": trx1,
+            "try1": try1, "ppx": ppx, "ppy": ppy,
+            "cbw": cbw_eff, "cbh": cbh_eff, "bands": bands,
+            "precs": precs,
+        })
+    return out
+
+
+def _prec_blocks(pb: dict, cbw: int, cbh: int):
+    """Raster-iterate the code-blocks of one band inside one precinct
+    → (gx, gy, x0, y0, x1, y1) in ABSOLUTE band coordinates."""
+    if pb["gx1"] <= pb["gx0"] or pb["gy1"] <= pb["gy0"]:
+        return
+    for gy in range(pb["gy0"], pb["gy1"]):
+        for gx in range(pb["gx0"], pb["gx1"]):
+            yield (
+                gx, gy,
+                max(gx << cbw, pb["x0"]),
+                max(gy << cbh, pb["y0"]),
+                min((gx + 1) << cbw, pb["x1"]),
+                min((gy + 1) << cbh, pb["y1"]),
+            )
+
+
+def _packet_order(
+    prog: str, layers: int, geoms: list, subs: list[tuple[int, int]],
+) -> list[tuple[int, int, int, int]]:
+    """Packet sequence for one tile (B.12) → ordered (layer, comp,
+    res, precinct-index). Position keys are each precinct's top-left
+    sample on the REFERENCE grid (clipped to the tile — that only
+    moves a partial first precinct, preserving order); the five
+    progressions are then lexicographic sorts, which reproduces the
+    B.12 loop algorithms for zero-origin canvases."""
+    base = []
+    for c, geom in enumerate(geoms):
+        xr, yr = subs[c]
+        nl = len(geom) - 1
+        for rg in geom:
+            r = rg["r"]
+            sx, sy = xr << (nl - r), yr << (nl - r)
+            for pi, pr in enumerate(rg["precs"]):
+                x = max(pr["px"] << rg["ppx"], rg["trx0"]) * sx
+                y = max(pr["py"] << rg["ppy"], rg["try0"]) * sy
+                base.append((c, r, pi, x, y))
+    key = {
+        "LRCP": lambda l, c, r, pi, x, y: (l, r, c, pi),
+        "RLCP": lambda l, c, r, pi, x, y: (r, l, c, pi),
+        "RPCL": lambda l, c, r, pi, x, y: (r, y, x, c, l),
+        "PCRL": lambda l, c, r, pi, x, y: (y, x, c, r, l),
+        "CPRL": lambda l, c, r, pi, x, y: (c, y, x, r, l),
+    }[prog]
+    ents = [(l, c, r, pi, x, y)
+            for l in range(layers) for (c, r, pi, x, y) in base]
+    ents.sort(key=lambda e: key(*e))
+    return [(l, c, r, pi) for (l, c, r, pi, _x, _y) in ents]
+
+
+def _q97_band_classes(levels: int) -> list[tuple[int, str]]:
+    """(resolution, band) pairs in QCD/QCC subband order (LL first,
+    then HL/LH/HH per resolution) — the ``_qcd_index`` layout."""
+    out = [(0, "LL")]
+    for r in range(1, levels + 1):
+        out += [(r, "HL"), (r, "LH"), (r, "HH")]
+    return out
+
+
+def _band_quant(quant: dict, r: int, name: str) -> tuple[int, int]:
+    """(ε_b, μ_b) for one subband under a parsed QCD/QCC. Scalar
+    DERIVED (style 1, equation E-5): ε_b = ε₀ − N_L + n_b — one
+    marker pair serves every subband; expounded (style 2) and
+    no-quantization (style 0) read their per-band entry."""
+    if quant["style"] == 1:
+        eps = quant["eps"][0] if r == 0 else quant["eps"][0] - r + 1
+        if eps < 0:
+            raise ValueError(
+                "derived quantization exponent goes negative at "
+                f"resolution {r}"
+            )
+        return eps, quant["mus"][0]
+    qi = _qcd_index(r, name)
+    if qi >= len(quant["eps"]):
+        raise ValueError("QCD/QCC carries too few subband entries")
+    mu = quant["mus"][qi] if quant["mus"] is not None else 0
+    return quant["eps"][qi], mu
+
+
+def _band_mb(quant: dict, r: int, name: str, rgn_shift: int) -> int:
+    """Magnitude bitplanes for a subband: Mb = G + ε_b − 1 (E-2),
+    plus the implicit-ROI upshift when an RGN marker applies to the
+    component (H.2)."""
+    eps, _ = _band_quant(quant, r, name)
+    return quant["guard"] + eps - 1 + rgn_shift
+
+
+def _quant_seg(q: dict) -> bytes:
+    """Serialize a quant dict as an Sqcd/Sqcc + SPqcd/SPqcc body."""
+    b = bytes([(q["guard"] << 5) | q["style"]])
+    if q["style"] == 0:
+        for e in q["eps"]:
+            b += bytes([e << 3])
+    else:
+        for e, mu in zip(q["eps"], q["mus"]):
+            b += struct.pack(">H", (e << 11) | mu)
+    return b
+
+
+def _parse_quant(seg: bytes) -> dict:
+    """Parse a QCD/QCC body: style 0 (no quantization, per-band
+    exponent bytes), style 1 (scalar DERIVED, exactly one 16-bit
+    (ε, μ) pair), style 2 (scalar expounded, one pair per band)."""
+    sq = seg[0]
+    style = sq & 0x1F
+    guard = sq >> 5
+    if style == 0:
+        return {"style": 0, "guard": guard,
+                "eps": [b >> 3 for b in seg[1:]], "mus": None}
+    if style in (1, 2):
+        pairs = [
+            struct.unpack_from(">H", seg, 1 + 2 * i)[0]
+            for i in range((len(seg) - 1) // 2)
+        ]
+        if style == 1 and len(pairs) != 1:
+            raise ValueError(
+                "scalar derived QCD/QCC must carry exactly one "
+                "(ε, μ) pair"
+            )
+        return {"style": style, "guard": guard,
+                "eps": [p >> 11 for p in pairs],
+                "mus": [p & 0x7FF for p in pairs]}
+    raise ValueError(f"invalid Sqcd/Sqcc style {style}")
+
+
+def _select_q97(
+    bands_list: list[list[dict[str, np.ndarray]]],
+    levels: int, depth: int, q_planes: int, derived: bool,
+) -> tuple[dict, list[list[dict[str, np.ndarray]]]]:
+    """Choose (ε, μ) per subband class (scalar expounded) or the
+    single derived pair (E-5) so max |q| stays under ``2**q_planes``
+    across every float band dict in ``bands_list`` (one entry per
+    tile, or per tile × component when QCD is codestream-global),
+    then quantize each to integer indices. The exact Δ both sides use
+    is recomputed from the marker-coded values, never the target."""
+    classes = _q97_band_classes(levels)
+    maxes = []
+    for r, name in classes:
+        m = 0.0
+        for bf in bands_list:
+            band = bf[r].get(name)
+            if band is not None and band.size:
+                m = max(m, float(np.abs(band).max()))
+        maxes.append(m)
+    if derived:
+        u = 0.0
+        for (r, name), m in zip(classes, maxes):
+            if m <= 0.0:
                 continue
-            m = 0.0
-            for bf in bands_f:
-                band = bf[ri][name]
-                if band.size:
-                    m = max(m, float(np.abs(band).max()))
-            e, mu = _q97_select(m, bit_depth, name, q_planes)
+            rb = depth + _BAND_GAIN[name] + (0 if r == 0 else 1 - r)
+            u = max(u, m / (2.0**q_planes - 1.0) / 2.0**rb)
+        if u <= 0.0:
+            e0, mu0 = min(depth, 31), 0
+        else:
+            f = int(np.floor(np.log2(u)))
+            e0 = -f
+            mu0 = int(np.ceil((u / 2.0**f - 1.0) * 2048.0))
+            if mu0 > 2047:
+                mu0 = 0
+                e0 -= 1
+        if e0 > 31:
+            e0, mu0 = 31, 0
+        if e0 < 0 or e0 - levels + 1 < 0:
+            raise ValueError(
+                "derived quantization exponent out of range "
+                f"(e0={e0}, levels={levels})"
+            )
+        quant = {"style": 1, "guard": 2, "eps": [e0], "mus": [mu0]}
+    else:
+        eps, mus = [], []
+        for (r, name), m in zip(classes, maxes):
+            e, mu = _q97_select(m, depth, name, q_planes)
             eps.append(e)
             mus.append(mu)
-            deltas.append(_q97_delta(bit_depth, name, e, mu))
-    all_bands: list[list[dict[str, np.ndarray]]] = []
-    need_bits = [1] * len(eps)
-    for bf in bands_f:
-        per_comp: list[dict[str, np.ndarray]] = []
-        for ri, res in enumerate(bf):
-            out_res: dict[str, np.ndarray] = {}
-            for name in ("LL", "HL", "LH", "HH"):
-                if name not in res:
+        quant = {"style": 2, "guard": 2, "eps": eps, "mus": mus}
+    deltas = [
+        _q97_delta(depth, name, *_band_quant(quant, r, name))
+        for r, name in classes
+    ]
+    out = []
+    need = [1] * len(classes)
+    for bf in bands_list:
+        per: list[dict[str, np.ndarray]] = []
+        for r in range(levels + 1):
+            o: dict[str, np.ndarray] = {}
+            for qi, (rr, name) in enumerate(classes):
+                if rr != r:
                     continue
-                band = res[name]
-                qi = _qcd_index(ri, name)
+                band = bf[r].get(name)
+                if band is None:
+                    continue
                 q = np.floor(np.abs(band) / deltas[qi]).astype(
                     np.int64
                 ) * np.where(band < 0, -1, 1)
-                out_res[name] = q
+                o[name] = q
                 if q.size:
                     mq = int(np.abs(q).max())
-                    need_bits[qi] = max(
-                        need_bits[qi], max(1, mq.bit_length())
-                    )
-            per_comp.append(out_res)
-        all_bands.append(per_comp)
-    # Mb = guard + ε - 1 must cover the actual quantizer magnitudes
-    guard = max(
-        [2] + [need_bits[i] - eps[i] + 1 for i in range(len(eps))]
-    )
+                    need[qi] = max(need[qi], max(1, mq.bit_length()))
+            per.append(o)
+        out.append(per)
+    # Mb = guard + ε_b − 1 must cover the actual quantizer magnitudes
+    guard = max([2] + [
+        need[qi] - _band_quant(quant, r, name)[0] + 1
+        for qi, (r, name) in enumerate(classes)
+    ])
     if guard > 7:
         raise ValueError(
             f"9/7 guard bits {guard} over the 3-bit field "
             f"(q_planes too large for the band exponents)"
         )
-    return all_bands, eps, mus, guard
+    quant["guard"] = guard
+    return quant, out
+
+
+def _select_53(
+    bands_list: list[list[dict[str, np.ndarray]]],
+    levels: int, eps_slack: int,
+) -> dict:
+    """Reversible path: no quantization (style 0); per-band exponents
+    sized so Mb = G + ε − 1 covers the actual coefficient magnitudes
+    (+ optional slack so the zero-bitplane tag trees carry work)."""
+    classes = _q97_band_classes(levels)
+    eps = []
+    for r, name in classes:
+        m = 0
+        for bf in bands_list:
+            band = bf[r].get(name)
+            if band is not None and band.size:
+                m = max(m, int(np.abs(band).max()))
+        e = max(0, max(1, m.bit_length()) - 2 + 1 + eps_slack)
+        if e > 31:
+            raise ValueError("exponent over 31")
+        eps.append(e)
+    return {"style": 0, "guard": 2, "eps": eps, "mus": None}
+
+
+def _split_layers(
+    npasses: int, payload: bytes, marks: list[int],
+    first: int, layers: int,
+) -> list[tuple[int, bytes]]:
+    """Distribute one code-block's coding passes across quality
+    layers ``first..layers-1`` (as evenly as the pass count allows,
+    the first carrying layer never empty) and split the single
+    codeword segment at the recorded pass-boundary byte marks —
+    B.10.8 only requires per-packet segment lengths to concatenate
+    back to the full codeword."""
+    active = layers - first
+    counts = [
+        npasses // active + (1 if i < npasses % active else 0)
+        for i in range(active)
+    ]
+    last_nz = max(i for i, n in enumerate(counts) if n)
+    out: list[tuple[int, bytes]] = [(0, b"")] * first
+    cum = 0
+    prev = 0
+    for i, n in enumerate(counts):
+        cum += n
+        if n == 0:
+            cut = prev
+        elif i == last_nz:
+            cut = len(payload)
+        else:
+            cut = min(max(marks[cum - 1], prev), len(payload))
+        out.append((n, payload[prev:cut]))
+        prev = cut
+    return out
+
+
+def _emit_contrib(
+    hdr: _PkBitWriter, st: dict, np_l: int, seg: bytes
+) -> None:
+    """Per-layer block contribution: coding-pass count, Lblock
+    increments, then the segment length (B.10.7.1)."""
+    _code_numpasses_w(hdr, np_l)
+    nbits = st["lblock"] + _ilog2(np_l)
+    while len(seg) >= (1 << nbits):
+        hdr.bit(1)
+        st["lblock"] += 1
+        nbits += 1
+    hdr.bit(0)
+    hdr.bits(len(seg), nbits)
 
 
 def _block_mean(a: np.ndarray, xr: int, yr: int) -> np.ndarray:
@@ -857,6 +1207,324 @@ def _prep_97_components(
     return [y, cb, cr], 1
 
 
+def _apply_rgn(
+    tiles_bands: list[list[dict[str, np.ndarray]]],
+) -> int:
+    """Implicit (maxshift, H.2) ROI on one component's quantizer
+    indices: the fixture's ROI mask is each band's top-left quadrant.
+    SPrgn is the background's max magnitude bit length — H.2's
+    condition that shifted ROI and background magnitudes never
+    overlap — and ROI magnitudes shift up in place. Returns SPrgn.
+
+    Decode-side the shift is exactly invertible, so maxshift ROI is
+    lossless-transparent and the lossy replay oracle needs no ROI
+    awareness."""
+    s = 0
+    masks: list[np.ndarray | None] = []
+    for bf in tiles_bands:
+        for res in bf:
+            for q in res.values():
+                bh, bw = q.shape
+                if not q.size:
+                    masks.append(None)
+                    continue
+                yy, xx = np.mgrid[0:bh, 0:bw]
+                mask = (yy < (bh + 1) // 2) & (xx < (bw + 1) // 2)
+                masks.append(mask)
+                bg = np.abs(q[~mask])
+                if bg.size:
+                    s = max(s, int(bg.max()).bit_length())
+    if s == 0:
+        s = 1  # all-background-zero: any positive shift is valid
+    i = 0
+    for bf in tiles_bands:
+        for res in bf:
+            for q in res.values():
+                mask = masks[i]
+                i += 1
+                if mask is not None:
+                    q[mask] = q[mask] * (1 << s)
+    return s
+
+
+def _encode_front(
+    samples: np.ndarray,
+    bit_depth: int,
+    levels: int,
+    eps_slack: int,
+    irreversible: bool,
+    q_planes: int,
+    subsample: tuple[int, int] | None,
+    tiles: tuple[int, int] | None,
+    derived: bool,
+    coc_levels: dict[int, int] | None,
+    qcc: bool,
+    rgn,
+    truncate_planes: int,
+) -> dict[str, Any]:
+    """Shared encoder front half: components → tile grid → per-tile
+    DWT → quantizer selection (codestream-global QCD, or per-component
+    for QCC/COC streams) → integer quantizer-index bands (+ the
+    implicit-ROI upshift). Both :func:`encode_jpx` and
+    :func:`jpx97_reference_decode` run THIS code, so the replay
+    comparison pins the marker/Tier-2/Tier-1/MQ layers round-tripping
+    these exact integers."""
+    h, w = samples.shape[:2]
+    if min(h, w) < 1:
+        raise ValueError("empty image")
+    if samples.ndim == 3 and samples.shape[2] != 3:
+        raise ValueError("samples must be (h, w) or (h, w, 3)")
+    if samples.ndim not in (2, 3):
+        raise ValueError("samples must be (h, w) or (h, w, 3)")
+    if derived and not irreversible:
+        raise ValueError("scalar derived quantization pairs with 9/7")
+    if truncate_planes and rgn:
+        raise ValueError(
+            "truncate_planes and rgn are mutually exclusive in the "
+            "fixture encoder"
+        )
+    coc_levels = dict(coc_levels or {})
+    if 0 in coc_levels:
+        raise ValueError(
+            "COC on component 0 (the QCD anchor) is not supported by "
+            "the fixture encoder"
+        )
+    if irreversible:
+        if eps_slack:
+            raise ValueError(
+                "eps_slack applies to the reversible path only"
+            )
+        comps, mct = _prep_97_components(samples, bit_depth, subsample)
+    else:
+        if subsample is not None:
+            raise ValueError(
+                "subsampling pairs with the irreversible (ICT) path"
+            )
+        if samples.ndim == 2:
+            comps = [samples.astype(np.int64)]
+            mct = 0
+        else:
+            r_ = samples[..., 0].astype(np.int64)
+            g_ = samples[..., 1].astype(np.int64)
+            b_ = samples[..., 2].astype(np.int64)
+            # RCT (G.2); DC level shift on the luma only — chroma
+            # differences are already signed
+            comps = [(r_ + 2 * g_ + b_) >> 2, b_ - g_, r_ - g_]
+            mct = 1
+        comps[0] = comps[0] - (1 << (bit_depth - 1))
+    ncomp = len(comps)
+    subs = [(1, 1)] + [
+        subsample if subsample is not None else (1, 1)
+    ] * (ncomp - 1)
+    lv_c = [coc_levels.get(c, levels) for c in range(ncomp)]
+    per_comp_quant = bool(coc_levels) or qcc
+    xts = tiles[0] if tiles else w
+    yts = tiles[1] if tiles else h
+    tgrid = _tile_grid(w, h, xts, yts)
+    if len(tgrid) > 1:
+        for c in range(ncomp):
+            xr, yr = subs[c]
+            if xts % (xr << lv_c[c]) or yts % (yr << lv_c[c]):
+                raise ValueError(
+                    "tile size must be a multiple of XRsiz*2^levels "
+                    "and YRsiz*2^levels per component so per-tile "
+                    "subband phases stay aligned"
+                )
+    fdwt = _fdwt97 if irreversible else _fdwt53
+    bands_f = [
+        [
+            fdwt(
+                comps[c][
+                    _ceil_div(tb[1], subs[c][1]):
+                    _ceil_div(tb[3], subs[c][1]),
+                    _ceil_div(tb[0], subs[c][0]):
+                    _ceil_div(tb[2], subs[c][0]),
+                ],
+                lv_c[c],
+            )
+            for tb in tgrid
+        ]
+        for c in range(ncomp)
+    ]
+    quants: list[dict] = [{}] * ncomp
+    if irreversible:
+        if per_comp_quant:
+            qbands = []
+            for c in range(ncomp):
+                quants[c], qb = _select_q97(
+                    bands_f[c], lv_c[c], bit_depth, q_planes, derived
+                )
+                qbands.append(qb)
+        else:
+            merged = [bf for c in range(ncomp) for bf in bands_f[c]]
+            quant, qall = _select_q97(
+                merged, levels, bit_depth, q_planes, derived
+            )
+            quants = [quant] * ncomp
+            nt = len(tgrid)
+            qbands = [
+                qall[c * nt:(c + 1) * nt] for c in range(ncomp)
+            ]
+    else:
+        qbands = bands_f
+        if per_comp_quant:
+            for c in range(ncomp):
+                quants[c] = _select_53(bands_f[c], lv_c[c], eps_slack)
+        else:
+            merged = [bf for c in range(ncomp) for bf in bands_f[c]]
+            quant = _select_53(merged, levels, eps_slack)
+            quants = [quant] * ncomp
+    rgn_shift = [0] * ncomp
+    if rgn:
+        for c in rgn:
+            rgn_shift[c] = _apply_rgn(qbands[c])
+    return {
+        "w": w, "h": h, "ncomp": ncomp, "mct": mct, "subs": subs,
+        "lv_c": lv_c, "tgrid": tgrid, "xts": xts, "yts": yts,
+        "qbands": qbands, "quants": quants,
+        "per_comp_quant": per_comp_quant, "rgn_shift": rgn_shift,
+        "irreversible": irreversible, "depth": bit_depth,
+    }
+
+
+def _encode_tile(
+    fr: dict, t: int, tb: tuple[int, int, int, int],
+    prec_c: list[list[tuple[int, int]]], cbw: int, cbh: int,
+    layers: int, progression: str, sop: bool, eph: bool,
+    truncate_planes: int,
+) -> bytes:
+    """Tier-1 encode every code-block of one tile, split the
+    codewords across quality layers at coding-pass boundaries, then
+    emit the packet sequence in the tile's progression order
+    (Annex B) with per-precinct inclusion/zero-bitplane tag trees."""
+    ncomp = fr["ncomp"]
+    geoms = []
+    for c in range(ncomp):
+        xr, yr = fr["subs"][c]
+        geoms.append(_tc_geom(
+            _ceil_div(tb[0], xr), _ceil_div(tb[1], yr),
+            _ceil_div(tb[2], xr), _ceil_div(tb[3], yr),
+            fr["lv_c"][c], prec_c[c], cbw, cbh,
+        ))
+    blockinfo: dict[tuple, dict] = {}
+    for c, geom in enumerate(geoms):
+        for rg in geom:
+            for pi, pr in enumerate(rg["precs"]):
+                for pb in pr["pbands"]:
+                    b = pb["band"]
+                    arr = fr["qbands"][c][t][rg["r"]].get(b["name"])
+                    if arr is None:
+                        continue
+                    mb = _band_mb(
+                        fr["quants"][c], rg["r"], b["name"],
+                        fr["rgn_shift"][c],
+                    )
+                    for gx, gy, x0, y0, x1, y1 in _prec_blocks(
+                        pb, rg["cbw"], rg["cbh"]
+                    ):
+                        blk = arr[y0 - b["by0"]:y1 - b["by0"],
+                                  x0 - b["bx0"]:x1 - b["bx0"]]
+                        m = int(np.abs(blk).max()) if blk.size else 0
+                        if m == 0:
+                            continue
+                        planes = m.bit_length()
+                        if planes <= truncate_planes:
+                            continue  # every pass truncated away
+                        p0 = mb - planes
+                        if p0 < 0:
+                            raise AssertionError("exponent under-sized")
+                        npass = 3 * (planes - truncate_planes) - 2
+                        enc = MQEncoder()
+                        stats = _fresh_stats()
+                        marks: list[int] = []
+                        _t1_code_block(
+                            enc, stats, _BAND_CODE[b["name"]],
+                            blk.shape[1], blk.shape[0], planes, blk,
+                            npasses=npass, pass_marks=marks,
+                        )
+                        payload = enc.flush()
+                        if payload.endswith(b"\xff\xac"):
+                            payload = payload[:-2]
+                        while payload.endswith(b"\xff"):
+                            payload = payload[:-1]
+                        first = (gx + gy) % layers
+                        key = (c, rg["r"], pi, b["name"], gx, gy)
+                        blockinfo[key] = {
+                            "p0": p0,
+                            "first": first,
+                            "layers": _split_layers(
+                                npass, payload, marks, first, layers
+                            ),
+                        }
+    order = _packet_order(progression, layers, geoms, fr["subs"])
+    body = bytearray()
+    trees: dict[tuple, tuple[TagTree, TagTree]] = {}
+    bstate: dict[tuple, dict] = {}
+    nsop = 0
+    for lq, c, r, pi in order:
+        rg = geoms[c][r]
+        pr = rg["precs"][pi]
+        hdr = _PkBitWriter()
+        hdr.bit(1)  # packet non-empty
+        segs: list[bytes] = []
+        for pb in pr["pbands"]:
+            gw = pb["gx1"] - pb["gx0"]
+            gh = pb["gy1"] - pb["gy0"]
+            if gw <= 0 or gh <= 0:
+                continue
+            bname = pb["band"]["name"]
+            tkey = (c, r, pi, bname)
+            if tkey not in trees:
+                inc = TagTree(gw, gh)
+                zbp = TagTree(gw, gh)
+                il = np.full((gh, gw), layers, np.int64)
+                zl = np.full((gh, gw), 1 << 20, np.int64)
+                for gx, gy, *_rest in _prec_blocks(
+                    pb, rg["cbw"], rg["cbh"]
+                ):
+                    bi = blockinfo.get((c, r, pi, bname, gx, gy))
+                    if bi is not None:
+                        il[gy - pb["gy0"], gx - pb["gx0"]] = bi["first"]
+                        zl[gy - pb["gy0"], gx - pb["gx0"]] = bi["p0"]
+                inc.set_leaves(il)
+                zbp.set_leaves(zl)
+                trees[tkey] = (inc, zbp)
+            inc, zbp = trees[tkey]
+            for gx, gy, *_rest in _prec_blocks(
+                pb, rg["cbw"], rg["cbh"]
+            ):
+                lx, ly = gx - pb["gx0"], gy - pb["gy0"]
+                key = (c, r, pi, bname, gx, gy)
+                bi = blockinfo.get(key)
+                st = bstate.get(key)
+                if st is None:
+                    inc.encode(hdr, lx, ly, lq + 1)
+                    if bi is not None and bi["first"] == lq:
+                        zbp.encode(hdr, lx, ly, bi["p0"] + 1)
+                        st = {"lblock": 3}
+                        bstate[key] = st
+                        np_l, seg = bi["layers"][lq]
+                        _emit_contrib(hdr, st, np_l, seg)
+                        segs.append(seg)
+                else:
+                    np_l, seg = bi["layers"][lq]
+                    if np_l == 0:
+                        hdr.bit(0)
+                    else:
+                        hdr.bit(1)
+                        _emit_contrib(hdr, st, np_l, seg)
+                        segs.append(seg)
+        if sop:
+            body += struct.pack(">HHH", _SOP, 4, nsop & 0xFFFF)
+        nsop += 1
+        body += hdr.flush()
+        if eph:
+            body += struct.pack(">H", _EPH)
+        for sg in segs:
+            body += sg
+    return bytes(body)
+
+
 def encode_jpx(
     samples: np.ndarray,
     bit_depth: int = 8,
@@ -866,184 +1534,120 @@ def encode_jpx(
     irreversible: bool = False,
     q_planes: int = 9,
     subsample: tuple[int, int] | None = None,
+    tiles: tuple[int, int] | None = None,
+    layers: int = 1,
+    progression: str = "LRCP",
+    precincts=None,
+    sop: bool = False,
+    eph: bool = False,
+    derived: bool = False,
+    truncate_planes: int = 0,
+    cb_exp: tuple[int, int] = (6, 6),
+    coc_levels: dict[int, int] | None = None,
+    qcc: bool = False,
+    rgn=None,
 ) -> bytes:
-    """Fixture writer: one tile, one layer, LRCP, 64×64 code-blocks,
-    RCT for 3-component input. ``samples`` is (h, w) grayscale or
-    (h, w, 3) RGB of unsigned ``bit_depth`` values. ``eps_slack``
-    inflates the per-band exponent so the zero-bitplane tag-tree path
-    carries real work (reversible path only). ``irreversible=True``
-    switches to the 9/7 float transform + ICT + Annex E scalar
-    expounded quantization with ``q_planes`` magnitude planes as the
-    rate knob."""
-    h, w = samples.shape[:2]
-    if min(h, w) < 1:
-        raise ValueError("empty image")
-    if samples.ndim == 3 and samples.shape[2] != 3:
-        raise ValueError("samples must be (h, w) or (h, w, 3)")
-    if samples.ndim not in (2, 3):
-        raise ValueError("samples must be (h, w) or (h, w, 3)")
-    if irreversible:
-        if eps_slack:
-            raise ValueError(
-                "eps_slack applies to the reversible path only"
-            )
-        comps_f, mct = _prep_97_components(
-            samples, bit_depth, subsample
-        )
-        all_bands, eps, mus, guard = _quantize_97(
-            comps_f, levels, bit_depth, q_planes
-        )
-        ncomp = len(comps_f)
-    elif subsample is not None:
-        raise ValueError(
-            "subsampling pairs with the irreversible (ICT) path"
-        )
-    else:
-        if samples.ndim == 2:
-            comps = [samples.astype(np.int64)]
-            mct = 0
-        else:
-            r = samples[..., 0].astype(np.int64)
-            g = samples[..., 1].astype(np.int64)
-            b = samples[..., 2].astype(np.int64)
-            comps = [(r + 2 * g + b) >> 2, b - g, r - g]  # RCT (G.2)
-            mct = 1
-        shift = 1 << (bit_depth - 1)
-        comps[0] = comps[0] - shift  # DC level shift (first component
-        # only under RCT; chroma differences are already signed)
-        # per-component wavelet
-        all_bands = [_fdwt53(c, levels) for c in comps]
-        ncomp = len(comps)
-        # quantization exponents: enough magnitude bits for the
-        # actual coefficients (+ slack), G = 2 guard bits →
-        # Mb = G + eps - 1
-        guard = 2
-        # QCD is codestream-global (no QCC emitted): one exponent per
-        # subband, sized to the max magnitude across components
-        eps = []
-        for ri, res in enumerate(all_bands[0]):
-            for name in ("LL", "HL", "LH", "HH"):
-                if name not in res:
-                    continue
-                m = 0
-                for bands in all_bands:
-                    band = bands[ri][name]
-                    if band.size:
-                        m = max(m, int(np.abs(band).max()))
-                need = max(1, m.bit_length())
-                e = need - guard + 1 + eps_slack
-                if e < 0:
-                    e = 0
-                if e > 31:
-                    raise ValueError("exponent over 31")
-                eps.append(e)
-    dims = _band_dims(w, h, levels)
-    # markers
+    """Fixture writer. ``samples`` is (h, w) grayscale or (h, w, 3)
+    RGB of unsigned ``bit_depth`` values; the default output is the
+    r12 shape — one tile, one layer, LRCP, 64×64 code-blocks, maximal
+    precincts, RCT (5/3) or ICT (9/7 with ``irreversible=True``).
+
+    Structural knobs (all Annex A/B features the decoder supports):
+
+    * ``tiles=(XTsiz, YTsiz)`` — a real tile grid (sizes must be
+      multiples of XRsiz·2^levels per component, B.3 alignment);
+    * ``layers`` — quality layers; each code-block's passes split
+      across layers from a per-block first-inclusion layer, codeword
+      bytes cut at coding-pass boundaries;
+    * ``progression`` — any of LRCP/RLCP/RPCL/PCRL/CPRL (B.12);
+    * ``precincts`` — (PPx, PPy) or a per-resolution list (Scod bit
+      0 + per-resolution exponent bytes);
+    * ``sop``/``eph`` — SOP marker per packet / EPH after each
+      packet header;
+    * ``derived`` — scalar DERIVED quantization (one QCD pair, E-5)
+      on the 9/7 path;
+    * ``truncate_planes=k`` — drop the k lowest magnitude planes of
+      every code-block (npasses = 3·(planes−k)−2, the whole-plane
+      truncation the replay oracle can mirror exactly);
+    * ``cb_exp`` — code-block exponents (A.6.1 ranges);
+    * ``coc_levels={c: lv}`` — per-component decomposition override
+      (emits COC + per-component QCC);
+    * ``qcc=True`` — per-component quantization (QCC for c ≥ 1);
+    * ``rgn=[c, ...]`` — implicit maxshift ROI per component (RGN
+      marker; the fixture's ROI mask is each band's top-left
+      quadrant; exactly invertible on decode).
+
+    ``eps_slack`` inflates reversible-path exponents so the
+    zero-bitplane tag trees carry real work."""
+    if progression not in _PROGS:
+        raise ValueError(f"unknown progression order {progression!r}")
+    if layers < 1:
+        raise ValueError("layers must be >= 1")
+    if truncate_planes < 0:
+        raise ValueError("truncate_planes must be >= 0")
+    cbw, cbh = cb_exp
+    if not 2 <= cbw <= 10 or not 2 <= cbh <= 10 or cbw + cbh > 12:
+        raise ValueError("code-block exponents out of the A.6.1 range")
+    fr = _encode_front(
+        samples, bit_depth, levels, eps_slack, irreversible, q_planes,
+        subsample, tiles, derived, coc_levels, qcc, rgn,
+        truncate_planes,
+    )
+    ncomp, w, h = fr["ncomp"], fr["w"], fr["h"]
+    prec_c = [
+        _prec_list(precincts, fr["lv_c"][c]) for c in range(ncomp)
+    ]
     out = bytearray()
     out += struct.pack(">H", _SOC)
     siz = struct.pack(
-        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp
+        ">HIIIIIIIIH", 0, w, h, 0, 0, fr["xts"], fr["yts"], 0, 0,
+        ncomp,
     )
     for c in range(ncomp):
-        xr, yr = (
-            subsample if subsample is not None and c > 0 else (1, 1)
-        )
+        xr, yr = fr["subs"][c]
         siz += bytes([bit_depth - 1, xr, yr])
     out += struct.pack(">HH", _SIZ, len(siz) + 2) + siz
-    cod = bytes([0])  # Scod: default precincts, no SOP/EPH
-    cod += bytes([0]) + struct.pack(">H", 1) + bytes([mct])  # SGcod
-    # SPcod: 64x64 code-blocks; transform byte 0 = 9/7, 1 = 5/3
-    cod += bytes([levels, 6 - 2, 6 - 2, 0, 0 if irreversible else 1])
+    scod = (
+        (1 if precincts is not None else 0)
+        | (2 if sop else 0)
+        | (4 if eph else 0)
+    )
+    cod = bytes([scod, _PROGS[progression]])
+    cod += struct.pack(">H", layers) + bytes([fr["mct"]])
+    cod += bytes([levels, cbw - 2, cbh - 2, 0,
+                  0 if irreversible else 1])
+    if precincts is not None:
+        for ppx, ppy in _prec_list(precincts, levels):
+            cod += bytes([(ppy << 4) | ppx])
     out += struct.pack(">HH", _COD, len(cod) + 2) + cod
-    if irreversible:
-        # Sqcd style 2: scalar expounded, one 16-bit (ε, μ) per band
-        qcd = bytes([(guard << 5) | 2])
-        for e, mu in zip(eps, mus):
-            qcd += struct.pack(">H", (e << 11) | mu)
-    else:
-        qcd = bytes([guard << 5])  # Sqcd: no quantization, G guard
-        for e in eps:
-            qcd += bytes([e << 3])
-    out += struct.pack(">HH", _QCD, len(qcd) + 2) + qcd
-    # tile: packets LRCP — layer(1) → resolution → component
-    body = bytearray()
-    for r in range(levels + 1):
-        for c in range(ncomp):
-            hdr = _PkBitWriter()
-            hdr.bit(1)  # packet non-empty
-            cb_payloads: list[bytes] = []
-            for name in ("LL", "HL", "LH", "HH"):
-                if name not in all_bands[c][r]:
-                    continue
-                coeffs = all_bands[c][r][name]
-                bh, bw = coeffs.shape
-                if bw == 0 or bh == 0:
-                    continue
-                # code-block grid over the band (the whole band is
-                # one precinct at the default 2^15 size); inclusion
-                # and zero-bitplane tag trees span the grid
-                gw = (bw + _CB - 1) // _CB
-                gh = (bh + _CB - 1) // _CB
-                inc = TagTree(gw, gh)
-                zbp = TagTree(gw, gh)
-                mb = guard + eps[_qcd_index(r, name)] - 1
-                inc_leaves = np.zeros((gh, gw), np.int64)
-                zbp_leaves = np.full((gh, gw), mb, np.int64)
-                blocks: dict[tuple[int, int], tuple] = {}
-                for by in range(gh):
-                    for bx in range(gw):
-                        blk = coeffs[
-                            by * _CB : (by + 1) * _CB,
-                            bx * _CB : (bx + 1) * _CB,
-                        ]
-                        m = int(np.abs(blk).max())
-                        if m == 0:
-                            inc_leaves[by, bx] = 1  # not included
-                            continue
-                        planes = m.bit_length()
-                        p0 = mb - planes
-                        if p0 < 0:
-                            raise AssertionError("exponent under-sized")
-                        zbp_leaves[by, bx] = p0
-                        blocks[(by, bx)] = (blk, planes, p0)
-                inc.set_leaves(inc_leaves)
-                zbp.set_leaves(zbp_leaves)
-                for by in range(gh):
-                    for bx in range(gw):
-                        inc.encode(hdr, bx, by, 1)
-                        if (by, bx) not in blocks:
-                            continue
-                        blk, planes, p0 = blocks[(by, bx)]
-                        zbp.encode(hdr, bx, by, p0 + 1)
-                        npass = 3 * planes - 2
-                        _code_numpasses_w(hdr, npass)
-                        enc = MQEncoder()
-                        stats = _fresh_stats()
-                        _t1_code_block(
-                            enc, stats, _BAND_CODE[name],
-                            blk.shape[1], blk.shape[0], planes, blk,
-                        )
-                        payload = enc.flush()
-                        if payload.endswith(b"\xff\xac"):
-                            payload = payload[:-2]
-                        while payload.endswith(b"\xff"):
-                            payload = payload[:-1]
-                        lblock = 3
-                        nbits = lblock + _ilog2(npass)
-                        while len(payload) >= (1 << nbits):
-                            hdr.bit(1)
-                            lblock += 1
-                            nbits += 1
-                        hdr.bit(0)
-                        hdr.bits(len(payload), nbits)
-                        cb_payloads.append(payload)
-            body += hdr.flush()
-            for pl in cb_payloads:
-                body += pl
-    psot = 12 + 2 + len(body)
-    out += struct.pack(">HHHIBB", _SOT, 10, 0, psot, 0, 1)
-    out += struct.pack(">H", _SOD)
-    out += body
+    for c in sorted(coc_levels or {}):
+        lvc = fr["lv_c"][c]
+        coc = bytes([c, 1 if precincts is not None else 0])
+        coc += bytes([lvc, cbw - 2, cbh - 2, 0,
+                      0 if irreversible else 1])
+        if precincts is not None:
+            for ppx, ppy in _prec_list(precincts, lvc):
+                coc += bytes([(ppy << 4) | ppx])
+        out += struct.pack(">HH", _COC, len(coc) + 2) + coc
+    qseg = _quant_seg(fr["quants"][0])
+    out += struct.pack(">HH", _QCD, len(qseg) + 2) + qseg
+    if fr["per_comp_quant"]:
+        for c in range(1, ncomp):
+            seg = bytes([c]) + _quant_seg(fr["quants"][c])
+            out += struct.pack(">HH", _QCC, len(seg) + 2) + seg
+    for c in range(ncomp):
+        if fr["rgn_shift"][c]:
+            seg = bytes([c, 0, fr["rgn_shift"][c]])
+            out += struct.pack(">HH", _RGN, len(seg) + 2) + seg
+    for t, tb in enumerate(fr["tgrid"]):
+        body = _encode_tile(
+            fr, t, tb, prec_c, cbw, cbh, layers, progression, sop,
+            eph, truncate_planes,
+        )
+        psot = 12 + 2 + len(body)
+        out += struct.pack(">HHHIBB", _SOT, 10, t, psot, 0, 1)
+        out += struct.pack(">H", _SOD)
+        out += body
     out += struct.pack(">H", _EOC)
     codestream = bytes(out)
     if not jp2_container:
@@ -1084,20 +1688,215 @@ def _wrap_jp2(
     return sig + ftyp + jp2h + jp2c
 
 
+def _read_tile_packets(
+    body: bytes,
+    geoms: list,
+    quant: list[dict],
+    rgns: dict[int, int],
+    layers: int,
+    prog: str,
+    sop: bool,
+    eph: bool,
+    subs: list[tuple[int, int]],
+) -> dict[tuple, dict]:
+    """Walk one tile's packets in its progression order, maintaining
+    per-precinct inclusion/zero-bitplane tag trees and per-block
+    Lblock state across layers; → block states with accumulated
+    coding-pass counts and codeword segments (concatenated by the
+    caller before Tier-1)."""
+    order = _packet_order(prog, layers, geoms, subs)
+    trees: dict[tuple, tuple[TagTree, TagTree]] = {}
+    blocks: dict[tuple, dict] = {}
+    pos = 0
+    for lq, c, r, pi in order:
+        rg = geoms[c][r]
+        pr = rg["precs"][pi]
+        if sop and body[pos:pos + 2] == b"\xff\x91":
+            pos += 6  # SOP marker segment (Lsop=4 + Nsop)
+        rd = _PkBitReader(body, pos)
+        if not rd.bit():
+            # empty packet: no tag-tree state advances
+            pos = rd.align()
+            if eph:
+                if body[pos:pos + 2] != b"\xff\x92":
+                    raise ValueError("missing EPH after packet header")
+                pos += 2
+            continue
+        contribs: list[tuple[dict, int]] = []
+        for pb in pr["pbands"]:
+            gw = pb["gx1"] - pb["gx0"]
+            gh = pb["gy1"] - pb["gy0"]
+            if gw <= 0 or gh <= 0:
+                continue
+            bname = pb["band"]["name"]
+            tkey = (c, r, pi, bname)
+            if tkey not in trees:
+                trees[tkey] = (TagTree(gw, gh), TagTree(gw, gh))
+            inc, zbp = trees[tkey]
+            mb = _band_mb(quant[c], r, bname, rgns.get(c, 0))
+            for gx, gy, x0, y0, x1, y1 in _prec_blocks(
+                pb, rg["cbw"], rg["cbh"]
+            ):
+                lx, ly = gx - pb["gx0"], gy - pb["gy0"]
+                key = (c, r, pi, bname, gx, gy)
+                st = blocks.get(key)
+                if st is None:
+                    if not inc.decode(rd, lx, ly, lq + 1):
+                        continue
+                    t = 1
+                    while not zbp.decode(rd, lx, ly, t):
+                        t += 1
+                    p0 = zbp.leaf_value(lx, ly)
+                    planes = mb - p0
+                    if planes <= 0:
+                        raise ValueError(
+                            "inconsistent zero-bitplane count"
+                        )
+                    st = {
+                        "planes": planes, "npasses": 0,
+                        "segs": [], "lblock": 3,
+                        "rect": (x0, y0, x1, y1),
+                        "band": pb["band"],
+                    }
+                    blocks[key] = st
+                else:
+                    if not rd.bit():
+                        continue  # no contribution this layer
+                np_l = _code_numpasses_r(rd)
+                while rd.bit():
+                    st["lblock"] += 1
+                nbits = st["lblock"] + _ilog2(np_l)
+                plen = rd.bits(nbits)
+                if st["npasses"] + np_l > 3 * st["planes"] - 2:
+                    raise ValueError(
+                        "inconsistent pass count for bitplanes"
+                    )
+                st["npasses"] += np_l
+                contribs.append((st, plen))
+        pos = rd.align()
+        if eph:
+            if body[pos:pos + 2] != b"\xff\x92":
+                raise ValueError("missing EPH after packet header")
+            pos += 2
+        for st, plen in contribs:
+            st["segs"].append(body[pos:pos + plen])
+            pos += plen
+    return blocks
+
+
+def _reconstruct_tc(
+    bands: list[dict[str, np.ndarray]],
+    trunc: list[dict[str, np.ndarray]],
+    quant_c: dict,
+    depth: int,
+    levels: int,
+    rgn_shift: int,
+    irreversible: bool,
+) -> np.ndarray:
+    """Dequantize one tile-component (E.1.1.2, midpoint r = 0.5
+    scaled by the per-block truncation uncertainty 2^T) and run the
+    inverse wavelet. Implicit-ROI magnitudes (≥ 2^SPrgn) shift back
+    down first (H.3) — exactly invertible, so maxshift ROI is
+    lossless-transparent. Shared verbatim by :func:`decode_jpx` and
+    the replay oracle so the float op sequence is bit-identical."""
+    fb: list[dict[str, np.ndarray]] = []
+    for r in range(levels + 1):
+        o: dict[str, np.ndarray] = {}
+        for name, q in bands[r].items():
+            mag = np.abs(q)
+            if rgn_shift:
+                roi = (mag >> rgn_shift) != 0
+                mag = np.where(roi, mag >> rgn_shift, mag)
+            t = trunc[r][name]
+            if irreversible:
+                eps, mu = _band_quant(quant_c, r, name)
+                delta = _q97_delta(depth, name, eps, mu)
+                val = np.where(
+                    mag > 0,
+                    (mag.astype(np.float64)
+                     + 0.5 * np.power(2.0, t)) * delta,
+                    0.0,
+                )
+                o[name] = np.where(q < 0, -val, val)
+            else:
+                add = np.where(
+                    (mag > 0) & (t > 0),
+                    np.left_shift(
+                        np.int64(1), np.maximum(t, 1) - 1
+                    ),
+                    np.int64(0),
+                )
+                val = mag + add
+                o[name] = np.where(q < 0, -val, val).astype(np.int64)
+        fb.append(o)
+    return _idwt97(fb) if irreversible else _idwt53(fb)
+
+
+def _finish_components(
+    comps: list[np.ndarray],
+    subs: list[tuple[int, int]],
+    w: int,
+    h: int,
+    depth: int,
+    mct: int,
+    irreversible: bool,
+) -> np.ndarray:
+    """Upsample subsampled components (sample replication to the
+    reference grid), invert the colour transform, undo the DC level
+    shift, round/clip, stack — shared by :func:`decode_jpx` and the
+    replay oracle so the float op sequence is bit-identical."""
+    ncomp = len(comps)
+    comps = [
+        np.repeat(np.repeat(a, yr, axis=0), xr, axis=1)[:h, :w]
+        if (xr, yr) != (1, 1) else a
+        for a, (xr, yr) in zip(comps, subs)
+    ]
+    if irreversible:
+        shift_f = float(1 << (depth - 1))
+        if ncomp == 3 and mct:
+            comps = list(_ict_inv(*comps))
+        comps = [
+            np.floor(c + shift_f + 0.5).astype(np.int64)
+            for c in comps
+        ]
+    else:
+        shift = 1 << (depth - 1)
+        if ncomp == 3:
+            if mct:
+                y, u, v = comps
+                y = y + shift
+                g = y - ((u + v) >> 2)
+                comps = [v + g, g, u + g]
+            else:
+                comps = [c + shift for c in comps]
+        else:
+            comps = [comps[0] + shift]
+    maxv = (1 << depth) - 1
+    return np.stack([np.clip(c, 0, maxv) for c in comps], axis=-1)
+
+
 def decode_jpx(data: bytes) -> dict[str, Any]:
     """Decode a ``/JPXDecode`` payload — a raw JPEG 2000 codestream
     or a JP2 container — to samples. → {width, height, n_channels,
-    bit_depth, samples (h, w, c) int64}."""
+    bit_depth, transform, samples (h, w, c) int64}.
+
+    Structural coverage: tile grids (2^levels-aligned origins),
+    quality layers with arbitrary per-layer pass truncation, all five
+    progression orders, user precinct sizes + SOP/EPH, scalar
+    derived/expounded/no quantization, COC/QCC per-component
+    overrides, and implicit (maxshift) RGN ROI. Remaining gates each
+    name their variant next to the implemented sibling."""
     if data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  ":
         data = _jp2_codestream(data)
     if struct.unpack_from(">H", data, 0)[0] != _SOC:
         raise ValueError("not a JPEG 2000 codestream (missing SOC)")
     pos = 2
     siz = cod = None
-    qcd_eps: list[int] | None = None
-    qcd_mus: list[int] | None = None
-    guard = 0
-    body = None
+    qcd: dict | None = None
+    cocs: dict[int, dict] = {}
+    qccs: dict[int, dict] = {}
+    rgns: dict[int, int] = {}
+    parts: dict[int, list[tuple[int, bytes]]] = {}
     while pos < len(data):
         (marker,) = struct.unpack_from(">H", data, pos)
         pos += 2
@@ -1106,24 +1905,24 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
         if marker == _SOD:
             raise ValueError("SOD before SOT")
         (ln,) = struct.unpack_from(">H", data, pos)
-        seg = data[pos + 2 : pos + ln]
+        seg = data[pos + 2:pos + ln]
         if marker == _SIZ:
             (
                 rsiz, xs, ys, xo, yo, xts, yts, xto, yto, ncomp,
             ) = struct.unpack_from(">HIIIIIIIIH", seg, 0)
             if xo or yo or xto or yto:
                 raise NotImplementedError("image/tile grid offsets")
-            if xts < xs or yts < ys:
-                raise NotImplementedError("multiple JPEG 2000 tiles")
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG 2000 image"
                 )
+            if xts < 1 or yts < 1:
+                raise ValueError("invalid tile size")
             depths = []
             subs = []
             for c in range(ncomp):
                 ssiz, xr, yr = struct.unpack_from(
-                    ">BBB", seg, 38 - 2 + c * 3
+                    ">BBB", seg, 36 + c * 3
                 )
                 if ssiz & 0x80:
                     raise NotImplementedError(
@@ -1138,82 +1937,86 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
             if len(set(depths)) != 1:
                 raise NotImplementedError("mixed component depths")
             siz = {"w": xs, "h": ys, "ncomp": ncomp,
-                   "depth": depths[0], "subs": subs}
+                   "depth": depths[0], "subs": subs,
+                   "xts": xts, "yts": yts}
         elif marker == _COD:
             scod = seg[0]
-            if scod & 1:
-                raise NotImplementedError(
-                    "user-defined precinct sizes"
-                )
-            if scod & 6:
-                raise NotImplementedError("SOP/EPH markers")
-            prog = seg[1]
-            if prog != 0:
-                raise NotImplementedError(
-                    f"progression order {prog} (only LRCP)"
+            if seg[1] not in _PROG_BY_CODE:
+                raise ValueError(
+                    f"unknown progression order byte {seg[1]}"
                 )
             (layers,) = struct.unpack_from(">H", seg, 2)
-            if layers != 1:
-                raise NotImplementedError("multiple quality layers")
-            mct = seg[4]
-            levels = seg[5]
-            cbw = seg[6] + 2
-            cbh = seg[7] + 2
+            if layers < 1:
+                raise ValueError("zero quality layers")
+            lev = seg[5]
             if seg[8] != 0:
                 raise NotImplementedError(
                     "code-block style modes (bypass/reset/causal/...)"
                 )
-            transform = seg[9]
-            if transform not in (0, 1):
+            if seg[9] not in (0, 1):
                 raise ValueError(
-                    f"unknown wavelet transform byte {transform}"
+                    f"unknown wavelet transform byte {seg[9]}"
                 )
-            cod = {"levels": levels, "cbw": cbw, "cbh": cbh,
-                   "mct": mct, "transform": transform}
-        elif marker == _QCD:
-            sqcd = seg[0]
-            style = sqcd & 0x1F
-            guard = sqcd >> 5
-            if style == 0:
-                qcd_eps = [b >> 3 for b in seg[1:]]
-                qcd_mus = None
-            elif style == 2:
-                # scalar expounded (E.1): 16-bit (ε, μ) per subband
-                pairs = [
-                    struct.unpack_from(">H", seg, 1 + 2 * i)[0]
-                    for i in range((len(seg) - 1) // 2
-                                   )
-                ]
-                qcd_eps = [p >> 11 for p in pairs]
-                qcd_mus = [p & 0x7FF for p in pairs]
-            elif style == 1:
-                raise NotImplementedError(
-                    "scalar derived quantization (single-pair QCD); "
-                    "only no-quantization and scalar expounded"
-                )
+            if scod & 1:
+                pbytes = seg[10:10 + lev + 1]
+                if len(pbytes) != lev + 1:
+                    raise ValueError("COD precinct bytes truncated")
+                prec = [(b & 0x0F, b >> 4) for b in pbytes]
             else:
-                raise ValueError(f"invalid Sqcd style {style}")
-        elif marker in (_COC, _QCC):
-            raise NotImplementedError(
-                "per-component COC/QCC overrides"
-            )
+                prec = [(15, 15)] * (lev + 1)
+            cod = {
+                "prog": _PROG_BY_CODE[seg[1]], "layers": layers,
+                "mct": seg[4], "levels": lev, "cbw": seg[6] + 2,
+                "cbh": seg[7] + 2, "transform": seg[9],
+                "prec": prec, "sop": bool(scod & 2),
+                "eph": bool(scod & 4),
+            }
+        elif marker == _COC:
+            scoc = seg[1]
+            lev = seg[2]
+            if seg[5] != 0:
+                raise NotImplementedError(
+                    "code-block style modes (bypass/reset/causal/...)"
+                )
+            if scoc & 1:
+                pbytes = seg[7:7 + lev + 1]
+                if len(pbytes) != lev + 1:
+                    raise ValueError("COC precinct bytes truncated")
+                prec = [(b & 0x0F, b >> 4) for b in pbytes]
+            else:
+                prec = [(15, 15)] * (lev + 1)
+            cocs[seg[0]] = {
+                "levels": lev, "cbw": seg[3] + 2, "cbh": seg[4] + 2,
+                "transform": seg[6], "prec": prec,
+            }
+        elif marker == _QCD:
+            qcd = _parse_quant(seg)
+        elif marker == _QCC:
+            qccs[seg[0]] = _parse_quant(seg[1:])
         elif marker == _RGN:
-            raise NotImplementedError("RGN region-of-interest shift")
+            if seg[1] != 0:
+                raise NotImplementedError(
+                    "explicit (Srgn != 0) ROI style; only implicit "
+                    "maxshift"
+                )
+            rgns[seg[0]] = seg[2]
+        elif marker == _POC:
+            raise NotImplementedError(
+                "POC progression-order changes"
+            )
         elif marker == _SOT:
             isot, psot, tpsot, tnsot = struct.unpack_from(
                 ">HIBB", seg, 0
             )
-            if isot != 0 or tpsot != 0:
-                raise NotImplementedError(
-                    "multiple tiles / tile-parts"
-                )
             (m2,) = struct.unpack_from(">H", data, pos + ln)
             if m2 != _SOD:
                 raise NotImplementedError(
-                    "tile-part markers between SOT and SOD"
+                    "tile-part header markers between SOT and SOD"
                 )
             end = pos - 2 + psot if psot else len(data) - 2
-            body = data[pos + ln + 2 : end]
+            parts.setdefault(isot, []).append(
+                (tpsot, data[pos + ln + 2:end])
+            )
             pos = end
             continue
         elif marker == _COM:
@@ -1223,154 +2026,129 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
                 f"JPEG 2000 marker 0x{marker:04X}"
             )
         pos += ln
-    if siz is None or cod is None or qcd_eps is None or body is None:
+    if siz is None or cod is None or qcd is None or not parts:
         raise ValueError("incomplete JPEG 2000 codestream")
-    irreversible = cod["transform"] == 0
-    if irreversible != (qcd_mus is not None):
-        raise ValueError(
-            "COD transform / QCD quantization style mismatch "
-            "(9/7 requires scalar expounded, 5/3 no-quantization)"
-        )
     w, h, ncomp = siz["w"], siz["h"], siz["ncomp"]
-    levels = cod["levels"]
-    subs = siz["subs"]
+    depth, subs = siz["depth"], siz["subs"]
+    cinfo = []
+    for c in range(ncomp):
+        o = cocs.get(c)
+        if o is None:
+            cinfo.append({
+                "levels": cod["levels"], "cbw": cod["cbw"],
+                "cbh": cod["cbh"], "transform": cod["transform"],
+                "prec": cod["prec"],
+            })
+        else:
+            if o["transform"] != cod["transform"]:
+                raise NotImplementedError(
+                    "mixed wavelet transforms across components"
+                )
+            cinfo.append(o)
+    for ci in cinfo:
+        if (
+            not 2 <= ci["cbw"] <= 10
+            or not 2 <= ci["cbh"] <= 10
+            or ci["cbw"] + ci["cbh"] > 12
+        ):
+            raise ValueError(
+                "code-block exponent out of the A.6.1 range"
+            )
+    irreversible = cod["transform"] == 0
+    quant = [qccs.get(c, qcd) for c in range(ncomp)]
+    for c in range(ncomp):
+        if irreversible != (quant[c]["style"] in (1, 2)):
+            raise ValueError(
+                "COD transform / QCD quantization style mismatch "
+                "(9/7 requires scalar quantization, 5/3 "
+                "no-quantization)"
+            )
     if any(s != (1, 1) for s in subs) and not irreversible:
         raise NotImplementedError(
             "component subsampling on the 5/3 reversible path "
             "(RCT requires co-sited components)"
         )
-    # per-component band extents: component c spans
-    # ceil(w/XRsiz) x ceil(h/YRsiz) samples (SIZ, §A.5.1)
-    dims_pc = [
-        _band_dims((w + xr - 1) // xr, (h + yr - 1) // yr, levels)
-        for xr, yr in subs
-    ]
-    if cod["cbw"] > 10 or cod["cbh"] > 10:
-        raise ValueError("code-block exponent over 2^10")
-    if (1 << cod["cbw"]) != _CB or (1 << cod["cbh"]) != _CB:
-        raise NotImplementedError(
-            f"code-block size {1 << cod['cbw']}x{1 << cod['cbh']} "
-            f"(grid logic is pinned to {_CB}x{_CB})"
-        )
-    rd = _PkBitReader(body)
-    comps_bands: list[list[dict[str, np.ndarray]]] = [
-        [dict() for _ in range(levels + 1)] for _ in range(ncomp)
-    ]
-    bpos = 0
-    for r in range(levels + 1):
+    tgrid = _tile_grid(w, h, siz["xts"], siz["yts"])
+    if len(tgrid) > 1:
         for c in range(ncomp):
-            dims = dims_pc[c]
-            rd = _PkBitReader(body, bpos)
-            if not rd.bit():
-                # empty packet: every band in it decodes to zeros
-                bpos = rd.align()
-                for name, (bw, bh) in dims[r].items():
-                    comps_bands[c][r][name] = np.zeros(
-                        (bh, bw), np.int64
-                    )
-                continue
-            pending: list[tuple[str, int, int, int, int, int]] = []
-            for name in ("LL", "HL", "LH", "HH"):
-                if name not in dims[r]:
-                    continue
-                bw, bh = dims[r][name]
-                comps_bands[c][r][name] = np.zeros(
-                    (bh, bw), np.int64
+            xr, yr = subs[c]
+            lv = cinfo[c]["levels"]
+            if siz["xts"] % (xr << lv) or siz["yts"] % (yr << lv):
+                raise NotImplementedError(
+                    "tile origins not aligned to 2^levels in the "
+                    "component domain (odd per-tile wavelet phase)"
                 )
-                if bw == 0 or bh == 0:
+    canv = [
+        np.zeros(
+            (_ceil_div(h, subs[c][1]), _ceil_div(w, subs[c][0])),
+            np.float64 if irreversible else np.int64,
+        )
+        for c in range(ncomp)
+    ]
+    for t, tb in enumerate(tgrid):
+        if t not in parts:
+            raise ValueError(f"codestream is missing tile {t}")
+        ps = sorted(parts[t])
+        if [p[0] for p in ps] != list(range(len(ps))):
+            raise ValueError("non-contiguous tile-part sequence")
+        tbody = b"".join(p[1] for p in ps)
+        geoms = []
+        for c in range(ncomp):
+            xr, yr = subs[c]
+            geoms.append(_tc_geom(
+                _ceil_div(tb[0], xr), _ceil_div(tb[1], yr),
+                _ceil_div(tb[2], xr), _ceil_div(tb[3], yr),
+                cinfo[c]["levels"], cinfo[c]["prec"],
+                cinfo[c]["cbw"], cinfo[c]["cbh"],
+            ))
+        blocks = _read_tile_packets(
+            tbody, geoms, quant, rgns, cod["layers"], cod["prog"],
+            cod["sop"], cod["eph"], subs,
+        )
+        for c in range(ncomp):
+            bands: list[dict[str, np.ndarray]] = []
+            trunc: list[dict[str, np.ndarray]] = []
+            for rg in geoms[c]:
+                o: dict[str, np.ndarray] = {}
+                tr: dict[str, np.ndarray] = {}
+                for b in rg["bands"]:
+                    bw = max(b["bx1"] - b["bx0"], 0)
+                    bh = max(b["by1"] - b["by0"], 0)
+                    o[b["name"]] = np.zeros((bh, bw), np.int64)
+                    tr[b["name"]] = np.zeros((bh, bw), np.int64)
+                bands.append(o)
+                trunc.append(tr)
+            for key, st in blocks.items():
+                kc, kr, _kpi, kname = key[0], key[1], key[2], key[3]
+                if kc != c:
                     continue
-                gw = (bw + _CB - 1) // _CB
-                gh = (bh + _CB - 1) // _CB
-                inc = TagTree(gw, gh)
-                zbp = TagTree(gw, gh)
-                mb = guard + qcd_eps[_qcd_index(r, name)] - 1
-                for by in range(gh):
-                    for bx in range(gw):
-                        if not inc.decode(rd, bx, by, 1):
-                            continue
-                        t = 1
-                        while not zbp.decode(rd, bx, by, t):
-                            t += 1
-                        p0 = zbp.leaf_value(bx, by)
-                        npass = _code_numpasses_r(rd)
-                        lblock = 3
-                        while rd.bit():
-                            lblock += 1
-                        nbits = lblock + _ilog2(npass)
-                        plen = rd.bits(nbits)
-                        planes = mb - p0
-                        if planes <= 0 or npass > 3 * planes - 2:
-                            raise ValueError(
-                                "inconsistent pass count for bitplanes"
-                            )
-                        if npass < 3 * planes - 2:
-                            raise NotImplementedError(
-                                "JPX: truncated coding passes "
-                                "(quality-layer truncation) not "
-                                "supported; only complete "
-                                "3*planes-2 pass sets decode"
-                            )
-                        pending.append(
-                            (name, bx, by, planes, plen, 0)
-                        )
-            hdr_end = rd.align()
-            off = hdr_end
-            for name, bx, by, planes, plen, _pad in pending:
-                payload = body[off : off + plen]
-                off += plen
-                dec = MQDecoder(payload)
+                x0, y0, x1, y1 = st["rect"]
+                b = st["band"]
+                dec = MQDecoder(b"".join(st["segs"]))
                 stats = _fresh_stats()
-                band = comps_bands[c][r][name]
-                blk = band[
-                    by * _CB : (by + 1) * _CB,
-                    bx * _CB : (bx + 1) * _CB,
-                ]
                 out_blk = _t1_code_block(
-                    dec, stats, _BAND_CODE[name],
-                    blk.shape[1], blk.shape[0], planes, None,
+                    dec, stats, _BAND_CODE[kname], x1 - x0, y1 - y0,
+                    st["planes"], None, npasses=st["npasses"],
                 )
-                blk[...] = out_blk
-            bpos = off
-    depth = siz["depth"]
-    if irreversible:
-        comps = [
-            _reconstruct_97(cb, depth, qcd_mus, qcd_eps)
-            for cb in comps_bands
-        ]
-        # subsampled components upsample by sample replication
-        # (nearest) to the reference grid before the ICT
-        comps = [
-            np.repeat(np.repeat(a, yr, axis=0), xr, axis=1)[:h, :w]
-            if (xr, yr) != (1, 1)
-            else a
-            for a, (xr, yr) in zip(comps, subs)
-        ]
-        shift_f = float(1 << (depth - 1))
-        if ncomp == 3 and cod["mct"]:
-            rf, gf, bf = _ict_inv(*comps)
-            comps = [rf, gf, bf]
-        comps = [
-            np.floor(c + shift_f + 0.5).astype(np.int64)
-            for c in comps
-        ]
-    else:
-        comps = [_idwt53(cb) for cb in comps_bands]
-        shift = 1 << (depth - 1)
-        if ncomp == 3:
-            if cod["mct"]:
-                y, u, v = comps
-                y = y + shift
-                g = y - ((u + v) >> 2)
-                rch = v + g
-                bch = u + g
-                comps = [rch, g, bch]
-            else:
-                comps = [c + shift for c in comps]
-        else:
-            comps = [comps[0] + shift]
-    maxv = (1 << depth) - 1
-    stack = np.stack(
-        [np.clip(c, 0, maxv) for c in comps], axis=-1
+                sl = (
+                    slice(y0 - b["by0"], y1 - b["by0"]),
+                    slice(x0 - b["bx0"], x1 - b["bx0"]),
+                )
+                bands[kr][kname][sl] = out_blk
+                # planes fully/partially decoded by npasses passes
+                d = 1 + _ceil_div(st["npasses"] - 1, 3)
+                trunc[kr][kname][sl] = max(0, st["planes"] - d)
+            rec = _reconstruct_tc(
+                bands, trunc, quant[c], depth, cinfo[c]["levels"],
+                rgns.get(c, 0), irreversible,
+            )
+            xr, yr = subs[c]
+            canv[c][
+                _ceil_div(tb[1], yr):_ceil_div(tb[3], yr),
+                _ceil_div(tb[0], xr):_ceil_div(tb[2], xr),
+            ] = rec
+    stack = _finish_components(
+        canv, subs, w, h, depth, cod["mct"], irreversible
     )
     return {
         "width": w,
@@ -1382,68 +2160,73 @@ def decode_jpx(data: bytes) -> dict[str, Any]:
     }
 
 
-def _reconstruct_97(
-    comp_bands: list[dict[str, np.ndarray]],
-    depth: int,
-    qcd_mus: list[int],
-    qcd_eps: list[int],
-) -> np.ndarray:
-    """Dequantize one component's integer quantizer indices (E.1.1.2,
-    midpoint reconstruction r = 0.5) and run the inverse 9/7 — the
-    un-shifted float samples."""
-    fbands: list[dict[str, np.ndarray]] = []
-    for ri, res in enumerate(comp_bands):
-        out_res: dict[str, np.ndarray] = {}
-        for name, q in res.items():
-            qi = _qcd_index(ri, name)
-            delta = _q97_delta(depth, name, qcd_eps[qi], qcd_mus[qi])
-            mag = np.abs(q).astype(np.float64)
-            val = np.where(q != 0, (mag + 0.5) * delta, 0.0)
-            out_res[name] = np.where(q < 0, -val, val)
-        fbands.append(out_res)
-    return _idwt97(fbands)
-
-
 def jpx97_reference_decode(
     samples: np.ndarray,
     bit_depth: int = 8,
     levels: int = 2,
     q_planes: int = 9,
     subsample: tuple[int, int] | None = None,
+    tiles: tuple[int, int] | None = None,
+    derived: bool = False,
+    truncate_planes: int = 0,
+    coc_levels: dict[int, int] | None = None,
+    qcc: bool = False,
+    rgn=None,
 ) -> np.ndarray:
-    """Straight-line replay of the lossy 9/7 pipeline — forward DWT,
-    quantize, dequantize, inverse DWT, inverse ICT, round, clip —
-    with NO codestream in between. The driver query compares the full
-    marker/Tier-2/Tier-1/MQ decode of ``encode_jpx(irreversible=
-    True)`` against this elementwise; what that comparison genuinely
-    verifies is the entropy + packet + marker layer round-tripping
-    the quantizer indices and (ε, μ) exactly (the float wavelet is
-    pinned independently against the published T.800 Table F.4 filter
-    taps in test_jpeg2000)."""
-    h0, w0 = samples.shape[:2]
-    comps_f, mct = _prep_97_components(
-        samples, bit_depth, subsample
+    """Straight-line replay of the lossy 9/7 pipeline — per-tile
+    forward DWT, quantize, whole-plane truncate, dequantize with the
+    midpoint rule, inverse DWT, inverse ICT, round, clip — with NO
+    codestream in between. It runs the same :func:`_encode_front` /
+    :func:`_reconstruct_tc` / :func:`_finish_components` code the
+    codestream path runs, so the driver comparison pins the
+    marker/Tier-2/Tier-1/MQ layers round-tripping the quantizer
+    indices and (ε, μ) exactly (the float wavelet is pinned
+    independently against the published T.800 Table F.4 filter taps
+    in test_jpeg2000). Maxshift ROI is exactly invertible, so passing
+    the same ``rgn`` reproduces the decoder bit for bit there too."""
+    fr = _encode_front(
+        samples, bit_depth, levels, 0, True, q_planes, subsample,
+        tiles, derived, coc_levels, qcc, rgn, truncate_planes,
     )
-    all_bands, eps, mus, _guard = _quantize_97(
-        comps_f, levels, bit_depth, q_planes
+    k = truncate_planes
+    w, h, ncomp = fr["w"], fr["h"], fr["ncomp"]
+    canv = [
+        np.zeros(
+            (
+                _ceil_div(h, fr["subs"][c][1]),
+                _ceil_div(w, fr["subs"][c][0]),
+            ),
+            np.float64,
+        )
+        for c in range(ncomp)
+    ]
+    for t, tb in enumerate(fr["tgrid"]):
+        for c in range(ncomp):
+            lv = fr["lv_c"][c]
+            qb: list[dict[str, np.ndarray]] = []
+            tr: list[dict[str, np.ndarray]] = []
+            for r in range(lv + 1):
+                o: dict[str, np.ndarray] = {}
+                ot: dict[str, np.ndarray] = {}
+                for name, q in fr["qbands"][c][t][r].items():
+                    mag = np.abs(q)
+                    qt = (mag >> k) << k if k else mag
+                    o[name] = np.where(q < 0, -qt, qt)
+                    ot[name] = np.full(q.shape, k, np.int64)
+                qb.append(o)
+                tr.append(ot)
+            rec = _reconstruct_tc(
+                qb, tr, fr["quants"][c], bit_depth, lv,
+                fr["rgn_shift"][c], True,
+            )
+            xr, yr = fr["subs"][c]
+            canv[c][
+                _ceil_div(tb[1], yr):_ceil_div(tb[3], yr),
+                _ceil_div(tb[0], xr):_ceil_div(tb[2], xr),
+            ] = rec
+    return _finish_components(
+        canv, fr["subs"], w, h, bit_depth, fr["mct"], True
     )
-    comps = [
-        _reconstruct_97(cb, bit_depth, mus, eps) for cb in all_bands
-    ]
-    if subsample is not None:
-        xr, yr = subsample
-        comps = [comps[0]] + [
-            np.repeat(np.repeat(a, yr, axis=0), xr, axis=1)[:h0, :w0]
-            for a in comps[1:]
-        ]
-    if mct:
-        comps = list(_ict_inv(*comps))
-    shift_f = float(1 << (bit_depth - 1))
-    comps = [
-        np.floor(c + shift_f + 0.5).astype(np.int64) for c in comps
-    ]
-    maxv = (1 << bit_depth) - 1
-    return np.stack([np.clip(c, 0, maxv) for c in comps], axis=-1)
 
 
 def _jp2_codestream(data: bytes) -> bytes:

@@ -51,56 +51,7 @@ def register(name: str, oracle: str | None):
 # row — the stalest-first re-verification cycle the round-5 verdict
 # prescribed (regression freshness, not new coverage).
 _PRIORITY: list[str] = [
-    "pdf_jpx97_image_extract",
-    "multimodal_mp3_layer2_stereo_decode",
-    "pdf_jbig2_agg_extract",
-    "multimodal_tiff_tiled_decode",
-    "odp_text_extract",
-    "ods_cell_extract",
-    "pdf_jbig2_hmmr_halftone_extract",
-    "p1_taxon_projection",
-    "t_hourly_rollup",
-    "t_user_sessions",
-    "t_daily_share",
-    "asof_last_click",
-    "t_multigrain_rollup",
-    "dedup_exact_canonical",
-    "quality_model_filter",
-    "multimodal_mp4_keyframes",
-    "image_exif_orientation",
-    "multimodal_mp3_vbr_profile",
-    "audio_id3_metadata",
-    "pdf_encrypted_extract",
-    "bpe_roundtrip_identity",
-    "line_dedup_firstwins",
-    "embedding_quantize_audit",
-    "compaction_plan_files",
-    "triangle_count_linkgraph",
-    "bfs_seed_distance",
-    "video_keyframe_thumbnails",
-    "multimodal_mp3_subband_decode",
-    "multimodal_bmp_decode",
-    "multimodal_tiff_decode",
-    "m9_compact_identity",
-    "image_orientation_dedup",
-    "text_quality_stats",
-    "lang_id_heuristic",
-    "knn_top10_cosine",
-    "token_counts",
-    "fingerprint_rolling_hash",
-    "minhash_neardup_planted",
-    "neardup_cluster_canonical",
-    "simhash_dup_planted",
-    "ann_lsh_planted",
-    "ann_ivf_planted",
-    "ann_lsh_vs_exact",
-    "ann_ivf_vs_exact",
-    "ngram_jaccard_neardup",
-    "embedding_cosine_neardup",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "m1_upsert",
-    "m3_array_union_pull",
+    "pdf_jpx_structured_extract",
     "m3_struct_tuple_union",
     "m8_partitioned_upsert",
     "sample_stratified_lang",
@@ -315,6 +266,56 @@ _PRIORITY: list[str] = [
     "r2_filename_pivot",
     "r3_struct_flatten",
     "r1_legacy_prefix_pairs",
+    "pdf_jpx97_image_extract",
+    "multimodal_mp3_layer2_stereo_decode",
+    "pdf_jbig2_agg_extract",
+    "multimodal_tiff_tiled_decode",
+    "odp_text_extract",
+    "ods_cell_extract",
+    "pdf_jbig2_hmmr_halftone_extract",
+    "p1_taxon_projection",
+    "t_hourly_rollup",
+    "t_user_sessions",
+    "t_daily_share",
+    "asof_last_click",
+    "t_multigrain_rollup",
+    "dedup_exact_canonical",
+    "quality_model_filter",
+    "multimodal_mp4_keyframes",
+    "image_exif_orientation",
+    "multimodal_mp3_vbr_profile",
+    "audio_id3_metadata",
+    "pdf_encrypted_extract",
+    "bpe_roundtrip_identity",
+    "line_dedup_firstwins",
+    "embedding_quantize_audit",
+    "compaction_plan_files",
+    "triangle_count_linkgraph",
+    "bfs_seed_distance",
+    "video_keyframe_thumbnails",
+    "multimodal_mp3_subband_decode",
+    "multimodal_bmp_decode",
+    "multimodal_tiff_decode",
+    "m9_compact_identity",
+    "image_orientation_dedup",
+    "text_quality_stats",
+    "lang_id_heuristic",
+    "knn_top10_cosine",
+    "token_counts",
+    "fingerprint_rolling_hash",
+    "minhash_neardup_planted",
+    "neardup_cluster_canonical",
+    "simhash_dup_planted",
+    "ann_lsh_planted",
+    "ann_ivf_planted",
+    "ann_lsh_vs_exact",
+    "ann_ivf_vs_exact",
+    "ngram_jaccard_neardup",
+    "embedding_cosine_neardup",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "m1_upsert",
+    "m3_array_union_pull",
 ]
 
 

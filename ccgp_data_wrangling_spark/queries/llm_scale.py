@@ -8896,6 +8896,209 @@ def pdf_jpx97_image_extract(
 
 
 # ---------------------------------------------------------------------------
+# JPEG 2000 structural closure through the driver gate (r13): the
+# Annex A/B features that fire on real scanned-PDF JPX now that 9/7
+# itself decodes — truncated coding passes + scalar DERIVED
+# quantization, tile grids, quality layers, all five progression
+# orders, user precincts + SOP/EPH, COC/QCC per-component overrides,
+# and implicit maxshift ROI. Five variants rotate by event id; every
+# lossy decode must equal the shared-front-end replay ELEMENTWISE
+# (the replay runs the same _encode_front/_reconstruct_tc floats with
+# no codestream between, so the comparison pins the marker/Tier-2/
+# Tier-1/MQ layers round-tripping the quantizer indices exactly), and
+# the reversible ROI variant must equal the original exactly.
+# ---------------------------------------------------------------------------
+
+_PDF_JPX_STRUCT_SQL = """
+WITH g AS (
+  SELECT event_id AS id, (event_id // 40) % 5 AS v
+  FROM events WHERE event_id % 40 = 21
+)
+SELECT id,
+       CAST(CASE v WHEN 0 THEN 24 WHEN 1 THEN 16 WHEN 2 THEN 32
+                   WHEN 3 THEN 16 ELSE 24 END AS INT) AS width,
+       CAST(CASE v WHEN 0 THEN 16 WHEN 1 THEN 16 WHEN 2 THEN 24
+                   WHEN 3 THEN 12 ELSE 24 END AS INT) AS height,
+       CAST(CASE WHEN v IN (1, 3) THEN 3 ELSE 1 END AS INT)
+           AS n_channels,
+       CASE v WHEN 0 THEN 'RLCP' WHEN 1 THEN 'RPCL' WHEN 2 THEN 'CPRL'
+              WHEN 3 THEN 'PCRL' ELSE 'LRCP' END AS progression,
+       CAST(CASE WHEN v = 4 THEN '5/3' ELSE '9/7' END AS VARCHAR)
+           AS transform,
+       CAST(v = 0 AS BOOLEAN) AS derived,
+       CAST(CASE WHEN v = 0 THEN 2 ELSE 0 END AS INT)
+           AS truncated_planes,
+       CAST(CASE WHEN v = 1 THEN 4 ELSE 1 END AS INT) AS n_tiles,
+       CAST(CASE v WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 1 END AS INT)
+           AS n_layers,
+       CAST(v IN (2, 4) AS BOOLEAN) AS precincted,
+       CAST(v = 3 AS BOOLEAN) AS comp_overrides,
+       CAST(v = 4 AS BOOLEAN) AS roi,
+       CAST(TRUE AS BOOLEAN) AS match_replay,
+       CAST(TRUE AS BOOLEAN) AS err_bounded
+FROM g
+"""
+
+
+@register("pdf_jpx_structured_extract", _PDF_JPX_STRUCT_SQL)
+def pdf_jpx_structured_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JPEG 2000 structural-variant rotation (r13): encode_jpx writes
+    real codestreams exercising, by ``(id // 40) % 5``:
+
+    * v0 — scalar DERIVED quantization (one QCD pair, E-5) + two
+      whole magnitude planes TRUNCATED per code-block
+      (npasses < 3·planes−2, the rate-allocation shape every real
+      lossy encoder emits), RLCP order, rough gray pixels so the
+      truncation genuinely bites;
+    * v1 — a 2×2 TILE GRID (B.3) with RPCL order and 3 quality
+      layers whose per-block codeword segments split at coding-pass
+      boundaries, RGB through the ICT;
+    * v2 — user PRECINCTS (PPx=PPy=4) with 8×8 code-blocks,
+      SOP + EPH markers, CPRL order, 2 layers;
+    * v3 — COC/QCC per-component overrides (component 1 decomposes
+      2 levels vs the COD default 1; every component carries its own
+      QCC), PCRL order;
+    * v4 — implicit maxshift RGN ROI on the REVERSIBLE 5/3 path with
+      precincts — the ROI upshift is exactly invertible, so the
+      decode must equal the original bit for bit.
+
+    ``match_replay`` asserts the full marker/Tier-2/Tier-1/MQ decode
+    equals jpx97_reference_decode (which replays the same shared
+    front-end floats with no codestream) elementwise for v0–v3, and
+    exact original equality for v4. ``err_bounded`` pins the
+    reconstruction error against the original to per-variant
+    empirical bounds (16/4/4/4/0)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 40 == 21
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _pixels(e: int, w: int, h: int, rgb: bool, rough: bool):
+        yy, xx = np.mgrid[0:h, 0:w]
+        if rough:
+            return (
+                (((xx + 1) * (yy + 2)) ** 2 + e * 3) % 256
+            ).astype(np.int64)
+        if not rgb:
+            return (((xx + 1) * (yy + 2) + e) % 256).astype(np.int64)
+        g0 = ((xx + 1) * (yy + 2) + e) % 256
+        g1 = (xx * 3 + yy * 5 + e + 1) % 256
+        g2 = (xx * 7 + yy * 2 + e + 2) % 256
+        return np.stack([g0, g1, g2], axis=-1).astype(np.int64)
+
+    _VARIANTS = {
+        0: dict(w=24, h=16, rgb=False, rough=True, prog="RLCP",
+                bound=16,
+                kw=dict(levels=2, irreversible=True, q_planes=9,
+                        derived=True, truncate_planes=2,
+                        progression="RLCP"),
+                rkw=dict(levels=2, q_planes=9, derived=True,
+                         truncate_planes=2)),
+        1: dict(w=16, h=16, rgb=True, rough=False, prog="RPCL",
+                bound=4,
+                kw=dict(levels=1, irreversible=True, q_planes=9,
+                        tiles=(8, 8), progression="RPCL", layers=3),
+                rkw=dict(levels=1, q_planes=9, tiles=(8, 8))),
+        2: dict(w=32, h=24, rgb=False, rough=True, prog="CPRL",
+                bound=4,
+                kw=dict(levels=2, irreversible=True, q_planes=10,
+                        precincts=(4, 4), cb_exp=(3, 3), sop=True,
+                        eph=True, progression="CPRL", layers=2),
+                rkw=dict(levels=2, q_planes=10)),
+        3: dict(w=16, h=12, rgb=True, rough=False, prog="PCRL",
+                bound=4,
+                kw=dict(levels=1, irreversible=True, q_planes=9,
+                        coc_levels={1: 2}, qcc=True,
+                        progression="PCRL"),
+                rkw=dict(levels=1, q_planes=9, coc_levels={1: 2},
+                         qcc=True)),
+        4: dict(w=24, h=24, rgb=False, rough=True, prog="LRCP",
+                bound=0,
+                kw=dict(levels=2, rgn=[0], precincts=(4, 4),
+                        cb_exp=(3, 3)),
+                rkw=None),
+    }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            decode_jpx,
+            encode_jpx,
+            jpx97_reference_decode,
+        )
+
+        for pdf in batches:
+            rows = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                v = (e // 40) % 5
+                spec = _VARIANTS[v]
+                arr = _pixels(e, spec["w"], spec["h"], spec["rgb"],
+                              spec["rough"])
+                m = decode_jpx(encode_jpx(arr, **spec["kw"]))
+                got = m["samples"]
+                if spec["rkw"] is None:
+                    # reversible ROI: exact original equality IS the
+                    # replay check
+                    orig3 = arr[..., None]
+                    match = bool((got == orig3).all())
+                    err = 0 if match else 255
+                else:
+                    ref = jpx97_reference_decode(arr, **spec["rkw"])
+                    match = (
+                        got.shape == ref.shape
+                        and bool((got == ref).all())
+                    )
+                    orig3 = arr if arr.ndim == 3 else arr[..., None]
+                    err = int(np.abs(got - orig3).max())
+                rows.append({
+                    "id": e,
+                    "width": spec["w"],
+                    "height": spec["h"],
+                    "n_channels": int(got.shape[2]),
+                    "progression": spec["prog"],
+                    "transform": m["transform"],
+                    "derived": v == 0,
+                    "truncated_planes": 2 if v == 0 else 0,
+                    "n_tiles": 4 if v == 1 else 1,
+                    "n_layers": {1: 3, 2: 2}.get(v, 1),
+                    "precincted": v in (2, 4),
+                    "comp_overrides": v == 3,
+                    "roi": v == 4,
+                    "match_replay": match,
+                    "err_bounded": err <= spec["bound"],
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "n_channels",
+                    "progression", "transform", "derived",
+                    "truncated_planes", "n_tiles", "n_layers",
+                    "precincted", "comp_overrides", "roi",
+                    "match_replay", "err_bounded",
+                ],
+            )
+
+    return ev.mapInPandas(
+        run,
+        schema=(
+            "id long, width int, height int, n_channels int, "
+            "progression string, transform string, derived boolean, "
+            "truncated_planes int, n_tiles int, n_layers int, "
+            "precincted boolean, comp_overrides boolean, roi boolean, "
+            "match_replay boolean, err_bounded boolean"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # JBIG2 REFAGGNINST > 1 through the driver gate (r12): a symbol
 # dictionary whose new symbol is a full §6.5.8.2.1 NESTED TEXT
 # REGION — multiple strips, plain and IARI-refined instances, all

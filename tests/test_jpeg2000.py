@@ -167,20 +167,24 @@ class TestGates:
         with pytest.raises(ValueError, match="transform"):
             decode_jpx(bad2)
 
-    def test_progression_gates(self):
-        bad = self._patch(self._blob(), 0xFF52, 1, 2)  # RPCL
-        with pytest.raises(NotImplementedError, match="progression"):
+    def test_progression_byte_validated(self):
+        # all five T.800 orders decode now; 5 is not an order at all
+        bad = self._patch(self._blob(), 0xFF52, 1, 5)
+        with pytest.raises(ValueError, match="progression"):
             decode_jpx(bad)
 
-    def test_precinct_flag_gates(self):
+    def test_truncated_precinct_bytes_rejected(self):
+        # Scod bit 0 claims per-resolution precinct bytes the
+        # segment does not carry
         bad = self._patch(self._blob(), 0xFF52, 0, 1)
-        with pytest.raises(NotImplementedError, match="precinct"):
+        with pytest.raises(ValueError, match="precinct bytes"):
             decode_jpx(bad)
 
     def test_quantization_style_gates(self):
-        # style 1 (scalar derived) still gates honestly
+        # style 1 (scalar derived) must carry exactly ONE pair; this
+        # patched stream carries the expounded per-band layout
         bad = self._patch(self._blob(), 0xFF5C, 0, 0x41)
-        with pytest.raises(NotImplementedError, match="derived"):
+        with pytest.raises(ValueError, match="exactly one"):
             decode_jpx(bad)
         # style 3 is not a T.800 value at all
         bad2 = self._patch(self._blob(), 0xFF5C, 0, 0x43)
@@ -190,6 +194,38 @@ class TestGates:
         bad3 = self._patch(self._blob(), 0xFF5C, 0, 0x42)
         with pytest.raises(ValueError, match="mismatch"):
             decode_jpx(bad3)
+
+    def test_poc_gates(self):
+        # splice a POC marker segment after COD
+        blob = self._blob()
+        pos = blob.index(struct.pack(">H", 0xFF5C))
+        poc = struct.pack(">HH", 0xFF5F, 9) + bytes(7)
+        bad = blob[:pos] + poc + blob[pos:]
+        with pytest.raises(NotImplementedError, match="POC"):
+            decode_jpx(bad)
+
+    def test_explicit_rgn_style_gates(self):
+        # Srgn != 0 (explicit ROI) gates; only implicit maxshift
+        blob = self._blob()
+        pos = blob.index(struct.pack(">H", 0xFF5C))
+        rgn = struct.pack(">HH", 0xFF5E, 5) + bytes([0, 1, 3])
+        bad = blob[:pos] + rgn + blob[pos:]
+        with pytest.raises(NotImplementedError, match="maxshift"):
+            decode_jpx(bad)
+
+    def test_unaligned_tile_grid_gates(self):
+        img = np.arange(240, dtype=np.int64).reshape(12, 20) % 256
+        # XTsiz=10 is not a multiple of 2^levels=4
+        with pytest.raises(ValueError, match="multiple of"):
+            encode_jpx(img, levels=2, tiles=(10, 12))
+        # decoder side: patch a valid multi-tile stream's XTsiz to an
+        # odd value (5 is not a multiple of 2^levels=2)
+        blob = bytearray(encode_jpx(img, levels=1, tiles=(10, 12)))
+        pos = blob.index(struct.pack(">H", 0xFF51))
+        # SIZ body: Rsiz(2) Xsiz(4) Ysiz(4) XOsiz(4) YOsiz(4) XTsiz
+        struct.pack_into(">I", blob, pos + 4 + 18, 5)
+        with pytest.raises(NotImplementedError, match="aligned"):
+            decode_jpx(bytes(blob))
 
     def test_not_a_codestream(self):
         with pytest.raises(ValueError, match="SOC"):
@@ -374,13 +410,14 @@ class TestIrreversible97:
         # too many levels -> 1-sample subsignal gate
         with pytest.raises(NotImplementedError, match="1-sample"):
             encode_jpx(px, levels=5, irreversible=True)
-        # scalar derived quantization gates
+        # scalar derived must carry exactly one (ε, μ) pair — this
+        # patched stream keeps the expounded per-band layout
         blob = bytearray(encode_jpx(px, levels=1, irreversible=True))
         qpos = blob.find(struct.pack(">H", 0xFF5C))
         assert qpos > 0
         sqcd = blob[qpos + 4]
         blob[qpos + 4] = (sqcd & 0xE0) | 1  # style 2 -> 1 (derived)
-        with pytest.raises(NotImplementedError, match="derived"):
+        with pytest.raises(ValueError, match="exactly one"):
             decode_jpx(bytes(blob))
         # COD transform / QCD style mismatch
         blob2 = bytearray(encode_jpx(px, levels=1))  # reversible
@@ -455,3 +492,224 @@ class TestSubsampling:
         blob[spos + 4 + 36 + 4] = 2
         with pytest.raises(NotImplementedError, match="5/3"):
             decode_jpx(bytes(blob))
+
+
+class TestStructuralR13:
+    """Round-13 structural closure: tile grids, quality layers with
+    pass truncation, all five progression orders, precincts +
+    SOP/EPH, scalar DERIVED quantization, COC/QCC overrides, and
+    implicit maxshift ROI. Lossy paths compare elementwise against
+    the shared-front-end replay; reversible paths are exact."""
+
+    def test_multi_tile_reversible_exact(self):
+        rng = np.random.default_rng(101)
+        for shape, tiles, lv in [
+            ((40, 56), (16, 24), 2),
+            ((33, 47), (16, 16), 2),   # partial edge tiles
+            ((64, 64, 3), (32, 32), 1),
+        ]:
+            img = rng.integers(0, 256, shape, dtype=np.int64)
+            m = decode_jpx(encode_jpx(img, levels=lv, tiles=tiles))
+            got = m["samples"][..., 0] if img.ndim == 2 else m["samples"]
+            assert (got == img).all(), (shape, tiles)
+
+    def test_multi_tile_97_matches_replay(self):
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            jpx97_reference_decode,
+        )
+
+        rng = np.random.default_rng(103)
+        img = rng.integers(0, 256, (40, 56), dtype=np.int64)
+        m = decode_jpx(encode_jpx(img, levels=2, irreversible=True,
+                                  q_planes=9, tiles=(16, 24)))
+        ref = jpx97_reference_decode(img, levels=2, q_planes=9,
+                                     tiles=(16, 24))
+        assert (m["samples"] == ref).all()
+        assert np.abs(m["samples"][..., 0] - img).max() <= 4
+
+    def test_derived_quantization(self):
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            jpx97_reference_decode,
+        )
+
+        rng = np.random.default_rng(107)
+        for shape, lv in [((33, 17), 2), ((24, 20, 3), 1)]:
+            img = rng.integers(0, 256, shape, dtype=np.int64)
+            blob = encode_jpx(img, levels=lv, irreversible=True,
+                              q_planes=9, derived=True)
+            # the QCD body is 1 + one 16-bit pair (style 1)
+            qpos = blob.index(struct.pack(">H", 0xFF5C))
+            (qlen,) = struct.unpack_from(">H", blob, qpos + 2)
+            assert qlen == 2 + 1 + 2
+            m = decode_jpx(blob)
+            ref = jpx97_reference_decode(img, levels=lv, q_planes=9,
+                                         derived=True)
+            assert (m["samples"] == ref).all(), shape
+
+    def test_truncated_passes_whole_plane(self):
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            jpx97_reference_decode,
+        )
+
+        rng = np.random.default_rng(109)
+        img = rng.integers(0, 256, (40, 56), dtype=np.int64)
+        prev_err = -1.0
+        for k in (0, 1, 2, 3):
+            m = decode_jpx(encode_jpx(img, levels=2, irreversible=True,
+                                      q_planes=10, truncate_planes=k))
+            ref = jpx97_reference_decode(img, levels=2, q_planes=10,
+                                         truncate_planes=k)
+            assert (m["samples"] == ref).all(), k
+            err = float(np.abs(m["samples"][..., 0] - img).max())
+            assert err >= prev_err  # coarser planes, larger error
+            prev_err = err
+        assert prev_err > 0  # truncation really did bite
+
+    def test_layers_reassemble_exactly(self):
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            jpx97_reference_decode,
+        )
+
+        rng = np.random.default_rng(113)
+        img = rng.integers(0, 256, (40, 56), dtype=np.int64)
+        ref = jpx97_reference_decode(img, levels=2, q_planes=9)
+        one = decode_jpx(encode_jpx(img, levels=2, irreversible=True,
+                                    q_planes=9))["samples"]
+        assert (one == ref).all()
+        for lay in (2, 3, 5):
+            m = decode_jpx(encode_jpx(img, levels=2, irreversible=True,
+                                      q_planes=9, layers=lay))
+            # multi-layer reassembly must equal the single-layer
+            # decode bit for bit
+            assert (m["samples"] == one).all(), lay
+
+    @pytest.mark.parametrize(
+        "prog", ["LRCP", "RLCP", "RPCL", "PCRL", "CPRL"]
+    )
+    def test_progression_orders(self, prog):
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            jpx97_reference_decode,
+        )
+
+        rng = np.random.default_rng(127)
+        img = rng.integers(0, 256, (24, 20, 3), dtype=np.int64)
+        m = decode_jpx(encode_jpx(img, levels=1, irreversible=True,
+                                  q_planes=9, progression=prog,
+                                  layers=2, tiles=(12, 12)))
+        ref = jpx97_reference_decode(img, levels=1, q_planes=9,
+                                     tiles=(12, 12))
+        assert (m["samples"] == ref).all(), prog
+
+    def test_precincts_sop_eph(self):
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            jpx97_reference_decode,
+        )
+
+        rng = np.random.default_rng(131)
+        img = rng.integers(0, 256, (40, 56), dtype=np.int64)
+        ref = jpx97_reference_decode(img, levels=2, q_planes=9)
+        blob = encode_jpx(img, levels=2, irreversible=True, q_planes=9,
+                          precincts=(5, 4), cb_exp=(3, 4), sop=True,
+                          eph=True, layers=3, progression="RPCL")
+        assert struct.pack(">H", 0xFF91) in blob  # SOP present
+        assert struct.pack(">H", 0xFF92) in blob  # EPH present
+        m = decode_jpx(blob)
+        assert (m["samples"] == ref).all()
+        # reversible precincts too (exact)
+        m2 = decode_jpx(encode_jpx(img, levels=2, precincts=(5, 5),
+                                   cb_exp=(4, 4), progression="PCRL"))
+        assert (m2["samples"][..., 0] == img).all()
+
+    def test_coc_qcc_overrides(self):
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            jpx97_reference_decode,
+        )
+
+        rng = np.random.default_rng(137)
+        img = rng.integers(0, 256, (24, 20, 3), dtype=np.int64)
+        blob = encode_jpx(img, levels=2, irreversible=True,
+                          q_planes=9, qcc=True)
+        assert struct.pack(">H", 0xFF5D) in blob  # QCC present
+        m = decode_jpx(blob)
+        ref = jpx97_reference_decode(img, levels=2, q_planes=9,
+                                     qcc=True)
+        assert (m["samples"] == ref).all()
+        blob2 = encode_jpx(img, levels=2, irreversible=True,
+                           q_planes=9, coc_levels={1: 1, 2: 3})
+        assert struct.pack(">H", 0xFF53) in blob2  # COC present
+        m2 = decode_jpx(blob2)
+        ref2 = jpx97_reference_decode(img, levels=2, q_planes=9,
+                                      coc_levels={1: 1, 2: 3})
+        assert (m2["samples"] == ref2).all()
+
+    def test_rgn_maxshift(self):
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            jpx97_reference_decode,
+        )
+
+        rng = np.random.default_rng(139)
+        img = rng.integers(0, 256, (40, 56), dtype=np.int64)
+        blob = encode_jpx(img, levels=2, rgn=[0])
+        assert struct.pack(">H", 0xFF5E) in blob  # RGN present
+        # maxshift is exactly invertible: reversible stays lossless
+        assert (decode_jpx(blob)["samples"][..., 0] == img).all()
+        rgb = rng.integers(0, 256, (24, 20, 3), dtype=np.int64)
+        m = decode_jpx(encode_jpx(rgb, levels=1, irreversible=True,
+                                  q_planes=9, rgn=[0, 1, 2]))
+        ref = jpx97_reference_decode(rgb, levels=1, q_planes=9,
+                                     rgn=[0, 1, 2])
+        assert (m["samples"] == ref).all()
+        # ...and lossless-transparent on the lossy path
+        assert (ref == jpx97_reference_decode(
+            rgb, levels=1, q_planes=9)).all()
+
+    def test_combined_kitchen_sink(self):
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            jpx97_reference_decode,
+        )
+
+        rng = np.random.default_rng(149)
+        img = rng.integers(0, 256, (32, 48, 3), dtype=np.int64)
+        m = decode_jpx(encode_jpx(
+            img, levels=1, irreversible=True, q_planes=9,
+            tiles=(16, 16), layers=2, precincts=(4, 4), cb_exp=(3, 3),
+            sop=True, eph=True, progression="CPRL", derived=True,
+            subsample=(2, 2),
+        ))
+        ref = jpx97_reference_decode(img, levels=1, q_planes=9,
+                                     tiles=(16, 16), derived=True,
+                                     subsample=(2, 2))
+        assert (m["samples"] == ref).all()
+
+    def test_t1_arbitrary_pass_truncation_bound(self):
+        # real rate allocators truncate at ARBITRARY pass boundaries;
+        # the T1 decoder accepts any prefix and the decoded magnitude
+        # error vs the full coefficients stays under the undecoded-
+        # plane bound 2^(T+1)
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            MQDecoder,
+            MQEncoder,
+        )
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            _fresh_stats,
+            _t1_code_block,
+        )
+
+        rng = np.random.default_rng(151)
+        blk = rng.integers(-200, 201, (12, 10)).astype(np.int64)
+        planes = int(np.abs(blk).max()).bit_length()
+        total = 3 * planes - 2
+        for npasses in range(1, total + 1):
+            enc = MQEncoder()
+            _t1_code_block(enc, _fresh_stats(), 0, 10, 12, planes,
+                           blk, npasses=npasses)
+            payload = enc.flush()
+            dec = MQDecoder(payload)
+            got = _t1_code_block(dec, _fresh_stats(), 0, 10, 12,
+                                 planes, None, npasses=npasses)
+            # undecoded planes: everything below the last started one
+            done_planes = 1 + -(-(npasses - 1) // 3)
+            bound = 1 << max(0, planes - done_planes + 1)
+            assert np.abs(got - blk).max() <= bound, npasses
+            if npasses == total:
+                assert np.array_equal(got, blk)
