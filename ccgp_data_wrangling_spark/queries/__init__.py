@@ -52,6 +52,7 @@ def register(name: str, oracle: str | None):
 # prescribed (regression freshness, not new coverage).
 _PRIORITY: list[str] = [
     "pdf_jpx_structured_extract",
+    "doc_text_extract",
     "m3_struct_tuple_union",
     "m8_partitioned_upsert",
     "sample_stratified_lang",

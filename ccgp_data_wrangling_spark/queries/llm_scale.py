@@ -7487,6 +7487,108 @@ def docx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Legacy .doc text extraction through the driver gate (r13) — the
+# binary-Office tail of the document corpus: CFB container → FIB →
+# piece table in 1Table → CP-ordered text reconstruction from mixed
+# ANSI/Unicode pieces stored OUT of fc order (sources/doc.py). Every
+# fixture splits into ~11-CP pieces so piece boundaries land inside
+# words, field characters and cell marks; a greek character forces a
+# UTF-16 piece next to cp1252 ones; a decoy 0Table stream of garbage
+# rides along and must never be read (fWhichTblStm selects 1Table).
+# The oracle replays the construction closed-form.
+# ---------------------------------------------------------------------------
+
+_DOC_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(substr(text, 1, 40), '[^ -~]', '', 'g') AS p1
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, 0 AS para,
+         'doc ' || CAST(doc_id AS VARCHAR) || ' heading' AS text
+  FROM base
+  UNION ALL
+  SELECT doc_id, 1, p1 FROM base
+  UNION ALL
+  SELECT doc_id, 2,
+         'A' || CAST(doc_id AS VARCHAR) || chr(10)
+           || 'B' || CAST(doc_id % 7 AS VARCHAR)
+  FROM base WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id,
+         CAST(2 + CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS INT),
+         'c' || CAST(doc_id % 5 AS VARCHAR) || chr(9)
+           || 'g' || chr(945) || CAST(doc_id % 3 AS VARCHAR)
+  FROM base WHERE doc_id % 4 = 2
+  UNION ALL
+  SELECT doc_id,
+         CAST(2 + CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS INT),
+         'res ' || CAST(doc_id % 9 AS VARCHAR)
+  FROM base WHERE doc_id % 5 = 2
+)
+SELECT doc_id, CAST(para AS INT) AS para, text,
+       CAST(length(text) AS INT) AS n_chars
+FROM paras
+"""
+
+
+@register("doc_text_extract", _DOC_SQL)
+def doc_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy .doc corpus ingest end-to-end: build_doc fixtures carry
+    the documents table's ASCII-cleaned prefix plus, by id, a
+    line-break paragraph (0x0B), a table-cell paragraph (0x07 marks,
+    with a greek char that forces a UTF-16 piece), and a field whose
+    INSTRUCTION must drop while its RESULT surfaces (0x13/0x14/0x15)
+    → CFB walk → FIB → 1Table piece table (pieces stored reversed)
+    → sources/doc.doc_documents, one row per paragraph."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ccgp_data_wrangling_spark.sources.doc import (
+        build_doc,
+        doc_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, 40), "[^ -~]", "").alias(
+            "__prefix"
+        ),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, prefix in zip(pdf["doc_id"], pdf["__prefix"]):
+                d = int(did)
+                paragraphs: list = [
+                    f"doc {d} heading",
+                    str(prefix),
+                ]
+                if d % 3 == 2:
+                    paragraphs.append(("br", f"A{d}", f"B{d % 7}"))
+                if d % 4 == 2:
+                    paragraphs.append(
+                        ("cells", [f"c{d % 5}",
+                                   "g" + chr(945) + f"{d % 3}"])
+                    )
+                if d % 5 == 2:
+                    paragraphs.append(
+                        ("field", f"REF bk{d}", f"res {d % 9}")
+                    )
+                payloads.append(build_doc(paragraphs, piece_chars=11))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return doc_documents(media)
+
+
+# ---------------------------------------------------------------------------
 # ODT text extraction through the driver gate — the OpenDocument half
 # of the office-document corpus (ODF 1.2): content.xml carries MIXED
 # paragraph content (character data directly in text:p and inside

@@ -47,7 +47,12 @@ def _u32s(data: bytes) -> list[int]:
     return list(struct.unpack(f"<{len(data) // 4}I", data[: len(data) // 4 * 4]))
 
 
-def _read_workbook_stream(data: bytes) -> bytes:
+def read_cfb_stream(data: bytes, names: tuple[str, ...]) -> bytes:
+    """Read the first CFB stream whose name is in ``names`` —
+    the container walk (header → FAT via DIFAT → directory →
+    stream chain, incl. the mini-FAT path) shared by the ``.xls``
+    reader here and the legacy ``.doc`` reader
+    (:mod:`sources.doc`)."""
     if data[:8] != _CFB_MAGIC:
         raise ValueError("not a CFB/.xls file (bad magic)")
     sect_shift = struct.unpack_from("<H", data, 30)[0]
@@ -99,10 +104,12 @@ def _read_workbook_stream(data: bytes) -> bytes:
 
     root = next(e for e in entries if e[1] == 5)
     wb = next(
-        (e for e in entries if e[1] == 2 and e[0] in ("Workbook", "Book")), None
+        (e for e in entries if e[1] == 2 and e[0] in names), None
     )
     if wb is None:
-        raise ValueError("no Workbook/Book stream in .xls container")
+        raise ValueError(
+            f"no {'/'.join(names)} stream in the CFB container"
+        )
     _, _, wb_start, wb_size = wb
 
     if wb_size >= mini_cutoff:
@@ -123,6 +130,10 @@ def _read_workbook_stream(data: bytes) -> bytes:
         if hops > len(minifat) + 1:
             raise ValueError("corrupt miniFAT chain (cycle)")
     return b"".join(out)[:wb_size]
+
+
+def _read_workbook_stream(data: bytes) -> bytes:
+    return read_cfb_stream(data, ("Workbook", "Book"))
 
 
 # ---------------------------------------------------------------------------
