@@ -53,6 +53,7 @@ def register(name: str, oracle: str | None):
 _PRIORITY: list[str] = [
     "pdf_jpx_structured_extract",
     "doc_text_extract",
+    "multimodal_flac_decode",
     "m3_struct_tuple_union",
     "m8_partitioned_upsert",
     "sample_stratified_lang",

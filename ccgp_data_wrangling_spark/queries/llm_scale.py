@@ -9201,6 +9201,154 @@ def pdf_jpx_structured_extract(
 
 
 # ---------------------------------------------------------------------------
+# FLAC decode to PCM through the driver gate (r13): the one
+# mainstream compressed-audio format whose every decoding structure
+# is stream-defined (no memorized-constants gate), so the engine can
+# verify EXACT PCM equality — a stronger oracle than any subband
+# envelope. Five variants rotate subframe types (constant/verbatim/
+# fixed 0-4/LPC), stereo decorrelation (left_side/mid_side), Rice vs
+# Rice2 partitions with an escape partition, wasted bits, 8/16/24
+# bps, explicit sample-rate coding and a partial final block; the
+# decode also re-verifies the frame CRC-8/CRC-16 and the STREAMINFO
+# MD5 over the reconstructed PCM.
+# ---------------------------------------------------------------------------
+
+_FLAC_SQL = """
+WITH g AS (
+  SELECT event_id AS id, (event_id // 40) % 5 AS v
+  FROM events WHERE event_id % 40 = 3
+)
+SELECT id,
+       CAST(v AS INT) AS variant,
+       CAST(CASE WHEN v IN (1, 2) THEN 2 ELSE 1 END AS INT)
+           AS n_channels,
+       CAST(CASE v WHEN 3 THEN 24 WHEN 4 THEN 8 ELSE 16 END AS INT)
+           AS bps,
+       CAST(CASE v WHEN 3 THEN 192 ELSE 256 END AS INT)
+           AS block_size,
+       CAST(CASE v WHEN 0 THEN 600 WHEN 1 THEN 512 WHEN 2 THEN 450
+                   WHEN 3 THEN 384 ELSE 500 END AS INT) AS n_samples,
+       CASE v WHEN 1 THEN 'mid_side' WHEN 2 THEN 'left_side'
+              ELSE 'independent' END AS channel_mode,
+       CAST(TRUE AS BOOLEAN) AS pcm_match,
+       CAST(TRUE AS BOOLEAN) AS md5_ok
+FROM g
+"""
+
+
+@register("multimodal_flac_decode", _FLAC_SQL)
+def multimodal_flac_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FLAC end-to-end (operators/flac.py): encode_flac writes a
+    conformant stream per event, decode_flac reconstructs PCM, and
+    because FLAC is lossless the gate is EXACT sample equality plus
+    the decoder's own CRC-8/CRC-16/MD5 verification. Variants by
+    ``(id // 40) % 5``: v0 mono 16-bit rotating the five FIXED
+    orders with Rice partitions; v1 MID/SIDE stereo (LPC + fixed,
+    the side channel at bps+1); v2 LEFT/SIDE stereo with Rice2 and a
+    partial final block; v3 mono 24-bit LPC-6 with an ESCAPE
+    partition, explicit 16-bit sample-rate code and 192-sample
+    blocks; v4 mono 8-bit with 2 WASTED bits."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 40 == 3
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _wave(e: int, n: int, amp: int, ch: int = 1) -> np.ndarray:
+        t = np.arange(n, dtype=np.int64)
+        a = e % 17 + 3
+        base = ((t * a + (t * t) // 7) % (2 * amp)) - amp
+        if ch == 1:
+            return base
+        other = ((t * (a + 5) + e) % (2 * amp)) - amp
+        return np.stack([base, other], axis=-1)
+
+    _VARIANTS = {
+        0: dict(n=600, ch=1, amp=20000,
+                kw=dict(bits_per_sample=16, block_size=256,
+                        subframe_kinds=["fixed0", "fixed1", "fixed2",
+                                        "fixed3", "fixed4"],
+                        partition_order=2)),
+        1: dict(n=512, ch=2, amp=15000,
+                kw=dict(bits_per_sample=16, block_size=256,
+                        channel_mode="mid_side",
+                        subframe_kinds=["lpc4", "fixed2"],
+                        partition_order=1)),
+        2: dict(n=450, ch=2, amp=15000,
+                kw=dict(bits_per_sample=16, block_size=256,
+                        channel_mode="left_side",
+                        subframe_kinds=["verbatim", "lpc8"],
+                        rice2=True, partition_order=1)),
+        3: dict(n=384, ch=1, amp=(1 << 22),
+                kw=dict(bits_per_sample=24, block_size=192,
+                        subframe_kinds=["lpc6"], escape_first=True,
+                        partition_order=1, sr_code=13)),
+        4: dict(n=500, ch=1, amp=120,
+                kw=dict(bits_per_sample=8, block_size=256,
+                        subframe_kinds=["fixed1", "verbatim"],
+                        wasted=2)),
+    }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ccgp_data_wrangling_spark.operators.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        for pdf in batches:
+            rows = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                v = (e // 40) % 5
+                spec = _VARIANTS[v]
+                arr = _wave(e, spec["n"], spec["amp"], spec["ch"])
+                if v == 4:
+                    arr = (arr // 4) * 4  # carry the 2 wasted bits
+                m = decode_flac(encode_flac(arr, **spec["kw"]))
+                orig = arr if arr.ndim == 2 else arr[:, None]
+                rows.append({
+                    "id": e,
+                    "variant": v,
+                    "n_channels": m["n_channels"],
+                    "bps": m["bits_per_sample"],
+                    "block_size": spec["kw"]["block_size"],
+                    "n_samples": m["n_samples"],
+                    "channel_mode": spec["kw"].get(
+                        "channel_mode", "independent"
+                    ),
+                    "pcm_match": bool(
+                        m["samples"].shape == orig.shape
+                        and (m["samples"] == orig).all()
+                    ),
+                    "md5_ok": m["md5_ok"] is True,
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "variant", "n_channels", "bps",
+                    "block_size", "n_samples", "channel_mode",
+                    "pcm_match", "md5_ok",
+                ],
+            )
+
+    return ev.mapInPandas(
+        run,
+        schema=(
+            "id long, variant int, n_channels int, bps int, "
+            "block_size int, n_samples int, channel_mode string, "
+            "pcm_match boolean, md5_ok boolean"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # JBIG2 REFAGGNINST > 1 through the driver gate (r12): a symbol
 # dictionary whose new symbol is a full §6.5.8.2.1 NESTED TEXT
 # REGION — multiple strips, plain and IARI-refined instances, all
