@@ -770,6 +770,19 @@ HUFF_B5 = HuffTable(
 _SDHUFF_DH = {0: HUFF_B4, 1: HUFF_B5}
 _SDHUFF_DW = {0: HUFF_B2, 1: HUFF_B3}
 
+# SBHUFF standard-table selector map (§7.4.4.1.1); these tables are
+# untranscribed (B.6-B.15) and resolve through codec_tables'
+# SPARK_GRAFT_CODEC_TABLES verified-constants hook
+_SBHUFF_STD = {
+    "FS": {0: "B.6", 1: "B.7"},
+    "DS": {0: "B.8", 1: "B.9", 2: "B.10"},
+    "DT": {0: "B.11", 1: "B.12", 2: "B.13"},
+    "RDW": {0: "B.14", 1: "B.15"},
+    "RDH": {0: "B.14", 1: "B.15"},
+    "RDX": {0: "B.14", 1: "B.15"},
+    "RDY": {0: "B.14", 1: "B.15"},
+}
+
 
 def parse_table_segment(data: bytes) -> HuffTable:
     """Custom-table segment (type 53) data part → HuffTable, per the
@@ -1577,10 +1590,27 @@ def decode_text_region_segment(
     def take_custom(sel: int, what: str) -> HuffTable:
         nonlocal table_idx
         if sel != 3:
-            raise NotImplementedError(
-                f"SBHUFF standard table for {what} (Annex B.6-B.15 "
-                "untranscribed; custom type-53 tables decode)"
+            # selectors 0-2 name the Annex B standard tables
+            # (§7.4.4.1.1): untranscribed here, but loadable through
+            # the verified-constants hook (codec_tables)
+            name = _SBHUFF_STD.get(what, {}).get(sel)
+            if name is None:
+                raise ValueError(
+                    f"invalid SBHUFF selector {sel} for {what}"
+                )
+            from ccgp_data_wrangling_spark.codec_tables import (
+                jbig2_standard_table,
             )
+
+            std = jbig2_standard_table(name)
+            if std is None:
+                raise NotImplementedError(
+                    f"SBHUFF standard table {name} for {what} "
+                    "(Annex B.6-B.15 untranscribed; supply it via "
+                    "SPARK_GRAFT_CODEC_TABLES or use custom type-53 "
+                    "tables)"
+                )
+            return std
         if table_idx >= len(tables):
             raise ValueError(
                 f"custom {what} table selected but no unconsumed "
@@ -1808,6 +1838,7 @@ def _build_text_region_data(
     transposed: bool = False,
     rtemplate: int = 0,
     huffman_tabs: dict | None = None,
+    huffman_sel: tuple[int, int, int] = (3, 3, 3),
 ) -> bytes:
     """Encode a text region (arith, SBSTRIPS=1). ``instances`` hold
     (symbol-index, x, y) TOP-LEFT placements — optionally a fourth
@@ -1831,7 +1862,7 @@ def _build_text_region_data(
             )
         return _build_text_region_huffman(
             instances, syms, region_wh, region_xy, refcorner,
-            comb_op, transposed, huffman_tabs,
+            comb_op, transposed, huffman_tabs, huffman_sel,
         )
     enc = MQEncoder()
     iadt, iafs, iads = _IntEncoder(), _IntEncoder(), _IntEncoder()
@@ -1933,12 +1964,16 @@ def _build_text_region_huffman(
     comb_op: int,
     transposed: bool,
     tabs: dict,
+    hsel: tuple[int, int, int] = (3, 3, 3),
 ) -> bytes:
     """SBHUFF=1 text region data (SBSTRIPS=1): huffman flags select
-    CUSTOM tables for FS/DS/DT (value 3 each — the referred type-53
-    segments are consumed in that order), the symbol-ID code table
-    rides the runcode mechanism with balanced canonical lengths, and
-    the strip stream is one byte-aligned Huffman bitstream."""
+    the FS/DS/DT tables per ``hsel`` — 3 = CUSTOM (the referred
+    type-53 segments are consumed in that order), 0-2 = the Annex B
+    standard selectors, in which case ``tabs`` must hold the SAME
+    tables the decoder will resolve through the codec_tables
+    verified-constants hook. The symbol-ID code table rides the
+    runcode mechanism with balanced canonical lengths, and the strip
+    stream is one byte-aligned Huffman bitstream."""
     rc = _REFCORNERS.index(refcorner)
     w, h = region_wh
     n = len(syms)
@@ -2007,7 +2042,7 @@ def _build_text_region_huffman(
             i += 1
         tabs["ds"].encode(wtr, OOB)
     flags = 1 | (rc << 4) | ((1 if transposed else 0) << 6)
-    hflags = 3 | (3 << 2) | (3 << 4)  # custom FS, DS, DT
+    hflags = hsel[0] | (hsel[1] << 2) | (hsel[2] << 4)
     body = struct.pack(">IIII", w, h, *region_xy)
     body += bytes([comb_op & 7])
     body += struct.pack(">HH", flags, hflags)

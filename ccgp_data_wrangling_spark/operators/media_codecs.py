@@ -4830,7 +4830,10 @@ def build_mp3_layer2(
     return bytes(out)
 
 
-def decode_mp3_layer2_subbands(payload: bytes) -> list[dict[str, Any]]:
+def decode_mp3_layer2_subbands(
+    payload: bytes,
+    collect_samples: list | None = None,
+) -> list[dict[str, Any]]:
     """REAL Layer II decode through dequantization (§2.4.3.3): per
     frame and allocated subband, read allocation / scfsi /
     scalefactors / 12 granules of (de)grouped sample codes and apply
@@ -4946,6 +4949,10 @@ def decode_mp3_layer2_subbands(payload: bytes) -> list[dict[str, Any]]:
                     sent[j] for j in _L2_SCFSI_PARTS[scfsi[ch][sb]]
                 ]
         acc = [[0.0] * sblimit for _ in range(nch)]
+        frame_samples = (
+            np.zeros((nch, 36, 32)) if collect_samples is not None
+            else None
+        )
         for gr in range(12):
             for sb in range(sblimit):
                 shared: list[int] | None = None
@@ -4979,12 +4986,16 @@ def decode_mp3_layer2_subbands(payload: bytes) -> list[dict[str, Any]]:
                             if idx % 3 == 0
                             else 2.0 * 2.0 ** (-idx / 3.0)
                         )
-                        for v in shared:
+                        for vi, v in enumerate(shared):
                             x = sf * (
                                 (2.0**k / steps)
                                 * (v / 2.0 ** (k - 1) - 1 + d_const)
                             )
                             acc[tch][sb] += x * x
+                            if frame_samples is not None:
+                                frame_samples[
+                                    tch, 3 * gr + vi, sb
+                                ] = x
         for sb in range(sblimit):
             for ch in range(nch):
                 if alloc[ch][sb]:
@@ -5001,9 +5012,46 @@ def decode_mp3_layer2_subbands(payload: bytes) -> list[dict[str, Any]]:
                             ),
                         }
                     )
+        if frame_samples is not None:
+            collect_samples.append(frame_samples)
         frame_no += 1
         pos += flen
     return out
+
+
+def mp3_synthesize_pcm(
+    subband_frames: "np.ndarray", window=None
+) -> "np.ndarray":
+    """ISO 11172-3 §2.4.3.2 synthesis filterbank: 32 subband samples
+    per step → 32 PCM samples (the matrixing cosines are formulas;
+    only the 512-tap Table 3-B.3 window is a memorized constant).
+    ``subband_frames`` is (n, 32) dequantized subband samples for ONE
+    channel — e.g. a channel slice of what
+    ``decode_mp3_layer2_subbands(collect_samples=...)`` gathers.
+
+    The window arrives through the SPARK_GRAFT_CODEC_TABLES
+    verified-constants hook (codec_tables — loader validates 512
+    finite taps AND >= 40 dB reconstruction through the analysis
+    twin); pass ``window`` explicitly only for declared-synthetic
+    test windows. Gates when absent: this is the one memorized
+    constant between the implemented subband decode and real PCM."""
+    from ccgp_data_wrangling_spark.codec_tables import (
+        _pqmf_synthesize,
+        mp3_synthesis_window,
+    )
+
+    if window is None:
+        window = mp3_synthesis_window()
+        if window is None:
+            raise NotImplementedError(
+                "MP3 PCM synthesis needs the ISO 11172-3 Table "
+                "3-B.3 window (untranscribed); supply it via "
+                "SPARK_GRAFT_CODEC_TABLES"
+            )
+    frames = np.asarray(subband_frames, np.float64)
+    if frames.ndim != 2 or frames.shape[1] != 32:
+        raise ValueError("subband_frames must be (n, 32)")
+    return _pqmf_synthesize(frames, np.asarray(window, np.float64))
 
 
 # ---------------------------------------------------------------------------
