@@ -195,6 +195,9 @@ HEADLINE = [
     "multimodal_tiff_tiled_decode",
     "ods_cell_extract",
     "odp_text_extract",
+    "pdf_jpx_structured_extract",
+    "doc_text_extract",
+    "multimodal_flac_decode",
 ]
 
 
@@ -274,11 +277,12 @@ def _child(out_path: str, names: list[str]) -> None:
     prior_path = os.environ.get(
         "SPARK_GRAFT_BENCH_PRIOR", "BENCH_LOCAL.json"
     )
-    try:
-        with open(prior_path) as fh:
-            prior = json.load(fh).get("queries", {})
-    except (OSError, ValueError):
-        pass
+    if not os.environ.get("SPARK_GRAFT_BENCH_NORETIME"):
+        try:
+            with open(prior_path) as fh:
+                prior = json.load(fh).get("queries", {})
+        except (OSError, ValueError):
+            pass
 
     timings: dict[str, float] = {}
     loadavg_per_query: dict[str, float] = {}
@@ -391,6 +395,49 @@ def main() -> None:
 
         shutil.rmtree(tmpdir, ignore_errors=True)
 
+    # final fresh-child re-time (r12 verdict #5): rows still >1.5x
+    # (1.25x under 1.5 s) off the PREVIOUS ARTIFACT's median after
+    # the in-child pass get one more run in a brand-new child JVM —
+    # transient box state can only inflate a timing, so the smaller
+    # of the two medians is the better-attested cost; both values
+    # stay in the artifact so cross-round movers are self-annotated.
+    final_retime: dict[str, dict[str, float]] = {}
+    prior_all: dict[str, float] = {}
+    try:
+        with open(os.environ.get(
+            "SPARK_GRAFT_BENCH_PRIOR", "BENCH_LOCAL.json"
+        )) as fh:
+            prior_all = json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        pass
+    movers = [
+        n for n, t in timings.items()
+        if n in prior_all
+        and t > (1.25 if prior_all[n] < 1.5 else 1.5) * prior_all[n]
+    ]
+    # bound the pass: worst 12 ratios (a genuinely-changed round
+    # could otherwise double the run)
+    movers.sort(key=lambda n: timings[n] / prior_all[n], reverse=True)
+    movers = movers[:12]
+    if movers:
+        part = os.path.join(tempfile.mkdtemp(prefix="bench_rt_"),
+                            "retime.json")
+        env = dict(os.environ, SPARK_GRAFT_BENCH_NORETIME="1")
+        proc = subprocess.run(
+            [sys.executable, __file__, "--group", part, *movers],
+            cwd=str(Path(__file__).resolve().parent),
+            env=env,
+        )
+        if proc.returncode == 0 and os.path.exists(part):
+            fresh = json.load(open(part))["timings"]
+            for n in movers:
+                final_retime[n] = {
+                    "group_pass": timings[n],
+                    "fresh_child": fresh[n],
+                    "prior": prior_all[n],
+                }
+                timings[n] = min(timings[n], fresh[n])
+
     total = round(sum(timings.values()), 3)
     out_file = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     result = {
@@ -407,6 +454,7 @@ def main() -> None:
         "loadavg_per_query": loadavg_per_query,
         "retimed_regressions": retimed,
         "retime_samples": retime_samples,
+        "final_retime": final_retime,
     }
     # BENCH_r05's per-query timings outgrew the driver's stdout tail
     # capture and truncated the artifact mid-JSON ("parsed": null), so
