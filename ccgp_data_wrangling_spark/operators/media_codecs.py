@@ -545,7 +545,7 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
         ]
 
     comp = num(0x0103, 1)
-    if comp not in (1, 2, 3, 4, 5, 8, 32773, 32946):
+    if comp not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {comp}")
     bilevel = comp in (2, 3, 4)
     predictor = num(0x013D, 1)
@@ -554,10 +554,25 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
     w, h = num(0x0100), num(0x0101)
     photo = num(0x0106)
     spp = num(0x0115, 1)
+    planar = num(0x011C, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"invalid PlanarConfiguration {planar}")
+    if planar == 2:
+        if bilevel or comp == 7:
+            raise NotImplementedError(
+                "PlanarConfiguration 2 with CCITT/JPEG compression"
+            )
+        if spp == 1:
+            planar = 1  # degenerate: one plane IS chunky
     if bilevel:
         if photo not in (0, 1) or spp != 1:
             raise NotImplementedError(
                 f"TIFF CCITT photometric {photo} / {spp} samples"
+            )
+    elif comp == 7:
+        if photo not in (1, 2, 6) or spp not in (1, 3):
+            raise NotImplementedError(
+                f"TIFF JPEG photometric {photo} / {spp} samples"
             )
     elif photo not in (1, 2) or spp not in (1, 3):
         raise NotImplementedError(
@@ -571,6 +586,10 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
     elif depth not in (8, 16) or any(b != depth for b in bits):
         raise NotImplementedError(f"{bits}-bit TIFF samples")
     tiled = 0x0142 in ifd or 0x0144 in ifd
+    if tiled and planar == 2:
+        raise NotImplementedError(
+            "PlanarConfiguration 2 with tile organization"
+        )
     if tiled:
         # tile organization (TIFF 6.0 §15): TileWidth/TileLength/
         # TileOffsets/TileByteCounts replace the strip tags; tiles
@@ -655,6 +674,77 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
             "channel_means": [round(mean, 4)],
             "luma_mean": round(mean, 4),
         }
+    if comp == 7:
+        # new-style JPEG-in-TIFF (TIFF TechNote 2): every strip/tile
+        # is a JPEG interchange stream; when the JPEGTables tag
+        # (0x015B) is present the strips are ABBREVIATED streams and
+        # the tag's SOI..EOI blob supplies the DQT/DHT tables, spliced
+        # in ahead of each strip's own segments
+        if depth != 8:
+            raise NotImplementedError("JPEG-in-TIFF non-8-bit samples")
+        if predictor != 1:
+            raise ValueError("predictor with JPEG-in-TIFF")
+        tbl = ifd[0x015B][2] if 0x015B in ifd else None
+        if tbl is not None and (
+            tbl[:2] != b"\xff\xd8" or tbl[-2:] != b"\xff\xd9"
+        ):
+            raise ValueError("malformed JPEGTables blob")
+
+        def jdec(stream: bytes) -> np.ndarray:
+            if stream[:2] != b"\xff\xd8":
+                raise ValueError("JPEG strip missing SOI")
+            if tbl is not None:
+                stream = tbl[:-2] + stream[2:]
+            blk = _decode_jpeg_pixels(stream)
+            if blk.shape[2] != spp:
+                raise ValueError(
+                    "JPEG strip channel count disagrees with "
+                    "SamplesPerPixel"
+                )
+            return blk
+
+        px = np.zeros((h, w, spp), np.uint8)
+        if tiled:
+            for i, s_ in enumerate(strips):
+                blk = jdec(s_)
+                ty, tx = divmod(i, ta)
+                ch_ = min(th, h - ty * th)
+                cw_ = min(tw, w - tx * tw)
+                if blk.shape[0] < ch_ or blk.shape[1] < cw_:
+                    raise ValueError("JPEG tile smaller than the grid")
+                px[ty * th:ty * th + ch_, tx * tw:tx * tw + cw_] = (
+                    blk[:ch_, :cw_]
+                )
+        else:
+            rps = num(0x0116, h)
+            for si, s_ in enumerate(strips):
+                blk = jdec(s_)
+                rows = min(rps, h - si * rps)
+                if blk.shape[0] < rows or blk.shape[1] < w:
+                    raise ValueError(
+                        "JPEG strip smaller than its row band"
+                    )
+                px[si * rps:si * rps + rows] = blk[:rows, :w]
+        means = px.astype(np.float64).mean(axis=(0, 1))
+        return {
+            "kind": "image",
+            "width": w,
+            "height": h,
+            "n_channels": spp,
+            "bit_depth": 8,
+            "compression": comp,
+            "predictor": 1,
+            "tiled": tiled,
+            "channel_means": [round(float(m), 4) for m in means],
+            "luma_mean": round(
+                float(
+                    means @ np.array([0.299, 0.587, 0.114])
+                    if spp == 3
+                    else means[0]
+                ),
+                4,
+            ),
+        }
     if comp == 5:
         strips = [_tiff_lzw_decode(s) for s in strips]
     elif comp in (8, 32946):
@@ -696,6 +786,29 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
             px[ty * th : ty * th + ch, tx * tw : tx * tw + cw] = blk[
                 :ch, :cw
             ]
+    elif planar == 2:
+        # planar organization (§ PlanarConfiguration 2): all strips
+        # of plane 0 first, then plane 1, ... — horizontal
+        # differencing applies within each plane's rows
+        rps = num(0x0116, h)
+        per_plane = (h + rps - 1) // rps
+        if len(strips) != per_plane * spp:
+            raise ValueError(
+                "planar strip count disagrees with dimensions"
+            )
+        planes = []
+        for c in range(spp):
+            praw = b"".join(
+                strips[c * per_plane:(c + 1) * per_plane]
+            )
+            if len(praw) != w * h * depth // 8:
+                raise ValueError(
+                    "TIFF plane bytes disagree with dimensions"
+                )
+            planes.append(unpredict(
+                np.frombuffer(praw, dt).reshape(h, w, 1)
+            ))
+        px = np.concatenate(planes, axis=-1)
     else:
         raw = b"".join(strips)
         if len(raw) != w * h * spp * depth // 8:
@@ -734,6 +847,8 @@ def encode_tiff(
     predictor: int = 1,
     fill_order: int = 1,
     tile_wh: tuple[int, int] | None = None,
+    planar: int = 1,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Fixture writer: 8-bit grayscale/RGB TIFF (multi-strip when
     ``rows_per_strip`` is set) in either byte order; ``compression``
@@ -751,7 +866,14 @@ def encode_tiff(
     ``tile_wh`` switches to the §15 TILE organization (dimensions
     must be positive multiples of 16): edge tiles are padded to the
     full tile extent (zeros — white under WhiteIsZero) and each tile
-    compresses independently, predictor included."""
+    compresses independently, predictor included.
+    ``compression="jpeg"`` writes new-style JPEG-in-TIFF (TechNote 2,
+    Compression 7): each strip/tile is a baseline JPEG stream from
+    encode_jpeg; ``jpeg_tables=True`` externalizes the shared
+    DQT/DHT segments into the JPEGTables tag and strips them from
+    every per-strip stream (the abbreviated-stream form archival
+    scanners emit). ``planar=2`` stores each channel's strips
+    separately (PlanarConfiguration 2, all plane-0 strips first)."""
     if tile_wh is not None:
         twd, thd = tile_wh
         if twd % 16 or thd % 16 or twd <= 0 or thd <= 0:
@@ -809,6 +931,10 @@ def encode_tiff(
         return _tiff_container(
             byte_order, bo, blocks, tags, tiled=tile_wh is not None
         )
+    if compression == "jpeg":
+        return _encode_tiff_jpeg(
+            px, byte_order, rows_per_strip, tile_wh, jpeg_tables,
+        )
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, spp = px.shape
@@ -818,6 +944,13 @@ def encode_tiff(
     comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[
         compression
     ]
+    if planar == 2:
+        if spp == 1:
+            raise ValueError("planar=2 needs multiple channels")
+        if tile_wh is not None:
+            raise ValueError(
+                "planar=2 pairs with the strip organization"
+            )
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 or 2")
     wide = np.uint16 if depth == 16 else np.uint8
@@ -826,10 +959,10 @@ def encode_tiff(
     def serialize(block: np.ndarray) -> bytes:
         out = block
         if predictor == 2:
-            bh = out.shape[0]
+            bh, _bw, bc = out.shape
             out = np.diff(
                 out.astype(np.int32), axis=1,
-                prepend=np.zeros((bh, 1, spp), np.int32),
+                prepend=np.zeros((bh, 1, bc), np.int32),
             ).astype(wide)
         if depth == 16:  # serialize in the declared byte order
             out = out.astype(">u2" if bo == "big" else "<u2")
@@ -843,6 +976,12 @@ def encode_tiff(
                 sub = src[ty : ty + thd, tx : tx + twd]
                 pad[: sub.shape[0], : sub.shape[1]] = sub
                 strips.append(serialize(pad))
+    elif planar == 2:
+        strips = [
+            serialize(src[r:r + rps, :, c:c + 1])
+            for c in range(spp)
+            for r in range(0, h, rps)
+        ]
     else:
         strips = [
             serialize(src[r : r + rps]) for r in range(0, h, rps)
@@ -869,8 +1008,107 @@ def encode_tiff(
         tags.append((0x0116, 4, [rps]))  # RowsPerStrip
     if predictor == 2:
         tags.append((0x013D, 3, [2]))  # Predictor: horizontal diff
+    if planar == 2:
+        tags.append((0x011C, 3, [2]))  # PlanarConfiguration
     return _tiff_container(
         byte_order, bo, strips, tags, tiled=tile_wh is not None
+    )
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a JPEG interchange stream into (tables_blob, abbreviated
+    stream): DQT/DHT segments move to an SOI..EOI JPEGTables blob
+    (TIFF TechNote 2), everything else stays in order."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data + EOI follow verbatim
+            rest += stream[pos:]
+            break
+        seg_len = int.from_bytes(stream[pos + 2:pos + 4], "big")
+        seg = stream[pos:pos + 2 + seg_len]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + seg_len
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
+
+
+def _encode_tiff_jpeg(
+    px: np.ndarray,
+    byte_order: str,
+    rows_per_strip: int | None,
+    tile_wh: tuple[int, int] | None,
+    jpeg_tables: bool,
+) -> bytes:
+    """New-style JPEG-in-TIFF writer (Compression 7): each
+    strip/tile is an independent baseline JPEG stream (edge tiles
+    edge-padded to the full extent); ``jpeg_tables`` externalizes
+    the shared DQT/DHT into the JPEGTables tag."""
+    if px.dtype == np.uint16:
+        raise ValueError("JPEG-in-TIFF fixture is 8-bit only")
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    spp = 1 if gray else px.shape[2]
+    bo = "little" if byte_order == "II" else "big"
+
+    def block(sub: np.ndarray) -> bytes:
+        return encode_jpeg(sub if not gray else sub)
+
+    blocks = []
+    tags = [
+        (0x0100, 4, [w]),
+        (0x0101, 4, [h]),
+        (0x0102, 3, [8] * spp),
+        (0x0103, 3, [7]),
+        (0x0106, 3, [1 if gray else 2]),
+        (0x0115, 3, [spp]),
+    ]
+    if tile_wh is not None:
+        twd, thd = tile_wh
+        if twd % 16 or thd % 16 or twd <= 0 or thd <= 0:
+            raise ValueError(
+                "tile dimensions must be positive multiples of 16"
+            )
+        for ty in range(0, h, thd):
+            for tx in range(0, w, twd):
+                sub = px[ty:ty + thd, tx:tx + twd]
+                pad_h = thd - sub.shape[0]
+                pad_w = twd - sub.shape[1]
+                if pad_h or pad_w:
+                    widths = [(0, pad_h), (0, pad_w)]
+                    if not gray:
+                        widths.append((0, 0))
+                    sub = np.pad(sub, widths, mode="edge")
+                blocks.append(block(sub))
+        tags += [(0x0142, 4, [twd]), (0x0143, 4, [thd])]
+    else:
+        rps = rows_per_strip or h
+        for r in range(0, h, rps):
+            blocks.append(block(px[r:r + rps]))
+        tags.append((0x0116, 4, [rps]))
+    if jpeg_tables:
+        tbl0, first = _split_jpeg_tables(blocks[0])
+        out_blocks = [first]
+        for b_ in blocks[1:]:
+            tbl_i, rest = _split_jpeg_tables(b_)
+            if tbl_i != tbl0:
+                raise AssertionError(
+                    "fixture strips disagree on JPEG tables"
+                )
+            out_blocks.append(rest)
+        blocks = out_blocks
+        tags.append((0x015B, 7, tbl0))
+    return _tiff_container(
+        byte_order, bo, blocks, tags, tiled=tile_wh is not None
     )
 
 
@@ -886,9 +1124,12 @@ def _tiff_container(
     heap = bytearray()
     heap_off = ifd_off + ifd_size
 
-    def entry(tag: int, typ: int, vals: list[int]) -> bytes:
-        sz = {3: 2, 4: 4}[typ]
-        raw = b"".join(v.to_bytes(sz, bo) for v in vals)
+    def entry(tag: int, typ: int, vals) -> bytes:
+        if typ == 7:  # UNDEFINED: raw bytes, count = byte length
+            raw = bytes(vals)
+        else:
+            sz = {3: 2, 4: 4}[typ]
+            raw = b"".join(v.to_bytes(sz, bo) for v in vals)
         e = tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
         e += len(vals).to_bytes(4, bo)
         if len(raw) <= 4:
@@ -901,7 +1142,7 @@ def _tiff_container(
     # passes (heap size depends only on the fixed tag list)
     probe_heap_len = 0
     for _tag, typ, vals in tags:
-        sz = {3: 2, 4: 4}[typ]
+        sz = {3: 2, 4: 4, 7: 1}[typ]
         if len(vals) * sz > 4:
             probe_heap_len += len(vals) * sz
     n_strips = len(strips)

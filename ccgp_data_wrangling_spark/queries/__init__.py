@@ -54,6 +54,7 @@ _PRIORITY: list[str] = [
     "pdf_jpx_structured_extract",
     "doc_text_extract",
     "multimodal_flac_decode",
+    "multimodal_tiff_jpeg_planar_decode",
     "m3_struct_tuple_union",
     "m8_partitioned_upsert",
     "sample_stratified_lang",

@@ -9349,6 +9349,171 @@ def multimodal_flac_decode(
 
 
 # ---------------------------------------------------------------------------
+# JPEG-in-TIFF (Compression 7, TIFF TechNote 2) + PlanarConfiguration
+# 2 through the driver gate (r13): archival scanners emit both. Flat
+# grayscale variants are EXACT through baseline JPEG (no color
+# transform, all-ones quantization), so their luma is closed-form;
+# the RGB JPEG variant is verified by per-strip consistency against
+# the raw JPEG layer (means_consistent), and the planar variant is
+# lossless with the established closed-form ramp mean.
+# ---------------------------------------------------------------------------
+
+_TIFF_JPEG_PLANAR_SQL = """
+WITH g AS (
+  SELECT event_id AS id, event_id // 20 AS k
+  FROM events WHERE event_id % 20 = 13
+)
+SELECT id,
+       CAST(CASE k % 4 WHEN 1 THEN 47 WHEN 0 THEN 40 ELSE 48 END
+            AS INT) AS width,
+       CAST(CASE k % 4 WHEN 1 THEN 33 ELSE 24 END AS INT) AS height,
+       CAST(CASE WHEN k % 4 IN (0, 1) THEN 1 ELSE 3 END AS INT)
+           AS n_channels,
+       CAST(CASE WHEN k % 4 = 3 THEN 5 ELSE 7 END AS INT)
+           AS compression,
+       CAST(k % 4 = 1 AS BOOLEAN) AS tiled,
+       CAST(k % 4 = 3 AS BOOLEAN) AS planar,
+       CAST(k % 2 = 1 AS BOOLEAN) AS jpeg_tables,
+       CAST(TRUE AS BOOLEAN) AS means_consistent,
+       CASE k % 4
+         WHEN 0 THEN ROUND(CAST(id % 200 + 20 AS DOUBLE), 4)
+         WHEN 1 THEN ROUND(CAST(id % 150 + 40 AS DOUBLE), 4)
+         WHEN 2 THEN -1.0
+         ELSE ROUND((CAST(id % 100 AS DOUBLE) + 11) * 0.299
+                    + (CAST((id + 31) % 100 AS DOUBLE) + 11) * 0.587
+                    + (CAST((id + 62) % 100 AS DOUBLE) + 11) * 0.114,
+                    4)
+       END AS luma_mean
+FROM g
+"""
+
+
+@register("multimodal_tiff_jpeg_planar_decode", _TIFF_JPEG_PLANAR_SQL)
+def multimodal_tiff_jpeg_planar_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """New-style JPEG-in-TIFF and planar organization end-to-end, by
+    ``(id // 20) % 4``: v0 flat-gray JPEG strips (exact — baseline
+    JPEG with the all-ones table is lossless on flat tiles); v1
+    flat-gray JPEG TILES with the DQT/DHT externalized into the
+    JPEGTables tag (abbreviated per-tile streams, edge tiles padded);
+    v2 RGB JPEG strips whose channel means must equal the raw
+    per-strip JPEG decode exactly (means_consistent — the TIFF layer
+    adds nothing lossy on top of the JPEG layer); v3
+    PlanarConfiguration-2 LZW+Predictor-2 RGB ramp (lossless,
+    closed-form luma). Odd k routes JPEG variants through
+    jpeg_tables=True."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 13
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ccgp_data_wrangling_spark.operators.media_codecs import (
+            _decode_jpeg_pixels,
+            decode_tiff,
+            encode_jpeg,
+            encode_tiff,
+        )
+
+        # same outer-sum construction as the other TIFF queries,
+        # tiled to full cycles: mean(0..7) + mean(0..15) = 11, so
+        # each channel mean is id-affine and luma is closed-form
+        ramp = np.add.outer(
+            np.tile(np.arange(8), 3),        # 24 rows
+            np.tile(np.arange(16), 3),       # 48 cols
+        )
+
+        def _one(e: int) -> dict:
+            k = e // 20
+            v = k % 4
+            tables = k % 2 == 1
+            consistent = True
+            if v == 0:
+                px = np.full((24, 40), e % 200 + 20, np.uint8)
+                blob = encode_tiff(px, compression="jpeg",
+                                   rows_per_strip=8,
+                                   jpeg_tables=tables)
+            elif v == 1:
+                px = np.full((33, 47), e % 150 + 40, np.uint8)
+                blob = encode_tiff(px, compression="jpeg",
+                                   tile_wh=(16, 16),
+                                   jpeg_tables=tables)
+            elif v == 2:
+                px = np.zeros((24, 48, 3), np.uint8)
+                for c in range(3):
+                    px[:, :, c] = (ramp + (e + 31 * c) % 100).astype(
+                        np.uint8
+                    )
+                blob = encode_tiff(px, compression="jpeg",
+                                   rows_per_strip=8,
+                                   jpeg_tables=tables)
+            else:
+                px = np.zeros((24, 48, 3), np.uint8)
+                for c in range(3):
+                    px[:, :, c] = (ramp + (e + 31 * c) % 100).astype(
+                        np.uint8
+                    )
+                blob = encode_tiff(px, compression="lzw",
+                                   predictor=2, planar=2,
+                                   rows_per_strip=8)
+            m = decode_tiff(blob)
+            if v == 2:
+                acc = np.zeros((24, 48, 3))
+                for r in range(0, 24, 8):
+                    blk = _decode_jpeg_pixels(
+                        encode_jpeg(px[r:r + 8])
+                    )
+                    acc[r:r + 8] = blk[:8]
+                exp = [
+                    round(float(x), 4) for x in acc.mean(axis=(0, 1))
+                ]
+                consistent = m["channel_means"] == exp
+                luma = -1.0
+            else:
+                luma = m["luma_mean"]
+            return {
+                "id": e,
+                "width": m["width"],
+                "height": m["height"],
+                "n_channels": m["n_channels"],
+                "compression": m["compression"],
+                "tiled": m["tiled"],
+                "planar": v == 3,
+                "jpeg_tables": tables,
+                "means_consistent": bool(consistent),
+                "luma_mean": luma,
+            }
+
+        for pdf in batches:
+            rows = [_one(int(eid)) for eid in pdf["id"]]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "n_channels",
+                    "compression", "tiled", "planar", "jpeg_tables",
+                    "means_consistent", "luma_mean",
+                ],
+            )
+
+    return ev.mapInPandas(
+        run,
+        schema=(
+            "id long, width int, height int, n_channels int, "
+            "compression int, tiled boolean, planar boolean, "
+            "jpeg_tables boolean, means_consistent boolean, "
+            "luma_mean double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # JBIG2 REFAGGNINST > 1 through the driver gate (r12): a symbol
 # dictionary whose new symbol is a full §6.5.8.2.1 NESTED TEXT
 # REGION — multiple strips, plain and IARI-refined instances, all

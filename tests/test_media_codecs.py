@@ -3722,3 +3722,96 @@ def test_mp3_layer2_free_format():
     assert len(got) == len(std)
     per_frame = len(std) // 3
     assert got[per_frame:] == std[per_frame:]
+
+
+def test_tiff_planar_configuration_2():
+    # PlanarConfiguration 2: all plane-0 strips first; horizontal
+    # differencing applies per plane
+    import numpy as np
+    import pytest as _pytest
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(91)
+    px = rng.integers(0, 256, (33, 47, 3)).astype(np.uint8)
+    exp = [
+        round(float(m), 4)
+        for m in px.astype(np.float64).mean(axis=(0, 1))
+    ]
+    for comp in ("none", "lzw", "deflate", "packbits"):
+        for pred in (1, 2):
+            t = decode_tiff(encode_tiff(
+                px, compression=comp, predictor=pred, planar=2,
+                rows_per_strip=8, byte_order="MM",
+            ))
+            assert t["channel_means"] == exp, (comp, pred)
+    # 16-bit planar
+    px16 = rng.integers(0, 65536, (20, 34, 3)).astype(np.uint16)
+    t = decode_tiff(encode_tiff(px16, compression="deflate",
+                                predictor=2, planar=2,
+                                rows_per_strip=6))
+    assert t["channel_means"] == [
+        round(float(m), 4)
+        for m in px16.astype(np.float64).mean(axis=(0, 1))
+    ]
+    with _pytest.raises(ValueError, match="multiple channels"):
+        encode_tiff(px[..., 0], planar=2)
+    with _pytest.raises(ValueError, match="strip organization"):
+        encode_tiff(px, planar=2, tile_wh=(16, 16))
+
+
+def test_tiff_jpeg_compression_7():
+    # new-style JPEG-in-TIFF (TechNote 2): per-strip/tile interchange
+    # streams, optionally abbreviated via the JPEGTables tag
+    import numpy as np
+
+    from ccgp_data_wrangling_spark.operators.media_codecs import (
+        _decode_jpeg_pixels,
+        decode_tiff,
+        encode_jpeg,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(93)
+    # flat gray: no color transform, all-ones quant -> exact
+    flat = np.full((24, 40), 137, np.uint8)
+    for tables in (False, True):
+        t = decode_tiff(encode_tiff(flat, compression="jpeg",
+                                    rows_per_strip=8,
+                                    jpeg_tables=tables))
+        assert t["compression"] == 7
+        assert t["channel_means"] == [137.0], tables
+    # RGB strips: exact consistency with the JPEG layer per strip
+    px = rng.integers(0, 256, (33, 47, 3)).astype(np.uint8)
+    for tables in (False, True):
+        t = decode_tiff(encode_tiff(px, compression="jpeg",
+                                    rows_per_strip=8,
+                                    jpeg_tables=tables))
+        acc = np.zeros((33, 47, 3))
+        for r in range(0, 33, 8):
+            blk = _decode_jpeg_pixels(encode_jpeg(px[r:r + 8]))
+            acc[r:r + blk.shape[0]] = blk[:min(8, 33 - r)]
+        exp = [round(float(m), 4) for m in acc.mean(axis=(0, 1))]
+        assert t["channel_means"] == exp, tables
+    # gray tiles with externalized tables; edge tiles edge-padded
+    g = rng.integers(0, 256, (33, 47)).astype(np.uint8)
+    t = decode_tiff(encode_tiff(g, compression="jpeg",
+                                tile_wh=(16, 16), jpeg_tables=True))
+    assert t["tiled"] and t["n_channels"] == 1
+    acc = np.zeros((33, 47))
+    for ty in range(0, 33, 16):
+        for tx in range(0, 47, 16):
+            sub = g[ty:ty + 16, tx:tx + 16]
+            pad = np.pad(
+                sub,
+                ((0, 16 - sub.shape[0]), (0, 16 - sub.shape[1])),
+                mode="edge",
+            )
+            blk = _decode_jpeg_pixels(encode_jpeg(pad))[:, :, 0]
+            acc[ty:ty + sub.shape[0], tx:tx + sub.shape[1]] = blk[
+                :sub.shape[0], :sub.shape[1]
+            ]
+    assert t["channel_means"] == [round(float(acc.mean()), 4)]
