@@ -8406,6 +8406,26 @@ rows_ AS (
   SELECT doc_id, 2, 0, 0,
          'left ' || CAST(doc_id % 9 AS VARCHAR) || chr(10) || 'right'
   FROM base WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id,
+         2 + CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END, 0, 0,
+         'topics ' || CAST(doc_id % 6 AS VARCHAR)
+  FROM base WHERE doc_id % 5 = 2
+  UNION ALL
+  SELECT doc_id,
+         2 + CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END, 0, 1,
+         'first ' || CAST(doc_id % 4 AS VARCHAR)
+  FROM base WHERE doc_id % 5 = 2
+  UNION ALL
+  SELECT doc_id,
+         2 + CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END, 0, 2,
+         'second'
+  FROM base WHERE doc_id % 5 = 2
+  UNION ALL
+  SELECT doc_id,
+         2 + CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END, 1, 0,
+         'shape note ' || CAST(doc_id % 8 AS VARCHAR)
+  FROM base WHERE doc_id % 5 = 2
 )
 SELECT doc_id, CAST(slide AS INT) AS slide,
        CAST(frame AS INT) AS frame, CAST(para AS INT) AS para, text,
@@ -8419,7 +8439,10 @@ def odp_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ODP corpus ingest end-to-end: build_odp fixtures carrying the
     documents table's (ASCII-cleaned) text — a title slide, a body
     slide (doc_id%4==2 adds a second frame), doc_id%3==2 a
-    line-break slide — through the draw:page walk to one row per
+    line-break slide, doc_id%5==2 an OUTLINE slide whose bullets
+    nest under text:list/text:list-item (the dominant Impress body
+    form) next to a bare draw:custom-shape paragraph without a
+    text-box wrapper — through the draw:page walk to one row per
     (slide, frame, paragraph). Every slide carries a speaker-notes
     decoy; a scoping slip surfaces it and breaks the hash."""
     from collections.abc import Iterator
@@ -8452,6 +8475,14 @@ def odp_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
                 if d % 3 == 2:
                     slides.append([[("br", f"left {d % 9}", "right")]])
+                if d % 5 == 2:
+                    # r13: Impress-style text:list bullets nested in
+                    # the text box + a bare custom-shape paragraph
+                    slides.append([
+                        [f"topics {d % 6}",
+                         ("li", f"first {d % 4}"), ("li", "second")],
+                        ("shape", [f"shape note {d % 8}"]),
+                    ])
                 payloads.append(build_odp(slides))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
@@ -8523,11 +8554,31 @@ extra AS (
          CAST(doc_id % 7 AS VARCHAR) || '.25',
          (doc_id % 7) + 0.25, 'of:=A1'
   FROM d WHERE doc_id % 4 = 2
+),
+merged AS (
+  SELECT doc_id,
+         1 + CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS sheet,
+         'merged' AS sheet_name, 0 AS "row", 0 AS col,
+         'string' AS value_type, 'M' AS text,
+         CAST(NULL AS DOUBLE) AS number,
+         CAST(NULL AS VARCHAR) AS formula
+  FROM d WHERE doc_id % 6 = 3
+  UNION ALL
+  SELECT doc_id, 1 + CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END,
+         'merged', 0, 3, 'float', '7.5', 7.5, NULL
+  FROM d WHERE doc_id % 6 = 3
+  UNION ALL
+  SELECT doc_id, 1 + CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END,
+         'merged', CAST(r AS INT), CAST(c AS INT), 'string', 'x',
+         NULL, NULL
+  FROM d, UNNEST([1, 2]) AS t1(r), UNNEST([1, 2]) AS t2(c)
+  WHERE doc_id % 6 = 3
 )
 SELECT doc_id, CAST(sheet AS INT) AS sheet, sheet_name,
        "row", col, value_type, text, number, formula
 FROM (SELECT * FROM hdr UNION ALL SELECT * FROM body
-      UNION ALL SELECT * FROM rep UNION ALL SELECT * FROM extra)
+      UNION ALL SELECT * FROM rep UNION ALL SELECT * FROM extra
+      UNION ALL SELECT * FROM merged)
 """
 
 
@@ -8536,9 +8587,12 @@ def ods_cell_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ODS corpus ingest end-to-end: build_ods fixtures (header +
     doc_id%4+2 typed data rows whose display strings deliberately
     differ from the office:value, a doubly-repeated populated row on
-    doc_id%3==1, and a second sheet with boolean + cached-formula
-    cells on doc_id%4==2) → zip walk → typed cell extraction
-    (sources/ods.ods_documents), one row per populated cell."""
+    doc_id%3==1, a second sheet with boolean + cached-formula
+    cells on doc_id%4==2, and on doc_id%6==3 a merged-range sheet
+    whose COVERED shadow cells advance columns without emitting,
+    under rows-repeated x columns-repeated at the sheet edge) → zip
+    walk → typed cell extraction (sources/ods.ods_documents), one
+    row per populated cell."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -8579,6 +8633,16 @@ def ods_cell_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ("formula", "of:=A1", (d % 7) + 0.25),
                         ]])
                     )
+                if d % 6 == 3:
+                    # r13 corner: a merged range's covered shadow
+                    # cells advance the column index without
+                    # emitting, interacting with rows-repeated AND
+                    # columns-repeated at the sheet edge
+                    sheets.append(("merged", [
+                        ["M", ("covered", 2),
+                         ("num", 7.5, "7.5")],
+                        ("rows", 2, [None, ("rep", 2, "x")]),
+                    ]))
                 payloads.append(build_ods(sheets))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}

@@ -212,6 +212,13 @@ def _cell_xml(entry: Any) -> str:
             f'"{int(entry[1])}"',
             1,
         )
+    if isinstance(entry, tuple) and entry[0] == "covered":
+        # merged-range shadow cells (§9.1.5): pure positioning, never
+        # emitted by extraction
+        return (
+            f'<table:covered-table-cell '
+            f'table:number-columns-repeated="{int(entry[1])}"/>'
+        )
     if isinstance(entry, tuple) and entry[0] == "num":
         # typed float with an INDEPENDENT display string — real
         # writers format numbers through styles, so display text and
