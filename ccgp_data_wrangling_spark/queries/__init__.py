@@ -55,6 +55,7 @@ _PRIORITY: list[str] = [
     "doc_text_extract",
     "multimodal_flac_decode",
     "multimodal_tiff_jpeg_planar_decode",
+    "multimodal_flac_spectral",
     "m3_struct_tuple_union",
     "m8_partitioned_upsert",
     "sample_stratified_lang",

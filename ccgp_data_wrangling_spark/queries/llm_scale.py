@@ -9578,6 +9578,124 @@ def multimodal_tiff_jpeg_planar_decode(
 
 
 # ---------------------------------------------------------------------------
+# FLAC → spectral features through the driver gate (r13): the same
+# closed-form square-wave DSP oracle as multimodal_wav_spectral, but
+# the PCM now travels through a REAL compressed-audio codec — FLAC is
+# lossless, so zero crossings, the dominant FFT bin, rms and peak
+# stay exact closed forms of the construction. This is the "FFT
+# feature layer on real compressed audio" the WAV path could only
+# prove on uncompressed input.
+# ---------------------------------------------------------------------------
+
+_FLAC_SPECTRAL_SQL = """
+SELECT event_id AS id,
+       CASE (event_id // 20) % 3 WHEN 0 THEN 'fixed2'
+            WHEN 1 THEN 'lpc4' ELSE 'verbatim' END AS subframe,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(2 * ((event_id % 9) + 2) * ((event_id % 20) + 10) AS INT)
+           AS n_samples,
+       CAST(TRUE AS BOOLEAN) AS pcm_match,
+       CAST(2 * ((event_id % 20) + 10) - 1 AS INT) AS zero_crossings,
+       ROUND(8000.0 / (2 * ((event_id % 9) + 2)), 4)
+           AS dominant_freq_hz,
+       ROUND(((event_id % 40) + 20) * 512 / 32768.0, 6) AS rms,
+       ROUND(((event_id % 40) + 20) * 512 / 32768.0, 6) AS peak
+FROM events WHERE event_id % 20 = 9
+"""
+
+
+@register("multimodal_flac_spectral", _FLAC_SPECTRAL_SQL)
+def multimodal_flac_spectral(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Square-wave PCM → encode_flac (subframe type rotating by
+    (id//20)%3) → decode_flac → the WAV-path DSP features computed
+    from the RECONSTRUCTED samples: FLAC losslessness keeps every
+    feature the closed form of the construction — zero crossings
+    2c−1, dominant bin at the fundamental 8000/(2m) Hz, rms = peak =
+    a/32768 (a a multiple of 512, dyadic at 6 dp). pcm_match
+    additionally pins exact sample equality."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 9
+    ).select(F.col("event_id").alias("id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ccgp_data_wrangling_spark.operators.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        kinds = ["fixed2", "lpc4", "verbatim"]
+        for pdf in batches:
+            rows = []
+            for eid in pdf["id"]:
+                e = int(eid)
+                m = (e % 9) + 2
+                c = (e % 20) + 10
+                a = ((e % 40) + 20) * 512
+                half = np.full(m, a, np.int64)
+                wave_ = np.tile(
+                    np.concatenate([half, -half]), c
+                )
+                kind = kinds[(e // 20) % 3]
+                blob = encode_flac(
+                    wave_, sample_rate=8000, bits_per_sample=16,
+                    block_size=256, subframe_kinds=[kind],
+                )
+                dec = decode_flac(blob)
+                x = dec["samples"][:, 0].astype(np.float64)
+                pcm_match = bool(
+                    dec["sample_rate"] == 8000
+                    and (dec["samples"][:, 0] == wave_).all()
+                )
+                xs = x / 32768.0
+                zc = int(np.sum(
+                    np.sign(xs[1:]) != np.sign(xs[:-1])
+                ))
+                mag = np.abs(np.fft.rfft(xs))
+                kbin = int(np.argmax(mag[1:])) + 1
+                rows.append({
+                    "id": e,
+                    "subframe": kind,
+                    "sample_rate": 8000,
+                    "n_samples": int(xs.size),
+                    "pcm_match": pcm_match,
+                    "zero_crossings": zc,
+                    "dominant_freq_hz": round(
+                        float(kbin * 8000 / xs.size), 4
+                    ),
+                    "rms": round(
+                        float(np.sqrt(np.mean(xs**2))), 6
+                    ),
+                    "peak": round(float(np.max(np.abs(xs))), 6),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "subframe", "sample_rate", "n_samples",
+                    "pcm_match", "zero_crossings",
+                    "dominant_freq_hz", "rms", "peak",
+                ],
+            )
+
+    return ev.mapInPandas(
+        run,
+        schema=(
+            "id long, subframe string, sample_rate int, "
+            "n_samples int, pcm_match boolean, zero_crossings int, "
+            "dominant_freq_hz double, rms double, peak double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # JBIG2 REFAGGNINST > 1 through the driver gate (r12): a symbol
 # dictionary whose new symbol is a full §6.5.8.2.1 NESTED TEXT
 # REGION — multiple strips, plain and IARI-refined instances, all

@@ -124,6 +124,14 @@ R12_FAMILIES = [
     "ods_cell_extract", "odp_text_extract",
 ]
 
+# r13 additions: JPX structural closure (tiles/layers/progressions/
+# precincts/derived/truncation/ROI), legacy .doc, FLAC PCM,
+# JPEG-in-TIFF + planar
+R13_FAMILIES = [
+    "pdf_jpx_structured_extract", "doc_text_extract",
+    "multimodal_flac_decode", "multimodal_tiff_jpeg_planar_decode",
+]
+
 # r10-verdict task #8: coding-variant rotations that ride INSIDE a
 # family (SDHUFF, TRANSPOSED, SBREFINE, custom tables, HENABLESKIP,
 # unknown-length, JPX containers/RCT/slack, Layer II tables) must
@@ -151,6 +159,17 @@ VARIANT_COLUMNS: dict[str, list[str]] = {
     "pdf_jbig2_agg_extract": ["rtemplate", "refcorner"],
     "multimodal_tiff_tiled_decode": [
         "compression", "predictor", "n_channels", "tile_w",
+    ],
+    "pdf_jpx_structured_extract": [
+        "progression", "transform", "derived", "truncated_planes",
+        "n_tiles", "n_layers", "precincted", "comp_overrides", "roi",
+    ],
+    "multimodal_flac_decode": [
+        "variant", "n_channels", "bps", "channel_mode",
+    ],
+    "multimodal_tiff_jpeg_planar_decode": [
+        "compression", "tiled", "planar", "jpeg_tables",
+        "n_channels",
     ],
 }
 
@@ -414,7 +433,8 @@ def main() -> None:
         if names
         else {"flagship": FLAGSHIP,
               "families": R7_FAMILIES + R8_FAMILIES + R9_FAMILIES
-              + R10_FAMILIES + R11_FAMILIES + R12_FAMILIES}
+              + R10_FAMILIES + R11_FAMILIES + R12_FAMILIES
+              + R13_FAMILIES}
     )
     result: dict[str, dict] = {}
     tmpdir = tempfile.mkdtemp(prefix="sweep_parts_")
