@@ -198,6 +198,8 @@ HEADLINE = [
     "pdf_jpx_structured_extract",
     "doc_text_extract",
     "multimodal_flac_decode",
+    "multimodal_tiff_jpeg_planar_decode",
+    "multimodal_flac_spectral",
 ]
 
 
