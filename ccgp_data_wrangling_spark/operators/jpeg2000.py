@@ -1546,6 +1546,7 @@ def encode_jpx(
     coc_levels: dict[int, int] | None = None,
     qcc: bool = False,
     rgn=None,
+    tile_parts: int = 1,
 ) -> bytes:
     """Fixture writer. ``samples`` is (h, w) grayscale or (h, w, 3)
     RGB of unsigned ``bit_depth`` values; the default output is the
@@ -1639,15 +1640,26 @@ def encode_jpx(
         if fr["rgn_shift"][c]:
             seg = bytes([c, 0, fr["rgn_shift"][c]])
             out += struct.pack(">HH", _RGN, len(seg) + 2) + seg
+    if tile_parts < 1:
+        raise ValueError("tile_parts must be >= 1")
     for t, tb in enumerate(fr["tgrid"]):
         body = _encode_tile(
             fr, t, tb, prec_c, cbw, cbh, layers, progression, sop,
             eph, truncate_planes,
         )
-        psot = 12 + 2 + len(body)
-        out += struct.pack(">HHHIBB", _SOT, 10, t, psot, 0, 1)
-        out += struct.pack(">H", _SOD)
-        out += body
+        # tile-part split (A.4.2): the decoder reassembles per-tile
+        # bodies by TPsot order; the fixture cuts at even byte
+        # offsets, which concatenation-reassembly is insensitive to
+        ntp = min(tile_parts, max(1, len(body)))
+        cuts = [len(body) * i // ntp for i in range(ntp + 1)]
+        for tp in range(ntp):
+            part = body[cuts[tp]:cuts[tp + 1]]
+            psot = 12 + 2 + len(part)
+            out += struct.pack(
+                ">HHHIBB", _SOT, 10, t, psot, tp, ntp
+            )
+            out += struct.pack(">H", _SOD)
+            out += part
     out += struct.pack(">H", _EOC)
     codestream = bytes(out)
     if not jp2_container:

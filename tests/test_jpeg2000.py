@@ -713,3 +713,31 @@ class TestStructuralR13:
             assert np.abs(got - blk).max() <= bound, npasses
             if npasses == total:
                 assert np.array_equal(got, blk)
+
+    def test_multiple_tile_parts(self):
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            jpx97_reference_decode,
+        )
+
+        rng = np.random.default_rng(157)
+        img = rng.integers(0, 256, (40, 56), dtype=np.int64)
+        # reversible: exact through 3 tile-parts per tile
+        m = decode_jpx(encode_jpx(img, levels=2, tiles=(16, 24),
+                                  tile_parts=3))
+        assert (m["samples"][..., 0] == img).all()
+        # lossy + layers: replay-identical through 2 tile-parts
+        m = decode_jpx(encode_jpx(img, levels=2, irreversible=True,
+                                  q_planes=9, tiles=(16, 24),
+                                  tile_parts=2, layers=2))
+        ref = jpx97_reference_decode(img, levels=2, q_planes=9,
+                                     tiles=(16, 24))
+        assert (m["samples"] == ref).all()
+        # out-of-order tile-part sequence is rejected
+        blob = bytearray(encode_jpx(img, levels=1, tiles=(56, 40),
+                                    tile_parts=2))
+        # SOT: marker(2) Lsot(2) Isot(2) Psot(4) TPsot(1) TNsot(1)
+        pos = blob.index(struct.pack(">H", 0xFF90))
+        assert blob[pos + 10] == 0  # TPsot of the first tile-part
+        blob[pos + 10] = 1  # duplicate TPsot 1 -> non-contiguous
+        with pytest.raises(ValueError, match="tile-part"):
+            decode_jpx(bytes(blob))
