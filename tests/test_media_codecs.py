@@ -1171,8 +1171,14 @@ def test_tiff_roundtrip_and_gates():
         decode_tiff(b"QQ" + blob[2:])
     comp = bytearray(blob)
     i = blob.find((0x0103).to_bytes(2, "little"))
-    comp[i + 8] = 7  # Compression = new-style JPEG: still gated
-    with _pytest.raises(NotImplementedError, match="compression 7"):
+    # Compression 7 (new-style JPEG) is implemented in r13; retagging
+    # RAW strips as JPEG must fail the per-strip SOI validation, and
+    # a genuinely unknown compression still gates
+    comp[i + 8] = 7
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_tiff(bytes(comp))
+    comp[i + 8] = 6  # old-style JPEG (TIFF 6.0, deprecated): gated
+    with _pytest.raises(NotImplementedError, match="compression 6"):
         decode_tiff(bytes(comp))
     with _pytest.raises(ValueError, match="strip byte"):
         decode_tiff(blob[:-4])
