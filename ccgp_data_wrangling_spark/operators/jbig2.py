@@ -889,8 +889,6 @@ def decode_symbol_dict_segment(
     (flags,) = struct.unpack_from(">H", data, 0)
     pos = 2
     refagg = bool(flags & 2)
-    if refagg and flags & 1:
-        raise NotImplementedError("SDHUFF + SDREFAGG combination")
     if flags & 1:
         return _decode_symbol_dict_huffman(
             data, flags, input_syms, tables or []
@@ -1121,10 +1119,42 @@ def _decode_symbol_dict_huffman(
         raise NotImplementedError(
             "custom BMSIZE/AGG symbol-dictionary tables"
         )
-    num_ex, num_new = struct.unpack_from(">II", data, 2)
-    reader = _HuffReader(data, 10)
+    refagg = bool(flags & 2)
+    rtemplate = (flags >> 12) & 1
+    pos = 2
+    rat: tuple[tuple[int, int], ...] = _GR_NOMINAL_AT
+    if refagg and rtemplate == 0:
+        rat = (
+            (struct.unpack_from(">b", data, pos)[0],
+             struct.unpack_from(">b", data, pos + 1)[0]),
+            (struct.unpack_from(">b", data, pos + 2)[0],
+             struct.unpack_from(">b", data, pos + 3)[0]),
+        )
+        pos += 4
+    num_ex, num_new = struct.unpack_from(">II", data, pos)
+    reader = _HuffReader(data, pos + 8)
     from ccgp_data_wrangling_spark.operators.media_codecs import (
         decode_ccitt_g4,
+    )
+
+    b15 = None
+    if refagg:
+        # §6.5.8.2.2 (SDHUFF=1): RDX/RDY always read through the
+        # standard Table B.15 — untranscribed, loadable through the
+        # codec_tables verified-constants hook
+        from ccgp_data_wrangling_spark.codec_tables import (
+            jbig2_standard_table,
+        )
+
+        b15 = jbig2_standard_table("B.15")
+        if b15 is None:
+            raise NotImplementedError(
+                "SDHUFF + SDREFAGG needs standard table B.15 for "
+                "RDX/RDY (untranscribed); supply it via "
+                "SPARK_GRAFT_CODEC_TABLES"
+            )
+    agg_codelen = max(
+        1, (len(input_syms) + num_new - 1).bit_length()
     )
 
     new_syms: list[np.ndarray] = []
@@ -1147,7 +1177,47 @@ def _decode_symbol_dict_huffman(
                 len(new_syms) + len(widths) >= num_new
             ):
                 raise ValueError("symbol dictionary overrun")
+            if refagg:
+                # §6.5.8.2.2: per-symbol refinement — AGGINST via
+                # Table B.1, raw-bit symbol ID, B.15 RDX/RDY, B.1
+                # BMSIZE, then a byte-aligned MQ refinement block
+                # with fresh GR stats (the SBHUFF text-region RSIZE
+                # mechanism)
+                nagg = HUFF_B1.decode(reader)
+                if nagg is OOB or nagg < 1:
+                    raise ValueError("bad REFAGGNINST")
+                if nagg != 1:
+                    raise NotImplementedError(
+                        "SDHUFF aggregate with REFAGGNINST > 1 "
+                        "(nested Huffman-coded text region)"
+                    )
+                sid = reader.bits(agg_codelen)
+                pool = input_syms + new_syms
+                if sid >= len(pool):
+                    raise ValueError(
+                        "refinement references an undecoded symbol"
+                    )
+                rdx = b15.decode(reader)
+                rdy = b15.decode(reader)
+                if OOB in (rdx, rdy):
+                    raise ValueError("OOB refinement offset")
+                bmsize = HUFF_B1.decode(reader)
+                if bmsize is OOB or bmsize <= 0:
+                    raise ValueError("bad refinement BMSIZE")
+                reader.align()
+                block = reader.take(bmsize)
+                rdec = MQDecoder(bytes(block))
+                new_syms.append(
+                    _refine_loop(
+                        rdec, ArithStats(1 << 13), symwidth,
+                        hcheight, pool[sid].astype(np.uint8),
+                        rdx, rdy, rtemplate, False, rat, None,
+                    )
+                )
+                continue
             widths.append(symwidth)
+        if refagg:
+            continue
         total = sum(widths)
         bmsize = HUFF_B1.decode(reader)
         reader.align()
@@ -1303,6 +1373,76 @@ def _compose_agg_symbol(
             )
         region[t : t + hi, s : s + wi] |= bm
     return region
+
+
+def _build_symbol_dict_huffman_refagg(
+    entries: list[dict],
+    input_syms: list[np.ndarray],
+    rtemplate: int = 0,
+    rat: tuple[tuple[int, int], ...] | None = None,
+) -> bytes:
+    """SDHUFF=1 + SDREFAGG=1 segment data (§6.5.8.2.2, single
+    instance): B.4 height deltas / B.2 width deltas, per-symbol
+    AGGINST=1 via B.1, raw-bit symbol ID, RDX/RDY through the
+    hook-loaded standard Table B.15, B.1 BMSIZE, then a byte-aligned
+    MQ refinement block with fresh GR stats. ``entries`` are dicts
+    {"bitmap": target bool array, "ref": pool index, "rdx", "rdy"}
+    in NON-DECREASING height order; everything exports."""
+    from ccgp_data_wrangling_spark.codec_tables import (
+        jbig2_standard_table,
+    )
+
+    b15 = jbig2_standard_table("B.15")
+    if b15 is None:
+        raise NotImplementedError(
+            "SDHUFF+SDREFAGG fixtures need standard table B.15 via "
+            "SPARK_GRAFT_CODEC_TABLES"
+        )
+    if rat is None:
+        rat = _GR_NOMINAL_AT
+    num_new = len(entries)
+    codelen = max(1, (len(input_syms) + num_new - 1).bit_length())
+    w = _HuffWriter()
+    hcheight = 0
+    i = 0
+    pool = list(input_syms)
+    while i < num_new:
+        h = entries[i]["bitmap"].shape[0]
+        HUFF_B4.encode(w, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < num_new and entries[i]["bitmap"].shape[0] == h:
+            ent = entries[i]
+            bm = ent["bitmap"].astype(bool)
+            HUFF_B2.encode(w, bm.shape[1] - symwidth)
+            symwidth = bm.shape[1]
+            HUFF_B1.encode(w, 1)  # REFAGGNINST
+            w.bits(ent["ref"], codelen)
+            b15.encode(w, ent["rdx"])
+            b15.encode(w, ent["rdy"])
+            enc = MQEncoder()
+            _refine_loop(
+                enc, ArithStats(1 << 13), bm.shape[1], bm.shape[0],
+                pool[ent["ref"]].astype(np.uint8), ent["rdx"],
+                ent["rdy"], rtemplate, False, rat, bm,
+            )
+            block = enc.flush()
+            HUFF_B1.encode(w, len(block))
+            w.align()
+            w.raw(block)
+            pool.append(bm)
+            i += 1
+        HUFF_B2.encode(w, OOB)
+    # export runs (B.1): inputs not exported, every new symbol is
+    HUFF_B1.encode(w, len(input_syms))
+    HUFF_B1.encode(w, num_new)
+    flags = 1 | 2 | ((rtemplate & 1) << 12)
+    head = struct.pack(">H", flags)
+    if rtemplate == 0:
+        for dx, dy in rat:
+            head += struct.pack(">bb", dx, dy)
+    head += struct.pack(">II", num_new, num_new)
+    return head + w.getvalue()
 
 
 def _build_symbol_dict_refagg(

@@ -282,3 +282,65 @@ class TestPcmSynthesis:
                 if frames[f, k]:
                     expected[32 * f:32 * f + 512] += frames[f, k] * g
         assert np.allclose(y, expected[:len(y)], atol=1e-9)
+
+
+class TestSdhuffRefagg:
+    """SDHUFF + SDREFAGG (T.88 §6.5.8.2.2, single instance): the
+    combination previously gated entirely on Table B.15 — with the
+    hook supplying a synthetic B.15-shaped table, the full Huffman
+    refinement dictionary decodes; without it, the gate names the
+    table."""
+
+    _SYN_B15 = [[2, 2, -2], [2, 2, 2], [2, 4, 6],
+                [3, 32, -3, "lower"], [3, 32, 22, "upper"]]
+
+    def _fixture(self):
+        rng = np.random.default_rng(77)
+        base0 = rng.random((6, 8)) < 0.4
+        base1 = rng.random((7, 5)) < 0.5
+        t0 = base0.copy()
+        t0[2:4, 3:6] ^= True          # same-size refinement
+        t1 = np.zeros((8, 7), bool)   # grown refinement
+        t1[:7, 1:6] = base1
+        t1[0, 0] = True
+        t2 = t0.copy()
+        t2[0, :3] = True              # refines a NEW symbol (pool)
+        entries = [
+            {"bitmap": t0, "ref": 0, "rdx": 1, "rdy": -1},
+            {"bitmap": t2, "ref": 2, "rdx": 0, "rdy": 0},
+            {"bitmap": t1, "ref": 1, "rdx": -2, "rdy": 2},
+        ]
+        return [base0, base1], entries
+
+    def test_gates_without_hook(self):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            decode_symbol_dict_segment,
+        )
+        import struct
+
+        # minimal SDHUFF+REFAGG header (rtemplate=1: no SDRAT)
+        head = struct.pack(">H", 1 | 2 | (1 << 12))
+        head += struct.pack(">II", 1, 1)
+        with pytest.raises(NotImplementedError, match="B.15"):
+            decode_symbol_dict_segment(head + b"\x00" * 8)
+
+    @pytest.mark.parametrize("rtemplate", [0, 1])
+    def test_round_trip_with_loaded_table(
+        self, tmp_path, monkeypatch, rtemplate
+    ):
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            _build_symbol_dict_huffman_refagg,
+            decode_symbol_dict_segment,
+        )
+
+        _write_tables(tmp_path, monkeypatch, {
+            "jbig2_standard_tables": {"B.15": self._SYN_B15},
+        })
+        input_syms, entries = self._fixture()
+        data = _build_symbol_dict_huffman_refagg(
+            entries, input_syms, rtemplate=rtemplate,
+        )
+        out = decode_symbol_dict_segment(data, input_syms=input_syms)
+        assert len(out) == 3
+        for got, ent in zip(out, entries):
+            assert np.array_equal(got, ent["bitmap"]), ent["ref"]

@@ -1267,13 +1267,19 @@ class TestSDRefAgg:
                 head + enc.flush(), [np.ones((2, 2), bool)]
             )
 
-    def test_sdhuff_refagg_combination_gates(self):
+    def test_sdhuff_refagg_gates_on_b15(self):
+        # r13: SDHUFF+SDREFAGG decodes when Table B.15 arrives via
+        # the codec_tables hook (tests/test_codec_tables.py); with
+        # the hook unset the gate names the table
         from ccgp_data_wrangling_spark.operators.jbig2 import (
             decode_symbol_dict_segment,
         )
 
-        with pytest.raises(NotImplementedError, match="SDHUFF"):
-            decode_symbol_dict_segment(struct.pack(">HII", 3, 0, 0))
+        with pytest.raises(NotImplementedError, match="B.15"):
+            decode_symbol_dict_segment(
+                struct.pack(">H", 3 | (1 << 12))
+                + struct.pack(">II", 1, 1)
+            )
 
 
 def test_symbol_id_runcode_repeat_after_zero_run():
