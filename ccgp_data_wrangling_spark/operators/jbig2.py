@@ -1081,6 +1081,117 @@ def decode_symbol_dict_segment(
     return exported
 
 
+def _sdhuff_agg_tables() -> dict:
+    """The spec-fixed standard tables a SDHUFF aggregate text region
+    reads through (§6.5.8.2.1 table assignments) — all untranscribed,
+    all resolvable through the codec_tables hook."""
+    from ccgp_data_wrangling_spark.codec_tables import (
+        jbig2_standard_table,
+    )
+
+    out = {}
+    for key, name in (("dt", "B.11"), ("fs", "B.6"), ("ds", "B.8"),
+                      ("rdw", "B.14"), ("rdh", "B.14"),
+                      ("rdx", "B.15"), ("rdy", "B.15")):
+        t = jbig2_standard_table(name)
+        if t is None:
+            raise NotImplementedError(
+                f"SDHUFF aggregate text region needs standard table "
+                f"{name} (untranscribed); supply it via "
+                "SPARK_GRAFT_CODEC_TABLES"
+            )
+        out[key] = t
+    return out
+
+
+def _sdhuff_aggregate(
+    reader: "_HuffReader",
+    nagg: int,
+    symwidth: int,
+    hcheight: int,
+    pool: list[np.ndarray],
+    codelen: int,
+    rtemplate: int,
+    rat: tuple[tuple[int, int], ...],
+    b15: HuffTable,
+) -> np.ndarray:
+    """§6.5.8.2.1 with SDHUFF=1: decode one aggregate symbol as a
+    nested Huffman-coded text region of exactly (symwidth ×
+    hcheight) — SBSTRIPS=1, TL refcorner, OR composition, raw-bit
+    symbol IDs over ``codelen`` bits, single-bit RI flags, refined
+    instances through B.14/B.15 deltas and the byte-aligned
+    RSIZE-block MQ mechanism."""
+    tabs = _sdhuff_agg_tables()
+    region = np.zeros((hcheight, symwidth), bool)
+    dt0 = tabs["dt"].decode(reader)
+    if dt0 is OOB:
+        raise ValueError("OOB STRIPT")
+    stript = -dt0
+    firsts = 0
+    ninst = 0
+    while ninst < nagg:
+        dt = tabs["dt"].decode(reader)
+        if dt is OOB:
+            raise ValueError("OOB strip delta")
+        stript += dt
+        first_sym = True
+        curs = 0
+        while True:
+            if first_sym:
+                dfs = tabs["fs"].decode(reader)
+                if dfs is OOB:
+                    raise ValueError("OOB first-symbol S")
+                firsts += dfs
+                curs = firsts
+                first_sym = False
+            else:
+                ids = tabs["ds"].decode(reader)
+                if ids is OOB:
+                    break  # strip ends
+                curs += ids
+            sid = reader.bits(codelen)
+            if sid >= len(pool):
+                raise ValueError(
+                    "aggregate references an undecoded symbol"
+                )
+            bm = pool[sid]
+            if reader.bit():  # RI: refined instance
+                rdw = tabs["rdw"].decode(reader)
+                rdh = tabs["rdh"].decode(reader)
+                rdx = tabs["rdx"].decode(reader)
+                rdy = tabs["rdy"].decode(reader)
+                if OOB in (rdw, rdh, rdx, rdy):
+                    raise ValueError("OOB refinement delta")
+                rsize = HUFF_B1.decode(reader)
+                if rsize is OOB or rsize <= 0:
+                    raise ValueError("bad refinement RSIZE")
+                reader.align()
+                block = reader.take(rsize)
+                wo = bm.shape[1] + rdw
+                ho = bm.shape[0] + rdh
+                if wo <= 0 or ho <= 0:
+                    raise ValueError("refined instance has no pixels")
+                bm = _refine_loop(
+                    MQDecoder(bytes(block)), ArithStats(1 << 13),
+                    wo, ho, bm.astype(np.uint8),
+                    rdw // 2 + rdx, rdh // 2 + rdy,
+                    rtemplate, False, rat, None,
+                )
+            bm = bm.astype(bool)
+            hi, wi = bm.shape
+            tgt = region[stript:stript + hi, curs:curs + wi]
+            if tgt.shape != bm.shape or curs < 0 or stript < 0:
+                raise ValueError(
+                    "aggregate instance exceeds the symbol extent"
+                )
+            tgt |= bm
+            curs += wi - 1
+            ninst += 1
+            if ninst > nagg:
+                raise ValueError("REFAGGNINST overrun")
+    return region
+
+
 def _decode_symbol_dict_huffman(
     data: bytes,
     flags: int,
@@ -1186,13 +1297,18 @@ def _decode_symbol_dict_huffman(
                 nagg = HUFF_B1.decode(reader)
                 if nagg is OOB or nagg < 1:
                     raise ValueError("bad REFAGGNINST")
-                if nagg != 1:
-                    raise NotImplementedError(
-                        "SDHUFF aggregate with REFAGGNINST > 1 "
-                        "(nested Huffman-coded text region)"
-                    )
-                sid = reader.bits(agg_codelen)
                 pool = input_syms + new_syms
+                if nagg != 1:
+                    # §6.5.8.2.1 with SDHUFF=1: the aggregate is a
+                    # nested HUFFMAN-coded text region with the
+                    # spec-fixed standard tables (DT=B.11, FS=B.6,
+                    # DS=B.8, RDW/RDH=B.14, RDX/RDY=B.15, RSIZE=B.1)
+                    new_syms.append(_sdhuff_aggregate(
+                        reader, nagg, symwidth, hcheight, pool,
+                        agg_codelen, rtemplate, rat, b15,
+                    ))
+                    continue
+                sid = reader.bits(agg_codelen)
                 if sid >= len(pool):
                     raise ValueError(
                         "refinement references an undecoded symbol"
@@ -1375,6 +1491,91 @@ def _compose_agg_symbol(
     return region
 
 
+def _ent_shape(ent: dict) -> tuple[int, int]:
+    if "aggregate" in ent:
+        return ent["h"], ent["w"]
+    return ent["bitmap"].shape
+
+
+def _emit_sdhuff_aggregate(
+    w: "_HuffWriter",
+    ent: dict,
+    pool: list[np.ndarray],
+    codelen: int,
+    rtemplate: int,
+    rat: tuple[tuple[int, int], ...],
+    symwidth: int,
+) -> np.ndarray:
+    """Emit one REFAGGNINST>1 aggregate as a nested Huffman text
+    region (§6.5.8.2.1, SDHUFF=1) and return the composed symbol
+    bitmap. Instances are (sid, x, y[, refinement-dict]) TOP-LEFT
+    placements."""
+    tabs = _sdhuff_agg_tables()
+    h, wd = ent["h"], ent["w"]
+    insts = ent["aggregate"]
+    HUFF_B2.encode(w, wd - symwidth)
+    HUFF_B1.encode(w, len(insts))  # REFAGGNINST
+    region = np.zeros((h, wd), bool)
+    coded = sorted(
+        ((inst[1], inst[2], inst) for inst in insts),
+        key=lambda r: (r[1], r[0]),
+    )
+    tabs["dt"].encode(w, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    i = 0
+    while i < len(coded):
+        t = coded[i][1]
+        tabs["dt"].encode(w, t - stript)
+        stript = t
+        first = True
+        curs = 0
+        while i < len(coded) and coded[i][1] == t:
+            s_, _, inst = coded[i]
+            if first:
+                tabs["fs"].encode(w, s_ - firsts)
+                firsts = s_
+                first = False
+            else:
+                tabs["ds"].encode(w, s_ - curs)
+            sid = inst[0]
+            w.bits(sid, codelen)
+            ref = inst[3] if len(inst) > 3 else None
+            if ref:
+                w.bits(1, 1)
+                out_bm = ref["bitmap"].astype(bool)
+                base = pool[sid]
+                rdw = out_bm.shape[1] - base.shape[1]
+                rdh = out_bm.shape[0] - base.shape[0]
+                rdx_, rdy_ = ref.get("rdx", 0), ref.get("rdy", 0)
+                tabs["rdw"].encode(w, rdw)
+                tabs["rdh"].encode(w, rdh)
+                tabs["rdx"].encode(w, rdx_)
+                tabs["rdy"].encode(w, rdy_)
+                enc = MQEncoder()
+                _refine_loop(
+                    enc, ArithStats(1 << 13),
+                    out_bm.shape[1], out_bm.shape[0],
+                    base.astype(np.uint8),
+                    rdw // 2 + rdx_, rdh // 2 + rdy_,
+                    rtemplate, False, rat, out_bm,
+                )
+                block = enc.flush()
+                HUFF_B1.encode(w, len(block))
+                w.align()
+                w.raw(block)
+                bm = out_bm
+            else:
+                w.bits(0, 1)
+                bm = pool[sid].astype(bool)
+            hi, wi = bm.shape
+            region[t:t + hi, s_:s_ + wi] |= bm
+            curs = s_ + wi - 1
+            i += 1
+        tabs["ds"].encode(w, OOB)
+    return region
+
+
 def _build_symbol_dict_huffman_refagg(
     entries: list[dict],
     input_syms: list[np.ndarray],
@@ -1387,7 +1588,10 @@ def _build_symbol_dict_huffman_refagg(
     hook-loaded standard Table B.15, B.1 BMSIZE, then a byte-aligned
     MQ refinement block with fresh GR stats. ``entries`` are dicts
     {"bitmap": target bool array, "ref": pool index, "rdx", "rdy"}
-    in NON-DECREASING height order; everything exports."""
+    — or, for a REFAGGNINST>1 aggregate, {"h", "w", "aggregate":
+    [(sid, x, y) or (sid, x, y, {"bitmap", "rdx", "rdy"})]} coded as
+    a nested Huffman text region over the spec-fixed standard
+    tables — in NON-DECREASING height order; everything exports."""
     from ccgp_data_wrangling_spark.codec_tables import (
         jbig2_standard_table,
     )
@@ -1407,12 +1611,20 @@ def _build_symbol_dict_huffman_refagg(
     i = 0
     pool = list(input_syms)
     while i < num_new:
-        h = entries[i]["bitmap"].shape[0]
+        h = _ent_shape(entries[i])[0]
         HUFF_B4.encode(w, h - hcheight)
         hcheight = h
         symwidth = 0
-        while i < num_new and entries[i]["bitmap"].shape[0] == h:
+        while i < num_new and _ent_shape(entries[i])[0] == h:
             ent = entries[i]
+            if "aggregate" in ent:
+                region = _emit_sdhuff_aggregate(
+                    w, ent, pool, codelen, rtemplate, rat, symwidth
+                )
+                symwidth = ent["w"]
+                pool.append(region)
+                i += 1
+                continue
             bm = ent["bitmap"].astype(bool)
             HUFF_B2.encode(w, bm.shape[1] - symwidth)
             symwidth = bm.shape[1]

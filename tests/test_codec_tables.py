@@ -344,3 +344,65 @@ class TestSdhuffRefagg:
         assert len(out) == 3
         for got, ent in zip(out, entries):
             assert np.array_equal(got, ent["bitmap"]), ent["ref"]
+
+    _SYN_B11b = [[1, 2, 0], [2, 3, 4], [3, 4, 12],
+                 [3, 32, 28, "upper"]]
+    _SYN_B14 = [[2, 2, -2], [2, 2, 2], [2, 3, 6],
+                [3, 32, -3, "lower"], [3, 32, 14, "upper"]]
+
+    def test_aggregate_nested_huffman_text_region(
+        self, tmp_path, monkeypatch
+    ):
+        # REFAGGNINST>1 with SDHUFF: the aggregate decodes as a
+        # nested HUFFMAN text region over the spec-fixed standard
+        # tables (DT=B.11, FS=B.6, DS=B.8, RDW/RDH=B.14,
+        # RDX/RDY=B.15) — all hook-loaded synthetics here
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            _build_symbol_dict_huffman_refagg,
+            decode_symbol_dict_segment,
+        )
+
+        _write_tables(tmp_path, monkeypatch, {
+            "jbig2_standard_tables": {
+                "B.6": _SYN_B6, "B.8": _SYN_B8,
+                "B.11": self._SYN_B11b, "B.14": self._SYN_B14,
+                "B.15": self._SYN_B15,
+            },
+        })
+        rng = np.random.default_rng(79)
+        base0 = rng.random((4, 5)) < 0.4
+        base1 = rng.random((4, 3)) < 0.5
+        refined = np.zeros((5, 4), bool)
+        refined[:4, :3] = base1
+        refined[4, 0] = refined[0, 3] = True
+        # aggregate: two plain instances + one refined, composed
+        # into a 7x14 symbol; then a single-instance refinement OF
+        # THE AGGREGATE (pool reference to a new symbol)
+        agg = {
+            "h": 7, "w": 14,
+            "aggregate": [
+                (0, 0, 0),
+                (1, 6, 1),
+                (0, 9, 2,
+                 {"bitmap": refined, "rdx": 1, "rdy": 0}),
+            ],
+        }
+        expected = np.zeros((7, 14), bool)
+        expected[0:4, 0:5] |= base0
+        expected[1:5, 6:9] |= base1
+        expected[2:7, 9:13] |= refined
+        follow = expected.copy()
+        follow[0, 13] = True
+        entries = [
+            agg,
+            {"bitmap": follow, "ref": 2, "rdx": 0, "rdy": 0},
+        ]
+        data = _build_symbol_dict_huffman_refagg(
+            entries, [base0, base1], rtemplate=1,
+        )
+        out = decode_symbol_dict_segment(
+            data, input_syms=[base0, base1]
+        )
+        assert len(out) == 2
+        assert np.array_equal(out[0], expected)
+        assert np.array_equal(out[1], follow)
