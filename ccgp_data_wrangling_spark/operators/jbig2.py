@@ -110,8 +110,11 @@ class ArithStats:
     __slots__ = ("icx", "mps")
 
     def __init__(self, n: int) -> None:
-        self.icx = np.zeros(n, np.uint8)
-        self.mps = np.zeros(n, np.uint8)
+        # bytearrays, not numpy: these are read/written one scalar at
+        # a time from the per-bit coder loops, where ndarray scalar
+        # indexing costs ~5x a bytearray access
+        self.icx = bytearray(n)
+        self.mps = bytearray(n)
 
 
 class MQDecoder:
@@ -154,41 +157,53 @@ class MQDecoder:
 
     def decode(self, cx: int, stats: ArithStats | None = None) -> int:
         st = stats if stats is not None else self._default
-        qe, nmps, nlps, switch = _QE[st.icx[cx]]
-        self._a -= qe
-        if (self._c >> 16) < qe:
+        icx = st.icx
+        mps = st.mps
+        qe, nmps, nlps, switch = _QE[icx[cx]]
+        a = self._a - qe
+        c = self._c
+        if (c >> 16) < qe:
             # LPS exchange (Figure E.17)
-            if self._a < qe:
-                d = int(st.mps[cx])
-                st.icx[cx] = nmps
+            if a < qe:
+                d = mps[cx]
+                icx[cx] = nmps
             else:
-                d = 1 - int(st.mps[cx])
+                d = 1 - mps[cx]
                 if switch:
-                    st.mps[cx] ^= 1
-                st.icx[cx] = nlps
-            self._a = qe
+                    mps[cx] ^= 1
+                icx[cx] = nlps
+            a = qe
         else:
-            self._c -= qe << 16
-            if self._a & 0x8000:
-                return int(st.mps[cx])
+            c -= qe << 16
+            if a & 0x8000:
+                self._a = a
+                self._c = c
+                return mps[cx]
             # MPS exchange (Figure E.18)
-            if self._a < qe:
-                d = 1 - int(st.mps[cx])
+            if a < qe:
+                d = 1 - mps[cx]
                 if switch:
-                    st.mps[cx] ^= 1
-                st.icx[cx] = nlps
+                    mps[cx] ^= 1
+                icx[cx] = nlps
             else:
-                d = int(st.mps[cx])
-                st.icx[cx] = nmps
+                d = mps[cx]
+                icx[cx] = nmps
         # RENORMD (Figure E.18 tail)
+        ct = self._ct
         while True:
-            if self._ct == 0:
+            if ct == 0:
+                self._c = c
                 self._bytein()
-            self._a = (self._a << 1) & 0xFFFF
-            self._c = (self._c << 1) & 0xFFFFFFFF
-            self._ct -= 1
-            if self._a & 0x8000:
+                c = self._c
+                ct = self._ct
+            a = (a << 1) & 0xFFFF
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if a & 0x8000:
                 break
+        self._a = a
+        self._c = c
+        self._ct = ct
         return d
 
 
@@ -212,37 +227,47 @@ class MQEncoder:
         self, cx: int, d: int, stats: ArithStats | None = None
     ) -> None:
         st = stats if stats is not None else self._default
-        qe, nmps, nlps, switch = _QE[st.icx[cx]]
+        icx = st.icx
+        qe, nmps, nlps, switch = _QE[icx[cx]]
+        a = self._a - qe
         if d == st.mps[cx]:
             # CODEMPS (Figure E.7)
-            self._a -= qe
-            if self._a & 0x8000:
+            if a & 0x8000:
+                self._a = a
                 self._c += qe
                 return
-            if self._a < qe:
-                self._a = qe
+            if a < qe:
+                a = qe
             else:
                 self._c += qe
-            st.icx[cx] = nmps
+            icx[cx] = nmps
         else:
             # CODELPS (Figure E.6)
-            self._a -= qe
-            if self._a < qe:
+            if a < qe:
                 self._c += qe
             else:
-                self._a = qe
+                a = qe
             if switch:
                 st.mps[cx] ^= 1
-            st.icx[cx] = nlps
+            icx[cx] = nlps
         # RENORME (Figure E.8)
+        c = self._c
+        ct = self._ct
         while True:
-            self._a = (self._a << 1) & 0xFFFF
-            self._c = (self._c << 1) & 0xFFFFFFFF
-            self._ct -= 1
-            if self._ct == 0:
+            a = (a << 1) & 0xFFFF
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if ct == 0:
+                self._c = c
+                self._ct = ct
                 self._byteout()
-            if self._a & 0x8000:
+                c = self._c
+                ct = self._ct
+            if a & 0x8000:
                 break
+        self._a = a
+        self._c = c
+        self._ct = ct
 
     def _byteout(self) -> None:
         # Figure E.9 with the 0xFF bit-stuffing branches.
@@ -386,23 +411,57 @@ def _decode_generic_bitmap(
     taps = _template_taps(template, at)
     sltp_cx = _SLTP_CX[template]
     pad = _taps_pad(taps)
-    img = np.zeros((height + 2 * pad, width + 2 * pad), np.uint8)
+    # rows as Python bytearrays: the decode loop reads/writes single
+    # pixels, where ndarray scalar access costs ~5x a bytearray's.
+    # Taps on COMPLETED rows (dy < 0) are summed per row into a
+    # "static" context vector with vectorized numpy shifts; only the
+    # current-row taps (dy == 0, always dx < 0 — _check_at gates the
+    # rest) are read pixel-by-pixel. Context values and decoded bits
+    # are identical to the per-tap loop this replaces.
+    w2 = width + 2 * pad
+    rows = [bytearray(w2) for _ in range(height + 2 * pad)]
+    above = [(dx, dy, shift) for shift, (dx, dy) in enumerate(taps)
+             if dy < 0]
+    cur = [(dx, shift) for shift, (dx, dy) in enumerate(taps)
+           if dy == 0]
+    static = np.zeros(width, np.int64)
+    decode = dec.decode
     ltp = 0
     for y in range(height):
         if tpgdon:
-            ltp ^= dec.decode(sltp_cx, gb)
+            ltp ^= decode(sltp_cx, gb)
             if ltp:
-                img[pad + y] = img[pad + y - 1]
+                rows[pad + y][:] = rows[pad + y - 1]
                 continue
-        row = img[pad + y]
-        for x in range(width):
-            if skip is not None and skip[y, x]:
-                continue  # stays 0, no bit coded
-            cx = 0
-            for shift, (dx, dy) in enumerate(taps):
-                cx |= int(img[pad + y + dy, pad + x + dx]) << shift
-            row[pad + x] = dec.decode(cx, gb)
-    return img[pad : pad + height, pad : pad + width].astype(bool)
+        static[:] = 0
+        for dx, dy, shift in above:
+            src = np.frombuffer(
+                rows[pad + y + dy], np.uint8
+            )[pad + dx : pad + dx + width].astype(np.int64)
+            static += src << shift
+        stat = static.tolist()
+        row = rows[pad + y]
+        if skip is None:
+            for x in range(width):
+                cx = stat[x]
+                xx = pad + x
+                for dx, shift in cur:
+                    cx |= row[xx + dx] << shift
+                row[xx] = decode(cx, gb)
+        else:
+            srow = skip[y].tolist()
+            for x in range(width):
+                if srow[x]:
+                    continue  # stays 0, no bit coded
+                cx = stat[x]
+                xx = pad + x
+                for dx, shift in cur:
+                    cx |= row[xx + dx] << shift
+                row[xx] = decode(cx, gb)
+    out = np.frombuffer(
+        b"".join(rows[pad : pad + height]), np.uint8
+    ).reshape(height, w2)
+    return out[:, pad : pad + width].astype(bool)
 
 
 def _encode_generic_bitmap(
@@ -421,6 +480,23 @@ def _encode_generic_bitmap(
     height, width = black.shape
     img = np.zeros((height + 2 * pad, width + 2 * pad), np.uint8)
     img[pad : pad + height, pad : pad + width] = black
+    # the whole bitmap is known up front, so the per-pixel context
+    # values can be computed for EVERY pixel at once with vectorized
+    # shifted adds (one per tap), leaving only the sequential MQ
+    # encode calls in the Python loop. Identical context values and
+    # coded decisions to the per-tap scalar loop this replaces.
+    cximg = np.zeros((height, width), np.int64)
+    for shift, (dx, dy) in enumerate(taps):
+        cximg += (
+            img[
+                pad + dy : pad + dy + height,
+                pad + dx : pad + dx + width,
+            ].astype(np.int64)
+            << shift
+        )
+    cxrows = cximg.tolist()
+    bitrows = black.astype(np.uint8).tolist()
+    encode = enc.encode
     ltp = 0
     for y in range(height):
         if tpgdon:
@@ -428,19 +504,23 @@ def _encode_generic_bitmap(
                 np.array_equal(img[pad + y], img[pad + y - 1])
             )
             want = 1 if typical else 0
-            enc.encode(sltp_cx, ltp ^ want, gb)
+            encode(sltp_cx, ltp ^ want, gb)
             ltp = want
             if ltp:
                 continue
-        for x in range(width):
-            if skip is not None and skip[y, x]:
-                if img[pad + y, pad + x]:
-                    raise ValueError("skip pixel must be 0")
-                continue
-            cx = 0
-            for shift, (dx, dy) in enumerate(taps):
-                cx |= int(img[pad + y + dy, pad + x + dx]) << shift
-            enc.encode(cx, int(img[pad + y, pad + x]), gb)
+        cxrow = cxrows[y]
+        bitrow = bitrows[y]
+        if skip is None:
+            for x in range(width):
+                encode(cxrow[x], bitrow[x], gb)
+        else:
+            srow = skip[y].tolist()
+            for x in range(width):
+                if srow[x]:
+                    if bitrow[x]:
+                        raise ValueError("skip pixel must be 0")
+                    continue
+                encode(cxrow[x], bitrow[x], gb)
 
 
 def decode_generic_region(
@@ -2460,62 +2540,95 @@ def _refine_loop(
     pad = 1 + max(
         max(abs(dx), abs(dy)) for _, dx, dy in taps
     ) + max(abs(rdx), abs(rdy))
-    img = np.zeros((height + 2 * pad, width + 2 * pad), np.uint8)
-    rimg = np.zeros_like(img)
+    w2 = width + 2 * pad
+    rimg = np.zeros((height + 2 * pad, w2), np.uint8)
     rh, rw = ref.shape
     rimg[pad : pad + rh, pad : pad + rw] = ref
+    # the reference layer and (when encoding) the 3×3 typical-window
+    # sums are fully known up front, so their per-pixel contributions
+    # are vectorized as shifted-slice adds over the whole region; the
+    # Python loop keeps only the few CURRENT-layer taps (read from
+    # bytearray rows as they are produced) and the sequential coder
+    # calls. Context values and decisions are identical to the
+    # all-scalar loop this replaces.
+    rstatic = np.zeros((height, width), np.int64)
+    cur_taps = []
+    for shift, (layer, dx, dy) in enumerate(taps):
+        if layer == 0:
+            cur_taps.append((dx, dy, shift))
+        else:
+            oy, ox = dy - rdy, dx - rdx
+            rstatic += (
+                rimg[
+                    pad + oy : pad + oy + height,
+                    pad + ox : pad + ox + width,
+                ].astype(np.int64)
+                << shift
+            )
+    rstat_rows = rstatic.tolist()
+    typ_rows = None
+    if tpgron:
+        bsum = np.zeros((height, width), np.int16)
+        for oy in (-1, 0, 1):
+            for ox in (-1, 0, 1):
+                bsum += rimg[
+                    pad + oy - rdy : pad + oy - rdy + height,
+                    pad + ox - rdx : pad + ox - rdx + width,
+                ]
+        # -1 = not typical, else the copied pixel value
+        typ = np.full((height, width), -1, np.int8)
+        typ[bsum == 0] = 0
+        typ[bsum == 9] = 1
+        typ_rows = typ.tolist()
+    rows = [bytearray(w2) for _ in range(height + 2 * pad)]
     if target is not None:
-        tgt = np.zeros_like(img)
-        tgt[pad : pad + height, pad : pad + width] = target
+        tgt_rows = np.asarray(target, np.uint8).tolist()
     sltp_cx = _GR_SLTP_CX[template]
+    decode = coder.decode if target is None else None
+    encode = coder.encode if target is not None else None
     ltp = 0
     for y in range(height):
         if tpgron:
             if target is None:
-                ltp ^= coder.decode(sltp_cx, gr)
+                ltp ^= decode(sltp_cx, gr)
             else:
                 # a row may ride typical prediction only if every
                 # uniform-reference-window pixel equals that value
                 want = 1
+                trow = typ_rows[y]
+                grow = tgt_rows[y]
                 for x in range(width):
-                    win = rimg[
-                        pad + y - rdy - 1 : pad + y - rdy + 2,
-                        pad + x - rdx - 1 : pad + x - rdx + 2,
-                    ]
-                    s = int(win.sum())
-                    if (s == 0 and tgt[pad + y, pad + x]) or (
-                        s == 9 and not tgt[pad + y, pad + x]
-                    ):
+                    t = trow[x]
+                    if t >= 0 and t != grow[x]:
                         want = 0
                         break
-                coder.encode(sltp_cx, ltp ^ want, gr)
+                encode(sltp_cx, ltp ^ want, gr)
                 ltp = want
-        row = img[pad + y]
+        row = rows[pad + y]
+        rst_row = rstat_rows[y]
+        trow = typ_rows[y] if tpgron else None
+        grow = tgt_rows[y] if target is not None else None
         for x in range(width):
             if tpgron and ltp:
                 # typical pixel: uniform 3×3 reference window
                 # (§6.3.5.6) is copied, not coded
-                win = rimg[
-                    pad + y - rdy - 1 : pad + y - rdy + 2,
-                    pad + x - rdx - 1 : pad + x - rdx + 2,
-                ]
-                s = int(win.sum())
-                if s == 0 or s == 9:
-                    row[pad + x] = 1 if s == 9 else 0
+                t = trow[x]
+                if t >= 0:
+                    row[pad + x] = t
                     continue
-            cx = 0
-            for shift, (layer, dx, dy) in enumerate(taps):
-                src = img if layer == 0 else rimg
-                ox = dx if layer == 0 else dx - rdx
-                oy = dy if layer == 0 else dy - rdy
-                cx |= int(src[pad + y + oy, pad + x + ox]) << shift
+            cx = rst_row[x]
+            for dx, dy, shift in cur_taps:
+                cx |= rows[pad + y + dy][pad + x + dx] << shift
             if target is None:
-                row[pad + x] = coder.decode(cx, gr)
+                row[pad + x] = decode(cx, gr)
             else:
-                bit = int(tgt[pad + y, pad + x])
-                coder.encode(cx, bit, gr)
+                bit = grow[x]
+                encode(cx, bit, gr)
                 row[pad + x] = bit
-    return img[pad : pad + height, pad : pad + width].astype(bool)
+    out = np.frombuffer(
+        b"".join(rows[pad : pad + height]), np.uint8
+    ).reshape(height, w2)
+    return out[:, pad : pad + width].astype(bool)
 
 
 def decode_refinement_bitmap(

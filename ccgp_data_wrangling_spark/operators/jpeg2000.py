@@ -125,43 +125,20 @@ _SIGN_CTX = {
     (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
 }
 
-
-class _T1State:
-    """Per-code-block coefficient state (padded by 1 on each side so
-    neighbour reads never branch; outside-block neighbours are
-    insignificant by definition)."""
-
-    def __init__(self, w: int, h: int) -> None:
-        self.w, self.h = w, h
-        self.sig = np.zeros((h + 2, w + 2), np.uint8)
-        self.sgn = np.zeros((h + 2, w + 2), np.int8)  # -1/+1 when sig
-        self.pi = np.zeros((h + 2, w + 2), np.uint8)
-        self.refined = np.zeros((h + 2, w + 2), np.uint8)
-        self.mag = np.zeros((h + 2, w + 2), np.int64)
-
-    def hvd(self, y: int, x: int) -> tuple[int, int, int]:
-        s = self.sig
-        yy, xx = y + 1, x + 1
-        h = int(s[yy, xx - 1]) + int(s[yy, xx + 1])
-        v = int(s[yy - 1, xx]) + int(s[yy + 1, xx])
-        d = (
-            int(s[yy - 1, xx - 1]) + int(s[yy - 1, xx + 1])
-            + int(s[yy + 1, xx - 1]) + int(s[yy + 1, xx + 1])
-        )
-        return h, v, d
-
-    def sign_ctx(self, y: int, x: int) -> tuple[int, int]:
-        s, g = self.sig, self.sgn
-        yy, xx = y + 1, x + 1
-        hc = int(s[yy, xx - 1]) * int(g[yy, xx - 1]) + int(
-            s[yy, xx + 1]
-        ) * int(g[yy, xx + 1])
-        vc = int(s[yy - 1, xx]) * int(g[yy - 1, xx]) + int(
-            s[yy + 1, xx]
-        ) * int(g[yy + 1, xx])
-        hc = max(-1, min(1, hc))
-        vc = max(-1, min(1, vc))
-        return _SIGN_CTX[(hc, vc)]
+# Precomputed lookup tables for the per-pixel hot loops in
+# _t1_code_block: _SIG_LUT[band][h * 15 + v * 5 + d] inlines
+# _sig_ctx (h, v ∈ 0..2, d ∈ 0..4), and _SIGN_LUT[(hc+1)*3 + (vc+1)]
+# inlines the Table D.2 dict lookup. Same functions, table form.
+_SIG_LUT = tuple(
+    tuple(
+        _sig_ctx(hh, vv, dd, band)
+        for hh in range(3) for vv in range(3) for dd in range(5)
+    )
+    for band in (0, 1, 2)
+)
+_SIGN_LUT = tuple(
+    _SIGN_CTX[(hc, vc)] for hc in (-1, 0, 1) for vc in (-1, 0, 1)
+)
 
 
 def _t1_code_block(
@@ -186,113 +163,190 @@ def _t1_code_block(
     is appended with ``coder.tell()`` after each pass so Tier-2 can
     split the single codeword segment across quality layers at pass
     boundaries."""
-    st = _T1State(w, h)
-    if target is not None:
-        tmag = np.abs(target.astype(np.int64))
-        tsgn = np.where(target < 0, -1, 1).astype(np.int8)
+    # Flat Python-list state (stride W, 1-cell pad on every side) in
+    # place of the numpy _T1State: this loop touches single scalars
+    # millions of times per code-block, where ndarray item access is
+    # ~5-10x a list access. The pass structure, context model and
+    # coded decisions are bit-identical to the numpy form (pinned by
+    # the round-trip tests and the driver oracle).
+    W = w + 2
+    N = (h + 2) * W
+    sig = bytearray(N)
+    sgn = [0] * N        # -1/+1 once significant
+    pi = bytearray(N)
+    refined = bytearray(N)
+    mag = [0] * N
+    sig_lut = _SIG_LUT[band]
+    sign_lut = _SIGN_LUT
+    decoding = target is None
+    dec = coder.decode if decoding else None
+    enc = None if decoding else coder.encode
+    if not decoding:
+        flat = target.astype(np.int64).ravel()
+        tmag = [int(v) for v in np.abs(flat)]
+        tsgn = [(-1 if v < 0 else 1) for v in flat]
 
-    def code_bit(cx: int, wanted: int | None) -> int:
-        if target is None:
-            return coder.decode(cx, stats)
-        coder.encode(cx, wanted, stats)
-        return wanted  # type: ignore[return-value]
-
-    def code_sign(y: int, x: int) -> None:
-        cx, xor = st.sign_ctx(y, x)
-        if target is None:
-            bit = coder.decode(cx, stats)
-            st.sgn[y + 1, x + 1] = -1 if bit ^ xor else 1
+    def code_sign(i: int, y: int, x: int) -> None:
+        l, r, u, d2 = sig[i - 1], sig[i + 1], sig[i - W], sig[i + W]
+        hc = (l and sgn[i - 1]) + (r and sgn[i + 1])
+        vc = (u and sgn[i - W]) + (d2 and sgn[i + W])
+        if hc > 1:
+            hc = 1
+        elif hc < -1:
+            hc = -1
+        if vc > 1:
+            vc = 1
+        elif vc < -1:
+            vc = -1
+        cx, xor = sign_lut[hc * 3 + vc + 4]
+        if decoding:
+            bit = dec(cx, stats)
+            sgn[i] = -1 if bit ^ xor else 1
         else:
-            neg = 1 if tsgn[y, x] < 0 else 0
-            coder.encode(cx, neg ^ xor, stats)
-            st.sgn[y + 1, x + 1] = tsgn[y, x]
-
-    def mag_bit(y: int, x: int, p: int) -> int | None:
-        return int((tmag[y, x] >> p) & 1) if target is not None else None
+            s = tsgn[y * w + x]
+            enc(cx, (1 if s < 0 else 0) ^ xor, stats)
+            sgn[i] = s
 
     def spp(p: int) -> None:
         for y0 in range(0, h, 4):
+            ylim = y0 + 4 if y0 + 4 < h else h
             for x in range(w):
-                for y in range(y0, min(y0 + 4, h)):
-                    if st.sig[y + 1, x + 1]:
+                i = (y0 + 1) * W + x + 1
+                for y in range(y0, ylim):
+                    if sig[i]:
+                        i += W
                         continue
-                    hh, vv, dd = st.hvd(y, x)
-                    if hh + vv + dd == 0:
+                    hh = sig[i - 1] + sig[i + 1]
+                    vv = sig[i - W] + sig[i + W]
+                    dd = (
+                        sig[i - W - 1] + sig[i - W + 1]
+                        + sig[i + W - 1] + sig[i + W + 1]
+                    )
+                    if not (hh | vv | dd):
+                        i += W
                         continue
-                    cx = _CTX_SIG0 + _sig_ctx(hh, vv, dd, band)
-                    bit = code_bit(cx, mag_bit(y, x, p))
-                    st.pi[y + 1, x + 1] = 1
+                    cx = _CTX_SIG0 + sig_lut[hh * 15 + vv * 5 + dd]
+                    if decoding:
+                        bit = dec(cx, stats)
+                    else:
+                        bit = (tmag[y * w + x] >> p) & 1
+                        enc(cx, bit, stats)
+                    pi[i] = 1
                     if bit:
-                        st.sig[y + 1, x + 1] = 1
-                        st.mag[y + 1, x + 1] |= 1 << p
-                        code_sign(y, x)
+                        sig[i] = 1
+                        mag[i] |= 1 << p
+                        code_sign(i, y, x)
+                    i += W
 
     def mrp(p: int) -> None:
         for y0 in range(0, h, 4):
+            ylim = y0 + 4 if y0 + 4 < h else h
             for x in range(w):
-                for y in range(y0, min(y0 + 4, h)):
-                    if not st.sig[y + 1, x + 1] or st.pi[y + 1, x + 1]:
+                i = (y0 + 1) * W + x + 1
+                for y in range(y0, ylim):
+                    if not sig[i] or pi[i]:
+                        i += W
                         continue
-                    if st.refined[y + 1, x + 1]:
+                    if refined[i]:
                         cx = _CTX_MAG0 + 2
                     else:
-                        hh, vv, dd = st.hvd(y, x)
-                        cx = _CTX_MAG0 + (1 if hh + vv + dd else 0)
-                    bit = code_bit(cx, mag_bit(y, x, p))
+                        nb = (
+                            sig[i - 1] + sig[i + 1]
+                            + sig[i - W] + sig[i + W]
+                            + sig[i - W - 1] + sig[i - W + 1]
+                            + sig[i + W - 1] + sig[i + W + 1]
+                        )
+                        cx = _CTX_MAG0 + (1 if nb else 0)
+                    if decoding:
+                        bit = dec(cx, stats)
+                    else:
+                        bit = (tmag[y * w + x] >> p) & 1
+                        enc(cx, bit, stats)
                     if bit:
-                        st.mag[y + 1, x + 1] |= 1 << p
-                    st.refined[y + 1, x + 1] = 1
+                        mag[i] |= 1 << p
+                    refined[i] = 1
+                    i += W
 
     def cup(p: int) -> None:
         for y0 in range(0, h, 4):
+            ylim = y0 + 4 if y0 + 4 < h else h
             for x in range(w):
+                i0 = (y0 + 1) * W + x + 1
                 y = y0
                 # run-length mode: full 4-row stripe column, all four
-                # insignificant, unvisited, with all-zero contexts
-                rl = y0 + 4 <= h and all(
-                    not st.sig[y0 + 1 + i, x + 1]
-                    and not st.pi[y0 + 1 + i, x + 1]
-                    and st.hvd(y0 + i, x) == (0, 0, 0)
-                    for i in range(4)
-                )
+                # insignificant, unvisited, with all-zero contexts —
+                # equivalently: no pi/sig on the column and no sig
+                # anywhere in the 6x3 neighbourhood window
+                rl = False
+                if y0 + 4 <= h:
+                    rl = True
+                    j = i0
+                    for _ in range(4):
+                        if (
+                            pi[j] or sig[j - 1] or sig[j] or sig[j + 1]
+                        ):
+                            rl = False
+                            break
+                        j += W
+                    if rl and (
+                        sig[i0 - W - 1] or sig[i0 - W] or sig[i0 - W + 1]
+                        or sig[j - 1] or sig[j] or sig[j + 1]
+                    ):
+                        rl = False
                 if rl:
-                    if target is not None:
-                        some = any(
-                            (tmag[y0 + i, x] >> p) & 1
-                            for i in range(4)
-                        )
-                        coder.encode(_CTX_RUN, 1 if some else 0, stats)
-                        run_hit = some
+                    if decoding:
+                        run_hit = dec(_CTX_RUN, stats)
                     else:
-                        run_hit = bool(coder.decode(_CTX_RUN, stats))
+                        base = y0 * w + x
+                        some = (
+                            (tmag[base] >> p) & 1
+                            or (tmag[base + w] >> p) & 1
+                            or (tmag[base + 2 * w] >> p) & 1
+                            or (tmag[base + 3 * w] >> p) & 1
+                        )
+                        enc(_CTX_RUN, 1 if some else 0, stats)
+                        run_hit = some
                     if not run_hit:
                         continue  # all four stay insignificant
-                    if target is not None:
-                        r = next(
-                            i for i in range(4)
-                            if (tmag[y0 + i, x] >> p) & 1
-                        )
-                        coder.encode(_CTX_UNI, (r >> 1) & 1, stats)
-                        coder.encode(_CTX_UNI, r & 1, stats)
-                    else:
+                    if decoding:
                         r = (
-                            coder.decode(_CTX_UNI, stats) << 1
-                        ) | coder.decode(_CTX_UNI, stats)
+                            dec(_CTX_UNI, stats) << 1
+                        ) | dec(_CTX_UNI, stats)
+                    else:
+                        r = next(
+                            k for k in range(4)
+                            if (tmag[(y0 + k) * w + x] >> p) & 1
+                        )
+                        enc(_CTX_UNI, (r >> 1) & 1, stats)
+                        enc(_CTX_UNI, r & 1, stats)
                     y = y0 + r
-                    st.sig[y + 1, x + 1] = 1
-                    st.mag[y + 1, x + 1] |= 1 << p
-                    code_sign(y, x)
+                    i = i0 + r * W
+                    sig[i] = 1
+                    mag[i] |= 1 << p
+                    code_sign(i, y, x)
                     y += 1
-                for yy in range(y, min(y0 + 4, h)):
-                    if st.sig[yy + 1, x + 1] or st.pi[yy + 1, x + 1]:
+                i = (y + 1) * W + x + 1
+                for yy in range(y, ylim):
+                    if sig[i] or pi[i]:
+                        i += W
                         continue
-                    hh, vv, dd = st.hvd(yy, x)
-                    cx = _CTX_SIG0 + _sig_ctx(hh, vv, dd, band)
-                    bit = code_bit(cx, mag_bit(yy, x, p))
+                    hh = sig[i - 1] + sig[i + 1]
+                    vv = sig[i - W] + sig[i + W]
+                    dd = (
+                        sig[i - W - 1] + sig[i - W + 1]
+                        + sig[i + W - 1] + sig[i + W + 1]
+                    )
+                    cx = _CTX_SIG0 + sig_lut[hh * 15 + vv * 5 + dd]
+                    if decoding:
+                        bit = dec(cx, stats)
+                    else:
+                        bit = (tmag[yy * w + x] >> p) & 1
+                        enc(cx, bit, stats)
                     if bit:
-                        st.sig[yy + 1, x + 1] = 1
-                        st.mag[yy + 1, x + 1] |= 1 << p
-                        code_sign(yy, x)
+                        sig[i] = 1
+                        mag[i] |= 1 << p
+                        code_sign(i, yy, x)
+                    i += W
 
     total = 3 * planes - 2 if npasses is None else npasses
     done = 0
@@ -306,13 +360,12 @@ def _t1_code_block(
             done += 1
             if pass_marks is not None:
                 pass_marks.append(coder.tell())
-        st.pi[...] = 0
+        pi[:] = bytes(N)
     if target is not None:
         return target
-    return (
-        st.mag[1 : h + 1, 1 : w + 1]
-        * np.where(st.sgn[1 : h + 1, 1 : w + 1] < 0, -1, 1)
-    )
+    out = np.array(mag, np.int64).reshape(h + 2, W)[1 : h + 1, 1 : w + 1]
+    sg = np.array(sgn, np.int64).reshape(h + 2, W)[1 : h + 1, 1 : w + 1]
+    return out * np.where(sg < 0, -1, 1)
 
 
 # ---------------------------------------------------------------------------

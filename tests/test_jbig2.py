@@ -1049,7 +1049,7 @@ class TestMQCarry:
             bits = (rng.random(n) < bias).astype(int)
             enc = MQEncoder()
             st = ArithStats(19)
-            st.icx[:] = 46  # high states → long MPS runs → carries
+            st.icx[:] = bytes([46]) * len(st.icx)  # high states → long MPS runs → carries
             for c, b in zip(cxs, bits):
                 enc.encode(int(c), int(b), st)
             payload = enc.flush()
@@ -1058,7 +1058,7 @@ class TestMQCarry:
                     saw_high_stuffed = True
             dec = MQDecoder(payload)
             st2 = ArithStats(19)
-            st2.icx[:] = 46
+            st2.icx[:] = bytes([46]) * len(st2.icx)
             got = [dec.decode(int(c), st2) for c in cxs]
             assert got == list(bits)
         # the fuzz corpus must actually exercise the carry case
