@@ -537,36 +537,51 @@ def _mirror(i: int, n: int) -> int:
     return i if i < n else p - i
 
 
-def _fsd_1d(x: np.ndarray) -> np.ndarray:
-    n = len(x)
+def _nsum_rows(y: np.ndarray) -> np.ndarray:
+    """Per-row mirrored neighbour sums: out[:, k] =
+    y[:, mirror(k-1)] + y[:, mirror(k+1)] — the ±1-tap whole-sample
+    symmetric extension every lifting step below uses, vectorized
+    over all rows at once."""
+    n = y.shape[1]
+    yp = np.concatenate([y[:, 1:2], y, y[:, n - 2 : n - 1]], axis=1)
+    return yp[:, :-2] + yp[:, 2:]
+
+
+def _fsd_rows(x: np.ndarray) -> np.ndarray:
+    """5/3 analysis lifting along axis 1 for every row at once.
+    Elementwise-identical to the scalar Annex F loop (each lifting
+    step reads only the other parity, so all updates in a step are
+    independent and vectorize exactly)."""
+    n = x.shape[1]
     if n == 1:
         return x.copy()
-    y = np.empty(n, np.int64)
-    for k in range(1, n, 2):
-        y[k] = x[k] - (
-            (x[_mirror(k - 1, n)] + x[_mirror(k + 1, n)]) >> 1
-        )
-    for k in range(0, n, 2):
-        y[k] = x[k] + (
-            (y[_mirror(k - 1, n)] + y[_mirror(k + 1, n)] + 2) >> 2
-        )
+    y = x.astype(np.int64).copy()
+    ns = _nsum_rows(y)
+    y[:, 1::2] -= ns[:, 1::2] >> 1
+    ns = _nsum_rows(y)
+    y[:, 0::2] += (ns[:, 0::2] + 2) >> 2
     return y
 
 
-def _isr_1d(y: np.ndarray) -> np.ndarray:
-    n = len(y)
+def _isr_rows(y: np.ndarray) -> np.ndarray:
+    """5/3 synthesis lifting along axis 1 for every row at once."""
+    n = y.shape[1]
     if n == 1:
         return y.copy()
-    x = np.empty(n, np.int64)
-    for k in range(0, n, 2):
-        x[k] = y[k] - (
-            (y[_mirror(k - 1, n)] + y[_mirror(k + 1, n)] + 2) >> 2
-        )
-    for k in range(1, n, 2):
-        x[k] = y[k] + (
-            (x[_mirror(k - 1, n)] + x[_mirror(k + 1, n)]) >> 1
-        )
+    x = y.astype(np.int64).copy()
+    ns = _nsum_rows(x)
+    x[:, 0::2] -= (ns[:, 0::2] + 2) >> 2
+    ns = _nsum_rows(x)
+    x[:, 1::2] += ns[:, 1::2] >> 1
     return x
+
+
+def _fsd_1d(x: np.ndarray) -> np.ndarray:
+    return _fsd_rows(x[None, :])[0]
+
+
+def _isr_1d(y: np.ndarray) -> np.ndarray:
+    return _isr_rows(y[None, :])[0]
 
 
 # ---------------------------------------------------------------------------
@@ -584,47 +599,53 @@ _D97 = 0.443506852043971
 _K97 = 1.230174104914001
 
 
-def _fsd97_1d(x: np.ndarray) -> np.ndarray:
-    n = len(x)
+def _fsd97_rows(x: np.ndarray) -> np.ndarray:
+    """9/7 analysis lifting along axis 1 for every row at once.
+    Elementwise-identical IEEE arithmetic to the scalar Annex F loop
+    (each step reads only the other parity, so the vectorized update
+    performs the very same a*(l+r) add per element)."""
+    n = x.shape[1]
     if n == 1:
         raise NotImplementedError(
             "9/7 on a 1-sample subsignal (too many decomposition "
             "levels for the image extent)"
         )
     y = x.astype(np.float64).copy()
-    for a in (_A97, _G97):
-        for k in range(1, n, 2):
-            y[k] += a * (y[_mirror(k - 1, n)] + y[_mirror(k + 1, n)])
-        a_is_last = a is _G97
-        b = _D97 if a_is_last else _B97
-        for k in range(0, n, 2):
-            y[k] += b * (y[_mirror(k - 1, n)] + y[_mirror(k + 1, n)])
-    for k in range(0, n, 2):
-        y[k] *= 1.0 / _K97
-    for k in range(1, n, 2):
-        y[k] *= _K97
+    for a, b in ((_A97, _B97), (_G97, _D97)):
+        ns = _nsum_rows(y)
+        y[:, 1::2] += a * ns[:, 1::2]
+        ns = _nsum_rows(y)
+        y[:, 0::2] += b * ns[:, 0::2]
+    y[:, 0::2] *= 1.0 / _K97
+    y[:, 1::2] *= _K97
     return y
 
 
-def _isr97_1d(y: np.ndarray) -> np.ndarray:
-    n = len(y)
+def _isr97_rows(y: np.ndarray) -> np.ndarray:
+    """9/7 synthesis lifting along axis 1 for every row at once."""
+    n = y.shape[1]
     if n == 1:
         raise NotImplementedError(
             "9/7 on a 1-sample subsignal (too many decomposition "
             "levels for the image extent)"
         )
     x = y.astype(np.float64).copy()
-    for k in range(0, n, 2):
-        x[k] *= _K97
-    for k in range(1, n, 2):
-        x[k] *= 1.0 / _K97
-    for a in (_D97, _B97):
-        for k in range(0, n, 2):
-            x[k] -= a * (x[_mirror(k - 1, n)] + x[_mirror(k + 1, n)])
-        b = _G97 if a is _D97 else _A97
-        for k in range(1, n, 2):
-            x[k] -= b * (x[_mirror(k - 1, n)] + x[_mirror(k + 1, n)])
+    x[:, 0::2] *= _K97
+    x[:, 1::2] *= 1.0 / _K97
+    for a, b in ((_D97, _G97), (_B97, _A97)):
+        ns = _nsum_rows(x)
+        x[:, 0::2] -= a * ns[:, 0::2]
+        ns = _nsum_rows(x)
+        x[:, 1::2] -= b * ns[:, 1::2]
     return x
+
+
+def _fsd97_1d(x: np.ndarray) -> np.ndarray:
+    return _fsd97_rows(x[None, :])[0]
+
+
+def _isr97_1d(y: np.ndarray) -> np.ndarray:
+    return _isr97_rows(y[None, :])[0]
 
 
 def _fdwt97(img: np.ndarray, levels: int) -> list[dict[str, np.ndarray]]:
@@ -632,12 +653,7 @@ def _fdwt97(img: np.ndarray, levels: int) -> list[dict[str, np.ndarray]]:
     cur = img.astype(np.float64)
     triples: list[dict[str, np.ndarray]] = []
     for _ in range(levels):
-        h, w = cur.shape
-        t = np.empty_like(cur)
-        for r in range(h):
-            t[r] = _fsd97_1d(cur[r])
-        for c in range(w):
-            t[:, c] = _fsd97_1d(t[:, c])
+        t = np.ascontiguousarray(_fsd97_rows(_fsd97_rows(cur).T).T)
         triples.append(
             {"HL": t[0::2, 1::2], "LH": t[1::2, 0::2],
              "HH": t[1::2, 1::2]}
@@ -657,11 +673,7 @@ def _idwt97(bands: list[dict[str, np.ndarray]]) -> np.ndarray:
         y[0::2, 1::2] = hl
         y[1::2, 0::2] = lh
         y[1::2, 1::2] = hh
-        for c in range(w):
-            y[:, c] = _isr97_1d(y[:, c])
-        for r in range(h):
-            y[r] = _isr97_1d(y[r])
-        cur = y
+        cur = _isr97_rows(np.ascontiguousarray(_isr97_rows(y.T).T))
     return cur
 
 
@@ -725,12 +737,7 @@ def _fdwt53(img: np.ndarray, levels: int) -> list[dict[str, np.ndarray]]:
     cur = img.astype(np.int64)
     triples: list[dict[str, np.ndarray]] = []
     for _ in range(levels):
-        h, w = cur.shape
-        t = np.empty_like(cur)
-        for r in range(h):
-            t[r] = _fsd_1d(cur[r])
-        for c in range(w):
-            t[:, c] = _fsd_1d(t[:, c])
+        t = np.ascontiguousarray(_fsd_rows(_fsd_rows(cur).T).T)
         triples.append(
             {"HL": t[0::2, 1::2], "LH": t[1::2, 0::2],
              "HH": t[1::2, 1::2]}
@@ -750,11 +757,7 @@ def _idwt53(bands: list[dict[str, np.ndarray]]) -> np.ndarray:
         y[0::2, 1::2] = hl
         y[1::2, 0::2] = lh
         y[1::2, 1::2] = hh
-        for c in range(w):
-            y[:, c] = _isr_1d(y[:, c])
-        for r in range(h):
-            y[r] = _isr_1d(y[r])
-        cur = y
+        cur = _isr_rows(np.ascontiguousarray(_isr_rows(y.T).T))
     return cur
 
 
