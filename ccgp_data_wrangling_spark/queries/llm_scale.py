@@ -8962,14 +8962,12 @@ def pdf_jpx97_image_extract(
                     arr, levels=lv, irreversible=True, q_planes=qp,
                     jp2_container=cont, subsample=sub,
                 )
+                # embed the codestream just built — encode_jpx is
+                # deterministic, so re-encoding inside build_pdf
+                # would produce the identical bytes at double cost
                 blob = build_pdf(
                     [[f"jpx97 {e}"]],
-                    page_images=[[(
-                        "jpx", arr,
-                        {"levels": lv, "irreversible": True,
-                         "q_planes": qp, "jp2_container": cont,
-                         "subsample": sub},
-                    )]],
+                    page_images=[[("jpx_stream", cs, w, h)]],
                 )
                 rows.append(
                     {"id": eid, "payload": blob, "codestream": cs}

@@ -1511,19 +1511,25 @@ def build_pdf(
                         % (iw, ih, pbpc, dec_frag, len(data))
                     )
                     body = head + b"\nstream\n" + data + b"\nendstream"
-                elif spec[0] == "jpx":
-                    # JPEG 2000: ("jpx", samples, opts?) — samples is
-                    # (h, w) gray or (h, w, 3) RGB; opts pass through
-                    # to encode_jpx (levels, eps_slack, bit_depth,
-                    # jp2_container)
-                    from ccgp_data_wrangling_spark.operators.jpeg2000 import (  # noqa: E501
-                        encode_jpx,
-                    )
+                elif spec[0] in ("jpx", "jpx_stream"):
+                    if spec[0] == "jpx_stream":
+                        # a pre-built codestream (callers that already
+                        # ran encode_jpx pass it through instead of
+                        # paying a second identical encode)
+                        _, data, iw, ih = spec
+                    else:
+                        # JPEG 2000: ("jpx", samples, opts?) — samples
+                        # is (h, w) gray or (h, w, 3) RGB; opts pass
+                        # through to encode_jpx (levels, eps_slack,
+                        # bit_depth, jp2_container)
+                        from ccgp_data_wrangling_spark.operators.jpeg2000 import (  # noqa: E501
+                            encode_jpx,
+                        )
 
-                    arr = spec[1]
-                    jopts = dict(spec[2]) if len(spec) > 2 else {}
-                    ih, iw = arr.shape[:2]
-                    data = encode_jpx(arr, **jopts)
+                        arr = spec[1]
+                        jopts = dict(spec[2]) if len(spec) > 2 else {}
+                        ih, iw = arr.shape[:2]
+                        data = encode_jpx(arr, **jopts)
                     head = (
                         b"<< /Type /XObject /Subtype /Image"
                         b" /Width %d /Height %d"

@@ -261,13 +261,29 @@ def _build_inv_ttables() -> list[list[int]]:
 _TD0, _TD1, _TD2, _TD3 = _build_inv_ttables()
 
 
+# Per-byte InvMixColumns tables (one per byte lane), built at import
+# from the same _gmul GF(2^8) definitions — the decryption key
+# schedule runs _imc_word per middle-round word for every per-object
+# key, so four lookups beat sixteen field multiplications.
+_IMC_T = [
+    [
+        (_gmul(b, 14) << 24) | (_gmul(b, 9) << 16)
+        | (_gmul(b, 13) << 8) | _gmul(b, 11)
+        for b in range(256)
+    ],
+]
+for _lane in range(3):
+    _IMC_T.append(
+        [((v >> 8) | ((v & 0xFF) << 24)) for v in _IMC_T[-1]]
+    )
+
+
 def _imc_word(v: int) -> int:
-    b0, b1, b2, b3 = (v >> 24) & 255, (v >> 16) & 255, (v >> 8) & 255, v & 255
     return (
-        ((_gmul(b0, 14) ^ _gmul(b1, 11) ^ _gmul(b2, 13) ^ _gmul(b3, 9)) << 24)
-        | ((_gmul(b0, 9) ^ _gmul(b1, 14) ^ _gmul(b2, 11) ^ _gmul(b3, 13)) << 16)
-        | ((_gmul(b0, 13) ^ _gmul(b1, 9) ^ _gmul(b2, 14) ^ _gmul(b3, 11)) << 8)
-        | (_gmul(b0, 11) ^ _gmul(b1, 13) ^ _gmul(b2, 9) ^ _gmul(b3, 14))
+        _IMC_T[0][(v >> 24) & 255]
+        ^ _IMC_T[1][(v >> 16) & 255]
+        ^ _IMC_T[2][(v >> 8) & 255]
+        ^ _IMC_T[3][v & 255]
     )
 
 
@@ -351,11 +367,14 @@ def _cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
         raise ValueError("unpadded CBC needs a block multiple")
     w = _key_words(_expand_key(key))
     out = bytearray()
-    prev = iv
+    prev = int.from_bytes(iv, "big")
     for i in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _encrypt_block(blk, w)
-        out += prev
+        blk = (
+            int.from_bytes(data[i : i + 16], "big") ^ prev
+        ).to_bytes(16, "big")
+        pb = _encrypt_block(blk, w)
+        prev = int.from_bytes(pb, "big")
+        out += pb
     return bytes(out)
 
 
@@ -364,13 +383,14 @@ def _cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
         raise ValueError("unpadded CBC needs a block multiple")
     dw = _dec_key_words(_expand_key(key))
     out = bytearray()
-    prev = iv
+    prev = int.from_bytes(iv, "big")
     for i in range(0, len(data), 16):
         blk = data[i : i + 16]
-        out += bytes(
-            a ^ b for a, b in zip(_decrypt_block(blk, dw, sched=True), prev)
-        )
-        prev = blk
+        out += (
+            int.from_bytes(_decrypt_block(blk, dw, sched=True), "big")
+            ^ prev
+        ).to_bytes(16, "big")
+        prev = int.from_bytes(blk, "big")
     return bytes(out)
 
 
@@ -394,11 +414,14 @@ def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     padn = 16 - len(data) % 16
     data = data + bytes([padn]) * padn
     out = bytearray(iv)
-    prev = iv
+    prev = int.from_bytes(iv, "big")
     for i in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _encrypt_block(blk, w)
-        out += prev
+        blk = (
+            int.from_bytes(data[i : i + 16], "big") ^ prev
+        ).to_bytes(16, "big")
+        pb = _encrypt_block(blk, w)
+        prev = int.from_bytes(pb, "big")
+        out += pb
     return bytes(out)
 
 
@@ -410,14 +433,15 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     if len(data) < 32 or len(data) % 16:
         raise ValueError("AES-CBC payload must be iv + k·16 bytes")
     dw = _dec_key_words(_expand_key(key))
-    prev = data[:16]
+    prev = int.from_bytes(data[:16], "big")
     out = bytearray()
     for i in range(16, len(data), 16):
         blk = data[i : i + 16]
-        out += bytes(
-            a ^ b for a, b in zip(_decrypt_block(blk, dw, sched=True), prev)
-        )
-        prev = blk
+        out += (
+            int.from_bytes(_decrypt_block(blk, dw, sched=True), "big")
+            ^ prev
+        ).to_bytes(16, "big")
+        prev = int.from_bytes(blk, "big")
     padn = out[-1]
     if not 1 <= padn <= 16 or out[-padn:] != bytes([padn]) * padn:
         raise ValueError("bad AES padding (wrong key?)")
