@@ -186,6 +186,13 @@ def _t1_code_block(
         tmag = [int(v) for v in np.abs(flat)]
         tsgn = [(-1 if v < 0 else 1) for v in flat]
 
+    # count of significant coefficients so far: while it is zero, a
+    # whole SPP pass codes no bits (every neighbourhood is all-zero)
+    # and a whole MRP pass codes no bits (nothing to refine), so both
+    # passes can skip their pixel scans outright — the coded stream
+    # is identical, the encoder and decoder skip symmetrically
+    nsig = 0
+
     def code_sign(i: int, y: int, x: int) -> None:
         l, r, u, d2 = sig[i - 1], sig[i + 1], sig[i - W], sig[i + W]
         hc = (l and sgn[i - 1]) + (r and sgn[i + 1])
@@ -208,6 +215,9 @@ def _t1_code_block(
             sgn[i] = s
 
     def spp(p: int) -> None:
+        nonlocal nsig
+        if nsig == 0:
+            return
         for y0 in range(0, h, 4):
             ylim = y0 + 4 if y0 + 4 < h else h
             for x in range(w):
@@ -233,12 +243,15 @@ def _t1_code_block(
                         enc(cx, bit, stats)
                     pi[i] = 1
                     if bit:
+                        nsig += 1
                         sig[i] = 1
                         mag[i] |= 1 << p
                         code_sign(i, y, x)
                     i += W
 
     def mrp(p: int) -> None:
+        if nsig == 0:
+            return
         for y0 in range(0, h, 4):
             ylim = y0 + 4 if y0 + 4 < h else h
             for x in range(w):
@@ -268,6 +281,7 @@ def _t1_code_block(
                     i += W
 
     def cup(p: int) -> None:
+        nonlocal nsig
         for y0 in range(0, h, 4):
             ylim = y0 + 4 if y0 + 4 < h else h
             for x in range(w):
@@ -321,6 +335,7 @@ def _t1_code_block(
                         enc(_CTX_UNI, r & 1, stats)
                     y = y0 + r
                     i = i0 + r * W
+                    nsig += 1
                     sig[i] = 1
                     mag[i] |= 1 << p
                     code_sign(i, y, x)
@@ -343,6 +358,7 @@ def _t1_code_block(
                         bit = (tmag[yy * w + x] >> p) & 1
                         enc(cx, bit, stats)
                     if bit:
+                        nsig += 1
                         sig[i] = 1
                         mag[i] |= 1 << p
                         code_sign(i, yy, x)
