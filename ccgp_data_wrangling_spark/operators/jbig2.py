@@ -99,6 +99,11 @@ _QE = (
     (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
 )
 
+# Qe column alone: the decode/encode fast paths (MPS, no renorm —
+# the bulk of all decisions) need only Qe, so they index this flat
+# tuple and defer the full 4-way unpack to the exchange/renorm path.
+_QE_Q = tuple(q[0] for q in _QE)
+
 
 class ArithStats:
     """One bank of adaptive contexts (Table E.1 index + MPS sense).
@@ -126,6 +131,8 @@ class MQDecoder:
     Bytes past the end of the buffer read as 0xFF (marker-terminated
     streams decode to completion, Figure E.19's B1 > 0x8F branch).
     """
+
+    __slots__ = ("_d", "_default", "_bp", "_c", "_a", "_ct")
 
     def __init__(self, data: bytes, n_contexts: int = 1) -> None:
         self._d = data
@@ -158,12 +165,33 @@ class MQDecoder:
     def decode(self, cx: int, stats: ArithStats | None = None) -> int:
         st = stats if stats is not None else self._default
         icx = st.icx
-        mps = st.mps
-        qe, nmps, nlps, switch = _QE[icx[cx]]
+        k = icx[cx]
+        qe = _QE_Q[k]
         a = self._a - qe
         c = self._c
-        if (c >> 16) < qe:
+        if (c >> 16) >= qe:
+            c -= qe << 16
+            if a & 0x8000:
+                # MPS, no renorm — the dominant path: one flat Qe
+                # lookup, no table unpack, no mps[] write
+                self._a = a
+                self._c = c
+                return st.mps[cx]
+            # MPS exchange (Figure E.18)
+            mps = st.mps
+            nmps, nlps, switch = _QE[k][1:]
+            if a < qe:
+                d = 1 - mps[cx]
+                if switch:
+                    mps[cx] ^= 1
+                icx[cx] = nlps
+            else:
+                d = mps[cx]
+                icx[cx] = nmps
+        else:
             # LPS exchange (Figure E.17)
+            mps = st.mps
+            nmps, nlps, switch = _QE[k][1:]
             if a < qe:
                 d = mps[cx]
                 icx[cx] = nmps
@@ -173,21 +201,6 @@ class MQDecoder:
                     mps[cx] ^= 1
                 icx[cx] = nlps
             a = qe
-        else:
-            c -= qe << 16
-            if a & 0x8000:
-                self._a = a
-                self._c = c
-                return mps[cx]
-            # MPS exchange (Figure E.18)
-            if a < qe:
-                d = 1 - mps[cx]
-                if switch:
-                    mps[cx] ^= 1
-                icx[cx] = nlps
-            else:
-                d = mps[cx]
-                icx[cx] = nmps
         # RENORMD (Figure E.18 tail)
         ct = self._ct
         while True:
@@ -213,6 +226,8 @@ class MQEncoder:
     ``encode(cx, d)`` uses the default bank; ``encode(cx, d, stats)``
     a caller-owned bank, mirroring :class:`MQDecoder`."""
 
+    __slots__ = ("_default", "_a", "_c", "_ct", "_out")
+
     def __init__(self, n_contexts: int = 1) -> None:
         self._default = ArithStats(n_contexts)
         self._a = 0x8000
@@ -228,14 +243,17 @@ class MQEncoder:
     ) -> None:
         st = stats if stats is not None else self._default
         icx = st.icx
-        qe, nmps, nlps, switch = _QE[icx[cx]]
+        k = icx[cx]
+        qe = _QE_Q[k]
         a = self._a - qe
         if d == st.mps[cx]:
             # CODEMPS (Figure E.7)
             if a & 0x8000:
+                # MPS, no renorm — dominant path, Qe lookup only
                 self._a = a
                 self._c += qe
                 return
+            nmps = _QE[k][1]
             if a < qe:
                 a = qe
             else:
@@ -243,6 +261,7 @@ class MQEncoder:
             icx[cx] = nmps
         else:
             # CODELPS (Figure E.6)
+            nlps, switch = _QE[k][2:]
             if a < qe:
                 self._c += qe
             else:
@@ -586,16 +605,31 @@ class _IntDecoder:
         return bit, prev
 
     def decode(self, dec: MQDecoder):
+        # _bit inlined (the A.2 PREV register update): two Python
+        # calls per bit showed up in the symbol/text-region profiles
+        d = dec.decode
+        st = self.stats
         prev = 1
-        s, prev = self._bit(dec, prev)
+        s = d(prev, st)
+        prev = (prev << 1) | s
         for i, (nbits, offset) in enumerate(_IA_RANGES):
             if i < len(_IA_RANGES) - 1:
-                more, prev = self._bit(dec, prev)
+                more = d(prev, st)
+                prev = (
+                    ((prev << 1) | more)
+                    if prev < 256
+                    else ((((prev << 1) | more) & 511) | 256)
+                )
                 if more:
                     continue
             v = 0
             for _ in range(nbits):
-                bit, prev = self._bit(dec, prev)
+                bit = d(prev, st)
+                prev = (
+                    ((prev << 1) | bit)
+                    if prev < 256
+                    else ((((prev << 1) | bit) & 511) | 256)
+                )
                 v = (v << 1) | bit
             v += offset
             if s and v == 0:

@@ -2372,13 +2372,17 @@ def _decode_ac_prog_refine(
     p1 = 1 << al
     m1 = -(1 << al)
 
-    def refine(k: int) -> None:
-        if r.read_bit() and (int(blk[k]) & p1) == 0:
-            blk[k] += p1 if blk[k] >= 0 else m1
-
-    k = ss
+    # per-coefficient work runs on a plain-int copy of the band (one
+    # tolist/write-back per call): ndarray scalar reads in the inner
+    # loops cost ~5-10x a list access and dominated the progressive
+    # decode profile; the arithmetic is identical (refine adds ±2^al
+    # when the correction bit is set and that bit is absent)
+    b = blk[ss : se + 1].tolist()
+    n = se - ss
+    read_bit = r.read_bit
+    k = 0
     if eobrun == 0:
-        while k <= se:
+        while k <= n:
             rs = _huff_decode(r, ac_table)
             run, size = rs >> 4, rs & 0x0F
             newval = 0
@@ -2392,26 +2396,31 @@ def _decode_ac_prog_refine(
             else:
                 if size != 1:
                     raise ValueError("refinement symbol with size != 1")
-                newval = p1 if r.read_bit() else m1
-            while k <= se:
-                if blk[k] != 0:
-                    refine(k)
+                newval = p1 if read_bit() else m1
+            while k <= n:
+                v = b[k]
+                if v != 0:
+                    if read_bit() and (v & p1) == 0:
+                        b[k] = v + (p1 if v >= 0 else m1)
                 else:
                     if run == 0:
                         break
                     run -= 1
                 k += 1
             if size != 0:
-                if k > se:
+                if k > n:
                     raise ValueError("refinement run past end of band")
-                blk[k] = newval
+                b[k] = newval
             k += 1
     if eobrun > 0:
-        while k <= se:
-            if blk[k] != 0:
-                refine(k)
+        while k <= n:
+            v = b[k]
+            if v != 0:
+                if read_bit() and (v & p1) == 0:
+                    b[k] = v + (p1 if v >= 0 else m1)
             k += 1
         eobrun -= 1
+    blk[ss : se + 1] = b
     return eobrun
 
 

@@ -28,6 +28,7 @@ layer; this extends the engine's PDF source (sources/pdf.py).
 from __future__ import annotations
 
 import hashlib
+import struct
 from functools import lru_cache
 
 __all__ = [
@@ -65,16 +66,23 @@ def rc4(key: bytes, data: bytes) -> bytes:
     """RC4 stream cipher (symmetric: encrypt == decrypt)."""
     s = list(range(256))
     j = 0
-    for i in range(256):
-        j = (j + s[i] + key[i % len(key)]) & 0xFF
+    # tile the key across the whole KSA up front: drops the per-round
+    # modulo/index (the KSA dominates the Algorithm 3/5 loops, which
+    # run rc4 twenty times over 32-byte entries)
+    kk = (key * (256 // len(key) + 1))[:256]
+    for i, ki in enumerate(kk):
+        j = (j + s[i] + ki) & 0xFF
         s[i], s[j] = s[j], s[i]
     out = bytearray(len(data))
     i = j = 0
     for n, c in enumerate(data):
         i = (i + 1) & 0xFF
-        j = (j + s[i]) & 0xFF
-        s[i], s[j] = s[j], s[i]
-        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+        si = s[i]
+        j = (j + si) & 0xFF
+        sj = s[j]
+        s[i] = sj
+        s[j] = si
+        out[n] = c ^ s[(si + sj) & 0xFF]
     return bytes(out)
 
 
@@ -303,6 +311,21 @@ def _dec_key_words(w) -> list[int]:
     return dw
 
 
+@lru_cache(maxsize=512)
+def _enc_sched(key: bytes) -> list[int]:
+    """Per-key forward schedule, memoized: per-object AES keys repeat
+    across a corpus sharing credentials (same file key + object
+    layout), so reused workers expand each distinct key once."""
+    return _key_words(_expand_key(key))
+
+
+@lru_cache(maxsize=512)
+def _dec_sched(key: bytes) -> list[int]:
+    """Per-key equivalent-inverse schedule, memoized (see
+    :func:`_enc_sched`)."""
+    return _dec_key_words(_expand_key(key))
+
+
 def _decrypt_block(block: bytes, w, *, sched: bool = False) -> bytes:
     """AES inverse cipher via the equivalent-inverse-cipher T-tables
     (mirrors _encrypt_block's structure; InvShiftRows rotates the
@@ -362,26 +385,70 @@ def _decrypt_block(block: bytes, w, *, sched: bool = False) -> bytes:
 
 def _cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC encrypt, NO padding (len(data) must be a block multiple) —
-    the §7.6.4.3.4 hash loop and the /UE //OE wrapping use this."""
+    the §7.6.4.3.4 hash loop and the /UE //OE wrapping use this.
+
+    The revision-6 hash drives tens of thousands of chained blocks
+    through here per derivation, so the forward cipher rounds are
+    inlined over 32-bit word state (same T-table math as
+    :func:`_encrypt_block`, minus the per-block bytes round-trips)."""
     if len(data) % 16:
         raise ValueError("unpadded CBC needs a block multiple")
     w = _key_words(_expand_key(key))
-    out = bytearray()
-    prev = int.from_bytes(iv, "big")
-    for i in range(0, len(data), 16):
-        blk = (
-            int.from_bytes(data[i : i + 16], "big") ^ prev
-        ).to_bytes(16, "big")
-        pb = _encrypt_block(blk, w)
-        prev = int.from_bytes(pb, "big")
-        out += pb
-    return bytes(out)
+    nr = len(w) // 4 - 1
+    t0, t1, t2, t3, sb = _T0, _T1, _T2, _T3, _SBOX
+    w0, w1, w2, w3 = w[0], w[1], w[2], w[3]
+    kf = 4 * nr
+    words = struct.unpack(">%dI" % (len(data) // 4), data)
+    c0, c1, c2, c3 = struct.unpack(">4I", iv)
+    out: list[int] = []
+    for i in range(0, len(words), 4):
+        a0 = words[i] ^ c0 ^ w0
+        a1 = words[i + 1] ^ c1 ^ w1
+        a2 = words[i + 2] ^ c2 ^ w2
+        a3 = words[i + 3] ^ c3 ^ w3
+        for rnd in range(1, nr):
+            k = 4 * rnd
+            b0 = (
+                t0[(a0 >> 24) & 255] ^ t1[(a1 >> 16) & 255]
+                ^ t2[(a2 >> 8) & 255] ^ t3[a3 & 255] ^ w[k]
+            )
+            b1 = (
+                t0[(a1 >> 24) & 255] ^ t1[(a2 >> 16) & 255]
+                ^ t2[(a3 >> 8) & 255] ^ t3[a0 & 255] ^ w[k + 1]
+            )
+            b2 = (
+                t0[(a2 >> 24) & 255] ^ t1[(a3 >> 16) & 255]
+                ^ t2[(a0 >> 8) & 255] ^ t3[a1 & 255] ^ w[k + 2]
+            )
+            b3 = (
+                t0[(a3 >> 24) & 255] ^ t1[(a0 >> 16) & 255]
+                ^ t2[(a1 >> 8) & 255] ^ t3[a2 & 255] ^ w[k + 3]
+            )
+            a0, a1, a2, a3 = b0, b1, b2, b3
+        c0 = (
+            (sb[(a0 >> 24) & 255] << 24) | (sb[(a1 >> 16) & 255] << 16)
+            | (sb[(a2 >> 8) & 255] << 8) | sb[a3 & 255]
+        ) ^ w[kf]
+        c1 = (
+            (sb[(a1 >> 24) & 255] << 24) | (sb[(a2 >> 16) & 255] << 16)
+            | (sb[(a3 >> 8) & 255] << 8) | sb[a0 & 255]
+        ) ^ w[kf + 1]
+        c2 = (
+            (sb[(a2 >> 24) & 255] << 24) | (sb[(a3 >> 16) & 255] << 16)
+            | (sb[(a0 >> 8) & 255] << 8) | sb[a1 & 255]
+        ) ^ w[kf + 2]
+        c3 = (
+            (sb[(a3 >> 24) & 255] << 24) | (sb[(a0 >> 16) & 255] << 16)
+            | (sb[(a1 >> 8) & 255] << 8) | sb[a2 & 255]
+        ) ^ w[kf + 3]
+        out += (c0, c1, c2, c3)
+    return struct.pack(">%dI" % len(out), *out)
 
 
 def _cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
     if len(data) % 16:
         raise ValueError("unpadded CBC needs a block multiple")
-    dw = _dec_key_words(_expand_key(key))
+    dw = _dec_sched(key)
     out = bytearray()
     prev = int.from_bytes(iv, "big")
     for i in range(0, len(data), 16):
@@ -410,7 +477,7 @@ def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     32-byte key)."""
     if len(key) not in (16, 32) or len(iv) != 16:
         raise ValueError("AES needs 16/32-byte key and 16-byte IV")
-    w = _key_words(_expand_key(key))
+    w = _enc_sched(key)
     padn = 16 - len(data) % 16
     data = data + bytes([padn]) * padn
     out = bytearray(iv)
@@ -432,7 +499,7 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     keys (AESV2 / AESV3 share the wire format)."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("AES-CBC payload must be iv + k·16 bytes")
-    dw = _dec_key_words(_expand_key(key))
+    dw = _dec_sched(key)
     prev = int.from_bytes(data[:16], "big")
     out = bytearray()
     for i in range(16, len(data), 16):
@@ -457,6 +524,7 @@ def _padded(pw: bytes) -> bytes:
     return (pw + PAD)[:32]
 
 
+@lru_cache(maxsize=256)
 def compute_file_key(
     password: bytes,
     o: bytes,
@@ -467,7 +535,11 @@ def compute_file_key(
     *,
     encrypt_metadata: bool = True,
 ) -> bytes:
-    """Algorithm 2: the file encryption key from the (user) password."""
+    """Algorithm 2: the file encryption key from the (user) password.
+
+    Pure function of its arguments — memoized per worker, like
+    :func:`hash_r6`: a corpus sharing credentials and trailer /ID
+    re-derives the identical key per document otherwise."""
     n = length_bits // 8
     h = hashlib.md5(_padded(password))
     h.update(o[:32])
@@ -482,10 +554,15 @@ def compute_file_key(
     return key[:n]
 
 
+@lru_cache(maxsize=256)
 def compute_o(
     owner_pw: bytes, user_pw: bytes, r: int, length_bits: int
 ) -> bytes:
-    """Algorithm 3: the /O entry (owner password digest)."""
+    """Algorithm 3: the /O entry (owner password digest).
+
+    Pure function of the credentials — memoized per worker (the
+    twenty keyed RC4 sweeps repeat identically for every document
+    written with the same passwords)."""
     n = length_bits // 8
     key = hashlib.md5(_padded(owner_pw)).digest()
     if r >= 3:
@@ -499,8 +576,11 @@ def compute_o(
     return o
 
 
+@lru_cache(maxsize=256)
 def compute_u(key: bytes, id0: bytes, r: int) -> bytes:
-    """Algorithms 4 (R2) / 5 (R3+): the /U entry."""
+    """Algorithms 4 (R2) / 5 (R3+): the /U entry. Pure; memoized per
+    worker (writer and password-verifier both derive it, and the
+    (key, id0) pair repeats across a shared-credential corpus)."""
     if r == 2:
         return rc4(key, PAD)
     digest = hashlib.md5(PAD + id0).digest()
