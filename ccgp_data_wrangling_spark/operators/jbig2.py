@@ -443,9 +443,40 @@ def _decode_generic_bitmap(
              if dy < 0]
     cur = [(dx, shift) for shift, (dx, dy) in enumerate(taps)
            if dy == 0]
-    static = np.zeros(width, np.int64)
     decode = dec.decode
     ltp = 0
+    if width < 32:
+        # narrow bitmaps (halftone patterns, small glyphs): the
+        # per-row numpy setup below costs more than the row itself —
+        # read every tap scalar-wise from the padded bytearrays
+        # instead. Same taps, same contexts, same decoded bits.
+        by_dy: dict[int, list[tuple[int, int]]] = {}
+        for shift, (dx, dy) in enumerate(taps):
+            by_dy.setdefault(dy, []).append((dx, shift))
+        groups = sorted(by_dy.items())
+        for y in range(height):
+            if tpgdon:
+                ltp ^= decode(sltp_cx, gb)
+                if ltp:
+                    rows[pad + y][:] = rows[pad + y - 1]
+                    continue
+            row = rows[pad + y]
+            gr = [(rows[pad + y + dy], dxs) for dy, dxs in groups]
+            srow = None if skip is None else skip[y].tolist()
+            for x in range(width):
+                if srow is not None and srow[x]:
+                    continue  # stays 0, no bit coded
+                xx = pad + x
+                cx = 0
+                for r, dxs in gr:
+                    for dx, shift in dxs:
+                        cx |= r[xx + dx] << shift
+                row[xx] = decode(cx, gb)
+        out = np.frombuffer(
+            b"".join(rows[pad : pad + height]), np.uint8
+        ).reshape(height, w2)
+        return out[:, pad : pad + width].astype(bool)
+    static = np.zeros(width, np.int64)
     for y in range(height):
         if tpgdon:
             ltp ^= decode(sltp_cx, gb)
@@ -497,6 +528,45 @@ def _encode_generic_bitmap(
     sltp_cx = _SLTP_CX[template]
     pad = _taps_pad(taps)
     height, width = black.shape
+    encode = enc.encode
+    if width < 32:
+        # narrow bitmaps (halftone patterns, small glyphs): the
+        # whole-bitmap vectorization below has fixed numpy cost per
+        # tap that exceeds the scalar work — mirror the decoder's
+        # narrow path instead. Same contexts, same coded decisions.
+        w2 = width + 2 * pad
+        rows = [bytearray(w2) for _ in range(height + 2 * pad)]
+        bb = black.astype(np.uint8)
+        for y in range(height):
+            rows[pad + y][pad : pad + width] = bb[y].tobytes()
+        by_dy: dict[int, list[tuple[int, int]]] = {}
+        for shift, (dx, dy) in enumerate(taps):
+            by_dy.setdefault(dy, []).append((dx, shift))
+        groups = sorted(by_dy.items())
+        ltp = 0
+        for y in range(height):
+            row = rows[pad + y]
+            if tpgdon:
+                typical = y > 0 and row == rows[pad + y - 1]
+                want = 1 if typical else 0
+                encode(sltp_cx, ltp ^ want, gb)
+                ltp = want
+                if ltp:
+                    continue
+            gr = [(rows[pad + y + dy], dxs) for dy, dxs in groups]
+            srow = None if skip is None else skip[y].tolist()
+            for x in range(width):
+                xx = pad + x
+                if srow is not None and srow[x]:
+                    if row[xx]:
+                        raise ValueError("skip pixel must be 0")
+                    continue
+                cx = 0
+                for r, dxs in gr:
+                    for dx, shift in dxs:
+                        cx |= r[xx + dx] << shift
+                encode(cx, row[xx], gb)
+        return
     img = np.zeros((height + 2 * pad, width + 2 * pad), np.uint8)
     img[pad : pad + height, pad : pad + width] = black
     # the whole bitmap is known up front, so the per-pixel context

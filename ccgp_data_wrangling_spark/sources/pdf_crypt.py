@@ -1,7 +1,9 @@
 """PDF standard security handler (ISO 32000-1 §7.6) — RC4-40/128 and
 AES-128 (/V 1–4, /R 2–4, /StdCF /AESV2) for the text extractor, plus
 the primitives themselves, implemented from the public specs with
-nothing beyond stdlib ``hashlib``:
+nothing beyond stdlib ``hashlib`` (an optional pyca/cryptography AES
+fast path is enabled only after an import-time self-check reproduces
+the from-scratch cipher bit-for-bit — see ``_native_aes_selfcheck``):
 
 * RC4 — the original stream cipher, §7.6.2 algorithm 1 key schedule;
 * AES-128 — FIPS-197 forward and inverse cipher (the fixture writer
@@ -30,6 +32,26 @@ from __future__ import annotations
 import hashlib
 import struct
 from functools import lru_cache
+
+# Optional native AES backend (pyca/cryptography — public, pip-
+# installable).  The from-scratch FIPS-197 implementation below stays
+# the reference: the backend is only enabled after the import-time
+# self-check (:func:`_native_aes_selfcheck`) reproduces the pure-
+# Python cipher bit-for-bit on AES-128 and AES-256 CBC/ECB vectors in
+# both directions.  AES is fully specified, so any correct
+# implementation is interchangeable — the check turns that from an
+# assumption into an executed fact, and a missing or misbehaving
+# library silently falls back to the pure paths.
+try:  # pragma: no cover - availability depends on the environment
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher as _CgCipher,
+        algorithms as _cg_algorithms,
+        modes as _cg_modes,
+    )
+except Exception:  # pragma: no cover
+    _CgCipher = None
+
+_AES_NATIVE = False  # set by _native_aes_selfcheck() below
 
 __all__ = [
     "rc4",
@@ -393,6 +415,8 @@ def _cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
     :func:`_encrypt_block`, minus the per-block bytes round-trips)."""
     if len(data) % 16:
         raise ValueError("unpadded CBC needs a block multiple")
+    if _AES_NATIVE:
+        return _native_cbc(key, iv, data, True)
     w = _key_words(_expand_key(key))
     nr = len(w) // 4 - 1
     t0, t1, t2, t3, sb = _T0, _T1, _T2, _T3, _SBOX
@@ -448,6 +472,8 @@ def _cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
 def _cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
     if len(data) % 16:
         raise ValueError("unpadded CBC needs a block multiple")
+    if _AES_NATIVE:
+        return _native_cbc(key, iv, data, False)
     dw = _dec_sched(key)
     out = bytearray()
     prev = int.from_bytes(iv, "big")
@@ -464,10 +490,14 @@ def _cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
 def aes_ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
     """Single-block ECB — the /Perms entry (§7.6.4.4.2) is one AES-256
     ECB block."""
+    if _AES_NATIVE:
+        return _native_ecb(key, block, True)
     return _encrypt_block(block, _expand_key(key))
 
 
 def aes_ecb_decrypt_block(key: bytes, block: bytes) -> bytes:
+    if _AES_NATIVE:
+        return _native_ecb(key, block, False)
     return _decrypt_block(block, _expand_key(key))
 
 
@@ -477,9 +507,11 @@ def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     32-byte key)."""
     if len(key) not in (16, 32) or len(iv) != 16:
         raise ValueError("AES needs 16/32-byte key and 16-byte IV")
-    w = _enc_sched(key)
     padn = 16 - len(data) % 16
     data = data + bytes([padn]) * padn
+    if _AES_NATIVE:
+        return iv + _native_cbc(key, iv, data, True)
+    w = _enc_sched(key)
     out = bytearray(iv)
     prev = int.from_bytes(iv, "big")
     for i in range(0, len(data), 16):
@@ -499,20 +531,75 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     keys (AESV2 / AESV3 share the wire format)."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("AES-CBC payload must be iv + k·16 bytes")
-    dw = _dec_sched(key)
-    prev = int.from_bytes(data[:16], "big")
-    out = bytearray()
-    for i in range(16, len(data), 16):
-        blk = data[i : i + 16]
-        out += (
-            int.from_bytes(_decrypt_block(blk, dw, sched=True), "big")
-            ^ prev
-        ).to_bytes(16, "big")
-        prev = int.from_bytes(blk, "big")
+    if _AES_NATIVE:
+        out = bytearray(_native_cbc(key, data[:16], data[16:], False))
+    else:
+        dw = _dec_sched(key)
+        prev = int.from_bytes(data[:16], "big")
+        out = bytearray()
+        for i in range(16, len(data), 16):
+            blk = data[i : i + 16]
+            out += (
+                int.from_bytes(
+                    _decrypt_block(blk, dw, sched=True), "big"
+                )
+                ^ prev
+            ).to_bytes(16, "big")
+            prev = int.from_bytes(blk, "big")
     padn = out[-1]
     if not 1 <= padn <= 16 or out[-padn:] != bytes([padn]) * padn:
         raise ValueError("bad AES padding (wrong key?)")
     return bytes(out[:-padn])
+
+
+def _native_cbc(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    c = _CgCipher(_cg_algorithms.AES(key), _cg_modes.CBC(iv))
+    ctx = c.encryptor() if encrypt else c.decryptor()
+    return ctx.update(data) + ctx.finalize()
+
+
+def _native_ecb(key: bytes, block: bytes, encrypt: bool) -> bytes:
+    c = _CgCipher(_cg_algorithms.AES(key), _cg_modes.ECB())
+    ctx = c.encryptor() if encrypt else c.decryptor()
+    return ctx.update(block) + ctx.finalize()
+
+
+def _native_aes_selfcheck() -> bool:
+    """Enable the native backend only if it reproduces the from-
+    scratch FIPS-197 cipher bit-for-bit: AES-128 and AES-256, CBC
+    chains and single ECB blocks, both directions.  Runs with
+    ``_AES_NATIVE`` still False, so the comparisons below exercise
+    the pure-Python reference paths."""
+    if _CgCipher is None:
+        return False
+    try:
+        for key in (
+            bytes(range(16)),  # FIPS-197 C.1 key
+            hashlib.sha256(b"pdf_crypt native self-check").digest(),
+        ):
+            iv = hashlib.md5(key).digest()
+            data = hashlib.sha512(key).digest() * 3  # 12 blocks
+            ct = _cbc_encrypt_raw(key, iv, data)
+            if _native_cbc(key, iv, data, True) != ct:
+                return False
+            if _native_cbc(key, iv, ct, False) != _cbc_decrypt_raw(
+                key, iv, ct
+            ):
+                return False
+            blk = data[:16]
+            sched = _expand_key(key)
+            if _native_ecb(key, blk, True) != _encrypt_block(blk, sched):
+                return False
+            if _native_ecb(key, blk, False) != _decrypt_block(
+                blk, sched
+            ):
+                return False
+        return True
+    except Exception:  # pragma: no cover - defensive
+        return False
+
+
+_AES_NATIVE = _native_aes_selfcheck()
 
 
 # ---------------------------------------------------------------------------

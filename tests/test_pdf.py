@@ -321,6 +321,43 @@ def test_pdf_aes256_primitives():
     assert h1 != hash_r6(b"pw2", b"saltsalt")
 
 
+def test_pdf_crypt_native_backend_equivalence():
+    """The optional pyca/cryptography fast path must be bit-identical
+    to the from-scratch FIPS-197 reference on every operation the
+    module exposes, and the module must stay correct with the backend
+    forced off (the fallback path)."""
+    from ccgp_data_wrangling_spark.sources import pdf_crypt as pc
+
+    key16, key32 = bytes(range(16)), bytes(range(32))
+    iv = bytes(range(100, 116))
+    data = b"native backend equivalence probe" * 4  # 8 blocks
+    # self-check already ran at import; re-running must agree with it
+    assert pc._native_aes_selfcheck() == pc._AES_NATIVE
+    saved = pc._AES_NATIVE
+    try:
+        outs = []
+        for flag in (False, True) if saved else (False,):
+            pc._AES_NATIVE = flag
+            outs.append(
+                (
+                    pc._cbc_encrypt_raw(key16, iv, data),
+                    pc._cbc_encrypt_raw(key32, iv, data),
+                    pc.aes128_cbc_encrypt(key16, iv, b"odd len pt"),
+                    pc.aes128_cbc_encrypt(key32, iv, b"odd len pt"),
+                    pc.aes_ecb_encrypt_block(key32, iv),
+                    pc.aes_ecb_decrypt_block(key32, iv),
+                )
+            )
+            ct = outs[-1][0]
+            assert pc._cbc_decrypt_raw(key16, iv, ct) == data
+            assert (
+                pc.aes128_cbc_decrypt(key16, outs[-1][2]) == b"odd len pt"
+            )
+        assert len(set(outs)) == 1  # native ≡ pure on every op
+    finally:
+        pc._AES_NATIVE = saved
+
+
 @pytest.mark.parametrize("r", [5, 6])
 def test_pdf_encrypted_v5_roundtrip(r):
     """AES-256 (ISO 32000-2 §7.6.4): user AND owner password open the
