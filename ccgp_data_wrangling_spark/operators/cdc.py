@@ -49,13 +49,33 @@ def _anchors(text: Column, k: int, divisor: int) -> Column:
     against. The real throughput lever is partitioning (see
     cdc_segments).
     """
-    gram_hash = lambda p: F.conv(  # noqa: E731
-        F.substring(F.md5(F.substring(text, p - k + 1, k)), 1, 15), 16, 10
-    ).cast("long")
-    return F.filter(
-        F.sequence(F.lit(k), F.greatest(F.length(text), F.lit(k))),
-        lambda p: (p <= F.length(text))
-        & (F.pmod(gram_hash(p), F.lit(divisor)) == 0),
+    if 256 % divisor == 0:
+        # conv(md5-hex[1:15], 16, 10) mod divisor depends only on the
+        # last two of those hex chars when divisor | 256 (16^j ≡ 0 mod
+        # divisor for j ≥ 2), so hash just substring(md5, 14, 2): the
+        # SAME anchors for ~7x less interpreted per-position conv work
+        # (the lambda below runs on the non-codegen expression
+        # evaluator once per character of the corpus)
+        gram_hash = lambda p: F.conv(  # noqa: E731
+            F.substring(F.md5(F.substring(text, p - k + 1, k)), 14, 2),
+            16, 10,
+        ).cast("long")
+    else:
+        gram_hash = lambda p: F.conv(  # noqa: E731
+            F.substring(F.md5(F.substring(text, p - k + 1, k)), 1, 15),
+            16, 10,
+        ).cast("long")
+    # guard the short-text case with one per-row conditional instead of
+    # a per-position `p <= length` term: for length >= k the sequence
+    # holds exactly the valid positions already, and shorter (or null)
+    # texts anchor nowhere — identical output, one fewer interpreted
+    # comparison per character
+    anchors = F.filter(
+        F.sequence(F.lit(k), F.length(text)),
+        lambda p: F.pmod(gram_hash(p), F.lit(divisor)) == 0,
+    )
+    return F.when(F.length(text) >= k, anchors).otherwise(
+        F.array().cast("array<int>")
     )
 
 

@@ -2223,31 +2223,58 @@ def _huff_canonical(counts: list[int], symbols: bytes) -> dict[tuple[int, int], 
 
 
 class _BitReader:
-    """MSB-first bit reader over a de-stuffed entropy segment."""
+    """MSB-first bit reader over a de-stuffed entropy segment.
+
+    Buffered-accumulator form: ``acc`` holds ``nbits`` right-aligned
+    unconsumed bits, refilled bytewise, so ``read_bits(n)`` is one
+    shift/mask instead of n single-bit reads and :func:`_huff_decode`
+    can peek a whole 16-bit window at once. Consumed-bit accounting
+    (``bits_read``) and the truncation error are identical to the
+    bit-at-a-time form this replaces."""
+
+    __slots__ = ("d", "nd", "pos", "acc", "nbits")
 
     def __init__(self, data: bytes):
         self.d = data
-        self.pos = 0
-        self.bit = 0
+        self.nd = len(data)
+        self.pos = 0      # next byte to pull into acc
+        self.acc = 0      # right-aligned unconsumed bits
+        self.nbits = 0
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.d):
-            raise ValueError("truncated entropy-coded segment")
-        b = (self.d[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
+        nb = self.nbits
+        if not nb:
+            p = self.pos
+            if p >= self.nd:
+                raise ValueError("truncated entropy-coded segment")
+            self.acc = self.d[p]
+            self.pos = p + 1
+            nb = 8
+        nb -= 1
+        b = (self.acc >> nb) & 1
+        self.acc &= (1 << nb) - 1
+        self.nbits = nb
         return b
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        acc, nb = self.acc, self.nbits
+        if nb < n:
+            d, p, nd = self.d, self.pos, self.nd
+            while nb < n:
+                if p >= nd:
+                    raise ValueError("truncated entropy-coded segment")
+                acc = (acc << 8) | d[p]
+                p += 1
+                nb += 8
+            self.pos = p
+        nb -= n
+        self.nbits = nb
+        v = acc >> nb
+        self.acc = acc & ((1 << nb) - 1)
         return v
 
     def bits_read(self) -> int:
-        return 8 * self.pos + self.bit
+        return 8 * self.pos - self.nbits
 
     def receive_extend(self, s: int) -> int:
         """T.81 EXTEND: s magnitude bits -> signed amplitude."""
@@ -2257,20 +2284,73 @@ class _BitReader:
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in entropy segment")
+# 16-bit-window Huffman LUTs, one per distinct (counts, symbols) DHT
+# body seen: slot i (the next 16 bits of stream, zero-padded at EOS)
+# -> (code length, symbol). Bounded: real streams carry at most a
+# handful of distinct tables; cleared wholesale if an adversarial
+# stream parade ever grows it past the cap.
+_HUFF_LUT_CACHE: dict[tuple[bytes, bytes], list] = {}
+
+
+def _huff_lut(counts: list[int], symbols: bytes) -> list:
+    key = (bytes(counts), bytes(symbols))
+    lut = _HUFF_LUT_CACHE.get(key)
+    if lut is None:
+        if len(_HUFF_LUT_CACHE) >= 64:
+            _HUFF_LUT_CACHE.clear()
+        lut = [None] * 65536
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            span = 1 << (16 - length)
+            for _ in range(counts[length - 1]):
+                start = code << (16 - length)
+                lut[start : start + span] = [(length, symbols[k])] * span
+                k += 1
+                code += 1
+            code <<= 1
+        _HUFF_LUT_CACHE[key] = lut
+    return lut
+
+
+def _huff_decode(r: _BitReader, lut: list) -> int:
+    """One canonical-Huffman symbol via a single 16-bit peek.
+
+    Exactly the incremental decode it replaces: canonical JPEG codes
+    are prefix-free, so the (unique) code matching the next bits is
+    the LUT entry at the 16-bit window; a window with no entry after
+    16 real bits is the original "invalid code", and a match (or
+    miss) extending past the segment end is the original truncation
+    error from the bit-at-a-time reader."""
+    acc = r.acc
+    nb = r.nbits
+    if nb < 16:
+        d, p, nd = r.d, r.pos, r.nd
+        while nb < 16 and p < nd:
+            acc = (acc << 8) | d[p]
+            p += 1
+            nb += 8
+        r.pos = p
+    ent = lut[(acc >> (nb - 16)) if nb >= 16 else (acc << (16 - nb))]
+    if ent is None:
+        raise ValueError(
+            "invalid Huffman code in entropy segment"
+            if nb >= 16
+            else "truncated entropy-coded segment"
+        )
+    length, sym = ent
+    if length > nb:
+        raise ValueError("truncated entropy-coded segment")
+    nb -= length
+    r.nbits = nb
+    r.acc = acc & ((1 << nb) - 1)
+    return sym
 
 
 def _decode_block_seq(
     r: _BitReader,
-    dc_table: dict[tuple[int, int], int],
-    ac_table: dict[tuple[int, int], int],
+    dc_table: list,
+    ac_table: list,
     blk: np.ndarray,
     dc_pred: int,
 ) -> int:
@@ -2299,7 +2379,7 @@ def _decode_block_seq(
 
 def _decode_dc_prog(
     r: _BitReader,
-    dc_table: dict[tuple[int, int], int] | None,
+    dc_table: list | None,
     blk: np.ndarray,
     dc_pred: int,
     ah: int,
@@ -2322,7 +2402,7 @@ def _decode_dc_prog(
 
 def _decode_ac_prog_first(
     r: _BitReader,
-    ac_table: dict[tuple[int, int], int],
+    ac_table: list,
     blk: np.ndarray,
     ss: int,
     se: int,
@@ -2357,7 +2437,7 @@ def _decode_ac_prog_first(
 
 def _decode_ac_prog_refine(
     r: _BitReader,
-    ac_table: dict[tuple[int, int], int],
+    ac_table: list,
     blk: np.ndarray,
     ss: int,
     se: int,
@@ -2436,8 +2516,8 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         raise ValueError("not a JPEG payload")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    dc_tables: dict[int, dict[tuple[int, int], int]] = {}
-    ac_tables: dict[int, dict[tuple[int, int], int]] = {}
+    dc_tables: dict[int, list] = {}
+    ac_tables: dict[int, list] = {}
     frame = None  # (H, W, comps) comps: (cid, h, v, tq)
     progressive = False
     restart_interval = 0
@@ -2479,7 +2559,7 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 counts = list(seg[sp + 1 : sp + 17])
                 n = sum(counts)
                 symbols = seg[sp + 17 : sp + 17 + n]
-                tbl = _huff_canonical(counts, symbols)
+                tbl = _huff_lut(counts, symbols)
                 (dc_tables if tc == 0 else ac_tables)[th] = tbl
                 sp += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
@@ -2680,15 +2760,19 @@ class _BitWriter:
         self.n = 0
 
     def write(self, value: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-                self.acc = 0
-                self.n = 0
+        # whole-field accumulate (same emitted bytes and 0xFF stuffing
+        # as the bit-at-a-time form, one call instead of `length`)
+        acc = (self.acc << length) | (value & ((1 << length) - 1))
+        n = self.n + length
+        out = self.out
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def flush(self) -> bytes:
         if self.n:
@@ -2711,11 +2795,19 @@ _FIX_AC_SYMBOLS = bytes(
 _FIX_AC_COUNTS = [0] * 7 + [len(_FIX_AC_SYMBOLS)] + [0] * 8
 
 
+_HUFF_ENC_CACHE: dict[tuple[bytes, bytes], dict[int, tuple[int, int]]] = {}
+
+
 def _huff_encode_map(counts: list[int], symbols: bytes) -> dict[int, tuple[int, int]]:
-    return {
-        sym: (code, length)
-        for (length, code), sym in _huff_canonical(counts, symbols).items()
-    }
+    key = (bytes(counts), bytes(symbols))
+    m = _HUFF_ENC_CACHE.get(key)
+    if m is None:
+        m = {
+            sym: (code, length)
+            for (length, code), sym in _huff_canonical(counts, symbols).items()
+        }
+        _HUFF_ENC_CACHE[key] = m
+    return m
 
 
 def _size_cat(v: int) -> int:
@@ -5488,16 +5580,26 @@ _prefix_free(_L3_COUNT1_A)
 _prefix_free(_L3_COUNT1_B)
 
 
+# (length, code) -> symbol inversions of the module-constant Layer III
+# tables, built once per table instead of once per decoded symbol
+_L3_BYCODE: dict[int, dict] = {}
+
+
 def _l3_huff_decode(reader: "_BitReader", table: dict) -> tuple:
     """Walk bits MSB-first until a code in ``table`` matches; the
     tables are prefix-free (validated at import), so first match is
     THE match. Returns the symbol key."""
-    by_code = {(ln, c): sym for sym, (ln, c) in table.items()}
+    by_code = _L3_BYCODE.get(id(table))
+    if by_code is None:
+        by_code = {(ln, c): sym for sym, (ln, c) in table.items()}
+        _L3_BYCODE[id(table)] = by_code
+    read_bit = reader.read_bit
+    get = by_code.get
     code, ln = 0, 0
     while ln <= 19:
-        code = (code << 1) | reader.read_bits(1)
+        code = (code << 1) | read_bit()
         ln += 1
-        sym = by_code.get((ln, code))
+        sym = get((ln, code))
         if sym is not None:
             return sym
     raise ValueError("invalid Layer III Huffman code")
