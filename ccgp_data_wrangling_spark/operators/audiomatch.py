@@ -79,9 +79,13 @@ def audio_constellation(
     id_col: str = "id",
     payload_col: str = "payload",
     frame: int = 256,
+    pre=None,
 ) -> DataFrame:
     """Explode WAV payloads into ``(id, frame_idx, h)`` constellation
-    pair hashes — one Arrow pass, payloads never leave executors."""
+    pair hashes — one Arrow pass, payloads never leave executors.
+
+    ``pre`` fuses an upstream batch synthesizer into the same Arrow
+    stage (payloads then never cross the JVM boundary at all)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -93,6 +97,10 @@ def audio_constellation(
                     hs.append(h)
             yield pd.DataFrame({"id": ids, "frame_idx": fidx, "h": hs})
 
+    if pre is not None:
+        return df.mapInPandas(
+            lambda it: op(pre(it)), schema="id long, frame_idx int, h long"
+        )
     return df.select(id_col, payload_col).mapInPandas(
         op, schema="id long, frame_idx int, h long"
     )
@@ -104,6 +112,8 @@ def audio_clip_match(
     *,
     frame: int = 256,
     broadcast_tracks: bool = True,
+    tracks_pre=None,
+    clips_pre=None,
 ) -> DataFrame:
     """Best ``(track_id, offset)`` per clip by constellation voting:
     hash equi-join (candidates only — never clip × track), vote count
@@ -118,14 +128,14 @@ def audio_clip_match(
     Output: ``(clip_id, track_id, offset, votes)``, one row per clip
     that matched at least one hash.
     """
-    th = audio_constellation(tracks, frame=frame).select(
+    th = audio_constellation(tracks, frame=frame, pre=tracks_pre).select(
         F.col("id").alias("track_id"),
         F.col("frame_idx").alias("ti"),
         "h",
     )
     if broadcast_tracks:
         th = F.broadcast(th)
-    ch = audio_constellation(clips, frame=frame).select(
+    ch = audio_constellation(clips, frame=frame, pre=clips_pre).select(
         F.col("id").alias("clip_id"),
         F.col("frame_idx").alias("ci"),
         "h",

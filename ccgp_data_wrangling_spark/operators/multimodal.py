@@ -60,6 +60,7 @@ def extract_real_features(
     id_col: str = "id",
     payload_col: str = "payload",
     media_type_col: str = "media_type",
+    pre: Any = None,
 ) -> DataFrame:
     """Decode-and-featurize with the REAL stdlib kernels (WAV / netpbm).
 
@@ -67,6 +68,13 @@ def extract_real_features(
     columns null and vice versa) so mixed media tables stream through
     one mapInPandas pass. Rows whose media_type has no stdlib decoder
     raise — filter or route them to the fake path upstream.
+
+    ``pre`` is an optional batch-iterator transformer (``Iterator[pd.
+    DataFrame] -> Iterator[pd.DataFrame]``, e.g. a fixture payload
+    synthesizer) fused into the SAME mapInPandas stage: with two
+    chained stages the payload bytes cross the JVM<->Python Arrow
+    boundary twice and pay a second Python runner per task, while a
+    fused stage ships only the input ids in and the features out.
     """
 
     cols = [
@@ -87,6 +95,10 @@ def extract_real_features(
             out.insert(0, "id", pdf[id_col].values)
             yield out
 
+    if pre is not None:
+        return df.mapInPandas(
+            lambda it: op(pre(it)), schema=REAL_FEATURE_SCHEMA
+        )
     narrow = df.select(id_col, payload_col, media_type_col)
     return narrow.mapInPandas(op, schema=REAL_FEATURE_SCHEMA)
 
@@ -279,6 +291,7 @@ def audio_spectral_features(
     *,
     id_col: str = "id",
     payload_col: str = "payload",
+    pre: Any = None,
 ) -> DataFrame:
     """Real DSP features per audio payload — zero-crossing count and
     FFT dominant frequency (media_codecs.wav_spectral_features) — in
@@ -301,6 +314,11 @@ def audio_spectral_features(
             out.insert(0, "id", pdf[id_col].values)
             yield out
 
+    if pre is not None:
+        # fused upstream synthesizer (see extract_real_features)
+        return df.mapInPandas(
+            lambda it: op(pre(it)), schema=SPECTRAL_SCHEMA
+        )
     return df.select(id_col, payload_col).mapInPandas(op, schema=SPECTRAL_SCHEMA)
 
 
@@ -316,6 +334,7 @@ def sample_frames_gif(
     *,
     id_col: str = "id",
     payload_col: str = "payload",
+    pre: Any = None,
 ) -> DataFrame:
     """REAL frame sampling from animated-GIF payloads — the concrete
     instance of the video frame-sample shape (sample_frames) with an
@@ -373,5 +392,10 @@ def sample_frames_gif(
                 ],
             )
 
+    if pre is not None:
+        # fused upstream synthesizer (see extract_real_features)
+        return df.mapInPandas(
+            lambda it: op(pre(it)), schema=GIF_FRAME_SCHEMA
+        )
     narrow = df.select(id_col, payload_col)
     return narrow.mapInPandas(op, schema=GIF_FRAME_SCHEMA)

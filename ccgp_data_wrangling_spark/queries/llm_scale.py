@@ -1132,10 +1132,9 @@ def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = ev.mapInPandas(
-        synth, schema="id long, payload binary, media_type string"
-    )
-    feats = extract_real_features(media)
+    # fused: synthesis + decode share ONE Arrow stage, so payload
+    # bytes never cross the JVM boundary between them (guide §4.1)
+    feats = extract_real_features(ev, pre=synth)
     return feats.select(
         "id", "kind", "sample_rate", "n_channels",
         "duration_sec", "rms", "peak",
@@ -1199,10 +1198,9 @@ def multimodal_pgm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = ev.mapInPandas(
-        synth, schema="id long, payload binary, media_type string"
-    )
-    feats = extract_real_features(media)
+    # fused: synthesis + decode share ONE Arrow stage, so payload
+    # bytes never cross the JVM boundary between them (guide §4.1)
+    feats = extract_real_features(ev, pre=synth)
     return feats.select(
         "id", "kind", "width", "height", "n_channels", "luma_mean"
     )
@@ -1291,10 +1289,9 @@ def multimodal_gif_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = ev.mapInPandas(
-        synth, schema="id long, payload binary, media_type string"
-    )
-    feats = extract_real_features(media)
+    # fused: synthesis + decode share ONE Arrow stage, so payload
+    # bytes never cross the JVM boundary between them (guide §4.1)
+    feats = extract_real_features(ev, pre=synth)
     return feats.select(
         "id", "kind", "width", "height", "n_channels", "luma_mean"
     )
@@ -1435,10 +1432,9 @@ def multimodal_jpeg_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = ev.mapInPandas(
-        synth, schema="id long, payload binary, media_type string"
-    )
-    feats = extract_real_features(media)
+    # fused: synthesis + decode share ONE Arrow stage, so payload
+    # bytes never cross the JVM boundary between them (guide §4.1)
+    feats = extract_real_features(ev, pre=synth)
     return feats.select(
         "id", "kind", "width", "height", "n_channels", "luma_mean"
     )
@@ -1527,10 +1523,9 @@ def multimodal_jpeg_progressive_decode(
                 }
             )
 
-    media = ev.mapInPandas(
-        synth, schema="id long, payload binary, media_type string"
-    )
-    feats = extract_real_features(media)
+    # fused: synthesis + decode share ONE Arrow stage, so payload
+    # bytes never cross the JVM boundary between them (guide §4.1)
+    feats = extract_real_features(ev, pre=synth)
     return feats.select(
         "id", "kind", "width", "height", "n_channels", "luma_mean"
     )
@@ -1613,10 +1608,9 @@ def multimodal_png_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = ev.mapInPandas(
-        synth, schema="id long, payload binary, media_type string"
-    )
-    feats = extract_real_features(media)
+    # fused: synthesis + decode share ONE Arrow stage, so payload
+    # bytes never cross the JVM boundary between them (guide §4.1)
+    feats = extract_real_features(ev, pre=synth)
     return feats.select(
         "id", "kind", "width", "height", "n_channels", "luma_mean"
     )
@@ -1693,8 +1687,8 @@ def multimodal_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(buf.getvalue())
             yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
 
-    media = ev.mapInPandas(synth, schema="id long, payload binary")
-    return audio_spectral_features(media).select(
+    # fused: one Arrow stage — payloads stay inside the Python worker
+    return audio_spectral_features(ev, pre=synth).select(
         "id", "kind", "sample_rate", "n_samples",
         "zero_crossings", "dominant_freq_hz", "rms", "peak",
     )
@@ -1768,8 +1762,9 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     hashed = ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(hash_op, schema="id long, ph long")
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: hash_op(synth(it)), schema="id long, ph long")
     w = W.partitionBy("ph")
     return hashed.select(
         "id",
@@ -2051,10 +2046,9 @@ def multimodal_png16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = ev.mapInPandas(
-        synth, schema="id long, payload binary, media_type string"
-    )
-    feats = extract_real_features(media)
+    # fused: synthesis + decode share ONE Arrow stage, so payload
+    # bytes never cross the JVM boundary between them (guide §4.1)
+    feats = extract_real_features(ev, pre=synth)
     return feats.select(
         "id", "kind", "width", "height", "n_channels", "luma_mean"
     )
@@ -2204,8 +2198,8 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
 
-    media = ev.mapInPandas(synth, schema="id long, payload binary")
-    return sample_frames_gif(media, 0.2)
+    # fused: one Arrow stage — payloads stay inside the Python worker
+    return sample_frames_gif(ev, 0.2, pre=synth)
 
 
 # ---------------------------------------------------------------------------
@@ -2286,8 +2280,8 @@ def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ccgp_data_wrangling_spark.sources.pdf import pdf_documents
 
-    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    return pdf_documents(media)
+    # fused: one Arrow stage — blobs stay inside the Python worker
+    return pdf_documents(docs, pre=synth)
 
 
 # ---------------------------------------------------------------------------
@@ -2400,9 +2394,9 @@ def pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        extract,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: extract(synth(it)),
         schema=(
             "id long, idx int, width int, height int, n_channels int, "
             "codec string, luma_mean double"
@@ -2447,7 +2441,7 @@ def wds_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ccgp_data_wrangling_spark.sources.webdataset import (
         build_wds_shard,
-        wds_samples,
+        wds_sample_batches,
     )
 
     ev = load_table(spark, sf_dir, "events").where(
@@ -2480,9 +2474,6 @@ def wds_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"shard_id": pdf["shard_id"].values, "payload": payloads}
             )
 
-    shards = ev.mapInPandas(synth, schema="shard_id long, payload binary")
-    samples = wds_samples(shards)
-
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             lumas, labels = [], []
@@ -2495,8 +2486,10 @@ def wds_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["luma_mean"] = lumas
             yield out
 
-    return samples.mapInPandas(
-        decode,
+    # fused: shard synthesis → tar explode → per-sample decode in ONE
+    # Arrow stage; shard blobs and part maps never transit the JVM
+    return ev.mapInPandas(
+        lambda it: decode(wds_sample_batches(synth(it))),
         schema=(
             "shard_id long, sample_key string, n_parts int, "
             "label int, luma_mean double"
@@ -2583,8 +2576,9 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     hashed = ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(fp, schema="id long, fp long")
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: fp(synth(it)), schema="id long, fp long")
     w = W.partitionBy("fp")
     return hashed.select(
         "id",
@@ -2640,7 +2634,7 @@ def multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ccgp_data_wrangling_spark.sources.webdataset import (
         build_wds_shard,
-        wds_samples,
+        wds_sample_batches,
     )
 
     classes = _PHASH_ND_CLASSES
@@ -2680,9 +2674,6 @@ def multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"shard_id": pdf["shard_id"].values, "payload": payloads}
             )
 
-    shards = ev.mapInPandas(synth, schema="shard_id long, payload binary")
-    samples = wds_samples(shards)
-
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             sids, phs, words = [], [], []
@@ -2695,8 +2686,11 @@ def multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"sample_id": sids, "ph": phs, "n_words": words}
             )
 
-    scored = samples.mapInPandas(
-        feats, schema="sample_id long, ph long, n_words int"
+    # fused: shard synthesis → tar explode → per-sample features in
+    # ONE Arrow stage; blobs and part maps never transit the JVM
+    scored = ev.mapInPandas(
+        lambda it: feats(wds_sample_batches(synth(it))),
+        schema="sample_id long, ph long, n_words int",
     )
     kept = scored.where(F.col("n_words") >= 2)
     w = W.partitionBy("ph")
@@ -2783,9 +2777,7 @@ def audio_clip_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(wav_of(sig))
             yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
 
-    tracks = spark.range(9).mapInPandas(
-        track_synth, schema="id long, payload binary"
-    )
+    tracks = spark.range(9)
 
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_id") % 20 == 14
@@ -2809,8 +2801,11 @@ def audio_clip_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(wav_of(sig))
             yield pd.DataFrame({"id": pdf["id"].values, "payload": payloads})
 
-    clips = ev.mapInPandas(clip_synth, schema="id long, payload binary")
-    return audio_clip_match(tracks, clips)
+    # fused: each synthesizer shares its constellation stage's Arrow
+    # pass, so WAV payloads never transit the JVM (guide §4.1)
+    return audio_clip_match(
+        tracks, ev, tracks_pre=track_synth, clips_pre=clip_synth
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2903,9 +2898,9 @@ def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        meta,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: meta(synth(it)),
         schema=(
             "id long, brand string, duration_sec double, n_tracks int, "
             "width double, height double, codec0 string"
@@ -3046,9 +3041,9 @@ def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        expand,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: expand(synth(it)),
         schema=(
             "id long, sample int, time_sec double, mdat_offset long, "
             "size int, keyframe boolean"
@@ -3242,9 +3237,9 @@ def multimodal_mp4_fragmented_keyframes(
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        expand,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: expand(synth(it)),
         schema=(
             "id long, sample int, frag int, time_sec double, "
             "mdat_offset long, size int, keyframe boolean"
@@ -3384,9 +3379,9 @@ def image_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        meta,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: meta(synth(it)),
         schema=(
             "id long, has_exif boolean, make string, model string, "
             "orientation int, datetime_original string, pixel_x int, "
@@ -3510,9 +3505,9 @@ def video_keyframe_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        thumbs,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: thumbs(synth(it)),
         schema=(
             "id long, sample int, width int, height int, "
             "luma_mean double"
@@ -3644,9 +3639,9 @@ def multimodal_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        meta,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: meta(synth(it)),
         schema=(
             "id long, version string, sample_rate int, n_channels int, "
             "bitrate_kbps int, n_frames int, duration_sec double, "
@@ -3770,9 +3765,9 @@ def multimodal_mp3_vbr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        profile,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: profile(synth(it)),
         schema=(
             "id long, n_frames int, n_bitrates int, min_kbps int, "
             "max_kbps int, avg_kbps double, vbr boolean, "
@@ -3890,9 +3885,9 @@ def multimodal_mp3_subband_decode(
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        decode,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: decode(synth(it)),
         schema=(
             "id long, frame int, subband int, nbits int, scf_idx int, "
             "rms double"
@@ -4086,9 +4081,9 @@ def multimodal_mp3_layer3_spectrum(
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        decode,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: decode(synth(it)),
         schema=(
             "id long, frame int, granule int, sfb int, width int, "
             "n_nonzero int, rms double"
@@ -4231,9 +4226,9 @@ def audio_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        meta,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: meta(synth(it)),
         schema=(
             "id long, has_tag boolean, tag_version int, title string, "
             "artist string, album string, year string, n_text_frames int"
@@ -4353,9 +4348,9 @@ def multimodal_png_subbyte_decode(
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        meta,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: meta(synth(it)),
         schema=(
             "id long, kind string, width int, height int, "
             "n_channels int, mean0 double"
@@ -4432,8 +4427,8 @@ def pdf15_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    return pdf_documents(media)
+    # fused: one Arrow stage — blobs stay inside the Python worker
+    return pdf_documents(docs, pre=synth)
 
 
 # ---------------------------------------------------------------------------
@@ -4528,8 +4523,8 @@ def pdf_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    return pdf_documents(media, password=b"corpus")
+    # fused: one Arrow stage — blobs stay inside the Python worker
+    return pdf_documents(docs, pre=synth, password=b"corpus")
 
 
 # ---------------------------------------------------------------------------
@@ -4706,9 +4701,9 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        meta, schema="id long, width int, height int, luma_mean double"
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: meta(synth(it)), schema="id long, width int, height int, luma_mean double"
     )
 
 
@@ -4792,9 +4787,9 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        meta,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: meta(synth(it)),
         schema=(
             "id long, width int, height int, n_channels int, "
             "luma_mean double"
@@ -4992,9 +4987,9 @@ def multimodal_tiff_tiled_decode(
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, tile_w int, payload binary"
-    ).mapInPandas(
-        meta,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: meta(synth(it)),
         schema=(
             "id long, width int, height int, n_channels int, "
             "compression int, predictor int, tiled boolean, "
@@ -5098,9 +5093,9 @@ def multimodal_tiff_compressed_decode(
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        meta,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: meta(synth(it)),
         schema=(
             "id long, width int, height int, n_channels int, "
             "compression int, predictor int, luma_mean double"
@@ -5199,8 +5194,9 @@ def image_orientation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["id", "ph"])
 
     fps = ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(fingerprint, schema="id long, ph long")
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: fingerprint(synth(it)), schema="id long, ph long")
     from pyspark.sql import Window
 
     w = Window.partitionBy("ph")
@@ -5350,9 +5346,9 @@ def pdf_encrypted_image_extract(
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, cipher int, payload binary"
-    ).mapInPandas(
-        extract,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: extract(synth(it)),
         schema=(
             "id long, idx int, cipher int, width int, height int, "
             "n_channels int, codec string, luma_mean double"
@@ -5456,9 +5452,9 @@ def pdf_g4_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        extract,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: extract(synth(it)),
         schema=(
             "id long, width int, height int, n_channels int, "
             "codec string, luma_mean double"
@@ -5583,9 +5579,9 @@ def pdf_jbig2_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, variant string, payload binary"
-    ).mapInPandas(
-        extract,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: extract(synth(it)),
         schema=(
             "id long, width int, height int, variant string, "
             "codec string, luma_mean double"
@@ -5716,10 +5712,9 @@ def pdf_bpc_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ev.mapInPandas(
-        synth,
-        schema="id long, bpc int, inverted boolean, payload binary",
-    ).mapInPandas(
-        extract,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: extract(synth(it)),
         schema=(
             "id long, width int, height int, bpc int, "
             "inverted boolean, codec string, luma_mean double"
@@ -5931,15 +5926,9 @@ def pdf_jbig2_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ev.mapInPandas(
-        synth,
-        schema=(
-            "id long, refcorner string, transposed boolean, "
-            "dict_coding string, has_generic boolean, "
-            "refined boolean, custom_table boolean, "
-            "text_coding string, payload binary"
-        ),
-    ).mapInPandas(
-        extract,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: extract(synth(it)),
         schema=(
             "id long, width int, height int, refcorner string, "
             "transposed boolean, dict_coding string, "
@@ -6080,9 +6069,9 @@ def pdf_jbig2_hmmr_halftone_extract(
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        extract,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: extract(synth(it)),
         schema=(
             "id long, width int, height int, gray_coding string, "
             "codec string, luma_mean double"
@@ -6192,12 +6181,9 @@ def pdf_jbig2_halftone_extract(
             )
 
     return ev.mapInPandas(
-        synth,
-        schema=(
-            "id long, template int, enableskip boolean, payload binary"
-        ),
-    ).mapInPandas(
-        extract,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: extract(synth(it)),
         schema=(
             "id long, width int, height int, template int, "
             "enableskip boolean, codec string, luma_mean double"
@@ -6323,12 +6309,9 @@ def pdf_jbig2_refine_extract(
             )
 
     return ev.mapInPandas(
-        synth,
-        schema=(
-            "id long, gr_template int, tpgron boolean, payload binary"
-        ),
-    ).mapInPandas(
-        extract,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: extract(synth(it)),
         schema=(
             "id long, width int, height int, gr_template int, "
             "tpgron boolean, codec string, luma_mean double"
@@ -6522,9 +6505,9 @@ def multimodal_mp3_shortblock_spectrum(
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        decode,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: decode(synth(it)),
         schema=(
             "id long, frame int, granule int, channel int, sfb int, "
             "window int, width int, n_nonzero int, rms double"
@@ -6787,9 +6770,9 @@ def multimodal_mp3_stereo_spectrum(
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        decode,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: decode(synth(it)),
         schema=(
             "id long, frame int, granule int, channel int, sfb int, "
             "window int, width int, n_nonzero int, rms double"
@@ -6949,9 +6932,9 @@ def multimodal_webm_keyframes(
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        walk,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: walk(synth(it)),
         schema=(
             "id long, cluster int, track int, ts_ticks bigint, "
             "time_sec double, keyframe boolean, size int"
@@ -7254,9 +7237,9 @@ def multimodal_mp3_lsf_intensity_spectrum(
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        decode,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: decode(synth(it)),
         schema=(
             "id long, channel int, sfb int, width int, "
             "n_nonzero int, rms double"
@@ -7379,9 +7362,9 @@ def multimodal_mp3_lsf_spectrum(
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        decode,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: decode(synth(it)),
         schema=(
             "id long, frame int, granule int, sfb int, width int, "
             "n_nonzero int, rms double"
@@ -7482,8 +7465,8 @@ def docx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    return docx_documents(media)
+    # fused: one Arrow stage — blobs stay inside the Python worker
+    return docx_documents(docs, pre=synth)
 
 
 # ---------------------------------------------------------------------------
@@ -7584,8 +7567,8 @@ def doc_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    return doc_documents(media)
+    # fused: one Arrow stage — blobs stay inside the Python worker
+    return doc_documents(docs, pre=synth)
 
 
 # ---------------------------------------------------------------------------
@@ -7685,8 +7668,8 @@ def odt_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    return odt_documents(media)
+    # fused: one Arrow stage — blobs stay inside the Python worker
+    return odt_documents(docs, pre=synth)
 
 
 # ---------------------------------------------------------------------------
@@ -7776,8 +7759,8 @@ def epub_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    return epub_documents(media)
+    # fused: one Arrow stage — blobs stay inside the Python worker
+    return epub_documents(docs, pre=synth)
 
 
 # ---------------------------------------------------------------------------
@@ -7860,8 +7843,8 @@ def rtf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    return rtf_documents(media)
+    # fused: one Arrow stage — blobs stay inside the Python worker
+    return rtf_documents(docs, pre=synth)
 
 
 # ---------------------------------------------------------------------------
@@ -7962,8 +7945,8 @@ def pptx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    return pptx_documents(media)
+    # fused: one Arrow stage — blobs stay inside the Python worker
+    return pptx_documents(docs, pre=synth)
 
 
 # ---------------------------------------------------------------------------
@@ -8043,8 +8026,8 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    return html_documents(media)
+    # fused: one Arrow stage — blobs stay inside the Python worker
+    return html_documents(docs, pre=synth)
 
 
 # ---------------------------------------------------------------------------
@@ -8190,9 +8173,9 @@ def multimodal_mp3_layer2_subband_decode(
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        decode,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: decode(synth(it)),
         schema=(
             "id long, frame int, subband int, steps int, scfsi int, "
             "rms double"
@@ -8363,12 +8346,9 @@ def pdf_jpx_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ev.mapInPandas(
-        synth,
-        schema=(
-            "id long, levels int, container boolean, payload binary"
-        ),
-    ).mapInPandas(
-        extract,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: extract(synth(it)),
         schema=(
             "id long, width int, height int, n_channels int, "
             "levels int, container boolean, codec string, "
@@ -8488,8 +8468,8 @@ def odp_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    return odp_documents(media)
+    # fused: one Arrow stage — blobs stay inside the Python worker
+    return odp_documents(docs, pre=synth)
 
 
 # ---------------------------------------------------------------------------
@@ -8648,8 +8628,8 @@ def ods_cell_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    return ods_documents(media)
+    # fused: one Arrow stage — blobs stay inside the Python worker
+    return ods_documents(docs, pre=synth)
 
 
 # ---------------------------------------------------------------------------
@@ -8841,9 +8821,9 @@ def multimodal_mp3_layer2_stereo_decode(
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary"
-    ).mapInPandas(
-        decode,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: decode(synth(it)),
         schema=(
             "id long, mode string, version string, "
             "free_format boolean, frame int, channel int, "
@@ -9046,9 +9026,9 @@ def pdf_jpx97_image_extract(
             )
 
     return ev.mapInPandas(
-        synth, schema="id long, payload binary, codestream binary"
-    ).mapInPandas(
-        extract,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: extract(synth(it)),
         schema=(
             "id long, width int, height int, n_channels int, "
             "levels int, q_planes int, container boolean, "
@@ -9838,12 +9818,9 @@ def pdf_jbig2_agg_extract(
             )
 
     return ev.mapInPandas(
-        synth,
-        schema=(
-            "id long, rtemplate int, refcorner string, payload binary"
-        ),
-    ).mapInPandas(
-        extract,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: extract(synth(it)),
         schema=(
             "id long, width int, height int, rtemplate int, "
             "refcorner string, refagg_ninst int, codec string, "
@@ -9986,12 +9963,9 @@ def pdf_jbig2_refagg_extract(
             )
 
     return ev.mapInPandas(
-        synth,
-        schema=(
-            "id long, rtemplate int, refcorner string, payload binary"
-        ),
-    ).mapInPandas(
-        extract,
+        # fused single Arrow stage (guide §4.1): payloads stay in
+        # the Python worker between synthesis and extraction
+        lambda it: extract(synth(it)),
         schema=(
             "id long, width int, height int, rtemplate int, "
             "refcorner string, codec string, luma_mean double"

@@ -790,8 +790,8 @@ def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"archive_id": pdf["archive_id"].values, "payload": payloads}
             )
 
-    archives = ev.mapInPandas(synth, schema="archive_id long, payload binary")
-    return warc_records(archives).select(
+    # fused: one Arrow stage — blobs stay inside the Python worker
+    return warc_records(ev, pre=synth).select(
         F.col("archive_id").alias("id"),
         "target_uri",
         "http_status",

@@ -197,6 +197,7 @@ def doc_documents(
     *,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    pre: Any = None,
 ) -> DataFrame:
     """Explode legacy .doc blobs into one row per paragraph — one
     Arrow mapInPandas pass, the docx_documents shape."""
@@ -220,6 +221,13 @@ def doc_documents(
                 rows, columns=["doc_id", "para", "text", "n_chars"]
             )
 
+    if pre is not None:
+        # fuse an upstream batch synthesizer into the same Arrow
+        # stage: blobs never transit the JVM between synthesis
+        # and extraction (optimization guide §4.1)
+        return df.mapInPandas(
+            lambda it: op(pre(it)), schema=DOC_PARA_SCHEMA
+        )
     return df.select(id_col, payload_col).mapInPandas(
         op, schema=DOC_PARA_SCHEMA
     )

@@ -81,6 +81,7 @@ def docx_documents(
     *,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    pre: Any = None,
 ) -> DataFrame:
     """Explode DOCX blobs into one row per paragraph with extracted
     text — one Arrow mapInPandas pass, the pdf_documents shape."""
@@ -104,6 +105,13 @@ def docx_documents(
                 rows, columns=["doc_id", "para", "text", "n_chars"]
             )
 
+    if pre is not None:
+        # fuse an upstream batch synthesizer into the same Arrow
+        # stage: blobs never transit the JVM between synthesis
+        # and extraction (optimization guide §4.1)
+        return df.mapInPandas(
+            lambda it: op(pre(it)), schema=DOCX_PARA_SCHEMA
+        )
     return df.select(id_col, payload_col).mapInPandas(
         op, schema=DOCX_PARA_SCHEMA
     )

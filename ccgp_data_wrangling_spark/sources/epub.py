@@ -192,6 +192,7 @@ def epub_documents(
     *,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    pre: Any = None,
 ) -> DataFrame:
     """Explode EPUB blobs into one row per (chapter, paragraph) —
     one Arrow mapInPandas pass, the docx_documents shape plus the
@@ -221,6 +222,13 @@ def epub_documents(
                 ],
             )
 
+    if pre is not None:
+        # fuse an upstream batch synthesizer into the same Arrow
+        # stage: blobs never transit the JVM between synthesis
+        # and extraction (optimization guide §4.1)
+        return df.mapInPandas(
+            lambda it: op(pre(it)), schema=EPUB_PARA_SCHEMA
+        )
     return df.select(id_col, payload_col).mapInPandas(
         op, schema=EPUB_PARA_SCHEMA
     )

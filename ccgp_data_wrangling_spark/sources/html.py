@@ -73,6 +73,7 @@ def html_documents(
     *,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    pre: Any = None,
 ) -> DataFrame:
     """Explode loose HTML blobs into one row per paragraph — one
     Arrow mapInPandas pass, the docx_documents shape plus the page
@@ -98,6 +99,13 @@ def html_documents(
                 columns=["doc_id", "para", "title", "text", "n_chars"],
             )
 
+    if pre is not None:
+        # fuse an upstream batch synthesizer into the same Arrow
+        # stage: blobs never transit the JVM between synthesis
+        # and extraction (optimization guide §4.1)
+        return df.mapInPandas(
+            lambda it: op(pre(it)), schema=HTML_PARA_SCHEMA
+        )
     return df.select(id_col, payload_col).mapInPandas(
         op, schema=HTML_PARA_SCHEMA
     )

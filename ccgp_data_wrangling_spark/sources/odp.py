@@ -115,6 +115,7 @@ def odp_documents(
     *,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    pre: Any = None,
 ) -> DataFrame:
     """Explode ODP blobs into one row per (slide, frame, paragraph)
     — one Arrow mapInPandas pass, the pptx_documents shape."""
@@ -146,6 +147,13 @@ def odp_documents(
                 ],
             )
 
+    if pre is not None:
+        # fuse an upstream batch synthesizer into the same Arrow
+        # stage: blobs never transit the JVM between synthesis
+        # and extraction (optimization guide §4.1)
+        return df.mapInPandas(
+            lambda it: op(pre(it)), schema=ODP_PARA_SCHEMA
+        )
     return df.select(id_col, payload_col).mapInPandas(
         op, schema=ODP_PARA_SCHEMA
     )

@@ -168,6 +168,7 @@ def ods_documents(
     *,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    pre: Any = None,
 ) -> DataFrame:
     """Explode ODS blobs into one row per populated cell — one Arrow
     mapInPandas pass, the xlsx_documents shape on the ODF side."""
@@ -186,6 +187,13 @@ def ods_documents(
                 ],
             )
 
+    if pre is not None:
+        # fuse an upstream batch synthesizer into the same Arrow
+        # stage: blobs never transit the JVM between synthesis
+        # and extraction (optimization guide §4.1)
+        return df.mapInPandas(
+            lambda it: op(pre(it)), schema=ODS_CELL_SCHEMA
+        )
     return df.select(id_col, payload_col).mapInPandas(
         op, schema=ODS_CELL_SCHEMA
     )

@@ -1249,12 +1249,18 @@ def pdf_documents(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     password: bytes = b"",
+    pre: Any = None,
 ) -> DataFrame:
     """Explode PDF blobs into one row per page with extracted text —
     one Arrow mapInPandas pass, the WARC-ingest shape. ``password``
     opens standard-security-handler encrypted files (one corpus-wide
     password — per-document passwords would be a join column, which
-    a caller can model by partitioning the corpus)."""
+    a caller can model by partitioning the corpus).
+
+    ``pre`` optionally fuses an upstream batch transformer (a fixture
+    payload synthesizer) into the same Arrow stage, so blobs never
+    cross the JVM<->Python boundary between synthesis and
+    extraction."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1275,6 +1281,10 @@ def pdf_documents(
                 rows, columns=["doc_id", "page", "text", "n_chars"]
             )
 
+    if pre is not None:
+        return df.mapInPandas(
+            lambda it: op(pre(it)), schema=PDF_PAGE_SCHEMA
+        )
     return df.select(id_col, payload_col).mapInPandas(
         op, schema=PDF_PAGE_SCHEMA
     )

@@ -127,6 +127,7 @@ def pptx_documents(
     *,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    pre: Any = None,
 ) -> DataFrame:
     """Explode PPTX blobs into one row per slide paragraph — one
     Arrow mapInPandas pass, the docx_documents shape plus the slide
@@ -154,6 +155,13 @@ def pptx_documents(
                 columns=["doc_id", "slide", "para", "text", "n_chars"],
             )
 
+    if pre is not None:
+        # fuse an upstream batch synthesizer into the same Arrow
+        # stage: blobs never transit the JVM between synthesis
+        # and extraction (optimization guide §4.1)
+        return df.mapInPandas(
+            lambda it: op(pre(it)), schema=PPTX_PARA_SCHEMA
+        )
     return df.select(id_col, payload_col).mapInPandas(
         op, schema=PPTX_PARA_SCHEMA
     )

@@ -166,6 +166,7 @@ def rtf_documents(
     *,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    pre: Any = None,
 ) -> DataFrame:
     """Explode RTF blobs into one row per paragraph — one Arrow
     mapInPandas pass, the docx_documents shape."""
@@ -189,6 +190,13 @@ def rtf_documents(
                 rows, columns=["doc_id", "para", "text", "n_chars"]
             )
 
+    if pre is not None:
+        # fuse an upstream batch synthesizer into the same Arrow
+        # stage: blobs never transit the JVM between synthesis
+        # and extraction (optimization guide §4.1)
+        return df.mapInPandas(
+            lambda it: op(pre(it)), schema=RTF_PARA_SCHEMA
+        )
     return df.select(id_col, payload_col).mapInPandas(
         op, schema=RTF_PARA_SCHEMA
     )

@@ -126,6 +126,7 @@ def warc_records(
     id_col: str = "archive_id",
     payload_col: str = "payload",
     response_only: bool = True,
+    pre: Any = None,
 ) -> DataFrame:
     """Explode WARC archive blobs into one row per record, with the
     HTTP body run through :func:`html_to_text`. One Arrow mapInPandas
@@ -158,6 +159,13 @@ def warc_records(
                 ],
             )
 
+    if pre is not None:
+        # fuse an upstream batch synthesizer into the same Arrow
+        # stage: archive blobs never transit the JVM between
+        # synthesis and record extraction (optimization guide §4.1)
+        return df.mapInPandas(
+            lambda it: op(pre(it)), schema=WARC_RECORD_SCHEMA
+        )
     return df.select(id_col, payload_col).mapInPandas(
         op, schema=WARC_RECORD_SCHEMA
     )

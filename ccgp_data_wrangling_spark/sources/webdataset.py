@@ -65,6 +65,33 @@ WDS_SAMPLE_SCHEMA = (
 )
 
 
+def wds_sample_batches(
+    batches: Iterator[pd.DataFrame],
+    *,
+    id_col: str = "shard_id",
+    payload_col: str = "payload",
+) -> Iterator[pd.DataFrame]:
+    """Batch-iterator core of :func:`wds_samples`, exposed so callers
+    can fuse shard synthesis → sample explode → per-sample decode
+    into ONE Arrow stage (shard blobs and part maps then never cross
+    the JVM boundary between steps)."""
+    for pdf in batches:
+        rows: list[dict[str, Any]] = []
+        for sid, blob in zip(pdf[id_col], pdf[payload_col]):
+            for key, parts in iter_wds_samples(bytes(blob)):
+                rows.append(
+                    {
+                        "shard_id": sid,
+                        "sample_key": key,
+                        "n_parts": len(parts),
+                        "parts": parts,
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=["shard_id", "sample_key", "n_parts", "parts"]
+        )
+
+
 def wds_samples(
     df: DataFrame, *, id_col: str = "shard_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -72,21 +99,9 @@ def wds_samples(
     parts as ``map<extension, binary>`` — one Arrow pass."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: list[dict[str, Any]] = []
-            for sid, blob in zip(pdf[id_col], pdf[payload_col]):
-                for key, parts in iter_wds_samples(bytes(blob)):
-                    rows.append(
-                        {
-                            "shard_id": sid,
-                            "sample_key": key,
-                            "n_parts": len(parts),
-                            "parts": parts,
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=["shard_id", "sample_key", "n_parts", "parts"]
-            )
+        return wds_sample_batches(
+            batches, id_col=id_col, payload_col=payload_col
+        )
 
     return df.select(id_col, payload_col).mapInPandas(
         op, schema=WDS_SAMPLE_SCHEMA
