@@ -800,22 +800,31 @@ class HuffTable:
             self.codes[i] = code
             code += 1
             prev_len = plen
+        # (preflen, code) -> line, for O(1) decode instead of an
+        # O(lines) scan per candidate prefix length; canonical
+        # assignment makes every (preflen, code) pair unique
+        self._by_code: dict[tuple[int, int], tuple] = {
+            (lines[i][0], self.codes[i]): lines[i]
+            for i in range(len(lines))
+        }
 
     def decode(self, reader: "_HuffReader"):
+        by_code = self._by_code
+        bit = reader.bit
         code = 0
         plen = 0
         while plen <= 32:
-            code = (code << 1) | reader.bit()
+            code = (code << 1) | bit()
             plen += 1
-            for i, ln in enumerate(self.lines):
-                if ln[0] == plen and self.codes[i] == code:
-                    kind = ln[3] if len(ln) > 3 else "norm"
-                    if kind == "oob":
-                        return OOB
-                    off = reader.bits(ln[1])
-                    if kind == "lower":
-                        return ln[2] - off
-                    return ln[2] + off
+            ln = by_code.get((plen, code))
+            if ln is not None:
+                kind = ln[3] if len(ln) > 3 else "norm"
+                if kind == "oob":
+                    return OOB
+                off = reader.bits(ln[1])
+                if kind == "lower":
+                    return ln[2] - off
+                return ln[2] + off
         raise ValueError("invalid Huffman code")
 
     def encode(self, writer: "_HuffWriter", value) -> None:

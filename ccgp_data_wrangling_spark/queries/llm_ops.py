@@ -384,4 +384,12 @@ def line_dedup_firstwins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_lines_first_wins(docs, "doc_id", "text", line_tokens=8)
+    # hash_keys: the ownership window partitions/sorts on 8-byte
+    # xxhash64(line) instead of the full line string — the keying the
+    # incremental LineDedupState always uses. Same kept set (a 64-bit
+    # collision, ~n²/2⁶⁵, would be needed to differ; oracle MATCH and
+    # output equality vs the string-keyed form verified), measured
+    # 1.57 → 1.04 s at sf0.1 (guide §2.3: narrower shuffle keys).
+    return dedup_lines_first_wins(
+        docs, "doc_id", "text", line_tokens=8, hash_keys=True
+    )
