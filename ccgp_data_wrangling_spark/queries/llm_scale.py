@@ -1090,7 +1090,7 @@ def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     produced by ``wave`` and parsed back by
     operators/media_codecs.decode_wav (frombuffer → float → rms/peak).
     Arrow batches carry the payloads; no Python touches rows outside
-    the two mapInPandas stages.
+    the fused mapInPandas stage.
     """
     import io
     import wave
@@ -1245,8 +1245,8 @@ def multimodal_gif_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Alternate rows are interlaced (GIF four-pass row order), so the
     deinterlace path runs inside the gate too. Arrow batches carry
-    payloads; Python touches rows only inside the two mapInPandas
-    stages — the synthesizer and the decode kernel.
+    payloads; Python touches rows only inside the fused mapInPandas
+    stage — the synthesizer and the decode kernel together.
     """
     from collections.abc import Iterator
 
@@ -1387,7 +1387,7 @@ def multimodal_jpeg_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/media_codecs.decode_jpeg). Alternate images set a
     restart interval so the DRI/RSTn reset path runs inside the gate
     too. Arrow batches carry payloads; Python touches rows only inside
-    the two mapInPandas stages — the synthesizer and the kernel.
+    the fused mapInPandas stage — synthesizer and kernel together.
     """
     from collections.abc import Iterator
 
@@ -1470,7 +1470,7 @@ def multimodal_jpeg_progressive_decode(
     multi-scan coefficient accumulation → dequant → vectorized IDCT →
     features, driver-checked against the striped-tile closed form
     (operators/media_codecs.encode_jpeg_progressive docstring has the
-    bit discipline). Same two-Arrow-stage shape as the baseline gate.
+    bit discipline). Same fused single-Arrow-stage shape as the baseline gate.
     """
     from collections.abc import Iterator
 
@@ -1563,7 +1563,7 @@ def multimodal_png_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seven-pass reassembly runs too) → channel means, checked
     against the construction's closed form (media_codecs.decode_png).
     Arrow batches carry payloads; Python touches rows only inside the
-    two mapInPandas stages — the synthesizer and the kernel.
+    fused mapInPandas stage — synthesizer and kernel together.
     """
     from collections.abc import Iterator
 
@@ -1646,7 +1646,7 @@ def multimodal_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax + sign-change count (media_codecs.wav_spectral_features via
     multimodal.audio_spectral_features), driver-checked against the
     construction's closed forms. Arrow batches carry payloads; Python
-    touches rows only inside the two mapInPandas stages."""
+    touches rows only inside the fused mapInPandas stage."""
     import io
     import wave
     from collections.abc import Iterator
@@ -2007,7 +2007,7 @@ def multimodal_png16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     five filters cycling, alternate images Adam7-interlaced) →
     big-endian pair reassembly → channel means in native 16-bit
     units, driver-checked against the construction's closed form.
-    Same two-Arrow-stage shape as the other media gates."""
+    Same fused single-Arrow-stage shape as the other media gates."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -2330,7 +2330,7 @@ def pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     /DCTDecode (decoded by the from-scratch JPEG kernel) and, on odd
     k, a Flate raw-RGB companion — → sources/pdf.pdf_images → one row
     per image with dimensions, channel count, carrying codec and
-    luma. Two Arrow stages; declared-vs-decoded dimension mismatches
+    luma. One fused Arrow stage; declared-vs-decoded dimension mismatches
     raise inside the kernel rather than passing corrupt bytes on."""
     from collections.abc import Iterator
 
@@ -2958,7 +2958,7 @@ def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     even — §8.7.5), and stss on even k (odd k omits the box → all
     samples sync, spec §8.6.2) → mp4_sample_table → one row per
     sample with time, mdat-relative byte range, and keyframe flag.
-    Two Arrow stages like every media gate; nothing decodes."""
+    One fused Arrow stage like every media gate; nothing decodes."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -3119,7 +3119,7 @@ def multimodal_mp4_fragmented_keyframes(
     k%5 (last fragment split across two trafs, the second with no
     base fields at all) → mp4_sample_table → one row per sample with
     global numbering, fragment (=mfhd sequence), time, per-fragment
-    mdat-relative byte range, and keyframe flag. Two Arrow stages
+    mdat-relative byte range, and keyframe flag. One fused Arrow stage
     like every media gate; nothing decodes."""
     from collections.abc import Iterator
 
@@ -3295,7 +3295,7 @@ def image_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
     APP1 blocks (II and MM byte orders, heap-stored ASCII values,
     Exif-IFD pointer) → parse_exif → metadata columns, then the REAL
     decoded pixel array through apply_exif_orientation for display
-    dimensions. Two Arrow stages like every media gate."""
+    dimensions. One fused Arrow stage like every media gate."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -3693,7 +3693,7 @@ def multimodal_mp3_vbr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternating bitrate schedule on two of three k-residues and a
     Xing (k%5==0) or VBRI (k%5==2) carrier header → parse_mp3_meta's
     walked histogram → min/max/avg bitrate, distinct-rate count, VBR
-    flag, sample-exact duration. Two Arrow stages; decode still
+    flag, sample-exact duration. One fused Arrow stage; decode still
     raises honestly elsewhere."""
     from collections.abc import Iterator
 
@@ -3993,7 +3993,7 @@ def multimodal_mp3_layer3_spectrum(
     scalefac_scale multipliers on k-rotation; k%3==1 payloads carry
     TWO frames packed through the bit reservoir, exercising nonzero
     main_data_begin in-gate) → decode_mp3_layer3_spectrum →
-    per-scalefactor-band RMS envelope. Two Arrow stages;
+    per-scalefactor-band RMS envelope. One fused Arrow stage;
     IMDCT/polyphase synthesis still raise."""
     from collections.abc import Iterator
 
@@ -4140,7 +4140,7 @@ def audio_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotating text encodings incl. v2.4's UTF-16BE, per-version
     unsynchronisation with literal ÿ bytes, and the v2.4 footer) →
     parse_id3v2 → metadata columns; the MP3 frame walk skips the tag
-    — footer included — by its syncsafe size. Two Arrow stages; no
+    — footer included — by its syncsafe size. One fused Arrow stage; no
     audio decode."""
     from collections.abc import Iterator
 
@@ -4274,7 +4274,7 @@ def multimodal_png_subbyte_decode(
     (all five filters cycling, alternate images Adam7-interlaced,
     odd ids palette-typed) → MSB-first bit unpack → channel means in
     native units, driver-checked against the checkerboard's closed
-    form. Same two-Arrow-stage shape as the other media gates."""
+    form. Same fused single-Arrow-stage shape as the other media gates."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -4612,7 +4612,7 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BMP decode end-to-end: encode_bmp fixtures (24-bit BGR
     bottom-up, 8-bit palette, RLE8, 4-bit/1-bit packed, OS/2
     BITMAPCOREHEADER, top-down) → row-padding/direction/palette/
-    sub-byte unpack handling → luma. Two Arrow stages."""
+    sub-byte unpack handling → luma. One fused Arrow stage."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -4731,7 +4731,7 @@ FROM g
 def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real baseline-TIFF decode end-to-end: encode_tiff fixtures
     (II/MM on k-parity, gray/RGB, multi-strip on k%2) → IFD walk +
-    strip reassembly → luma. Two Arrow stages."""
+    strip reassembly → luma. One fused Arrow stage."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -4893,7 +4893,7 @@ def multimodal_tiff_tiled_decode(
     4 bilevel tiles), tile geometry 32x16/16x16 on k%3, gray/RGB on
     k-parity and 16-bit on k%7==5 → per-tile decompress + predictor
     undo + edge crop + luma against the strip queries' closed-form
-    ramp oracle. Two Arrow stages like every media gate."""
+    ramp oracle. One fused Arrow stage like every media gate."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -5009,7 +5009,7 @@ def multimodal_tiff_compressed_decode(
     on k-parity → strip decompress (or MMR row decode with per-strip
     reference reset) + predictor undo + luma. The
     compression/predictor columns replay the encoder's own IFD tags,
-    proving which path ran. Two Arrow stages like every media gate."""
+    proving which path ran. One fused Arrow stage like every media gate."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -5396,7 +5396,7 @@ def pdf_g4_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     black-fraction luma. The from-scratch codecs live in
     operators/media_codecs (decode_ccitt_g4 / decode_ccitt_mh /
     decode_ccitt_g3_mixed, sharing the transcribed T.4 run tables
-    and the G4 2-D row machinery); two Arrow stages as in every
+    and the G4 2-D row machinery); one fused Arrow stage as in every
     media gate."""
     from collections.abc import Iterator
 
@@ -6839,7 +6839,7 @@ def multimodal_webm_keyframes(
     (k%3==0), unknown-size Segment AND Clusters (k%3==1 — what a
     live remuxer actually writes), sized throughout (k%3==2); the
     RFC 8794 §6.2 schema-termination walk must yield byte-identical
-    block rows for all three. Two Arrow stages; codec payloads are
+    block rows for all three. One fused Arrow stage; codec payloads are
     opaque by design."""
     from collections.abc import Iterator
 
@@ -7261,7 +7261,7 @@ def multimodal_mp3_lsf_spectrum(
     bands), and two-frame 8-bit bit-reservoir packing on k%5==1 →
     parse_mp3_layer3_sideinfo (one granule, no scfsi) →
     decode_mp3_layer3_spectrum → per-scalefactor-band RMS envelope.
-    Two Arrow stages; IMDCT/synthesis still raise."""
+    One fused Arrow stage; IMDCT/synthesis still raise."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -8113,7 +8113,7 @@ def multimodal_mp3_layer2_subband_decode(
     (real bit-packed allocation/scfsi/scalefactor/grouped-sample
     payload across quantization tables b, c and d) →
     decode_mp3_layer2_subbands → per-band RMS envelope over the 36
-    samples. Two Arrow stages; PCM synthesis still raises honestly."""
+    samples. One fused Arrow stage; PCM synthesis still raises honestly."""
     from collections.abc import Iterator
 
     import pandas as pd
