@@ -56,6 +56,7 @@ from typing import Any
 import numpy as np
 
 from ccgp_data_wrangling_spark.operators.jbig2 import (
+    _QE_Q,
     ArithStats,
     MQDecoder,
     MQEncoder,
@@ -169,6 +170,23 @@ def _t1_code_block(
     # ~5-10x a list access. The pass structure, context model and
     # coded decisions are bit-identical to the numpy form (pinned by
     # the round-trip tests and the driver oracle).
+    #
+    # Two hot-loop devices on top of that (same decisions, same
+    # streams):
+    #  * ``packed`` holds, for every cell, the D.1 neighbourhood sum
+    #    hh*15 + vv*5 + dd maintained INCREMENTALLY at each
+    #    significance event (8 adds per event) instead of re-read
+    #    from 8 neighbours per pixel per pass — so the dominant
+    #    skip/context path is one bytearray read, and
+    #    ``sig_lut[packed[i]]`` is the significance context directly.
+    #  * the MQ coder's dominant branch (MPS, no renorm — Figures
+    #    E.7/E.17 top) is inlined at each decision with the A/C
+    #    registers held in pass-function locals; any other branch
+    #    syncs the registers back and falls into the SAME
+    #    MQDecoder.decode / MQEncoder.encode methods, so the
+    #    exchange/renorm/bytein logic stays transcribed exactly once
+    #    (tests/test_jpeg2000.py pins inline≡method on random
+    #    streams).
     W = w + 2
     N = (h + 2) * W
     sig = bytearray(N)
@@ -176,15 +194,21 @@ def _t1_code_block(
     pi = bytearray(N)
     refined = bytearray(N)
     mag = [0] * N
-    sig_lut = _SIG_LUT[band]
+    packed = bytearray(N)
+    sig_lut = tuple(_CTX_SIG0 + v for v in _SIG_LUT[band])
     sign_lut = _SIGN_LUT
+    icx = stats.icx
+    mps = stats.mps
+    qq = _QE_Q
     decoding = target is None
     dec = coder.decode if decoding else None
     enc = None if decoding else coder.encode
-    if not decoding:
+    if decoding:
+        tmag = tsgn = None
+    else:
         flat = target.astype(np.int64).ravel()
-        tmag = [int(v) for v in np.abs(flat)]
-        tsgn = [(-1 if v < 0 else 1) for v in flat]
+        tmag = np.abs(flat).tolist()
+        tsgn = [(-1 if v < 0 else 1) for v in flat.tolist()]
 
     # count of significant coefficients so far: while it is zero, a
     # whole SPP pass codes no bits (every neighbourhood is all-zero)
@@ -193,7 +217,33 @@ def _t1_code_block(
     # is identical, the encoder and decoder skip symmetrically
     nsig = 0
 
+    # per-(stripe, column) activity map: touched[s*w + x] is set once
+    # any significance event lands within one row/column of stripe
+    # s's column x. An untouched column provably has sig == 0,
+    # pi == 0 and packed == 0 on all its cells (sig/pi are only set
+    # where packed was nonzero or a run fired — both inside touched
+    # columns; packed updates mark their column), so SPP and MRP skip
+    # the whole 4-cell column on one read and CUP's run-length
+    # precondition holds without scanning. Never cleared: activity is
+    # monotone within a code-block.
+    n_stripes = (h + 3) >> 2
+    touched = bytearray(n_stripes * w)
+
+    def mark(y: int, x: int) -> None:
+        s0 = (y - 1) >> 2 if y else 0
+        s1 = (y + 1) >> 2
+        if s1 >= n_stripes:
+            s1 = n_stripes - 1
+        x0 = x - 1 if x else 0
+        x1 = x + 1 if x + 1 < w else x
+        for s in (s0, y >> 2, s1):
+            base = s * w
+            touched[base + x0] = 1
+            touched[base + x] = 1
+            touched[base + x1] = 1
+
     def code_sign(i: int, y: int, x: int) -> None:
+        mark(y, x)
         l, r, u, d2 = sig[i - 1], sig[i + 1], sig[i - W], sig[i + W]
         hc = (l and sgn[i - 1]) + (r and sgn[i + 1])
         vc = (u and sgn[i - W]) + (d2 and sgn[i + W])
@@ -206,55 +256,125 @@ def _t1_code_block(
         elif vc < -1:
             vc = -1
         cx, xor = sign_lut[hc * 3 + vc + 4]
+        # same inlined MQ fast path as the pass loops (the caller has
+        # synced the coder's registers before this call)
+        k = icx[cx]
+        qe = _QE_Q[k]
+        aa = coder._a
+        a1 = aa - qe
         if decoding:
-            bit = dec(cx, stats)
+            cc = coder._c
+            if (cc >> 16) >= qe and a1 & 0x8000:
+                coder._c = cc - (qe << 16)
+                coder._a = a1
+                bit = mps[cx]
+            else:
+                bit = dec(cx, stats)
             sgn[i] = -1 if bit ^ xor else 1
         else:
             s = tsgn[y * w + x]
-            enc(cx, (1 if s < 0 else 0) ^ xor, stats)
+            bit = (1 if s < 0 else 0) ^ xor
+            if bit == mps[cx] and a1 & 0x8000:
+                coder._a = a1
+                coder._c += qe
+            else:
+                enc(cx, bit, stats)
             sgn[i] = s
 
-    def spp(p: int) -> None:
+    # the pass functions bind every hot name as a default argument so
+    # the per-pixel loops run on LOAD_FAST locals instead of closure
+    # cells (same objects, bound at definition time inside this call)
+    def spp(
+        p: int, sig=sig, packed=packed, pi=pi, mag=mag, icx=icx,
+        mps=mps, qq=qq, sig_lut=sig_lut, tmag=tmag, W=W, w=w, h=h,
+        decoding=decoding, dec=dec, enc=enc, coder=coder, stats=stats,
+        touched=touched,
+    ) -> None:
         nonlocal nsig
         if nsig == 0:
             return
+        bitp = 1 << p
+        aa = coder._a
+        cc = coder._c
         for y0 in range(0, h, 4):
             ylim = y0 + 4 if y0 + 4 < h else h
+            sbase = (y0 >> 2) * w
             for x in range(w):
+                if not touched[sbase + x]:
+                    # untouched column: every cell insignificant with
+                    # all-zero context — all four skip
+                    continue
                 i = (y0 + 1) * W + x + 1
                 for y in range(y0, ylim):
-                    if sig[i]:
+                    if sig[i] or not packed[i]:
                         i += W
                         continue
-                    hh = sig[i - 1] + sig[i + 1]
-                    vv = sig[i - W] + sig[i + W]
-                    dd = (
-                        sig[i - W - 1] + sig[i - W + 1]
-                        + sig[i + W - 1] + sig[i + W + 1]
-                    )
-                    if not (hh | vv | dd):
-                        i += W
-                        continue
-                    cx = _CTX_SIG0 + sig_lut[hh * 15 + vv * 5 + dd]
+                    cx = sig_lut[packed[i]]
+                    k = icx[cx]
+                    qe = qq[k]
+                    a1 = aa - qe
                     if decoding:
-                        bit = dec(cx, stats)
+                        if (cc >> 16) >= qe and a1 & 0x8000:
+                            cc -= qe << 16
+                            aa = a1
+                            bit = mps[cx]
+                        else:
+                            coder._a = aa
+                            coder._c = cc
+                            bit = dec(cx, stats)
+                            aa = coder._a
+                            cc = coder._c
                     else:
                         bit = (tmag[y * w + x] >> p) & 1
-                        enc(cx, bit, stats)
+                        if bit == mps[cx] and a1 & 0x8000:
+                            aa = a1
+                            cc += qe
+                        else:
+                            coder._a = aa
+                            coder._c = cc
+                            enc(cx, bit, stats)
+                            aa = coder._a
+                            cc = coder._c
                     pi[i] = 1
                     if bit:
                         nsig += 1
                         sig[i] = 1
-                        mag[i] |= 1 << p
+                        mag[i] |= bitp
+                        packed[i - 1] += 15
+                        packed[i + 1] += 15
+                        packed[i - W] += 5
+                        packed[i + W] += 5
+                        packed[i - W - 1] += 1
+                        packed[i - W + 1] += 1
+                        packed[i + W - 1] += 1
+                        packed[i + W + 1] += 1
+                        coder._a = aa
+                        coder._c = cc
                         code_sign(i, y, x)
+                        aa = coder._a
+                        cc = coder._c
                     i += W
+        coder._a = aa
+        coder._c = cc
 
-    def mrp(p: int) -> None:
+    def mrp(
+        p: int, sig=sig, packed=packed, pi=pi, mag=mag,
+        refined=refined, icx=icx, mps=mps, qq=qq, tmag=tmag, W=W,
+        w=w, h=h, decoding=decoding, dec=dec, enc=enc, coder=coder,
+        stats=stats, touched=touched,
+    ) -> None:
         if nsig == 0:
             return
+        bitp = 1 << p
+        aa = coder._a
+        cc = coder._c
         for y0 in range(0, h, 4):
             ylim = y0 + 4 if y0 + 4 < h else h
+            sbase = (y0 >> 2) * w
             for x in range(w):
+                if not touched[sbase + x]:
+                    # untouched column: nothing significant to refine
+                    continue
                 i = (y0 + 1) * W + x + 1
                 for y in range(y0, ylim):
                     if not sig[i] or pi[i]:
@@ -263,53 +383,91 @@ def _t1_code_block(
                     if refined[i]:
                         cx = _CTX_MAG0 + 2
                     else:
-                        nb = (
-                            sig[i - 1] + sig[i + 1]
-                            + sig[i - W] + sig[i + W]
-                            + sig[i - W - 1] + sig[i - W + 1]
-                            + sig[i + W - 1] + sig[i + W + 1]
-                        )
-                        cx = _CTX_MAG0 + (1 if nb else 0)
+                        cx = _CTX_MAG0 + (1 if packed[i] else 0)
+                    k = icx[cx]
+                    qe = qq[k]
+                    a1 = aa - qe
                     if decoding:
-                        bit = dec(cx, stats)
+                        if (cc >> 16) >= qe and a1 & 0x8000:
+                            cc -= qe << 16
+                            aa = a1
+                            bit = mps[cx]
+                        else:
+                            coder._a = aa
+                            coder._c = cc
+                            bit = dec(cx, stats)
+                            aa = coder._a
+                            cc = coder._c
                     else:
                         bit = (tmag[y * w + x] >> p) & 1
-                        enc(cx, bit, stats)
+                        if bit == mps[cx] and a1 & 0x8000:
+                            aa = a1
+                            cc += qe
+                        else:
+                            coder._a = aa
+                            coder._c = cc
+                            enc(cx, bit, stats)
+                            aa = coder._a
+                            cc = coder._c
                     if bit:
-                        mag[i] |= 1 << p
+                        mag[i] |= bitp
                     refined[i] = 1
                     i += W
+        coder._a = aa
+        coder._c = cc
 
-    def cup(p: int) -> None:
+    def cup(
+        p: int, sig=sig, packed=packed, pi=pi, mag=mag, icx=icx,
+        mps=mps, qq=qq, sig_lut=sig_lut, tmag=tmag, W=W, w=w, h=h,
+        decoding=decoding, dec=dec, enc=enc, coder=coder, stats=stats,
+        touched=touched,
+    ) -> None:
         nonlocal nsig
+        bitp = 1 << p
+        aa = coder._a
+        cc = coder._c
         for y0 in range(0, h, 4):
             ylim = y0 + 4 if y0 + 4 < h else h
+            sbase = (y0 >> 2) * w
             for x in range(w):
                 i0 = (y0 + 1) * W + x + 1
                 y = y0
                 # run-length mode: full 4-row stripe column, all four
                 # insignificant, unvisited, with all-zero contexts —
                 # equivalently: no pi/sig on the column and no sig
-                # anywhere in the 6x3 neighbourhood window
+                # anywhere in the 6x3 neighbourhood window.
+                # packed[j] == 0 is exactly "no significant cell in
+                # j's 8-neighbourhood", so the union over the four
+                # column cells covers the whole window bar the column
+                # itself (covered by the sig[j] reads); an untouched
+                # column satisfies all of it without a scan.
                 rl = False
                 if y0 + 4 <= h:
-                    rl = True
-                    j = i0
-                    for _ in range(4):
-                        if (
-                            pi[j] or sig[j - 1] or sig[j] or sig[j + 1]
-                        ):
-                            rl = False
-                            break
-                        j += W
-                    if rl and (
-                        sig[i0 - W - 1] or sig[i0 - W] or sig[i0 - W + 1]
-                        or sig[j - 1] or sig[j] or sig[j + 1]
-                    ):
-                        rl = False
+                    if not touched[sbase + x]:
+                        rl = True
+                    else:
+                        rl = True
+                        j = i0
+                        for _ in range(4):
+                            if pi[j] or sig[j] or packed[j]:
+                                rl = False
+                                break
+                            j += W
                 if rl:
                     if decoding:
-                        run_hit = dec(_CTX_RUN, stats)
+                        k = icx[_CTX_RUN]
+                        qe = qq[k]
+                        a1 = aa - qe
+                        if (cc >> 16) >= qe and a1 & 0x8000:
+                            cc -= qe << 16
+                            aa = a1
+                            run_hit = mps[_CTX_RUN]
+                        else:
+                            coder._a = aa
+                            coder._c = cc
+                            run_hit = dec(_CTX_RUN, stats)
+                            aa = coder._a
+                            cc = coder._c
                     else:
                         base = y0 * w + x
                         some = (
@@ -318,10 +476,24 @@ def _t1_code_block(
                             or (tmag[base + 2 * w] >> p) & 1
                             or (tmag[base + 3 * w] >> p) & 1
                         )
-                        enc(_CTX_RUN, 1 if some else 0, stats)
+                        bit = 1 if some else 0
+                        k = icx[_CTX_RUN]
+                        qe = qq[k]
+                        a1 = aa - qe
+                        if bit == mps[_CTX_RUN] and a1 & 0x8000:
+                            aa = a1
+                            cc += qe
+                        else:
+                            coder._a = aa
+                            coder._c = cc
+                            enc(_CTX_RUN, bit, stats)
+                            aa = coder._a
+                            cc = coder._c
                         run_hit = some
                     if not run_hit:
                         continue  # all four stay insignificant
+                    coder._a = aa
+                    coder._c = cc
                     if decoding:
                         r = (
                             dec(_CTX_UNI, stats) << 1
@@ -337,32 +509,70 @@ def _t1_code_block(
                     i = i0 + r * W
                     nsig += 1
                     sig[i] = 1
-                    mag[i] |= 1 << p
+                    mag[i] |= bitp
+                    packed[i - 1] += 15
+                    packed[i + 1] += 15
+                    packed[i - W] += 5
+                    packed[i + W] += 5
+                    packed[i - W - 1] += 1
+                    packed[i - W + 1] += 1
+                    packed[i + W - 1] += 1
+                    packed[i + W + 1] += 1
                     code_sign(i, y, x)
+                    aa = coder._a
+                    cc = coder._c
                     y += 1
                 i = (y + 1) * W + x + 1
                 for yy in range(y, ylim):
                     if sig[i] or pi[i]:
                         i += W
                         continue
-                    hh = sig[i - 1] + sig[i + 1]
-                    vv = sig[i - W] + sig[i + W]
-                    dd = (
-                        sig[i - W - 1] + sig[i - W + 1]
-                        + sig[i + W - 1] + sig[i + W + 1]
-                    )
-                    cx = _CTX_SIG0 + sig_lut[hh * 15 + vv * 5 + dd]
+                    cx = sig_lut[packed[i]]
+                    k = icx[cx]
+                    qe = qq[k]
+                    a1 = aa - qe
                     if decoding:
-                        bit = dec(cx, stats)
+                        if (cc >> 16) >= qe and a1 & 0x8000:
+                            cc -= qe << 16
+                            aa = a1
+                            bit = mps[cx]
+                        else:
+                            coder._a = aa
+                            coder._c = cc
+                            bit = dec(cx, stats)
+                            aa = coder._a
+                            cc = coder._c
                     else:
                         bit = (tmag[yy * w + x] >> p) & 1
-                        enc(cx, bit, stats)
+                        if bit == mps[cx] and a1 & 0x8000:
+                            aa = a1
+                            cc += qe
+                        else:
+                            coder._a = aa
+                            coder._c = cc
+                            enc(cx, bit, stats)
+                            aa = coder._a
+                            cc = coder._c
                     if bit:
                         nsig += 1
                         sig[i] = 1
-                        mag[i] |= 1 << p
+                        mag[i] |= bitp
+                        packed[i - 1] += 15
+                        packed[i + 1] += 15
+                        packed[i - W] += 5
+                        packed[i + W] += 5
+                        packed[i - W - 1] += 1
+                        packed[i - W + 1] += 1
+                        packed[i + W - 1] += 1
+                        packed[i + W + 1] += 1
+                        coder._a = aa
+                        coder._c = cc
                         code_sign(i, yy, x)
+                        aa = coder._a
+                        cc = coder._c
                     i += W
+        coder._a = aa
+        coder._c = cc
 
     total = 3 * planes - 2 if npasses is None else npasses
     done = 0

@@ -741,3 +741,73 @@ class TestStructuralR13:
         blob[pos + 10] = 1  # duplicate TPsot 1 -> non-contiguous
         with pytest.raises(ValueError, match="tile-part"):
             decode_jpx(bytes(blob))
+
+
+class TestT1GoldenPin:
+    """Cross-version pin of the Tier-1 coder: the r15 hot-loop rewrite
+    (incremental ``packed`` neighbourhood counters + inlined MQ fast
+    paths) must reproduce the r14 implementation's coded streams,
+    pass marks and decoded coefficients bit for bit. The golden hash
+    below was computed by running this exact workload against the r14
+    tree (commit 68e055b) — 24 randomized blocks spanning all three
+    band classes, dense/sparse/impulse/small-magnitude coefficients
+    and truncated pass sets, hitting both the MPS-no-renorm fast path
+    and every exchange/renorm slow path."""
+
+    def test_t1_stream_and_decode_golden(self):
+        import hashlib
+
+        from ccgp_data_wrangling_spark.operators.jbig2 import (
+            MQDecoder,
+            MQEncoder,
+        )
+        from ccgp_data_wrangling_spark.operators.jpeg2000 import (
+            _fresh_stats,
+            _t1_code_block,
+        )
+
+        rng = np.random.default_rng(20260817)
+        h = hashlib.md5()
+        for trial in range(24):
+            w = int(rng.integers(3, 40))
+            ht = int(rng.integers(3, 40))
+            band = int(rng.integers(0, 3))
+            planes = int(rng.integers(2, 9))
+            mode = trial % 4
+            if mode == 0:
+                coef = rng.integers(
+                    -(1 << planes) + 1, 1 << planes, (ht, w)
+                )
+            elif mode == 1:
+                coef = np.where(
+                    rng.random((ht, w)) < 0.08,
+                    rng.integers(
+                        -(1 << planes) + 1, 1 << planes, (ht, w)
+                    ),
+                    0,
+                )
+            elif mode == 2:
+                coef = np.zeros((ht, w), np.int64)
+                coef[ht // 2, w // 2] = (1 << planes) - 1
+            else:
+                coef = rng.integers(-3, 4, (ht, w))
+            npasses = 3 * planes - 2
+            if trial % 5 == 0:
+                npasses = int(rng.integers(1, npasses + 1))
+            enc = MQEncoder()
+            marks: list[int] = []
+            _t1_code_block(
+                enc, _fresh_stats(), band, w, ht, planes,
+                coef.astype(np.int64), npasses=npasses,
+                pass_marks=marks,
+            )
+            data = enc.flush()
+            h.update(data)
+            h.update(bytes(str(marks), "ascii"))
+            dec = MQDecoder(data)
+            out = _t1_code_block(
+                dec, _fresh_stats(), band, w, ht, planes, None,
+                npasses=npasses,
+            )
+            h.update(out.tobytes())
+        assert h.hexdigest() == "116956b105588a3908e44033658f295f"
