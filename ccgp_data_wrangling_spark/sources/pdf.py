@@ -1250,6 +1250,8 @@ def pdf_documents(
     payload_col: str = "payload",
     password: bytes = b"",
     pre: Any = None,
+    pre_cols: Any = None,
+    r6_keys: Any = None,
 ) -> DataFrame:
     """Explode PDF blobs into one row per page with extracted text —
     one Arrow mapInPandas pass, the WARC-ingest shape. ``password``
@@ -1260,9 +1262,26 @@ def pdf_documents(
     ``pre`` optionally fuses an upstream batch transformer (a fixture
     payload synthesizer) into the same Arrow stage, so blobs never
     cross the JVM<->Python boundary between synthesis and
-    extraction."""
+    extraction. The pre path is opaque to Spark's column pruning, so
+    every column of ``df`` ships through Arrow into the Python
+    worker: pass ``pre_cols`` (the exact columns ``pre`` consumes) to
+    narrow the scan, or hand in an already-narrow frame.
+
+    ``r6_keys``: driver-precomputed revision-6 KDF results
+    (``pdf_crypt.r6_seed_entries``) riding the task closure, so COLD
+    executors opening an AES-256/R6 corpus skip the ~2.3 s
+    per-credential-set Algorithm 2.B derivation when the native AES
+    backend is unavailable. Purely a cold-start cut: the derived keys
+    are content-addressed by (password, salt, udata), so results are
+    identical with or without it."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if r6_keys:
+            from ccgp_data_wrangling_spark.sources.pdf_crypt import (
+                seed_r6_cache,
+            )
+
+            seed_r6_cache(r6_keys)
         for pdf in batches:
             rows: list[dict[str, Any]] = []
             for did, blob in zip(pdf[id_col], pdf[payload_col]):
@@ -1282,7 +1301,8 @@ def pdf_documents(
             )
 
     if pre is not None:
-        return df.mapInPandas(
+        src = df.select(*pre_cols) if pre_cols else df
+        return src.mapInPandas(
             lambda it: op(pre(it)), schema=PDF_PAGE_SCHEMA
         )
     return df.select(id_col, payload_col).mapInPandas(

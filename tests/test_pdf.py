@@ -711,3 +711,41 @@ def test_pdf_bit_depth_images_and_decode_array():
     short = blob.replace(b"/Width 8", b"/Width 9")
     with pytest.raises(ValueError, match="disagree"):
         pdf_images(short)
+
+
+def test_r6_seeded_key_cache_skips_kdf():
+    """Driver-precomputed Algorithm 2.B entries (r6_seed_entries /
+    seed_r6_cache) must open an R6 document with the KDF body never
+    invoked — the 100 TB cold-executor path — and produce the exact
+    pages the unseeded derivation produces."""
+    import ccgp_data_wrangling_spark.sources.pdf_crypt as pc
+    from ccgp_data_wrangling_spark.sources.pdf import (
+        _encryption_params,
+        build_pdf_encrypted,
+    )
+
+    pages = [["seeded r6 secret", "line two"]]
+    blob = build_pdf_encrypted(pages, user_pw=b"pw", v=5, r=6)
+    want = extract_pdf_pages(blob, password=b"pw")
+    prm = _encryption_params(blob)
+    entries = pc.r6_seed_entries(b"pw", prm["u"], prm["o"])
+    assert len(entries) == 4 and all(len(e[3]) == 32 for e in entries)
+
+    # fresh-worker simulation: computed memo cleared, seeds installed,
+    # compute body booby-trapped
+    pc._hash_r6_compute.cache_clear()
+    saved = pc._R6_SEEDED.copy()
+    orig = pc._hash_r6_compute
+
+    def boom(*a):
+        raise AssertionError("KDF ran despite seeded cache")
+
+    try:
+        pc._R6_SEEDED.clear()
+        pc.seed_r6_cache(entries)
+        pc._hash_r6_compute = boom
+        assert extract_pdf_pages(blob, password=b"pw") == want
+    finally:
+        pc._hash_r6_compute = orig
+        pc._R6_SEEDED.clear()
+        pc._R6_SEEDED.update(saved)
