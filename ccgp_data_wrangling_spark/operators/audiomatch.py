@@ -80,6 +80,7 @@ def audio_constellation(
     payload_col: str = "payload",
     frame: int = 256,
     pre=None,
+    pre_cols=None,
 ) -> DataFrame:
     """Explode WAV payloads into ``(id, frame_idx, h)`` constellation
     pair hashes — one Arrow pass, payloads never leave executors.
@@ -98,7 +99,8 @@ def audio_constellation(
             yield pd.DataFrame({"id": ids, "frame_idx": fidx, "h": hs})
 
     if pre is not None:
-        return df.mapInPandas(
+        src = df.select(*pre_cols) if pre_cols else df
+        return src.mapInPandas(
             lambda it: op(pre(it)), schema="id long, frame_idx int, h long"
         )
     return df.select(id_col, payload_col).mapInPandas(
@@ -114,6 +116,8 @@ def audio_clip_match(
     broadcast_tracks: bool = True,
     tracks_pre=None,
     clips_pre=None,
+    tracks_pre_cols=None,
+    clips_pre_cols=None,
 ) -> DataFrame:
     """Best ``(track_id, offset)`` per clip by constellation voting:
     hash equi-join (candidates only — never clip × track), vote count
@@ -128,14 +132,18 @@ def audio_clip_match(
     Output: ``(clip_id, track_id, offset, votes)``, one row per clip
     that matched at least one hash.
     """
-    th = audio_constellation(tracks, frame=frame, pre=tracks_pre).select(
+    th = audio_constellation(
+        tracks, frame=frame, pre=tracks_pre, pre_cols=tracks_pre_cols,
+    ).select(
         F.col("id").alias("track_id"),
         F.col("frame_idx").alias("ti"),
         "h",
     )
     if broadcast_tracks:
         th = F.broadcast(th)
-    ch = audio_constellation(clips, frame=frame, pre=clips_pre).select(
+    ch = audio_constellation(
+        clips, frame=frame, pre=clips_pre, pre_cols=clips_pre_cols,
+    ).select(
         F.col("id").alias("clip_id"),
         F.col("frame_idx").alias("ci"),
         "h",

@@ -61,6 +61,7 @@ def extract_real_features(
     payload_col: str = "payload",
     media_type_col: str = "media_type",
     pre: Any = None,
+    pre_cols: Any = None,
 ) -> DataFrame:
     """Decode-and-featurize with the REAL stdlib kernels (WAV / netpbm).
 
@@ -96,7 +97,8 @@ def extract_real_features(
             yield out
 
     if pre is not None:
-        return df.mapInPandas(
+        src = df.select(*pre_cols) if pre_cols else df
+        return src.mapInPandas(
             lambda it: op(pre(it)), schema=REAL_FEATURE_SCHEMA
         )
     narrow = df.select(id_col, payload_col, media_type_col)
@@ -292,6 +294,7 @@ def audio_spectral_features(
     id_col: str = "id",
     payload_col: str = "payload",
     pre: Any = None,
+    pre_cols: Any = None,
 ) -> DataFrame:
     """Real DSP features per audio payload — zero-crossing count and
     FFT dominant frequency (media_codecs.wav_spectral_features) — in
@@ -316,7 +319,8 @@ def audio_spectral_features(
 
     if pre is not None:
         # fused upstream synthesizer (see extract_real_features)
-        return df.mapInPandas(
+        src = df.select(*pre_cols) if pre_cols else df
+        return src.mapInPandas(
             lambda it: op(pre(it)), schema=SPECTRAL_SCHEMA
         )
     return df.select(id_col, payload_col).mapInPandas(op, schema=SPECTRAL_SCHEMA)
@@ -335,6 +339,7 @@ def sample_frames_gif(
     id_col: str = "id",
     payload_col: str = "payload",
     pre: Any = None,
+    pre_cols: Any = None,
 ) -> DataFrame:
     """REAL frame sampling from animated-GIF payloads — the concrete
     instance of the video frame-sample shape (sample_frames) with an
@@ -394,7 +399,8 @@ def sample_frames_gif(
 
     if pre is not None:
         # fused upstream synthesizer (see extract_real_features)
-        return df.mapInPandas(
+        src = df.select(*pre_cols) if pre_cols else df
+        return src.mapInPandas(
             lambda it: op(pre(it)), schema=GIF_FRAME_SCHEMA
         )
     narrow = df.select(id_col, payload_col)

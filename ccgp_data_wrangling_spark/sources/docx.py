@@ -82,6 +82,7 @@ def docx_documents(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     pre: Any = None,
+    pre_cols: Any = None,
 ) -> DataFrame:
     """Explode DOCX blobs into one row per paragraph with extracted
     text — one Arrow mapInPandas pass, the pdf_documents shape."""
@@ -109,7 +110,8 @@ def docx_documents(
         # fuse an upstream batch synthesizer into the same Arrow
         # stage: blobs never transit the JVM between synthesis
         # and extraction (optimization guide §4.1)
-        return df.mapInPandas(
+        src = df.select(*pre_cols) if pre_cols else df
+        return src.mapInPandas(
             lambda it: op(pre(it)), schema=DOCX_PARA_SCHEMA
         )
     return df.select(id_col, payload_col).mapInPandas(

@@ -193,6 +193,7 @@ def epub_documents(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     pre: Any = None,
+    pre_cols: Any = None,
 ) -> DataFrame:
     """Explode EPUB blobs into one row per (chapter, paragraph) —
     one Arrow mapInPandas pass, the docx_documents shape plus the
@@ -226,7 +227,8 @@ def epub_documents(
         # fuse an upstream batch synthesizer into the same Arrow
         # stage: blobs never transit the JVM between synthesis
         # and extraction (optimization guide §4.1)
-        return df.mapInPandas(
+        src = df.select(*pre_cols) if pre_cols else df
+        return src.mapInPandas(
             lambda it: op(pre(it)), schema=EPUB_PARA_SCHEMA
         )
     return df.select(id_col, payload_col).mapInPandas(

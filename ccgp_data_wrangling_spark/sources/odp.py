@@ -116,6 +116,7 @@ def odp_documents(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     pre: Any = None,
+    pre_cols: Any = None,
 ) -> DataFrame:
     """Explode ODP blobs into one row per (slide, frame, paragraph)
     — one Arrow mapInPandas pass, the pptx_documents shape."""
@@ -151,7 +152,8 @@ def odp_documents(
         # fuse an upstream batch synthesizer into the same Arrow
         # stage: blobs never transit the JVM between synthesis
         # and extraction (optimization guide §4.1)
-        return df.mapInPandas(
+        src = df.select(*pre_cols) if pre_cols else df
+        return src.mapInPandas(
             lambda it: op(pre(it)), schema=ODP_PARA_SCHEMA
         )
     return df.select(id_col, payload_col).mapInPandas(

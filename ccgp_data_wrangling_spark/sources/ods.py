@@ -169,6 +169,7 @@ def ods_documents(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     pre: Any = None,
+    pre_cols: Any = None,
 ) -> DataFrame:
     """Explode ODS blobs into one row per populated cell — one Arrow
     mapInPandas pass, the xlsx_documents shape on the ODF side."""
@@ -191,7 +192,8 @@ def ods_documents(
         # fuse an upstream batch synthesizer into the same Arrow
         # stage: blobs never transit the JVM between synthesis
         # and extraction (optimization guide §4.1)
-        return df.mapInPandas(
+        src = df.select(*pre_cols) if pre_cols else df
+        return src.mapInPandas(
             lambda it: op(pre(it)), schema=ODS_CELL_SCHEMA
         )
     return df.select(id_col, payload_col).mapInPandas(

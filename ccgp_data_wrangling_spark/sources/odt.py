@@ -117,6 +117,7 @@ def odt_documents(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     pre: Any = None,
+    pre_cols: Any = None,
 ) -> DataFrame:
     """Explode ODT blobs into one row per paragraph with extracted
     text — one Arrow mapInPandas pass, the docx_documents shape."""
@@ -144,7 +145,8 @@ def odt_documents(
         # fuse an upstream batch synthesizer into the same Arrow
         # stage: blobs never transit the JVM between synthesis
         # and extraction (optimization guide §4.1)
-        return df.mapInPandas(
+        src = df.select(*pre_cols) if pre_cols else df
+        return src.mapInPandas(
             lambda it: op(pre(it)), schema=ODT_PARA_SCHEMA
         )
     return df.select(id_col, payload_col).mapInPandas(

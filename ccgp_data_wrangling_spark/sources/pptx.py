@@ -128,6 +128,7 @@ def pptx_documents(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     pre: Any = None,
+    pre_cols: Any = None,
 ) -> DataFrame:
     """Explode PPTX blobs into one row per slide paragraph — one
     Arrow mapInPandas pass, the docx_documents shape plus the slide
@@ -159,7 +160,8 @@ def pptx_documents(
         # fuse an upstream batch synthesizer into the same Arrow
         # stage: blobs never transit the JVM between synthesis
         # and extraction (optimization guide §4.1)
-        return df.mapInPandas(
+        src = df.select(*pre_cols) if pre_cols else df
+        return src.mapInPandas(
             lambda it: op(pre(it)), schema=PPTX_PARA_SCHEMA
         )
     return df.select(id_col, payload_col).mapInPandas(

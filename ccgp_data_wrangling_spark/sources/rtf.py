@@ -167,6 +167,7 @@ def rtf_documents(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     pre: Any = None,
+    pre_cols: Any = None,
 ) -> DataFrame:
     """Explode RTF blobs into one row per paragraph — one Arrow
     mapInPandas pass, the docx_documents shape."""
@@ -194,7 +195,8 @@ def rtf_documents(
         # fuse an upstream batch synthesizer into the same Arrow
         # stage: blobs never transit the JVM between synthesis
         # and extraction (optimization guide §4.1)
-        return df.mapInPandas(
+        src = df.select(*pre_cols) if pre_cols else df
+        return src.mapInPandas(
             lambda it: op(pre(it)), schema=RTF_PARA_SCHEMA
         )
     return df.select(id_col, payload_col).mapInPandas(

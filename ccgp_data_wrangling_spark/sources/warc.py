@@ -127,6 +127,7 @@ def warc_records(
     payload_col: str = "payload",
     response_only: bool = True,
     pre: Any = None,
+    pre_cols: Any = None,
 ) -> DataFrame:
     """Explode WARC archive blobs into one row per record, with the
     HTTP body run through :func:`html_to_text`. One Arrow mapInPandas
@@ -163,7 +164,8 @@ def warc_records(
         # fuse an upstream batch synthesizer into the same Arrow
         # stage: archive blobs never transit the JVM between
         # synthesis and record extraction (optimization guide §4.1)
-        return df.mapInPandas(
+        src = df.select(*pre_cols) if pre_cols else df
+        return src.mapInPandas(
             lambda it: op(pre(it)), schema=WARC_RECORD_SCHEMA
         )
     return df.select(id_col, payload_col).mapInPandas(
