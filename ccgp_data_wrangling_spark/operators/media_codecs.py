@@ -2305,6 +2305,18 @@ def _huff_lut(counts: list[int], symbols: bytes) -> list:
             span = 1 << (16 - length)
             for _ in range(counts[length - 1]):
                 start = code << (16 - length)
+                if start + span > 65536:
+                    # overfull DHT: this canonical code overflows its
+                    # bit length, so no 16-bit window can reach it —
+                    # without this clamp the slice assignment silently
+                    # APPENDS past 65536, caching an oversized LUT.
+                    # Keep the code/symbol progression (and the
+                    # original IndexError on truncated symbol lists)
+                    # so reachable entries stay identical.
+                    _ = symbols[k]
+                    k += 1
+                    code += 1
+                    continue
                 lut[start : start + span] = [(length, symbols[k])] * span
                 k += 1
                 code += 1
@@ -5581,18 +5593,23 @@ _prefix_free(_L3_COUNT1_B)
 
 
 # (length, code) -> symbol inversions of the module-constant Layer III
-# tables, built once per table instead of once per decoded symbol
-_L3_BYCODE: dict[int, dict] = {}
+# tables, built once per table instead of once per decoded symbol.
+# Each entry retains the table itself alongside its inversion: keyed
+# on id() alone, a dynamically built table could be collected and its
+# id reused, silently returning the WRONG inverse.
+_L3_BYCODE: dict[int, tuple[dict, dict]] = {}
 
 
 def _l3_huff_decode(reader: "_BitReader", table: dict) -> tuple:
     """Walk bits MSB-first until a code in ``table`` matches; the
     tables are prefix-free (validated at import), so first match is
     THE match. Returns the symbol key."""
-    by_code = _L3_BYCODE.get(id(table))
-    if by_code is None:
+    entry = _L3_BYCODE.get(id(table))
+    if entry is None or entry[0] is not table:
         by_code = {(ln, c): sym for sym, (ln, c) in table.items()}
-        _L3_BYCODE[id(table)] = by_code
+        _L3_BYCODE[id(table)] = (table, by_code)
+    else:
+        by_code = entry[1]
     read_bit = reader.read_bit
     get = by_code.get
     code, ln = 0, 0
