@@ -35,11 +35,18 @@ def hashed_embedding(
     """``key_cols + [vec]``: per-row hashed bag-of-words count vector
     (``array<long>``, length ``dim``).
 
-    Shape: explode tokens → two-level hash aggregate on
-    (keys, bucket) — map-side combining keeps the shuffle at
-    ≤ dim rows per input row worst-case, typically far fewer — then
-    one map_from_entries + dense ``sequence`` fill per row. No UDF,
-    no Python; the whole thing is codegen + one exchange.
+    Shape: explode tokens → ONE exchange keyed on ``key_cols`` →
+    two-level hash aggregate on (keys, bucket), then
+    map_from_entries + dense ``sequence`` fill per row, all on the
+    same partitioning. The explicit repartition exists because hash
+    partitioning on a SUBSET of an aggregation's grouping keys
+    satisfies its clustered-distribution requirement (guide §2.4
+    "two operations keyed the same way can share one exchange"):
+    without it the planner exchanges once on (keys, bucket) for the
+    count and AGAIN on (keys) for the vector assembly — two shuffles
+    of nearly identical volume, since a text chunk rarely repeats a
+    bucket often enough for the (keys, bucket) map-side combine to
+    pay for the second shuffle. No UDF, no Python.
 
     Counts are NOT normalized: cosine consumers normalize anyway, and
     integer counts keep the representation exact for oracles and for
@@ -51,6 +58,7 @@ def hashed_embedding(
     counts = (
         df.select(*key_cols, F.explode(tokens).alias("__w"))
         .select(*key_cols, bucket.alias("__b"))
+        .repartition(*[F.col(c) for c in key_cols])
         .groupBy(*key_cols, "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
