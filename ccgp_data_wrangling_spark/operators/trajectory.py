@@ -81,23 +81,65 @@ def trajectory_hausdorff_pairs(
         raise ValueError(
             "candidate completeness requires threshold <= cell_size"
         )
-    w = W.partitionBy(key_col).orderBy(order_col)
+    # alias key_col -> k BEFORE the window and partition the window on
+    # the ALIASED column: if the window partitioned on the original
+    # column, the downstream groupBy("k") would see two unrelated
+    # attributes (the caller's key and our alias both derived from the
+    # same source) and re-shuffle the points a second time per branch.
+    # Keyed on k itself, the window's hashpartitioning(k) satisfies the
+    # collect_list aggregate's clustering requirement and the second
+    # Exchange disappears from every traj branch (guide §2.4: two
+    # operations keyed the same way share one exchange).
+    w = W.partitionBy("k").orderBy("__o")
     pts = (
         points.select(
             F.col(key_col).alias("k"),
             F.col(x_col).cast("double").alias("x"),
             F.col(y_col).cast("double").alias("y"),
-            F.row_number().over(w).alias("__rn"),
+            F.col(order_col).alias("__o"),
         )
+        .select("k", "x", "y", F.row_number().over(w).alias("__rn"))
         .where(F.col("__rn") <= max_points)
         .drop("__rn")
     )
 
-    cells = pts.select(
+    # one vertex-struct array per trajectory; split into parallel
+    # coordinate arrays AFTER collecting (transform over the same
+    # struct list keeps x[i]/y[i] paired — two independent
+    # collect_lists would not guarantee a consistent order). Hausdorff
+    # is order-insensitive (min/max over all vertices), so the
+    # nondeterministic collect_list order cannot change the result.
+    traj = pts.groupBy("k").agg(
+        F.collect_list(F.struct("x", "y")).alias("v")
+    ).select(
         "k",
-        F.floor(F.col("x") / cell_size).alias("cx"),
-        F.floor(F.col("y") / cell_size).alias("cy"),
-    ).distinct()
+        F.transform("v", lambda p: p["x"]).alias("xs"),
+        F.transform("v", lambda p: p["y"]).alias("ys"),
+    )
+
+    # each trajectory's distinct covered cells, derived from the
+    # ALREADY-AGGREGATED per-trajectory arrays: array_distinct inside
+    # the row replaces a corpus-wide distinct on (k, cx, cy), so the
+    # cells relation costs NO exchange of its own — it rides the
+    # groupBy(k) partitioning the window pass already established
+    # (guide §2.4: share one exchange). Same set of (k, cx, cy) rows
+    # as the former pts.select(floor..).distinct() — per-trajectory
+    # distinct equals global distinct when k is part of the key.
+    cells = traj.select(
+        "k",
+        F.explode(
+            F.array_distinct(
+                F.zip_with(
+                    "xs",
+                    "ys",
+                    lambda x, y: F.struct(
+                        F.floor(x / cell_size).alias("cx"),
+                        F.floor(y / cell_size).alias("cy"),
+                    ),
+                )
+            )
+        ).alias("c"),
+    ).select("k", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
     if max_cell is not None:
         sizes = cells.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("__n"))
         cells = cells.join(
@@ -129,19 +171,6 @@ def trajectory_hausdorff_pairs(
         .distinct()
     )
 
-    # one vertex-struct array per trajectory; split into parallel
-    # coordinate arrays AFTER collecting (transform over the same
-    # struct list keeps x[i]/y[i] paired — two independent
-    # collect_lists would not guarantee a consistent order). Hausdorff
-    # is order-insensitive (min/max over all vertices), so the
-    # nondeterministic collect_list order cannot change the result.
-    traj = pts.groupBy("k").agg(
-        F.collect_list(F.struct("x", "y")).alias("v")
-    ).select(
-        "k",
-        F.transform("v", lambda p: p["x"]).alias("xs"),
-        F.transform("v", lambda p: p["y"]).alias("ys"),
-    )
     pairs = (
         cand.join(
             traj.select(
