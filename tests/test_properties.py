@@ -173,6 +173,38 @@ def test_ann_natural_corpus_recall(spark):
     assert ivf_recall >= 0.5
 
 
+def test_ann_topk_carriers_agree(spark):
+    """ann_topk returns the identical ranked rows whichever carrier
+    ships the plane set (literal Columns, one-row broadcast table, or
+    the Arrow matmul kernel) — the registered defaults (8x12x64 =
+    6144 doubles) auto-select the kernel, so pin it against the
+    literal reference the oracle was built on."""
+    from ccgp_data_wrangling_spark.catalog import load_table
+    from ccgp_data_wrangling_spark.operators.knn import ann_topk
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in qrow[0]]
+    corpus = emb.where(F.col("vec_id") != 0)
+
+    def rows(carrier):
+        return sorted(
+            map(
+                tuple,
+                ann_topk(
+                    corpus, qv, 5, n_tables=8, n_bits=12, carrier=carrier
+                ).collect(),
+            )
+        )
+
+    ref = rows("literal")
+    assert ref  # natural corpus: >=1 random bucket collision survives
+    assert rows("kernel") == ref
+    assert rows("table") == ref
+    assert rows("auto") == ref  # 6144 doubles -> kernel
+
+
 # ---------------------------------------------------------------------------
 # Sketch merge laws over arbitrary inputs
 # ---------------------------------------------------------------------------
